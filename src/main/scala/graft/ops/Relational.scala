@@ -1,0 +1,317 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Relational operator surface (SURVEY.md §2B B1–B9) over the driver corpus.
+  *
+  * Every query follows the determinism contract (SURVEY.md §7.0):
+  *   - total ordering over the full output key set;
+  *   - double aggregates computed exactly via decimal accumulation, then
+  *     cast back to double (`dsum`) so Spark and the DuckDB oracle produce
+  *     bit-identical values regardless of partial-aggregation order;
+  *   - computed integers cast to BIGINT to match DuckDB's wider int types.
+  *
+  * Scale notes: joins keep dimension tables (region/nation/supplier/part)
+  * on the broadcast side; fact-fact joins shuffle on their natural keys and
+  * rely on AQE for skew. Filters/projections are plain Catalyst expressions
+  * so parquet pushdown and whole-stage codegen apply end-to-end.
+  */
+object Relational {
+
+  /** Exact distributed sum of a double expression: accumulate as
+    * DECIMAL(18,scale) (associative + exact, so shuffle order is
+    * irrelevant), surface as double. Mirrors in SQL:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`.
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Source money columns are exact 2-decimal doubles (verified over the
+    * corpus), so casting the FACTORS to decimal and multiplying in decimal
+    * arithmetic is exact — unlike casting a double PRODUCT, whose
+    * shortest-string (Spark) vs binary (DuckDB) decimal conversion can
+    * disagree in the last place.
+    */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  def rate(c: Column): Column  = c.cast(DecimalType(4, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B3/B1: scan + filter + hash aggregation, TPC-H Q1 image.
+    "q01_pricing_summary" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")) * rate(lit(1) + col("l_tax")))
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // B2/B3: multi-way join with broadcast dims, TPC-H Q5 image.
+    "q02_revenue_by_nation" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val ord  = Tables.orders(s, d)
+      val li   = Tables.lineitem(s, d)
+      val nat  = Tables.nation(s, d)
+      val reg  = Tables.region(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg.filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // B7: global sort + limit (top-k) with deterministic tiebreak.
+    "q03_topk_orders" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // B6: window functions — row_number + lag per group, top-3 per customer.
+    "q04_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("run_spend",
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice", "prev_price", "run_spend")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // B5: rollup over the region→nation hierarchy.
+    "q05_rollup_sales" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val nat  = Tables.nation(s, d)
+      val reg  = Tables.region(s, d)
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             dsum(col("c_acctbal"), 2).as("acctbal_sum"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+                coalesce(col("n_name"), lit("ALL")).as("nation"),
+                col("n_cust"), col("acctbal_sum"))
+        .orderBy("region", "nation")
+    },
+
+    // B8: set operations — UNION / INTERSECT / EXCEPT (distinct semantics).
+    "q06_setops" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val ord  = Tables.orders(s, d)
+      val building = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val bigSpenders = ord.filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("custkey"))
+      val finished = ord.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val positive = cust.filter(col("c_acctbal") > 0.0)
+        .select(col("c_custkey").as("custkey"))
+      building.union(bigSpenders).distinct()
+        .intersect(positive)
+        .except(finished)
+        .orderBy("custkey")
+    },
+
+    // B2: left-semi / left-anti joins, aggregated per segment.
+    "q07_semi_anti" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val ord  = Tables.orders(s, d).select(col("o_custkey"))
+      val withOrders = cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with"))
+      val withoutOrders = cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without"))
+      withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+                coalesce(col("n_with"), lit(0L)).as("n_with"),
+                coalesce(col("n_without"), lit(0L)).as("n_without"))
+        .orderBy("c_mktsegment")
+    },
+
+    // B9: scalar function sampler — string/date/math, all exactly
+    // reproducible across engines (no transcendental functions except
+    // correctly-rounded sqrt).
+    "q08_scalar_sampler" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") % 7 === 0)
+        .select(
+          col("p_partkey"),
+          upper(col("p_type")).as("type_upper"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          abs(col("p_size") - 25).cast("long").as("size_dist"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+          sqrt(col("p_retailprice")).as("price_sqrt"),
+          (col("p_partkey") % 97).as("key_mod"))
+        .orderBy("p_partkey")
+    },
+
+    // B4: exact distinct aggregation.
+    "q09_distinct_stats" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val nat  = Tables.nation(s, d)
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             countDistinct(col("c_mktsegment")).as("n_segments"),
+             dsum(col("c_acctbal"), 2).as("acctbal_sum"))
+        .orderBy("n_name")
+    },
+
+    // B1/B3: tight filtered aggregate, TPC-H Q6 image (single row).
+    "q10_filtered_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+                col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+                col("l_quantity") < 24)
+        .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+        | CAST(COUNT(*) AS BIGINT) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q03_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price, run_spend
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    lag(o_totalprice, 1) OVER w AS prev_price,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q05_rollup_sales" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        | CAST(COUNT(*) AS BIGINT) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q06_setops" ->
+      """SELECT custkey FROM (
+        |  SELECT custkey FROM (
+        |    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    UNION
+        |    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |  ) u
+        |  INTERSECT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0.0
+        |) i
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q07_semi_anti" ->
+      """SELECT c_mktsegment,
+        | CAST(COUNT(o.k) AS BIGINT) AS n_with,
+        | CAST(COUNT(*) - COUNT(o.k) AS BIGINT) AS n_without
+        |FROM customer
+        |LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders) o ON c_custkey = o.k
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q08_scalar_sampler" ->
+      """SELECT p_partkey,
+        | UPPER(p_type) AS type_upper,
+        | SUBSTRING(p_name, 1, 8) AS name_prefix,
+        | CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        | p_brand || '#' || p_type AS brand_type,
+        | CAST(ABS(p_size - 25) AS BIGINT) AS size_dist,
+        | CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        | CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+        | SQRT(p_retailprice) AS price_sqrt,
+        | p_partkey % 97 AS key_mod
+        |FROM part
+        |WHERE p_partkey % 7 = 0
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q09_distinct_stats" ->
+      """SELECT n_name,
+        | CAST(COUNT(*) AS BIGINT) AS n_cust,
+        | CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q10_filtered_agg" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.09
+        |  AND l_quantity < 24""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet result produced by graft.Verify,
+runs the matching SQL from oracle_sql.json in DuckDB over the same sfDir
+parquet tables, and reports row-count / schema / value mismatches.
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    import datetime, decimal, math
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result");  n_bad += 1;  continue
+        spark_tbl = pq.read_table(files[0])
+        try:
+            duck = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}");  n_bad += 1;  continue
+        s_cols = sorted(spark_tbl.column_names)
+        d_cols = sorted(duck.column_names)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: cols spark={s_cols} duck={d_cols}");  n_bad += 1;  continue
+        if spark_tbl.num_rows != duck.num_rows:
+            print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
+            n_bad += 1;  continue
+        s_rows = [tuple(canon(r[c]) for c in s_cols) for r in spark_tbl.to_pylist()]
+        d_rows = [tuple(canon(r[c]) for c in d_cols) for r in duck.to_pylist()]
+        if s_rows != d_rows:
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+            print(f"FAIL {name}: {len(diffs)} differing rows; first: {diffs[0]}")
+            n_bad += 1;  continue
+        print(f"OK   {name}: {duck.num_rows} rows")
+        n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
