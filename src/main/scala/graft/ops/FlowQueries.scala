@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.convert.SchemaReconcile
+import graft.flow.Flow
+import graft.model.Tables
+import graft.ops.Relational.{money, rate}
+
+/** Batch images of the reference's dataflow operators (SURVEY.md §2A) over
+  * the `events` table, which plays the Kafka-record role: `event_id` is the
+  * offset, `user_id % 4` derives a stable partition key (the TopicPartition
+  * image), `props` is the raw payload needing conversion.
+  *
+  * All window algebra is partitioned by the derived partition key — no
+  * global sort anywhere, so every plan here scales horizontally.
+  */
+object FlowQueries {
+
+  private def evp(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("p", (col("user_id") % 4).cast("long"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A5: count-based micro-batch cut per partition (buffer.size image).
+    "q11_microbatch_chunks" -> { (s, d) =>
+      Flow.microBatchIds(evp(s, d), col("p"), col("event_id"), 100)
+        .groupBy(col("p"), col("mb_chunk"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("event_id")).as("first_offset"),
+             max(col("event_id")).as("last_offset"),
+             sum(money(col("value"))).cast("double").as("sum_value"))
+        .orderBy("p", "mb_chunk")
+    },
+
+    // A4: quarantine anti-join split + DLQ leg, aggregated per event_type.
+    "q12_quarantine_split" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val quarantine = ev.filter(col("event_id") % 97 === 0).select("event_id")
+      val (good, dlq) = Flow.quarantineSplit(ev, quarantine, Seq("event_id"))
+      val g = good.groupBy("event_type")
+        .agg(count(lit(1)).as("n_good"),
+             sum(money(col("value"))).cast("double").as("sum_good"))
+      val b = dlq.groupBy("event_type").agg(count(lit(1)).as("n_dlq"))
+      g.join(b, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+                coalesce(col("n_good"), lit(0L)).as("n_good"),
+                coalesce(col("n_dlq"), lit(0L)).as("n_dlq"),
+                coalesce(col("sum_good"), lit(0.0)).as("sum_good"))
+        .orderBy("event_type")
+    },
+
+    // A6: retry-boundary forced cut — batch id = running count of prior
+    // boundaries within the partition.
+    "q13_retry_boundary_cut" -> { (s, d) =>
+      Flow.boundaryCutIds(evp(s, d), col("p"), col("event_id"),
+                          col("event_id") % 499 === 0)
+        .groupBy(col("p"), col("cut_batch"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("event_id")).as("first_offset"),
+             max(col("event_id")).as("last_offset"))
+        .orderBy("p", "cut_batch")
+    },
+
+    // A12/B10: deterministic dedup survivor — latest ts, then highest offset.
+    "q14_dedup_survivor" -> { (s, d) =>
+      Flow.dedupSurvivor(Tables.events(s, d),
+          keys = Seq(col("user_id"), col("event_type")),
+          order = Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    },
+
+    // A7: payload conversion — extract typed field from the raw JSON-ish
+    // payload, aggregate. (Strict converter semantics live in
+    // graft.convert; this is the declared-query image.)
+    "q15_convert_extract" -> { (s, d) =>
+      val k = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+      Tables.events(s, d)
+        .withColumn("k", when(k === "", lit(null)).otherwise(k).cast("long"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+             sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"),
+             max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // A8: destination-schema reconciliation — unknown fields (ts, props)
+    // dropped, survivors cast to the target types.
+    "q16_schema_reconcile" -> { (s, d) =>
+      val target = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("user_id", LongType, nullable = false),
+        StructField("event_type", StringType, nullable = true),
+        StructField("value", DoubleType, nullable = true)))
+      SchemaReconcile.reconcile(Tables.events(s, d), target)
+        .orderBy("event_id")
+    },
+
+    // B14 batch image: tumbling window aggregation (hour buckets).
+    "q17_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("bucket", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(money(col("value"))).cast("double").as("sum_value"))
+        .orderBy("bucket", "event_type")
+    },
+
+    // B14 batch image: sessionization — 30-minute inactivity gap, computed
+    // per user with lag + running sum (the mapGroupsWithState batch twin).
+    "q18_sessionize" -> { (s, d) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(wOrd) > 1800000000L ||
+               lag(col("us"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(wRun))
+        .groupBy("user_id", "sid").agg(count(lit(1)).as("slen"))
+        .groupBy("user_id")
+        .agg(sum(col("slen")).as("n_events"),
+             count(lit(1)).as("n_sessions"),
+             max(col("slen")).as("max_session"))
+        .orderBy("user_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q11_microbatch_chunks" ->
+      """WITH t AS (
+        |  SELECT user_id % 4 AS p, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT p, CAST(FLOOR((rn - 1) / 100.0) AS BIGINT) AS mb_chunk,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | MIN(event_id) AS first_offset, MAX(event_id) AS last_offset,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_quarantine_split" ->
+      """SELECT event_type,
+        | CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        | CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+        | CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_good
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q13_retry_boundary_cut" ->
+      """WITH t AS (
+        |  SELECT user_id % 4 AS p, event_id,
+        |    CAST(COALESCE(SUM(CASE WHEN event_id % 499 = 0 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id % 4 ORDER BY event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cut_batch
+        |  FROM events)
+        |SELECT p, cut_batch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | MIN(event_id) AS first_offset, MAX(event_id) AS last_offset
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_dedup_survivor" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q15_convert_extract" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k,
+        | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q16_schema_reconcile" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_tumbling_window" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS bucket, event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q18_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM f),
+        |g AS (SELECT user_id, sid, COUNT(*) AS slen FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(slen) AS BIGINT) AS n_events,
+        | CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(MAX(slen) AS BIGINT) AS max_session
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
