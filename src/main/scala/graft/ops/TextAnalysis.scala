@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Text-analysis operators for the LLM-data-pipeline surface (SURVEY.md
+  * §2B B12 + BASELINE.json north star): token stats, quality scoring,
+  * n-gram profiling, document-frequency term weighting.
+  *
+  * Determinism: all scores are ratios of exact integers (or integer-proxy
+  * scores), never transcendental functions, so Spark and DuckDB agree
+  * bit-for-bit. All rankings carry full tiebreaks.
+  *
+  * Scale: everything is explode→groupBy over (doc, token) — shuffles on
+  * high-cardinality keys with map-side partial aggregation; no driver-side
+  * collection anywhere.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; the corpus is single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles of the array column named `toksCol` (empty array
+    * when the document has fewer than n tokens — `sequence` would otherwise
+    * produce a descending range). */
+  def shingleExpr(toksCol: String, n: Int): Column = {
+    val joined = (0 until n).map(k => s"$toksCol[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
+    expr(s"CASE WHEN size($toksCol) >= $n " +
+         s"THEN transform(sequence(0, size($toksCol) - $n), i -> $joined) " +
+         s"ELSE array() END")
+  }
+
+  /** Stopword list used by the quality score (small, fixed). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B12: per-language token statistics.
+    "q21_doc_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("sum_tokens"),
+             max(col("n_chars")).as("max_chars"),
+             (sum(col("n_chars")).cast("double") / sum(col("n_tokens"))).as("chars_per_token"))
+        .orderBy("lang")
+    },
+
+    // B12: per-document quality scoring — stopword ratio + length shape,
+    // all exact integer ratios.
+    "q22_quality_score" -> { (s, d) =>
+      val stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 13 === 0)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop",
+          size(expr(s"filter(toks, x -> array_contains($stopArr, x))")).cast("long"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("chars_per_token", col("n_chars").cast("double") / col("n_tokens"))
+        .select("doc_id", "lang", "n_tokens", "n_stop", "stop_ratio", "chars_per_token")
+        .orderBy("doc_id")
+    },
+
+    // B12: n-gram profiling — most frequent word trigram per language.
+    "q23_top_trigram" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .withColumn("tri", explode(shingleExpr("t", 3)))
+      val counts = docs.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("lang", "tri", "cnt")
+        .orderBy("lang")
+    },
+
+    // B12: tf-df term weighting with an exact integer proxy score
+    // (tf * 1e6 / df, integer division) — same ranking shape as tf-idf
+    // without cross-engine log() drift.
+    "q31_tfidf_topterm" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .filter(col("doc_id") % 11 === 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q21_doc_stats" ->
+      """WITH t AS (SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tokens FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        | MAX(n_chars) AS max_chars,
+        | CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q22_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id, lang,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        | CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q23_top_trigram" ->
+      """WITH toks AS (
+        |  SELECT lang, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT lang, array_to_string(t[i:i+2], ' ') AS tri
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |cnt AS (SELECT lang, tri, COUNT(*) AS cnt FROM tri GROUP BY 1, 2),
+        |r AS (SELECT lang, tri, CAST(cnt AS BIGINT) AS cnt,
+        |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn FROM cnt)
+        |SELECT lang, tri, cnt FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+    "q31_tfidf_topterm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        |j AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+        |        CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+        |      FROM tf JOIN df ON tf.term = df.term WHERE tf.doc_id % 11 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM j)
+        |SELECT doc_id, term, tf, df, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  )
+}

