@@ -1,0 +1,144 @@
+package graft.sink
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-visibility modes, the image of the reference's `write.mode`
+  * (reference: BigqueryStreamWriter.java:60-63;
+  * BigqueryStreamWriteSinkConfig.java:30-34):
+  *   - Committed: rows visible as soon as the micro-batch lands;
+  *   - Pending: rows staged invisibly, visible only after `commit()` —
+  *     the finalize+batchCommitWriteStreams two-phase path
+  *     (BigqueryStreamWriter.java:299-352).
+  */
+sealed trait WriteMode
+object WriteMode {
+  case object Committed extends WriteMode
+  case object Pending extends WriteMode
+  def parse(s: String): WriteMode = s.toLowerCase match {
+    case "committed" => Committed
+    case "pending" => Pending
+    case other => throw new IllegalArgumentException(
+      s"write.mode must be 'committed' or 'pending', got '$other'")
+  }
+}
+
+/** Sink configuration, the image of the reference's typed config surface
+  * (reference: BigqueryStreamWriteSinkConfig.java:9-70): destination plus
+  * validated write mode and batch sizing.
+  */
+case class SinkConfig(outputDir: String,
+                      writeMode: WriteMode = WriteMode.Committed,
+                      maxRecordsPerTrigger: Long = 1000L) {
+  require(maxRecordsPerTrigger > 0, "buffer.size must be positive")
+}
+
+/** Exactly-once, two-phase parquet sink driven by `foreachBatch`.
+  *
+  * Layout under `outputDir`:
+  *   data/batch=<id>/      visible data (readers scan only `data/`)
+  *   _staging/batch=<id>/  pending-mode staged batches (invisible)
+  *   _commits/<id>         batch commit markers (the offset ledger)
+  *
+  * Exactly-once: Structured Streaming replays a failed micro-batch with
+  * the SAME batchId; a commit marker already present means the batch
+  * landed, so the replay is skipped — the image of the reference treating
+  * ALREADY_EXISTS as success (BigqueryStreamWriter.java:157-160). The
+  * marker is written only after the batch directory is fully in place
+  * (write-then-rename), mirroring offset-addressed appends
+  * (BigqueryStreamWriter.java:272-289).
+  *
+  * Pending mode stages under `_staging/`; `commit()` atomically moves each
+  * staged batch into `data/` then marks it — finalize + batch-commit
+  * (BigqueryStreamWriter.java:299-332). `reset()` discards staging
+  * (BigqueryStreamWriter.java:334-337).
+  *
+  * Single-writer assumption (one streaming query per outputDir), same as
+  * one JsonStreamWriter per write stream in the reference.
+  */
+class TwoPhaseParquetSink(config: SinkConfig) {
+  private val root = Paths.get(config.outputDir)
+  private val dataDir = root.resolve("data")
+  private val stagingDir = root.resolve("_staging")
+  private val commitsDir = root.resolve("_commits")
+
+  Files.createDirectories(dataDir)
+  Files.createDirectories(stagingDir)
+  Files.createDirectories(commitsDir)
+
+  def isCommitted(batchId: Long): Boolean =
+    Files.exists(commitsDir.resolve(batchId.toString))
+
+  private def markCommitted(batchId: Long): Unit =
+    Files.createFile(commitsDir.resolve(batchId.toString))
+
+  /** The foreachBatch body: land one micro-batch exactly once. */
+  def writeBatch(df: DataFrame, batchId: Long): Unit = {
+    if (isCommitted(batchId) || Files.exists(stagingDir.resolve(s"batch=$batchId"))) {
+      // replayed batch that already landed (or is staged): ALREADY_EXISTS skip
+      return
+    }
+    config.writeMode match {
+      case WriteMode.Committed =>
+        df.write.mode("overwrite").parquet(dataDir.resolve(s"batch=$batchId").toString)
+        markCommitted(batchId)
+      case WriteMode.Pending =>
+        df.write.mode("overwrite").parquet(stagingDir.resolve(s"batch=$batchId").toString)
+    }
+  }
+
+  private def stagedBatches(): Seq[Path] =
+    Files.list(stagingDir).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("batch="))
+      .sortBy(p => p.getFileName.toString.stripPrefix("batch=").toLong)
+
+  /** Pending-mode finalize + batch-commit: publish every staged batch
+    * atomically (per-batch directory rename), in batch order. No-op in
+    * committed mode (BigqueryStreamWriter.java:339-345). */
+  def commit(): Unit = {
+    stagedBatches().foreach { staged =>
+      val name = staged.getFileName.toString
+      val id = name.stripPrefix("batch=").toLong
+      Files.move(staged, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      markCommitted(id)
+    }
+  }
+
+  /** Discard all staged batches (failed-epoch path). */
+  def reset(): Unit =
+    stagedBatches().foreach(deleteRecursively)
+
+  /** Visible rows only — staged data never appears here. */
+  def read(spark: SparkSession): DataFrame = {
+    val batches = Files.list(dataDir).iterator().asScala.toSeq.map(_.toString)
+    if (batches.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(batches: _*)
+  }
+
+  def committedBatchIds(): Seq[Long] =
+    Files.list(commitsDir).iterator().asScala.toSeq
+      .map(_.getFileName.toString.toLong).sorted
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.delete(p)
+  }
+}
+
+/** Error classification kept as data, the image of the reference's
+  * retriable-code table (BigqueryStreamWriter.java:120-127) and its
+  * classification predicates (:153-183). In Spark, retriable failures are
+  * retried by the streaming engine via checkpoint replay; unretriable ones
+  * should fail the query.
+  */
+object ErrorClassifier {
+  val RetriableExceptions: Set[Class[_]] = Set(
+    classOf[java.io.IOException],
+    classOf[java.util.concurrent.TimeoutException])
+
+  def isRetriable(t: Throwable): Boolean =
+    RetriableExceptions.exists(_.isAssignableFrom(t.getClass))
+}

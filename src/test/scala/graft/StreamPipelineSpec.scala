@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.{ErrorClassifier, SinkConfig, TwoPhaseParquetSink, WriteMode}
+import graft.streaming.StreamPipeline
+
+/** Mirrors the reference's writer/integration test coverage
+  * (BigqueryStreamWriterTest.java, BigqueryStreamWriterIntegrationTest.java):
+  * buffering/landing, pending-mode invisibility before commit, replay
+  * idempotence (ALREADY_EXISTS), row-level error split, reset/finalize.
+  */
+class StreamPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  case class Env(topic: String, partition: Int, offset: Long, key: String, value: String)
+
+  private val valueSchema = StructType(Seq(
+    StructField("id", StringType), StructField("int_value", LongType)))
+  // FIXTURES.md F1 — (id STRING required, int_value INT64 required)
+  private val target = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("int_value", LongType, nullable = false)))
+
+  private def tmp(): String = Files.createTempDirectory("graft-sink").toString
+
+  private def runPipeline(records: Seq[Env], mode: WriteMode) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Env]
+    stream.addData(records)
+    val (q, sink, dlq) = StreamPipeline.start(
+      stream.toDF(), valueSchema, target,
+      SinkConfig(tmp(), mode), dlqDir = tmp(), checkpointDir = tmp())
+    q.awaitTermination(60000)
+    (sink, dlq)
+  }
+
+  test("committed mode: good rows visible immediately, bad rows in DLQ") {
+    val records = Seq(
+      Env("t", 0, 0L, null, """{"id":"id-0","int_value":123}"""),
+      Env("t", 0, 1L, null, """{"id":"id-1","int_value":456}"""),
+      Env("t", 0, 2L, null, """not json at all"""),
+      Env("t", 0, 3L, null, """{"id":null,"int_value":7}"""))
+    val (sink, dlq) = runPipeline(records, WriteMode.Committed)
+    val good = sink.read(spark).collect()
+    assert(good.map(_.getAs[String]("id")).sorted.toSeq == Seq("id-0", "id-1"))
+    val bad = dlq.read(spark).collect()
+    assert(bad.length == 2)
+    val errByOffset = bad.map(r => r.getAs[Long]("offset") -> r.getAs[String]("err")).toMap
+    assert(errByOffset(2L) == "unparseable payload")
+    assert(errByOffset(3L).contains("required field $.id"))
+  }
+
+  test("pending mode: rows invisible until commit, visible after") {
+    val records = Seq(Env("t", 0, 0L, null, """{"id":"a","int_value":1}"""))
+    val (sink, _) = runPipeline(records, WriteMode.Pending)
+    assert(sink.read(spark).isEmpty, "pending rows must be invisible before commit")
+    sink.commit()
+    assert(sink.read(spark).count() == 1, "commit publishes staged batches")
+    assert(sink.committedBatchIds().nonEmpty)
+  }
+
+  test("pending mode: reset discards staged rows") {
+    val records = Seq(Env("t", 0, 0L, null, """{"id":"a","int_value":1}"""))
+    val (sink, _) = runPipeline(records, WriteMode.Pending)
+    sink.reset()
+    sink.commit()
+    assert(sink.read(spark).isEmpty, "reset batches must never surface")
+  }
+
+  test("batch replay is idempotent (ALREADY_EXISTS image)") {
+    import spark.implicits._
+    val sink = new TwoPhaseParquetSink(SinkConfig(tmp()))
+    val df = Seq(("a", 1L)).toDF("id", "int_value")
+    sink.writeBatch(df, batchId = 7L)
+    sink.writeBatch(df, batchId = 7L) // replay after recovery
+    assert(sink.read(spark).count() == 1, "replayed batch must not duplicate rows")
+    assert(sink.committedBatchIds() == Seq(7L))
+  }
+
+  test("config validation rejects unknown write.mode (A16)") {
+    assert(WriteMode.parse("PENDING") == WriteMode.Pending)
+    val e = intercept[IllegalArgumentException] { WriteMode.parse("yolo") }
+    assert(e.getMessage.contains("write.mode"))
+    intercept[IllegalArgumentException] { SinkConfig(tmp(), maxRecordsPerTrigger = 0) }
+  }
+
+  test("error classification table marks IO as retriable, logic as not") {
+    assert(ErrorClassifier.isRetriable(new java.io.IOException("net")))
+    assert(!ErrorClassifier.isRetriable(new IllegalStateException("bug")))
+  }
+
+  test("multi-batch pending commit publishes in batch order") {
+    import spark.implicits._
+    val sink = new TwoPhaseParquetSink(SinkConfig(tmp(), WriteMode.Pending))
+    sink.writeBatch(Seq(("a", 1L)).toDF("id", "v"), 0L)
+    sink.writeBatch(Seq(("b", 2L)).toDF("id", "v"), 1L)
+    assert(sink.read(spark).isEmpty)
+    sink.commit()
+    assert(sink.read(spark).count() == 2)
+    assert(sink.committedBatchIds() == Seq(0L, 1L))
+  }
+}
