@@ -39,7 +39,9 @@ object Dedup {
       .distinct()
 
   /** Exact Jaccard pairs over distinct shingles: |A∩B| via shingle
-    * self-join, |A|,|B| via per-doc counts. */
+    * self-join, |A|,|B| via per-doc counts. Quadratic in per-shingle doc
+    * frequency — use only as the oracle-checked exact variant; the scale
+    * path verifies candidates with [[jaccardOfPairs]]. */
   def jaccardPairs(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
@@ -52,18 +54,36 @@ object Dedup {
         (col("na") + col("nb") - col("common")))
   }
 
+  /** Exact Jaccard restricted to a given candidate-pair set: cost is
+    * |candidates| × shingles-per-doc, independent of corpus-wide shingle
+    * frequency — this is what makes LSH verification viable at 100 TB. */
+  def jaccardOfPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+  }
+
   /** MinHash signatures: numHashes seeded murmur mins per doc. Returns
-    * (doc_id, band, bucket) — one row per band, ready for the LSH join. */
+    * (doc_id, band, bucket) — one row per band, ready for the LSH join.
+    * Single aggregation pass; bands are emitted by exploding an array of
+    * band hashes rather than unioning nBands recomputations of the
+    * signature aggregate. */
   def minhashBands(sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(hash(col("sh"), lit(i))).as(s"h$i"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val nBands = numHashes / bandSize
-    val bands = (0 until nBands).map { b =>
-      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), hash(cols: _*).as("bucket"))
-    }
-    bands.reduce(_ union _)
+    val bandHashes = array((0 until nBands).map { b =>
+      hash((b * bandSize until (b + 1) * bandSize).map(i => col(s"h$i")): _*)
+    }: _*)
+    sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bucket")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -98,7 +118,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      jaccardPairs(sh).join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      jaccardOfPairs(cand, sh)
         .select("doc_a", "doc_b", "common", "na", "nb", "jac")
         .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
         .limit(100)
