@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExpressions.vec_cosine
 import graft.model.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float vectors,
@@ -71,7 +72,8 @@ object Similarity {
       val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
       c.join(broadcast(q), col("c_id") =!= col("q_id"))
-        .withColumn("cos", round(dot("qv", "cv") / (col("qn") * col("cn")), 6))
+        // codegen'd kernel; inline norms reproduce qn*cn bit-for-bit
+        .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("q_id", "rank", "c_id", "cos")
@@ -90,7 +92,7 @@ object Similarity {
                         col("nrm").as("cn"), col("bucket"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
       c.join(broadcast(q), Seq("bucket")).filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos", round(dot("qv", "cv") / (col("qn") * col("cn")), 6))
+        .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("q_id", "rank", "c_id", "cos")
