@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+// top-level so Spark can build an Encoder without an outer-scope instance
+case class Ev(ts: Timestamp, key: String, value: Double)
+
+/** B14 operator coverage over MemoryStream (the offline stand-in for the
+  * Kafka source, per FIXTURES.md F5). */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private var qid = 0
+  private def runToMemory(df: DataFrame, mode: OutputMode): String = {
+    qid += 1
+    val name = s"streaming_ops_out_$qid"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    name
+  }
+
+  test("tumbling window aggregation groups by event-time bucket") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    s.addData(Ev(t(1), "a", 1.0), Ev(t(2), "a", 2.0), Ev(t(11), "a", 4.0), Ev(t(3), "b", 8.0))
+    val out = runToMemory(
+      StreamingOps.tumblingAgg(s.toDF(), "ts", "key", "10 minutes", "1 minute"),
+      OutputMode.Complete)
+    val rows = spark.table(out)
+      .selectExpr("window.start", "key", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "a", 2L, 3.0),
+      (Timestamp.valueOf("2024-01-01 10:10:00"), "a", 1L, 4.0),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "b", 1L, 8.0)))
+  }
+
+  test("sliding window emits one group per overlapping window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    s.addData(Ev(t(5), "a", 1.0))
+    val out = runToMemory(
+      StreamingOps.slidingAgg(s.toDF(), "ts", "key", "10 minutes", "5 minutes", "1 minute"),
+      OutputMode.Complete)
+    // a 10-minute window sliding by 5 covers 10:05 twice: [9:55,10:05) no —
+    // [10:00,10:10) and [10:05,10:15)
+    assert(spark.table(out).count() == 2)
+  }
+
+  test("session window closes after the inactivity gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    s.addData(Ev(t(1), "a", 1.0), Ev(t(3), "a", 1.0), // session 1 (gap < 5m)
+              Ev(t(20), "a", 1.0))                    // session 2
+    val out = runToMemory(
+      StreamingOps.sessionAgg(s.toDF(), "ts", "key", "5 minutes", "1 minute"),
+      OutputMode.Complete)
+    val sessions = spark.table(out).selectExpr("session_window.start", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(sessions == Set(
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replays of the same key") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    s.addData(Ev(t(1), "k1", 1.0), Ev(t(2), "k1", 99.0), Ev(t(3), "k2", 2.0))
+    val out = runToMemory(
+      StreamingOps.dedupWithinWatermark(s.toDF(), "ts", Seq("key"), "30 minutes"),
+      OutputMode.Append)
+    val keys = spark.table(out).select("key").collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("k1", "k2"), "duplicate k1 must be suppressed")
+  }
+
+  test("mapGroupsWithState keeps running counts across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    val counts = StreamingOps.runningCount[Ev](s.toDS(), _.key)
+    val q = counts.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("running_counts").start()
+    s.addData(Ev(t(1), "a", 1.0), Ev(t(2), "a", 1.0), Ev(t(3), "b", 1.0))
+    q.processAllAvailable()
+    s.addData(Ev(t(4), "a", 1.0)) // second micro-batch must see prior state
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running_counts").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last == Map("a" -> 3L, "b" -> 1L))
+  }
+}
