@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ops.{ConvertQueries, Dedup, FlowQueries, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{ConvertQueries, Dedup, Extras, FlowQueries, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ FlowQueries.queries ++ ConvertQueries.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Extras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ FlowQueries.oracle ++ ConvertQueries.oracle ++
-      TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle
+      TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      Extras.oracle
 }

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Relational.money
+
+/** Remaining §2B coverage: cube/grouping metadata (B5), JSON scalar
+  * functions (B9), array/map functions (B9), window-frame variety (B6),
+  * and approximate distinct (B4 — declared rows-only: HLL sketches are
+  * engine-specific by design; the unit test bounds its error vs exact).
+  */
+object Extras {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B5: full cube over region × market segment with grouping() metadata.
+    "q32_cube_sales" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val nat  = Tables.nation(s, d)
+      val reg  = Tables.region(s, d)
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(money(col("c_acctbal"))).cast("double").as("acctbal_sum"),
+             (grouping(col("r_name")) * 2 + grouping(col("c_mktsegment")))
+               .cast("long").as("grp_id"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+                coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+                col("n_cust"), col("acctbal_sum"), col("grp_id"))
+        .orderBy("region", "segment")
+    },
+
+    // B9: JSON scalar functions — path extraction + typed cast + predicate.
+    "q33_json_funcs" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull && col("k") % 3 === 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("k")).as("sum_k"),
+             max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // B9: array function sampler over document tokens. The map-function leg
+    // (map_from_arrays → element_at / map_keys) is exercised on the Spark
+    // side; the oracle checks the extracted VALUES, which is what the
+    // contract compares.
+    "q34_array_funcs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 17 === 0)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("m", map_from_arrays(
+          array(lit("n"), lit("distinct")),
+          array(size(col("toks")).cast("long"),
+                size(array_distinct(col("toks"))).cast("long"))))
+        .select(
+          col("doc_id"),
+          element_at(col("m"), "n").as("n_tokens"),
+          element_at(col("m"), "distinct").as("n_distinct"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          concat_ws("_", slice(col("toks"), 1, 3)).as("first3"),
+          expr("array_sort(array_distinct(toks))[0]").as("first_sorted"),
+          size(array_intersect(col("toks"),
+            array(lit("spark"), lit("data"), lit("join")))).cast("long").as("n_keyword"))
+        .orderBy("doc_id")
+    },
+
+    // B6: window-frame variety — dense_rank, ntile, sliding ROWS frame,
+    // last_value over the full partition frame.
+    "q35_window_frames" -> { (s, d) =>
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val slide = ord.rowsBetween(-1, 1)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 19 === 0)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          dense_rank().over(ord).cast("long").as("drank"),
+          ntile(4).over(ord).cast("long").as("quartile"),
+          sum(money(col("o_totalprice"))).over(slide).cast("double").as("moving_sum"),
+          last(col("o_orderkey")).over(full).as("last_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // B4: approximate distinct (HLL++) next to the exact count. Rows-only:
+    // sketch estimates are engine-specific; the spec bounds the error.
+    "q36_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_orderkey")).as("exact_orders"),
+             approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q32_cube_sales" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+        | COALESCE(c_mktsegment, 'ALL') AS segment,
+        | CAST(COUNT(*) AS BIGINT) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal_sum,
+        | CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS grp_id
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, c_mktsegment)
+        |ORDER BY region, segment""".stripMargin,
+
+    "q33_json_funcs" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+        |FROM t WHERE k IS NOT NULL AND k % 3 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id % 17 = 0)
+        |SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        | list_contains(toks, 'spark') AS has_spark,
+        | array_to_string(toks[1:3], '_') AS first3,
+        | (list_sort(list_distinct(toks)))[1] AS first_sorted,
+        | CAST(len(list_filter(list_distinct(toks),
+        |   x -> x IN ('spark','data','join'))) AS BIGINT) AS n_keyword
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q35_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS moving_sum,
+        | last_value(o_orderkey) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders WHERE o_custkey % 19 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+  )
+}

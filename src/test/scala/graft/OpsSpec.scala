@@ -75,6 +75,15 @@ class OpsSpec extends AnyFunSuite {
       ((3 * 7919 + 17 * 104729) % 2001 - 1000).toDouble)
   }
 
+  test("approx_count_distinct stays within 10% of exact") {
+    SparkEntry.queries("q36_approx_distinct")(spark, sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.10,
+        s"approx=$approx exact=$exact drifts beyond HLL++ tolerance")
+    }
+  }
+
   test("multimodal stub decode derives features from bytes deterministically") {
     val a = Multimodal.Asset(7L, "s", "Hello".getBytes("UTF-8"))
     val m = Multimodal.decodeStub(a)
