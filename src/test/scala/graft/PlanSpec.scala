@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that keep these operators viable at
+  * 1000-executor / 100 TB scale, asserted so a regression shows up as a
+  * test failure, not a production incident.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no query plans an unconditional CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name has a cartesian product:\n${p.take(2000)}")
+    }
+  }
+
+  test("fact-table scans are column-pruned") {
+    // q01 touches 7 of lineitem's 11 columns; the scan must not read more.
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"q01 should prune unused lineitem columns: $readSchema")
+  }
+
+  test("filters reach the parquet scan (pushdown)") {
+    val p = plan("q10_filtered_agg")
+    // plan strings truncate long filter lists; match the stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q10's shipdate predicates must be pushed:\n${p.take(1500)}")
+  }
+
+  test("dimension joins broadcast; the fact table is never shuffled for q02") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "q02 must broadcast dimension sides")
+    // lineitem (the fact side) must not appear under a hashpartitioning exchange
+    val shuffleExchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleExchanges.forall(!_.contains("l_orderkey")),
+      s"fact table shuffled on join key:\n$shuffleExchanges")
+  }
+
+  test("brute-force KNN broadcasts the query side (corpus stays streamed)") {
+    val p = plan("q28_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q28 must broadcast the small query set:\n${p.take(1500)}")
+  }
+
+  test("windowed flow operators partition by the derived key, never a global sort") {
+    for (name <- Seq("q11_microbatch_chunks", "q13_retry_boundary_cut")) {
+      val p = plan(name)
+      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.nonEmpty, s"$name should use window operators")
+      // a Window with an empty partition spec would serialize the world
+      assert(!p.contains("Window [") || !p.contains("partitionBy=[]"),
+        s"$name must not use an unpartitioned window")
+    }
+  }
+}
