@@ -39,6 +39,32 @@ class FlowSpec extends AnyFunSuite {
     assert(good.join(dlq, Seq("k"), "inner").count() == 0)
   }
 
+  test("saltedJoin matches plain join on skewed data, inner and left") {
+    import graft.flow.SkewJoin
+    // 10k rows, 90% on one hot key
+    val left = (0 until 10000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i))
+      .toDF("k", "v")
+    val right = Seq((42L, "hot"), (0L, "a"), (3L, "b"), (99L, "unmatched"))
+      .toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .orderBy("k", "v").collect().map(_.toSeq).toSeq
+      val salted = SkewJoin.saltedJoin(left, right, "k", saltFactor = 8, joinType = jt)
+        .orderBy("k", "v").collect().map(_.toSeq).toSeq
+      assert(salted == plain, s"salted $jt join must preserve semantics")
+    }
+  }
+
+  test("saltedJoin actually spreads a hot key across salt buckets") {
+    import graft.flow.SkewJoin
+    val left = (0 until 1000).map(i => (42L, i)).toDF("k", "v")
+    val salts = left
+      .withColumn("_salt", pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .select("_salt").distinct().count()
+    assert(salts >= 6, s"hot key should hit most of the 8 salt buckets, got $salts")
+    assert(SkewJoin.saltedJoin(left, Seq((42L, "x")).toDF("k", "n"), "k", 8).count() == 1000)
+  }
+
   test("dedupSurvivor keeps the deterministic first-ranked row") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "ord", "v")
