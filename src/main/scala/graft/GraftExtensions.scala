@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ConvertError, CosineSimilarity, DotProduct, StrictToJson}
+
+/** Session extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) registers the engine's
+  * custom Catalyst expressions as SQL functions in every session the
+  * extension builds — the injection path Spark intends for libraries, so
+  * no imperative registerAll call is needed per session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("strict_to_json"),
+      info("strict_to_json", "strict schema-driven struct->json conversion"),
+      (es: Seq[Expression]) => StrictToJson(es.head)))
+    e.injectFunction((FunctionIdentifier("convert_error"),
+      info("convert_error", "conversion error message or NULL when clean"),
+      (es: Seq[Expression]) => ConvertError(es.head)))
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "codegen'd dot product over array<double>"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "codegen'd cosine similarity over array<double>"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+  }
+}
