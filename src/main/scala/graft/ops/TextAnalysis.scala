@@ -79,6 +79,27 @@ object TextAnalysis {
         .orderBy("lang")
     },
 
+    // B12: language identification by character-trigram profile — train
+    // top-k trigram profiles per language over the corpus, predict a doc's
+    // language as the profile with the largest distinct-trigram overlap
+    // (deterministic integer scoring, lang-name tiebreak).
+    "q37_lang_id" -> { (s, d) =>
+      val tris = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+      val wp = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
+      val profile = tris.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
+        .select(col("lang").as("pred_lang"), col("tri"))
+      val docTris = tris.filter(col("doc_id") % 23 === 0)
+        .select("doc_id", "tri").distinct()
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("pred_lang"))
+      docTris.join(profile, "tri")
+        .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("overlap"))
+        .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+        .select("doc_id", "pred_lang", "overlap")
+        .orderBy("doc_id")
+    },
+
     // B12: tf-df term weighting with an exact integer proxy score
     // (tf * 1e6 / df, integer division) — same ranking shape as tf-idf
     // without cross-engine log() drift.
@@ -131,6 +152,24 @@ object TextAnalysis {
         |r AS (SELECT lang, tri, CAST(cnt AS BIGINT) AS cnt,
         |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn FROM cnt)
         |SELECT lang, tri, cnt FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+    "q37_lang_id" ->
+      """WITH tris AS (
+        |  SELECT doc_id, lang, substr(text, i, 3) AS tri
+        |  FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)),
+        |prof AS (
+        |  SELECT lang AS pred_lang, tri FROM (
+        |    SELECT lang, tri, COUNT(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rn
+        |    FROM tris GROUP BY lang, tri) t WHERE rn <= 50),
+        |dt AS (SELECT DISTINCT doc_id, tri FROM tris WHERE doc_id % 23 = 0),
+        |ov AS (SELECT doc_id, pred_lang, COUNT(*) AS overlap
+        |       FROM dt JOIN prof USING (tri) GROUP BY 1, 2),
+        |r AS (SELECT doc_id, pred_lang, overlap,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, pred_lang) AS rn
+        |      FROM ov)
+        |SELECT doc_id, pred_lang, CAST(overlap AS BIGINT) AS overlap
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q31_tfidf_topterm" ->
       """WITH toks AS (

@@ -75,6 +75,32 @@ class OpsSpec extends AnyFunSuite {
       ((3 * 7919 + 17 * 104729) % 2001 - 1000).toDouble)
   }
 
+  test("lang-id trigram profiles discriminate languages with distinct vocab") {
+    // Synthetic corpus where languages genuinely differ: the profile-overlap
+    // predictor must recover every label. (On the driver corpus labels are
+    // random, so q37 only checks determinism there.)
+    import org.apache.spark.sql.functions.{col, explode, expr, lit, count => cnt}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat with the hat"),
+      (2L, "en", "the dog sat on the log with the cat"),
+      (3L, "xx", "zorp blip quux zorp blip wibble quux"),
+      (4L, "xx", "blip zorp wibble quux zorp blip flib")).toDF("doc_id", "lang", "text")
+    val tris = docs.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+    val wp = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tri"))
+    val profile = tris.groupBy("lang", "tri").agg(cnt(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 20)
+      .select(col("lang").as("pred"), col("tri"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("o").desc, col("pred"))
+    val preds = tris.select("doc_id", "tri").distinct()
+      .join(profile, "tri").groupBy("doc_id", "pred").agg(cnt(lit(1)).as("o"))
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds == Map(1L -> "en", 2L -> "en", 3L -> "xx", 4L -> "xx"))
+  }
+
   test("approx_count_distinct stays within 10% of exact") {
     SparkEntry.queries("q36_approx_distinct")(spark, sf).collect().foreach { r =>
       val exact = r.getAs[Long]("exact_parts").toDouble
