@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Winnow
 import graft.model.Tables
 
 /** Text-analysis operators for the LLM-data-pipeline surface (SURVEY.md
@@ -100,6 +101,35 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // B12: BPE-ish regex tokenization — alpha runs / digit runs / single
+    // symbols, the word-piece-style pre-tokenization pass — counted per
+    // language next to the whitespace token count.
+    "q38_regex_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("rtoks", expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(col("rtoks"))).cast("long").as("sum_regex_tokens"),
+             sum(size(tokens(col("text")))).cast("long").as("sum_ws_tokens"),
+             max(size(col("rtoks"))).cast("long").as("max_regex_tokens"))
+        .orderBy("lang")
+    },
+
+    // B12: winnowing rolling-hash fingerprints (custom expression) —
+    // rows-only: the fingerprint values come from our own Rabin-Karp
+    // winnower, which no SQL engine reproduces. Deterministic integers.
+    "q39_winnow_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 29 === 0)
+        .withColumn("fps", Winnow.winnow_fingerprints(col("text"), 5, 4))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          size(array_distinct(col("fps"))).cast("long").as("n_distinct_fps"),
+          expr("array_min(fps)").as("min_fp"),
+          expr("array_max(fps)").as("max_fp"))
+        .orderBy("doc_id")
+    },
+
     // B12: tf-df term weighting with an exact integer proxy score
     // (tf * 1e6 / df, integer division) — same ranking shape as tf-idf
     // without cross-engine log() drift.
@@ -152,6 +182,18 @@ object TextAnalysis {
         |r AS (SELECT lang, tri, CAST(cnt AS BIGINT) AS cnt,
         |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn FROM cnt)
         |SELECT lang, tri, cnt FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+    "q38_regex_tokens" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS nr,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(nr) AS BIGINT) AS sum_regex_tokens,
+        | CAST(SUM(nw) AS BIGINT) AS sum_ws_tokens,
+        | CAST(MAX(nr) AS BIGINT) AS max_regex_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q37_lang_id" ->
       """WITH tris AS (
