@@ -110,6 +110,24 @@ object FlowQueries {
         .orderBy("bucket", "event_type")
     },
 
+    // As-of join (point-in-time lookup): each error event picks up the
+    // user's most recent preceding purchase — composed via ignore-nulls
+    // window carry, one shuffle, no range-join pair explosion.
+    "q40_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "us", "event_id", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"),
+                col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.flow.AsOfJoin.asOf(errors, purchases,
+          key = "user_id", time = "us", valueCols = Seq("p_event_id", "p_value"))
+        .select(col("user_id"), col("event_id"), col("value"),
+                col("asof_p_event_id").as("purchase_id"),
+                col("asof_p_value").as("purchase_value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // B14 batch image: sessionization — 30-minute inactivity gap, computed
     // per user with lag + running sum (the mapGroupsWithState batch twin).
     "q18_sessionize" -> { (s, d) =>
@@ -186,6 +204,24 @@ object FlowQueries {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q40_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value, event_type
+        |  FROM events WHERE event_type IN ('error', 'purchase')),
+        |u AS (
+        |  SELECT user_id, us, event_id, value, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
+        |  FROM ev),
+        |c AS (
+        |  SELECT user_id, us, event_id, value, tag,
+        |    last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER w AS purchase_id,
+        |    last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER w AS purchase_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, tag
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, purchase_id, purchase_value
+        |FROM c WHERE tag = 1 ORDER BY user_id, event_id""".stripMargin,
 
     "q18_sessionize" ->
       """WITH t AS (

@@ -80,6 +80,20 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // Embedding-cosine near-dup pairs: full exact pairwise sweep with a
+    // similarity threshold — the dedup-by-embedding baseline (the LSH
+    // variant prunes the same computation by bucket).
+    "q41_embedding_neardup" -> { (s, d) =>
+      val e = vecs(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", round(vec_cosine(col("va"), col("vb")), 6))
+        .filter(col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    },
+
     // ANN scale path: LSH bucket join + exact re-rank of candidates.
     "q29_lsh_ann" -> { (s, d) =>
       val e = vecs(s, d)
@@ -101,6 +115,16 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "q41_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
     "q28_knn_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -39,6 +39,21 @@ class FlowSpec extends AnyFunSuite {
     assert(good.join(dlq, Seq("k"), "inner").count() == 0)
   }
 
+  test("asOf join attaches latest preceding right row; ties right-first; null before any") {
+    import graft.flow.AsOfJoin
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 50L, "e3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 8L, 100.0), (1L, 20L, 200.0), (3L, 1L, 999.0))
+      .toDF("k", "t", "price")
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("price"))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[java.lang.Double]("asof_price")).map(_.toDouble)).toMap
+    assert(out("e0").isEmpty, "no right row at or before t=5")
+    assert(out("e1").contains(100.0), "t=10 sees the t=8 row")
+    assert(out("e2").contains(200.0), "exact-tie t=20 matches right-first")
+    assert(out("e3").isEmpty, "key 2 has no right rows at all")
+  }
+
   test("saltedJoin matches plain join on skewed data, inner and left") {
     import graft.flow.SkewJoin
     // 10k rows, 90% on one hot key
