@@ -94,6 +94,36 @@ object Similarity {
         .orderBy("id_a", "id_b")
     },
 
+    // ANN scale path #2: IVF (inverted-file) — deterministic coarse
+    // quantizer (every 50th vector is a centroid), vectors assigned to
+    // their nearest centroid's cell, queries probe only their own cell.
+    // Unlike LSH the whole pipeline is deterministic arithmetic, so it is
+    // oracle-checked end-to-end. At scale: the assignment is a broadcast
+    // of |centroids| rows against a streamed corpus, the search joins on
+    // the cell id — both shuffle-light.
+    "q42_ivf_ann" -> { (s, d) =>
+      val e = vecs(s, d)
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(vec_cosine(col("v"), col("cv")), 6))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      val q = assigned.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+      val c = assigned.select(col("vec_id").as("c_id"), col("v").as("cv2"), col("cell"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      c.join(broadcast(q), Seq("cell")).filter(col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(vec_cosine(col("qv"), col("cv2")), 6))
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "c_id", "cos")
+        .orderBy("q_id", "rank")
+    },
+
     // ANN scale path: LSH bucket join + exact re-rank of candidates.
     "q29_lsh_ann" -> { (s, d) =>
       val e = vecs(s, d)
@@ -115,6 +145,27 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "q42_ivf_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, cent_id AS cell, row_number() OVER
+        |    (PARTITION BY vec_id
+        |     ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cent_id) AS rn
+        |  FROM n, cents),
+        |cells AS (SELECT vec_id, v, nrm, cell FROM assign WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM cells WHERE vec_id % 100 = 0),
+        |p AS (
+        |  SELECT q_id, c.vec_id AS c_id,
+        |    round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos
+        |  FROM q JOIN cells c USING (cell) WHERE c.vec_id <> q_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM p)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cos
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
+
     "q41_embedding_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
