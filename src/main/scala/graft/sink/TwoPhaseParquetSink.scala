@@ -74,12 +74,16 @@ class TwoPhaseParquetSink(config: SinkConfig) {
   private def markCommitted(batchId: Long): Unit =
     Files.createFile(commitsDir.resolve(batchId.toString))
 
-  /** The foreachBatch body: land one micro-batch exactly once. */
+  /** The foreachBatch body: land one micro-batch exactly once.
+    *
+    * Only the commit marker decides "already landed" — a data or staging
+    * directory WITHOUT a marker may be a torn write from a crash, so a
+    * replay overwrites it (same batchId ⇒ same offset range ⇒ same rows;
+    * the overwrite is the repair). Marker creation is the last step, after
+    * the parquet commit protocol finishes.
+    */
   def writeBatch(df: DataFrame, batchId: Long): Unit = {
-    if (isCommitted(batchId) || Files.exists(stagingDir.resolve(s"batch=$batchId"))) {
-      // replayed batch that already landed (or is staged): ALREADY_EXISTS skip
-      return
-    }
+    if (isCommitted(batchId)) return // ALREADY_EXISTS skip
     config.writeMode match {
       case WriteMode.Committed =>
         df.write.mode("overwrite").parquet(dataDir.resolve(s"batch=$batchId").toString)

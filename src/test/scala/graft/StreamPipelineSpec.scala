@@ -84,6 +84,31 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(sink.committedBatchIds() == Seq(7L))
   }
 
+  test("crash between data write and marker: replay repairs and re-marks") {
+    import spark.implicits._
+    val dir = tmp()
+    val sink = new TwoPhaseParquetSink(SinkConfig(dir))
+    sink.writeBatch(Seq(("a", 1L)).toDF("id", "v"), 3L)
+    // simulate crash after the parquet landed but before the marker
+    Files.delete(java.nio.file.Paths.get(dir, "_commits", "3"))
+    sink.writeBatch(Seq(("a", 1L)).toDF("id", "v"), 3L) // checkpoint replay
+    assert(sink.read(spark).count() == 1)
+    assert(sink.committedBatchIds() == Seq(3L))
+  }
+
+  test("torn staging write is repaired by replay, not skipped") {
+    import spark.implicits._
+    val dir = tmp()
+    val sink = new TwoPhaseParquetSink(SinkConfig(dir, WriteMode.Pending))
+    // simulate a crash mid-stage: partial garbage where the batch dir goes
+    val staged = java.nio.file.Paths.get(dir, "_staging", "batch=0")
+    Files.createDirectories(staged)
+    Files.writeString(staged.resolve("part-garbage.parquet"), "not parquet")
+    sink.writeBatch(Seq(("a", 1L), ("b", 2L)).toDF("id", "v"), 0L) // replay
+    sink.commit()
+    assert(sink.read(spark).count() == 2, "replay must overwrite the torn staging dir")
+  }
+
   test("config validation rejects unknown write.mode (A16)") {
     assert(WriteMode.parse("PENDING") == WriteMode.Pending)
     val e = intercept[IllegalArgumentException] { WriteMode.parse("yolo") }

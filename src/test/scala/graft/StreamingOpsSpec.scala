@@ -85,6 +85,27 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(keys.toSeq == Seq("k1", "k2"), "duplicate k1 must be suppressed")
   }
 
+  test("append mode drops late data beyond the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    val q = StreamingOps.tumblingAgg(s.toDF(), "ts", "key", "10 minutes", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_drop").start()
+    s.addData(Ev(t(1), "a", 1.0), Ev(t(2), "a", 1.0))
+    q.processAllAvailable()
+    s.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:00"), "a", 1.0))
+    q.processAllAvailable() // watermark advances to 10:50
+    s.addData(Ev(t(3), "a", 99.0)) // late: event-time 10:03 < watermark
+    q.processAllAvailable()         // also triggers the flush of closed windows
+    q.stop()
+    val rows = spark.table("late_drop")
+      .selectExpr("window.start", "n").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(rows(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L,
+      "the late event must not be counted into the closed window")
+  }
+
   test("mapGroupsWithState keeps running counts across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
