@@ -87,6 +87,24 @@ object Extras {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // B9: date/time function coverage — truncation, extraction, day
+    // arithmetic — plus an exact interpolated median per order-year.
+    "q43_date_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .withColumn("mo", month(col("o_orderdate")).cast("long"))
+        .withColumn("dom", dayofmonth(col("o_orderdate")).cast("long"))
+        .withColumn("days_since_epoch",
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).cast("long"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_orders"),
+             min(col("mo")).as("min_month"),
+             max(col("dom")).as("max_dom"),
+             max(col("days_since_epoch")).as("max_days"),
+             round(expr("percentile(o_totalprice, 0.5D)"), 2).as("median_price"))
+        .orderBy("yr")
+    },
+
     // B4: approximate distinct (HLL++) next to the exact count. Rows-only:
     // sketch estimates are engine-specific; the spec bounds the error.
     "q36_approx_distinct" -> { (s, d) =>
@@ -135,6 +153,15 @@ object Extras {
         | CAST(len(list_filter(list_distinct(toks),
         |   x -> x IN ('spark','data','join'))) AS BIGINT) AS n_keyword
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q43_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(MIN(month(o_orderdate)) AS BIGINT) AS min_month,
+        | CAST(MAX(day(o_orderdate)) AS BIGINT) AS max_dom,
+        | CAST(MAX(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS BIGINT) AS max_days,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q35_window_frames" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
