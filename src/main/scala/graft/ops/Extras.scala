@@ -105,6 +105,35 @@ object Extras {
         .orderBy("yr")
     },
 
+    // B3/B5: pivot — order counts per year spread across status columns
+    // (explicit value list keeps the output schema deterministic).
+    "q44_pivot_status" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .groupBy("yr")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .select(col("yr"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("yr")
+    },
+
+    // B3/B5: unpivot (melt) — the wide per-year extrema back into long
+    // (yr, metric, value) form via Dataset.unpivot.
+    "q45_unpivot_metrics" -> { (s, d) =>
+      val wide = Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .groupBy("yr")
+        .agg(min(money(col("o_totalprice"))).cast("double").as("min_price"),
+             max(money(col("o_totalprice"))).cast("double").as("max_price"))
+      wide.unpivot(
+          ids = Array(col("yr")),
+          values = Array(col("min_price"), col("max_price")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy("yr", "metric")
+    },
+
     // B4: approximate distinct (HLL++) next to the exact count. Rows-only:
     // sketch estimates are engine-specific; the spec bounds the error.
     "q36_approx_distinct" -> { (s, d) =>
@@ -153,6 +182,24 @@ object Extras {
         | CAST(len(list_filter(list_distinct(toks),
         |   x -> x IN ('spark','data','join'))) AS BIGINT) AS n_keyword
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q44_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_unpivot_metrics" ->
+      """WITH w AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+        |    CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, 'min_price' AS metric, min_price AS value FROM w
+        |UNION ALL
+        |SELECT yr, 'max_price' AS metric, max_price AS value FROM w
+        |ORDER BY yr, metric""".stripMargin,
 
     "q43_date_funcs" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
