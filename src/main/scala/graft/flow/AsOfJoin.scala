@@ -29,16 +29,25 @@ object AsOfJoin {
           left.withColumn("_tag", lit(1)), allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col(time), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("_tag") === 0, col(c)), ignoreNulls = true).over(w))
+    // Carry the whole right row as ONE struct through a single
+    // last(ignoreNulls) — carrying each value column independently would
+    // let a NULL in one right column fall back to an OLDER right row while
+    // the other columns come from the newest, mixing fields across rows.
+    // The struct itself is null only on left rows, so nullable right
+    // columns stay attached to the row they arrived on.
+    val carried = tagged
+      .withColumn("_rrow",
+        last(when(col("_tag") === 0, struct(valueCols.map(col): _*)),
+             ignoreNulls = true).over(w))
+    val withVals = valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"_rrow.$c"))
     }
     // On tag=1 rows every shared-name column still holds the LEFT value
     // (the union merges by name but `when(_tag === 0, …)` only reads right
     // rows), so selecting left.columns plus the carried asof_ columns is
     // exact. Key and time column names must match across sides; rename
     // before calling otherwise.
-    carried.filter(col("_tag") === 1)
+    withVals.filter(col("_tag") === 1)
       .select(left.columns.map(col).toIndexedSeq ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
 }

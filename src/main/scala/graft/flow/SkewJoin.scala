@@ -14,18 +14,22 @@ import org.apache.spark.sql.functions._
   * batch sort-merge joins prefer `spark.sql.adaptive.skewJoin.enabled`
   * and let AQE split partitions at runtime.
   *
-  * Salt derivation hashes the skewed side's full row (stable — no rand(),
-  * so failed-task retries and replayed micro-batches salt identically),
-  * which distributes a hot key's rows uniformly without changing join
-  * semantics: each (key, salt) pair still meets every matching right-side
+  * Salt derivation round-robins on the per-partition row index
+  * (`monotonically_increasing_id` = partition id ⊕ local row counter —
+  * deterministic under task retry for a stable input split, no rand()).
+  * Row-CONTENT hashing would fail exactly on the worst input: identical
+  * duplicate rows of a hot key (the classic skew shape in dedup corpora)
+  * all hash to one salt and still land on a single reducer; the row-index
+  * salt fans them out uniformly regardless of content. Join semantics are
+  * unchanged: each (key, salt) pair still meets every matching right-side
   * row exactly once.
   */
 object SkewJoin {
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    val entropy = skewed.columns.map(col).toIndexedSeq
-    val left = skewed.withColumn("_salt", pmod(hash(entropy: _*), lit(saltFactor)))
+    val left = skewed.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val right = other.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     left.join(right, Seq(key, "_salt"), joinType).drop("_salt")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.StrictConvert
 import graft.model.Tables
+import graft.streaming.StreamPipeline
 
 /** Declared queries exercising the strict converter (SURVEY.md §2A A7/A9)
   * end-to-end. The JSON text of the golden query is exactly reproducible in
@@ -46,25 +47,60 @@ object ConvertQueries {
         .agg(count(when(col("err").isNull, 1)).as("n_ok"),
              count(when(col("err").isNotNull, 1)).as("n_bad"))
         .orderBy("event_type")
+    },
+
+    // A7 fallback: schemaless decode — no declared value schema; the
+    // pipeline infers one from a bounded payload sample (reference
+    // RecordConverter.java:17-23 infers from the runtime value and makes
+    // it optional) and decodes with it. The inferred `k` arrives typed
+    // (BIGINT), not re-parsed per row.
+    "q46_infer_decode" -> { (s, d) =>
+      val env = Tables.events(s, d).select(
+        lit("events").as("topic"), lit(0).as("partition"),
+        col("event_id").as("offset"), col("event_type").as("key"),
+        col("props").as("value"))
+      StreamPipeline.decodeInferred(env, sampleSize = 256)
+        .select(col("key").as("event_type"), col("payload.k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy("event_type")
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // COALESCE(…, 'null') matches strict_to_json, which emits `"k":null`
+    // for an optional missing field — '||' alone would null out the whole
+    // string for a props without k.
     "q19_convert_golden" ->
       """SELECT event_id,
         | '{"event_id":' || event_id || ',"event_type":"' || event_type ||
-        | '","k":' || CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
+        | '","k":' || COALESCE(CAST(CAST(NULLIF(
+        |     regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS VARCHAR), 'null')
         | || '}' AS json
         |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
 
+    // NULL-explicit branches: a row with no k at all is a converter
+    // REJECT (null in the non-nullable k_req), so it must count as n_bad —
+    // a bare `k % 7 = 0 / <> 0` CASE would send NULL k to neither bucket.
     "q20_convert_split" ->
       """WITH t AS (
         |  SELECT event_type,
         |    CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k
         |  FROM events)
         |SELECT event_type,
-        | CAST(SUM(CASE WHEN k % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
-        | CAST(SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
-        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+        | CAST(SUM(CASE WHEN k IS NOT NULL AND k % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        | CAST(SUM(CASE WHEN k IS NULL OR k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q46_infer_decode" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM t WHERE k IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

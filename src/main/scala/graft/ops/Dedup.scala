@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,22 +11,38 @@ import graft.ops.TextAnalysis.{shingleExpr, tokens}
   *
   *   - q24: exact dedup over a content key (md5), deterministic survivor;
   *   - q25: n-gram Jaccard near-dup pairs — the exact, SQL-expressible
-  *     variant (oracle-checked);
+  *     variant, with a document-frequency cap on hot shingles;
   *   - q26: MinHash + LSH banding — the scale path: candidate generation
-  *     via band-bucket join (cost ∝ true-positive density, not n²),
-  *     then exact-Jaccard verification of candidates. No oracle: LSH has
-  *     false negatives by design, so output ⊄ any SQL-expressible set.
+  *     via band-bucket join (cost ∝ true-positive density, not n²), then
+  *     exact-Jaccard verification of candidates. The hash family is
+  *     engine-neutral (md5-derived universal hashing), so the WHOLE
+  *     pipeline — signatures, bands, candidates, verification — is
+  *     oracle-checked in DuckDB.
   *   - q27: SimHash fingerprints with banded near-dup candidate join —
-  *     same scale rationale; murmur-hash internals are engine-specific,
-  *     so rows-only.
+  *     same scale rationale, same engine-neutral hash, oracle-checked.
   *
   * Scale notes: q25's shingle self-join is quadratic in the per-shingle
-  * document frequency — correct as the verification oracle at test SF, but
-  * the 100 TB path is q26/q27: signatures are fixed-width per document,
-  * the band join shuffles only (band, bucket) keys, and candidate
-  * verification touches token sets for candidate pairs only.
+  * document frequency, so hot shingles (boilerplate headers: df in the
+  * millions at 100 TB) are dropped by a df cap BEFORE the self-join —
+  * without the cap one viral shingle produces a quadratic blowup. The
+  * 100 TB path is q26/q27: signatures are fixed-width per document, the
+  * band join shuffles only (band, bucket) keys, and candidate verification
+  * touches token sets for candidate pairs only.
   */
 object Dedup {
+
+  /** Engine-neutral 32-bit string hash: the first 8 hex digits of the md5
+    * digest read as an integer — md5 is bytewise-identical everywhere, so
+    * any engine reproduces this (DuckDB: ('0x' || substr(md5(s),1,8))::
+    * BIGINT). This is what makes the MinHash/SimHash pipelines
+    * oracle-checkable; Spark's hash() is Murmur3 with Spark-specific
+    * seeding, which no other engine reproduces. */
+  def neutralHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Mersenne prime 2³¹−1: modulus of the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod P used for MinHash permutations. */
+  val P: Long = 2147483647L
 
   /** Distinct word-trigram shingles per document for a deterministic
     * doc_id-sampled subset. */
@@ -38,10 +54,22 @@ object Dedup {
       .select(col("doc_id"), explode(shingleExpr("t", 3)).as("sh"))
       .distinct()
 
+  /** Drop shingles whose document frequency exceeds `maxDf` — the
+    * standard guard before a shingle self-join: pair count per shingle is
+    * df², so one boilerplate shingle shared by 10⁶ documents would emit
+    * 10¹² pairs. Dropping df > maxDf removes only tokens that carry no
+    * dedup signal (they match everything) and bounds the join fan-out at
+    * maxDf² per shingle. */
+  def capDocFrequency(sh: DataFrame, maxDf: Long): DataFrame = {
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+    sh.join(df.filter(col("_df") <= maxDf), "sh").drop("_df")
+  }
+
   /** Exact Jaccard pairs over distinct shingles: |A∩B| via shingle
-    * self-join, |A|,|B| via per-doc counts. Quadratic in per-shingle doc
-    * frequency — use only as the oracle-checked exact variant; the scale
-    * path verifies candidates with [[jaccardOfPairs]]. */
+    * self-join, |A|,|B| via per-doc counts — both over the df-capped
+    * shingle universe, so the quadratic term is bounded by maxDf² per
+    * shingle. Use as the oracle-checked exact variant; the scale path
+    * verifies candidates with [[jaccardOfPairs]]. */
   def jaccardPairs(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
@@ -70,20 +98,26 @@ object Dedup {
         (col("na") + col("nb") - col("common")))
   }
 
-  /** MinHash signatures: numHashes seeded murmur mins per doc. Returns
-    * (doc_id, band, bucket) — one row per band, ready for the LSH join.
-    * Single aggregation pass; bands are emitted by exploding an array of
-    * band hashes rather than unioning nBands recomputations of the
-    * signature aggregate. */
+  /** MinHash signatures over the engine-neutral hash family:
+    * h_i(sh) = (7919·(i+1)·H(sh) + 104729·i) mod P with H = md5-derived
+    * 32-bit hash mod P. Returns (doc_id, band, bucket) — one row per
+    * band, ready for the LSH join. Single aggregation pass (map-side
+    * combinable mins); band buckets combine the band's minima with a
+    * base-31 polynomial — all pure 64-bit integer arithmetic, no
+    * overflow (7919·16·P < 2⁴⁸, bucket < 2⁴⁶). */
   def minhashBands(sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
+    val hm = neutralHash32(col("sh")) % P
     val mins = (0 until numHashes).map(i =>
-      min(hash(col("sh"), lit(i))).as(s"h$i"))
+      min((lit(7919L * (i + 1)) * hm + lit(104729L * i)) % P).as(s"h$i"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val nBands = numHashes / bandSize
-    val bandHashes = array((0 until nBands).map { b =>
-      hash((b * bandSize until (b + 1) * bandSize).map(i => col(s"h$i")): _*)
+    val weights = Seq(29791L, 961L, 31L, 1L) // 31^3..31^0
+    require(bandSize == weights.length, "bandSize must be 4")
+    val bandBuckets = array((0 until nBands).map { b =>
+      (0 until bandSize).map(p => col(s"h${b * bandSize + p}") * lit(weights(p)))
+        .reduce(_ + _)
     }: _*)
-    sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bucket")))
+    sig.select(col("doc_id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -101,19 +135,25 @@ object Dedup {
         .orderBy("lang", "n_chars")
     },
 
-    // B11: exact n-gram Jaccard near-dup pairs (oracle-checked variant).
+    // B11: exact n-gram Jaccard near-dup pairs (oracle-checked variant),
+    // hot shingles dropped before the quadratic self-join.
     "q25_ngram_jaccard" -> { (s, d) =>
-      jaccardPairs(docShingles(s, d, 5))
+      jaccardPairs(capDocFrequency(docShingles(s, d, 5), maxDf = 50L))
         .filter(col("jac") >= 0.02)
         .select("doc_a", "doc_b", "common", "na", "nb", "jac")
         .orderBy("doc_a", "doc_b")
     },
 
-    // B11 scale path: MinHash+LSH candidates, exact-verified. Rows-only.
+    // B11 scale path: MinHash+LSH candidates, exact-verified. The
+    // engine-neutral hash family makes the whole pipeline oracle-checked.
     "q26_minhash_lsh" -> { (s, d) =>
       val sh = docShingles(s, d, 1)
       val bands = minhashBands(sh, numHashes = 16, bandSize = 4)
-      val cand = bands.as("x").join(bands.as("y"),
+      // shuffle-hash both sides: identical exchanges on (band, bucket)
+      // let ReuseExchange compute the signature subtree ONCE; a broadcast
+      // side would duplicate the whole MinHash aggregation.
+      val cand = bands.as("x").hint("shuffle_hash")
+        .join(bands.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -124,11 +164,12 @@ object Dedup {
         .limit(100)
     },
 
-    // B11 scale path: 32-bit SimHash + 8-bit-band candidate join. Rows-only.
+    // B11 scale path: 32-bit SimHash + 8-bit-band candidate join, over
+    // the engine-neutral term hash — oracle-checked.
     "q27_simhash" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .withColumn("h", hash(col("term")))
+        .withColumn("h", neutralHash32(col("term")))
       // Per-bit weighted vote: +1 when the bit is set, -1 otherwise.
       val bitVotes = (0 until 32).map(i =>
         sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"v$i"))
@@ -140,7 +181,10 @@ object Dedup {
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), expr(s"(simhash >> ${b * 8}) & 255").as("bits"))): _*)).as("bb"))
         .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
-      banded.as("x").join(banded.as("y"),
+      // shuffle-hash both sides → one shared exchange for the fingerprint
+      // subtree (see q26) instead of computing it once per join side.
+      banded.as("x").hint("shuffle_hash")
+        .join(banded.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -167,9 +211,12 @@ object Dedup {
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 3),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
         |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |sh AS (
+        |  SELECT doc_id, sh FROM sh0
+        |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 50)),
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -180,6 +227,57 @@ object Dedup {
         |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jac
         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.02
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q26_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |hh AS (SELECT doc_id, ('0x' || substr(md5(sh),1,8))::BIGINT % 2147483647 AS hm FROM sh),
+        |sig AS (
+        |  SELECT doc_id, i, MIN((7919*(i+1)*hm + 104729*i) % 2147483647) AS mh
+        |  FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    SUM(mh * ([29791,961,31,1])[(i % 4) + 1]) AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT doc_a, doc_b, COUNT(*) AS common
+        |  FROM cand JOIN sh a ON a.doc_id = doc_a
+        |            JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+        |  CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
+        |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jac
+        |FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |ORDER BY jac DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    "q27_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(term),1,8))::BIGINT AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, UNNEST(generate_series(0, 31)) AS g(i) GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        |       FROM votes GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bits
+        |  FROM fp, UNNEST(generate_series(0, 3)) AS g(b)),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+        |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin
   )
 }

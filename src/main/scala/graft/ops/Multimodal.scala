@@ -38,12 +38,23 @@ object Multimodal {
   }
 
   /** The decode boundary: binary-payload DataFrame → typed Dataset →
-    * per-partition decode (batched, like mapInPandas) → DataFrame. */
-  def decodeAssets(df: DataFrame): DataFrame = {
+    * per-partition BATCHED decode → DataFrame. Batching is the load-bearing
+    * shape (mapInPandas/mapInArrow image): a real codec initializes once
+    * and decodes `batchSize` payloads per call — model/codec setup and
+    * accelerator transfer amortize across the batch instead of being paid
+    * per row. The stub decodes elementwise inside the batch; swapping in
+    * a real `Seq[Asset] => Seq[DecodedAsset]` keeps every signature. */
+  def decodeAssets(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.as[Asset].mapPartitions(_.map(decodeStub)).toDF()
+    df.as[Asset].mapPartitions {
+      _.grouped(batchSize).flatMap(decodeBatch)
+    }.toDF()
   }
+
+  /** One codec call per batch — the seam a real decoder replaces. */
+  def decodeBatch(batch: Seq[Asset]): Seq[DecodedAsset] =
+    batch.map(decodeStub)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B13: binary assets → stub decode → per-source content stats with

@@ -11,21 +11,34 @@ import graft.model.Tables
   * unit-normalized upstream but norms are still computed defensively).
   *
   *   - q28: brute-force cosine top-k — the exactness baseline. The query
-  *     set is broadcast against the streamed corpus, so the plan is one
-  *     scan + per-row loop: no shuffle of the corpus at all; scales to
-  *     any corpus size (cost ∝ |corpus|·|queries|).
-  *   - q29: random-hyperplane LSH ANN — the scale path. Hyperplanes come
-  *     from a deterministic integer formula (no engine-specific RNG), the
-  *     signature computation is explode→join→partial-agg (map-side
-  *     combine), and candidate pairs only form within identical sign
-  *     buckets. Output = exact cosine re-rank of candidates. Rows-only:
-  *     bucket collisions are by design lossy vs. the exact top-k.
+  *     set is explicitly BOUNDED (deterministic order + LIMIT) before the
+  *     broadcast, so the broadcast side stays O(MaxQueries) no matter how
+  *     large the corpus grows — broadcasting an unbounded *fraction* of a
+  *     fact table is a linear-in-data driver/executor OOM at 100 TB. The
+  *     corpus side streams: one scan + per-row loop, no corpus shuffle.
+  *   - q29: random-hyperplane LSH ANN — the scale path. Plane weights are
+  *     a pure-integer formula and the per-plane dots accumulate in exact
+  *     INTEGER arithmetic over quantized components (floor(x·10⁶)), so the
+  *     sign buckets are bit-reproducible in any engine — the whole
+  *     pipeline is oracle-checked end-to-end, like q42.
+  *   - q42: IVF ANN — deterministic coarse quantizer, bounded centroid
+  *     set; the query→candidate join is a plain equi-join on the cell id
+  *     (no broadcast of a corpus-derived side), so both sides shuffle on
+  *     `cell` and AQE sizes the join at runtime.
   *
   * Determinism: cosines are rounded to 6 decimals and every ordering uses
   * (rounded value, id) keys, so the ≤1-ulp difference between Spark's
   * left-fold `aggregate` and DuckDB's list_dot_product vanishes.
   */
 object Similarity {
+
+  /** Hard bound on broadcastable query-set size: the PlanSpec audit
+    * asserts every broadcast in these plans sits under an explicit limit.
+    * 64/256 keep all current scale factors' query/centroid sets intact
+    * (sf0.1 has 20 query vectors, 40 centroids) while capping the
+    * broadcast at a constant independent of corpus size. */
+  val MaxQueries = 64
+  val MaxCentroids = 256
 
   /** Cast a float array to double and compute the sequential dot product. */
   def dot(a: String, b: String): Column =
@@ -42,12 +55,20 @@ object Similarity {
 
   /** Deterministic hyperplane weight — pure integer arithmetic so any
     * engine reproduces it: w(i,j) = ((i*7919 + j*104729) mod 2001) - 1000. */
-  def planeWeight(plane: Int, dim: Int): Double =
-    ((plane * 7919 + dim * 104729) % 2001) - 1000.0
+  def planeWeight(plane: Int, dim: Int): Long =
+    ((plane * 7919 + dim * 104729) % 2001) - 1000L
 
   /** Sign-bucket of `numPlanes` hyperplane dots per vector, computed via
     * posexplode + broadcast plane join + groupBy — fully distributed,
-    * map-side combinable, any dimension/plane count. */
+    * map-side combinable, any dimension/plane count.
+    *
+    * The dot products are EXACT 64-bit integers: each component is
+    * quantized to floor(x·10⁶) (float→double is exact, ·10⁶ and floor are
+    * the same IEEE ops in every engine) and multiplied by the integer
+    * plane weight, so the partial-aggregation order cannot perturb the
+    * sign — which is what makes the bucket assignment, and therefore the
+    * whole ANN output, oracle-checkable in DuckDB. Magnitudes stay small:
+    * |xi·w| ≤ 10⁶·10³·64 ≈ 2⁴⁶ per vector. */
   def lshBuckets(vecs: DataFrame, numPlanes: Int, dim: Int,
                  spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -55,9 +76,10 @@ object Similarity {
       (for (i <- 0 until numPlanes; j <- 0 until dim)
         yield (i, j, planeWeight(i, j))).toDF("plane", "j", "w"))
     vecs.select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
+      .withColumn("xi", floor(col("x") * lit(1000000.0)).cast("long"))
       .join(planes, "j")
       .groupBy("vec_id", "plane")
-      .agg(sum(col("x") * col("w")).as("dotp"))
+      .agg(sum(col("xi") * col("w")).as("dotp"))
       .groupBy("vec_id")
       .agg(sum(when(col("dotp") > 0,
         expr("shiftleft(1L, plane)")).otherwise(0L)).as("bucket"))
@@ -68,10 +90,11 @@ object Similarity {
     "q28_knn_cosine" -> { (s, d) =>
       val e = vecs(s, d)
       val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .orderBy("vec_id").limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-      c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
         // codegen'd kernel; inline norms reproduce qn*cn bit-for-bit
         .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
         .withColumn("rank", row_number().over(w).cast("long"))
@@ -95,15 +118,17 @@ object Similarity {
     },
 
     // ANN scale path #2: IVF (inverted-file) — deterministic coarse
-    // quantizer (every 50th vector is a centroid), vectors assigned to
-    // their nearest centroid's cell, queries probe only their own cell.
-    // Unlike LSH the whole pipeline is deterministic arithmetic, so it is
-    // oracle-checked end-to-end. At scale: the assignment is a broadcast
-    // of |centroids| rows against a streamed corpus, the search joins on
-    // the cell id — both shuffle-light.
+    // quantizer (every 50th vector is a centroid, bounded at
+    // MaxCentroids), vectors assigned to their nearest centroid's cell,
+    // queries probe only their own cell. The centroid set is the ONLY
+    // broadcast (bounded); the query→candidate join is a plain equi-join
+    // on `cell`, so both sides shuffle on the cell id and the `assigned`
+    // subtree behind them is computed once (exchange reuse) instead of
+    // once per join side.
     "q42_ivf_ann" -> { (s, d) =>
       val e = vecs(s, d)
       val cents = e.filter(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").limit(MaxCentroids)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cent_id"))
@@ -116,7 +141,8 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
       val c = assigned.select(col("vec_id").as("c_id"), col("v").as("cv2"), col("cell"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-      c.join(broadcast(q), Seq("cell")).filter(col("c_id") =!= col("q_id"))
+      c.hint("shuffle_hash").join(q.hint("shuffle_hash"), Seq("cell"))
+        .filter(col("c_id") =!= col("q_id"))
         .withColumn("cos", round(vec_cosine(col("qv"), col("cv2")), 6))
         .withColumn("rank", row_number().over(wTop).cast("long"))
         .filter(col("rank") <= 3)
@@ -125,15 +151,17 @@ object Similarity {
     },
 
     // ANN scale path: LSH bucket join + exact re-rank of candidates.
+    // Bounded query set broadcast against the bucketed corpus; buckets
+    // are exact integers (see lshBuckets), so this is oracle-checked
+    // end-to-end.
     "q29_lsh_ann" -> { (s, d) =>
       val e = vecs(s, d)
       val buckets = lshBuckets(e, numPlanes = 12, dim = 64, spark = s)
       val eb = e.join(buckets, "vec_id")
       val q = eb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-                col("nrm").as("qn"), col("bucket"))
-      val c = eb.select(col("vec_id").as("c_id"), col("v").as("cv"),
-                        col("nrm").as("cn"), col("bucket"))
+        .orderBy("vec_id").limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      val c = eb.select(col("vec_id").as("c_id"), col("v").as("cv"), col("bucket"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
       c.join(broadcast(q), Seq("bucket")).filter(col("c_id") =!= col("q_id"))
         .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
@@ -149,7 +177,8 @@ object Similarity {
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        |          WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
         |assign AS (
         |  SELECT vec_id, v, nrm, cent_id AS cell, row_number() OVER
         |    (PARTITION BY vec_id
@@ -180,7 +209,8 @@ object Similarity {
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
         |p AS (
         |  SELECT q_id, vec_id AS c_id,
         |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos
@@ -188,6 +218,31 @@ object Similarity {
         |r AS (SELECT q_id, c_id, cos,
         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
         |      FROM p)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cos
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q29_lsh_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |x AS (SELECT vec_id, j, CAST(floor(v[j+1]*1000000) AS BIGINT) AS xi
+        |      FROM n, UNNEST(generate_series(0, 63)) AS g(j)),
+        |planes AS (SELECT i, j, ((i*7919 + j*104729) % 2001) - 1000 AS w
+        |           FROM UNNEST(generate_series(0, 11)) AS gi(i),
+        |                UNNEST(generate_series(0, 63)) AS gj(j)),
+        |dots AS (SELECT vec_id, i, SUM(xi*w) AS dotp
+        |         FROM x JOIN planes USING (j) GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |              SUM(CASE WHEN dotp > 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+        |            FROM dots GROUP BY 1),
+        |eb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN buckets USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM eb
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
+        |p AS (SELECT q_id, c.vec_id AS c_id,
+        |        round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos
+        |      FROM q JOIN eb c USING (bucket) WHERE c.vec_id <> q_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM p)
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cos
         |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
   )

@@ -115,9 +115,11 @@ object TextAnalysis {
         .orderBy("lang")
     },
 
-    // B12: winnowing rolling-hash fingerprints (custom expression) —
-    // rows-only: the fingerprint values come from our own Rabin-Karp
-    // winnower, which no SQL engine reproduces. Deterministic integers.
+    // B12: winnowing rolling-hash fingerprints (custom expression). The
+    // Rabin-Karp hash is pure integer arithmetic (B=257, M=2³¹−1) over
+    // ASCII bytes, so the whole algorithm — rolling hashes, rightmost-min
+    // windows, consecutive dedup — is mirrored in the DuckDB oracle and
+    // hash-checked end-to-end.
     "q39_winnow_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
         .filter(col("doc_id") % 29 === 0)
@@ -222,6 +224,44 @@ object TextAnalysis {
         |        CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
         |      FROM tf JOIN df ON tf.term = df.term WHERE tf.doc_id % 11 = 0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM j)
-        |SELECT doc_id, term, tf, df, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, term, tf, df, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Winnowing (SIGMOD'03) mirrored in SQL: k-gram Rabin-Karp hashes as
+    // Σ byte·B^(k−1−j) mod M (the power table is B⁴..B⁰ mod M — congruent
+    // to the Scala per-step mod), rightmost-min per width-w window via
+    // (h ASC, i DESC) row_number, consecutive-dedup = DISTINCT picked
+    // index (the rightmost-min index is non-decreasing as the window
+    // slides, so "emit when the index changes" ≡ picked-index set).
+    // ord() == byte value because the corpus is ASCII (verified both SFs).
+    "q39_winnow_fingerprint" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 29 = 0),
+        |hashes AS (
+        |  SELECT d.doc_id, g.i,
+        |    (SUM((ord(substr(d.text, g.i + j.j + 1, 1))::BIGINT) *
+        |         ([67503107,16974593,66049,257,1])[j.j + 1]))
+        |      % 2147483647 AS h
+        |  FROM docs d,
+        |       UNNEST(generate_series(0, d.n - 5)) AS g(i),
+        |       UNNEST(generate_series(0, 4)) AS j(j)
+        |  GROUP BY d.doc_id, g.i),
+        |nh AS (SELECT doc_id, COUNT(*) AS n_hashes FROM hashes GROUP BY 1),
+        |wins AS (
+        |  SELECT h.doc_id, w.ws, h.i, h.h,
+        |    row_number() OVER (PARTITION BY h.doc_id, w.ws ORDER BY h.h ASC, h.i DESC) AS rn
+        |  FROM nh
+        |  JOIN LATERAL (SELECT UNNEST(generate_series(0, (nh.n_hashes - least(4, nh.n_hashes))::BIGINT)) AS ws) w ON TRUE
+        |  JOIN hashes h ON h.doc_id = nh.doc_id
+        |    AND h.i BETWEEN w.ws AND w.ws + least(4, nh.n_hashes) - 1),
+        |picked AS (SELECT DISTINCT doc_id, i, h FROM wins WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_fps, COUNT(DISTINCT h) AS n_distinct_fps,
+        |         MIN(h) AS min_fp, MAX(h) AS max_fp
+        |  FROM picked GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_fps, 0) AS BIGINT) AS n_fps,
+        |  CAST(COALESCE(a.n_distinct_fps, 0) AS BIGINT) AS n_distinct_fps,
+        |  a.min_fp, a.max_fp
+        |FROM docs d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

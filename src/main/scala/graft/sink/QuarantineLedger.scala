@@ -1,0 +1,79 @@
+package graft.sink
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+/** Persistent corrupted-row ledger — the durable image of the reference's
+  * in-memory `corruptedRowOffsets` set (BigqueryStorageWriteSinkTask.java:
+  * 224-242): when a remote append rejects specific rows, their coordinates
+  * land here, the batch fails, and on the rewound replay the pipeline
+  * routes exactly these rows to the DLQ instead of re-appending them
+  * (put(): getCorruptedRowOffsets(tp).contains(offset) → errorReport,
+  * :103-106).
+  *
+  * Durable because Spark's "retry" is a query restart replaying the
+  * checkpointed batch — task memory does not survive it the way a Connect
+  * worker's does. Entries are one CSV line per corrupted row
+  * (topic,partition,offset,error), written whole-file-then-atomic-rename
+  * so a crash mid-append never yields a torn ledger entry.
+  *
+  * Scale: the ledger carries only rows a remote append REJECTED — error
+  * cardinality, not data cardinality. The pipeline turns it into a
+  * broadcast anti-join side; if a pathological stream ever produced
+  * millions of corrupted rows, the same files read as a DataFrame and the
+  * join drops the broadcast hint — the layout stays valid.
+  */
+class QuarantineLedger(dir: String) {
+  private val root: Path = Paths.get(dir)
+  Files.createDirectories(root)
+
+  /** One corrupted row: where it came from and why it was rejected. */
+  case class Entry(topic: String, partition: Int, offset: Long, error: String)
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace(",", "\\c").replace("\n", "\\n")
+  private def unescape(s: String): String =
+    s.replace("\\n", "\n").replace("\\c", ",").replace("\\\\", "\\")
+
+  /** Record rejected rows; called from the failing batch before it
+    * rethrows. Write-then-rename keeps replays of the recording batch
+    * idempotent at the file level (same batch ⇒ same file name). */
+  def append(batchId: Long, rows: Seq[(String, Int, Long, String)]): Unit = {
+    if (rows.isEmpty) return
+    val tmp = root.resolve(s".batch-$batchId.tmp")
+    val dst = root.resolve(s"batch-$batchId.csv")
+    val body = rows.map { case (t, p, o, e) =>
+      s"${escape(t)},$p,$o,${escape(e)}"
+    }.mkString("", "\n", "\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All quarantined coordinates recorded so far. */
+  def load(): Seq[Entry] = {
+    val files = Using.resource(Files.list(root))(_.iterator().asScala.toSeq)
+      .filter(_.getFileName.toString.endsWith(".csv")).sortBy(_.getFileName.toString)
+    files.flatMap { f =>
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).map { line =>
+        val Array(t, p, o, e) = line.split(",", 4)
+        Entry(unescape(t), p.toInt, o.toLong, unescape(e))
+      }
+    }
+  }
+
+  def isEmpty: Boolean = load().isEmpty
+}
+
+/** Row-level append rejection — the image of an AppendContext carrying
+  * row errors (reference BigqueryStreamWriter.java:153-183): the batch as
+  * a whole fails, but specific rows are named as the cause. Row-level
+  * errors are unretriable for those rows by definition (the same bytes
+  * would be rejected again), which is why the pipeline quarantines them
+  * rather than retrying them. */
+case class AppendRowsException(corrupted: Seq[(String, Int, Long, String)])
+    extends RuntimeException(
+      s"remote append rejected ${corrupted.size} row(s): " +
+        corrupted.take(3).map { case (t, p, o, e) => s"$t/$p@$o: $e" }.mkString("; "))

@@ -2,6 +2,7 @@ package graft.sink
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -93,8 +94,14 @@ class TwoPhaseParquetSink(config: SinkConfig) {
     }
   }
 
+  /** `Files.list` holds a directory handle until closed — under a
+    * long-running streaming query every batch would leak one descriptor,
+    * so every listing here drains inside `Using`. */
+  private def listDir(dir: Path): Seq[Path] =
+    Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
+
   private def stagedBatches(): Seq[Path] =
-    Files.list(stagingDir).iterator().asScala.toSeq
+    listDir(stagingDir)
       .filter(p => p.getFileName.toString.startsWith("batch="))
       .sortBy(p => p.getFileName.toString.stripPrefix("batch=").toLong)
 
@@ -116,18 +123,16 @@ class TwoPhaseParquetSink(config: SinkConfig) {
 
   /** Visible rows only — staged data never appears here. */
   def read(spark: SparkSession): DataFrame = {
-    val batches = Files.list(dataDir).iterator().asScala.toSeq.map(_.toString)
+    val batches = listDir(dataDir).map(_.toString)
     if (batches.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(batches: _*)
   }
 
   def committedBatchIds(): Seq[Long] =
-    Files.list(commitsDir).iterator().asScala.toSeq
-      .map(_.getFileName.toString.toLong).sorted
+    listDir(commitsDir).map(_.getFileName.toString.toLong).sorted
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.delete(p)
   }
 }

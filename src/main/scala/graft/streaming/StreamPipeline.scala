@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.functions.StrictConvert
-import graft.sink.{SinkConfig, TwoPhaseParquetSink}
+import graft.sink.{AppendRowsException, ErrorClassifier, QuarantineLedger, SinkConfig, TwoPhaseParquetSink}
 
 /** End-to-end streaming assembly, the Spark image of the whole reference
   * dataflow (SURVEY.md §3.1):
@@ -59,6 +59,37 @@ object StreamPipeline {
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptField)))
   }
 
+  /** Schema-inference fallback (reference RecordConverter.java:17-23:
+    * when `valueSchema()` is null the converter infers the type from the
+    * runtime value and treats it as OPTIONAL). The Spark image infers from
+    * a bounded sample of the payloads themselves — `spark.read.json`
+    * merges field sets across the whole sample (a field present in any
+    * record survives, typed by the widest observed type), and every
+    * inferred field is nullable, i.e. optional: a record missing one
+    * decodes with a null, it is not rejected.
+    *
+    * Inference needs data, so it runs on a batch envelope (the sample
+    * subtree is bounded by `sampleSize` — constant work no matter the
+    * table size). A streaming caller infers once from its first micro
+    * batch inside foreachBatch and reuses the schema from there on.
+    */
+  def inferValueSchema(envelope: DataFrame, sampleSize: Int = 1000): StructType = {
+    val spark = envelope.sparkSession
+    val sample = envelope.select(col("value"))
+      .filter(col("value").isNotNull).limit(sampleSize)
+      .as(org.apache.spark.sql.Encoders.STRING)
+    val inferred = spark.read.json(sample).schema
+    // a corrupt record in the sample makes read.json emit its own corrupt
+    // column; drop it — [[decode]] adds the pipeline's CorruptField itself
+    val corruptCol = spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+    StructType(inferred.fields.filterNot(_.name == corruptCol)
+      .map(_.copy(nullable = true)))
+  }
+
+  /** [[decode]] without a declared schema: infer, then decode. */
+  def decodeInferred(envelope: DataFrame, sampleSize: Int = 1000): DataFrame =
+    decode(envelope, inferValueSchema(envelope, sampleSize))
+
   /** A9/A4: split decoded records into (good, dlq). A record is bad when
     * the payload failed to parse or the strict converter rejects it
     * against the destination schema; the error column carries the reason
@@ -76,26 +107,84 @@ object StreamPipeline {
   /** Assemble and start the full pipeline on any streaming envelope
     * source. Returns the query plus the two sinks (data + DLQ) so tests
     * and operators can observe both legs.
+    *
+    * `appendCheck` is the injection point for the remote append's
+    * row-level response (reference: AppendRowsResponse row errors): given
+    * the batch about to land, it returns the (topic, partition, offset,
+    * error) coordinates of rows the remote rejects — empty when all rows
+    * are acceptable. The quarantine FEEDBACK LOOP (reference
+    * BigqueryStorageWriteSinkTask.java:224-242 → :103-106) then plays out
+    * across a failure and its checkpoint replay:
+    *
+    *   1. appendCheck names corrupted rows → they are recorded in the
+    *      durable [[QuarantineLedger]] under `quarantineDir` and the batch
+    *      THROWS — offsets rewind, nothing landed (preCommit rewind).
+    *   2. The restarted query replays the same batch; rows whose
+    *      coordinates are in the ledger are split out by a broadcast
+    *      lookup BEFORE the append and land in the DLQ with the recorded
+    *      error (put()'s corruptedRowOffsets skip → errorReport).
+    *   3. The re-append of the surviving rows succeeds and commits.
+    *
+    * A THROWING appendCheck (transport failure, not row rejection) is
+    * classified by [[ErrorClassifier]]: retriable errors propagate as-is
+    * so the engine replays the batch unchanged (no quarantine — the rows
+    * are fine, the transport wasn't); unretriable ones are wrapped fatal,
+    * mirroring hasUnretryableError (BigqueryStreamWriter.java:153-183).
     */
   def start(source: DataFrame, valueSchema: StructType, target: StructType,
-            config: SinkConfig, dlqDir: String,
-            checkpointDir: String): (StreamingQuery, TwoPhaseParquetSink, TwoPhaseParquetSink) = {
+            config: SinkConfig, dlqDir: String, checkpointDir: String,
+            quarantineDir: Option[String] = None,
+            appendCheck: DataFrame => Seq[(String, Int, Long, String)] = _ => Seq.empty)
+      : (StreamingQuery, TwoPhaseParquetSink, TwoPhaseParquetSink) = {
     val sink = new TwoPhaseParquetSink(config)
     val dlqSink = new TwoPhaseParquetSink(SinkConfig(dlqDir))
+    val ledger = quarantineDir.map(new QuarantineLedger(_))
     val query = decode(source, valueSchema)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
         val (good, dlq) = validationSplit(batch, target)
-        // flatten the good leg onto the destination schema (A8)
-        val flat = good.select(
-          (Seq(col("topic"), col("partition"), col("offset")) ++
+        // flatten the good leg onto the destination schema (A8); `value`
+        // rides along so quarantined rows reach the DLQ with their
+        // original payload, and is dropped before the append.
+        val flatAll = good.select(
+          (Seq(col("topic"), col("partition"), col("offset"), col("value")) ++
             target.fields.map(f => col(s"payload.${f.name}").as(f.name))): _*)
-        sink.writeBatch(flat, batchId)
+        // (2) feedback: previously-quarantined coordinates skip the append
+        val quarantined = ledger.map(_.load()).getOrElse(Seq.empty)
+        val (toAppend, dlqQuarantine) =
+          if (quarantined.isEmpty) (flatAll, None)
+          else {
+            val qdf = quarantined.map(e => (e.topic, e.partition, e.offset, e.error))
+              .toDF("topic", "partition", "offset", "_qerr")
+            val marked = flatAll.join(broadcast(qdf),
+              Seq("topic", "partition", "offset"), "left_outer")
+            (marked.filter(col("_qerr").isNull).drop("_qerr"),
+             Some(marked.filter(col("_qerr").isNotNull)
+               .select(col("topic"), col("partition"), col("offset"),
+                       col("value"), col("_qerr").as("err"))))
+          }
+        val appendable = toAppend.drop("value")
+        // (1) remote row-level response: record + fail, or classify
+        val corrupted =
+          try appendCheck(appendable)
+          catch {
+            case e: Throwable if ErrorClassifier.isRetriable(e) => throw e
+            case e: Throwable =>
+              throw new IllegalStateException("unretriable append failure", e)
+          }
+        if (corrupted.nonEmpty) {
+          ledger.foreach(_.append(batchId, corrupted))
+          throw AppendRowsException(corrupted)
+        }
+        sink.writeBatch(appendable, batchId)
+        val dlqLeg = dlq.select(col("topic"), col("partition"), col("offset"),
+                                col("value"), col("err"))
         dlqSink.writeBatch(
-          dlq.select(col("topic"), col("partition"), col("offset"),
-                     col("value"), col("err")), batchId)
+          dlqQuarantine.map(dlqLeg.unionByName(_)).getOrElse(dlqLeg), batchId)
         ()
       }
       .start()

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Streaming operator assemblies (SURVEY.md §2B B14): event-time windowed
   * aggregation, session windows, watermarked dedup, and custom state — the
@@ -47,16 +47,37 @@ object StreamingOps {
 
   /** Custom keyed state: running event count per key via
     * mapGroupsWithState — the escape hatch the reference's per-partition
-    * offset accounting would use if it weren't subsumed by checkpoints. */
+    * offset accounting would use if it weren't subsumed by checkpoints.
+    *
+    * State for a key is dropped after `idleTimeout` of processing-time
+    * inactivity (the key's count restarts from 0 if it reappears), so
+    * total state is bounded by the number of keys active within the
+    * timeout horizon — without a timeout, per-key state would grow with
+    * lifetime key cardinality, which is unbounded on a real stream.
+    * Pass `idleTimeout = None` only for short-lived/bounded-key streams:
+    * with NoTimeout the engine runs batches only when data arrives (a
+    * processing-time timeout makes it re-trigger to evaluate expiries, so
+    * production queries should pair it with a processing-time trigger
+    * interval rather than the default run-as-fast-as-possible trigger). */
   case class KeyCount(key: String, n: Long)
-  def runningCount[T](ds: Dataset[T], keyOf: T => String): Dataset[KeyCount] = {
+  def runningCount[T](ds: Dataset[T], keyOf: T => String,
+                      idleTimeout: Option[String] = Some("1 hour")): Dataset[KeyCount] = {
     import ds.sparkSession.implicits._
+    val conf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
     ds.groupByKey(keyOf)
-      .mapGroupsWithState[Long, KeyCount] {
+      .mapGroupsWithState[Long, KeyCount](conf) {
         (key: String, values: Iterator[T], state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + values.size
-          state.update(n)
-          KeyCount(key, n)
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            KeyCount(key, n)
+          } else {
+            val n = state.getOption.getOrElse(0L) + values.size
+            state.update(n)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            KeyCount(key, n)
+          }
       }
   }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.model.Tables
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 class OpsSpec extends AnyFunSuite {
@@ -102,9 +103,20 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within 10% of exact") {
+    // q36 emits the claim as a boolean (hash-checkable across engines);
+    // assert it holds, and bound the raw Spark estimate directly too.
     SparkEntry.queries("q36_approx_distinct")(spark, sf).collect().foreach { r =>
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      val approx = r.getAs[Long]("approx_parts").toDouble
+      assert(r.getAs[Boolean]("approx_parts_ok"), s"parts claim failed: $r")
+      assert(r.getAs[Boolean]("approx_orders_ok"), s"orders claim failed: $r")
+    }
+    val raw = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+           approx_count_distinct(col("l_partkey")).as("approx"))
+      .collect()
+    raw.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val approx = r.getAs[Long]("approx").toDouble
       assert(math.abs(approx - exact) / exact < 0.10,
         s"approx=$approx exact=$exact drifts beyond HLL++ tolerance")
     }

@@ -52,13 +52,61 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("windowed flow operators partition by the derived key, never a global sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (name <- Seq("q11_microbatch_chunks", "q13_retry_boundary_cut")) {
-      val p = plan(name)
-      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      val windows = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
       assert(windows.nonEmpty, s"$name should use window operators")
       // a Window with an empty partition spec would serialize the world
-      assert(!p.contains("Window [") || !p.contains("partitionBy=[]"),
-        s"$name must not use an unpartitioned window")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name has an unpartitioned window: ${w.simpleString(100)}")
+      }
+    }
+  }
+
+  test("no hinted broadcast side derives from an unbounded fraction of a fact table") {
+    // An explicit broadcast() forces the exchange regardless of size, so a
+    // broadcast side rooted in a fact table must sit under an explicit
+    // LIMIT — otherwise the broadcast grows linearly with the data and
+    // OOMs at 100×. (Auto-broadcasts are size-thresholded by Spark itself
+    // and degrade to shuffle joins as the table grows; only hints can
+    // force the unbounded case.)
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, LogicalPlan}
+    val facts = Seq("lineitem", "orders", "events", "documents", "embeddings")
+    def boundedOrDim(p: LogicalPlan): Boolean = {
+      val touchesFact = facts.exists(f => p.toString.toLowerCase.contains(f))
+      val hasLimit = p.collectFirst { case g: GlobalLimit => g }.isDefined
+      !touchesFact || hasLimit
+    }
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case j: Join =>
+          val broadcastLeft = j.hint.leftHint.exists(_.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+          val broadcastRight = j.hint.rightHint.exists(_.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+          if (broadcastLeft)
+            assert(boundedOrDim(j.left),
+              s"$name broadcasts an unbounded fact-derived side:\n${j.left.toString.take(800)}")
+          if (broadcastRight)
+            assert(boundedOrDim(j.right),
+              s"$name broadcasts an unbounded fact-derived side:\n${j.right.toString.take(800)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("every declared query's windows are partitioned (no single-task sorts)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.keys.foreach { name =>
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        .foreach { w =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name has an unpartitioned window: ${w.simpleString(100)}")
+        }
     }
   }
 }

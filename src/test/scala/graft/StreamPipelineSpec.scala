@@ -121,6 +121,92 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(!ErrorClassifier.isRetriable(new IllegalStateException("bug")))
   }
 
+  test("quarantine feedback loop: corrupted rows rewind, then DLQ on replay") {
+    // The image of the reference's corrupted-row preCommit test
+    // (BigqueryStorageWriteSinkTaskTest.java:197-224): a remote append
+    // names rejected rows → offsets rewind with nothing landed → the
+    // replay routes exactly those rows to the error reporter and the rest
+    // commit.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sinkDir = tmp(); val dlqDir = tmp(); val ckpt = tmp(); val qDir = tmp()
+    // content-addressed rejection: a plain retry would fail identically
+    // forever — only the quarantine loop makes progress
+    val reject: org.apache.spark.sql.DataFrame => Seq[(String, Int, Long, String)] =
+      df => df.filter(col("id") === "poison")
+        .select("topic", "partition", "offset").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+                   "row rejected by remote append")).toSeq
+    val stream = MemoryStream[Env]
+    stream.addData(Seq(
+      Env("t", 0, 0L, null, """{"id":"id-0","int_value":1}"""),
+      Env("t", 0, 1L, null, """{"id":"poison","int_value":2}"""),
+      Env("t", 0, 2L, null, """{"id":"id-2","int_value":3}""")))
+    def run() = StreamPipeline.start(stream.toDF(), valueSchema, target,
+      SinkConfig(sinkDir), dlqDir, ckpt, quarantineDir = Some(qDir),
+      appendCheck = reject)
+
+    // attempt 1: the append fails, nothing lands, the batch rewinds
+    val (q1, sink1, _) = run()
+    intercept[Exception] { q1.awaitTermination(60000) }
+    assert(sink1.read(spark).isEmpty, "failed append must land nothing")
+    assert(sink1.committedBatchIds().isEmpty)
+
+    // attempt 2: checkpoint replays the same batch; the quarantined row is
+    // split to the DLQ before the append, which now succeeds
+    val (q2, sink2, dlq2) = run()
+    q2.awaitTermination(60000)
+    assert(q2.exception.isEmpty, s"replay must succeed: ${q2.exception}")
+    val good = sink2.read(spark).collect()
+    assert(good.map(_.getAs[Long]("offset")).sorted.toSeq == Seq(0L, 2L))
+    assert(!good.exists(_.getAs[String]("id") == "poison"))
+    val bad = dlq2.read(spark).collect()
+    assert(bad.length == 1 && bad.head.getAs[Long]("offset") == 1L)
+    assert(bad.head.getAs[String]("err") == "row rejected by remote append")
+    assert(sink2.committedBatchIds() == Seq(0L))
+  }
+
+  test("retriable transport failure propagates without quarantining rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val qDir = tmp()
+    val stream = MemoryStream[Env]
+    stream.addData(Seq(Env("t", 0, 0L, null, """{"id":"a","int_value":1}""")))
+    val (q, sink, _) = StreamPipeline.start(stream.toDF(), valueSchema, target,
+      SinkConfig(tmp()), dlqDir = tmp(), checkpointDir = tmp(),
+      quarantineDir = Some(qDir),
+      appendCheck = _ => throw new java.io.IOException("transient network"))
+    intercept[Exception] { q.awaitTermination(60000) }
+    assert(new graft.sink.QuarantineLedger(qDir).isEmpty,
+      "a transport failure must not quarantine rows — the rows are fine")
+    assert(sink.committedBatchIds().isEmpty)
+  }
+
+  test("schema inference fallback: missing fields decode as optional nulls") {
+    // reference RecordConverter.java:17-23 — null valueSchema ⇒ infer
+    // from the value itself, everything optional
+    import spark.implicits._
+    val n: String = null
+    val env = Seq(
+      ("t", 0, 0L, n, """{"id":"a","int_value":1}"""),
+      ("t", 0, 1L, n, """{"id":"b"}"""), // missing int_value: optional
+      ("t", 0, 2L, n, """not json""")    // corrupt: flagged, not thrown
+    ).toDF("topic", "partition", "offset", "key", "value")
+    val inferred = StreamPipeline.inferValueSchema(env)
+    assert(inferred.fieldNames.sorted.toSeq == Seq("id", "int_value"),
+      s"merged sample inference, no corrupt column: $inferred")
+    assert(inferred.forall(_.nullable), "inferred fields must be optional")
+    val rows = StreamPipeline.decodeInferred(env)
+      .select(col("offset"), col("payload.id").as("id"),
+        col("payload.int_value").as("iv"),
+        col(s"payload.${StreamPipeline.CorruptField}").as("corrupt"))
+      .collect().map(r => r.getAs[Long]("offset") ->
+        ((r.getAs[String]("id"), Option(r.get(2)), r.getAs[String]("corrupt") != null))).toMap
+    assert(rows(0L) == (("a", Some(1L), false)))
+    assert(rows(1L) == (("b", None, false)), "missing optional field is null, not a reject")
+    assert(rows(2L)._3, "corrupt payload is flagged for the DLQ split")
+  }
+
   test("multi-batch pending commit publishes in batch order") {
     import spark.implicits._
     val sink = new TwoPhaseParquetSink(SinkConfig(tmp(), WriteMode.Pending))

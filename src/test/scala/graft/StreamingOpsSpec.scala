@@ -110,7 +110,9 @@ class StreamingOpsSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val s = MemoryStream[Ev]
-    val counts = StreamingOps.runningCount[Ev](s.toDS(), _.key)
+    // NoTimeout keeps the engine data-driven (deterministic under
+    // processAllAvailable); the timeout leg has its own test below.
+    val counts = StreamingOps.runningCount[Ev](s.toDS(), _.key, idleTimeout = None)
     val q = counts.toDF().writeStream.outputMode(OutputMode.Update)
       .format("memory").queryName("running_counts").start()
     s.addData(Ev(t(1), "a", 1.0), Ev(t(2), "a", 1.0), Ev(t(3), "b", 1.0))
@@ -122,5 +124,37 @@ class StreamingOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     assert(last == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("idle-timeout drops per-key state so a reappearing key restarts at 1") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    val counts = StreamingOps.runningCount[Ev](s.toDS(), _.key,
+      idleTimeout = Some("200 milliseconds"))
+    // a processing-time trigger (not ASAP) so timeout-evaluation batches
+    // are rate-limited — the production pairing the scaladoc prescribes.
+    val q = counts.toDF().writeStream.outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .format("memory").queryName("timeout_counts").start()
+    def countsNow(): Seq[Long] = spark.table("timeout_counts")
+      .filter(org.apache.spark.sql.functions.col("key") === "a")
+      .collect().map(_.getLong(1)).toSeq
+    def awaitRow(pred: Seq[Long] => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!pred(countsNow())) {
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
+    s.addData(Ev(t(1), "a", 1.0), Ev(t(2), "a", 1.0))
+    awaitRow(_.contains(2L), "initial count of 2")
+    Thread.sleep(1000) // > idleTimeout: the key's state must expire
+    s.addData(Ev(t(3), "a", 1.0))
+    awaitRow(_.contains(1L), "post-timeout restart at 1")
+    q.stop()
+    val seen = countsNow()
+    assert(seen.contains(2L) && seen.contains(1L) && !seen.contains(3L),
+      s"state must reset after idle timeout, saw $seen")
   }
 }
