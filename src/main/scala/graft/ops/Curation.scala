@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and training (north-star extension surface, alongside
+  * the dedup/similarity/text/multimodal families):
+  *
+  *   - q47: deterministic stratified sampling — a fixed per-stratum quota
+  *     selected by an engine-neutral content hash, so the sample is
+  *     reproducible across engines, runs, and data layouts (no rand(),
+  *     no partition-order dependence);
+  *   - q48: distribution statistics — exact interpolated token-count
+  *     quantiles per language (the length profile that drives curriculum
+  *     and truncation decisions);
+  *   - q49: int8 scalar quantization of embeddings with reconstruction-
+  *     error accounting — the storage-reduction pass before ANN indexing;
+  *   - q50: boilerplate detection — clusters of documents sharing an
+  *     identical text prefix (template/header detection upstream of
+  *     near-dup analysis).
+  *
+  * Scale notes: q47's window partitions by stratum (shuffle on `lang`,
+  * top-k per partition — no global sort); q48 is one hash aggregation;
+  * q49 is embarrassingly parallel per vector; q50 shuffles on a 128-bit
+  * prefix hash (group cardinality ≈ distinct prefixes, map-side combined).
+  */
+object Curation {
+
+  /** Engine-neutral per-row sampling key (see [[Dedup.neutralHash32]]):
+    * md5 of the stringified id — uniform, reproducible everywhere. */
+  private def sampleKey(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stratified sample: 5 docs per language, chosen by hash order —
+    // the deterministic form of "uniform sample per stratum".
+    "q47_stratified_sample" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("hk"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("hk", sampleKey(col("doc_id")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("lang", "rk", "doc_id", "hk")
+        .orderBy("lang", "rk")
+    },
+
+    // Token-count quantiles per language: exact interpolated (type-7)
+    // percentiles, the cross-engine-stable definition (q43 precedent).
+    "q48_token_quantiles" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             round(expr("percentile(n_tokens, 0.25D)"), 6).as("p25"),
+             round(expr("percentile(n_tokens, 0.5D)"), 6).as("p50"),
+             round(expr("percentile(n_tokens, 0.75D)"), 6).as("p75"),
+             round(expr("percentile(n_tokens, 0.95D)"), 6).as("p95"))
+        .orderBy("lang")
+    },
+
+    // Int8 scalar quantization: scale = 127/max|x|, q_i = floor(x_i·scale
+    // + 0.5) — floor(x+0.5) rounds identically in every engine (round()
+    // half-handling differs across engines for negatives). Saturation
+    // count, quantized sum, and reconstruction error audit the loss.
+    "q49_embedding_quantize" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("max_abs", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("scale", lit(127.0) / col("max_abs"))
+        .withColumn("q", expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
+        .select(col("vec_id"),
+          round(col("max_abs"), 6).as("max_abs"),
+          expr("CAST(size(filter(q, y -> abs(y) = 127)) AS BIGINT)").as("n_sat"),
+          expr("aggregate(q, 0L, (a, y) -> a + y)").as("sum_q"),
+          // sequential left fold like the cosine kernels → same double
+          // result both engines; round(6) absorbs any last-ulp residue
+          expr("round(sqrt(aggregate(zip_with(v, q, (x, y) -> pow(x - y / scale, 2)), 0D, (a, c) -> a + c)), 6)").as("recon_err"))
+        .orderBy("vec_id")
+    },
+
+    // Boilerplate prefixes: documents sharing their first 100 chars —
+    // the template/header clusters a curation pipeline strips before
+    // near-dup analysis (a viral prefix also breaks shingle dedup, see
+    // Dedup.capDocFrequency).
+    "q50_boilerplate_prefix" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("source")).as("n_sources"),
+             countDistinct(col("lang")).as("n_langs"),
+             min(col("doc_id")).as("min_doc_id"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("phash")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q47_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, hk,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+        |      FROM h)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, hk
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q48_token_quantiles" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | round(quantile_cont(len(string_split(text, ' ')), 0.25), 6) AS p25,
+        | round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
+        | round(quantile_cont(len(string_split(text, ' ')), 0.75), 6) AS p75,
+        | round(quantile_cont(len(string_split(text, ' ')), 0.95), 6) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q49_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+        |sc AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale FROM m),
+        |qq AS (SELECT vec_id, v, max_abs, scale,
+        |         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+        |       FROM sc)
+        |SELECT vec_id, round(max_abs, 6) AS max_abs,
+        | CAST(len(list_filter(q, y -> abs(y) = 127)) AS BIGINT) AS n_sat,
+        | CAST(list_sum(q) AS BIGINT) AS sum_q,
+        | round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+        |   i -> pow(v[i] - q[i] / scale, 2)))), 6) AS recon_err
+        |FROM qq ORDER BY vec_id""".stripMargin,
+
+    "q50_boilerplate_prefix" ->
+      """SELECT md5(substr(text, 1, 100)) AS phash,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        | MIN(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY phash""".stripMargin
+  )
+}

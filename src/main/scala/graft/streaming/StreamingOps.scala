@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming operator assemblies (SURVEY.md §2B B14): event-time windowed
   * aggregation, session windows, watermarked dedup, and custom state — the
@@ -77,6 +79,67 @@ object StreamingOps {
             state.update(n)
             idleTimeout.foreach(state.setTimeoutDuration)
             KeyCount(key, n)
+          }
+      }
+  }
+
+  /** Closed-session emission via flatMapGroupsWithState — the 0-or-many
+    * output shape mapGroupsWithState can't express: a key emits NOTHING
+    * while its session accumulates and exactly one summary row when the
+    * event-time watermark passes the session's end (+gap). State per key
+    * is one (start, end, count) triple, dropped on emission — bounded by
+    * the number of concurrently-open sessions, the same invariant the
+    * built-in session_window operator maintains ([[sessionAgg]] is the
+    * declarative twin; this is the custom-state escape hatch for session
+    * logic session_window can't express, e.g. value-dependent gaps).
+    *
+    * Requires `.withWatermark` on `tsOf`'s column upstream and
+    * OutputMode.Append downstream; the event-time timeout fires when the
+    * watermark crosses the registered deadline, so emission is driven by
+    * data progress, not wall clock — deterministic under replay. */
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class ClosedSession(key: String, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long)
+  def closedSessions[T](ds: Dataset[T], keyOf: T => String, tsOf: T => Timestamp,
+                        gapMillis: Long): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(keyOf)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, values: Iterator[T], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(key,
+              new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            // fold events in time order, gap-splitting as we go: an event
+            // beyond end+gap PROVES the open session closed, so it is
+            // emitted eagerly; the event-time timeout covers the case
+            // where no later event ever arrives for the key
+            val ts = values.map(tsOf(_).getTime).toSeq.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t > s.end + gapMillis =>
+                  out += ClosedSession(key, new Timestamp(s.start),
+                                       new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1L))
+                case Some(s) =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                                          math.max(s.end, t), s.n + 1))
+                case None => cur = Some(SessionState(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the registered deadline must sit above the watermark (late
+              // stragglers otherwise register an already-passed timeout)
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMillis, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
       }
   }

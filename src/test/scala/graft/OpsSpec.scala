@@ -122,6 +122,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample takes exactly the quota per stratum, deterministically") {
+    val rows = SparkEntry.queries("q47_stratified_sample")(spark, sf).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ == 5), s"quota must be 5 per stratum: $perLang")
+    // re-running yields the identical sample (hash-ordered, no rand())
+    val again = SparkEntry.queries("q47_stratified_sample")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+           again.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("int8 quantization bounds: values in [-127,127], argmax saturates") {
+    SparkEntry.queries("q49_embedding_quantize")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_sat") >= 1, "the max-|x| component must hit ±127")
+      assert(r.getAs[Double]("recon_err") >= 0.0)
+      assert(r.getAs[Double]("recon_err") < 1.0,
+        s"64-dim int8 reconstruction error should be small: $r")
+    }
+  }
+
   test("multimodal stub decode derives features from bytes deterministically") {
     val a = Multimodal.Asset(7L, "s", "Hello".getBytes("UTF-8"))
     val m = Multimodal.decodeStub(a)

@@ -126,6 +126,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(last == Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("flatMapGroupsWithState emits a session exactly when it provably closed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    val sessions = StreamingOps.closedSessions[Ev](
+      s.toDS().withWatermark("ts", "1 minute").as[Ev],
+      _.key, _.ts, gapMillis = 5 * 60 * 1000)
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("closed_sessions").start()
+    // batch 1: open sessions for a and b
+    s.addData(Ev(t(1), "a", 1.0), Ev(t(3), "a", 1.0), Ev(t(2), "b", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("closed_sessions").isEmpty,
+      "nothing closes while the watermark is behind the gap")
+    // batch 2: a@10:30 proves a's first session closed (gap split, eager emit)
+    s.addData(Ev(t(30), "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: watermark (10:29) passed b's deadline (10:07) → b times out
+    s.addData(Ev(t(40), "c", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("closed_sessions").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(rows == Set(
+      ("a", t(1), t(3), 2L),    // closed by the gap-splitting event
+      ("b", t(2), t(2), 1L),    // closed by the event-time timeout
+      ("a", t(30), t(30), 1L)), // c@10:40 pushed the watermark past 10:35
+      s"unexpected closed sessions: $rows")
+    // c's session stays open (deadline 10:45 > watermark 10:39)
+  }
+
   test("idle-timeout drops per-key state so a reappearing key restarts at 1") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
