@@ -195,6 +195,28 @@ object Relational {
         .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
                .cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
+    },
+
+    // B2/B9 + spark.sql interop: correlated scalar subqueries (TPC-H
+    // Q17-style "above this customer's average") — Catalyst decorrelates
+    // both subqueries into aggregate + join; no per-row re-execution.
+    // Division-free comparison (price·count·2 > sum·3 ⇔ price > 1.5·avg)
+    // keeps every operand an exact decimal/integer — decimal division
+    // rounding is the one arithmetic the two engines may disagree on.
+    "q51_correlated_subq" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+      s.sql("""
+        SELECT c_mktsegment,
+          CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM graft_orders o JOIN graft_customer c ON o_custkey = c_custkey
+        WHERE CAST(o_totalprice AS DECIMAL(12,2))
+                * (SELECT COUNT(*) FROM graft_orders o2
+                   WHERE o2.o_custkey = o.o_custkey) * 2
+              > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+                 FROM graft_orders o2 WHERE o2.o_custkey = o.o_custkey) * 3
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }
   )
 
@@ -312,6 +334,18 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.02 AND l_discount <= 0.09
-        |  AND l_quantity < 24""".stripMargin
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q51_correlated_subq" ->
+      """SELECT c_mktsegment,
+        | CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o_custkey = c_custkey
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2))
+        |        * (SELECT COUNT(*) FROM orders o2
+        |           WHERE o2.o_custkey = o.o_custkey) * 2
+        |      > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+        |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey) * 3
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

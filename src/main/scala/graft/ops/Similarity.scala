@@ -39,6 +39,10 @@ object Similarity {
     * broadcast at a constant independent of corpus size. */
   val MaxQueries = 64
   val MaxCentroids = 256
+  /** Bound on the exact pairwise sweep (q41): MaxSweep² kernel calls.
+    * 4096 covers every current SF's full corpus (sf0.1 has 2000 vectors)
+    * while keeping the declared query bounded at any data size. */
+  val MaxSweep = 4096
 
   /** Cast a float array to double and compute the sequential dot product. */
   def dot(a: String, b: String): Column =
@@ -103,11 +107,16 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
-    // Embedding-cosine near-dup pairs: full exact pairwise sweep with a
-    // similarity threshold — the dedup-by-embedding baseline (the LSH
-    // variant prunes the same computation by bucket).
+    // Embedding-cosine near-dup pairs: exact pairwise sweep with a
+    // similarity threshold over a BOUNDED audit sample — the exactness
+    // verifier for the LSH/IVF paths (which prune the same computation by
+    // bucket/cell). Pairwise is O(n²) by nature, so the declared query
+    // pins n: MaxSweep vectors in deterministic id order. At today's SFs
+    // that is the whole corpus (output unchanged); at 100 TB it is how an
+    // exact sweep is actually run — over a bounded audit sample — instead
+    // of becoming an unbounded cartesian product.
     "q41_embedding_neardup" -> { (s, d) =>
-      val e = vecs(s, d)
+      val e = vecs(s, d).orderBy("vec_id").limit(MaxSweep)
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
@@ -197,7 +206,8 @@ object Similarity {
 
     "q41_embedding_neardup" ->
       """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  ORDER BY vec_id LIMIT 4096),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

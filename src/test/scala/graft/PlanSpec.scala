@@ -98,6 +98,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("banded self-joins compute their fingerprint subtree once (exchange reuse)") {
+    // q26/q27 self-join a derived fingerprint relation; both sides carry
+    // identical shuffle exchanges precisely so (AQE) ReuseExchange
+    // evaluates the expensive subtree once. Executed, because reuse is
+    // finalized at runtime under AQE.
+    for (name <- Seq("q26_minhash_lsh", "q27_simhash")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$name recomputes its self-join subtree:\n${p.take(3000)}")
+    }
+  }
+
   test("every declared query's windows are partitioned (no single-task sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     SparkEntry.queries.keys.foreach { name =>
