@@ -1,6 +1,6 @@
 package graft.flow
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigated equi-join: salt the skewed side's key space into
@@ -25,11 +25,15 @@ import org.apache.spark.sql.functions._
   * row exactly once.
   */
 object SkewJoin {
+  /** The salt expression, exposed so tests audit the fan-out property of
+    * the IMPLEMENTATION (not a copy of it). */
+  def saltColumn(saltFactor: Int): Column =
+    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    val left = skewed.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+    val left = skewed.withColumn("_salt", saltColumn(saltFactor))
     val right = other.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     left.join(right, Seq(key, "_salt"), joinType).drop("_salt")

@@ -56,6 +56,14 @@ object Multimodal {
   def decodeBatch(batch: Seq[Asset]): Seq[DecodedAsset] =
     batch.map(decodeStub)
 
+  /** STUB resize — a real implementation rescales pixels; the stub halves
+    * the fake dimensions, preserving the typed metadata contract. */
+  def resizeStub(m: DecodedAsset, maxDim: Long): DecodedAsset = {
+    var (w, h) = (m.width, m.height)
+    while (math.max(w, h) > maxDim) { w = w / 2; h = h / 2 }
+    m.copy(width = w, height = h)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B13: binary assets → stub decode → per-source content stats with
     // hash-based dedup counting.
@@ -78,6 +86,34 @@ object Multimodal {
              (sum(col("first_byte")).cast("double") /
                count(lit(1)) / 255.0).as("avg_brightness"))
         .orderBy("source")
+    },
+
+    // B13: frame sampling over a "video" asset — the asset's byte stream
+    // is segmented into fixed 64-byte frames, every 3rd frame is sampled
+    // (the temporal-downsampling pass a video pipeline runs before
+    // feature extraction), and per-frame features aggregate per asset.
+    // Everything is codegen'd Catalyst expressions over the payload —
+    // no UDF; a real codec would only replace the byte→frame mapping.
+    // Exact integer frame sums keep the oracle bit-identical.
+    "q52_multimodal_frames" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)")).as("f"))
+        .filter(col("f") % 3 === 0)
+        .withColumn("frame", expr("substring(text, f * 64 + 1, 64)"))
+        .withColumn("fsum",
+          expr("aggregate(transform(sequence(1, length(frame)), i -> ascii(substring(frame, i, 1))), 0, (a, x) -> a + x)"))
+        .withColumn("flen", length(col("frame")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+             sum(col("flen")).cast("long").as("sampled_bytes"),
+             sum(col("fsum")).cast("long").as("sum_bytes_val"),
+             max(col("fsum")).cast("long").as("max_frame_sum"),
+             // brightness over the sampled frames: exact integer numerator
+             (sum(col("fsum")).cast("double") /
+               (sum(col("flen")) * lit(255))).as("avg_brightness"))
+        .orderBy("doc_id")
     }
   )
 
@@ -92,6 +128,25 @@ object Multimodal {
         | CAST(MAX(64 + octet_length(encode(text)) % 64) AS BIGINT) AS max_width,
         | CAST(MAX(64 + octet_length(encode(text)) % 48) AS BIGINT) AS max_height,
         | CAST(SUM(ascii(substr(text, 1, 1))) AS DOUBLE) / COUNT(*) / 255.0 AS avg_brightness
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q52_multimodal_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |    substr(text, f * 64 + 1, 64) AS frame
+        |  FROM documents,
+        |    UNNEST(generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS g(f)
+        |  WHERE doc_id % 31 = 0 AND f % 3 = 0),
+        |fs AS (
+        |  SELECT doc_id, length(frame) AS flen,
+        |    list_sum(list_transform(generate_series(1, length(frame)),
+        |      i -> ord(substr(frame, i, 1)))) AS fsum
+        |  FROM fr)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        | CAST(SUM(flen) AS BIGINT) AS sampled_bytes,
+        | CAST(SUM(fsum) AS BIGINT) AS sum_bytes_val,
+        | CAST(MAX(fsum) AS BIGINT) AS max_frame_sum,
+        | CAST(SUM(fsum) AS DOUBLE) / (SUM(flen) * 255) AS avg_brightness
+        |FROM fs GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -81,14 +81,18 @@ object TextAnalysis {
     },
 
     // B12: language identification by character-trigram profile — train
-    // top-k trigram profiles per language over the corpus, predict a doc's
-    // language as the profile with the largest distinct-trigram overlap
-    // (deterministic integer scoring, lang-name tiebreak).
+    // top-k trigram profiles per language over a deterministic ⅓ corpus
+    // sample (at 100 TB a profile is always trained on a sample, never
+    // the full corpus — trigram frequencies converge long before that),
+    // predict a doc's language as the profile with the largest
+    // distinct-trigram overlap (deterministic integer scoring, lang-name
+    // tiebreak).
     "q37_lang_id" -> { (s, d) =>
       val tris = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
       val wp = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
-      val profile = tris.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      val profile = tris.filter(col("doc_id") % 3 === 0)
+        .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
         .select(col("lang").as("pred_lang"), col("tri"))
       val docTris = tris.filter(col("doc_id") % 23 === 0)
@@ -205,7 +209,7 @@ object TextAnalysis {
         |  SELECT lang AS pred_lang, tri FROM (
         |    SELECT lang, tri, COUNT(*) AS cnt,
         |      row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rn
-        |    FROM tris GROUP BY lang, tri) t WHERE rn <= 50),
+        |    FROM tris WHERE doc_id % 3 = 0 GROUP BY lang, tri) t WHERE rn <= 50),
         |dt AS (SELECT DISTINCT doc_id, tri FROM tris WHERE doc_id % 23 = 0),
         |ov AS (SELECT doc_id, pred_lang, COUNT(*) AS overlap
         |       FROM dt JOIN prof USING (tri) GROUP BY 1, 2),

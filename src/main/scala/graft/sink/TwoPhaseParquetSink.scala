@@ -137,6 +137,13 @@ class TwoPhaseParquetSink(config: SinkConfig) {
   }
 }
 
+/** A transport-level append failure carrying a status code — the image
+  * of a gRPC StatusRuntimeException/StorageException reaching the append
+  * path. Distinct from [[AppendRowsException]]: no rows are named, so
+  * nothing is quarantined; classification alone decides retry vs fail. */
+case class TransportException(code: String, detail: String = "")
+    extends RuntimeException(s"$code: $detail")
+
 /** Error classification kept as data, the image of the reference's
   * retriable-code table (BigqueryStreamWriter.java:120-127) and its
   * classification predicates (:153-183). In Spark, retriable failures are
@@ -144,10 +151,18 @@ class TwoPhaseParquetSink(config: SinkConfig) {
   * should fail the query.
   */
 object ErrorClassifier {
+  /** The reference's RETRIABLE_ERROR_CODES, verbatim
+    * (BigqueryStreamWriter.java:120-127). */
+  val RetriableCodes: Set[String] = Set(
+    "INTERNAL", "ABORTED", "CANCELLED",
+    "FAILED_PRECONDITION", "DEADLINE_EXCEEDED", "UNAVAILABLE")
+
   val RetriableExceptions: Set[Class[_]] = Set(
     classOf[java.io.IOException],
     classOf[java.util.concurrent.TimeoutException])
 
-  def isRetriable(t: Throwable): Boolean =
-    RetriableExceptions.exists(_.isAssignableFrom(t.getClass))
+  def isRetriable(t: Throwable): Boolean = t match {
+    case TransportException(code, _) => RetriableCodes.contains(code)
+    case _ => RetriableExceptions.exists(_.isAssignableFrom(t.getClass))
+  }
 }

@@ -70,13 +70,14 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
-  test("saltedJoin actually spreads a hot key across salt buckets") {
+  test("saltedJoin spreads even IDENTICAL duplicate rows of a hot key") {
     import graft.flow.SkewJoin
-    val left = (0 until 1000).map(i => (42L, i)).toDF("k", "v")
-    val salts = left
-      .withColumn("_salt", pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(8)))
+    // the worst skew shape in dedup corpora: the hot key's rows are
+    // byte-identical, so any content-derived salt collapses to one bucket
+    val left = (0 until 1000).map(_ => (42L, 7)).toDF("k", "v")
+    val salts = left.withColumn("_salt", SkewJoin.saltColumn(8))
       .select("_salt").distinct().count()
-    assert(salts >= 6, s"hot key should hit most of the 8 salt buckets, got $salts")
+    assert(salts == 8, s"identical rows must still fan out over all 8 buckets, got $salts")
     assert(SkewJoin.saltedJoin(left, Seq((42L, "x")).toDF("k", "n"), "k", 8).count() == 1000)
   }
 

@@ -151,6 +151,15 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.first_byte == 0L && empty.n_bytes == 0L)
   }
 
+  test("resizeStub halves dimensions until both fit the bound") {
+    val m = Multimodal.DecodedAsset(1L, "s", 100L, 96L, 80L, 65L, 0.25)
+    val r = Multimodal.resizeStub(m, maxDim = 50L)
+    assert(r.width == 48L && r.height == 40L)
+    val r2 = Multimodal.resizeStub(m, maxDim = 25L)
+    assert(r2.width == 24L && r2.height == 20L)
+    assert(Multimodal.resizeStub(m, maxDim = 100L) == m, "already within bound")
+  }
+
   test("decodeAssets runs the decode boundary distributed") {
     val df = Seq((1L, "src", "abc".getBytes("UTF-8"))).toDF("doc_id", "source", "content")
     val out = Multimodal.decodeAssets(df).collect()(0)

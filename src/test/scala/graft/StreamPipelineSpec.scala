@@ -119,6 +119,14 @@ class StreamPipelineSpec extends AnyFunSuite {
   test("error classification table marks IO as retriable, logic as not") {
     assert(ErrorClassifier.isRetriable(new java.io.IOException("net")))
     assert(!ErrorClassifier.isRetriable(new IllegalStateException("bug")))
+    // the reference's code table, verbatim (BigqueryStreamWriter.java:120-127)
+    for (code <- Seq("INTERNAL", "ABORTED", "CANCELLED",
+                     "FAILED_PRECONDITION", "DEADLINE_EXCEEDED", "UNAVAILABLE"))
+      assert(ErrorClassifier.isRetriable(graft.sink.TransportException(code)))
+    for (code <- Seq("INVALID_ARGUMENT", "NOT_FOUND", "PERMISSION_DENIED",
+                     "ALREADY_EXISTS", "OUT_OF_RANGE"))
+      assert(!ErrorClassifier.isRetriable(graft.sink.TransportException(code)),
+        s"$code must not retry (handled by dedicated paths or fatal)")
   }
 
   test("quarantine feedback loop: corrupted rows rewind, then DLQ on replay") {
