@@ -128,6 +128,25 @@ object FlowQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // Range join (point-in-interval) via bin quantization: lineitems
+    // shipped inside each sampled order's 14-day window. The binned
+    // equi-join shuffles on the bin id — O(matching bins), where the
+    // naive theta join is a broadcast-nested-loop over |P|·|I| pairs.
+    "q53_range_join" -> { (s, d) =>
+      val iv = Tables.orders(s, d).filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("iv_id"),
+          expr("unix_date(CAST(o_orderdate AS DATE))").cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 14)
+      val pts = Tables.lineitem(s, d).filter(col("l_orderkey") % 7 === 0)
+        .select(expr("unix_date(CAST(l_shipdate AS DATE))").cast("long").as("pt_day"))
+      graft.flow.RangeJoin.pointInInterval(
+          pts, iv, "pt_day", "start_day", "end_day", binWidth = 16L)
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_pts"),
+             min("pt_day").as("min_day"), max("pt_day").as("max_day"))
+        .orderBy("iv_id")
+    },
+
     // B14 batch image: sessionization — 30-minute inactivity gap, computed
     // per user with lag + running sum (the mapGroupsWithState batch twin).
     "q18_sessionize" -> { (s, d) =>
@@ -237,6 +256,22 @@ object FlowQueries {
         |g AS (SELECT user_id, sid, COUNT(*) AS slen FROM s GROUP BY 1, 2)
         |SELECT user_id, CAST(SUM(slen) AS BIGINT) AS n_events,
         | CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(MAX(slen) AS BIGINT) AS max_session
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The oracle uses the naive theta join — same semantics, fine at
+    // oracle scale; the Spark side's binning is the scale path.
+    "q53_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey AS iv_id,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS start_day
+        |  FROM orders WHERE o_orderkey % 500 = 0),
+        |iv2 AS (SELECT iv_id, start_day, start_day + 14 AS end_day FROM iv),
+        |pts AS (
+        |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS pt_day
+        |  FROM lineitem WHERE l_orderkey % 7 = 0)
+        |SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        | MIN(pt_day) AS min_day, MAX(pt_day) AS max_day
+        |FROM pts JOIN iv2 ON start_day <= pt_day AND pt_day <= end_day
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin
   )
 }

@@ -47,6 +47,28 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream inner join with a bounded time skew: each left event
+    * matches right events for the same key within `[left.ts - skew,
+    * left.ts + skew]`. The watermarks plus the time-range predicate are
+    * what make this runnable forever: they bound how long each side's
+    * rows wait in state for late matches, so the join state ages out
+    * instead of growing with the stream (the unbounded-state trap of an
+    * unconstrained stream-stream equi-join).
+    *
+    * Column contract: both inputs carry (`ts`, `keyCol`); the right side's
+    * columns are prefixed `r_` in the output to avoid collisions. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       watermark: String, skew: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+              col("value").as("r_value"))
+    l.join(r,
+      col(keyCol) === col("r_key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $skew") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $skew"))
+  }
+
   /** Custom keyed state: running event count per key via
     * mapGroupsWithState — the escape hatch the reference's per-partition
     * offset accounting would use if it weren't subsumed by checkpoints.

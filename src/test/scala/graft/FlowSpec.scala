@@ -81,6 +81,20 @@ class FlowSpec extends AnyFunSuite {
     assert(SkewJoin.saltedJoin(left, Seq((42L, "x")).toDF("k", "n"), "k", 8).count() == 1000)
   }
 
+  test("binned range join matches the naive theta join exactly") {
+    import graft.flow.RangeJoin
+    // intervals of varying length (≤ binWidth) at awkward bin boundaries
+    val iv = Seq((1L, 10L, 19L), (2L, 15L, 30L), (3L, 31L, 31L), (4L, 64L, 79L))
+      .toDF("iv_id", "s", "e")
+    val pts = (0L to 100L).map(Tuple1(_)).toDF("pt")
+    val binned = RangeJoin.pointInInterval(pts, iv, "pt", "s", "e", binWidth = 16L)
+      .select("iv_id", "pt").orderBy("iv_id", "pt").collect().map(_.toSeq).toSeq
+    val naive = pts.join(iv, col("s") <= col("pt") && col("pt") <= col("e"))
+      .select("iv_id", "pt").orderBy("iv_id", "pt").collect().map(_.toSeq).toSeq
+    assert(binned == naive)
+    assert(binned.nonEmpty && binned.size == (10 + 16 + 1 + 16))
+  }
+
   test("dedupSurvivor keeps the deterministic first-ranked row") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "ord", "v")

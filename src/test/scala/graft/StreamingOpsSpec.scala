@@ -126,6 +126,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(last == Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("stream-stream join matches within the skew window only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val joined = StreamingOps.streamStreamJoin(
+      l.toDF(), r.toDF(), keyCol = "key",
+      watermark = "10 minutes", skew = "2 MINUTES")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_join").start()
+    l.addData(Ev(t(10), "a", 1.0), Ev(t(10), "b", 5.0))
+    r.addData(Ev(t(11), "a", 2.0),  // within skew → matches
+              Ev(t(20), "a", 3.0),  // 10 min away → no match
+              Ev(t(11), "c", 4.0))  // wrong key → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join")
+      .select("key", "value", "r_value").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSet
+    assert(rows == Set(("a", 1.0, 2.0)), s"got $rows")
+  }
+
   test("flatMapGroupsWithState emits a session exactly when it provably closed") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
