@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ConvertError, CosineSimilarity, DotProduct, StrictToJson}
+import graft.functions.{ConvertError, CosineSimilarity, DotProduct, StrictToJson, WinnowFingerprints}
 
 /** Session extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) registers the engine's
@@ -31,5 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "codegen'd cosine similarity over array<double>"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnowing rolling-hash fingerprints: winnow_fingerprints(text, k, w)"),
+      (es: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fingerprints: $name must be an integer literal, got $other")
+        }
+        WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
+      }))
   }
 }

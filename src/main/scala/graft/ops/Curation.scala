@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.ops.TextAnalysis.tokens
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * between ingestion and training (north-star extension surface, alongside
@@ -34,6 +35,13 @@ object Curation {
     * md5 of the stringified id — uniform, reproducible everywhere. */
   private def sampleKey(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Count-Min Sketch hash family over the neutral 32-bit hash — the
+    * same universal family as the MinHash permutations, reduced to the
+    * sketch width. Row i's column for a term: h_i(t) = ((a_i·H(t) + b_i)
+    * mod P) mod W. */
+  private def cmsCol(h: Column, i: Int, width: Int): Column =
+    ((lit(7919L * (i + 1)) * h + lit(104729L * i)) % Dedup.P) % width
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified sample: 5 docs per language, chosen by hash order —
@@ -83,6 +91,39 @@ object Curation {
           // result both engines; round(6) absorbs any last-ulp residue
           expr("round(sqrt(aggregate(zip_with(v, q, (x, y) -> pow(x - y / scale, 2)), 0D, (a, c) -> a + c)), 6)").as("recon_err"))
         .orderBy("vec_id")
+    },
+
+    // Count-Min Sketch heavy hitters: a d×w counting sketch over the
+    // term stream (d=4 rows, w=256 columns, the MinHash universal-hash
+    // family over the engine-neutral hash), probed for the exact top-5
+    // terms. Sketch build is one explode + groupBy (map-side combined,
+    // matrix ≤ d·w rows no matter the corpus); estimates are min-of-row
+    // cells. Everything is deterministic integer arithmetic, so exact
+    // counts AND sketch estimates hash-match across engines — and the
+    // CMS never-undercount invariant is emitted as a checked column.
+    "q54_countmin_heavyhitters" -> { (s, d) =>
+      val W = 256; val D = 4
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .withColumn("h", Dedup.neutralHash32(col("term")) % Dedup.P)
+      val cells = toks.select(explode(array((0 until D).map(i =>
+          struct(lit(i).as("row"), cmsCol(col("h"), i, W).as("ccol"))): _*)).as("rc"))
+        .select(col("rc.row").as("row"), col("rc.ccol").as("ccol"))
+      val matrix = cells.groupBy("row", "ccol").agg(count(lit(1)).as("cnt"))
+      val probes = toks.groupBy("term")
+        .agg(count(lit(1)).as("exact_cnt"), min("h").as("h"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(5)
+      val lookups = probes.select(col("term"), col("exact_cnt"),
+          explode(array((0 until D).map(i =>
+            struct(lit(i).as("row"), cmsCol(col("h"), i, W).as("ccol"))): _*)).as("rc"))
+        .select(col("term"), col("exact_cnt"),
+                col("rc.row").as("row"), col("rc.ccol").as("ccol"))
+      lookups.join(matrix, Seq("row", "ccol"))
+        .groupBy("term", "exact_cnt")
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("term"), col("exact_cnt"), col("cms_est"),
+                (col("cms_est") >= col("exact_cnt")).as("never_undercounts"))
+        .orderBy(col("exact_cnt").desc, col("term"))
     },
 
     // Boilerplate prefixes: documents sharing their first 100 chars —
@@ -138,6 +179,28 @@ object Curation {
         | round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
         |   i -> pow(v[i] - q[i] / scale, 2)))), 6) AS recon_err
         |FROM qq ORDER BY vec_id""".stripMargin,
+
+    "q54_countmin_heavyhitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |th AS (SELECT term, ('0x' || substr(md5(term),1,8))::BIGINT % 2147483647 AS h FROM toks),
+        |cells AS (
+        |  SELECT i AS row, ((7919*(i+1)*h + 104729*i) % 2147483647) % 256 AS ccol
+        |  FROM th, UNNEST(generate_series(0, 3)) AS g(i)),
+        |matrix AS (SELECT row, ccol, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT term, COUNT(*) AS exact_cnt, MIN(h) AS h FROM th GROUP BY term
+        |  ORDER BY exact_cnt DESC, term LIMIT 5),
+        |lookups AS (
+        |  SELECT term, exact_cnt, i AS row,
+        |    ((7919*(i+1)*h + 104729*i) % 2147483647) % 256 AS ccol
+        |  FROM probes, UNNEST(generate_series(0, 3)) AS g(i)),
+        |est AS (
+        |  SELECT term, exact_cnt, MIN(cnt) AS cms_est
+        |  FROM lookups JOIN matrix USING (row, ccol) GROUP BY 1, 2)
+        |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |  CAST(cms_est AS BIGINT) AS cms_est,
+        |  cms_est >= exact_cnt AS never_undercounts
+        |FROM est ORDER BY exact_cnt DESC, term""".stripMargin,
 
     "q50_boilerplate_prefix" ->
       """SELECT md5(substr(text, 1, 100)) AS phash,

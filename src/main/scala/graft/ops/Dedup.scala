@@ -34,7 +34,7 @@ object Dedup {
   /** Engine-neutral 32-bit string hash: the first 8 hex digits of the md5
     * digest read as an integer — md5 is bytewise-identical everywhere, so
     * any engine reproduces this (DuckDB: ('0x' || substr(md5(s),1,8))::
-    * BIGINT). This is what makes the MinHash/SimHash pipelines
+    * BIGINT). This is what makes the MinHash/SimHash/Count-Min pipelines
     * oracle-checkable; Spark's hash() is Murmur3 with Spark-specific
     * seeding, which no other engine reproduces. */
   def neutralHash32(c: Column): Column =
