@@ -145,19 +145,23 @@ object Extras {
     // the whole row hash-checkable: exact legs compare exactly, approx
     // legs compare as the within-bounds boolean. OpsSpec still bounds the
     // raw Spark estimate directly.
+    // Plan note: TWO distinct columns in one aggregate make Spark rewrite
+    // via Expand (x3 the input before the shuffle). Splitting into one
+    // aggregation per distinct column and joining the 3-row results keeps
+    // every pass a plain two-phase hash aggregate over a pruned scan —
+    // the shuffled data is the distinct pairs, never an expanded fact.
     "q36_approx_distinct" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-             approx_count_distinct(col("l_partkey")).as("_ap"),
-             countDistinct(col("l_orderkey")).as("exact_orders"),
-             approx_count_distinct(col("l_orderkey")).as("_ao"))
-        .select(col("l_returnflag"),
-          col("exact_parts"), col("exact_orders"),
-          (abs(col("_ap") - col("exact_parts")) <=
-            col("exact_parts") * 0.1).as("approx_parts_ok"),
-          (abs(col("_ao") - col("exact_orders")) <=
-            col("exact_orders") * 0.1).as("approx_orders_ok"))
+      val li = Tables.lineitem(s, d)
+      def leg(c: String, exact: String, ok: String) =
+        li.groupBy("l_returnflag")
+          .agg(countDistinct(col(c)).as(exact),
+               approx_count_distinct(col(c)).as("_a"))
+          .select(col("l_returnflag"), col(exact),
+            (abs(col("_a") - col(exact)) <= col(exact) * 0.1).as(ok))
+      leg("l_partkey", "exact_parts", "approx_parts_ok")
+        .join(leg("l_orderkey", "exact_orders", "approx_orders_ok"), "l_returnflag")
+        .select("l_returnflag", "exact_parts", "exact_orders",
+                "approx_parts_ok", "approx_orders_ok")
         .orderBy("l_returnflag")
     }
   )
