@@ -30,9 +30,20 @@ object SkewJoin {
   def saltColumn(saltFactor: Int): Column =
     pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
 
+  /** Left-preserving join types only: the right side is replicated once
+    * per salt, so a right-preserving join (right/full outer) would emit
+    * every UNMATCHED right row saltFactor times — one per surviving
+    * replica. */
+  private val LeftPreserving =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti")
+
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    require(LeftPreserving.contains(joinType.toLowerCase),
+      s"saltedJoin supports left-preserving join types only, got '$joinType' " +
+        "(an unmatched right row would appear once per salt replica)")
     val left = skewed.withColumn("_salt", saltColumn(saltFactor))
     val right = other.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))

@@ -31,10 +31,12 @@ import graft.ops.TextAnalysis.tokens
   */
 object Curation {
 
-  /** Engine-neutral per-row sampling key (see [[Dedup.neutralHash32]]):
-    * md5 of the stringified id — uniform, reproducible everywhere. */
+  /** Engine-neutral per-row sampling key: [[Dedup.neutralHash32]] of the
+    * stringified id — ONE definition of the neutral hash across the
+    * sampling/dedup/sketch family, so the shared DuckDB idiom
+    * (('0x'||substr(md5(x),1,8))::BIGINT) mirrors all of them. */
   private def sampleKey(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    Dedup.neutralHash32(c.cast("string"))
 
   /** Count-Min Sketch hash family over the neutral 32-bit hash — the
     * same universal family as the MinHash permutations, reduced to the

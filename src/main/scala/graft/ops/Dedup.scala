@@ -111,8 +111,11 @@ object Dedup {
       min((lit(7919L * (i + 1)) * hm + lit(104729L * i)) % P).as(s"h$i"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val nBands = numHashes / bandSize
-    val weights = Seq(29791L, 961L, 31L, 1L) // 31^3..31^0
-    require(bandSize == weights.length, "bandSize must be 4")
+    // bandSize·31^(bandSize−1)·P must stay under 2⁶³: fine through
+    // bandSize = 5 (≈ 10¹⁶), overflows from 8 — keep the bound explicit
+    require(bandSize >= 1 && bandSize <= 5,
+      s"bandSize must be in [1, 5] (bucket polynomial overflows past 5), got $bandSize")
+    val weights = Seq.iterate(1L, bandSize)(_ * 31L).reverse // 31^(bandSize-1)..31^0
     val bandBuckets = array((0 until nBands).map { b =>
       (0 until bandSize).map(p => col(s"h${b * bandSize + p}") * lit(weights(p)))
         .reduce(_ + _)

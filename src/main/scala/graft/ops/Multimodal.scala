@@ -97,7 +97,10 @@ object Multimodal {
     // Exact integer frame sums keep the oracle bit-identical.
     "q52_multimodal_frames" -> { (s, d) =>
       Tables.documents(s, d)
-        .filter(col("doc_id") % 31 === 0)
+        // empty assets excluded on BOTH sides: Spark's sequence(0, -1)
+        // yields a DESCENDING [0, -1] (one spurious frame) where DuckDB's
+        // generate_series(0, -1) is empty — same trap shingleExpr guards
+        .filter(col("doc_id") % 31 === 0 && length(col("text")) >= 1)
         .select(col("doc_id"), col("text"),
           explode(expr("sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)")).as("f"))
         .filter(col("f") % 3 === 0)
@@ -136,7 +139,7 @@ object Multimodal {
         |    substr(text, f * 64 + 1, 64) AS frame
         |  FROM documents,
         |    UNNEST(generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS g(f)
-        |  WHERE doc_id % 31 = 0 AND f % 3 = 0),
+        |  WHERE doc_id % 31 = 0 AND length(text) >= 1 AND f % 3 = 0),
         |fs AS (
         |  SELECT doc_id, length(frame) AS flen,
         |    list_sum(list_transform(generate_series(1, length(frame)),

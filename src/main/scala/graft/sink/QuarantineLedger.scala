@@ -34,8 +34,26 @@ class QuarantineLedger(dir: String) {
 
   private def escape(s: String): String =
     s.replace("\\", "\\\\").replace(",", "\\c").replace("\n", "\\n")
-  private def unescape(s: String): String =
-    s.replace("\\n", "\n").replace("\\c", ",").replace("\\\\", "\\")
+  /** Single left-to-right scan — sequential replace() calls would corrupt
+    * inputs whose ESCAPED form contains "\\n"/"\\c" (e.g. a literal
+    * backslash before an n: "a\nb" escapes to "a\\nb", which a naive
+    * replace("\\n", LF) would mangle back to "a" + LF + "b"). */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb += '\\'
+          case 'c'  => sb += ','
+          case 'n'  => sb += '\n'
+          case other => sb += '\\' += other
+        }
+        i += 2
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Record rejected rows; called from the failing batch before it
     * rethrows. Write-then-rename keeps replays of the recording batch

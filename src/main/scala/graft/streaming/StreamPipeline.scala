@@ -147,11 +147,14 @@ object StreamPipeline {
         val spark = batch.sparkSession
         import spark.implicits._
         val (good, dlq) = validationSplit(batch, target)
-        // flatten the good leg onto the destination schema (A8); `value`
-        // rides along so quarantined rows reach the DLQ with their
-        // original payload, and is dropped before the append.
+        // flatten the good leg onto the destination schema (A8); the raw
+        // envelope payload rides along UNDER A RESERVED ALIAS so
+        // quarantined rows reach the DLQ with their original payload — a
+        // bare "value" would collide with (and silently drop) a target
+        // field of the same name.
         val flatAll = good.select(
-          (Seq(col("topic"), col("partition"), col("offset"), col("value")) ++
+          (Seq(col("topic"), col("partition"), col("offset"),
+               col("value").as("_envelope_value")) ++
             target.fields.map(f => col(s"payload.${f.name}").as(f.name))): _*)
         // (2) feedback: previously-quarantined coordinates skip the append
         val quarantined = ledger.map(_.load()).getOrElse(Seq.empty)
@@ -165,9 +168,10 @@ object StreamPipeline {
             (marked.filter(col("_qerr").isNull).drop("_qerr"),
              Some(marked.filter(col("_qerr").isNotNull)
                .select(col("topic"), col("partition"), col("offset"),
-                       col("value"), col("_qerr").as("err"))))
+                       col("_envelope_value").as("value"),
+                       col("_qerr").as("err"))))
           }
-        val appendable = toAppend.drop("value")
+        val appendable = toAppend.drop("_envelope_value")
         // (1) remote row-level response: record + fail, or classify
         val corrupted =
           try appendCheck(appendable)

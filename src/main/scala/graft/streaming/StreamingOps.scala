@@ -135,11 +135,17 @@ object StreamingOps {
             Iterator.single(ClosedSession(key,
               new Timestamp(s.start), new Timestamp(s.end), s.n))
           } else {
+            // flatMapGroupsWithState does NOT drop late input (unlike the
+            // built-in session_window), so drop rows at/behind the
+            // watermark ourselves — a late straggler would otherwise merge
+            // into a session it is more than gapMillis away from (the
+            // gap-split below only checks the HIGH side of the interval)
+            val wm = state.getCurrentWatermarkMs
             // fold events in time order, gap-splitting as we go: an event
             // beyond end+gap PROVES the open session closed, so it is
             // emitted eagerly; the event-time timeout covers the case
             // where no later event ever arrives for the key
-            val ts = values.map(tsOf(_).getTime).toSeq.sorted
+            val ts = values.map(tsOf(_).getTime).filter(_ > wm).toSeq.sorted
             val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             var cur = state.getOption
             ts.foreach { t =>

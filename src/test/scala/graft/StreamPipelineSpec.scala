@@ -174,6 +174,20 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(sink2.committedBatchIds() == Seq(0L))
   }
 
+  test("quarantine ledger round-trips commas, newlines, and backslash sequences") {
+    val ledger = new graft.sink.QuarantineLedger(tmp())
+    // "a\nb" (literal backslash + n) is the killer: its escaped form
+    // contains the two-char sequence "\n", which a naive sequential
+    // replace-based unescape would turn into a real linefeed
+    val nasty = Seq(
+      ("topic,with,commas", 0, 1L, "line1\nline2"),
+      ("a\\nb", 1, 2L, "back\\slash, and \\c too"),
+      ("plain", 2, 3L, "\\"))
+    ledger.append(0L, nasty)
+    val back = ledger.load().map(e => (e.topic, e.partition, e.offset, e.error))
+    assert(back.toSet == nasty.toSet, s"round-trip mismatch: $back")
+  }
+
   test("retriable transport failure propagates without quarantining rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -180,6 +180,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     // c's session stays open (deadline 10:45 > watermark 10:39)
   }
 
+  test("closedSessions drops late events instead of merging across the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    val sessions = StreamingOps.closedSessions[Ev](
+      s.toDS().withWatermark("ts", "1 minute").as[Ev],
+      _.key, _.ts, gapMillis = 5 * 60 * 1000)
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_sessions").start()
+    s.addData(Ev(t(40), "c", 1.0))  // open session; watermark → 10:39
+    q.processAllAvailable()
+    // a late event 35 min BEFORE the open session (behind the watermark):
+    // flatMapGroupsWithState receives it — the operator must drop it, or
+    // the session would absorb an event a whole gap away
+    s.addData(Ev(t(5), "c", 9.0))
+    q.processAllAvailable()
+    s.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:00"), "d", 1.0))
+    q.processAllAvailable() // watermark 10:59 > 10:45 closes c
+    q.stop()
+    val rows = spark.table("late_sessions").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .filter(_._1 == "c")
+    assert(rows.toSeq == Seq(("c", t(40), t(40), 1L)),
+      s"late event must not stretch the session: ${rows.toSeq}")
+  }
+
   test("idle-timeout drops per-key state so a reappearing key restarts at 1") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
