@@ -83,6 +83,9 @@ object Curation {
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("max_abs", expr("array_max(transform(v, x -> abs(x)))"))
+        // an all-zero vector has no quantization scale (127/0 = Inf →
+        // NaN products → ANSI cast error); exclude it on both sides
+        .filter(col("max_abs") > 0)
         .withColumn("scale", lit(127.0) / col("max_abs"))
         .withColumn("q", expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
         .select(col("vec_id"),
@@ -171,7 +174,8 @@ object Curation {
         |  WHERE vec_id % 25 = 0),
         |m AS (SELECT vec_id, v,
         |        list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
-        |sc AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale FROM m),
+        |sc AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale FROM m
+        |       WHERE max_abs > 0),
         |qq AS (SELECT vec_id, v, max_abs, scale,
         |         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
         |       FROM sc)
