@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKAggregator
 import graft.model.Tables
 import graft.ops.Relational.money
 
@@ -163,10 +164,39 @@ object Extras {
         .select("l_returnflag", "exact_parts", "exact_orders",
                 "approx_parts_ok", "approx_orders_ok")
         .orderBy("l_returnflag")
+    },
+
+    // B7 at scale: top-3 orders per priority via the bounded-state typed
+    // Aggregator — partial state is 3 pairs per group per partition and
+    // combines map-side, where the window formulation (q03/q04) sorts
+    // every row of every group behind a full shuffle. Same output,
+    // bounded-heap plan.
+    "q55_topk_aggregator" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(TopKAggregator(3).toColumn.name("topk"))
+        .toDF("o_orderpriority", "topk")
+        .select(col("o_orderpriority"), posexplode(col("topk")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+                col("col._1").as("o_totalprice"), col("col._2").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rk")
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q55_topk_aggregator" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_totalprice, o_orderkey
+        |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
     // DuckDB's own HLL satisfies the same within-10% claim, so the
     // booleans (and the exact legs) hash-match across engines.
     "q36_approx_distinct" ->

@@ -122,6 +122,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAggregator merge order never changes the result") {
+    import graft.functions.TopKAggregator
+    val agg = TopKAggregator(3)
+    val xs = Seq((5.0, 1L), (9.0, 2L), (9.0, 1L), (1.0, 3L), (7.0, 4L), (9.0, 9L))
+    // all single-partition orders and all 2-way splits must agree
+    val expected = Seq((9.0, 1L), (9.0, 2L), (9.0, 9L))
+    xs.permutations.take(50).foreach { p =>
+      assert(p.foldLeft(agg.zero)(agg.reduce) == expected)
+    }
+    for (cut <- 0 to xs.length) {
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+                             b.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected, s"split at $cut diverged")
+    }
+  }
+
   test("stratified sample takes exactly the quota per stratum, deterministically") {
     val rows = SparkEntry.queries("q47_stratified_sample")(spark, sf).collect()
     val perLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap

@@ -98,6 +98,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q55 top-k plans as bounded aggregation, not a window sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = SparkEntry.queries("q55_topk_aggregator")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty,
+      "the aggregator path must not fall back to a window")
+    assert(plan.collect { case a: Aggregate => a }.nonEmpty,
+      "top-k must run as an aggregation (k-bounded partial state)")
+  }
+
   test("banded self-joins compute their fingerprint subtree once (exchange reuse)") {
     // q26/q27 self-join a derived fingerprint relation; both sides carry
     // identical shuffle exchanges precisely so (AQE) ReuseExchange
