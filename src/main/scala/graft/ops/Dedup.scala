@@ -106,10 +106,14 @@ object Dedup {
     * base-31 polynomial — all pure 64-bit integer arithmetic, no
     * overflow (7919·16·P < 2⁴⁸, bucket < 2⁴⁶). */
   def minhashBands(sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
-    val hm = neutralHash32(col("sh")) % P
+    // materialize the md5-derived base hash ONCE per row — as a shared
+    // subtree of 16 aggregate expressions it would rely on codegen CSE to
+    // avoid 16 md5 evaluations per shingle; a named column makes the
+    // single evaluation structural
+    val hashed = sh.withColumn("_hm", neutralHash32(col("sh")) % P)
     val mins = (0 until numHashes).map(i =>
-      min((lit(7919L * (i + 1)) * hm + lit(104729L * i)) % P).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min((lit(7919L * (i + 1)) * col("_hm") + lit(104729L * i)) % P).as(s"h$i"))
+    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val nBands = numHashes / bandSize
     // bandSize·31^(bandSize−1)·P must stay under 2⁶³: fine through
     // bandSize = 5 (≈ 10¹⁶), overflows from 8 — keep the bound explicit
