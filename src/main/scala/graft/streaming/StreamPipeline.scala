@@ -135,17 +135,59 @@ object StreamPipeline {
             config: SinkConfig, dlqDir: String, checkpointDir: String,
             quarantineDir: Option[String] = None,
             appendCheck: DataFrame => Seq[(String, Int, Long, String)] = _ => Seq.empty)
+      : (StreamingQuery, TwoPhaseParquetSink, TwoPhaseParquetSink) =
+    startWith(source, _ => valueSchema, target, config, dlqDir,
+              checkpointDir, quarantineDir, appendCheck)
+
+  /** [[start]] without a declared value schema: the schema is inferred
+    * from the first non-empty micro batch's payloads (bounded sample, see
+    * [[inferValueSchema]]) and reused for the rest of the query — the
+    * streaming leg of the reference's null-valueSchema fallback. The
+    * TARGET schema stays declared: the destination contract is external,
+    * only the source's shape is discovered. After a restart the schema is
+    * re-inferred from the replayed batch — same data, same inference. */
+  def startInferred(source: DataFrame, target: StructType,
+                    config: SinkConfig, dlqDir: String, checkpointDir: String,
+                    quarantineDir: Option[String] = None,
+                    appendCheck: DataFrame => Seq[(String, Int, Long, String)] = _ => Seq.empty,
+                    sampleSize: Int = 1000)
+      : (StreamingQuery, TwoPhaseParquetSink, TwoPhaseParquetSink) = {
+    val memo = new java.util.concurrent.atomic.AtomicReference[StructType]()
+    startWith(source, batch => {
+      Option(memo.get).getOrElse {
+        // widen with any target field the sample never carried (nullable):
+        // the validation split must be able to SELECT it — the strict
+        // converter then applies its own required-field null rules
+        val inferred = target.fields.foldLeft(inferValueSchema(batch, sampleSize)) {
+          (acc, f) =>
+            if (acc.fieldNames.contains(f.name)) acc
+            else acc.add(StructField(f.name, f.dataType, nullable = true))
+        }
+        if (!batch.isEmpty) memo.set(inferred) // an empty batch teaches nothing
+        inferred
+      }
+    }, target, config, dlqDir, checkpointDir, quarantineDir, appendCheck)
+  }
+
+  private def startWith(source: DataFrame, schemaFor: DataFrame => StructType,
+                        target: StructType, config: SinkConfig,
+                        dlqDir: String, checkpointDir: String,
+                        quarantineDir: Option[String],
+                        appendCheck: DataFrame => Seq[(String, Int, Long, String)])
       : (StreamingQuery, TwoPhaseParquetSink, TwoPhaseParquetSink) = {
     val sink = new TwoPhaseParquetSink(config)
     val dlqSink = new TwoPhaseParquetSink(SinkConfig(dlqDir))
     val ledger = quarantineDir.map(new QuarantineLedger(_))
-    val query = decode(source, valueSchema)
+    val query = source
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
         import spark.implicits._
+        // decode per batch (a from_json projection — identical plan to
+        // decoding the stream, but the schema may come from the batch)
+        val batch = decode(rawBatch, schemaFor(rawBatch))
         val (good, dlq) = validationSplit(batch, target)
         // flatten the good leg onto the destination schema (A8); the raw
         // envelope payload rides along UNDER A RESERVED ALIAS so

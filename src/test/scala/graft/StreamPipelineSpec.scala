@@ -204,6 +204,28 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(sink.committedBatchIds().isEmpty)
   }
 
+  test("startInferred runs the full pipeline with no declared value schema") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Env]
+    stream.addData(Seq(
+      Env("t", 0, 0L, null, """{"id":"id-0","int_value":123}"""),
+      Env("t", 0, 1L, null, """not json at all"""),
+      Env("t", 0, 2L, null, """{"id":null,"int_value":7}""")))
+    val (q, sink, dlq) = StreamPipeline.startInferred(
+      stream.toDF(), target, SinkConfig(tmp()), dlqDir = tmp(), checkpointDir = tmp())
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"inferred pipeline must run clean: ${q.exception}")
+    val good = sink.read(spark).collect()
+    assert(good.map(_.getAs[String]("id")).toSeq == Seq("id-0"))
+    assert(good.head.getAs[Long]("int_value") == 123L)
+    val bad = dlq.read(spark).collect()
+    val errByOffset = bad.map(r => r.getAs[Long]("offset") -> r.getAs[String]("err")).toMap
+    assert(errByOffset(1L) == "unparseable payload")
+    assert(errByOffset(2L).contains("required field $.id"),
+      "strict converter rules still apply to inferred payloads")
+  }
+
   test("schema inference fallback: missing fields decode as optional nulls") {
     // reference RecordConverter.java:17-23 — null valueSchema ⇒ infer
     // from the value itself, everything optional
