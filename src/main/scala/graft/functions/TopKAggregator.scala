@@ -22,8 +22,15 @@ case class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, "k must be positive")
 
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // "better than"
+  /** "better than", TOTAL over all doubles: java.lang.Double.compare
+    * gives NaN and ±0.0 a defined order (NaN ranks highest, i.e. first) —
+    * a bare `>` is not total under NaN (both a>b and b>a false), which
+    * would silently break the sorted-buffer invariant and make results
+    * partitioning-dependent. */
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: List[(Double, Long)] = Nil
 

@@ -152,18 +152,43 @@ object StreamPipeline {
                     appendCheck: DataFrame => Seq[(String, Int, Long, String)] = _ => Seq.empty,
                     sampleSize: Int = 1000)
       : (StreamingQuery, TwoPhaseParquetSink, TwoPhaseParquetSink) = {
+    // The learned schema is DURABLE next to the checkpoint: a restarted
+    // query resumes mid-stream, so re-inferring from whichever batch the
+    // checkpoint replays could type the stream differently than the
+    // committed prefix — the schema must be learned once, ever.
+    val schemaFile = java.nio.file.Paths.get(checkpointDir, "_inferred_value_schema.ddl")
     val memo = new java.util.concurrent.atomic.AtomicReference[StructType]()
+    def persisted(): Option[StructType] =
+      if (java.nio.file.Files.exists(schemaFile))
+        Some(StructType.fromDDL(java.nio.file.Files.readString(schemaFile)))
+      else None
     startWith(source, batch => {
-      Option(memo.get).getOrElse {
-        // widen with any target field the sample never carried (nullable):
-        // the validation split must be able to SELECT it — the strict
-        // converter then applies its own required-field null rules
-        val inferred = target.fields.foldLeft(inferValueSchema(batch, sampleSize)) {
-          (acc, f) =>
-            if (acc.fieldNames.contains(f.name)) acc
-            else acc.add(StructField(f.name, f.dataType, nullable = true))
+      Option(memo.get).orElse(persisted()).map { s => memo.set(s); s }.getOrElse {
+        // Reconcile inference toward the DESTINATION contract: every
+        // target field is parsed at its TARGET type (nullable — the
+        // strict converter applies its own required-field rules), because
+        // a drifted inferred type (quoted number → STRING) would fail
+        // StrictConvert's analysis-time type check and crash the query
+        // instead of routing rows to the DLQ. Non-target fields keep
+        // their inferred types (parsed, then ignored by the flatten);
+        // matching is case-insensitive like Spark's resolver, and the
+        // pipeline's reserved corrupt column is excluded so decode's own
+        // corrupt field stays unique.
+        val targetNames = target.fieldNames.map(_.toLowerCase).toSet
+        val extra = inferValueSchema(batch, sampleSize).fields.filterNot(f =>
+          targetNames.contains(f.name.toLowerCase) ||
+            f.name.equalsIgnoreCase(CorruptField))
+        val inferred = StructType(
+          extra ++ target.fields.map(f => StructField(f.name, f.dataType, nullable = true)))
+        if (!batch.isEmpty) { // an empty batch teaches nothing
+          java.nio.file.Files.createDirectories(schemaFile.getParent)
+          val tmp = schemaFile.resolveSibling(schemaFile.getFileName.toString + ".tmp")
+          java.nio.file.Files.writeString(tmp, inferred.toDDL)
+          java.nio.file.Files.move(tmp, schemaFile,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          memo.set(inferred)
         }
-        if (!batch.isEmpty) memo.set(inferred) // an empty batch teaches nothing
         inferred
       }
     }, target, config, dlqDir, checkpointDir, quarantineDir, appendCheck)

@@ -137,6 +137,17 @@ class OpsSpec extends AnyFunSuite {
                              b.foldLeft(agg.zero)(agg.reduce))
       assert(agg.finish(merged) == expected, s"split at $cut diverged")
     }
+    // NaN has a defined, deterministic rank (Double.compare: highest) —
+    // a bare > comparison is not total under NaN and would corrupt the
+    // sorted buffer partitioning-dependently
+    val withNaN = Seq((1.0, 1L), (Double.NaN, 2L), (2.0, 3L), (Double.NaN, 1L))
+    val direct = withNaN.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- 0 to withNaN.length) {
+      val (a, b) = withNaN.splitAt(cut)
+      assert(agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+                       b.foldLeft(agg.zero)(agg.reduce)) == direct,
+        s"NaN handling must be partitioning-independent (cut $cut)")
+    }
   }
 
   test("stratified sample takes exactly the quota per stratum, deterministically") {

@@ -226,6 +226,29 @@ class StreamPipelineSpec extends AnyFunSuite {
       "strict converter rules still apply to inferred payloads")
   }
 
+  test("startInferred survives type drift: target types win, bad rows go to DLQ") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Env]
+    // every int_value arrives QUOTED — inference alone would type it
+    // STRING and fail the strict converter's analysis-time type check;
+    // reconciling to the target type parses row 0 as a corrupt record
+    // (PERMISSIVE: unconvertible field → whole record flagged) → DLQ
+    stream.addData(Seq(
+      Env("t", 0, 0L, null, """{"id":"id-0","int_value":"not a number"}"""),
+      Env("t", 0, 1L, null, """{"id":"id-1","int_value":456}""")))
+    val ckpt = tmp()
+    val (q, sink, dlq) = StreamPipeline.startInferred(
+      stream.toDF(), target, SinkConfig(tmp()), dlqDir = tmp(), checkpointDir = ckpt)
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"type drift must not crash the query: ${q.exception}")
+    assert(sink.read(spark).collect().map(_.getAs[String]("id")).toSeq == Seq("id-1"))
+    assert(dlq.read(spark).collect().map(_.getAs[Long]("offset")).toSeq == Seq(0L))
+    // the learned schema is durable next to the checkpoint
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt, "_inferred_value_schema.ddl")))
+  }
+
   test("schema inference fallback: missing fields decode as optional nulls") {
     // reference RecordConverter.java:17-23 — null valueSchema ⇒ infer
     // from the value itself, everything optional
