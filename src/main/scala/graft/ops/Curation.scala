@@ -131,6 +131,26 @@ object Curation {
         .orderBy(col("exact_cnt").desc, col("term"))
     },
 
+    // Edit-distance verification of near-dup candidates: levenshtein is
+    // O(len²) per pair, so it NEVER runs all-pairs — candidates come
+    // from the q50 prefix clusters (equi-join on the prefix hash), and
+    // the quadratic kernel touches only within-cluster pairs. The
+    // generate-candidates-then-verify-exactly shape is the same contract
+    // as MinHash→Jaccard (q26) and LSH→cosine (q29).
+    "q57_edit_distance" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
+      val a = docs.select(col("phash"), col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = docs.select(col("phash"), col("doc_id").as("doc_b"), col("text").as("tb"))
+      a.join(b, Seq("phash")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+        .withColumn("sim_pct",
+          round(lit(100.0) * (col("max_len") - col("dist")) / col("max_len"), 6))
+        .select("doc_a", "doc_b", "dist", "max_len", "sim_pct")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Boilerplate prefixes: documents sharing their first 100 chars —
     // the template/header clusters a curation pipeline strips before
     // near-dup analysis (a viral prefix also breaks shingle dedup, see
@@ -207,6 +227,18 @@ object Curation {
         |  CAST(cms_est AS BIGINT) AS cms_est,
         |  cms_est >= exact_cnt AS never_undercounts
         |FROM est ORDER BY exact_cnt DESC, term""".stripMargin,
+
+    "q57_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, md5(substr(text, 1, 100)) AS phash FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+        |      FROM d a JOIN d b ON a.phash = b.phash AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+        |  CAST(greatest(length(ta), length(tb)) AS BIGINT) AS max_len,
+        |  round(100.0 * (greatest(length(ta), length(tb)) - levenshtein(ta, tb))
+        |        / greatest(length(ta), length(tb)), 6) AS sim_pct
+        |FROM p ORDER BY doc_a, doc_b""".stripMargin,
 
     "q50_boilerplate_prefix" ->
       """SELECT md5(substr(text, 1, 100)) AS phash,

@@ -166,6 +166,25 @@ object Extras {
         .orderBy("l_returnflag")
     },
 
+    // B6 depth: the ranking-family window functions — quartile bucketing
+    // (ntile), relative position (percent_rank/cume_dist), and offset
+    // access with defaults (lag/lead). Unique (price, key) ordering keys
+    // make every one deterministic; the rank ratios are same-int
+    // divisions in both engines.
+    "q56_window_family" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("q4", ntile(4).over(w).cast("long"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1, -1.0).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 2, -1L).over(w).cast("long"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
     // B7 at scale: top-3 orders per priority via the bounded-state typed
     // Aggregator — partial state is 3 pairs per group per partition and
     // combines map-side, where the window formulation (q03/q04) sorts
@@ -188,6 +207,20 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "q56_window_family" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 50 = 0)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS q4,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+        |  CAST(lead(o_orderkey, 2, -1) OVER w AS BIGINT) AS next_key
+        |FROM t
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
     "q55_topk_aggregator" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_totalprice, o_orderkey,
