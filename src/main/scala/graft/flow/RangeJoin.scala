@@ -30,16 +30,36 @@ object RangeJoin {
 
   /** Join `points` (with integral column `ptCol`) to `intervals` (with
     * integral `startCol`/`endCol`, both inclusive) on containment.
-    * Requires max interval length ≤ binWidth (checked at runtime inside
-    * the join only by the refine predicate — longer intervals are safe
-    * for correctness here because bins are exploded from start to end,
-    * they just replicate more). */
+    * Longer-than-binWidth intervals stay CORRECT (bins are exploded from
+    * start to end — they just replicate more), but the replication is the
+    * operator's only blowup mode, so every interval is checked against
+    * `maxBinsPerInterval` at runtime: one interval spanning 10⁹ bins
+    * (a data bug or a mis-sized binWidth) fails fast with a clear error
+    * instead of materializing 10⁹ rows into the shuffle.
+    *
+    * The two inputs must not share non-range column names: the equi-join
+    * is on `_bin` only, so a shared name would survive as an ambiguous
+    * duplicate and break downstream resolution — checked up front. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       ptCol: String, startCol: String, endCol: String,
-                      binWidth: Long): DataFrame = {
+                      binWidth: Long, maxBinsPerInterval: Long = 256L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals share column name(s) ${shared.mkString(", ")}: " +
+        "the bin equi-join would emit them as ambiguous duplicates — " +
+        "alias/prefix one side first")
+    // assert_true rides INSIDE the sequence bounds so the guard cannot be
+    // pruned as an unused projection: it evaluates exactly once per
+    // interval row, before the explode fans out
+    val spanBins = s"($endCol div $binWidth - $startCol div $binWidth + 1)"
+    val guard = s"assert_true($spanBins <= ${maxBinsPerInterval}L, " +
+      s"concat('RangeJoin: an interval covers ', CAST($spanBins AS STRING), " +
+      s"' bins > maxBinsPerInterval=$maxBinsPerInterval; widen binWidth or raise the budget'))"
     val iv = intervals.withColumn("_bin",
-      explode(expr(s"sequence($startCol div $binWidth, $endCol div $binWidth)")))
+      explode(expr(
+        s"sequence($startCol div $binWidth, $endCol div $binWidth + CAST(coalesce($guard, 0) AS BIGINT))")))
     val pt = points.withColumn("_bin", expr(s"$ptCol div $binWidth"))
     pt.join(iv, Seq("_bin"))
       .filter(col(startCol) <= col(ptCol) && col(ptCol) <= col(endCol))

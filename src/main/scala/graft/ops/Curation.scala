@@ -45,6 +45,32 @@ object Curation {
   private def cmsCol(h: Column, i: Int, width: Int): Column =
     ((lit(7919L * (i + 1)) * h + lit(104729L * i)) % Dedup.P) % width
 
+  /** Pairwise quadratic-kernel budget: a prefix cluster of size n costs
+    * n·(n−1)/2 levenshtein calls, so the per-cluster cost ceiling is
+    * MaxEditCluster²/2 kernels regardless of corpus size. */
+  val MaxEditCluster = 16
+
+  /** q57 body, factored for testability: within-cluster all-pairs
+    * levenshtein over q50's prefix clusters, with oversize clusters
+    * excluded up front (count ≤ [[MaxEditCluster]] via a partitioned
+    * window — one shuffle on phash serves both the guard and the
+    * self-join). Expects columns (doc_id, text). */
+  def editDistanceVerify(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("phash"))))
+      .filter(col("csize") <= MaxEditCluster)
+    val a = docs.select(col("phash"), col("doc_id").as("doc_a"), col("text").as("ta"))
+    val b = docs.select(col("phash"), col("doc_id").as("doc_b"), col("text").as("tb"))
+    a.join(b, Seq("phash")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .withColumn("sim_pct",
+        round(lit(100.0) * (col("max_len") - col("dist")) / col("max_len"), 6))
+      .select("doc_a", "doc_b", "dist", "max_len", "sim_pct")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified sample: 5 docs per language, chosen by hash order —
     // the deterministic form of "uniform sample per stratum".
@@ -136,19 +162,13 @@ object Curation {
     // from the q50 prefix clusters (equi-join on the prefix hash), and
     // the quadratic kernel touches only within-cluster pairs. The
     // generate-candidates-then-verify-exactly shape is the same contract
-    // as MinHash→Jaccard (q26) and LSH→cosine (q29).
+    // as MinHash→Jaccard (q26) and LSH→cosine (q29). Clusters larger
+    // than MaxEditCluster are EXCLUDED (not exploded): a viral template
+    // shared by 10⁶ docs would otherwise cost 10¹² O(len²) kernels —
+    // the same quadratic guard as Dedup.capDocFrequency; oversize
+    // clusters are q50's finding, not a pairwise-verification input.
     "q57_edit_distance" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
-      val a = docs.select(col("phash"), col("doc_id").as("doc_a"), col("text").as("ta"))
-      val b = docs.select(col("phash"), col("doc_id").as("doc_b"), col("text").as("tb"))
-      a.join(b, Seq("phash")).filter(col("doc_a") < col("doc_b"))
-        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-        .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))).cast("long"))
-        .withColumn("sim_pct",
-          round(lit(100.0) * (col("max_len") - col("dist")) / col("max_len"), 6))
-        .select("doc_a", "doc_b", "dist", "max_len", "sim_pct")
-        .orderBy("doc_a", "doc_b")
+      editDistanceVerify(Tables.documents(s, d))
     },
 
     // Boilerplate prefixes: documents sharing their first 100 chars —
@@ -229,8 +249,10 @@ object Curation {
         |FROM est ORDER BY exact_cnt DESC, term""".stripMargin,
 
     "q57_edit_distance" ->
-      """WITH d AS (
+      """WITH d0 AS (
         |  SELECT doc_id, text, md5(substr(text, 1, 100)) AS phash FROM documents),
+        |ok AS (SELECT phash FROM d0 GROUP BY phash HAVING COUNT(*) <= 16),
+        |d AS (SELECT d0.* FROM d0 JOIN ok USING (phash)),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
         |      FROM d a JOIN d b ON a.phash = b.phash AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,

@@ -128,18 +128,30 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // B10: exact dedup by content key with deterministic survivor.
+    // B10: exact dedup by TRUE content key — md5 of the full text — with
+    // a deterministic survivor. Demonstrated on the re-ingestion scenario
+    // (the one where exact content dedup actually fires at scale): two
+    // overlapping ingest shards are unioned, so every document in the
+    // overlap arrives twice with identical bytes; dedup keys on
+    // md5(text) and keeps the earliest (ingest, doc_id) copy. The key is
+    // the content hash itself — NOT a (lang, length) proxy — so two
+    // different texts never collapse.
     "q24_exact_dedup" -> { (s, d) =>
-      val keyed = Tables.documents(s, d)
-        .withColumn("ckey", struct(col("lang"), col("n_chars")))
-      val w = Window.partitionBy(col("ckey")).orderBy(col("doc_id"))
+      val docs = Tables.documents(s, d)
+      val shardA = docs.filter(col("doc_id") % 3 =!= 2).withColumn("ingest", lit(0L))
+      val shardB = docs.filter(col("doc_id") % 3 =!= 0).withColumn("ingest", lit(1L))
+      val keyed = shardA.unionByName(shardB)
+        .withColumn("content_md5", md5(col("text")))
+      val grp = Window.partitionBy(col("content_md5"))
+      val w = grp.orderBy(col("ingest"), col("doc_id"))
       keyed
         .withColumn("rn", row_number().over(w))
-        .withColumn("grp_n", count(lit(1)).over(Window.partitionBy(col("ckey"))))
+        .withColumn("grp_n", count(lit(1)).over(grp))
         .filter(col("rn") === 1 && col("grp_n") > 1)
-        .select(col("lang"), col("n_chars"), col("grp_n").as("n_dups"),
-                col("doc_id").as("survivor_id"), md5(col("text")).as("survivor_md5"))
-        .orderBy("lang", "n_chars")
+        .select(col("lang"), col("grp_n").as("n_dups"),
+                col("ingest").as("survivor_ingest"),
+                col("doc_id").as("survivor_id"), col("content_md5"))
+        .orderBy("survivor_id", "content_md5")
     },
 
     // B11: exact n-gram Jaccard near-dup pairs (oracle-checked variant),
@@ -205,14 +217,18 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "q24_exact_dedup" ->
-      """WITH g AS (
-        |  SELECT lang, n_chars, doc_id, text,
-        |    row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn,
-        |    COUNT(*) OVER (PARTITION BY lang, n_chars) AS grp_n
-        |  FROM documents)
-        |SELECT lang, n_chars, CAST(grp_n AS BIGINT) AS n_dups,
-        |  doc_id AS survivor_id, md5(text) AS survivor_md5
-        |FROM g WHERE rn = 1 AND grp_n > 1 ORDER BY lang, n_chars""".stripMargin,
+      """WITH u AS (
+        |  SELECT lang, doc_id, text, 0::BIGINT AS ingest FROM documents WHERE doc_id % 3 <> 2
+        |  UNION ALL
+        |  SELECT lang, doc_id, text, 1::BIGINT AS ingest FROM documents WHERE doc_id % 3 <> 0),
+        |g AS (
+        |  SELECT lang, doc_id, ingest, md5(text) AS content_md5,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY ingest, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY md5(text)) AS grp_n
+        |  FROM u)
+        |SELECT lang, CAST(grp_n AS BIGINT) AS n_dups,
+        |  ingest AS survivor_ingest, doc_id AS survivor_id, content_md5
+        |FROM g WHERE rn = 1 AND grp_n > 1 ORDER BY survivor_id, content_md5""".stripMargin,
 
     "q25_ngram_jaccard" ->
       """WITH toks AS (

@@ -44,11 +44,15 @@ object Multimodal {
     * accelerator transfer amortize across the batch instead of being paid
     * per row. The stub decodes elementwise inside the batch; swapping in
     * a real `Seq[Asset] => Seq[DecodedAsset]` keeps every signature. */
-  def decodeAssets(df: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeAssets(df: DataFrame, batchSize: Int = 64,
+                   decoder: Seq[Asset] => Seq[DecodedAsset] = decodeBatch): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // `decoder` is the injection seam: a real codec (or a test double)
+    // drops in without touching the pipeline — it must be serializable,
+    // since it ships to executors inside the mapPartitions closure.
     df.as[Asset].mapPartitions {
-      _.grouped(batchSize).flatMap(decodeBatch)
+      _.grouped(batchSize).flatMap(decoder)
     }.toDF()
   }
 

@@ -264,7 +264,7 @@ object TextAnalysis {
         |  FROM picked GROUP BY 1)
         |SELECT d.doc_id, CAST(COALESCE(a.n_fps, 0) AS BIGINT) AS n_fps,
         |  CAST(COALESCE(a.n_distinct_fps, 0) AS BIGINT) AS n_distinct_fps,
-        |  a.min_fp, a.max_fp
+        |  CAST(a.min_fp AS BIGINT) AS min_fp, CAST(a.max_fp AS BIGINT) AS max_fp
         |FROM docs d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
   )

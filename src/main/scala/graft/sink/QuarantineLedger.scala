@@ -56,13 +56,23 @@ class QuarantineLedger(dir: String) {
   }
 
   /** Record rejected rows; called from the failing batch before it
-    * rethrows. Write-then-rename keeps replays of the recording batch
-    * idempotent at the file level (same batch ⇒ same file name). */
+    * rethrows. ACCUMULATES like the reference's `corruptedRowOffsets`: a
+    * replayed batch can reject NEW rows after the first quarantined set
+    * was already routed to the DLQ, so new entries are unioned with the
+    * file's existing coordinates — a plain overwrite would forget the
+    * first set and let the feedback loop flip-flop between rejection sets
+    * forever. First-recorded error wins per coordinate (idempotent
+    * replays re-record the same rows). Write-then-rename keeps the merged
+    * file atomic. */
   def append(batchId: Long, rows: Seq[(String, Int, Long, String)]): Unit = {
     if (rows.isEmpty) return
     val tmp = root.resolve(s".batch-$batchId.tmp")
     val dst = root.resolve(s"batch-$batchId.csv")
-    val body = rows.map { case (t, p, o, e) =>
+    val existing = if (Files.exists(dst)) readFile(dst) else Seq.empty
+    val known = existing.map(e => (e.topic, e.partition, e.offset)).toSet
+    val merged = existing.map(e => (e.topic, e.partition, e.offset, e.error)) ++
+      rows.filterNot { case (t, p, o, _) => known.contains((t, p, o)) }
+    val body = merged.map { case (t, p, o, e) =>
       s"${escape(t)},$p,$o,${escape(e)}"
     }.mkString("", "\n", "\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -70,16 +80,17 @@ class QuarantineLedger(dir: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def readFile(f: Path): Seq[Entry] =
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val Array(t, p, o, e) = line.split(",", 4)
+      Entry(unescape(t), p.toInt, o.toLong, unescape(e))
+    }
+
   /** All quarantined coordinates recorded so far. */
   def load(): Seq[Entry] = {
     val files = Using.resource(Files.list(root))(_.iterator().asScala.toSeq)
       .filter(_.getFileName.toString.endsWith(".csv")).sortBy(_.getFileName.toString)
-    files.flatMap { f =>
-      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).map { line =>
-        val Array(t, p, o, e) = line.split(",", 4)
-        Entry(unescape(t), p.toInt, o.toLong, unescape(e))
-      }
-    }
+    files.flatMap(readFile)
   }
 
   def isEmpty: Boolean = load().isEmpty

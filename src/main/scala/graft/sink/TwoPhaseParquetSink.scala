@@ -28,7 +28,12 @@ object WriteMode {
 
 /** Sink configuration, the image of the reference's typed config surface
   * (reference: BigqueryStreamWriteSinkConfig.java:9-70): destination plus
-  * validated write mode and batch sizing.
+  * validated write mode and batch sizing. `maxRecordsPerTrigger` is the
+  * `buffer.size` image (BigqueryStreamWriteSinkConfig.java:36-41): the
+  * reference cuts the record stream into appends of at most buffer.size
+  * rows; here it bounds rows per written parquet file — the sink's append
+  * unit — via the writer's maxRecordsPerFile (enforced in
+  * [[TwoPhaseParquetSink.writeBatch]]).
   */
 case class SinkConfig(outputDir: String,
                       writeMode: WriteMode = WriteMode.Committed,
@@ -85,12 +90,17 @@ class TwoPhaseParquetSink(config: SinkConfig) {
     */
   def writeBatch(df: DataFrame, batchId: Long): Unit = {
     if (isCommitted(batchId)) return // ALREADY_EXISTS skip
+    // buffer.size image: no single append unit (parquet file) carries
+    // more than maxRecordsPerTrigger rows, however large the micro-batch.
+    val writer = df.write
+      .option("maxRecordsPerFile", config.maxRecordsPerTrigger)
+      .mode("overwrite")
     config.writeMode match {
       case WriteMode.Committed =>
-        df.write.mode("overwrite").parquet(dataDir.resolve(s"batch=$batchId").toString)
+        writer.parquet(dataDir.resolve(s"batch=$batchId").toString)
         markCommitted(batchId)
       case WriteMode.Pending =>
-        df.write.mode("overwrite").parquet(stagingDir.resolve(s"batch=$batchId").toString)
+        writer.parquet(stagingDir.resolve(s"batch=$batchId").toString)
     }
   }
 

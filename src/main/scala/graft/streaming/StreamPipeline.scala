@@ -75,10 +75,22 @@ object StreamPipeline {
     */
   def inferValueSchema(envelope: DataFrame, sampleSize: Int = 1000): StructType = {
     val spark = envelope.sparkSession
-    val sample = envelope.select(col("value"))
-      .filter(col("value").isNotNull).limit(sampleSize)
-      .as(org.apache.spark.sql.Encoders.STRING)
-    val inferred = spark.read.json(sample).schema
+    // Deterministic sample: order by the envelope coordinates before the
+    // limit — a bare limit() takes whichever partitions answer first, so
+    // two runs (or two restarts racing to write the schema file) could
+    // learn different field sets. orderBy+limit plans as per-partition
+    // top-N + driver merge (TakeOrderedAndProject), not a global sort.
+    // The ≤sampleSize strings are then collected and inferred from a
+    // LOCAL dataset: the inference job degenerates to a single tiny task
+    // instead of a full distributed JSON-datasource scan per call.
+    val sample = envelope.select(col("value"), col("topic"), col("partition"), col("offset"))
+      .filter(col("value").isNotNull)
+      .orderBy(col("topic"), col("partition"), col("offset"))
+      .limit(sampleSize)
+      .select(col("value")).as(org.apache.spark.sql.Encoders.STRING)
+      .collect().toIndexedSeq
+    val inferred = spark.read
+      .json(spark.createDataset(sample)(org.apache.spark.sql.Encoders.STRING)).schema
     // a corrupt record in the sample makes read.json emit its own corrupt
     // column; drop it — [[decode]] adds the pipeline's CorruptField itself
     val corruptCol = spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
@@ -89,6 +101,28 @@ object StreamPipeline {
   /** [[decode]] without a declared schema: infer, then decode. */
   def decodeInferred(envelope: DataFrame, sampleSize: Int = 1000): DataFrame =
     decode(envelope, inferValueSchema(envelope, sampleSize))
+
+  /** Drift observability for the learn-once inference choice
+    * ([[startInferred]]): the reference infers PER RECORD
+    * (RecordConverter.java:17-19), so a field appearing mid-stream is
+    * picked up there but silently dropped forever here. The monitor
+    * closes the observability gap: each batch counts payload rows whose
+    * top-level keys include a field absent from the learned schema, so an
+    * operator sees drift the batch it starts (and can choose to restart
+    * with a wider schema) instead of discovering dropped fields months
+    * later. Counters only — decode behavior stays learn-once stable. */
+  final class SchemaDriftMonitor extends Serializable {
+    private val rows = new java.util.concurrent.atomic.AtomicLong()
+    private val batches = new java.util.concurrent.atomic.AtomicLong()
+    private[streaming] def record(n: Long): Unit = {
+      rows.addAndGet(n)
+      if (n > 0) batches.incrementAndGet()
+    }
+    /** Rows seen so far carrying at least one unknown top-level field. */
+    def driftRows: Long = rows.get
+    /** Batches so far in which any drift was observed. */
+    def driftBatches: Long = batches.get
+  }
 
   /** A9/A4: split decoded records into (good, dlq). A record is bad when
     * the payload failed to parse or the strict converter rejects it
@@ -150,7 +184,8 @@ object StreamPipeline {
                     config: SinkConfig, dlqDir: String, checkpointDir: String,
                     quarantineDir: Option[String] = None,
                     appendCheck: DataFrame => Seq[(String, Int, Long, String)] = _ => Seq.empty,
-                    sampleSize: Int = 1000)
+                    sampleSize: Int = 1000,
+                    drift: Option[SchemaDriftMonitor] = None)
       : (StreamingQuery, TwoPhaseParquetSink, TwoPhaseParquetSink) = {
     // The learned schema is DURABLE next to the checkpoint: a restarted
     // query resumes mid-stream, so re-inferring from whichever batch the
@@ -163,7 +198,7 @@ object StreamPipeline {
         Some(StructType.fromDDL(java.nio.file.Files.readString(schemaFile)))
       else None
     startWith(source, batch => {
-      Option(memo.get).orElse(persisted()).map { s => memo.set(s); s }.getOrElse {
+      val schema = Option(memo.get).orElse(persisted()).map { s => memo.set(s); s }.getOrElse {
         // Reconcile inference toward the DESTINATION contract: every
         // target field is parsed at its TARGET type (nullable — the
         // strict converter applies its own required-field rules), because
@@ -191,6 +226,22 @@ object StreamPipeline {
         }
         inferred
       }
+      // drift signal: rows whose payload carries a top-level field the
+      // learned schema does not know. Case-insensitive like the schema
+      // reconciliation above; malformed payloads yield NULL keys and are
+      // not drift (they already route to the DLQ as unparseable).
+      drift.foreach { m =>
+        val known = (schema.fieldNames.map(_.toLowerCase).toSet + CorruptField.toLowerCase)
+          .toSeq.sorted.map(lit(_))
+        val n = batch
+          .filter(col("value").isNotNull)
+          .filter(size(array_except(
+            transform(json_object_keys(col("value")), k => lower(k)),
+            array(known: _*))) > 0)
+          .count()
+        m.record(n)
+      }
+      schema
     }, target, config, dlqDir, checkpointDir, quarantineDir, appendCheck)
   }
 

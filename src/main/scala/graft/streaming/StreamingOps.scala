@@ -107,67 +107,76 @@ object StreamingOps {
 
   /** Closed-session emission via flatMapGroupsWithState — the 0-or-many
     * output shape mapGroupsWithState can't express: a key emits NOTHING
-    * while its session accumulates and exactly one summary row when the
-    * event-time watermark passes the session's end (+gap). State per key
-    * is one (start, end, count) triple, dropped on emission — bounded by
-    * the number of concurrently-open sessions, the same invariant the
-    * built-in session_window operator maintains ([[sessionAgg]] is the
-    * declarative twin; this is the custom-state escape hatch for session
-    * logic session_window can't express, e.g. value-dependent gaps).
+    * while its sessions accumulate and exactly one summary row per session
+    * once the event-time watermark passes the session's end (+gap).
+    *
+    * A session is emitted ONLY when `watermark >= end + gap` — the one
+    * condition that PROVES it closed: until then the watermark contract
+    * still admits a non-late event in (watermark, end+gap] that extends
+    * or bridges it. Seeing a newer event beyond end+gap proves nothing
+    * (event time is allowed to arrive out of order up to the watermark
+    * delay), so state holds a LIST of disjoint sessions per key:
+    * closed-but-unconfirmed sessions wait for the watermark while newer
+    * sessions accumulate. An event merges into every session within
+    * `gap` on EITHER side (bridging two sessions collapses them); an
+    * event more than `gap` below a session's start opens a separate
+    * session rather than silently widening the old one downward.
+    *
+    * State per key is bounded by the number of sessions inside one
+    * watermark horizon (~delay/gap + 1), dropped on emission — the same
+    * invariant the built-in session_window operator maintains
+    * ([[sessionAgg]] is the declarative twin; this is the custom-state
+    * escape hatch for session logic session_window can't express, e.g.
+    * value-dependent gaps).
     *
     * Requires `.withWatermark` on `tsOf`'s column upstream and
     * OutputMode.Append downstream; the event-time timeout fires when the
     * watermark crosses the registered deadline, so emission is driven by
     * data progress, not wall clock — deterministic under replay. */
   case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionListState(sessions: Seq[SessionState])
   case class ClosedSession(key: String, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long)
   def closedSessions[T](ds: Dataset[T], keyOf: T => String, tsOf: T => Timestamp,
                         gapMillis: Long): Dataset[ClosedSession] = {
     import ds.sparkSession.implicits._
+    // merge one event into the disjoint session list: absorb every
+    // session within gap of t (0, 1, or 2 of them — 2 = bridge)
+    def absorb(sessions: Seq[SessionState], t: Long): Seq[SessionState] = {
+      val (near, far) = sessions.partition(s =>
+        t >= s.start - gapMillis && t <= s.end + gapMillis)
+      val merged = near.foldLeft(SessionState(t, t, 1L)) { (a, s) =>
+        SessionState(math.min(a.start, s.start), math.max(a.end, s.end), a.n + s.n)
+      }
+      (far :+ merged).sortBy(_.start)
+    }
+    def flush(key: String, sessions: Seq[SessionState],
+              state: GroupState[SessionListState], wm: Long): Iterator[ClosedSession] = {
+      val (closed, open) = sessions.partition(_.end + gapMillis <= wm)
+      if (open.nonEmpty) {
+        state.update(SessionListState(open))
+        // earliest still-open deadline; must sit above the watermark
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.end + gapMillis).min, wm + 1))
+      } else state.remove()
+      closed.sortBy(_.start).iterator.map(s =>
+        ClosedSession(key, new Timestamp(s.start), new Timestamp(s.end), s.n))
+    }
     ds.groupByKey(keyOf)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[SessionListState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, values: Iterator[T], state: GroupState[SessionState]) =>
+        (key: String, values: Iterator[T], state: GroupState[SessionListState]) =>
+          val wm = state.getCurrentWatermarkMs
           if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(key,
-              new Timestamp(s.start), new Timestamp(s.end), s.n))
+            flush(key, state.get.sessions, state, wm)
           } else {
             // flatMapGroupsWithState does NOT drop late input (unlike the
             // built-in session_window), so drop rows at/behind the
-            // watermark ourselves — a late straggler would otherwise merge
-            // into a session it is more than gapMillis away from (the
-            // gap-split below only checks the HIGH side of the interval)
-            val wm = state.getCurrentWatermarkMs
-            // fold events in time order, gap-splitting as we go: an event
-            // beyond end+gap PROVES the open session closed, so it is
-            // emitted eagerly; the event-time timeout covers the case
-            // where no later event ever arrives for the key
+            // watermark ourselves before merging
             val ts = values.map(tsOf(_).getTime).filter(_ > wm).toSeq.sorted
-            val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t > s.end + gapMillis =>
-                  out += ClosedSession(key, new Timestamp(s.start),
-                                       new Timestamp(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1L))
-                case Some(s) =>
-                  cur = Some(SessionState(math.min(s.start, t),
-                                          math.max(s.end, t), s.n + 1))
-                case None => cur = Some(SessionState(t, t, 1L))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // the registered deadline must sit above the watermark (late
-              // stragglers otherwise register an already-passed timeout)
-              state.setTimeoutTimestamp(
-                math.max(s.end + gapMillis, state.getCurrentWatermarkMs + 1))
-            }
-            out.iterator
+            val sessions = ts.foldLeft(
+              state.getOption.map(_.sessions).getOrElse(Seq.empty))(absorb)
+            flush(key, sessions, state, wm)
           }
       }
   }

@@ -95,6 +95,30 @@ class FlowSpec extends AnyFunSuite {
     assert(binned.nonEmpty && binned.size == (10 + 16 + 1 + 16))
   }
 
+  test("range join rejects ambiguous columns and oversize intervals fail fast") {
+    import graft.flow.RangeJoin
+    val pts = Seq(Tuple1(5L)).toDF("pt")
+    val iv = Seq((1L, 0L, 10000L)).toDF("iv_id", "s", "e")
+    // shared non-range column name → ambiguous output, rejected up front
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, iv.withColumn("pt", lit(0L)), "pt", "s", "e", 16L)
+    }
+    assert(err.getMessage.contains("share column name"))
+    // an interval covering 10001 bins blows the replication budget: the
+    // guard fires per interval row BEFORE the explode materializes rows
+    val ex = intercept[Throwable] {
+      RangeJoin.pointInInterval(pts, iv, "pt", "s", "e",
+        binWidth = 1L, maxBinsPerInterval = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(messages(ex).exists(m => m != null && m.contains("maxBinsPerInterval")),
+      s"expected the replication-budget error, got: ${messages(ex)}")
+    // within budget the guard is invisible
+    assert(RangeJoin.pointInInterval(pts, iv, "pt", "s", "e",
+      binWidth = 1L, maxBinsPerInterval = 20000L).count() == 1L)
+  }
+
   test("dedupSurvivor keeps the deterministic first-ranked row") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "ord", "v")

@@ -169,6 +169,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-distance verification excludes oversize clusters instead of exploding them") {
+    import graft.ops.Curation
+    // one mega-cluster (shared 100-char prefix, size > MaxEditCluster) and
+    // one small cluster: the mega-cluster must contribute ZERO pairs — the
+    // quadratic kernel never touches it — while the small cluster verifies.
+    val template = "x" * 100
+    val mega = (1L to (Curation.MaxEditCluster + 4)).map(i => (i, template + s" tail$i"))
+    val small = Seq((1000L, "y" * 100 + " a"), (1001L, "y" * 100 + " b"))
+    val docs = (mega ++ small).toDF("doc_id", "text")
+    val pairs = Curation.editDistanceVerify(docs).collect()
+    assert(pairs.length == 1, s"only the small cluster's single pair: ${pairs.length}")
+    assert(pairs(0).getAs[Long]("doc_a") == 1000L && pairs(0).getAs[Long]("doc_b") == 1001L)
+    // at exactly the cap the cluster is still verified (boundary inclusive)
+    val atCap = (1L to Curation.MaxEditCluster.toLong).map(i => (i, template + s" t$i"))
+    val capPairs = Curation.editDistanceVerify(atCap.toDF("doc_id", "text")).count()
+    val n = Curation.MaxEditCluster.toLong
+    assert(capPairs == n * (n - 1) / 2)
+  }
+
   test("multimodal stub decode derives features from bytes deterministically") {
     val a = Multimodal.Asset(7L, "s", "Hello".getBytes("UTF-8"))
     val m = Multimodal.decodeStub(a)
@@ -193,5 +212,20 @@ class OpsSpec extends AnyFunSuite {
     val out = Multimodal.decodeAssets(df).collect()(0)
     assert(out.getAs[Long]("n_bytes") == 3L)
     assert(out.getAs[Double]("brightness") == 'a'.toInt / 255.0)
+  }
+
+  test("decodeAssets accepts an injected decoder in place of the stub") {
+    val df = Seq((1L, "src", Array[Byte](1, 2)), (2L, "src", Array[Byte](3)))
+      .toDF("doc_id", "source", "content")
+    // a "real codec" double: constant dimensions, brightness from length —
+    // observably different from decodeStub, batch signature unchanged
+    val custom: Seq[Multimodal.Asset] => Seq[Multimodal.DecodedAsset] =
+      _.map(a => Multimodal.DecodedAsset(a.doc_id, a.source,
+        a.content.length.toLong, 1920L, 1080L, -1L, a.content.length / 10.0))
+    val out = Multimodal.decodeAssets(df, batchSize = 1, decoder = custom)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("width") == 1920L)
+    assert(out(1L).getAs[Long]("first_byte") == -1L)
+    assert(out(2L).getAs[Double]("brightness") == 0.1)
   }
 }

@@ -188,6 +188,33 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(back.toSet == nasty.toSet, s"round-trip mismatch: $back")
   }
 
+  test("quarantine ledger accumulates successive rejection rounds for one batch") {
+    val ledger = new graft.sink.QuarantineLedger(tmp())
+    // round 1: the remote rejects row 1; the batch fails and replays
+    ledger.append(5L, Seq(("t", 0, 1L, "bad utf8")))
+    // round 2, same replayed batch: row 1 re-recorded (skipped — first
+    // error wins) AND a new rejection surfaces. A REPLACE here would
+    // forget row 1 and let the feedback loop flip-flop forever.
+    ledger.append(5L, Seq(("t", 0, 1L, "different message"), ("t", 0, 2L, "oversize")))
+    val back = ledger.load().map(e => (e.topic, e.partition, e.offset, e.error))
+    assert(back.toSet == Set(("t", 0, 1L, "bad utf8"), ("t", 0, 2L, "oversize")),
+      s"both rounds must accumulate: $back")
+  }
+
+  test("maxRecordsPerTrigger (buffer.size) bounds rows per append unit") {
+    val dir = tmp()
+    val sink = new TwoPhaseParquetSink(SinkConfig(dir, maxRecordsPerTrigger = 10L))
+    sink.writeBatch(spark.range(95).toDF("v").coalesce(1), 0L)
+    val parts = new java.io.File(s"$dir/data/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 10, s"95 rows / buffer 10 needs ≥10 appends, got ${parts.length}")
+    parts.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 10L,
+        s"append unit ${f.getName} exceeds buffer.size")
+    }
+    assert(sink.read(spark).count() == 95L)
+  }
+
   test("retriable transport failure propagates without quarantining rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -247,6 +274,37 @@ class StreamPipelineSpec extends AnyFunSuite {
     // the learned schema is durable next to the checkpoint
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(ckpt, "_inferred_value_schema.ddl")))
+  }
+
+  test("drift monitor counts unknown-field rows while decode stays learn-once stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Env]
+    stream.addData(Seq(Env("t", 0, 0L, null, """{"id":"id-0","int_value":1}""")))
+    val ckpt = tmp(); val out = tmp(); val dlqD = tmp()
+    val monitor = new StreamPipeline.SchemaDriftMonitor
+    val (q, _, _) = StreamPipeline.startInferred(
+      stream.toDF(), target, SinkConfig(out), dlqDir = dlqD, checkpointDir = ckpt,
+      drift = Some(monitor))
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty)
+    assert(monitor.driftRows == 0L, "the learning batch cannot drift from itself")
+    // a field appears mid-stream: the reference's per-record inference
+    // would pick it up; learn-once drops it — but the monitor must SAY so
+    stream.addData(Seq(
+      Env("t", 0, 1L, null, """{"id":"id-1","int_value":2,"brand_new_field":true}"""),
+      Env("t", 0, 2L, null, """{"id":"id-2","int_value":3}""")))
+    val (q2, sink2, dlq2) = StreamPipeline.startInferred(
+      stream.toDF(), target, SinkConfig(out), dlqDir = dlqD, checkpointDir = ckpt,
+      drift = Some(monitor))
+    q2.awaitTermination(60000)
+    assert(q2.exception.isEmpty, s"drift must not destabilize decode: ${q2.exception}")
+    assert(monitor.driftRows == 1L, s"exactly the one new-field row: ${monitor.driftRows}")
+    assert(monitor.driftBatches == 1L)
+    // decode unchanged: all three rows land, the unknown field is dropped
+    assert(sink2.read(spark).collect().map(_.getAs[String]("id")).toSet ==
+      Set("id-0", "id-1", "id-2"))
+    assert(dlq2.read(spark).isEmpty)
   }
 
   test("schema inference fallback: missing fields decode as optional nulls") {

@@ -162,10 +162,20 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.processAllAvailable()
     assert(spark.table("closed_sessions").isEmpty,
       "nothing closes while the watermark is behind the gap")
-    // batch 2: a@10:30 proves a's first session closed (gap split, eager emit)
+    // batch 2: a@10:30 gap-splits into a second session. In the data
+    // batch itself (wm 10:02 < 10:08) nothing may emit — the emission
+    // happens in the trailing no-data batch, once the watermark advances
+    // to 10:29 and provably passes a's first deadline (10:08) and b's
+    // (10:07). (The non-emission while wm < end+gap is pinned by the
+    // bridge test below, where the watermark delay exceeds the gap.)
     s.addData(Ev(t(30), "a", 1.0))
     q.processAllAvailable()
-    // batch 3: watermark (10:29) passed b's deadline (10:07) → b times out
+    val afterB2 = spark.table("closed_sessions").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(afterB2 == Set(("a", t(1), t(3), 2L), ("b", t(2), t(2), 1L)),
+      s"watermark 10:29 closes exactly the two early sessions: $afterB2")
+    // batch 3: c@10:40 pushes the watermark to 10:39, past a's second
+    // deadline (10:35)
     s.addData(Ev(t(40), "c", 1.0))
     q.processAllAvailable()
     q.stop()
@@ -173,11 +183,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
       .toSet
     assert(rows == Set(
-      ("a", t(1), t(3), 2L),    // closed by the gap-splitting event
+      ("a", t(1), t(3), 2L),    // watermark passed end+gap
       ("b", t(2), t(2), 1L),    // closed by the event-time timeout
       ("a", t(30), t(30), 1L)), // c@10:40 pushed the watermark past 10:35
       s"unexpected closed sessions: $rows")
     // c's session stays open (deadline 10:45 > watermark 10:39)
+  }
+
+  test("closedSessions bridges two unconfirmed sessions and never widens across the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    val sessions = StreamingOps.closedSessions[Ev](
+      s.toDS().withWatermark("ts", "30 minutes").as[Ev],
+      _.key, _.ts, gapMillis = 5 * 60 * 1000)
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("bridge_sessions").start()
+    // two sessions 8 min apart — farther than the 5-min gap, closer than
+    // the 30-min watermark delay, so neither is provably closed
+    s.addData(Ev(t(1), "k", 1.0), Ev(t(9), "k", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("bridge_sessions").isEmpty)
+    // an out-of-order event at 10:05 is within the gap of BOTH — the two
+    // sessions must merge into one (1..9), not overlap or mis-split
+    s.addData(Ev(t(5), "k", 1.0))
+    q.processAllAvailable()
+    // push the watermark far past end+gap to flush everything
+    s.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "z", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("bridge_sessions").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .filter(_._1 == "k")
+    assert(rows.toSeq == Seq(("k", t(1), t(9), 3L)),
+      s"bridge event must collapse the two sessions: ${rows.toSeq}")
   }
 
   test("closedSessions drops late events instead of merging across the gap") {

@@ -50,6 +50,22 @@ def main(sf_dir, out_dir):
         d_cols = sorted(duck.column_names)
         if s_cols != d_cols:
             print(f"FAIL {name}: cols spark={s_cols} duck={d_cols}");  n_bad += 1;  continue
+        # Arrow-TYPE parity: the driver's hash is type-tagged, so a value-
+        # identical decimal128 vs int64 (DuckDB silently widens SUM-derived
+        # projections to HUGEINT/DECIMAL) still hash-mismatches there even
+        # though canon() hides it here. Normalize benign representation
+        # differences only (tz tag, string width).
+        def ntype(t):
+            s = str(t)
+            s = s.replace("large_string", "string").replace("large_binary", "binary")
+            if s.startswith("timestamp"):
+                s = "timestamp"
+            return s
+        s_types = {f.name: ntype(f.type) for f in spark_tbl.schema}
+        d_types = {f.name: ntype(f.type) for f in duck.schema}
+        mism = {c: (s_types[c], d_types[c]) for c in s_cols if s_types[c] != d_types[c]}
+        if mism:
+            print(f"FAIL {name}: arrow types differ {mism}");  n_bad += 1;  continue
         if spark_tbl.num_rows != duck.num_rows:
             print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
             n_bad += 1;  continue
