@@ -1,0 +1,300 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.TextAnalysis.{shingleExpr, tokens}
+
+/** Round-3 corpus-pipeline operators (SURVEY.md §2D) — the remaining ops
+  * a production LLM training-data pipeline runs that §2B/§2C don't cover:
+  *
+  *   - q58: Bloom-filter join pruning — membership pre-filter for a
+  *     selective semi-join, the standard trick for skipping a fact-table
+  *     shuffle when most rows won't match (Spark's own runtime row-group
+  *     skipping image, built engine-neutral so the oracle replays it);
+  *   - q59: benchmark decontamination — flag training documents sharing
+  *     any 4-token shingle with a held-out benchmark set (the n-gram
+  *     overlap rule used to keep eval sets out of training corpora);
+  *   - q60: n-gram repetition score — per-document duplicate-trigram
+  *     fraction and hottest-trigram count (the Gopher-style repetition
+  *     quality gate, upstream of dedup);
+  *   - q61: sequence packing — concatenate-then-chunk assignment of
+  *     documents into fixed token-budget context windows, per language
+  *     (what a pretraining loader does before batching);
+  *   - q62: mergeable histogram quantiles — fixed-width-bin length
+  *     sketch with exact-percentile audit (the scalable alternative to
+  *     q48's exact sort-based quantiles).
+  *
+  * Scale notes (100 TB): q58's filter side collapses to ≤ m=8192 distinct
+  * bits regardless of key cardinality — it broadcasts by construction and
+  * the fact table is never shuffled (three broadcast-hash probes, no
+  * explode). q59 joins corpus shingles against a BENCHMARK-sized shingle
+  * set (benchmarks are fixed-size; the corpus side is linear, never
+  * self-joined). q60 is one explode + two hash aggregations, map-side
+  * combinable. q61's only shuffle is the per-language window partition —
+  * packing is embarrassingly parallel across languages (a global pack
+  * order would serialize the corpus through one task; per-stratum packing
+  * is what real loaders do). q62's sketch state is (#langs × #bins) rows
+  * no matter the corpus; only the audit leg touches exact percentiles.
+  */
+object Corpus {
+
+  /** Bloom geometry: m bits, k=3 probes from the same universal hash
+    * family as MinHash/CMS (engine-neutral md5-derived base hash). */
+  private val BloomBits = 8192
+  private def bloomBit(h: Column, i: Int): Column =
+    ((lit(7919L * (i + 1)) * h + lit(104729L * i)) % Dedup.P) % BloomBits
+
+  /** Context-window token budget for q61 sequence packing. */
+  private val PackBudget = 2048L
+
+  /** Histogram bin width (chars) for the q62 length sketch. */
+  private val HistBin = 64L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom-filter join pruning. Key set: the sampled orders an
+    // (imagined) downstream pass needs lineitems for. The bloom side is
+    // DISTINCT bit positions — at most m=8192 rows no matter how many
+    // keys — so the three membership probes are broadcast joins and the
+    // fact table streams through unshuffled. The exact key join rides
+    // along to audit the bloom: false-positive rate is reported, and the
+    // no-false-negatives invariant (a bloom NEVER misses a member) is
+    // emitted as a checked column, like q54's never_undercounts.
+    "q58_bloom_prune" -> { (s, d) =>
+      val keys = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"))
+        .withColumn("h", Dedup.neutralHash32(col("o_orderkey").cast("string")) % Dedup.P)
+      val bits = keys
+        .select(explode(array((0 until 3).map(i => bloomBit(col("h"), i)): _*)).as("bit"))
+        .distinct()
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"))
+        .withColumn("h", Dedup.neutralHash32(col("l_orderkey").cast("string")) % Dedup.P)
+      val probed = (0 until 3).foldLeft(
+        fact.withColumn("b0", bloomBit(col("h"), 0))
+            .withColumn("b1", bloomBit(col("h"), 1))
+            .withColumn("b2", bloomBit(col("h"), 2))) { (df, i) =>
+        df.join(bits.withColumnRenamed("bit", s"b$i").withColumn(s"m$i", lit(1)),
+                Seq(s"b$i"), "left")
+      }
+      val truth = keys.select(col("o_orderkey").as("l_orderkey"), lit(1).as("tm"))
+      val audited = probed.join(truth, Seq("l_orderkey"), "left")
+        .withColumn("pass",
+          col("m0").isNotNull && col("m1").isNotNull && col("m2").isNotNull)
+      audited.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("pass"), 1)).as("n_pass"),
+          count(when(col("tm").isNotNull, 1)).as("n_members"),
+          count(when(col("pass") && col("tm").isNull, 1)).as("n_false_pos"),
+          count(when(!col("pass") && col("tm").isNotNull, 1)).as("n_missed"))
+        .select(col("n_rows"), col("n_pass"), col("n_members"), col("n_false_pos"),
+          round(col("n_false_pos").cast("double") /
+            (col("n_rows") - col("n_members")), 6).as("fp_rate"),
+          (col("n_missed") === 0).as("no_false_negatives"))
+    },
+
+    // Benchmark decontamination: any 4-token shingle shared with the
+    // held-out set (doc_id % 23 — a stand-in for a fixed benchmark)
+    // flags the training document. The benchmark shingle set is bounded
+    // by benchmark size, the corpus side is linear — no self-join.
+    "q59_decontam" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 4)
+        .select(col("doc_id"), explode(shingleExpr("t", 4)).as("sh"))
+        .distinct()
+      val bench = sh.filter(col("doc_id") % 23 === 0)
+        .select(col("sh"), col("doc_id").as("bench_doc"))
+      sh.filter(col("doc_id") % 23 =!= 0)
+        .join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_shared"),
+             countDistinct(col("bench_doc")).as("n_bench_docs"))
+        .orderBy("doc_id")
+    },
+
+    // Per-document n-gram repetition: duplicate-trigram fraction and the
+    // hottest trigram's count — the repetition quality gate. The
+    // `repetitive` verdict compares on exact integers ((dups)·5 > total
+    // ⇔ frac > 0.2), so the boolean is engine-exact independent of
+    // float formatting.
+    "q60_repetition" -> { (s, d) =>
+      val tri = Tables.documents(s, d)
+        .filter(col("doc_id") % 13 === 0)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(shingleExpr("t", 3)).as("tri"))
+      tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_tri"),
+             count(lit(1)).cast("long").as("n_distinct"),
+             max(col("c")).cast("long").as("top_count"))
+        .select(col("doc_id"), col("n_tri"), col("n_distinct"), col("top_count"),
+          round((col("n_tri") - col("n_distinct")).cast("double") / col("n_tri"), 6)
+            .as("dup_frac"),
+          ((col("n_tri") - col("n_distinct")) * 5 > col("n_tri")).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing: documents are laid end-to-end in doc_id order
+    // within each language and chunked into PackBudget-token context
+    // windows; each document is assigned the window its first token
+    // falls into (concatenate-then-chunk, the pretraining-loader
+    // layout). Per-language windows keep packing parallel.
+    "q61_seq_packing" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div $PackBudget"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tok")).cast("long").as("n_tokens"),
+             min(col("doc_id")).as("first_doc"),
+             max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    },
+
+    // Mergeable histogram quantiles: a (lang, bin) count sketch whose
+    // state is #langs × #bins regardless of corpus size, probed for
+    // upper-edge p50/p95 estimates. Cumulative thresholds compare in
+    // exact integers (cum·2 ≥ total; cum·20 ≥ 19·total). The exact
+    // interpolated percentile rides along as the audit: the estimate
+    // must sit within one bin width.
+    "q62_hist_quantiles" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("bin", expr(s"n_chars div $HistBin"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy(col("lang"))
+      val h = docs.groupBy("lang", "bin").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("total", sum(col("c")).over(wTot))
+      val est = h.groupBy("lang").agg(
+        min(when(col("cum") * 2 >= col("total"), (col("bin") + 1) * HistBin))
+          .as("est_p50"),
+        min(when(col("cum") * 20 >= col("total") * 19, (col("bin") + 1) * HistBin))
+          .as("est_p95"))
+      val exact = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5D)").as("x50"),
+        expr("percentile(n_chars, 0.95D)").as("x95"))
+      exact.join(est, "lang")
+        .select(col("lang"), col("n_docs"), col("est_p50"), col("est_p95"),
+          (abs(col("est_p50") - col("x50")) <= HistBin).as("ok_p50"),
+          (abs(col("est_p95") - col("x95")) <= HistBin).as("ok_p95"))
+        .orderBy("lang")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q58_bloom_prune" ->
+      s"""WITH keys AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0),
+        |kh AS (SELECT o_orderkey,
+        |         ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8))::BIGINT % 2147483647 AS h
+        |       FROM keys),
+        |bits AS (SELECT DISTINCT ((7919*(i+1)*h + 104729*i) % 2147483647) % $BloomBits AS bit
+        |         FROM kh, UNNEST(generate_series(0, 2)) AS g(i)),
+        |lh AS (SELECT l_orderkey,
+        |         ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,8))::BIGINT % 2147483647 AS h
+        |       FROM lineitem),
+        |lb AS (SELECT l_orderkey,
+        |         ((7919*1*h + 104729*0) % 2147483647) % $BloomBits AS bit0,
+        |         ((7919*2*h + 104729*1) % 2147483647) % $BloomBits AS bit1,
+        |         ((7919*3*h + 104729*2) % 2147483647) % $BloomBits AS bit2
+        |       FROM lh),
+        |memb AS (
+        |  SELECT x.l_orderkey,
+        |    (b0.bit IS NOT NULL AND b1.bit IS NOT NULL AND b2.bit IS NOT NULL) AS pass
+        |  FROM lb x
+        |  LEFT JOIN bits b0 ON x.bit0 = b0.bit
+        |  LEFT JOIN bits b1 ON x.bit1 = b1.bit
+        |  LEFT JOIN bits b2 ON x.bit2 = b2.bit),
+        |audited AS (
+        |  SELECT m.pass, (k.o_orderkey IS NOT NULL) AS is_member
+        |  FROM memb m LEFT JOIN keys k ON m.l_orderkey = k.o_orderkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+        |  CAST(SUM(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+        |  round(CAST(SUM(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)), 6) AS fp_rate,
+        |  SUM(CASE WHEN is_member AND NOT pass THEN 1 ELSE 0 END) = 0 AS no_false_negatives
+        |FROM audited""".stripMargin,
+
+    "q59_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS g(i)),
+        |bench AS (SELECT sh, doc_id AS bench_doc FROM sh WHERE doc_id % 23 = 0)
+        |SELECT s.doc_id,
+        |  CAST(COUNT(DISTINCT s.sh) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+        |FROM sh s JOIN bench b ON s.sh = b.sh
+        |WHERE s.doc_id % 23 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q60_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 13 = 0 AND len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS tri
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |cnt AS (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_tri, n_distinct, top_count,
+        |  round(CAST(n_tri - n_distinct AS DOUBLE) / n_tri, 6) AS dup_frac,
+        |  (n_tri - n_distinct) * 5 > n_tri AS repetitive
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "q61_seq_packing" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT lang, CAST(cum_before AS BIGINT) // 2048 AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+    "q62_hist_quantiles" ->
+      """WITH b AS (SELECT lang, n_chars, n_chars // 64 AS bin FROM documents),
+        |h AS (SELECT lang, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, bin, c,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS total
+        |  FROM h),
+        |est AS (
+        |  SELECT lang,
+        |    MIN(CASE WHEN cum * 2 >= total THEN (bin + 1) * 64 END) AS est_p50,
+        |    MIN(CASE WHEN cum * 20 >= total * 19 THEN (bin + 1) * 64 END) AS est_p95
+        |  FROM cum GROUP BY 1),
+        |exact AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    quantile_cont(n_chars, 0.5) AS x50, quantile_cont(n_chars, 0.95) AS x95
+        |  FROM documents GROUP BY 1)
+        |SELECT e.lang, e.n_docs, CAST(s.est_p50 AS BIGINT) AS est_p50,
+        |  CAST(s.est_p95 AS BIGINT) AS est_p95,
+        |  abs(s.est_p50 - e.x50) <= 64 AS ok_p50,
+        |  abs(s.est_p95 - e.x95) <= 64 AS ok_p95
+        |FROM exact e JOIN est s USING (lang) ORDER BY e.lang""".stripMargin
+  )
+}
