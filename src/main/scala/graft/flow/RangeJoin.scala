@@ -50,11 +50,16 @@ object RangeJoin {
       s"points and intervals share column name(s) ${shared.mkString(", ")}: " +
         "the bin equi-join would emit them as ambiguous duplicates — " +
         "alias/prefix one side first")
+    val reserved = (points.columns ++ intervals.columns).filter(_ == "_bin")
+    require(reserved.isEmpty,
+      "'_bin' is this operator's reserved join column — rename it on the input")
     // assert_true rides INSIDE the sequence bounds so the guard cannot be
     // pruned as an unused projection: it evaluates exactly once per
-    // interval row, before the explode fans out
+    // interval row, before the explode fans out. NULL-bounded intervals
+    // pass the guard (coalesce → true) and then drop via sequence(NULL)
+    // → explode, preserving the operator's pre-guard NULL behavior.
     val spanBins = s"($endCol div $binWidth - $startCol div $binWidth + 1)"
-    val guard = s"assert_true($spanBins <= ${maxBinsPerInterval}L, " +
+    val guard = s"assert_true(coalesce($spanBins <= ${maxBinsPerInterval}L, true), " +
       s"concat('RangeJoin: an interval covers ', CAST($spanBins AS STRING), " +
       s"' bins > maxBinsPerInterval=$maxBinsPerInterval; widen binWidth or raise the budget'))"
     val iv = intervals.withColumn("_bin",

@@ -29,8 +29,11 @@ import graft.ops.TextAnalysis.{shingleExpr, tokens}
   *
   * Scale notes (100 TB): q58's filter side collapses to ≤ m=8192 distinct
   * bits regardless of key cardinality — it broadcasts by construction and
-  * the fact table is never shuffled (three broadcast-hash probes, no
-  * explode). q59 joins corpus shingles against a BENCHMARK-sized shingle
+  * the BLOOM PATH never shuffles the fact table (three broadcast-hash
+  * probes, no explode). The exact-key audit join that reports fp_rate is
+  * the small-SF verification leg only — at production scale the audit
+  * runs on a bounded sample (q41's pattern), or not at all; the pruning
+  * path stands alone. q59 joins corpus shingles against a BENCHMARK-sized shingle
   * set (benchmarks are fixed-size; the corpus side is linear, never
   * self-joined). q60 is one explode + two hash aggregations, map-side
   * combinable. q61's only shuffle is the per-language window partition —
@@ -58,10 +61,12 @@ object Corpus {
     // (imagined) downstream pass needs lineitems for. The bloom side is
     // DISTINCT bit positions — at most m=8192 rows no matter how many
     // keys — so the three membership probes are broadcast joins and the
-    // fact table streams through unshuffled. The exact key join rides
-    // along to audit the bloom: false-positive rate is reported, and the
-    // no-false-negatives invariant (a bloom NEVER misses a member) is
-    // emitted as a checked column, like q54's never_undercounts.
+    // fact table streams through unshuffled. The exact key join audits
+    // the bloom — false-positive rate, plus the no-false-negatives
+    // invariant (a bloom NEVER misses a member) as a checked column like
+    // q54's never_undercounts. The audit leg is the small-SF
+    // verification only (at scale it would run on a bounded sample);
+    // the pruning path above it is the production shape.
     "q58_bloom_prune" -> { (s, d) =>
       val keys = Tables.orders(s, d)
         .filter(col("o_orderkey") % 11 === 0)
@@ -148,7 +153,7 @@ object Corpus {
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, d)
-        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
         .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
         .withColumn("bin", expr(s"cum_before div $PackBudget"))
         .groupBy("lang", "bin")

@@ -249,9 +249,9 @@ object Curation {
         |FROM est ORDER BY exact_cnt DESC, term""".stripMargin,
 
     "q57_edit_distance" ->
-      """WITH d0 AS (
+      s"""WITH d0 AS (
         |  SELECT doc_id, text, md5(substr(text, 1, 100)) AS phash FROM documents),
-        |ok AS (SELECT phash FROM d0 GROUP BY phash HAVING COUNT(*) <= 16),
+        |ok AS (SELECT phash FROM d0 GROUP BY phash HAVING COUNT(*) <= $MaxEditCluster),
         |d AS (SELECT d0.* FROM d0 JOIN ok USING (phash)),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
         |      FROM d a JOIN d b ON a.phash = b.phash AND a.doc_id < b.doc_id)

@@ -33,11 +33,16 @@ object WriteMode {
   * reference cuts the record stream into appends of at most buffer.size
   * rows; here it bounds rows per written parquet file — the sink's append
   * unit — via the writer's maxRecordsPerFile (enforced in
-  * [[TwoPhaseParquetSink.writeBatch]]).
+  * [[TwoPhaseParquetSink.writeBatch]]). The DEFAULT departs from the
+  * reference's literal 1000: that number sizes a streaming-RPC payload,
+  * while this sink's append unit is a parquet file, where a 1000-row cap
+  * would shatter a 10M-row micro-batch into ~10k files (the small-files
+  * blowup). 1M rows ≈ a healthily-sized file; set it low only to mirror
+  * RPC-grade batching in tests.
   */
 case class SinkConfig(outputDir: String,
                       writeMode: WriteMode = WriteMode.Committed,
-                      maxRecordsPerTrigger: Long = 1000L) {
+                      maxRecordsPerTrigger: Long = 1000000L) {
   require(maxRecordsPerTrigger > 0, "buffer.size must be positive")
 }
 

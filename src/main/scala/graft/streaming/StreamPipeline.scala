@@ -231,7 +231,11 @@ object StreamPipeline {
       // reconciliation above; malformed payloads yield NULL keys and are
       // not drift (they already route to the DLQ as unparseable).
       drift.foreach { m =>
-        val known = (schema.fieldNames.map(_.toLowerCase).toSet + CorruptField.toLowerCase)
+        // Locale.ROOT: this lowercasing is compared against Spark's
+        // locale-independent lower() — default toLowerCase under tr/az
+        // JVMs maps I→ı and would flag every row as drifted
+        val known = (schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet +
+            CorruptField.toLowerCase(java.util.Locale.ROOT))
           .toSeq.sorted.map(lit(_))
         val n = batch
           .filter(col("value").isNotNull)

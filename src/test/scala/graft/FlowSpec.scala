@@ -117,6 +117,17 @@ class FlowSpec extends AnyFunSuite {
     // within budget the guard is invisible
     assert(RangeJoin.pointInInterval(pts, iv, "pt", "s", "e",
       binWidth = 1L, maxBinsPerInterval = 20000L).count() == 1L)
+    // a reserved-name collision is rejected even when the sides are disjoint
+    val err2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts.withColumnRenamed("pt", "_bin"), iv,
+        "_bin", "s", "e", 16L)
+    }
+    assert(err2.getMessage.contains("reserved"))
+    // NULL-bounded intervals drop silently (pre-guard behavior), they
+    // must not trip the budget assert with a null message
+    val ivN = Seq((1L, Option(0L), Option(10L)), (2L, Option.empty[Long], Option(5L)))
+      .toDF("iv_id", "s", "e")
+    assert(RangeJoin.pointInInterval(pts, ivN, "pt", "s", "e", 16L).count() == 1L)
   }
 
   test("dedupSurvivor keeps the deterministic first-ranked row") {
