@@ -25,7 +25,11 @@ import graft.ops.TextAnalysis.{shingleExpr, tokens}
   *     (what a pretraining loader does before batching);
   *   - q62: mergeable histogram quantiles — fixed-width-bin length
   *     sketch with exact-percentile audit (the scalable alternative to
-  *     q48's exact sort-based quantiles).
+  *     q48's exact sort-based quantiles);
+  *   - q63: quality-filter funnel — the C4-style rule cascade with
+  *     first-fail attribution (where corpus volume actually dies);
+  *   - q64: temperature-based data mixing (α=0.5) — per-source √n
+  *     quotas with a deterministic hash-ranked sample.
   *
   * Scale notes (100 TB): q58's filter side collapses to ≤ m=8192 distinct
   * bits regardless of key cardinality — it broadcasts by construction and
@@ -164,6 +168,76 @@ object Corpus {
         .orderBy("lang", "bin")
     },
 
+    // Quality-filter funnel: the C4-style rule cascade every corpus runs
+    // before training, with FIRST-FAIL attribution — each document is
+    // charged to the first rule that kills it, so the funnel shows where
+    // volume actually dies (kill counts of independent rules double-count
+    // and can't be read as a funnel). Every rule compares in exact
+    // integers, so the verdicts are engine-exact:
+    //   1 length gate: 200 ≤ n_chars ≤ 20000
+    //   2 mean word length in [3, 10]: 3·n_tok ≤ n_chars−n_tok+1 ≤ 10·n_tok
+    //   3 repetition: duplicate-trigram fraction ≤ 0.2 (q60's integer form)
+    //   4 digit ratio: 5·n_digits ≤ n_chars
+    // One explode + two aggregations + a single-row conditional agg — no
+    // window, map-side combinable, linear at any corpus size.
+    "q63_filter_funnel" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .withColumn("n_tok", size(col("t")).cast("long"))
+        .withColumn("n_digits",
+          (col("n_chars") - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
+      val tri = docs.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(shingleExpr("t", 3)).as("tri"))
+        .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_tri"),
+             count(lit(1)).cast("long").as("n_distinct"))
+      val staged = docs.join(tri, Seq("doc_id"), "left")
+        .withColumn("ok_len",
+          col("n_chars") >= 200 && col("n_chars") <= 20000)
+        .withColumn("ok_wordlen",
+          lit(3) * col("n_tok") <= col("n_chars") - col("n_tok") + 1 &&
+          col("n_chars") - col("n_tok") + 1 <= lit(10) * col("n_tok"))
+        // docs too short for trigrams have no repetition signal: pass
+        .withColumn("ok_rep", col("n_tri").isNull ||
+          (col("n_tri") - col("n_distinct")) * 5 <= col("n_tri"))
+        .withColumn("ok_digit", lit(5) * col("n_digits") <= col("n_chars"))
+        .withColumn("first_fail",
+          when(!col("ok_len"), 1).when(!col("ok_wordlen"), 2)
+            .when(!col("ok_rep"), 3).when(!col("ok_digit"), 4).otherwise(0))
+      staged.agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("first_fail") === 1, 1)).as("killed_len"),
+        count(when(col("first_fail") === 2, 1)).as("killed_wordlen"),
+        count(when(col("first_fail") === 3, 1)).as("killed_rep"),
+        count(when(col("first_fail") === 4, 1)).as("killed_digit"),
+        count(when(col("first_fail") === 0, 1)).as("n_pass"))
+    },
+
+    // Temperature-based data mixing (α = 0.5): each source's sampling
+    // quota is ceil(4·√n) — hot sources are downweighted toward the
+    // α-tempered mixture a pretraining run draws, cold sources keep
+    // everything. The concrete sample is the deterministic hash-ranked
+    // prefix per source (q47's engine-neutral order), so the mixture is
+    // reproducible across engines and runs. √ of an integer is
+    // correctly-rounded in every IEEE engine, so quotas are engine-exact.
+    "q64_temperature_mix" -> { (s, d) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Dedup.neutralHash32(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_source", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("quota",
+          least(col("n_source"), ceil(lit(4.0) * sqrt(col("n_source"))).cast("long")))
+        .groupBy("source")
+        .agg(max(col("n_source")).as("n_docs"),
+             max(col("quota")).as("quota"),
+             count(when(col("rk") <= col("quota"), 1)).as("n_sampled"),
+             round(max(col("quota")).cast("double") / max(col("n_source")), 6)
+               .as("keep_rate"))
+        .orderBy("source")
+    },
+
     // Mergeable histogram quantiles: a (lang, bin) count sketch whose
     // state is #langs × #bins regardless of corpus size, probed for
     // upper-edge p50/p95 estimates. Cumulative thresholds compare in
@@ -277,6 +351,64 @@ object Corpus {
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+    "q63_filter_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS tri
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |cnt AS (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM cnt GROUP BY 1),
+        |staged AS (
+        |  SELECT
+        |    (b.n_chars >= 200 AND b.n_chars <= 20000) AS ok_len,
+        |    (3 * b.n_tok <= b.n_chars - b.n_tok + 1
+        |      AND b.n_chars - b.n_tok + 1 <= 10 * b.n_tok) AS ok_wordlen,
+        |    (r.n_tri IS NULL OR (r.n_tri - r.n_distinct) * 5 <= r.n_tri) AS ok_rep,
+        |    (5 * b.n_digits <= b.n_chars) AS ok_digit
+        |  FROM base b LEFT JOIN rep r USING (doc_id)),
+        |ff AS (
+        |  SELECT CASE WHEN NOT ok_len THEN 1 WHEN NOT ok_wordlen THEN 2
+        |              WHEN NOT ok_rep THEN 3 WHEN NOT ok_digit THEN 4
+        |              ELSE 0 END AS first_fail
+        |  FROM staged)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN first_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS killed_len,
+        |  CAST(SUM(CASE WHEN first_fail = 2 THEN 1 ELSE 0 END) AS BIGINT) AS killed_wordlen,
+        |  CAST(SUM(CASE WHEN first_fail = 3 THEN 1 ELSE 0 END) AS BIGINT) AS killed_rep,
+        |  CAST(SUM(CASE WHEN first_fail = 4 THEN 1 ELSE 0 END) AS BIGINT) AS killed_digit,
+        |  CAST(SUM(CASE WHEN first_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM ff""".stripMargin,
+
+    "q64_temperature_mix" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, hk,
+        |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_source
+        |  FROM h),
+        |q AS (
+        |  SELECT source, rk, n_source,
+        |    least(n_source, CAST(ceil(4.0 * sqrt(n_source)) AS BIGINT)) AS quota
+        |  FROM r)
+        |SELECT source, CAST(MAX(n_source) AS BIGINT) AS n_docs,
+        |  CAST(MAX(quota) AS BIGINT) AS quota,
+        |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(CAST(MAX(quota) AS DOUBLE) / MAX(n_source), 6) AS keep_rate
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "q62_hist_quantiles" ->
       """WITH b AS (SELECT lang, n_chars, n_chars // 64 AS bin FROM documents),
