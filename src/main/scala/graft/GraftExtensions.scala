@@ -11,7 +11,11 @@ import graft.functions.{ConvertError, CosineSimilarity, DotProduct, StrictToJson
   * (or `.withExtensions(new GraftExtensions)`) registers the engine's
   * custom Catalyst expressions as SQL functions in every session the
   * extension builds — the injection path Spark intends for libraries, so
-  * no imperative registerAll call is needed per session.
+  * no imperative registerAll call is needed per session. Also injects
+  * [[graft.plans.RangeJoinRewrite]]: with `spark.graft.rangeJoin.binWidth`
+  * set, naive point-in-interval theta joins plan as binned equi-joins
+  * automatically (declare the range join; the library picks the physical
+  * shape — the whole-operator Rule/Strategy extension path).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -20,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectFunction((FunctionIdentifier("strict_to_json"),
       info("strict_to_json", "strict schema-driven struct->json conversion"),
       (es: Seq[Expression]) => StrictToJson(es.head)))

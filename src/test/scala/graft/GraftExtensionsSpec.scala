@@ -36,4 +36,50 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("RangeJoinRewrite plans a theta range join as a binned equi-join") {
+    val shared = SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      // intervals at awkward boundaries incl. empty (s>e), negative, and
+      // longer-than-binWidth spans; points across the whole range
+      val iv = Seq((1L, 10L, 19L), (2L, 15L, 30L), (3L, 31L, 31L),
+                   (4L, 64L, 79L), (5L, 50L, 40L), (6L, -20L, -3L),
+                   (7L, 5L, 90L))
+        .toDF("iv_id", "s", "e")
+      val pts = (-25L to 100L).map(Tuple1(_)).toDF("pt")
+      def run() = pts.join(iv, col("s") <= col("pt") && col("pt") <= col("e"))
+        .select("iv_id", "pt").orderBy("iv_id", "pt").collect().map(_.toSeq).toSeq
+      // rule off (default): the naive plan is a nested-loop join
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "0")
+      val naive = run()
+      val offPlan = pts.join(iv, col("s") <= col("pt") && col("pt") <= col("e"))
+        .queryExecution.executedPlan.toString
+      assert(offPlan.contains("BroadcastNestedLoopJoin") || offPlan.contains("CartesianProduct"),
+        s"baseline should be the nested-loop shape:\n${offPlan.take(800)}")
+      // rule on: same rows, hash-join shape, no nested loop
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "16")
+      val rewritten = run()
+      assert(rewritten == naive, "rewrite must not change results")
+      assert(rewritten.nonEmpty)
+      val onPlan = pts.join(iv, col("s") <= col("pt") && col("pt") <= col("e"))
+        .queryExecution.executedPlan.toString
+      assert(!onPlan.contains("BroadcastNestedLoopJoin") && !onPlan.contains("CartesianProduct"),
+        s"rewritten plan still nested-loop:\n${onPlan.take(1500)}")
+      assert(onPlan.contains("Generate explode"),
+        s"rewritten plan must explode interval bins:\n${onPlan.take(1500)}")
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "0")
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
