@@ -127,6 +127,65 @@ object Dedup {
     sig.select(col("doc_id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
   }
 
+  /** The full MinHash→LSH→verify pipeline as data: every candidate pair
+    * with its exact Jaccard. q26 presents the top of this; q65 consumes
+    * it as the edge set for cluster formation. */
+  def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d, 1)
+    val bands = minhashBands(sh, numHashes = 16, bandSize = 4)
+    // shuffle-hash both sides: identical exchanges on (band, bucket)
+    // let ReuseExchange compute the signature subtree ONCE; a broadcast
+    // side would duplicate the whole MinHash aggregation.
+    val cand = bands.as("x").hint("shuffle_hash")
+      .join(bands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardOfPairs(cand, sh)
+  }
+
+  /** Connected components over an undirected edge list (doc_a, doc_b) —
+    * the step that turns near-dup PAIRS into dedup CLUSTERS so one
+    * survivor per cluster can be elected (pairs alone under-delete: A~B
+    * and B~C leave A and C both "survivors" though they share a cluster
+    * via B). Iterative min-label propagation: every node starts labeled
+    * with itself; each round a node adopts the minimum label among
+    * itself and its neighbors; fixpoint = components labeled by their
+    * minimum member.
+    *
+    * The loop is DRIVER-PACED but data-distributed: each round is two
+    * distributed joins + an aggregation, the per-round convergence probe
+    * reads one count, and `localCheckpoint` truncates the growing
+    * lineage (the standard Spark shape for iterative graph algorithms;
+    * rounds needed = component diameter, which for near-dup clusters is
+    * tiny). maxIter caps pathological chains. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: sym is referenced by every round's
+    // join, and without the checkpoint each round would re-run the whole
+    // upstream pipeline (e.g. the LSH DAG) that produced the edges
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrLabels = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("label"))
+      val updated = labels.select("node", "label").unionByName(nbrLabels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") < col("prev")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B10: exact dedup by TRUE content key — md5 of the full text — with
     // a deterministic survivor. Demonstrated on the re-ingestion scenario
@@ -166,21 +225,27 @@ object Dedup {
     // B11 scale path: MinHash+LSH candidates, exact-verified. The
     // engine-neutral hash family makes the whole pipeline oracle-checked.
     "q26_minhash_lsh" -> { (s, d) =>
-      val sh = docShingles(s, d, 1)
-      val bands = minhashBands(sh, numHashes = 16, bandSize = 4)
-      // shuffle-hash both sides: identical exchanges on (band, bucket)
-      // let ReuseExchange compute the signature subtree ONCE; a broadcast
-      // side would duplicate the whole MinHash aggregation.
-      val cand = bands.as("x").hint("shuffle_hash")
-        .join(bands.as("y").hint("shuffle_hash"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      jaccardOfPairs(cand, sh)
+      minhashVerifiedPairs(s, d)
         .select("doc_a", "doc_b", "common", "na", "nb", "jac")
         .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
         .limit(100)
+    },
+
+    // B11 completion: pairs → CLUSTERS → survivor election. Edges are
+    // the verified MinHash pairs at jac ≥ 0.3; connected components
+    // chain A~B~C into one cluster even when A–C was never a candidate
+    // pair, and the cluster's minimum doc_id is the survivor (the same
+    // deterministic-survivor rule as q14/q24). cluster_id = survivor by
+    // construction of min-label propagation.
+    "q65_dup_clusters" -> { (s, d) =>
+      val edges = minhashVerifiedPairs(s, d)
+        .filter(col("jac") >= 0.3)
+        .select("doc_a", "doc_b")
+      connectedComponents(edges)
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+             max(col("node")).as("max_member"))
+        .orderBy("cluster_id")
     },
 
     // B11 scale path: 32-bit SimHash + 8-bit-band candidate join, over
@@ -282,6 +347,51 @@ object Dedup {
         |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jac
         |FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |ORDER BY jac DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    // Connected components in SQL: symmetric closure of the verified
+    // pair list, transitive reachability via a recursive CTE, component
+    // label = min over {node} ∪ reachable set.
+    "q65_dup_clusters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |hh AS (SELECT doc_id, ('0x' || substr(md5(sh),1,8))::BIGINT % 2147483647 AS hm FROM sh),
+        |sig AS (
+        |  SELECT doc_id, i, MIN((7919*(i+1)*hm + 104729*i) % 2147483647) AS mh
+        |  FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    SUM(mh * ([29791,961,31,1])[(i % 4) + 1]) AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT doc_a, doc_b, COUNT(*) AS common
+        |  FROM cand JOIN sh a ON a.doc_id = doc_a
+        |            JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
+        |  GROUP BY 1, 2),
+        |jpair AS (
+        |  SELECT doc_a, doc_b
+        |  FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM jpair
+        |        UNION ALL SELECT doc_b, doc_a FROM jpair),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT a, b FROM sym
+        |    UNION
+        |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+        |  ) SELECT * FROM r),
+        |lab AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+        |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MAX(node) AS max_member
+        |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin,
 
     "q27_simhash" ->
       """WITH toks AS (

@@ -169,6 +169,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents chains transitive pairs into min-labeled clusters") {
+    // two components: a 5-node chain (diameter forces multiple label
+    // rounds) and a triangle; labels must be each component's minimum
+    val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L),
+                    (7L, 9L), (9L, 8L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 10L,
+                         7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("edit-distance verification excludes oversize clusters instead of exploding them") {
     import graft.ops.Curation
     // one mega-cluster (shared 100-char prefix, size > MaxEditCluster) and
