@@ -175,7 +175,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrLabels = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("label"))
-      val updated = labels.select("node", "label").unionByName(nbrLabels)
+      // label-of-label shortcut (pointer jumping): a node also adopts
+      // its current label's label, so label distances halve each round —
+      // convergence in O(log diameter) rounds, not O(diameter); a
+      // 1000-link chain of incrementally-edited templates converges in
+      // ~10 rounds instead of silently exhausting maxIter
+      val jumped = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.label").as("label"))
+      val updated = labels.select("node", "label")
+        .unionByName(nbrLabels).unionByName(jumped)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       converged = updated.join(labels.withColumnRenamed("label", "prev"), "node")
@@ -183,6 +192,12 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // a silent partial result would split one true cluster into several
+    // and elect extra survivors — the exact failure this operator exists
+    // to prevent; fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter > 2^maxIter is implausible; raise maxIter)")
     labels
   }
 
@@ -280,6 +295,38 @@ object Dedup {
     }
   )
 
+  /** Shared oracle prologue: the full MinHash→LSH→verify CTE chain, the
+    * SQL twin of [[minhashVerifiedPairs]]. ONE copy, concatenated into
+    * both q26 and q65 — mirroring the Spark-side refactor, so the hash
+    * family/band polynomial/shingle definition cannot drift between the
+    * two oracles. Ends inside the WITH list (callers append more CTEs
+    * with a leading comma, or a final SELECT). */
+  private val LshPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+      |hh AS (SELECT doc_id, ('0x' || substr(md5(sh),1,8))::BIGINT % 2147483647 AS hm FROM sh),
+      |sig AS (
+      |  SELECT doc_id, i, MIN((7919*(i+1)*hm + 104729*i) % 2147483647) AS mh
+      |  FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    SUM(mh * ([29791,961,31,1])[(i % 4) + 1]) AS bucket
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT doc_a, doc_b, COUNT(*) AS common
+      |  FROM cand JOIN sh a ON a.doc_id = doc_a
+      |            JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
+      |  GROUP BY 1, 2)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q24_exact_dedup" ->
       """WITH u AS (
@@ -317,65 +364,19 @@ object Dedup {
         |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.02
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q26_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
-        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
-        |hh AS (SELECT doc_id, ('0x' || substr(md5(sh),1,8))::BIGINT % 2147483647 AS hm FROM sh),
-        |sig AS (
-        |  SELECT doc_id, i, MIN((7919*(i+1)*hm + 104729*i) % 2147483647) AS mh
-        |  FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |    SUM(mh * ([29791,961,31,1])[(i % 4) + 1]) AS bucket
-        |  FROM sig GROUP BY doc_id, i // 4),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |common AS (
-        |  SELECT doc_a, doc_b, COUNT(*) AS common
-        |  FROM cand JOIN sh a ON a.doc_id = doc_a
-        |            JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
-        |  GROUP BY 1, 2)
+    "q26_minhash_lsh" -> (LshPairsSql +
+      """
         |SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
         |  CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
         |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jac
         |FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |ORDER BY jac DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+        |ORDER BY jac DESC, doc_a, doc_b LIMIT 100""".stripMargin),
 
     // Connected components in SQL: symmetric closure of the verified
     // pair list, transitive reachability via a recursive CTE, component
     // label = min over {node} ∪ reachable set.
-    "q65_dup_clusters" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
-        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
-        |hh AS (SELECT doc_id, ('0x' || substr(md5(sh),1,8))::BIGINT % 2147483647 AS hm FROM sh),
-        |sig AS (
-        |  SELECT doc_id, i, MIN((7919*(i+1)*hm + 104729*i) % 2147483647) AS mh
-        |  FROM hh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |    SUM(mh * ([29791,961,31,1])[(i % 4) + 1]) AS bucket
-        |  FROM sig GROUP BY doc_id, i // 4),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |common AS (
-        |  SELECT doc_a, doc_b, COUNT(*) AS common
-        |  FROM cand JOIN sh a ON a.doc_id = doc_a
-        |            JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
-        |  GROUP BY 1, 2),
+    "q65_dup_clusters" -> (LshPairsSql +
+      """,
         |jpair AS (
         |  SELECT doc_a, doc_b
         |  FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
@@ -391,7 +392,7 @@ object Dedup {
         |lab AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
         |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
         |  MAX(node) AS max_member
-        |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin,
+        |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin),
 
     "q27_simhash" ->
       """WITH toks AS (

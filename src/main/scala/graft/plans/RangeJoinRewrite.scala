@@ -37,13 +37,27 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
   val BinWidthConf = "spark.graft.rangeJoin.binWidth"
+  val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerInterval"
+
+  /** A malformed conf value must not take down every query in the
+    * session (this rule runs on ALL plans): log once and stay disabled. */
+  private def longConf(key: String, default: Long): Long =
+    try {
+      val v = conf.getConfString(key, default.toString).trim.toLong
+      if (v >= 0) v else { logWarning(s"$key must be >= 0, ignoring"); default }
+    } catch {
+      case _: NumberFormatException =>
+        logWarning(s"$key is not a number; range-join rewrite stays disabled")
+        default
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val bw = conf.getConfString(BinWidthConf, "0").toLong
+    val bw = longConf(BinWidthConf, 0L)
+    val maxBins = math.max(1L, longConf(MaxBinsConf, 256L))
     if (bw <= 0) plan
     else plan.transformUp {
       case j: Join if j.joinType == Inner && j.condition.isDefined =>
-        rewrite(j, bw).getOrElse(j)
+        rewrite(j, bw, maxBins).getOrElse(j)
     }
   }
 
@@ -62,7 +76,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
-  private def rewrite(j: Join, bw: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, bw: Long, maxBins: Long): Option[LogicalPlan] = {
     val cs = conjuncts(j.condition.get)
     if (cs.length != 2) return None
     val les = cs.flatMap(asLe(_))
@@ -91,10 +105,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         val pPlan = Project(points.output :+ binP, points)
         // Sequence is TimeZoneAwareExpression: post-analysis construction
         // must supply the zone itself or the plan flips to unresolved
-        val gen = Explode(new Sequence(
-          IntegralDivide(Cast(lo, LongType), Literal(bw)),
-          IntegralDivide(Cast(hi, LongType), Literal(bw)),
-          None, Some(conf.sessionLocalTimeZone)))
+        val loBin = IntegralDivide(Cast(lo, LongType), Literal(bw))
+        val hiBin = IntegralDivide(Cast(hi, LongType), Literal(bw))
+        val seq = new Sequence(loBin, hiBin, None, Some(conf.sessionLocalTimeZone))
+        // replication budget, same contract as RangeJoin.pointInInterval:
+        // one sentinel interval spanning 10^11 bins must fail fast with a
+        // named error, not materialize a multi-billion-element array.
+        // NULL spans pass the check (coalesce → true) and drop via the
+        // NULL sequence, preserving theta-join semantics.
+        val span = Add(Subtract(hiBin, loBin), Literal(1L))
+        val guarded = If(
+          Coalesce(Seq(LessThanOrEqual(span, Literal(maxBins)), Literal(true))),
+          seq,
+          Cast(new RaiseError(Literal(
+            s"RangeJoinRewrite: an interval covers more than $MaxBinsConf=$maxBins " +
+              s"bins at $BinWidthConf=$bw; widen the bin width or raise the budget")),
+            seq.dataType))
+        val gen = Explode(guarded)
         val elem = gen.elementSchema.head
         val binI = AttributeReference("_graft_bin_i", elem.dataType, elem.nullable)()
         val iPlan = Generate(gen, Nil, outer = false, None, Seq(binI), intervals)

@@ -76,6 +76,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"rewritten plan still nested-loop:\n${onPlan.take(1500)}")
       assert(onPlan.contains("Generate explode"),
         s"rewritten plan must explode interval bins:\n${onPlan.take(1500)}")
+      // an interval spanning more bins than the budget fails fast with a
+      // named error instead of materializing a giant per-row array
+      val wide = Seq((9L, 0L, Long.MaxValue / 4)).toDF("iv_id", "s", "e")
+      val ex = intercept[Throwable] {
+        pts.join(wide, col("s") <= col("pt") && col("pt") <= col("e")).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(messages(ex).exists(_.contains("maxBinsPerInterval")),
+        s"expected the replication-budget error, got: ${messages(ex).take(3)}")
+      // a malformed conf value disables the rewrite instead of failing
+      // every query in the session
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "not-a-number")
+      assert(run() == naive, "malformed conf must fall back to the naive plan")
       spark.conf.set("spark.graft.rangeJoin.binWidth", "0")
     } finally {
       SparkSession.setDefaultSession(shared)
