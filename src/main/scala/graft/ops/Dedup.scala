@@ -114,6 +114,13 @@ object Dedup {
     val mins = (0 until numHashes).map(i =>
       min((lit(7919L * (i + 1)) * col("_hm") + lit(104729L * i)) % P).as(s"h$i"))
     val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    explodeBandBuckets(sig, Seq("doc_id"), numHashes, bandSize)
+  }
+
+  /** Shared banding tail: fold signature columns h0..h{n-1} into one
+    * (band, bucket) row per band, carrying `carry` columns through. */
+  private def explodeBandBuckets(sig: DataFrame, carry: Seq[String],
+                                 numHashes: Int, bandSize: Int): DataFrame = {
     val nBands = numHashes / bandSize
     // bandSize·31^(bandSize−1)·P must stay under 2⁶³: fine through
     // bandSize = 5 (≈ 10¹⁶), overflows from 8 — keep the bound explicit
@@ -124,7 +131,30 @@ object Dedup {
       (0 until bandSize).map(p => col(s"h${b * bandSize + p}") * lit(weights(p)))
         .reduce(_ + _)
     }: _*)
-    sig.select(col("doc_id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
+    sig.select(carry.map(col) :+ posexplode(bandBuckets).as(Seq("band", "bucket")): _*)
+  }
+
+  /** Per-ROW MinHash band buckets — the same signature [[minhashBands]]
+    * computes with a groupBy, rebuilt as pure per-row array expressions
+    * (array_distinct → hash → array_min per permutation). No aggregation
+    * means it composes where a streaming plan forbids one, e.g. ahead of
+    * flatMapGroupsWithState in [[graft.streaming.StreamingOps
+    * .streamingNearDupCandidates]]. Produces identical (band, bucket)
+    * values to the batch path for the same document (spec-asserted), so
+    * a streaming candidate can be verified against a batch index. */
+  def bandBucketsPerRow(df: DataFrame, tokensCol: String,
+                        numHashes: Int, bandSize: Int,
+                        carry: Seq[String]): DataFrame = {
+    val withHm = df
+      .withColumn("_sh", graft.ops.TextAnalysis.shingleExpr(tokensCol, 3))
+      .withColumn("_hm", expr(
+        "transform(array_distinct(_sh), " +
+          s"s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % ${P}L)"))
+    val withMins = (0 until numHashes).foldLeft(withHm) { (d, i) =>
+      d.withColumn(s"h$i", expr(
+        s"array_min(transform(_hm, x -> (${7919L * (i + 1)}L * x + ${104729L * i}L) % ${P}L))"))
+    }
+    explodeBandBuckets(withMins, carry, numHashes, bandSize)
   }
 
   /** The full MinHash→LSH→verify pipeline as data: every candidate pair

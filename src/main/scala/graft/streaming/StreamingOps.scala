@@ -105,6 +105,66 @@ object StreamingOps {
       }
   }
 
+  /** Streaming near-dup candidate detection — the B11 MinHash/LSH scale
+    * path running INSIDE a stream with bounded state: each document's
+    * band buckets are computed per row ([[graft.ops.Dedup
+    * .bandBucketsPerRow]] — no aggregation, so the plan stays legal
+    * ahead of the stateful operator), the stream is keyed by
+    * (band, bucket), and per-bucket state holds the last `maxPerBucket`
+    * member doc ids. A new arrival emits one candidate pair per current
+    * member of its bucket — the streaming image of the batch band join
+    * (q26), with the same signature math, so candidates can be verified
+    * against a batch index.
+    *
+    * State bounds, in order: the bucket membership list is FIFO-capped
+    * at `maxPerBucket` (a viral template flooding one bucket evicts
+    * oldest members instead of growing state — the streaming twin of
+    * capDocFrequency); a bucket idle past `horizonMillis` of event time
+    * is dropped via the event-time timeout (dedup-within-horizon
+    * semantics, like dropDuplicatesWithinWatermark); rows at/behind the
+    * watermark are dropped for determinism under replay. Requires
+    * `.withWatermark` on `ts` upstream and OutputMode.Append. */
+  case class DupCandidate(band: Int, bucket: Long, doc_a: Long, doc_b: Long)
+  case class BucketState(docs: Seq[Long], lastTs: Long)
+  def streamingNearDupCandidates(docs: DataFrame, horizonMillis: Long,
+                                 numHashes: Int = 16, bandSize: Int = 4,
+                                 maxPerBucket: Int = 32): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = graft.ops.Dedup.bandBucketsPerRow(
+        docs.withColumn("_t", graft.ops.TextAnalysis.tokens(col("text")))
+          .filter(size(col("_t")) >= 3),
+        "_t", numHashes, bandSize, carry = Seq("ts", "doc_id"))
+      .select(col("ts"), col("doc_id"), col("band"), col("bucket"))
+      .as[(Timestamp, Long, Int, Long)]
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, bucket), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs
+            val fresh = rows.toSeq.filter(_._1.getTime > wm)
+              .sortBy(r => (r._1.getTime, r._2))
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
+            var st = state.getOption.getOrElse(BucketState(Seq.empty, 0L))
+            fresh.foreach { case (ts, d, _, _) =>
+              if (!st.docs.contains(d)) {
+                st.docs.foreach { a =>
+                  out += DupCandidate(band, bucket, math.min(a, d), math.max(a, d))
+                }
+                st = BucketState((st.docs :+ d).takeRight(maxPerBucket),
+                                 math.max(st.lastTs, ts.getTime))
+              } else st = st.copy(lastTs = math.max(st.lastTs, ts.getTime))
+            }
+            if (st.docs.nonEmpty) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.lastTs + horizonMillis, wm + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Closed-session emission via flatMapGroupsWithState — the 0-or-many
     * output shape mapGroupsWithState can't express: a key emits NOTHING
     * while its sessions accumulate and exactly one summary row per session

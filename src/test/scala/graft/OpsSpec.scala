@@ -169,6 +169,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("per-row band buckets equal the batch groupBy signature on the real corpus") {
+    // the streaming path's per-row signature must be bit-identical to
+    // minhashBands' groupBy form, or streaming candidates could never be
+    // verified against a batch index
+    val docs = Tables.documents(spark, sf)
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+    val perRow = Dedup.bandBucketsPerRow(docs, "t", 16, 4, carry = Seq("doc_id"))
+      .select("doc_id", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val sh = docs.select(col("doc_id"),
+      explode(TextAnalysis.shingleExpr("t", 3)).as("sh")).distinct()
+    val batch = Dedup.minhashBands(sh, 16, 4)
+      .select("doc_id", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(perRow == batch, "streaming and batch signatures diverge")
+    assert(perRow.nonEmpty)
+  }
+
   test("connectedComponents chains transitive pairs into min-labeled clusters") {
     // two components: a 5-node chain (diameter forces multiple label
     // rounds) and a triangle; labels must be each component's minimum

@@ -98,6 +98,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q58 bloom probes broadcast the bit set; the fact side is never exchanged for them") {
+    // the whole point of the bloom: the ≤m-bit filter side ships to the
+    // executors and the fact table streams through. Executed, because
+    // AQE finalizes join strategies at runtime.
+    val df = SparkEntry.queries("q58_bloom_prune")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"bloom bit probes must be broadcast joins:\n${p.take(3000)}")
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj == 0, s"no probe may sort-merge the fact table:\n${p.take(3000)}")
+  }
+
   test("q55 top-k plans as bounded aggregation, not a window sort") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = SparkEntry.queries("q55_topk_aggregator")(spark, sf)

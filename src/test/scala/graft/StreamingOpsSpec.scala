@@ -11,6 +11,7 @@ import graft.streaming.StreamingOps
 
 // top-level so Spark can build an Encoder without an outer-scope instance
 case class Ev(ts: Timestamp, key: String, value: Double)
+case class NDoc(ts: Timestamp, doc_id: Long, text: String)
 
 /** B14 operator coverage over MemoryStream (the offline stand-in for the
   * Kafka source, per FIXTURES.md F5). */
@@ -188,6 +189,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       ("a", t(30), t(30), 1L)), // c@10:40 pushed the watermark past 10:35
       s"unexpected closed sessions: $rows")
     // c's session stays open (deadline 10:45 > watermark 10:39)
+  }
+
+  test("streaming near-dup candidates: bucket pairs within the horizon, expiry after") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[NDoc]
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different words about winnowing fingerprints and sketches here"
+    val cands = StreamingOps.streamingNearDupCandidates(
+      s.toDF().withWatermark("ts", "1 minute"),
+      horizonMillis = 10 * 60 * 1000)
+    val q = cands.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("near_dup_stream").start()
+    // identical docs share every band bucket → one candidate per band
+    s.addData(NDoc(t(0), 1L, textA), NDoc(t(1), 2L, textA), NDoc(t(2), 3L, textB))
+    q.processAllAvailable()
+    val first = spark.table("near_dup_stream")
+      .select("doc_a", "doc_b", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(first.map(x => (x._1, x._2)).distinct.toSeq == Seq((1L, 2L)),
+      s"only the identical pair may be a candidate: ${first.toSeq}")
+    assert(first.length == 4, s"one candidate per band: ${first.toSeq}")
+    // push the watermark past every bucket's horizon, then replay the
+    // same text: old members expired, so no pair with doc 1/2 forms —
+    // but a fresh same-text pair (5, 6) does
+    s.addData(NDoc(Timestamp.valueOf("2024-01-01 11:00:00"), 4L, "unrelated filler words to advance the watermark forward"))
+    q.processAllAvailable()
+    s.addData(NDoc(Timestamp.valueOf("2024-01-01 11:05:00"), 5L, textA),
+              NDoc(Timestamp.valueOf("2024-01-01 11:05:01"), 6L, textA))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("near_dup_stream")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+    assert(all == Set((1L, 2L), (5L, 6L)),
+      s"expired buckets must not pair with pre-horizon docs: $all")
   }
 
   test("closedSessions bridges two unconfirmed sessions and never widens across the gap") {
