@@ -31,7 +31,11 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
+        // collect() on df's OWN QueryExecution so AQE finalizes the plan
+        // we read — a side-channel noop write executes a separate
+        // QueryExecution and would leave this one pre-AQE (isFinalPlan
+        // false), misreporting exactly the strategy changes we audit
+        df.collect()
         val plan = df.queryExecution.executedPlan.toString
         val counts = interesting.flatMap { op =>
           val n = plan.linesIterator.count(_.contains(op))

@@ -147,9 +147,11 @@ object Dedup {
                         carry: Seq[String]): DataFrame = {
     val withHm = df
       .withColumn("_sh", graft.ops.TextAnalysis.shingleExpr(tokensCol, 3))
-      .withColumn("_hm", expr(
-        "transform(array_distinct(_sh), " +
-          s"s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % ${P}L)"))
+      // ONE definition of the neutral hash (the Column-lambda transform
+      // reuses neutralHash32 itself) — a second SQL-string copy of the
+      // md5→conv recipe here could silently drift from the batch path
+      .withColumn("_hm",
+        transform(array_distinct(col("_sh")), s => neutralHash32(s) % P))
     val withMins = (0 until numHashes).foldLeft(withHm) { (d, i) =>
       d.withColumn(s"h$i", expr(
         s"array_min(transform(_hm, x -> (${7919L * (i + 1)}L * x + ${104729L * i}L) % ${P}L))"))

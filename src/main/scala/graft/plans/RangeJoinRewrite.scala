@@ -40,14 +40,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerInterval"
 
   /** A malformed conf value must not take down every query in the
-    * session (this rule runs on ALL plans): log once and stay disabled. */
+    * session (this rule runs on ALL plans): log and fall back to the
+    * key's default (which for binWidth means disabled). */
   private def longConf(key: String, default: Long): Long =
     try {
       val v = conf.getConfString(key, default.toString).trim.toLong
-      if (v >= 0) v else { logWarning(s"$key must be >= 0, ignoring"); default }
+      if (v >= 0) v
+      else { logWarning(s"$key must be >= 0; falling back to default $default"); default }
     } catch {
       case _: NumberFormatException =>
-        logWarning(s"$key is not a number; range-join rewrite stays disabled")
+        logWarning(s"$key is not a number; falling back to default $default")
         default
     }
 
@@ -108,19 +110,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         val loBin = IntegralDivide(Cast(lo, LongType), Literal(bw))
         val hiBin = IntegralDivide(Cast(hi, LongType), Literal(bw))
         val seq = new Sequence(loBin, hiBin, None, Some(conf.sessionLocalTimeZone))
-        // replication budget, same contract as RangeJoin.pointInInterval:
-        // one sentinel interval spanning 10^11 bins must fail fast with a
-        // named error, not materialize a multi-billion-element array.
-        // NULL spans pass the check (coalesce → true) and drop via the
-        // NULL sequence, preserving theta-join semantics.
+        // Empty/inverted intervals (lo > hi — also the NULL-bound case,
+        // whose comparison is NULL → else branch) produce NO bins:
+        // Spark's default-step Sequence would otherwise generate a
+        // DESCENDING |span|-element array for an inverted sentinel row,
+        // sailing past a naive `span <= max` check on a negative span.
+        // Ordered intervals then meet the replication budget, same
+        // contract as RangeJoin.pointInInterval: a 10^11-bin span fails
+        // fast with a named error, not an executor blow-up.
         val span = Add(Subtract(hiBin, loBin), Literal(1L))
-        val guarded = If(
-          Coalesce(Seq(LessThanOrEqual(span, Literal(maxBins)), Literal(true))),
+        val budgeted = If(
+          LessThanOrEqual(span, Literal(maxBins)),
           seq,
           Cast(new RaiseError(Literal(
             s"RangeJoinRewrite: an interval covers more than $MaxBinsConf=$maxBins " +
               s"bins at $BinWidthConf=$bw; widen the bin width or raise the budget")),
             seq.dataType))
+        val guarded = If(
+          Coalesce(Seq(LessThanOrEqual(loBin, hiBin), Literal(false))),
+          budgeted,
+          Literal.create(null, seq.dataType))
         val gen = Explode(guarded)
         val elem = gen.elementSchema.head
         val binI = AttributeReference("_graft_bin_i", elem.dataType, elem.nullable)()

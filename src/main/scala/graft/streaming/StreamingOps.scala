@@ -123,7 +123,15 @@ object StreamingOps {
     * is dropped via the event-time timeout (dedup-within-horizon
     * semantics, like dropDuplicatesWithinWatermark); rows at/behind the
     * watermark are dropped for determinism under replay. Requires
-    * `.withWatermark` on `ts` upstream and OutputMode.Append. */
+    * `.withWatermark` on `ts` upstream and OutputMode.Append.
+    *
+    * Emission is AT-LEAST-ONCE per (band, bucket, pair): a doc evicted
+    * by the FIFO cap (or re-delivered by an at-least-once source after
+    * eviction) re-pairs with current members on re-arrival — the price
+    * of bounded membership state. Candidates are by contract a superset
+    * that downstream exact verification (jaccardOfPairs) dedups anyway,
+    * same as the multi-band batch join emitting one candidate per
+    * colliding band before its `distinct`. */
   case class DupCandidate(band: Int, bucket: Long, doc_a: Long, doc_b: Long)
   case class BucketState(docs: Seq[Long], lastTs: Long)
   def streamingNearDupCandidates(docs: DataFrame, horizonMillis: Long,

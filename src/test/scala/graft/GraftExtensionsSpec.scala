@@ -87,6 +87,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .map(x => Option(x.getMessage).getOrElse("")).toSeq
       assert(messages(ex).exists(_.contains("maxBinsPerInterval")),
         s"expected the replication-budget error, got: ${messages(ex).take(3)}")
+      // an INVERTED sentinel interval (s >> e, negative span) must not
+      // generate a descending multi-million-element bin sequence NOR
+      // bypass the budget: zero rows, same as the theta join
+      val inv = Seq((10L, Long.MaxValue / 4, 0L)).toDF("iv_id", "s", "e")
+      assert(pts.join(inv, col("s") <= col("pt") && col("pt") <= col("e")).count() == 0L)
       // a malformed conf value disables the rewrite instead of failing
       // every query in the session
       spark.conf.set("spark.graft.rangeJoin.binWidth", "not-a-number")
