@@ -238,6 +238,48 @@ object Corpus {
         .orderBy("source")
     },
 
+    // Domain-shift measurement: per-source chi-square divergence of the
+    // unigram distribution from the corpus-wide distribution over the
+    // top-200 vocabulary — the statistic a mixture-weighting pass reads
+    // to decide which sources are "off-distribution". Deliberately
+    // chi-square, NOT KL: (p−q)²/q uses only IEEE-exact +,−,×,÷ on
+    // integer-derived doubles, so it is bit-identical across engines
+    // (ln/pow route through libm and are not guaranteed correctly
+    // rounded). Per-term contributions are fixed-point-scaled to
+    // integers (floor(x·10⁹ + 0.5), the q49 rounding idiom) and summed
+    // EXACTLY, so the reduction is order-independent — a raw double sum
+    // would depend on partitioning. Add-one smoothing keeps missing
+    // vocab terms well-defined; the source×vocab matrix forms via a
+    // constant-key join (#sources × 200 rows, never a data-sized
+    // cartesian).
+    "q66_domain_shift" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(200)
+      val tot = vocab.agg(sum(col("c")).cast("long").as("corpus_c"),
+                          count(lit(1)).as("vsize"))
+      val srcCounts = toks.join(vocab.select("term"), "term")
+        .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+      val srcTotals = srcCounts.groupBy("source").agg(sum(col("cs")).cast("long").as("ns"))
+      val vocabTot = vocab.withColumn("_k", lit(1))
+        .join(tot.withColumn("_k", lit(1)), "_k")
+      val matrix = srcTotals.withColumn("_k", lit(1))
+        .join(vocabTot, "_k")
+        .join(srcCounts, Seq("source", "term"), "left")
+        .na.fill(0L, Seq("cs"))
+      val p = (col("cs") + 1).cast("double") / (col("ns") + col("vsize"))
+      val q = col("c").cast("double") / col("corpus_c")
+      matrix
+        .withColumn("x",
+          floor(((p - q) * (p - q) / q) * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy("source", "ns")
+        .agg(sum(col("x")).cast("long").as("xsum"))
+        .select(col("source"), col("ns").as("n_tokens"),
+                round(col("xsum").cast("double") / lit(1e9), 6).as("chi2"))
+        .orderBy("source")
+    },
+
     // Mergeable histogram quantiles: a (lang, bin) count sketch whose
     // state is #langs × #bins regardless of corpus size, probed for
     // upper-edge p50/p95 estimates. Cumulative thresholds compare in
@@ -409,6 +451,34 @@ object Corpus {
         |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  round(CAST(MAX(quota) AS DOUBLE) / MAX(n_source), 6) AS keep_rate
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    "q66_domain_shift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        |  GROUP BY 1 ORDER BY c DESC, term LIMIT 200),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS corpus_c,
+        |               CAST(COUNT(*) AS BIGINT) AS vsize FROM vocab),
+        |sc AS (SELECT t.source, t.term, CAST(COUNT(*) AS BIGINT) AS cs
+        |       FROM toks t JOIN vocab v USING (term) GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM sc GROUP BY 1),
+        |matrix AS (
+        |  SELECT st.source, st.ns, v.term, v.c, tot.corpus_c, tot.vsize
+        |  FROM st CROSS JOIN vocab v CROSS JOIN tot),
+        |m2 AS (
+        |  SELECT m.*, COALESCE(s.cs, 0) AS cs
+        |  FROM matrix m LEFT JOIN sc s ON m.source = s.source AND m.term = s.term),
+        |contrib AS (
+        |  SELECT source, ns,
+        |    CAST(floor(
+        |      ((CAST(cs + 1 AS DOUBLE) / (ns + vsize) - CAST(c AS DOUBLE) / corpus_c)
+        |       * (CAST(cs + 1 AS DOUBLE) / (ns + vsize) - CAST(c AS DOUBLE) / corpus_c)
+        |       / (CAST(c AS DOUBLE) / corpus_c)) * 1000000000 + 0.5) AS BIGINT) AS x
+        |  FROM m2)
+        |SELECT source, ns AS n_tokens,
+        |  round(CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000, 6) AS chi2
+        |FROM contrib GROUP BY source, ns ORDER BY source""".stripMargin,
 
     "q62_hist_quantiles" ->
       """WITH b AS (SELECT lang, n_chars, n_chars // 64 AS bin FROM documents),

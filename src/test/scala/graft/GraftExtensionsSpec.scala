@@ -96,6 +96,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // every query in the session
       spark.conf.set("spark.graft.rangeJoin.binWidth", "not-a-number")
       assert(run() == naive, "malformed conf must fall back to the naive plan")
+      // randomized equivalence across bin widths: seeded random intervals
+      // (incl. negative coords, inverted, and wider-than-bin spans) must
+      // produce exactly the theta join's rows at every bin width
+      val rnd = new scala.util.Random(42)
+      val rIv = (1 to 60).map { i =>
+        val a = rnd.between(-100L, 200L); val b = rnd.between(-100L, 260L)
+        (i.toLong, a, b)
+      }.toDF("iv_id", "s", "e")
+      val rPts = (-120L to 300L by 3L).map(Tuple1(_)).toDF("pt")
+      def runR() = rPts.join(rIv, col("s") <= col("pt") && col("pt") <= col("e"))
+        .select("iv_id", "pt").orderBy("iv_id", "pt").collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "0")
+      val rNaive = runR()
+      assert(rNaive.nonEmpty)
+      for (bw <- Seq("1", "7", "64")) {
+        spark.conf.set("spark.graft.rangeJoin.binWidth", bw)
+        spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "1000")
+        assert(runR() == rNaive, s"rewrite diverges at binWidth=$bw")
+      }
       spark.conf.set("spark.graft.rangeJoin.binWidth", "0")
     } finally {
       SparkSession.setDefaultSession(shared)
