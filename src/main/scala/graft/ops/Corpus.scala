@@ -238,6 +238,29 @@ object Corpus {
         .orderBy("source")
     },
 
+    // Overlapping document chunking — the splitter every RAG/pretraining
+    // loader runs: fixed 32-token windows advancing by stride 24 (8-token
+    // overlap), each chunk carrying its coordinates and a content hash so
+    // downstream dedup/indexing can address chunks without re-reading
+    // documents. Pure per-row explode + slice — embarrassingly parallel,
+    // chunk count per doc = ceil(n_tok/stride), no shuffle before the
+    // output ordering.
+    "q67_chunking" -> { (s, d) =>
+      val Size = 32; val Stride = 24
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("t", tokens(col("text")))
+        .withColumn("n_tok", size(col("t")).cast("long"))
+        .withColumn("chunk_id",
+          explode(expr(s"sequence(0L, (n_tok - 1) div $Stride)")))
+        .withColumn("start_tok", col("chunk_id") * Stride)
+        .withColumn("chunk", expr(s"slice(t, CAST(start_tok + 1 AS INT), $Size)"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+                size(col("chunk")).cast("long").as("n_chunk_toks"),
+                md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Domain-shift measurement: per-source chi-square divergence of the
     // unigram distribution from the corpus-wide distribution over the
     // top-200 vocabulary — the statistic a mixture-weighting pass reads
@@ -451,6 +474,20 @@ object Corpus {
         |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  round(CAST(MAX(quota) AS DOUBLE) / MAX(n_source), 6) AS keep_rate
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    "q67_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ch AS (
+        |  SELECT doc_id, g.c AS chunk_id, g.c * 24 AS start_tok,
+        |    t[g.c * 24 + 1 : g.c * 24 + 32] AS chunk
+        |  FROM d, UNNEST(generate_series(0, (n_tok - 1) // 24)) AS g(c))
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q66_domain_shift" ->
       """WITH toks AS (
