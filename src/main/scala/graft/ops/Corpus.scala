@@ -242,9 +242,12 @@ object Corpus {
     // loader runs: fixed 32-token windows advancing by stride 24 (8-token
     // overlap), each chunk carrying its coordinates and a content hash so
     // downstream dedup/indexing can address chunks without re-reading
-    // documents. Pure per-row explode + slice — embarrassingly parallel,
-    // chunk count per doc = ceil(n_tok/stride), no shuffle before the
-    // output ordering.
+    // documents. Chunk count is the standard ceil(max(0, n−size)/stride)+1
+    // — the last window is the one that REACHES the document end, never a
+    // trailing fragment fully contained in its predecessor (a naive
+    // ceil(n/stride) emits such a junk suffix-duplicate for ~1/3 of
+    // lengths). Pure per-row explode + slice — embarrassingly parallel,
+    // no shuffle before the output ordering.
     "q67_chunking" -> { (s, d) =>
       val Size = 32; val Stride = 24
       Tables.documents(s, d)
@@ -252,7 +255,8 @@ object Corpus {
         .withColumn("t", tokens(col("text")))
         .withColumn("n_tok", size(col("t")).cast("long"))
         .withColumn("chunk_id",
-          explode(expr(s"sequence(0L, (n_tok - 1) div $Stride)")))
+          explode(expr(
+            s"sequence(0L, (greatest(0L, n_tok - $Size) + ${Stride - 1}) div $Stride)")))
         .withColumn("start_tok", col("chunk_id") * Stride)
         .withColumn("chunk", expr(s"slice(t, CAST(start_tok + 1 AS INT), $Size)"))
         .select(col("doc_id"), col("chunk_id"), col("start_tok"),
@@ -285,10 +289,11 @@ object Corpus {
       val srcCounts = toks.join(vocab.select("term"), "term")
         .groupBy("source", "term").agg(count(lit(1)).as("cs"))
       val srcTotals = srcCounts.groupBy("source").agg(sum(col("cs")).cast("long").as("ns"))
-      val vocabTot = vocab.withColumn("_k", lit(1))
-        .join(tot.withColumn("_k", lit(1)), "_k")
-      val matrix = srcTotals.withColumn("_k", lit(1))
-        .join(vocabTot, "_k")
+      // crossJoin against broadcast LIMIT-bounded sides (the
+      // Similarity.scala idiom): #sources × 200 rows, plans as a
+      // broadcast nested loop of tiny relations, never a CartesianProduct
+      val vocabTot = vocab.crossJoin(broadcast(tot))
+      val matrix = srcTotals.crossJoin(broadcast(vocabTot))
         .join(srcCounts, Seq("source", "term"), "left")
         .na.fill(0L, Seq("cs"))
       val p = (col("cs") + 1).cast("double") / (col("ns") + col("vsize"))
@@ -298,7 +303,10 @@ object Corpus {
           floor(((p - q) * (p - q) / q) * lit(1e9) + lit(0.5)).cast("long"))
         .groupBy("source", "ns")
         .agg(sum(col("x")).cast("long").as("xsum"))
-        .select(col("source"), col("ns").as("n_tokens"),
+        // n_vocab_tokens, not "n_tokens": ns counts only tokens that hit
+        // the top-200 vocabulary — naming it total-size would mis-weight
+        // high-OOV sources in the very mixture decision this feeds
+        .select(col("source"), col("ns").as("n_vocab_tokens"),
                 round(col("xsum").cast("double") / lit(1e9), 6).as("chi2"))
         .orderBy("source")
     },
@@ -483,7 +491,7 @@ object Corpus {
         |ch AS (
         |  SELECT doc_id, g.c AS chunk_id, g.c * 24 AS start_tok,
         |    t[g.c * 24 + 1 : g.c * 24 + 32] AS chunk
-        |  FROM d, UNNEST(generate_series(0, (n_tok - 1) // 24)) AS g(c))
+        |  FROM d, UNNEST(generate_series(0, (greatest(0, n_tok - 32) + 23) // 24)) AS g(c))
         |SELECT doc_id, chunk_id, start_tok,
         |  CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
@@ -513,7 +521,7 @@ object Corpus {
         |       * (CAST(cs + 1 AS DOUBLE) / (ns + vsize) - CAST(c AS DOUBLE) / corpus_c)
         |       / (CAST(c AS DOUBLE) / corpus_c)) * 1000000000 + 0.5) AS BIGINT) AS x
         |  FROM m2)
-        |SELECT source, ns AS n_tokens,
+        |SELECT source, ns AS n_vocab_tokens,
         |  round(CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / 1000000000, 6) AS chi2
         |FROM contrib GROUP BY source, ns ORDER BY source""".stripMargin,
 

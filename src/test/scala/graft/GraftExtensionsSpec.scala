@@ -110,11 +110,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.rangeJoin.binWidth", "0")
       val rNaive = runR()
       assert(rNaive.nonEmpty)
+      spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "1000")
       for (bw <- Seq("1", "7", "64")) {
         spark.conf.set("spark.graft.rangeJoin.binWidth", bw)
-        spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "1000")
         assert(runR() == rNaive, s"rewrite diverges at binWidth=$bw")
       }
+      // restore BOTH confs so later assertions (and future appends to
+      // this test) see the defaults, not the loop's raised budget
+      spark.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
       spark.conf.set("spark.graft.rangeJoin.binWidth", "0")
     } finally {
       SparkSession.setDefaultSession(shared)
