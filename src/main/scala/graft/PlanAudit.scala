@@ -36,7 +36,11 @@ object PlanAudit {
         // QueryExecution and would leave this one pre-AQE (isFinalPlan
         // false), misreporting exactly the strategy changes we audit
         df.collect()
+        // AdaptiveSparkPlan's toString appends an "== Initial Plan =="
+        // section after the final plan — slice it off or every operator
+        // counts twice
         val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
         val counts = interesting.flatMap { op =>
           val n = plan.linesIterator.count(_.contains(op))
           if (n > 0) Some(s"$op=$n") else None
