@@ -168,6 +168,48 @@ object Corpus {
         .orderBy("lang", "bin")
     },
 
+    // BPE merge-pair discovery — the first iteration of byte-pair-
+    // encoding vocabulary induction: count adjacent character pairs at
+    // word-internal positions across the corpus and surface the top
+    // merge candidates. One explode + one hash aggregation over
+    // (≤ alphabet²) distinct pairs — map-side combined, linear at any
+    // corpus size; iterating (merge → recount) is a driver loop over
+    // the same shape, like q65's label propagation.
+    "q68_bpe_pairs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+
+    // Cross-document duplicated span detection — the fixed-granularity
+    // image of exact-substring dedup (dedup at the SPAN level, below
+    // document granularity): 40-char windows at stride 10 are hashed,
+    // and a hash appearing in ≥ 2 distinct documents marks a copied
+    // span (quotation, template, syndicated fragment) that document-
+    // level near-dup metrics dilute away. Window explode is linear
+    // (n_chars/stride rows per doc); the groupBy shuffles fixed-width
+    // hashes only, never span text.
+    "q69_dup_spans" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("n_chars") >= 40)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0L, (n_chars - 40) div 10)")).as("o"))
+        .withColumn("span_md5", md5(expr("substring(text, CAST(o * 10 + 1 AS INT), 40)").cast("binary")))
+        .groupBy("span_md5")
+        .agg(count(lit(1)).as("n_occurrences"),
+             countDistinct(col("doc_id")).as("n_docs"),
+             min(col("doc_id")).as("first_doc"),
+             min(col("o") * 10).as("min_off"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("span_md5"))
+        .limit(50)
+    },
+
     // Quality-filter funnel: the C4-style rule cascade every corpus runs
     // before training, with FIRST-FAIL attribution — each document is
     // charged to the first rule that kills it, so the funnel shows where
@@ -482,6 +524,30 @@ object Corpus {
         |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  round(CAST(MAX(quota) AS DOUBLE) / MAX(n_source), 6) AS keep_rate
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    "q68_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair
+        |  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "q69_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, g.o AS o, md5(substr(text, g.o * 10 + 1, 40)) AS span_md5
+        |  FROM documents, UNNEST(generate_series(0, (n_chars - 40) // 10)) AS g(o)
+        |  WHERE n_chars >= 40),
+        |g AS (
+        |  SELECT span_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    MIN(doc_id) AS first_doc, CAST(MIN(o * 10) AS BIGINT) AS min_off
+        |  FROM w GROUP BY 1)
+        |SELECT span_md5, n_occurrences, n_docs, first_doc, min_off
+        |FROM g WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, span_md5 LIMIT 50""".stripMargin,
 
     "q67_chunking" ->
       """WITH d AS (
