@@ -168,6 +168,51 @@ object Corpus {
         .orderBy("lang", "bin")
     },
 
+    // Embedding-space label cohesion audit — the QA pass run before
+    // trusting labels (or cluster assignments) for training: per label,
+    // the centroid's norm (random label ⇒ vectors cancel ⇒ norm ≈ 0)
+    // and the mean member→centroid cosine (cohesion). Centroids are
+    // computed from fixed-point per-dim sums (floor(x·10⁶+0.5) longs,
+    // summed exactly) so the reduction is partitioning-independent, and
+    // the per-row cosines use the q49 sequential-fold kernels; the mean
+    // cosine is again a scaled-integer exact sum. Scale: one posexplode
+    // + (label × dim) aggregation, then a broadcast-sized centroid join.
+    "q70_label_cohesion" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val dims = vecs.select(col("label"),
+        posexplode(expr("transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+      val sums = dims.groupBy("label", "dim").agg(sum(col("q")).as("sq"))
+      val n = vecs.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      val cent = sums.groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, sq))), p -> p.sq)")
+          .as("sq_arr"))
+        .join(n, "label")
+        // CAST to DOUBLE first: a bare `/ 1000000.0` would parse as a
+        // DECIMAL literal and run the division in decimal arithmetic
+        // (engine-specific rounding) instead of IEEE double
+        .withColumn("centroid",
+          expr("transform(sq_arr, s -> CAST(s AS DOUBLE) / 1000000 / n_vecs)"))
+        .select("label", "centroid")
+      vecs.join(cent, "label")
+        .withColumn("dot",
+          expr("aggregate(zip_with(v, centroid, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+        .withColumn("nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+        .withColumn("nc", expr("sqrt(aggregate(centroid, 0D, (acc, x) -> acc + x * x))"))
+        .withColumn("cs",
+          expr("CASE WHEN nv = 0 OR nc = 0 THEN 0D ELSE dot / nv / nc END"))
+        .withColumn("ci", expr("CAST(floor(cs * 1000000000 + 0.5) AS BIGINT)"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), max(col("nc")).as("nc"),
+             sum(col("ci")).cast("long").as("sci"))
+        .select(col("label"), col("n_vecs"),
+          round(col("nc"), 6).as("centroid_norm"),
+          round(col("sci").cast("double") / lit(1e9) / col("n_vecs"), 6).as("mean_cos"))
+        .orderBy("label")
+    },
+
     // BPE merge-pair discovery — the first iteration of byte-pair-
     // encoding vocabulary induction: count adjacent character pairs at
     // word-internal positions across the corpus and surface the top
@@ -524,6 +569,35 @@ object Corpus {
         |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  round(CAST(MAX(quota) AS DOUBLE) / MAX(n_source), 6) AS keep_rate
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    "q70_label_cohesion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (
+        |  SELECT label, g.i AS dim, CAST(floor(v[g.i] * 1000000 + 0.5) AS BIGINT) AS qv
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS g(i)),
+        |s AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sq FROM q GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM e GROUP BY 1),
+        |cent AS (
+        |  SELECT s.label, n.n_vecs,
+        |    list_transform(array_agg(s.sq ORDER BY s.dim),
+        |                   x -> CAST(x AS DOUBLE) / 1000000 / n.n_vecs) AS centroid
+        |  FROM s JOIN n USING (label) GROUP BY s.label, n.n_vecs),
+        |co AS (
+        |  SELECT e.label, c.n_vecs,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.centroid[i])) AS dot,
+        |    sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nv,
+        |    sqrt(list_sum(list_transform(c.centroid, x -> x * x))) AS nc
+        |  FROM e JOIN cent c USING (label)),
+        |ci AS (
+        |  SELECT label, n_vecs, nc,
+        |    CAST(floor((CASE WHEN nv = 0 OR nc = 0 THEN 0
+        |                     ELSE dot / nv / nc END) * 1000000000 + 0.5) AS BIGINT) AS ci
+        |  FROM co)
+        |SELECT label, MAX(n_vecs) AS n_vecs,
+        |  round(MAX(nc), 6) AS centroid_norm,
+        |  round(CAST(CAST(SUM(ci) AS BIGINT) AS DOUBLE) / 1000000000 / MAX(n_vecs), 6) AS mean_cos
+        |FROM ci GROUP BY label ORDER BY label""".stripMargin,
 
     "q68_bpe_pairs" ->
       """WITH words AS (
