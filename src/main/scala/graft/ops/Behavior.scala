@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Behavioral analytics over the event stream (SURVEY.md §2D additions):
+  * the two passes every product/telemetry pipeline runs downstream of the
+  * ingest path the reference implements (`BigQuerySinkTask.java` put()
+  * batches of exactly these envelope-shaped events).
+  *
+  *   - q71: ordered funnel attribution — view → click → purchase with the
+  *     ORDER constraint enforced (a click only counts after that user's
+  *     first view, a purchase only after a qualifying click). The naive
+  *     per-stage min(ts) ignores ordering and overcounts conversions.
+  *   - q72: cohort retention — users grouped by first-active day, activity
+  *     counted per day offset (the retention-triangle layout).
+  *
+  * Scale notes (100 TB): q71 is ONE shuffle — the per-user window sort —
+  * and the per-user groupBy that follows reuses the same hash partitioning
+  * (no second exchange), then a single-row global fold. State per user is
+  * three running minimums, not the event list. q72 is two hash
+  * aggregations (per-user first-day, then cohort×offset) plus a shuffle
+  * join of events against the per-user cohort — all keyed on user_id or
+  * small composites; nothing quadratic, no window. Day arithmetic is
+  * integer µs-since-epoch division (86 400 000 000 µs/day), so both
+  * engines bin identically with zero timezone/DST surface.
+  */
+object Behavior {
+
+  private val UsPerDay = 86400000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered funnel. Running minimums over the per-user event timeline:
+    // seen_view = earliest view so far; a click qualifies only at-or-after
+    // it; seen_click = earliest qualifying click so far; a purchase
+    // qualifies only at-or-after that. min() ignores NULLs in both
+    // engines, and ties are fully broken by (us, event_id), so the chain
+    // is deterministic. Conversion ratios are floor-ppm integers.
+    "q71_event_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = ev
+        .withColumn("seen_view",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("click_ok",
+          when(col("event_type") === "click" && col("us") >= col("seen_view"),
+            col("us")))
+        .withColumn("seen_click", min(col("click_ok")).over(w))
+        .withColumn("purch_ok",
+          when(col("event_type") === "purchase" && col("us") >= col("seen_click"),
+            col("us")))
+      val per = staged.groupBy("user_id").agg(
+        min(col("seen_view")).as("first_view"),
+        min(col("click_ok")).as("first_click"),
+        min(col("purch_ok")).as("first_purchase"))
+      per.agg(
+          count(lit(1)).cast("long").as("n_users"),
+          count(col("first_view")).cast("long").as("n_viewed"),
+          count(col("first_click")).cast("long").as("n_clicked"),
+          count(col("first_purchase")).cast("long").as("n_purchased"),
+          sum(when(col("first_purchase").isNotNull,
+            col("first_purchase") - col("first_view"))).cast("long")
+            .as("sum_convert_us"))
+        .withColumn("click_ppm",
+          expr("CAST(n_clicked * 1000000 DIV nullif(n_viewed, 0) AS BIGINT)"))
+        .withColumn("purchase_ppm",
+          expr("CAST(n_purchased * 1000000 DIV nullif(n_clicked, 0) AS BIGINT)"))
+    },
+
+    // Cohort retention triangle: cohort = first active day (integer day
+    // index), one row per (cohort, day offset) with distinct active users
+    // and the floor-ppm retention ratio against the cohort's size.
+    "q72_cohort_retention" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"CAST(unix_micros(ts) div $UsPerDay AS BIGINT)").as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      val sizes = first.groupBy("cohort")
+        .agg(count(lit(1)).as("cohort_size"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, "cohort")
+        .withColumn("retention_ppm",
+          expr("CAST(n_active * 1000000 DIV cohort_size AS BIGINT)"))
+        .orderBy("cohort", "day_offset")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q71_event_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS seen_view
+        |  FROM ev),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND us >= seen_view
+        |                 THEN us END AS click_ok
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, MIN(click_ok) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS seen_click
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND us >= seen_click
+        |                 THEN us END AS purch_ok
+        |  FROM s3),
+        |per AS (
+        |  SELECT user_id, MIN(seen_view) AS first_view,
+        |         MIN(click_ok) AS first_click, MIN(purch_ok) AS first_purchase
+        |  FROM s4 GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(COUNT(first_view) AS BIGINT) AS n_viewed,
+        |  CAST(COUNT(first_click) AS BIGINT) AS n_clicked,
+        |  CAST(COUNT(first_purchase) AS BIGINT) AS n_purchased,
+        |  CAST(SUM(CASE WHEN first_purchase IS NOT NULL
+        |           THEN first_purchase - first_view END) AS BIGINT) AS sum_convert_us,
+        |  CAST(COUNT(first_click) * 1000000 // NULLIF(COUNT(first_view), 0) AS BIGINT) AS click_ppm,
+        |  CAST(COUNT(first_purchase) * 1000000 // NULLIF(COUNT(first_click), 0) AS BIGINT) AS purchase_ppm
+        |FROM per""".stripMargin,
+
+    "q72_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |  FROM first GROUP BY cohort),
+        |act AS (
+        |  SELECT f.cohort, ev.day - f.cohort AS day_offset,
+        |         CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+        |  FROM ev JOIN first f ON ev.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort, a.day_offset, a.n_active, s.cohort_size,
+        |  CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+        |FROM act a JOIN sizes s ON a.cohort = s.cohort
+        |ORDER BY a.cohort, a.day_offset""".stripMargin
+  )
+}

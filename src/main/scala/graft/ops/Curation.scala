@@ -167,6 +167,40 @@ object Curation {
     // shared by 10⁶ docs would otherwise cost 10¹² O(len²) kernels —
     // the same quadratic guard as Dedup.capDocFrequency; oversize
     // clusters are q50's finding, not a pairwise-verification input.
+    // C2 companion: winsorized (clamped-tail) robust statistics — the
+    // outlier-trimming pass run on length/score columns before computing
+    // corpus means, where a handful of giant documents would otherwise
+    // dominate. Exact rank-based p05/p95 bounds (value at 0-based index
+    // floor(q·(n−1)) of the (n_chars, doc_id)-sorted stratum — fully
+    // deterministic, no interpolation), clamp, then integer-exact sums
+    // and floor-ppm means. Shuffle shape: one window sort per source +
+    // two same-key aggregations; the bounds frame is one row per source
+    // and broadcast back.
+    "q75_winsorized_stats" -> { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+      val n = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val bounds = docs.join(n, "source")
+        .groupBy("source")
+        .agg(min(when(col("rn") - 1 === expr("(5 * (n - 1)) DIV 100"),
+               col("n_chars"))).as("lo"),
+             min(when(col("rn") - 1 === expr("(95 * (n - 1)) DIV 100"),
+               col("n_chars"))).as("hi"))
+      docs.join(broadcast(bounds), "source")
+        .withColumn("c", greatest(col("lo"), least(col("hi"), col("n_chars"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+             sum(col("c")).cast("long").as("sum_wins"),
+             count(when(col("n_chars") < col("lo"), 1)).as("n_clamped_lo"),
+             count(when(col("n_chars") > col("hi"), 1)).as("n_clamped_hi"))
+        .withColumn("wins_mean_ppm",
+          expr("CAST(sum_wins * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
     "q57_edit_distance" -> { (s, d) =>
       editDistanceVerify(Tables.documents(s, d))
     },
@@ -247,6 +281,29 @@ object Curation {
         |  CAST(cms_est AS BIGINT) AS cms_est,
         |  cms_est >= exact_cnt AS never_undercounts
         |FROM est ORDER BY exact_cnt DESC, term""".stripMargin,
+
+    "q75_winsorized_stats" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents),
+        |n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |b AS (
+        |  SELECT d.source,
+        |    MIN(CASE WHEN rn - 1 = (5 * (n - 1)) // 100 THEN n_chars END) AS lo,
+        |    MIN(CASE WHEN rn - 1 = (95 * (n - 1)) // 100 THEN n_chars END) AS hi
+        |  FROM d JOIN n ON d.source = n.source GROUP BY 1),
+        |c AS (
+        |  SELECT d.source, d.n_chars, lo, hi,
+        |    GREATEST(lo, LEAST(hi, d.n_chars)) AS c
+        |  FROM d JOIN b ON d.source = b.source)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(lo) AS lo, MIN(hi) AS hi,
+        |  CAST(SUM(c) AS BIGINT) AS sum_wins,
+        |  CAST(COUNT(*) FILTER (n_chars < lo) AS BIGINT) AS n_clamped_lo,
+        |  CAST(COUNT(*) FILTER (n_chars > hi) AS BIGINT) AS n_clamped_hi,
+        |  CAST(SUM(c) * 1000000 // COUNT(*) AS BIGINT) AS wins_mean_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q57_edit_distance" ->
       s"""WITH d0 AS (

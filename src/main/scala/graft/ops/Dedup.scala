@@ -269,6 +269,24 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // B11 companion: asymmetric shingle CONTAINMENT pairs. Jaccard misses
+    // the small-document-embedded-in-big-document case (|A∩B|/|A| ≈ 1
+    // while |A∩B|/|A∪B| stays tiny); containment is the rule used to
+    // catch quotes, boilerplate inclusion, and excerpt republication.
+    // Same df-capped shingle self-join as q25 but over the FULL corpus
+    // (the planted containment pairs fall outside q25's doc_id sample);
+    // the verdict compares on integers (common·2 ≥ min(na,nb) ⇔
+    // max-containment ≥ 0.5) and the reported ratios are floor-ppm
+    // integers, so every column is engine-exact.
+    "q74_containment" -> { (s, d) =>
+      jaccardPairs(capDocFrequency(docShingles(s, d, 1), maxDf = 50L))
+        .filter(col("common") * 2 >= least(col("na"), col("nb")))
+        .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+          expr("CAST(common * 1000000 DIV na AS BIGINT)").as("cont_a_ppm"),
+          expr("CAST(common * 1000000 DIV nb AS BIGINT)").as("cont_b_ppm"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // B11 scale path: MinHash+LSH candidates, exact-verified. The
     // engine-neutral hash family makes the whole pipeline oracle-checked.
     "q26_minhash_lsh" -> { (s, d) =>
@@ -394,6 +412,29 @@ object Dedup {
         |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jac
         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.02
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q74_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |sh AS (
+        |  SELECT doc_id, sh FROM sh0
+        |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 50)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+        |  CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
+        |  CAST(common * 1000000 // ca.n AS BIGINT) AS cont_a_ppm,
+        |  CAST(common * 1000000 // cb.n AS BIGINT) AS cont_b_ppm
+        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE common * 2 >= LEAST(ca.n, cb.n)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q26_minhash_lsh" -> (LshPairsSql +

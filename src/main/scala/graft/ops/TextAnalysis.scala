@@ -139,6 +139,28 @@ object TextAnalysis {
     // B12: tf-df term weighting with an exact integer proxy score
     // (tf * 1e6 / df, integer division) — same ranking shape as tf-idf
     // without cross-engine log() drift.
+    // B12 extension: per-source vocabulary growth / lexical richness —
+    // the Heaps-law audit run when comparing corpus slices. Types
+    // (distinct tokens), tokens, hapax legomena (tokens seen exactly
+    // once in the source), and floor-ppm type-token / hapax ratios —
+    // every column integer-exact. Two hash aggregations: (source, token)
+    // then source; the first is the only real shuffle and it map-side
+    // combines, the second reuses a tiny input (≤ sources × vocab rows).
+    "q73_vocab_growth" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      tok.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+             count(lit(1)).cast("long").as("n_types"),
+             count(when(col("c") === 1, 1)).cast("long").as("n_hapax"))
+        .withColumn("ttr_ppm",
+          expr("CAST(n_types * 1000000 DIV n_tokens AS BIGINT)"))
+        .withColumn("hapax_ppm",
+          expr("CAST(n_hapax * 1000000 DIV n_types AS BIGINT)"))
+        .orderBy("source")
+    },
+
     "q31_tfidf_topterm" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -176,6 +198,20 @@ object TextAnalysis {
         | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks) AS stop_ratio,
         | CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q73_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax
+        |  FROM cnt GROUP BY source)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+        |  CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
+        |FROM agg ORDER BY source""".stripMargin,
 
     "q23_top_trigram" ->
       """WITH toks AS (

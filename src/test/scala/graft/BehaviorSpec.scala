@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q71 funnel stages are monotone and ordering-constrained") {
+    val r = SparkEntry.queries("q71_event_funnel")(spark, sf).collect()(0)
+    val (users, viewed, clicked, purchased) =
+      (r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
+       r.getAs[Long]("n_clicked"), r.getAs[Long]("n_purchased"))
+    assert(users >= viewed && viewed >= clicked && clicked >= purchased,
+      s"funnel must narrow: $users/$viewed/$clicked/$purchased")
+    assert(viewed > 0, "corpus should contain views")
+    // The ordered funnel can never count MORE conversions than the
+    // order-free upper bound (a user having all three event types).
+    val ev = graft.model.Tables.events(spark, sf)
+    val unordered = ev.filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(countDistinct(col("event_type")).as("k"))
+      .filter(col("k") === 3).count()
+    assert(purchased <= unordered,
+      s"ordered conversions $purchased exceed order-free bound $unordered")
+  }
+
+  test("q72 cohort day-zero activity equals cohort size") {
+    val rows = SparkEntry.queries("q72_cohort_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dayZero = rows.filter(_.getAs[Long]("day_offset") == 0L)
+    assert(dayZero.nonEmpty, "every cohort is active on its first day")
+    dayZero.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"),
+        s"cohort ${r.getAs[Long]("cohort")}: day-0 active != size")
+      assert(r.getAs[Long]("retention_ppm") == 1000000L)
+    }
+    rows.foreach(r => assert(r.getAs[Long]("retention_ppm") <= 1000000L))
+  }
+
+  test("q73 vocabulary counts nest: hapax <= types <= tokens") {
+    val rows = SparkEntry.queries("q73_vocab_growth")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, typ, hap) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"))
+      assert(hap <= typ && typ <= tok, s"$hap <= $typ <= $tok violated")
+      assert(r.getAs[Long]("ttr_ppm") <= 1000000L)
+    }
+  }
+
+  test("q74 containment pairs respect the intersection bound and threshold") {
+    val rows = SparkEntry.queries("q74_containment")(spark, sf).collect()
+    rows.foreach { r =>
+      val (common, na, nb) = (r.getAs[Long]("common"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      assert(common <= math.min(na, nb), "intersection exceeds a set size")
+      assert(common * 2 >= math.min(na, nb), "below declared threshold")
+      assert(r.getAs[Long]("cont_a_ppm") <= 1000000L)
+      assert(r.getAs[Long]("cont_b_ppm") <= 1000000L)
+    }
+  }
+
+  test("q75 winsorized mean sits inside the clamp bounds") {
+    val rows = SparkEntry.queries("q75_winsorized_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      assert(lo <= hi, s"p05 bound $lo above p95 bound $hi")
+      val meanPpm = r.getAs[Long]("wins_mean_ppm")
+      assert(meanPpm >= lo * 1000000L - 1000000L && meanPpm <= hi * 1000000L,
+        s"winsorized mean $meanPpm outside [$lo, $hi] scaled bounds")
+      val clamped = r.getAs[Long]("n_clamped_lo") + r.getAs[Long]("n_clamped_hi")
+      assert(clamped < r.getAs[Long]("n_docs"),
+        "clamping must not touch every row")
+    }
+  }
+}
