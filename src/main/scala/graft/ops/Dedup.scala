@@ -313,6 +313,34 @@ object Dedup {
         .orderBy("cluster_id")
     },
 
+    // B11/D follow-through: train/val/test SPLIT-LEAKAGE audit. The
+    // standard 80/10/10 assignment hashes each document independently —
+    // which silently places members of one near-dup cluster in different
+    // splits (eval contamination). Per cluster: member count, how many
+    // splits it straddles, the leak verdict, and the remedy column — the
+    // split the whole cluster gets when the hash is taken over the
+    // CLUSTER label instead of the doc id. Reuses the q65 component
+    // labels; the audit itself is one aggregation over them.
+    "q76_split_leakage" -> { (s, d) =>
+      val edges = minhashVerifiedPairs(s, d)
+        .filter(col("jac") >= 0.3)
+        .select("doc_a", "doc_b")
+      val splitOf = (c: Column) =>
+        when(c <= 7, "train").when(c === 8, "val").otherwise("test")
+      connectedComponents(edges)
+        .withColumn("bucket",
+          neutralHash32(concat(lit("split:"), col("node").cast("string"))) % 10)
+        .withColumn("split", splitOf(col("bucket")))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+             countDistinct(col("split")).cast("long").as("n_splits"),
+             min(col("split")).as("first_split"))
+        .withColumn("leaky", col("n_splits") > 1)
+        .withColumn("cluster_split", splitOf(
+          neutralHash32(concat(lit("split:"), col("cluster_id").cast("string"))) % 10))
+        .orderBy("cluster_id")
+    },
+
     // B11 scale path: 32-bit SimHash + 8-bit-band candidate join, over
     // the engine-neutral term hash — oracle-checked.
     "q27_simhash" -> { (s, d) =>
@@ -466,6 +494,36 @@ object Dedup {
         |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
         |  MAX(node) AS max_member
         |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin),
+
+    "q76_split_leakage" -> (LshPairsSql +
+      """,
+        |jpair AS (
+        |  SELECT doc_a, doc_b
+        |  FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM jpair
+        |        UNION ALL SELECT doc_b, doc_a FROM jpair),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT a, b FROM sym
+        |    UNION
+        |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+        |  ) SELECT * FROM r),
+        |lab AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+        |sp AS (
+        |  SELECT node, label,
+        |    CASE WHEN ('0x' || substr(md5('split:' || CAST(node AS VARCHAR)),1,8))::BIGINT % 10 <= 7 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || CAST(node AS VARCHAR)),1,8))::BIGINT % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM lab)
+        |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+        |  MIN(split) AS first_split,
+        |  COUNT(DISTINCT split) > 1 AS leaky,
+        |  CASE WHEN ('0x' || substr(md5('split:' || CAST(label AS VARCHAR)),1,8))::BIGINT % 10 <= 7 THEN 'train'
+        |       WHEN ('0x' || substr(md5('split:' || CAST(label AS VARCHAR)),1,8))::BIGINT % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS cluster_split
+        |FROM sp GROUP BY label ORDER BY cluster_id""".stripMargin),
 
     "q27_simhash" ->
       """WITH toks AS (

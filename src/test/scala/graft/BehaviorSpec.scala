@@ -62,6 +62,21 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q76 split-leakage verdicts are consistent with split counts") {
+    val rows = SparkEntry.queries("q76_split_leakage")(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus plants near-dup clusters")
+    val splits = Set("train", "val", "test")
+    rows.foreach { r =>
+      val (members, nSplits) =
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_splits"))
+      assert(members >= 2, "clusters come from edges, so >= 2 members")
+      assert(nSplits >= 1 && nSplits <= math.min(members, 3L))
+      assert(r.getAs[Boolean]("leaky") == (nSplits > 1))
+      assert(splits.contains(r.getAs[String]("first_split")))
+      assert(splits.contains(r.getAs[String]("cluster_split")))
+    }
+  }
+
   test("q75 winsorized mean sits inside the clamp bounds") {
     val rows = SparkEntry.queries("q75_winsorized_stats")(spark, sf).collect()
     assert(rows.nonEmpty)
