@@ -74,6 +74,39 @@ object Behavior {
           expr("CAST(n_purchased * 1000000 DIV nullif(n_clicked, 0) AS BIGINT)"))
     },
 
+    // RFM segmentation: per-user Recency (days since last purchase,
+    // against the corpus's max-day anchor), Frequency (purchase count),
+    // Monetary (exact-decimal purchase value), bucketed by fixed integer
+    // rules (quantile buckets would need an unpartitioned global window;
+    // fixed thresholds are what production scoring uses anyway, and they
+    // are engine-exact). One per-user aggregation + a broadcast one-row
+    // anchor + a tiny segment rollup.
+    "q78_rfm_segments" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          Relational.money(col("value")).as("v"),
+          expr(s"CAST(unix_micros(ts) div $UsPerDay AS BIGINT)").as("day"))
+      val anchor = ev.agg(max(col("day")).as("anchor"))
+      ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(col("day")).as("last_day"),
+             count(lit(1)).as("freq"),
+             sum(col("v")).as("monetary"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("recency", col("anchor") - col("last_day"))
+        .withColumn("r_seg",
+          when(col("recency") <= 7, "active")
+            .when(col("recency") <= 30, "warm").otherwise("cold"))
+        .withColumn("f_seg",
+          when(col("freq") >= 6, "power")
+            .when(col("freq") >= 2, "regular").otherwise("one_time"))
+        .groupBy("r_seg", "f_seg")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+             sum(col("freq")).cast("long").as("n_purchases"),
+             sum(col("monetary")).cast("double").as("sum_value"))
+        .orderBy("r_seg", "f_seg")
+    },
+
     // Cohort retention triangle: cohort = first active day (integer day
     // index), one row per (cohort, day offset) with distinct active users
     // and the floor-ppm retention ratio against the cohort's size.
@@ -131,6 +164,30 @@ object Behavior {
         |  CAST(COUNT(first_click) * 1000000 // NULLIF(COUNT(first_view), 0) AS BIGINT) AS click_ppm,
         |  CAST(COUNT(first_purchase) * 1000000 // NULLIF(COUNT(first_click), 0) AS BIGINT) AS purchase_ppm
         |FROM per""".stripMargin,
+
+    "q78_rfm_segments" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(12,2)) AS v,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |anchor AS (SELECT MAX(day) AS anchor FROM ev),
+        |per AS (
+        |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS freq,
+        |         SUM(v) AS monetary
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+        |seg AS (
+        |  SELECT freq, monetary,
+        |    CASE WHEN anchor - last_day <= 7 THEN 'active'
+        |         WHEN anchor - last_day <= 30 THEN 'warm'
+        |         ELSE 'cold' END AS r_seg,
+        |    CASE WHEN freq >= 6 THEN 'power'
+        |         WHEN freq >= 2 THEN 'regular'
+        |         ELSE 'one_time' END AS f_seg
+        |  FROM per CROSS JOIN anchor)
+        |SELECT r_seg, f_seg, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(freq) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(monetary) AS DOUBLE) AS sum_value
+        |FROM seg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q72_cohort_retention" ->
       """WITH ev AS (

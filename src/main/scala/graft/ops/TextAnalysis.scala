@@ -161,6 +161,37 @@ object TextAnalysis {
         .orderBy("source")
     },
 
+    // B12 extension: token-rarity document scoring — the df-based
+    // commonness/rarity gate used to drop low-information documents
+    // (wall-of-boilerplate ⇒ high mean document frequency) and surface
+    // rare-content ones, without any transcendental idf. Per sampled
+    // document: mean token document-frequency as a floor-ppm fraction of
+    // the corpus size, and the share of rare tokens (df ≤ 5% of docs) —
+    // every column integer-exact. The df table is vocabulary-sized
+    // (broadcastable); the corpus scan stays linear.
+    "q77_rarity_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toksAll = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val dfTbl = toksAll.distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).cast("long").as("n_corpus"))
+      toksAll.filter(col("doc_id") % 13 === 0)
+        .join(dfTbl, "tok")
+        .crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(col("df")).cast("long").as("sum_df"),
+             count(when(col("df") * 20 <= col("n_corpus"), 1)).as("n_rare"),
+             min(col("n_corpus")).as("nc"))
+        .withColumn("commonness_ppm",
+          expr("CAST(sum_df * 1000000 DIV (n_tokens * nc) AS BIGINT)"))
+        .withColumn("rare_ppm",
+          expr("CAST(n_rare * 1000000 DIV n_tokens AS BIGINT)"))
+        .select("doc_id", "n_tokens", "sum_df", "n_rare",
+                "commonness_ppm", "rare_ppm")
+        .orderBy("doc_id")
+    },
+
     "q31_tfidf_topterm" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -198,6 +229,24 @@ object TextAnalysis {
         | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks) AS stop_ratio,
         | CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q77_rarity_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |df AS (
+        |  SELECT tok, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+        |j AS (
+        |  SELECT t.doc_id, d.df, n.n_corpus
+        |  FROM toks t JOIN df d ON t.tok = d.tok CROSS JOIN n
+        |  WHERE t.doc_id % 13 = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(df) AS BIGINT) AS sum_df,
+        |  CAST(COUNT(*) FILTER (df * 20 <= n_corpus) AS BIGINT) AS n_rare,
+        |  CAST(SUM(df) * 1000000 // (COUNT(*) * MIN(n_corpus)) AS BIGINT) AS commonness_ppm,
+        |  CAST(COUNT(*) FILTER (df * 20 <= n_corpus) * 1000000 // COUNT(*) AS BIGINT) AS rare_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q73_vocab_growth" ->
       """WITH tok AS (

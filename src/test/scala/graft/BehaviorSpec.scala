@@ -77,6 +77,36 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 rarity ratios bounded and df floor respected") {
+    val rows = SparkEntry.queries("q77_rarity_score")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, sumDf, rare) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("sum_df"), r.getAs[Long]("n_rare"))
+      assert(sumDf >= tok, "every token has df >= 1")
+      assert(rare <= tok)
+      assert(r.getAs[Long]("commonness_ppm") <= 1000000L)
+      assert(r.getAs[Long]("rare_ppm") <= 1000000L)
+    }
+  }
+
+  test("q78 RFM segments partition the purchasing users") {
+    val rows = SparkEntry.queries("q78_rfm_segments")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rSegs = Set("active", "warm", "cold")
+    val fSegs = Set("power", "regular", "one_time")
+    rows.foreach { r =>
+      assert(rSegs.contains(r.getAs[String]("r_seg")))
+      assert(fSegs.contains(r.getAs[String]("f_seg")))
+      assert(r.getAs[Long]("n_purchases") >= r.getAs[Long]("n_users"))
+    }
+    val totalUsers = rows.map(_.getAs[Long]("n_users")).sum
+    val expected = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(totalUsers == expected, "segments must partition purchasers")
+  }
+
   test("q75 winsorized mean sits inside the clamp bounds") {
     val rows = SparkEntry.queries("q75_winsorized_stats")(spark, sf).collect()
     assert(rows.nonEmpty)
