@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,13 @@ import graft.model.Tables
 object Behavior {
 
   private val UsPerDay = 86400000000L
+
+  /** Integer day index since epoch — the single day-bucketing rule shared
+    * by q72 (cohorts) and q78 (recency) so the two can never diverge.
+    * Integer µs floor-division: identical binning on both engines, no
+    * timezone/DST surface (all corpus timestamps are post-epoch). */
+  private def dayIndex: Column =
+    expr(s"CAST(unix_micros(ts) div $UsPerDay AS BIGINT)")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ordered funnel. Running minimums over the per-user event timeline:
@@ -85,7 +92,7 @@ object Behavior {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
           Relational.money(col("value")).as("v"),
-          expr(s"CAST(unix_micros(ts) div $UsPerDay AS BIGINT)").as("day"))
+          dayIndex.as("day"))
       val anchor = ev.agg(max(col("day")).as("anchor"))
       ev.filter(col("event_type") === "purchase")
         .groupBy("user_id")
@@ -112,8 +119,7 @@ object Behavior {
     // and the floor-ppm retention ratio against the cohort's size.
     "q72_cohort_retention" -> { (s, d) =>
       val ev = Tables.events(s, d)
-        .select(col("user_id"),
-          expr(s"CAST(unix_micros(ts) div $UsPerDay AS BIGINT)").as("day"))
+        .select(col("user_id"), dayIndex.as("day"))
       val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
       val sizes = first.groupBy("cohort")
         .agg(count(lit(1)).as("cohort_size"))

@@ -167,6 +167,10 @@ object Curation {
     // shared by 10⁶ docs would otherwise cost 10¹² O(len²) kernels —
     // the same quadratic guard as Dedup.capDocFrequency; oversize
     // clusters are q50's finding, not a pairwise-verification input.
+    "q57_edit_distance" -> { (s, d) =>
+      editDistanceVerify(Tables.documents(s, d))
+    },
+
     // C2 companion: winsorized (clamped-tail) robust statistics — the
     // outlier-trimming pass run on length/score columns before computing
     // corpus means, where a handful of giant documents would otherwise
@@ -175,7 +179,10 @@ object Curation {
     // deterministic, no interpolation), clamp, then integer-exact sums
     // and floor-ppm means. Shuffle shape: one window sort per source +
     // two same-key aggregations; the bounds frame is one row per source
-    // and broadcast back.
+    // and broadcast back. The per-source window sort is the exact
+    // small-SF audit shape: at 100 TB the bounds come from the q62
+    // mergeable histogram sketch instead (upper-edge p05/p95), and the
+    // clamp + mean pass below them stays a linear map-side-combined agg.
     "q75_winsorized_stats" -> { (s, d) =>
       val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
       val docs = Tables.documents(s, d)
@@ -196,13 +203,14 @@ object Curation {
              sum(col("c")).cast("long").as("sum_wins"),
              count(when(col("n_chars") < col("lo"), 1)).as("n_clamped_lo"),
              count(when(col("n_chars") > col("hi"), 1)).as("n_clamped_hi"))
+        // floor(sum·10⁶/n) decomposed as (sum div n)·10⁶ + ((sum mod n)·10⁶
+        // div n): the remainder term's factor is < n, so nothing overflows
+        // 64-bit even when sum·10⁶ itself would (multi-TB strata) — and the
+        // identity is exact, so the oracle mirrors the same decomposition.
         .withColumn("wins_mean_ppm",
-          expr("CAST(sum_wins * 1000000 DIV n_docs AS BIGINT)"))
+          expr("CAST(sum_wins DIV n_docs * 1000000 + " +
+               "(sum_wins % n_docs) * 1000000 DIV n_docs AS BIGINT)"))
         .orderBy("source")
-    },
-
-    "q57_edit_distance" -> { (s, d) =>
-      editDistanceVerify(Tables.documents(s, d))
     },
 
     // Boilerplate prefixes: documents sharing their first 100 chars —
@@ -302,7 +310,8 @@ object Curation {
         |  CAST(SUM(c) AS BIGINT) AS sum_wins,
         |  CAST(COUNT(*) FILTER (n_chars < lo) AS BIGINT) AS n_clamped_lo,
         |  CAST(COUNT(*) FILTER (n_chars > hi) AS BIGINT) AS n_clamped_hi,
-        |  CAST(SUM(c) * 1000000 // COUNT(*) AS BIGINT) AS wins_mean_ppm
+        |  CAST(SUM(c) // COUNT(*) * 1000000
+        |       + (SUM(c) % COUNT(*)) * 1000000 // COUNT(*) AS BIGINT) AS wins_mean_ppm
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q57_edit_distance" ->

@@ -192,6 +192,14 @@ object Dedup {
     * lineage (the standard Spark shape for iterative graph algorithms;
     * rounds needed = component diameter, which for near-dup clusters is
     * tiny). maxIter caps pathological chains. */
+  /** The duplicate-graph edge list shared by q65 (cluster formation) and
+    * q76 (split-leakage audit): verified MinHash pairs at Jaccard ≥ 0.3.
+    * One definition so the threshold can never drift between the two. */
+  def dupEdges(s: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairs(s, d)
+      .filter(col("jac") >= 0.3)
+      .select("doc_a", "doc_b")
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE: sym is referenced by every round's
     // join, and without the checkpoint each round would re-run the whole
@@ -303,10 +311,7 @@ object Dedup {
     // deterministic-survivor rule as q14/q24). cluster_id = survivor by
     // construction of min-label propagation.
     "q65_dup_clusters" -> { (s, d) =>
-      val edges = minhashVerifiedPairs(s, d)
-        .filter(col("jac") >= 0.3)
-        .select("doc_a", "doc_b")
-      connectedComponents(edges)
+      connectedComponents(dupEdges(s, d))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).cast("long").as("n_members"),
              max(col("node")).as("max_member"))
@@ -322,12 +327,9 @@ object Dedup {
     // CLUSTER label instead of the doc id. Reuses the q65 component
     // labels; the audit itself is one aggregation over them.
     "q76_split_leakage" -> { (s, d) =>
-      val edges = minhashVerifiedPairs(s, d)
-        .filter(col("jac") >= 0.3)
-        .select("doc_a", "doc_b")
       val splitOf = (c: Column) =>
         when(c <= 7, "train").when(c === 8, "val").otherwise("test")
-      connectedComponents(edges)
+      connectedComponents(dupEdges(s, d))
         .withColumn("bucket",
           neutralHash32(concat(lit("split:"), col("node").cast("string"))) % 10)
         .withColumn("split", splitOf(col("bucket")))
@@ -405,6 +407,27 @@ object Dedup {
       |            JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** SQL mirror of [[dupEdges]] + [[connectedComponents]]: verified-pair
+    * edges at jac ≥ 0.3, symmetric closure, recursive-CTE reachability,
+    * component label = min over {node} ∪ reachable set. Shared by the
+    * q65 and q76 oracles so threshold and closure logic stay in lockstep
+    * with each other (and with the Scala side above). */
+  private val ClusterLabelsSql: String = LshPairsSql +
+    """,
+      |jpair AS (
+      |  SELECT doc_a, doc_b
+      |  FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM jpair
+      |        UNION ALL SELECT doc_b, doc_a FROM jpair),
+      |reach AS (
+      |  WITH RECURSIVE r(a, b) AS (
+      |    SELECT a, b FROM sym
+      |    UNION
+      |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+      |  ) SELECT * FROM r),
+      |lab AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q24_exact_dedup" ->
       """WITH u AS (
@@ -476,40 +499,14 @@ object Dedup {
     // Connected components in SQL: symmetric closure of the verified
     // pair list, transitive reachability via a recursive CTE, component
     // label = min over {node} ∪ reachable set.
-    "q65_dup_clusters" -> (LshPairsSql +
-      """,
-        |jpair AS (
-        |  SELECT doc_a, doc_b
-        |  FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3),
-        |sym AS (SELECT doc_a AS a, doc_b AS b FROM jpair
-        |        UNION ALL SELECT doc_b, doc_a FROM jpair),
-        |reach AS (
-        |  WITH RECURSIVE r(a, b) AS (
-        |    SELECT a, b FROM sym
-        |    UNION
-        |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
-        |  ) SELECT * FROM r),
-        |lab AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+    "q65_dup_clusters" -> (ClusterLabelsSql +
+      """
         |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
         |  MAX(node) AS max_member
         |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin),
 
-    "q76_split_leakage" -> (LshPairsSql +
+    "q76_split_leakage" -> (ClusterLabelsSql +
       """,
-        |jpair AS (
-        |  SELECT doc_a, doc_b
-        |  FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3),
-        |sym AS (SELECT doc_a AS a, doc_b AS b FROM jpair
-        |        UNION ALL SELECT doc_b, doc_a FROM jpair),
-        |reach AS (
-        |  WITH RECURSIVE r(a, b) AS (
-        |    SELECT a, b FROM sym
-        |    UNION
-        |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
-        |  ) SELECT * FROM r),
-        |lab AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
         |sp AS (
         |  SELECT node, label,
         |    CASE WHEN ('0x' || substr(md5('split:' || CAST(node AS VARCHAR)),1,8))::BIGINT % 10 <= 7 THEN 'train'

@@ -176,7 +176,11 @@ object TextAnalysis {
         .groupBy("tok").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).cast("long").as("n_corpus"))
       toksAll.filter(col("doc_id") % 13 === 0)
-        .join(dfTbl, "tok")
+        // broadcast keeps the (sampled) token stream unshuffled; a real
+        // deployment prunes the df table to a bounded scoring vocabulary
+        // (min-df / top-N) before this join, which is what makes the
+        // broadcast safe at open-vocabulary scale
+        .join(broadcast(dfTbl), "tok")
         .crossJoin(broadcast(n))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),

@@ -52,6 +52,7 @@ class BehaviorSpec extends AnyFunSuite {
 
   test("q74 containment pairs respect the intersection bound and threshold") {
     val rows = SparkEntry.queries("q74_containment")(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus plants containment pairs")
     rows.foreach { r =>
       val (common, na, nb) = (r.getAs[Long]("common"),
         r.getAs[Long]("na"), r.getAs[Long]("nb"))
