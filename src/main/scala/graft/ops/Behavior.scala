@@ -114,6 +114,33 @@ object Behavior {
         .orderBy("r_seg", "f_seg")
     },
 
+    // Temporal burst detection: per event type, flag active days whose
+    // count exceeds 2× the trailing-7-active-day mean — the anomaly
+    // gate run on ingest volumes (a burst day upstream usually means a
+    // replay, a bot, or an outage backfill downstream). The comparison
+    // is cnt·7 > trail_sum·2 (⇔ cnt > 2·mean) — pure integers, no
+    // division. The trailing frame is over ACTIVE days (rows), matching
+    // on both engines by construction; only full 7-day trails are
+    // judged. One small aggregation + one partitioned window.
+    "q80_burst_detect" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), dayIndex.as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("trail_sum", sum(col("cnt")).over(w))
+        .withColumn("trail_n", count(col("cnt")).over(w))
+        .filter(col("trail_n") === 7)
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("trail_sum").cast("long").as("trail_sum"),
+          // day-over-trailing-mean ratio as floor-ppm (cnt·7·10⁶ ÷ sum):
+          // the continuous signal alongside the binary verdict (uniform
+          // corpora never trip 2×, but the ratio still carries variance)
+          expr("CAST(cnt * 7000000 DIV trail_sum AS BIGINT)").as("ratio_ppm"),
+          (col("cnt") * 7 > col("trail_sum") * 2).as("burst"))
+        .orderBy("event_type", "day")
+    },
+
     // Cohort retention triangle: cohort = first active day (integer day
     // index), one row per (cohort, day offset) with distinct active users
     // and the floor-ppm retention ratio against the cohort's size.
@@ -194,6 +221,25 @@ object Behavior {
         |  CAST(SUM(freq) AS BIGINT) AS n_purchases,
         |  CAST(SUM(monetary) AS DOUBLE) AS sum_value
         |FROM seg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q80_burst_detect" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_sum,
+        |    COUNT(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_n
+        |  FROM daily)
+        |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(trail_sum AS BIGINT) AS trail_sum,
+        |  CAST(cnt * 7000000 // trail_sum AS BIGINT) AS ratio_ppm,
+        |  cnt * 7 > trail_sum * 2 AS burst
+        |FROM w WHERE trail_n = 7 ORDER BY event_type, day""".stripMargin,
 
     "q72_cohort_retention" ->
       """WITH ev AS (

@@ -168,6 +168,33 @@ object Corpus {
         .orderBy("lang", "bin")
     },
 
+    // Cross-source content overlap matrix: pairwise Jaccard between the
+    // sources' word-trigram SETS — the corpus-composition planning stat
+    // (two sources with near-identical content are redundant; a
+    // low-overlap source adds coverage). Trigrams, not unigrams: every
+    // source shares ~97% of a small token vocabulary, so unigram overlap
+    // is saturated noise while trigram overlap spreads 1–9% here. The
+    // self-join fans out per shingle by at most (#sources)² — bounded by
+    // the source count, NOT the corpus size — so the quadratic term is a
+    // constant at any scale. All ratios floor-ppm integers.
+    "q79_source_overlap" -> { (s, d) =>
+      val st = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"), explode(shingleExpr("t", 3)).as("sh"))
+        .distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+      st.select(col("source").as("src_a"), col("sh"))
+        .join(st.select(col("source").as("src_b"), col("sh")), "sh")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .withColumn("jac_ppm",
+          expr("CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Embedding-space label cohesion audit — the QA pass run before
     // trusting labels (or cluster assignments) for training: per label,
     // the centroid's norm (random label ⇒ vectors cancel ⇒ norm ≈ 0)
@@ -431,6 +458,25 @@ object Corpus {
   )
 
   def oracle: Map[String, String] = Map(
+    "q79_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |st AS (
+        |  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS common
+        |  FROM st a JOIN st b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(common AS BIGINT) AS common,
+        |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+        |  CAST(common * 1000000 // (sa.n + sb.n - common) AS BIGINT) AS jac_ppm
+        |FROM pairs JOIN sizes sa ON src_a = sa.source
+        |           JOIN sizes sb ON src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
     "q58_bloom_prune" ->
       s"""WITH keys AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0),
         |kh AS (SELECT o_orderkey,

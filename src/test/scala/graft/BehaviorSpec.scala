@@ -108,6 +108,32 @@ class BehaviorSpec extends AnyFunSuite {
     assert(totalUsers == expected, "segments must partition purchasers")
   }
 
+  test("q79 source-overlap Jaccard respects set-size bounds") {
+    val rows = SparkEntry.queries("q79_source_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (common, na, nb) = (r.getAs[Long]("common"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      assert(common <= math.min(na, nb))
+      assert(r.getAs[Long]("jac_ppm") <= 1000000L)
+    }
+    // pairs are strictly upper-triangular: no self-pairs, no duplicates
+    val keys = rows.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")))
+    assert(keys.forall { case (a, b) => a < b })
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("q80 burst verdict matches the integer ratio rule") {
+    val rows = SparkEntry.queries("q80_burst_detect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, trail) = (r.getAs[Long]("cnt"), r.getAs[Long]("trail_sum"))
+      assert(trail > 0, "a full 7-active-day trail implies positive counts")
+      assert(r.getAs[Boolean]("burst") == (cnt * 7 > trail * 2))
+      assert(r.getAs[Long]("ratio_ppm") == cnt * 7000000L / trail)
+    }
+  }
+
   test("q75 winsorized mean sits inside the clamp bounds") {
     val rows = SparkEntry.queries("q75_winsorized_stats")(spark, sf).collect()
     assert(rows.nonEmpty)
