@@ -113,6 +113,66 @@ object FlowQueries {
     // As-of join (point-in-time lookup): each error event picks up the
     // user's most recent preceding purchase — composed via ignore-nulls
     // window carry, one shuffle, no range-join pair explosion.
+    // A10/A13 companion: CHANGELOG COMPACTION — the CDC upsert view a
+    // sink materializes from an append log (latest record per key wins,
+    // ties broken by offset). The reference replays/rewinds the same
+    // offsets (BigqueryStorageWriteSinkTask.java:205-245); compaction is
+    // what makes that replay idempotent downstream. Latest-wins via one
+    // per-key window rank on (event time, offset) — deterministic under
+    // ties — then a compaction-rate rollup per derived partition.
+    "q81_changelog_compact" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      evp(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("is_latest", col("rn") === 1)
+        .groupBy("p")
+        .agg(count(lit(1)).cast("long").as("n_log"),
+             count(when(col("is_latest"), 1)).cast("long").as("n_live"),
+             sum(when(col("is_latest"), col("value")).otherwise(lit(0d))
+               .cast(DecimalType(12, 2))).cast("double").as("live_value"))
+        .withColumn("compaction_ppm",
+          expr("CAST(n_live * 1000000 DIV n_log AS BIGINT)"))
+        .orderBy("p")
+    },
+
+    // B14 diagnostic: EVENT LATENESS AUDIT — the measurement that tunes
+    // a watermark delay: an event is late when its event time is behind
+    // the running max event time already seen on its partition, and the
+    // lateness magnitude is the µs gap; the verdict columns are what a
+    // pipeline reads off to size the delay (how many events would a
+    // given watermark drop). The corpus's event_id order IS its ts
+    // order (a single perfectly-ordered producer — every lateness would
+    // be zero and the audit vacuous), so arrival order is the offset
+    // perturbed by a deterministic ±50-position hash jitter: the
+    // interleaving a multi-producer topic actually exhibits, replayed
+    // identically by both engines. One partitioned running-max window +
+    // one aggregation, all integer-exact.
+    "q82_lateness_audit" -> { (s, d) =>
+      val w = Window.partitionBy("p").orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      evp(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("arr", col("event_id") +
+          Dedup.neutralHash32(col("event_id").cast("string")) % 100 - 50)
+        .withColumn("hwm", max(col("us")).over(w))
+        .withColumn("late_us",
+          when(col("hwm") > col("us"), col("hwm") - col("us")).otherwise(0L))
+        .groupBy("p")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+             count(when(col("late_us") > 0, 1)).cast("long").as("n_late"),
+             max(col("late_us")).cast("long").as("max_late_us"),
+             sum(col("late_us")).cast("long").as("sum_late_us"),
+             count(when(col("late_us") > 60000000L, 1)).cast("long")
+               .as("n_beyond_1min"),
+             count(when(col("late_us") > 3600000000L, 1)).cast("long")
+               .as("n_beyond_1h"))
+        .withColumn("late_ppm",
+          expr("CAST(n_late * 1000000 DIV n_events AS BIGINT)"))
+        .orderBy("p")
+    },
+
     "q40_asof_join" -> { (s, d) =>
       val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
       val errors = ev.filter(col("event_type") === "error")
@@ -223,6 +283,44 @@ object FlowQueries {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q81_changelog_compact" ->
+      """WITH ev AS (
+        |  SELECT user_id % 4 AS p, user_id, event_id, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_log,
+        |  CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS n_live,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN CAST(value AS DECIMAL(12,2))
+        |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS live_value,
+        |  CAST(COUNT(*) FILTER (rn = 1) * 1000000 // COUNT(*) AS BIGINT) AS compaction_ppm
+        |FROM r GROUP BY p ORDER BY p""".stripMargin,
+
+    "q82_lateness_audit" ->
+      """WITH ev AS (
+        |  SELECT user_id % 4 AS p, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         event_id + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 - 50 AS arr
+        |  FROM events),
+        |h AS (
+        |  SELECT *, MAX(us) OVER (PARTITION BY p ORDER BY arr, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM ev),
+        |l AS (
+        |  SELECT p, CASE WHEN hwm > us THEN hwm - us ELSE 0 END AS late_us
+        |  FROM h)
+        |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) FILTER (late_us > 0) AS BIGINT) AS n_late,
+        |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us,
+        |  CAST(COUNT(*) FILTER (late_us > 60000000) AS BIGINT) AS n_beyond_1min,
+        |  CAST(COUNT(*) FILTER (late_us > 3600000000) AS BIGINT) AS n_beyond_1h,
+        |  CAST(COUNT(*) FILTER (late_us > 0) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
+        |FROM l GROUP BY p ORDER BY p""".stripMargin,
 
     "q40_asof_join" ->
       """WITH ev AS (

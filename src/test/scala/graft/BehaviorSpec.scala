@@ -134,6 +134,34 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q81 compaction keeps exactly one live record per key") {
+    val rows = SparkEntry.queries("q81_changelog_compact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_live") <= r.getAs[Long]("n_log"))
+      assert(r.getAs[Long]("compaction_ppm") <= 1000000L)
+    }
+    val live = rows.map(_.getAs[Long]("n_live")).sum
+    val expected = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(live == expected, "one live record per user after compaction")
+  }
+
+  test("q82 lateness columns nest and the jitter produces real disorder") {
+    val rows = SparkEntry.queries("q82_lateness_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, late, b1m, b1h) = (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_late"), r.getAs[Long]("n_beyond_1min"),
+        r.getAs[Long]("n_beyond_1h"))
+      assert(b1h <= b1m && b1m <= late && late <= n)
+      if (late > 0) assert(r.getAs[Long]("max_late_us") > 0)
+      assert(r.getAs[Long]("sum_late_us") >= r.getAs[Long]("max_late_us"))
+    }
+    assert(rows.map(_.getAs[Long]("n_late")).sum > 0,
+      "the deterministic arrival jitter must yield late events")
+  }
+
   test("q75 winsorized mean sits inside the clamp bounds") {
     val rows = SparkEntry.queries("q75_winsorized_stats")(spark, sf).collect()
     assert(rows.nonEmpty)
