@@ -26,7 +26,8 @@ object PlanAudit {
       "BroadcastNestedLoopJoin", "CartesianProduct",
       "Exchange hashpartitioning", "Exchange rangepartitioning",
       "Exchange SinglePartition", "Sort ", "Window", "Generate",
-      "HashAggregate", "ObjectHashAggregate", "SortAggregate")
+      "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+      "ReusedExchange")
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -176,22 +176,22 @@ object Corpus {
     // is saturated noise while trigram overlap spreads 1–9% here. The
     // self-join fans out per shingle by at most (#sources)² — bounded by
     // the source count, NOT the corpus size — so the quadratic term is a
-    // constant at any scale. All ratios floor-ppm integers.
+    // constant at any scale. All ratios floor-ppm integers. The
+    // pair-join recipe is Dedup.jaccardPairs keyed by source; the
+    // tokenize+explode+distinct subtree appears on three plan branches
+    // but runs ONCE (ReuseExchange unifies the identical subtrees —
+    // PlanAudit shows Generate=1, ReusedExchange=3; caching it instead
+    // measured slower: cache build cost plus lost pipelining).
     "q79_source_overlap" -> { (s, d) =>
       val st = Tables.documents(s, d)
         .withColumn("t", tokens(col("text")))
         .filter(size(col("t")) >= 3)
         .select(col("source"), explode(shingleExpr("t", 3)).as("sh"))
         .distinct()
-      val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
-      st.select(col("source").as("src_a"), col("sh"))
-        .join(st.select(col("source").as("src_b"), col("sh")), "sh")
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
-        .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
-        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      Dedup.jaccardPairs(st, key = "source", outA = "src_a", outB = "src_b")
         .withColumn("jac_ppm",
           expr("CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)"))
+        .drop("jac")
         .orderBy("src_a", "src_b")
     },
 

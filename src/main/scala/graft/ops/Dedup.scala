@@ -70,14 +70,15 @@ object Dedup {
     * shingle universe, so the quadratic term is bounded by maxDf² per
     * shingle. Use as the oracle-checked exact variant; the scale path
     * verifies candidates with [[jaccardOfPairs]]. */
-  def jaccardPairs(sh: DataFrame): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+  def jaccardPairs(sh: DataFrame, key: String = "doc_id",
+                   outA: String = "doc_a", outB: String = "doc_b"): DataFrame = {
+    val cnt = sh.groupBy(key).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(key).as(outA), col("sh"))
+    val b = sh.select(col(key).as(outB), col("sh"))
+    a.join(b, Seq("sh")).filter(col(outA) < col(outB))
+      .groupBy(outA, outB).agg(count(lit(1)).as("common"))
+      .join(cnt.select(col(key).as(outA), col("n").as("na")), outA)
+      .join(cnt.select(col(key).as(outB), col("n").as("nb")), outB)
       .withColumn("jac", col("common").cast("double") /
         (col("na") + col("nb") - col("common")))
   }

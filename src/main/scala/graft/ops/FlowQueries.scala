@@ -130,8 +130,8 @@ object FlowQueries {
         .groupBy("p")
         .agg(count(lit(1)).cast("long").as("n_log"),
              count(when(col("is_latest"), 1)).cast("long").as("n_live"),
-             sum(when(col("is_latest"), col("value")).otherwise(lit(0d))
-               .cast(DecimalType(12, 2))).cast("double").as("live_value"))
+             sum(when(col("is_latest"), money(col("value"))))
+               .cast("double").as("live_value"))
         .withColumn("compaction_ppm",
           expr("CAST(n_live * 1000000 DIV n_log AS BIGINT)"))
         .orderBy("p")
@@ -295,8 +295,8 @@ object FlowQueries {
         |  FROM ev)
         |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_log,
         |  CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS n_live,
-        |  CAST(SUM(CASE WHEN rn = 1 THEN CAST(value AS DECIMAL(12,2))
-        |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS live_value,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN CAST(value AS DECIMAL(12,2)) END)
+        |       AS DOUBLE) AS live_value,
         |  CAST(COUNT(*) FILTER (rn = 1) * 1000000 // COUNT(*) AS BIGINT) AS compaction_ppm
         |FROM r GROUP BY p ORDER BY p""".stripMargin,
 
