@@ -57,6 +57,25 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", norm("v"))
 
+  /** Nearest-centroid cell assignment shared by q42 (IVF probe) and q83
+    * (Lloyd update): deterministically sampled, LIMIT-bounded centroid
+    * set (the only broadcast), every vector assigned to its max-cosine
+    * cell with cent_id tie-break. Returns (assignments, centroids). */
+  private def assignedCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = vecs(s, d)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(MaxCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(vec_cosine(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    (assigned, cents)
+  }
+
   /** Deterministic hyperplane weight — pure integer arithmetic so any
     * engine reproduces it: w(i,j) = ((i*7919 + j*104729) mod 2001) - 1000. */
   def planeWeight(plane: Int, dim: Int): Long =
@@ -135,17 +154,7 @@ object Similarity {
     // subtree behind them is computed once (exchange reuse) instead of
     // once per join side.
     "q42_ivf_ann" -> { (s, d) =>
-      val e = vecs(s, d)
-      val cents = e.filter(col("vec_id") % 50 === 0)
-        .orderBy("vec_id").limit(MaxCentroids)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", round(vec_cosine(col("v"), col("cv")), 6))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      val (assigned, _) = assignedCells(s, d)
       val q = assigned.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
       val c = assigned.select(col("vec_id").as("c_id"), col("v").as("cv2"), col("cell"))
@@ -157,6 +166,38 @@ object Similarity {
         .filter(col("rank") <= 3)
         .select("q_id", "rank", "c_id", "cos")
         .orderBy("q_id", "rank")
+    },
+
+    // IVF completion: one exact Lloyd (k-means) iteration — the update
+    // step that BUILDS the q42 coarse quantizer. Vectors are assigned to
+    // their nearest current centroid (the shared assignedCells subtree),
+    // then each cell's new centroid is recomputed from fixed-point
+    // per-dimension sums (floor(x·10⁶+0.5) longs summed exactly — the
+    // q70 kernel), so the reduction is partitioning-independent and both
+    // engines derive bit-identical centroid arrays. Emitted diagnostics:
+    // member count, the new centroid's norm, and cos(old, new) — the
+    // convergence signal a training loop watches. Scale: the centroid
+    // set is the only broadcast; the update is one posexplode +
+    // (cell × dim) aggregation, map-side combined.
+    "q83_kmeans_step" -> { (s, d) =>
+      val (assigned, cents) = assignedCells(s, d)
+      val dims = assigned.select(col("cell"),
+        posexplode(expr("transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+      val sums = dims.groupBy("cell", "dim").agg(sum(col("q")).as("sq"))
+      val n = assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      sums.groupBy("cell")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, sq))), p -> p.sq)")
+          .as("sq_arr"))
+        .join(n, "cell")
+        // CAST first: a bare `/ 1000000.0` would run in decimal, not IEEE
+        .withColumn("nc",
+          expr("transform(sq_arr, s -> CAST(s AS DOUBLE) / 1000000 / n_members)"))
+        .join(broadcast(cents.withColumnRenamed("cent_id", "cell")), "cell")
+        .select(col("cell"), col("n_members").cast("long").as("n_members"),
+          round(norm("nc"), 6).as("new_norm"),
+          round(vec_cosine(col("nc"), col("cv")), 6).as("shift_cos"))
+        .orderBy("cell")
     },
 
     // ANN scale path: LSH bucket join + exact re-rank of candidates.
@@ -182,6 +223,34 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "q83_kmeans_step" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n0
+        |          WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
+        |assign AS (
+        |  SELECT vec_id, v, cent_id AS cell, row_number() OVER
+        |    (PARTITION BY vec_id
+        |     ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cent_id) AS rn
+        |  FROM n0, cents),
+        |cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+        |qd AS (
+        |  SELECT cell, g.i AS dim, CAST(floor(v[g.i] * 1000000 + 0.5) AS BIGINT) AS qv
+        |  FROM cells, UNNEST(generate_series(1, len(v))) AS g(i)),
+        |s AS (SELECT cell, dim, CAST(SUM(qv) AS BIGINT) AS sq FROM qd GROUP BY 1, 2),
+        |cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM cells GROUP BY 1),
+        |nc AS (
+        |  SELECT s.cell, cnt.n_members,
+        |    list_transform(array_agg(s.sq ORDER BY s.dim),
+        |                   x -> CAST(x AS DOUBLE) / 1000000 / cnt.n_members) AS ncv
+        |  FROM s JOIN cnt USING (cell) GROUP BY s.cell, cnt.n_members)
+        |SELECT nc.cell, nc.n_members,
+        |  round(sqrt(list_dot_product(ncv, ncv)), 6) AS new_norm,
+        |  round(list_dot_product(ncv, c.cv) /
+        |        (sqrt(list_dot_product(ncv, ncv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS shift_cos
+        |FROM nc JOIN cents c ON nc.cell = c.cent_id ORDER BY nc.cell""".stripMargin,
+
     "q42_ivf_ann" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

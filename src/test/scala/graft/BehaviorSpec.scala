@@ -162,6 +162,22 @@ class BehaviorSpec extends AnyFunSuite {
       "the deterministic arrival jitter must yield late events")
   }
 
+  test("q83 Lloyd step conserves members and bounds the diagnostics") {
+    val rows = SparkEntry.queries("q83_kmeans_step")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 1)
+      assert(r.getAs[Double]("new_norm") >= 0.0)
+      val shift = r.getAs[Double]("shift_cos")
+      assert(shift >= -1.000001 && shift <= 1.000001)
+    }
+    // every vector lands in exactly one cell: cell member counts sum to
+    // the corpus size
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    val expected = graft.model.Tables.embeddings(spark, sf).count()
+    assert(total == expected, s"members $total != corpus $expected")
+  }
+
   test("q75 winsorized mean sits inside the clamp bounds") {
     val rows = SparkEntry.queries("q75_winsorized_stats")(spark, sf).collect()
     assert(rows.nonEmpty)
