@@ -201,6 +201,71 @@ object StreamingOps {
     * OutputMode.Append downstream; the event-time timeout fires when the
     * watermark crosses the registered deadline, so emission is driven by
     * data progress, not wall clock — deterministic under replay. */
+  /** Watermark-correct ORDERED-FUNNEL stage emission — the streaming leg
+    * of the batch q71 funnel: per key, emit one row the moment each
+    * funnel stage is PROVABLY reached (first view; first click at/after
+    * that view; first purchase at/after that click), folding events in
+    * EVENT-TIME order even when they arrive out of order.
+    *
+    * Why buffering is required: the stage chain is order-dependent — a
+    * late-arriving earlier view can qualify a click that previously
+    * didn't count, so folding in arrival order would emit wrong stages.
+    * Events are therefore buffered while `ts > watermark` (the horizon
+    * in which an even-earlier event may still legally arrive) and folded
+    * into the running (view, click, purchase) triple only once the
+    * watermark passes them — at which point the event-time prefix is
+    * complete and each fold decision is final. Hence every stage row is
+    * emitted exactly once and never retracted (Append-mode safe).
+    * Input at/behind the watermark is dropped (flatMapGroupsWithState
+    * does not drop late rows itself; matching the built-in operators).
+    *
+    * State per key: the not-yet-final event buffer (bounded by the
+    * watermark horizon, like [[closedSessions]]) plus three longs. The
+    * event-time timeout on the earliest buffered event drives folding
+    * when a key goes quiet — data-progress-driven, replay-deterministic.
+    * Ties at one timestamp fold views before clicks before purchases
+    * (the generous reading: a click may count its same-instant view). */
+  case class FunnelState(buffer: Seq[(Long, Int)], view: Option[Long],
+                         click: Option[Long], purchase: Option[Long])
+  case class FunnelStage(key: String, stage: String, ts: Timestamp)
+  def funnelStages[T](ds: Dataset[T], keyOf: T => String, tsOf: T => Timestamp,
+                      typeOf: T => String): Dataset[FunnelStage] = {
+    import ds.sparkSession.implicits._
+    val stageOrd = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    def foldRipe(key: String, st0: FunnelState, wm: Long,
+                 state: GroupState[FunnelState]): Iterator[FunnelStage] = {
+      val (ripe, pending) = st0.buffer.partition(_._1 <= wm)
+      var (v, c, p) = (st0.view, st0.click, st0.purchase)
+      val out = Seq.newBuilder[FunnelStage]
+      ripe.sorted.foreach { case (t, typ) =>
+        if (typ == 0 && v.isEmpty) { v = Some(t); out += FunnelStage(key, "view", new Timestamp(t)) }
+        else if (typ == 1 && c.isEmpty && v.exists(_ <= t)) { c = Some(t); out += FunnelStage(key, "click", new Timestamp(t)) }
+        else if (typ == 2 && p.isEmpty && c.exists(_ <= t)) { p = Some(t); out += FunnelStage(key, "purchase", new Timestamp(t)) }
+      }
+      if (pending.isEmpty && p.nonEmpty) state.remove() // funnel complete
+      else {
+        state.update(FunnelState(pending, v, c, p))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+      }
+      out.result().iterator
+    }
+    ds.groupByKey(keyOf)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, values: Iterator[T], state: GroupState[FunnelState]) =>
+          val wm = state.getCurrentWatermarkMs
+          val st0 = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
+          if (state.hasTimedOut) foldRipe(key, st0, wm, state)
+          else {
+            val fresh = values
+              .flatMap(t => stageOrd.get(typeOf(t)).map(o => (tsOf(t).getTime, o)))
+              .filter(_._1 > wm).toSeq
+            foldRipe(key, st0.copy(buffer = st0.buffer ++ fresh), wm, state)
+          }
+      }
+  }
+
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionListState(sessions: Seq[SessionState])
   case class ClosedSession(key: String, session_start: Timestamp,

@@ -12,6 +12,7 @@ import graft.streaming.StreamingOps
 // top-level so Spark can build an Encoder without an outer-scope instance
 case class Ev(ts: Timestamp, key: String, value: Double)
 case class NDoc(ts: Timestamp, doc_id: Long, text: String)
+case class FEv(ts: Timestamp, key: String, kind: String)
 
 /** B14 operator coverage over MemoryStream (the offline stand-in for the
   * Kafka source, per FIXTURES.md F5). */
@@ -280,6 +281,44 @@ class StreamingOpsSpec extends AnyFunSuite {
       .filter(_._1 == "c")
     assert(rows.toSeq == Seq(("c", t(40), t(40), 1L)),
       s"late event must not stretch the session: ${rows.toSeq}")
+  }
+
+  test("funnelStages folds out-of-order arrivals in event-time order") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[FEv]
+    val stages = StreamingOps.funnelStages[FEv](
+      s.toDS().withWatermark("ts", "10 minutes").as[FEv],
+      _.key, _.ts, _.kind)
+    val q = stages.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_stages").start()
+    def rows() = spark.table("funnel_stages").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2))).toSet
+    // u's click+purchase arrive BEFORE its view (out of order): nothing
+    // may emit yet — folding in arrival order would wrongly reject both
+    s.addData(FEv(t(5), "u", "click"), FEv(t(7), "u", "purchase"))
+    q.processAllAvailable()
+    assert(rows().isEmpty, "events above the watermark must stay buffered")
+    // the earlier view arrives within the watermark horizon; x probes the
+    // wrong-order rejection (purchase precedes any click in EVENT time)
+    s.addData(FEv(t(1), "u", "view"),
+      FEv(t(2), "x", "purchase"), FEv(t(3), "x", "view"), FEv(t(4), "x", "click"))
+    q.processAllAvailable()
+    // advance the watermark to 10:10 (> all of u's and x's events)
+    s.addData(FEv(t(20), "w", "view"))
+    q.processAllAvailable()
+    assert(rows() == Set(
+      ("u", "view", t(1)), ("u", "click", t(5)), ("u", "purchase", t(7)),
+      ("x", "view", t(3)), ("x", "click", t(4))),
+      s"event-time fold must qualify u fully and reject x's early purchase: ${rows()}")
+    // advance past w's view: its stage emits via the event-time timeout
+    s.addData(FEv(t(40), "z", "view"))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows().contains(("w", "view", t(20))),
+      "a quiet key's ripe buffer must fold via the event-time timeout")
+    assert(!rows().exists(r => r._1 == "x" && r._2 == "purchase"),
+      "x never purchases after its click")
   }
 
   test("idle-timeout drops per-key state so a reappearing key restarts at 1") {
