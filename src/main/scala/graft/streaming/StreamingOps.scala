@@ -201,71 +201,6 @@ object StreamingOps {
     * OutputMode.Append downstream; the event-time timeout fires when the
     * watermark crosses the registered deadline, so emission is driven by
     * data progress, not wall clock — deterministic under replay. */
-  /** Watermark-correct ORDERED-FUNNEL stage emission — the streaming leg
-    * of the batch q71 funnel: per key, emit one row the moment each
-    * funnel stage is PROVABLY reached (first view; first click at/after
-    * that view; first purchase at/after that click), folding events in
-    * EVENT-TIME order even when they arrive out of order.
-    *
-    * Why buffering is required: the stage chain is order-dependent — a
-    * late-arriving earlier view can qualify a click that previously
-    * didn't count, so folding in arrival order would emit wrong stages.
-    * Events are therefore buffered while `ts > watermark` (the horizon
-    * in which an even-earlier event may still legally arrive) and folded
-    * into the running (view, click, purchase) triple only once the
-    * watermark passes them — at which point the event-time prefix is
-    * complete and each fold decision is final. Hence every stage row is
-    * emitted exactly once and never retracted (Append-mode safe).
-    * Input at/behind the watermark is dropped (flatMapGroupsWithState
-    * does not drop late rows itself; matching the built-in operators).
-    *
-    * State per key: the not-yet-final event buffer (bounded by the
-    * watermark horizon, like [[closedSessions]]) plus three longs. The
-    * event-time timeout on the earliest buffered event drives folding
-    * when a key goes quiet — data-progress-driven, replay-deterministic.
-    * Ties at one timestamp fold views before clicks before purchases
-    * (the generous reading: a click may count its same-instant view). */
-  case class FunnelState(buffer: Seq[(Long, Int)], view: Option[Long],
-                         click: Option[Long], purchase: Option[Long])
-  case class FunnelStage(key: String, stage: String, ts: Timestamp)
-  def funnelStages[T](ds: Dataset[T], keyOf: T => String, tsOf: T => Timestamp,
-                      typeOf: T => String): Dataset[FunnelStage] = {
-    import ds.sparkSession.implicits._
-    val stageOrd = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
-    def foldRipe(key: String, st0: FunnelState, wm: Long,
-                 state: GroupState[FunnelState]): Iterator[FunnelStage] = {
-      val (ripe, pending) = st0.buffer.partition(_._1 <= wm)
-      var (v, c, p) = (st0.view, st0.click, st0.purchase)
-      val out = Seq.newBuilder[FunnelStage]
-      ripe.sorted.foreach { case (t, typ) =>
-        if (typ == 0 && v.isEmpty) { v = Some(t); out += FunnelStage(key, "view", new Timestamp(t)) }
-        else if (typ == 1 && c.isEmpty && v.exists(_ <= t)) { c = Some(t); out += FunnelStage(key, "click", new Timestamp(t)) }
-        else if (typ == 2 && p.isEmpty && c.exists(_ <= t)) { p = Some(t); out += FunnelStage(key, "purchase", new Timestamp(t)) }
-      }
-      if (pending.isEmpty && p.nonEmpty) state.remove() // funnel complete
-      else {
-        state.update(FunnelState(pending, v, c, p))
-        if (pending.nonEmpty)
-          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
-      }
-      out.result().iterator
-    }
-    ds.groupByKey(keyOf)
-      .flatMapGroupsWithState[FunnelState, FunnelStage](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, values: Iterator[T], state: GroupState[FunnelState]) =>
-          val wm = state.getCurrentWatermarkMs
-          val st0 = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
-          if (state.hasTimedOut) foldRipe(key, st0, wm, state)
-          else {
-            val fresh = values
-              .flatMap(t => stageOrd.get(typeOf(t)).map(o => (tsOf(t).getTime, o)))
-              .filter(_._1 > wm).toSeq
-            foldRipe(key, st0.copy(buffer = st0.buffer ++ fresh), wm, state)
-          }
-      }
-  }
-
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionListState(sessions: Seq[SessionState])
   case class ClosedSession(key: String, session_start: Timestamp,
@@ -310,6 +245,88 @@ object StreamingOps {
             val sessions = ts.foldLeft(
               state.getOption.map(_.sessions).getOrElse(Seq.empty))(absorb)
             flush(key, sessions, state, wm)
+          }
+      }
+  }
+
+  /** Watermark-correct ORDERED-FUNNEL stage emission — the streaming leg
+    * of the batch q71 funnel: per key, emit one row the moment each
+    * funnel stage is PROVABLY reached (first view; first click at/after
+    * that view; first purchase at/after that click), folding events in
+    * EVENT-TIME order even when they arrive out of order.
+    *
+    * Why buffering is required: the stage chain is order-dependent — a
+    * late-arriving earlier view can qualify a click that previously
+    * didn't count, so folding in arrival order would emit wrong stages.
+    * Events are therefore buffered while `ts > watermark` (the horizon
+    * in which an even-earlier event may still legally arrive) and folded
+    * into the running (view, click, purchase) triple only once the
+    * watermark passes them — at which point the event-time prefix is
+    * complete and each fold decision is final. Input at/behind the
+    * watermark is dropped (flatMapGroupsWithState does not drop late
+    * rows itself; matching the built-in operators).
+    *
+    * State bound: the buffer is watermark-horizon-bounded like
+    * [[closedSessions]], and the folded triple is retained only until
+    * `expireAfterMillis` of EVENT time passes the key's last event, then
+    * dropped via the event-time timeout — so total state is bounded by
+    * the keys active within one expiry horizon, not lifetime key
+    * cardinality. Within the horizon every stage row is emitted at most
+    * once (Append-mode safe); a key reappearing AFTER expiry starts a
+    * fresh funnel journey and emits fresh stage rows — the documented
+    * restart semantics (the same per-journey reading product funnels
+    * use), not a duplicate of the old journey.
+    *
+    * Tie note: events at one timestamp fold views before clicks before
+    * purchases (a click may count its same-instant view). Batch q71
+    * breaks same-`us` ties by ingestion offset instead — the two legs
+    * agree whenever a key's stage-relevant events have distinct
+    * timestamps. */
+  case class FunnelState(buffer: Seq[(Long, Int)], view: Option[Long],
+                         click: Option[Long], purchase: Option[Long],
+                         lastSeen: Long)
+  case class FunnelStage(key: String, stage: String, ts: Timestamp)
+  def funnelStages[T](ds: Dataset[T], keyOf: T => String, tsOf: T => Timestamp,
+                      typeOf: T => String,
+                      expireAfterMillis: Long = 24L * 3600 * 1000): Dataset[FunnelStage] = {
+    import ds.sparkSession.implicits._
+    val stageOrd = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    def foldRipe(key: String, st0: FunnelState, wm: Long,
+                 state: GroupState[FunnelState]): Iterator[FunnelStage] = {
+      val (ripe, pending) = st0.buffer.partition(_._1 <= wm)
+      var (v, c, p) = (st0.view, st0.click, st0.purchase)
+      val out = Seq.newBuilder[FunnelStage]
+      ripe.sorted.foreach { case (t, typ) =>
+        if (typ == 0 && v.isEmpty) { v = Some(t); out += FunnelStage(key, "view", new Timestamp(t)) }
+        else if (typ == 1 && c.isEmpty && v.exists(_ <= t)) { c = Some(t); out += FunnelStage(key, "click", new Timestamp(t)) }
+        else if (typ == 2 && p.isEmpty && c.exists(_ <= t)) { p = Some(t); out += FunnelStage(key, "purchase", new Timestamp(t)) }
+      }
+      state.update(FunnelState(pending, v, c, p, st0.lastSeen))
+      // pending events drive the next fold; a drained key waits out the
+      // expiry horizon (suppressing duplicate stages) and is then dropped
+      val deadline =
+        if (pending.nonEmpty) pending.map(_._1).min
+        else st0.lastSeen + expireAfterMillis
+      state.setTimeoutTimestamp(math.max(deadline, wm + 1))
+      out.result().iterator
+    }
+    ds.groupByKey(keyOf)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, values: Iterator[T], state: GroupState[FunnelState]) =>
+          val wm = state.getCurrentWatermarkMs
+          val st0 = state.getOption.getOrElse(FunnelState(Nil, None, None, None, Long.MinValue))
+          if (state.hasTimedOut) {
+            if (st0.buffer.isEmpty && st0.lastSeen + expireAfterMillis <= wm) {
+              state.remove(); Iterator.empty // horizon passed: journey over
+            } else foldRipe(key, st0, wm, state)
+          } else {
+            val fresh = values
+              .flatMap(t => stageOrd.get(typeOf(t)).map(o => (tsOf(t).getTime, o)))
+              .filter(_._1 > wm).toSeq
+            val lastSeen = (st0.lastSeen +: fresh.map(_._1)).max
+            foldRipe(key, st0.copy(buffer = st0.buffer ++ fresh,
+              lastSeen = lastSeen), wm, state)
           }
       }
   }

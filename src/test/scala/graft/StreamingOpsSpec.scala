@@ -321,6 +321,35 @@ class StreamingOpsSpec extends AnyFunSuite {
       "x never purchases after its click")
   }
 
+  test("funnelStages suppresses duplicates within the horizon and restarts after expiry") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[FEv]
+    val stages = StreamingOps.funnelStages[FEv](
+      s.toDS().withWatermark("ts", "1 minute").as[FEv],
+      _.key, _.ts, _.kind, expireAfterMillis = 5 * 60 * 1000)
+    val q = stages.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_expiry").start()
+    def viewRows() = spark.table("funnel_expiry").collect()
+      .filter(r => r.getString(0) == "u" && r.getString(1) == "view")
+      .map(_.getTimestamp(2)).toSeq
+    s.addData(FEv(t(1), "u", "view"))
+    q.processAllAvailable()
+    s.addData(FEv(t(3), "u", "view"), FEv(t(4), "z", "view")) // wm -> 10:03
+    q.processAllAvailable()
+    assert(viewRows() == Seq(t(1)),
+      s"second view within the horizon must not re-emit: ${viewRows()}")
+    // push the watermark past u.lastSeen(10:03) + 5 min: u's state expires
+    s.addData(FEv(t(20), "z", "view"))
+    q.processAllAvailable()
+    // a reappearing u starts a FRESH journey (documented restart)
+    s.addData(FEv(t(25), "u", "view"), FEv(t(40), "z", "view"))
+    q.processAllAvailable()
+    q.stop()
+    assert(viewRows().toSet == Set(t(1), t(25)),
+      s"post-expiry reappearance is a new journey: ${viewRows()}")
+  }
+
   test("idle-timeout drops per-key state so a reappearing key restarts at 1") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
