@@ -213,6 +213,34 @@ object Curation {
         .orderBy("source")
     },
 
+    // C1 companion: score-proportional IMPORTANCE SAMPLING — the
+    // quality-weighted acceptance step of a training-mix builder (keep
+    // p = score, deterministically). A document is accepted iff an
+    // engine-neutral hash of its id falls below its score_ppm, so the
+    // sample is reproducible row-local (no rand(), no global state) and
+    // the per-source acceptance rate converges to the mean score. Score
+    // here is the length-weighted ramp min(1, n_tokens/60) as floor-ppm
+    // — stand-in for any upstream quality model's [0,1] output. Audit
+    // columns report realized vs target acceptance, both exact integers.
+    "q84_importance_sample" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("score_ppm",
+          least(lit(1000000L), expr("n_tokens * 1000000 DIV 60")))
+        .withColumn("h",
+          Dedup.neutralHash32(concat(lit("samp:"), col("doc_id").cast("string")))
+            % 1000000)
+        .withColumn("accepted", col("h") < col("score_ppm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             count(when(col("accepted"), 1)).as("n_accepted"),
+             sum(col("score_ppm")).cast("long").as("sum_score"))
+        .withColumn("accept_ppm",
+          expr("CAST(n_accepted * 1000000 DIV n_docs AS BIGINT)"))
+        .withColumn("target_ppm", expr("CAST(sum_score DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
     // Boilerplate prefixes: documents sharing their first 100 chars —
     // the template/header clusters a curation pipeline strips before
     // near-dup analysis (a viral prefix also breaks shingle dedup, see
@@ -313,6 +341,22 @@ object Curation {
         |  CAST(SUM(c) // COUNT(*) * 1000000
         |       + (SUM(c) % COUNT(*)) * 1000000 // COUNT(*) AS BIGINT) AS wins_mean_ppm
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q84_importance_sample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, doc_id,
+        |    LEAST(1000000, n_tokens * 1000000 // 60) AS score_ppm,
+        |    ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS h
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (h < score_ppm) AS BIGINT) AS n_accepted,
+        |  CAST(SUM(score_ppm) AS BIGINT) AS sum_score,
+        |  CAST(COUNT(*) FILTER (h < score_ppm) * 1000000 // COUNT(*) AS BIGINT) AS accept_ppm,
+        |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS target_ppm
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
 
     "q57_edit_distance" ->
       s"""WITH d0 AS (

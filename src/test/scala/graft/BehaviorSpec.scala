@@ -178,6 +178,23 @@ class BehaviorSpec extends AnyFunSuite {
     assert(total == expected, s"members $total != corpus $expected")
   }
 
+  test("q84 importance sample tracks the score-mass target") {
+    val rows = SparkEntry.queries("q84_importance_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_accepted") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("accept_ppm") <= 1000000L)
+      assert(r.getAs[Long]("target_ppm") <= 1000000L)
+    }
+    // the hash-thresholded acceptance rate must track the mean score
+    // (binomial noise at sf0.001's ~200 docs stays well inside 20 pp)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val acc = rows.map(_.getAs[Long]("n_accepted")).sum
+    val target = rows.map(_.getAs[Long]("sum_score")).sum / 1000000L
+    assert(math.abs(acc - target) <= n / 5,
+      s"accepted $acc should track score mass $target of $n docs")
+  }
+
   test("q75 winsorized mean sits inside the clamp bounds") {
     val rows = SparkEntry.queries("q75_winsorized_stats")(spark, sf).collect()
     assert(rows.nonEmpty)
