@@ -126,6 +126,41 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // Contrastive-training data prep: HARD-NEGATIVE / HARD-POSITIVE
+    // mining — for each (bounded) query vector, the most similar
+    // DIFFERENT-label vector (the hard negative a contrastive loss
+    // needs) and the least similar SAME-label vector (the hard
+    // positive), plus their margin; margin ≤ 0 flags a query whose
+    // nearest impostor beats its farthest friend (label noise or a
+    // genuinely hard region). Same bounded-broadcast shape as q28: the
+    // query set is LIMIT-bounded, the corpus side streams linearly, the
+    // two rankings are per-query windows.
+    "q85_hard_negatives" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .orderBy("vec_id").limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"))
+      val scored = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("v").as("cv"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
+      val wNeg = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      val neg = scored.filter(col("c_label") =!= col("q_label"))
+        .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("c_id").as("hard_neg_id"), col("cos").as("neg_cos"))
+      val wPos = Window.partitionBy(col("q_id")).orderBy(col("cos").asc, col("c_id"))
+      val pos = scored.filter(col("c_label") === col("q_label"))
+        .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id").as("hard_pos_id"), col("cos").as("pos_cos"))
+      neg.join(pos, "q_id")
+        .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+        .orderBy("q_id")
+    },
+
     // Embedding-cosine near-dup pairs: exact pairwise sweep with a
     // similarity threshold over a BOUNDED audit sample — the exactness
     // verifier for the LSH/IVF paths (which prune the same computation by
@@ -299,6 +334,31 @@ object Similarity {
         |      FROM p)
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cos
         |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q85_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
+        |p AS (
+        |  SELECT q_id, q_label, n.vec_id AS c_id, n.label AS c_label,
+        |    round(list_dot_product(qv, n.v) / (qn * n.nrm), 6) AS cos
+        |  FROM q, n WHERE n.vec_id <> q_id),
+        |neg AS (
+        |  SELECT q_id, CAST(q_label AS BIGINT) AS q_label, c_id AS hard_neg_id,
+        |    cos AS neg_cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+        |  FROM p WHERE c_label <> q_label),
+        |pos AS (
+        |  SELECT q_id, c_id AS hard_pos_id, cos AS pos_cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos ASC, c_id) AS rn
+        |  FROM p WHERE c_label = q_label)
+        |SELECT neg.q_id, neg.q_label, neg.hard_neg_id, neg.neg_cos,
+        |  pos.hard_pos_id, pos.pos_cos,
+        |  round(pos.pos_cos - neg.neg_cos, 6) AS margin
+        |FROM neg JOIN pos ON neg.q_id = pos.q_id AND neg.rn = 1 AND pos.rn = 1
+        |ORDER BY neg.q_id""".stripMargin,
 
     "q29_lsh_ann" ->
       """WITH e AS (

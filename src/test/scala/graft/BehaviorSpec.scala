@@ -195,6 +195,19 @@ class BehaviorSpec extends AnyFunSuite {
       s"accepted $acc should track score mass $target of $n docs")
   }
 
+  test("q85 hard negatives oppose labels and bound the margin") {
+    val rows = SparkEntry.queries("q85_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hard_neg_id") != r.getAs[Long]("q_id"))
+      assert(r.getAs[Long]("hard_pos_id") != r.getAs[Long]("q_id"))
+      val (nc, pc) = (r.getAs[Double]("neg_cos"), r.getAs[Double]("pos_cos"))
+      assert(nc >= -1.000001 && nc <= 1.000001)
+      assert(pc >= -1.000001 && pc <= 1.000001)
+      assert(math.abs(r.getAs[Double]("margin") - (pc - nc)) < 2e-6)
+    }
+  }
+
   test("q75 winsorized mean sits inside the clamp bounds") {
     val rows = SparkEntry.queries("q75_winsorized_stats")(spark, sf).collect()
     assert(rows.nonEmpty)
