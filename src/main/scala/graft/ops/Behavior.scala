@@ -32,6 +32,11 @@ object Behavior {
 
   private val UsPerDay = 86400000000L
 
+  /** 12 h session gap (µs) — the corpus's per-user cadence is ~11 h, so
+    * this threshold genuinely splits AND merges (30 min would make nearly
+    * every event its own session; 24 h nearly one session per user). */
+  private val SessionGapUs = 43200000000L
+
   /** Integer day index since epoch — the single day-bucketing rule shared
     * by q72 (cohorts) and q78 (recency) so the two can never diverge.
     * Integer µs floor-division: identical binning on both engines, no
@@ -157,6 +162,103 @@ object Behavior {
         .withColumn("retention_ppm",
           expr("CAST(n_active * 1000000 DIV cohort_size AS BIGINT)"))
         .orderBy("cohort", "day_offset")
+    },
+
+    // Gap-based batch sessionization: a session break opens wherever a
+    // user's inter-event gap exceeds 12 h (the corpus's per-user event
+    // cadence is ~11 h, so the gap threshold actually splits). Classic
+    // lag→flag→running-sum→group: both windows and the final groupBy
+    // hash on user_id, so after the one window shuffle everything is
+    // partition-local. All-µs integer arithmetic; ties fully broken by
+    // (us, event_id).
+    "q86_sessionize" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs,
+            1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("brk")).over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("n_purchases"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_seq")
+    },
+
+    // SCD2 validity intervals from the event changelog: collapse each
+    // user's consecutive same-type run into one row, then stamp the
+    // half-open [valid_from, valid_to) interval where valid_to is the
+    // NEXT run's start (-1 = still current). The standard
+    // changelog→dimension-table build. Same single user_id shuffle as
+    // q86: detect-change window, run grouping, and the lead() window
+    // all share the user_id hash partitioning.
+    "q87_scd2_intervals" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRun = Window.partitionBy("user_id").orderBy("run_seq")
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev_type").isNull || col("prev_type") =!= col("event_type"),
+            1L).otherwise(0L))
+        .withColumn("run_seq", sum(col("chg")).over(run))
+        .groupBy("user_id", "run_seq")
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("us")).as("valid_from_us"),
+          count(lit(1)).cast("long").as("n_events"))
+        .withColumn("valid_to_us",
+          coalesce(lead(col("valid_from_us"), 1).over(wRun), lit(-1L)))
+        .orderBy("user_id", "run_seq")
+    },
+
+    // Concurrency sweep-line: how many 12 h sessions are simultaneously
+    // open, peak per day. Each session emits (+1 at start_us, −1 at
+    // end_us+1 — half-open, so a one-event session still counts at its
+    // instant). The running count is the DISTRIBUTED two-phase prefix
+    // sum: a partitioned (per-day) peers-inclusive running sum plus a
+    // per-day carry-in offset computed from the ~O(days) day-level
+    // totals — no global unpartitioned window anywhere, so the plan
+    // scales to any number of days/executors. The day-level offset
+    // "join below" is a broadcast of a tiny aggregate.
+    "q88_concurrency_sweep" -> { (s, d) =>
+      val sessions = queries("q86_sessionize")(s, d)
+        .select(col("start_us"), col("end_us"))
+      val deltas = sessions
+        .select(col("start_us").as("us"), lit(1L).as("delta"))
+        .unionAll(sessions.select((col("end_us") + 1L).as("us"),
+          lit(-1L).as("delta")))
+        .withColumn("day", expr(s"CAST(us div $UsPerDay AS BIGINT)"))
+      val perDay = deltas.groupBy("day").agg(sum(col("delta")).as("day_delta"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_starts"))
+      // carry-in per day: sum of all prior days' deltas (days are few —
+      // O(corpus span), the self-join is broadcast and quadratic only in
+      // #days, never in #sessions)
+      val offsets = perDay.as("a")
+        .join(broadcast(perDay.as("b")), col("b.day") < col("a.day"), "left")
+        .groupBy(col("a.day").as("day"), col("a.day_delta").as("day_delta"),
+          col("a.n_starts").as("n_starts"))
+        .agg(coalesce(sum(col("b.day_delta")), lit(0L)).as("carry_in"))
+      // within-day running sum, peers-inclusive (default RANGE frame):
+      // the value at each distinct us is the state AFTER all deltas at
+      // that instant — identical semantics in DuckDB's default frame.
+      val wDay = Window.partitionBy("day").orderBy("us")
+      deltas
+        .withColumn("running", sum(col("delta")).over(wDay))
+        .join(broadcast(offsets), "day")
+        .withColumn("open_now", col("carry_in") + col("running"))
+        .groupBy("day")
+        .agg(max(col("open_now")).cast("long").as("peak_concurrent"),
+          min(col("n_starts")).cast("long").as("n_starts"),
+          min(col("carry_in") + col("day_delta")).cast("long").as("eod_open"))
+        .orderBy("day")
     }
   )
 
@@ -259,6 +361,101 @@ object Behavior {
         |SELECT a.cohort, a.day_offset, a.n_active, s.cohort_size,
         |  CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
         |FROM act a JOIN sizes s ON a.cohort = s.cohort
-        |ORDER BY a.cohort, a.day_offset""".stripMargin
+        |ORDER BY a.cohort, a.day_offset""".stripMargin,
+
+    "q86_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |lagd AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              > 43200000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sid AS (
+        |  SELECT user_id, event_type, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM lagd)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_purchases,
+        |  MAX(us) - MIN(us) AS duration_us
+        |FROM sid GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q87_scd2_intervals" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |lagd AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY us, event_id) <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM ev),
+        |runs AS (
+        |  SELECT user_id, event_type, us,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_seq
+        |  FROM lagd),
+        |grp AS (
+        |  SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq,
+        |    MIN(event_type) AS event_type, MIN(us) AS valid_from_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM runs GROUP BY user_id, run_seq)
+        |SELECT user_id, run_seq, event_type, valid_from_us, n_events,
+        |  COALESCE(lead(valid_from_us) OVER (
+        |    PARTITION BY user_id ORDER BY run_seq), -1) AS valid_to_us
+        |FROM grp ORDER BY user_id, run_seq""".stripMargin,
+
+    "q88_concurrency_sweep" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |lagd AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              > 43200000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sid AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM lagd),
+        |sess AS (
+        |  SELECT user_id, session_seq, MIN(us) AS st, MAX(us) AS en
+        |  FROM sid GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT st AS us, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT en + 1 AS us, -1 AS delta FROM sess),
+        |r AS (
+        |  SELECT us // 86400000000 AS day, delta,
+        |    SUM(delta) OVER (ORDER BY us) AS open_now
+        |  FROM deltas),
+        |perday AS (
+        |  SELECT day, SUM(delta) AS day_delta,
+        |    SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS n_starts,
+        |    MAX(open_now) AS peak
+        |  FROM r GROUP BY day)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(peak AS BIGINT) AS peak_concurrent,
+        |  CAST(n_starts AS BIGINT) AS n_starts,
+        |  CAST(SUM(day_delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS eod_open
+        |FROM perday ORDER BY day""".stripMargin
   )
 }

@@ -255,6 +255,31 @@ object Curation {
              min(col("doc_id")).as("min_doc_id"))
         .filter(col("n_docs") >= 2)
         .orderBy("phash")
+    },
+
+    // Join-skew diagnostics: the pre-flight audit run before a big
+    // shuffle join to decide whether a key needs salting / AQE skew
+    // handling. Per-key row counts (one map-side-combined aggregation),
+    // then two tiny reductions: global stats and the top-10 key mass
+    // (TakeOrdered — sort+limit, never a global window; ties broken by
+    // key so the top-10 set is deterministic). Ratios are floor-ppm
+    // integers. On 100 TB this is exactly the plan you want: one shuffle
+    // at key cardinality, everything after is O(keys) and O(10).
+    "q89_skew_audit" -> { (s, d) =>
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(col("cnt")).cast("long").as("total_rows"),
+        max(col("cnt")).cast("long").as("max_cnt"))
+      val top10 = counts.orderBy(col("cnt").desc, col("l_suppkey"))
+        .limit(10)
+        .agg(sum(col("cnt")).cast("long").as("top10_cnt"))
+      stats.crossJoin(broadcast(top10))
+        .withColumn("top10_share_ppm",
+          expr("CAST(top10_cnt * 1000000 DIV total_rows AS BIGINT)"))
+        .withColumn("max_avg_ratio_ppm",
+          expr("CAST(max_cnt * n_keys * 1000000 DIV total_rows AS BIGINT)"))
     }
   )
 
@@ -379,6 +404,25 @@ object Curation {
         | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         | MIN(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
-        |ORDER BY phash""".stripMargin
+        |ORDER BY phash""".stripMargin,
+
+    "q89_skew_audit" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |  FROM counts),
+        |top10 AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS top10_cnt FROM (
+        |    SELECT cnt FROM counts
+        |    ORDER BY cnt DESC, l_suppkey LIMIT 10))
+        |SELECT n_keys, total_rows, max_cnt, top10_cnt,
+        |  CAST(top10_cnt * 1000000 // total_rows AS BIGINT) AS top10_share_ppm,
+        |  CAST(max_cnt * n_keys * 1000000 // total_rows AS BIGINT)
+        |    AS max_avg_ratio_ppm
+        |FROM stats CROSS JOIN top10""".stripMargin
   )
 }

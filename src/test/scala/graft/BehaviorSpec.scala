@@ -222,4 +222,74 @@ class BehaviorSpec extends AnyFunSuite {
         "clamping must not touch every row")
     }
   }
+
+  test("q86 sessions partition the events and respect the gap") {
+    val sessions = SparkEntry.queries("q86_sessionize")(spark, sf).collect()
+    val total = graft.model.Tables.events(spark, sf).count()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum === total,
+      "every event must land in exactly one session")
+    val gap = 43200000000L
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (u, ss) =>
+      val ordered = ss.sortBy(_.getAs[Long]("session_seq"))
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("duration_us") >= 0L)
+        assert(r.getAs[Long]("n_events") >= 1L)
+      }
+      // consecutive sessions of one user are separated by MORE than the
+      // gap (otherwise they would have merged)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_us") - a.getAs[Long]("end_us") > gap,
+            s"user $u sessions closer than the gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("q87 SCD2 intervals chain half-open per user") {
+    val rows = SparkEntry.queries("q87_scd2_intervals")(spark, sf).collect()
+    val total = graft.model.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === total)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("run_seq"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") === b.getAs[Long]("valid_from_us"),
+            s"user $u interval chain broken")
+          assert(a.getAs[String]("event_type") !== b.getAs[String]("event_type"),
+            s"user $u adjacent runs share a type (should have merged)")
+        case _ =>
+      }
+      assert(ordered.last.getAs[Long]("valid_to_us") === -1L,
+        s"user $u last run must be open-ended")
+    }
+  }
+
+  test("q88 concurrency sweep is consistent with the session set") {
+    val days = SparkEntry.queries("q88_concurrency_sweep")(spark, sf).collect()
+    val nSessions = SparkEntry.queries("q86_sessionize")(spark, sf).count()
+    assert(days.map(_.getAs[Long]("n_starts")).sum === nSessions,
+      "every session must start on exactly one day")
+    days.foreach { r =>
+      // end-of-day state is one of the running values observed within
+      // the day, so it can never exceed the day's peak
+      assert(r.getAs[Long]("eod_open") <= r.getAs[Long]("peak_concurrent"),
+        s"day ${r.getAs[Long]("day")} eod above peak")
+      assert(r.getAs[Long]("peak_concurrent") >= 0L)
+    }
+    assert(days.last.getAs[Long]("eod_open") === 0L,
+      "after the horizon every session has closed")
+  }
+
+  test("q89 skew audit invariants") {
+    val r = SparkEntry.queries("q89_skew_audit")(spark, sf).collect()(0)
+    val (keys, total, maxC, top10) =
+      (r.getAs[Long]("n_keys"), r.getAs[Long]("total_rows"),
+       r.getAs[Long]("max_cnt"), r.getAs[Long]("top10_cnt"))
+    assert(maxC <= top10 && top10 <= total)
+    assert(maxC * keys >= total, "max must be at least the mean")
+    assert(r.getAs[Long]("max_avg_ratio_ppm") >= 1000000L - keys,
+      "floor-ppm of max/avg must sit at or above ~1e6")
+    assert(r.getAs[Long]("top10_share_ppm") <= 1000000L)
+  }
 }
