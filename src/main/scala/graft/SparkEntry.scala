@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ops.{Behavior, ConvertQueries, Corpus, Curation, Dedup, Extras, FlowQueries, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{Behavior, ConvertQueries, Corpus, Curation, Dedup, Extras, FlowQueries, Graph, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ FlowQueries.queries ++ ConvertQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Extras.queries ++ Curation.queries ++ Corpus.queries ++ Behavior.queries
+      Extras.queries ++ Curation.queries ++ Corpus.queries ++ Behavior.queries ++
+      Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ FlowQueries.oracle ++ ConvertQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
-      Extras.oracle ++ Curation.oracle ++ Corpus.oracle ++ Behavior.oracle
+      Extras.oracle ++ Curation.oracle ++ Corpus.oracle ++ Behavior.oracle ++
+      Graph.oracle
 }

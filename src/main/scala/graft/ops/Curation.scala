@@ -280,6 +280,27 @@ object Curation {
           expr("CAST(top10_cnt * 1000000 DIV total_rows AS BIGINT)"))
         .withColumn("max_avg_ratio_ppm",
           expr("CAST(max_cnt * n_keys * 1000000 DIV total_rows AS BIGINT)"))
+    },
+
+    // k-anonymity audit: group the corpus by its quasi-identifier tuple
+    // (lang, source, length-bucket) and report the group-SIZE histogram
+    // with the k<5 at-risk flag — the privacy pre-release gate (a
+    // quasi-identifier combination shared by fewer than k documents
+    // re-identifies). Two map-side-combined aggregations, second one
+    // over O(distinct sizes) rows; no window, no join. At 100 TB the
+    // first groupBy is the only shuffle and its cardinality is the QID
+    // domain, not the row count.
+    "q92_k_anonymity" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("CAST(n_chars DIV 100 AS BIGINT)").as("len_bucket"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size").cast("long").as("group_size"))
+        .agg(count(lit(1)).cast("long").as("n_groups"))
+        .withColumn("n_docs",
+          expr("CAST(group_size * n_groups AS BIGINT)"))
+        .withColumn("at_risk", col("group_size") < 5)
+        .orderBy("group_size")
     }
   )
 
@@ -423,6 +444,17 @@ object Curation {
         |  CAST(top10_cnt * 1000000 // total_rows AS BIGINT) AS top10_share_ppm,
         |  CAST(max_cnt * n_keys * 1000000 // total_rows AS BIGINT)
         |    AS max_avg_ratio_ppm
-        |FROM stats CROSS JOIN top10""".stripMargin
+        |FROM stats CROSS JOIN top10""".stripMargin,
+
+    "q92_k_anonymity" ->
+      """WITH qid AS (
+        |  SELECT lang, source, n_chars // 100 AS len_bucket,
+        |         COUNT(*) AS group_size
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(group_size AS BIGINT) AS group_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(group_size * COUNT(*) AS BIGINT) AS n_docs,
+        |  group_size < 5 AS at_risk
+        |FROM qid GROUP BY group_size ORDER BY group_size""".stripMargin
   )
 }

@@ -254,6 +254,43 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select("q_id", "rank", "c_id", "cos")
         .orderBy("q_id", "rank")
+    },
+
+    // kNN label vote — pseudo-labeling: each (bounded) query vector is
+    // assigned the majority label of its 5 nearest neighbors (ties →
+    // smaller label id), with the agreement flag against the stored
+    // label. The semi-supervised labeling / label-QA pass: low vote
+    // counts or disagreement mark vectors for human review. Same
+    // bounded-broadcast scan as q28 (corpus streams linearly, queries
+    // broadcast), then a per-query vote aggregation — both windows and
+    // the vote groupBy hash on q_id.
+    "q91_knn_label_vote" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .orderBy("vec_id").limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      val wVote = Window.partitionBy(col("q_id"))
+        .orderBy(col("n_votes").desc, col("c_label"))
+      e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("v").as("cv"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("q_id"), col("q_label"), col("c_label"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("q_id"),
+          col("q_label").cast("long").as("true_label"),
+          col("c_label").cast("long").as("voted_label"),
+          col("n_votes").cast("long").as("n_votes"),
+          (col("c_label") === col("q_label")).as("agree"))
+        .orderBy("q_id")
     }
   )
 
@@ -383,6 +420,33 @@ object Similarity {
         |r AS (SELECT q_id, c_id, cos,
         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM p)
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cos
-        |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q91_knn_label_vote" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
+        |p AS (
+        |  SELECT q_id, q_label, vec_id AS c_id, label AS c_label,
+        |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos
+        |  FROM q, n WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, q_label, c_label,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+        |      FROM p),
+        |votes AS (
+        |  SELECT q_id, q_label, c_label, COUNT(*) AS n_votes
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |top AS (SELECT *, row_number() OVER (
+        |          PARTITION BY q_id ORDER BY n_votes DESC, c_label) AS vr
+        |        FROM votes)
+        |SELECT q_id, CAST(q_label AS BIGINT) AS true_label,
+        |  CAST(c_label AS BIGINT) AS voted_label,
+        |  CAST(n_votes AS BIGINT) AS n_votes,
+        |  c_label = q_label AS agree
+        |FROM top WHERE vr = 1 ORDER BY q_id""".stripMargin
   )
 }

@@ -258,4 +258,42 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("first_byte") == -1L)
     assert(out(2L).getAs[Double]("brightness") == 0.1)
   }
+
+  test("q90 pagerank output is rank-sorted, parity-consistent, positive") {
+    val rows = SparkEntry.queries("q90_bipartite_pagerank")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("node")).distinct.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_supplier") == (r.getAs[Long]("node") % 2 == 1))
+      assert(r.getAs[Long]("pr_ppb") > 0L, "damping floor keeps every rank positive")
+      assert(r.getAs[Long]("deg") >= 1L)
+    }
+    rows.map(_.getAs[Long]("pr_ppb")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "top-20 must be rank-sorted")
+      case _ =>
+    }
+  }
+
+  test("q91 label vote bounds and agreement flag consistency") {
+    val rows = SparkEntry.queries("q91_knn_label_vote")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val votes = r.getAs[Long]("n_votes")
+      assert(votes >= 1L && votes <= 5L)
+      assert(r.getAs[Boolean]("agree") ==
+        (r.getAs[Long]("true_label") == r.getAs[Long]("voted_label")))
+    }
+  }
+
+  test("q92 k-anonymity histogram accounts for every document") {
+    val rows = SparkEntry.queries("q92_k_anonymity")(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "size histogram must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("at_risk") == (r.getAs[Long]("group_size") < 5L))
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("group_size") * r.getAs[Long]("n_groups"))
+    }
+  }
 }

@@ -72,12 +72,18 @@ class PlanSpec extends AnyFunSuite {
     // OOMs at 100×. (Auto-broadcasts are size-thresholded by Spark itself
     // and degrade to shuffle joins as the table grows; only hints can
     // force the unbounded case.)
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LogicalPlan}
     val facts = Seq("lineitem", "orders", "events", "documents", "embeddings")
     def boundedOrDim(p: LogicalPlan): Boolean = {
       val touchesFact = facts.exists(f => p.toString.toLowerCase.contains(f))
       val hasLimit = p.collectFirst { case g: GlobalLimit => g }.isDefined
-      !touchesFact || hasLimit
+      // a global (groupless) aggregate at the broadcast root is exactly
+      // one row by construction — as bounded as a LIMIT
+      val oneRowAgg = p match {
+        case a: Aggregate => a.groupingExpressions.isEmpty
+        case _            => false
+      }
+      !touchesFact || hasLimit || oneRowAgg
     }
     SparkEntry.queries.keys.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
