@@ -50,8 +50,13 @@ object Flow {
     */
   def quarantineSplit(df: DataFrame, quarantine: DataFrame,
                       keys: Seq[String]): (DataFrame, DataFrame) = {
-    val good = df.join(broadcast(quarantine), keys, "left_anti")
-    val dlq  = df.join(broadcast(quarantine), keys, "left_semi")
+    // no broadcast HINT: the quarantine list is usually tiny (AQE's
+    // size-thresholded auto-broadcast picks it up) but it is rejected-row
+    // derived and therefore unbounded — a forced broadcast would OOM on
+    // the pathological all-rejected batch; AQE degrades to a shuffle
+    // join instead
+    val good = df.join(quarantine, keys, "left_anti")
+    val dlq  = df.join(quarantine, keys, "left_semi")
     (good, dlq)
   }
 

@@ -227,7 +227,12 @@ object Behavior {
     // per-day carry-in offset computed from the ~O(days) day-level
     // totals — no global unpartitioned window anywhere, so the plan
     // scales to any number of days/executors. The day-level offset
-    // "join below" is a broadcast of a tiny aggregate.
+    // "join below" is a broadcast of a tiny day-grouped aggregate.
+    // The day spine (sequence over [min_day, max_day]) keeps days with
+    // NO deltas in the output, and the peak includes the midnight
+    // CARRY-IN state — a day whose only delta is a close still reports
+    // the higher start-of-day concurrency, and a fully-bridged day
+    // reports the constant carry.
     "q88_concurrency_sweep" -> { (s, d) =>
       val sessions = queries("q86_sessionize")(s, d)
         .select(col("start_us"), col("end_us"))
@@ -238,11 +243,17 @@ object Behavior {
         .withColumn("day", expr(s"CAST(us div $UsPerDay AS BIGINT)"))
       val perDay = deltas.groupBy("day").agg(sum(col("delta")).as("day_delta"),
         sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_starts"))
+      val spine = perDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val filled = spine.join(perDay, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("day_delta"), lit(0L)).as("day_delta"),
+          coalesce(col("n_starts"), lit(0L)).as("n_starts"))
       // carry-in per day: sum of all prior days' deltas (days are few —
       // O(corpus span), the self-join is broadcast and quadratic only in
       // #days, never in #sessions)
-      val offsets = perDay.as("a")
-        .join(broadcast(perDay.as("b")), col("b.day") < col("a.day"), "left")
+      val offsets = filled.as("a")
+        .join(broadcast(filled.as("b")), col("b.day") < col("a.day"), "left")
         .groupBy(col("a.day").as("day"), col("a.day_delta").as("day_delta"),
           col("a.n_starts").as("n_starts"))
         .agg(coalesce(sum(col("b.day_delta")), lit(0L)).as("carry_in"))
@@ -250,14 +261,16 @@ object Behavior {
       // the value at each distinct us is the state AFTER all deltas at
       // that instant — identical semantics in DuckDB's default frame.
       val wDay = Window.partitionBy("day").orderBy("us")
-      deltas
+      val withinPeak = deltas
         .withColumn("running", sum(col("delta")).over(wDay))
-        .join(broadcast(offsets), "day")
-        .withColumn("open_now", col("carry_in") + col("running"))
-        .groupBy("day")
-        .agg(max(col("open_now")).cast("long").as("peak_concurrent"),
-          min(col("n_starts")).cast("long").as("n_starts"),
-          min(col("carry_in") + col("day_delta")).cast("long").as("eod_open"))
+        .groupBy("day").agg(max(col("running")).as("max_running"))
+      offsets.join(withinPeak, Seq("day"), "left")
+        .select(col("day"),
+          greatest(col("carry_in"),
+            col("carry_in") + coalesce(col("max_running"), lit(0L)))
+            .cast("long").as("peak_concurrent"),
+          col("n_starts").cast("long").as("n_starts"),
+          (col("carry_in") + col("day_delta")).cast("long").as("eod_open"))
         .orderBy("day")
     }
   )
@@ -442,20 +455,34 @@ object Behavior {
         |  SELECT st AS us, 1 AS delta FROM sess
         |  UNION ALL
         |  SELECT en + 1 AS us, -1 AS delta FROM sess),
-        |r AS (
-        |  SELECT us // 86400000000 AS day, delta,
-        |    SUM(delta) OVER (ORDER BY us) AS open_now
-        |  FROM deltas),
+        |dd AS (SELECT us, us // 86400000000 AS day, delta FROM deltas),
         |perday AS (
         |  SELECT day, SUM(delta) AS day_delta,
-        |    SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS n_starts,
-        |    MAX(open_now) AS peak
-        |  FROM r GROUP BY day)
-        |SELECT CAST(day AS BIGINT) AS day,
-        |  CAST(peak AS BIGINT) AS peak_concurrent,
-        |  CAST(n_starts AS BIGINT) AS n_starts,
-        |  CAST(SUM(day_delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-        |       AS BIGINT) AS eod_open
-        |FROM perday ORDER BY day""".stripMargin
+        |    SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS n_starts
+        |  FROM dd GROUP BY day),
+        |spine AS (
+        |  SELECT UNNEST(generate_series((SELECT MIN(day) FROM perday),
+        |                                (SELECT MAX(day) FROM perday))) AS day),
+        |filled AS (
+        |  SELECT s.day, COALESCE(p.day_delta, 0) AS day_delta,
+        |         COALESCE(p.n_starts, 0) AS n_starts
+        |  FROM spine s LEFT JOIN perday p USING (day)),
+        |off AS (
+        |  SELECT day, day_delta, n_starts,
+        |    COALESCE(SUM(day_delta) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in
+        |  FROM filled),
+        |wp AS (
+        |  SELECT day, MAX(running) AS max_running FROM (
+        |    SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY us)
+        |      AS running
+        |    FROM dd) GROUP BY day)
+        |SELECT CAST(o.day AS BIGINT) AS day,
+        |  CAST(GREATEST(o.carry_in,
+        |       o.carry_in + COALESCE(w.max_running, 0)) AS BIGINT)
+        |    AS peak_concurrent,
+        |  CAST(o.n_starts AS BIGINT) AS n_starts,
+        |  CAST(o.carry_in + o.day_delta AS BIGINT) AS eod_open
+        |FROM off o LEFT JOIN wp w USING (day) ORDER BY o.day""".stripMargin
   )
 }

@@ -278,8 +278,10 @@ object Curation {
       stats.crossJoin(broadcast(top10))
         .withColumn("top10_share_ppm",
           expr("CAST(top10_cnt * 1000000 DIV total_rows AS BIGINT)"))
+        // divide FIRST: max_cnt·n_keys·10⁶ would overflow BIGINT on a
+        // 100 TB fact table with real skew; avg_cnt ≥ 1 by construction
         .withColumn("max_avg_ratio_ppm",
-          expr("CAST(max_cnt * n_keys * 1000000 DIV total_rows AS BIGINT)"))
+          expr("CAST(max_cnt * 1000000 DIV (total_rows DIV n_keys) AS BIGINT)"))
     },
 
     // k-anonymity audit: group the corpus by its quasi-identifier tuple
@@ -442,7 +444,7 @@ object Curation {
         |    ORDER BY cnt DESC, l_suppkey LIMIT 10))
         |SELECT n_keys, total_rows, max_cnt, top10_cnt,
         |  CAST(top10_cnt * 1000000 // total_rows AS BIGINT) AS top10_share_ppm,
-        |  CAST(max_cnt * n_keys * 1000000 // total_rows AS BIGINT)
+        |  CAST(max_cnt * 1000000 // (total_rows // n_keys) AS BIGINT)
         |    AS max_avg_ratio_ppm
         |FROM stats CROSS JOIN top10""".stripMargin,
 

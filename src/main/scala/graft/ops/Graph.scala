@@ -46,12 +46,14 @@ object Graph {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      // materialize the edge list ONCE (q65's pattern): without this the
-      // final DAG re-derives the lineitem⨝orders distinct for the degree
-      // pass and every superstep's join
+      // truncate the edge lineage ONCE (q65's pattern) so the DAG does
+      // not re-derive the lineitem⨝orders distinct for the degree pass
+      // and every superstep's join; LAZY so plan-only inspections
+      // (PlanSpec, Verify's builder pass) don't execute a Spark job at
+      // DataFrame-construction time
       val edges = pairs.unionAll(
         pairs.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val deg = edges.groupBy(col("a").as("node"))
         .agg(count(lit(1)).as("deg"))
       val nRow = deg.agg(count(lit(1)).as("n_nodes"))

@@ -174,12 +174,14 @@ object TextAnalysis {
       val toksAll = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val dfTbl = toksAll.distinct()
         .groupBy("tok").agg(count(lit(1)).as("df"))
+        // bound the scoring vocabulary to the top-50k tokens by df
+        // (ties by token) — this is what makes the broadcast safe at
+        // open-vocabulary scale: the df table is now O(50k) by
+        // construction, not O(vocab); out-of-vocabulary tokens drop out
+        // of the score, which is the standard bounded-vocab contract
+        .orderBy(col("df").desc, col("tok")).limit(50000)
       val n = docs.agg(count(lit(1)).cast("long").as("n_corpus"))
       toksAll.filter(col("doc_id") % 13 === 0)
-        // broadcast keeps the (sampled) token stream unshuffled; a real
-        // deployment prunes the df table to a bounded scoring vocabulary
-        // (min-df / top-N) before this join, which is what makes the
-        // broadcast safe at open-vocabulary scale
         .join(broadcast(dfTbl), "tok")
         .crossJoin(broadcast(n))
         .groupBy("doc_id")
@@ -238,8 +240,10 @@ object TextAnalysis {
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |df AS (
-        |  SELECT tok, COUNT(*) AS df
-        |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |  SELECT tok, df FROM (
+        |    SELECT tok, COUNT(*) AS df
+        |    FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok)
+        |  ORDER BY df DESC, tok LIMIT 50000),
         |n AS (SELECT COUNT(*) AS n_corpus FROM documents),
         |j AS (
         |  SELECT t.doc_id, d.df, n.n_corpus

@@ -288,8 +288,8 @@ class BehaviorSpec extends AnyFunSuite {
        r.getAs[Long]("max_cnt"), r.getAs[Long]("top10_cnt"))
     assert(maxC <= top10 && top10 <= total)
     assert(maxC * keys >= total, "max must be at least the mean")
-    assert(r.getAs[Long]("max_avg_ratio_ppm") >= 1000000L - keys,
-      "floor-ppm of max/avg must sit at or above ~1e6")
+    assert(r.getAs[Long]("max_avg_ratio_ppm") >= 1000000L,
+      "max is >= the floored average, so the floor-ppm ratio is >= 1e6")
     assert(r.getAs[Long]("top10_share_ppm") <= 1000000L)
   }
 }

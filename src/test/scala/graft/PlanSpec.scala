@@ -73,18 +73,32 @@ class PlanSpec extends AnyFunSuite {
     // and degrade to shuffle joins as the table grows; only hints can
     // force the unbounded case.)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LogicalPlan}
-    val facts = Seq("lineitem", "orders", "events", "documents", "embeddings")
-    def boundedOrDim(p: LogicalPlan): Boolean = {
-      val touchesFact = facts.exists(f => p.toString.toLowerCase.contains(f))
-      val hasLimit = p.collectFirst { case g: GlobalLimit => g }.isDefined
-      // a global (groupless) aggregate at the broadcast root is exactly
-      // one row by construction — as bounded as a LIMIT
-      val oneRowAgg = p match {
-        case a: Aggregate => a.groupingExpressions.isEmpty
-        case _            => false
-      }
-      !touchesFact || hasLimit || oneRowAgg
+    // Fact tables are detected STRUCTURALLY, by signature columns of
+    // their leaf scans — optimizedPlan.toString does not print file
+    // paths, so a name match would be vacuously false (a prior revision
+    // of this test had exactly that bug and enforced nothing).
+    val factMarkers = Seq("l_orderkey", "o_orderkey", "event_id", "doc_id", "vec_id")
+    // grouping keys whose DOMAIN is bounded by the schema or the time
+    // horizon rather than the data volume — a fact aggregate grouped
+    // ONLY on these stays broadcastable at any scale
+    val boundedDomainKeys = Set("day", "lang", "source", "event_type")
+    // Recursive: a subtree is bounded if every path from the broadcast
+    // root down to a fact leaf passes through a LIMIT, a one-row
+    // (groupless) aggregate, or an aggregate grouped only on
+    // bounded-domain keys; joins/unions need every input bounded.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(_.references.map(_.name)
+            .forall(boundedDomainKeys.contains)) ||
+          bounded(a.child)
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case leaf if leaf.children.isEmpty =>
+        !leaf.output.map(_.name).exists(factMarkers.contains)
+      case other => other.children.forall(bounded)
     }
+    def boundedOrDim(p: LogicalPlan): Boolean = bounded(p)
     SparkEntry.queries.keys.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       plan.foreach {
