@@ -37,6 +37,28 @@ object Behavior {
     * every event its own session; 24 h nearly one session per user). */
   private val SessionGapUs = 43200000000L
 
+  /** Gap-sessionized events: the single session definition shared by
+    * q86 (session table), q88 (concurrency sweep), and q93 (overlap
+    * join) so the gap rule can never drift between them. One user_id
+    * shuffle; the lag window, running sum, and grouping all reuse it. */
+  private[ops] def sessions(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("brk")).over(run))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("n_purchases"))
+  }
+
   /** Integer day index since epoch — the single day-bucketing rule shared
     * by q72 (cohorts) and q78 (recency) so the two can never diverge.
     * Integer µs floor-division: identical binning on both engines, no
@@ -172,21 +194,7 @@ object Behavior {
     // partition-local. All-µs integer arithmetic; ties fully broken by
     // (us, event_id).
     "q86_sessionize" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("prev_us", lag(col("us"), 1).over(w))
-        .withColumn("brk",
-          when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs,
-            1L).otherwise(0L))
-        .withColumn("session_seq", sum(col("brk")).over(run))
-        .groupBy("user_id", "session_seq")
-        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
-          count(lit(1)).cast("long").as("n_events"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .cast("long").as("n_purchases"))
+      sessions(s, d)
         .withColumn("duration_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "session_seq")
     },
@@ -234,11 +242,10 @@ object Behavior {
     // the higher start-of-day concurrency, and a fully-bridged day
     // reports the constant carry.
     "q88_concurrency_sweep" -> { (s, d) =>
-      val sessions = queries("q86_sessionize")(s, d)
-        .select(col("start_us"), col("end_us"))
-      val deltas = sessions
+      val sess = sessions(s, d).select(col("start_us"), col("end_us"))
+      val deltas = sess
         .select(col("start_us").as("us"), lit(1L).as("delta"))
-        .unionAll(sessions.select((col("end_us") + 1L).as("us"),
+        .unionAll(sess.select((col("end_us") + 1L).as("us"),
           lit(-1L).as("delta")))
         .withColumn("day", expr(s"CAST(us div $UsPerDay AS BIGINT)"))
       val perDay = deltas.groupBy("day").agg(sum(col("delta")).as("day_delta"),
@@ -272,6 +279,39 @@ object Behavior {
           col("n_starts").cast("long").as("n_starts"),
           (col("carry_in") + col("day_delta")).cast("long").as("eod_open"))
         .orderBy("day")
+    },
+
+    // Interval-OVERLAP join (interval×interval — the sibling of the
+    // point-in-interval RangeJoin module): which sessions of cohort A
+    // (user_id≡0 mod 10) overlap in time with sessions of cohort B
+    // (≡5 mod 10), aggregated per user pair. The scalable plan: explode
+    // each interval to its covered day bins (fan-out bounded by session
+    // span in days), equi-join on the bin, then attribute each matched
+    // pair to exactly ONE bin — the day the overlap begins — so
+    // multi-day double-matches dedupe arithmetically, no distinct
+    // needed. A naive theta join would be a cartesian across cohorts;
+    // the oracle runs exactly that (correct at oracle scale) and the
+    // hash-match proves the binned plan equivalent.
+    "q93_session_overlap" -> { (s, d) =>
+      val sess = sessions(s, d)
+      val a = sess.filter(col("user_id") % 10 === 0)
+        .select(col("user_id").as("user_a"), col("start_us").as("sa"),
+          col("end_us").as("ea"))
+      val b = sess.filter(col("user_id") % 10 === 5)
+        .select(col("user_id").as("user_b"), col("start_us").as("sb"),
+          col("end_us").as("eb"))
+      val ax = a.withColumn("bin",
+        explode(expr(s"sequence(sa div $UsPerDay, ea div $UsPerDay)")))
+      val bx = b.withColumn("bin",
+        explode(expr(s"sequence(sb div $UsPerDay, eb div $UsPerDay)")))
+      ax.join(bx, Seq("bin"))
+        .filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .filter(col("bin") === expr(s"greatest(sa, sb) div $UsPerDay"))
+        .groupBy("user_a", "user_b")
+        .agg(count(lit(1)).cast("long").as("n_overlaps"),
+          sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+            .cast("long").as("sum_overlap_us"))
+        .orderBy("user_a", "user_b")
     }
   )
 
@@ -483,6 +523,35 @@ object Behavior {
         |    AS peak_concurrent,
         |  CAST(o.n_starts AS BIGINT) AS n_starts,
         |  CAST(o.carry_in + o.day_delta AS BIGINT) AS eod_open
-        |FROM off o LEFT JOIN wp w USING (day) ORDER BY o.day""".stripMargin
+        |FROM off o LEFT JOIN wp w USING (day) ORDER BY o.day""".stripMargin,
+
+    "q93_session_overlap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |lagd AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              > 43200000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |sid AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM lagd),
+        |sess AS (
+        |  SELECT user_id, session_seq, MIN(us) AS st, MAX(us) AS en
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        |  CAST(SUM(LEAST(a.en, b.en) - GREATEST(a.st, b.st)) AS BIGINT)
+        |    AS sum_overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id % 10 = 0 AND b.user_id % 10 = 5
+        | AND a.st <= b.en AND b.st <= a.en
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

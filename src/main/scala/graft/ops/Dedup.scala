@@ -373,6 +373,45 @@ object Dedup {
         .filter(col("hamming") <= 6)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(100)
+    },
+
+    // Incremental (cross-corpus) dedup: dedup a NEW shard (doc_id ≡ 0
+    // mod 7) against the existing reference corpus, instead of all-pairs
+    // within one corpus — the nightly-ingest shape: only pairs that
+    // STRADDLE the shard boundary matter. Reuses the exact
+    // minhashVerifiedPairs LSH pipeline, keeps straddling pairs, and
+    // reports per shard document its match count, best reference match
+    // (floor-ppm Jaccard, ties to the smaller ref id) and the dup
+    // verdict at jac ≥ 0.3 — integer-exact throughout. Shard docs with
+    // no match survive via the left join (is_dup = false).
+    "q95_incremental_dedup" -> { (s, d) =>
+      val straddling = minhashVerifiedPairs(s, d)
+        .filter((col("doc_a") % 7 === 0) =!= (col("doc_b") % 7 === 0))
+        .select(
+          when(col("doc_a") % 7 === 0, col("doc_a")).otherwise(col("doc_b"))
+            .as("doc_id"),
+          when(col("doc_a") % 7 === 0, col("doc_b")).otherwise(col("doc_a"))
+            .as("ref_doc"),
+          expr("CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)")
+            .as("jac_ppm"))
+        .filter(col("jac_ppm") >= 300000L)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("jac_ppm").desc, col("ref_doc"))
+      val best = straddling.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("ref_doc").as("best_ref"),
+          col("jac_ppm").as("best_jac_ppm"))
+      val nMatches = straddling.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_matches"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0)
+        .join(nMatches.join(best, "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("best_ref"), lit(-1L)).as("best_ref"),
+          coalesce(col("best_jac_ppm"), lit(0L)).as("best_jac_ppm"),
+          (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+        .orderBy("doc_id")
     }
   )
 
@@ -541,6 +580,35 @@ object Dedup {
         |  FROM banded x JOIN banded y
         |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
-        |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin
+        |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    "q95_incremental_dedup" -> (LshPairsSql +
+      """,
+        |scored AS (
+        |  SELECT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+        |         CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS ref_doc,
+        |         CAST(common * 1000000 // (ca.n + cb.n - common) AS BIGINT)
+        |           AS jac_ppm
+        |  FROM common JOIN cnt ca ON doc_a = ca.doc_id
+        |              JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)),
+        |kept AS (SELECT * FROM scored WHERE jac_ppm >= 300000),
+        |best AS (
+        |  SELECT doc_id, ref_doc, jac_ppm, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY jac_ppm DESC, ref_doc) AS rn
+        |  FROM kept),
+        |aggm AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_matches, 0) AS n_matches,
+        |  COALESCE(b.ref_doc, -1) AS best_ref,
+        |  COALESCE(b.jac_ppm, 0) AS best_jac_ppm,
+        |  COALESCE(a.n_matches, 0) > 0 AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+        |LEFT JOIN aggm a USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, ref_doc, jac_ppm FROM best WHERE rn = 1) b
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
   )
 }

@@ -213,6 +213,34 @@ object TextAnalysis {
         .filter(col("rn") === 1)
         .select("doc_id", "term", "tf", "df", "score")
         .orderBy("doc_id")
+    },
+
+    // Tokenizer-vocabulary coverage audit: fix a bounded scoring
+    // vocabulary (top-10 tokens by corpus frequency, ties by token) and
+    // measure, per language, what share of the token stream and of the
+    // type inventory it covers — the out-of-vocabulary profile that
+    // decides whether a tokenizer/vocab is adequate per stratum before
+    // training. The vocab is bounded BY CONSTRUCTION (LIMIT), so its
+    // broadcast is safe at open-vocabulary scale; the corpus side
+    // streams linearly through one left join + one aggregation.
+    "q94_vocab_coverage" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(10)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(coalesce(col("in_vocab"), lit(0L))).cast("long").as("n_covered"),
+          countDistinct(col("tok")).cast("long").as("n_types"),
+          countDistinct(when(col("in_vocab") === 1L, col("tok")))
+            .cast("long").as("n_types_covered"))
+        .withColumn("token_cov_ppm",
+          expr("CAST(n_covered * 1000000 DIV n_tokens AS BIGINT)"))
+        .withColumn("type_cov_ppm",
+          expr("CAST(n_types_covered * 1000000 DIV n_types AS BIGINT)"))
+        .orderBy("lang")
     }
   )
 
@@ -359,6 +387,29 @@ object TextAnalysis {
         |  CAST(COALESCE(a.n_distinct_fps, 0) AS BIGINT) AS n_distinct_fps,
         |  CAST(a.min_fp AS BIGINT) AS min_fp, CAST(a.max_fp AS BIGINT) AS max_fp
         |FROM docs d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q94_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT lang, UNNEST(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok, 1 AS in_vocab FROM (
+        |    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 10)),
+        |j AS (
+        |  SELECT t.lang, t.tok, COALESCE(v.in_vocab, 0) AS in_vocab
+        |  FROM toks t LEFT JOIN vocab v USING (tok)),
+        |agg AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(in_vocab) AS BIGINT) AS n_covered,
+        |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+        |    CAST(COUNT(DISTINCT CASE WHEN in_vocab = 1 THEN tok END)
+        |         AS BIGINT) AS n_types_covered
+        |  FROM j GROUP BY lang)
+        |SELECT lang, n_tokens, n_covered, n_types, n_types_covered,
+        |  CAST(n_covered * 1000000 // n_tokens AS BIGINT) AS token_cov_ppm,
+        |  CAST(n_types_covered * 1000000 // n_types AS BIGINT) AS type_cov_ppm
+        |FROM agg ORDER BY lang""".stripMargin
   )
 }

@@ -281,6 +281,17 @@ class BehaviorSpec extends AnyFunSuite {
       "after the horizon every session has closed")
   }
 
+  test("q93 overlap pairs respect cohort membership and interval bounds") {
+    val rows = SparkEntry.queries("q93_session_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty, "cohorts should co-occur at least once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("user_a") % 10 === 0L)
+      assert(r.getAs[Long]("user_b") % 10 === 5L)
+      assert(r.getAs[Long]("n_overlaps") >= 1L)
+      assert(r.getAs[Long]("sum_overlap_us") >= 0L)
+    }
+  }
+
   test("q89 skew audit invariants") {
     val r = SparkEntry.queries("q89_skew_audit")(spark, sf).collect()(0)
     val (keys, total, maxC, top10) =

@@ -285,6 +285,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q94 vocab coverage bounds: covered <= total, types_covered <= 10") {
+    val rows = SparkEntry.queries("q94_vocab_coverage")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_types_covered") <=
+        math.min(r.getAs[Long]("n_types"), 10L))
+      assert(r.getAs[Long]("token_cov_ppm") <= 1000000L)
+      assert(r.getAs[Long]("type_cov_ppm") <= 1000000L)
+    }
+  }
+
+  test("q95 incremental dedup verdicts are internally consistent") {
+    val rows = SparkEntry.queries("q95_incremental_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Boolean]("is_dup")
+      assert(dup == (r.getAs[Long]("n_matches") > 0L))
+      if (dup) {
+        assert(r.getAs[Long]("best_jac_ppm") >= 300000L,
+          "a dup's best match must clear the threshold")
+        assert(r.getAs[Long]("best_ref") % 7 != 0L,
+          "best match must come from the reference side")
+      } else {
+        assert(r.getAs[Long]("best_ref") === -1L)
+        assert(r.getAs[Long]("best_jac_ppm") === 0L)
+      }
+    }
+  }
+
   test("q92 k-anonymity histogram accounts for every document") {
     val rows = SparkEntry.queries("q92_k_anonymity")(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
