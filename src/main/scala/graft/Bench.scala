@@ -1,4 +1,6 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every declared query at the
@@ -41,7 +43,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy FIRST: with ~100 queries the JSON line outgrows captured
+    // stdout tails (round 3 lost q01–q36 that way), so the file is the
+    // artifact of record and stdout stays the driver-contract summary.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.write(Paths.get(out), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

@@ -62,9 +62,18 @@ object RangeJoin {
     val guard = s"assert_true(coalesce($spanBins <= ${maxBinsPerInterval}L, true), " +
       s"concat('RangeJoin: an interval covers ', CAST($spanBins AS STRING), " +
       s"' bins > maxBinsPerInterval=$maxBinsPerInterval; widen binWidth or raise the budget'))"
+    // Inverted intervals (start > end) must NOT reach sequence(): their
+    // span is negative so the <= guard passes vacuously, and Spark's
+    // sequence(a, b) with a > b generates a DESCENDING |span|-element
+    // array — a sentinel row like (start=10^15, end=0) would materialize
+    // the giant per-row array the guard exists to prevent. Mirror
+    // RangeJoinRewrite: lo > hi (or NULL bounds) yields an empty array,
+    // so the row drops at the explode, same as the NULL path always did.
     val iv = intervals.withColumn("_bin",
       explode(expr(
-        s"sequence($startCol div $binWidth, $endCol div $binWidth + CAST(coalesce($guard, 0) AS BIGINT))")))
+        s"CASE WHEN $startCol <= $endCol THEN " +
+          s"sequence($startCol div $binWidth, $endCol div $binWidth + CAST(coalesce($guard, 0) AS BIGINT)) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")))
     val pt = points.withColumn("_bin", expr(s"$ptCol div $binWidth"))
     pt.join(iv, Seq("_bin"))
       .filter(col(startCol) <= col(ptCol) && col(ptCol) <= col(endCol))

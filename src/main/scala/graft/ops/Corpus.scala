@@ -100,8 +100,11 @@ object Corpus {
           count(when(col("pass") && col("tm").isNull, 1)).as("n_false_pos"),
           count(when(!col("pass") && col("tm").isNotNull, 1)).as("n_missed"))
         .select(col("n_rows"), col("n_pass"), col("n_members"), col("n_false_pos"),
+          // NULLIF guard: a degenerate key set where every fact row is a
+          // member makes the non-member divisor 0 — engine-dependent
+          // NULL/NaN without it (oracle mirrors the NULLIF).
           round(col("n_false_pos").cast("double") /
-            (col("n_rows") - col("n_members")), 6).as("fp_rate"),
+            nullif(col("n_rows") - col("n_members"), lit(0)), 6).as("fp_rate"),
           (col("n_missed") === 0).as("no_false_negatives"))
     },
 
@@ -507,7 +510,7 @@ object Corpus {
         |  CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
         |  CAST(SUM(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
         |  round(CAST(SUM(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
-        |        / (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)), 6) AS fp_rate,
+        |        / NULLIF(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END), 0), 6) AS fp_rate,
         |  SUM(CASE WHEN is_member AND NOT pass THEN 1 ELSE 0 END) = 0 AS no_false_negatives
         |FROM audited""".stripMargin,
 

@@ -52,14 +52,22 @@ object Curation {
 
   /** q57 body, factored for testability: within-cluster all-pairs
     * levenshtein over q50's prefix clusters, with oversize clusters
-    * excluded up front (count ≤ [[MaxEditCluster]] via a partitioned
-    * window — one shuffle on phash serves both the guard and the
-    * self-join). Expects columns (doc_id, text). */
+    * excluded up front (count ≤ [[MaxEditCluster]]). The guard counts on
+    * a (phash)-only projection — a key-sized groupBy, map-side combined —
+    * so the full `text` payload is never shuffled for the count (a
+    * partitioned count window here would exchange whole documents; at
+    * corpus scale that shuffle IS the query cost). Clusters of size 1
+    * drop with the same join: they cannot produce a doc_a < doc_b pair,
+    * so pruning them is output-identical and skips the self-join for the
+    * (overwhelmingly common) unique-prefix rows. Expects (doc_id, text). */
   def editDistanceVerify(documents: DataFrame): DataFrame = {
-    val docs = documents
+    val hashed = documents
       .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
-      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("phash"))))
-      .filter(col("csize") <= MaxEditCluster)
+    val keep = hashed.select("phash")
+      .groupBy("phash").agg(count(lit(1)).as("csize"))
+      .filter(col("csize") >= 2 && col("csize") <= MaxEditCluster)
+      .select("phash")
+    val docs = hashed.join(keep, Seq("phash"))
     val a = docs.select(col("phash"), col("doc_id").as("doc_a"), col("text").as("ta"))
     val b = docs.select(col("phash"), col("doc_id").as("doc_b"), col("text").as("tb"))
     a.join(b, Seq("phash")).filter(col("doc_a") < col("doc_b"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.flow.Checkpoints
 import graft.model.Tables
 import graft.ops.TextAnalysis.{shingleExpr, tokens}
 
@@ -189,8 +190,11 @@ object Dedup {
     *
     * The loop is DRIVER-PACED but data-distributed: each round is two
     * distributed joins + an aggregation, the per-round convergence probe
-    * reads one count, and `localCheckpoint` truncates the growing
-    * lineage (the standard Spark shape for iterative graph algorithms;
+    * reads one count, and [[graft.flow.Checkpoints.truncate]] cuts the
+    * growing lineage each round — reliable `checkpoint()` when
+    * `spark.graft.checkpointDir` points at a shared store (required for
+    * executor-loss recovery on real clusters), `localCheckpoint`
+    * otherwise (the standard Spark shape for iterative graph algorithms;
     * rounds needed = component diameter, which for near-dup clusters is
     * tiny). maxIter caps pathological chains. */
   /** The duplicate-graph edge list shared by q65 (cluster formation) and
@@ -205,12 +209,14 @@ object Dedup {
     // materialize the edge list ONCE: sym is referenced by every round's
     // join, and without the checkpoint each round would re-run the whole
     // upstream pipeline (e.g. the LSH DAG) that produced the edges
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    val sym = Checkpoints.truncate(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      eager = true)
+    var labels = Checkpoints.truncate(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")),
+      eager = true)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -224,10 +230,11 @@ object Dedup {
       val jumped = labels.as("x")
         .join(labels.as("y"), col("x.label") === col("y.node"))
         .select(col("x.node").as("node"), col("y.label").as("label"))
-      val updated = labels.select("node", "label")
-        .unionByName(nbrLabels).unionByName(jumped)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val updated = Checkpoints.truncate(
+        labels.select("node", "label")
+          .unionByName(nbrLabels).unionByName(jumped)
+          .groupBy("node").agg(min(col("label")).as("label")),
+        eager = true)
       converged = updated.join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") < col("prev")).isEmpty
       labels = updated

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.flow.Checkpoints
 import graft.model.Tables
 
 /** Iterative graph analytics over relationship graphs mined from the
@@ -50,10 +51,11 @@ object Graph {
       // not re-derive the lineitem⨝orders distinct for the degree pass
       // and every superstep's join; LAZY so plan-only inspections
       // (PlanSpec, Verify's builder pass) don't execute a Spark job at
-      // DataFrame-construction time
-      val edges = pairs.unionAll(
-        pairs.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint(false)
+      // DataFrame-construction time. Mechanism conf-gated via
+      // spark.graft.checkpointDir (reliable on clusters, local here).
+      val edges = Checkpoints.truncate(
+        pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))),
+        eager = false)
       val deg = edges.groupBy(col("a").as("node"))
         .agg(count(lit(1)).as("deg"))
       val nRow = deg.agg(count(lit(1)).as("n_nodes"))

@@ -189,8 +189,14 @@ object TextAnalysis {
              sum(col("df")).cast("long").as("sum_df"),
              count(when(col("df") * 20 <= col("n_corpus"), 1)).as("n_rare"),
              min(col("n_corpus")).as("nc"))
+        // floor(sum_df·10⁶/(n_tokens·nc)) without the sum_df·10⁶ 64-bit
+        // overflow (at corpus scale sum_df ≈ n_tokens·n_corpus): divide by
+        // nc first via the exact q75 div/mod decomposition, then by
+        // n_tokens — floor(floor(x/m)/n) = floor(x/(m·n)) for positive
+        // integers, so the value is identical and the oracle mirrors it.
         .withColumn("commonness_ppm",
-          expr("CAST(sum_df * 1000000 DIV (n_tokens * nc) AS BIGINT)"))
+          expr("CAST((sum_df DIV nc * 1000000 + " +
+               "(sum_df % nc) * 1000000 DIV nc) DIV n_tokens AS BIGINT)"))
         .withColumn("rare_ppm",
           expr("CAST(n_rare * 1000000 DIV n_tokens AS BIGINT)"))
         .select("doc_id", "n_tokens", "sum_df", "n_rare",
@@ -280,7 +286,8 @@ object TextAnalysis {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(df) AS BIGINT) AS sum_df,
         |  CAST(COUNT(*) FILTER (df * 20 <= n_corpus) AS BIGINT) AS n_rare,
-        |  CAST(SUM(df) * 1000000 // (COUNT(*) * MIN(n_corpus)) AS BIGINT) AS commonness_ppm,
+        |  CAST((SUM(df) // MIN(n_corpus) * 1000000 +
+        |        (SUM(df) % MIN(n_corpus)) * 1000000 // MIN(n_corpus)) // COUNT(*) AS BIGINT) AS commonness_ppm,
         |  CAST(COUNT(*) FILTER (df * 20 <= n_corpus) * 1000000 // COUNT(*) AS BIGINT) AS rare_ppm
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

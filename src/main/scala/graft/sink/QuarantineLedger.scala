@@ -63,8 +63,13 @@ class QuarantineLedger(dir: String) {
     * first set and let the feedback loop flip-flop between rejection sets
     * forever. First-recorded error wins per coordinate (idempotent
     * replays re-record the same rows). Write-then-rename keeps the merged
-    * file atomic. */
-  def append(batchId: Long, rows: Seq[(String, Int, Long, String)]): Unit = {
+    * file atomic against READERS; the read-merge-write itself is
+    * serialized per-ledger below, because two racing appenders for the
+    * same batch could otherwise interleave read→write and silently drop
+    * one round's coordinates. The lock covers this JVM (the merge is
+    * driver-local by design); a ledger directory is single-writer-process
+    * by contract — two independent driver processes must not share one. */
+  def append(batchId: Long, rows: Seq[(String, Int, Long, String)]): Unit = this.synchronized {
     if (rows.isEmpty) return
     val tmp = root.resolve(s".batch-$batchId.tmp")
     val dst = root.resolve(s"batch-$batchId.csv")

@@ -158,4 +158,32 @@ class FlowSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("zz"))
   }
+
+  test("Checkpoints.truncate is conf-gated: local by default, reliable when checkpointDir is set") {
+    import graft.flow.Checkpoints
+    import org.apache.spark.sql.execution.LogicalRDD
+    def planRdd(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.asInstanceOf[LogicalRDD].rdd
+    assert(spark.conf.getOption(Checkpoints.DirConf).isEmpty)
+    val local = Checkpoints.truncate((1L to 100L).toDF("x"), eager = true)
+    assert(local.count() == 100)
+    // getCheckpointFile is defined only for the RELIABLE mechanism
+    // (isLocallyCheckpointed is private[spark]) — local checkpoints are
+    // materialized (isCheckpointed) but have no checkpoint file
+    assert(planRdd(local).isCheckpointed)
+    assert(planRdd(local).getCheckpointFile.isEmpty,
+      "default mechanism must be localCheckpoint (no checkpoint file)")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.conf.set(Checkpoints.DirConf, dir.toString)
+    try {
+      val rel = Checkpoints.truncate((1L to 100L).toDF("y"), eager = true)
+      assert(rel.count() == 100)
+      val rdd = planRdd(rel)
+      assert(rdd.isCheckpointed)
+      assert(rdd.getCheckpointFile.exists(_.contains(dir.getFileName.toString)),
+        "with the conf set the mechanism must be the reliable checkpoint, " +
+          "with its files under the configured dir")
+    } finally spark.conf.unset(Checkpoints.DirConf)
+  }
 }
