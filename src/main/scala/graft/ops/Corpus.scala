@@ -60,6 +60,30 @@ object Corpus {
   /** Histogram bin width (chars) for the q62 length sketch. */
   private val HistBin = 64L
 
+  /** q97: number of BPE merges applied (fixed k keeps the unrolled
+    * encode chain — and the oracle — finite) and the unit separator
+    * (U+001F) that keeps merged symbols atomic under plain `replace`. */
+  private val BpeMerges = 8
+  private val BpeSep = "\u001f"
+
+  /** The q97 encode chain as one nested SQL expression: apply merges
+    * `m0..m{k-1}` (each a 2-char pair column) in priority order to the
+    * symbol string in column `symCol`, where every unit is WRAPPED in
+    * separators (`\u001fb\u001f\u001fan\u001f...`). The wrapping is what
+    * makes plain `replace` a correct BPE step: a merge pattern
+    * `\u001fa\u001f\u001fb\u001f` can only consume two COMPLETE adjacent
+    * units (a terminator-only encoding lets a pattern start mid-unit —
+    * `an`+`a` would false-match a later `na` merge via the tail of `an`),
+    * and because adjacent pattern occurrences share no characters, the
+    * left-to-right scan is exactly BPE's greedy non-overlapping pass.
+    * Exposed for the OpsSpec mechanics test. */
+  private[graft] def bpeApplySql(symCol: String, k: Int): String =
+    (0 until k).foldLeft(symCol) { (acc, i) =>
+      s"replace($acc, chr(31) || substring(m$i, 1, 1) || chr(31) || " +
+        s"chr(31) || substring(m$i, 2, 1) || chr(31), " +
+        s"chr(31) || m$i || chr(31))"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bloom-filter join pruning. Key set: the sampled orders an
     // (imagined) downstream pass needs lineitems for. The bloom side is
@@ -259,6 +283,59 @@ object Corpus {
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
+    },
+
+    // BPE merge APPLICATION — completes q68's vocabulary-induction loop:
+    // q68 discovers the merge pairs; this encodes a bounded doc sample
+    // with the top-[[BpeMerges]] merges applied in priority order and
+    // reports per-doc symbol counts before/after plus the floor-ppm
+    // compression ratio. Encoding is expressed relationally: each word
+    // becomes a symbol string with every unit WRAPPED in separators,
+    // and each merge is one non-overlapping left-to-right `replace` of
+    // two complete adjacent units with their merged unit (see
+    // [[bpeApplySql]] for why the wrapping makes plain `replace` a
+    // correct greedy BPE step), identically in DuckDB.
+    // The merge table is a 1-row pivot (bounded by construction at
+    // k=8) broadcast to the sample; no driver-side collect, no
+    // lambda fold — the k-step chain is unrolled, so it stays inside
+    // whole-stage codegen.
+    "q97_bpe_apply" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val top = docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(BpeMerges)
+      // pivot the ≤k merges to one row in priority order (sort_array on
+      // (-cnt, pair) structs — no unpartitioned window needed); `get` is
+      // NULL past the end, coalesced to '' whose search key collapses to
+      // four adjacent separators — impossible, units are non-empty — so
+      // short merge lists no-op
+      val m = top.agg(array_sort(collect_list(
+          struct((-col("cnt")).as("nc"), col("pair")))).as("ms"))
+        .select((0 until BpeMerges).map(i =>
+          coalesce(get(col("ms"), lit(i)).getField("pair"), lit(""))
+            .as(s"m$i")): _*)
+      // the k-step merge chain, nested as one SQL expression over the
+      // symbolized word (chr(31) = the unit separator on both engines)
+      val appliedSql = bpeApplySql("s0", BpeMerges)
+      def nSym(name: String): Column =
+        expr(s"CAST((length($name) - length(replace($name, chr(31), ''))) DIV 2 AS BIGINT)")
+      docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .crossJoin(broadcast(m))
+        .withColumn("s0", regexp_replace(col("w"), "(.)", BpeSep + "$1" + BpeSep))
+        .withColumn("s_enc", expr(appliedSql))
+        .withColumn("nb", nSym("s0"))
+        .withColumn("na", nSym("s_enc"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+             sum(col("nb")).cast("long").as("n_sym_before"),
+             sum(col("na")).cast("long").as("n_sym_after"))
+        .withColumn("compression_ppm",
+          expr("CAST(n_sym_after * 1000000 DIV n_sym_before AS BIGINT)"))
+        .orderBy("doc_id")
     },
 
     // Cross-document duplicated span detection — the fixed-granularity
@@ -657,6 +734,45 @@ object Corpus {
         |  WHERE length(w) >= 2)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "q97_bpe_apply" -> {
+      // mirror of the Spark side's unrolled encode: same pivoted merge
+      // row (COALESCE '' keeps a short merge list a no-op — `␟␟` can
+      // never match), same nested left-to-right replace chain
+      val mCols = (1 to BpeMerges).map(i =>
+        s"COALESCE(MAX(CASE WHEN rn = $i THEN pair END), '') AS m$i")
+        .mkString(", ")
+      val applied = (1 to BpeMerges).foldLeft("s0") { (acc, i) =>
+        s"replace($acc, chr(31) || substr(m$i, 1, 1) || chr(31) || " +
+          s"chr(31) || substr(m$i, 2, 1) || chr(31), " +
+          s"chr(31) || m$i || chr(31))"
+      }
+      s"""WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair
+        |  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+        |  WHERE length(w) >= 2),
+        |top AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+        |        ORDER BY cnt DESC, pair LIMIT $BpeMerges),
+        |ranked AS (SELECT pair,
+        |  row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM top),
+        |m AS (SELECT $mCols FROM ranked),
+        |sw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |sym AS (SELECT doc_id,
+        |  regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s0, m.*
+        |  FROM sw CROSS JOIN m),
+        |enc AS (SELECT doc_id,
+        |  (length(s0) - length(replace(s0, chr(31), ''))) // 2 AS nb,
+        |  (length($applied) - length(replace($applied, chr(31), ''))) // 2 AS na
+        |  FROM sym)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(nb) AS BIGINT) AS n_sym_before,
+        |  CAST(SUM(na) AS BIGINT) AS n_sym_after,
+        |  CAST(SUM(na) * 1000000 // SUM(nb) AS BIGINT) AS compression_ppm
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q69_dup_spans" ->
       """WITH w AS (

@@ -459,6 +459,14 @@ object Dedup {
     * component label = min over {node} ∪ reachable set. Shared by the
     * q65 and q76 oracles so threshold and closure logic stay in lockstep
     * with each other (and with the Scala side above). */
+  /** Oracle image of q76's 80/10/10 split assignment (the SQL twin of its
+    * Scala `splitOf`∘`neutralHash32` pair) — ONE definition so the bucket
+    * rule cannot drift between the per-node and per-cluster columns. */
+  private def splitCaseSql(idExpr: String): String =
+    s"""CASE WHEN ('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)),1,8))::BIGINT % 10 <= 7 THEN 'train'
+       |       WHEN ('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)),1,8))::BIGINT % 10 = 8 THEN 'val'
+       |       ELSE 'test' END""".stripMargin
+
   private val ClusterLabelsSql: String = LshPairsSql +
     """,
       |jpair AS (
@@ -553,20 +561,15 @@ object Dedup {
         |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin),
 
     "q76_split_leakage" -> (ClusterLabelsSql +
-      """,
+      s""",
         |sp AS (
-        |  SELECT node, label,
-        |    CASE WHEN ('0x' || substr(md5('split:' || CAST(node AS VARCHAR)),1,8))::BIGINT % 10 <= 7 THEN 'train'
-        |         WHEN ('0x' || substr(md5('split:' || CAST(node AS VARCHAR)),1,8))::BIGINT % 10 = 8 THEN 'val'
-        |         ELSE 'test' END AS split
+        |  SELECT node, label, ${splitCaseSql("node")} AS split
         |  FROM lab)
         |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
         |  CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
         |  MIN(split) AS first_split,
         |  COUNT(DISTINCT split) > 1 AS leaky,
-        |  CASE WHEN ('0x' || substr(md5('split:' || CAST(label AS VARCHAR)),1,8))::BIGINT % 10 <= 7 THEN 'train'
-        |       WHEN ('0x' || substr(md5('split:' || CAST(label AS VARCHAR)),1,8))::BIGINT % 10 = 8 THEN 'val'
-        |       ELSE 'test' END AS cluster_split
+        |  ${splitCaseSql("label")} AS cluster_split
         |FROM sp GROUP BY label ORDER BY cluster_id""".stripMargin),
 
     "q27_simhash" ->

@@ -207,6 +207,35 @@ object FlowQueries {
         .orderBy("iv_id")
     },
 
+    // The DECLARATIVE twin of q53: the range join written as the raw
+    // point-in-interval theta join, planned by the RangeJoinRewrite
+    // optimizer rule (registered session-wide via GraftExtensions,
+    // enabled by the binWidth conf set here) into the same binned
+    // equi-join q53 builds by hand — the "declare the logical plan, let
+    // the library pick the physical shape" path, oracle-checked
+    // end-to-end. Correctness does NOT depend on the rule: in a session
+    // without the extension the theta join plans as a (correct, slower)
+    // broadcast nested loop; the rule is a pure physical rewrite.
+    // The conf is session-scoped and stays set; it only matches
+    // 2-conjunct integral point-in-interval theta joins, and this is
+    // the only declared query with that shape (PlanSpec pins the
+    // rewritten plan, GraftExtensionsSpec the rule's semantics).
+    "q98_rangejoin_declarative" -> { (s, d) =>
+      s.conf.set(graft.plans.RangeJoinRewrite.BinWidthConf, "16")
+      val iv = Tables.orders(s, d).filter(col("o_orderkey") % 300 === 0)
+        .select(col("o_orderkey").as("iv_id"),
+          expr("unix_date(CAST(o_orderdate AS DATE))").cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 21)
+      val pts = Tables.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
+        .select(expr("unix_date(CAST(l_shipdate AS DATE))").cast("long").as("pt_day"))
+      pts.join(iv,
+          col("start_day") <= col("pt_day") && col("pt_day") <= col("end_day"))
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_pts"),
+             min("pt_day").as("min_day"), max("pt_day").as("max_day"))
+        .orderBy("iv_id")
+    },
+
     // B14 batch image: sessionization — 30-minute inactivity gap, computed
     // per user with lag + running sum (the mapGroupsWithState batch twin).
     "q18_sessionize" -> { (s, d) =>
@@ -367,6 +396,20 @@ object FlowQueries {
         |pts AS (
         |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS pt_day
         |  FROM lineitem WHERE l_orderkey % 7 = 0)
+        |SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        | MIN(pt_day) AS min_day, MAX(pt_day) AS max_day
+        |FROM pts JOIN iv2 ON start_day <= pt_day AND pt_day <= end_day
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
+
+    "q98_rangejoin_declarative" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey AS iv_id,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS start_day
+        |  FROM orders WHERE o_orderkey % 300 = 0),
+        |iv2 AS (SELECT iv_id, start_day, start_day + 21 AS end_day FROM iv),
+        |pts AS (
+        |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS pt_day
+        |  FROM lineitem WHERE l_orderkey % 5 = 0)
         |SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
         | MIN(pt_day) AS min_day, MAX(pt_day) AS max_day
         |FROM pts JOIN iv2 ON start_day <= pt_day AND pt_day <= end_day

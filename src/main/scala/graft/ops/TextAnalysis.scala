@@ -37,6 +37,37 @@ object TextAnalysis {
   /** Stopword list used by the quality score (small, fixed). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
+  /** PII classes detected/redacted by [[piiRedact]]/q96:
+    * (name, pattern, replacement token). Patterns live in the
+    * Java-regex ∩ RE2 intersection so Spark and the DuckDB oracle agree
+    * exactly: explicit character classes only — no backslash classes, no
+    * word boundaries, no lookaround (RE2 has none). The three classes are
+    * mutually non-overlapping on any text (phone is 3-3-4 digit groups,
+    * national-id 3-2-4 — neither embeds in the other or in an email), so
+    * count-then-redact is order-independent; redaction still applies them
+    * in this fixed order on both engines. */
+  val PiiClasses: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("id", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"))
+
+  /** PII detection + redaction over `textCol`: appends one BIGINT hit
+    * count per class (`n_email`/`n_phone`/`n_id`) and the redacted text
+    * with per-class replacement tokens. Row-local regex work — no
+    * shuffle, codegen'd, linear at any corpus size. This is the free-text
+    * scrub q92's k-anonymity audit (structured quasi-identifiers) does
+    * not cover. */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiClasses.foldLeft(df) { case (acc, (name, pat, _)) =>
+      acc.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    val redacted = PiiClasses.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B12: per-language token statistics.
     "q21_doc_stats" -> { (s, d) =>
@@ -247,6 +278,37 @@ object TextAnalysis {
         .withColumn("type_cov_ppm",
           expr("CAST(n_types_covered * 1000000 DIV n_types AS BIGINT)"))
         .orderBy("lang")
+    },
+
+    // PII detection/redaction — the standard pre-training free-text
+    // scrub (emails, phone numbers, national-id shapes), complementing
+    // q92's k-anonymity audit of structured quasi-identifiers. The
+    // synthetic corpus carries no PII, so the query PLANTS it
+    // deterministically from doc_id (q82's jitter precedent): ~1/7 of
+    // docs get an email, ~1/11 a phone, ~1/13 an id — mirrored exactly
+    // in the oracle, so detection and redaction are exercised against
+    // known ground truth while most rows stay clean. The operator
+    // itself ([[piiRedact]]) is row-local regex work: no shuffle,
+    // linear at any corpus size.
+    "q96_pii_redact" -> { (s, d) =>
+      val planted = Tables.documents(s, d)
+        .withColumn("t", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.org now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" tel 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" ref "), (col("doc_id") % 900 + 100).cast("string"),
+              lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+              lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
+      piiRedact(planted.select(col("doc_id"), col("t")), "t")
+        .withColumn("n_pii", col("n_email") + col("n_phone") + col("n_id"))
+        .select("doc_id", "n_email", "n_phone", "n_id", "n_pii", "redacted")
+        .orderBy("doc_id")
     }
   )
 
@@ -417,6 +479,34 @@ object TextAnalysis {
         |SELECT lang, n_tokens, n_covered, n_types, n_types_covered,
         |  CAST(n_covered * 1000000 // n_tokens AS BIGINT) AS token_cov_ppm,
         |  CAST(n_types_covered * 1000000 // n_types AS BIGINT) AS type_cov_ppm
-        |FROM agg ORDER BY lang""".stripMargin
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    "q96_pii_redact" -> {
+      // one source of truth: the oracle interpolates the SAME patterns
+      // and replacement tokens the Spark operator uses
+      val Seq((_, emailP, emailR), (_, phoneP, phoneR), (_, idP, idR)) =
+        PiiClasses
+      s"""WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org now' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' ref ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |      || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '$emailP', 0)) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '$phoneP', 0)) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '$idP', 0)) AS BIGINT) AS n_id,
+        |  CAST(len(regexp_extract_all(t, '$emailP', 0))
+        |     + len(regexp_extract_all(t, '$phoneP', 0))
+        |     + len(regexp_extract_all(t, '$idP', 0)) AS BIGINT) AS n_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '$emailP', '$emailR', 'g'),
+        |    '$phoneP', '$phoneR', 'g'),
+        |    '$idP', '$idR', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin
+    }
   )
 }

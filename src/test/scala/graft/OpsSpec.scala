@@ -326,4 +326,46 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Long]("group_size") * r.getAs[Long]("n_groups"))
     }
   }
+
+  test("piiRedact counts and redacts planted PII, leaves clean text untouched") {
+    // NB: patterns are unanchored by design (no \b in the RE2 subset),
+    // so the clean text must not EMBED a valid shape — "555-12-3456" would
+    // count as an id hit even inside a longer digit run
+    val clean = "no pii here 12-34 or user at example dot com 555-12-34"
+    val df = Seq(
+      (1L, "reach me at a.b%x@c-corp.io or 555-123-4567 and id 987-65-4321 ok"),
+      (2L, clean)).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_email") == 1 && r1.getAs[Long]("n_phone") == 1 &&
+      r1.getAs[Long]("n_id") == 1)
+    assert(r1.getAs[String]("redacted") ==
+      "reach me at <EMAIL> or <PHONE> and id <ID> ok")
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_email") == 0 && r2.getAs[Long]("n_phone") == 0 &&
+      r2.getAs[Long]("n_id") == 0)
+    assert(r2.getAs[String]("redacted") == clean,
+      "near-miss digit shapes must not be redacted")
+  }
+
+  test("BPE apply chain merges greedily left-to-right with atomic units") {
+    import graft.ops.Corpus
+    val sep = "\u001f"
+    def units(us: String*) = us.map(u => s"$sep$u$sep").mkString
+    // merges: m0 = "an", m1 = "na" (priority order). On "banana":
+    // m0 fires greedily non-overlapping: b|an|an|a. m1 must NOT then
+    // match the 'n' inside a merged "an" unit against the trailing 'a'
+    // — unit atomicity via the separator wrapping.
+    val out = Seq(("banana", "an", "na"), ("aaaa", "aa", "na"))
+      .toDF("w", "m0", "m1")
+      .withColumn("s0", regexp_replace(col("w"), "(.)", sep + "$1" + sep))
+      .withColumn("enc", expr(Corpus.bpeApplySql("s0", 2)))
+      .collect().map(r => r.getAs[String]("w") -> r.getAs[String]("enc")).toMap
+    assert(out("banana") == units("b", "an", "an", "a"),
+      "greedy non-overlapping merge of 'an', no cross-unit 'na' merge")
+    // "aaaa" + merge "aa": pairs merge left-to-right non-overlapping:
+    // aa|aa (not a|aa|a) — exactly replace()'s scan order
+    assert(out("aaaa") == units("aa", "aa"))
+  }
 }

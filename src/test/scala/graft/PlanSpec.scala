@@ -131,6 +131,19 @@ class PlanSpec extends AnyFunSuite {
     assert(smj == 0, s"no probe may sort-merge the fact table:\n${p.take(3000)}")
   }
 
+  test("q98 declarative range join is planned by RangeJoinRewrite, not a nested loop") {
+    // the rule's fingerprint: the injected bin columns appear in the
+    // optimized plan, the theta join has become an equi-join on them
+    // (hash-partitionable), and no BroadcastNestedLoopJoin survives
+    val df = SparkEntry.queries("q98_rangejoin_declarative")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("_graft_bin"),
+      s"rewrite did not fire (no bin columns in the optimized plan):\n${opt.take(3000)}")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"),
+      s"theta range join must not plan as a nested loop:\n${phys.take(3000)}")
+  }
+
   test("q55 top-k plans as bounded aggregation, not a window sort") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = SparkEntry.queries("q55_topk_aggregator")(spark, sf)
