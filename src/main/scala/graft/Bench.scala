@@ -45,11 +45,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Durable copy FIRST: with ~100 queries the JSON line outgrows captured
+    // Durable file copy: with ~100 queries the JSON line outgrows captured
     // stdout tails (round 3 lost q01–q36 that way), so the file is the
     // artifact of record and stdout stays the driver-contract summary.
+    // A failed write (bad SPARK_GRAFT_BENCH_OUT, read-only cwd) must not
+    // take the stdout line down with it — each copy survives the other.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    Files.write(Paths.get(out), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    try Files.write(Paths.get(out), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     println(json)
     spark.stop()
   }

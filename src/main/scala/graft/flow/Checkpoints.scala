@@ -1,6 +1,9 @@
 package graft.flow
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage truncation for iterative operators (connected components,
   * PageRank), with a conf-gated choice of mechanism.
@@ -20,6 +23,22 @@ import org.apache.spark.sql.DataFrame
   * reliable `checkpoint()` — blocks written to the shared store, lineage
   * recoverable after executor loss. Unset (the default, and the local-mode
   * behavior) keeps `localCheckpoint`.
+  *
+  * Two well-known reliable-checkpoint traps are handled here rather than
+  * at every call site:
+  *
+  *   - Spark writes reliable checkpoint files in a SECOND job that
+  *     recomputes the RDD from lineage unless it is persisted first
+  *     (the RDD.checkpoint contract) — so the reliable path persists,
+  *     checkpoints, and (for eager truncation) unpersists once the
+  *     checkpoint is materialized. Without this, every CC round would
+  *     run twice.
+  *   - Spark does not delete superseded checkpoint files unless
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints` is enabled
+  *     (default false, and only settable at context start). A 20-round
+  *     loop would otherwise leak ~20 full dataset copies into the
+  *     checkpoint dir; iterative callers pass the previous round's
+  *     truncated frame to [[dropCheckpoint]] once it is superseded.
   */
 object Checkpoints {
 
@@ -35,11 +54,39 @@ object Checkpoints {
   def truncate(df: DataFrame, eager: Boolean): DataFrame =
     if (reliable(df)) {
       val sc = df.sparkSession.sparkContext
-      // setCheckpointDir mints a fresh UUID subdir per call — set once
-      // per context, not per round, or every round scatters its blocks
-      // into a new directory
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(df.sparkSession.conf.get(DirConf).trim)
-      df.checkpoint(eager)
+      // setCheckpointDir mints a fresh UUID subdir per call — re-point
+      // only when unset or the conf moved, not per round, or every round
+      // scatters its blocks into a new directory
+      val want = df.sparkSession.conf.get(DirConf).trim
+      if (!sc.getCheckpointDir.exists(_.contains(want)))
+        sc.setCheckpointDir(want)
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val cp = cached.checkpoint(eager)
+      // eager: the checkpoint files exist now, the cache was only there
+      // to keep the write job from recomputing — release it. Lazy
+      // truncation (q90's plan-inspection-safe edges) keeps the cache
+      // until the first action materializes the checkpoint.
+      if (eager) cached.unpersist(blocking = false)
+      cp
     } else df.localCheckpoint(eager)
+
+  /** The reliable-checkpoint file behind a [[truncate]]d frame, if any. */
+  private def checkpointFile(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  /** Delete the reliable checkpoint files backing a SUPERSEDED truncated
+    * frame (no-op for local checkpoints — executor blocks are reclaimed
+    * by the block manager). Call only when no future job will read the
+    * frame: in an iterative loop, round N's labels once round N+1's are
+    * materialized and compared. */
+  def dropCheckpoint(df: DataFrame): Unit =
+    checkpointFile(df).foreach { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
 }

@@ -736,17 +736,16 @@ object Corpus {
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "q97_bpe_apply" -> {
-      // mirror of the Spark side's unrolled encode: same pivoted merge
-      // row (COALESCE '' keeps a short merge list a no-op — `␟␟` can
-      // never match), same nested left-to-right replace chain
-      val mCols = (1 to BpeMerges).map(i =>
-        s"COALESCE(MAX(CASE WHEN rn = $i THEN pair END), '') AS m$i")
+      // the oracle interpolates the SAME chain builder the Spark side
+      // uses ([[bpeApplySql]] — substring/replace/chr/|| are valid in
+      // both dialects), so the merge-pattern construction cannot drift
+      // between engines; merge columns are m0..m{k-1} on both sides.
+      // COALESCE '' keeps a short merge list a no-op (its search key
+      // collapses to four adjacent separators — impossible).
+      val mCols = (0 until BpeMerges).map(i =>
+        s"COALESCE(MAX(CASE WHEN rn = ${i + 1} THEN pair END), '') AS m$i")
         .mkString(", ")
-      val applied = (1 to BpeMerges).foldLeft("s0") { (acc, i) =>
-        s"replace($acc, chr(31) || substr(m$i, 1, 1) || chr(31) || " +
-          s"chr(31) || substr(m$i, 2, 1) || chr(31), " +
-          s"chr(31) || m$i || chr(31))"
-      }
+      val applied = bpeApplySql("s0", BpeMerges)
       s"""WITH words AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |p AS (

@@ -237,6 +237,10 @@ object Dedup {
         eager = true)
       converged = updated.join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") < col("prev")).isEmpty
+      // round N's labels are superseded once round N+1's are materialized
+      // and compared — reclaim their reliable checkpoint files (no-op in
+      // local mode) or a 20-round run leaks 20 label-table copies
+      Checkpoints.dropCheckpoint(labels)
       labels = updated
       i += 1
     }
@@ -246,6 +250,9 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds " +
         "(component diameter > 2^maxIter is implausible; raise maxIter)")
+    // the labels frame is checkpoint-backed and self-contained — the edge
+    // list's checkpoint files are no longer reachable by any caller
+    Checkpoints.dropCheckpoint(sym)
     labels
   }
 
@@ -454,11 +461,6 @@ object Dedup {
       |            JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** SQL mirror of [[dupEdges]] + [[connectedComponents]]: verified-pair
-    * edges at jac ≥ 0.3, symmetric closure, recursive-CTE reachability,
-    * component label = min over {node} ∪ reachable set. Shared by the
-    * q65 and q76 oracles so threshold and closure logic stay in lockstep
-    * with each other (and with the Scala side above). */
   /** Oracle image of q76's 80/10/10 split assignment (the SQL twin of its
     * Scala `splitOf`∘`neutralHash32` pair) — ONE definition so the bucket
     * rule cannot drift between the per-node and per-cluster columns. */
@@ -467,6 +469,11 @@ object Dedup {
        |       WHEN ('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)),1,8))::BIGINT % 10 = 8 THEN 'val'
        |       ELSE 'test' END""".stripMargin
 
+  /** SQL mirror of [[dupEdges]] + [[connectedComponents]]: verified-pair
+    * edges at jac ≥ 0.3, symmetric closure, recursive-CTE reachability,
+    * component label = min over {node} ∪ reachable set. Shared by the
+    * q65 and q76 oracles so threshold and closure logic stay in lockstep
+    * with each other (and with the Scala side above). */
   private val ClusterLabelsSql: String = LshPairsSql +
     """,
       |jpair AS (

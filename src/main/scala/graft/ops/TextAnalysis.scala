@@ -41,11 +41,11 @@ object TextAnalysis {
     * (name, pattern, replacement token). Patterns live in the
     * Java-regex ∩ RE2 intersection so Spark and the DuckDB oracle agree
     * exactly: explicit character classes only — no backslash classes, no
-    * word boundaries, no lookaround (RE2 has none). The three classes are
-    * mutually non-overlapping on any text (phone is 3-3-4 digit groups,
-    * national-id 3-2-4 — neither embeds in the other or in an email), so
-    * count-then-redact is order-independent; redaction still applies them
-    * in this fixed order on both engines. */
+    * word boundaries, no lookaround (RE2 has none). The classes CAN
+    * overlap on adversarial text (a phone shape can embed in an email
+    * local part, an id shape can overlap a phone tail), which is why
+    * detection and redaction are one sequential pass per class in this
+    * fixed order — see [[piiRedact]]. */
   val PiiClasses: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
     ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
@@ -53,19 +53,23 @@ object TextAnalysis {
 
   /** PII detection + redaction over `textCol`: appends one BIGINT hit
     * count per class (`n_email`/`n_phone`/`n_id`) and the redacted text
-    * with per-class replacement tokens. Row-local regex work — no
-    * shuffle, codegen'd, linear at any corpus size. This is the free-text
-    * scrub q92's k-anonymity audit (structured quasi-identifiers) does
-    * not cover. */
+    * with per-class replacement tokens. Classes are applied
+    * SEQUENTIALLY: each class counts its matches on the text as already
+    * redacted by the earlier classes, then redacts them — so every
+    * counted hit is a replaced hit (counts and redaction can never
+    * disagree when classes overlap; an id overlapping an already-redacted
+    * phone is neither counted nor left as a full id shape). Row-local
+    * regex work — no shuffle, codegen'd, linear at any corpus size. This
+    * is the free-text scrub q92's k-anonymity audit (structured
+    * quasi-identifiers) does not cover. */
   def piiRedact(df: DataFrame, textCol: String): DataFrame = {
-    val counted = PiiClasses.foldLeft(df) { case (acc, (name, pat, _)) =>
+    val stepped = PiiClasses.foldLeft(
+      df.withColumn("redacted", col(textCol))) { case (acc, (name, pat, repl)) =>
       acc.withColumn(s"n_$name",
-        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+          size(regexp_extract_all(col("redacted"), lit(pat), lit(0))).cast("long"))
+        .withColumn("redacted", regexp_replace(col("redacted"), pat, repl))
     }
-    val redacted = PiiClasses.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
-      regexp_replace(c, pat, repl)
-    }
-    counted.withColumn("redacted", redacted)
+    stepped
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -494,19 +498,20 @@ object TextAnalysis {
         |    CASE WHEN doc_id % 13 = 0 THEN ' ref ' || CAST(doc_id % 900 + 100 AS VARCHAR)
         |      || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
         |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
-        |  FROM documents)
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t,
+        |  regexp_replace(t, '$emailP', '$emailR', 'g') AS t1 FROM planted),
+        |s2 AS (SELECT doc_id, t, t1,
+        |  regexp_replace(t1, '$phoneP', '$phoneR', 'g') AS t2 FROM s1)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '$emailP', 0)) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(t, '$phoneP', 0)) AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(t, '$idP', 0)) AS BIGINT) AS n_id,
+        |  CAST(len(regexp_extract_all(t1, '$phoneP', 0)) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2, '$idP', 0)) AS BIGINT) AS n_id,
         |  CAST(len(regexp_extract_all(t, '$emailP', 0))
-        |     + len(regexp_extract_all(t, '$phoneP', 0))
-        |     + len(regexp_extract_all(t, '$idP', 0)) AS BIGINT) AS n_pii,
-        |  regexp_replace(regexp_replace(regexp_replace(t,
-        |    '$emailP', '$emailR', 'g'),
-        |    '$phoneP', '$phoneR', 'g'),
-        |    '$idP', '$idR', 'g') AS redacted
-        |FROM planted ORDER BY doc_id""".stripMargin
+        |     + len(regexp_extract_all(t1, '$phoneP', 0))
+        |     + len(regexp_extract_all(t2, '$idP', 0)) AS BIGINT) AS n_pii,
+        |  regexp_replace(t2, '$idP', '$idR', 'g') AS redacted
+        |FROM s2 ORDER BY doc_id""".stripMargin
     }
   )
 }

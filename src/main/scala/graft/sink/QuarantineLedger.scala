@@ -25,6 +25,18 @@ import scala.util.Using
   * millions of corrupted rows, the same files read as a DataFrame and the
   * join drops the broadcast hint — the layout stays valid.
   */
+object QuarantineLedger {
+  /** JVM-wide per-directory append locks: two QuarantineLedger INSTANCES
+    * over the same directory (e.g. an old and a restarted pipeline in one
+    * driver) must serialize their read-merge-writes — an instance-level
+    * monitor would not. Keyed by the normalized absolute path. */
+  private val appendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sink] def lockFor(root: Path): Object =
+    appendLocks.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
+}
+
 class QuarantineLedger(dir: String) {
   private val root: Path = Paths.get(dir)
   Files.createDirectories(root)
@@ -64,12 +76,14 @@ class QuarantineLedger(dir: String) {
     * forever. First-recorded error wins per coordinate (idempotent
     * replays re-record the same rows). Write-then-rename keeps the merged
     * file atomic against READERS; the read-merge-write itself is
-    * serialized per-ledger below, because two racing appenders for the
-    * same batch could otherwise interleave read→write and silently drop
-    * one round's coordinates. The lock covers this JVM (the merge is
-    * driver-local by design); a ledger directory is single-writer-process
-    * by contract — two independent driver processes must not share one. */
-  def append(batchId: Long, rows: Seq[(String, Int, Long, String)]): Unit = this.synchronized {
+    * serialized on a JVM-wide per-DIRECTORY lock (not a per-instance
+    * monitor — two ledger instances over one directory in the same driver
+    * must also serialize), because racing appenders could otherwise
+    * interleave read→write and silently drop one round's coordinates.
+    * A ledger directory is single-writer-PROCESS by contract — two
+    * independent driver processes must not share one. */
+  def append(batchId: Long, rows: Seq[(String, Int, Long, String)]): Unit =
+    QuarantineLedger.lockFor(root).synchronized {
     if (rows.isEmpty) return
     val tmp = root.resolve(s".batch-$batchId.tmp")
     val dst = root.resolve(s"batch-$batchId.csv")

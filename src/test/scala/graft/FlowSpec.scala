@@ -184,6 +184,37 @@ class FlowSpec extends AnyFunSuite {
       assert(rdd.getCheckpointFile.exists(_.contains(dir.getFileName.toString)),
         "with the conf set the mechanism must be the reliable checkpoint, " +
           "with its files under the configured dir")
+      // superseded frames reclaim their checkpoint files
+      def filesUnder = {
+        val s = java.nio.file.Files.walk(dir)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      assert(filesUnder > 0)
+      Checkpoints.dropCheckpoint(rel)
+      assert(filesUnder == 0, "dropCheckpoint must delete the backing files")
+    } finally spark.conf.unset(Checkpoints.DirConf)
+  }
+
+  test("connectedComponents under reliable checkpointing keeps only the final round's files") {
+    import graft.flow.Checkpoints
+    import graft.ops.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc")
+    spark.conf.set(Checkpoints.DirConf, dir.toString)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val labels = Dedup.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // every superseded round's labels and the edge list were dropped —
+      // a 20-round run must not leak 20 label-table copies
+      val s = java.nio.file.Files.walk(dir)
+      val rddDirs =
+        try s.filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-")).count()
+        finally s.close()
+      assert(rddDirs == 1,
+        s"only the final labels checkpoint may remain, found $rddDirs rdd dirs")
     } finally spark.conf.unset(Checkpoints.DirConf)
   }
 }

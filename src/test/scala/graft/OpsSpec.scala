@@ -349,6 +349,21 @@ class OpsSpec extends AnyFunSuite {
       "near-miss digit shapes must not be redacted")
   }
 
+  test("piiRedact counts sequentially so overlapping classes never disagree with redaction") {
+    // adversarial overlaps: a phone shape inside the email's local part,
+    // an id shape overlapping the phone's tail. Sequential semantics:
+    // each class counts on the text AFTER earlier classes redacted — the
+    // embedded phone and the overlapped id are neither counted nor left
+    // behind as full shapes.
+    val df = Seq((1L, "call 555-123-4567@mail.com and 111-222-3333-44-5555 end"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(df, "text").collect()(0)
+    assert(r.getAs[Long]("n_email") == 1)
+    assert(r.getAs[Long]("n_phone") == 1, "the email-embedded phone must not be counted")
+    assert(r.getAs[Long]("n_id") == 0, "the phone-overlapped id must not be counted")
+    assert(r.getAs[String]("redacted") == "call <EMAIL> and <PHONE>-44-5555 end")
+  }
+
   test("BPE apply chain merges greedily left-to-right with atomic units") {
     import graft.ops.Corpus
     val sep = "\u001f"
