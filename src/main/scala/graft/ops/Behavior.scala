@@ -312,6 +312,60 @@ object Behavior {
           sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
             .cast("long").as("sum_overlap_us"))
         .orderBy("user_a", "user_b")
+    },
+
+    // Market-basket pair mining: co-occurring part pairs across orders
+    // with support and confidence — the association-rule pass a
+    // recommender/curation pipeline runs over transaction logs.
+    // Scale: the pair fan-out per order is C(items, 2) with the item
+    // count structurally bounded (single-digit lineitems per order in
+    // this schema — the analogue of a market basket), the self-join
+    // shuffles on the already-shared order key, pair counting is
+    // map-side combined, and the top-k is TakeOrdered, never a global
+    // sort. Ratios are floor-ppm integers (support ≤ cnt_a keeps the
+    // multiply inside 64 bits at any scale).
+    "q99_basket_pairs" -> { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
+      val partCnt = items.groupBy("part").agg(count(lit(1)).as("cnt"))
+      items.as("a")
+        .join(items.as("b"),
+          col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("p_a"), col("b.part").as("p_b"))
+        .agg(count(lit(1)).as("support"))
+        .join(partCnt.select(col("part").as("p_a"), col("cnt").as("cnt_a")), "p_a")
+        .join(partCnt.select(col("part").as("p_b"), col("cnt").as("cnt_b")), "p_b")
+        .crossJoin(broadcast(nOrders))
+        .orderBy(col("support").desc, col("p_a"), col("p_b"))
+        .limit(25)
+        .select(col("p_a").cast("long").as("p_a"),
+          col("p_b").cast("long").as("p_b"),
+          col("support").cast("long").as("support"),
+          col("cnt_a").cast("long").as("cnt_a"),
+          col("cnt_b").cast("long").as("cnt_b"),
+          expr("CAST(support * 1000000 DIV cnt_a AS BIGINT)").as("conf_a_ppm"),
+          expr("CAST(support * 1000000 DIV n_orders AS BIGINT)").as("supp_ppm"))
+    },
+
+    // Sequential-pattern mining: the most common 3-event behavioral
+    // paths. Per user the stream is ordered by (time, event_id) and
+    // each consecutive event-type triple becomes a path via two window
+    // leads — one user_id shuffle, O(1) window state, then a map-side-
+    // combined count over a key space bounded by |event_types|³.
+    "q101_event_paths" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
     }
   )
 
@@ -552,6 +606,39 @@ object Behavior {
         |FROM sess a JOIN sess b
         |  ON a.user_id % 10 = 0 AND b.user_id % 10 = 5
         | AND a.st <= b.en AND b.st <= a.en
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q99_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+        |pc AS (SELECT part, COUNT(*) AS cnt FROM items GROUP BY part),
+        |pr AS (
+        |  SELECT a.part AS p_a, b.part AS p_b, COUNT(*) AS support
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p_a AS BIGINT) AS p_a, CAST(p_b AS BIGINT) AS p_b,
+        |  CAST(support AS BIGINT) AS support,
+        |  CAST(ca.cnt AS BIGINT) AS cnt_a, CAST(cb.cnt AS BIGINT) AS cnt_b,
+        |  CAST(support * 1000000 // ca.cnt AS BIGINT) AS conf_a_ppm,
+        |  CAST(support * 1000000 // n.n_orders AS BIGINT) AS supp_ppm
+        |FROM pr JOIN pc ca ON p_a = ca.part JOIN pc cb ON p_b = cb.part
+        |CROSS JOIN n
+        |ORDER BY support DESC, p_a, p_b LIMIT 25""".stripMargin,
+
+    "q101_event_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |led AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e3
+        |  FROM ev)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM led WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
   )
 }

@@ -93,6 +93,36 @@ object Curation {
         .orderBy("lang", "rk")
     },
 
+    // IQR outlier quarantine per language over document length — the
+    // robust-statistics gate (Tukey fences) that flags truncated and
+    // runaway documents without assuming a distribution. Quantiles are
+    // the exact type-7 interpolation (q48's cross-engine-stable
+    // definition); quarter-quantiles of integers are exact binary
+    // fractions and the 1.5×IQR fences multiply by halves, so the
+    // bounds are bit-exact on both engines. Two aggregations plus a
+    // per-lang bound broadcast (bounded by |langs|) — no window on the
+    // corpus scan.
+    "q100_length_outliers" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bounds = docs.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.25D)").as("q1"),
+             expr("percentile(n_chars, 0.75D)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      docs.join(broadcast(bounds), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             round(min(col("q1")), 6).as("q1"),
+             round(min(col("q3")), 6).as("q3"),
+             round(min(col("lo")), 6).as("lo"),
+             round(min(col("hi")), 6).as("hi"),
+             count(when(col("n_chars") < col("lo"), 1)).cast("long").as("n_out_lo"),
+             count(when(col("n_chars") > col("hi"), 1)).cast("long").as("n_out_hi"))
+        .withColumn("out_ppm",
+          expr("CAST((n_out_lo + n_out_hi) * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("lang")
+    },
+
     // Token-count quantiles per language: exact interpolated (type-7)
     // percentiles, the cross-engine-stable definition (q43 precedent).
     "q48_token_quantiles" -> { (s, d) =>
@@ -325,6 +355,24 @@ object Curation {
         |      FROM h)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, hk
         |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q100_length_outliers" ->
+      """WITH b AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.25) AS q1,
+        |         quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY lang),
+        |b2 AS (SELECT lang, q1, q3,
+        |  q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM b)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(MIN(q1), 6) AS q1, round(MIN(q3), 6) AS q3,
+        |  round(MIN(lo), 6) AS lo, round(MIN(hi), 6) AS hi,
+        |  CAST(COUNT(*) FILTER (n_chars < lo) AS BIGINT) AS n_out_lo,
+        |  CAST(COUNT(*) FILTER (n_chars > hi) AS BIGINT) AS n_out_hi,
+        |  CAST((COUNT(*) FILTER (n_chars < lo) +
+        |        COUNT(*) FILTER (n_chars > hi)) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS out_ppm
+        |FROM documents d JOIN b2 USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q48_token_quantiles" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

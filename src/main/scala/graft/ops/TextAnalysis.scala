@@ -72,6 +72,28 @@ object TextAnalysis {
     stepped
   }
 
+  /** q37's character-trigram language predictor, shared with q102's
+    * confusion-matrix evaluation so the two can never diverge: top-50
+    * trigram profiles per language from a deterministic ⅓ corpus sample,
+    * prediction = largest distinct-trigram overlap over the doc_id % 23
+    * eval sample (integer scoring, lang-name tiebreak). Returns
+    * (doc_id, pred_lang, overlap). */
+  def langIdPredictions(s: SparkSession, d: String): DataFrame = {
+    val tris = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+    val wp = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
+    val profile = tris.filter(col("doc_id") % 3 === 0)
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
+      .select(col("lang").as("pred_lang"), col("tri"))
+    val docTris = tris.filter(col("doc_id") % 23 === 0)
+      .select("doc_id", "tri").distinct()
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("pred_lang"))
+    docTris.join(profile, "tri")
+      .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("overlap"))
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B12: per-language token statistics.
     "q21_doc_stats" -> { (s, d) =>
@@ -123,21 +145,30 @@ object TextAnalysis {
     // distinct-trigram overlap (deterministic integer scoring, lang-name
     // tiebreak).
     "q37_lang_id" -> { (s, d) =>
-      val tris = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
-      val wp = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
-      val profile = tris.filter(col("doc_id") % 3 === 0)
-        .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
-        .select(col("lang").as("pred_lang"), col("tri"))
-      val docTris = tris.filter(col("doc_id") % 23 === 0)
-        .select("doc_id", "tri").distinct()
-      val wd = Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("pred_lang"))
-      docTris.join(profile, "tri")
-        .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("overlap"))
-        .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+      langIdPredictions(s, d)
         .select("doc_id", "pred_lang", "overlap")
         .orderBy("doc_id")
+    },
+
+    // Model-evaluation harness over the q37 predictor: the per-language
+    // confusion matrix plus row-share ppm — the audit that decides
+    // whether a cheap classifier is good enough to gate a corpus by.
+    // (On this synthetic corpus labels are random, so the matrix shows
+    // near-uniform confusion — the OPERATOR is the deliverable, and it
+    // is deterministic either way.) One extra aggregation + a
+    // partitioned window over |langs|² rows on top of the shared
+    // predictor subtree.
+    "q102_langid_confusion" -> { (s, d) =>
+      val wRow = Window.partitionBy(col("lang"))
+      langIdPredictions(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("row_total", sum(col("n")).over(wRow))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("CAST(n * 1000000 DIV row_total AS BIGINT)").as("row_ppm"),
+          (col("lang") === col("pred_lang")).as("correct"))
+        .orderBy("lang", "pred_lang")
     },
 
     // B12: BPE-ish regex tokenization — alpha runs / digit runs / single
@@ -316,6 +347,25 @@ object TextAnalysis {
     }
   )
 
+  /** SQL mirror of [[langIdPredictions]] — shared prefix of the q37 and
+    * q102 oracles so predictor logic cannot drift between them (the same
+    * one-definition rule as Dedup's ClusterLabelsSql). */
+  private val LangIdPredSql: String =
+    """WITH tris AS (
+      |  SELECT doc_id, lang, substr(text, i, 3) AS tri
+      |  FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)),
+      |prof AS (
+      |  SELECT lang AS pred_lang, tri FROM (
+      |    SELECT lang, tri, COUNT(*) AS cnt,
+      |      row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rn
+      |    FROM tris WHERE doc_id % 3 = 0 GROUP BY lang, tri) t WHERE rn <= 50),
+      |dt AS (SELECT DISTINCT doc_id, tri FROM tris WHERE doc_id % 23 = 0),
+      |ov AS (SELECT doc_id, pred_lang, COUNT(*) AS overlap
+      |       FROM dt JOIN prof USING (tri) GROUP BY 1, 2),
+      |r AS (SELECT doc_id, pred_lang, overlap,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, pred_lang) AS rn
+      |      FROM ov)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q21_doc_stats" ->
       """WITH t AS (SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tokens FROM documents)
@@ -395,23 +445,22 @@ object TextAnalysis {
         | CAST(MAX(nr) AS BIGINT) AS max_regex_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q37_lang_id" ->
-      """WITH tris AS (
-        |  SELECT doc_id, lang, substr(text, i, 3) AS tri
-        |  FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)),
-        |prof AS (
-        |  SELECT lang AS pred_lang, tri FROM (
-        |    SELECT lang, tri, COUNT(*) AS cnt,
-        |      row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rn
-        |    FROM tris WHERE doc_id % 3 = 0 GROUP BY lang, tri) t WHERE rn <= 50),
-        |dt AS (SELECT DISTINCT doc_id, tri FROM tris WHERE doc_id % 23 = 0),
-        |ov AS (SELECT doc_id, pred_lang, COUNT(*) AS overlap
-        |       FROM dt JOIN prof USING (tri) GROUP BY 1, 2),
-        |r AS (SELECT doc_id, pred_lang, overlap,
-        |        row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, pred_lang) AS rn
-        |      FROM ov)
+    "q37_lang_id" -> (LangIdPredSql +
+      """
         |SELECT doc_id, pred_lang, CAST(overlap AS BIGINT) AS overlap
-        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    "q102_langid_confusion" -> (LangIdPredSql +
+      """,
+        |pred AS (SELECT doc_id, pred_lang FROM r WHERE rn = 1),
+        |j AS (SELECT d.lang, p.pred_lang
+        |      FROM pred p JOIN documents d USING (doc_id)),
+        |cm AS (SELECT lang, pred_lang, COUNT(*) AS n FROM j GROUP BY 1, 2)
+        |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS row_ppm,
+        |  lang = pred_lang AS correct
+        |FROM cm ORDER BY lang, pred_lang""".stripMargin),
 
     "q31_tfidf_topterm" ->
       """WITH toks AS (
