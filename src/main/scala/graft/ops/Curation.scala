@@ -93,6 +93,89 @@ object Curation {
         .orderBy("lang", "rk")
     },
 
+    // Schema/statistics profiling — the per-column null and distinct
+    // audit an ingest pipeline materializes before anything downstream
+    // trusts a new table drop. The column list is taken from the
+    // DataFrame schema at plan time (the operator adapts to any table),
+    // and the whole profile is ONE scan: a single aggregation row of
+    // 2·|cols|+1 counters, unpivoted to rows with stack() — never one
+    // pass per column. countDistinct and the null counters are
+    // map-side partial; the oracle mirrors the (static) column list and
+    // would fail the compare loudly if the schema drifted.
+    "q107_table_profile" -> { (s, d) =>
+      val df = Tables.orders(s, d)
+      val cols = df.schema.fieldNames.toSeq
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap(c => Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd")))
+      val stackExpr = s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', ${c}_nn, ${c}_nd").mkString(", ") +
+        ") AS (column_name, n_null, n_distinct)"
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), expr(stackExpr))
+        .select(col("column_name"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_null").cast("long").as("n_null"),
+          col("n_distinct").cast("long").as("n_distinct"))
+        .orderBy("column_name")
+    },
+
+    // Referential-integrity audit across the warehouse's FK relations —
+    // the data-quality gate every ingest pipeline runs before joins are
+    // trusted (an orphaned fact row silently drops from inner joins; a
+    // childless dimension row hints at a broken extract). One row per
+    // relation: child/orphan counts with floor-ppm rate and
+    // parent/childless-parent counts. Each leg is a LEFT ANTI join —
+    // Spark broadcasts the (bounded) key side where AQE sizes it so,
+    // and the counts are map-side combined; nothing quadratic.
+    "q103_fk_audit" -> { (s, d) =>
+      def leg(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+        val c = child.select(col(ck).as("ck"))
+        val p = parent.select(col(pk).as("pk"))
+        val orphans = c.join(p, col("ck") === col("pk"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        val childless = p.join(c, col("pk") === col("ck"), "left_anti")
+          .agg(count(lit(1)).as("n_childless"))
+        c.agg(count(lit(1)).as("n_child"))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_parent"))))
+          .crossJoin(broadcast(orphans))
+          .crossJoin(broadcast(childless))
+          .select(lit(name).as("relation"),
+            col("n_child").cast("long").as("n_child"),
+            col("n_orphan").cast("long").as("n_orphan"),
+            expr("CAST(n_orphan * 1000000 DIV n_child AS BIGINT)").as("orphan_ppm"),
+            col("n_parent").cast("long").as("n_parent"),
+            col("n_childless").cast("long").as("n_childless"))
+      }
+      leg("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionByName(leg("orders.o_custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .unionByName(leg("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+          "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .orderBy("relation")
+    },
+
+    // Difficulty-curriculum bucketing: per language, documents are
+    // ranked by an integer difficulty proxy (chars-per-token ×100,
+    // floor) and split into 5 equal-depth NTILE buckets with full
+    // (score, doc_id) tie ordering — the deterministic form of the
+    // quantile-bucketed curriculum/batch assignment a training loader
+    // applies. One partitioned window + one aggregation.
+    "q104_curriculum_buckets" -> { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("score",
+          expr("CAST(n_chars * 100 DIV size(split(text, ' ')) AS BIGINT)"))
+        .withColumn("bucket", ntile(5).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             min(col("score")).as("min_score"),
+             max(col("score")).as("max_score"))
+        .orderBy("lang", "bucket")
+    },
+
     // IQR outlier quarantine per language over document length — the
     // robust-statistics gate (Tukey fences) that flags truncated and
     // runaway documents without assuming a distribution. Quantiles are
@@ -355,6 +438,72 @@ object Curation {
         |      FROM h)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, hk
         |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q107_table_profile" -> {
+      // static mirror of the orders schema: a drift (new/renamed column)
+      // fails the driver compare loudly, which is the desired behavior
+      // for a profiling contract
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val legs = cols.map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""WITH p AS (
+        |$legs),
+        |n AS (SELECT COUNT(*) AS n_rows FROM orders)
+        |SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_null AS BIGINT) AS n_null,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct
+        |FROM p CROSS JOIN n ORDER BY column_name""".stripMargin
+    },
+
+    "q103_fk_audit" ->
+      """WITH l AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+        |       (SELECT o_orderkey FROM orders)) AS n_orphan,
+        |    (SELECT COUNT(*) FROM orders) AS n_parent,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN
+        |       (SELECT l_orderkey FROM lineitem)) AS n_childless
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |       (SELECT c_custkey FROM customer)),
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |       (SELECT o_custkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
+        |       (SELECT s_suppkey FROM supplier)),
+        |    (SELECT COUNT(*) FROM supplier),
+        |    (SELECT COUNT(*) FROM supplier WHERE s_suppkey NOT IN
+        |       (SELECT l_suppkey FROM lineitem)))
+        |SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphan AS BIGINT) AS n_orphan,
+        |  CAST(n_orphan * 1000000 // n_child AS BIGINT) AS orphan_ppm,
+        |  CAST(n_parent AS BIGINT) AS n_parent,
+        |  CAST(n_childless AS BIGINT) AS n_childless
+        |FROM l ORDER BY relation""".stripMargin,
+
+    "q104_curriculum_buckets" ->
+      """WITH sc AS (
+        |  SELECT lang, doc_id,
+        |    CAST(n_chars * 100 // len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, score,
+        |    ntile(5) OVER (PARTITION BY lang ORDER BY score, doc_id) AS bucket
+        |  FROM sc)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(score) AS min_score, MAX(score) AS max_score
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     "q100_length_outliers" ->
       """WITH b AS (

@@ -257,6 +257,33 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dedup-adjusted corpus accounting: what the corpus is WORTH after
+    // near-dup collapse — per source, raw vs effective token counts
+    // where only each dup-cluster's survivor (min doc_id = its label)
+    // keeps its tokens. This is the number a data-mixing plan actually
+    // consumes (raw token counts over-weight duplicate-heavy sources).
+    // Cost ≈ q65 + one token-count aggregation: the cluster labels are
+    // the same checkpointed CC output, the corpus side is one linear
+    // scan + left join on doc_id.
+    "q106_effective_tokens" -> { (s, d) =>
+      val labels = connectedComponents(dupEdges(s, d))
+        .withColumnRenamed("node", "doc_id")
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("survivor",
+          col("label").isNull || col("label") === col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             sum(col("n_tok")).cast("long").as("n_tokens"),
+             count(when(!col("survivor"), 1)).cast("long").as("n_dup_docs"),
+             sum(when(col("survivor"), col("n_tok")).otherwise(0L))
+               .cast("long").as("eff_tokens"))
+        .withColumn("eff_ppm",
+          expr("CAST(eff_tokens * 1000000 DIV n_tokens AS BIGINT)"))
+        .orderBy("source")
+    },
+
     // B10: exact dedup by TRUE content key — md5 of the full text — with
     // a deterministic survivor. Demonstrated on the re-ingestion scenario
     // (the one where exact content dedup actually fires at scale): two
@@ -566,6 +593,21 @@ object Dedup {
         |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
         |  MAX(node) AS max_member
         |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin),
+
+    "q106_effective_tokens" -> (ClusterLabelsSql +
+      """,
+        |acc AS (
+        |  SELECT d.source, len(string_split(d.text, ' ')) AS n_tok,
+        |    (l.label IS NULL OR l.label = d.doc_id) AS survivor
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) FILTER (NOT survivor) AS BIGINT) AS n_dup_docs,
+        |  CAST(SUM(CASE WHEN survivor THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS eff_tokens,
+        |  CAST(SUM(CASE WHEN survivor THEN n_tok ELSE 0 END) * 1000000
+        |       // SUM(n_tok) AS BIGINT) AS eff_ppm
+        |FROM acc GROUP BY source ORDER BY source""".stripMargin),
 
     "q76_split_leakage" -> (ClusterLabelsSql +
       s""",

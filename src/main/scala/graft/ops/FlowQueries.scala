@@ -236,6 +236,35 @@ object FlowQueries {
         .orderBy("iv_id")
     },
 
+    // Point-in-time state reconstruction (time travel) over the event
+    // changelog: the keyed state as of a snapshot instant T — per user,
+    // the last update at-or-before T plus the update count to that
+    // point (what a lakehouse "AS OF" read materializes from a raw
+    // changelog). T is the corpus midpoint ((min+max) div 2 of event
+    // time, integer-exact both engines), computed once and broadcast;
+    // the latest-row ranking is q81's window shape restricted to the
+    // pre-T prefix — one user_id shuffle, O(1) window state.
+    "q105_snapshot_at" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val t = ev.agg(expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)").as("t_mid"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      ev.crossJoin(broadcast(t))
+        .filter(col("us") <= col("t_mid"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_before",
+          count(lit(1)).over(Window.partitionBy("user_id")).cast("long"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"),
+          col("event_id").cast("long").as("last_event_id"),
+          col("us").cast("long").as("last_us"),
+          col("value").as("last_value"),
+          col("n_before"))
+        .orderBy("user_id")
+    },
+
     // B14 batch image: sessionization — 30-minute inactivity gap, computed
     // per user with lag + running sum (the mapGroupsWithState batch twin).
     "q18_sessionize" -> { (s, d) =>
@@ -400,6 +429,23 @@ object FlowQueries {
         | MIN(pt_day) AS min_day, MAX(pt_day) AS max_day
         |FROM pts JOIN iv2 ON start_day <= pt_day AND pt_day <= end_day
         |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
+
+    "q105_snapshot_at" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |t AS (SELECT (MIN(us) + MAX(us)) // 2 AS t_mid FROM ev),
+        |pre AS (SELECT e.* FROM ev e CROSS JOIN t WHERE us <= t_mid),
+        |r AS (SELECT user_id, event_id, value, us,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY us DESC, event_id DESC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_before
+        |      FROM pre)
+        |SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
+        |  CAST(us AS BIGINT) AS last_us, value AS last_value,
+        |  CAST(n_before AS BIGINT) AS n_before
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q98_rangejoin_declarative" ->
       """WITH iv AS (

@@ -381,4 +381,31 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(seen.contains(2L) && seen.contains(1L) && !seen.contains(3L),
       s"state must reset after idle timeout, saw $seen")
   }
+
+  test("piiRedact runs unchanged on a stream and matches the batch output") {
+    // the PII scrub is stateless row-local work, so the SAME operator
+    // must compose into a readStream→writeStream leg with bit-identical
+    // results — the q96 streaming twin (B14's batch/stream parity rule).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Seq(
+      NDoc(t(1), 1L, "mail a.b@c.io now"),
+      NDoc(t(2), 2L, "call 555-123-4567"),
+      NDoc(t(3), 3L, "clean row"))
+    val s = MemoryStream[NDoc]
+    s.addData(docs: _*)
+    val out = runToMemory(
+      graft.ops.TextAnalysis.piiRedact(s.toDF(), "text")
+        .select("doc_id", "n_email", "n_phone", "n_id", "redacted"),
+      OutputMode.Append)
+    val streamed = spark.table(out).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val batch = graft.ops.TextAnalysis.piiRedact(docs.toDF(), "text")
+      .select("doc_id", "n_email", "n_phone", "n_id", "redacted").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed(1L)._4 == "mail <EMAIL> now" && streamed(2L)._4 == "call <PHONE>")
+  }
 }
