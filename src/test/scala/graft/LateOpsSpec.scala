@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant specs for the q96–q107 batch (PII scrub, BPE encode,
+  * declarative range join, basket mining, robust outliers, path mining,
+  * confusion matrix, FK audit, curriculum buckets, snapshot-at-T,
+  * effective tokens, table profile). Each test asserts the operator's
+  * semantic contract on sf0.001 — the oracle hash-compare at the driver
+  * covers value parity; these pin the invariants a refactor must keep.
+  */
+class LateOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q96 PII counts match planted ground truth and redaction is total") {
+    val rows = SparkEntry.queries("q96_pii_redact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // Planted classes fire exactly on their doc_id residues.
+      assert(r.getAs[Long]("n_email") == (if (id % 7 == 0) 1L else 0L),
+        s"doc $id email count")
+      assert(r.getAs[Long]("n_phone") == (if (id % 11 == 0) 1L else 0L),
+        s"doc $id phone count")
+      assert(r.getAs[Long]("n_id") == (if (id % 13 == 0) 1L else 0L),
+        s"doc $id id count")
+      assert(r.getAs[Long]("n_pii") ==
+        r.getAs[Long]("n_email") + r.getAs[Long]("n_phone") + r.getAs[Long]("n_id"))
+      // Redacted text retains no matchable PII shape.
+      val red = r.getAs[String]("redacted")
+      TextAnalysisPatterns.all.foreach { p =>
+        assert(!p.matcher(red).find(), s"doc $id: residual PII in '$red'")
+      }
+    }
+  }
+
+  test("q97 BPE encoding never grows a document and ppm is bounded") {
+    val rows = SparkEntry.queries("q97_bpe_apply")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (before, after) =
+        (r.getAs[Long]("n_sym_before"), r.getAs[Long]("n_sym_after"))
+      assert(after <= before, "a merge can only shrink the symbol stream")
+      // k merges remove at most k symbols per word occurrence pair; the
+      // stream can never shrink below half (every merge fuses exactly 2).
+      assert(after * 2 >= before, "BPE with pair merges halves at most")
+      assert(r.getAs[Long]("compression_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_words") > 0)
+    }
+  }
+
+  test("q98 declarative range join respects the interval bounds") {
+    val rows = SparkEntry.queries("q98_rangejoin_declarative")(spark, sf).collect()
+    assert(rows.nonEmpty, "intervals should catch shipped lineitems")
+    val iv = graft.model.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 300 === 0)
+      .select(col("o_orderkey").as("iv_id"),
+        expr("unix_date(CAST(o_orderdate AS DATE))").cast("long").as("s"))
+      .withColumn("e", col("s") + 21)
+      .collect().map(r => r.getAs[Long]("iv_id") ->
+        (r.getAs[Long]("s"), r.getAs[Long]("e"))).toMap
+    rows.foreach { r =>
+      val (s, e) = iv(r.getAs[Long]("iv_id"))
+      assert(r.getAs[Long]("min_day") >= s && r.getAs[Long]("max_day") <= e,
+        s"points outside [${s},${e}] for iv ${r.getAs[Long]("iv_id")}")
+      assert(r.getAs[Long]("n_pts") > 0)
+    }
+  }
+
+  test("q99 basket pairs are ordered, bounded by item supports") {
+    val rows = SparkEntry.queries("q99_basket_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty, "orders share parts")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_a") < r.getAs[Long]("p_b"), "canonical pair order")
+      val s = r.getAs[Long]("support")
+      assert(s <= math.min(r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b")),
+        "pair support exceeds an item support")
+      assert(r.getAs[Long]("conf_a_ppm") <= 1000000L)
+      assert(r.getAs[Long]("supp_ppm") <= 1000000L)
+    }
+    val sup = rows.map(_.getAs[Long]("support"))
+    assert(sup.sameElements(sup.sortBy(-_)), "top-k must be support-descending")
+  }
+
+  test("q100 Tukey fences bracket the quartiles and outliers are counted once") {
+    val rows = SparkEntry.queries("q100_length_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, q1, q3, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("q1"),
+        r.getAs[Double]("q3"), r.getAs[Double]("hi"))
+      assert(lo <= q1 && q1 <= q3 && q3 <= hi, s"fence order $lo/$q1/$q3/$hi")
+      assert(r.getAs[Long]("n_out_lo") + r.getAs[Long]("n_out_hi") <=
+        r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("out_ppm") <= 1000000L)
+    }
+  }
+
+  test("q101 event paths are 3-step and counts are descending") {
+    val rows = SparkEntry.queries("q101_event_paths")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[String]("path").split(">").length == 3, "3-event path"))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sortBy(-_)), "top-k must be count-descending")
+    // Total triple count over all paths is bounded by the corpus triple count.
+    val ev = graft.model.Tables.events(spark, sf)
+    val bound = ev.groupBy("user_id").count()
+      .agg(sum(greatest(col("count") - 2, lit(0L)))).collect()(0).getLong(0)
+    assert(ns.sum <= bound, s"paths ${ns.sum} exceed triple bound $bound")
+  }
+
+  test("q102 confusion rows are complete and ppm shares sum to ~1e6 per lang") {
+    val rows = SparkEntry.queries("q102_langid_confusion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[String]("lang") == r.getAs[String]("pred_lang")))
+      assert(r.getAs[Long]("row_ppm") <= 1000000L)
+    }
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val ppm = rs.map(_.getAs[Long]("row_ppm")).sum
+      // floor-ppm loses < 1 ppm per cell
+      assert(ppm <= 1000000L && ppm > 1000000L - rs.length,
+        s"$lang row shares sum to $ppm")
+    }
+  }
+
+  test("q103 FK audit counts nest and cover the declared relations") {
+    val rows = SparkEntry.queries("q103_fk_audit")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphan") <= r.getAs[Long]("n_child"))
+      assert(r.getAs[Long]("n_childless") <= r.getAs[Long]("n_parent"))
+      assert(r.getAs[Long]("orphan_ppm") <= 1000000L)
+    }
+  }
+
+  test("q104 curriculum buckets are contiguous, ordered, and exhaustive per lang") {
+    val rows = SparkEntry.queries("q104_curriculum_buckets")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byBucket = rs.sortBy(_.getAs[Long]("bucket"))
+      assert(byBucket.map(_.getAs[Long]("bucket")).toSeq ==
+        (1L to byBucket.length.toLong), s"$lang buckets not 1..k")
+      byBucket.foreach(r =>
+        assert(r.getAs[Long]("min_score") <= r.getAs[Long]("max_score")))
+      byBucket.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_score") <= b.getAs[Long]("min_score"),
+            s"$lang: bucket score ranges out of order")
+        case _ =>
+      }
+      // NTILE(5) spreads docs within ±1 of each other.
+      val sizes = byBucket.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$lang ntile balance: ${sizes.toSeq}")
+    }
+  }
+
+  test("q105 snapshot state is the pre-T prefix per user") {
+    val rows = SparkEntry.queries("q105_snapshot_at")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val Array(mn, mx) = ev.agg(min("us"), max("us")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val tMid = (mn + mx) / 2
+    rows.foreach { r =>
+      assert(r.getAs[Long]("last_us") <= tMid, "state from after the snapshot")
+      assert(r.getAs[Long]("n_before") >= 1L)
+    }
+    // Exactly the users with >= 1 pre-T event appear.
+    val expected = ev.filter(col("us") <= tMid)
+      .select("user_id").distinct().count()
+    assert(rows.length == expected, s"${rows.length} users vs $expected pre-T")
+  }
+
+  test("q106 effective tokens never exceed raw and survivors keep everything") {
+    val rows = SparkEntry.queries("q106_effective_tokens")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eff_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_dup_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("eff_ppm") <= 1000000L)
+      // No dups at all would make eff == raw; with dups eff must drop.
+      if (r.getAs[Long]("n_dup_docs") == 0L)
+        assert(r.getAs[Long]("eff_tokens") == r.getAs[Long]("n_tokens"))
+      else
+        assert(r.getAs[Long]("eff_tokens") < r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("q107 profile covers every orders column with nested counts") {
+    val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
+    val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
+    assert(rows.map(_.getAs[String]("column_name")).toSet == cols)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      assert(r.getAs[Long]("n_null") <= n)
+      assert(r.getAs[Long]("n_distinct") <= n)
+      assert(r.getAs[Long]("n_distinct") + r.getAs[Long]("n_null") > 0)
+    }
+  }
+}
+
+/** Compiled PII patterns shared by LateOpsSpec — kept out of the main jar
+  * (test-only); mirrors [[graft.ops.TextAnalysis.PiiClasses]]. */
+object TextAnalysisPatterns {
+  val all: Seq[java.util.regex.Pattern] =
+    graft.ops.TextAnalysis.PiiClasses.map(c => java.util.regex.Pattern.compile(c._2))
+}
