@@ -534,10 +534,164 @@ object Corpus {
           (abs(col("est_p50") - col("x50")) <= HistBin).as("ok_p50"),
           (abs(col("est_p95") - col("x95")) <= HistBin).as("ok_p95"))
         .orderBy("lang")
+    },
+
+    // Token-budget allocation (water-filling): given per-source token
+    // totals and a global budget (half the corpus here), find the
+    // per-source cap c such that sum(min(tokens_s, c)) fills the budget
+    // — the standard way a mixing plan caps over-represented sources
+    // without starving small ones (uniform down-sampling would). The
+    // level is found relationally on the per-source aggregate (a
+    // bounded-domain, ≤|sources| relation): a triangular self-join
+    // computes each candidate level (B − prefix_below) div k_remaining,
+    // the max FEASIBLE candidate is the water level, all in exact
+    // integers (floor loses < |sources| tokens, documented). Corpus-side
+    // cost is one linear scan + map-side-combined agg; everything after
+    // is on ≤|sources| rows, so the op's cost is the scan at any scale.
+    "q108_token_budget" -> { (s, d) =>
+      val srcs = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("source").agg(sum(col("n_tok")).as("t"))
+      val tot = srcs.agg(sum(col("t")).as("total"),
+        count(lit(1)).as("m"))
+        .withColumn("budget", expr("CAST(total DIV 2 AS BIGINT)"))
+      // For each source i (in (t, source) order): candidate level caps
+      // sources i..m, fully keeps 1..i-1. Feasible iff the level clears
+      // every fully-kept total (max_below).
+      val below = srcs.as("a").join(srcs.as("b"),
+          col("b.t") < col("a.t") ||
+            (col("b.t") === col("a.t") && col("b.source") < col("a.source")),
+          "left")
+        .groupBy(col("a.source").as("source"), col("a.t").as("t"))
+        .agg(coalesce(sum(col("b.t")), lit(0L)).as("prefix_below"),
+             count(col("b.source")).as("n_below"),
+             coalesce(max(col("b.t")), lit(0L)).as("max_below"))
+      // prefix_below <= budget keeps the dividend non-negative — Spark's
+      // DIV truncates toward zero while DuckDB's // floors, so a negative
+      // candidate would disagree across engines (it is never feasible
+      // anyway: a candidate is only valid when the budget covers all
+      // fully-kept totals)
+      val cap = below.crossJoin(broadcast(tot))
+        .filter(col("prefix_below") <= col("budget"))
+        .withColumn("cand",
+          expr("CAST((budget - prefix_below) DIV (m - n_below) AS BIGINT)"))
+        .filter(col("cand") >= col("max_below"))
+        .agg(max(col("cand")).as("cap"))
+      srcs.crossJoin(broadcast(cap)).crossJoin(broadcast(tot))
+        .select(col("source"),
+          col("t").as("n_tokens"),
+          col("cap"),
+          col("budget"),
+          least(col("t"), col("cap")).as("allocated"),
+          // q75-style div/mod decomposition: alloc·10⁶ would overflow
+          // Int64 once a source holds ~10¹³ tokens; ×1000 twice never
+          // leaves the safe range
+          expr("CAST((least(t, cap) * 1000 DIV t) * 1000 + " +
+            "((least(t, cap) * 1000) % t) * 1000 DIV t AS BIGINT)").as("alloc_ppm"))
+        .orderBy("source")
+    },
+
+    // Quality-rule matrix (Gopher-style independent rules): unlike q63's
+    // first-fail funnel, every rule is evaluated on every document, so
+    // the per-source pass-rate TABLE shows how rules correlate — the
+    // audit that tunes thresholds before wiring them into a kill
+    // cascade. Rules compare in exact integers (cross-multiplied
+    // ratios): token-count band, mean-word-length band (word chars =
+    // n_chars minus the n_tokens−1 single spaces), within-doc max
+    // token-frequency share (the repetition gate), stopword floor.
+    // One explode→groupBy for the per-doc top-token share, map-side
+    // combined; everything else is row-local.
+    "q111_quality_rules" -> { (s, d) =>
+      val stopArr = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+      val base = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      val maxTok = base
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_tok_cnt"))
+      // all row-local flags are computed BEFORE the join so only
+      // (doc_id, source, flags) shuffles — never text payloads
+      val flags = base
+        .withColumn("wchars", col("n_chars") - (col("n_tok") - 1))
+        .withColumn("r_len", col("n_tok") >= 20L && col("n_tok") <= 80L)
+        .withColumn("r_wordlen",
+          col("wchars") >= col("n_tok") * 4L && col("wchars") <= col("n_tok") * 7L)
+        .withColumn("r_stop",
+          size(expr(s"filter(split(text, ' '), x -> array_contains($stopArr, x))")) >= 2)
+        .select("doc_id", "source", "n_tok", "r_len", "r_wordlen", "r_stop")
+      flags.join(maxTok, "doc_id")
+        .withColumn("r_rep", col("max_tok_cnt") * 5L <= col("n_tok"))
+        .withColumn("all_pass",
+          col("r_len") && col("r_wordlen") && col("r_rep") && col("r_stop"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          count(when(col("r_len"), 1)).cast("long").as("n_len"),
+          count(when(col("r_wordlen"), 1)).cast("long").as("n_wordlen"),
+          count(when(col("r_rep"), 1)).cast("long").as("n_rep"),
+          count(when(col("r_stop"), 1)).cast("long").as("n_stop"),
+          count(when(col("all_pass"), 1)).cast("long").as("n_all"))
+        .withColumn("pass_ppm",
+          expr("CAST(n_all * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q108_token_budget" ->
+      """WITH srcs AS (
+        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |         CAST(SUM(t) // 2 AS BIGINT) AS budget
+        |  FROM srcs),
+        |below AS (
+        |  SELECT a.source, a.t,
+        |    COALESCE(SUM(b.t), 0) AS prefix_below,
+        |    COUNT(b.source) AS n_below,
+        |    COALESCE(MAX(b.t), 0) AS max_below
+        |  FROM srcs a LEFT JOIN srcs b
+        |    ON b.t < a.t OR (b.t = a.t AND b.source < a.source)
+        |  GROUP BY a.source, a.t),
+        |cap AS (
+        |  SELECT MAX((budget - prefix_below) // (m - n_below)) AS cap
+        |  FROM below, tot
+        |  WHERE prefix_below <= budget
+        |    AND (budget - prefix_below) // (m - n_below) >= max_below)
+        |SELECT s.source, s.t AS n_tokens, CAST(cap.cap AS BIGINT) AS cap,
+        |  tot.budget,
+        |  CAST(LEAST(s.t, cap.cap) AS BIGINT) AS allocated,
+        |  CAST((LEAST(s.t, cap.cap) * 1000 // s.t) * 1000 +
+        |       ((LEAST(s.t, cap.cap) * 1000) % s.t) * 1000 // s.t AS BIGINT) AS alloc_ppm
+        |FROM srcs s, cap, tot ORDER BY s.source""".stripMargin,
+
+    "q111_quality_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |mt AS (
+        |  SELECT doc_id, MAX(c) AS max_tok_cnt FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY doc_id, tok)
+        |  GROUP BY doc_id),
+        |f AS (
+        |  SELECT b.source,
+        |    len(b.toks) BETWEEN 20 AND 80 AS r_len,
+        |    (b.n_chars - (len(b.toks) - 1)) >= len(b.toks) * 4 AND
+        |      (b.n_chars - (len(b.toks) - 1)) <= len(b.toks) * 7 AS r_wordlen,
+        |    mt.max_tok_cnt * 5 <= len(b.toks) AS r_rep,
+        |    len(list_filter(b.toks, x -> x IN ('the','a','of','and','to'))) >= 2 AS r_stop
+        |  FROM base b JOIN mt USING (doc_id))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (r_len) AS BIGINT) AS n_len,
+        |  CAST(COUNT(*) FILTER (r_wordlen) AS BIGINT) AS n_wordlen,
+        |  CAST(COUNT(*) FILTER (r_rep) AS BIGINT) AS n_rep,
+        |  CAST(COUNT(*) FILTER (r_stop) AS BIGINT) AS n_stop,
+        |  CAST(COUNT(*) FILTER (r_len AND r_wordlen AND r_rep AND r_stop) AS BIGINT) AS n_all,
+        |  CAST(COUNT(*) FILTER (r_len AND r_wordlen AND r_rep AND r_stop)
+        |       * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     "q79_source_overlap" ->
       """WITH toks AS (
         |  SELECT source, string_split(text, ' ') AS t FROM documents

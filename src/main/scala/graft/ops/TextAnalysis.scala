@@ -344,6 +344,80 @@ object TextAnalysis {
         .withColumn("n_pii", col("n_email") + col("n_phone") + col("n_id"))
         .select("doc_id", "n_email", "n_phone", "n_id", "n_pii", "redacted")
         .orderBy("doc_id")
+    },
+
+    // Collocation mining by integer PMI proxy: PMI ranks bigrams by
+    // log(p(xy)/(p(x)p(y))) and log is monotone, so ranking by the LIFT
+    // n_xy·N/(n_x·n_y) is the same ordering with zero transcendental
+    // drift. Floor-ppm lift via the overflow-safe order n_xy·10⁶ first
+    // (n_xy ≤ min(n_x,n_y) keeps the quotient ≤ 10⁶ before the ×N):
+    // the standard phrase/multi-word-expression discovery pass a
+    // tokenizer-training pipeline runs. Two token-key aggregations
+    // (map-side combined) + two vocabulary-key joins; top-k is
+    // TakeOrdered, never a global sort.
+    "q109_bigram_lift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 2)
+      val big = docs.select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val n = uni.agg(sum(col("cnt")).cast("long").as("n_total"))
+      big.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+        .join(uni.select(col("tok").as("w1"), col("cnt").as("n_x")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("cnt").as("n_y")), "w2")
+        .crossJoin(broadcast(n))
+        // floor(q·N/n_y) with q = floor(n_xy·10⁶/n_x) ≤ 10⁶ (n_xy ≤ n_x
+        // positionally), via the exact q75 div/mod split: q·N itself
+        // would overflow past ~9·10¹² corpus tokens; decomposed, the
+        // intermediates stay bounded by the result and 10⁶·n_y, so the
+        // only overflow left is a single token type occurring > 9·10¹²
+        // times — degenerate at any corpus size
+        .withColumn("q6", expr("n_xy * 1000000 DIV n_x"))
+        .withColumn("lift_ppm",
+          expr("CAST(q6 * (n_total DIV n_y) + q6 * (n_total % n_y) DIV n_y AS BIGINT)"))
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+        .limit(20)
+        .select(col("w1"), col("w2"),
+          col("n_xy").cast("long").as("n_xy"),
+          col("n_x").cast("long").as("n_x"),
+          col("n_y").cast("long").as("n_y"),
+          col("lift_ppm"))
+    },
+
+    // Frequency-of-frequencies spectrum (the Good-Turing input table):
+    // how many trigram-shingle TYPES occur exactly f times, for f =
+    // 1..10 with an 11+ tail bucket, plus the occurrence-mass share each
+    // band covers. The Zipf-shape summary that sizes vocabulary
+    // truncation and smoothing decisions — all exact integers. Word
+    // TRIGRAMS are the unit (the corpus vocabulary is closed, so the
+    // unigram spectrum is a single saturated band; the trigram space is
+    // where hapaxes actually live — same reason q79 fingerprints on
+    // shingles). Two aggregations (shingle key, map-side combined, then
+    // the ≤11-row bucket key); output is O(1) regardless of corpus size.
+    "q110_freq_spectrum" -> { (s, d) =>
+      val cnts = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(explode(shingleExpr("t", 3)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = cnts.agg(sum(col("c")).cast("long").as("n_total"),
+        count(lit(1)).cast("long").as("n_types_total"))
+      cnts.withColumn("f_bucket",
+          when(col("c") <= 10, col("c")).otherwise(lit(11L)).cast("long"))
+        .groupBy("f_bucket")
+        .agg(count(lit(1)).cast("long").as("n_types"),
+             sum(col("c")).cast("long").as("n_tokens"))
+        .crossJoin(broadcast(n))
+        .select(col("f_bucket"), col("n_types"), col("n_tokens"),
+          expr("CAST(n_tokens * 1000000 DIV n_total AS BIGINT)").as("tok_ppm"),
+          expr("CAST(n_types * 1000000 DIV n_types_total AS BIGINT)").as("type_ppm"))
+        .orderBy("f_bucket")
     }
   )
 
@@ -367,6 +441,51 @@ object TextAnalysis {
       |      FROM ov)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q109_bigram_lift" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT tok, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM uni),
+        |big AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS n_xy
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |j AS (
+        |  SELECT b.w1, b.w2, b.n_xy, x.cnt AS n_x, y.cnt AS n_y, n.n_total,
+        |    b.n_xy * 1000000 // x.cnt AS q6
+        |  FROM big b
+        |  JOIN uni x ON b.w1 = x.tok
+        |  JOIN uni y ON b.w2 = y.tok
+        |  CROSS JOIN n)
+        |SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+        |  CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+        |  CAST(q6 * (n_total // n_y) + q6 * (n_total % n_y) // n_y AS BIGINT)
+        |    AS lift_ppm
+        |FROM j
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "q110_freq_spectrum" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |cnts AS (
+        |  SELECT tok, COUNT(*) AS c FROM (
+        |    SELECT array_to_string(t[i:i+2], ' ') AS tok
+        |    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i))
+        |  GROUP BY tok),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |             CAST(COUNT(*) AS BIGINT) AS n_types_total FROM cnts)
+        |SELECT CAST(CASE WHEN c <= 10 THEN c ELSE 11 END AS BIGINT) AS f_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c) * 1000000 // MIN(n_total) AS BIGINT) AS tok_ppm,
+        |  CAST(COUNT(*) * 1000000 // MIN(n_types_total) AS BIGINT) AS type_ppm
+        |FROM cnts, n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q21_doc_stats" ->
       """WITH t AS (SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tokens FROM documents)
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -191,6 +191,74 @@ class LateOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 water level fills the budget within floor loss and caps monotonically") {
+    val rows = SparkEntry.queries("q108_token_budget")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    val cap = rows.head.getAs[Long]("cap")
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(budget == total / 2, "budget is half the corpus")
+    rows.foreach { r =>
+      val (t, a) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("allocated"))
+      assert(a == math.min(t, cap), "allocation is exactly min(t, cap)")
+      assert(r.getAs[Long]("alloc_ppm") <= 1000000L)
+    }
+    val spent = rows.map(_.getAs[Long]("allocated")).sum
+    assert(spent <= budget, s"over budget: $spent > $budget")
+    // Water-filling wastes less than one token per source (integer floor).
+    assert(budget - spent < rows.length.toLong,
+      s"under-filled by ${budget - spent} with ${rows.length} sources")
+  }
+
+  test("q109 bigram lift respects support bounds and ranking order") {
+    val rows = SparkEntry.queries("q109_bigram_lift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xy, x, y) = (r.getAs[Long]("n_xy"), r.getAs[Long]("n_x"), r.getAs[Long]("n_y"))
+      assert(xy >= 5, "min-support filter")
+      assert(xy <= math.min(x, y), "pair count exceeds a unigram count")
+      assert(r.getAs[Long]("lift_ppm") >= 0)
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_ppm"))
+    assert(lifts.sameElements(lifts.sortBy(-_)), "top-k must be lift-descending")
+  }
+
+  test("q110 spectrum bands partition the shingle types and mass adds up") {
+    val rows = SparkEntry.queries("q110_freq_spectrum")(spark, sf).collect()
+    assert(rows.length >= 2, "spectrum should have multiple bands")
+    rows.foreach { r =>
+      val f = r.getAs[Long]("f_bucket")
+      assert(f >= 1 && f <= 11)
+      if (f <= 10)
+        assert(r.getAs[Long]("n_tokens") == f * r.getAs[Long]("n_types"),
+          s"band $f: occurrences must be f x types")
+      else
+        assert(r.getAs[Long]("n_tokens") > 10 * r.getAs[Long]("n_types"))
+    }
+    val typePpm = rows.map(_.getAs[Long]("type_ppm")).sum
+    assert(typePpm <= 1000000L && typePpm > 1000000L - rows.length,
+      s"type shares sum to $typePpm")
+  }
+
+  test("q111 rule counts nest and the corpus is fully attributed") {
+    val rows = SparkEntry.queries("q111_quality_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      Seq("n_len", "n_wordlen", "n_rep", "n_stop").foreach(c =>
+        assert(r.getAs[Long](c) <= n, s"$c exceeds n_docs"))
+      val ruleMin = Seq("n_len", "n_wordlen", "n_rep", "n_stop")
+        .map(r.getAs[Long](_)).min
+      assert(r.getAs[Long]("n_all") <= ruleMin, "conjunction above a conjunct")
+      assert(r.getAs[Long]("pass_ppm") <= 1000000L)
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val allPass = rows.map(_.getAs[Long]("n_all")).sum
+    assert(total == graft.model.Tables.documents(spark, sf).count(),
+      "every document is audited")
+    assert(allPass > 0 && allPass < total, "rules must discriminate")
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
