@@ -349,6 +349,29 @@ object Behavior {
           expr("CAST(support * 1000000 DIV n_orders AS BIGINT)").as("supp_ppm"))
     },
 
+    // First-order Markov transition matrix over the per-user event
+    // stream — the behavioral-model summary next to q101's raw path
+    // mining: P(next event | current event) as floor-ppm rows, the
+    // input to session simulation and anomaly scoring. One user_id
+    // shuffle + an O(1) window lead, then a map-side-combined count
+    // over the |event_types|²-bounded key space; the row normalizer is
+    // a window over that bounded matrix, not the event stream.
+    "q114_markov_transitions" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wf = Window.partitionBy("from_type")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("row_total", sum(col("n")).over(wf).cast("long"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("CAST(n * 1000000 DIV row_total AS BIGINT)").as("row_ppm"))
+        .orderBy("from_type", "to_type")
+    },
+
     // Sequential-pattern mining: the most common 3-event behavioral
     // paths. Per user the stream is ordered by (time, event_id) and
     // each consecutive event-type triple becomes a path via two window
@@ -370,6 +393,24 @@ object Behavior {
   )
 
   def oracle: Map[String, String] = Map(
+    "q114_markov_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS to_type
+        |  FROM ev),
+        |m AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS row_ppm
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+
     "q71_event_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type,

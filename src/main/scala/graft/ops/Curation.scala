@@ -120,6 +120,43 @@ object Curation {
         .orderBy("column_name")
     },
 
+    // Kolmogorov–Smirnov drift statistic per source vs the whole corpus
+    // over (binned) document length — the nonparametric distribution-
+    // drift gate complementing q66's chi-square over token frequencies:
+    // KS needs no vocabulary and catches shape changes chi-square bins
+    // away. ECDFs are exact integer counts on a 16-char bin grid
+    // (|sources| × |length/16| cells, BOUNDED by the length domain, not
+    // the corpus size); the sup-distance compares floor-ppm fractions —
+    // deterministic, no doubles. The global cumulative needs no
+    // unpartitioned window: at each grid length it is the SUM of the
+    // per-source cumulatives (every source occupies every grid row).
+    // Corpus cost is one scan + map-combined agg; everything after runs
+    // on the bounded grid.
+    "q113_ks_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("len_bin", expr("n_chars DIV 16"))
+      val perSL = docs.groupBy("source", "len_bin").agg(count(lit(1)).as("c"))
+      val lens = docs.select("len_bin").distinct()
+      val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nTot = docs.agg(count(lit(1)).cast("long").as("n_g"))
+      val wS = Window.partitionBy("source").orderBy("len_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = srcs.crossJoin(lens)
+        .join(perSL, Seq("source", "len_bin"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("cum_s", sum(col("c")).over(wS))
+      val globCum = cum.groupBy("len_bin").agg(sum(col("cum_s")).as("cum_g"))
+      val wD = Window.partitionBy("source").orderBy(col("d").desc, col("len_bin"))
+      cum.join(globCum, "len_bin").crossJoin(broadcast(nTot))
+        .withColumn("d",
+          abs(expr("cum_s * 1000000 DIV n_s - cum_g * 1000000 DIV n_g")))
+        .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+        .select(col("source"), col("n_s").cast("long").as("n_docs"),
+          col("d").cast("long").as("ks_ppm"),
+          col("len_bin").cast("long").as("at_bin"))
+        .orderBy("source")
+    },
+
     // Referential-integrity audit across the warehouse's FK relations —
     // the data-quality gate every ingest pipeline runs before joins are
     // trusted (an orphaned fact row silently drops from inner joins; a
@@ -458,6 +495,36 @@ object Curation {
         |  CAST(n_distinct AS BIGINT) AS n_distinct
         |FROM p CROSS JOIN n ORDER BY column_name""".stripMargin
     },
+
+    "q113_ks_drift" ->
+      """WITH docs AS (
+        |  SELECT source, n_chars // 16 AS len_bin FROM documents),
+        |per_sl AS (
+        |  SELECT source, len_bin, COUNT(*) AS c FROM docs GROUP BY 1, 2),
+        |lens AS (SELECT DISTINCT len_bin FROM docs),
+        |srcs AS (SELECT source, COUNT(*) AS n_s FROM docs GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_g FROM docs),
+        |grid AS (
+        |  SELECT s.source, s.n_s, l.len_bin, COALESCE(p.c, 0) AS c
+        |  FROM srcs s CROSS JOIN lens l
+        |  LEFT JOIN per_sl p ON p.source = s.source AND p.len_bin = l.len_bin),
+        |cum AS (
+        |  SELECT source, n_s, len_bin,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY len_bin
+        |                 ROWS UNBOUNDED PRECEDING) AS cum_s
+        |  FROM grid),
+        |gcum AS (SELECT len_bin, SUM(cum_s) AS cum_g FROM cum GROUP BY len_bin),
+        |diff AS (
+        |  SELECT c.source, c.n_s, c.len_bin,
+        |    abs(c.cum_s * 1000000 // c.n_s - g.cum_g * 1000000 // n.n_g) AS d
+        |  FROM cum c JOIN gcum g USING (len_bin) CROSS JOIN n),
+        |r AS (
+        |  SELECT source, n_s, len_bin, d,
+        |    row_number() OVER (PARTITION BY source ORDER BY d DESC, len_bin) AS rn
+        |  FROM diff)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+        |  CAST(d AS BIGINT) AS ks_ppm, CAST(len_bin AS BIGINT) AS at_bin
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
 
     "q103_fk_audit" ->
       """WITH l AS (

@@ -257,6 +257,40 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Triangle census over the near-dup graph — the transitivity
+    // diagnostic for dedup clustering: a high closure ratio (most
+    // wedges A~B~C close into triangles) means near-duplication behaves
+    // like an equivalence relation and cluster-level survivor election
+    // (q65) is safe; a low ratio means similarity CHAINS (templates
+    // drifting edit by edit), where collapsing whole components
+    // over-deletes. Wedge counts come from one degree aggregation
+    // (deg·(deg−1)/2, exact integers); triangles enumerate ordered
+    // paths a<b<c through the canonically-ordered edge list and close
+    // them with a semi-join — per-node fan-out is bounded by dup-cluster
+    // size, the same operational envelope as q65's CC over the same
+    // edges. The edge list is lineage-truncated once (conf-gated
+    // reliable checkpoint, as CC) because four plan branches reuse it.
+    "q115_dup_triangles" -> { (s, d) =>
+      val edges = Checkpoints.truncate(dupEdges(s, d), eager = true)
+      val deg = edges.select(col("doc_a").as("n"))
+        .unionByName(edges.select(col("doc_b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val w = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(expr("deg * (deg - 1) DIV 2")).cast("long").as("n_wedges"))
+      val ne = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .select(col("e1.doc_a").as("a"), col("e2.doc_b").as("c"))
+        .join(edges.select(col("doc_a").as("a"), col("doc_b").as("c")),
+          Seq("a", "c"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_triangles"))
+      w.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("CAST(coalesce(3 * n_triangles * 1000000 DIV nullif(n_wedges, 0), 0) " +
+            "AS BIGINT)").as("closure_ppm"))
+    },
+
     // Dedup-adjusted corpus accounting: what the corpus is WORTH after
     // near-dup collapse — per source, raw vs effective token counts
     // where only each dup-cluster's survivor (min doc_id = its label)
@@ -588,6 +622,25 @@ object Dedup {
     // Connected components in SQL: symmetric closure of the verified
     // pair list, transitive reachability via a recursive CTE, component
     // label = min over {node} ∪ reachable set.
+    // Reuses ClusterLabelsSql's `jpair` CTE (the verified ≥0.3-Jaccard
+    // pair list) — the unused closure CTEs behind it are never evaluated.
+    "q115_dup_triangles" -> (ClusterLabelsSql +
+      """,
+        |deg AS (
+        |  SELECT n, COUNT(*) AS deg FROM (
+        |    SELECT doc_a AS n FROM jpair UNION ALL SELECT doc_b FROM jpair)
+        |  GROUP BY n),
+        |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |        CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM jpair),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |      FROM jpair e1 JOIN jpair e2 ON e1.doc_b = e2.doc_a
+        |      JOIN jpair e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CAST(COALESCE(3 * n_triangles * 1000000 // NULLIF(n_wedges, 0), 0) AS BIGINT)
+        |    AS closure_ppm
+        |FROM w, ne, t""".stripMargin),
+
     "q65_dup_clusters" -> (ClusterLabelsSql +
       """
         |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,

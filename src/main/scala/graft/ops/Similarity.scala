@@ -109,6 +109,38 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-dimension feature-moments audit — the embedding-health gate
+    // (dead dimensions, scale drift, range saturation) run before any
+    // ANN/clustering pass trusts the geometry. Components are quantized
+    // by floor (toward −∞, identical both engines — integer DIV would
+    // truncate negatives differently): 10⁻⁶ fixed point for sum/min/max,
+    // a coarser 10⁻³ grid for the squared sums so Σq² stays in Int64 to
+    // ~3·10¹³ vectors. The variance numerator n·Σq²−(Σq)² is a
+    // non-negative integer; the final mean/variance are single-sequence
+    // IEEE divisions of exact integers — bit-identical cross-engine.
+    // One posexplode + one map-side-combined aggregation on a
+    // 64-value key; output is O(dims).
+    "q112_embedding_moments" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5D) AS BIGINT)").as("q6"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT)").as("q3"))
+        .groupBy("dim")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(col("q6")).cast("long").as("sum_q6"),
+          min(col("q6")).cast("long").as("min_q6"),
+          max(col("q6")).cast("long").as("max_q6"),
+          sum(col("q3") * col("q3")).cast("long").as("ssq3"),
+          sum(col("q3")).cast("long").as("s3"))
+        .select(col("dim"), col("n_vecs"), col("sum_q6"),
+          col("min_q6"), col("max_q6"),
+          (col("sum_q6").cast("double") / col("n_vecs") / lit(1000000.0)).as("mean"),
+          ((col("n_vecs") * col("ssq3") - col("s3") * col("s3")).cast("double")
+            / col("n_vecs") / col("n_vecs")).as("var_m2"))
+        .orderBy("dim")
+    },
+
     // ANN baseline: exact brute-force cosine top-5 per query vector.
     "q28_knn_cosine" -> { (s, d) =>
       val e = vecs(s, d)
@@ -295,6 +327,25 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "q112_embedding_moments" ->
+      """WITH q AS (
+        |  SELECT g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q6,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q3
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+        |a AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(q6) AS BIGINT) AS sum_q6,
+        |    CAST(MIN(q6) AS BIGINT) AS min_q6,
+        |    CAST(MAX(q6) AS BIGINT) AS max_q6,
+        |    CAST(SUM(q3 * q3) AS BIGINT) AS ssq3,
+        |    CAST(SUM(q3) AS BIGINT) AS s3
+        |  FROM q GROUP BY dim)
+        |SELECT dim, n_vecs, sum_q6, min_q6, max_q6,
+        |  CAST(sum_q6 AS DOUBLE) / n_vecs / 1000000 AS mean,
+        |  CAST(n_vecs * ssq3 - s3 * s3 AS DOUBLE) / n_vecs / n_vecs AS var_m2
+        |FROM a ORDER BY dim""".stripMargin,
+
     "q83_kmeans_step" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

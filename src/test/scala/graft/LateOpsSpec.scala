@@ -259,6 +259,60 @@ class LateOpsSpec extends AnyFunSuite {
     assert(allPass > 0 && allPass < total, "rules must discriminate")
   }
 
+  test("q112 moments cover every dimension with consistent bounds") {
+    val rows = SparkEntry.queries("q112_embedding_moments")(spark, sf).collect()
+    assert(rows.length == 64, "one row per embedding dimension")
+    assert(rows.map(_.getAs[Long]("dim")).toSeq == (0L until 64L))
+    val n = graft.model.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("min_q6") <= r.getAs[Long]("max_q6"))
+      val mean = r.getAs[Double]("mean")
+      assert(mean * 1000000 >= r.getAs[Long]("min_q6") - 1 &&
+        mean * 1000000 <= r.getAs[Long]("max_q6") + 1,
+        "mean outside [min, max]")
+      assert(r.getAs[Double]("var_m2") >= 0.0, "variance numerator is a square sum")
+    }
+  }
+
+  test("q113 KS distance is a bounded ppm and zero-drift needs identical ECDFs") {
+    val rows = SparkEntry.queries("q113_ks_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.model.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ks_ppm") >= 0 && r.getAs[Long]("ks_ppm") <= 1000000L)
+      assert(r.getAs[Long]("at_bin") >= 0)
+    }
+    assert(rows.exists(_.getAs[Long]("ks_ppm") > 0),
+      "at least one source should deviate from the pooled ECDF")
+  }
+
+  test("q114 transition rows normalize to ~1e6 per from-state") {
+    val rows = SparkEntry.queries("q114_markov_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val ppm = rs.map(_.getAs[Long]("row_ppm")).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - rs.length,
+        s"$ft row shares sum to $ppm")
+    }
+    // Total transitions = events minus one per active user.
+    val ev = graft.model.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("q115 triangle census satisfies the wedge bound") {
+    val r = SparkEntry.queries("q115_dup_triangles")(spark, sf).collect()(0)
+    val (nodes, edges, wedges, tris) = (r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"))
+    assert(nodes >= 2 && edges >= 1, "near-dup graph should be non-empty")
+    assert(edges <= nodes * (nodes - 1) / 2)
+    assert(3 * tris <= wedges, "each triangle closes exactly 3 wedges")
+    assert(r.getAs[Long]("closure_ppm") <= 1000000L)
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
