@@ -120,6 +120,35 @@ object Curation {
         .orderBy("column_name")
     },
 
+    // Reciprocal-rank fusion of two selection signals — the standard
+    // way a curation pipeline combines incomparable rankings (here a
+    // length signal and a lexical-diversity signal) without score
+    // calibration: RRF(d) = Σ 1/(60+rank_i), kept exact as floor
+    // 10⁶/(60+rank). Production RRF fuses bounded candidate lists; the
+    // demonstration ranks a deterministic 1/7 sample within each lang
+    // stratum (partitioned windows — a per-stratum candidate set, never
+    // a global sort). Output: top-3 fused picks per stratum with both
+    // source ranks for audit.
+    "q116_rrf_fusion" -> { (s, d) =>
+      val w1 = Window.partitionBy("lang").orderBy(col("s_len").desc, col("doc_id"))
+      val w2 = Window.partitionBy("lang").orderBy(col("s_ttr").desc, col("doc_id"))
+      val wr = Window.partitionBy("lang").orderBy(col("rrf").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("s_len", col("n_chars").cast("long"))
+        .withColumn("s_ttr",
+          expr("CAST(size(array_distinct(toks)) * 1000000 DIV size(toks) AS BIGINT)"))
+        .select("lang", "doc_id", "s_len", "s_ttr")
+        .withColumn("r1", row_number().over(w1).cast("long"))
+        .withColumn("r2", row_number().over(w2).cast("long"))
+        .withColumn("rrf", expr("1000000 DIV (60 + r1) + 1000000 DIV (60 + r2)"))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "r1", "r2", "rrf")
+        .orderBy("lang", "rank")
+    },
+
     // Kolmogorov–Smirnov drift statistic per source vs the whole corpus
     // over (binned) document length — the nonparametric distribution-
     // drift gate complementing q66's chi-square over token frequencies:
@@ -495,6 +524,30 @@ object Curation {
         |  CAST(n_distinct AS BIGINT) AS n_distinct
         |FROM p CROSS JOIN n ORDER BY column_name""".stripMargin
     },
+
+    "q116_rrf_fusion" ->
+      """WITH base AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS s_len,
+        |    CAST(len(list_distinct(string_split(text, ' '))) * 1000000 //
+        |         len(string_split(text, ' ')) AS BIGINT) AS s_ttr
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |rk AS (
+        |  SELECT lang, doc_id, s_len, s_ttr,
+        |    row_number() OVER (PARTITION BY lang ORDER BY s_len DESC, doc_id) AS r1,
+        |    row_number() OVER (PARTITION BY lang ORDER BY s_ttr DESC, doc_id) AS r2
+        |  FROM base),
+        |f AS (
+        |  SELECT lang, doc_id, r1, r2,
+        |    1000000 // (60 + r1) + 1000000 // (60 + r2) AS rrf
+        |  FROM rk),
+        |r AS (
+        |  SELECT lang, doc_id, r1, r2, rrf,
+        |    row_number() OVER (PARTITION BY lang ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM f)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+        |  CAST(rrf AS BIGINT) AS rrf
+        |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
 
     "q113_ks_drift" ->
       """WITH docs AS (

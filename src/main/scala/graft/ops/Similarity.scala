@@ -141,6 +141,31 @@ object Similarity {
         .orderBy("dim")
     },
 
+    // Cluster-purity audit: Gini impurity of the label distribution
+    // inside each IVF cell (the q42/q83 coarse quantizer) — the
+    // unsupervised-vs-label agreement check run before trusting cells as
+    // retrieval shards or pseudo-label pools. Gini = 1 − Σp² computed on
+    // floor-ppm SHARES, so every intermediate is ≤ 10¹² regardless of
+    // corpus size (squaring raw counts would overflow Int64 at ~3·10⁹
+    // members). Shares the assignment subtree with q42/q83; one extra
+    // (cell,label)-key aggregation + a window over the bounded matrix.
+    "q117_cell_label_gini" -> { (s, d) =>
+      val (assigned, _) = assignedCells(s, d)
+      val wc = Window.partitionBy("cell")
+      assigned.select("vec_id", "cell")
+        .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("n_l"))
+        .withColumn("n", sum(col("n_l")).over(wc))
+        .withColumn("p_ppm", expr("n_l * 1000000 DIV n"))
+        .groupBy("cell")
+        .agg(max(col("n")).cast("long").as("n_members"),
+          countDistinct(col("label")).cast("long").as("n_labels"),
+          sum(expr("p_ppm * p_ppm")).as("sum_p2"))
+        .select(col("cell"), col("n_members"), col("n_labels"),
+          expr("CAST(1000000 - sum_p2 DIV 1000000 AS BIGINT)").as("gini_ppm"))
+        .orderBy("cell")
+    },
+
     // ANN baseline: exact brute-force cosine top-5 per query vector.
     "q28_knn_cosine" -> { (s, d) =>
       val e = vecs(s, d)
@@ -326,7 +351,37 @@ object Similarity {
     }
   )
 
+  /** Shared SQL prefix: deterministic centroid set + max-cosine cell
+    * assignment — ONE definition mirroring [[assignedCells]], so the
+    * coarse quantizer cannot drift between the q42/q83/q117 oracles
+    * (the same one-definition rule as Dedup's ClusterLabelsSql). */
+  private val CellAssignSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n0 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n0
+      |          WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
+      |assign AS (
+      |  SELECT vec_id, label, v, nrm, cent_id AS cell, row_number() OVER
+      |    (PARTITION BY vec_id
+      |     ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cent_id) AS rn
+      |  FROM n0, cents),
+      |cells AS (SELECT vec_id, label, v, nrm, cell FROM assign WHERE rn = 1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q117_cell_label_gini" -> (CellAssignSql +
+      """,
+        |cl AS (SELECT cell, label, COUNT(*) AS n_l FROM cells GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT cell, label, n_l,
+        |    SUM(n_l) OVER (PARTITION BY cell) AS n,
+        |    n_l * 1000000 // SUM(n_l) OVER (PARTITION BY cell) AS p_ppm
+        |  FROM cl)
+        |SELECT cell, CAST(MAX(n) AS BIGINT) AS n_members,
+        |  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+        |  CAST(1000000 - SUM(p_ppm * p_ppm) // 1000000 AS BIGINT) AS gini_ppm
+        |FROM tot GROUP BY cell ORDER BY cell""".stripMargin),
+
     "q112_embedding_moments" ->
       """WITH q AS (
         |  SELECT g.i - 1 AS dim,
@@ -346,18 +401,8 @@ object Similarity {
         |  CAST(n_vecs * ssq3 - s3 * s3 AS DOUBLE) / n_vecs / n_vecs AS var_m2
         |FROM a ORDER BY dim""".stripMargin,
 
-    "q83_kmeans_step" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n0
-        |          WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
-        |assign AS (
-        |  SELECT vec_id, v, cent_id AS cell, row_number() OVER
-        |    (PARTITION BY vec_id
-        |     ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cent_id) AS rn
-        |  FROM n0, cents),
-        |cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+    "q83_kmeans_step" -> (CellAssignSql +
+      """,
         |qd AS (
         |  SELECT cell, g.i AS dim, CAST(floor(v[g.i] * 1000000 + 0.5) AS BIGINT) AS qv
         |  FROM cells, UNNEST(generate_series(1, len(v))) AS g(i)),
@@ -372,20 +417,10 @@ object Similarity {
         |  round(sqrt(list_dot_product(ncv, ncv)), 6) AS new_norm,
         |  round(list_dot_product(ncv, c.cv) /
         |        (sqrt(list_dot_product(ncv, ncv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS shift_cos
-        |FROM nc JOIN cents c ON nc.cell = c.cent_id ORDER BY nc.cell""".stripMargin,
+        |FROM nc JOIN cents c ON nc.cell = c.cent_id ORDER BY nc.cell""".stripMargin),
 
-    "q42_ivf_ann" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
-        |          WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
-        |assign AS (
-        |  SELECT vec_id, v, nrm, cent_id AS cell, row_number() OVER
-        |    (PARTITION BY vec_id
-        |     ORDER BY round(list_dot_product(v, cv) / (nrm * cn), 6) DESC, cent_id) AS rn
-        |  FROM n, cents),
-        |cells AS (SELECT vec_id, v, nrm, cell FROM assign WHERE rn = 1),
+    "q42_ivf_ann" -> (CellAssignSql +
+      """,
         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM cells WHERE vec_id % 100 = 0),
         |p AS (
         |  SELECT q_id, c.vec_id AS c_id,
@@ -394,7 +429,7 @@ object Similarity {
         |r AS (SELECT q_id, c_id, cos,
         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM p)
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, cos
-        |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin),
 
     "q41_embedding_neardup" ->
       """WITH e AS (

@@ -313,6 +313,47 @@ class LateOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("closure_ppm") <= 1000000L)
   }
 
+  test("q116 fused picks rank by RRF and ranks stay within the candidate set") {
+    val rows = SparkEntry.queries("q116_rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val candPerLang = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0).groupBy("lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to byRank.length.toLong), s"$lang fused ranks not 1..k")
+      val rrfs = byRank.map(_.getAs[Long]("rrf"))
+      assert(rrfs.sameElements(rrfs.sortBy(-_)), s"$lang not RRF-descending")
+      byRank.foreach { r =>
+        assert(r.getAs[Long]("r1") >= 1 && r.getAs[Long]("r1") <= candPerLang(lang))
+        assert(r.getAs[Long]("r2") >= 1 && r.getAs[Long]("r2") <= candPerLang(lang))
+        // floor(1e6/(60+r)) per signal, so the fused score is bounded by
+        // twice the best single-signal score
+        assert(r.getAs[Long]("rrf") <= 2 * (1000000L / 61L))
+      }
+    }
+  }
+
+  test("q117 Gini impurity is bounded by the label-count maximum") {
+    val rows = SparkEntry.queries("q117_cell_label_gini")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (n, k, g) = (r.getAs[Long]("n_members"), r.getAs[Long]("n_labels"),
+        r.getAs[Long]("gini_ppm"))
+      total += n
+      assert(k >= 1 && k <= 10, "labels are 0..9")
+      assert(g >= 0 && g <= 1000000L)
+      if (k == 1) assert(g <= rows.length, s"pure cell must have ~zero Gini, got $g")
+      // Gini of k classes is at most 1 - 1/k (+ floor slack from ppm shares).
+      assert(g <= 1000000L - 1000000L / k + 2 * k,
+        s"cell ${r.getAs[Long]("cell")}: gini $g above the $k-class bound")
+    }
+    assert(total == graft.model.Tables.embeddings(spark, sf).count(),
+      "every vector lands in exactly one cell")
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
