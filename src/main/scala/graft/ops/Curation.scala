@@ -138,7 +138,10 @@ object Curation {
         .withColumn("toks", split(col("text"), " "))
         .withColumn("s_len", col("n_chars").cast("long"))
         .withColumn("s_ttr",
-          expr("CAST(size(array_distinct(toks)) * 1000000 DIV size(toks) AS BIGINT)"))
+          // CAST the Int32 size() BEFORE the multiply: int*1000000 wraps
+          // past ~2147 distinct tokens (the oracle's len() is BIGINT)
+          expr("CAST(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 " +
+            "DIV size(toks) AS BIGINT)"))
         .select("lang", "doc_id", "s_len", "s_ttr")
         .withColumn("r1", row_number().over(w1).cast("long"))
         .withColumn("r2", row_number().over(w2).cast("long"))
@@ -165,9 +168,12 @@ object Curation {
       val docs = Tables.documents(s, d)
         .withColumn("len_bin", expr("n_chars DIV 16"))
       val perSL = docs.groupBy("source", "len_bin").agg(count(lit(1)).as("c"))
-      val lens = docs.select("len_bin").distinct()
-      val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
-      val nTot = docs.agg(count(lit(1)).cast("long").as("n_g"))
+      // lens/srcs/nTot all derive from the bounded perSL matrix — the
+      // corpus is scanned ONCE; three more aggregations over it would
+      // read 100 TB four times for identical results
+      val lens = perSL.select("len_bin").distinct()
+      val srcs = perSL.groupBy("source").agg(sum(col("c")).as("n_s"))
+      val nTot = perSL.agg(sum(col("c")).cast("long").as("n_g"))
       val wS = Window.partitionBy("source").orderBy("len_bin")
         .rowsBetween(Window.unboundedPreceding, 0)
       val cum = srcs.crossJoin(lens)

@@ -53,14 +53,17 @@ object Similarity {
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", norm("v"))
 
-  /** Nearest-centroid cell assignment shared by q42 (IVF probe) and q83
-    * (Lloyd update): deterministically sampled, LIMIT-bounded centroid
-    * set (the only broadcast), every vector assigned to its max-cosine
-    * cell with cent_id tie-break. Returns (assignments, centroids). */
+  /** Nearest-centroid cell assignment shared by q42 (IVF probe), q83
+    * (Lloyd update) and q117 (purity audit): deterministically sampled,
+    * LIMIT-bounded centroid set (the only broadcast), every vector
+    * assigned to its max-cosine cell with cent_id tie-break. `label`
+    * rides along (q42/q83 ignore it) so q117 needs no second embeddings
+    * scan + vec_id join — and so the frame matches CellAssignSql's
+    * `cells` CTE column-for-column. Returns (assignments, centroids). */
   private def assignedCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = vecs(s, d)
     val cents = e.filter(col("vec_id") % 50 === 0)
@@ -72,7 +75,7 @@ object Similarity {
       .withColumn("ccos", round(vec_cosine(col("v"), col("cv")), 6))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("label"), col("v"), col("cent_id").as("cell"))
     (assigned, cents)
   }
 
@@ -152,8 +155,7 @@ object Similarity {
     "q117_cell_label_gini" -> { (s, d) =>
       val (assigned, _) = assignedCells(s, d)
       val wc = Window.partitionBy("cell")
-      assigned.select("vec_id", "cell")
-        .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+      assigned.select("cell", "label")
         .groupBy("cell", "label").agg(count(lit(1)).as("n_l"))
         .withColumn("n", sum(col("n_l")).over(wc))
         .withColumn("p_ppm", expr("n_l * 1000000 DIV n"))
