@@ -45,6 +45,23 @@ object Curation {
   private def cmsCol(h: Column, i: Int, width: Int): Column =
     ((lit(7919L * (i + 1)) * h + lit(104729L * i)) % Dedup.P) % width
 
+  /** CMS geometry shared by q54 and the streaming heavy-hitter leg. */
+  val CmsWidth = 256
+  val CmsDepth = 4
+
+  /** One (row, ccol) sketch cell per (term, depth-row) — the CMS update
+    * set for a stream of terms. ONE definition used by both the batch
+    * sketch (q54) and [[graft.streaming.StreamingOps.cmsMatrix]], so the
+    * streaming matrix is bit-identical to the batch matrix on the same
+    * input by construction (spec-asserted). Works on static and
+    * streaming frames alike: stateless row-local projection + explode. */
+  def cmsCells(terms: DataFrame, termCol: String): DataFrame = {
+    val h = Dedup.neutralHash32(col(termCol)) % Dedup.P
+    terms.select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsCol(h, i, CmsWidth).as("ccol"))): _*)).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.ccol").as("ccol"))
+  }
+
   /** Pairwise quadratic-kernel budget: a prefix cluster of size n costs
     * n·(n−1)/2 levenshtein calls, so the per-cluster cost ceiling is
     * MaxEditCluster²/2 kernels regardless of corpus size. */
@@ -326,14 +343,12 @@ object Curation {
     // counts AND sketch estimates hash-match across engines — and the
     // CMS never-undercount invariant is emitted as a checked column.
     "q54_countmin_heavyhitters" -> { (s, d) =>
-      val W = 256; val D = 4
+      val W = CmsWidth; val D = CmsDepth
       val toks = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("term"))
         .withColumn("h", Dedup.neutralHash32(col("term")) % Dedup.P)
-      val cells = toks.select(explode(array((0 until D).map(i =>
-          struct(lit(i).as("row"), cmsCol(col("h"), i, W).as("ccol"))): _*)).as("rc"))
-        .select(col("rc.row").as("row"), col("rc.ccol").as("ccol"))
-      val matrix = cells.groupBy("row", "ccol").agg(count(lit(1)).as("cnt"))
+      val matrix = cmsCells(toks.select("term"), "term")
+        .groupBy("row", "ccol").agg(count(lit(1)).as("cnt"))
       val probes = toks.groupBy("term")
         .agg(count(lit(1)).as("exact_cnt"), min("h").as("h"))
         .orderBy(col("exact_cnt").desc, col("term")).limit(5)

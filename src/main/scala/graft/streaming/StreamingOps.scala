@@ -40,6 +40,21 @@ object StreamingOps {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming Count-Min heavy-hitter sketch: the incrementally-
+    * maintained CMS matrix over a stream of terms — C12's streaming
+    * twin. The cell derivation is [[graft.ops.Curation.cmsCells]], the
+    * SAME definition the batch sketch (q54) uses, so on identical input
+    * the streaming matrix is bit-identical to the batch matrix by
+    * construction (spec-asserted). CMS updates are commutative counts,
+    * so the operator is ORDER-INDEPENDENT — no watermark buffering is
+    * needed for correctness (unlike the funnel leg), and the state is
+    * the fixed CmsDepth×CmsWidth cell grid regardless of stream volume:
+    * the textbook bounded-state sketch for unbounded streams. Run with
+    * update/complete output mode. */
+  def cmsMatrix(terms: DataFrame, termCol: String): DataFrame =
+    graft.ops.Curation.cmsCells(terms, termCol)
+      .groupBy("row", "ccol").agg(count(lit(1)).as("cnt"))
+
   /** Exactly-once-per-key passthrough within the watermark horizon —
     * the streaming image of the dedup survivor (A12/B10). */
   def dedupWithinWatermark(df: DataFrame, tsCol: String, keys: Seq[String],

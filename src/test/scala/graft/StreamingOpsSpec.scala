@@ -46,6 +46,33 @@ class StreamingOpsSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 10:00:00"), "b", 1L, 8.0)))
   }
 
+  test("streaming CMS matrix is bit-identical to the batch sketch (C12 twin)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // Skewed term stream across two micro-batches: incremental updates
+    // must land in the same cells as one batch pass.
+    val s = MemoryStream[String]
+    s.addData("spark", "spark", "shuffle", "spark", "join")
+    s.addData("join", "spark", "codegen", "shuffle")
+    val out = runToMemory(
+      StreamingOps.cmsMatrix(s.toDF().toDF("term"), "term"),
+      OutputMode.Complete)
+    val streaming = spark.table(out).collect()
+      .map(r => (r.getAs[Int]("row"), r.getAs[Long]("ccol"), r.getAs[Long]("cnt"))).toSet
+    val batch = graft.ops.Curation.cmsCells(
+        Seq("spark", "spark", "shuffle", "spark", "join",
+          "join", "spark", "codegen", "shuffle").toDF("term"), "term")
+      .groupBy("row", "ccol").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt")).collect()
+      .map(r => (r.getAs[Int]("row"), r.getAs[Long]("ccol"), r.getAs[Long]("cnt"))).toSet
+    assert(streaming == batch, "streaming and batch sketches must agree cell-for-cell")
+    // Sketch-state bound: never more than depth x width cells.
+    assert(streaming.size <= graft.ops.Curation.CmsDepth * graft.ops.Curation.CmsWidth)
+    // Every term contributes exactly one cell per depth row.
+    assert(streaming.toSeq.map(_._3).sum ==
+      9L * graft.ops.Curation.CmsDepth)
+  }
+
   test("sliding window emits one group per overlapping window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
