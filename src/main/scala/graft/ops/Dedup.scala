@@ -291,6 +291,60 @@ object Dedup {
             "AS BIGINT)").as("closure_ppm"))
     },
 
+    // Prefix-filtered set-similarity join (PPJoin-style) — the OTHER
+    // classical way to bound a similarity self-join, next to MinHash/LSH
+    // (q26): order each document's distinct tokens by ascending global
+    // document frequency (rarest first, full tiebreak), keep only the
+    // first n − ⌈t·n⌉ + 1 tokens as the PREFIX, and generate candidates
+    // from prefix-token collisions only — the prefix-filter theorem
+    // guarantees every pair with Jaccard ≥ t shares a prefix token, so
+    // the join is exact (no LSH false-negative probability), while the
+    // rarest-first order keeps the hottest tokens out of the index.
+    // Candidates verify by exact intersection with the threshold as a
+    // cross-multiplied integer (3·common ≥ na+nb ⇔ jac ≥ ½). The SET
+    // UNIT is the word trigram (q26's shingle space), not the unigram:
+    // over a closed vocabulary every document shares most unigrams, so
+    // a unigram prefix filter degenerates to the quadratic join it
+    // exists to avoid, while the trigram space is hapax-dominated and
+    // prefix collisions all but vanish for non-duplicates. Fan-out per
+    // prefix token is bounded by that shingle's df — rarest-first makes
+    // that df SMALL by construction; the verify leg fans out candidates
+    // × shingles-per-doc, both bounded. A completeness spec asserts
+    // parity with the exhaustive pairwise join.
+    "q118_prefix_filter_join" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .withColumn("t", split(col("text"), " "))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.ops.TextAnalysis.shingleExpr("t", 3))).as("tok"))
+      val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val wn = Window.partitionBy("doc_id")
+      val prefix = toks.join(dfTbl, "tok")
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("r", row_number().over(wd))
+        .filter(col("r") <= col("n") - expr("(n + 1) DIV 2") + 1)
+        .select(col("doc_id"), col("tok"), col("n"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .distinct()
+      val ta = toks.select(col("doc_id").as("doc_a"), col("tok"))
+      val tb = toks.select(col("doc_id").as("doc_b"), col("tok"))
+      cand.join(ta, "doc_a").join(tb, Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") * 3 >= col("na") + col("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          col("common").cast("long").as("common"),
+          expr("CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)")
+            .as("jac_ppm"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Dedup-adjusted corpus accounting: what the corpus is WORTH after
     // near-dup collapse — per source, raw vs effective token counts
     // where only each dup-cluster's survivor (min doc_id = its label)
@@ -622,6 +676,39 @@ object Dedup {
     // Connected components in SQL: symmetric closure of the verified
     // pair list, transitive reachability via a recursive CTE, component
     // label = min over {node} ∪ reachable set.
+    "q118_prefix_filter_join" ->
+      """WITH tt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |toks AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS tok
+        |  FROM tt, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |dfed AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok,
+        |    COUNT(*) OVER (PARTITION BY t.doc_id) AS n,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS r
+        |  FROM toks t JOIN dfed d USING (tok)),
+        |prefix AS (
+        |  SELECT doc_id, tok, n FROM ranked
+        |  WHERE r <= n - (n + 1) // 2 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n AS na, b.n AS nb
+        |  FROM prefix a JOIN prefix b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS common
+        |  FROM cand c
+        |  JOIN toks x ON x.doc_id = c.doc_a
+        |  JOIN toks y ON y.doc_id = c.doc_b AND y.tok = x.tok
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(common AS BIGINT) AS common,
+        |  CAST(common * 1000000 // (na + nb - common) AS BIGINT) AS jac_ppm
+        |FROM ver WHERE common * 3 >= na + nb
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Reuses ClusterLabelsSql's `jpair` CTE (the verified ≥0.3-Jaccard
     // pair list) — the unused closure CTEs behind it are never evaluated.
     "q115_dup_triangles" -> (ClusterLabelsSql +

@@ -354,6 +354,32 @@ class LateOpsSpec extends AnyFunSuite {
       "every vector lands in exactly one cell")
   }
 
+  test("q118 prefix filter is COMPLETE: equals the exhaustive pairwise join") {
+    val got = SparkEntry.queries("q118_prefix_filter_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("common"), r.getAs[Long]("jac_ppm"))).toSet
+    assert(got.nonEmpty, "corpus plants near-dup pairs")
+    // Brute force over every document pair — the oracle the filter must
+    // never lose a pair against (prefix-filter completeness theorem).
+    val sets = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("sh", array_distinct(
+        graft.ops.TextAnalysis.shingleExpr("t", 3)))
+      .select("doc_id", "sh").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1).toSet).sortBy(_._1)
+    val brute = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (ida, sa) = sets(i); (idb, sb) = sets(j)
+      common = (sa & sb).size
+      if 3L * common >= sa.size + sb.size
+    } yield (ida, idb, common.toLong,
+      common.toLong * 1000000L / (sa.size + sb.size - common))).toSet
+    assert(got == brute,
+      s"filtered join diverges from exhaustive: missing ${brute -- got}, extra ${got -- brute}")
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
