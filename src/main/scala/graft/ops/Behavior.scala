@@ -349,6 +349,35 @@ object Behavior {
           expr("CAST(support * 1000000 DIV n_orders AS BIGINT)").as("supp_ppm"))
     },
 
+    // Discrete survival/churn-hazard table over user lifetimes — the
+    // life-table view next to q72's cohort retention: for each hour
+    // offset k since a user's first event, how many users were still
+    // "at risk" (lifetime ≥ k) and how many ended exactly there
+    // (last event at offset k), with the discrete hazard as floor-ppm.
+    // All integer day arithmetic. One user_id aggregation over the
+    // events scan; the at-risk suffix sums run on the BOUNDED
+    // per-lifetime table (≤ horizon days) via the q108 triangular
+    // self-join — no unpartitioned window, no second corpus pass.
+    "q119_hazard_table" -> { (s, d) =>
+      val life = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(unix_micros(ts) DIV 3600000000 AS BIGINT)").as("hr"))
+        .groupBy("user_id")
+        .agg((max(col("hr")) - min(col("hr"))).as("lifetime"))
+      val perK = life.groupBy("lifetime").agg(count(lit(1)).as("n_end"))
+      val tot = perK.agg(sum(col("n_end")).cast("long").as("n_users"))
+      perK.as("a").join(perK.as("b"), col("b.lifetime") < col("a.lifetime"), "left")
+        .groupBy(col("a.lifetime").as("hour_offset"), col("a.n_end").as("n_end"))
+        .agg(coalesce(sum(col("b.n_end")), lit(0L)).as("ended_before"))
+        .crossJoin(broadcast(tot))
+        .select(col("hour_offset"),
+          col("n_end").cast("long").as("n_end"),
+          (col("n_users") - col("ended_before")).cast("long").as("n_at_risk"),
+          expr("CAST(n_end * 1000000 DIV (n_users - ended_before) AS BIGINT)")
+            .as("hazard_ppm"))
+        .orderBy("hour_offset")
+    },
+
     // First-order Markov transition matrix over the per-user event
     // stream — the behavioral-model summary next to q101's raw path
     // mining: P(next event | current event) as floor-ppm rows, the
@@ -393,6 +422,24 @@ object Behavior {
   )
 
   def oracle: Map[String, String] = Map(
+    "q119_hazard_table" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) -
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS lifetime
+        |  FROM events GROUP BY user_id),
+        |per_k AS (SELECT lifetime, COUNT(*) AS n_end FROM life GROUP BY lifetime),
+        |tot AS (SELECT CAST(SUM(n_end) AS BIGINT) AS n_users FROM per_k),
+        |agg AS (
+        |  SELECT a.lifetime AS hour_offset, a.n_end,
+        |    COALESCE(SUM(b.n_end), 0) AS ended_before
+        |  FROM per_k a LEFT JOIN per_k b ON b.lifetime < a.lifetime
+        |  GROUP BY 1, 2)
+        |SELECT hour_offset, CAST(n_end AS BIGINT) AS n_end,
+        |  CAST(n_users - ended_before AS BIGINT) AS n_at_risk,
+        |  CAST(n_end * 1000000 // (n_users - ended_before) AS BIGINT) AS hazard_ppm
+        |FROM agg, tot ORDER BY hour_offset""".stripMargin,
+
     "q114_markov_transitions" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type,

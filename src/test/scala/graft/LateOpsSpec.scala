@@ -380,6 +380,33 @@ class LateOpsSpec extends AnyFunSuite {
       s"filtered join diverges from exhaustive: missing ${brute -- got}, extra ${got -- brute}")
   }
 
+  test("q119 life table: at-risk decrements by exactly the ended count") {
+    val rows = SparkEntry.queries("q119_hazard_table")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("hour_offset"))
+    assert(rows.nonEmpty)
+    val users = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_end")).sum == users,
+      "every user ends at exactly one offset")
+    assert(rows.head.getAs[Long]("n_at_risk") == users,
+      "the first offset has the full population at risk")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_end") <= r.getAs[Long]("n_at_risk"))
+      assert(r.getAs[Long]("hazard_ppm") <= 1000000L)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        // Risk set shrinks by exactly those who ended at or after a's
+        // offset but before b's (only a's row in this table).
+        assert(b.getAs[Long]("n_at_risk") ==
+          a.getAs[Long]("n_at_risk") - a.getAs[Long]("n_end"),
+          s"at-risk chain broken at offset ${b.getAs[Long]("hour_offset")}")
+      case _ =>
+    }
+    assert(rows.last.getAs[Long]("n_at_risk") == rows.last.getAs[Long]("n_end"),
+      "the final risk set all ends at the maximum lifetime")
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
