@@ -66,35 +66,43 @@ object Behavior {
   private def dayIndex: Column =
     expr(s"CAST(unix_micros(ts) div $UsPerDay AS BIGINT)")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Ordered funnel. Running minimums over the per-user event timeline:
-    // seen_view = earliest view so far; a click qualifies only at-or-after
-    // it; seen_click = earliest qualifying click so far; a purchase
-    // qualifies only at-or-after that. min() ignores NULLs in both
-    // engines, and ties are fully broken by (us, event_id), so the chain
-    // is deterministic. Conversion ratios are floor-ppm integers.
-    "q71_event_funnel" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("view", "click", "purchase"))
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val staged = ev
-        .withColumn("seen_view",
-          min(when(col("event_type") === "view", col("us"))).over(w))
-        .withColumn("click_ok",
-          when(col("event_type") === "click" && col("us") >= col("seen_view"),
-            col("us")))
-        .withColumn("seen_click", min(col("click_ok")).over(w))
-        .withColumn("purch_ok",
-          when(col("event_type") === "purchase" && col("us") >= col("seen_click"),
-            col("us")))
-      val per = staged.groupBy("user_id").agg(
+  /** Per-user ordered-funnel stage times (user_id, first_view,
+    * first_click, first_purchase) — running minimums over the per-user
+    * event timeline: seen_view = earliest view so far; a click
+    * qualifies only at-or-after it; seen_click = earliest qualifying
+    * click so far; a purchase only at-or-after that. min() ignores
+    * NULLs in both engines and ties are fully broken by (us,
+    * event_id), so the chain is deterministic. ONE definition shared
+    * by q71 (stage counts) and q120 (conversion-latency distribution)
+    * — mirrored by [[FunnelTimesSql]]. */
+  private[ops] def funnelTimes(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("seen_view",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("click_ok",
+        when(col("event_type") === "click" && col("us") >= col("seen_view"),
+          col("us")))
+      .withColumn("seen_click", min(col("click_ok")).over(w))
+      .withColumn("purch_ok",
+        when(col("event_type") === "purchase" && col("us") >= col("seen_click"),
+          col("us")))
+      .groupBy("user_id").agg(
         min(col("seen_view")).as("first_view"),
         min(col("click_ok")).as("first_click"),
         min(col("purch_ok")).as("first_purchase"))
-      per.agg(
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered funnel over the shared [[funnelTimes]] stage table;
+    // conversion ratios are floor-ppm integers.
+    "q71_event_funnel" -> { (s, d) =>
+      funnelTimes(s, d).agg(
           count(lit(1)).cast("long").as("n_users"),
           count(col("first_view")).cast("long").as("n_viewed"),
           count(col("first_click")).cast("long").as("n_clicked"),
@@ -349,6 +357,25 @@ object Behavior {
           expr("CAST(support * 1000000 DIV n_orders AS BIGINT)").as("supp_ppm"))
     },
 
+    // Conversion-latency distribution over the shared [[funnelTimes]]
+    // stage table — the SLO view of the q71 funnel: how LONG the
+    // ordered view→purchase path takes for users who complete it.
+    // Mean is exact integer division; quantiles follow q48's proven
+    // cross-engine percentile/round(6) pattern. One aggregation over
+    // the per-user stage table (already one shuffle); output is a
+    // single row.
+    "q120_conversion_latency" -> { (s, d) =>
+      funnelTimes(s, d)
+        .filter(col("first_purchase").isNotNull)
+        .withColumn("latency_us", col("first_purchase") - col("first_view"))
+        .agg(count(lit(1)).cast("long").as("n_converted"),
+          min(col("latency_us")).cast("long").as("min_us"),
+          max(col("latency_us")).cast("long").as("max_us"),
+          expr("CAST(sum(latency_us) DIV count(1) AS BIGINT)").as("mean_us"),
+          round(expr("percentile(latency_us, 0.5D)"), 6).as("p50_us"),
+          round(expr("percentile(latency_us, 0.9D)"), 6).as("p90_us"))
+    },
+
     // Discrete survival/churn-hazard table over user lifetimes — the
     // life-table view next to q72's cohort retention: for each hour
     // offset k since a user's first event, how many users were still
@@ -421,7 +448,50 @@ object Behavior {
     }
   )
 
+  /** SQL mirror of [[funnelTimes]] — shared prefix of the q71 and q120
+    * oracles so the funnel-ordering logic cannot drift between them. */
+  private val FunnelTimesSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END) OVER (
+      |    PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS seen_view
+      |  FROM ev),
+      |s2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND us >= seen_view
+      |                 THEN us END AS click_ok
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, MIN(click_ok) OVER (
+      |    PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS seen_click
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' AND us >= seen_click
+      |                 THEN us END AS purch_ok
+      |  FROM s3),
+      |per AS (
+      |  SELECT user_id, MIN(seen_view) AS first_view,
+      |         MIN(click_ok) AS first_click, MIN(purch_ok) AS first_purchase
+      |  FROM s4 GROUP BY user_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q120_conversion_latency" -> (FunnelTimesSql +
+      """,
+        |lat AS (
+        |  SELECT first_purchase - first_view AS latency_us FROM per
+        |  WHERE first_purchase IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  CAST(MIN(latency_us) AS BIGINT) AS min_us,
+        |  CAST(MAX(latency_us) AS BIGINT) AS max_us,
+        |  CAST(SUM(latency_us) // COUNT(*) AS BIGINT) AS mean_us,
+        |  round(quantile_cont(latency_us, 0.5), 6) AS p50_us,
+        |  round(quantile_cont(latency_us, 0.9), 6) AS p90_us
+        |FROM lat""".stripMargin),
+
     "q119_hazard_table" ->
       """WITH life AS (
         |  SELECT user_id,
@@ -458,33 +528,8 @@ object Behavior {
         |    AS row_ppm
         |FROM m ORDER BY from_type, to_type""".stripMargin,
 
-    "q71_event_funnel" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
-        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-        |s1 AS (
-        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END) OVER (
-        |    PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS seen_view
-        |  FROM ev),
-        |s2 AS (
-        |  SELECT *, CASE WHEN event_type = 'click' AND us >= seen_view
-        |                 THEN us END AS click_ok
-        |  FROM s1),
-        |s3 AS (
-        |  SELECT *, MIN(click_ok) OVER (
-        |    PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS seen_click
-        |  FROM s2),
-        |s4 AS (
-        |  SELECT *, CASE WHEN event_type = 'purchase' AND us >= seen_click
-        |                 THEN us END AS purch_ok
-        |  FROM s3),
-        |per AS (
-        |  SELECT user_id, MIN(seen_view) AS first_view,
-        |         MIN(click_ok) AS first_click, MIN(purch_ok) AS first_purchase
-        |  FROM s4 GROUP BY user_id)
+    "q71_event_funnel" -> (FunnelTimesSql +
+      """
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(COUNT(first_view) AS BIGINT) AS n_viewed,
         |  CAST(COUNT(first_click) AS BIGINT) AS n_clicked,
@@ -493,7 +538,7 @@ object Behavior {
         |           THEN first_purchase - first_view END) AS BIGINT) AS sum_convert_us,
         |  CAST(COUNT(first_click) * 1000000 // NULLIF(COUNT(first_view), 0) AS BIGINT) AS click_ppm,
         |  CAST(COUNT(first_purchase) * 1000000 // NULLIF(COUNT(first_click), 0) AS BIGINT) AS purchase_ppm
-        |FROM per""".stripMargin,
+        |FROM per""".stripMargin),
 
     "q78_rfm_segments" ->
       """WITH ev AS (

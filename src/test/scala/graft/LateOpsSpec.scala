@@ -407,6 +407,22 @@ class LateOpsSpec extends AnyFunSuite {
       "the final risk set all ends at the maximum lifetime")
   }
 
+  test("q120 conversion latency is ordered and consistent with the q71 funnel") {
+    val r = SparkEntry.queries("q120_conversion_latency")(spark, sf).collect()(0)
+    val funnel = SparkEntry.queries("q71_event_funnel")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_converted") == funnel.getAs[Long]("n_purchased"),
+      "latency rows are exactly the funnel's converters")
+    val (mn, mean, mx) = (r.getAs[Long]("min_us"), r.getAs[Long]("mean_us"),
+      r.getAs[Long]("max_us"))
+    assert(mn >= 0, "a purchase can never precede the first view")
+    assert(mn <= mean && mean <= mx)
+    assert(r.getAs[Double]("p50_us") >= mn && r.getAs[Double]("p50_us") <= mx)
+    assert(r.getAs[Double]("p50_us") <= r.getAs[Double]("p90_us"))
+    assert(r.getAs[Long]("n_converted") * mean <=
+      funnel.getAs[Long]("sum_convert_us"),
+      "floor-mean times count cannot exceed the exact sum")
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
