@@ -357,6 +357,31 @@ object Behavior {
           expr("CAST(support * 1000000 DIV n_orders AS BIGINT)").as("supp_ppm"))
     },
 
+    // Salted skew join, oracle-proven: enrich every event with its
+    // user's purchase profile through flow.SkewJoin (row-index salt,
+    // saltFactor=8) — the mitigation for a hot user key that would
+    // stall one reducer in a plain shuffle join. Salting must be
+    // RESULT-INVISIBLE, and this query proves it end-to-end: the
+    // DuckDB oracle is the PLAIN join, so any salting artifact
+    // (dropped row, replica double-count) fails the hash compare.
+    // The dim side is replicated saltFactor×: bounded, it is a
+    // per-user aggregate of the purchase slice.
+    "q121_salted_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val profile = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("upc"))
+      graft.flow.SkewJoin.saltedJoin(ev, profile, "user_id",
+          saltFactor = 8, joinType = "left")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          countDistinct(col("user_id")).cast("long").as("n_users"),
+          sum(coalesce(col("upc"), lit(0L))).cast("long").as("sum_upc"),
+          count(when(col("upc").isNull, 1)).cast("long").as("n_no_purchase"))
+        .orderBy("event_type")
+    },
+
     // Conversion-latency distribution over the shared [[funnelTimes]]
     // stage table — the SLO view of the q71 funnel: how LONG the
     // ordered view→purchase path takes for users who complete it.
@@ -479,6 +504,22 @@ object Behavior {
       |  FROM s4 GROUP BY user_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // Deliberately the PLAIN join: the salted plan must be
+    // result-identical to it.
+    "q121_salted_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value FROM events),
+        |profile AS (
+        |  SELECT user_id, COUNT(*) AS upc FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(COALESCE(p.upc, 0)) AS BIGINT) AS sum_upc,
+        |  CAST(COUNT(*) FILTER (p.upc IS NULL) AS BIGINT) AS n_no_purchase
+        |FROM ev e LEFT JOIN profile p USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q120_conversion_latency" -> (FunnelTimesSql +
       """,
         |lat AS (

@@ -423,6 +423,28 @@ class LateOpsSpec extends AnyFunSuite {
       "floor-mean times count cannot exceed the exact sum")
   }
 
+  test("q121 salted join is result-identical to the plain join") {
+    val got = SparkEntry.queries("q121_salted_join")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("sum_upc"),
+        r.getAs[Long]("n_no_purchase"))).toSet
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"))
+    val profile = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("upc"))
+    val plain = ev.join(profile, Seq("user_id"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("user_id")).cast("long").as("n_users"),
+        sum(coalesce(col("upc"), lit(0L))).cast("long").as("sum_upc"),
+        count(when(col("upc").isNull, 1)).cast("long").as("n_no_purchase"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("sum_upc"),
+        r.getAs[Long]("n_no_purchase"))).toSet
+    assert(got == plain, "salting must be result-invisible")
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
