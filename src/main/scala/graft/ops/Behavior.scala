@@ -357,6 +357,34 @@ object Behavior {
           expr("CAST(support * 1000000 DIV n_orders AS BIGINT)").as("supp_ppm"))
     },
 
+    // Last-touch attribution: each purchase is credited to the most
+    // recent PRECEDING non-purchase event type in that user's stream
+    // (the standard marketing-attribution rule; "none" when a purchase
+    // has no preceding touch). One user_id shuffle + a running
+    // last-ignoring-nulls window over a strictly-preceding frame, then
+    // a map-combined count over the |event_types|-bounded attribution
+    // key; the share normalizer is a window over that bounded matrix.
+    "q122_last_touch" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val attributed = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("attributed"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          countDistinct(col("user_id")).cast("long").as("n_users"))
+      attributed
+        .crossJoin(broadcast(attributed.agg(
+          sum(col("n_purchases")).cast("long").as("total"))))
+        .select(col("attributed"), col("n_purchases"), col("n_users"),
+          expr("CAST(n_purchases * 1000000 DIV total AS BIGINT)").as("share_ppm"))
+        .orderBy("attributed")
+    },
+
     // Salted skew join, oracle-proven: enrich every event with its
     // user's purchase profile through flow.SkewJoin (row-index salt,
     // saltFactor=8) — the mitigation for a hot user key that would
@@ -504,6 +532,27 @@ object Behavior {
       |  FROM s4 GROUP BY user_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q122_last_touch" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ev),
+        |m AS (
+        |  SELECT COALESCE(touch, 'none') AS attributed,
+        |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM t WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_purchases) AS BIGINT) AS total FROM m)
+        |SELECT attributed, n_purchases, n_users,
+        |  CAST(n_purchases * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM m, tot ORDER BY attributed""".stripMargin,
+
     // Deliberately the PLAIN join: the salted plan must be
     // result-identical to it.
     "q121_salted_join" ->

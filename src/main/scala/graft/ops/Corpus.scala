@@ -591,6 +591,38 @@ object Corpus {
         .orderBy("source")
     },
 
+    // Marginal-novelty curve: in ingestion order (doc_id), what share
+    // of each document's trigram shingles has NEVER been seen before —
+    // the diminishing-returns measurement that decides when growing a
+    // corpus stops adding information (novelty collapsing toward zero
+    // means new data is re-crawl/boilerplate; dedup should bite first).
+    // A shingle's first document is min(doc_id) — one map-combined agg
+    // on the shingle key; per-doc novelty is an equi-join back on that
+    // key; the report buckets doc_id into 50-doc ingestion batches.
+    // Exact integers throughout; shuffles carry shingle hashes of
+    // fixed width, never text.
+    "q123_novelty_curve" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            TextAnalysis.shingleExpr("t", 3))).as("tok"))
+        .withColumn("tok", md5(col("tok")))
+      val firstDoc = sh.groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+      sh.join(firstDoc, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .groupBy(expr("CAST(doc_id DIV 50 AS BIGINT)").as("ingest_bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_sh")).cast("long").as("n_shingles"),
+          sum(col("n_novel")).cast("long").as("n_novel"))
+        .withColumn("novelty_ppm",
+          expr("CAST(n_novel * 1000000 DIV n_shingles AS BIGINT)"))
+        .orderBy("ingest_bucket")
+    },
+
     // Quality-rule matrix (Gopher-style independent rules): unlike q63's
     // first-fail funnel, every rule is evaluated on every document, so
     // the per-source pass-rate TABLE shows how rules correlate — the
@@ -637,6 +669,25 @@ object Corpus {
   )
 
   def oracle: Map[String, String] = Map(
+    "q123_novelty_curve" ->
+      """WITH tt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS tok
+        |  FROM tt, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |fd AS (SELECT tok, MIN(doc_id) AS first_doc FROM sh GROUP BY tok),
+        |per AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_sh,
+        |    COUNT(*) FILTER (f.first_doc = s.doc_id) AS n_novel
+        |  FROM sh s JOIN fd f USING (tok) GROUP BY s.doc_id)
+        |SELECT CAST(doc_id // 50 AS BIGINT) AS ingest_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+        |  CAST(SUM(n_novel) * 1000000 // SUM(n_sh) AS BIGINT) AS novelty_ppm
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q108_token_budget" ->
       """WITH srcs AS (
         |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t

@@ -445,6 +445,40 @@ class LateOpsSpec extends AnyFunSuite {
     assert(got == plain, "salting must be result-invisible")
   }
 
+  test("q122 attribution partitions every purchase and shares close") {
+    val rows = SparkEntry.queries("q122_last_touch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val purchases = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases,
+      "every purchase is attributed exactly once")
+    val ppm = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_purchases"))
+      assert(r.getAs[String]("attributed") != "purchase",
+        "a purchase can never be its own touch")
+    }
+  }
+
+  test("q123 novelty is total for the first bucket's first doc and declines overall") {
+    val rows = SparkEntry.queries("q123_novelty_curve")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("ingest_bucket"))
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("novelty_ppm") <= 1000000L)
+    }
+    // The earliest bucket contains the corpus's very first document,
+    // whose shingles are all novel by construction — so it must have
+    // strictly positive novelty; and the overall trend must not rise
+    // monotonically (later ingestion repeats earlier content).
+    assert(rows.head.getAs[Long]("n_novel") > 0)
+    assert(rows.last.getAs[Long]("novelty_ppm") <=
+      rows.head.getAs[Long]("novelty_ppm"),
+      "novelty should not grow from first to last bucket")
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
