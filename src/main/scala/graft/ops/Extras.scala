@@ -34,6 +34,30 @@ object Extras {
         .orderBy("region", "segment")
     },
 
+    // B5 completion: explicit GROUPING SETS — the report shapes rollup
+    // and cube cannot express (exactly three levels here: detail,
+    // one-dimension subtotal, grand total — a cube would add the
+    // unwanted (·, priority) slice, a rollup forces a hierarchy).
+    // Declared via spark.sql (GROUPING SETS has no DataFrame-native
+    // form — the SQL interop IS the operator surface); grouping_id()
+    // disambiguates coalesced NULLs from real values. Catalyst expands
+    // to one Expand + one hash aggregation — same plan family as
+    // q05/q32.
+    "q124_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12, 2))) AS DOUBLE)
+                 AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY status, priority, grp_id""")
+    },
+
     // B9: JSON scalar functions — typed extraction + predicate. A single
     // from_json against a partial schema (extra keys ignored) beats a
     // per-row JsonPath walk (get_json_object): one Jackson parse bound to
@@ -245,6 +269,18 @@ object Extras {
         | abs(ap - exact_parts) <= exact_parts * 0.1 AS approx_parts_ok,
         | abs(ao - exact_orders) <= exact_orders * 0.1 AS approx_orders_ok
         |FROM t ORDER BY l_returnflag""".stripMargin,
+
+    "q124_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+        |   AS grp_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY status, priority, grp_id""".stripMargin,
 
     "q32_cube_sales" ->
       """SELECT COALESCE(r_name, 'ALL') AS region,

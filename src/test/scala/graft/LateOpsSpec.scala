@@ -479,6 +479,23 @@ class LateOpsSpec extends AnyFunSuite {
       "novelty should not grow from first to last bucket")
   }
 
+  test("q124 grouping sets produce exactly the three declared levels") {
+    val rows = SparkEntry.queries("q124_grouping_sets")(spark, sf).collect()
+    val total = graft.model.Tables.orders(spark, sf).count()
+    val byGrp = rows.groupBy(_.getAs[Long]("grp_id"))
+    assert(byGrp.keySet == Set(0L, 1L, 3L),
+      "detail, status-subtotal, and grand-total levels only (no cube extras)")
+    // Each level partitions the full order population.
+    byGrp.values.foreach(rs =>
+      assert(rs.map(_.getAs[Long]("n_orders")).sum == total))
+    val grand = byGrp(3L)
+    assert(grand.length == 1 &&
+      grand.head.getAs[String]("status") == "ALL" &&
+      grand.head.getAs[String]("priority") == "ALL")
+    byGrp(1L).foreach(r => assert(r.getAs[String]("priority") == "ALL" &&
+      r.getAs[String]("status") != "ALL"))
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
