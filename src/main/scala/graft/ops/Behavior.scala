@@ -357,6 +357,34 @@ object Behavior {
           expr("CAST(support * 1000000 DIV n_orders AS BIGINT)").as("supp_ppm"))
     },
 
+    // Theil–Sen robust trend per event type: the median of all pairwise
+    // slopes of the daily ingest-count series — the outlier-resistant
+    // trend estimator (one burst day shifts a least-squares slope, but
+    // not the median slope) that complements q80's burst FLAGGING with
+    // a robust rate-of-change NUMBER. The pair space is
+    // C(days,2) per type — bounded by the time horizon², never the
+    // event volume — so the quadratic step runs on the tiny per-day
+    // aggregate; each slope is one IEEE division of exact integers and
+    // the median follows q48's proven percentile pattern.
+    "q125_theil_sen" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.c") - col("a.c")).cast("double") /
+            (col("b.day") - col("a.day")).cast("double")).as("slope"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          round(expr("percentile(slope, 0.5D)"), 6).as("ts_slope"),
+          round(min(col("slope")), 6).as("min_slope"),
+          round(max(col("slope")), 6).as("max_slope"))
+        .orderBy("event_type")
+    },
+
     // Last-touch attribution: each purchase is credited to the most
     // recent PRECEDING non-purchase event type in that user's stream
     // (the standard marketing-attribution rule; "none" when a purchase
@@ -532,6 +560,23 @@ object Behavior {
       |  FROM s4 GROUP BY user_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q125_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS ts_slope,
+        |  round(MIN(slope), 6) AS min_slope,
+        |  round(MAX(slope), 6) AS max_slope
+        |FROM slopes GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q122_last_touch" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type,

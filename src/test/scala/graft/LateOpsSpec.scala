@@ -496,6 +496,25 @@ class LateOpsSpec extends AnyFunSuite {
       r.getAs[String]("status") != "ALL"))
   }
 
+  test("q125 Theil-Sen slope lies within the slope envelope and pairs count right") {
+    val rows = SparkEntry.queries("q125_theil_sen")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val days = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("day"))
+      .distinct().groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val n = days(et)
+      assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2,
+        s"$et: pair count must be C(activeDays, 2)")
+      val (lo, med, hi) = (r.getAs[Double]("min_slope"),
+        r.getAs[Double]("ts_slope"), r.getAs[Double]("max_slope"))
+      assert(lo <= med && med <= hi, s"$et: median outside envelope")
+    }
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
