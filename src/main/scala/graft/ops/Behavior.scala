@@ -368,8 +368,7 @@ object Behavior {
     // the median follows q48's proven percentile pattern.
     "q125_theil_sen" -> { (s, d) =>
       val daily = Tables.events(s, d)
-        .select(col("event_type"),
-          expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("day"))
+        .select(col("event_type"), dayIndex.as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
       daily.as("a").join(daily.as("b"),
           col("a.event_type") === col("b.event_type") &&
@@ -424,7 +423,7 @@ object Behavior {
     // per-user aggregate of the purchase slice.
     "q121_salted_join" -> { (s, d) =>
       val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("value"))
+        .select(col("user_id"), col("event_type"))
       val profile = ev.filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(count(lit(1)).as("upc"))
@@ -462,10 +461,12 @@ object Behavior {
     // offset k since a user's first event, how many users were still
     // "at risk" (lifetime ≥ k) and how many ended exactly there
     // (last event at offset k), with the discrete hazard as floor-ppm.
-    // All integer day arithmetic. One user_id aggregation over the
-    // events scan; the at-risk suffix sums run on the BOUNDED
-    // per-lifetime table (≤ horizon days) via the q108 triangular
-    // self-join — no unpartitioned window, no second corpus pass.
+    // All integer HOUR arithmetic (hour granularity — user lifetimes
+    // cluster at the full corpus window at day granularity). One
+    // user_id aggregation over the events scan; the at-risk suffix
+    // sums run on the BOUNDED per-lifetime table (≤ horizon HOURS)
+    // via the q108 triangular self-join — no unpartitioned window,
+    // no second corpus pass.
     "q119_hazard_table" -> { (s, d) =>
       val life = Tables.events(s, d)
         .select(col("user_id"),
@@ -602,7 +603,7 @@ object Behavior {
     // result-identical to it.
     "q121_salted_join" ->
       """WITH ev AS (
-        |  SELECT user_id, event_type, value FROM events),
+        |  SELECT user_id, event_type FROM events),
         |profile AS (
         |  SELECT user_id, COUNT(*) AS upc FROM ev
         |  WHERE event_type = 'purchase' GROUP BY user_id)

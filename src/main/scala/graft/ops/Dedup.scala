@@ -313,11 +313,10 @@ object Dedup {
     // parity with the exhaustive pairwise join.
     "q118_prefix_filter_join" -> { (s, d) =>
       val toks = Tables.documents(s, d)
-        .withColumn("t", split(col("text"), " "))
+        .withColumn("t", tokens(col("text")))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
-          explode(array_distinct(
-            graft.ops.TextAnalysis.shingleExpr("t", 3))).as("tok"))
+          explode(array_distinct(shingleExpr("t", 3))).as("tok"))
       val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       val wn = Window.partitionBy("doc_id")
@@ -357,7 +356,7 @@ object Dedup {
       val labels = connectedComponents(dupEdges(s, d))
         .withColumnRenamed("node", "doc_id")
       Tables.documents(s, d)
-        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
         .join(labels, Seq("doc_id"), "left")
         .withColumn("survivor",
           col("label").isNull || col("label") === col("doc_id"))

@@ -49,14 +49,25 @@ class StreamingOpsSpec extends AnyFunSuite {
   test("streaming CMS matrix is bit-identical to the batch sketch (C12 twin)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    // Skewed term stream across two micro-batches: incremental updates
-    // must land in the same cells as one batch pass.
+    // Skewed term stream across two REAL micro-batches (data added and
+    // processed while the query runs — both addData calls before start
+    // would collapse into one batch and never exercise the cross-batch
+    // state merge): incremental updates must land in the same cells as
+    // one batch pass.
     val s = MemoryStream[String]
+    qid += 1
+    val name = s"streaming_ops_out_$qid"
+    val q = StreamingOps.cmsMatrix(s.toDF().toDF("term"), "term")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name).start()
     s.addData("spark", "spark", "shuffle", "spark", "join")
+    q.processAllAvailable()
     s.addData("join", "spark", "codegen", "shuffle")
-    val out = runToMemory(
-      StreamingOps.cmsMatrix(s.toDF().toDF("term"), "term"),
-      OutputMode.Complete)
+    q.processAllAvailable()
+    assert(q.lastProgress.batchId >= 1,
+      "the test must span at least two micro-batches")
+    q.stop()
+    val out = name
     val streaming = spark.table(out).collect()
       .map(r => (r.getAs[Int]("row"), r.getAs[Long]("ccol"), r.getAs[Long]("cnt"))).toSet
     val batch = graft.ops.Curation.cmsCells(
