@@ -56,9 +56,14 @@ object Curation {
     * input by construction (spec-asserted). Works on static and
     * streaming frames alike: stateless row-local projection + explode. */
   def cmsCells(terms: DataFrame, termCol: String): DataFrame = {
-    val h = Dedup.neutralHash32(col(termCol)) % Dedup.P
-    terms.select(explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("row"), cmsCol(h, i, CmsWidth).as("ccol"))): _*)).as("rc"))
+    // materialize the md5-derived hash ONCE per row before the 4-way
+    // cell fan-out — as a shared subtree of CmsDepth expressions it
+    // would rely on codegen CSE to avoid 4 md5 evaluations per term
+    // (minhashBands documents the same trap; measured ~1.5× on q54)
+    val hashed = terms.withColumn("_h",
+      Dedup.neutralHash32(col(termCol)) % Dedup.P)
+    hashed.select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsCol(col("_h"), i, CmsWidth).as("ccol"))): _*)).as("rc"))
       .select(col("rc.row").as("row"), col("rc.ccol").as("ccol"))
   }
 

@@ -312,11 +312,17 @@ object Dedup {
     // × shingles-per-doc, both bounded. A completeness spec asserts
     // parity with the exhaustive pairwise join.
     "q118_prefix_filter_join" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .withColumn("t", tokens(col("text")))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"),
-          explode(array_distinct(shingleExpr("t", 3))).as("tok"))
+      // the shingle table feeds FOUR plan branches (df table, prefix
+      // index, and both verify legs) — truncate its lineage once so the
+      // explode+distinct scan runs once, not per branch (measured ~3×
+      // on this query; same rationale as q115's edge truncate)
+      val toks = Checkpoints.truncate(
+        Tables.documents(s, d)
+          .withColumn("t", tokens(col("text")))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(shingleExpr("t", 3))).as("tok")),
+        eager = true)
       val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       val wn = Window.partitionBy("doc_id")
@@ -325,8 +331,13 @@ object Dedup {
         .withColumn("r", row_number().over(wd))
         .filter(col("r") <= col("n") - expr("(n + 1) DIV 2") + 1)
         .select(col("doc_id"), col("tok"), col("n"))
+      // the LENGTH filter rides in the join predicate (exact: jac ≥ ½
+      // forces |A∩B| ≤ min ≤ max ≤ |A∪B| so min/max ≥ ½) — it prunes
+      // size-incompatible collisions before the verify fan-out, which
+      // is the dominant cost (candidates × shingles-per-doc rows)
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .distinct()
@@ -695,7 +706,8 @@ object Dedup {
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.n AS na, b.n AS nb
         |  FROM prefix a JOIN prefix b
-        |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    AND a.n * 2 >= b.n AND b.n * 2 >= a.n),
         |ver AS (
         |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS common
         |  FROM cand c
