@@ -78,6 +78,60 @@ object Relational {
         .orderBy("n_name")
     },
 
+    // B2 completion, TPC-H Q7 image: bidirectional trade volume between
+    // two trade BLOCS (nation key mod 5 — the exact single-nation pair
+    // is empty at the smallest SF; the bloc generalization keeps Q7's
+    // double-dimension semantics at every scale) by ship year — the
+    // join shape where customer nation AND supplier nation bind on the
+    // same fact row: two independent broadcast legs against one fact
+    // scan, conditional pair filtering, year bucketing. Revenue in the
+    // exact-decimal idiom; the (bloc, bloc, year) key space is bounded
+    // by construction.
+    "q126_nation_trade" -> { (s, d) =>
+      def blocs(nk: String, out: String) = Tables.nation(s, d)
+        .select(col("n_nationkey").as(nk),
+          concat(lit("BLOC_"), (col("n_nationkey") % 5).cast("string")).as(out))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(blocs("c_nk", "cust_bloc")), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(blocs("s_nk", "supp_bloc")), col("s_nationkey") === col("s_nk"))
+        .filter((col("cust_bloc") === "BLOC_1" && col("supp_bloc") === "BLOC_2") ||
+                (col("cust_bloc") === "BLOC_2" && col("supp_bloc") === "BLOC_1"))
+        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        .groupBy("cust_bloc", "supp_bloc", "l_year")
+        .agg(sum(money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+               .cast("double").as("revenue"),
+             count(lit(1)).cast("long").as("n_items"))
+        .orderBy("cust_bloc", "supp_bloc", "l_year")
+    },
+
+    // B3 completion, TPC-H Q11 image: per-part stock value filtered by
+    // a GLOBAL scalar threshold — the uncorrelated-scalar-subquery
+    // shape q51's correlated form does not cover. The threshold is
+    // SCALE-FREE (parts above 1.3× the mean per-part share: value ·
+    // n_parts · 10 > 13 · total — a fixed fraction of total would
+    // select nothing once the part count outgrows it), compared
+    // division-free in exact decimals; the one-row global aggregate
+    // broadcasts and the top-k is TakeOrdered.
+    "q127_important_stock" -> { (s, d) =>
+      val stock = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(money(col("p_retailprice")) * money(col("l_quantity")))
+          .as("value_d"))
+      val tot = stock.agg(sum(col("value_d")).as("total_d"),
+        count(lit(1)).as("n_parts"))
+      stock.crossJoin(broadcast(tot))
+        .filter(col("value_d") * col("n_parts") * 10 > col("total_d") * 13)
+        .select(col("partkey"),
+          col("value_d").cast("double").as("stock_value"),
+          col("total_d").cast("double").as("total_value"))
+        .orderBy(col("stock_value").desc, col("partkey"))
+        .limit(25)
+    },
+
     // B7: global sort + limit (top-k) with deterministic tiebreak.
     "q03_topk_orders" -> { (s, d) =>
       Tables.orders(s, d)
@@ -221,6 +275,38 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q126_nation_trade" ->
+      """SELECT 'BLOC_' || (nc.n_nationkey % 5) AS cust_bloc,
+        |  'BLOC_' || (ns.n_nationkey % 5) AS supp_bloc,
+        |  CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |WHERE (nc.n_nationkey % 5 = 1 AND ns.n_nationkey % 5 = 2)
+        |   OR (nc.n_nationkey % 5 = 2 AND ns.n_nationkey % 5 = 1)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q127_important_stock" ->
+      """WITH stock AS (
+        |  SELECT l_partkey AS partkey,
+        |    SUM(CAST(p_retailprice AS DECIMAL(12,2)) *
+        |        CAST(l_quantity AS DECIMAL(12,2))) AS value_d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT SUM(value_d) AS total_d, COUNT(*) AS n_parts FROM stock)
+        |SELECT partkey,
+        |  CAST(value_d AS DOUBLE) AS stock_value,
+        |  CAST(total_d AS DOUBLE) AS total_value
+        |FROM stock, tot
+        |WHERE value_d * n_parts * 10 > total_d * 13
+        |ORDER BY stock_value DESC, partkey LIMIT 25""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -515,6 +515,36 @@ class LateOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 trade rows pair the two declared blocs in both directions") {
+    val rows = SparkEntry.queries("q126_nation_trade")(spark, sf).collect()
+    assert(rows.nonEmpty, "the bloc pair should trade")
+    rows.foreach { r =>
+      val pair = Set(r.getAs[String]("cust_bloc"), r.getAs[String]("supp_bloc"))
+      assert(pair == Set("BLOC_1", "BLOC_2"),
+        "only the declared bidirectional pair appears")
+      assert(r.getAs[Long]("n_items") > 0)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+    // Full ordering: (cust, supp, year) strictly increasing.
+    val keys = rows.map(r => (r.getAs[String]("cust_bloc"),
+      r.getAs[String]("supp_bloc"), r.getAs[Long]("l_year")))
+    assert(keys.toSeq == keys.toSeq.sorted)
+  }
+
+  test("q127 important stock clears the scale-free threshold and is sorted") {
+    val rows = SparkEntry.queries("q127_important_stock")(spark, sf).collect()
+    assert(rows.nonEmpty, "the 1.3x-mean threshold must select parts")
+    val total = rows.head.getAs[Double]("total_value")
+    val vals = rows.map(_.getAs[Double]("stock_value"))
+    assert(vals.sameElements(vals.sortBy(-_)), "top-k must be value-descending")
+    rows.foreach(r => assert(r.getAs[Double]("total_value") == total))
+    // Every selected part genuinely exceeds 1.3x the mean share.
+    val nParts = graft.model.Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    vals.foreach(v => assert(v * nParts * 10 > total * 13,
+      s"$v does not clear 1.3x mean of ${total / nParts}"))
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
