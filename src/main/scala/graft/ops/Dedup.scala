@@ -268,10 +268,14 @@ object Dedup {
     // paths a<b<c through the canonically-ordered edge list and close
     // them with a semi-join — per-node fan-out is bounded by dup-cluster
     // size, the same operational envelope as q65's CC over the same
-    // edges. The edge list is lineage-truncated once (conf-gated
-    // reliable checkpoint, as CC) because four plan branches reuse it.
+    // edges. The edge list is persist()ed because four plan branches
+    // reuse it — NOT reliably checkpointed: non-iterative reuse keeps
+    // the lineage shallow and recomputable, and nothing ever supersedes
+    // this frame, so a reliable checkpoint would leak into the shared
+    // store on every run (see q118's note).
     "q115_dup_triangles" -> { (s, d) =>
-      val edges = Checkpoints.truncate(dupEdges(s, d), eager = true)
+      val edges = dupEdges(s, d).persist()
+      edges.count() // eager — see q118's note on lazy-persist branch races
       val deg = edges.select(col("doc_a").as("n"))
         .unionByName(edges.select(col("doc_b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -313,16 +317,25 @@ object Dedup {
     // parity with the exhaustive pairwise join.
     "q118_prefix_filter_join" -> { (s, d) =>
       // the shingle table feeds FOUR plan branches (df table, prefix
-      // index, and both verify legs) — truncate its lineage once so the
-      // explode+distinct scan runs once, not per branch (measured ~3×
-      // on this query; same rationale as q115's edge truncate)
-      val toks = Checkpoints.truncate(
-        Tables.documents(s, d)
-          .withColumn("t", tokens(col("text")))
-          .filter(size(col("t")) >= 3)
-          .select(col("doc_id"),
-            explode(array_distinct(shingleExpr("t", 3))).as("tok")),
-        eager = true)
+      // index, and both verify legs) — persist() so the explode+distinct
+      // scan runs once, not per branch (measured ~3× on this query).
+      // persist, NOT Checkpoints.truncate: this is non-iterative subtree
+      // reuse, so the lineage stays shallow and recomputable (executor
+      // loss self-heals) and the blocks are session-scoped — a reliable
+      // checkpoint here would permanently leak a corpus-sized table into
+      // the shared store on every run (nothing supersedes it, so nothing
+      // could ever dropCheckpoint it)
+      val toks = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(shingleExpr("t", 3))).as("tok"))
+        .persist()
+      // EAGER materialization: a lazy persist does not dedupe branches
+      // scheduled in the same job wave (they race past the empty cache
+      // and each recompute the subtree — measured ~2× on this query);
+      // one cheap count() fills the cache before the main plan runs
+      toks.count()
       val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       val wn = Window.partitionBy("doc_id")
