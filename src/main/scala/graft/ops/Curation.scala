@@ -142,6 +142,30 @@ object Curation {
         .orderBy("column_name")
     },
 
+    // MAD robust scale per language: median absolute deviation from the
+    // median of document length, plus the 1.4826-consistency-scaled
+    // sigma estimate — the robust dispersion number that closes the
+    // robust-statistics family (q75 winsorize clamps, q100 IQR fences
+    // flag, q125 Theil–Sen trends; MAD is the scale they standardize
+    // against). Two aggregation passes over one scan subtree (the
+    // per-lang median broadcasts back, bounded by |langs|); quantiles
+    // follow q48's proven percentile pattern, the deviation is exact
+    // double arithmetic on integers.
+    "q128_mad_scale" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+      val med = docs.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+      docs.join(broadcast(med), "lang")
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          round(min(col("med")), 6).as("median_chars"),
+          round(expr("percentile(dev, 0.5D)"), 6).as("mad"),
+          round(expr("percentile(dev, 0.5D) * 1.4826D"), 6).as("mad_sigma"),
+          round(max(col("dev")), 6).as("max_dev"))
+        .orderBy("lang")
+    },
+
     // Reciprocal-rank fusion of two selection signals — the standard
     // way a curation pipeline combines incomparable rankings (here a
     // length signal and a lexical-diversity signal) without score
@@ -550,6 +574,20 @@ object Curation {
         |  CAST(n_distinct AS BIGINT) AS n_distinct
         |FROM p CROSS JOIN n ORDER BY column_name""".stripMargin
     },
+
+    "q128_mad_scale" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang),
+        |dev AS (
+        |  SELECT d.lang, m.med, abs(d.n_chars - m.med) AS dev
+        |  FROM documents d JOIN med m USING (lang))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(MIN(med), 6) AS median_chars,
+        |  round(quantile_cont(dev, 0.5), 6) AS mad,
+        |  round(quantile_cont(dev, 0.5) * 1.4826, 6) AS mad_sigma,
+        |  round(MAX(dev), 6) AS max_dev
+        |FROM dev GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q116_rrf_fusion" ->
       """WITH base AS (

@@ -545,6 +545,28 @@ class LateOpsSpec extends AnyFunSuite {
       s"$v does not clear 1.3x mean of ${total / nParts}"))
   }
 
+  test("q128 MAD is bounded by the max deviation and sigma scales it") {
+    val rows = SparkEntry.queries("q128_mad_scale")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mad, sigma, maxDev) = (r.getAs[Double]("mad"),
+        r.getAs[Double]("mad_sigma"), r.getAs[Double]("max_dev"))
+      assert(mad >= 0 && mad <= maxDev, "MAD is a median of deviations")
+      assert(math.abs(sigma - mad * 1.4826) < 1e-3,
+        "sigma is the consistency-scaled MAD")
+      assert(r.getAs[Double]("median_chars") > 0)
+      // At least half the documents lie within one MAD of the median
+      // (by definition of the median of deviations).
+      val lang = r.getAs[String]("lang")
+      val docs = graft.model.Tables.documents(spark, sf)
+        .filter(col("lang") === lang)
+      val within = docs.filter(
+        abs(col("n_chars") - r.getAs[Double]("median_chars")) <= mad).count()
+      assert(within * 2 >= r.getAs[Long]("n_docs"),
+        s"$lang: only $within of ${r.getAs[Long]("n_docs")} within one MAD")
+    }
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
