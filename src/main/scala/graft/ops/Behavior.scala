@@ -440,20 +440,26 @@ object Behavior {
     // Conversion-latency distribution over the shared [[funnelTimes]]
     // stage table — the SLO view of the q71 funnel: how LONG the
     // ordered view→purchase path takes for users who complete it.
-    // Mean is exact integer division; quantiles follow q48's proven
-    // cross-engine percentile/round(6) pattern. One aggregation over
-    // the per-user stage table (already one shuffle); output is a
-    // single row.
+    // Mean is exact integer division; quantiles are computed on
+    // SECONDS, not µs — q48's percentile/round(6) pattern only absorbs
+    // cross-engine interpolation noise when the value magnitude keeps
+    // the double ulp below the rounding grid (at ~10¹¹ µs the ulp is
+    // ~6·10⁻⁵ > 10⁻⁶ and a 1-ulp engine difference survives round(6);
+    // at ~10⁵ s the ulp is ~10⁻¹¹ and vanishes — caught by the sf0.1
+    // compare). One aggregation over the per-user stage table (already
+    // one shuffle); output is a single row.
     "q120_conversion_latency" -> { (s, d) =>
       funnelTimes(s, d)
         .filter(col("first_purchase").isNotNull)
         .withColumn("latency_us", col("first_purchase") - col("first_view"))
+        .withColumn("latency_s",
+          col("latency_us").cast("double") / lit(1000000.0))
         .agg(count(lit(1)).cast("long").as("n_converted"),
           min(col("latency_us")).cast("long").as("min_us"),
           max(col("latency_us")).cast("long").as("max_us"),
           expr("CAST(sum(latency_us) DIV count(1) AS BIGINT)").as("mean_us"),
-          round(expr("percentile(latency_us, 0.5D)"), 6).as("p50_us"),
-          round(expr("percentile(latency_us, 0.9D)"), 6).as("p90_us"))
+          round(expr("percentile(latency_s, 0.5D)"), 6).as("p50_s"),
+          round(expr("percentile(latency_s, 0.9D)"), 6).as("p90_s"))
     },
 
     // Discrete survival/churn-hazard table over user lifetimes — the
@@ -618,14 +624,15 @@ object Behavior {
     "q120_conversion_latency" -> (FunnelTimesSql +
       """,
         |lat AS (
-        |  SELECT first_purchase - first_view AS latency_us FROM per
-        |  WHERE first_purchase IS NOT NULL)
+        |  SELECT first_purchase - first_view AS latency_us,
+        |    CAST(first_purchase - first_view AS DOUBLE) / 1000000 AS latency_s
+        |  FROM per WHERE first_purchase IS NOT NULL)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
         |  CAST(MIN(latency_us) AS BIGINT) AS min_us,
         |  CAST(MAX(latency_us) AS BIGINT) AS max_us,
         |  CAST(SUM(latency_us) // COUNT(*) AS BIGINT) AS mean_us,
-        |  round(quantile_cont(latency_us, 0.5), 6) AS p50_us,
-        |  round(quantile_cont(latency_us, 0.9), 6) AS p90_us
+        |  round(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+        |  round(quantile_cont(latency_s, 0.9), 6) AS p90_s
         |FROM lat""".stripMargin),
 
     "q119_hazard_table" ->

@@ -416,8 +416,9 @@ class LateOpsSpec extends AnyFunSuite {
       r.getAs[Long]("max_us"))
     assert(mn >= 0, "a purchase can never precede the first view")
     assert(mn <= mean && mean <= mx)
-    assert(r.getAs[Double]("p50_us") >= mn && r.getAs[Double]("p50_us") <= mx)
-    assert(r.getAs[Double]("p50_us") <= r.getAs[Double]("p90_us"))
+    assert(r.getAs[Double]("p50_s") * 1e6 >= mn - 1 &&
+      r.getAs[Double]("p50_s") * 1e6 <= mx + 1)
+    assert(r.getAs[Double]("p50_s") <= r.getAs[Double]("p90_s"))
     assert(r.getAs[Long]("n_converted") * mean <=
       funnel.getAs[Long]("sum_convert_us"),
       "floor-mean times count cannot exceed the exact sum")
