@@ -591,6 +591,37 @@ object Corpus {
         .orderBy("source")
     },
 
+    // Per-source corpus scorecard — the one-page materialized view a
+    // data-quality dashboard reads: volume, mean length, boilerplate
+    // share (docs whose 100-char prefix is shared with another doc of
+    // the same source — q50's phash rule), and stopword density, all
+    // exact integers/floor-ppm. One scan computes every row-local
+    // column; the boilerplate leg is one (source, phash) aggregation
+    // joined back on the bounded source key.
+    "q130_source_scorecard" -> { (s, d) =>
+      val stopArr = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+        .withColumn("n_stop",
+          size(expr(s"filter(split(text, ' '), x -> array_contains($stopArr, x))")).cast("long"))
+        .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
+        .select("source", "n_chars", "n_tok", "n_stop", "phash")
+      val boiler = docs.groupBy("source", "phash").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_boiler"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("n_stop")).as("sum_stop"))
+        .join(boiler, "source")
+        .select(col("source"), col("n_docs"),
+          expr("CAST(sum_chars DIV n_docs AS BIGINT)").as("mean_chars"),
+          expr("CAST(n_boiler * 1000000 DIV n_docs AS BIGINT)").as("boiler_ppm"),
+          expr("CAST(sum_stop * 1000000 DIV sum_tok AS BIGINT)").as("stop_ppm"))
+        .orderBy("source")
+    },
+
     // Marginal-novelty curve: in ingestion order (doc_id), what share
     // of each document's trigram shingles has NEVER been seen before —
     // the diminishing-returns measurement that decides when growing a
@@ -669,6 +700,29 @@ object Corpus {
   )
 
   def oracle: Map[String, String] = Map(
+    "q130_source_scorecard" ->
+      """WITH docs AS (
+        |  SELECT source, n_chars,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','to'))) AS n_stop,
+        |    md5(substr(text, 1, 100)) AS phash
+        |  FROM documents),
+        |boiler AS (
+        |  SELECT source, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS n_boiler
+        |  FROM (SELECT source, phash, COUNT(*) AS c FROM docs GROUP BY 1, 2)
+        |  GROUP BY source),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    SUM(n_chars) AS sum_chars, SUM(n_tok) AS sum_tok,
+        |    SUM(n_stop) AS sum_stop
+        |  FROM docs GROUP BY source)
+        |SELECT a.source, a.n_docs,
+        |  CAST(a.sum_chars // a.n_docs AS BIGINT) AS mean_chars,
+        |  CAST(b.n_boiler * 1000000 // a.n_docs AS BIGINT) AS boiler_ppm,
+        |  CAST(a.sum_stop * 1000000 // a.sum_tok AS BIGINT) AS stop_ppm
+        |FROM agg a JOIN boiler b USING (source) ORDER BY a.source""".stripMargin,
+
     "q123_novelty_curve" ->
       """WITH tt AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -236,6 +236,41 @@ object FlowQueries {
         .orderBy("iv_id")
     },
 
+    // Time-weighted average of the changelog value per user — the
+    // state-over-time metric (value × µs held, over total held time)
+    // that point-in-time reads (q105) and SCD2 intervals (q87) exist to
+    // support: a plain AVG over updates is wrong whenever update rates
+    // vary (a value held for a week must outweigh one replaced in a
+    // minute). Hold durations come from one lead window per user; the
+    // value×duration products accumulate as exact decimals (2-decimal
+    // source values × integer µs — the money() rule), so partial-agg
+    // order cannot drift, and the final division is one IEEE op.
+    // Deterministic 1/7 user sample bounds the output; one user_id
+    // shuffle end-to-end.
+    "q129_time_weighted_avg" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), col("event_id"),
+          graft.ops.Relational.money(col("value")).as("v"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dur", col("next_us") - col("us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_holds"),
+          sum(col("dur")).cast("long").as("held_us"),
+          sum(col("v") * col("dur")).as("vd"))
+        .filter(col("held_us") > 0)
+        .select(col("user_id"), col("n_holds"), col("held_us"),
+          // round(6): the exact-decimal sum casts to double through
+          // BigDecimal.doubleValue, which can be 1 ulp off the
+          // correctly-rounded value DuckDB produces; at ~1e2 magnitude
+          // the ulp is ~1e-14 and round(6) absorbs it
+          round(col("vd").cast("double") / col("held_us"), 6).as("twa_value"))
+        .orderBy("user_id")
+    },
+
     // Point-in-time state reconstruction (time travel) over the event
     // changelog: the keyed state as of a snapshot instant T — per user,
     // the last update at-or-before T plus the update count to that
@@ -429,6 +464,27 @@ object FlowQueries {
         | MIN(pt_day) AS min_day, MAX(pt_day) AS max_day
         |FROM pts JOIN iv2 ON start_day <= pt_day AND pt_day <= end_day
         |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
+
+    "q129_time_weighted_avg" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(12,2)) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE user_id % 7 = 0),
+        |h AS (
+        |  SELECT user_id, v, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+        |  FROM ev),
+        |d AS (
+        |  SELECT user_id, v, next_us - us AS dur FROM h
+        |  WHERE next_us IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holds,
+        |    CAST(SUM(dur) AS BIGINT) AS held_us,
+        |    SUM(v * dur) AS vd
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n_holds, held_us,
+        |  round(CAST(vd AS DOUBLE) / held_us, 6) AS twa_value
+        |FROM a WHERE held_us > 0 ORDER BY user_id""".stripMargin,
 
     "q105_snapshot_at" ->
       """WITH ev AS (

@@ -568,6 +568,42 @@ class LateOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q129 time-weighted average lies inside the value range per user") {
+    val rows = SparkEntry.queries("q129_time_weighted_avg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bounds = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") % 7 === 0)
+      .groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n"))).toMap
+    rows.foreach { r =>
+      val (lo, hi, n) = bounds(r.getAs[Long]("user_id"))
+      val twa = r.getAs[Double]("twa_value")
+      // A weighted mean of held values cannot leave the value envelope
+      // (0.01 slack: source values are 2-decimal, twa rounds to 6).
+      assert(twa >= lo - 0.01 && twa <= hi + 0.01,
+        s"user ${r.getAs[Long]("user_id")}: twa $twa outside [$lo, $hi]")
+      assert(r.getAs[Long]("n_holds") == n - 1,
+        "every event except the last opens one hold")
+      assert(r.getAs[Long]("held_us") > 0)
+    }
+  }
+
+  test("q130 scorecard ratios are bounded and cover every source") {
+    val rows = SparkEntry.queries("q130_source_scorecard")(spark, sf).collect()
+    val sources = graft.model.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == sources, "one scorecard row per source")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Long]("mean_chars") > 0)
+      assert(r.getAs[Long]("boiler_ppm") <= 1000000L)
+      assert(r.getAs[Long]("stop_ppm") <= 1000000L)
+    }
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
