@@ -32,6 +32,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
+      finally graft.ops.Caches.clear() // release shared persisted subtrees
       (System.nanoTime() - t0) / 1e9
     }
 

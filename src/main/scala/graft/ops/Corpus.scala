@@ -601,9 +601,10 @@ object Corpus {
     "q130_source_scorecard" -> { (s, d) =>
       val stopArr = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
       val docs = Tables.documents(s, d)
-        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+        .withColumn("t", tokens(col("text")))
+        .withColumn("n_tok", size(col("t")).cast("long"))
         .withColumn("n_stop",
-          size(expr(s"filter(split(text, ' '), x -> array_contains($stopArr, x))")).cast("long"))
+          size(expr(s"filter(t, x -> array_contains($stopArr, x))")).cast("long"))
         .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
         .select("source", "n_chars", "n_tok", "n_stop", "phash")
       val boiler = docs.groupBy("source", "phash").agg(count(lit(1)).as("c"))

@@ -274,8 +274,9 @@ object Dedup {
     // this frame, so a reliable checkpoint would leak into the shared
     // store on every run (see q118's note).
     "q115_dup_triangles" -> { (s, d) =>
-      val edges = dupEdges(s, d).persist()
-      edges.count() // eager — see q118's note on lazy-persist branch races
+      // eager shared persist (see q118's note on lazy-persist branch
+      // races); Caches registers it so Verify/Bench unpersist after use
+      val edges = Caches.shared(dupEdges(s, d))
       val deg = edges.select(col("doc_a").as("n"))
         .unionByName(edges.select(col("doc_b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -325,17 +326,16 @@ object Dedup {
       // checkpoint here would permanently leak a corpus-sized table into
       // the shared store on every run (nothing supersedes it, so nothing
       // could ever dropCheckpoint it)
-      val toks = Tables.documents(s, d)
+      // EAGER shared persist: a lazy persist does not dedupe branches
+      // scheduled in the same job wave (they race past the empty cache
+      // and each recompute the subtree — measured ~2× on this query);
+      // Caches.shared fills the cache with one count() before the main
+      // plan runs and registers the frame for harness-side unpersist
+      val toks = Caches.shared(Tables.documents(s, d)
         .withColumn("t", tokens(col("text")))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
-          explode(array_distinct(shingleExpr("t", 3))).as("tok"))
-        .persist()
-      // EAGER materialization: a lazy persist does not dedupe branches
-      // scheduled in the same job wave (they race past the empty cache
-      // and each recompute the subtree — measured ~2× on this query);
-      // one cheap count() fills the cache before the main plan runs
-      toks.count()
+          explode(array_distinct(shingleExpr("t", 3))).as("tok")))
       val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       val wn = Window.partitionBy("doc_id")

@@ -356,16 +356,24 @@ object TextAnalysis {
     // (map-side combined) + two vocabulary-key joins; top-k is
     // TakeOrdered, never a global sort.
     "q109_bigram_lift" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .withColumn("t", tokens(col("text")))
-        .filter(size(col("t")) >= 2)
-      val big = docs.select(explode(expr(
+      // ONE corpus scan: bigrams and unigram counts both derive from the
+      // same eager-persisted tokens frame (the persisted projection is
+      // token arrays only — text and every other column are dropped
+      // before the cache). The bigram leg guards size<2 inline instead
+      // of re-filtering the table, so no branch re-reads the source.
+      val toksDf = Caches.shared(
+        Tables.documents(s, d).select(tokens(col("text")).as("t")))
+      val big = toksDf.filter(size(col("t")) >= 2)
+        .select(explode(expr(
           "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
           .as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val uni = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // uni is consumed three times (n_x join, n_y join, n_total) — it
+      // is vocabulary-sized, so persisting it too keeps the explode+agg
+      // over the cached token arrays from running 3×
+      val uni = Caches.shared(toksDf
+        .select(explode(col("t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")))
       val n = uni.agg(sum(col("cnt")).cast("long").as("n_total"))
       big.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
         .filter(col("n_xy") >= 5)
