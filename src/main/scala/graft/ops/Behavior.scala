@@ -75,7 +75,7 @@ object Behavior {
     * event_id), so the chain is deterministic. ONE definition shared
     * by q71 (stage counts) and q120 (conversion-latency distribution)
     * — mirrored by [[FunnelTimesSql]]. */
-  private[ops] def funnelTimes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def funnelTimes(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -53,26 +53,43 @@ object Graph {
       // (PlanSpec, Verify's builder pass) don't execute a Spark job at
       // DataFrame-construction time. Mechanism conf-gated via
       // spark.graft.checkpointDir (reliable on clusters, local here).
+      // ONE explicit hash exchange on the join key, shared by all three
+      // supersteps: each superstep joins `edges` on `a`, and identical
+      // exchange subtrees are deduplicated (ReuseExchange), so the edge
+      // list is shuffled once per run instead of once per superstep.
+      // The rank vector side then rides the partitioning its own
+      // groupBy/join outputs already carry (node ≡ a's hash space).
       val edges = Checkpoints.truncate(
         pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))),
         eager = false)
+        .repartition(col("a"))
       val deg = edges.groupBy(col("a").as("node"))
         .agg(count(lit(1)).as("deg"))
       val nRow = deg.agg(count(lit(1)).as("n_nodes"))
       var pr = deg.crossJoin(broadcast(nRow))
         .select(col("node"), col("deg"), col("n_nodes"),
           expr(s"CAST($R DIV n_nodes AS BIGINT)").as("pr"))
-      for (_ <- 1 to 3) {
+      for (i <- 1 to 3) {
         val contrib = pr
           .withColumn("share", expr("CAST(pr DIV deg AS BIGINT)"))
           .join(edges, col("node") === col("a"))
           .groupBy(col("b").as("dst"))
           .agg(sum(col("share")).as("inflow"))
-        pr = pr.join(contrib, col("node") === col("dst"), "left")
+        val next = pr.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"), col("deg"), col("n_nodes"),
             expr("CAST(CAST(150000000 DIV n_nodes AS BIGINT) + " +
               "CAST(85 * coalesce(inflow, 0) DIV 100 AS BIGINT) AS BIGINT)")
               .as("pr"))
+        // each superstep consumes pr TWICE (contrib join + rank join),
+        // so an unrolled lazy loop doubles the pr lineage per level —
+        // 2³ plan copies by superstep 3, deduped only where AQE's
+        // ReuseExchange happens to catch identical subtrees. Eagerly
+        // materializing each intermediate rank vector (node-count-sized,
+        // the PageRank state every engine carries) makes the work
+        // per-superstep linear by construction; the harness unpersists
+        // via Caches after the query lands. The final superstep is
+        // consumed once, so it stays lazy.
+        pr = if (i < 3) Caches.shared(next) else next
       }
       pr.orderBy(col("pr").desc, col("node"))
         .limit(20)

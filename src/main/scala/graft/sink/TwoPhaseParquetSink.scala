@@ -122,13 +122,26 @@ class TwoPhaseParquetSink(config: SinkConfig) {
 
   /** Pending-mode finalize + batch-commit: publish every staged batch
     * atomically (per-batch directory rename), in batch order. No-op in
-    * committed mode (BigqueryStreamWriter.java:339-345). */
+    * committed mode (BigqueryStreamWriter.java:339-345).
+    *
+    * Crash-convergent: a previous commit() may have died between a
+    * batch's atomic move and its marker, after which the recovery replay
+    * re-stages that batch — so a marker-less target directory can
+    * already exist. The move was atomic, so an existing target holds the
+    * COMPLETE batch (in pending mode nothing else writes `data/`); the
+    * staged duplicate carries the same batchId ⇒ the same offset range ⇒
+    * the same rows, so it is dropped and only the marker is (re)written.
+    * Every prefix of [move, mark]⁺ therefore replays to exactly-once
+    * visibility — the property CrashRecoverySpec walks step by step.
+    */
   def commit(): Unit = {
     stagedBatches().foreach { staged =>
       val name = staged.getFileName.toString
       val id = name.stripPrefix("batch=").toLong
-      Files.move(staged, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      markCommitted(id)
+      val target = dataDir.resolve(name)
+      if (Files.exists(target)) deleteRecursively(staged)
+      else Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+      if (!isCommitted(id)) markCommitted(id)
     }
   }
 

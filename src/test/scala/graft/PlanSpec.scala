@@ -168,6 +168,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 sessionization runs on ONE user_id shuffle end-to-end") {
+    // windows (lag, running sum) and the session aggregation all key on
+    // user_id — they must share a single hash exchange, not re-shuffle
+    // per stage. The final orderBy adds its range exchange; nothing else
+    // may repartition. Executed, AQE-final.
+    val df = SparkEntry.queries("q86_sessionize")(spark, sf)
+    df.collect()
+    // AQE plan strings append an "== Initial Plan ==" section that
+    // repeats every exchange — count the executed (final) section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val userShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id") && !l.contains("Reused"))
+    assert(userShuffles == 1,
+      s"q86 must shuffle on user_id exactly once, found $userShuffles:\n${p.take(3000)}")
+  }
+
+  test("q118 consumes its persisted shingle subtree, never re-scanning parquet") {
+    // the 4-branch PPJoin plan (df table, prefix window, verify join
+    // legs) must all read the eager-persisted tokens frame; a parquet
+    // scan in the main plan means a branch escaped the cache.
+    val df = SparkEntry.queries("q118_prefix_filter_join")(spark, sf)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(cacheReads >= 2,
+        s"q118's branches must read the persisted subtree (found $cacheReads cache reads):\n${p.take(2000)}")
+    } finally graft.ops.Caches.clear()
+  }
+
+  test("q90's final superstep reads no parquet and consumes cached rank state") {
+    // edges derive ONCE behind the checkpoint truncation (LogicalRDD) and
+    // each superstep's rank vector is eagerly materialized — so the final
+    // plan must contain zero parquet scans (all source work already done)
+    // and must read the cached superstep-2 state.
+    val df = SparkEntry.queries("q90_bipartite_pagerank")(spark, sf)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.linesIterator.forall(!_.contains("Scan parquet")),
+        s"q90's superstep plan re-derives its sources from parquet:\n${p.take(3000)}")
+      assert(p.contains("InMemoryTableScan"),
+        s"q90's supersteps are not materialized:\n${p.take(3000)}")
+    } finally graft.ops.Caches.clear()
+  }
+
   test("every declared query's windows are partitioned (no single-task sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     SparkEntry.queries.keys.foreach { name =>

@@ -446,4 +446,58 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed(1L)._4 == "mail <EMAIL> now" && streamed(2L)._4 == "call <PHONE>")
   }
+
+  test("streaming funnel stages equal batch q71's stage table under out-of-order delivery") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the REAL fixture (600 events, 15 users), delivered out of order:
+    // a deterministic multiplicative hash of (ts, key) interleaves users
+    // and times across batches (no Random — replayable)
+    val ev = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("ts"), col("user_id").cast("string").as("key"),
+        col("event_type").as("kind"))
+      .as[FEv].collect().toSeq
+    val shuffled = ev.sortBy(e => (e.ts.getTime * 2654435761L + e.key.hashCode).toInt)
+    val maxMs = ev.map(_.ts.getTime).max
+    val minMs = ev.map(_.ts.getTime).min
+    // watermark delay wider than the whole fixture span: nothing is ever
+    // late-dropped, every journey folds only at the final flush — the
+    // strictest possible out-of-order schedule
+    val delayMin = (maxMs - minMs) / 60000 + 10
+    val s = MemoryStream[FEv]
+    val stages = StreamingOps.funnelStages[FEv](
+      s.toDS().withWatermark("ts", s"$delayMin minutes").as[FEv],
+      _.key, _.ts, _.kind, expireAfterMillis = (maxMs - minMs) * 2 + 1000)
+    val q = stages.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_parity").start()
+    shuffled.grouped((shuffled.size + 4) / 5).foreach { b =>
+      s.addData(b: _*); q.processAllAvailable()
+    }
+    // sentinel far past everything pushes the watermark over every real
+    // event, folding all buffered journeys
+    s.addData(FEv(new Timestamp(maxMs + delayMin * 60000 * 3), "zz_sentinel", "view"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("funnel_parity").collect()
+      .filter(_.getString(0) != "zz_sentinel")
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        val m = rows.map(r => r.getString(1) -> r.getTimestamp(2).getTime).toMap
+        k -> ((m.get("view"), m.get("click"), m.get("purchase")))
+      }
+    // batch leg: q71's shared stage table, µs floored to ms — lossless
+    // here because the fixture has no same-user same-ms events (and the
+    // two legs' documented tie rules only diverge on exact ties)
+    val batch = graft.ops.Behavior.funnelTimes(spark, sf).collect()
+      .map { r =>
+        def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i) / 1000)
+        r.getLong(0).toString -> ((g(1), g(2), g(3)))
+      }
+      .filter { case (_, (v, c, p)) => v.isDefined || c.isDefined || p.isDefined }
+      .toMap
+    assert(streamed == batch,
+      s"streaming vs batch stage tables diverge:\n streamed=$streamed\n batch=$batch")
+  }
 }
