@@ -75,6 +75,23 @@ object Behavior {
     * event_id), so the chain is deterministic. ONE definition shared
     * by q71 (stage counts) and q120 (conversion-latency distribution)
     * — mirrored by [[FunnelTimesSql]]. */
+  /** Daily ingest counts per event type — ONE series definition shared
+    * by q125 (Theil–Sen robust slope) and q134 (OLS least-squares
+    * slope), so the robust-vs-classical estimator pair can never drift
+    * onto different series. Mirrored by [[DailyCountsSql]]. */
+  private def dailyCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), dayIndex.as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+
+  /** SQL mirror of [[dailyCounts]], prefixed into both oracles. */
+  private val DailyCountsSql =
+    """daily AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
   private[graft] def funnelTimes(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -367,9 +384,7 @@ object Behavior {
     // aggregate; each slope is one IEEE division of exact integers and
     // the median follows q48's proven percentile pattern.
     "q125_theil_sen" -> { (s, d) =>
-      val daily = Tables.events(s, d)
-        .select(col("event_type"), dayIndex.as("day"))
-        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val daily = dailyCounts(s, d)
       daily.as("a").join(daily.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("a.day") < col("b.day"))
@@ -384,6 +399,39 @@ object Behavior {
         .orderBy("event_type")
     },
 
+    // Classical least-squares trend per event type over the SAME daily
+    // series as q125's Theil–Sen (one dailyCounts definition — the
+    // robust/classical estimator pair is only meaningful on one
+    // series). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), all exact
+    // integers; x is CENTERED on the global min day (one-row broadcast
+    // anchor) so nΣxy stays ~horizon³·volume instead of picking up the
+    // ~19.7k-day epoch offset — the ×10⁶ ppm step then fits int64 with
+    // orders of magnitude to spare (q120's magnitude rule). The final
+    // floor division is sign-safe: Spark DIV truncates toward zero and
+    // DuckDB // floors, which differ on negative dividends, so the
+    // negative branch is computed as -ceil(|num|/den) in BOTH engines.
+    // Fully map-combinable: one scan, one |types|×|days|-bounded agg.
+    "q134_ols_trend" -> { (s, d) =>
+      val daily = dailyCounts(s, d)
+      val anchor = daily.agg(min(col("day")).as("d0"))
+      daily.crossJoin(broadcast(anchor))
+        .withColumn("x", col("day") - col("d0"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("c")).cast("long").as("sy"),
+          sum(col("x") * col("c")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"))
+        .withColumn("num", expr("CAST(n_days * sxy - sx * sy AS BIGINT)"))
+        .withColumn("den", expr("CAST(n_days * sxx - sx * sx AS BIGINT)"))
+        .select(col("event_type"), col("n_days"), col("num"), col("den"),
+          expr("""CAST(CASE WHEN den = 0 THEN NULL
+                 WHEN num >= 0 THEN num * 1000000 DIV den
+                 ELSE -((-num * 1000000 + den - 1) DIV den) END
+                 AS BIGINT)""").as("slope_ppm"))
+        .orderBy("event_type")
+    },
+
     // Last-touch attribution: each purchase is credited to the most
     // recent PRECEDING non-purchase event type in that user's stream
     // (the standard marketing-attribution rule; "none" when a purchase
@@ -391,6 +439,47 @@ object Behavior {
     // last-ignoring-nulls window over a strictly-preceding frame, then
     // a map-combined count over the |event_types|-bounded attribution
     // key; the share normalizer is a window over that bounded matrix.
+    // AS-OF join — each purchase matched to the most recent view
+    // at-or-before it in that user's stream (the trades⨝quotes shape:
+    // per-row point-in-time lookup, generalizing q105's fixed-T
+    // snapshot to one T per left row). Spark has no ASOF operator, so
+    // this is the scalable composition: TAG both sides, union, ONE
+    // window sorted by (time, side) per key, and a running
+    // last(ignoreNulls) carries the most recent right-side payload
+    // into each left row — the merge-join ASOF. No range fan-out, no
+    // per-row subquery, one user_id shuffle total; at 100 TB the cost
+    // envelope is the per-user sort every event-stream op here already
+    // pays. Right side sorts BEFORE left at equal timestamps
+    // (at-or-before includes ties); (us, side, event_id) makes the
+    // order total and deterministic. Oracle: DuckDB's native ASOF
+    // LEFT JOIN — two independent implementations of the semantics.
+    "q132_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"),
+          lit(1).as("side"),
+          lit(null).cast("long").as("q_us"),
+          lit(null).cast("double").as("q_value"))
+      val right = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("us"),
+          lit(0).as("side"), col("us").as("q_us"),
+          col("value").as("q_value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      left.unionByName(right)
+        .withColumn("asof_us", last(col("q_us"), ignoreNulls = true).over(w))
+        .withColumn("asof_value",
+          last(col("q_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("us").as("purchase_us"), col("asof_us"),
+          (col("us") - col("asof_us")).as("gap_us"), col("asof_value"))
+        .orderBy("event_id")
+    },
+
     "q122_last_touch" -> { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -567,12 +656,45 @@ object Behavior {
       |  FROM s4 GROUP BY user_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN implements the same at-or-before
+    // semantics the Spark union-tag window composes — two independent
+    // implementations agreeing row-for-row is the point.
+    "q132_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS purchase_us,
+        |  epoch_us(CAST(r.ts AS TIMESTAMP)) AS asof_us,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) -
+        |    epoch_us(CAST(r.ts AS TIMESTAMP)) AS gap_us,
+        |  r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q134_ols_trend" ->
+      s"""WITH $DailyCountsSql,
+        |anchor AS (SELECT MIN(day) AS d0 FROM daily),
+        |cent AS (
+        |  SELECT event_type, day - d0 AS x, c FROM daily CROSS JOIN anchor),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(x) AS sx, SUM(c) AS sy, SUM(x * c) AS sxy,
+        |    SUM(x * x) AS sxx
+        |  FROM cent GROUP BY event_type),
+        |sl AS (
+        |  SELECT event_type, n_days,
+        |    CAST(n_days * sxy - sx * sy AS BIGINT) AS num,
+        |    CAST(n_days * sxx - sx * sx AS BIGINT) AS den
+        |  FROM agg)
+        |SELECT event_type, n_days, num, den,
+        |  CAST(CASE WHEN den = 0 THEN NULL
+        |       WHEN num >= 0 THEN num * 1000000 // den
+        |       ELSE -((-num * 1000000 + den - 1) // den) END
+        |       AS BIGINT) AS slope_ppm
+        |FROM sl ORDER BY event_type""".stripMargin,
+
     "q125_theil_sen" ->
-      """WITH daily AS (
-        |  SELECT event_type,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-        |    COUNT(*) AS c
-        |  FROM events GROUP BY 1, 2),
+      s"""WITH $DailyCountsSql,
         |slopes AS (
         |  SELECT a.event_type,
         |    CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope

@@ -540,10 +540,51 @@ object Curation {
           expr("CAST(group_size * n_groups AS BIGINT)"))
         .withColumn("at_risk", col("group_size") < 5)
         .orderBy("group_size")
+    },
+
+    // HyperLogLog REGISTER construction, engine-exact (next to q54's
+    // Count-Min: the other classical mergeable sketch). Spark's own
+    // approx_count_distinct is an HLL whose binary state no other
+    // engine reproduces — so this builds the registers from the
+    // engine-neutral md5 hash instead: 60-bit h = first 15 md5 hex
+    // digits; bucket = low 6 bits (m=64 registers); rho = leading-zero
+    // count of the remaining 54-bit value + 1 = 55 − bitlength(v),
+    // with bitlength exact in BOTH engines as length(bin(v)) — no
+    // floats, no logs. Register value = max rho per (source, bucket).
+    // Why registers and not the estimate: the α·m²/Σ2^{−rho} finishing
+    // step is one IEEE expression over 64 values, but the STATE is the
+    // operator — registers max-merge associatively, so partial
+    // aggregation IS the distributed merge (map-side combine does the
+    // sketch union; OpsSpec asserts split-merge equality), and the
+    // shuffle carries ≤ |sources|·64 rows at ANY corpus size.
+    "q133_hll_registers" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+        .withColumn("bucket", expr("CAST(h % 64 AS BIGINT)"))
+        .withColumn("v", expr("h DIV 64"))
+        .withColumn("rho",
+          expr("CAST(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END AS BIGINT)"))
+        .groupBy("source", "bucket")
+        .agg(max(col("rho")).as("max_rho"),
+          count(lit(1)).cast("long").as("n_items"))
+        .orderBy("source", "bucket")
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q133_hll_registers" ->
+      """WITH hx AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (SELECT source, h % 64 AS bucket, h // 64 AS v FROM hx)
+        |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(MAX(CASE WHEN v = 0 THEN 55
+        |                ELSE 55 - length(bin(v)) END) AS BIGINT) AS max_rho,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+
     "q47_stratified_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,

@@ -271,6 +271,31 @@ object FlowQueries {
         .orderBy("user_id")
     },
 
+    // Hopping (sliding) time-window aggregation — the BATCH image of
+    // Structured Streaming's `window(ts, "24 hours", "6 hours")` agg:
+    // per 24 h window sliding every 6 h, event volume and distinct
+    // users per type. Spark's TimeWindow expression fans each event
+    // into its windowSize/slide = 4 covering windows (epoch-aligned 6 h
+    // grid) BEFORE the aggregation, so the shuffle carries (window,
+    // type)-keyed partial aggregates — map-combined, never raw events
+    // ×4. The oracle reproduces the window assignment arithmetically
+    // (the 4 grid starts in (us−24h, us]), pinning Spark's epoch
+    // alignment and boundary convention ([start, end) — an off-by-one
+    // at either edge fails the hash. The same groupBy compiles
+    // unchanged under readStream + watermark (the streaming twin of
+    // this exact plan is StreamingOps territory); distinct-user counts
+    // there would become approximate or stateful — here exact.
+    "q135_hopping_windows" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "24 hours", "6 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          countDistinct(col("user_id")).cast("long").as("n_users"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("n_events"), col("n_users"))
+        .orderBy("win_start_us", "event_type")
+    },
+
     // Point-in-time state reconstruction (time travel) over the event
     // changelog: the keyed state as of a snapshot instant T — per user,
     // the last update at-or-before T plus the update count to that
@@ -321,6 +346,19 @@ object FlowQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q135_hopping_windows" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, user_id
+        |  FROM events),
+        |hops AS (
+        |  SELECT ((us // 21600000000) - k) * 21600000000 AS win_start_us,
+        |         event_type, user_id
+        |  FROM ev, UNNEST(generate_series(0, 3)) AS g(k))
+        |SELECT win_start_us, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q11_microbatch_chunks" ->
       """WITH t AS (
         |  SELECT user_id % 4 AS p, event_id, value,

@@ -303,4 +303,51 @@ class BehaviorSpec extends AnyFunSuite {
       "max is >= the floored average, so the floor-ppm ratio is >= 1e6")
     assert(r.getAs[Long]("top10_share_ppm") <= 1000000L)
   }
+
+  test("q132 asof join: left-preserving, at-or-before, and maximal match") {
+    val rows = SparkEntry.queries("q132_asof_join")(spark, sf).collect()
+    val ev = graft.model.Tables.events(spark, sf)
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong == nPurch,
+      "ASOF LEFT must preserve every left row exactly once")
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getAs[Long]("asof_us") <= r.getAs[Long]("purchase_us"),
+        "matched view must be at-or-before the purchase")
+      assert(r.getAs[Long]("gap_us") ==
+        r.getAs[Long]("purchase_us") - r.getAs[Long]("asof_us"))
+    }
+    // maximality: per user, recompute the latest view ≤ each purchase
+    // from the raw fixture and demand exactly that timestamp
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).sorted }
+    rows.foreach { r =>
+      val best = views.getOrElse(r.getAs[Long]("user_id"), Array.empty[Long])
+        .filter(_ <= r.getAs[Long]("purchase_us")).lastOption
+      val got = if (r.isNullAt(3)) None else Some(r.getAs[Long]("asof_us"))
+      assert(got == best,
+        s"purchase ${r.getAs[Long]("event_id")}: asof=$got, expected $best")
+    }
+  }
+
+  test("q134 OLS slope lies within q125's pairwise-slope envelope") {
+    // the least-squares slope is a (xi−xj)²-weighted mean of pairwise
+    // slopes, so it must fall inside [min_slope, max_slope] of the
+    // SAME series — a cross-estimator consistency check that also
+    // pins the two queries to one dailyCounts definition.
+    val ols = SparkEntry.queries("q134_ols_trend")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ts = SparkEntry.queries("q125_theil_sen")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ols.keySet == ts.keySet, "both estimators cover the same series")
+    ols.foreach { case (tpe, r) =>
+      assert(r.getAs[Long]("den") > 0, s"$tpe: degenerate x variance")
+      val slope = r.getAs[Long]("slope_ppm") / 1e6
+      val (lo, hi) = (ts(tpe).getAs[Double]("min_slope"),
+        ts(tpe).getAs[Double]("max_slope"))
+      assert(slope >= lo - 1e-6 && slope <= hi + 1e-6,
+        s"$tpe: OLS slope $slope outside pairwise envelope [$lo, $hi]")
+    }
+  }
 }

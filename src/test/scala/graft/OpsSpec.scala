@@ -218,6 +218,48 @@ class OpsSpec extends AnyFunSuite {
     assert(capPairs == n * (n - 1) / 2)
   }
 
+  test("q133 HLL registers max-merge: sketch of the whole = merge of shard sketches") {
+    // the defining property of a mergeable sketch: registers built over
+    // the full corpus equal the element-wise max of registers built
+    // over disjoint shards — which is exactly why partial aggregation
+    // distributes the construction with no second pass.
+    import org.apache.spark.sql.functions._
+    def regs(filter: org.apache.spark.sql.Column) = {
+      graft.model.Tables.documents(spark, sf).filter(filter)
+        .select(col("source"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+        .withColumn("bucket", expr("CAST(h % 64 AS BIGINT)"))
+        .withColumn("v", expr("h DIV 64"))
+        .withColumn("rho",
+          expr("CAST(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END AS BIGINT)"))
+        .groupBy("source", "bucket").agg(max(col("rho")).as("max_rho"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val full = SparkEntry.queries("q133_hll_registers")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("max_rho")).toMap
+    val even = regs(col("doc_id") % 2 === 0)
+    val odd = regs(col("doc_id") % 2 === 1)
+    val merged = (even.keySet ++ odd.keySet).map { k =>
+      k -> math.max(even.getOrElse(k, 0L), odd.getOrElse(k, 0L))
+    }.toMap
+    assert(full == merged, "register max-merge must reproduce the full sketch")
+    full.values.foreach(r => assert(r >= 1 && r <= 55, s"rho out of range: $r"))
+  }
+
+  test("q135 hopping windows: every event lands in exactly windowSize/slide windows") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q135_hopping_windows")(spark, sf).collect()
+    val totalEvents = graft.model.Tables.events(spark, sf).count()
+    val fanOut = rows.map(_.getAs[Long]("n_events")).sum
+    assert(fanOut == 4 * totalEvents,
+      s"24h/6h hop must place each event in exactly 4 windows: $fanOut vs ${4 * totalEvents}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("win_start_us") % 21600000000L == 0,
+        "window starts must sit on the epoch-aligned 6h grid")
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events"))
+    }
+  }
+
   test("multimodal stub decode derives features from bytes deterministically") {
     val a = Multimodal.Asset(7L, "s", "Hello".getBytes("UTF-8"))
     val m = Multimodal.decodeStub(a)
