@@ -343,17 +343,33 @@ object Dedup {
         .withColumn("n", count(lit(1)).over(wn))
         .withColumn("r", row_number().over(wd))
         .filter(col("r") <= col("n") - expr("(n + 1) DIV 2") + 1)
-        .select(col("doc_id"), col("tok"), col("n"))
+        .select(col("doc_id"), col("tok"), col("n"), col("r"))
       // the LENGTH filter rides in the join predicate (exact: jac ≥ ½
       // forces |A∩B| ≤ min ≤ max ≤ |A∪B| so min/max ≥ ½) — it prunes
       // size-incompatible collisions before the verify fan-out, which
-      // is the dominant cost (candidates × shingles-per-doc rows)
+      // is the dominant cost (candidates × shingles-per-doc rows).
+      // PPJoin POSITION filter on top: the (df, tok) order is GLOBAL,
+      // so the pair's globally-smallest common token w sits earlier in
+      // BOTH sorted token lists than every other common token — all
+      // overlap beyond w lives in the suffixes after w's ranks, giving
+      // overlap ≤ 1 + min(na−ra, nb−rb). And because a smaller global
+      // order means a smaller per-doc position, w is inside both
+      // prefixes whenever ANY common token is (the prefix-filter
+      // theorem's witness), so w IS one of the collision rows — the
+      // max over shared prefix tokens recovers exactly w's bound.
+      // Candidates whose best-possible overlap already misses
+      // 3·common ≥ na+nb are dropped BEFORE the verify join pays
+      // (candidates × shingles-per-doc); exactness is untouched (the
+      // completeness spec vs the exhaustive join still passes).
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
             col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n").as("na"), col("b.n").as("nb"))
-        .distinct()
+        .agg(max(least(col("a.n") - col("a.r"), col("b.n") - col("b.r")))
+          .as("ub0"))
+        .filter((col("ub0") + lit(1)) * 3 >= col("na") + col("nb"))
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       val ta = toks.select(col("doc_id").as("doc_a"), col("tok"))
       val tb = toks.select(col("doc_id").as("doc_b"), col("tok"))
       cand.join(ta, "doc_a").join(tb, Seq("doc_b", "tok"))
