@@ -496,20 +496,40 @@ object Dedup {
     // CLUSTER label instead of the doc id. Reuses the q65 component
     // labels; the audit itself is one aggregation over them.
     "q76_split_leakage" -> { (s, d) =>
-      val splitOf = (c: Column) =>
-        when(c <= 7, "train").when(c === 8, "val").otherwise("test")
       connectedComponents(dupEdges(s, d))
-        .withColumn("bucket",
-          neutralHash32(concat(lit("split:"), col("node").cast("string"))) % 10)
-        .withColumn("split", splitOf(col("bucket")))
+        .withColumn("split", splitOf(col("node")))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).cast("long").as("n_members"),
              countDistinct(col("split")).cast("long").as("n_splits"),
              min(col("split")).as("first_split"))
         .withColumn("leaky", col("n_splits") > 1)
-        .withColumn("cluster_split", splitOf(
-          neutralHash32(concat(lit("split:"), col("cluster_id").cast("string"))) % 10))
+        .withColumn("cluster_split", splitOf(col("cluster_id")))
         .orderBy("cluster_id")
+    },
+
+    // Cluster-aware split ASSIGNMENT — the op that PRODUCES what q76's
+    // audit checks for: every document (dup-cluster members AND
+    // singletons) gets its train/val/test split from the hash of its
+    // CLUSTER label, so near-duplicates cannot straddle a split
+    // boundary by construction (hashing doc ids instead is exactly the
+    // leak q76 flags). Singleton cluster = own doc_id (left join +
+    // coalesce — no row of the corpus is dropped, spec-asserted).
+    // Shares the ONE split rule (splitOf ↔ splitCaseSql) and the q65
+    // component machinery. Scale: the labels table is dup-cluster-
+    // member-sized (≪ corpus); one left equi-join + a 3-row rollup.
+    "q136_cluster_split" -> { (s, d) =>
+      val labels = connectedComponents(dupEdges(s, d))
+        .select(col("node").as("doc_id"), col("label"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+        .withColumn("split", splitOf(col("cluster")))
+        .groupBy("split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("cluster")).cast("long").as("n_clusters"),
+          sum(col("n_tok")).as("n_tokens"))
+        .orderBy("split")
     },
 
     // B11 scale path: 32-bit SimHash + 8-bit-band candidate join, over
@@ -618,6 +638,14 @@ object Dedup {
   /** Oracle image of q76's 80/10/10 split assignment (the SQL twin of its
     * Scala `splitOf`∘`neutralHash32` pair) — ONE definition so the bucket
     * rule cannot drift between the per-node and per-cluster columns. */
+  /** The ONE train/val/test split rule (8/1/1 by engine-neutral hash of
+    * "split:"+id), shared by q76 (leakage audit) and q136 (cluster-aware
+    * assignment); mirrored by [[splitCaseSql]]. */
+  private def splitOf(id: Column): Column = {
+    val b = neutralHash32(concat(lit("split:"), id.cast("string"))) % 10
+    when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+  }
+
   private def splitCaseSql(idExpr: String): String =
     s"""CASE WHEN ('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)),1,8))::BIGINT % 10 <= 7 THEN 'train'
        |       WHEN ('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)),1,8))::BIGINT % 10 = 8 THEN 'val'
@@ -800,6 +828,18 @@ object Dedup {
         |  COUNT(DISTINCT split) > 1 AS leaky,
         |  ${splitCaseSql("label")} AS cluster_split
         |FROM sp GROUP BY label ORDER BY cluster_id""".stripMargin),
+
+    "q136_cluster_split" -> (ClusterLabelsSql +
+      s""",
+        |assigned AS (
+        |  SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tok,
+        |    COALESCE(l.label, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
+        |SELECT ${splitCaseSql("cluster")} AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q27_simhash" ->
       """WITH toks AS (

@@ -95,6 +95,52 @@ object TextAnalysis {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25-lite retrieval scoring — query-scored corpus search, the IR
+    // primitive q31's tf-idf (per-doc top term) does not cover: given
+    // query terms, rank documents by tf·idf with the BM25 length
+    // normalization tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1=1.2
+    // b=0.75. Everything integer: idf as the capped proxy
+    // min(N DIV df, 10⁶) (log-free and monotone in N/df; the cap keeps
+    // the score product in int64 at ANY corpus size — rarer than
+    // 1-in-10⁶ scores as 10⁶), the normalization in milli units with
+    // every DIV at a pinned point, mirrored token-for-token in the
+    // oracle. Query terms are self-derived and deterministic: the 3
+    // tokens whose df is closest to N/10 (mid-frequency — realistic
+    // query words; (gap, tok) totally ordered). Scale shape: postings
+    // (tf) and lengths (dl) are one explode + two map-combined aggs;
+    // the 3-term query set and the one-row corpus stats broadcast; the
+    // final top-10 is a 3-partition window, never a global sort.
+    "q137_bm25_retrieval" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("total_tok"))
+      val dfTbl = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val qterms = dfTbl.crossJoin(broadcast(stats))
+        .orderBy(abs(col("df") * 10 - col("n_docs")), col("tok"))
+        .limit(3)
+        .select(col("tok"), col("df"))
+      val w = Window.partitionBy("tok")
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      tf.join(broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl_milli", expr("total_tok * 1000 DIV n_docs"))
+        .withColumn("idf_proxy",
+          least(expr("n_docs DIV df"), lit(1000000L)))
+        .withColumn("score_micro",
+          expr("2200 * idf_proxy * tf * 1000 DIV (tf * 1000 + " +
+            "1200 * (250 + 750 * dl * 1000 DIV avgdl_milli) DIV 1000)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("tok"), col("rk").cast("long").as("rk"), col("doc_id"),
+          col("tf").cast("long").as("tf"), col("dl").cast("long").as("dl"),
+          col("score_micro").cast("long").as("score_micro"))
+        .orderBy("tok", "rk")
+    },
+
     // B12: per-language token statistics.
     "q21_doc_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -449,6 +495,41 @@ object TextAnalysis {
       |      FROM ov)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q137_bm25_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(dl) AS BIGINT) AS total_tok
+        |  FROM dl),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |qterms AS (
+        |  SELECT tok, df FROM dfq CROSS JOIN stats
+        |  ORDER BY abs(df * 10 - n_docs), tok LIMIT 3),
+        |scored AS (
+        |  SELECT t.tok, t.doc_id, t.tf, l.dl,
+        |    s.total_tok * 1000 // s.n_docs AS avgdl_milli,
+        |    LEAST(s.n_docs // q.df, 1000000) AS idf_proxy
+        |  FROM tf t JOIN qterms q USING (tok) JOIN dl l USING (doc_id)
+        |  CROSS JOIN stats s),
+        |sc2 AS (
+        |  SELECT tok, doc_id, tf, dl,
+        |    2200 * idf_proxy * tf * 1000 // (tf * 1000 +
+        |      1200 * (250 + 750 * dl * 1000 // avgdl_milli) // 1000)
+        |      AS score_micro
+        |  FROM scored),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY tok ORDER BY score_micro DESC, doc_id) AS rk
+        |  FROM sc2)
+        |SELECT tok, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+        |  CAST(score_micro AS BIGINT) AS score_micro
+        |FROM rk WHERE rk <= 10 ORDER BY tok, rk""".stripMargin,
+
     "q109_bigram_lift" ->
       """WITH toks AS (
         |  SELECT string_split(text, ' ') AS t FROM documents),

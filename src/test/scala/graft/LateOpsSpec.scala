@@ -354,6 +354,61 @@ class LateOpsSpec extends AnyFunSuite {
       "every vector lands in exactly one cell")
   }
 
+  test("q136 cluster-aware split is total and matches an independent recomputation") {
+    // the documented rule, recomputed test-side from first principles
+    // (JVM MessageDigest, not Spark SQL): split = hash("split:"+label)
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      val b = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % 10
+      if (b <= 7) "train" else if (b == 8) "val" else "test"
+    }
+    val labels = graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.dupEdges(spark, sf)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(labels.nonEmpty, "corpus plants dup clusters")
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+    // full per-doc assignment: cluster = label (members) or own id
+    val assigned = docs.map { case (id, nt) =>
+      val cluster = labels.getOrElse(id, id)
+      (splitOf(cluster), cluster, nt)
+    }
+    val expect = assigned.groupBy(_._1).map { case (s, rs) =>
+      s -> ((rs.length.toLong, rs.map(_._2).distinct.length.toLong,
+        rs.map(_._3).sum))
+    }
+    val got = SparkEntry.queries("q136_cluster_split")(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"),
+          r.getAs[Long]("n_tokens")))).toMap
+    assert(got == expect, s"rollup mismatch:\n got=$got\n exp=$expect")
+    assert(got.values.map(_._1).sum == docs.length.toLong,
+      "every document must receive exactly one split")
+  }
+
+  test("q137 BM25 rankings are dense, monotone, and score-consistent") {
+    val rows = SparkEntry.queries("q137_bm25_retrieval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byTerm = rows.groupBy(_.getAs[String]("tok"))
+    assert(byTerm.size == 3, "exactly three self-derived query terms")
+    byTerm.foreach { case (tok, rs) =>
+      val ranked = rs.sortBy(_.getAs[Long]("rk"))
+      assert(ranked.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to ranked.length).toSeq, s"$tok: ranks must be dense from 1")
+      val scores = ranked.map(_.getAs[Long]("score_micro")).toSeq
+      assert(scores == scores.sorted.reverse,
+        s"$tok: scores must be non-increasing down the ranking")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("score_micro") > 0)
+        assert(r.getAs[Long]("tf") <= r.getAs[Long]("dl"),
+          "a term cannot occur more often than the doc has tokens")
+      }
+    }
+  }
+
   test("q118 prefix filter is COMPLETE: equals the exhaustive pairwise join") {
     val got = SparkEntry.queries("q118_prefix_filter_join")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
