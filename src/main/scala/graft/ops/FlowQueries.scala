@@ -304,6 +304,47 @@ object FlowQueries {
     // time, integer-exact both engines), computed once and broadcast;
     // the latest-row ranking is q81's window shape restricted to the
     // pre-T prefix — one user_id shuffle, O(1) window state.
+    // CDC MERGE (upsert + delete) — the lakehouse MERGE INTO shape: a
+    // base SNAPSHOT (keyed state as of T_mid, q105's machinery) has a
+    // CHANGES-SINCE delta batch applied (per key, the latest post-T
+    // event), and the merged table must equal the state a full
+    // recompute over the whole changelog produces — which is exactly
+    // what the oracle computes, so the hash compare proves the merge
+    // algebra (delta wins where present, base survives elsewhere,
+    // 'error' rows are tombstones that DELETE the key). Scale shape:
+    // in production the base is a STORED table — the merge itself is
+    // one full-outer equi-join on the key plus a coalesce, and the
+    // delta's latest-per-key is a window over the (small) post-T slice;
+    // nothing rescans history.
+    "q139_merge_upsert" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+      val t = ev.agg(expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)").as("t_mid"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      def latest(df: DataFrame) =
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("us"))
+      val withT = ev.crossJoin(broadcast(t))
+      val base = latest(withT.filter(col("us") <= col("t_mid")))
+      val delta = latest(withT.filter(col("us") > col("t_mid")))
+      base.as("b").join(delta.as("d"), Seq("user_id"), "full")
+        .select(col("user_id"),
+          coalesce(col("d.event_id"), col("b.event_id")).as("event_id"),
+          coalesce(col("d.event_type"), col("b.event_type")).as("event_type"),
+          coalesce(col("d.value"), col("b.value")).as("value"),
+          coalesce(col("d.us"), col("b.us")).as("us"))
+        // tombstone: a key whose final row is an 'error' is DELETED
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"),
+          col("event_id").cast("long").as("last_event_id"),
+          col("us").cast("long").as("last_us"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
     "q105_snapshot_at" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("value"),
@@ -346,6 +387,23 @@ object FlowQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // The DIRECT full-changelog recompute — deliberately NOT the
+    // snapshot+delta path: the hash compare proves the Spark-side
+    // MERGE reproduces what a from-scratch rebuild yields.
+    "q139_merge_upsert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
+        |  CAST(us AS BIGINT) AS last_us, value AS last_value
+        |FROM rk WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
     "q135_hopping_windows" ->
       """WITH ev AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, user_id

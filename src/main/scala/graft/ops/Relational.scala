@@ -41,6 +41,38 @@ object Relational {
   def rate(c: Column): Column  = c.cast(DecimalType(4, 2))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental view maintenance — the aggregate-state MERGE a 100 TB
+    // pipeline relies on to avoid full recomputes: yesterday's stored
+    // partial state and today's batch partial state are UNIONED AND
+    // RE-AGGREGATED, never rescanning history. The op's contract is
+    // that every emitted statistic is an associatively-mergeable
+    // algebra: count/sum merge by sum, min/max by min/max, mean
+    // derives from merged (sum, count), and bounded-domain distinct
+    // (langs ≤ ~20) merges as set union — exact, unlike a sketch.
+    // The oracle computes the SAME numbers directly from the full
+    // table in one pass, so the hash compare proves merge == rebuild.
+    // (The unbounded-distinct analogue is q133's HLL registers, whose
+    // max-merge the same way. Here the two partials simulate the
+    // stored base + new batch via a doc_id parity split.)
+    "q138_incremental_agg" -> { (s, d) =>
+      def partial(f: Column) = Tables.documents(s, d).filter(f)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+          min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+          collect_set(col("lang")).as("langs"))
+      partial(col("doc_id") % 2 === 0)
+        .unionByName(partial(col("doc_id") % 2 === 1))
+        .groupBy("source")
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+          sum(col("sc")).cast("long").as("sum_chars"),
+          min(col("mn")).cast("long").as("min_chars"),
+          max(col("mx")).cast("long").as("max_chars"),
+          size(array_distinct(flatten(collect_list(col("langs")))))
+            .cast("long").as("n_langs"))
+        .withColumn("mean_chars", expr("CAST(sum_chars DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
     // B3/B1: scan + filter + hash aggregation, TPC-H Q1 image.
     "q01_pricing_summary" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
@@ -275,6 +307,18 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    // one-pass direct recompute — the rebuild the Spark-side partial
+    // merge must reproduce bit-for-bit
+    "q138_incremental_agg" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q126_nation_trade" ->
       """SELECT 'BLOC_' || (nc.n_nationkey % 5) AS cust_bloc,
         |  'BLOC_' || (ns.n_nationkey % 5) AS supp_bloc,

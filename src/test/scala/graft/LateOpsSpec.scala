@@ -409,6 +409,62 @@ class LateOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q138 aggregate-state merge is associative across finer splits") {
+    // the 2-way parity split is the declared query; a 3-way (mod 3)
+    // split re-merged must give the identical rollup — associativity
+    // is what lets a real pipeline merge base+batch+batch without
+    // caring how history was partitioned
+    import graft.model.Tables
+    def partial(m: Int, r: Int) = Tables.documents(spark, sf)
+      .filter(col("doc_id") % m === r)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+        min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+        collect_set(col("lang")).as("langs"))
+    def merge(parts: Seq[org.apache.spark.sql.DataFrame]) =
+      parts.reduce(_ unionByName _)
+        .groupBy("source")
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+          sum(col("sc")).cast("long").as("sum_chars"),
+          min(col("mn")).cast("long").as("min_chars"),
+          max(col("mx")).cast("long").as("max_chars"),
+          size(array_distinct(flatten(collect_list(col("langs")))))
+            .cast("long").as("n_langs"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+    val threeWay = merge((0 until 3).map(partial(3, _)))
+    val declared = SparkEntry.queries("q138_incremental_agg")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
+         r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars"),
+         r.getAs[Long]("n_langs"))).toMap
+    assert(threeWay == declared,
+      "3-way split merge must equal the declared 2-way merge")
+  }
+
+  test("q139 MERGE equals an independent full-changelog recompute; tombstones delete") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    // JVM-side recompute: latest event per user, error = deleted
+    val expect = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val last = es.maxBy(e => (e._5, e._2))
+      if (last._3 == "error") None
+      else Some(u -> ((last._2, last._5, last._4)))
+    }.toMap
+    val got = SparkEntry.queries("q139_merge_upsert")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("last_event_id"), r.getAs[Long]("last_us"),
+          r.getAs[Double]("last_value")))).toMap
+    assert(got == expect, "merged state must equal the full rebuild")
+    val allUsers = ev.map(_._1).distinct.length
+    assert(got.size < allUsers,
+      "fixture plants error tombstones — some user must be deleted")
+  }
+
   test("q118 prefix filter is COMPLETE: equals the exhaustive pairwise join") {
     val got = SparkEntry.queries("q118_prefix_filter_join")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
