@@ -49,7 +49,7 @@ object PlanAudit {
         println(f"$name%-28s ${counts.mkString(" ")}")
       } catch {
         case e: Throwable => println(f"$name%-28s FAILED: ${e.getMessage}")
-      }
+      } finally graft.ops.Caches.clear() // release shared persisted subtrees
     }
     spark.stop()
   }

@@ -66,15 +66,6 @@ object Behavior {
   private def dayIndex: Column =
     expr(s"CAST(unix_micros(ts) div $UsPerDay AS BIGINT)")
 
-  /** Per-user ordered-funnel stage times (user_id, first_view,
-    * first_click, first_purchase) — running minimums over the per-user
-    * event timeline: seen_view = earliest view so far; a click
-    * qualifies only at-or-after it; seen_click = earliest qualifying
-    * click so far; a purchase only at-or-after that. min() ignores
-    * NULLs in both engines and ties are fully broken by (us,
-    * event_id), so the chain is deterministic. ONE definition shared
-    * by q71 (stage counts) and q120 (conversion-latency distribution)
-    * — mirrored by [[FunnelTimesSql]]. */
   /** Daily ingest counts per event type — ONE series definition shared
     * by q125 (Theil–Sen robust slope) and q134 (OLS least-squares
     * slope), so the robust-vs-classical estimator pair can never drift
@@ -92,6 +83,15 @@ object Behavior {
       |    COUNT(*) AS c
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** Per-user ordered-funnel stage times (user_id, first_view,
+    * first_click, first_purchase) — running minimums over the per-user
+    * event timeline: seen_view = earliest view so far; a click
+    * qualifies only at-or-after it; seen_click = earliest qualifying
+    * click so far; a purchase only at-or-after that. min() ignores
+    * NULLs in both engines and ties are fully broken by (us,
+    * event_id), so the chain is deterministic. ONE definition shared
+    * by q71 (stage counts) and q120 (conversion-latency distribution)
+    * — mirrored by [[FunnelTimesSql]]. */
   private[graft] def funnelTimes(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -462,10 +462,17 @@ object Behavior {
           lit(1).as("side"),
           lit(null).cast("long").as("q_us"),
           lit(null).cast("double").as("q_value"))
+      // the quote side is deduped to ONE row per (key, timestamp) —
+      // latest-write-wins by event_id — so the at-or-before match is
+      // unique by construction: DuckDB's ASOF picks among exact-ts
+      // ties arbitrarily, and this removes the tie class entirely
+      // rather than hoping the fixture stays tie-free
       val right = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("event_id"),
+          expr("max_by(value, event_id)").as("q_value"))
         .select(col("user_id"), col("event_id"), col("us"),
-          lit(0).as("side"), col("us").as("q_us"),
-          col("value").as("q_value"))
+          lit(0).as("side"), col("us").as("q_us"), col("q_value"))
       val w = Window.partitionBy("user_id")
         .orderBy(col("us"), col("side"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -667,7 +674,9 @@ object Behavior {
         |    epoch_us(CAST(r.ts AS TIMESTAMP)) AS gap_us,
         |  r.value AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
 

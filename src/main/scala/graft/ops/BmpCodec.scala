@@ -96,9 +96,20 @@ object BmpCodec {
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
     require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
+    // a hostile/corrupt header must fail the TYPED way, not escape as
+    // an ArrayIndexOutOfBounds: the offset can be negative or point
+    // past the file, and stride·height can overflow Int for absurd
+    // dimensions — cap dims below Int overflow in rowStride, then
+    // validate the full extent in Long before any indexing
+    require(width <= (1 << 28) && height <= (1 << 28),
+      s"implausible dimensions ${width}x$height")
+    require(pixelOffset >= FileHeaderSize + InfoHeaderSize &&
+      pixelOffset <= bytes.length,
+      s"bad pixel-array offset $pixelOffset")
     val stride = rowStride(width)
-    require(bytes.length >= pixelOffset + stride * height,
-      s"pixel array truncated: need ${pixelOffset + stride * height}, have ${bytes.length}")
+    val need = pixelOffset.toLong + stride.toLong * height.toLong
+    require(bytes.length.toLong >= need,
+      s"pixel array truncated: need $need, have ${bytes.length}")
     val pixels = new Array[Int](width * height)
     var fileRow = 0
     while (fileRow < height) {

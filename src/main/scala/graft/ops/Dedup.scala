@@ -635,9 +635,6 @@ object Dedup {
       |            JOIN sh b ON b.doc_id = doc_b AND b.sh = a.sh
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** Oracle image of q76's 80/10/10 split assignment (the SQL twin of its
-    * Scala `splitOf`∘`neutralHash32` pair) — ONE definition so the bucket
-    * rule cannot drift between the per-node and per-cluster columns. */
   /** The ONE train/val/test split rule (8/1/1 by engine-neutral hash of
     * "split:"+id), shared by q76 (leakage audit) and q136 (cluster-aware
     * assignment); mirrored by [[splitCaseSql]]. */
@@ -646,6 +643,9 @@ object Dedup {
     when(b <= 7, "train").when(b === 8, "val").otherwise("test")
   }
 
+  /** Oracle image of [[splitOf]] (the SQL twin of its
+    * `neutralHash32`-bucket rule) — ONE definition so the split rule
+    * cannot drift between the per-node, per-cluster, and q136 columns. */
   private def splitCaseSql(idExpr: String): String =
     s"""CASE WHEN ('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)),1,8))::BIGINT % 10 <= 7 THEN 'train'
        |       WHEN ('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)),1,8))::BIGINT % 10 = 8 THEN 'val'

@@ -330,12 +330,20 @@ object FlowQueries {
       val withT = ev.crossJoin(broadcast(t))
       val base = latest(withT.filter(col("us") <= col("t_mid")))
       val delta = latest(withT.filter(col("us") > col("t_mid")))
+      // presence is keyed on event_id (never null in a real delta row),
+      // NOT per-column coalesce: a delta row whose value is
+      // legitimately NULL must still override the base row's value
+      // rather than silently resurrecting it
+      val deltaPresent = col("d.event_id").isNotNull
       base.as("b").join(delta.as("d"), Seq("user_id"), "full")
         .select(col("user_id"),
-          coalesce(col("d.event_id"), col("b.event_id")).as("event_id"),
-          coalesce(col("d.event_type"), col("b.event_type")).as("event_type"),
-          coalesce(col("d.value"), col("b.value")).as("value"),
-          coalesce(col("d.us"), col("b.us")).as("us"))
+          when(deltaPresent, col("d.event_id"))
+            .otherwise(col("b.event_id")).as("event_id"),
+          when(deltaPresent, col("d.event_type"))
+            .otherwise(col("b.event_type")).as("event_type"),
+          when(deltaPresent, col("d.value"))
+            .otherwise(col("b.value")).as("value"),
+          when(deltaPresent, col("d.us")).otherwise(col("b.us")).as("us"))
         // tombstone: a key whose final row is an 'error' is DELETED
         .filter(col("event_type") =!= "error")
         .select(col("user_id"),

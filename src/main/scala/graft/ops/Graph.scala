@@ -49,10 +49,14 @@ object Graph {
         .distinct()
       // truncate the edge lineage ONCE (q65's pattern) so the DAG does
       // not re-derive the lineitem⨝orders distinct for the degree pass
-      // and every superstep's join; LAZY so plan-only inspections
-      // (PlanSpec, Verify's builder pass) don't execute a Spark job at
-      // DataFrame-construction time. Mechanism conf-gated via
-      // spark.graft.checkpointDir (reliable on clusters, local here).
+      // and every superstep's join; the truncation itself is LAZY, but
+      // note that the superstep materialization below (Caches.shared)
+      // DOES run Spark jobs at DataFrame-construction time — builders
+      // of this query pay supersteps 1–2 up front (bounded, node-sized
+      // work) and must release the registered caches via Caches.clear
+      // (Verify/Bench/PlanAudit and PlanSpec's fleet tests all do).
+      // Mechanism conf-gated via spark.graft.checkpointDir (reliable
+      // on clusters, local here).
       // ONE explicit hash exchange on the join key, shared by all three
       // supersteps: each superstep joins `edges` on `a`, and identical
       // exchange subtrees are deduplicated (ReuseExchange), so the edge

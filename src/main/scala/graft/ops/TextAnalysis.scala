@@ -100,11 +100,15 @@ object TextAnalysis {
     // query terms, rank documents by tf·idf with the BM25 length
     // normalization tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1=1.2
     // b=0.75. Everything integer: idf as the capped proxy
-    // min(N DIV df, 10⁶) (log-free and monotone in N/df; the cap keeps
-    // the score product in int64 at ANY corpus size — rarer than
-    // 1-in-10⁶ scores as 10⁶), the normalization in milli units with
-    // every DIV at a pinned point, mirrored token-for-token in the
-    // oracle. Query terms are self-derived and deterministic: the 3
+    // min(N DIV df, 10⁶) (log-free and monotone in N/df — rarer than
+    // 1-in-10⁶ scores as 10⁶), tf capped at 10⁶ IN THE NUMERATOR ONLY
+    // (BM25 saturates toward idf·(k1+1) long before tf=10⁶, so the
+    // ranking is unchanged; the uncapped denominator keeps monotone
+    // separation among capped docs). Both caps together bound the
+    // numerator at 2200·10⁶·10⁶·10³ ≈ 2.2·10¹⁸ < 2⁶³ — int64-safe at
+    // ANY corpus size, not just plausible ones. Normalization in milli
+    // units with every DIV at a pinned point, mirrored token-for-token
+    // in the oracle. Query terms are self-derived and deterministic: the 3
     // tokens whose df is closest to N/10 (mid-frequency — realistic
     // query words; (gap, tok) totally ordered). Scale shape: postings
     // (tf) and lengths (dl) are one explode + two map-combined aggs;
@@ -130,9 +134,12 @@ object TextAnalysis {
         .withColumn("avgdl_milli", expr("total_tok * 1000 DIV n_docs"))
         .withColumn("idf_proxy",
           least(expr("n_docs DIV df"), lit(1000000L)))
+        // dl capped at 10⁹ inside the length ratio (a 10⁹-token single
+        // document does not exist; uncapped, 750·dl·1000 would pass
+        // int64 at dl ≈ 1.2·10¹³)
         .withColumn("score_micro",
-          expr("2200 * idf_proxy * tf * 1000 DIV (tf * 1000 + " +
-            "1200 * (250 + 750 * dl * 1000 DIV avgdl_milli) DIV 1000)"))
+          expr("2200 * idf_proxy * least(tf, 1000000) * 1000 DIV (tf * 1000 + " +
+            "1200 * (250 + 750 * least(dl, 1000000000) * 1000 DIV avgdl_milli) DIV 1000)"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .select(col("tok"), col("rk").cast("long").as("rk"), col("doc_id"),
@@ -517,8 +524,9 @@ object TextAnalysis {
         |  CROSS JOIN stats s),
         |sc2 AS (
         |  SELECT tok, doc_id, tf, dl,
-        |    2200 * idf_proxy * tf * 1000 // (tf * 1000 +
-        |      1200 * (250 + 750 * dl * 1000 // avgdl_milli) // 1000)
+        |    2200 * idf_proxy * LEAST(tf, 1000000) * 1000 // (tf * 1000 +
+        |      1200 * (250 + 750 * LEAST(dl, 1000000000) * 1000
+        |        // avgdl_milli) // 1000)
         |      AS score_micro
         |  FROM scored),
         |rk AS (

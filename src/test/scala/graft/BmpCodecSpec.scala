@@ -68,6 +68,24 @@ class BmpCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BmpCodec.decode(bpp8))
   }
 
+  test("hostile headers fail typed, not with an index/overflow escape") {
+    def putIntLE(b: Array[Byte], at: Int, v: Int): Unit = {
+      val e = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+      System.arraycopy(e, 0, b, at, 4)
+    }
+    val good = BmpCodec.encode(4, 3, (_, _) => 0x112233)
+    // negative pixel offset: would index bytes(-1000+...) unguarded
+    val negOff = good.clone(); putIntLE(negOff, 10, -1000)
+    intercept[IllegalArgumentException](BmpCodec.decode(negOff))
+    // offset past the end of the file
+    val farOff = good.clone(); putIntLE(farOff, 10, good.length + 64)
+    intercept[IllegalArgumentException](BmpCodec.decode(farOff))
+    // absurd width: stride*height overflows Int unguarded
+    val huge = good.clone(); putIntLE(huge, 18, 1 << 29)
+    intercept[IllegalArgumentException](BmpCodec.decode(huge))
+  }
+
   test("batch decoder reduces to exact integer stats") {
     val id = 42L
     val a = Multimodal.Asset(id, "s",

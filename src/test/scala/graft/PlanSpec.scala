@@ -13,11 +13,19 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Building some queries (q90/q109/q115/q118) eagerly fills shared
+    * caches via Caches.shared; fleet tests that construct EVERY query
+    * must release them or the test session accumulates all of them. */
+  private def withCaches[T](body: => T): T =
+    try body finally graft.ops.Caches.clear()
+
   test("no query plans an unconditional CartesianProduct") {
-    SparkEntry.queries.keys.foreach { name =>
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"),
-        s"$name has a cartesian product:\n${p.take(2000)}")
+    withCaches {
+      SparkEntry.queries.keys.foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct"),
+          s"$name has a cartesian product:\n${p.take(2000)}")
+      }
     }
   }
 
@@ -99,7 +107,7 @@ class PlanSpec extends AnyFunSuite {
       case other => other.children.forall(bounded)
     }
     def boundedOrDim(p: LogicalPlan): Boolean = bounded(p)
-    SparkEntry.queries.keys.foreach { name =>
+    withCaches { SparkEntry.queries.keys.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       plan.foreach {
         case j: Join =>
@@ -115,7 +123,7 @@ class PlanSpec extends AnyFunSuite {
               s"$name broadcasts an unbounded fact-derived side:\n${j.right.toString.take(800)}")
         case _ =>
       }
-    }
+    } }
   }
 
   test("q58 bloom probes broadcast the bit set; the fact side is never exchanged for them") {
@@ -216,13 +224,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("every declared query's windows are partitioned (no single-task sorts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    SparkEntry.queries.keys.foreach { name =>
-      SparkEntry.queries(name)(spark, sf)
-        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
-        .foreach { w =>
-          assert(w.partitionSpec.nonEmpty,
-            s"$name has an unpartitioned window: ${w.simpleString(100)}")
-        }
+    withCaches {
+      SparkEntry.queries.keys.foreach { name =>
+        SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+          .foreach { w =>
+            assert(w.partitionSpec.nonEmpty,
+              s"$name has an unpartitioned window: ${w.simpleString(100)}")
+          }
+      }
     }
   }
 }
