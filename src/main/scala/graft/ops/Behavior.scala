@@ -432,6 +432,51 @@ object Behavior {
         .orderBy("event_type")
     },
 
+    // Fixed-point EWMA anomaly flags over the SAME daily series as
+    // q125/q134 (the one-definition rule: three estimators, one
+    // series). alpha = 1/2 in milli units, so the recursion is pure
+    // integer — ewma₁ = c₁·1000; ewmaₖ = (cₖ·1000 + ewmaₖ₋₁) DIV 2 —
+    // and a day is anomalous when its count more than doubles the
+    // running level (cₖ·1000 > 2·ewmaₖ₋₁). A linear recurrence has no
+    // declarative window form, but the series is BOUNDED per key (days
+    // in the horizon), so the scale-correct shape is collect the
+    // ≤|days| (day, c) structs per event_type and fold them with the
+    // codegen'd aggregate() HOF — state lives in one array per key,
+    // never the driver, and the shuffle is the same |types|×|days| grid
+    // every sibling query pays. The oracle runs the recursion as a
+    // DuckDB recursive CTE: two engines, two recursion mechanisms, one
+    // integer sequence.
+    "q143_ewma_anomaly" -> { (s, d) =>
+      dailyCounts(s, d)
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+          .as("series"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(
+            |  series,
+            |  named_struct('ewma', CAST(-1 AS BIGINT),
+            |    'out', CAST(array() AS
+            |      ARRAY<STRUCT<day: BIGINT, c: BIGINT,
+            |                   ewma_milli: BIGINT, anomaly: BIGINT>>)),
+            |  (acc, x) -> named_struct(
+            |    'ewma', CASE WHEN acc.ewma < 0 THEN x.c * 1000
+            |                 ELSE (x.c * 1000 + acc.ewma) DIV 2 END,
+            |    'out', array_append(acc.out, named_struct(
+            |      'day', x.day, 'c', x.c,
+            |      'ewma_milli',
+            |        CASE WHEN acc.ewma < 0 THEN x.c * 1000
+            |             ELSE (x.c * 1000 + acc.ewma) DIV 2 END,
+            |      'anomaly',
+            |        CASE WHEN acc.ewma >= 0 AND x.c * 1000 > 2 * acc.ewma
+            |             THEN CAST(1 AS BIGINT)
+            |             ELSE CAST(0 AS BIGINT) END))),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"), col("r.c").as("c"),
+          col("r.ewma_milli").as("ewma_milli"),
+          col("r.anomaly").as("anomaly"))
+        .orderBy("event_type", "day")
+    },
+
     // Last-touch attribution: each purchase is credited to the most
     // recent PRECEDING non-purchase event type in that user's stream
     // (the standard marketing-attribution rule; "none" when a purchase
@@ -701,6 +746,27 @@ object Behavior {
         |       ELSE -((-num * 1000000 + den - 1) // den) END
         |       AS BIGINT) AS slope_ppm
         |FROM sl ORDER BY event_type""".stripMargin,
+
+    "q143_ewma_anomaly" ->
+      s"""WITH RECURSIVE $DailyCountsSql,
+        |ord AS (
+        |  SELECT event_type, day, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |ew AS (
+        |  SELECT event_type, day, c, rn,
+        |    c * 1000 AS ewma, CAST(0 AS BIGINT) AS flag
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.c, o.rn,
+        |    (o.c * 1000 + e.ewma) // 2,
+        |    CAST(CASE WHEN o.c * 1000 > 2 * e.ewma THEN 1 ELSE 0 END
+        |      AS BIGINT)
+        |  FROM ord o JOIN ew e
+        |    ON o.event_type = e.event_type AND o.rn = e.rn + 1)
+        |SELECT event_type, day, CAST(c AS BIGINT) AS c,
+        |  CAST(ewma AS BIGINT) AS ewma_milli, flag AS anomaly
+        |FROM ew ORDER BY event_type, day""".stripMargin,
 
     "q125_theil_sen" ->
       s"""WITH $DailyCountsSql,

@@ -101,7 +101,96 @@ object Curation {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** 8-bit × 8-bit Morton (Z-order) interleave as ONE generated
+    * arithmetic expression, parameterized only by the engine's
+    * floor-div token (`div` Spark, `//` DuckDB) — the Spark Column and
+    * the DuckDB oracle are rendered from the same bit-term list, so the
+    * two legs cannot drift. Pure non-negative integer arithmetic
+    * (%, floor-div, ×2^k): engine-exact, codegen-friendly, no UDF. */
+  private[graft] def zorderSql(x: String, y: String, divOp: String): String =
+    (0 until 8).flatMap { i =>
+      val m = 1L << (i + 1); val p = 1L << i
+      Seq(s"(($x % $m) $divOp $p) * ${1L << (2 * i + 1)}",
+          s"(($y % $m) $divOp $p) * ${1L << (2 * i)}")
+    }.mkString(" + ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order (Morton) clustering + zone-map pruning audit — the
+    // lakehouse write-layout op: interleaving the bits of two filter
+    // dimensions gives files whose min/max zone maps prune on BOTH
+    // dimensions, where a single-column sort layout prunes on one only.
+    // File = Morton code DIV 32 (≤2048 files from the 8+8-bit grid —
+    // a bounded, SF-independent file population).
+    // The audit materializes per-file zone maps (min/max user, min/max
+    // day, rows) for two candidate layouts of the events table —
+    // 'zorder' (file = Morton(user_id%256, day%256) DIV 32, ≤2048
+    // files) and 'by_day' (file = day) — then counts, per layout, how
+    // many files a point query on user_id=7 and one on epoch-day 19740
+    // would have to read (probes chosen inside every SF's value range). Everything after the map-only key computation is a
+    // groupBy on a ≤256-value file key: bounded shuffle, tiny result —
+    // the 100 TB shape of a layout decision (the audit never rewrites
+    // data, it prices the rewrite). Low byte of user_id only: the demo
+    // grid; production widens the bit budget, same expression shape.
+    "q141_zorder_zonemap" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      def zones(layout: String, fileCol: Column) = ev
+        .withColumn("layout", lit(layout))
+        .withColumn("file_id", fileCol)
+        .groupBy("layout", "file_id")
+        .agg(min("user_id").as("min_u"), max("user_id").as("max_u"),
+          min("day").as("min_d"), max("day").as("max_d"),
+          count(lit(1)).as("n_rows"))
+      val z = zones("zorder",
+        expr(s"(${zorderSql("(user_id % 256)", "(day % 256)", "div")}) div 32"))
+      val b = zones("by_day", col("day"))
+      z.unionByName(b)
+        .groupBy("layout")
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum(col("n_rows")).cast("long").as("n_rows"),
+          sum(when(col("min_u") <= 7 && col("max_u") >= 7, 1L)
+            .otherwise(0L)).cast("long").as("files_user_query"),
+          sum(when(col("min_d") <= 19740 && col("max_d") >= 19740, 1L)
+            .otherwise(0L)).cast("long").as("files_day_query"))
+        .orderBy("layout")
+    },
+
+    // Deterministic multiplier-bootstrap CI for the per-source mean doc
+    // length — the error bar a corpus scorecard needs next to every
+    // point estimate. B=32 pseudo-resamples; replicate b reweights doc
+    // i by w = 1 + (H(doc_id:b) mod 3) ∈ {1,2,3} (positive Bayesian-
+    // bootstrap-style multipliers from the repo's ONE neutral hash, so
+    // the oracle replays them bit-for-bit); est_b = Σw·x ·1000 DIV Σw
+    // in milli units, CI = the 2nd/31st order statistics of the 32
+    // estimates (~94% coverage). Scale shape: the 32× explode feeds a
+    // map-side-combined (source, b) agg — a bounded |sources|×32 grid,
+    // no quadratic anything, no driver-side resampling; at 100 TB the
+    // replicate weights ride the one corpus scan.
+    "q142_bootstrap_ci" -> { (s, d) =>
+      val reps = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("w", lit(1) + Dedup.neutralHash32(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("b").cast("string"))) % 3)
+      val est = reps.groupBy("source", "b")
+        .agg((sum(col("w") * col("n_chars")) * 1000).as("swx"),
+          sum(col("w")).as("sw"))
+        .withColumn("est_milli", expr("swx div sw"))
+      val rk = est.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("est_milli", "b")))
+      val ci = rk.groupBy("source")
+        .agg(max(when(col("rn") === 2, col("est_milli"))).as("lo_milli"),
+          max(when(col("rn") === 31, col("est_milli"))).as("hi_milli"))
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          expr("sum(n_chars) * 1000 div count(1)").as("mean_milli"))
+        .join(ci, Seq("source"))
+        .select("source", "n_docs", "mean_milli", "lo_milli", "hi_milli")
+        .orderBy("source")
+    },
+
     // Stratified sample: 5 docs per language, chosen by hash order —
     // the deterministic form of "uniform sample per stratum".
     "q47_stratified_sample" -> { (s, d) =>
@@ -573,6 +662,59 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "q141_zorder_zonemap" ->
+      s"""WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |keyed AS (
+        |  SELECT user_id, day,
+        |    (${zorderSql("(user_id % 256)", "(day % 256)", "//")}) // 32
+        |      AS zfile
+        |  FROM ev),
+        |zones AS (
+        |  SELECT 'zorder' AS layout, zfile AS file_id,
+        |    MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+        |    MIN(day) AS min_d, MAX(day) AS max_d, COUNT(*) AS n_rows
+        |  FROM keyed GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'by_day', day, MIN(user_id), MAX(user_id),
+        |    MIN(day), MAX(day), COUNT(*)
+        |  FROM keyed GROUP BY 1, 2)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN min_u <= 7 AND max_u >= 7
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS files_user_query,
+        |  CAST(SUM(CASE WHEN min_d <= 19740 AND max_d >= 19740
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS files_day_query
+        |FROM zones GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "q142_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT source, doc_id, n_chars, b,
+        |    1 + ('0x' || substr(md5(
+        |      doc_id::VARCHAR || ':' || b::VARCHAR), 1, 8))::BIGINT % 3 AS w
+        |  FROM documents, UNNEST(generate_series(0, 31)) AS g(b)),
+        |est AS (
+        |  SELECT source, b,
+        |    CAST(SUM(w * n_chars) * 1000 // SUM(w) AS BIGINT) AS est_milli
+        |  FROM reps GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, est_milli,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY est_milli, b) AS rn
+        |  FROM est),
+        |ci AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN rn = 2 THEN est_milli END) AS lo_milli,
+        |    MAX(CASE WHEN rn = 31 THEN est_milli END) AS hi_milli
+        |  FROM rk GROUP BY 1)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+        |  MAX(ci.lo_milli) AS lo_milli, MAX(ci.hi_milli) AS hi_milli
+        |FROM documents d JOIN ci ON d.source = ci.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     "q133_hll_registers" ->
       """WITH hx AS (
         |  SELECT source,

@@ -532,6 +532,44 @@ object Dedup {
         .orderBy("split")
     },
 
+    // Blocked sorted-neighborhood method (SNM) — the classic record-
+    // linkage blocking strategy the LSH family doesn't cover: sort each
+    // block by a signature and pair only rows within a fixed window w
+    // of each other in that order, catching near-dups whose shingle
+    // sets diverge but whose sort keys collide (typo'd prefixes,
+    // truncations). Deliberately the BLOCKED variant: ranks are per
+    // 4-char-prefix block, not a global total order — a global
+    // row_number is an unpartitioned sort that dies at 100 TB, and
+    // production SNM runs per-block for exactly that reason (window
+    // candidates crossing a block boundary are traded away for a
+    // shuffle-free sort, the standard recall/scale trade). Pairing is
+    // an equi-join on (block, windowBucket): each left row probes its
+    // own rank-bucket and the next, so a row meets exactly the ≤w
+    // successors it must — candidate fan-out is w per row, never
+    // quadratic in block size.
+    "q140_snm_pairs" -> { (s, d) =>
+      val w = 3
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("sig"),
+          substring(col("text"), 1, 4).as("bucket"))
+      val rk = sig.withColumn("rk", row_number().over(
+        Window.partitionBy("bucket").orderBy("sig", "doc_id")).cast("long"))
+      val r = Caches.shared(rk)
+      val left = r.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          col("bucket"), col("rk").as("rk_a"),
+          explode(array(expr(s"(rk - 1) div $w"),
+            expr(s"(rk - 1) div $w + 1"))).as("blk"))
+      val right = r.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("bucket"), col("rk").as("rk_b"),
+          expr(s"(rk - 1) div $w").as("blk"))
+      left.join(right, Seq("bucket", "blk"))
+        .filter(col("rk_b") > col("rk_a") && col("rk_b") <= col("rk_a") + w)
+        .select(col("doc_a"), col("doc_b"),
+          (col("rk_b") - col("rk_a")).as("gap"),
+          (col("sig_a") === col("sig_b")).cast("long").as("same_sig"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // B11 scale path: 32-bit SimHash + 8-bit-band candidate join, over
     // the engine-neutral term hash — oracle-checked.
     "q27_simhash" -> { (s, d) =>
@@ -840,6 +878,23 @@ object Dedup {
         |  CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q140_snm_pairs" ->
+      """WITH sig AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS sig,
+        |    substr(text, 1, 4) AS bucket
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, sig, bucket,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY bucket ORDER BY sig, doc_id) AS BIGINT) AS rk
+        |  FROM sig)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  b.rk - a.rk AS gap,
+        |  CAST(a.sig = b.sig AS BIGINT) AS same_sig
+        |FROM r a JOIN r b
+        |  ON a.bucket = b.bucket AND b.rk > a.rk AND b.rk <= a.rk + 3
+        |ORDER BY 1, 2""".stripMargin,
 
     "q27_simhash" ->
       """WITH toks AS (

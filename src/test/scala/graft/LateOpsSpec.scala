@@ -715,6 +715,102 @@ class LateOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q140 blocked SNM is COMPLETE within blocks: equals the brute-force window pairing") {
+    // JVM recompute of the operator's contract: per 4-char-prefix
+    // block, sort by (40-char sig, doc_id), pair every row with its ≤3
+    // successors. The distributed block-bucket join must produce
+    // EXACTLY this set — no pair lost at a windowBucket boundary, none
+    // duplicated by the two-bucket probe.
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val w = 3
+    val expect = docs.toSeq.map { case (id, t) => (id, t.take(40), t.take(4)) }
+      .groupBy(_._3).values.flatMap { block =>
+        val sorted = block.sortBy { case (id, sig, _) => (sig, id) }
+        sorted.zipWithIndex.flatMap { case ((ida, siga, _), i) =>
+          sorted.slice(i + 1, i + 1 + w).zipWithIndex.map {
+            case ((idb, sigb, _), j) =>
+              (ida, idb, (j + 1).toLong, if (siga == sigb) 1L else 0L)
+          }
+        }
+      }.toSet
+    val got = SparkEntry.queries("q140_snm_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("gap"), r.getAs[Long]("same_sig"))).toSet
+    assert(got == expect, s"SNM pairs drifted: ${(got diff expect).take(3)} " +
+      s"extra, ${(expect diff got).take(3)} missing")
+    graft.ops.Caches.clear()
+  }
+
+  test("q141 zone maps: both layouts cover all rows; z-order prunes the user dimension") {
+    val rows: Map[String, (Long, Long, Long, Long)] =
+      SparkEntry.queries("q141_zorder_zonemap")(spark, sf).collect()
+        .map(r => r.getAs[String]("layout") ->
+          ((r.getAs[Long]("n_files"), r.getAs[Long]("n_rows"),
+            r.getAs[Long]("files_user_query"), r.getAs[Long]("files_day_query"))))
+        .toMap
+    val total = graft.model.Tables.events(spark, sf).count()
+    val (zf, zr, zu, zd) = rows("zorder")
+    val (bf, br, bu, bd) = rows("by_day")
+    assert(zr == total && br == total, "every row lands in exactly one file")
+    // a day-sorted layout stores user 7 in (almost) every file — its
+    // zone maps cannot prune the user query; z-order interleaving must
+    assert(bu == bf, "by_day layout: user query reads every file")
+    assert(zu < zf, "zorder layout: user zone maps must prune some files")
+    assert(zd < zf, "zorder layout: day zone maps must prune some files")
+    assert(bd <= 2, "by_day layout: day query reads only day-19740 files")
+    assert(bu > 0 && zu > 0 && zd > 0, "probes must hit real data")
+  }
+
+  test("q142 CI bounds are the exact 2nd/31st order statistics of the replicate means") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val ests = (0 until 32).map { b =>
+        val ws = ds.map { case (_, id, x) => (1 + h32(s"$id:$b") % 3, x) }
+        (ws.map { case (wt, x) => wt * x }.sum * 1000 / ws.map(_._1).sum, b)
+      }.sorted
+      src -> ((ests(1)._1, ests(30)._1))
+    }
+    val got = SparkEntry.queries("q142_bootstrap_ci")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("lo_milli"), r.getAs[Long]("hi_milli")))).toMap
+    assert(got == expect, "CI bounds must equal the JVM-exact order statistics")
+    got.values.foreach { case (lo, hi) => assert(lo <= hi) }
+  }
+
+  test("q143 EWMA flags equal the exact integer recursion replayed on the JVM") {
+    val daily = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (et, ds) =>
+      val sorted = ds.sortBy(_._2)
+      var ewma = -1L
+      sorted.map { case (_, day, c) =>
+        val flag = if (ewma >= 0 && c * 1000 > 2 * ewma) 1L else 0L
+        ewma = if (ewma < 0) c * 1000 else (c * 1000 + ewma) / 2
+        (et, day, c, ewma, flag)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q143_ewma_anomaly")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("c"), r.getAs[Long]("ewma_milli"),
+        r.getAs[Long]("anomaly"))).toSet
+    assert(got == expect, "EWMA sequence must match the JVM replay exactly")
+    assert(got.exists(_._5 == 1L) || got.size < 40,
+      "a month of bursty synthetic traffic should flag at least one anomaly " +
+        "(vacuous only if the series is very short)")
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
