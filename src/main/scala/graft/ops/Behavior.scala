@@ -60,10 +60,11 @@ object Behavior {
   }
 
   /** Integer day index since epoch — the single day-bucketing rule shared
-    * by q72 (cohorts) and q78 (recency) so the two can never diverge.
+    * by q72 (cohorts), q78 (recency) and q141 (zone-map layout audit)
+    * so they can never diverge.
     * Integer µs floor-division: identical binning on both engines, no
     * timezone/DST surface (all corpus timestamps are post-epoch). */
-  private def dayIndex: Column =
+  private[graft] def dayIndex: Column =
     expr(s"CAST(unix_micros(ts) div $UsPerDay AS BIGINT)")
 
   /** Daily ingest counts per event type — ONE series definition shared
@@ -437,7 +438,10 @@ object Behavior {
     // series). alpha = 1/2 in milli units, so the recursion is pure
     // integer — ewma₁ = c₁·1000; ewmaₖ = (cₖ·1000 + ewmaₖ₋₁) DIV 2 —
     // and a day is anomalous when its count more than doubles the
-    // running level (cₖ·1000 > 2·ewmaₖ₋₁). A linear recurrence has no
+    // running level (cₖ·1000 > 2·ewmaₖ₋₁). above_level (cₖ·1000 >
+    // ewmaₖ₋₁) fires on roughly half the rows at ANY scale, so the
+    // oracle hash exercises the strict-> comparison machinery even on
+    // smooth fixtures where no 2× anomaly fires. A linear recurrence has no
     // declarative window form, but the series is BOUNDED per key (days
     // in the horizon), so the scale-correct shape is collect the
     // ≤|days| (day, c) structs per event_type and fold them with the
@@ -456,8 +460,8 @@ object Behavior {
             |  series,
             |  named_struct('ewma', CAST(-1 AS BIGINT),
             |    'out', CAST(array() AS
-            |      ARRAY<STRUCT<day: BIGINT, c: BIGINT,
-            |                   ewma_milli: BIGINT, anomaly: BIGINT>>)),
+            |      ARRAY<STRUCT<day: BIGINT, c: BIGINT, ewma_milli: BIGINT,
+            |                   anomaly: BIGINT, above_level: BIGINT>>)),
             |  (acc, x) -> named_struct(
             |    'ewma', CASE WHEN acc.ewma < 0 THEN x.c * 1000
             |                 ELSE (x.c * 1000 + acc.ewma) DIV 2 END,
@@ -469,11 +473,16 @@ object Behavior {
             |      'anomaly',
             |        CASE WHEN acc.ewma >= 0 AND x.c * 1000 > 2 * acc.ewma
             |             THEN CAST(1 AS BIGINT)
+            |             ELSE CAST(0 AS BIGINT) END,
+            |      'above_level',
+            |        CASE WHEN acc.ewma >= 0 AND x.c * 1000 > acc.ewma
+            |             THEN CAST(1 AS BIGINT)
             |             ELSE CAST(0 AS BIGINT) END))),
             |  acc -> acc.out)""".stripMargin)).as("r"))
         .select(col("event_type"), col("r.day").as("day"), col("r.c").as("c"),
           col("r.ewma_milli").as("ewma_milli"),
-          col("r.anomaly").as("anomaly"))
+          col("r.anomaly").as("anomaly"),
+          col("r.above_level").as("above_level"))
         .orderBy("event_type", "day")
     },
 
@@ -755,17 +764,21 @@ object Behavior {
         |  FROM daily),
         |ew AS (
         |  SELECT event_type, day, c, rn,
-        |    c * 1000 AS ewma, CAST(0 AS BIGINT) AS flag
+        |    c * 1000 AS ewma, CAST(0 AS BIGINT) AS flag,
+        |    CAST(0 AS BIGINT) AS above
         |  FROM ord WHERE rn = 1
         |  UNION ALL
         |  SELECT o.event_type, o.day, o.c, o.rn,
         |    (o.c * 1000 + e.ewma) // 2,
         |    CAST(CASE WHEN o.c * 1000 > 2 * e.ewma THEN 1 ELSE 0 END
+        |      AS BIGINT),
+        |    CAST(CASE WHEN o.c * 1000 > e.ewma THEN 1 ELSE 0 END
         |      AS BIGINT)
         |  FROM ord o JOIN ew e
         |    ON o.event_type = e.event_type AND o.rn = e.rn + 1)
         |SELECT event_type, day, CAST(c AS BIGINT) AS c,
-        |  CAST(ewma AS BIGINT) AS ewma_milli, flag AS anomaly
+        |  CAST(ewma AS BIGINT) AS ewma_milli, flag AS anomaly,
+        |  above AS above_level
         |FROM ew ORDER BY event_type, day""".stripMargin,
 
     "q125_theil_sen" ->

@@ -126,14 +126,17 @@ object Curation {
     // 'zorder' (file = Morton(user_id%256, day%256) DIV 32, ≤2048
     // files) and 'by_day' (file = day) — then counts, per layout, how
     // many files a point query on user_id=7 and one on epoch-day 19740
-    // would have to read (probes chosen inside every SF's value range). Everything after the map-only key computation is a
-    // groupBy on a ≤256-value file key: bounded shuffle, tiny result —
-    // the 100 TB shape of a layout decision (the audit never rewrites
-    // data, it prices the rewrite). Low byte of user_id only: the demo
-    // grid; production widens the bit budget, same expression shape.
+    // would have to read (probes chosen inside every SF's value range).
+    // Everything after the map-only key computation is a groupBy on a
+    // ≤2048-value file key: bounded shuffle, tiny result — the 100 TB
+    // shape of a layout decision (the audit never rewrites data, it
+    // prices the rewrite). Low byte of user_id only: the demo grid;
+    // production widens the bit budget, same expression shape. Day
+    // bucketing = Behavior.dayIndex, the repo's one day rule. Both
+    // layout branches consume ev → eager-cache the scan (Caches rule).
     "q141_zorder_zonemap" -> { (s, d) =>
-      val ev = Tables.events(s, d).select(col("user_id"),
-        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      val ev = Caches.shared(Tables.events(s, d)
+        .select(col("user_id"), Behavior.dayIndex.as("day")))
       def zones(layout: String, fileCol: Column) = ev
         .withColumn("layout", lit(layout))
         .withColumn("file_id", fileCol)

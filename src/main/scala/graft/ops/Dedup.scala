@@ -45,6 +45,11 @@ object Dedup {
     * h_i(x) = (a_i·x + b_i) mod P used for MinHash permutations. */
   val P: Long = 2147483647L
 
+  /** q140 sorted-neighborhood window width — ONE definition read by the
+    * Spark leg, interpolated into the DuckDB oracle, and replayed by the
+    * brute-force completeness spec, so the three can never drift. */
+  private[graft] val SnmWindow = 3
+
   /** Distinct word-trigram shingles per document for a deterministic
     * doc_id-sampled subset. */
   private def docShingles(s: SparkSession, d: String, mod: Int): DataFrame =
@@ -533,7 +538,9 @@ object Dedup {
     },
 
     // Blocked sorted-neighborhood method (SNM) — the classic record-
-    // linkage blocking strategy the LSH family doesn't cover: sort each
+    // linkage blocking strategy the LSH family doesn't cover
+    // (window width = SnmWindow, the ONE definition the query, the
+    // oracle SQL and the completeness spec all read): sort each
     // block by a signature and pair only rows within a fixed window w
     // of each other in that order, catching near-dups whose shingle
     // sets diverge but whose sort keys collide (typo'd prefixes,
@@ -548,7 +555,7 @@ object Dedup {
     // successors it must — candidate fan-out is w per row, never
     // quadratic in block size.
     "q140_snm_pairs" -> { (s, d) =>
-      val w = 3
+      val w = SnmWindow
       val sig = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("sig"),
           substring(col("text"), 1, 4).as("bucket"))
@@ -880,7 +887,7 @@ object Dedup {
         |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q140_snm_pairs" ->
-      """WITH sig AS (
+      s"""WITH sig AS (
         |  SELECT doc_id, substr(text, 1, 40) AS sig,
         |    substr(text, 1, 4) AS bucket
         |  FROM documents),
@@ -893,7 +900,7 @@ object Dedup {
         |  b.rk - a.rk AS gap,
         |  CAST(a.sig = b.sig AS BIGINT) AS same_sig
         |FROM r a JOIN r b
-        |  ON a.bucket = b.bucket AND b.rk > a.rk AND b.rk <= a.rk + 3
+        |  ON a.bucket = b.bucket AND b.rk > a.rk AND b.rk <= a.rk + $SnmWindow
         |ORDER BY 1, 2""".stripMargin,
 
     "q27_simhash" ->

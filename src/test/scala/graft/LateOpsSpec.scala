@@ -717,14 +717,14 @@ class LateOpsSpec extends AnyFunSuite {
 
   test("q140 blocked SNM is COMPLETE within blocks: equals the brute-force window pairing") {
     // JVM recompute of the operator's contract: per 4-char-prefix
-    // block, sort by (40-char sig, doc_id), pair every row with its ≤3
+    // block, sort by (40-char sig, doc_id), pair every row with its ≤w
     // successors. The distributed block-bucket join must produce
     // EXACTLY this set — no pair lost at a windowBucket boundary, none
     // duplicated by the two-bucket probe.
     val docs = graft.model.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val w = 3
+    val w = graft.ops.Dedup.SnmWindow
     val expect = docs.toSeq.map { case (id, t) => (id, t.take(40), t.take(4)) }
       .groupBy(_._3).values.flatMap { block =>
         val sorted = block.sortBy { case (id, sig, _) => (sig, id) }
@@ -761,6 +761,7 @@ class LateOpsSpec extends AnyFunSuite {
     assert(zd < zf, "zorder layout: day zone maps must prune some files")
     assert(bd <= 2, "by_day layout: day query reads only day-19740 files")
     assert(bu > 0 && zu > 0 && zd > 0, "probes must hit real data")
+    graft.ops.Caches.clear()
   }
 
   test("q142 CI bounds are the exact 2nd/31st order statistics of the replicate means") {
@@ -797,18 +798,24 @@ class LateOpsSpec extends AnyFunSuite {
       var ewma = -1L
       sorted.map { case (_, day, c) =>
         val flag = if (ewma >= 0 && c * 1000 > 2 * ewma) 1L else 0L
+        val above = if (ewma >= 0 && c * 1000 > ewma) 1L else 0L
         ewma = if (ewma < 0) c * 1000 else (c * 1000 + ewma) / 2
-        (et, day, c, ewma, flag)
+        (et, day, c, ewma, flag, above)
       }
     }.toSet
     val got = SparkEntry.queries("q143_ewma_anomaly")(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
         r.getAs[Long]("c"), r.getAs[Long]("ewma_milli"),
-        r.getAs[Long]("anomaly"))).toSet
+        r.getAs[Long]("anomaly"), r.getAs[Long]("above_level"))).toSet
     assert(got == expect, "EWMA sequence must match the JVM replay exactly")
     assert(got.exists(_._5 == 1L) || got.size < 40,
       "a month of bursty synthetic traffic should flag at least one anomaly " +
         "(vacuous only if the series is very short)")
+    // above_level fires on roughly half the rows at ANY SF — the oracle
+    // hash-compare therefore exercises BOTH branches of the comparison
+    // even on smooth fixtures where the 2x anomaly never triggers.
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L),
+      "above_level must take both values so the compare pins the > branch")
   }
 
   test("q107 profile covers every orders column with nested counts") {
