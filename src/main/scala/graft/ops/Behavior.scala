@@ -486,6 +486,57 @@ object Behavior {
         .orderBy("event_type", "day")
     },
 
+    // Two-sided CUSUM changepoint detection on the SAME daily series as
+    // q125/q134/q143 (one series, four estimators — EWMA flags spikes,
+    // CUSUM flags sustained level shifts, the complementary drift
+    // class). Target = the series' own integer milli mean; up/down
+    // sums s⁺ₖ = max(0, s⁺ₖ₋₁ + cₖ·1000 − μ), s⁻ₖ = max(0, s⁻ₖ₋₁ + μ −
+    // cₖ·1000); flag when either exceeds h = 4μ. Same scale shape as
+    // q143: the linear recurrence folds per key with the codegen'd
+    // aggregate() HOF over the ≤|days| collected series — state on
+    // executors, the |types|×|days| bounded grid shuffle. The RAW
+    // cusum columns are emitted, so the oracle hash pins the whole
+    // recursion (incl. the max(0,·) clamp both ways) at every SF even
+    // where the 4μ flag never fires. Oracle: the identical integer
+    // recursion as a DuckDB recursive CTE.
+    "q146_cusum" -> { (s, d) =>
+      dailyCounts(s, d)
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+          .as("series"),
+          expr("sum(c) * 1000 DIV count(1)").as("mean_milli"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(
+            |  series,
+            |  named_struct('up', CAST(0 AS BIGINT), 'dn', CAST(0 AS BIGINT),
+            |    'out', CAST(array() AS
+            |      ARRAY<STRUCT<day: BIGINT, c: BIGINT, cusum_up_milli: BIGINT,
+            |                   cusum_dn_milli: BIGINT, flag: BIGINT>>)),
+            |  (acc, x) -> named_struct(
+            |    'up', greatest(CAST(0 AS BIGINT),
+            |            acc.up + x.c * 1000 - mean_milli),
+            |    'dn', greatest(CAST(0 AS BIGINT),
+            |            acc.dn + mean_milli - x.c * 1000),
+            |    'out', array_append(acc.out, named_struct(
+            |      'day', x.day, 'c', x.c,
+            |      'cusum_up_milli', greatest(CAST(0 AS BIGINT),
+            |        acc.up + x.c * 1000 - mean_milli),
+            |      'cusum_dn_milli', greatest(CAST(0 AS BIGINT),
+            |        acc.dn + mean_milli - x.c * 1000),
+            |      'flag',
+            |        CASE WHEN greatest(CAST(0 AS BIGINT),
+            |               acc.up + x.c * 1000 - mean_milli) > 4 * mean_milli
+            |          OR greatest(CAST(0 AS BIGINT),
+            |               acc.dn + mean_milli - x.c * 1000) > 4 * mean_milli
+            |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"), col("r.c").as("c"),
+          col("r.cusum_up_milli").as("cusum_up_milli"),
+          col("r.cusum_dn_milli").as("cusum_dn_milli"),
+          col("r.flag").as("flag"))
+        .orderBy("event_type", "day")
+    },
+
     // Last-touch attribution: each purchase is credited to the most
     // recent PRECEDING non-purchase event type in that user's stream
     // (the standard marketing-attribution rule; "none" when a purchase
@@ -780,6 +831,35 @@ object Behavior {
         |  CAST(ewma AS BIGINT) AS ewma_milli, flag AS anomaly,
         |  above AS above_level
         |FROM ew ORDER BY event_type, day""".stripMargin,
+
+    "q146_cusum" ->
+      s"""WITH RECURSIVE $DailyCountsSql,
+        |stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(c) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
+        |  FROM daily GROUP BY 1),
+        |ord AS (
+        |  SELECT d.event_type, d.day, d.c, s.mean_milli,
+        |    row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day) AS rn
+        |  FROM daily d JOIN stats s USING (event_type)),
+        |cu AS (
+        |  SELECT event_type, day, c, mean_milli, rn,
+        |    greatest(CAST(0 AS BIGINT), c * 1000 - mean_milli) AS up,
+        |    greatest(CAST(0 AS BIGINT), mean_milli - c * 1000) AS dn
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.c, o.mean_milli, o.rn,
+        |    greatest(CAST(0 AS BIGINT), e.up + o.c * 1000 - o.mean_milli),
+        |    greatest(CAST(0 AS BIGINT), e.dn + o.mean_milli - o.c * 1000)
+        |  FROM ord o JOIN cu e
+        |    ON o.event_type = e.event_type AND o.rn = e.rn + 1)
+        |SELECT event_type, day, CAST(c AS BIGINT) AS c,
+        |  CAST(up AS BIGINT) AS cusum_up_milli,
+        |  CAST(dn AS BIGINT) AS cusum_dn_milli,
+        |  CAST(CASE WHEN up > 4 * mean_milli OR dn > 4 * mean_milli
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flag
+        |FROM cu ORDER BY event_type, day""".stripMargin,
 
     "q125_theil_sen" ->
       s"""WITH $DailyCountsSql,

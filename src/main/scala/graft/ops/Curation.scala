@@ -194,6 +194,71 @@ object Curation {
         .orderBy("source")
     },
 
+    // Spearman rank correlation between two per-doc metrics (chars vs
+    // tokens), per source — the monotone-association audit a scorecard
+    // runs before trusting one metric as a proxy for another. Ranks are
+    // TIE-FREE by construction (order by metric, doc_id), so the
+    // classic d²-formula is exact and integer: sum_d2 = Σ(rk_a−rk_b)²
+    // is an associative int64 sum (bound: n³/3 — safe to n≈2.6M docs
+    // per source; beyond that, production buckets ranks to a 2²⁰ grid
+    // first, same shape). Both rank windows share ONE source-partition
+    // shuffle (two sorts over the same exchange — never a global sort);
+    // rho = 1 − 6S/(n³−n) is a single mirrored IEEE divide + round(6),
+    // the one-division-chain parity rule (SURVEY §7.0).
+    "q144_spearman" -> { (s, d) =>
+      val m = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+      val ranked = m
+        .withColumn("rk_a", row_number().over(Window.partitionBy("source")
+          .orderBy("n_chars", "doc_id")).cast("long"))
+        .withColumn("rk_b", row_number().over(Window.partitionBy("source")
+          .orderBy("n_tok", "doc_id")).cast("long"))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("rk_a") - col("rk_b")) * (col("rk_a") - col("rk_b")))
+            .cast("long").as("sum_d2"))
+        .withColumn("rho", expr(
+          """round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+            |  (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) *
+            |   CAST(n_docs AS DOUBLE) - CAST(n_docs AS DOUBLE)), 6)"""
+            .stripMargin))
+        .select("source", "n_docs", "sum_d2", "rho")
+        .orderBy("source")
+    },
+
+    // Benford first-digit audit over order totals — the data-forensics
+    // op that flags fabricated or truncated numeric columns before they
+    // poison downstream stats. The expected shares log10(1+1/d) are
+    // PUBLIC constants pinned as integer ppm literals (no transcendental
+    // at query time — the parity rule); observed shares are exact
+    // integer ppm. floor() before the int cast makes Spark's truncating
+    // and DuckDB's rounding double→int64 casts agree. ONE scan → a
+    // 9-row digit grid; the total rides in via a groupless-agg
+    // broadcast (the PlanSpec-sanctioned root).
+    "q145_benford" -> { (s, d) =>
+      val fd = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(
+          expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"),
+          1, 1).cast("long").as("digit"))
+      val expected = s.range(1, 10).toDF("digit")
+        .withColumn("benford_ppm", expr(
+          """CAST(element_at(array(301030, 176091, 124939, 96910, 79181,
+            |  66947, 57992, 51153, 45757), CAST(digit AS INT)) AS BIGINT)"""
+            .stripMargin))
+      val total = fd.agg(count(lit(1)).as("n_total"))
+      fd.groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
+        .join(expected, Seq("digit"), "right")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(total))
+        .withColumn("share_ppm", expr("n * 1000000 DIV n_total"))
+        .withColumn("dev_ppm", expr("abs(share_ppm - benford_ppm)"))
+        .select(col("digit").cast("long").as("digit"), col("n"),
+          col("share_ppm"), col("benford_ppm"), col("dev_ppm"))
+        .orderBy("digit")
+    },
+
     // Stratified sample: 5 docs per language, chosen by hash order —
     // the deterministic form of "uniform sample per stratum".
     "q47_stratified_sample" -> { (s, d) =>
@@ -717,6 +782,49 @@ object Curation {
         |  MAX(ci.lo_milli) AS lo_milli, MAX(ci.hi_milli) AS hi_milli
         |FROM documents d JOIN ci ON d.source = ci.source
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q144_spearman" ->
+      """WITH m AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk_a,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tok, doc_id) AS BIGINT) AS rk_b
+        |  FROM m),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM((rk_a - rk_b) * (rk_a - rk_b)) AS BIGINT) AS sum_d2
+        |  FROM ranked GROUP BY 1)
+        |SELECT source, n_docs, sum_d2,
+        |  round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+        |    (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) *
+        |     CAST(n_docs AS DOUBLE) - CAST(n_docs AS DOUBLE)), 6) AS rho
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q145_benford" ->
+      """WITH fd AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |obs AS (SELECT digit, COUNT(*) AS n FROM fd GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_total FROM fd),
+        |exp AS (
+        |  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) AS t(digit, benford_ppm)),
+        |j AS (
+        |  SELECT e.digit, COALESCE(o.n, 0) AS n, e.benford_ppm, n.n_total
+        |  FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN n)
+        |SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm,
+        |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(abs(n * 1000000 // n_total - benford_ppm) AS BIGINT)
+        |    AS dev_ppm
+        |FROM j ORDER BY digit""".stripMargin,
 
     "q133_hll_registers" ->
       """WITH hx AS (

@@ -24,6 +24,51 @@ object TextAnalysis {
   /** Whitespace tokenization; the corpus is single-space separated. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Eager-cached token-array projection of the corpus — ONE scan feeding
+    * every branch of a pair-mining query (pairs + unigram counts); the
+    * persisted frame carries token arrays only, every other column is
+    * dropped before the cache. Shared by q109 (adjacent bigrams) and
+    * q147 (window-2 skip-grams). */
+  private def tokenArrays(s: SparkSession, d: String): DataFrame =
+    Caches.shared(Tables.documents(s, d).select(tokens(col("text")).as("t")))
+
+  /** Floor-ppm lift n_xy·10⁶·N/(n_x·n_y) via the exact q75 div/mod split
+    * — ONE definition (Spark `DIV` / DuckDB `//` renderings of the same
+    * term list) shared by q109 and q147 so the collocation and skip-gram
+    * rankings can never drift. q6 = floor(n_xy·10⁶/n_x) stays ≤ 10⁶·w
+    * (w = max pairs one left-token occurrence joins: 1 adjacent, 4 in
+    * the ±2 window); decomposed, the intermediates stay bounded by the
+    * result and 10⁶·w·n_y, so the only overflow left is a single token
+    * type occurring > 9·10¹²/w times — degenerate at any corpus size. */
+  private def liftPpmExpr(divOp: String): String =
+    s"CAST(q6 * (n_total $divOp n_y) + q6 * (n_total % n_y) $divOp n_y AS BIGINT)"
+
+  /** Support-filtered pair→lift pipeline over a (w1, w2) pairs frame:
+    * two vocabulary-key joins + the groupless-agg total broadcast, lift
+    * by [[liftPpmExpr]], deterministic top-20 (TakeOrdered, never a
+    * global sort). `uni` is consumed three times (n_x, n_y, n_total) —
+    * vocabulary-sized, so it is eager-persisted too. */
+  private def pairLift(pairs: DataFrame, toksDf: DataFrame): DataFrame = {
+    val uni = Caches.shared(toksDf
+      .select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt")))
+    val n = uni.agg(sum(col("cnt")).cast("long").as("n_total"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+      .join(uni.select(col("tok").as("w1"), col("cnt").as("n_x")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cnt").as("n_y")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("q6", expr("n_xy * 1000000 DIV n_x"))
+      .withColumn("lift_ppm", expr(liftPpmExpr("DIV")))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select(col("w1"), col("w2"),
+        col("n_xy").cast("long").as("n_xy"),
+        col("n_x").cast("long").as("n_x"),
+        col("n_y").cast("long").as("n_y"),
+        col("lift_ppm"))
+  }
+
   /** Word n-gram shingles of the array column named `toksCol` (empty array
     * when the document has fewer than n tokens — `sequence` would otherwise
     * produce a descending range). */
@@ -409,46 +454,44 @@ object TextAnalysis {
     // (map-side combined) + two vocabulary-key joins; top-k is
     // TakeOrdered, never a global sort.
     "q109_bigram_lift" -> { (s, d) =>
-      // ONE corpus scan: bigrams and unigram counts both derive from the
-      // same eager-persisted tokens frame (the persisted projection is
-      // token arrays only — text and every other column are dropped
-      // before the cache). The bigram leg guards size<2 inline instead
-      // of re-filtering the table, so no branch re-reads the source.
-      val toksDf = Caches.shared(
-        Tables.documents(s, d).select(tokens(col("text")).as("t")))
+      // ONE corpus scan via tokenArrays; the bigram leg guards size<2
+      // inline instead of re-filtering the table, so no branch re-reads
+      // the source. Count/join/rank machinery = pairLift, shared with
+      // the q147 skip-gram variant.
+      val toksDf = tokenArrays(s, d)
       val big = toksDf.filter(size(col("t")) >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
           .as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      // uni is consumed three times (n_x join, n_y join, n_total) — it
-      // is vocabulary-sized, so persisting it too keeps the explode+agg
-      // over the cached token arrays from running 3×
-      val uni = Caches.shared(toksDf
-        .select(explode(col("t")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt")))
-      val n = uni.agg(sum(col("cnt")).cast("long").as("n_total"))
-      big.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
-        .filter(col("n_xy") >= 5)
-        .join(uni.select(col("tok").as("w1"), col("cnt").as("n_x")), "w1")
-        .join(uni.select(col("tok").as("w2"), col("cnt").as("n_y")), "w2")
-        .crossJoin(broadcast(n))
-        // floor(q·N/n_y) with q = floor(n_xy·10⁶/n_x) ≤ 10⁶ (n_xy ≤ n_x
-        // positionally), via the exact q75 div/mod split: q·N itself
-        // would overflow past ~9·10¹² corpus tokens; decomposed, the
-        // intermediates stay bounded by the result and 10⁶·n_y, so the
-        // only overflow left is a single token type occurring > 9·10¹²
-        // times — degenerate at any corpus size
-        .withColumn("q6", expr("n_xy * 1000000 DIV n_x"))
-        .withColumn("lift_ppm",
-          expr("CAST(q6 * (n_total DIV n_y) + q6 * (n_total % n_y) DIV n_y AS BIGINT)"))
-        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
-        .limit(20)
-        .select(col("w1"), col("w2"),
-          col("n_xy").cast("long").as("n_xy"),
-          col("n_x").cast("long").as("n_x"),
-          col("n_y").cast("long").as("n_y"),
-          col("lift_ppm"))
+      pairLift(big, toksDf)
+    },
+
+    // Skip-gram co-occurrence lift — the window-±2 generalization of
+    // q109's adjacent-bigram collocations (the word2vec/GloVe context
+    // definition, window w=2, unordered): pairs are canonicalized
+    // (least, greatest) so "york new" and "new york" accumulate one
+    // count. Pair generation is a pure per-row array transform over the
+    // shared token cache — no self-join on position, no fan-out beyond
+    // the ≤2 partners each token contributes rightward. Same bounded
+    // machinery as q109 after that (pairLift): two vocab joins, the
+    // groupless-agg broadcast, deterministic top-20.
+    "q147_skipgram_lift" -> { (s, d) =>
+      val toksDf = tokenArrays(s, d)
+      val pairs = toksDf.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(t) - 2), i ->
+            |  CASE WHEN i + 2 < size(t) THEN array(
+            |      struct(least(t[i], t[i+1]) AS w1,
+            |             greatest(t[i], t[i+1]) AS w2),
+            |      struct(least(t[i], t[i+2]) AS w1,
+            |             greatest(t[i], t[i+2]) AS w2))
+            |    ELSE array(
+            |      struct(least(t[i], t[i+1]) AS w1,
+            |             greatest(t[i], t[i+1]) AS w2))
+            |  END))""".stripMargin)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      pairLift(pairs, toksDf)
     },
 
     // Frequency-of-frequencies spectrum (the Good-Turing input table):
@@ -539,7 +582,7 @@ object TextAnalysis {
         |FROM rk WHERE rk <= 10 ORDER BY tok, rk""".stripMargin,
 
     "q109_bigram_lift" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (
         |  SELECT tok, COUNT(*) AS cnt
@@ -559,7 +602,41 @@ object TextAnalysis {
         |  CROSS JOIN n)
         |SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
         |  CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
-        |  CAST(q6 * (n_total // n_y) + q6 * (n_total % n_y) // n_y AS BIGINT)
+        |  ${liftPpmExpr("//")}
+        |    AS lift_ppm
+        |FROM j
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "q147_skipgram_lift" ->
+      s"""WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT t, i
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2),
+        |pr AS (
+        |  SELECT least(t[i], t[i + 1]) AS w1,
+        |    greatest(t[i], t[i + 1]) AS w2 FROM pos
+        |  UNION ALL
+        |  SELECT least(t[i], t[i + 2]), greatest(t[i], t[i + 2]) FROM pos
+        |  WHERE i + 2 <= len(t)),
+        |uni AS (
+        |  SELECT tok, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM uni),
+        |big AS (
+        |  SELECT w1, w2, COUNT(*) AS n_xy
+        |  FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |j AS (
+        |  SELECT b.w1, b.w2, b.n_xy, x.cnt AS n_x, y.cnt AS n_y, n.n_total,
+        |    b.n_xy * 1000000 // x.cnt AS q6
+        |  FROM big b
+        |  JOIN uni x ON b.w1 = x.tok
+        |  JOIN uni y ON b.w2 = y.tok
+        |  CROSS JOIN n)
+        |SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+        |  CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+        |  ${liftPpmExpr("//")}
         |    AS lift_ppm
         |FROM j
         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin,

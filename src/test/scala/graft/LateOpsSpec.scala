@@ -818,6 +818,109 @@ class LateOpsSpec extends AnyFunSuite {
       "above_level must take both values so the compare pins the > branch")
   }
 
+  test("q144 Spearman matches an exact JVM replay and rho is bounded") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3).split(" ", -1).length.toLong))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val ra = ds.sortBy(d => (d._3, d._2)).zipWithIndex
+        .map { case (d, i) => d._2 -> (i + 1).toLong }.toMap
+      val rb = ds.sortBy(d => (d._4, d._2)).zipWithIndex
+        .map { case (d, i) => d._2 -> (i + 1).toLong }.toMap
+      val s2 = ds.map(d => { val df = ra(d._2) - rb(d._2); df * df }).sum
+      (src, ds.length.toLong, s2)
+    }.toSet
+    val got = SparkEntry.queries("q144_spearman")(spark, sf).collect()
+    assert(got.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("sum_d2"))).toSet == expect,
+      "rank-distance sums must match the JVM replay")
+    got.foreach { r =>
+      val rho = r.getAs[Double]("rho")
+      assert(rho >= -1.0 && rho <= 1.0, s"rho out of range: $rho")
+    }
+    // chars and whitespace tokens are strongly monotone-associated on
+    // this corpus — the op must detect it, not return noise
+    assert(got.forall(_.getAs[Double]("rho") > 0.5))
+  }
+
+  test("q145 Benford digits partition the orders and deviations are consistent") {
+    val rows = SparkEntry.queries("q145_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L),
+      "exactly digits 1..9, ordered")
+    val total = graft.model.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 1).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "every order lands in exactly one leading-digit bucket")
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum > 999990L && shareSum <= 1000000L,
+      s"floor-ppm shares must sum to ~1e6, got $shareSum")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_ppm") ==
+        math.abs(r.getAs[Long]("share_ppm") - r.getAs[Long]("benford_ppm")))
+    }
+  }
+
+  test("q146 CUSUM equals the exact integer recursion replayed on the JVM") {
+    val daily = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (et, ds) =>
+      val sorted = ds.sortBy(_._2)
+      val mean = sorted.map(_._3).sum * 1000 / sorted.length
+      var up = 0L; var dn = 0L
+      sorted.map { case (_, day, c) =>
+        up = math.max(0L, up + c * 1000 - mean)
+        dn = math.max(0L, dn + mean - c * 1000)
+        val flag = if (up > 4 * mean || dn > 4 * mean) 1L else 0L
+        (et, day, c, up, dn, flag)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q146_cusum")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("c"), r.getAs[Long]("cusum_up_milli"),
+        r.getAs[Long]("cusum_dn_milli"), r.getAs[Long]("flag"))).toSet
+    assert(got == expect, "CUSUM sequence must match the JVM replay exactly")
+    // the max(0,·) clamp must be exercised from BOTH sides at the spec
+    // SF, so the oracle hash pins the clamp as well as the sums
+    assert(got.exists(_._4 > 0L) && got.exists(_._4 == 0L),
+      "upward CUSUM must take both zero and positive values")
+    assert(got.exists(_._5 > 0L) && got.exists(_._5 == 0L),
+      "downward CUSUM must take both zero and positive values")
+  }
+
+  test("q147 skip-gram pairs equal a brute-force window-2 replay") {
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val nTotal = uni.values.sum
+    val pairCnt = toks.flatMap { t =>
+      def canon(a: String, b: String) = if (a <= b) (a, b) else (b, a)
+      t.indices.dropRight(1).flatMap { i =>
+        val g1 = Seq(canon(t(i), t(i + 1)))
+        val g2 = if (i + 2 < t.length) Seq(canon(t(i), t(i + 2))) else Nil
+        g1 ++ g2
+      }
+    }.groupBy(identity).map { case (p, o) => p -> o.length.toLong }
+      .filter(_._2 >= 5L)
+    val expect = pairCnt.map { case ((w1, w2), nxy) =>
+      val nx = uni(w1); val ny = uni(w2)
+      val q6 = nxy * 1000000L / nx
+      val lift = q6 * (nTotal / ny) + q6 * (nTotal % ny) / ny
+      (w1, w2, nxy, nx, ny, lift)
+    }.toSeq.sortBy { case (w1, w2, _, _, _, l) => (-l, w1, w2) }.take(20)
+    val got = SparkEntry.queries("q147_skipgram_lift")(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_xy"), r.getAs[Long]("n_x"), r.getAs[Long]("n_y"),
+        r.getAs[Long]("lift_ppm"))).toSeq
+    assert(got == expect, s"top-20 skip-gram lift drifted; got ${got.take(3)} " +
+      s"expected ${expect.take(3)}")
+    graft.ops.Caches.clear()
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
