@@ -218,10 +218,13 @@ object Curation {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum((col("rk_a") - col("rk_b")) * (col("rk_a") - col("rk_b")))
             .cast("long").as("sum_d2"))
+        // rho is undefined for a single-document source (n³−n = 0) —
+        // NULL, never a 0/0 NaN (whose engine rendering differs)
         .withColumn("rho", expr(
-          """round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+          """CASE WHEN n_docs < 2 THEN CAST(NULL AS DOUBLE)
+            |ELSE round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
             |  (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) *
-            |   CAST(n_docs AS DOUBLE) - CAST(n_docs AS DOUBLE)), 6)"""
+            |   CAST(n_docs AS DOUBLE) - CAST(n_docs AS DOUBLE)), 6) END"""
             .stripMargin))
         .select("source", "n_docs", "sum_d2", "rho")
         .orderBy("source")
@@ -247,8 +250,13 @@ object Curation {
           """CAST(element_at(array(301030, 176091, 124939, 96910, 79181,
             |  66947, 57992, 51153, 45757), CAST(digit AS INT)) AS BIGINT)"""
             .stripMargin))
-      val total = fd.agg(count(lit(1)).as("n_total"))
-      fd.groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
+      // ONE scan for real: every retained row has a leading digit in
+      // 1..9, so n_total = Σn over the 9-row digit grid — the total is
+      // re-aggregated from the grouped counts, never a second scan
+      val counts = Caches.shared(
+        fd.groupBy("digit").agg(count(lit(1)).cast("long").as("n")))
+      val total = counts.agg(sum(col("n")).cast("long").as("n_total"))
+      counts
         .join(expected, Seq("digit"), "right")
         .na.fill(0L, Seq("n"))
         .crossJoin(broadcast(total))
@@ -800,9 +808,10 @@ object Curation {
         |    CAST(SUM((rk_a - rk_b) * (rk_a - rk_b)) AS BIGINT) AS sum_d2
         |  FROM ranked GROUP BY 1)
         |SELECT source, n_docs, sum_d2,
-        |  round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+        |  CASE WHEN n_docs < 2 THEN CAST(NULL AS DOUBLE)
+        |  ELSE round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
         |    (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) *
-        |     CAST(n_docs AS DOUBLE) - CAST(n_docs AS DOUBLE)), 6) AS rho
+        |     CAST(n_docs AS DOUBLE) - CAST(n_docs AS DOUBLE)), 6) END AS rho
         |FROM agg ORDER BY source""".stripMargin,
 
     "q145_benford" ->
@@ -811,7 +820,7 @@ object Curation {
         |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
         |  FROM orders WHERE o_totalprice >= 1),
         |obs AS (SELECT digit, COUNT(*) AS n FROM fd GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS n_total FROM fd),
+        |n AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM obs),
         |exp AS (
         |  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
         |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
