@@ -537,6 +537,54 @@ object Behavior {
         .orderBy("event_type", "day")
     },
 
+    // Lag-k autocorrelation (k = 1, 2, 3) per event type on the SAME
+    // dailyCounts series as q125/q134/q143/q146 — the serial-dependence
+    // audit that tells a forecaster whether yesterday predicts today
+    // (and the one-definition rule again: five estimators, one series).
+    // ACF here is the Pearson correlation between (x_t, x_{t+k}) over
+    // day-aligned pairs — aligned by DAY ARITHMETIC (a.day + k =
+    // b.day), not row offset, so calendar gaps cannot silently slide
+    // the lag. All five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    // Σy²) are exact int64; the only IEEE steps are the mirrored
+    // int64→double casts, one multiply, one sqrt, one divide, then
+    // round(6) — identical expression text in both engines. Each
+    // series row fans out to its ≤3 lag partners via one array
+    // transform (no per-lag rescan); the self-join keys on
+    // (event_type, day) so both sides shuffle once on the same bounded
+    // |types|×|days| grid, and the final agg is map-combined on the
+    // |types|×3 key. At 100 TB the raw table never joins itself —
+    // only the daily grid does.
+    "q150_acf_lags" -> { (s, d) =>
+      val daily = dailyCounts(s, d)
+      val probes = daily
+        .select(col("event_type"), col("c").as("x"),
+          explode(expr("array(1L, 2L, 3L)")).as("lag"),
+          col("day"))
+        .withColumn("day_b", col("day") + col("lag"))
+      probes.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day_b") === col("b.day"))
+        .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+          col("a.x").as("x"), col("b.c").as("y"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+        .withColumn("num", expr("CAST(n_pairs * sxy - sx * sy AS BIGINT)"))
+        .withColumn("den_x", expr("CAST(n_pairs * sxx - sx * sx AS BIGINT)"))
+        .withColumn("den_y", expr("CAST(n_pairs * syy - sy * sy AS BIGINT)"))
+        .select(col("event_type"), col("lag"), col("n_pairs"), col("num"),
+          col("den_x"), col("den_y"),
+          expr("""CASE WHEN den_x <= 0 OR den_y <= 0 THEN NULL
+                 ELSE round(CAST(num AS DOUBLE) /
+                   sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6)
+                 END""").as("acf"))
+        .orderBy("event_type", "lag")
+    },
+
     // Last-touch attribution: each purchase is credited to the most
     // recent PRECEDING non-purchase event type in that user's stream
     // (the standard marketing-attribution rule; "none" when a purchase
@@ -806,6 +854,37 @@ object Behavior {
         |       ELSE -((-num * 1000000 + den - 1) // den) END
         |       AS BIGINT) AS slope_ppm
         |FROM sl ORDER BY event_type""".stripMargin,
+
+    "q150_acf_lags" ->
+      s"""WITH $DailyCountsSql,
+        |probes AS (
+        |  SELECT event_type, c AS x, g.lag, day + g.lag AS day_b
+        |  FROM daily, UNNEST([1, 2, 3]) AS g(lag)),
+        |pairs AS (
+        |  SELECT a.event_type, CAST(a.lag AS BIGINT) AS lag,
+        |    a.x AS x, b.c AS y
+        |  FROM probes a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day_b = b.day),
+        |agg AS (
+        |  SELECT event_type, lag,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, lag, n_pairs,
+        |    CAST(n_pairs * sxy - sx * sy AS BIGINT) AS num,
+        |    CAST(n_pairs * sxx - sx * sx AS BIGINT) AS den_x,
+        |    CAST(n_pairs * syy - sy * sy AS BIGINT) AS den_y
+        |  FROM agg)
+        |SELECT event_type, lag, n_pairs, num, den_x, den_y,
+        |  CASE WHEN den_x <= 0 OR den_y <= 0 THEN NULL
+        |  ELSE round(CAST(num AS DOUBLE) /
+        |    sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6)
+        |  END AS acf
+        |FROM st ORDER BY event_type, lag""".stripMargin,
 
     "q143_ewma_anomaly" ->
       s"""WITH RECURSIVE $DailyCountsSql,

