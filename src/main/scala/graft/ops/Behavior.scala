@@ -537,6 +537,152 @@ object Behavior {
         .orderBy("event_type", "day")
     },
 
+    // Day-of-week seasonality profile on the shared dailyCounts
+    // series: per (event type, weekday), total events, active days,
+    // share of the type's volume, and the rate LIFT vs a uniform week
+    // (per-active-day rate over the type's overall rate). Weekday is
+    // PURE INTEGER arithmetic — dow = (epoch_day + 3) % 7, 0=Monday —
+    // because Spark's dayofweek() (1=Sunday) and DuckDB's (0=Sunday)
+    // disagree; day arithmetic cannot. Lift is floor-ppm with the
+    // multiplication ordered to stay in int64 (counts × days ≪ 2⁶³).
+    // One scan → |types|×7 grid; the normalizer is a broadcast
+    // one-row-per-type aggregate of that same grid.
+    "q164_dow_seasonality" -> { (s, d) =>
+      val daily = dailyCounts(s, d)
+        .withColumn("dow", expr("CAST((day + 3) % 7 AS BIGINT)"))
+      val byDow = daily.groupBy("event_type", "dow")
+        .agg(sum(col("c")).cast("long").as("n_events"),
+          count(lit(1)).cast("long").as("n_days"))
+      val byType = byDow.groupBy("event_type")
+        .agg(sum(col("n_events")).as("type_total"),
+          sum(col("n_days")).as("type_days"))
+      byDow.join(byType, "event_type")
+        .select(col("event_type"), col("dow"), col("n_events"), col("n_days"),
+          expr("CAST(n_events * 1000000 DIV type_total AS BIGINT)")
+            .as("share_ppm"),
+          expr("CAST(n_events * type_days * 1000000 DIV (n_days * type_total) AS BIGINT)")
+            .as("rate_lift_ppm"))
+        .orderBy("event_type", "dow")
+    },
+
+    // Exponentially time-decayed popularity with half-life = 1 day,
+    // computed EXACTLY in integers: a count aged k days contributes
+    // c >> k (bitshift halving — the transcendental-free image of
+    // c·2^(−k), floor per day). The freshness-weighted ranking signal
+    // behind trending/recommendation surfaces, on the SAME dailyCounts
+    // series as the q125/q134/q143/q146/q150 estimator family. Age
+    // anchors on the broadcast max day; shifts cap at 62 (shift
+    // semantics diverge across engines at word size — and 2⁻⁶² of any
+    // count is 0 anyway). One scan → the bounded |types|×|days| grid →
+    // one map-combined agg; decayed summands are associative integers,
+    // so partial aggregation distributes exactly.
+    "q161_decayed_popularity" -> { (s, d) =>
+      val daily = dailyCounts(s, d)
+      val anchor = daily.agg(max(col("day")).as("dmax"))
+      daily.crossJoin(broadcast(anchor))
+        .withColumn("age", col("dmax") - col("day"))
+        .withColumn("decayed",
+          expr("shiftright(c, CAST(least(age, 62) AS INT))"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("c")).cast("long").as("raw_total"),
+          sum(col("decayed")).cast("long").as("decayed_score"),
+          max(when(col("age") === 0, col("c")).otherwise(lit(0L)))
+            .cast("long").as("latest_day_count"))
+        .orderBy("event_type")
+    },
+
+    // Rolling 7-day active users (the DAU/WAU pair): for every active
+    // day, the count of distinct users active that day and within the
+    // trailing 7-day window. Rolling COUNT DISTINCT does not decompose
+    // over a window frame, and a range join against the day grid is
+    // the naive spelling — instead each (day, user) pair FANS OUT to
+    // the ≤7 windows it can serve (sequence-explode, the q135 hopping
+    // trick), and one aggregation per target day counts distincts.
+    // Fan-out is 7× the DISTINCT (day, user) grid — already reduced
+    // from raw events by a map-combined distinct — never 7× the event
+    // stream. stickiness = DAU/WAU in floor-ppm.
+    "q163_rolling_active" -> { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(col("user_id"), dayIndex.as("day")).distinct()
+      val days = du.select("day").distinct()
+      val wau = du
+        .select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("day"))
+        .join(days, "day")
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).cast("long").as("wau"))
+      du.groupBy("day")
+        .agg(countDistinct(col("user_id")).cast("long").as("dau"))
+        .join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("CAST(dau * 1000000 DIV wau AS BIGINT)").as("stickiness_ppm"))
+        .orderBy("day")
+    },
+
+    // Per-user inter-arrival time distribution: the gap between a
+    // user's consecutive events of each type, histogrammed by
+    // power-of-two microsecond bucket — the burstiness/periodicity
+    // profile behind rate-limit sizing and bot screening. The log₂
+    // bucket is INTEGER-exact in both engines as length(bin(gap)) —
+    // the same transcendental-free bitlength trick as q133's HLL rho —
+    // so the histogram hash-matches with zero float surface. Windows
+    // partition by (user_id, event_type) — per-user envelopes, never a
+    // per-type global sort (a type-partitioned window would serialize
+    // a 100 TB type under one task); the histogram agg then
+    // map-combines onto the ≤|types|×64 bucket grid.
+    "q159_interarrival" -> { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .withColumn("bucket", expr(
+          "CASE WHEN gap = 0 THEN 0L ELSE CAST(length(bin(gap)) AS BIGINT) END"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).cast("long").as("n_gaps"),
+          min(col("gap")).cast("long").as("min_gap_us"),
+          max(col("gap")).cast("long").as("max_gap_us"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // Position-based (U-shaped) attribution — the multi-touch rule
+    // complementing q122's last-touch: every touch BEFORE a user's
+    // first purchase shares the credit, weighted 40% to the first
+    // touch, 40% to the last, the middle 20% split evenly (n=1 →
+    // 100%, n=2 → 50/50). Credits are floor-ppm integers, so a user's
+    // touches sum to ≤ 10⁶ with a deterministic remainder — the spec
+    // pins conservation, the oracle pins every credit. Shape: one
+    // per-user first-purchase aggregation joined back (user_id key
+    // shuffle), one per-user window for (rank, count), then a
+    // map-combined agg on the bounded |event_types| key. The window
+    // partitions by user — never global — so the op scales with the
+    // per-user event envelope every stream op here already pays.
+    "q154_position_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("us")).as("fp_us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val touches = ev.join(firstPurchase, "user_id")
+        .filter(col("event_type") =!= "purchase" && col("us") < col("fp_us"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("credit_ppm", expr(
+          """CAST(CASE WHEN n = 1 THEN 1000000
+            |     WHEN n = 2 THEN 500000
+            |     WHEN rn = 1 OR rn = n THEN 400000
+            |     ELSE 200000 DIV (n - 2) END AS BIGINT)""".stripMargin))
+      touches.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_touches"),
+          countDistinct(col("user_id")).cast("long").as("n_users"),
+          sum(col("credit_ppm")).cast("long").as("credit_ppm"))
+        .orderBy("event_type")
+    },
+
     // Lag-k autocorrelation (k = 1, 2, 3) per event type on the SAME
     // dailyCounts series as q125/q134/q143/q146 — the serial-dependence
     // audit that tells a forecaster whether yesterday predicts today
@@ -854,6 +1000,100 @@ object Behavior {
         |       ELSE -((-num * 1000000 + den - 1) // den) END
         |       AS BIGINT) AS slope_ppm
         |FROM sl ORDER BY event_type""".stripMargin,
+
+    "q164_dow_seasonality" ->
+      s"""WITH $DailyCountsSql,
+        |bd AS (
+        |  SELECT event_type, (day + 3) % 7 AS dow,
+        |    CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT event_type, SUM(n_events) AS type_total,
+        |    SUM(n_days) AS type_days
+        |  FROM bd GROUP BY 1)
+        |SELECT bd.event_type, CAST(dow AS BIGINT) AS dow, n_events, n_days,
+        |  CAST(n_events * 1000000 // type_total AS BIGINT) AS share_ppm,
+        |  CAST(n_events * type_days * 1000000 // (n_days * type_total) AS BIGINT)
+        |    AS rate_lift_ppm
+        |FROM bd JOIN bt ON bd.event_type = bt.event_type
+        |ORDER BY bd.event_type, dow""".stripMargin,
+
+    "q161_decayed_popularity" ->
+      s"""WITH $DailyCountsSql,
+        |mx AS (SELECT MAX(day) AS dmax FROM daily)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(c) AS BIGINT) AS raw_total,
+        |  CAST(SUM(c >> LEAST(dmax - day, 62)) AS BIGINT) AS decayed_score,
+        |  CAST(MAX(CASE WHEN dmax - day = 0 THEN c ELSE 0 END) AS BIGINT)
+        |    AS latest_day_count
+        |FROM daily CROSS JOIN mx
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q163_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |w AS (
+        |  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1),
+        |da AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+        |SELECT CAST(da.day AS BIGINT) AS day, CAST(da.dau AS BIGINT) AS dau,
+        |  CAST(w.wau AS BIGINT) AS wau,
+        |  CAST(da.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+        |FROM da JOIN w ON da.day = w.day ORDER BY day""".stripMargin,
+
+    "q159_interarrival" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    us - lag(us, 1) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY us, event_id) AS gap
+        |  FROM ev),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN gap = 0 THEN 0
+        |         ELSE length(bin(gap)) END AS bucket, gap
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q154_position_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |fp AS (
+        |  SELECT user_id, MIN(us) AS fp_us FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |touch AS (
+        |  SELECT e.user_id, e.event_type,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |                       ORDER BY e.us, e.event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY e.user_id) AS n
+        |  FROM ev e JOIN fp USING (user_id)
+        |  WHERE e.event_type <> 'purchase' AND e.us < fp.fp_us),
+        |c AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN rn = 1 OR rn = n THEN 400000
+        |         ELSE 200000 // (n - 2) END AS credit_ppm
+        |  FROM touch)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q150_acf_lags" ->
       s"""WITH $DailyCountsSql,

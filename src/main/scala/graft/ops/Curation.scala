@@ -736,6 +736,103 @@ object Curation {
         .orderBy("source", "bucket")
     },
 
+    // Join-cardinality estimator audit — the cost-based-optimizer
+    // primitive, measured against ground truth: for the self-join of
+    // lineitem on l_suppkey, the EXACT output size (Σ c_k² over per-key
+    // counts — no join executed, one aggregation), the textbook uniform
+    // estimate |A|²/ndv, and the heavy-hitter-corrected estimate
+    // (exact mass for the top-10 keys + uniform tail) — with floor-ppm
+    // error for both. The audit quantifies exactly how much skew the
+    // uniform assumption hides, which is the number that justifies
+    // q89's skew handling. One map-combined key aggregation; top-10 is
+    // TakeOrdered; everything downstream is one-row broadcasts.
+    // Magnitude note: a join CARDINALITY is quadratic in row count, so
+    // the statistic itself outgrows int64 near 3·10⁹ input rows — past
+    // that, the audit should run per-partition-of-keys (the estimates
+    // are sums over keys, so they shard exactly).
+    "q165_join_cardinality" -> { (s, d) =>
+      val cnts = Tables.lineitem(s, d)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+      val stats = cnts.agg(
+        sum(col("c")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("ndv"),
+        sum(col("c") * col("c")).cast("long").as("exact_pairs"))
+      val top = cnts.orderBy(col("c").desc, col("l_suppkey")).limit(10)
+        .agg(coalesce(sum(col("c") * col("c")), lit(0L)).cast("long").as("hh_pairs"),
+          coalesce(sum(col("c")), lit(0L)).cast("long").as("hh_rows"),
+          count(lit(1)).cast("long").as("hh_n"))
+      stats.crossJoin(broadcast(top))
+        .withColumn("uniform_est", expr("CAST(n_rows * n_rows DIV ndv AS BIGINT)"))
+        .withColumn("hh_est", expr(
+          """CAST(hh_pairs + CASE WHEN ndv > hh_n
+            |  THEN (n_rows - hh_rows) * (n_rows - hh_rows) DIV (ndv - hh_n)
+            |  ELSE 0 END AS BIGINT)""".stripMargin))
+        .select(col("n_rows"), col("ndv"), col("exact_pairs"),
+          col("uniform_est"), col("hh_est"),
+          expr("CAST(abs(uniform_est - exact_pairs) * 1000000 DIV exact_pairs AS BIGINT)")
+            .as("uniform_err_ppm"),
+          expr("CAST(abs(hh_est - exact_pairs) * 1000000 DIV exact_pairs AS BIGINT)")
+            .as("hh_err_ppm"))
+    },
+
+    // Weight-proportional Bernoulli (Poisson) sampling, deterministic:
+    // each document is kept with probability n_chars/max(n_chars) —
+    // long documents (more training tokens) sampled proportionally
+    // more often — decided by the engine-neutral content hash, the
+    // same reproducibility rule as q47's stratified quotas: no rand(),
+    // no partition-order dependence, identical keep set on any engine,
+    // any layout, any run. The salted hash key ("wsamp:"+doc_id) is
+    // independent of q47's split hash by construction. One broadcast
+    // scalar (global max weight) + one map-side keep decision + one
+    // map-combined source aggregation: embarrassingly parallel at any
+    // corpus size.
+    "q157_weighted_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wmax = docs.agg(max(col("n_chars")).as("wmax"))
+      docs.crossJoin(broadcast(wmax))
+        .withColumn("h", Dedup.neutralHash32(
+          concat(lit("wsamp:"), col("doc_id").cast("string"))) % 1000000L)
+        .withColumn("kept", col("h") < expr("n_chars * 1000000 DIV wmax"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L)).cast("long")
+            .as("kept_chars"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .withColumn("kept_ppm", expr("CAST(n_kept * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // Dense equi-width histogram with EMPTY-BIN densification: 10 bins
+    // over the global value range per event type, where absent bins
+    // are emitted as explicit zeros (sequence-explode grid + left
+    // join) — the shape a monitoring/charting consumer needs (a
+    // missing bin and a zero bin are different facts). Bin boundaries
+    // are computed in exact integer micros (floor(value·10⁶) — one
+    // mirrored IEEE multiply+floor) against the broadcast global max,
+    // so bin edges cannot drift between engines. Scale: the raw scan
+    // reduces to the ≤|types|×10 grid via one map-combined agg; the
+    // densification grid and share normalizer live entirely on that
+    // bounded grid.
+    "q158_dense_histogram" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("vm"))
+      val mx = ev.agg(max(col("vm")).as("vmax"))
+      val binned = ev.crossJoin(broadcast(mx))
+        .withColumn("bin", expr("least(vm * 10 DIV vmax, 9L)"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      val grid = binned.select("event_type").distinct()
+        .select(col("event_type"), explode(expr("sequence(0L, 9L)")).as("bin"))
+      val dense = grid.join(binned, Seq("event_type", "bin"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)).cast("long"))
+      val tot = dense.groupBy("event_type").agg(sum(col("n")).as("tot"))
+      dense.join(tot, "event_type")
+        .select(col("event_type"), col("bin"), col("n"),
+          expr("CAST(n * 1000000 DIV tot AS BIGINT)").as("share_ppm"))
+        .orderBy("event_type", "bin")
+    },
+
     // Functional-dependency discovery audit: does column A determine
     // column B? The schema-inference / data-contract check a pipeline
     // runs before trusting a column as a lookup key (and the classical
@@ -1208,6 +1305,71 @@ object Curation {
         |  CAST(group_size * COUNT(*) AS BIGINT) AS n_docs,
         |  group_size < 5 AS at_risk
         |FROM qid GROUP BY group_size ORDER BY group_size""".stripMargin,
+
+    "q165_join_cardinality" ->
+      """WITH cnts AS (
+        |  SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS ndv,
+        |    CAST(SUM(c * c) AS BIGINT) AS exact_pairs
+        |  FROM cnts),
+        |tp AS (
+        |  SELECT CAST(COALESCE(SUM(c * c), 0) AS BIGINT) AS hh_pairs,
+        |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS hh_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS hh_n
+        |  FROM (SELECT c FROM cnts ORDER BY c DESC, l_suppkey LIMIT 10)),
+        |est AS (
+        |  SELECT n_rows, ndv, exact_pairs,
+        |    CAST(n_rows * n_rows // ndv AS BIGINT) AS uniform_est,
+        |    CAST(hh_pairs + CASE WHEN ndv > hh_n
+        |      THEN (n_rows - hh_rows) * (n_rows - hh_rows) // (ndv - hh_n)
+        |      ELSE 0 END AS BIGINT) AS hh_est
+        |  FROM st CROSS JOIN tp)
+        |SELECT n_rows, ndv, exact_pairs, uniform_est, hh_est,
+        |  CAST(abs(uniform_est - exact_pairs) * 1000000 // exact_pairs AS BIGINT)
+        |    AS uniform_err_ppm,
+        |  CAST(abs(hh_est - exact_pairs) * 1000000 // exact_pairs AS BIGINT)
+        |    AS hh_err_ppm
+        |FROM est""".stripMargin,
+
+    "q157_weighted_sample" ->
+      """WITH w AS (SELECT MAX(n_chars) AS wmax FROM documents),
+        |k AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 < n_chars * 1000000 // wmax AS kept
+        |  FROM documents CROSS JOIN w)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS kept_ppm
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q158_dense_histogram" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vm
+        |  FROM events),
+        |mx AS (SELECT MAX(vm) AS vmax FROM ev),
+        |b AS (
+        |  SELECT event_type, LEAST(vm * 10 // vmax, 9) AS bin, COUNT(*) AS n
+        |  FROM ev CROSS JOIN mx GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT DISTINCT event_type, g.bin
+        |  FROM b, UNNEST(generate_series(0, 9)) AS g(bin)),
+        |dense AS (
+        |  SELECT g.event_type, g.bin, COALESCE(b.n, 0) AS n
+        |  FROM grid g LEFT JOIN b ON b.event_type = g.event_type
+        |    AND b.bin = g.bin),
+        |tot AS (SELECT event_type, SUM(n) AS tot FROM dense GROUP BY 1)
+        |SELECT d.event_type, CAST(d.bin AS BIGINT) AS bin,
+        |  CAST(d.n AS BIGINT) AS n,
+        |  CAST(d.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+        |FROM dense d JOIN tot t USING (event_type)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q148_fd_audit" ->
       """WITH f1 AS (

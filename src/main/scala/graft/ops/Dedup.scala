@@ -112,7 +112,10 @@ object Dedup {
     * combinable mins); band buckets combine the band's minima with a
     * base-31 polynomial — all pure 64-bit integer arithmetic, no
     * overflow (7919·16·P < 2⁴⁸, bucket < 2⁴⁶). */
-  def minhashBands(sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
+  /** Wide per-doc MinHash signature (doc_id, h0..h{n-1}) — the state
+    * [[minhashBands]] folds into band buckets, also consumed directly by
+    * q156's calibration audit. ONE definition of the hash family. */
+  private def minhashSignatureWide(sh: DataFrame, numHashes: Int): DataFrame = {
     // materialize the md5-derived base hash ONCE per row — as a shared
     // subtree of 16 aggregate expressions it would rely on codegen CSE to
     // avoid 16 md5 evaluations per shingle; a named column makes the
@@ -120,9 +123,12 @@ object Dedup {
     val hashed = sh.withColumn("_hm", neutralHash32(col("sh")) % P)
     val mins = (0 until numHashes).map(i =>
       min((lit(7919L * (i + 1)) * col("_hm") + lit(104729L * i)) % P).as(s"h$i"))
-    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    explodeBandBuckets(sig, Seq("doc_id"), numHashes, bandSize)
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
+
+  def minhashBands(sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame =
+    explodeBandBuckets(minhashSignatureWide(sh, numHashes),
+      Seq("doc_id"), numHashes, bandSize)
 
   /** Shared banding tail: fold signature columns h0..h{n-1} into one
     * (band, bucket) row per band, carrying `carry` columns through. */
@@ -278,6 +284,98 @@ object Dedup {
     // the lineage shallow and recomputable, and nothing ever supersedes
     // this frame, so a reliable checkpoint would leak into the shared
     // store on every run (see q118's note).
+    // Per-document DISPOSITION — the one-view integration of the three
+    // dedup families: every document tagged with WHY the pipeline
+    // would drop it (exact content duplicate ≻ near-duplicate ≻
+    // boilerplate-prefix clone ≻ kept, first match wins), with doc and
+    // token mass per reason. This is the report a curation run ships:
+    // not just how much survives, but what each mechanism uniquely
+    // removes once the stronger one has had its turn. Survivor rule is
+    // uniform (min doc_id per group/cluster — the q14/q24/q65 rule).
+    // Three independent grouping passes (content md5, CC labels over
+    // the LSH edges, 100-char prefix hash) joined back onto one doc
+    // frame; each pass is the same map-combined agg its standalone op
+    // pays, and the final rollup is 4 rows.
+    "q160_drop_reasons" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+        .select(col("doc_id"), col("text"), col("n_tok"))
+      val exact = docs.groupBy(md5(col("text")).as("cmd5"))
+        .agg(min(col("doc_id")).as("e_surv"), count(lit(1)).as("e_n"))
+      val boiler = docs
+        .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
+        .groupBy("phash")
+        .agg(min(col("doc_id")).as("b_surv"), count(lit(1)).as("b_n"))
+      val labels = connectedComponents(dupEdges(s, d))
+        .select(col("node").as("doc_id"), col("label"))
+      val tagged = docs
+        .withColumn("cmd5", md5(col("text")))
+        .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
+        .join(exact, "cmd5").join(boiler, "phash")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when(col("e_n") > 1 && col("doc_id") =!= col("e_surv"), "exact_dup")
+            .when(col("label").isNotNull && col("label") =!= col("doc_id"),
+              "near_dup")
+            .when(col("b_n") > 1 && col("doc_id") =!= col("b_surv"),
+              "boilerplate")
+            .otherwise("kept"))
+      val byReason = tagged.groupBy("reason")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+      byReason
+        .crossJoin(broadcast(byReason.agg(
+          sum(col("n_docs")).cast("long").as("total"))))
+        .select(col("reason"), col("n_docs"), col("n_tokens"),
+          expr("CAST(n_docs * 1000000 DIV total AS BIGINT)").as("share_ppm"))
+        .orderBy("reason")
+    },
+
+    // k-core decomposition (k=2, three peel rounds) over the SAME
+    // near-dup edge list as q115/q65 — the graph-density ladder: a
+    // node survives the 2-core when at least 2 of its neighbors also
+    // survive, so each round strips pendant chains (templates drifting
+    // edit-by-edit) while dup CLIQUES are fixed points. Per round the
+    // core shrinks monotonically; the per-round (nodes, edges) trace is
+    // the chain-vs-clique profile that q115's closure ratio summarizes
+    // in one number. Relational-Pregel shape like q90: each round = one
+    // degree aggregation + two left-semi joins, every intermediate
+    // eagerly persisted (each round's edge set feeds BOTH its summary
+    // and the next round — unpersisted, branch fan-out would recompute
+    // the whole prefix per consumer). Bounded unrolling (3 rounds)
+    // keeps the plan static; at 100 TB each round shuffles only the
+    // surviving edge set, which only ever shrinks.
+    "q152_kcore" -> { (s, d) =>
+      def endpoints(e: DataFrame): DataFrame =
+        e.select(col("doc_a").as("n"))
+          .unionByName(e.select(col("doc_b").as("n")))
+      def peel(e: DataFrame): DataFrame = {
+        val keep = endpoints(e).groupBy("n").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("n")
+        e.join(keep.withColumnRenamed("n", "doc_a"), Seq("doc_a"), "left_semi")
+          .join(keep.withColumnRenamed("n", "doc_b"), Seq("doc_b"), "left_semi")
+      }
+      def trace(e: DataFrame, round: Int): DataFrame =
+        e.agg(count(lit(1)).cast("long").as("n_edges"))
+          .crossJoin(broadcast(endpoints(e).distinct()
+            .agg(count(lit(1)).cast("long").as("n_nodes"))))
+          .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      // CHECKPOINT-truncated rounds (the CC rule), not just persisted:
+      // a peel references its predecessor 3× (degree + both semi-joins),
+      // so un-truncated lineage nests the LSH DAG 3^r times and the
+      // OPTIMIZER — not execution — goes exponential (measured ~46 s at
+      // sf0.1 with persist-only; truncation restores the ~2 s the
+      // sibling graph ops pay).
+      val e0 = Checkpoints.truncate(dupEdges(s, d), eager = true)
+      val e1 = Checkpoints.truncate(peel(e0), eager = true)
+      val e2 = Checkpoints.truncate(peel(e1), eager = true)
+      val e3 = Checkpoints.truncate(peel(e2), eager = true)
+      val out = trace(e0, 0).unionByName(trace(e1, 1))
+        .unionByName(trace(e2, 2)).unionByName(trace(e3, 3))
+        .orderBy("round")
+      out
+    },
+
     "q115_dup_triangles" -> { (s, d) =>
       // eager shared persist (see q118's note on lazy-persist branch
       // races); Caches registers it so Verify/Bench unpersist after use
@@ -476,6 +574,44 @@ object Dedup {
         .select("doc_a", "doc_b", "common", "na", "nb", "jac")
         .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
         .limit(100)
+    },
+
+    // MinHash sketch-calibration audit: for every LSH candidate pair,
+    // the 16-slot signature-agreement ESTIMATE of Jaccard (matches/16,
+    // the quantity E[est] = J makes an unbiased estimator of) next to
+    // the EXACT shingle Jaccard, histogrammed by absolute error decile
+    // — the measurement that justifies trusting the sketch at corpus
+    // scales where exact verification of every pair is unaffordable.
+    // The shingle set and signature are computed ONCE each (eager
+    // shared persists): candidates come from banding the same wide
+    // signature the estimate reads, exact Jaccard verifies over the
+    // same shingle frame — no branch re-derives either. Error sums are
+    // exact floor-ppm integers; output is ≤11 rows at any corpus size.
+    "q156_minhash_calibration" -> { (s, d) =>
+      val sh = Caches.shared(docShingles(s, d, 1))
+      val sig = Caches.shared(minhashSignatureWide(sh, 16))
+      val bands = explodeBandBuckets(sig, Seq("doc_id"), 16, 4)
+      val cand = bands.as("x").hint("shuffle_hash")
+        .join(bands.as("y").hint("shuffle_hash"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val ver = jaccardOfPairs(cand, sh)
+      val sigArr = array((0 until 16).map(i => col(s"h$i")): _*)
+      val sa = sig.select(col("doc_id").as("doc_a"), sigArr.as("va"))
+      val sb = sig.select(col("doc_id").as("doc_b"), sigArr.as("vb"))
+      ver.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("matches", expr(
+          "aggregate(zip_with(va, vb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, c) -> a + c)"))
+        .withColumn("est_ppm", expr("matches * 1000000 DIV 16"))
+        .withColumn("exact_ppm",
+          expr("common * 1000000 DIV (na + nb - common)"))
+        .groupBy(expr("abs(est_ppm - exact_ppm) DIV 100000").as("err_decile"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("est_ppm")).cast("long").as("sum_est_ppm"),
+          sum(col("exact_ppm")).cast("long").as("sum_exact_ppm"))
+        .orderBy("err_decile")
     },
 
     // B11 completion: pairs → CLUSTERS → survivor election. Edges are
@@ -821,6 +957,104 @@ object Dedup {
         |  CAST(common * 1000000 // (na + nb - common) AS BIGINT) AS jac_ppm
         |FROM ver WHERE common * 3 >= na + nb
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q160_drop_reasons" -> (ClusterLabelsSql +
+      """,
+        |base AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    md5(text) AS cmd5, md5(substr(text, 1, 100)) AS phash
+        |  FROM documents),
+        |ex AS (SELECT cmd5, MIN(doc_id) AS e_surv, COUNT(*) AS e_n
+        |       FROM base GROUP BY 1),
+        |bp AS (SELECT phash, MIN(doc_id) AS b_surv, COUNT(*) AS b_n
+        |       FROM base GROUP BY 1),
+        |tagged AS (
+        |  SELECT b.doc_id, b.n_tok,
+        |    CASE WHEN e.e_n > 1 AND b.doc_id <> e.e_surv THEN 'exact_dup'
+        |         WHEN l.label IS NOT NULL AND l.label <> b.doc_id
+        |           THEN 'near_dup'
+        |         WHEN p.b_n > 1 AND b.doc_id <> p.b_surv THEN 'boilerplate'
+        |         ELSE 'kept' END AS reason
+        |  FROM base b
+        |  JOIN ex e USING (cmd5) JOIN bp p USING (phash)
+        |  LEFT JOIN lab l ON l.node = b.doc_id),
+        |byr AS (
+        |  SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM tagged GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM byr)
+        |SELECT reason, n_docs, n_tokens,
+        |  CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM byr, tot ORDER BY reason""".stripMargin),
+
+    // Estimate = per-slot signature agreement over the SAME sig CTE the
+    // banding reads; msig is MATERIALIZED because it is referenced once
+    // per pair side (same inline-re-evaluation guard as q152).
+    "q156_minhash_calibration" -> (LshPairsSql +
+      """,
+        |msig AS MATERIALIZED (SELECT doc_id, i, mh FROM sig),
+        |mtch AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS matches
+        |  FROM cand c
+        |  JOIN msig sa ON sa.doc_id = c.doc_a
+        |  JOIN msig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        |  GROUP BY 1, 2),
+        |ver AS (
+        |  SELECT co.doc_a, co.doc_b,
+        |    m.matches * 1000000 // 16 AS est_ppm,
+        |    co.common * 1000000 // (ca.n + cb.n - co.common) AS exact_ppm
+        |  FROM common co
+        |  JOIN cnt ca ON co.doc_a = ca.doc_id
+        |  JOIN cnt cb ON co.doc_b = cb.doc_id
+        |  JOIN mtch m ON m.doc_a = co.doc_a AND m.doc_b = co.doc_b)
+        |SELECT CAST(abs(est_ppm - exact_ppm) // 100000 AS BIGINT) AS err_decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(est_ppm) AS BIGINT) AS sum_est_ppm,
+        |  CAST(SUM(exact_ppm) AS BIGINT) AS sum_exact_ppm
+        |FROM ver GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Same jpair base as q115; the three peel rounds are unrolled CTEs
+    // (the Spark side unrolls identically — one definition, two
+    // renders). Every e_r is MATERIALIZED: DuckDB inlines repeated CTE
+    // references by default, and the peel chain references each round
+    // 4-5× — un-pinned, jpair (the expensive minhash verify) would be
+    // re-evaluated exponentially many times.
+    "q152_kcore" -> (ClusterLabelsSql +
+      """,
+        |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jpair),
+        |k1 AS (SELECT n FROM (
+        |    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) t
+        |  GROUP BY n HAVING COUNT(*) >= 2),
+        |e1 AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)),
+        |k2 AS (SELECT n FROM (
+        |    SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) t
+        |  GROUP BY n HAVING COUNT(*) >= 2),
+        |e2 AS MATERIALIZED (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2)),
+        |k3 AS (SELECT n FROM (
+        |    SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) t
+        |  GROUP BY n HAVING COUNT(*) >= 2),
+        |e3 AS MATERIALIZED (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT n FROM k3) AND b IN (SELECT n FROM k3))
+        |SELECT CAST(0 AS BIGINT) AS round,
+        |  (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM
+        |    (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) t) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges
+        |UNION ALL SELECT 1,
+        |  (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM
+        |    (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) t),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e1)
+        |UNION ALL SELECT 2,
+        |  (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM
+        |    (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) t),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+        |UNION ALL SELECT 3,
+        |  (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM
+        |    (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) t),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+        |ORDER BY round""".stripMargin),
 
     // Reuses ClusterLabelsSql's `jpair` CTE (the verified ≥0.3-Jaccard
     // pair list) — the unused closure CTEs behind it are never evaluated.

@@ -164,6 +164,107 @@ object Relational {
         .limit(25)
     },
 
+    // TPC-H Q18 image (large-volume customers): orders whose total
+    // lineitem quantity clears a HAVING threshold, enriched with the
+    // customer — the group-filter-then-join shape (aggregate first,
+    // join the survivors) that a naive join-first plan gets backwards.
+    // The quantity aggregation runs BEFORE any join, so the
+    // order-grain shuffle carries (orderkey, sum) partial aggregates,
+    // never raw lineitem×customer rows; the >300 filter then shrinks
+    // the join input to the rare heavy orders (HAVING pushes into the
+    // agg), and the final top-100 is TakeOrdered with a full
+    // deterministic tiebreak, never a global sort. Quantity sums in
+    // exact decimal (dsum) per the money-column rule.
+    "q155_big_orders" -> { (s, d) =>
+      val heavy = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      heavy.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Revenue-concentration (Lorenz/Pareto) profile: customer lifetime
+    // value bucketed by power-of-two cents (the q133/q159 bitlength
+    // trick — no quantiles, no global rank), with cumulative
+    // richest-first share of revenue and of customers per bucket. The
+    // "top X% of customers hold Y% of revenue" view, exact in integer
+    // cents. The cumulative is NOT a window: per the repo's
+    // no-unpartitioned-window rule it is a triangular self-join of the
+    // ≤64-row bucket grid (b.bucket ≥ a.bucket) — bounded at 64² cells
+    // at ANY corpus size. Customer totals are one map-combined key agg;
+    // everything after lives on the bucket grid.
+    "q166_revenue_concentration" -> { (s, d) =>
+      val byBucket = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(money(col("o_totalprice"))).as("rev_d"))
+        .withColumn("rev_cents", expr("CAST(rev_d * 100 AS BIGINT)"))
+        .withColumn("bucket", expr("CAST(length(bin(rev_cents)) AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum(col("rev_cents")).cast("long").as("rev_cents"))
+      val tot = byBucket.agg(sum(col("rev_cents")).cast("long").as("total_cents"),
+        sum(col("n_customers")).cast("long").as("total_cust"))
+      byBucket.as("a")
+        .join(byBucket.as("b"), col("b.bucket") >= col("a.bucket"))
+        .groupBy(col("a.bucket").as("bucket"),
+          col("a.n_customers").as("n_customers"),
+          col("a.rev_cents").as("rev_cents"))
+        .agg(sum(col("b.rev_cents")).cast("long").as("cum_rev_cents"),
+          sum(col("b.n_customers")).cast("long").as("cum_customers"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_customers"), col("rev_cents"),
+          expr("CAST(cum_rev_cents * 1000000 DIV total_cents AS BIGINT)")
+            .as("cum_rev_ppm"),
+          expr("CAST(cum_customers * 1000000 DIV total_cust AS BIGINT)")
+            .as("cum_cust_ppm"))
+        .orderBy(col("bucket").desc)
+    },
+
+    // Row-level table-version DIFF audit — the data-regression check
+    // run between two snapshots of the same table before promoting a
+    // rewrite (compaction, migration, backfill): full-outer join on
+    // the key, classify every row added / deleted / modified /
+    // unchanged. The v2 snapshot is derived deterministically from v1
+    // (price bump on keys ≡0 mod 97, drop keys ≡0 mod 89, re-key
+    // insert for keys ≡0 mod 83) so the expected counts are a pure
+    // function of the data — no fixtures. Column comparison uses
+    // null-safe equality; classification precedence (added/deleted
+    // before modified) is total. Scale: ONE key equi-join (both sides
+    // shuffle once on the key), then a 4-row rollup — the shuffle
+    // carries only the compared columns, not full rows.
+    "q162_table_diff" -> { (s, d) =>
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price1"),
+          col("o_orderstatus").as("status1"))
+      val base = Tables.orders(s, d)
+      val v2 = base.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("price2"),
+          col("o_orderstatus").as("status2"))
+        .unionByName(base.filter(col("o_orderkey") % 83 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("k"),
+            col("o_totalprice").as("price2"),
+            col("o_orderstatus").as("status2")))
+      v1.join(v2, Seq("k"), "full_outer")
+        .withColumn("klass",
+          when(col("price1").isNull, "added")
+            .when(col("price2").isNull, "deleted")
+            .when(!(col("price1") <=> col("price2")) ||
+              !(col("status1") <=> col("status2")), "modified")
+            .otherwise("unchanged"))
+        .groupBy("klass")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min(col("k")).cast("long").as("min_key"),
+          max(col("k")).cast("long").as("max_key"))
+        .orderBy("klass")
+    },
+
     // B7: global sort + limit (top-k) with deterministic tiebreak.
     "q03_topk_orders" -> { (s, d) =>
       Tables.orders(s, d)
@@ -335,6 +436,72 @@ object Relational {
         |WHERE (nc.n_nationkey % 5 = 1 AND ns.n_nationkey % 5 = 2)
         |   OR (nc.n_nationkey % 5 = 2 AND ns.n_nationkey % 5 = 1)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q166_revenue_concentration" ->
+      """WITH cr AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |bb AS (
+        |  SELECT length(bin(rev_cents)) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+        |  FROM cr GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+        |    CAST(SUM(n_customers) AS BIGINT) AS total_cust
+        |  FROM bb),
+        |cum AS (
+        |  SELECT a.bucket, a.n_customers, a.rev_cents,
+        |    CAST(SUM(b.rev_cents) AS BIGINT) AS cum_rev_cents,
+        |    CAST(SUM(b.n_customers) AS BIGINT) AS cum_customers
+        |  FROM bb a JOIN bb b ON b.bucket >= a.bucket
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_customers, rev_cents,
+        |  CAST(cum_rev_cents * 1000000 // total_cents AS BIGINT) AS cum_rev_ppm,
+        |  CAST(cum_customers * 1000000 // total_cust AS BIGINT) AS cum_cust_ppm
+        |FROM cum CROSS JOIN tot ORDER BY bucket DESC""".stripMargin,
+
+    "q162_table_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price1,
+        |    o_orderstatus AS status1
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS price2,
+        |    o_orderstatus AS status2
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000 AS k, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 83 = 0),
+        |j AS (
+        |  SELECT COALESCE(v1.k, v2.k) AS k,
+        |    CASE WHEN v1.price1 IS NULL THEN 'added'
+        |         WHEN v2.price2 IS NULL THEN 'deleted'
+        |         WHEN v1.price1 IS DISTINCT FROM v2.price2
+        |           OR v1.status1 IS DISTINCT FROM v2.status2 THEN 'modified'
+        |         ELSE 'unchanged' END AS klass
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT klass, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(k) AS BIGINT) AS min_key,
+        |  CAST(MAX(k) AS BIGINT) AS max_key
+        |FROM j GROUP BY klass ORDER BY klass""".stripMargin,
+
+    "q155_big_orders" ->
+      """WITH heavy AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300.0)
+        |SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice, sum_qty
+        |FROM heavy
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q127_important_stock" ->
       """WITH stock AS (

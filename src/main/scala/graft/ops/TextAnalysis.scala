@@ -193,6 +193,41 @@ object TextAnalysis {
         .orderBy("tok", "rk")
     },
 
+    // Boolean AND retrieval — the inverted-index intersection behind
+    // every conjunctive search ("docs containing ALL query terms"),
+    // the companion to q137's ranked BM25 over the same postings
+    // shape. Query terms reuse q137's deterministic mid-frequency rule
+    // (the 3 tokens with df closest to N/10, (gap, tok) totally
+    // ordered) so the two IR ops probe one shared query model. The
+    // intersection is COUNTING, not nested joins: postings semi-join
+    // the broadcast 3-term set, then one doc_id aggregation keeps docs
+    // whose matched-term count equals the query size — the classic
+    // distributed AND plan (a t-term query is ONE pass over t posting
+    // lists, never a t-way self-join). Emitted per match: distinct
+    // terms matched, summed tf, and doc length via one join to the
+    // lengths table; top-50 by doc_id keeps output bounded at any SF.
+    "q153_bool_search" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"))
+      val qterms = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .orderBy(abs(col("df") * 10 - col("n_docs")), col("tok"))
+        .limit(3)
+        .select("tok")
+      tf.join(broadcast(qterms), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          sum(col("tf")).cast("long").as("sum_tf"))
+        .filter(col("n_terms") === 3)
+        .join(dl, "doc_id")
+        .select(col("doc_id"), col("n_terms"), col("sum_tf"),
+          col("dl").cast("long").as("dl"))
+        .orderBy("doc_id").limit(50)
+    },
+
     // B12: per-language token statistics.
     "q21_doc_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -580,6 +615,26 @@ object TextAnalysis {
         |  CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
         |  CAST(score_micro AS BIGINT) AS score_micro
         |FROM rk WHERE rk <= 10 ORDER BY tok, rk""".stripMargin,
+
+    "q153_bool_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |qterms AS (
+        |  SELECT tok FROM dfq CROSS JOIN stats
+        |  ORDER BY abs(df * 10 - n_docs), tok LIMIT 3),
+        |hits AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    CAST(SUM(tf) AS BIGINT) AS sum_tf
+        |  FROM tf JOIN qterms USING (tok)
+        |  GROUP BY doc_id HAVING COUNT(*) = 3)
+        |SELECT h.doc_id, h.n_terms, h.sum_tf, CAST(l.dl AS BIGINT) AS dl
+        |FROM hits h JOIN dl l USING (doc_id)
+        |ORDER BY doc_id LIMIT 50""".stripMargin,
 
     "q109_bigram_lift" ->
       s"""WITH toks AS (

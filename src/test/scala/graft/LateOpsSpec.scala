@@ -1013,6 +1013,307 @@ class LateOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("q152 k-core trace shrinks monotonically and round 0 matches q115") {
+    val rows = SparkEntry.queries("q152_kcore")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.map(_.getAs[Long]("round")).toSeq == Seq(0L, 1L, 2L, 3L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_nodes") <= a.getAs[Long]("n_nodes"),
+        "peeling can only remove nodes")
+      assert(b.getAs[Long]("n_edges") <= a.getAs[Long]("n_edges"),
+        "peeling can only remove edges")
+    }
+    // round 0 is the raw dup graph — must agree with q115's census
+    val tri = SparkEntry.queries("q115_dup_triangles")(spark, sf).collect()(0)
+    assert(rows(0).getAs[Long]("n_nodes") == tri.getAs[Long]("n_nodes"))
+    assert(rows(0).getAs[Long]("n_edges") == tri.getAs[Long]("n_edges"))
+    // every survivor of a 2-core peel has degree >= 2, so e >= n
+    rows.drop(1).foreach { r =>
+      assert(r.getAs[Long]("n_edges") >= r.getAs[Long]("n_nodes"),
+        "a 2-core cannot have fewer edges than nodes")
+    }
+    graft.ops.Caches.clear()
+  }
+
+  test("q153 AND search: every hit contains all three query terms") {
+    val rows = SparkEntry.queries("q153_bool_search")(spark, sf).collect()
+    assert(rows.nonEmpty, "mid-frequency terms must co-occur somewhere")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_terms") == 3L)
+      assert(r.getAs[Long]("sum_tf") >= 3L, "each term appears at least once")
+      assert(r.getAs[Long]("dl") >= r.getAs[Long]("sum_tf"),
+        "doc length bounds the matched-term occurrences")
+    }
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids == ids.sorted && ids.distinct.size == ids.size)
+  }
+
+  test("q154 position attribution conserves per-user credit") {
+    val rows = SparkEntry.queries("q154_position_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // total credit across types ~= 10^6 per converting user (floor-div
+    // loses < (n-2) ppm per user, never gains)
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val expect = byUser.toSeq.flatMap { case (_, es) =>
+      val fp = es.filter(_._3 == "purchase").map(_._4).sorted.headOption
+      fp.toSeq.flatMap { f =>
+        val touches = es.filter(e => e._3 != "purchase" && e._4 < f)
+          .sortBy(e => (e._4, e._2))
+        val n = touches.length
+        touches.zipWithIndex.map { case (e, i) =>
+          val credit =
+            if (n == 1) 1000000L
+            else if (n == 2) 500000L
+            else if (i == 0 || i == n - 1) 400000L
+            else 200000L / (n - 2)
+          (e._3, credit)
+        }
+      }
+    }
+    val expAgg = expect.groupBy(_._1).map { case (t, cs) =>
+      t -> (cs.length.toLong, cs.map(_._2).sum) }
+    val gotAgg = rows.map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Long]("n_touches"), r.getAs[Long]("credit_ppm"))).toMap
+    assert(gotAgg == expAgg, s"credit drifted: got $gotAgg expected $expAgg")
+    val perUserTotal = expect.map(_._2).sum
+    val users = byUser.count { case (_, es) =>
+      val fp = es.filter(_._3 == "purchase").map(_._4).sorted.headOption
+      fp.exists(f => es.exists(e => e._3 != "purchase" && e._4 < f))
+    }
+    assert(perUserTotal <= 1000000L * users &&
+      perUserTotal > 1000000L * users - 1000L * users,
+      "floor-ppm credit must conserve to within the documented remainder")
+  }
+
+  test("q155 heavy orders all clear the threshold and join consistently") {
+    val rows = SparkEntry.queries("q155_big_orders")(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 contains orders above 300 quantity")
+    rows.foreach(r => assert(r.getAs[Double]("sum_qty") > 300.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(prices == prices.sorted.reverse, "descending price order")
+    // cross-check one row against a direct recomputation
+    val k = rows(0).getAs[Long]("o_orderkey")
+    val qty = graft.model.Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === k)
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(math.abs(qty - rows(0).getAs[Double]("sum_qty")) < 1e-9)
+  }
+
+  test("q156 calibration: estimator is slot-bounded and pair count matches q26") {
+    val rows = SparkEntry.queries("q156_minhash_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs")
+      // est is a mean of 16 indicator slots: ppm multiples of 62500
+      assert(r.getAs[Long]("sum_est_ppm") % 62500L == 0L)
+      assert(r.getAs[Long]("sum_est_ppm") <= 1000000L * n)
+      assert(r.getAs[Long]("sum_exact_ppm") <= 1000000L * n)
+      assert(r.getAs[Long]("err_decile") >= 0L && r.getAs[Long]("err_decile") <= 10L)
+    }
+    // the histogram partitions exactly the verified candidate set q26 reads
+    val nPairs = graft.ops.Dedup.minhashVerifiedPairs(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "every verified candidate pair lands in exactly one error decile")
+    // a sketch that works concentrates mass at low error
+    val low = rows.filter(_.getAs[Long]("err_decile") <= 2L)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(low * 2 >= nPairs, s"low-error mass $low of $nPairs")
+    graft.ops.Caches.clear()
+  }
+
+  test("q157 weighted sample replays exactly and tracks weight order") {
+    val rows = SparkEntry.queries("q157_weighted_sample")(spark, sf).collect()
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val wmax = docs.map(_._3).max
+    def h32(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val kept = ds.filter(d => h32(s"wsamp:${d._2}") % 1000000L <
+        d._3 * 1000000L / wmax)
+      (src, ds.length.toLong, kept.length.toLong, kept.map(_._3).sum,
+        ds.map(_._3).sum)
+    }.toSet
+    val got = rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_kept"), r.getAs[Long]("kept_chars"),
+      r.getAs[Long]("total_chars"))).toSet
+    assert(got == expect, "keep decisions must replay bit-for-bit on the JVM")
+    // the sample is weight-proportional in aggregate: kept docs are
+    // longer on average than the population
+    val (k, kc) = (rows.map(_.getAs[Long]("n_kept")).sum,
+      rows.map(_.getAs[Long]("kept_chars")).sum)
+    val (n, tc) = (rows.map(_.getAs[Long]("n_docs")).sum,
+      rows.map(_.getAs[Long]("total_chars")).sum)
+    assert(k > 0 && kc * n > tc * k,
+      "weighted sampling must skew the sample toward long documents")
+  }
+
+  test("q158 histogram is dense: every (type, bin) cell present, shares sum") {
+    val rows = SparkEntry.queries("q158_dense_histogram")(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(rows.length == types.length * 10, "10 bins per type, zeros included")
+    types.foreach { t =>
+      val bins = rows.filter(_.getAs[String]("event_type") == t)
+      assert(bins.map(_.getAs[Long]("bin")).sorted.toSeq == (0L to 9L))
+      val share = bins.map(_.getAs[Long]("share_ppm")).sum
+      assert(share > 999990L && share <= 1000000L, s"$t shares sum $share")
+    }
+    val total = graft.model.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    assert(rows.exists(_.getAs[Long]("n") == 0L) ||
+      rows.forall(_.getAs[Long]("n") > 0L))
+  }
+
+  test("q159 interarrival buckets are log2-consistent and count conserving") {
+    val rows = SparkEntry.queries("q159_interarrival")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (r.getAs[Long]("min_gap_us"), r.getAs[Long]("max_gap_us"))
+      assert(lo <= hi)
+      if (b == 0L) assert(lo == 0L && hi == 0L)
+      else {
+        // bucket = bitlength: 2^(b-1) <= gap < 2^b
+        assert(lo >= (1L << (b - 1).toInt) && hi < (1L << b.toInt),
+          s"bucket $b gap range [$lo,$hi] outside [2^${b - 1}, 2^$b)")
+      }
+    }
+    // gaps = events - one first-event per (user, type) group
+    val ev = graft.model.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nGroups = ev.select("user_id", "event_type").distinct.count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == nEvents - nGroups)
+  }
+
+  test("q160 dispositions partition the corpus; precedence holds") {
+    val rows = SparkEntry.queries("q160_drop_reasons")(spark, sf).collect()
+    val total = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "every document gets exactly one disposition")
+    val reasons = rows.map(_.getAs[String]("reason")).toSet
+    assert(reasons.subsetOf(Set("exact_dup", "near_dup", "boilerplate", "kept")))
+    assert(reasons.contains("kept"), "something must survive")
+    val share = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(share > 999990L && share <= 1000000L)
+    // near-dup drops = non-survivor CC members MINUS those already
+    // claimed by exact_dup (precedence): bounded by total cluster mass
+    val labels = graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.dupEdges(spark, sf)).collect()
+    val nonSurvivors = labels.count(r => r.getLong(1) != r.getLong(0))
+    val nearRow = rows.find(_.getAs[String]("reason") == "near_dup")
+    assert(nearRow.forall(_.getAs[Long]("n_docs") <= nonSurvivors))
+  }
+
+  test("q161 decayed popularity is bounded by raw and at least newest day") {
+    val rows = SparkEntry.queries("q161_decayed_popularity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, dec, latest) = (r.getAs[Long]("raw_total"),
+        r.getAs[Long]("decayed_score"), r.getAs[Long]("latest_day_count"))
+      assert(dec <= raw, "halving can only shrink mass")
+      assert(dec >= latest, "the age-0 day contributes undecayed")
+      // geometric bound: sum of c>>k <= latest + sum over older days of
+      // half their raw mass is loose but direction-checks the decay
+      assert(dec <= latest + (raw - latest), "sanity")
+    }
+  }
+
+  test("q162 diff classes reconcile with the modular construction rules") {
+    val rows = SparkEntry.queries("q162_table_diff")(spark, sf).collect()
+      .map(r => r.getAs[String]("klass") -> r).toMap
+    val orders = graft.model.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val added = orders.count(_ % 83 == 0)
+    val deleted = orders.count(_ % 89 == 0)
+    val modified = orders.count(k => k % 97 == 0 && k % 89 != 0)
+    assert(rows("added").getAs[Long]("n_rows") == added)
+    assert(rows("deleted").getAs[Long]("n_rows") == deleted)
+    assert(rows("modified").getAs[Long]("n_rows") == modified)
+    assert(rows("unchanged").getAs[Long]("n_rows") ==
+      orders.length - deleted - modified)
+    assert(rows("added").getAs[Long]("min_key") >= 1000000000L)
+  }
+
+  test("q163 DAU <= WAU and stickiness is a valid ppm ratio") {
+    val rows = SparkEntry.queries("q163_rolling_active")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") >= 1L)
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"),
+        "the trailing window contains the day itself")
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+    }
+    // spot-check one day against a direct recomputation
+    val du = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val someDay = rows(rows.length / 2).getAs[Long]("day")
+    val expWau = du.filter(p => p._2 >= someDay - 6 && p._2 <= someDay)
+      .map(_._1).distinct.length.toLong
+    assert(rows.find(_.getAs[Long]("day") == someDay).get
+      .getAs[Long]("wau") == expWau)
+  }
+
+  test("q164 weekday profile conserves volume and centers lift at 1e6") {
+    val rows = SparkEntry.queries("q164_dow_seasonality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    types.foreach { t =>
+      val tr = rows.filter(_.getAs[String]("event_type") == t)
+      assert(tr.map(_.getAs[Long]("dow")).forall(d => d >= 0 && d <= 6))
+      val share = tr.map(_.getAs[Long]("share_ppm")).sum
+      assert(share > 999990L && share <= 1000000L, s"$t shares $share")
+      // rate lift is a ratio around 1e6: every type has some day at or
+      // above its own average rate
+      assert(tr.map(_.getAs[Long]("rate_lift_ppm")).max >= 1000000L - 7L)
+    }
+    val total = graft.model.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+  }
+
+  test("q165 exact pairs equal the true self-join size; hh beats uniform") {
+    val r = SparkEntry.queries("q165_join_cardinality")(spark, sf).collect()(0)
+    val li = graft.model.Tables.lineitem(spark, sf)
+    val trueSize = li.select(col("l_suppkey").as("k"))
+      .join(li.select(col("l_suppkey").as("k")), "k").count()
+    assert(r.getAs[Long]("exact_pairs") == trueSize,
+      "sum of c^2 must equal the materialized self-join size")
+    assert(r.getAs[Long]("hh_err_ppm") <= r.getAs[Long]("uniform_err_ppm"),
+      "correcting the top-10 keys can only improve the estimate")
+    assert(r.getAs[Long]("uniform_est") <= r.getAs[Long]("exact_pairs"),
+      "Cauchy-Schwarz: the uniform estimate lower-bounds sum c^2")
+  }
+
+  test("q166 Lorenz curve is monotone with revenue ahead of customers") {
+    val rows = SparkEntry.queries("q166_revenue_concentration")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // rows ordered richest bucket first: cumulative shares must grow
+    val revs = rows.map(_.getAs[Long]("cum_rev_ppm"))
+    val custs = rows.map(_.getAs[Long]("cum_cust_ppm"))
+    assert(revs.toSeq == revs.sorted.toSeq, "cumulative revenue monotone")
+    assert(custs.toSeq == custs.sorted.toSeq, "cumulative customers monotone")
+    assert(revs.last == 1000000L && custs.last == 1000000L,
+      "full cumulative covers everything")
+    // concentration: at every point the richest-first revenue share is
+    // at least the customer share (Lorenz dominance)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_rev_ppm") >= r.getAs[Long]("cum_cust_ppm") - 1L)
+    }
+    val totalCust = graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct.count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == totalCust)
+  }
+
   test("q107 profile covers every orders column with nested counts") {
     val rows = SparkEntry.queries("q107_table_profile")(spark, sf).collect()
     val cols = graft.model.Tables.orders(spark, sf).schema.fieldNames.toSet
