@@ -1,0 +1,317 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Relational.{dsum, money, rate}
+
+/** Warehouse-analytics operator images (SURVEY.md §2E E57–E62): the
+  * remaining classic TPC-H query shapes the corpus supports, adapted to
+  * the driver schema (no partsupp/comment/phone columns — each image
+  * keeps the SHAPE that makes the original a distinct optimizer/executor
+  * exercise and re-expresses the predicate on available columns).
+  *
+  * Reference scope: the reference connector itself has no query surface
+  * (it is a sink — `BigqueryStorageWriteSinkTask.java`); these extend the
+  * §2B relational surface the way its BigQuery destination would be
+  * queried downstream. All queries follow the SURVEY §7.0 determinism
+  * contract: exact decimal money sums (`dsum`/`money`), BIGINT computed
+  * integers, total output ordering, and integer cross-multiplication in
+  * place of float division wherever a comparison or share is computed.
+  */
+object Warehouse {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q13 image (customer order-count distribution): how many
+    // customers placed 0, 1, 2, … qualifying orders (priority filter
+    // standing in for Q13's o_comment NOT LIKE). The aggregate-BEFORE-
+    // outer-join shape is the point: orders reduce to (custkey, cnt)
+    // partials map-side first, so the left join against customer
+    // carries one row per customer, never raw order rows — and the
+    // zero-order customers the LEFT join manufactures are exactly the
+    // rows an inner-join-then-agg plan would silently drop. Scale: one
+    // shuffle of order partials + one shuffle of customer keys, then
+    // the distribution grid (≤ max order count rows) map-combines;
+    // AQE is free to broadcast the shrunken per-customer counts.
+    "q167_cust_order_dist" -> { (s, d) =>
+      val perCust = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).cast("long").as("custdist"))
+        .select(col("c_count").cast("long").as("c_count"), col("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q14 image (promotion revenue share): the share of one
+    // ship-month's discounted revenue earned by PROMO-typed parts.
+    // Conditional aggregation over ONE lineitem⨝part join — the
+    // classic "percentage = two sums in one pass" shape; a two-query
+    // plan (promo pass + total pass) would scan the join twice.
+    // Share is exact: revenue accumulates in DECIMAL(18,4), shifts to
+    // integer ten-thousandths-of-a-cent (×10⁶ exact — the product of
+    // two 2-dp factors has ≤4 dp), and the ppm is integer floor
+    // division. Magnitude rule (SURVEY §7.0): promo_u·10⁶ stays under
+    // int64 to ~10¹² revenue units ≈ 10 B USD/month — beyond that,
+    // compute the share in DECIMAL(38,0). Scale: the month filter
+    // pushes into the lineitem scan (PushedFilters); part joins on
+    // partkey broadcast-or-shuffle per AQE.
+    "q168_promo_share" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"),
+            money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+            .otherwise(lit(0).cast("decimal(12,2)"))).as("promo_d"),
+          sum(money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+            .as("total_d"))
+        .select(
+          expr("CAST(promo_d * 1000000 AS BIGINT)").as("promo_u"),
+          expr("CAST(total_d * 1000000 AS BIGINT)").as("total_u"))
+        .select(col("promo_u"), col("total_u"),
+          expr("CAST(promo_u * 1000000 DIV total_u AS BIGINT)")
+            .as("promo_ppm"))
+    },
+
+    // TPC-H Q19 image (disjunctive bracket join): three (brand, size,
+    // quantity) brackets OR-ed into one join predicate. The shape that
+    // separates an equi-join-with-residual plan from a nested-loop
+    // disaster: Catalyst must extract l_partkey = p_partkey as the
+    // equi key and evaluate the OR as a post-join residual. The part
+    // side additionally carries the IMPLIED union prefilter
+    // (brand ∈ {12,23,34} ∧ size ∈ [1,15]) spelled explicitly —
+    // implied-by-OR filters across branch bounds are not something the
+    // optimizer derives, and at 100 TB that prefilter is the difference
+    // between broadcasting 3 brands' parts and shuffling the full part
+    // table. Output: per-bracket discounted revenue + item count.
+    "q169_bracket_revenue" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#15") &&
+          col("p_size").between(1, 15))
+      val b1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)
+      val b2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)
+      val b3 = col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)
+      Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey") && (b1 || b2 || b3))
+        .withColumn("bracket",
+          when(b1, "B12-small").when(b2, "B23-mid").otherwise("B15-large"))
+        .groupBy(col("bracket"))
+        .agg(dsum(money(col("l_extendedprice")) *
+          rate(lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+        .orderBy(col("bracket"))
+    },
+
+    // TPC-H Q21 image (suppliers who kept orders waiting): in finished
+    // multi-supplier orders, the supplier who was the ONLY late one
+    // (ship > orderdate + 60 days standing in for receipt > commit).
+    // Q21's EXISTS/NOT-EXISTS pair over lineitem self-joins is
+    // re-expressed as ONE order-grain aggregation — n_supp and
+    // n_late_supp as two COUNT(DISTINCT)s in one pass — joined back to
+    // the distinct late (order, supplier) pairs: same semantics, two
+    // scans fewer. Scale: everything shuffles once on orderkey (agg +
+    // pair-distinct share the key), then the fault counts map-combine
+    // on suppkey; the supplier dim broadcasts. Top-20 is TakeOrdered
+    // with a full tiebreak.
+    "q170_wait_faults" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val perOrder = li.groupBy(col("o_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      val latePairs = li.filter(col("late"))
+        .select(col("l_orderkey").as("lo"), col("l_suppkey")).distinct()
+      latePairs.join(perOrder, col("lo") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).cast("long").as("numwait"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("s_suppkey").cast("long").as("suppkey"),
+          col("numwait"))
+        .orderBy(col("numwait").desc, col("suppkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q22 image (lapsed rich customers): customers in a fixed
+    // nation set with above-average positive balances and NO RECENT
+    // orders (none since 1999 — this corpus gives every customer at
+    // least one lifetime order, so Q22's "no orders at all" predicate
+    // is re-expressed as recency lapse, same anti-join shape). Per
+    // nation: how many and how much capital sits idle. The global
+    // average never materializes as a float: the filter is the integer
+    // cross-multiplication bal_cents·n_pos > sum_cents (exact at any
+    // scale the cent sums fit int64, ≈10¹⁶ USD). The anti join is the
+    // shape: customer LEFT ANTI recent-orders on custkey — at 100 TB a
+    // NOT IN subquery that isn't null-hostile collapses to exactly
+    // this plan, the date filter pushes into the orders scan, and the
+    // one-row aggregate side broadcasts.
+    "q171_idle_rich" -> { (s, d) =>
+      val pool = Tables.customer(s, d)
+        .filter(col("c_nationkey").isin(3, 7, 11, 14, 19, 21, 23) &&
+          col("c_acctbal") > 0.0)
+        .withColumn("bal_cents",
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      val avgRow = pool.agg(sum(col("bal_cents")).as("sum_cents"),
+        count(lit(1)).as("n_pos"))
+      pool.crossJoin(broadcast(avgRow))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).cast("long").as("numcust"),
+          sum(col("bal_cents")).cast("long").as("totacctbal_cents"))
+        .orderBy(col("nationkey"))
+    },
+
+    // Nation × order-year revenue PIVOT (wide cross-tab): the
+    // report-shaped rotation every BI layer asks of a warehouse. The
+    // pivot column set is PINNED to the corpus' order-year domain
+    // (1995–2001) so the output schema is static — a data-driven pivot
+    // would make the schema a function of the data, which neither a
+    // 100 TB job graph nor the oracle compare tolerates. Each cell is
+    // an exact decimal sum surfaced as double; missing cells are 0
+    // (COALESCE), distinguishing "traded nothing" from NULL-noise.
+    // Scale: Spark's pivot compiles to ONE groupBy(n_name) with 7
+    // conditional aggregates — one shuffle of |nations|×7 partials,
+    // identical to the hand-written CASE spelling in the oracle; the
+    // dims broadcast onto the orders fact.
+    "q172_pivot_matrix" -> { (s, d) =>
+      val years = 1995 to 2001
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("o_year"),
+          money(col("o_totalprice")).as("price_d"))
+      val wide = base.groupBy(col("n_name"))
+        .pivot("o_year", years.map(y => y: Integer))
+        .agg(sum(col("price_d")))
+      years.foldLeft(wide) { (df, y) =>
+        df.withColumn(s"y$y",
+          coalesce(col(s"`$y`").cast("double"), lit(0.0)))
+      }
+        .select(col("n_name") +: years.map(y => col(s"y$y")): _*)
+        .orderBy(col("n_name"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q167_cust_order_dist" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY o_custkey)
+        |SELECT CAST(COALESCE(cnt, 0) AS BIGINT) AS c_count,
+        |  CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+        |GROUP BY COALESCE(cnt, 0)
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q168_promo_share" ->
+      """WITH agg AS (
+        |  SELECT
+        |    SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(4,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo_d,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        CAST(1 - l_discount AS DECIMAL(4,2))) AS total_d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00')
+        |SELECT CAST(promo_d * 1000000 AS BIGINT) AS promo_u,
+        |  CAST(total_d * 1000000 AS BIGINT) AS total_u,
+        |  CAST(CAST(promo_d * 1000000 AS BIGINT) * 1000000
+        |    // CAST(total_d * 1000000 AS BIGINT) AS BIGINT) AS promo_ppm
+        |FROM agg""".stripMargin,
+
+    "q169_bracket_revenue" ->
+      """SELECT
+        |  CASE
+        |    WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |      AND l_quantity BETWEEN 1 AND 11 THEN 'B12-small'
+        |    WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |      AND l_quantity BETWEEN 10 AND 20 THEN 'B23-mid'
+        |    ELSE 'B15-large' END AS bracket,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY bracket ORDER BY bracket""".stripMargin,
+
+    "q170_wait_faults" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per_order AS (
+        |  SELECT l_orderkey AS ok,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        |  FROM li GROUP BY l_orderkey
+        |  HAVING COUNT(DISTINCT l_suppkey) > 1
+        |    AND COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) = 1),
+        |late_pairs AS (
+        |  SELECT DISTINCT l_orderkey AS lo, l_suppkey FROM li WHERE late)
+        |SELECT s_name, CAST(l_suppkey AS BIGINT) AS suppkey,
+        |  CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM late_pairs JOIN per_order ON lo = ok
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name, l_suppkey
+        |ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin,
+
+    "q171_idle_rich" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE c_nationkey IN (3, 7, 11, 14, 19, 21, 23) AND c_acctbal > 0.0),
+        |a AS (SELECT SUM(bal_cents) AS sum_cents, COUNT(*) AS n_pos FROM pool)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM pool, a
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
+
+    "q172_pivot_matrix" ->
+      """SELECT n_name,
+        |  CAST(COALESCE(SUM(CASE WHEN y = 1995 THEN price_d END), 0) AS DOUBLE) AS y1995,
+        |  CAST(COALESCE(SUM(CASE WHEN y = 1996 THEN price_d END), 0) AS DOUBLE) AS y1996,
+        |  CAST(COALESCE(SUM(CASE WHEN y = 1997 THEN price_d END), 0) AS DOUBLE) AS y1997,
+        |  CAST(COALESCE(SUM(CASE WHEN y = 1998 THEN price_d END), 0) AS DOUBLE) AS y1998,
+        |  CAST(COALESCE(SUM(CASE WHEN y = 1999 THEN price_d END), 0) AS DOUBLE) AS y1999,
+        |  CAST(COALESCE(SUM(CASE WHEN y = 2000 THEN price_d END), 0) AS DOUBLE) AS y2000,
+        |  CAST(COALESCE(SUM(CASE WHEN y = 2001 THEN price_d END), 0) AS DOUBLE) AS y2001
+        |FROM (
+        |  SELECT n_name, EXTRACT(year FROM o_orderdate) AS y,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price_d
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}
