@@ -928,6 +928,119 @@ object Behavior {
         .groupBy("path").agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(20)
+    },
+
+    // Chi-square independence audit of event_type × day-of-week on the
+    // shared dailyCounts series (q164's dow rule, pure integer): the
+    // "is traffic mix stable across weekdays" test a pipeline monitor
+    // runs before trusting a per-type trend. Sufficient statistics
+    // (obs·N and row·col) are EXACT int64; the only IEEE steps are the
+    // mirrored cast/multiply/divide of the per-cell contribution,
+    // rounded to integer micro-units AT THE CELL so the grid carries
+    // exact ints and any downstream total is an exact integer sum —
+    // never an order-dependent float reduction. Magnitude rule: obs·N
+    // fits int64 to ~3·10⁹ events; beyond, compute the products in
+    // DECIMAL(38,0). Scale: one scan → |types|×7 grid; row/col/grand
+    // totals are broadcast aggregates OF the grid, never rescans.
+    "q173_chi2_independence" -> { (s, d) =>
+      val cell = dailyCounts(s, d)
+        .withColumn("dow", expr("CAST((day + 3) % 7 AS BIGINT)"))
+        .groupBy("event_type", "dow")
+        .agg(sum(col("c")).cast("long").as("obs"))
+      val rowT = cell.groupBy("event_type").agg(sum(col("obs")).as("row_tot"))
+      val colT = cell.groupBy("dow").agg(sum(col("obs")).as("col_tot"))
+      val grand = cell.agg(sum(col("obs")).as("n_tot"))
+      cell.join(rowT, "event_type").join(colT, "dow")
+        .crossJoin(broadcast(grand))
+        .select(col("event_type"), col("dow"), col("obs"),
+          expr("CAST(row_tot * col_tot * 1000000 DIV n_tot AS BIGINT)")
+            .as("exp_scaled"),
+          expr("""CAST(round(
+              CAST(obs * n_tot - row_tot * col_tot AS DOUBLE) *
+              CAST(obs * n_tot - row_tot * col_tot AS DOUBLE) /
+              CAST(row_tot * col_tot AS DOUBLE) /
+              CAST(n_tot AS DOUBLE) * 1000000) AS BIGINT)""")
+            .as("contrib_e6"))
+        .orderBy("event_type", "dow")
+    },
+
+    // Gaps-and-islands: per event type, maximal runs of CONSECUTIVE
+    // active days (the classic day − row_number trick: consecutive
+    // days share the difference, so it is the island id). The
+    // uptime/continuity audit behind "how long has this source been
+    // healthy". Windows partition by type and run on the bounded
+    // |types|×|days| grid — never the raw event stream. Output per
+    // type: island count, longest streak with its start day (earliest
+    // on ties — min over the per-island grid), and active-day total;
+    // streak accounting is pure int64 day arithmetic.
+    "q175_streaks" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val islands = dailyCounts(s, d)
+        .select(col("event_type"), col("day"))
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("event_type", "island")
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      islands
+        .withColumn("type_max",
+          max(col("len")).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_islands"),
+          max(col("len")).cast("long").as("max_streak"),
+          min(when(col("len") === col("type_max"), col("start_day")))
+            .cast("long").as("best_start"),
+          sum(col("len")).cast("long").as("n_active_days"))
+        .orderBy("event_type")
+    },
+
+    // Two-proportion A/B test (pooled z², Wald): users hash-split 50/50
+    // by the engine-neutral salted hash (layout/run-independent, the
+    // q157 rule), conversion = ACTIVATION — first purchase within one
+    // day of the user's first event, in integer µs (a plain "ever
+    // purchased" flag saturates on this corpus: every user buys
+    // eventually; activation is the readout growth experiments
+    // actually use). z² stays EXACT as long as possible: numerator
+    // D²·N and denominator n_a·n_b·C·(N−C) are int64 products of exact
+    // counts (fits to ~10⁵ users; beyond, DECIMAL(38,0) — documented
+    // magnitude rule), the single IEEE step is the mirrored final
+    // division rounded to milli-units, and a degenerate arm (C=0 or
+    // C=N) yields NULL via nullif rather than a divide-by-zero. Scale:
+    // one scan reduces events to the per-user grid (map-combined
+    // two-min agg), then a 2-row variant agg.
+    "q177_ab_test" -> { (s, d) =>
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("first_buy_us"))
+        .select(col("user_id"),
+          when(col("first_buy_us").isNotNull &&
+            col("first_buy_us") <= col("first_us") + lit(86400000000L), 1L)
+            .otherwise(0L).as("converted"))
+        .withColumn("variant",
+          graft.ops.Dedup.neutralHash32(
+            concat(lit("ab:"), col("user_id").cast("string"))) % 2)
+      val v = users.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val a = v.filter(col("variant") === 0)
+        .select(col("n").as("n_a"), col("conv").as("conv_a"))
+      val b = v.filter(col("variant") === 1)
+        .select(col("n").as("n_b"), col("conv").as("conv_b"))
+      a.crossJoin(b)
+        .select(
+          col("n_a").cast("long").as("n_a"),
+          col("conv_a").cast("long").as("conv_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("conv_b").cast("long").as("conv_b"),
+          expr("CAST(conv_a * 1000000 DIV n_a AS BIGINT)").as("rate_a_ppm"),
+          expr("CAST(conv_b * 1000000 DIV n_b AS BIGINT)").as("rate_b_ppm"),
+          expr("""CAST(round(
+              CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) *
+              CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) *
+              CAST(n_a + n_b AS DOUBLE) /
+              CAST(n_a * n_b AS DOUBLE) /
+              CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
+              CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
+              * 1000) AS BIGINT)""").as("z2_milli"))
     }
   )
 
@@ -1524,6 +1637,81 @@ object Behavior {
         |SELECT event_type || '>' || e2 || '>' || e3 AS path,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM led WHERE e2 IS NOT NULL AND e3 IS NOT NULL
-        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    "q173_chi2_independence" ->
+      s"""WITH $DailyCountsSql,
+        |cell AS (
+        |  SELECT event_type, CAST((day + 3) % 7 AS BIGINT) AS dow,
+        |    CAST(SUM(c) AS BIGINT) AS obs
+        |  FROM daily GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(obs) AS row_tot FROM cell GROUP BY 1),
+        |ct AS (SELECT dow, SUM(obs) AS col_tot FROM cell GROUP BY 1),
+        |g AS (SELECT SUM(obs) AS n_tot FROM cell)
+        |SELECT cell.event_type, cell.dow, obs,
+        |  CAST(row_tot * col_tot * 1000000 // n_tot AS BIGINT) AS exp_scaled,
+        |  CAST(round(
+        |    CAST(obs * n_tot - row_tot * col_tot AS DOUBLE) *
+        |    CAST(obs * n_tot - row_tot * col_tot AS DOUBLE) /
+        |    CAST(row_tot * col_tot AS DOUBLE) /
+        |    CAST(n_tot AS DOUBLE) * 1000000) AS BIGINT) AS contrib_e6
+        |FROM cell JOIN rt USING (event_type) JOIN ct USING (dow)
+        |CROSS JOIN g
+        |ORDER BY event_type, dow""".stripMargin,
+
+    "q175_streaks" ->
+      s"""WITH $DailyCountsSql,
+        |active AS (
+        |  SELECT event_type, day,
+        |    day - row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS island
+        |  FROM daily),
+        |islands AS (
+        |  SELECT event_type, island, COUNT(*) AS len, MIN(day) AS start_day
+        |  FROM active GROUP BY 1, 2),
+        |im AS (
+        |  SELECT *, MAX(len) OVER (PARTITION BY event_type) AS type_max
+        |  FROM islands)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(MAX(len) AS BIGINT) AS max_streak,
+        |  CAST(MIN(CASE WHEN len = type_max THEN start_day END) AS BIGINT)
+        |    AS best_start,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM im GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q177_ab_test" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_buy_us
+        |  FROM events GROUP BY user_id),
+        |users AS (
+        |  SELECT user_id,
+        |    CASE WHEN first_buy_us IS NOT NULL
+        |      AND first_buy_us <= first_us + 86400000000 THEN 1 ELSE 0 END
+        |      AS converted,
+        |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 2 AS variant
+        |  FROM per_user),
+        |v AS (
+        |  SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        |  FROM users GROUP BY variant),
+        |a AS (SELECT n AS n_a, conv AS conv_a FROM v WHERE variant = 0),
+        |b AS (SELECT n AS n_b, conv AS conv_b FROM v WHERE variant = 1)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+        |  CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+        |  CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+        |  CAST(round(
+        |    CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) *
+        |    CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) *
+        |    CAST(n_a + n_b AS DOUBLE) /
+        |    CAST(n_a * n_b AS DOUBLE) /
+        |    CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
+        |    CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
+        |    * 1000) AS BIGINT) AS z2_milli
+        |FROM a CROSS JOIN b""".stripMargin
   )
 }

@@ -557,6 +557,73 @@ object TextAnalysis {
           expr("CAST(n_tokens * 1000000 DIV n_total AS BIGINT)").as("tok_ppm"),
           expr("CAST(n_types * 1000000 DIV n_types_total AS BIGINT)").as("type_ppm"))
         .orderBy("f_bucket")
+    },
+
+    // Per-source distribution drift as EXACT total-variation distance:
+    // TVD(source ∥ corpus) = ½·Σ_t |p_s(t) − p(t)| over unigram token
+    // distributions — the log-free drift measure (KL/JS would demand
+    // cross-engine ln(); TVD is a sum of integer rationals). The
+    // absent-token mass (tokens the source never emits, where
+    // |0 − p(t)| collapses to p(t)) is folded in WITHOUT materializing
+    // the full |sources|×|vocab| grid: Σ_{t∉s} c_t·n_s =
+    // n_s·(n − Σ_{t∈s} c_t), so only the observed (source, token)
+    // pairs are ever joined. Integer domain: Σ|c_st·n − c_t·n_s| ≤
+    // 2·n_s·n fits int64 to ~3·10⁹ corpus tokens — beyond that,
+    // DECIMAL(38,0) (documented magnitude rule). Scale: token counts
+    // map-combine per (source, token); ONE shuffle joins them to the
+    // corpus counts on token; per-source totals broadcast.
+    "q174_source_divergence" -> { (s, d) =>
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+      val corpus = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+      val perSrc = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+      val n = corpus.agg(sum(col("c_t")).cast("long").as("n_tot"))
+      st.join(corpus, "tok")
+        .join(perSrc, "source")
+        .crossJoin(broadcast(n))
+        .groupBy(col("source"), col("n_s"), col("n_tot"))
+        .agg(sum(abs(col("c_st") * col("n_tot") - col("c_t") * col("n_s")))
+          .as("seen_abs"),
+          sum(col("c_t")).as("seen_ct"),
+          count(lit(1)).cast("long").as("n_types_seen"))
+        .select(col("source"), col("n_s").cast("long").as("n_tokens"),
+          col("n_types_seen"),
+          expr("""CAST((seen_abs + n_s * (n_tot - seen_ct)) * 500000
+              DIV (n_s * n_tot) AS BIGINT)""").as("tvd_ppm"))
+        .orderBy("source")
+    },
+
+    // Exact-phrase retrieval over a positional view of the corpus: the
+    // query phrase is the mid-frequency BIGRAM (df closest to N/10,
+    // q137/q153's deterministic query-model rule lifted from terms to
+    // phrases), and a hit is positional ADJACENCY — the 2-shingle at
+    // position i — never a substring scan (substring matching
+    // cross-token is a different, wrong, operator). Complements q137
+    // (ranked) and q153 (boolean) as the third classic IR access path.
+    // Scale: ONE tokenize pass feeds both the bigram-df query-selection
+    // agg and the per-doc hit count; the chosen 1-row phrase
+    // broadcasts; per-doc counts map-combine on doc_id. Top-50 by
+    // doc_id bounds output at any SF.
+    "q176_phrase_search" -> { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(shingleExpr("t", 2)).as("bg"))
+      val nDocs = Tables.documents(s, d)
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val phrase = grams.select("doc_id", "bg").distinct()
+        .groupBy("bg").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .orderBy(abs(col("df") * 10 - col("n_docs")), col("bg"))
+        .limit(1)
+        .select(col("bg").as("phrase"), col("df"))
+      grams.join(broadcast(phrase), col("bg") === col("phrase"))
+        .groupBy(col("doc_id"), col("phrase"), col("df"))
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .select(col("doc_id"), col("phrase"), col("df").cast("long").as("df"),
+          col("n_hits"))
+        .orderBy("doc_id").limit(50)
     }
   )
 
@@ -909,6 +976,42 @@ object TextAnalysis {
         |     + len(regexp_extract_all(t2, '$idP', 0)) AS BIGINT) AS n_pii,
         |  regexp_replace(t2, '$idP', '$idR', 'g') AS redacted
         |FROM s2 ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q174_source_divergence" ->
+      """WITH st AS (
+        |  SELECT source, tok, COUNT(*) AS c_st FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |corpus AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY tok),
+        |per_src AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+        |n AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM corpus)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types_seen,
+        |  CAST((SUM(ABS(c_st * n_tot - c_t * n_s))
+        |    + n_s * (n_tot - SUM(c_t))) * 500000
+        |    // (n_s * n_tot) AS BIGINT) AS tvd_ppm
+        |FROM st JOIN corpus USING (tok) JOIN per_src USING (source)
+        |CROSS JOIN n
+        |GROUP BY source, n_s, n_tot ORDER BY source""".stripMargin,
+
+    "q176_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |phrase AS (
+        |  SELECT bg AS phrase, CAST(df AS BIGINT) AS df FROM (
+        |    SELECT bg, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, bg FROM grams)
+        |    GROUP BY bg) b CROSS JOIN nd
+        |  ORDER BY ABS(df * 10 - n_docs), bg LIMIT 1)
+        |SELECT doc_id, phrase, df, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM grams JOIN phrase ON bg = phrase
+        |GROUP BY doc_id, phrase, df
+        |ORDER BY doc_id LIMIT 50""".stripMargin
   )
 }

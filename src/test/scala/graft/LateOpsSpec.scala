@@ -1325,6 +1325,78 @@ class LateOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_distinct") + r.getAs[Long]("n_null") > 0)
     }
   }
+
+  test("q173 chi-square cells: expected mass matches observed mass per row") {
+    val rows = SparkEntry.queries("q173_chi2_independence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ obs over a type's row equals its row total, and the micro-scaled
+    // expected counts reassemble to ≈ the same mass (floor-div slack ≤
+    // one unit per cell).
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, cells) =>
+      val obs = cells.map(_.getAs[Long]("obs")).sum
+      val exp = cells.map(_.getAs[Long]("exp_scaled")).sum
+      assert(math.abs(exp - obs * 1000000L) <= cells.length * 1000000L,
+        s"expected mass $exp drifted from observed ${obs * 1000000L}")
+      cells.foreach(c => assert(c.getAs[Long]("contrib_e6") >= 0L))
+    }
+  }
+
+  test("q175 islands partition active days; streak bounds hold") {
+    val rows = SparkEntry.queries("q175_streaks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ni, mx, act) = (r.getAs[Long]("n_islands"),
+        r.getAs[Long]("max_streak"), r.getAs[Long]("n_active_days"))
+      assert(ni >= 1 && mx >= 1 && act >= ni)
+      assert(mx <= act && act <= ni * mx,
+        s"islands($ni) × max($mx) must bound active($act)")
+    }
+  }
+
+  test("q177 A/B arms partition the user base; z2 consistent with rates") {
+    val r = SparkEntry.queries("q177_ab_test")(spark, sf).collect()(0)
+    val nUsers = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct.count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == nUsers)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    // equal rates ⇒ z² = 0; the readout may be null only on a
+    // degenerate arm (all or none converted overall)
+    val z2 = Option(r.getAs[Long]("z2_milli"))
+    val degenerate = r.getAs[Long]("conv_a") + r.getAs[Long]("conv_b") == 0 ||
+      r.getAs[Long]("conv_a") + r.getAs[Long]("conv_b") == nUsers
+    if (!degenerate) assert(z2.exists(_ >= 0L))
+  }
+
+  test("q174 TVD is a bounded metric, zero only for the corpus itself") {
+    val rows = SparkEntry.queries("q174_source_divergence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tvd = r.getAs[Long]("tvd_ppm")
+      assert(tvd >= 0L && tvd <= 1000000L, s"TVD ppm $tvd out of [0, 1e6]")
+      assert(r.getAs[Long]("n_types_seen") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("q176 phrase hits: every returned doc really contains the bigram") {
+    val rows = SparkEntry.queries("q176_phrase_search")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val phrase = rows(0).getAs[String]("phrase")
+    val Array(w1, w2) = phrase.split(" ", 2)
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val docs = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+    docs.foreach { d =>
+      val toks = d.getAs[String]("text").split(" ")
+      val hits = toks.sliding(2).count(p => p.length == 2 &&
+        p(0) == w1 && p(1) == w2)
+      val claimed = rows.find(_.getAs[Long]("doc_id") == d.getAs[Long]("doc_id"))
+        .get.getAs[Long]("n_hits")
+      assert(hits.toLong == claimed,
+        s"doc ${d.getAs[Long]("doc_id")}: replay $hits != claimed $claimed")
+    }
+  }
 }
 
 /** Compiled PII patterns shared by LateOpsSpec — kept out of the main jar
