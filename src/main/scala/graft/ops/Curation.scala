@@ -889,6 +889,44 @@ object Curation {
           sum(col("n_orders")).cast("long").as("n_orders"))
         .withColumn("at_risk", col("l") < 3)
         .orderBy("l")
+    },
+
+    // Exact WEIGHTED quantiles (p25/p50/p75 of unit price, weighted by
+    // quantity, per return flag) — the "median price actually paid per
+    // unit" statistic, where an unweighted median over line items is
+    // simply the wrong number. Quantile q = the smallest value whose
+    // cumulative weight clears q·W — located by integer
+    // cross-multiplication (4·cum ≥ W, 2·cum ≥ W, 4·cum ≥ 3·W), no
+    // float thresholds, no interpolation ambiguity. Scale: line items
+    // collapse to the (flag, price_cents) grid in ONE map-combined
+    // agg; the cumulative window runs per flag ON THE GRID (distinct
+    // prices, not raw rows); the per-flag totals broadcast. For
+    // ultra-wide value domains, pre-bucket the grid (q62's histogram)
+    // and refine within the winning bucket — documented, not needed at
+    // this domain size (prices are bounded ~10⁵ distinct cents).
+    "q179_weighted_quantiles" -> { (s, d) =>
+      val grid = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("price_cents"),
+          expr("CAST(l_quantity AS BIGINT)").as("w"))
+        .groupBy("flag", "price_cents")
+        .agg(sum(col("w")).as("wsum"))
+      val tot = grid.groupBy("flag").agg(sum(col("wsum")).as("wtot"))
+      val wCum = Window.partitionBy("flag").orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cum", sum(col("wsum")).over(wCum))
+        .join(tot, "flag")
+        .groupBy(col("flag"))
+        .agg(
+          min(when(col("cum") * 4 >= col("wtot"), col("price_cents")))
+            .cast("long").as("p25_cents"),
+          min(when(col("cum") * 2 >= col("wtot"), col("price_cents")))
+            .cast("long").as("p50_cents"),
+          min(when(col("cum") * 4 >= col("wtot") * 3, col("price_cents")))
+            .cast("long").as("p75_cents"),
+          max(col("wtot")).cast("long").as("total_weight"))
+        .orderBy("flag")
     }
   )
 
@@ -1409,6 +1447,30 @@ object Curation {
         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
         |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
         |  l < 3 AS at_risk
-        |FROM qid GROUP BY l ORDER BY l""".stripMargin
+        |FROM qid GROUP BY l ORDER BY l""".stripMargin,
+
+    "q179_weighted_quantiles" ->
+      """WITH grid AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS wsum
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT flag, SUM(wsum) AS wtot FROM grid GROUP BY flag),
+        |cum AS (
+        |  SELECT flag, price_cents, SUM(wsum) OVER
+        |    (PARTITION BY flag ORDER BY price_cents
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM grid)
+        |SELECT cum.flag,
+        |  CAST(MIN(CASE WHEN cum * 4 >= wtot THEN price_cents END) AS BIGINT)
+        |    AS p25_cents,
+        |  CAST(MIN(CASE WHEN cum * 2 >= wtot THEN price_cents END) AS BIGINT)
+        |    AS p50_cents,
+        |  CAST(MIN(CASE WHEN cum * 4 >= wtot * 3 THEN price_cents END) AS BIGINT)
+        |    AS p75_cents,
+        |  CAST(MAX(wtot) AS BIGINT) AS total_weight
+        |FROM cum JOIN tot ON cum.flag = tot.flag
+        |GROUP BY cum.flag ORDER BY cum.flag""".stripMargin
   )
 }

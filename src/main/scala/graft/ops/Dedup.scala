@@ -781,6 +781,51 @@ object Dedup {
           coalesce(col("best_jac_ppm"), lit(0L)).as("best_jac_ppm"),
           (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
         .orderBy("doc_id")
+    },
+
+    // Fellegi–Sunter-style record-linkage SCORING: blocked candidate
+    // pairs get an additive agreement score over independent field
+    // comparators — exact-content hash (+16), 16-char prefix (+8),
+    // power-of-two length bucket (+4) — and the output is the score
+    // DISTRIBUTION, the histogram a linkage practitioner thresholds
+    // into match / possible / non-match bands. Weights are fixed
+    // integers (the log-likelihood-ratio weights of the real F-S model
+    // are floats estimated by EM; the deterministic integer image
+    // keeps the op oracle-checkable — the BANDS, not the weights, are
+    // the operator). Comparator hierarchy is monotone by construction
+    // (exact ⇒ prefix ⇒ same length bucket), so observable scores
+    // live in {0,4,8,12,16,20,24,28} with the high band = true dups.
+    // Scale: blocking on (lang, source) bounds the quadratic — pairs
+    // exist only within a block, the classic linkage answer to n²; the
+    // per-block self-join shuffles both sides on the block key once;
+    // everything downstream is the ≤8-row score grid.
+    "q178_linkage_scores" -> { (s, d) =>
+      val side = Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          md5(col("text").cast("binary")).as("sig"),
+          substring(col("text"), 1, 16).as("pre16"),
+          expr("CAST(length(bin(n_chars)) AS BIGINT)").as("lenb"))
+      val a = side.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+        col("sig").as("sig_a"), col("pre16").as("pre_a"), col("lenb").as("len_a"))
+      val b = side.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+        col("sig").as("sig_b"), col("pre16").as("pre_b"), col("lenb").as("len_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("score",
+          when(col("sig_a") === col("sig_b"), 16L).otherwise(0L) +
+          when(col("pre_a") === col("pre_b"), 8L).otherwise(0L) +
+          when(col("len_a") === col("len_b"), 4L).otherwise(0L))
+        .groupBy("score")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("id_a")).cast("long").as("n_left_docs"),
+          // lexicographically smallest pair, packed into one int64
+          // (doc_id < 10⁹ over the corpus — the same packing bound as
+          // the q140 SNM pair key)
+          min(col("id_a") * 1000000000L + col("id_b")).as("wit"))
+        .select(col("score"), col("n_pairs"), col("n_left_docs"),
+          expr("CAST(wit DIV 1000000000 AS BIGINT)").as("witness_a"),
+          expr("CAST(wit % 1000000000 AS BIGINT)").as("witness_b"))
+        .orderBy(col("score").desc)
     }
   )
 
@@ -1184,6 +1229,30 @@ object Dedup {
         |LEFT JOIN aggm a USING (doc_id)
         |LEFT JOIN (SELECT doc_id, ref_doc, jac_ppm FROM best WHERE rn = 1) b
         |  USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q178_linkage_scores" ->
+      """WITH side AS (
+        |  SELECT lang, source, doc_id, md5(text) AS sig,
+        |    substr(text, 1, 16) AS pre16,
+        |    CAST(length(bin(n_chars)) AS BIGINT) AS lenb
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT
+        |    (CASE WHEN a.sig = b.sig THEN 16 ELSE 0 END
+        |     + CASE WHEN a.pre16 = b.pre16 THEN 8 ELSE 0 END
+        |     + CASE WHEN a.lenb = b.lenb THEN 4 ELSE 0 END) AS score,
+        |    a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM side a JOIN side b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id)
+        |SELECT CAST(score AS BIGINT) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_left_docs,
+        |  CAST(MIN(id_a * 1000000000 + id_b) // 1000000000 AS BIGINT)
+        |    AS witness_a,
+        |  CAST(MIN(id_a * 1000000000 + id_b) % 1000000000 AS BIGINT)
+        |    AS witness_b
+        |FROM pairs GROUP BY score ORDER BY score DESC""".stripMargin
   )
 }

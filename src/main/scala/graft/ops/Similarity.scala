@@ -350,6 +350,52 @@ object Similarity {
           col("n_votes").cast("long").as("n_votes"),
           (col("c_label") === col("q_label")).as("agree"))
         .orderBy("q_id")
+    },
+
+    // ANN quality gate: recall@3 of the IVF probe (q42's single-cell
+    // candidate set) against the exact brute-force top-3 — the
+    // measurement that tells you whether the coarse quantizer is good
+    // enough to REPLACE the exact sweep at scale (the sketch-vs-exact
+    // calibration q156 performs for MinHash, here for IVF). Both legs
+    // share ONE assignedCells subtree and the SAME bounded query set,
+    // ranking rule (cos desc, c_id) and round(6) kernel, so a recall
+    // miss can only come from the cell boundary — the thing being
+    // measured, not engine noise. Scale: the exact leg is the
+    // query-bounded broadcast sweep (|corpus|·|queries| kernel calls,
+    // the price of ground truth — run on a sample, never the fleet);
+    // the IVF leg shuffles by cell. LEFT join + coalesce-0 keeps
+    // queries whose IVF list misses ALL exact neighbors (recall 0 is
+    // the most important row in the audit, not a dropped one).
+    "q180_ann_recall" -> { (s, d) =>
+      val (assigned, _) = assignedCells(s, d)
+      val q = assigned.filter(col("vec_id") % 100 === 0)
+        .orderBy("vec_id").limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+      val corpus = assigned
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("cell").as("c_cell"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      val exact = corpus
+        .join(broadcast(q.drop("cell")), col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("c_id"))
+      val ivf = corpus
+        .join(broadcast(q), col("c_cell") === col("cell") &&
+          col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id").as("iq"), col("c_id").as("ic"))
+      val hits = exact.join(ivf,
+          col("q_id") === col("iq") && col("c_id") === col("ic"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+          expr("CAST(coalesce(n_hit, 0) * 1000000 DIV 3 AS BIGINT)")
+            .as("recall_ppm"))
+        .orderBy("q_id")
     }
   )
 
@@ -535,6 +581,34 @@ object Similarity {
         |  CAST(c_label AS BIGINT) AS voted_label,
         |  CAST(n_votes AS BIGINT) AS n_votes,
         |  c_label = q_label AS agree
-        |FROM top WHERE vr = 1 ORDER BY q_id""".stripMargin
+        |FROM top WHERE vr = 1 ORDER BY q_id""".stripMargin,
+
+    "q180_ann_recall" -> (CellAssignSql +
+      """,
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM cells
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
+        |ex AS (
+        |  SELECT q_id, c.vec_id AS c_id,
+        |    round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY
+        |      round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) DESC,
+        |      c.vec_id) AS rn
+        |  FROM q, cells c WHERE c.vec_id <> q_id),
+        |exact3 AS (SELECT q_id, c_id FROM ex WHERE rn <= 3),
+        |iv AS (
+        |  SELECT q_id, c.vec_id AS c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY
+        |      round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) DESC,
+        |      c.vec_id) AS rn
+        |  FROM q JOIN cells c USING (cell) WHERE c.vec_id <> q_id),
+        |ivf3 AS (SELECT q_id, c_id FROM iv WHERE rn <= 3),
+        |hits AS (
+        |  SELECT e.q_id, COUNT(*) AS n_hit
+        |  FROM exact3 e JOIN ivf3 i ON e.q_id = i.q_id AND e.c_id = i.c_id
+        |  GROUP BY e.q_id)
+        |SELECT q.q_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(n_hit, 0) * 1000000 // 3 AS BIGINT) AS recall_ppm
+        |FROM q LEFT JOIN hits ON q.q_id = hits.q_id
+        |ORDER BY q.q_id""".stripMargin)
   )
 }

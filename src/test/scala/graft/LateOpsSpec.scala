@@ -1378,6 +1378,63 @@ class LateOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q178 linkage scores: monotone comparator hierarchy, pairs conserved") {
+    val rows = SparkEntry.queries("q178_linkage_scores")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val allowed = Set(0L, 4L, 8L, 12L, 16L, 20L, 24L, 28L)
+    rows.foreach { r =>
+      assert(allowed.contains(r.getAs[Long]("score")),
+        s"score ${r.getAs[Long]("score")} outside the additive-weight lattice")
+      assert(r.getAs[Long]("n_pairs") >= r.getAs[Long]("n_left_docs") ||
+        r.getAs[Long]("n_left_docs") >= 1)
+      assert(r.getAs[Long]("witness_a") < r.getAs[Long]("witness_b"))
+    }
+    // total pairs must equal the blocked-pair count (no pair dropped or
+    // double-counted by the scoring)
+    val side = graft.model.Tables.documents(spark, sf)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val expected = side.select(sum(expr("n * (n - 1) / 2")).cast("long"))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == expected)
+  }
+
+  test("q179 weighted quantiles are ordered and within the price domain") {
+    val rows = SparkEntry.queries("q179_weighted_quantiles")(spark, sf).collect()
+    assert(rows.length == 3) // A, N, R return flags
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Long]("p25_cents"),
+        r.getAs[Long]("p50_cents"), r.getAs[Long]("p75_cents"))
+      assert(p25 <= p50 && p50 <= p75, s"quantiles out of order: $p25 $p50 $p75")
+      assert(p25 > 0 && r.getAs[Long]("total_weight") > 0)
+    }
+    // replay the median definition for one flag on the driver
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "A")
+      .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("pc"),
+        expr("CAST(l_quantity AS BIGINT)").as("w")).collect()
+    val total = li.map(_.getAs[Long]("w")).sum
+    val sorted = li.groupBy(_.getAs[Long]("pc")).view
+      .mapValues(_.map(_.getAs[Long]("w")).sum).toSeq.sortBy(_._1)
+    var cum = 0L
+    val median = sorted.find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+    assert(rows.find(_.getAs[String]("flag") == "A").get
+      .getAs[Long]("p50_cents") == median)
+  }
+
+  test("q180 IVF recall: bounded per query, perfect when cell holds top-3") {
+    val rows = SparkEntry.queries("q180_ann_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hit")
+      assert(hits >= 0L && hits <= 3L)
+      assert(r.getAs[Long]("recall_ppm") == hits * 1000000L / 3L)
+    }
+    // the audit's reason to exist: it must report full recall for at
+    // least SOME query (same-cell neighbors dominate in clustered data)
+    assert(rows.exists(_.getAs[Long]("n_hit") > 0L),
+      "every query lost every neighbor — cell assignment is broken")
+  }
+
   test("q176 phrase hits: every returned doc really contains the bigram") {
     val rows = SparkEntry.queries("q176_phrase_search")(spark, sf).collect()
     assert(rows.nonEmpty)
