@@ -1,7 +1,8 @@
 package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet corpus (TESTDATA.md).
   *
@@ -20,15 +21,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as raw nanos (legacy conf) and truncate to a
-    * µs TimestampType with integer division — the same floor semantics
-    * DuckDB applies when it narrows ns→µs on read, so oracle parity holds.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark 4
+    * only reads as raw long nanos under the legacy conf — and
+    * TIMESTAMP(MICROS), read natively as TIMESTAMP_NTZ. Branch on the loaded
+    * type and normalize to a µs `TimestampType` either way: raw nanos truncate
+    * with integer division (the same floor semantics DuckDB applies narrowing
+    * ns→µs on read), and NTZ casts losslessly because every entry point pins
+    * `spark.sql.session.timeZone=UTC`, matching DuckDB's naive reading.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -406,8 +406,9 @@ object Behavior {
     // series). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), all exact
     // integers; x is CENTERED on the global min day (one-row broadcast
     // anchor) so nΣxy stays ~horizon³·volume instead of picking up the
-    // ~19.7k-day epoch offset — the ×10⁶ ppm step then fits int64 with
-    // orders of magnitude to spare (q120's magnitude rule). The final
+    // ~19.7k-day epoch offset. num/den stay int64 (horizon³·daily
+    // volume < 2⁶³ to ~10⁷ events/day) but the ×10⁶ ppm step widens
+    // num to DECIMAL(38,0) / HUGEINT — it is the first to burst. The final
     // floor division is sign-safe: Spark DIV truncates toward zero and
     // DuckDB // floors, which differ on negative dividends, so the
     // negative branch is computed as -ceil(|num|/den) in BOTH engines.
@@ -427,8 +428,8 @@ object Behavior {
         .withColumn("den", expr("CAST(n_days * sxx - sx * sx AS BIGINT)"))
         .select(col("event_type"), col("n_days"), col("num"), col("den"),
           expr("""CAST(CASE WHEN den = 0 THEN NULL
-                 WHEN num >= 0 THEN num * 1000000 DIV den
-                 ELSE -((-num * 1000000 + den - 1) DIV den) END
+                 WHEN num >= 0 THEN CAST(num AS DECIMAL(38,0)) * 1000000 DIV den
+                 ELSE -((-CAST(num AS DECIMAL(38,0)) * 1000000 + den - 1) DIV den) END
                  AS BIGINT)""").as("slope_ppm"))
         .orderBy("event_type")
     },
@@ -544,7 +545,9 @@ object Behavior {
     // PURE INTEGER arithmetic — dow = (epoch_day + 3) % 7, 0=Monday —
     // because Spark's dayofweek() (1=Sunday) and DuckDB's (0=Sunday)
     // disagree; day arithmetic cannot. Lift is floor-ppm with the
-    // multiplication ordered to stay in int64 (counts × days ≪ 2⁶³).
+    // count × days × 10⁶ numerator widened to DECIMAL(38,0) (HUGEINT
+    // in the oracle) — at corpus scale it is the product of three
+    // large factors and leaves int64 near 10¹² events.
     // One scan → |types|×7 grid; the normalizer is a broadcast
     // one-row-per-type aggregate of that same grid.
     "q164_dow_seasonality" -> { (s, d) =>
@@ -560,7 +563,7 @@ object Behavior {
         .select(col("event_type"), col("dow"), col("n_events"), col("n_days"),
           expr("CAST(n_events * 1000000 DIV type_total AS BIGINT)")
             .as("share_ppm"),
-          expr("CAST(n_events * type_days * 1000000 DIV (n_days * type_total) AS BIGINT)")
+          expr("CAST(CAST(n_events AS DECIMAL(38,0)) * type_days * 1000000 DIV (n_days * type_total) AS BIGINT)")
             .as("rate_lift_ppm"))
         .orderBy("event_type", "dow")
     },
@@ -939,8 +942,10 @@ object Behavior {
     // rounded to integer micro-units AT THE CELL so the grid carries
     // exact ints and any downstream total is an exact integer sum —
     // never an order-dependent float reduction. Magnitude rule: obs·N
-    // fits int64 to ~3·10⁹ events; beyond, compute the products in
-    // DECIMAL(38,0). Scale: one scan → |types|×7 grid; row/col/grand
+    // and row·col are quadratic in event count and leave int64 near
+    // 3·10⁹ events, so every product is computed in DECIMAL(38,0)
+    // (HUGEINT on the oracle side) before the ppm shift / double
+    // conversion. Scale: one scan → |types|×7 grid; row/col/grand
     // totals are broadcast aggregates OF the grid, never rescans.
     "q173_chi2_independence" -> { (s, d) =>
       val cell = dailyCounts(s, d)
@@ -953,12 +958,12 @@ object Behavior {
       cell.join(rowT, "event_type").join(colT, "dow")
         .crossJoin(broadcast(grand))
         .select(col("event_type"), col("dow"), col("obs"),
-          expr("CAST(row_tot * col_tot * 1000000 DIV n_tot AS BIGINT)")
+          expr("CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000 DIV n_tot AS BIGINT)")
             .as("exp_scaled"),
           expr("""CAST(round(
-              CAST(obs * n_tot - row_tot * col_tot AS DOUBLE) *
-              CAST(obs * n_tot - row_tot * col_tot AS DOUBLE) /
-              CAST(row_tot * col_tot AS DOUBLE) /
+              CAST(CAST(obs AS DECIMAL(38,0)) * n_tot - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE) *
+              CAST(CAST(obs AS DECIMAL(38,0)) * n_tot - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE) /
+              CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE) /
               CAST(n_tot AS DOUBLE) * 1000000) AS BIGINT)""")
             .as("contrib_e6"))
         .orderBy("event_type", "dow")
@@ -1034,10 +1039,10 @@ object Behavior {
           expr("CAST(conv_a * 1000000 DIV n_a AS BIGINT)").as("rate_a_ppm"),
           expr("CAST(conv_b * 1000000 DIV n_b AS BIGINT)").as("rate_b_ppm"),
           expr("""CAST(round(
-              CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) *
-              CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) *
+              CAST(CAST(conv_a AS DECIMAL(38,0)) * n_b - CAST(conv_b AS DECIMAL(38,0)) * n_a AS DOUBLE) *
+              CAST(CAST(conv_a AS DECIMAL(38,0)) * n_b - CAST(conv_b AS DECIMAL(38,0)) * n_a AS DOUBLE) *
               CAST(n_a + n_b AS DOUBLE) /
-              CAST(n_a * n_b AS DOUBLE) /
+              CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE) /
               CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
               CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
               * 1000) AS BIGINT)""").as("z2_milli"))
@@ -1109,8 +1114,8 @@ object Behavior {
         |  FROM agg)
         |SELECT event_type, n_days, num, den,
         |  CAST(CASE WHEN den = 0 THEN NULL
-        |       WHEN num >= 0 THEN num * 1000000 // den
-        |       ELSE -((-num * 1000000 + den - 1) // den) END
+        |       WHEN num >= 0 THEN CAST(num AS HUGEINT) * 1000000 // den
+        |       ELSE -((-CAST(num AS HUGEINT) * 1000000 + den - 1) // den) END
         |       AS BIGINT) AS slope_ppm
         |FROM sl ORDER BY event_type""".stripMargin,
 
@@ -1127,8 +1132,8 @@ object Behavior {
         |  FROM bd GROUP BY 1)
         |SELECT bd.event_type, CAST(dow AS BIGINT) AS dow, n_events, n_days,
         |  CAST(n_events * 1000000 // type_total AS BIGINT) AS share_ppm,
-        |  CAST(n_events * type_days * 1000000 // (n_days * type_total) AS BIGINT)
-        |    AS rate_lift_ppm
+        |  CAST(CAST(n_events AS HUGEINT) * type_days * 1000000
+        |    // (n_days * type_total) AS BIGINT) AS rate_lift_ppm
         |FROM bd JOIN bt ON bd.event_type = bt.event_type
         |ORDER BY bd.event_type, dow""".stripMargin,
 
@@ -1649,11 +1654,12 @@ object Behavior {
         |ct AS (SELECT dow, SUM(obs) AS col_tot FROM cell GROUP BY 1),
         |g AS (SELECT SUM(obs) AS n_tot FROM cell)
         |SELECT cell.event_type, cell.dow, obs,
-        |  CAST(row_tot * col_tot * 1000000 // n_tot AS BIGINT) AS exp_scaled,
+        |  CAST(CAST(row_tot AS HUGEINT) * col_tot * 1000000 // n_tot AS BIGINT)
+        |    AS exp_scaled,
         |  CAST(round(
-        |    CAST(obs * n_tot - row_tot * col_tot AS DOUBLE) *
-        |    CAST(obs * n_tot - row_tot * col_tot AS DOUBLE) /
-        |    CAST(row_tot * col_tot AS DOUBLE) /
+        |    CAST(CAST(obs AS HUGEINT) * n_tot - CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE) *
+        |    CAST(CAST(obs AS HUGEINT) * n_tot - CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE) /
+        |    CAST(CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE) /
         |    CAST(n_tot AS DOUBLE) * 1000000) AS BIGINT) AS contrib_e6
         |FROM cell JOIN rt USING (event_type) JOIN ct USING (dow)
         |CROSS JOIN g
@@ -1705,10 +1711,10 @@ object Behavior {
         |  CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
         |  CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
         |  CAST(round(
-        |    CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) *
-        |    CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) *
+        |    CAST(CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a AS DOUBLE) *
+        |    CAST(CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a AS DOUBLE) *
         |    CAST(n_a + n_b AS DOUBLE) /
-        |    CAST(n_a * n_b AS DOUBLE) /
+        |    CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) /
         |    CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
         |    CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
         |    * 1000) AS BIGINT) AS z2_milli

@@ -747,9 +747,11 @@ object Curation {
     // q89's skew handling. One map-combined key aggregation; top-10 is
     // TakeOrdered; everything downstream is one-row broadcasts.
     // Magnitude note: a join CARDINALITY is quadratic in row count, so
-    // the statistic itself outgrows int64 near 3·10⁹ input rows — past
-    // that, the audit should run per-partition-of-keys (the estimates
-    // are sums over keys, so they shard exactly).
+    // every n·n / est·10⁶ intermediate is computed in DECIMAL(38,0)
+    // (HUGEINT in the oracle); the final BIGINT estimates themselves
+    // only outgrow int64 once the true cardinality tops 9·10¹⁸ — past
+    // that, run the audit per-partition-of-keys (the estimates are
+    // sums over keys, so they shard exactly).
     "q165_join_cardinality" -> { (s, d) =>
       val cnts = Tables.lineitem(s, d)
         .groupBy("l_suppkey").agg(count(lit(1)).as("c"))
@@ -762,16 +764,18 @@ object Curation {
           coalesce(sum(col("c")), lit(0L)).cast("long").as("hh_rows"),
           count(lit(1)).cast("long").as("hh_n"))
       stats.crossJoin(broadcast(top))
-        .withColumn("uniform_est", expr("CAST(n_rows * n_rows DIV ndv AS BIGINT)"))
+        .withColumn("uniform_est",
+          expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * n_rows DIV ndv AS BIGINT)"))
         .withColumn("hh_est", expr(
           """CAST(hh_pairs + CASE WHEN ndv > hh_n
-            |  THEN (n_rows - hh_rows) * (n_rows - hh_rows) DIV (ndv - hh_n)
+            |  THEN CAST(n_rows - hh_rows AS DECIMAL(38,0)) * (n_rows - hh_rows)
+            |    DIV (ndv - hh_n)
             |  ELSE 0 END AS BIGINT)""".stripMargin))
         .select(col("n_rows"), col("ndv"), col("exact_pairs"),
           col("uniform_est"), col("hh_est"),
-          expr("CAST(abs(uniform_est - exact_pairs) * 1000000 DIV exact_pairs AS BIGINT)")
+          expr("CAST(abs(CAST(uniform_est AS DECIMAL(38,0)) - exact_pairs) * 1000000 DIV exact_pairs AS BIGINT)")
             .as("uniform_err_ppm"),
-          expr("CAST(abs(hh_est - exact_pairs) * 1000000 DIV exact_pairs AS BIGINT)")
+          expr("CAST(abs(CAST(hh_est AS DECIMAL(38,0)) - exact_pairs) * 1000000 DIV exact_pairs AS BIGINT)")
             .as("hh_err_ppm"))
     },
 
@@ -1359,16 +1363,18 @@ object Curation {
         |  FROM (SELECT c FROM cnts ORDER BY c DESC, l_suppkey LIMIT 10)),
         |est AS (
         |  SELECT n_rows, ndv, exact_pairs,
-        |    CAST(n_rows * n_rows // ndv AS BIGINT) AS uniform_est,
+        |    CAST(CAST(n_rows AS HUGEINT) * n_rows // ndv AS BIGINT)
+        |      AS uniform_est,
         |    CAST(hh_pairs + CASE WHEN ndv > hh_n
-        |      THEN (n_rows - hh_rows) * (n_rows - hh_rows) // (ndv - hh_n)
+        |      THEN CAST(n_rows - hh_rows AS HUGEINT) * (n_rows - hh_rows)
+        |        // (ndv - hh_n)
         |      ELSE 0 END AS BIGINT) AS hh_est
         |  FROM st CROSS JOIN tp)
         |SELECT n_rows, ndv, exact_pairs, uniform_est, hh_est,
-        |  CAST(abs(uniform_est - exact_pairs) * 1000000 // exact_pairs AS BIGINT)
-        |    AS uniform_err_ppm,
-        |  CAST(abs(hh_est - exact_pairs) * 1000000 // exact_pairs AS BIGINT)
-        |    AS hh_err_ppm
+        |  CAST(abs(CAST(uniform_est AS HUGEINT) - exact_pairs) * 1000000
+        |    // exact_pairs AS BIGINT) AS uniform_err_ppm,
+        |  CAST(abs(CAST(hh_est AS HUGEINT) - exact_pairs) * 1000000
+        |    // exact_pairs AS BIGINT) AS hh_err_ppm
         |FROM est""".stripMargin,
 
     "q157_weighted_sample" ->

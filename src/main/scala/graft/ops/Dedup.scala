@@ -219,10 +219,15 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE: sym is referenced by every round's
     // join, and without the checkpoint each round would re-run the whole
-    // upstream pipeline (e.g. the LSH DAG) that produced the edges
+    // upstream pipeline (e.g. the LSH DAG) that produced the edges.
+    // Both directions come from ONE explode over ONE scan — the obvious
+    // union-of-two-selects shape evaluates the (uncached, expensive)
+    // upstream edge plan twice inside the materialization job.
     val sym = Checkpoints.truncate(
-      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      edges.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")),
       eager = true)
     var labels = Checkpoints.truncate(
       sym.select(col("src").as("node")).distinct()
@@ -241,13 +246,19 @@ object Dedup {
       val jumped = labels.as("x")
         .join(labels.as("y"), col("x.label") === col("y.node"))
         .select(col("x.node").as("node"), col("y.label").as("label"))
+      // the convergence signal rides INSIDE the round's materialized
+      // frame (min-label can only decrease, so changed ⟺ label < prev):
+      // probing it is then a scan of the just-checkpointed blocks, not
+      // the extra shuffle-join job per round the naive probe pays
       val updated = Checkpoints.truncate(
         labels.select("node", "label")
           .unionByName(nbrLabels).unionByName(jumped)
-          .groupBy("node").agg(min(col("label")).as("label")),
+          .groupBy("node").agg(min(col("label")).as("label"))
+          .join(labels.withColumnRenamed("label", "prev"), "node")
+          .select(col("node"), col("label"),
+            (col("label") < col("prev")).as("changed")),
         eager = true)
-      converged = updated.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") < col("prev")).isEmpty
+      converged = updated.filter(col("changed")).limit(1).isEmpty
       // round N's labels are superseded once round N+1's are materialized
       // and compared — reclaim their reliable checkpoint files (no-op in
       // local mode) or a 20-round run leaks 20 label-table copies
@@ -264,7 +275,7 @@ object Dedup {
     // the labels frame is checkpoint-backed and self-contained — the edge
     // list's checkpoint files are no longer reachable by any caller
     Checkpoints.dropCheckpoint(sym)
-    labels
+    labels.select("node", "label") // project away the convergence flag
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

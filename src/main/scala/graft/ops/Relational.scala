@@ -218,7 +218,7 @@ object Relational {
           sum(col("b.n_customers")).cast("long").as("cum_customers"))
         .crossJoin(broadcast(tot))
         .select(col("bucket"), col("n_customers"), col("rev_cents"),
-          expr("CAST(cum_rev_cents * 1000000 DIV total_cents AS BIGINT)")
+          expr("CAST(CAST(cum_rev_cents AS DECIMAL(38,0)) * 1000000 DIV total_cents AS BIGINT)")
             .as("cum_rev_ppm"),
           expr("CAST(cum_customers * 1000000 DIV total_cust AS BIGINT)")
             .as("cum_cust_ppm"))
@@ -459,7 +459,7 @@ object Relational {
         |  FROM bb a JOIN bb b ON b.bucket >= a.bucket
         |  GROUP BY 1, 2, 3)
         |SELECT CAST(bucket AS BIGINT) AS bucket, n_customers, rev_cents,
-        |  CAST(cum_rev_cents * 1000000 // total_cents AS BIGINT) AS cum_rev_ppm,
+        |  CAST(CAST(cum_rev_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS cum_rev_ppm,
         |  CAST(cum_customers * 1000000 // total_cust AS BIGINT) AS cum_cust_ppm
         |FROM cum CROSS JOIN tot ORDER BY bucket DESC""".stripMargin,
 

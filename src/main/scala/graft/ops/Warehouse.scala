@@ -56,9 +56,12 @@ object Warehouse {
     // Share is exact: revenue accumulates in DECIMAL(18,4), shifts to
     // integer ten-thousandths-of-a-cent (×10⁶ exact — the product of
     // two 2-dp factors has ≤4 dp), and the ppm is integer floor
-    // division. Magnitude rule (SURVEY §7.0): promo_u·10⁶ stays under
-    // int64 to ~10¹² revenue units ≈ 10 B USD/month — beyond that,
-    // compute the share in DECIMAL(38,0). Scale: the month filter
+    // division. Magnitude rule (SURVEY §7.0): promo_u is already ×10⁶
+    // micro-units, so the ppm numerator promo_u·10⁶ carries ×10¹² —
+    // it leaves int64 at ~10⁷ revenue units, i.e. well inside sf0.1.
+    // The numerator therefore widens to DECIMAL(38,0) (Spark) /
+    // HUGEINT (DuckDB oracle) before the shift; the quotient is a ppm
+    // ≤ 10⁶ and casts back to BIGINT exactly. Scale: the month filter
     // pushes into the lineitem scan (PushedFilters); part joins on
     // partkey broadcast-or-shuffle per AQE.
     "q168_promo_share" -> { (s, d) =>
@@ -76,7 +79,7 @@ object Warehouse {
           expr("CAST(promo_d * 1000000 AS BIGINT)").as("promo_u"),
           expr("CAST(total_d * 1000000 AS BIGINT)").as("total_u"))
         .select(col("promo_u"), col("total_u"),
-          expr("CAST(promo_u * 1000000 DIV total_u AS BIGINT)")
+          expr("CAST(CAST(promo_u AS DECIMAL(38,0)) * 1000000 DIV total_u AS BIGINT)")
             .as("promo_ppm"))
     },
 
@@ -234,7 +237,7 @@ object Warehouse {
         |    AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00')
         |SELECT CAST(promo_d * 1000000 AS BIGINT) AS promo_u,
         |  CAST(total_d * 1000000 AS BIGINT) AS total_u,
-        |  CAST(CAST(promo_d * 1000000 AS BIGINT) * 1000000
+        |  CAST(CAST(CAST(promo_d * 1000000 AS BIGINT) AS HUGEINT) * 1000000
         |    // CAST(total_d * 1000000 AS BIGINT) AS BIGINT) AS promo_ppm
         |FROM agg""".stripMargin,
 
