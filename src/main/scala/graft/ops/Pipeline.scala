@@ -1,0 +1,327 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Round-6 training-data pipeline operators (SURVEY.md §2F):
+  * per-source frequency capping, normalization-tier dedup, stratified
+  * k-fold assignment, the HLL cardinality ESTIMATE finishing q133's
+  * registers, and bigram-level novelty scoring.
+  *
+  * Same contract as every ops module: each query paired with a DuckDB
+  * oracle over the same parquet, engine-neutral md5-derived hashing
+  * (never rand(), never Spark-internal Murmur3), floor-ppm integer
+  * arithmetic, map-combinable aggregations, no unpartitioned windows.
+  */
+object Pipeline {
+
+  /** q181's per-source document cap — ONE definition read by the query,
+    * interpolated into the oracle, and asserted by PipelineSpec. */
+  private[graft] val SourceCap = 60
+
+  /** q183's fold count. */
+  private[graft] val KFolds = 5
+
+  /** q184's HLL bias constant α₆₄ = 0.7213/(1 + 1.079/64) ≈ 0.709341,
+    * pinned as a ppm literal (the published constant from Flajolet et
+    * al.'s HyperLogLog paper for m = 64 registers) so both engines use
+    * the identical integer — no float derivation at query time. */
+  private[graft] val Alpha64Ppm = 709341L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-source frequency CAP — the "downsample overrepresented
+    // domains" curation primitive (a web crawl is 40% one boilerplate
+    // mill; training mixes cap it): keep at most SourceCap docs per
+    // source, chosen by engine-neutral hash order so the survivor set
+    // is a uniform deterministic sample (no rand() — re-runs and the
+    // oracle see the same set). Audit output: per source, how much doc
+    // and char mass the cap sheds. Scale: the rank is a per-source
+    // window — partitions are per-source, never global; at 100 TB a
+    // single source's partition is still large, so the scale path is
+    // threshold-refine (broadcast per-source counts, prefilter
+    // hash < ~2·K/n of the hash domain, exact-rank only the ~K
+    // survivors); the declared query keeps the one-window form the
+    // oracle can mirror and documents the refinement.
+    "q181_source_cap" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          Dedup.neutralHash32(
+            concat(lit("cap:"), col("doc_id").cast("string"))).as("hk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))))
+        .withColumn("kept", col("rk") <= SourceCap)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L))
+            .cast("long").as("kept_chars"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .withColumn("kept_ppm",
+          expr("CAST(n_kept * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // Normalization-TIER dedup audit — the tier between exact md5
+    // (q24: byte-identical only) and MinHash (q26: fuzzy): collapse
+    // case-preserving reformatting by stripping non-alphanumerics and
+    // collapsing runs of spaces, then fingerprint. The delta between
+    // raw-distinct and normalized-distinct counts is exactly the
+    // duplicate mass that trivial reformatting hides from exact dedup
+    // but that near-dup machinery is overkill for. Regexes live in the
+    // Java-regex ∩ RE2 intersection (explicit ASCII classes, no
+    // backslash classes) so both engines normalize bytes identically;
+    // no lower() — Unicode case folding is engine-dependent. Scale:
+    // two countDistincts of fixed-width md5 strings per source — the
+    // shuffle carries 32-char hashes, never text; the sketch-bounded
+    // alternative at extreme |distinct| is q184's registers.
+    "q182_norm_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("raw_h"),
+          md5(trim(regexp_replace(
+            regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " ")))
+            .as("norm_h"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("raw_h")).cast("long").as("ndv_raw"),
+          countDistinct(col("norm_h")).cast("long").as("ndv_norm"))
+        .withColumn("reformat_dups",
+          expr("CAST(ndv_raw - ndv_norm AS BIGINT)"))
+        .withColumn("norm_dup_ppm",
+          expr("CAST((n_docs - ndv_norm) * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // Stratified k-fold assignment + balance audit — the CV/eval-split
+    // generalization of q136's train/val/test rule: fold = neutral hash
+    // of the doc id mod KFolds, so assignment is reproducible across
+    // engines and runs, and adding a document never moves any other
+    // document's fold (the property a growing corpus needs). Audit per
+    // fold: doc and char mass, floor-ppm share of each, and the largest
+    // single-source share inside the fold (a fold dominated by one
+    // source evaluates that source, not the corpus). Scale: two
+    // map-combined aggs onto the |folds| and |folds|×|sources| grids;
+    // totals are one-row broadcasts.
+    "q183_kfold_balance" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          (Dedup.neutralHash32(
+            concat(lit("fold:"), col("doc_id").cast("string"))) % KFolds)
+            .as("fold"))
+      val byFold = docs.groupBy("fold")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val topSrc = docs.groupBy("fold", "source")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("fold").agg(max(col("c")).cast("long").as("max_src_docs"))
+      val tot = byFold.agg(sum(col("n_docs")).cast("long").as("t_docs"),
+        sum(col("sum_chars")).cast("long").as("t_chars"))
+      byFold.join(topSrc, "fold").crossJoin(broadcast(tot))
+        .select(col("fold").cast("long").as("fold"),
+          col("n_docs"), col("sum_chars"),
+          expr("CAST(n_docs * 1000000 DIV t_docs AS BIGINT)").as("docs_ppm"),
+          expr("CAST(sum_chars * 1000000 DIV t_chars AS BIGINT)").as("chars_ppm"),
+          expr("CAST(max_src_docs * 1000000 DIV n_docs AS BIGINT)")
+            .as("top_src_ppm"))
+        .orderBy("fold")
+    },
+
+    // HLL cardinality ESTIMATE — the finishing step q133 deliberately
+    // stops short of, now as its own op with the estimate computed in
+    // EXACT integer arithmetic: E = α₆₄·m²/Σ2^(−Mⱼ) with the register
+    // sum scaled by 2⁶² (max rho is 55, so every term 2^(62−ρ) is an
+    // exact int64; the Σ and the α·m²·2⁶² numerator widen to
+    // DECIMAL(38,0)/HUGEINT per the round-6 magnitude rule). Registers
+    // use q133's exact derivation (60-bit md5 hash, m = 64, rho =
+    // 55 − bitlength) and merge by MAX — the '__all__' row is the
+    // union of the per-source sketches by that merge, demonstrating
+    // the mergeability that makes the sketch the 100 TB path. The
+    // exact countDistinct leg is the deliberate ground-truth audit
+    // (same role as q41's brute-force sweep); err_ppm quantifies raw
+    // HLL bias — large when n ≪ m (the regime the published
+    // linear-counting correction exists for; n_empty is emitted so a
+    // consumer can apply it — ln() is transcendental, so the mirrored
+    // query stops at the raw estimate both engines compute exactly).
+    "q184_hll_estimate" -> { (s, d) =>
+      val hx = Tables.documents(s, d)
+        .select(col("source"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+        .withColumn("bucket", expr("CAST(h % 64 AS BIGINT)"))
+        .withColumn("v", expr("h DIV 64"))
+        .withColumn("rho", expr(
+          "CAST(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END AS BIGINT)"))
+      val perSrcReg = hx.groupBy("source", "bucket")
+        .agg(max(col("rho")).as("max_rho"))
+      val unionReg = perSrcReg.groupBy("bucket")
+        .agg(max(col("max_rho")).as("max_rho"))
+        .withColumn("source", lit("__all__"))
+        .select("source", "bucket", "max_rho")
+      val est = perSrcReg.unionByName(unionReg)
+        .groupBy("source")
+        .agg(sum(expr("CAST(shiftleft(1L, CAST(62 - max_rho AS INT)) AS DECIMAL(38,0))"))
+            .as("s_occ"),
+          count(lit(1)).as("n_occ"))
+        .select(col("source"),
+          expr("CAST(64 - n_occ AS BIGINT)").as("n_empty"),
+          expr(s"""CAST(CAST($Alpha64Ppm AS DECIMAL(38,0)) * 4096 * 4611686018427387904
+                  | DIV ((s_occ + (64 - n_occ) * CAST(4611686018427387904 AS DECIMAL(38,0)))
+                  |      * 1000000) AS BIGINT)""".stripMargin)
+            .as("hll_raw_est"))
+      val exact = Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("h"))
+      val exactPer = exact.groupBy("source")
+        .agg(countDistinct(col("h")).cast("long").as("n_exact"))
+      val exactAll = exact.agg(countDistinct(col("h")).cast("long").as("n_exact"))
+        .withColumn("source", lit("__all__")).select("source", "n_exact")
+      est.join(exactPer.unionByName(exactAll), "source")
+        .select(col("source"), col("n_exact"), col("n_empty"), col("hll_raw_est"),
+          expr("CAST(abs(hll_raw_est - n_exact) * 1000000 DIV n_exact AS BIGINT)")
+            .as("err_ppm"))
+        .orderBy("source")
+    },
+
+    // Bigram-level novelty scoring — the sequence-level sibling of
+    // q77's token-rarity gate: a document whose word PAIRS are unseen
+    // elsewhere is novel composition even when every word is common
+    // (q77 cannot see this; verbatim-remix spam is its blind spot).
+    // Per doc: share of its distinct bigrams with corpus df = 1,
+    // floor-ppm, histogrammed per source in deciles. Docs under 2
+    // tokens have no bigrams and are excluded (documented domain).
+    // Scale: one tokenize pass → distinct (doc, bigram) → df agg
+    // (map-combined, fixed-width keys after the first shuffle) →
+    // join back → per-doc agg → ≤|sources|×11 grid. The df join is
+    // the one real shuffle; everything after lives on grids.
+    "q185_bigram_novelty" -> { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .withColumn("t", TextAnalysis.tokens(col("text")))
+        .filter(size(col("t")) >= 2)
+        .select(col("source"), col("doc_id"),
+          explode(array_distinct(TextAnalysis.shingleExpr("t", 2))).as("bg"))
+      val df = bg.groupBy("bg").agg(count(lit(1)).as("bg_df"))
+      bg.join(df, "bg")
+        .groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("n_bg"),
+          sum(when(col("bg_df") === 1, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("novelty_ppm", expr("n_rare * 1000000 DIV n_bg"))
+        .groupBy(col("source"),
+          expr("CAST(novelty_ppm DIV 100000 AS BIGINT)").as("decile"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("source", "decile")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q181_source_cap" ->
+      s"""WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN rk <= $SourceCap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN rk <= $SourceCap THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS kept_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN rk <= $SourceCap THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS kept_ppm
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q182_norm_dedup" ->
+      """WITH n AS (
+        |  SELECT source, md5(text) AS raw_h,
+        |    md5(trim(regexp_replace(
+        |      regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |      AS norm_h
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT raw_h) AS BIGINT) AS ndv_raw,
+        |  CAST(COUNT(DISTINCT norm_h) AS BIGINT) AS ndv_norm,
+        |  CAST(COUNT(DISTINCT raw_h) - COUNT(DISTINCT norm_h) AS BIGINT)
+        |    AS reformat_dups,
+        |  CAST((COUNT(*) - COUNT(DISTINCT norm_h)) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS norm_dup_ppm
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
+
+    "q183_kfold_balance" ->
+      s"""WITH f AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % $KFolds AS fold
+        |  FROM documents),
+        |bf AS (
+        |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM f GROUP BY fold),
+        |ts AS (
+        |  SELECT fold, MAX(c) AS max_src_docs FROM (
+        |    SELECT fold, source, COUNT(*) AS c FROM f GROUP BY fold, source)
+        |  GROUP BY fold),
+        |tot AS (SELECT SUM(n_docs) AS t_docs, SUM(sum_chars) AS t_chars FROM bf)
+        |SELECT CAST(fold AS BIGINT) AS fold, n_docs, sum_chars,
+        |  CAST(n_docs * 1000000 // t_docs AS BIGINT) AS docs_ppm,
+        |  CAST(sum_chars * 1000000 // t_chars AS BIGINT) AS chars_ppm,
+        |  CAST(max_src_docs * 1000000 // n_docs AS BIGINT) AS top_src_ppm
+        |FROM bf JOIN ts USING (fold) CROSS JOIN tot
+        |ORDER BY fold""".stripMargin,
+
+    "q184_hll_estimate" ->
+      s"""WITH hx AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h // 64)) END AS rho
+        |  FROM hx),
+        |reg AS (SELECT source, bucket, MAX(rho) AS max_rho FROM b
+        |        GROUP BY source, bucket),
+        |allreg AS (
+        |  SELECT source, bucket, max_rho FROM reg
+        |  UNION ALL
+        |  SELECT '__all__' AS source, bucket, MAX(max_rho) AS max_rho
+        |  FROM reg GROUP BY bucket),
+        |est AS (
+        |  SELECT source,
+        |    CAST(64 - COUNT(*) AS BIGINT) AS n_empty,
+        |    CAST(CAST($Alpha64Ppm AS HUGEINT) * 4096 * 4611686018427387904
+        |      // ((SUM(CAST(CAST(1 AS BIGINT) << CAST(62 - max_rho AS INT) AS HUGEINT))
+        |          + (64 - COUNT(*)) * CAST(4611686018427387904 AS HUGEINT))
+        |         * 1000000) AS BIGINT) AS hll_raw_est
+        |  FROM allreg GROUP BY source),
+        |ex AS (
+        |  SELECT source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT '__all__', CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+        |  FROM documents)
+        |SELECT source, n_exact, n_empty, hll_raw_est,
+        |  CAST(abs(hll_raw_est - n_exact) * 1000000 // n_exact AS BIGINT)
+        |    AS err_ppm
+        |FROM est JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    "q185_bigram_novelty" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT DISTINCT source, doc_id, array_to_string(t[i:i+1], ' ') AS bg
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+        |df AS (SELECT bg, COUNT(*) AS bg_df FROM bg GROUP BY bg),
+        |per_doc AS (
+        |  SELECT source, doc_id,
+        |    COUNT(*) AS n_bg,
+        |    SUM(CASE WHEN bg_df = 1 THEN 1 ELSE 0 END) AS n_rare
+        |  FROM bg JOIN df USING (bg) GROUP BY source, doc_id)
+        |SELECT source,
+        |  CAST(n_rare * 1000000 // n_bg // 100000 AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM per_doc GROUP BY 1, 2 ORDER BY source, decile""".stripMargin
+  )
+}

@@ -208,6 +208,141 @@ object Warehouse {
       }
         .select(col("n_name") +: years.map(y => col(s"y$y")): _*)
         .orderBy(col("n_name"))
+    },
+
+    // TPC-H Q9 image (product-type profit by nation and year): profit =
+    // discounted revenue − a fixed 0.60 cost rate on retail price × qty
+    // (the schema has no partsupp.supplycost; the SHAPE — a 5-way join
+    // whose agg keys come from two different dimension arms — is what
+    // Q9 exercises). All money stays exact decimal until the final
+    // cents cast. Scale: the p_name filter prunes part FIRST (the only
+    // selective predicate — it drives which lineitem rows survive the
+    // partkey join); supplier→nation is a two-step broadcast dim;
+    // orders joins on orderkey only to supply the year.
+    "q186_profit_nation_year" -> { (s, d) =>
+      val amount =
+        money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")) -
+          money(col("p_retailprice")) * rate(lit(0.6)) * money(col("l_quantity"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(expr("CAST(count(1) AS BIGINT)").as("n_items"),
+          sum(amount).as("profit_d"))
+        // profit_d carries scale 6 (rate×rate×money product) — shift by
+        // 10⁶, not 100, so the BIGINT cast is exact in both engines
+        // (Spark truncates a fractional decimal, DuckDB rounds it)
+        .select(col("nation"), col("o_year"), col("n_items"),
+          expr("CAST(profit_d * 1000000 AS BIGINT)").as("profit_micro"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q12 image (shipmode/priority matrix → late-shipment audit):
+    // per order priority, how many 1996-shipped items went out ≥ 90
+    // days after the order was placed, split urgent vs not. The
+    // conditional-count-over-a-join shape is Q12's; lateness is pure
+    // integer µs arithmetic (the schema has no commit/receipt dates).
+    // Scale: the ship-year filter pushes into the lineitem scan; ONE
+    // orderkey join; the output grid is |priorities| rows.
+    "q187_late_shipments" -> { (s, d) =>
+      val lateUs = 90L * 86400000000L
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(when(unix_micros(col("l_shipdate").cast("timestamp")) -
+              unix_micros(col("o_orderdate").cast("timestamp")) >= lateUs, 1L)
+            .otherwise(0L)).cast("long").as("n_late"))
+        .withColumn("late_ppm",
+          expr("CAST(n_late * 1000000 DIV n_items AS BIGINT)"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q16 image (supplier diversity per part group): distinct
+    // suppliers and parts shipped per (brand, size bucket), excluding
+    // one brand and excluding distrusted suppliers (negative account
+    // balance — the comment-column proxy) via LEFT ANTI join, Q16's
+    // NOT-IN shape. Scale: the anti join's right side is the tiny
+    // filtered supplier set (broadcast); dual COUNT DISTINCT compiles
+    // to one Expand ×2 over the join output — keys are fixed-width.
+    "q188_supplier_diversity" -> { (s, d) =>
+      val distrusted = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#9"),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(distrusted), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"),
+          expr("CAST(p_size DIV 5 AS BIGINT)").as("size_bucket"))
+        .agg(countDistinct(col("l_suppkey")).cast("long").as("supplier_cnt"),
+          countDistinct(col("l_partkey")).cast("long").as("part_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_bucket"))
+    },
+
+    // TPC-H Q17 image (small-quantity revenue): revenue locked up in
+    // orders below 20% of their part's average order quantity, for one
+    // brand. Q17's correlated scalar subquery (avg per part) is
+    // DECORRELATED into one per-part aggregate joined back; the
+    // threshold compare is integer cross-multiplication — qty <
+    // 0.2·(sum/n) ⇔ 5·qty·n < sum — so no division and no float ever
+    // enters the predicate. Output includes the /7 "yearly loss"
+    // division as floor cents. Scale: the brand filter bounds the part
+    // side BEFORE both joins; the per-part agg is map-combined and
+    // AQE-broadcastable back against the same filtered join.
+    "q189_small_qty_revenue" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_brand") === "Brand#1"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), money(col("l_quantity")).as("qty_d"),
+          money(col("l_extendedprice")).as("price_d"))
+      val perPart = li.groupBy("p_partkey")
+        .agg(count(lit(1)).as("n"), sum(col("qty_d")).as("sum_qty"))
+      li.join(perPart, "p_partkey")
+        .filter(col("qty_d") * 5 * col("n") < col("sum_qty"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("price_d")).as("rev_d"))
+        .select(col("n_rows"),
+          expr("CAST(CAST(rev_d * 100 AS BIGINT) DIV 7 AS BIGINT)")
+            .as("yearly_loss_cents"))
+    },
+
+    // TPC-H Q20 image (dominant suppliers of a part family): suppliers
+    // who shipped MORE THAN HALF of a part's total 1996 volume, for
+    // parts in one name family — Q20's nested EXISTS/IN chain spelled
+    // as two grouped aggregates + a cross-multiplied dominance
+    // threshold + one semi-style join back to supplier/nation. Strict
+    // >50% means at most one dominant supplier per part, a fact the
+    // spec asserts. Scale: name+year filters bound everything early;
+    // per-(part,supp) and per-part aggs share the partkey shuffle; the
+    // supplier/nation dims broadcast.
+    "q190_dominant_supplier" -> { (s, d) =>
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.part(s, d).filter(col("p_name").contains("bolt")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("l_suppkey"),
+          money(col("l_quantity")).as("qty_d"))
+      val perPair = shipped.groupBy("p_partkey", "l_suppkey")
+        .agg(sum(col("qty_d")).as("supp_qty"))
+      val perPart = shipped.groupBy("p_partkey")
+        .agg(sum(col("qty_d")).as("total_qty"))
+      perPair.join(perPart, "p_partkey")
+        .filter(col("supp_qty") * 2 > col("total_qty"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"), col("n_name").as("nation"))
+        .agg(count(lit(1)).cast("long").as("n_parts_dominated"))
+        .orderBy(col("s_name"))
     }
   )
 
@@ -315,6 +450,88 @@ object Warehouse {
         |  FROM orders
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey)
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q186_profit_nation_year" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - l_discount AS DECIMAL(4,2)) -
+        |    CAST(p_retailprice AS DECIMAL(12,2)) *
+        |      CAST(0.6 AS DECIMAL(4,2)) *
+        |      CAST(l_quantity AS DECIMAL(12,2))) * 1000000 AS BIGINT)
+        |    AS profit_micro
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q187_late_shipments" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CASE WHEN epoch_us(CAST(l_shipdate AS TIMESTAMP)) -
+        |      epoch_us(CAST(o_orderdate AS TIMESTAMP)) >= 7776000000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(SUM(CASE WHEN epoch_us(CAST(l_shipdate AS TIMESTAMP)) -
+        |      epoch_us(CAST(o_orderdate AS TIMESTAMP)) >= 7776000000000
+        |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q188_supplier_diversity" ->
+      """SELECT p_brand, CAST(p_size // 5 AS BIGINT) AS size_bucket,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS part_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand <> 'Brand#9'
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, size_bucket""".stripMargin,
+
+    "q189_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT p_partkey,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS qty_d,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price_d
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'),
+        |pp AS (
+        |  SELECT p_partkey, COUNT(*) AS n, SUM(qty_d) AS sum_qty
+        |  FROM li GROUP BY p_partkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(SUM(price_d) * 100 AS BIGINT) // 7 AS BIGINT)
+        |    AS yearly_loss_cents
+        |FROM li JOIN pp USING (p_partkey)
+        |WHERE qty_d * 5 * n < sum_qty""".stripMargin,
+
+    "q190_dominant_supplier" ->
+      """WITH shipped AS (
+        |  SELECT p_partkey, l_suppkey,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS qty_d
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'),
+        |pair AS (
+        |  SELECT p_partkey, l_suppkey, SUM(qty_d) AS supp_qty
+        |  FROM shipped GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT p_partkey, SUM(qty_d) AS total_qty
+        |  FROM shipped GROUP BY 1)
+        |SELECT s_name, n_name AS nation,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+        |FROM pair
+        |JOIN tot USING (p_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE supp_qty * 2 > total_qty
+        |GROUP BY 1, 2 ORDER BY s_name""".stripMargin
   )
 }

@@ -98,4 +98,47 @@ class WarehouseSpec extends AnyFunSuite {
       assert(yearCols.map(r.getAs[Double](_)).sum > 0.0)
     }
   }
+
+  test("q187 late counts are bounded by item counts and ppm is the floor division") {
+    SparkEntry.queries("q187_late_shipments")(spark, sf).collect().foreach { r =>
+      val (n, late) = (r.getAs[Long]("n_items"), r.getAs[Long]("n_late"))
+      assert(late >= 0 && late <= n)
+      assert(r.getAs[Long]("late_ppm") == late * 1000000L / n)
+    }
+  }
+
+  test("q189 small-quantity rows are a strict subset of the brand's lineitems") {
+    val r = SparkEntry.queries("q189_small_qty_revenue")(spark, sf).collect()(0)
+    val brandRows = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.part(spark, sf)
+          .filter(col("p_brand") === "Brand#1"),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(r.getAs[Long]("n_rows") >= 0 && r.getAs[Long]("n_rows") < brandRows,
+      "below-20%-of-average rows must be a proper subset")
+  }
+
+  test("q190 strict >50% dominance admits at most one supplier per part") {
+    // re-derive the dominance set and assert per-part uniqueness — the
+    // invariant the cross-multiplied threshold exists to guarantee
+    val shipped = graft.model.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(graft.model.Tables.part(spark, sf)
+          .filter(col("p_name").contains("bolt")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("decimal(12,2)").as("q"))
+    val pair = shipped.groupBy("p_partkey", "l_suppkey")
+      .agg(sum(col("q")).as("sq"))
+    val tot = shipped.groupBy("p_partkey").agg(sum(col("q")).as("tq"))
+    val dominant = pair.join(tot, "p_partkey")
+      .filter(col("sq") * 2 > col("tq"))
+    val maxPerPart = dominant.groupBy("p_partkey").count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxPerPart <= 1L, "strict majority is unique per part")
+    // and the declared query's total dominated-parts mass matches
+    val declared = SparkEntry.queries("q190_dominant_supplier")(spark, sf)
+      .agg(sum(col("n_parts_dominated"))).collect()(0).getLong(0)
+    assert(declared == dominant.count())
+  }
 }
