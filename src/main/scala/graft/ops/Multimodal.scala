@@ -112,6 +112,37 @@ object Multimodal {
     ImageStats(a.doc_id, img.width, img.height, sr, sg, sb, wl)
   }
 
+  /** Real decoded-audio features (q192): exact integer sample stats.
+    * `wsum` is the position-weighted SIGNED sum Σ (k+1)·sₖ — a decoder
+    * that reverses sample order or flips endianness produces a
+    * different number even when |s| aggregates collide. */
+  case class AudioStats(doc_id: Long, sample_rate: Long, n_samples: Long,
+                        sum_abs: Long, peak: Long, wsum: Long)
+
+  /** Deterministic test-pattern sample k of clip `docId`: pure integer,
+    * range-exact int16 — the DuckDB oracle recomputes it
+    * arithmetically, making the encode→bytes→decode round trip
+    * hash-checkable (the audio twin of [[patternPixel]]). */
+  def patternSample(docId: Long, k: Int): Short =
+    (((docId * 31 + k.toLong * 7919) % 65536) - 32768).toShort
+
+  /** The real-codec audio batch decoder: parse actual WAV bytes, reduce
+    * to exact integer stats. */
+  def decodeWavBatch(batch: Seq[Asset]): Seq[AudioStats] = batch.map { a =>
+    val au = WavCodec.decode(a.content)
+    var (sa, pk, ws) = (0L, 0L, 0L)
+    var k = 0
+    while (k < au.samples.length) {
+      val v = au.samples(k).toLong
+      sa += math.abs(v)
+      pk = math.max(pk, math.abs(v))
+      ws += (k + 1) * v
+      k += 1
+    }
+    AudioStats(a.doc_id, au.sampleRate.toLong, au.samples.length.toLong,
+      sa, pk, ws)
+  }
+
   /** STUB resize — a real implementation rescales pixels; the stub halves
     * the fake dimensions, preserving the typed metadata contract. */
   def resizeStub(m: DecodedAsset, maxDim: Long): DecodedAsset = {
@@ -201,6 +232,31 @@ object Multimodal {
         .select(col("doc_id"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"), col("wlum"))
         .orderBy("doc_id")
+    },
+
+    // REAL audio decode round trip — the WAV twin of q131: per doc a
+    // deterministic PCM16 clip (8 + id%8 samples at 8 kHz) is encoded
+    // into actual RIFF/WAVE bytes, shipped through the binary-column
+    // seam, parsed back by WavCodec's strict decoder, and reduced to
+    // exact integer sample statistics the oracle recomputes
+    // arithmetically. Header offsets, the 16-bit little-endian sample
+    // encoding, and sample ORDER (the signed position-weighted wsum)
+    // are all hash-verified. Scale shape identical to q131: pure
+    // per-row map work, codec amortized per mapPartitions batch, no
+    // shuffle before the final orderBy.
+    "q192_wav_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val n = (8 + id % 8).toInt
+          Asset(id, src,
+            WavCodec.encode(8000, Array.tabulate(n)(patternSample(id, _))))
+        }.toDF()
+      decodeAssetsAs(assets, batchSize = 64)(decodeWavBatch)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sum_abs"), col("peak"), col("wsum"))
+        .orderBy("doc_id")
     }
   )
 
@@ -260,6 +316,22 @@ object Multimodal {
         |  CAST(SUM(g) AS BIGINT) AS sum_g,
         |  CAST(SUM(b) AS BIGINT) AS sum_b,
         |  CAST(SUM((y * w + x) * (r + g + b)) AS BIGINT) AS wlum
-        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "q192_wav_roundtrip" ->
+      """WITH clips AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 8 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT c.doc_id, g.k,
+        |    ((c.doc_id * 31 + g.k * 7919) % 65536) - 32768 AS v
+        |  FROM clips c, UNNEST(generate_series(0, 14)) AS g(k)
+        |  WHERE g.k < c.n)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        |  CAST(SUM((k + 1) * v) AS BIGINT) AS wsum
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -209,6 +209,53 @@ object Pipeline {
           expr("CAST(novelty_ppm DIV 100000 AS BIGINT)").as("decile"))
         .agg(count(lit(1)).cast("long").as("n_docs"))
         .orderBy("source", "decile")
+    },
+
+    // Iterative proportional fitting (IPF / raking) of the
+    // lang × source document matrix toward UNIFORM marginals — the
+    // survey-weighting primitive a training-mix designer uses to
+    // rebalance a corpus along two axes at once (per-axis quotas like
+    // q64/q108 cannot hit both simultaneously). TWO row/column scaling
+    // passes, statically unrolled — NO driver loop: the whole
+    // computation is one declarative plan over the |langs|×|sources|
+    // grid, so it scales with the grid, not the corpus. All arithmetic
+    // is fixed-point µdoc/ppm floor division, the per-cell products
+    // widened to DECIMAL(38,0)/HUGEINT (magnitude rule: weight ×
+    // ppm-factor is ~10¹⁸ at 10⁶-doc cells). Residual row/col marginal
+    // deviation is emitted per cell — the convergence the two passes
+    // bought, measured not assumed.
+    "q191_ipf_raking" -> { (s, d) =>
+      val wLang = Window.partitionBy("lang")
+      val wSrc = Window.partitionBy("source")
+      val grid = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val tot = grid.agg(sum(col("n")).cast("long").as("t"),
+        countDistinct(col("lang")).cast("long").as("nl"),
+        countDistinct(col("source")).cast("long").as("ns"))
+      def rescale(df: DataFrame, overW: org.apache.spark.sql.expressions.WindowSpec,
+                  target: String): DataFrame =
+        df.withColumn("gs", sum(col("w")).over(overW))
+          .withColumn("w", expr(
+            s"CAST(CAST(w AS DECIMAL(38,0)) * ($target * 1000000 DIV gs) DIV 1000000 AS BIGINT)"))
+          .drop("gs")
+      val base = grid.crossJoin(broadcast(tot))
+        .withColumn("t_r", expr("t * 1000000 DIV nl"))
+        .withColumn("t_c", expr("t * 1000000 DIV ns"))
+        .withColumn("w", expr("n * 1000000"))
+      val fitted = Seq(
+        (wLang, "t_r"), (wSrc, "t_c"), (wLang, "t_r"), (wSrc, "t_c"))
+        .foldLeft(base) { case (df, (win, tgt)) => rescale(df, win, tgt) }
+      fitted
+        .withColumn("rs_f", sum(col("w")).over(wLang))
+        .withColumn("cs_f", sum(col("w")).over(wSrc))
+        .select(col("lang"), col("source"),
+          col("n").cast("long").as("n_docs"),
+          col("w").as("weight_u"),
+          expr("CAST(abs(CAST(rs_f AS DECIMAL(38,0)) - t_r) * 1000000 DIV t_r AS BIGINT)")
+            .as("row_dev_ppm"),
+          expr("CAST(abs(CAST(cs_f AS DECIMAL(38,0)) - t_c) * 1000000 DIV t_c AS BIGINT)")
+            .as("col_dev_ppm"))
+        .orderBy("lang", "source")
     }
   )
 
@@ -322,6 +369,49 @@ object Pipeline {
         |SELECT source,
         |  CAST(n_rare * 1000000 // n_bg // 100000 AS BIGINT) AS decile,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
-        |FROM per_doc GROUP BY 1, 2 ORDER BY source, decile""".stripMargin
+        |FROM per_doc GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
+
+    "q191_ipf_raking" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS t,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+        |  FROM g),
+        |w0 AS (
+        |  SELECT lang, source, n, t * 1000000 // nl AS t_r,
+        |    t * 1000000 // ns AS t_c, n * 1000000 AS w
+        |  FROM g CROSS JOIN tot),
+        |r1 AS (
+        |  SELECT lang, source, n, t_r, t_c,
+        |    CAST(CAST(w AS HUGEINT) *
+        |      (t_r * 1000000 // SUM(w) OVER (PARTITION BY lang))
+        |      // 1000000 AS BIGINT) AS w
+        |  FROM w0),
+        |c1 AS (
+        |  SELECT lang, source, n, t_r, t_c,
+        |    CAST(CAST(w AS HUGEINT) *
+        |      (t_c * 1000000 // SUM(w) OVER (PARTITION BY source))
+        |      // 1000000 AS BIGINT) AS w
+        |  FROM r1),
+        |r2 AS (
+        |  SELECT lang, source, n, t_r, t_c,
+        |    CAST(CAST(w AS HUGEINT) *
+        |      (t_r * 1000000 // SUM(w) OVER (PARTITION BY lang))
+        |      // 1000000 AS BIGINT) AS w
+        |  FROM c1),
+        |c2 AS (
+        |  SELECT lang, source, n, t_r, t_c,
+        |    CAST(CAST(w AS HUGEINT) *
+        |      (t_c * 1000000 // SUM(w) OVER (PARTITION BY source))
+        |      // 1000000 AS BIGINT) AS w
+        |  FROM r2)
+        |SELECT lang, source, CAST(n AS BIGINT) AS n_docs, w AS weight_u,
+        |  CAST(abs(CAST(SUM(w) OVER (PARTITION BY lang) AS HUGEINT) - t_r)
+        |    * 1000000 // t_r AS BIGINT) AS row_dev_ppm,
+        |  CAST(abs(CAST(SUM(w) OVER (PARTITION BY source) AS HUGEINT) - t_c)
+        |    * 1000000 // t_c AS BIGINT) AS col_dev_ppm
+        |FROM c2 ORDER BY lang, source""".stripMargin
   )
 }

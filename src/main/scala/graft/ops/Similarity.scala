@@ -396,6 +396,49 @@ object Similarity {
           expr("CAST(coalesce(n_hit, 0) * 1000000 DIV 3 AS BIGINT)")
             .as("recall_ppm"))
         .orderBy("q_id")
+    },
+
+    // Label-centroid CONFUSABILITY matrix: pairwise cosine between
+    // per-label centroid vectors — the inter-class geometry audit next
+    // to q70's intra-class cohesion (two labels whose centroids cosine
+    // ≈ 1 are indistinguishable to a linear probe; a labeling or
+    // embedding regression shows up here before any classifier is
+    // trained). Centroid SUMS are exact integers (q70's µ-quantized
+    // per-dim sums — the n divisor cancels in cosine, so the sums ARE
+    // the centroids for this purpose); the cosine is the one mirrored
+    // IEEE step, rounded to ppb. Scale: the heavy work is one
+    // map-combined (label, dim) aggregation over the corpus; the pair
+    // matrix is |labels|² rows of array arithmetic — broadcast-sized
+    // at any corpus size.
+    "q193_label_confusability" -> { (s, d) =>
+      val dims = Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"))
+            .as(Seq("dim", "q")))
+      val sums = dims.groupBy("label", "dim").agg(sum(col("q")).as("sq"))
+        .groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, sq))), p -> p.sq)")
+          .as("sq_arr"))
+      val n = Tables.embeddings(s, d).groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"))
+      val lab = sums.join(n, "label")
+      val a = lab.select(col("label").cast("long").as("label_a"),
+        col("sq_arr").as("va"), col("n_vecs").as("n_a"))
+      val b = lab.select(col("label").cast("long").as("label_b"),
+        col("sq_arr").as("vb"), col("n_vecs").as("n_b"))
+      a.join(b, col("label_a") < col("label_b"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+        .withColumn("na", expr(
+          "sqrt(aggregate(va, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+        .withColumn("nb", expr(
+          "sqrt(aggregate(vb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          expr("""CAST(floor((CASE WHEN na = 0 OR nb = 0 THEN 0D
+                 ELSE dot / na / nb END) * 1000000000 + 0.5) AS BIGINT)""")
+            .as("cos_ppb"))
+        .orderBy("label_a", "label_b")
     }
   )
 
@@ -417,6 +460,35 @@ object Similarity {
       |cells AS (SELECT vec_id, label, v, nrm, cell FROM assign WHERE rn = 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q193_label_confusability" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (
+        |  SELECT label, g.i AS dim,
+        |    CAST(floor(v[g.i] * 1000000 + 0.5) AS BIGINT) AS qv
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS g(i)),
+        |s AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sq FROM q GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT s.label, array_agg(s.sq ORDER BY s.dim) AS sq_arr
+        |  FROM s GROUP BY s.label),
+        |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM e GROUP BY 1),
+        |lab AS (SELECT arr.label, sq_arr, n_vecs FROM arr JOIN n USING (label)),
+        |pairs AS (
+        |  SELECT CAST(a.label AS BIGINT) AS label_a,
+        |    CAST(b.label AS BIGINT) AS label_b,
+        |    a.n_vecs AS n_a, b.n_vecs AS n_b,
+        |    list_sum(list_transform(generate_series(1, len(a.sq_arr)),
+        |      i -> CAST(a.sq_arr[i] AS DOUBLE) * CAST(b.sq_arr[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(a.sq_arr,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.sq_arr,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM lab a JOIN lab b ON a.label < b.label)
+        |SELECT label_a, label_b, n_a, n_b,
+        |  CAST(floor((CASE WHEN na = 0 OR nb = 0 THEN 0
+        |       ELSE dot / na / nb END) * 1000000000 + 0.5) AS BIGINT) AS cos_ppb
+        |FROM pairs ORDER BY label_a, label_b""".stripMargin,
+
     "q117_cell_label_gini" -> (CellAssignSql +
       """,
         |cl AS (SELECT cell, label, COUNT(*) AS n_l FROM cells GROUP BY 1, 2),

@@ -76,6 +76,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 IPF weights are positive, mass-conserving, and the LAST-scaled axis is near-exact") {
+    val rows = Pipeline.queries("q191_ipf_raking")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("weight_u") > 0)
+      // the final pass scaled columns, so the column marginal can be off
+      // only by the per-cell floor losses (≪ 100 ppm on this grid)
+      assert(r.getAs[Long]("col_dev_ppm") <= 100L,
+        s"col_dev ${r.getAs[Long]("col_dev_ppm")}")
+    }
+    val total = graft.model.Tables.documents(spark, sf).count()
+    val wSum = rows.map(_.getAs[Long]("weight_u")).sum
+    // raking preserves total mass up to accumulated floor error
+    assert(math.abs(wSum - total * 1000000L) <= total * 1000L,
+      s"mass drift: $wSum vs ${total * 1000000L}")
+  }
+
+  test("q193 confusability matrix is the strict upper triangle with cosines in [-1, 1]") {
+    val rows = SparkEntry.queries("q193_label_confusability")(spark, sf).collect()
+    val labels = graft.model.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("label_a") < r.getAs[Long]("label_b"))
+      val c = r.getAs[Long]("cos_ppb")
+      assert(c >= -1000000000L && c <= 1000000000L)
+    }
+  }
+
   test("q185 deciles are in [0,10] and doc counts conserve over the >=2-token domain") {
     val rows = Pipeline.queries("q185_bigram_novelty")(spark, sf).collect()
     rows.foreach { r =>
