@@ -256,6 +256,43 @@ object Pipeline {
           expr("CAST(abs(CAST(cs_f AS DECIMAL(38,0)) - t_c) * 1000000 DIV t_c AS BIGINT)")
             .as("col_dev_ppm"))
         .orderBy("lang", "source")
+    },
+
+    // Frequent 3-ITEMSETS per order basket — one level past q99's pair
+    // mining, because the blow-up management is a different story:
+    // pair fan-out is basket²/2 per order but triple fan-out is
+    // basket³/6, so the mega-basket guard (drop baskets past a bound —
+    // the df-cap analog; TPC-H baskets are ≤ 7 lines so the bound is
+    // moot here but the op carries it) is what keeps the 100 TB plan
+    // alive. Canonical ordering p_a < p_b < p_c makes each set count
+    // once; the three-way self-join shares ONE orderkey shuffle
+    // (co-partitioned by the join key after the first exchange).
+    "q194_basket_triples" -> { (s, d) =>
+      val MaxBasket = 32
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val bounded = items.join(
+        items.groupBy("okey").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= MaxBasket).select("okey"),
+        "okey")
+      val nOrders = bounded.agg(countDistinct(col("okey")).as("n_orders"))
+      bounded.as("a")
+        .join(bounded.as("b"),
+          col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+        .join(bounded.as("c"),
+          col("a.okey") === col("c.okey") && col("b.part") < col("c.part"))
+        .groupBy(col("a.part").as("p_a"), col("b.part").as("p_b"),
+          col("c.part").as("p_c"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nOrders))
+        .orderBy(col("support").desc, col("p_a"), col("p_b"), col("p_c"))
+        .limit(20)
+        .select(col("p_a").cast("long").as("p_a"),
+          col("p_b").cast("long").as("p_b"),
+          col("p_c").cast("long").as("p_c"),
+          col("support").cast("long").as("support"),
+          expr("CAST(support * 1000000 DIV n_orders AS BIGINT)").as("supp_ppm"))
     }
   )
 
@@ -412,6 +449,28 @@ object Pipeline {
         |    * 1000000 // t_r AS BIGINT) AS row_dev_ppm,
         |  CAST(abs(CAST(SUM(w) OVER (PARTITION BY source) AS HUGEINT) - t_c)
         |    * 1000000 // t_c AS BIGINT) AS col_dev_ppm
-        |FROM c2 ORDER BY lang, source""".stripMargin
+        |FROM c2 ORDER BY lang, source""".stripMargin,
+
+    "q194_basket_triples" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |bounded AS (
+        |  SELECT okey, part FROM items
+        |  WHERE okey IN (
+        |    SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 32)),
+        |no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM bounded),
+        |tri AS (
+        |  SELECT a.part AS p_a, b.part AS p_b, c.part AS p_c,
+        |    COUNT(*) AS support
+        |  FROM bounded a
+        |  JOIN bounded b ON a.okey = b.okey AND a.part < b.part
+        |  JOIN bounded c ON a.okey = c.okey AND b.part < c.part
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(p_a AS BIGINT) AS p_a, CAST(p_b AS BIGINT) AS p_b,
+        |  CAST(p_c AS BIGINT) AS p_c, CAST(support AS BIGINT) AS support,
+        |  CAST(support * 1000000 // n_orders AS BIGINT) AS supp_ppm
+        |FROM tri CROSS JOIN no
+        |ORDER BY support DESC, p_a, p_b, p_c LIMIT 20""".stripMargin
   )
 }

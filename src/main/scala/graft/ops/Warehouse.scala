@@ -343,6 +343,63 @@ object Warehouse {
         .groupBy(col("s_name"), col("n_name").as("nation"))
         .agg(count(lit(1)).cast("long").as("n_parts_dominated"))
         .orderBy(col("s_name"))
+    },
+
+    // TPC-H Q2 image (min-cost supplier): for each part in a size
+    // class, the supplier offering it at the LOWEST observed unit
+    // price — the correlated-MIN-subquery shape, decorrelated into a
+    // per-part min aggregate equality-joined back (ties: ALL minimal
+    // suppliers survive, then the deterministic tiebreak picks one —
+    // the oracle pins both). Unit price must be division-free: rows
+    // join on cross-multiplied equality price_a·qty_b = price_b·qty_a
+    // is wrong for MIN, so instead the min is taken over the exact
+    // DECIMAL unit price computed at scale 6 (extendedprice/quantity
+    // both 2-dp; the quotient is one mirrored division ROUNDED to
+    // micro-units in BOTH engines before any comparison). Scale: part
+    // filter first; per-part min agg map-combines; one partkey join.
+    "q195_min_cost_supplier" -> { (s, d) =>
+      val offers = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_size") === 15),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("l_suppkey"),
+          expr("""CAST(floor(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+                 / CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT)""").as("unit_u"))
+      val minPer = offers.groupBy("p_partkey").agg(min(col("unit_u")).as("min_u"))
+      offers.join(minPer, "p_partkey")
+        .filter(col("unit_u") === col("min_u"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("min_u"))
+        .agg(min(col("l_suppkey")).cast("long").as("best_suppkey"),
+          count(lit(1)).cast("long").as("n_tied"))
+        .select(col("p_partkey").cast("long").as("p_partkey"), col("p_brand"),
+          col("min_u"), col("best_suppkey"), col("n_tied"))
+        .orderBy("p_partkey")
+    },
+
+    // TPC-H Q15 image (top supplier view): quarterly revenue per
+    // supplier, then the supplier(s) achieving the GLOBAL MAX — the
+    // scalar-aggregate-equality shape (a view + max(view) subquery).
+    // Ties all return (the Q15 contract); revenue is exact decimal,
+    // shifted ×10⁶ (scale-4 sum — a ×100 cents cast would truncate
+    // differently across engines). Scale: one suppkey agg over the scan;
+    // the one-row max broadcasts; the equality filter is a map-side
+    // compare, never a sort.
+    "q196_top_supplier" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+          .as("rev_d"))
+        .select(col("l_suppkey"),
+          expr("CAST(rev_d * 1000000 AS BIGINT)").as("rev_micro"))
+      val mx = rev.agg(max(col("rev_micro")).as("max_micro"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_micro") === col("max_micro"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("rev_micro"))
+        .orderBy("s_suppkey")
     }
   )
 
@@ -532,6 +589,39 @@ object Warehouse {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE supp_qty * 2 > total_qty
-        |GROUP BY 1, 2 ORDER BY s_name""".stripMargin
+        |GROUP BY 1, 2 ORDER BY s_name""".stripMargin,
+
+    "q195_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_brand, l_suppkey,
+        |    CAST(floor(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+        |      / CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS unit_u
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size = 15),
+        |mp AS (SELECT p_partkey, MIN(unit_u) AS min_u FROM offers GROUP BY 1)
+        |SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand, min_u,
+        |  CAST(MIN(l_suppkey) AS BIGINT) AS best_suppkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tied
+        |FROM offers JOIN mp USING (p_partkey)
+        |WHERE unit_u = min_u
+        |GROUP BY 1, 2, 3 ORDER BY p_partkey""".stripMargin,
+
+    "q196_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(4,2))) * 1000000 AS BIGINT)
+        |      AS rev_micro
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT MAX(rev_micro) AS max_micro FROM rev)
+        |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, rev_micro
+        |FROM rev CROSS JOIN mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_micro = max_micro
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

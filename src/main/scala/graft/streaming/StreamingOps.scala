@@ -84,6 +84,30 @@ object StreamingOps {
         col("r_ts") <= col("ts") + expr(s"INTERVAL $skew"))
   }
 
+  /** Stream-STATIC enrichment: the most common production streaming
+    * shape — a high-volume event stream LEFT-joined against a bounded
+    * dimension table. The static side is broadcast (no shuffle touches
+    * the stream, no join state accumulates — unlike a stream-stream
+    * join, nothing waits for late matches because the dim side is
+    * complete by definition). LEFT join semantics are part of the
+    * contract: an event whose key is missing from the dim must SURVIVE
+    * with null enrichment (dropping it would silently filter the
+    * stream on dim coverage). Snapshot semantics: a file-backed static
+    * side is re-listed per micro-batch, an in-memory one is fixed for
+    * the query's lifetime — either way there is no temporal alignment
+    * between event time and dim version; a pipeline needing AS-OF
+    * enrichment uses the q132 batch image or a stream-stream join.
+    *
+    * Column contract: dim carries `keyCol` plus enrichment columns,
+    * prefixed `dim_` in the output to avoid collisions. */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+                         keyCol: String): DataFrame = {
+    val d = dim.select(
+      col(keyCol).as("_dk") +:
+        dim.columns.filterNot(_ == keyCol).map(c => col(c).as(s"dim_$c")): _*)
+    stream.join(broadcast(d), col(keyCol) === col("_dk"), "left").drop("_dk")
+  }
+
   /** Custom keyed state: running event count per key via
     * mapGroupsWithState — the escape hatch the reference's per-partition
     * offset accounting would use if it weren't subsumed by checkpoints.

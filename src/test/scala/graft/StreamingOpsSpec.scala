@@ -500,4 +500,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streaming vs batch stage tables diverge:\n streamed=$streamed\n batch=$batch")
   }
+
+  test("stream-static enrichment broadcasts the dim and keeps unmatched events (left join)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    s.addData(Ev(t(1), "a", 1.0), Ev(t(2), "b", 2.0), Ev(t(3), "zz", 3.0))
+    val dim = Seq(("a", "alpha", 10L), ("b", "beta", 20L), ("c", "gamma", 30L))
+      .toDF("key", "name", "rank")
+    val out = runToMemory(
+      StreamingOps.streamStaticEnrich(s.toDF(), dim, "key"),
+      OutputMode.Append)
+    val rows = spark.table(out)
+      .selectExpr("key", "value", "dim_name", "dim_rank").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    assert(rows == Set(
+      ("a", 1.0, Some("alpha"), Some(10L)),
+      ("b", 2.0, Some("beta"), Some(20L)),
+      ("zz", 3.0, None, None)), // missing dim key SURVIVES with nulls
+      s"enrichment rows: $rows")
+  }
 }

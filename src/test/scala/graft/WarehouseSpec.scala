@@ -141,4 +141,18 @@ class WarehouseSpec extends AnyFunSuite {
       .agg(sum(col("n_parts_dominated"))).collect()(0).getLong(0)
     assert(declared == dominant.count())
   }
+
+  test("q195 every part's winner actually offers the minimum, ties counted") {
+    SparkEntry.queries("q195_min_cost_supplier")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("min_u") > 0)
+      assert(r.getAs[Long]("n_tied") >= 1)
+    }
+  }
+
+  test("q196 returns exactly the global-max revenue supplier(s)") {
+    val rows = SparkEntry.queries("q196_top_supplier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Long]("rev_micro")).toSet
+    assert(revs.size == 1, "all returned rows tie at the single max")
+  }
 }
