@@ -272,10 +272,13 @@ object Pipeline {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
         .distinct()
-      val bounded = items.join(
+      // four plan branches (three join legs + the order count) read this
+      // frame — eager shared persist per the subtree-reuse rule, or each
+      // leg recomputes the distinct + size-filter pipeline
+      val bounded = Caches.shared(items.join(
         items.groupBy("okey").agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= MaxBasket).select("okey"),
-        "okey")
+        "okey"))
       val nOrders = bounded.agg(countDistinct(col("okey")).as("n_orders"))
       bounded.as("a")
         .join(bounded.as("b"),

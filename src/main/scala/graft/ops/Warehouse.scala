@@ -400,6 +400,119 @@ object Warehouse {
         .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
           col("rev_micro"))
         .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q3 image (shipping-priority top orders): one segment's
+    // unshipped-revenue top-10 — the SELECTIVE-DIMS-FIRST shape: the
+    // mktsegment filter shrinks customer before its join, the two date
+    // filters push into the orders/lineitem scans, and the top-10 is
+    // TakeOrdered over (orderkey, orderdate, priority) groups, never a
+    // global sort. Revenue exact decimal ×10⁶.
+    "q197_shipping_priority" -> { (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+          .as("rev_d"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)")
+            .as("orderdate_us"),
+          col("o_orderpriority"),
+          expr("CAST(rev_d * 1000000 AS BIGINT)").as("rev_micro"))
+        .orderBy(col("rev_micro").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q4 image (order-priority checking): orders placed in one
+    // quarter with AT LEAST ONE late line (shipped ≥ 60 days after
+    // placement — the commit/receipt-date proxy), counted per priority.
+    // The EXISTS shape is a LEFT SEMI join: the probe side never
+    // duplicates orders however many lines are late, and the date
+    // filters push into both scans. Lateness is integer µs arithmetic.
+    "q198_priority_exists" -> { (s, d) =>
+      val lateUs = 60L * 86400000000L
+      val late = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .withColumn("ord_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("ship_us") - col("ord_us") >= lateUs,
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q8 image (national market share): of one customer-region's
+    // ECONOMY-part market, the revenue share won by suppliers from one
+    // nation, by order year — the TWO-ARM-DIMENSION shape (customer →
+    // nation → region picks the market; supplier → nation marks the
+    // competitor) over one fact scan, finished as the conditional-sum
+    // ppm ratio (exact decimal µ-units, DECIMAL(38,0)/HUGEINT shift
+    // per the magnitude rule). Both dimension arms broadcast.
+    "q199_market_share" -> { (s, d) =>
+      val custNation = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).withColumnRenamed("n_name", "s_nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(custNation, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("s_nation") === "NATION_3",
+            money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+            .otherwise(lit(0).cast("decimal(12,2)"))).as("focus_d"),
+          sum(money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+            .as("total_d"))
+        .select(col("o_year"),
+          expr("CAST(focus_d * 1000000 AS BIGINT)").as("focus_u"),
+          expr("CAST(total_d * 1000000 AS BIGINT)").as("total_u"),
+          expr("CAST(CAST(focus_d * 1000000 AS DECIMAL(38,0)) * 1000000 DIV CAST(total_d * 1000000 AS BIGINT) AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q10 image (returned-item reporting): the top-20 customers
+    // by revenue RETURNED in one quarter — the aggregate-then-enrich
+    // shape: revenue groups by custkey BEFORE the customer/nation dims
+    // join (the shuffle carries (custkey, sum) partials, never raw
+    // lineitem×customer rows), and the top-20 is TakeOrdered.
+    "q200_returned_items" -> { (s, d) =>
+      val ret = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+          .as("rev_d"))
+      ret.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("n_name").as("nation"), col("c_acctbal").cast("double").as("acctbal"),
+          expr("CAST(rev_d * 1000000 AS BIGINT)").as("rev_micro"))
+        .orderBy(col("rev_micro").desc, col("c_custkey"))
+        .limit(20)
     }
   )
 
@@ -622,6 +735,84 @@ object Warehouse {
         |FROM rev CROSS JOIN mx
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev_micro = max_micro
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q197_shipping_priority" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+        |    AS orderdate_us,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(4,2))) * 1000000 AS BIGINT)
+        |    AS rev_micro
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY rev_micro DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q198_priority_exists" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) -
+        |          epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) >= 5184000000000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q199_market_share" ->
+      """WITH cust_in AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |sn AS (
+        |  SELECT s_suppkey, n_name AS s_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |base AS (
+        |  SELECT EXTRACT(year FROM o_orderdate) AS o_year, s_nation,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - l_discount AS DECIMAL(4,2)) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN sn ON l_suppkey = s_suppkey
+        |  WHERE o_custkey IN (SELECT c_custkey FROM cust_in)),
+        |agg AS (
+        |  SELECT o_year,
+        |    SUM(CASE WHEN s_nation = 'NATION_3' THEN rev
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS focus_d,
+        |    SUM(rev) AS total_d
+        |  FROM base GROUP BY o_year)
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(focus_d * 1000000 AS BIGINT) AS focus_u,
+        |  CAST(total_d * 1000000 AS BIGINT) AS total_u,
+        |  CAST(CAST(CAST(focus_d * 1000000 AS BIGINT) AS HUGEINT) * 1000000
+        |    // CAST(total_d * 1000000 AS BIGINT) AS BIGINT) AS share_ppm
+        |FROM agg ORDER BY o_year""".stripMargin,
+
+    "q200_returned_items" ->
+      """WITH ret AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        CAST(1 - l_discount AS DECIMAL(4,2))) AS rev_d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  n_name AS nation, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |  CAST(rev_d * 1000000 AS BIGINT) AS rev_micro
+        |FROM ret
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev_micro DESC, c_custkey LIMIT 20""".stripMargin
   )
 }

@@ -155,4 +155,28 @@ class WarehouseSpec extends AnyFunSuite {
     val revs = rows.map(_.getAs[Long]("rev_micro")).toSet
     assert(revs.size == 1, "all returned rows tie at the single max")
   }
+
+  test("q197 top-10 is revenue-descending with deterministic tiebreak") {
+    val revs = SparkEntry.queries("q197_shipping_priority")(spark, sf)
+      .collect().map(_.getAs[Long]("rev_micro"))
+    assert(revs.nonEmpty && revs.length <= 10)
+    assert(revs.sameElements(revs.sorted(Ordering[Long].reverse)))
+  }
+
+  test("q198 semi-join counts orders once regardless of late-line multiplicity") {
+    val total = SparkEntry.queries("q198_priority_exists")(spark, sf)
+      .agg(sum(col("n_orders"))).collect()(0).getLong(0)
+    val inWindow = graft.model.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp")).count()
+    assert(total <= inWindow, "EXISTS can never count more orders than exist")
+  }
+
+  test("q199 market share is a valid ppm fraction per year") {
+    SparkEntry.queries("q199_market_share")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("focus_u") >= 0)
+      assert(r.getAs[Long]("focus_u") <= r.getAs[Long]("total_u"))
+      assert(r.getAs[Long]("share_ppm") <= 1000000L)
+    }
+  }
 }
