@@ -296,6 +296,85 @@ object Pipeline {
           col("p_c").cast("long").as("p_c"),
           col("support").cast("long").as("support"),
           expr("CAST(support * 1000000 DIV n_orders AS BIGINT)").as("supp_ppm"))
+    },
+
+    // Zipf rank×frequency audit over the corpus vocabulary — the
+    // LOG-FREE power-law diagnostic: Zipf's law predicts r·f ≈ C for
+    // the head of a natural-language vocabulary, so the product's
+    // drift across ranks is the "is this corpus natural text or
+    // generated/boilerplate spam" screen (a flat r·f curve ⇒ Zipfian;
+    // machine-generated corpora bend it) — WITHOUT the log-log
+    // regression that would demand cross-engine ln(). Top-50 ranks by
+    // (count desc, token) — a total order, so the rank is
+    // deterministic; it is computed as a predecessor-count self-join
+    // over the 50-row grid, NOT a window (the repo's no-unpartitioned-
+    // window rule admits no global window even on a bounded frame).
+    // Deviation is floor-ppm vs the rank-1 product. Scale: one
+    // token-count agg (map-combined, the q31 subtree family); the
+    // limit is a TakeOrdered over the VOCABULARY (bounded), never the
+    // corpus; everything after lives on the 50-row grid.
+    "q201_zipf_audit" -> { (s, d) =>
+      val top = Caches.shared(Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok")).limit(50))
+      val counts = top.as("a")
+        .join(top.as("b"),
+          col("b.f") > col("a.f") ||
+            (col("b.f") === col("a.f") && col("b.tok") < col("a.tok")),
+          "left")
+        .groupBy(col("a.tok").as("tok"), col("a.f").as("f"))
+        .agg((count(col("b.tok")) + 1).as("r"))
+      val c1 = counts.filter(col("r") === 1)
+        .select((col("r") * col("f")).as("c_head"))
+      counts.crossJoin(broadcast(c1))
+        .select(col("r").cast("long").as("r"), col("tok"),
+          col("f").cast("long").as("f"),
+          (col("r") * col("f")).cast("long").as("rf"),
+          expr("CAST(abs(r * f - c_head) * 1000000 DIV c_head AS BIGINT)")
+            .as("dev_ppm"))
+        .orderBy("r")
+    },
+
+    // Cross-LINGUAL contamination detection — the lang-pair matrix of
+    // documents sharing a NORMALIZED fingerprint (q182's rule: strip
+    // non-alphanumerics, collapse spaces) across different language
+    // labels. A hit means either a mislabeled language or the same
+    // content duplicated across language shards — both are training-mix
+    // poison that per-language dedup passes structurally cannot see.
+    // The output is the FULL lang-pair grid with explicit zeros — "no
+    // contamination between (a, b)" is a checked fact a monitoring
+    // consumer relies on, not an absent row (the q158 empty-bin rule).
+    // Scale: fingerprints group map-side; only fingerprints spanning
+    // ≥ 2 langs survive the first agg (rare by construction), so the
+    // pair explosion runs on a tiny frame; the grid is |langs|².
+    "q202_crosslingual_dups" -> { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .select(col("lang"),
+          md5(trim(regexp_replace(
+            regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " ")))
+            .as("h"))
+        .groupBy("h", "lang").agg(count(lit(1)).as("n"))
+      val spanning = fp.groupBy("h")
+        .agg(countDistinct(col("lang")).as("nl"))
+        .filter(col("nl") >= 2).select("h")
+      val hits = fp.join(spanning, "h")
+      val found = hits.as("a")
+        .join(hits.as("b"),
+          col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(countDistinct(col("a.h")).as("n_shared_fps"),
+          sum(col("a.n") + col("b.n")).as("n_docs_involved"))
+      val langs = Tables.documents(s, d).select("lang").distinct()
+      langs.as("x").join(langs.as("y"), col("x.lang") < col("y.lang"))
+        .select(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+        .join(found, Seq("lang_a", "lang_b"), "left")
+        .select(col("lang_a"), col("lang_b"),
+          coalesce(col("n_shared_fps"), lit(0L)).cast("long").as("n_shared_fps"),
+          coalesce(col("n_docs_involved"), lit(0L)).cast("long")
+            .as("n_docs_involved"))
+        .orderBy("lang_a", "lang_b")
     }
   )
 
@@ -474,6 +553,47 @@ object Pipeline {
         |  CAST(p_c AS BIGINT) AS p_c, CAST(support AS BIGINT) AS support,
         |  CAST(support * 1000000 // n_orders AS BIGINT) AS supp_ppm
         |FROM tri CROSS JOIN no
-        |ORDER BY support DESC, p_a, p_b, p_c LIMIT 20""".stripMargin
+        |ORDER BY support DESC, p_a, p_b, p_c LIMIT 20""".stripMargin,
+
+    "q201_zipf_audit" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (
+        |  SELECT tok, COUNT(*) AS f FROM toks WHERE len(tok) > 0
+        |  GROUP BY tok ORDER BY f DESC, tok LIMIT 50),
+        |ranked AS (
+        |  SELECT tok, f,
+        |    row_number() OVER (ORDER BY f DESC, tok) AS r
+        |  FROM cnt),
+        |head AS (SELECT r * f AS c_head FROM ranked WHERE r = 1)
+        |SELECT CAST(r AS BIGINT) AS r, tok, CAST(f AS BIGINT) AS f,
+        |  CAST(r * f AS BIGINT) AS rf,
+        |  CAST(abs(r * f - c_head) * 1000000 // c_head AS BIGINT) AS dev_ppm
+        |FROM ranked CROSS JOIN head ORDER BY r""".stripMargin,
+
+    "q202_crosslingual_dups" ->
+      """WITH fp AS (
+        |  SELECT lang,
+        |    md5(trim(regexp_replace(
+        |      regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |      AS h,
+        |    COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |spanning AS (
+        |  SELECT h FROM fp GROUP BY h HAVING COUNT(DISTINCT lang) >= 2),
+        |hits AS (SELECT fp.* FROM fp JOIN spanning USING (h)),
+        |found AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    COUNT(DISTINCT a.h) AS n_shared_fps,
+        |    SUM(a.n + b.n) AS n_docs_involved
+        |  FROM hits a JOIN hits b ON a.h = b.h AND a.lang < b.lang
+        |  GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang FROM documents)
+        |SELECT x.lang AS lang_a, y.lang AS lang_b,
+        |  CAST(COALESCE(n_shared_fps, 0) AS BIGINT) AS n_shared_fps,
+        |  CAST(COALESCE(n_docs_involved, 0) AS BIGINT) AS n_docs_involved
+        |FROM langs x JOIN langs y ON x.lang < y.lang
+        |LEFT JOIN found ON x.lang = found.lang_a AND y.lang = found.lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin
   )
 }

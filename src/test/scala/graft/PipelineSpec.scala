@@ -105,6 +105,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q201 ranks are a 1..n permutation and rank-1 deviation is zero") {
+    val rows = SparkEntry.queries("q201_zipf_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.map(_.getAs[Long]("r")).sorted
+    assert(ranks.sameElements(1L to ranks.length.toLong),
+      "predecessor-count rank must be a dense permutation")
+    assert(rows.find(_.getAs[Long]("r") == 1L).get.getAs[Long]("dev_ppm") == 0L)
+  }
+
+  test("q202 emits the full lang-pair grid with zero rows preserved") {
+    val rows = SparkEntry.queries("q202_crosslingual_dups")(spark, sf).collect()
+    val nLangs = graft.model.Tables.documents(spark, sf)
+      .select("lang").distinct().count()
+    assert(rows.length == nLangs * (nLangs - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_a") < r.getAs[String]("lang_b"))
+      assert(r.getAs[Long]("n_shared_fps") >= 0)
+    }
+  }
+
   test("q185 deciles are in [0,10] and doc counts conserve over the >=2-token domain") {
     val rows = Pipeline.queries("q185_bigram_novelty")(spark, sf).collect()
     rows.foreach { r =>
