@@ -115,7 +115,8 @@ object Dedup {
   /** Wide per-doc MinHash signature (doc_id, h0..h{n-1}) — the state
     * [[minhashBands]] folds into band buckets, also consumed directly by
     * q156's calibration audit. ONE definition of the hash family. */
-  private def minhashSignatureWide(sh: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def minhashSignatureWide(sh: DataFrame, numHashes: Int,
+      key: String = "doc_id"): DataFrame = {
     // materialize the md5-derived base hash ONCE per row — as a shared
     // subtree of 16 aggregate expressions it would rely on codegen CSE to
     // avoid 16 md5 evaluations per shingle; a named column makes the
@@ -123,7 +124,7 @@ object Dedup {
     val hashed = sh.withColumn("_hm", neutralHash32(col("sh")) % P)
     val mins = (0 until numHashes).map(i =>
       min((lit(7919L * (i + 1)) * col("_hm") + lit(104729L * i)) % P).as(s"h$i"))
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    hashed.groupBy(key).agg(mins.head, mins.tail: _*)
   }
 
   def minhashBands(sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame =

@@ -630,7 +630,7 @@ object TextAnalysis {
   /** SQL mirror of [[langIdPredictions]] — shared prefix of the q37 and
     * q102 oracles so predictor logic cannot drift between them (the same
     * one-definition rule as Dedup's ClusterLabelsSql). */
-  private val LangIdPredSql: String =
+  private[graft] val LangIdPredSql: String =
     """WITH tris AS (
       |  SELECT doc_id, lang, substr(text, i, 3) AS tri
       |  FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)),

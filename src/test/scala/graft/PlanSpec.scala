@@ -89,7 +89,10 @@ class PlanSpec extends AnyFunSuite {
     // grouping keys whose DOMAIN is bounded by the schema or the time
     // horizon rather than the data volume — a fact aggregate grouped
     // ONLY on these stays broadcastable at any scale
-    val boundedDomainKeys = Set("day", "lang", "source", "event_type")
+    // n_chars qualifies like "day": document length is capped by corpus
+    // policy (a constant), so the distinct-lengths grid is domain-bounded
+    // no matter how many documents exist (q203's rank grid)
+    val boundedDomainKeys = Set("day", "lang", "source", "event_type", "n_chars")
     // Recursive: a subtree is bounded if every path from the broadcast
     // root down to a fact leaf passes through a LIMIT, a one-row
     // (groupless) aggregate, or an aggregate grouped only on
