@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ops.{Behavior, ConvertQueries, Corpus, Curation, Dedup, Evaluation, Extras, FlowQueries, Graph, Multimodal, Pipeline, Relational, Similarity, TextAnalysis, Warehouse}
+import graft.ops.{Behavior, ConvertQueries, Corpus, Curation, Dedup, Evaluation, Extras, FlowQueries, Graph, Lakehouse, Multimodal, Pipeline, Quality, Relational, Similarity, TextAnalysis, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.queries ++ FlowQueries.queries ++ ConvertQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Extras.queries ++ Curation.queries ++ Corpus.queries ++ Behavior.queries ++
-      Graph.queries ++ Warehouse.queries ++ Pipeline.queries ++ Evaluation.queries
+      Graph.queries ++ Warehouse.queries ++ Pipeline.queries ++ Evaluation.queries ++
+      Quality.queries ++ Lakehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     Relational.oracle ++ FlowQueries.oracle ++ ConvertQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       Extras.oracle ++ Curation.oracle ++ Corpus.oracle ++ Behavior.oracle ++
-      Graph.oracle ++ Warehouse.oracle ++ Pipeline.oracle ++ Evaluation.oracle
+      Graph.oracle ++ Warehouse.oracle ++ Pipeline.oracle ++ Evaluation.oracle ++
+      Quality.oracle ++ Lakehouse.oracle
 }

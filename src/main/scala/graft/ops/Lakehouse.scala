@@ -1,0 +1,389 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Round-6 lakehouse / planner-side operators (SURVEY.md §2F,
+  * F45–F50): the dimension-maintenance and planner-statistics layer a
+  * warehouse runs AROUND queries — SCD Type-2 version building over a
+  * change stream, sketch-based join-cardinality estimation (the
+  * planner statistic, audited against the exact join size), Pareto
+  * skyline extraction over a dimension table, deterministic stratified
+  * uniform sampling with a representativeness audit, Kendall rank
+  * agreement between two source orderings, and the duplicate-group
+  * size histogram that prices an exact-dedup pass before it runs.
+  *
+  * Same contract as every ops module: each query paired with a DuckDB
+  * oracle over the same parquet, engine-neutral md5-derived hashing,
+  * floor-ppm integer arithmetic with DECIMAL(38,0)/HUGEINT widening
+  * where the sf1+ bound fails, map-combinable aggregations, windows
+  * only per-key or over value-bounded grids.
+  */
+object Lakehouse {
+
+  /** q226's count-min geometry for join-size estimation (width wider
+    * than q214's heavy-hitter sketch: the inner-product estimator's
+    * error grows with collision mass ΣaΣb/w, so width buys accuracy). */
+  private[graft] val JseDepth = 4
+  private[graft] val JseWidth = 64
+
+  /** q227's per-source sample size. */
+  private[graft] val SampleK = 10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD TYPE-2 dimension build over the event stream — the
+    // lakehouse mutation primitive next to E29/q139's CDC merge: the
+    // per-user attribute k (the props payload) becomes a sequence of
+    // validity VERSIONS, a new version opening whenever k changes
+    // (change detection = one per-USER lag(), the funnel window
+    // convention — never global). The audit emitted per user is the
+    // SCD planning data: n_versions vs n_distinct_k separates history
+    // depth from value cardinality, and reopened = n_versions −
+    // n_distinct_k is exactly the interval count a Type-1 overwrite
+    // would silently destroy. churn_ppm = share of events that opened
+    // a version. One key shuffle; state O(1) per row.
+    "q224_scd2_build" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("pk", lag(col("k"), 1).over(w))
+        .withColumn("chg",
+          when(col("pk").isNull || col("pk") =!= col("k"), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("chg")).cast("long").as("n_versions"),
+          countDistinct(col("k")).cast("long").as("n_distinct_k"))
+        .select(col("user_id"), col("n_events"), col("n_versions"),
+          col("n_distinct_k"),
+          (col("n_versions") - col("n_distinct_k")).cast("long").as("reopened"),
+          expr("CAST((n_versions - 1) * 1000000 DIV n_events AS BIGINT)")
+            .as("churn_ppm"))
+        .orderBy("user_id")
+    },
+
+    // KENDALL rank agreement between two source orderings — "does the
+    // char-mass ranking agree with the doc-count ranking?" is the
+    // ordinal sibling of E34/q144's Spearman (Kendall counts pair
+    // inversions; Spearman correlates rank values — they disagree
+    // exactly when a few large swaps vs many small ones matter).
+    // Pure pair counting on the broadcast |sources| grid (each
+    // unordered pair once via s2 < source), concordant/discordant/
+    // tied all emitted, tau_num = C − D kept as a SIGNED integer with
+    // no division (the q207 rule: floor-DIV diverges across engines
+    // below zero) next to the nonnegative tau_abs_ppm.
+    "q225_kendall_sources" -> { (s, d) =>
+      val m = Tables.documents(s, d).groupBy("source")
+        .agg(sum(col("n_chars")).cast("long").as("mass"),
+          count(lit(1)).cast("long").as("docs"))
+      val b = m.select(col("source").as("s2"), col("mass").as("m2"),
+        col("docs").as("d2"))
+      val pairs = m.join(broadcast(b), col("s2") < col("source"))
+        .select(((col("mass") - col("m2")) * (col("docs") - col("d2"))).as("prod"))
+      val n = m.agg(count(lit(1)).cast("long").as("n_sources"))
+      pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
+          count(when(col("prod") > 0, 1)).cast("long").as("concordant"),
+          count(when(col("prod") < 0, 1)).cast("long").as("discordant"),
+          count(when(col("prod") === 0, 1)).cast("long").as("tied"))
+        .crossJoin(broadcast(n))
+        .select(col("n_sources"), col("n_pairs"), col("concordant"),
+          col("discordant"), col("tied"),
+          (col("concordant") - col("discordant")).cast("long").as("tau_num"),
+          expr("CAST(abs(concordant - discordant) * 1000000" +
+            " DIV n_pairs AS BIGINT)").as("tau_abs_ppm"))
+    },
+
+    // Count-min JOIN-CARDINALITY estimate vs the exact join size —
+    // the planner statistic that decides broadcast-vs-shuffle and
+    // skew handling before a join runs: |A ⋈ B| = Σ_k cA(k)·cB(k) is
+    // estimated by the rowwise inner product of the two key sketches
+    // (min over depth), audited here against the exact sum for the
+    // lineitem⋈part FK join and the lineitem self-join on partkey.
+    // est ≥ exact ALWAYS (collision cross terms only add —
+    // spec-asserted), and the sketch inner product is what makes the
+    // statistic mergeable across 100 TB partitions where an exact
+    // per-key histogram is itself a shuffle. Key counts collapse onto
+    // the key grid FIRST; each sketch is depth×width = 256 cells;
+    // products widened DECIMAL(38,0)/HUGEINT (Σc² passes int64 once a
+    // key's count passes ~3·10⁹).
+    "q226_cms_join_estimate" -> { (s, d) =>
+      val rg = s.range(0, JseDepth).select(col("id").as("r"))
+      def sketch(keyed: DataFrame): DataFrame = keyed
+        .crossJoin(broadcast(rg))
+        .select(col("r"),
+          (Dedup.neutralHash32(concat(lit("jse"), col("r").cast("string"),
+            lit(":"), col("key").cast("string"))) % JseWidth).as("b"),
+          col("c"))
+        .groupBy("r", "b").agg(sum(col("c")).as("cell"))
+      val la = Tables.lineitem(s, d).groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("c"))
+      val pb = Tables.part(s, d).groupBy(col("p_partkey").as("key"))
+        .agg(count(lit(1)).as("c"))
+      val sa = sketch(la)
+      val sb = sketch(pb)
+      def estimate(x: DataFrame, y: DataFrame): DataFrame = x
+        .join(y.select(col("r"), col("b"), col("cell").as("cell2")), Seq("r", "b"))
+        .groupBy("r")
+        .agg(sum(expr("CAST(cell AS DECIMAL(38,0)) * cell2")).as("ip"))
+        .agg(min(col("ip")).as("est"))
+      val exactFk = la.join(pb.select(col("key"), col("c").as("c2")), "key")
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c2")).as("exact"))
+      val exactSelf = la
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("exact"))
+      val fk = exactFk.crossJoin(estimate(sa, sb))
+        .select(lit("fk_part").as("join_name"), col("exact"), col("est"))
+      val self = exactSelf.crossJoin(estimate(sa, sa))
+        .select(lit("self_partkey").as("join_name"), col("exact"), col("est"))
+      fk.unionByName(self)
+        .select(col("join_name"),
+          col("exact").cast("long").as("exact"),
+          col("est").cast("long").as("est"),
+          (col("est") - col("exact")).cast("long").as("overest"),
+          expr("CAST((est - exact) * 1000000 DIV exact AS BIGINT)").as("err_ppm"))
+        .orderBy("join_name")
+    },
+
+    // Deterministic stratified UNIFORM sample + representativeness
+    // audit: the k smallest engine-neutral hash values per source ARE
+    // a uniform without-replacement sample (bottom-k sampling — the
+    // mergeable form: the bottom-k of a union is the bottom-k of the
+    // per-shard bottom-k's, which is what makes it the 100 TB path
+    // next to D6w's quota fill and q157's weighted draw). The audit
+    // compares sample mean chars to population mean in floor-ppm —
+    // the "is my eyeball sample lying to me" number. The per-source
+    // rank window is the q181 form (documented refine at scale:
+    // hash-threshold prefilter before exact rank); means widened
+    // DECIMAL(38,0)/HUGEINT past ~10¹³ chars.
+    "q227_stratified_sample" -> { (s, d) =>
+      val h = Dedup.neutralHash32(concat(lit("usamp:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("source").orderBy(col("h2"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h2", h)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("pop_chars"),
+          count(when(col("rn") <= SampleK, 1)).cast("long").as("n_samp"),
+          sum(when(col("rn") <= SampleK, col("n_chars")).otherwise(lit(0L)))
+            .cast("long").as("samp_chars"))
+        .select(col("source"), col("n_docs"), col("n_samp"),
+          expr("CAST(CAST(pop_chars AS DECIMAL(38,0)) * 1000000" +
+            " DIV n_docs AS BIGINT)").as("pop_mean_u"),
+          expr("CAST(CAST(samp_chars AS DECIMAL(38,0)) * 1000000" +
+            " DIV n_samp AS BIGINT)").as("samp_mean_u"))
+        .withColumn("bias_ppm",
+          expr("CAST(abs(samp_mean_u - pop_mean_u) * 1000000" +
+            " DIV pop_mean_u AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // Pareto SKYLINE of the part dimension (cheapest price vs largest
+    // size — no part on the frontier is beaten on BOTH axes): the
+    // multi-objective pruning step of any "best tradeoff" query, and
+    // a shape Spark has no operator for. The O(n²) dominance join
+    // collapses to the |sizes| VALUE grid (p_size is 1–50): min price
+    // per size, strict suffix-min over larger sizes via one grid
+    // self-join (the q201 predecessor-count rule transposed), frontier
+    // = sizes strictly cheaper than every larger size; ties at the
+    // frontier price all survive. Money exact: DECIMAL(12,2) cents,
+    // never a float comparison.
+    "q228_part_skyline" -> { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        col("p_size").cast("long").as("p_size"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("price_c"))
+      val m = p.groupBy("p_size").agg(min(col("price_c")).as("mp"))
+      val suff = m.join(broadcast(m.select(col("p_size").as("sz2"),
+          col("mp").as("mp2"))), col("sz2") > col("p_size"), "left")
+        .groupBy("p_size", "mp").agg(min(col("mp2")).as("suffmin"))
+      val frontier = suff.filter(col("suffmin").isNull || col("mp") < col("suffmin"))
+      p.join(broadcast(frontier), "p_size")
+        .filter(col("price_c") === col("mp"))
+        .select(col("p_partkey"), col("p_size"), col("price_c"))
+        .orderBy("p_size", "p_partkey")
+    },
+
+    // Duplicate-GROUP size histogram under the q182 normalization
+    // fingerprint — the audit that prices an exact-dedup pass before
+    // it runs: group sizes in power-of-2 buckets (all 20 explicit,
+    // the q158 rule), with per-bucket group count, doc mass, and
+    // dup_excess = Σ(size−1) — the rows dedup would actually delete.
+    // A heavy tail here (mega-groups) also warns the MinHash stage:
+    // viral boilerplate breaks shingle df assumptions (q50's finding).
+    // Fingerprint counts collapse map-side (32-char hash shuffle,
+    // never text); buckets are a 20-row broadcast range join.
+    "q229_dupgroup_histogram" -> { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(md5(trim(regexp_replace(
+          regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " ")))
+          .as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("sz"))
+      val pw = s.range(0, 20).select(expr("shiftleft(1L, CAST(id AS INT))").as("lo"))
+      val bk = g.join(broadcast(pw),
+          col("sz") >= col("lo") && col("sz") < col("lo") * 2)
+        .groupBy("lo").agg(count(lit(1)).as("ng"), sum(col("sz")).as("nd"),
+          sum(col("sz") - 1).as("ex"))
+      val tot = g.agg(count(lit(1)).as("t_groups"), sum(col("sz")).as("t_docs"))
+      pw.join(bk, Seq("lo"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("lo").as("bucket_lo"),
+          coalesce(col("ng"), lit(0L)).cast("long").as("n_groups"),
+          coalesce(col("nd"), lit(0L)).cast("long").as("n_docs"),
+          coalesce(col("ex"), lit(0L)).cast("long").as("dup_excess"),
+          expr("CAST(coalesce(nd, 0) * 1000000 DIV t_docs AS BIGINT)")
+            .as("doc_share_ppm"))
+        .orderBy("bucket_lo")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q224_scd2_build" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, k,
+        |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+        |  FROM ev),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN pk IS NULL OR pk <> k THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_versions,
+        |    CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |  FROM m GROUP BY 1)
+        |SELECT user_id, n_events, n_versions, n_distinct_k,
+        |  CAST(n_versions - n_distinct_k AS BIGINT) AS reopened,
+        |  CAST((n_versions - 1) * 1000000 // n_events AS BIGINT) AS churn_ppm
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    "q225_kendall_sources" ->
+      """WITH m AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass,
+        |    CAST(COUNT(*) AS BIGINT) AS docs
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT (a.mass - b.mass) * (a.docs - b.docs) AS prod
+        |  FROM m a JOIN m b ON b.source < a.source),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM m)
+        |SELECT n.n_sources,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(*) FILTER (WHERE prod > 0) AS BIGINT) AS concordant,
+        |  CAST(COUNT(*) FILTER (WHERE prod < 0) AS BIGINT) AS discordant,
+        |  CAST(COUNT(*) FILTER (WHERE prod = 0) AS BIGINT) AS tied,
+        |  CAST(COUNT(*) FILTER (WHERE prod > 0)
+        |    - COUNT(*) FILTER (WHERE prod < 0) AS BIGINT) AS tau_num,
+        |  CAST(abs(COUNT(*) FILTER (WHERE prod > 0)
+        |    - COUNT(*) FILTER (WHERE prod < 0)) * 1000000
+        |    // COUNT(*) AS BIGINT) AS tau_abs_ppm
+        |FROM p CROSS JOIN n GROUP BY n.n_sources""".stripMargin,
+
+    "q226_cms_join_estimate" ->
+      s"""WITH la AS (
+         |  SELECT l_partkey AS key, COUNT(*) AS c FROM lineitem GROUP BY 1),
+         |pb AS (SELECT p_partkey AS key, COUNT(*) AS c FROM part GROUP BY 1),
+         |rg AS (SELECT g.i AS r FROM UNNEST(generate_series(0, ${JseDepth - 1})) g(i)),
+         |sa AS (
+         |  SELECT r, ('0x' || substr(md5('jse' || CAST(r AS VARCHAR) || ':'
+         |      || CAST(key AS VARCHAR)), 1, 8))::BIGINT % $JseWidth AS b,
+         |    SUM(c) AS cell
+         |  FROM la CROSS JOIN rg GROUP BY 1, 2),
+         |sb AS (
+         |  SELECT r, ('0x' || substr(md5('jse' || CAST(r AS VARCHAR) || ':'
+         |      || CAST(key AS VARCHAR)), 1, 8))::BIGINT % $JseWidth AS b,
+         |    SUM(c) AS cell
+         |  FROM pb CROSS JOIN rg GROUP BY 1, 2),
+         |est_fk AS (
+         |  SELECT MIN(ip) AS est FROM (
+         |    SELECT sa.r, SUM(CAST(sa.cell AS HUGEINT) * sb.cell) AS ip
+         |    FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY 1) x),
+         |est_self AS (
+         |  SELECT MIN(ip) AS est FROM (
+         |    SELECT a1.r, SUM(CAST(a1.cell AS HUGEINT) * a2.cell) AS ip
+         |    FROM sa a1 JOIN sa a2 ON a1.r = a2.r AND a1.b = a2.b GROUP BY 1) x),
+         |ex_fk AS (
+         |  SELECT SUM(CAST(la.c AS HUGEINT) * pb.c) AS exact
+         |  FROM la JOIN pb USING (key)),
+         |ex_self AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS exact FROM la),
+         |u AS (
+         |  SELECT 'fk_part' AS join_name, ex_fk.exact, est_fk.est
+         |  FROM ex_fk CROSS JOIN est_fk
+         |  UNION ALL
+         |  SELECT 'self_partkey', ex_self.exact, est_self.est
+         |  FROM ex_self CROSS JOIN est_self)
+         |SELECT join_name, CAST(exact AS BIGINT) AS exact,
+         |  CAST(est AS BIGINT) AS est,
+         |  CAST(est - exact AS BIGINT) AS overest,
+         |  CAST((est - exact) * 1000000 // exact AS BIGINT) AS err_ppm
+         |FROM u ORDER BY join_name""".stripMargin,
+
+    "q227_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      ('0x' || substr(md5('usamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+         |      doc_id) AS rn
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS pop_chars,
+         |    CAST(COUNT(*) FILTER (WHERE rn <= $SampleK) AS BIGINT) AS n_samp,
+         |    CAST(COALESCE(SUM(n_chars) FILTER (WHERE rn <= $SampleK), 0) AS BIGINT)
+         |      AS samp_chars
+         |  FROM h GROUP BY 1),
+         |mm AS (
+         |  SELECT source, n_docs, n_samp,
+         |    CAST(CAST(pop_chars AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+         |      AS pop_mean_u,
+         |    CAST(CAST(samp_chars AS HUGEINT) * 1000000 // n_samp AS BIGINT)
+         |      AS samp_mean_u
+         |  FROM agg)
+         |SELECT source, n_docs, n_samp, pop_mean_u, samp_mean_u,
+         |  CAST(abs(samp_mean_u - pop_mean_u) * 1000000 // pop_mean_u AS BIGINT)
+         |    AS bias_ppm
+         |FROM mm ORDER BY source""".stripMargin,
+
+    "q228_part_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c
+        |  FROM part),
+        |m AS (SELECT p_size, MIN(price_c) AS mp FROM p GROUP BY 1),
+        |suff AS (
+        |  SELECT a.p_size, a.mp, MIN(b.mp) AS suffmin
+        |  FROM m a LEFT JOIN m b ON b.p_size > a.p_size
+        |  GROUP BY 1, 2),
+        |fr AS (SELECT p_size, mp FROM suff
+        |       WHERE suffmin IS NULL OR mp < suffmin)
+        |SELECT p.p_partkey, p.p_size, p.price_c
+        |FROM p JOIN fr ON fr.p_size = p.p_size AND p.price_c = fr.mp
+        |ORDER BY p.p_size, p.p_partkey""".stripMargin,
+
+    "q229_dupgroup_histogram" ->
+      """WITH g AS (
+        |  SELECT md5(trim(regexp_replace(
+        |      regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |      AS fp,
+        |    COUNT(*) AS sz
+        |  FROM documents GROUP BY 1),
+        |pw AS (SELECT CAST(1::BIGINT << g2.i AS BIGINT) AS lo
+        |       FROM UNNEST(generate_series(0, 19)) g2(i)),
+        |bk AS (
+        |  SELECT pw.lo, COUNT(*) AS ng, SUM(g.sz) AS nd, SUM(g.sz - 1) AS ex
+        |  FROM g JOIN pw ON g.sz >= pw.lo AND g.sz < pw.lo * 2
+        |  GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS t_groups, SUM(sz) AS t_docs FROM g)
+        |SELECT pw.lo AS bucket_lo,
+        |  CAST(COALESCE(bk.ng, 0) AS BIGINT) AS n_groups,
+        |  CAST(COALESCE(bk.nd, 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(bk.ex, 0) AS BIGINT) AS dup_excess,
+        |  CAST(COALESCE(bk.nd, 0) * 1000000 // t.t_docs AS BIGINT)
+        |    AS doc_share_ppm
+        |FROM pw LEFT JOIN bk USING (lo) CROSS JOIN t
+        |ORDER BY bucket_lo""".stripMargin
+  )
+}

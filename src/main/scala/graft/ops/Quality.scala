@@ -1,0 +1,676 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.TextAnalysis.tokens
+
+/** Round-6 corpus-quality / statistics operators (SURVEY.md §2F,
+  * F34–F44): the audits a training-data pipeline runs on corpus SHAPE
+  * rather than individual documents — vocabulary growth (Heaps-law
+  * screen), count-min-sketch heavy hitters, event-type Markov
+  * transitions, source-mass concentration (Lorenz/Gini), daily
+  * burstiness (Fano factor) and MAD robust outliers, language Simpson
+  * diversity, importance-weight effective sample size, context-window
+  * truncation loss, phrase-index posting histograms, and per-language
+  * OOV rates.
+  *
+  * Same contract as every ops module: each query paired with a DuckDB
+  * oracle over the same parquet, engine-neutral md5-derived hashing
+  * (never rand(), never Spark-internal Murmur3), floor-ppm integer
+  * arithmetic with DECIMAL(38,0)/HUGEINT widening where the sf1+ bound
+  * fails, map-combinable aggregations, windows only over value-bounded
+  * grids (per-user event windows and per-lang vocab windows only).
+  */
+object Quality {
+
+  /** q214's count-min sketch geometry — depth (independent hash rows)
+    * × width (buckets per row). Width 16 is deliberately SMALLER than
+    * the corpus vocabulary so collisions are guaranteed and the
+    * overestimate behavior of the sketch is hash-observable; a
+    * deployment sizes width ≈ e/ε. ONE definition read by the query,
+    * interpolated into the oracle, and replayed by QualitySpec. */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 16
+
+  /** q218's robust-outlier multiplier: a day is flagged when its
+    * absolute deviation from the per-type median exceeds 3× the median
+    * absolute deviation (with mad = 0, any nonzero deviation flags). */
+  private[graft] val MadK = 3
+
+  /** q221's context-window lengths (chars — the sf-scale stand-in for
+    * a tokenizer's context budget; n_chars spans 48–553 in this corpus
+    * so both thresholds bite). */
+  private[graft] val TruncWindows = Seq(128L, 384L)
+
+  /** q223's per-language vocabulary budget: tokens outside the lang's
+    * top-8 types count as OOV. 8 < |vocab| = 31 here, so the OOV mass
+    * is nonzero by construction; a deployment uses the tokenizer's
+    * actual vocab. */
+  private[graft] val OovTopK = 8
+
+  /** Distinct adjacent-token bigrams per document, as `(doc_id, bg)`
+    * with repetition (one row per OCCURRENCE — q213/q222 dedup where
+    * their semantics need distinct). */
+  private def bigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Heaps-law vocabulary-growth audit over the BIGRAM vocabulary
+    // (the unigram vocab saturates in pages; bigram types keep growing
+    // corpus-long — the signal a tokenizer/dedup planner sizes by).
+    // Log-free screen (the q201 Zipf convention): V(N) ≈ K·N^β means
+    // the V ratio between nested prefixes of doubling span is roughly
+    // constant — emitted as vocab_growth_ppm next to mass_growth_ppm,
+    // no ln() in either engine. Prefixes are doc_id-VALUE prefixes
+    // cut at mn + (mx−mn)·k/8, k ∈ {1,2,4,8} (nested, spans doubling);
+    // "type is in prefix k" = first_doc ≤ cut, so the whole audit is
+    // one min-aggregate onto the bigram-vocab grid (map-combined)
+    // plus per-doc mass sums — the corpus is scanned twice, joined
+    // never. Scale: the k-grid is 4 rows broadcast; the vocab grid is
+    // vocabulary-bounded.
+    "q213_heaps_bigrams" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fd = bigrams(s, d).groupBy("bg").agg(min(col("doc_id")).as("fd"))
+      val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      val kgrid = s.range(0, 4)
+        .select(expr("shiftleft(1L, CAST(id AS INT))").as("k"))
+        .crossJoin(broadcast(bounds))
+        .select(col("k"), expr("mn + (mx - mn) * k DIV 8").as("cut"))
+      val v = fd.join(broadcast(kgrid), col("fd") <= col("cut"))
+        .groupBy("k", "cut").agg(count(lit(1)).as("v_types"))
+      val dmass = docs.select(col("doc_id"),
+        greatest(lit(0L), (size(tokens(col("text"))) - 1).cast("long")).as("nb"))
+      val n = dmass.join(broadcast(kgrid), col("doc_id") <= col("cut"))
+        .groupBy("k", "cut")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nb")).cast("long").as("n_bigrams"))
+      val j = n.join(v, Seq("k", "cut"))
+      val p = j.select(col("k").as("pk"),
+        col("n_bigrams").as("p_nb"), col("v_types").as("p_v"))
+      j.join(p, col("pk") === expr("k DIV 2"), "left")
+        .select(col("k"), col("cut").as("cut_id"), col("n_docs"),
+          col("n_bigrams"), col("v_types"),
+          coalesce(expr("CAST(n_bigrams * 1000000 DIV p_nb AS BIGINT)"), lit(0L))
+            .as("mass_growth_ppm"),
+          coalesce(expr("CAST(v_types * 1000000 DIV p_v AS BIGINT)"), lit(0L))
+            .as("vocab_growth_ppm"))
+        .orderBy("k")
+    },
+
+    // Count-min-sketch HEAVY HITTERS with the exact audit leg: the
+    // mergeable frequency sketch (cellwise-SUM merge across
+    // shards/days — QualitySpec proves the merge law) estimated
+    // against exact counts for the top-20 tokens, overestimate and
+    // err_ppm exposed. est ≥ exact ALWAYS (min of upper bounds —
+    // spec-asserted); width 16 < |vocab| forces collisions so the
+    // bound is strict somewhere. Scale shape: token counts collapse
+    // onto the vocab grid FIRST (map-combined), the sketch is
+    // depth×width = 64 cells built from that grid — the corpus-sized
+    // stream never touches the hash fan-out; the exact top-20 is a
+    // TakeOrdered over the vocab grid, never a global sort.
+    "q214_cms_heavy_hitters" -> { (s, d) =>
+      val tokcnt = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val rg = s.range(0, CmsDepth).select(col("id").as("r"))
+      def bucket(tok: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+        Dedup.neutralHash32(concat(lit("cms"), r.cast("string"), lit(":"), tok)) % CmsWidth
+      val cells = tokcnt.crossJoin(broadcast(rg))
+        .select(col("r"), bucket(col("tok"), col("r")).as("b"), col("cnt"))
+        .groupBy("r", "b").agg(sum(col("cnt")).as("cell"))
+      val top = tokcnt.orderBy(col("cnt").desc, col("tok")).limit(20)
+      top.crossJoin(broadcast(rg))
+        .select(col("tok"), col("cnt"), col("r"), bucket(col("tok"), col("r")).as("b"))
+        .join(broadcast(cells), Seq("r", "b"))
+        .groupBy("tok", "cnt").agg(min(col("cell")).as("est"))
+        .select(col("tok"), col("cnt").cast("long").as("exact"),
+          col("est").cast("long").as("est"),
+          (col("est") - col("cnt")).cast("long").as("overest"),
+          expr("CAST((est - cnt) * 1000000 DIV cnt AS BIGINT)").as("err_ppm"))
+        .orderBy(col("exact").desc, col("tok"))
+    },
+
+    // Event-type MARKOV transition matrix: P(next type | type) from
+    // per-user event sequences — the behavioral fingerprint a bot /
+    // replay detector compares sessions against, and the q71 funnel's
+    // order-free generalization. The lead() window is per-USER (the
+    // funnel convention — state bounded by one user's history, never
+    // global); the |types|² grid carries explicit zeros (q158 rule:
+    // "transition never happens" is a checked fact) and row_ppm is
+    // row-stochastic floor-ppm. A type that never has a successor
+    // (only ever last in its users' streams) keeps row_ppm = 0 via the
+    // mirrored CASE — floor-DIV by zero diverges across engines.
+    "q215_event_markov" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n0"))
+      val types = ev.select("event_type").distinct()
+      val grid = types.select(col("event_type").as("from_type"))
+        .crossJoin(broadcast(types.select(col("event_type").as("to_type"))))
+      val full = grid.join(pairs, Seq("from_type", "to_type"), "left")
+        .withColumn("n", coalesce(col("n0"), lit(0L)))
+      val tots = full.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      full.join(broadcast(tots), "from_type")
+        .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"),
+          expr("CASE WHEN tot > 0 THEN CAST(n * 1000000 DIV tot AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("row_ppm"))
+        .orderBy("from_type", "to_type")
+    },
+
+    // Source-mass CONCENTRATION: the Lorenz curve + Gini coefficient
+    // of char mass across sources — "is 80% of the corpus three
+    // domains?" is the first mix question, and Gini is its one-number
+    // answer (0 = uniform). Rank and cumulative are predecessor-count
+    // joins on the broadcast |sources| grid (the q201 rank rule — no
+    // global window); Gini via the rank identity G = Σ(2i−n−1)mᵢ /
+    // (n·Σm), exact-integer, widened DECIMAL(38,0)/HUGEINT because
+    // cum·10⁶ overflows int64 once Σm passes ~10¹³ chars (10 TB).
+    "q216_source_lorenz" -> { (s, d) =>
+      val m = Tables.documents(s, d).groupBy("source")
+        .agg(sum(col("n_chars")).cast("long").as("mass"))
+      val b = m.select(col("source").as("s2"), col("mass").as("m2"))
+      val ranked = m.join(broadcast(b),
+          (col("m2") < col("mass")) ||
+            (col("m2") === col("mass") && col("s2") < col("source")), "left")
+        .groupBy("source", "mass")
+        .agg((count(col("s2")) + 1).cast("long").as("rk"),
+          coalesce(sum(col("m2")), lit(0L)).as("below"))
+        .withColumn("cum", (col("below") + col("mass")).cast("long"))
+      val tot = m.agg(sum(col("mass")).as("tot"), count(lit(1)).as("nsrc"))
+      val g = ranked.crossJoin(broadcast(tot))
+      val gnum = g.agg(sum((lit(2) * col("rk") - col("nsrc") - 1) * col("mass"))
+        .as("gnum"))
+      g.crossJoin(broadcast(gnum))
+        .select(col("source"), col("mass"), col("rk"),
+          expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)")
+            .as("cum_ppm"),
+          expr("CAST(CAST(gnum AS DECIMAL(38,0)) * 1000000" +
+            " DIV (CAST(nsrc AS DECIMAL(38,0)) * tot) AS BIGINT)").as("gini_ppm"))
+        .orderBy("rk")
+    },
+
+    // Daily BURSTINESS per event type — the Fano factor F = Var/Mean
+    // of the per-day event count (1 = Poisson, ≫1 = bursty: flash
+    // crowds, incident retries, scraper storms). The day×type grid
+    // carries explicit ZEROS (a silent day is variance, not a missing
+    // row — the q158 rule), built from one sequence() over the global
+    // [min, max] day span. Variance in the overflow-free integer form
+    // n·Σc²−(Σc)² with Σc² widened DECIMAL(38,0)/HUGEINT (c² passes
+    // int64 once a type logs ~3·10⁹ events/day); everything
+    // map-combines onto the (day, type) grid first.
+    "q217_type_fano" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c0"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val days = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+      val types = ev.select("event_type").distinct()
+      val cells = days.crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c0"), lit(0L)))
+      cells.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("c")).cast("long").as("s1"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+        .select(col("event_type"), col("n_days"), col("s1").as("n_events"),
+          expr("CAST(s1 * 1000000 DIV n_days AS BIGINT)").as("mean_ppm"),
+          expr("CASE WHEN s1 > 0 THEN CAST((n_days * s2 -" +
+            " CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000" +
+            " DIV (n_days * CAST(s1 AS DECIMAL(38,0))) AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("fano_ppm"))
+        .orderBy("event_type")
+    },
+
+    // MAD robust daily-outlier flags per event type — the
+    // median-absolute-deviation screen next to E42/q143's EWMA (mean
+    // charts move WITH the anomaly; the median does not, so MAD
+    // catches level shifts EWMA absorbs). Lower median (position
+    // ⌈n/2⌉) computed by predecessor-count on the (type, count)
+    // VALUE grid — counts collapse to distinct values with
+    // frequencies first, so no sort ever sees a corpus-sized input;
+    // the deviation median repeats the trick on the |c−med| grid. A
+    // day is flagged when |c−med| > 3·mad (mad = 0 ⟹ any nonzero
+    // deviation flags — the mirrored strict inequality).
+    "q218_daily_mad_outliers" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val days = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+      val types = ev.select("event_type").distinct()
+      val cells = days.crossJoin(broadcast(types))
+        .join(ev.groupBy("event_type", "day").agg(count(lit(1)).as("c0")),
+          Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c0"), lit(0L)))
+        .select("event_type", "day", "c")
+      // lower median of grid values via predecessor-count: the value v
+      // with below < ⌈n/2⌉ ≤ below + freq
+      def lowerMedian(vals: DataFrame, valCol: String, outCol: String): DataFrame = {
+        val g = vals.groupBy(col("event_type"), col(valCol).as("v"))
+          .agg(count(lit(1)).as("f"))
+        val tot = g.groupBy("event_type").agg(sum(col("f")).as("n"))
+        g.join(broadcast(g.select(col("event_type").as("et2"),
+            col("v").as("v2"), col("f").as("f2"))),
+            col("et2") === col("event_type") && col("v2") < col("v"), "left")
+          .groupBy("event_type", "v", "f")
+          .agg(coalesce(sum(col("f2")), lit(0L)).as("below"))
+          .join(broadcast(tot), "event_type")
+          .filter(col("below") < expr("(n + 1) DIV 2") &&
+            expr("(n + 1) DIV 2") <= col("below") + col("f"))
+          .select(col("event_type"), col("v").as(outCol))
+      }
+      val med = lowerMedian(cells, "c", "med")
+      val dev = cells.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("c") - col("med")))
+      val mad = lowerMedian(dev.select(col("event_type"), col("ad")), "ad", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(when(col("ad") > lit(MadK) * col("mad"), 1)).as("n_flagged"),
+          max(col("ad")).cast("long").as("max_dev"),
+          count(lit(1)).cast("long").as("n_days"))
+        .orderBy("event_type")
+    },
+
+    // Language SIMPSON diversity per source — the log-free diversity
+    // index (Shannon entropy needs ln(); Simpson's Σn(n−1)/(N(N−1))
+    // is exact integer): 0 = every doc a different lang, 1e6 = one
+    // lang. dominant_ppm (largest single-lang share) rides along as
+    // the actionable number. The work collapses onto the
+    // |sources|×|langs| grid map-side; products widened
+    // DECIMAL(38,0)/HUGEINT because N² passes int64 at ~3·10⁹
+    // docs/source.
+    "q219_simpson_diversity" -> { (s, d) =>
+      Tables.documents(s, d).groupBy("source", "lang")
+        .agg(count(lit(1)).as("nl"))
+        .groupBy("source")
+        .agg(sum(col("nl")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_langs"),
+          sum(expr("CAST(nl AS DECIMAL(38,0)) * (nl - 1)")).as("num"),
+          max(col("nl")).cast("long").as("mx"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          expr("CASE WHEN n_docs > 1 THEN CAST(num * 1000000" +
+            " DIV (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("simpson_ppm"),
+          expr("CAST(mx * 1000000 DIV n_docs AS BIGINT)").as("dominant_ppm"))
+        .orderBy("source")
+    },
+
+    // EFFECTIVE SAMPLE SIZE of the q84 importance weights — the
+    // one-number audit of a weighted mix: ESS = (Σw)²/Σw² in
+    // count-equivalents, ess_ppm = ESS/n (1e6 = uniform weights, small
+    // = a few heavy docs dominate the gradient). Shares q84's exact
+    // weight rule (w = min(1e6, tokens·1e6 DIV 60)) so the two
+    // queries audit the same sample; per-source rows plus the
+    // '__all__' rollup row (the q184 convention). (Σw)² reaches 10¹⁹
+    // at 5·10³ docs already — both sums accumulate DECIMAL(38,0)/
+    // HUGEINT from the start, not just the final product.
+    "q220_importance_ess" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("w",
+          least(lit(1000000L), expr("n_tokens * 1000000 DIV 60")))
+        .rollup("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(expr("CAST(w AS DECIMAL(38,0))")).as("sw"),
+          sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("sw2"))
+        .select(coalesce(col("source"), lit("__all__")).as("source"),
+          col("n_docs"),
+          expr("CAST(sw DIV n_docs AS BIGINT)").as("wmean_ppm"),
+          expr("CASE WHEN sw2 > 0 THEN CAST(sw * sw * 1000000" +
+            " DIV (sw2 * n_docs) AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("ess_ppm"))
+        .orderBy("source")
+    },
+
+    // Context-window TRUNCATION/PADDING loss audit: for each window
+    // length L, the char mass lost to truncation (docs longer than L)
+    // and the padding waste of one-doc-per-window batching (docs
+    // shorter than L) — the numbers that decide between packing
+    // (q61/q212) and padding, per source. Per-doc terms are pure map
+    // arithmetic fanned out over the broadcast 2-row L grid, then
+    // map-combined onto the |sources|×|L| grid; the lost-mass product
+    // is widened DECIMAL(38,0)/HUGEINT (mass·10⁶ passes int64 at
+    // ~10¹³ chars).
+    "q221_truncation_loss" -> { (s, d) =>
+      val lg = s.range(0, TruncWindows.size)
+        .select(expr(s"element_at(array(${TruncWindows.mkString("L,")}L)," +
+          " CAST(id + 1 AS INT))").as("l"))
+      Tables.documents(s, d).select(col("source"), col("n_chars"))
+        .crossJoin(broadcast(lg))
+        .groupBy("source", "l")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(greatest(col("n_chars") - col("l"), lit(0L))).cast("long").as("lost"),
+          count(when(col("n_chars") > col("l"), 1)).cast("long").as("n_trunc"),
+          sum(when(col("n_chars") < col("l"), col("l") - col("n_chars"))
+            .otherwise(lit(0L))).cast("long").as("pad"))
+        .select(col("source"), col("l"), col("n_docs"), col("n_trunc"),
+          expr("CAST(CAST(lost AS DECIMAL(38,0)) * 1000000" +
+            " DIV total_chars AS BIGINT)").as("trunc_ppm"),
+          expr("CAST(CAST(pad AS DECIMAL(38,0)) * 1000000" +
+            " DIV (n_docs * l) AS BIGINT)").as("pad_ppm"))
+        .orderBy("source", "l")
+    },
+
+    // Phrase-index POSTING-LIST histogram: document frequency of each
+    // distinct bigram bucketed into powers of two — the sizing audit
+    // for the q176 phrase-search index (how many singleton postings
+    // vs how many stop-bigram monsters decides compression strategy
+    // and the df-cap). All 32 power buckets are emitted with explicit
+    // zeros (q158 rule). df collapses onto the bigram-vocab grid
+    // first; the bucket assignment is a 32-row broadcast range join.
+    "q222_posting_buckets" -> { (s, d) =>
+      val df_ = bigrams(s, d).distinct()
+        .groupBy("bg").agg(count(lit(1)).as("df"))
+      val pw = s.range(0, 32).select(expr("shiftleft(1L, CAST(id AS INT))").as("lo"))
+      val bucketed = df_.join(broadcast(pw),
+          col("df") >= col("lo") && col("df") < col("lo") * 2)
+        .groupBy("lo").agg(count(lit(1)).as("nt"), sum(col("df")).as("po"))
+      val tot = df_.agg(count(lit(1)).as("t_types"), sum(col("df")).as("t_post"))
+      pw.join(bucketed, Seq("lo"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("lo").as("bucket_lo"),
+          coalesce(col("nt"), lit(0L)).cast("long").as("n_types"),
+          coalesce(col("po"), lit(0L)).cast("long").as("postings"),
+          expr("CAST(coalesce(nt, 0) * 1000000 DIV t_types AS BIGINT)")
+            .as("types_share_ppm"),
+          expr("CAST(coalesce(po, 0) * 1000000 DIV t_post AS BIGINT)")
+            .as("post_share_ppm"))
+        .orderBy("bucket_lo")
+    },
+
+    // Per-language OOV rate vs a top-K vocabulary — the tokenizer-
+    // budget audit at the (source, lang) grain: token mass outside the
+    // language's top-8 types (K = 8 < |vocab| so the OOV mass is real
+    // at this SF; a deployment plugs in its tokenizer vocab). The
+    // per-lang top-K is a row_number window over the |langs|×|vocab|
+    // grid (value-bounded — the permitted window class), broadcast
+    // back against the token stream; per-(source, lang) shares are one
+    // map-combined agg.
+    "q223_oov_rate" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("source"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val wv = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+      val topk = vocab.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") <= OovTopK).select(col("lang"), col("tok"), lit(1).as("iv"))
+      toks.join(broadcast(topk), Seq("lang", "tok"), "left")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          count(when(col("iv").isNull, 1)).cast("long").as("n_oov"))
+        .withColumn("oov_ppm",
+          expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)"))
+        .orderBy("source", "lang")
+    }
+  )
+
+  private val BigramSql =
+    """bg AS (
+      |  SELECT t.doc_id, t.t[g.i] || ' ' || t.t[g.i + 1] AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) t,
+      |    UNNEST(generate_series(1, len(t.t) - 1)) g(i)
+      |  WHERE len(t.t) >= 2)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q213_heaps_bigrams" ->
+      ("""WITH """ + BigramSql +
+        """,
+          |fd AS (SELECT bg.bg, MIN(doc_id) AS fd FROM bg GROUP BY 1),
+          |b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+          |kg AS (
+          |  SELECT CAST(1 << g.i AS BIGINT) AS k,
+          |    mn + (mx - mn) * CAST(1 << g.i AS BIGINT) // 8 AS cut
+          |  FROM b, UNNEST(generate_series(0, 3)) g(i)),
+          |v AS (SELECT k, cut, COUNT(*) AS v_types
+          |      FROM kg JOIN fd ON fd.fd <= kg.cut GROUP BY 1, 2),
+          |dm AS (SELECT doc_id,
+          |         GREATEST(len(string_split(text, ' ')) - 1, 0) AS nb
+          |       FROM documents),
+          |n AS (SELECT k, cut, COUNT(*) AS n_docs, SUM(nb) AS n_bigrams
+          |      FROM kg JOIN dm ON dm.doc_id <= kg.cut GROUP BY 1, 2),
+          |j AS (SELECT kg.k, kg.cut, n.n_docs, n.n_bigrams, v.v_types
+          |      FROM kg JOIN n USING (k, cut) JOIN v USING (k, cut))
+          |SELECT j.k, j.cut AS cut_id, CAST(j.n_docs AS BIGINT) AS n_docs,
+          |  CAST(j.n_bigrams AS BIGINT) AS n_bigrams,
+          |  CAST(j.v_types AS BIGINT) AS v_types,
+          |  CAST(COALESCE(j.n_bigrams * 1000000 // p.n_bigrams, 0) AS BIGINT)
+          |    AS mass_growth_ppm,
+          |  CAST(COALESCE(j.v_types * 1000000 // p.v_types, 0) AS BIGINT)
+          |    AS vocab_growth_ppm
+          |FROM j LEFT JOIN j p ON p.k = j.k // 2
+          |ORDER BY j.k""").stripMargin,
+
+    "q214_cms_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         |rg AS (SELECT g.i AS r FROM UNNEST(generate_series(0, ${CmsDepth - 1})) g(i)),
+         |cells AS (
+         |  SELECT r, ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok),
+         |      1, 8))::BIGINT % $CmsWidth AS b,
+         |    SUM(cnt) AS cell
+         |  FROM tc CROSS JOIN rg GROUP BY 1, 2),
+         |top AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT 20)
+         |SELECT t.tok, CAST(t.cnt AS BIGINT) AS exact,
+         |  CAST(MIN(c.cell) AS BIGINT) AS est,
+         |  CAST(MIN(c.cell) - t.cnt AS BIGINT) AS overest,
+         |  CAST((MIN(c.cell) - t.cnt) * 1000000 // t.cnt AS BIGINT) AS err_ppm
+         |FROM top t CROSS JOIN rg
+         |JOIN cells c ON c.r = rg.r
+         |  AND c.b = ('0x' || substr(md5('cms' || CAST(rg.r AS VARCHAR) || ':' || t.tok),
+         |    1, 8))::BIGINT % $CmsWidth
+         |GROUP BY t.tok, t.cnt
+         |ORDER BY exact DESC, t.tok""".stripMargin,
+
+    "q215_event_markov" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, COUNT(*) AS n0
+        |        FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT a.event_type AS from_type, b.event_type AS to_type
+        |         FROM ty a CROSS JOIN ty b),
+        |fl AS (SELECT g.from_type, g.to_type, COALESCE(c.n0, 0) AS n
+        |       FROM grid g LEFT JOIN cnt c USING (from_type, to_type)),
+        |tot AS (SELECT from_type, SUM(n) AS tot FROM fl GROUP BY 1)
+        |SELECT f.from_type, f.to_type, CAST(f.n AS BIGINT) AS n,
+        |  CASE WHEN t.tot > 0 THEN CAST(f.n * 1000000 // t.tot AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS row_ppm
+        |FROM fl f JOIN tot t USING (from_type)
+        |ORDER BY f.from_type, f.to_type""".stripMargin,
+
+    "q216_source_lorenz" ->
+      """WITH m AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT a.source, a.mass,
+        |    CAST(1 + COUNT(b.source) AS BIGINT) AS rk,
+        |    CAST(a.mass + COALESCE(SUM(b.mass), 0) AS BIGINT) AS cum
+        |  FROM m a LEFT JOIN m b
+        |    ON (b.mass < a.mass OR (b.mass = a.mass AND b.source < a.source))
+        |  GROUP BY a.source, a.mass),
+        |t AS (SELECT SUM(mass) AS tot, COUNT(*) AS nsrc FROM m),
+        |gn AS (SELECT SUM((2 * rk - nsrc - 1) * mass) AS gnum
+        |       FROM r CROSS JOIN t)
+        |SELECT r.source, r.mass, r.rk,
+        |  CAST(CAST(r.cum AS HUGEINT) * 1000000 // t.tot AS BIGINT) AS cum_ppm,
+        |  CAST(CAST(gn.gnum AS HUGEINT) * 1000000 // (t.nsrc * t.tot) AS BIGINT)
+        |    AS gini_ppm
+        |FROM r CROSS JOIN t CROSS JOIN gn ORDER BY r.rk""".stripMargin,
+
+    "q217_type_fano" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (SELECT event_type, day, COUNT(*) AS c0 FROM ev GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+        |days AS (SELECT CAST(g.d AS DATE) AS day
+        |         FROM b, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) g(d)),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |cells AS (
+        |  SELECT t.event_type, dy.day, COALESCE(d2.c0, 0) AS c
+        |  FROM days dy CROSS JOIN ty t
+        |  LEFT JOIN daily d2 ON d2.event_type = t.event_type AND d2.day = dy.day),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_days, SUM(c) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM cells GROUP BY 1)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(s1 AS BIGINT) AS n_events,
+        |  CAST(s1 * 1000000 // n_days AS BIGINT) AS mean_ppm,
+        |  CASE WHEN s1 > 0 THEN
+        |    CAST((n_days * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
+        |      // (n_days * CAST(s1 AS HUGEINT)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS fano_ppm
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    "q218_daily_mad_outliers" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+         |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+         |days AS (SELECT CAST(g.d AS DATE) AS day
+         |         FROM b, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) g(d)),
+         |ty AS (SELECT DISTINCT event_type FROM ev),
+         |daily AS (SELECT event_type, day, COUNT(*) AS c0 FROM ev GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT t.event_type, dy.day, COALESCE(d2.c0, 0) AS c
+         |  FROM days dy CROSS JOIN ty t
+         |  LEFT JOIN daily d2 ON d2.event_type = t.event_type AND d2.day = dy.day),
+         |cg AS (SELECT event_type, c AS v, COUNT(*) AS f FROM cells GROUP BY 1, 2),
+         |cn AS (SELECT event_type, SUM(f) AS n FROM cg GROUP BY 1),
+         |cb AS (
+         |  SELECT a.event_type, a.v, a.f, COALESCE(SUM(b2.f), 0) AS below
+         |  FROM cg a LEFT JOIN cg b2
+         |    ON b2.event_type = a.event_type AND b2.v < a.v
+         |  GROUP BY 1, 2, 3),
+         |med AS (
+         |  SELECT cb.event_type, cb.v AS med
+         |  FROM cb JOIN cn USING (event_type)
+         |  WHERE cb.below < (cn.n + 1) // 2 AND (cn.n + 1) // 2 <= cb.below + cb.f),
+         |dev AS (
+         |  SELECT cells.event_type, abs(cells.c - med.med) AS ad, med.med
+         |  FROM cells JOIN med USING (event_type)),
+         |dg AS (SELECT event_type, ad AS v, COUNT(*) AS f FROM dev GROUP BY 1, 2),
+         |db AS (
+         |  SELECT a.event_type, a.v, a.f, COALESCE(SUM(b2.f), 0) AS below
+         |  FROM dg a LEFT JOIN dg b2
+         |    ON b2.event_type = a.event_type AND b2.v < a.v
+         |  GROUP BY 1, 2, 3),
+         |mad AS (
+         |  SELECT db.event_type, db.v AS mad
+         |  FROM db JOIN cn USING (event_type)
+         |  WHERE db.below < (cn.n + 1) // 2 AND (cn.n + 1) // 2 <= db.below + db.f)
+         |SELECT dev.event_type, dev.med, mad.mad,
+         |  COUNT(*) FILTER (WHERE dev.ad > $MadK * mad.mad) AS n_flagged,
+         |  CAST(MAX(dev.ad) AS BIGINT) AS max_dev,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days
+         |FROM dev JOIN mad USING (event_type)
+         |GROUP BY 1, 2, 3 ORDER BY dev.event_type""".stripMargin,
+
+    "q219_simpson_diversity" ->
+      """WITH cl AS (
+        |  SELECT source, lang, COUNT(*) AS nl FROM documents GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, SUM(nl) AS n_docs, COUNT(*) AS n_langs,
+        |    SUM(CAST(nl AS HUGEINT) * (nl - 1)) AS num, MAX(nl) AS mx
+        |  FROM cl GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  CASE WHEN n_docs > 1 THEN
+        |    CAST(num * 1000000 // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS simpson_ppm,
+        |  CAST(mx * 1000000 // n_docs AS BIGINT) AS dominant_ppm
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q220_importance_ess" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    LEAST(1000000,
+        |      len(string_split(text, ' ')) * 1000000 // 60) AS w
+        |  FROM documents),
+        |agg AS (
+        |  SELECT COALESCE(source, '__all__') AS source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    SUM(CAST(w AS HUGEINT)) AS sw,
+        |    SUM(CAST(w AS HUGEINT) * w) AS sw2
+        |  FROM w GROUP BY ROLLUP (source))
+        |SELECT source, n_docs,
+        |  CAST(sw // n_docs AS BIGINT) AS wmean_ppm,
+        |  CASE WHEN sw2 > 0 THEN
+        |    CAST(sw * sw * 1000000 // (sw2 * n_docs) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS ess_ppm
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q221_truncation_loss" ->
+      s"""WITH lg AS (
+         |  SELECT CAST(g.l AS BIGINT) AS l
+         |  FROM UNNEST([${TruncWindows.mkString(", ")}]) g(l)),
+         |agg AS (
+         |  SELECT source, l,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |    CAST(SUM(GREATEST(n_chars - l, 0)) AS BIGINT) AS lost,
+         |    CAST(COUNT(*) FILTER (WHERE n_chars > l) AS BIGINT) AS n_trunc,
+         |    CAST(SUM(CASE WHEN n_chars < l THEN l - n_chars ELSE 0 END) AS BIGINT)
+         |      AS pad
+         |  FROM documents CROSS JOIN lg GROUP BY 1, 2)
+         |SELECT source, l, n_docs, n_trunc,
+         |  CAST(CAST(lost AS HUGEINT) * 1000000 // total_chars AS BIGINT)
+         |    AS trunc_ppm,
+         |  CAST(CAST(pad AS HUGEINT) * 1000000 // (n_docs * l) AS BIGINT)
+         |    AS pad_ppm
+         |FROM agg ORDER BY source, l""".stripMargin,
+
+    "q222_posting_buckets" ->
+      ("""WITH """ + BigramSql +
+        """,
+          |df AS (SELECT bg, COUNT(*) AS df
+          |       FROM (SELECT DISTINCT doc_id, bg FROM bg) x GROUP BY 1),
+          |pw AS (SELECT CAST(1::BIGINT << g.i AS BIGINT) AS lo
+          |       FROM UNNEST(generate_series(0, 31)) g(i)),
+          |bk AS (
+          |  SELECT pw.lo, COUNT(*) AS nt, SUM(df.df) AS po
+          |  FROM df JOIN pw ON df.df >= pw.lo AND df.df < pw.lo * 2
+          |  GROUP BY 1),
+          |t AS (SELECT COUNT(*) AS t_types, SUM(df) AS t_post FROM df)
+          |SELECT pw.lo AS bucket_lo,
+          |  CAST(COALESCE(bk.nt, 0) AS BIGINT) AS n_types,
+          |  CAST(COALESCE(bk.po, 0) AS BIGINT) AS postings,
+          |  CAST(COALESCE(bk.nt, 0) * 1000000 // t.t_types AS BIGINT)
+          |    AS types_share_ppm,
+          |  CAST(COALESCE(bk.po, 0) * 1000000 // t.t_post AS BIGINT)
+          |    AS post_share_ppm
+          |FROM pw LEFT JOIN bk USING (lo) CROSS JOIN t
+          |ORDER BY bucket_lo""").stripMargin,
+
+    "q223_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT source, lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+         |topk AS (
+         |  SELECT lang, tok FROM (
+         |    SELECT lang, tok,
+         |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rn
+         |    FROM vocab) v
+         |  WHERE rn <= $OovTopK)
+         |SELECT t.source, t.lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) FILTER (WHERE k.tok IS NULL) AS BIGINT) AS n_oov,
+         |  CAST(COUNT(*) FILTER (WHERE k.tok IS NULL) * 1000000
+         |    // COUNT(*) AS BIGINT) AS oov_ppm
+         |FROM toks t LEFT JOIN topk k ON k.lang = t.lang AND k.tok = t.tok
+         |GROUP BY 1, 2 ORDER BY t.source, t.lang""".stripMargin
+  )
+}

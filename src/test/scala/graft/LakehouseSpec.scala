@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Lakehouse
+
+/** Invariants for the round-6 lakehouse/planner operators (q224–q229)
+  * beyond the DuckDB hash-compare: an event-by-event SCD2 replay, the
+  * Kendall pair-count conservation law, the CMS join-estimate upper
+  * bound with an exact-Σc² replay, the bottom-k sample's mergeability,
+  * a brute-force dominance check of the skyline, and the dup-group
+  * histogram's conservation identities.
+  */
+class LakehouseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q224 versions match an event-by-event replay and reopened is never negative") {
+    val rows = Lakehouse.queries("q224_scd2_build")(spark, sf).collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val ks = ev.filter(_._1 == uid).sortBy(e => (e._2, e._3)).map(_._4)
+      val versions = 1 + ks.zip(ks.tail).count { case (a, b) => a != b }
+      assert(r.getAs[Long]("n_events") == ks.length.toLong, s"user $uid events")
+      assert(r.getAs[Long]("n_versions") == versions.toLong, s"user $uid versions")
+      assert(r.getAs[Long]("reopened") ==
+        versions.toLong - ks.distinct.length, s"user $uid reopened")
+      assert(r.getAs[Long]("reopened") >= 0L)
+    }
+  }
+
+  test("q225 pair counts conserve n(n-1)/2 and match a nested-loop replay") {
+    val r = Lakehouse.queries("q225_kendall_sources")(spark, sf).collect().head
+    val m = graft.model.Tables.documents(spark, sf).groupBy("source")
+      .agg(sum("n_chars").as("mass"), count(lit(1)).as("docs")).collect()
+      .map(x => (x.getString(0), x.getAs[Long]("mass"), x.getAs[Long]("docs")))
+    val n = m.length
+    assert(r.getAs[Long]("n_sources") == n.toLong)
+    assert(r.getAs[Long]("n_pairs") == n.toLong * (n - 1) / 2)
+    var (c, dct, t) = (0L, 0L, 0L)
+    for (i <- m.indices; j <- 0 until i) {
+      val p = (m(i)._2 - m(j)._2) * (m(i)._3 - m(j)._3)
+      if (p > 0) c += 1 else if (p < 0) dct += 1 else t += 1
+    }
+    assert(r.getAs[Long]("concordant") == c)
+    assert(r.getAs[Long]("discordant") == dct)
+    assert(r.getAs[Long]("tied") == t)
+    assert(r.getAs[Long]("concordant") + r.getAs[Long]("discordant") +
+      r.getAs[Long]("tied") == r.getAs[Long]("n_pairs"))
+    assert(r.getAs[Long]("tau_num") == c - dct)
+  }
+
+  test("q226 the sketch estimate upper-bounds the exact join size on both joins") {
+    val rows = Lakehouse.queries("q226_cms_join_estimate")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("join_name")).sorted.toSeq ==
+      Seq("fk_part", "self_partkey"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"${r.getAs[String]("join_name")}: inner-product estimate must not underestimate")
+      assert(r.getAs[Long]("overest") ==
+        r.getAs[Long]("est") - r.getAs[Long]("exact"))
+    }
+    val cs = graft.model.Tables.lineitem(spark, sf)
+      .groupBy("l_partkey").count().collect().map(_.getAs[Long]("count"))
+    val exactSelf = cs.map(c => c * c).sum
+    assert(rows.find(_.getAs[String]("join_name") == "self_partkey").get
+      .getAs[Long]("exact") == exactSelf)
+  }
+
+  test("q227 bottom-k per source is mergeable: bottom-k of a union = bottom-k of per-half bottom-k's") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"usamp:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val k = Lakehouse.SampleK
+    docs.groupBy(_._2).foreach { case (_, ds) =>
+      val ids = ds.map(_._1)
+      val whole = ids.sortBy(i => (h(i), i)).take(k).toSet
+      val (a, b) = ids.partition(_ % 2 == 0)
+      val merged = (a.sortBy(i => (h(i), i)).take(k) ++
+        b.sortBy(i => (h(i), i)).take(k)).sortBy(i => (h(i), i)).take(k).toSet
+      assert(merged == whole, "bottom-k must merge associatively")
+    }
+    val rows = Lakehouse.queries("q227_stratified_sample")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_samp") ==
+        math.min(k.toLong, r.getAs[Long]("n_docs")))
+    }
+  }
+
+  test("q228 no skyline part is dominated and every non-skyline part is") {
+    val parts = graft.model.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size").cast("long"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._3 <= b._3 && a._2 >= b._2 && (a._3 < b._3 || a._2 > b._2)
+    val sky = Lakehouse.queries("q228_part_skyline")(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_partkey")).toSet
+    parts.foreach { p =>
+      val dominated = parts.exists(q => dominates(q, p))
+      if (sky.contains(p._1))
+        assert(!dominated, s"part ${p._1} is on the skyline but dominated")
+      else
+        assert(dominated, s"part ${p._1} is off the skyline but undominated")
+    }
+  }
+
+  test("q229 bucket masses conserve the corpus and dup_excess counts deletable rows") {
+    val rows = Lakehouse.queries("q229_dupgroup_histogram")(spark, sf).collect()
+    assert(rows.length == 20)
+    val docs = graft.model.Tables.documents(spark, sf).count()
+    val groups = graft.model.Tables.documents(spark, sf)
+      .select(md5(trim(regexp_replace(
+        regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " "))).as("fp"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    assert(rows.map(_.getAs[Long]("n_groups")).sum == groups)
+    assert(rows.map(_.getAs[Long]("dup_excess")).sum == docs - groups)
+  }
+}

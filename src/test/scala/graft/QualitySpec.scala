@@ -1,0 +1,238 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quality
+
+/** Invariants for the round-6 corpus-quality operators (q213–q223)
+  * that the DuckDB hash-compare cannot express: first-principles
+  * Scala replays of the Lorenz/Gini identity, the Fano factor, MAD
+  * medians, and ESS; the count-min upper-bound and cellwise-sum MERGE
+  * law (the property that makes the sketch the 100 TB path); and the
+  * monotonicity/conservation facts of the growth and share queries.
+  */
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = graft.model.Tables.documents(spark, sf)
+
+  test("q213 vocabulary and mass are nondecreasing over nested prefixes; the last row is the whole corpus") {
+    val rows = Quality.queries("q213_heaps_bigrams")(spark, sf)
+      .orderBy("k").collect()
+    assert(rows.length == 4)
+    val v = rows.map(_.getAs[Long]("v_types"))
+    val m = rows.map(_.getAs[Long]("n_bigrams"))
+    assert(v.zip(v.tail).forall { case (a, b) => a <= b }, "v_types must be nondecreasing")
+    assert(m.zip(m.tail).forall { case (a, b) => a <= b }, "mass must be nondecreasing")
+    val all = docs.select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(t) - 1)," +
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+      .distinct().count()
+    assert(v.last == all, s"k=8 vocab ${v.last} must equal corpus bigram vocab $all")
+  }
+
+  test("q214 est is an upper bound everywhere and the sketch obeys the cellwise-sum merge law") {
+    val rows = Quality.queries("q214_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"${r.getAs[String]("tok")}: CMS must never underestimate")
+      assert(r.getAs[Long]("overest") ==
+        r.getAs[Long]("est") - r.getAs[Long]("exact"))
+    }
+    // Merge law, replayed in Scala on the token stream: the sketch of
+    // the full corpus equals the cellwise SUM of the sketches of any
+    // disjoint split (here: docs with even vs odd doc_id).
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(r: Int, tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms$r:$tok".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % Quality.CmsWidth).toInt
+    }
+    def sketch(ts: Seq[String]): Map[(Int, Int), Long] =
+      (for (r <- 0 until Quality.CmsDepth; t <- ts) yield (r, bucket(r, t)))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val whole = sketch(toks.map(_._2).toSeq)
+    val a = sketch(toks.filter(_._1 % 2 == 0).map(_._2).toSeq)
+    val b = sketch(toks.filter(_._1 % 2 == 1).map(_._2).toSeq)
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "sketch(A ∪ B) must equal cellwise sum of the split sketches")
+  }
+
+  test("q215 every from-row's transitions count the user stream exactly and row_ppm is row-stochastic") {
+    val rows = Quality.queries("q215_event_markov")(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("from_type")).distinct
+    assert(rows.length == types.length * types.length, "full grid with explicit zeros")
+    // conservation: Σn over the grid = #consecutive pairs = #events − #users
+    val nEvents = graft.model.Tables.events(spark, sf).count()
+    val nUsers = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+    types.foreach { ft =>
+      val row = rows.filter(_.getAs[String]("from_type") == ft)
+      val tot = row.map(_.getAs[Long]("n")).sum
+      val ppm = row.map(_.getAs[Long]("row_ppm")).sum
+      if (tot > 0)
+        assert(ppm > 1000000L - row.length && ppm <= 1000000L,
+          s"$ft: floor-ppm shares must sum to 1e6 within floor error, got $ppm")
+    }
+  }
+
+  test("q216 matches a first-principles Gini replay and the Lorenz curve ends at 1e6") {
+    val rows = Quality.queries("q216_source_lorenz")(spark, sf)
+      .orderBy("rk").collect()
+    val masses = docs.groupBy("source").agg(sum("n_chars").as("m"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("m")))
+      .sortBy(t => (t._2, t._1))
+    val n = masses.length
+    val tot = masses.map(_._2).sum
+    val gnum = masses.zipWithIndex
+      .map { case ((_, m), i) => (2L * (i + 1) - n - 1) * m }.sum
+    val gini = gnum * 1000000L / (n.toLong * tot)
+    assert(rows.length == n)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("source") == masses(i)._1, s"rank order at $i")
+      assert(r.getAs[Long]("gini_ppm") == gini)
+    }
+    assert(rows.last.getAs[Long]("cum_ppm") == 1000000L)
+    val cums = rows.map(_.getAs[Long]("cum_ppm"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q217 fano matches the integer variance identity on the zero-filled day grid") {
+    val rows = Quality.queries("q217_type_fano")(spark, sf).collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val allDays = {
+      val ds = ev.map(_._2)
+      val (mn, mx) = (ds.min, ds.max)
+      Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mx)).toSeq
+    }
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val counts = allDays.map(day => ev.count(e => e._1 == et && e._2 == day).toLong)
+      val nd = counts.length.toLong
+      val s1 = counts.sum
+      val s2 = counts.map(c => BigInt(c) * c).sum
+      val fano = (BigInt(nd) * s2 - BigInt(s1) * s1) * 1000000 / (BigInt(nd) * s1)
+      assert(r.getAs[Long]("n_days") == nd)
+      assert(r.getAs[Long]("n_events") == s1)
+      assert(BigInt(r.getAs[Long]("fano_ppm")) == fano, s"$et fano")
+    }
+  }
+
+  test("q218 median and MAD match a sort-based replay on the zero-filled day grid") {
+    val rows = Quality.queries("q218_daily_mad_outliers")(spark, sf).collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val ds = ev.map(_._2)
+    val allDays = Iterator.iterate(ds.min)(_.plusDays(1))
+      .takeWhile(!_.isAfter(ds.max)).toSeq
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val counts = allDays.map(day => ev.count(e => e._1 == et && e._2 == day).toLong)
+      val med = lowerMedian(counts)
+      val mad = lowerMedian(counts.map(c => math.abs(c - med)))
+      assert(r.getAs[Long]("med") == med, s"$et med")
+      assert(r.getAs[Long]("mad") == mad, s"$et mad")
+      val flagged = counts.count(c => math.abs(c - med) > Quality.MadK * mad).toLong
+      assert(r.getAs[Long]("n_flagged") == flagged, s"$et flags")
+    }
+  }
+
+  test("q220 ESS matches the (Σw)²/Σw² replay and never exceeds the doc count") {
+    val rows = Quality.queries("q220_importance_ess")(spark, sf).collect()
+    val ws = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), math.min(1000000L, r.getLong(1) * 1000000L / 60)))
+    def essPpm(xs: Seq[Long]): Long = {
+      val sw = xs.map(BigInt(_)).sum
+      val sw2 = xs.map(x => BigInt(x) * x).sum
+      (sw * sw * 1000000 / (sw2 * xs.length)).toLong
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val xs = if (src == "__all__") ws.map(_._2).toSeq
+               else ws.filter(_._1 == src).map(_._2).toSeq
+      assert(r.getAs[Long]("n_docs") == xs.length.toLong)
+      assert(r.getAs[Long]("ess_ppm") == essPpm(xs), s"$src ess")
+      assert(r.getAs[Long]("ess_ppm") <= 1000000L, "ESS ≤ n always (Cauchy–Schwarz)")
+    }
+  }
+
+  test("q221 truncation and padding are mutually exclusive per doc and bounded") {
+    val rows = Quality.queries("q221_truncation_loss")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(Quality.TruncWindows.contains(r.getAs[Long]("l")))
+      assert(r.getAs[Long]("trunc_ppm") >= 0 && r.getAs[Long]("trunc_ppm") < 1000000L,
+        "cannot lose the whole corpus to truncation")
+      assert(r.getAs[Long]("pad_ppm") >= 0 && r.getAs[Long]("pad_ppm") < 1000000L,
+        "padding cannot exceed the slot mass")
+      assert(r.getAs[Long]("n_trunc") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q222 bucket shares conserve the vocabulary and posting totals") {
+    val rows = Quality.queries("q222_posting_buckets")(spark, sf).collect()
+    assert(rows.length == 32, "all power buckets present with explicit zeros")
+    val nTypes = rows.map(_.getAs[Long]("n_types")).sum
+    val vocab = docs.select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(t) - 1)," +
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+      .distinct().count()
+    assert(nTypes == vocab, "every bigram type lands in exactly one bucket")
+    val shares = rows.map(_.getAs[Long]("types_share_ppm")).sum
+    assert(shares > 1000000L - 32 && shares <= 1000000L)
+  }
+
+  test("q223 oov is exact for a replayed (source, lang) cell and zero-consistent") {
+    val result = Quality.queries("q223_oov_rate")(spark, sf).collect()
+    assert(result.nonEmpty)
+    val toks = docs
+      .select(col("source"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // per-lang top-K replay with the (cnt desc, tok asc) tiebreak
+    val topk: Map[String, Set[String]] = toks.groupBy(_._2).map { case (lang, ts) =>
+      lang -> ts.groupBy(_._3).map { case (t, xs) => (t, xs.size) }.toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(Quality.OovTopK).map(_._1).toSet
+    }
+    result.foreach { r =>
+      val (src, lang) = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val cell = toks.filter(t => t._1 == src && t._2 == lang)
+      val oov = cell.count(t => !topk(lang).contains(t._3)).toLong
+      assert(r.getAs[Long]("n_tokens") == cell.length.toLong, s"$src/$lang n")
+      assert(r.getAs[Long]("n_oov") == oov, s"$src/$lang oov")
+    }
+  }
+
+  test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
+    val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
+    val cells = docs.groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("count")))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val nl = cells.filter(_._1 == src).map(_._3)
+      val n = nl.sum
+      if (n > 1) {
+        val num = nl.map(x => BigInt(x) * (x - 1)).sum
+        val simpson = (num * 1000000 / (BigInt(n) * (n - 1))).toLong
+        assert(r.getAs[Long]("simpson_ppm") == simpson, s"$src simpson")
+        if (nl.length == 1)
+          assert(r.getAs[Long]("simpson_ppm") == 1000000L)
+      }
+      assert(r.getAs[Long]("dominant_ppm") == nl.max * 1000000L / n)
+    }
+  }
+}
