@@ -235,6 +235,100 @@ object Lakehouse {
           expr("CAST(coalesce(nd, 0) * 1000000 DIV t_docs AS BIGINT)")
             .as("doc_share_ppm"))
         .orderBy("bucket_lo")
+    },
+
+    // DISCOUNT-LIFT curve: revenue-per-unit at each discount level
+    // vs the zero-discount baseline — the promo-elasticity read next
+    // to E58/q168's promo share (that one asks "how much revenue is
+    // discounted"; this asks "what does a discount point buy"). The
+    // discount key is the exact DECIMAL(4,2)→percent integer (a
+    // float×100 cast would produce 6.999… on both engines but round
+    // differently); revenue exact decimal shifted ×10⁶ (the q196
+    // rule); lift = one cross-multiplied ratio of two rate fractions
+    // in DECIMAL(38,0)/HUGEINT (rev·qty₀·10⁶ passes int64
+    // immediately). Map-combines onto the 11-value discount grid; the
+    // baseline row is a one-row broadcast.
+    "q231_discount_lift" -> { (s, d) =>
+      val agg = Tables.lineitem(s, d)
+        .select(
+          expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)")
+            .as("disc_pct"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          expr("CAST(l_extendedprice AS DECIMAL(12,2))" +
+            " * (1 - CAST(l_discount AS DECIMAL(4,2)))").as("rev"))
+        .groupBy("disc_pct")
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(col("qty")).cast("long").as("qty"),
+          expr("CAST(sum(rev) * 1000000 AS DECIMAL(38,0))").as("rev_d"))
+        .withColumn("rev_u", expr("CAST(rev_d AS BIGINT)"))
+      val base = agg.filter(col("disc_pct") === 0)
+        .select(col("rev_d").as("rev0"), col("qty").as("qty0"))
+      agg.crossJoin(broadcast(base))
+        .select(col("disc_pct"), col("n_lines"), col("qty"), col("rev_u"),
+          expr("CAST(rev_d * qty0 * 1000000" +
+            " DIV (rev0 * qty) AS BIGINT)").as("lift_ppm"))
+        .orderBy("disc_pct")
+    },
+
+    // Ship-delay DECILES per order priority — the SLA distribution
+    // read (E7-adjacent): lower deciles of datediff(ship, order) per
+    // priority, computed WITHOUT a corpus sort: per-priority counts
+    // collapse onto the (priority, delay) VALUE grid (delay is
+    // day-granular and bounded by the date span, so the grid is
+    // value-bounded — the permitted window class), the cumulative is
+    // one grid window, and each decile is the row whose cumulative
+    // interval covers position ⌈q·n/10⌉. Day arithmetic via
+    // datediff on DATEs in both engines (µs DIV would floor/trunc
+    // differently on the NEGATIVE delays this synthetic data has).
+    "q232_ship_delay_deciles" -> { (s, d) =>
+      val dl = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("v"))
+      val grid = dl.groupBy("prio", "v").agg(count(lit(1)).as("f"))
+      val wc = Window.partitionBy("prio").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = grid.withColumn("below", coalesce(sum(col("f")).over(wc), lit(0L)))
+      val n = grid.groupBy("prio").agg(sum(col("f")).as("n"))
+      val qg = s.range(1, 10).select(col("id").as("q"))
+      cum.join(broadcast(n), "prio").crossJoin(broadcast(qg))
+        .withColumn("pos", expr("(q * n + 9) DIV 10"))
+        .filter(col("below") < col("pos") && col("pos") <= col("below") + col("f"))
+        .select(col("prio"), col("q"), col("v").as("delay_days"),
+          col("n").cast("long").as("n"))
+        .orderBy("prio", "q")
+    },
+
+    // ANALYZE-TABLE statistics image — the catalog-stats collection a
+    // planner's CBO runs before q226's estimates mean anything: per
+    // column ndv / null count / min / max for the lineitem key and
+    // measure columns, ONE scan wide-aggregated then unpivoted (the
+    // five countDistincts are one Expand ×5 — the documented ANALYZE
+    // price; a deployment swaps HLL registers per E57's sketch for
+    // the exact ndv at scale). Doubles are integer-valued quantities
+    // cast BIGINT on both engines; no float ever crosses the oracle.
+    "q234_analyze_stats" -> { (s, d) =>
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity")
+      val li = Tables.lineitem(s, d)
+        .select(cols.map(c => expr(s"CAST($c AS BIGINT)").as(c)): _*)
+      val aggs = cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"nul_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val structs = cols.map(c =>
+        s"named_struct('column_name', '$c', 'ndv', ndv_$c, 'n_nulls', nul_$c," +
+          s" 'min_v', min_$c, 'max_v', max_$c)").mkString(", ")
+      wide.select(explode(expr(s"array($structs)")).as("r"))
+        .select(col("r.column_name"), col("r.ndv").cast("long").as("ndv"),
+          col("r.n_nulls").cast("long").as("n_nulls"),
+          col("r.min_v").cast("long").as("min_v"),
+          col("r.max_v").cast("long").as("max_v"))
+        .orderBy("column_name")
     }
   )
 
@@ -384,6 +478,84 @@ object Lakehouse {
         |  CAST(COALESCE(bk.nd, 0) * 1000000 // t.t_docs AS BIGINT)
         |    AS doc_share_ppm
         |FROM pw LEFT JOIN bk USING (lo) CROSS JOIN t
-        |ORDER BY bucket_lo""".stripMargin
+        |ORDER BY bucket_lo""".stripMargin,
+
+    "q231_discount_lift" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+        |      AS disc_pct,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT disc_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(qty) AS BIGINT) AS qty,
+        |    CAST(SUM(rev) * 1000000 AS HUGEINT) AS rev_d
+        |  FROM li GROUP BY 1),
+        |base AS (SELECT rev_d AS rev0, qty AS qty0 FROM agg WHERE disc_pct = 0)
+        |SELECT a.disc_pct, a.n_lines, a.qty,
+        |  CAST(a.rev_d AS BIGINT) AS rev_u,
+        |  CAST(a.rev_d * b.qty0 * 1000000 // (b.rev0 * a.qty) AS BIGINT)
+        |    AS lift_ppm
+        |FROM agg a CROSS JOIN base b ORDER BY a.disc_pct""".stripMargin,
+
+    "q232_ship_delay_deciles" ->
+      """WITH dl AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |grid AS (SELECT prio, v, COUNT(*) AS f FROM dl GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT prio, v, f,
+        |    COALESCE(SUM(f) OVER (PARTITION BY prio ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM grid),
+        |n AS (SELECT prio, SUM(f) AS n FROM grid GROUP BY 1),
+        |qg AS (SELECT g.q AS q FROM UNNEST(generate_series(1, 9)) g(q))
+        |SELECT c.prio, CAST(qg.q AS BIGINT) AS q, c.v AS delay_days,
+        |  CAST(n.n AS BIGINT) AS n
+        |FROM cum c JOIN n USING (prio) CROSS JOIN qg
+        |WHERE c.below < (qg.q * n.n + 9) // 10
+        |  AND (qg.q * n.n + 9) // 10 <= c.below + c.f
+        |ORDER BY c.prio, q""".stripMargin,
+
+    "q234_analyze_stats" ->
+      """WITH w AS (
+        |  SELECT
+        |    COUNT(DISTINCT l_orderkey) AS ndv_ok,
+        |      COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS nul_ok,
+        |      MIN(CAST(l_orderkey AS BIGINT)) AS min_ok,
+        |      MAX(CAST(l_orderkey AS BIGINT)) AS max_ok,
+        |    COUNT(DISTINCT l_partkey) AS ndv_pk,
+        |      COUNT(*) FILTER (WHERE l_partkey IS NULL) AS nul_pk,
+        |      MIN(CAST(l_partkey AS BIGINT)) AS min_pk,
+        |      MAX(CAST(l_partkey AS BIGINT)) AS max_pk,
+        |    COUNT(DISTINCT l_suppkey) AS ndv_sk,
+        |      COUNT(*) FILTER (WHERE l_suppkey IS NULL) AS nul_sk,
+        |      MIN(CAST(l_suppkey AS BIGINT)) AS min_sk,
+        |      MAX(CAST(l_suppkey AS BIGINT)) AS max_sk,
+        |    COUNT(DISTINCT l_linenumber) AS ndv_ln,
+        |      COUNT(*) FILTER (WHERE l_linenumber IS NULL) AS nul_ln,
+        |      MIN(CAST(l_linenumber AS BIGINT)) AS min_ln,
+        |      MAX(CAST(l_linenumber AS BIGINT)) AS max_ln,
+        |    COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS ndv_q,
+        |      COUNT(*) FILTER (WHERE l_quantity IS NULL) AS nul_q,
+        |      MIN(CAST(l_quantity AS BIGINT)) AS min_q,
+        |      MAX(CAST(l_quantity AS BIGINT)) AS max_q
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS column_name, CAST(ndv_ok AS BIGINT) AS ndv,
+        |  CAST(nul_ok AS BIGINT) AS n_nulls, min_ok AS min_v, max_ok AS max_v
+        |FROM w
+        |UNION ALL SELECT 'l_partkey', CAST(ndv_pk AS BIGINT),
+        |  CAST(nul_pk AS BIGINT), min_pk, max_pk FROM w
+        |UNION ALL SELECT 'l_suppkey', CAST(ndv_sk AS BIGINT),
+        |  CAST(nul_sk AS BIGINT), min_sk, max_sk FROM w
+        |UNION ALL SELECT 'l_linenumber', CAST(ndv_ln AS BIGINT),
+        |  CAST(nul_ln AS BIGINT), min_ln, max_ln FROM w
+        |UNION ALL SELECT 'l_quantity', CAST(ndv_q AS BIGINT),
+        |  CAST(nul_q AS BIGINT), min_q, max_q FROM w
+        |ORDER BY column_name""".stripMargin
   )
 }

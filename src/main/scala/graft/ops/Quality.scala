@@ -411,6 +411,107 @@ object Quality {
         .withColumn("oov_ppm",
           expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)"))
         .orderBy("source", "lang")
+    },
+
+    // Top event-type PATH TRIGRAMS — the 3-step sequence-mining layer
+    // above q215's one-step Markov matrix (a Markov chain cannot see
+    // that view→click→purchase outruns its pairwise factorization;
+    // path mining can). Two per-USER lead()s, counts map-combined
+    // onto the ≤|types|³ path grid, top-10 by TakeOrdered with the
+    // full (n desc, t1, t2, t3) tiebreak; share_ppm against the total
+    // trigram mass rides along as a one-row broadcast.
+    "q230_path_trigrams" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tri = ev
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tri.agg(sum(col("n")).as("t_tri"))
+      tri.crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("t3"), col("n").cast("long").as("n"),
+          expr("CAST(n * 1000000 DIV t_tri AS BIGINT)").as("share_ppm"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(10)
+    },
+
+    // Product-quantization CODEBOOK assignment — the vector-
+    // compression audit next to E6/q117's IVF cells: the 64-dim
+    // embedding splits into two 32-dim subvectors, each assigned to
+    // its nearest of 4 deterministic centroids (the 4 smallest
+    // vec_ids — a real PQ trains these; the assignment/audit plumbing
+    // is identical), L2² in q3 fixed point (the q112/q204 convention)
+    // with the mirrored two-step argmin (min distance, then min
+    // centroid id on ties — no engine-specific arg_min). Output: the
+    // 4×4 code-cell occupancy with explicit zeros plus the total
+    // quantization error per cell — the numbers that size a PQ index
+    // and expose dead codes. Centroid table is 256 broadcast rows;
+    // distances map-combine onto (vec, subspace, centroid).
+    "q233_pq_codebook" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val el = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          expr("CAST(i DIV 32 AS BIGINT)").as("ss"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT)").as("q3"))
+      val cids = emb.select(col("vec_id").as("cid")).orderBy("cid").limit(4)
+      val cent = el.join(broadcast(cids), col("vec_id") === col("cid"))
+        .select(col("cid"), col("i"), col("q3").as("c3"))
+      val dist = el.join(broadcast(cent), Seq("i"))
+        .groupBy(col("vec_id"), col("ss"), col("cid"))
+        .agg(sum((col("q3") - col("c3")) * (col("q3") - col("c3"))).as("d2"))
+      val md = dist.groupBy("vec_id", "ss").agg(min(col("d2")).as("md"))
+      val best = dist.join(md, Seq("vec_id", "ss"))
+        .filter(col("d2") === col("md"))
+        .groupBy("vec_id", "ss", "md").agg(min(col("cid")).as("code"))
+      val codes = best.groupBy("vec_id")
+        .agg(max(when(col("ss") === 0, col("code"))).as("code0"),
+          max(when(col("ss") === 1, col("code"))).as("code1"),
+          sum(col("md")).as("qerr"))
+      val cells = codes.groupBy("code0", "code1")
+        .agg(count(lit(1)).as("nv"), sum(col("qerr")).as("qe"))
+      val grid = cids.select(col("cid").as("code0"))
+        .crossJoin(broadcast(cids.select(col("cid").as("code1"))))
+      val tot = emb.agg(count(lit(1)).as("tv"))
+      grid.join(cells, Seq("code0", "code1"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("code0"), col("code1"),
+          coalesce(col("nv"), lit(0L)).cast("long").as("n_vecs"),
+          coalesce(col("qe"), lit(0L)).cast("long").as("qerr_u"),
+          expr("CAST(coalesce(nv, 0) * 1000000 DIV tv AS BIGINT)").as("share_ppm"))
+        .orderBy("code0", "code1")
+    },
+
+    // Event-stream DISORDER audit — how out-of-order is event time
+    // relative to arrival order (event_id), per type: the number a
+    // streaming deployment sets its WATERMARK delay by (B14's
+    // watermarks assume a bound; this measures it). late = ts behind
+    // the running max of the user's earlier arrivals (per-USER window
+    // — arrival state bounded by one user's history); depth in µs
+    // with the max and DECIMAL-widened sum emitted (Σdepth passes
+    // int64 near 10⁶ very-late events × month-deep lateness).
+    "q235_event_disorder" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tu"))
+        .withColumn("pm", max(col("tu")).over(w))
+        .withColumn("depth",
+          when(col("pm").isNotNull && col("pm") > col("tu"),
+            col("pm") - col("tu")).otherwise(lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          count(when(col("depth") > 0, 1)).cast("long").as("n_late"),
+          max(col("depth")).cast("long").as("max_depth_us"),
+          sum(expr("CAST(depth AS DECIMAL(38,0))")).as("sd"))
+        .select(col("event_type"), col("n_events"), col("n_late"),
+          expr("CAST(n_late * 1000000 DIV n_events AS BIGINT)").as("late_ppm"),
+          col("max_depth_us"),
+          expr("CAST(sd AS BIGINT)").as("sum_depth_us"))
+        .orderBy("event_type")
     }
   )
 
@@ -671,6 +772,81 @@ object Quality {
          |  CAST(COUNT(*) FILTER (WHERE k.tok IS NULL) * 1000000
          |    // COUNT(*) AS BIGINT) AS oov_ppm
          |FROM toks t LEFT JOIN topk k ON k.lang = t.lang AND k.tok = t.tok
-         |GROUP BY 1, 2 ORDER BY t.source, t.lang""".stripMargin
+         |GROUP BY 1, 2 ORDER BY t.source, t.lang""".stripMargin,
+
+    "q230_path_trigrams" ->
+      """WITH p AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (
+        |  SELECT t1, t2, t3, COUNT(*) AS n FROM p
+        |  WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+        |t AS (SELECT SUM(n) AS t_tri FROM tri)
+        |SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // t.t_tri AS BIGINT) AS share_ppm
+        |FROM tri CROSS JOIN t
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin,
+
+    "q233_pq_codebook" ->
+      """WITH el AS (
+        |  SELECT vec_id, g.i - 1 AS i, (g.i - 1) // 32 AS ss,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |      AS q3
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)),
+        |cid AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cent AS (SELECT c.cid, e.i, e.q3 AS c3
+        |         FROM el e JOIN cid c ON e.vec_id = c.cid),
+        |dist AS (
+        |  SELECT e.vec_id, e.ss, c.cid,
+        |    SUM((e.q3 - c.c3) * (e.q3 - c.c3)) AS d2
+        |  FROM el e JOIN cent c USING (i) GROUP BY 1, 2, 3),
+        |md AS (SELECT vec_id, ss, MIN(d2) AS md FROM dist GROUP BY 1, 2),
+        |best AS (
+        |  SELECT d.vec_id, d.ss, m.md, MIN(d.cid) AS code
+        |  FROM dist d JOIN md m
+        |    ON d.vec_id = m.vec_id AND d.ss = m.ss AND d.d2 = m.md
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN ss = 0 THEN code END) AS code0,
+        |    MAX(CASE WHEN ss = 1 THEN code END) AS code1,
+        |    SUM(md) AS qerr
+        |  FROM best GROUP BY 1),
+        |grid AS (SELECT a.cid AS code0, b.cid AS code1
+        |         FROM cid a CROSS JOIN cid b),
+        |cc AS (SELECT code0, code1, COUNT(*) AS nv, SUM(qerr) AS qe
+        |       FROM codes GROUP BY 1, 2),
+        |t AS (SELECT COUNT(*) AS tv FROM embeddings)
+        |SELECT g.code0, g.code1,
+        |  CAST(COALESCE(cc.nv, 0) AS BIGINT) AS n_vecs,
+        |  CAST(COALESCE(cc.qe, 0) AS BIGINT) AS qerr_u,
+        |  CAST(COALESCE(cc.nv, 0) * 1000000 // t.tv AS BIGINT) AS share_ppm
+        |FROM grid g LEFT JOIN cc USING (code0, code1) CROSS JOIN t
+        |ORDER BY g.code0, g.code1""".stripMargin,
+
+    "q235_event_disorder" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tu,
+        |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM events),
+        |dd AS (
+        |  SELECT event_type,
+        |    CASE WHEN pm IS NOT NULL AND pm > tu THEN pm - tu ELSE 0 END AS depth
+        |  FROM e),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) FILTER (WHERE depth > 0) AS BIGINT) AS n_late,
+        |    CAST(MAX(depth) AS BIGINT) AS max_depth_us,
+        |    SUM(CAST(depth AS HUGEINT)) AS sd
+        |  FROM dd GROUP BY 1)
+        |SELECT event_type, n_events, n_late,
+        |  CAST(n_late * 1000000 // n_events AS BIGINT) AS late_ppm,
+        |  max_depth_us, CAST(sd AS BIGINT) AS sum_depth_us
+        |FROM agg ORDER BY event_type""".stripMargin
   )
 }

@@ -117,6 +117,52 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q231 the zero-discount row is its own baseline at exactly 1e6 lift") {
+    val rows = Lakehouse.queries("q231_discount_lift")(spark, sf).collect()
+    val base = rows.find(_.getAs[Long]("disc_pct") == 0L)
+    assert(base.isDefined, "the 0% discount level must exist")
+    assert(base.get.getAs[Long]("lift_ppm") == 1000000L)
+    val totalLines = rows.map(_.getAs[Long]("n_lines")).sum
+    assert(totalLines == graft.model.Tables.lineitem(spark, sf).count())
+    rows.foreach(r => assert(r.getAs[Long]("rev_u") > 0))
+  }
+
+  test("q232 each decile matches a sort-based replay per priority") {
+    val rows = Lakehouse.queries("q232_ship_delay_deciles")(spark, sf).collect()
+    val dl = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val prios = dl.map(_._1).distinct
+    assert(rows.length == prios.length * 9, "9 deciles per priority")
+    rows.foreach { r =>
+      val vs = dl.filter(_._1 == r.getAs[String]("prio")).map(_._2).sorted
+      val q = r.getAs[Long]("q").toInt
+      val pos = (q * vs.length + 9) / 10
+      assert(r.getAs[Long]("delay_days") == vs(pos - 1),
+        s"${r.getAs[String]("prio")} decile $q")
+      assert(r.getAs[Long]("n") == vs.length.toLong)
+    }
+  }
+
+  test("q234 stats match direct DataFrame aggregates per column") {
+    val rows = Lakehouse.queries("q234_analyze_stats")(spark, sf).collect()
+    assert(rows.length == 5)
+    val li = graft.model.Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val c = r.getAs[String]("column_name")
+      val cast = col(c).cast("long")
+      val exp = li.agg(countDistinct(cast), min(cast), max(cast)).collect().head
+      assert(r.getAs[Long]("ndv") == exp.getLong(0), s"$c ndv")
+      assert(r.getAs[Long]("min_v") == exp.getLong(1), s"$c min")
+      assert(r.getAs[Long]("max_v") == exp.getLong(2), s"$c max")
+      assert(r.getAs[Long]("n_nulls") == 0L)
+    }
+  }
+
   test("q229 bucket masses conserve the corpus and dup_excess counts deletable rows") {
     val rows = Lakehouse.queries("q229_dupgroup_histogram")(spark, sf).collect()
     assert(rows.length == 20)

@@ -217,6 +217,76 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q230 trigram mass conserves Σ max(0, events−2) per user and rows are rank-ordered") {
+    val rows = Quality.queries("q230_path_trigrams")(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "top-10 must be n-descending")
+    val perUser = graft.model.Tables.events(spark, sf)
+      .groupBy("user_id").count().collect().map(_.getAs[Long]("count"))
+    val totalTri = perUser.map(c => math.max(0L, c - 2)).sum
+    // share_ppm is measured against that exact total
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") == r.getAs[Long]("n") * 1000000L / totalTri)
+    }
+  }
+
+  test("q233 cell occupancy matches a per-vector nearest-centroid replay") {
+    val rows = Quality.queries("q233_pq_codebook")(spark, sf).collect()
+    assert(rows.length == 16, "4x4 code grid with explicit zeros")
+    val vecs = graft.model.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray))
+      .sortBy(_._1)
+    val cents = vecs.take(4)
+    def assign(v: Array[Long], ss: Int): (Long, Long) = {
+      val range = ss * 32 until (ss + 1) * 32
+      val d2s = cents.map { case (cid, c) =>
+        (range.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum, cid)
+      }
+      val m = d2s.map(_._1).min
+      (d2s.filter(_._1 == m).map(_._2).min, m)
+    }
+    val replay = vecs.map { case (_, v) =>
+      val (c0, e0) = assign(v, 0); val (c1, e1) = assign(v, 1)
+      ((c0, c1), e0 + e1)
+    }
+    val cellN = replay.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val cellE = replay.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("code0"), r.getAs[Long]("code1"))
+      assert(r.getAs[Long]("n_vecs") == cellN.getOrElse(k, 0L), s"cell $k count")
+      assert(r.getAs[Long]("qerr_u") == cellE.getOrElse(k, 0L), s"cell $k err")
+    }
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == vecs.length.toLong)
+  }
+
+  test("q235 disorder matches a per-user running-max replay") {
+    val rows = Quality.queries("q235_event_disorder")(spark, sf).collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tu")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val depths = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(_._3)
+      var runMax = Long.MinValue
+      sorted.map { e =>
+        val depth = if (runMax != Long.MinValue && runMax > e._4) runMax - e._4 else 0L
+        runMax = math.max(runMax, e._4)
+        (e._2, depth)
+      }.toSeq
+    }
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val ds = depths.filter(_._1 == et).map(_._2)
+      assert(r.getAs[Long]("n_events") == ds.length.toLong, s"$et n")
+      assert(r.getAs[Long]("n_late") == ds.count(_ > 0).toLong, s"$et late")
+      assert(r.getAs[Long]("max_depth_us") == ds.max, s"$et max depth")
+      assert(r.getAs[Long]("sum_depth_us") == ds.sum, s"$et sum depth")
+    }
+  }
+
   test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
     val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
     val cells = docs.groupBy("source", "lang").count().collect()
