@@ -512,6 +512,198 @@ object Quality {
           col("max_depth_us"),
           expr("CAST(sd AS BIGINT)").as("sum_depth_us"))
         .orderBy("event_type")
+    },
+
+    // RFM OCTANT segmentation — recency/frequency/monetary, each
+    // split at its corpus mean by integer CROSS-MULTIPLICATION
+    // (x·n ≤ Σx — never a mean division, so the split is exact in
+    // both engines; quantile splits would need a corpus sort, the
+    // mean split map-combines). Monetary in exact DECIMAL(12,2)
+    // cents; the 2³ = 8 octant grid carries explicit zeros (q158
+    // rule). Per-user reduction is one key shuffle; the three means
+    // are a one-row broadcast.
+    "q236_rfm_octants" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+      val mx = ev.agg(max(col("day")).as("mx"))
+      val u = ev.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(min(datediff(col("mx"), col("day"))).cast("long").as("r"),
+          count(lit(1)).cast("long").as("f"),
+          sum(col("cents")).cast("long").as("m"))
+      val t = u.agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+        sum(col("f")).as("sf"), sum(col("m")).as("sm"))
+      val seg = u.crossJoin(broadcast(t))
+        .select(
+          when(col("r") * col("n") <= col("sr"), 1L).otherwise(0L).as("recent"),
+          when(col("f") * col("n") >= col("sf"), 1L).otherwise(0L).as("frequent"),
+          when(col("m") * col("n") >= col("sm"), 1L).otherwise(0L).as("monetary"))
+        .groupBy("recent", "frequent", "monetary")
+        .agg(count(lit(1)).as("nu"))
+      val bits = s.range(0, 2).select(col("id").as("b"))
+      val grid = bits.select(col("b").as("recent"))
+        .crossJoin(broadcast(bits.select(col("b").as("frequent"))))
+        .crossJoin(broadcast(bits.select(col("b").as("monetary"))))
+      val nTot = u.agg(count(lit(1)).as("nt"))
+      grid.join(seg, Seq("recent", "frequent", "monetary"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("recent"), col("frequent"), col("monetary"),
+          coalesce(col("nu"), lit(0L)).cast("long").as("n_users"),
+          expr("CAST(coalesce(nu, 0) * 1000000 DIV nt AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy("recent", "frequent", "monetary")
+    },
+
+    // Daily CROSS-correlation between event-type pairs at lags 0–7 —
+    // "does click lead purchase by k days": the between-series
+    // sibling of E40/q150's within-series autocorrelation (a ≠ b
+    // pairs only — the diagonal IS q150). raw(lag) = Σ_d a(d)·b(d+lag)
+    // over the zero-filled day grid (silent days are signal); the
+    // ratio to the pair's own lag-0 product is floor-ppm, so a
+    // lead-lag asymmetry reads directly. Everything lives on the
+    // (day × type) grid × 8 broadcast lags; products widened
+    // DECIMAL(38,0)/HUGEINT (a·b passes int64 once both types log
+    // ~3·10⁹/day).
+    "q237_type_crosscorr" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val days = bounds.select(col("mn"), explode(expr("sequence(mn, mx)")).as("day"))
+        .select(datediff(col("day"), col("mn")).cast("long").as("di"), col("day"))
+      val types = ev.select("event_type").distinct()
+      val cells = days.crossJoin(broadcast(types))
+        .join(ev.groupBy("event_type", "day").agg(count(lit(1)).as("c0")),
+          Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("di"),
+          coalesce(col("c0"), lit(0L)).as("c"))
+      val lags = s.range(0, 8).select(col("id").as("lag"))
+      val shifted = cells.crossJoin(broadcast(lags))
+        .select(col("event_type").as("t_from"), (col("di") + col("lag")).as("dj"),
+          col("c").as("ca"), col("lag"))
+      val raw = shifted.join(
+          cells.select(col("event_type").as("t_to"), col("di").as("dj"),
+            col("c").as("cb")), Seq("dj"))
+        .filter(col("t_from") =!= col("t_to"))
+        .groupBy("t_from", "t_to", "lag")
+        .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("raw_d"))
+        .withColumn("raw", expr("CAST(raw_d AS BIGINT)"))
+      val base = raw.filter(col("lag") === 0)
+        .select(col("t_from"), col("t_to"), col("raw_d").as("raw0"))
+      raw.join(base, Seq("t_from", "t_to"))
+        .select(col("t_from"), col("t_to"), col("lag"), col("raw"),
+          expr("CASE WHEN raw0 > 0 THEN CAST(raw_d * 1000000 DIV raw0 AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("ratio_ppm"))
+        .orderBy("t_from", "t_to", "lag")
+    },
+
+    // 1-D EARTH-MOVER distance between each source's length
+    // distribution and the rest of the corpus — the integral-of-
+    // |CDF-gap| metric next to E2/q113's KS (sup of the gap) and
+    // E32/q142's TVD (density gap): EMD alone scores HOW FAR mass
+    // moved, not just that it differs. Exact integer: both CDFs in
+    // floor-ppm on the shared |distinct lengths| VALUE grid, gap
+    // integrated × the value step (lead on the global grid — the
+    // permitted window class), normalized by the value span. The
+    // corpus-sized input collapses onto the grid in one map-combined
+    // agg; the |sources|×|values| frame is grid-bounded.
+    "q238_emd_lengths" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      val g = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("f0"))
+      val vgrid = docs.groupBy("n_chars").agg(count(lit(1)).as("fa"))
+      val wv = Window.orderBy("n_chars")
+      val gv = vgrid
+        .withColumn("cum_all", sum(col("fa")).over(
+          wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("dv",
+          coalesce(lead(col("n_chars"), 1).over(wv) - col("n_chars"), lit(0L)))
+      val srcs = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      val full = srcs.crossJoin(gv.select("n_chars", "cum_all", "dv"))
+        .join(g, Seq("source", "n_chars"), "left")
+        .withColumn("f", coalesce(col("f0"), lit(0L)))
+      val ws = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = docs.agg(count(lit(1)).as("n_all"))
+      full.withColumn("cum_s", sum(col("f")).over(ws))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"), col("ns"))
+        .agg(sum(abs(expr("cum_s * 1000000 DIV ns") -
+            expr("(cum_all - cum_s) * 1000000 DIV (n_all - ns)")) * col("dv"))
+          .cast("long").as("emd_u"),
+          (max(col("n_chars")) - min(col("n_chars"))).cast("long").as("span"))
+        .select(col("source"), col("ns").cast("long").as("n_docs"),
+          col("emd_u"),
+          expr("CAST(emd_u DIV span AS BIGINT)").as("emd_ppm"))
+        .orderBy("source")
+    },
+
+    // Balanced one-way ANOVA of daily volume by WEEKDAY per event
+    // type — does day-of-week explain the variance (eta² = SSB/SST)?
+    // The variance-DECOMPOSITION read next to F29/q208's forecast-
+    // error ratio. The day grid is truncated to the first 4 FULL
+    // WEEKS (28 days) so every weekday has exactly 4 observations —
+    // the balanced design is what makes eta² exact integer:
+    // eta²_ppm = (7·ΣT_g² − T²)·10⁶ DIV (28·Σc² − T²), no per-group
+    // division ever. Weekday index via datediff-mod-7 from the
+    // corpus min day (engine-neutral — no locale-dependent dow()).
+    // Squares widened DECIMAL(38,0)/HUGEINT.
+    "q239_weekday_anova" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val bounds = ev.agg(min(col("day")).as("mn"))
+      val days = bounds.select(col("mn"), explode(expr("sequence(mn, date_add(mn, 27))")).as("day"))
+        .select(col("day"), (datediff(col("day"), col("mn")) % 7).cast("long").as("wd"))
+      val types = ev.select("event_type").distinct()
+      val cells = days.crossJoin(broadcast(types))
+        .join(ev.groupBy("event_type", "day").agg(count(lit(1)).as("c0")),
+          Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("wd"), coalesce(col("c0"), lit(0L)).as("c"))
+      val byWd = cells.groupBy("event_type", "wd")
+        .agg(sum(col("c")).as("tg"))
+      val agg = cells.groupBy("event_type")
+        .agg(sum(col("c")).as("t"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      byWd.groupBy("event_type")
+        .agg(sum(expr("CAST(tg AS DECIMAL(38,0)) * tg")).as("stg2"))
+        .join(agg, "event_type")
+        .select(col("event_type"), col("t").cast("long").as("n_events_28d"),
+          expr("CASE WHEN 28 * s2 - CAST(t AS DECIMAL(38,0)) * t > 0" +
+            " THEN CAST((7 * stg2 - CAST(t AS DECIMAL(38,0)) * t) * 1000000" +
+            " DIV (28 * s2 - CAST(t AS DECIMAL(38,0)) * t) AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("eta2_ppm"))
+        .orderBy("event_type")
+    },
+
+    // MUTUAL nearest-neighbor SOURCES by exact token-set Jaccard —
+    // the source-level merge candidate detector (two sources that are
+    // each other's closest vocabulary neighbor are one crawl seen
+    // twice; one-directional nearest is just similar). Vocabulary
+    // sets are |vocab|-bounded, so the exact pair matrix is a
+    // grid-bounded join (F31/q210's sketch matrix is the 100 TB
+    // estimate; this is its exact small-grid sibling). Nearest =
+    // mirrored two-step argmax (max j, then min name on ties — no
+    // engine arg_max); mutual = one self-join of the NN relation.
+    "q240_mutual_nn_sources" -> { (s, d) =>
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = st.join(st.select(col("source").as("s2"), col("tok")), Seq("tok"))
+        .filter(col("source") =!= col("s2"))
+        .groupBy("source", "s2").agg(count(lit(1)).as("ix"))
+      val jac = inter
+        .join(broadcast(sizes), "source")
+        .join(broadcast(sizes.select(col("source").as("s2"), col("nv").as("nv2"))), "s2")
+        .select(col("source"), col("s2"),
+          expr("CAST(ix * 1000000 DIV (nv + nv2 - ix) AS BIGINT)").as("j_ppm"))
+      val mj = jac.groupBy("source").agg(max(col("j_ppm")).as("mj"))
+      val nn = jac.join(mj, "source").filter(col("j_ppm") === col("mj"))
+        .groupBy(col("source"), col("mj")).agg(min(col("s2")).as("nn"))
+      val rev = nn.select(col("source").as("nn"), col("nn").as("rev_nn"))
+      nn.join(rev, Seq("nn"), "left")
+        .select(col("source"), col("nn"), col("mj").as("j_ppm"),
+          when(col("rev_nn") === col("source"), 1L).otherwise(0L).as("mutual"))
+        .orderBy("source")
     }
   )
 
@@ -847,6 +1039,156 @@ object Quality {
         |SELECT event_type, n_events, n_late,
         |  CAST(n_late * 1000000 // n_events AS BIGINT) AS late_ppm,
         |  max_depth_us, CAST(sd AS BIGINT) AS sum_depth_us
-        |FROM agg ORDER BY event_type""".stripMargin
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    "q236_rfm_octants" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS mx FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(MIN(date_diff('day', day, mx.mx)) AS BIGINT) AS r,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(cents) AS BIGINT) AS m
+        |  FROM ev CROSS JOIN mx GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n, SUM(r) AS sr, SUM(f) AS sf, SUM(m) AS sm
+        |      FROM u),
+        |seg AS (
+        |  SELECT CASE WHEN u.r * t.n <= t.sr THEN 1 ELSE 0 END AS recent,
+        |    CASE WHEN u.f * t.n >= t.sf THEN 1 ELSE 0 END AS frequent,
+        |    CASE WHEN u.m * t.n >= t.sm THEN 1 ELSE 0 END AS monetary
+        |  FROM u CROSS JOIN t),
+        |cnt AS (SELECT recent, frequent, monetary, COUNT(*) AS nu
+        |        FROM seg GROUP BY 1, 2, 3),
+        |bits AS (SELECT g.b AS b FROM UNNEST(generate_series(0, 1)) g(b)),
+        |grid AS (
+        |  SELECT CAST(a.b AS BIGINT) AS recent, CAST(b2.b AS BIGINT) AS frequent,
+        |    CAST(c.b AS BIGINT) AS monetary
+        |  FROM bits a CROSS JOIN bits b2 CROSS JOIN bits c),
+        |nt AS (SELECT COUNT(*) AS nt FROM u)
+        |SELECT g.recent, g.frequent, g.monetary,
+        |  CAST(COALESCE(cnt.nu, 0) AS BIGINT) AS n_users,
+        |  CAST(COALESCE(cnt.nu, 0) * 1000000 // nt.nt AS BIGINT) AS share_ppm
+        |FROM grid g LEFT JOIN cnt USING (recent, frequent, monetary)
+        |CROSS JOIN nt ORDER BY g.recent, g.frequent, g.monetary""".stripMargin,
+
+    "q237_type_crosscorr" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+        |days AS (
+        |  SELECT CAST(date_diff('day', mn, CAST(g.d AS DATE)) AS BIGINT) AS di,
+        |    CAST(g.d AS DATE) AS day
+        |  FROM b, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) g(d)),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |daily AS (SELECT event_type, day, COUNT(*) AS c0 FROM ev GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT t.event_type, dy.di, COALESCE(d2.c0, 0) AS c
+        |  FROM days dy CROSS JOIN ty t
+        |  LEFT JOIN daily d2 ON d2.event_type = t.event_type AND d2.day = dy.day),
+        |lags AS (SELECT CAST(g.l AS BIGINT) AS lag
+        |         FROM UNNEST(generate_series(0, 7)) g(l)),
+        |raw AS (
+        |  SELECT a.event_type AS t_from, b2.event_type AS t_to, l.lag,
+        |    SUM(CAST(a.c AS HUGEINT) * b2.c) AS raw_d
+        |  FROM cells a CROSS JOIN lags l
+        |  JOIN cells b2 ON b2.di = a.di + l.lag
+        |    AND b2.event_type <> a.event_type
+        |  GROUP BY 1, 2, 3),
+        |base AS (SELECT t_from, t_to, raw_d AS raw0 FROM raw WHERE lag = 0)
+        |SELECT r.t_from, r.t_to, r.lag, CAST(r.raw_d AS BIGINT) AS raw,
+        |  CASE WHEN b3.raw0 > 0
+        |    THEN CAST(r.raw_d * 1000000 // b3.raw0 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS ratio_ppm
+        |FROM raw r JOIN base b3 USING (t_from, t_to)
+        |ORDER BY r.t_from, r.t_to, r.lag""".stripMargin,
+
+    "q238_emd_lengths" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, COUNT(*) AS f0
+        |  FROM documents GROUP BY 1, 2),
+        |gv AS (
+        |  SELECT n_chars,
+        |    SUM(fa) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all,
+        |    COALESCE(lead(n_chars) OVER (ORDER BY n_chars) - n_chars, 0) AS dv
+        |  FROM (SELECT n_chars, COUNT(*) AS fa FROM documents GROUP BY 1) v),
+        |srcs AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+        |fl AS (
+        |  SELECT s.source, s.ns, gv.n_chars, gv.cum_all, gv.dv,
+        |    COALESCE(g.f0, 0) AS f
+        |  FROM srcs s CROSS JOIN gv
+        |  LEFT JOIN g ON g.source = s.source AND g.n_chars = gv.n_chars),
+        |cs AS (
+        |  SELECT source, ns, n_chars, cum_all, dv,
+        |    SUM(f) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+        |  FROM fl),
+        |t AS (SELECT COUNT(*) AS n_all FROM documents)
+        |SELECT cs.source, CAST(cs.ns AS BIGINT) AS n_docs,
+        |  CAST(SUM(abs(cs.cum_s * 1000000 // cs.ns
+        |    - (cs.cum_all - cs.cum_s) * 1000000 // (t.n_all - cs.ns)) * cs.dv)
+        |    AS BIGINT) AS emd_u,
+        |  CAST(SUM(abs(cs.cum_s * 1000000 // cs.ns
+        |    - (cs.cum_all - cs.cum_s) * 1000000 // (t.n_all - cs.ns)) * cs.dv)
+        |    // (MAX(cs.n_chars) - MIN(cs.n_chars)) AS BIGINT) AS emd_ppm
+        |FROM cs CROSS JOIN t
+        |GROUP BY cs.source, cs.ns ORDER BY cs.source""".stripMargin,
+
+    "q239_weekday_anova" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT MIN(day) AS mn FROM ev),
+        |days AS (
+        |  SELECT CAST(g.d AS DATE) AS day,
+        |    CAST(date_diff('day', mn, CAST(g.d AS DATE)) % 7 AS BIGINT) AS wd
+        |  FROM b, UNNEST(generate_series(mn, CAST(mn + INTERVAL 27 DAY AS DATE),
+        |    INTERVAL 1 DAY)) g(d)),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |daily AS (SELECT event_type, day, COUNT(*) AS c0 FROM ev GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT t.event_type, dy.wd, COALESCE(d2.c0, 0) AS c
+        |  FROM days dy CROSS JOIN ty t
+        |  LEFT JOIN daily d2 ON d2.event_type = t.event_type AND d2.day = dy.day),
+        |bywd AS (SELECT event_type, wd, SUM(c) AS tg FROM cells GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, SUM(c) AS t,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM cells GROUP BY 1),
+        |sg AS (SELECT event_type, SUM(CAST(tg AS HUGEINT) * tg) AS stg2
+        |       FROM bywd GROUP BY 1)
+        |SELECT a.event_type, CAST(a.t AS BIGINT) AS n_events_28d,
+        |  CASE WHEN 28 * a.s2 - CAST(a.t AS HUGEINT) * a.t > 0
+        |    THEN CAST((7 * sg.stg2 - CAST(a.t AS HUGEINT) * a.t) * 1000000
+        |      // (28 * a.s2 - CAST(a.t AS HUGEINT) * a.t) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS eta2_ppm
+        |FROM agg a JOIN sg USING (event_type)
+        |ORDER BY a.event_type""".stripMargin,
+
+    "q240_mutual_nn_sources" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) x),
+        |sizes AS (SELECT source, COUNT(*) AS nv FROM st GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source, b.source AS s2, COUNT(*) AS ix
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source <> b.source
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT i.source, i.s2,
+        |    CAST(i.ix * 1000000 // (sa.nv + sb.nv - i.ix) AS BIGINT) AS j_ppm
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.source = i.source
+        |  JOIN sizes sb ON sb.source = i.s2),
+        |mj AS (SELECT source, MAX(j_ppm) AS mj FROM jac GROUP BY 1),
+        |nn AS (
+        |  SELECT j.source, m.mj, MIN(j.s2) AS nn
+        |  FROM jac j JOIN mj m ON j.source = m.source AND j.j_ppm = m.mj
+        |  GROUP BY 1, 2)
+        |SELECT n1.source, n1.nn, n1.mj AS j_ppm,
+        |  CAST(CASE WHEN n2.nn = n1.source THEN 1 ELSE 0 END AS BIGINT) AS mutual
+        |FROM nn n1 LEFT JOIN nn n2 ON n2.source = n1.nn
+        |ORDER BY n1.source""".stripMargin
   )
 }

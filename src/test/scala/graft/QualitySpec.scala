@@ -287,6 +287,123 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q236 octants conserve the user population and split at the exact means") {
+    val rows = Quality.queries("q236_rfm_octants")(spark, sf).collect()
+    assert(rows.length == 8, "2^3 octants with explicit zeros")
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val mx = ev.map(_._2).max
+    val users = ev.groupBy(_._1).map { case (_, es) =>
+      (es.map(e => java.time.temporal.ChronoUnit.DAYS.between(e._2, mx)).min,
+        es.length.toLong, es.map(_._3).sum)
+    }.toSeq
+    val n = users.length.toLong
+    val (sr, sfq, sm) = (users.map(_._1).sum, users.map(_._2).sum, users.map(_._3).sum)
+    val replay = users.groupBy(u => (
+      if (u._1 * n <= sr) 1L else 0L,
+      if (u._2 * n >= sfq) 1L else 0L,
+      if (u._3 * n >= sm) 1L else 0L)).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.map(_.getAs[Long]("n_users")).sum == n)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("recent"), r.getAs[Long]("frequent"),
+        r.getAs[Long]("monetary"))
+      assert(r.getAs[Long]("n_users") == replay.getOrElse(k, 0L), s"octant $k")
+    }
+  }
+
+  test("q237 lag-0 is symmetric with ratio exactly 1e6 and matches a day-grid replay") {
+    val rows = Quality.queries("q237_type_crosscorr")(spark, sf).collect()
+    val at = rows.map(r => ((r.getAs[String]("t_from"), r.getAs[String]("t_to"),
+      r.getAs[Long]("lag")), (r.getAs[Long]("raw"), r.getAs[Long]("ratio_ppm")))).toMap
+    at.keys.filter(_._3 == 0L).foreach { case (a, b, _) =>
+      assert(at((a, b, 0L))._1 == at((b, a, 0L))._1, s"lag-0 symmetry $a/$b")
+      if (at((a, b, 0L))._1 > 0) assert(at((a, b, 0L))._2 == 1000000L)
+    }
+    // replay one pair-lag from the zero-filled day grid
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val ds = ev.map(_._2); val (mn, mxd) = (ds.min, ds.max)
+    val days = Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mxd)).toSeq
+    def series(t: String) = days.map(day => ev.count(e => e._1 == t && e._2 == day).toLong)
+    val (ta, tb) = (at.keys.head._1, at.keys.head._2)
+    val (sa, sb) = (series(ta), series(tb))
+    (0 to 7).foreach { lag =>
+      val exp = sa.dropRight(lag).zip(sb.drop(lag)).map { case (x, y) => x * y }.sum
+      assert(at((ta, tb, lag.toLong))._1 == exp, s"$ta->$tb lag $lag")
+    }
+  }
+
+  test("q238 emd matches a CDF-integral replay and is bounded by the ppm scale") {
+    val rows = Quality.queries("q238_emd_lengths")(spark, sf).collect()
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val values = docs.map(_._2).distinct.sorted
+    val nAll = docs.length.toLong
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ns = docs.count(_._1 == src).toLong
+      var (cumS, cumAll, emd) = (0L, 0L, 0L)
+      values.zipWithIndex.foreach { case (v, i) =>
+        cumS += docs.count(x => x._1 == src && x._2 == v)
+        cumAll += docs.count(_._2 == v)
+        val dv = if (i + 1 < values.length) values(i + 1) - v else 0L
+        emd += math.abs(cumS * 1000000L / ns -
+          (cumAll - cumS) * 1000000L / (nAll - ns)) * dv
+      }
+      assert(r.getAs[Long]("emd_u") == emd, s"$src emd")
+      assert(r.getAs[Long]("emd_ppm") == emd / (values.max - values.min))
+      assert(r.getAs[Long]("emd_ppm") <= 1000000L, "mean CDF gap cannot exceed 1e6")
+    }
+  }
+
+  test("q239 eta2 stays in [0, 1e6] and matches the balanced-design integer identity") {
+    val rows = Quality.queries("q239_weekday_anova")(spark, sf).collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val mn = ev.map(_._2).min
+    val days = (0 until 28).map(i => mn.plusDays(i))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val cs = days.map(day => ev.count(e => e._1 == et && e._2 == day).toLong)
+      val t = cs.sum
+      val s2 = cs.map(c => BigInt(c) * c).sum
+      val tg = (0 until 7).map(w =>
+        days.zipWithIndex.filter(_._2 % 7 == w).map(d => cs(d._2)).sum)
+      val stg2 = tg.map(x => BigInt(x) * x).sum
+      val den = BigInt(28) * s2 - BigInt(t) * t
+      val exp = if (den > 0) ((BigInt(7) * stg2 - BigInt(t) * t) * 1000000 / den).toLong
+                else 0L
+      assert(r.getAs[Long]("eta2_ppm") == exp, s"$et eta2")
+      assert(r.getAs[Long]("eta2_ppm") >= 0 && r.getAs[Long]("eta2_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_events_28d") == t)
+    }
+  }
+
+  test("q240 mutual flags are symmetric and jaccard matches a set replay") {
+    val rows = Quality.queries("q240_mutual_nn_sources")(spark, sf).collect()
+    val byS = rows.map(r => r.getAs[String]("source") ->
+      (r.getAs[String]("nn"), r.getAs[Long]("mutual"))).toMap
+    byS.foreach { case (src, (nn, mutual)) =>
+      if (mutual == 1L) assert(byS(nn)._1 == src, s"$src claims mutual with $nn")
+      else if (byS.contains(nn)) assert(byS(nn)._1 != src)
+    }
+    val sets = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s2, xs) => s2 -> xs.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source"), r.getAs[String]("nn"))
+      val j = sets(a).intersect(sets(b)).size.toLong * 1000000L /
+        (sets(a).union(sets(b)).size)
+      assert(r.getAs[Long]("j_ppm") == j, s"$a->$b jaccard")
+    }
+  }
+
   test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
     val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
     val cells = docs.groupBy("source", "lang").count().collect()
