@@ -704,6 +704,137 @@ object Quality {
         .select(col("source"), col("nn"), col("mj").as("j_ppm"),
           when(col("rev_nn") === col("source"), 1L).otherwise(0L).as("mutual"))
         .orderBy("source")
+    },
+
+    // BIGRAM-LM BACKTEST — train a majority-continuation bigram model
+    // on the doc_id % 3 == 0 split (the q37 profile convention) and
+    // score next-token accuracy on the held-out docs, per language:
+    // the cheapest possible language-model signal, and the sanity
+    // bound any learned LM must beat on this corpus. The model is the
+    // vocab-bounded (w1 → argmax-count w2) table (mirrored two-step
+    // argmax, min w2 on ties) broadcast against the test bigram
+    // stream; coverage (w1 seen in training) is emitted so accuracy
+    // is never read against unseen contexts silently. Integer exact
+    // end to end.
+    "q241_bigram_lm_accuracy" -> { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("lang"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val trainCnt = bg.filter(col("doc_id") % 3 === 0)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val mxc = trainCnt.groupBy("w1").agg(max(col("c")).as("mc"))
+      val model = trainCnt.join(mxc, "w1").filter(col("c") === col("mc"))
+        .groupBy("w1").agg(min(col("w2")).as("pred"))
+      bg.filter(col("doc_id") % 3 =!= 0)
+        .join(broadcast(model), Seq("w1"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_pos"),
+          count(when(col("pred").isNotNull, 1)).cast("long").as("n_covered"),
+          count(when(col("pred") === col("w2"), 1)).cast("long").as("n_correct"))
+        .select(col("lang"), col("n_pos"),
+          expr("CAST(n_covered * 1000000 DIV n_pos AS BIGINT)").as("coverage_ppm"),
+          expr("CAST(n_correct * 1000000 DIV n_pos AS BIGINT)").as("acc_ppm"))
+        .orderBy("lang")
+    },
+
+    // CHURN-LABEL construction audit — the label-building step of a
+    // retention model: feature window = days 0–20 from the corpus min
+    // day, label = any activity in days 21–27; users bucketed by
+    // feature-window activity (power of 2) with churn rate per bucket
+    // — the monotone activity→retention gradient a model must at
+    // least reproduce, and the leakage check (label events NEVER
+    // counted in the feature) is structural: the two windows are
+    // disjoint filters of one scan. Users outside both windows drop
+    // (no label defined); buckets are a broadcast range join.
+    "q242_churn_labels" -> { (s, d) =>
+      val ev = Tables.events(s, d).crossJoin(broadcast(
+          Tables.events(s, d).agg(min(to_date(col("ts"))).as("mn"))))
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), col("mn")).cast("long").as("di"))
+      val u = ev.filter(col("di") < 28)
+        .groupBy("user_id")
+        .agg(count(when(col("di") <= 20, 1)).cast("long").as("f_events"),
+          count(when(col("di") >= 21, 1)).cast("long").as("l_events"))
+        .filter(col("f_events") > 0)
+        .withColumn("active", when(col("l_events") > 0, 1L).otherwise(0L))
+      val pw = s.range(0, 12).select(expr("shiftleft(1L, CAST(id AS INT))").as("lo"))
+      val bk = u.join(broadcast(pw),
+          col("f_events") >= col("lo") && col("f_events") < col("lo") * 2)
+        .groupBy("lo")
+        .agg(count(lit(1)).as("nu"), sum(col("active")).as("na"))
+      pw.join(bk, Seq("lo"), "left")
+        .select(col("lo").as("bucket_lo"),
+          coalesce(col("nu"), lit(0L)).cast("long").as("n_users"),
+          coalesce(col("na"), lit(0L)).cast("long").as("n_retained"),
+          expr("CASE WHEN coalesce(nu, 0) > 0 THEN" +
+            " CAST((nu - na) * 1000000 DIV nu AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("churn_ppm"))
+        .orderBy("bucket_lo")
+    },
+
+    // DAU/WAU STICKINESS per event type over the 4-full-week window
+    // (the q239 balanced frame): avgDAU/avgWAU collapses to the exact
+    // integer ΣDAU·10⁶ DIV (7·ΣWAU) — 10⁶ ppm = every weekly-active
+    // user active daily. Distinct users per (type, day) and per
+    // (type, week) are two map-combined countDistincts over one scan;
+    // no window anywhere. The classic product-analytics engagement
+    // ratio, and the shape a 100 TB events store answers from its
+    // (day, type)-partitioned layout without a global pass.
+    "q243_dau_wau_stickiness" -> { (s, d) =>
+      val ev = Tables.events(s, d).crossJoin(broadcast(
+          Tables.events(s, d).agg(min(to_date(col("ts"))).as("mn"))))
+        .select(col("event_type"), col("user_id"),
+          datediff(to_date(col("ts")), col("mn")).cast("long").as("di"))
+        .filter(col("di") < 28)
+      val dau = ev.groupBy(col("event_type"), col("di"))
+        .agg(countDistinct(col("user_id")).as("du"))
+        .groupBy("event_type").agg(sum(col("du")).cast("long").as("sum_dau"))
+      val wau = ev.groupBy(col("event_type"), expr("di DIV 7").as("wk"))
+        .agg(countDistinct(col("user_id")).as("wu"))
+        .groupBy("event_type").agg(sum(col("wu")).cast("long").as("sum_wau"))
+      dau.join(wau, "event_type")
+        .select(col("event_type"), col("sum_dau"), col("sum_wau"),
+          expr("CAST(sum_dau * 1000000 DIV (7 * sum_wau) AS BIGINT)")
+            .as("stickiness_ppm"))
+        .orderBy("event_type")
+    },
+
+    // AUDIENCE-OVERLAP matrix — distinct-user Jaccard between event
+    // types: "are purchasers a subset of clickers" read directly from
+    // the full |types|² grid (explicit zeros, q158 rule). The pair
+    // stream is built from per-USER type sets (≤|types| per user, so
+    // the explode is ≤|types|² per user — linear in users, never a
+    // user-set self-join); sizes broadcast back. The entity-level
+    // sibling of F61/q240's source-vocabulary matrix.
+    "q244_audience_overlap" -> { (s, d) =>
+      val ut = Tables.events(s, d).select(col("user_id"), col("event_type"))
+        .distinct()
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val pairs = ut.join(ut.select(col("user_id"), col("event_type").as("t2")),
+          Seq("user_id"))
+        .filter(col("event_type") =!= col("t2"))
+        .groupBy(col("event_type").as("ta"), col("t2").as("tb"))
+        .agg(count(lit(1)).as("ix"))
+      val types = ut.select("event_type").distinct()
+      val grid = types.select(col("event_type").as("ta"))
+        .crossJoin(broadcast(types.select(col("event_type").as("tb"))))
+        .filter(col("ta") =!= col("tb"))
+      grid.join(pairs, Seq("ta", "tb"), "left")
+        .join(broadcast(sizes.select(col("event_type").as("ta"), col("nu").as("na"))), "ta")
+        .join(broadcast(sizes.select(col("event_type").as("tb"), col("nu").as("nb"))), "tb")
+        .select(col("ta"), col("tb"),
+          coalesce(col("ix"), lit(0L)).cast("long").as("n_both"),
+          expr("CAST(coalesce(ix, 0) * 1000000" +
+            " DIV (na + nb - coalesce(ix, 0)) AS BIGINT)").as("jaccard_ppm"),
+          expr("CAST(coalesce(ix, 0) * 1000000 DIV na AS BIGINT)")
+            .as("containment_ppm"))
+        .orderBy("ta", "tb")
     }
   )
 
@@ -1189,6 +1320,100 @@ object Quality {
         |SELECT n1.source, n1.nn, n1.mj AS j_ppm,
         |  CAST(CASE WHEN n2.nn = n1.source THEN 1 ELSE 0 END AS BIGINT) AS mutual
         |FROM nn n1 LEFT JOIN nn n2 ON n2.source = n1.nn
-        |ORDER BY n1.source""".stripMargin
+        |ORDER BY n1.source""".stripMargin,
+
+    "q241_bigram_lm_accuracy" ->
+      """WITH t0 AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+        |            FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, t[g.i] AS w1, t[g.i + 1] AS w2
+        |  FROM t0, UNNEST(generate_series(1, len(t) - 1)) g(i)
+        |  WHERE len(t) >= 2),
+        |tc AS (SELECT w1, w2, COUNT(*) AS c FROM bg
+        |       WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+        |mxc AS (SELECT w1, MAX(c) AS mc FROM tc GROUP BY 1),
+        |model AS (
+        |  SELECT tc.w1, MIN(tc.w2) AS pred
+        |  FROM tc JOIN mxc ON tc.w1 = mxc.w1 AND tc.c = mxc.mc
+        |  GROUP BY 1),
+        |test AS (SELECT lang, w1, w2 FROM bg WHERE doc_id % 3 <> 0)
+        |SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_pos,
+        |  CAST(COUNT(*) FILTER (WHERE m.pred IS NOT NULL) * 1000000
+        |    // COUNT(*) AS BIGINT) AS coverage_ppm,
+        |  CAST(COUNT(*) FILTER (WHERE m.pred = t.w2) * 1000000
+        |    // COUNT(*) AS BIGINT) AS acc_ppm
+        |FROM test t LEFT JOIN model m USING (w1)
+        |GROUP BY 1 ORDER BY t.lang""".stripMargin,
+
+    "q242_churn_labels" ->
+      """WITH mn AS (SELECT MIN(CAST(ts AS DATE)) AS mn FROM events),
+        |ev AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', mn.mn, CAST(ts AS DATE)) AS BIGINT) AS di
+        |  FROM events CROSS JOIN mn),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(*) FILTER (WHERE di <= 20) AS BIGINT) AS f_events,
+        |    CASE WHEN COUNT(*) FILTER (WHERE di >= 21) > 0 THEN 1 ELSE 0 END
+        |      AS active
+        |  FROM ev WHERE di < 28 GROUP BY 1
+        |  HAVING COUNT(*) FILTER (WHERE di <= 20) > 0),
+        |pw AS (SELECT CAST(1::BIGINT << g.i AS BIGINT) AS lo
+        |       FROM UNNEST(generate_series(0, 11)) g(i)),
+        |bk AS (
+        |  SELECT pw.lo, COUNT(*) AS nu, SUM(u.active) AS na
+        |  FROM u JOIN pw ON u.f_events >= pw.lo AND u.f_events < pw.lo * 2
+        |  GROUP BY 1)
+        |SELECT pw.lo AS bucket_lo,
+        |  CAST(COALESCE(bk.nu, 0) AS BIGINT) AS n_users,
+        |  CAST(COALESCE(bk.na, 0) AS BIGINT) AS n_retained,
+        |  CASE WHEN COALESCE(bk.nu, 0) > 0
+        |    THEN CAST((bk.nu - bk.na) * 1000000 // bk.nu AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS churn_ppm
+        |FROM pw LEFT JOIN bk USING (lo) ORDER BY bucket_lo""".stripMargin,
+
+    "q243_dau_wau_stickiness" ->
+      """WITH mn AS (SELECT MIN(CAST(ts AS DATE)) AS mn FROM events),
+        |ev AS (
+        |  SELECT event_type, user_id,
+        |    CAST(date_diff('day', mn.mn, CAST(ts AS DATE)) AS BIGINT) AS di
+        |  FROM events CROSS JOIN mn),
+        |f AS (SELECT * FROM ev WHERE di < 28),
+        |dau AS (
+        |  SELECT event_type, CAST(SUM(du) AS BIGINT) AS sum_dau FROM (
+        |    SELECT event_type, di, COUNT(DISTINCT user_id) AS du
+        |    FROM f GROUP BY 1, 2) x GROUP BY 1),
+        |wau AS (
+        |  SELECT event_type, CAST(SUM(wu) AS BIGINT) AS sum_wau FROM (
+        |    SELECT event_type, di // 7 AS wk, COUNT(DISTINCT user_id) AS wu
+        |    FROM f GROUP BY 1, 2) x GROUP BY 1)
+        |SELECT d.event_type, d.sum_dau, w.sum_wau,
+        |  CAST(d.sum_dau * 1000000 // (7 * w.sum_wau) AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM dau d JOIN wau w USING (event_type)
+        |ORDER BY d.event_type""".stripMargin,
+
+    "q244_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, COUNT(*) AS nu FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS ix
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM ty a CROSS JOIN ty b WHERE a.event_type <> b.event_type)
+        |SELECT g.ta, g.tb,
+        |  CAST(COALESCE(p.ix, 0) AS BIGINT) AS n_both,
+        |  CAST(COALESCE(p.ix, 0) * 1000000
+        |    // (sa.nu + sb.nu - COALESCE(p.ix, 0)) AS BIGINT) AS jaccard_ppm,
+        |  CAST(COALESCE(p.ix, 0) * 1000000 // sa.nu AS BIGINT)
+        |    AS containment_ppm
+        |FROM grid g LEFT JOIN pairs p USING (ta, tb)
+        |JOIN sizes sa ON sa.event_type = g.ta
+        |JOIN sizes sb ON sb.event_type = g.tb
+        |ORDER BY g.ta, g.tb""".stripMargin
   )
 }

@@ -404,6 +404,82 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q241 accuracy never exceeds coverage and the model replays on a held-out position") {
+    val rows = Quality.queries("q241_bigram_lm_accuracy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("acc_ppm") <= r.getAs[Long]("coverage_ppm"),
+        "a correct prediction requires a covered context")
+      assert(r.getAs[Long]("coverage_ppm") <= 1000000L)
+    }
+    // replay: the total test positions equal Σ max(0, len−1) over test docs
+    val lens = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(size(split(col("text"), " "))).collect().map(_.getInt(0).toLong)
+    assert(rows.map(_.getAs[Long]("n_pos")).sum ==
+      lens.map(l => math.max(0L, l - 1)).sum)
+  }
+
+  test("q242 buckets conserve the featured population and windows are disjoint") {
+    val rows = Quality.queries("q242_churn_labels")(spark, sf).collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_retained") <= r.getAs[Long]("n_users"))
+      val (nu, na) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_retained"))
+      if (nu > 0)
+        assert(r.getAs[Long]("churn_ppm") == (nu - na) * 1000000L / nu)
+    }
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val mn = ev.map(_._2).min
+    val featured = ev.groupBy(_._1).count { case (_, es) =>
+      es.exists(e => java.time.temporal.ChronoUnit.DAYS.between(mn, e._2) <= 20)
+    }
+    assert(rows.map(_.getAs[Long]("n_users")).sum == featured.toLong)
+  }
+
+  test("q243 stickiness is bounded by 1e6 and DAU/WAU sums replay") {
+    val rows = Quality.queries("q243_dau_wau_stickiness")(spark, sf).collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val mn = ev.map(_._3).min
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val es = ev.filter(e => e._1 == et &&
+        java.time.temporal.ChronoUnit.DAYS.between(mn, e._3) < 28)
+      val dau = es.groupBy(e => e._3).map(_._2.map(_._2).distinct.size.toLong).sum
+      val wau = es.groupBy(e =>
+        java.time.temporal.ChronoUnit.DAYS.between(mn, e._3) / 7)
+        .map(_._2.map(_._2).distinct.size.toLong).sum
+      assert(r.getAs[Long]("sum_dau") == dau, s"$et dau")
+      assert(r.getAs[Long]("sum_wau") == wau, s"$et wau")
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L,
+        "daily actives cannot exceed 7x weekly actives")
+    }
+  }
+
+  test("q244 the overlap matrix is jaccard-symmetric with containment scaled by audience") {
+    val rows = Quality.queries("q244_audience_overlap")(spark, sf).collect()
+    val m = rows.map(r => ((r.getAs[String]("ta"), r.getAs[String]("tb")),
+      (r.getAs[Long]("n_both"), r.getAs[Long]("jaccard_ppm")))).toMap
+    m.foreach { case ((a, b), (nb, j)) =>
+      assert(m((b, a))._1 == nb, s"n_both symmetric $a/$b")
+      assert(m((b, a))._2 == j, s"jaccard symmetric $a/$b")
+    }
+    val ut = graft.model.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("ta"), r.getAs[String]("tb"))
+      val ua = ut.filter(_._2 == a).map(_._1).toSet
+      val ub = ut.filter(_._2 == b).map(_._1).toSet
+      assert(r.getAs[Long]("n_both") == ua.intersect(ub).size.toLong)
+      assert(r.getAs[Long]("containment_ppm") ==
+        ua.intersect(ub).size.toLong * 1000000L / ua.size)
+    }
+  }
+
   test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
     val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
     val cells = docs.groupBy("source", "lang").count().collect()
