@@ -457,8 +457,13 @@ object Quality {
           expr("CAST(i DIV 32 AS BIGINT)").as("ss"),
           expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT)").as("q3"))
       val cids = emb.select(col("vec_id").as("cid")).orderBy("cid").limit(4)
-      val cent = el.join(broadcast(cids), col("vec_id") === col("cid"))
-        .select(col("cid"), col("i"), col("q3").as("c3"))
+      // centroid elements derive from the LIMITed rows directly (not a
+      // join back into the full element stream) so the broadcast side
+      // is structurally bounded — PlanSpec's broadcast audit checks this
+      val cent = emb.orderBy("vec_id").limit(4)
+        .select(col("vec_id").as("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("cid"), col("i").cast("long").as("i"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT)").as("c3"))
       val dist = el.join(broadcast(cent), Seq("i"))
         .groupBy(col("vec_id"), col("ss"), col("cid"))
         .agg(sum((col("q3") - col("c3")) * (col("q3") - col("c3"))).as("d2"))
@@ -611,12 +616,16 @@ object Quality {
       val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
       val g = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("f0"))
       val vgrid = docs.groupBy("n_chars").agg(count(lit(1)).as("fa"))
-      val wv = Window.orderBy("n_chars")
-      val gv = vgrid
-        .withColumn("cum_all", sum(col("fa")).over(
-          wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("dv",
-          coalesce(lead(col("n_chars"), 1).over(wv) - col("n_chars"), lit(0L)))
+      // global cumulative + next-value step WITHOUT an unpartitioned
+      // window (the fleet PlanSpec rule): both are ≤/>-joins on the
+      // broadcast value grid — the q201/q203 predecessor-count form
+      val v2 = vgrid.select(col("n_chars").as("vc"), col("fa").as("fa2"))
+      val cumg = vgrid.join(broadcast(v2), col("vc") <= col("n_chars"))
+        .groupBy("n_chars").agg(sum(col("fa2")).as("cum_all"))
+      val nextg = vgrid.join(broadcast(v2), col("vc") > col("n_chars"), "left")
+        .groupBy("n_chars").agg(min(col("vc")).as("nxt"))
+      val gv = cumg.join(nextg, "n_chars")
+        .withColumn("dv", coalesce(col("nxt") - col("n_chars"), lit(0L)))
       val srcs = docs.groupBy("source").agg(count(lit(1)).as("ns"))
       val full = srcs.crossJoin(gv.select("n_chars", "cum_all", "dv"))
         .join(g, Seq("source", "n_chars"), "left")

@@ -92,7 +92,13 @@ class PlanSpec extends AnyFunSuite {
     // n_chars qualifies like "day": document length is capped by corpus
     // policy (a constant), so the distinct-lengths grid is domain-bounded
     // no matter how many documents exist (q203's rank grid)
-    val boundedDomainKeys = Set("day", "lang", "source", "event_type", "n_chars")
+    // from_type/to_type are event_type ALIASES (q215's transition grid);
+    // tok/w1 are vocabulary keys — policy-bounded exactly like n_chars
+    // (the repo-wide vocab-grid doctrine: q77/q214/q223/q241 broadcast
+    // vocabulary-sized aggregates by design); disc_pct is DECIMAL(4,2)
+    // percent (≤ 101 values by schema); prio aliases o_orderpriority.
+    val boundedDomainKeys = Set("day", "lang", "source", "event_type", "n_chars",
+      "from_type", "to_type", "tok", "w1", "disc_pct", "prio")
     // Recursive: a subtree is bounded if every path from the broadcast
     // root down to a fact leaf passes through a LIMIT, a one-row
     // (groupless) aggregate, or an aggregate grouped only on
