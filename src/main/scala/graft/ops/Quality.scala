@@ -844,6 +844,139 @@ object Quality {
           expr("CAST(coalesce(ix, 0) * 1000000 DIV na AS BIGINT)")
             .as("containment_ppm"))
         .orderBy("ta", "tb")
+    },
+
+    // POSITIONAL vocabulary drift per language — TVD between the
+    // unigram distribution of first-half vs second-half token
+    // POSITIONS within documents: prompts/templates load the front of
+    // a doc, boilerplate footers the back, and either skews any model
+    // trained on truncated windows (F42/q221 prices the truncation;
+    // this detects what the kept half over-represents). Both halves'
+    // counts collapse onto the |langs|×|vocab| grid in ONE pass
+    // (half = position ≤ size/2); TVD floor-ppm per the E32/q142
+    // convention.
+    "q245_positional_drift" -> { (s, d) =>
+      val pos = Tables.documents(s, d)
+        .select(col("lang"), tokens(col("text")).as("t"))
+        .select(col("lang"), size(col("t")).as("n"),
+          posexplode(col("t")).as(Seq("i", "tok")))
+        .select(col("lang"), col("tok"),
+          when(col("i") * 2 < col("n"), 1L).otherwise(0L).as("h1"))
+      val cell = pos.groupBy("lang", "tok")
+        .agg(sum(col("h1")).as("c1"), sum(lit(1) - col("h1")).as("c2"))
+      val tot = cell.groupBy("lang")
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cell.join(broadcast(tot), "lang")
+        .groupBy(col("lang"), col("n1"), col("n2"))
+        .agg(sum(abs(expr("c1 * 1000000 DIV n1") -
+          expr("c2 * 1000000 DIV n2"))).as("sdiff"))
+        .select(col("lang"), col("n1").cast("long").as("n_first"),
+          col("n2").cast("long").as("n_second"),
+          expr("CAST(sdiff DIV 2 AS BIGINT)").as("tvd_ppm"))
+        .orderBy("lang")
+    },
+
+    // FUNNEL LATENCY quantiles — days from a user's FIRST view to the
+    // first purchase AFTER it: D5k/q71 counts who converts; this
+    // measures how long conversion takes (the number a retention
+    // campaign is timed by). Median and p90 computed on the
+    // day-granular delta VALUE grid by predecessor-count (the grid is
+    // bounded by the date span — never a sort over users); earliest
+    // timestamps are plain min-aggregates per user, one key shuffle
+    // each.
+    "q246_funnel_latency" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vts"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("ts") >= col("vts"))
+        .groupBy("user_id").agg(min(col("ts")).as("pts"), min(col("vts")).as("vts2"))
+        .select(datediff(to_date(col("pts")), to_date(col("vts2")))
+          .cast("long").as("delta"))
+      val grid = conv.groupBy("delta").agg(count(lit(1)).as("f"))
+      val g2 = grid.select(col("delta").as("d2"), col("f").as("f2"))
+      val below = grid.join(broadcast(g2), col("d2") < col("delta"), "left")
+        .groupBy("delta", "f").agg(coalesce(sum(col("f2")), lit(0L)).as("below"))
+      val n = grid.agg(sum(col("f")).as("n"))
+      val qg = s.range(0, 2)
+        .select(expr("CASE WHEN id = 0 THEN 50L ELSE 90L END").as("q"))
+      below.crossJoin(broadcast(n)).crossJoin(broadcast(qg))
+        .withColumn("pos", expr("(q * n + 99) DIV 100"))
+        .filter(col("below") < col("pos") && col("pos") <= col("below") + col("f"))
+        .select(col("q"), col("delta").as("delta_days"),
+          col("n").cast("long").as("n_converted"))
+        .orderBy("q")
+    },
+
+    // REVENUE CONCENTRATION — which power-of-2 customer-value bucket
+    // the top-80% revenue line crosses: the 80/20 read of the Pareto
+    // question F37/q216 answers for sources, scaled to a corpus-sized
+    // entity (customers) by bucketing BEFORE any ordering, so the
+    // only ordered structure is the 40-row bucket grid (suffix sums =
+    // grid self-join, never a customer sort). Revenue exact DECIMAL
+    // cents; cum-from-top floor-ppm; crossing flag emitted per
+    // bucket.
+    "q247_revenue_concentration" -> { (s, d) =>
+      val cust = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+      // 40 buckets reach 2^40 cents (~$11B per customer) — no silent
+      // drop of a whale outside the grid (the q222 no-silent-caps rule)
+      val pw = s.range(0, 40).select(expr("shiftleft(1L, CAST(id AS INT))").as("lo"))
+      val bk = cust.join(broadcast(pw),
+          col("rev") >= col("lo") && col("rev") < col("lo") * 2)
+        .groupBy("lo").agg(count(lit(1)).as("nc"),
+          sum(expr("CAST(rev AS DECIMAL(38,0))")).as("rv"))
+      val full = pw.join(bk, Seq("lo"), "left")
+        .select(col("lo"), coalesce(col("nc"), lit(0L)).as("nc"),
+          coalesce(col("rv"), expr("CAST(0 AS DECIMAL(38,0))")).as("rv"))
+      val f2 = full.select(col("lo").as("lo2"), col("rv").as("rv2"))
+      val tot = full.agg(sum(col("rv")).as("t_rev"), sum(col("nc")).as("t_cust"))
+      full.join(broadcast(f2), col("lo2") >= col("lo"))
+        .groupBy("lo", "nc", "rv").agg(sum(col("rv2")).as("cum_top"))
+        .crossJoin(broadcast(tot))
+        .select(col("lo").as("bucket_lo"), col("nc").cast("long").as("n_cust"),
+          expr("CAST(rv AS BIGINT)").as("rev_c"),
+          expr("CASE WHEN t_rev > 0 THEN CAST(cum_top * 1000000 DIV t_rev AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("cum_from_top_ppm"),
+          expr("CASE WHEN t_rev > 0 AND cum_top * 1000000 DIV t_rev >= 800000" +
+            " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("covers_80"))
+        .orderBy("bucket_lo")
+    },
+
+    // Cramér's V² of the lang × source association — the EFFECT SIZE
+    // the E63/q173 chi-square lacks (chi² grows with N; V² =
+    // chi²/(N·min(r−1,c−1)) is scale-free, and V is its square root —
+    // both engines stop at V², the last transcendental-free point).
+    // Per-cell contributions follow q173's exact-sufficient-statistics
+    // + cell-rounded-µ rule, summed to ONE audit row. The contingency
+    // grid is |langs|×|sources|; margins are broadcast aggregates of
+    // the grid.
+    "q248_cramers_v2" -> { (s, d) =>
+      val cell = Tables.documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).cast("long").as("obs"))
+      val rowT = cell.groupBy("lang").agg(sum(col("obs")).as("row_tot"))
+      val colT = cell.groupBy("source").agg(sum(col("obs")).as("col_tot"))
+      val grand = cell.agg(sum(col("obs")).as("n_tot"),
+        countDistinct(col("lang")).as("r"), countDistinct(col("source")).as("c"))
+      cell.join(broadcast(rowT), "lang").join(broadcast(colT), "source")
+        .crossJoin(broadcast(grand))
+        .select(col("n_tot"), col("r"), col("c"),
+          expr("""CAST(round(
+              CAST(CAST(obs AS DECIMAL(38,0)) * n_tot - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE) *
+              CAST(CAST(obs AS DECIMAL(38,0)) * n_tot - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE) /
+              CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE) /
+              CAST(n_tot AS DOUBLE) * 1000000) AS BIGINT)""").as("contrib_e6"))
+        .groupBy(col("n_tot"), col("r"), col("c"))
+        .agg(sum(col("contrib_e6")).cast("long").as("chi2_e6"))
+        .select(col("n_tot").cast("long").as("n_docs"),
+          col("r").cast("long").as("n_langs"), col("c").cast("long").as("n_sources"),
+          col("chi2_e6"),
+          expr("CAST(chi2_e6 DIV (n_tot * least(r - 1, c - 1)) AS BIGINT)")
+            .as("v2_ppm"))
     }
   )
 
@@ -1423,6 +1556,103 @@ object Quality {
         |FROM grid g LEFT JOIN pairs p USING (ta, tb)
         |JOIN sizes sa ON sa.event_type = g.ta
         |JOIN sizes sb ON sb.event_type = g.tb
-        |ORDER BY g.ta, g.tb""".stripMargin
+        |ORDER BY g.ta, g.tb""".stripMargin,
+
+    "q245_positional_drift" ->
+      """WITH pos AS (
+        |  SELECT lang, t[g.i] AS tok,
+        |    CASE WHEN (g.i - 1) * 2 < len(t) THEN 1 ELSE 0 END AS h1
+        |  FROM (SELECT lang, string_split(text, ' ') AS t FROM documents) x,
+        |    UNNEST(generate_series(1, len(t))) g(i)),
+        |cell AS (
+        |  SELECT lang, tok, SUM(h1) AS c1, SUM(1 - h1) AS c2
+        |  FROM pos GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(c1) AS n1, SUM(c2) AS n2 FROM cell GROUP BY 1)
+        |SELECT c.lang, CAST(t.n1 AS BIGINT) AS n_first,
+        |  CAST(t.n2 AS BIGINT) AS n_second,
+        |  CAST(SUM(abs(c.c1 * 1000000 // t.n1 - c.c2 * 1000000 // t.n2)) // 2
+        |    AS BIGINT) AS tvd_ppm
+        |FROM cell c JOIN tot t USING (lang)
+        |GROUP BY c.lang, t.n1, t.n2 ORDER BY c.lang""".stripMargin,
+
+    "q246_funnel_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(ts) AS vts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id,
+        |    CAST(date_diff('day', CAST(MIN(f.vts) AS DATE),
+        |      CAST(MIN(e.ts) AS DATE)) AS BIGINT) AS delta
+        |  FROM events e JOIN fv f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= f.vts
+        |  GROUP BY 1),
+        |grid AS (SELECT delta, COUNT(*) AS f FROM conv GROUP BY 1),
+        |below AS (
+        |  SELECT a.delta, a.f, COALESCE(SUM(b.f), 0) AS below
+        |  FROM grid a LEFT JOIN grid b ON b.delta < a.delta
+        |  GROUP BY 1, 2),
+        |n AS (SELECT SUM(f) AS n FROM grid),
+        |qg AS (SELECT CAST(CASE WHEN g.i = 0 THEN 50 ELSE 90 END AS BIGINT) AS q
+        |       FROM UNNEST(generate_series(0, 1)) g(i))
+        |SELECT qg.q, b2.delta AS delta_days, CAST(n.n AS BIGINT) AS n_converted
+        |FROM below b2 CROSS JOIN n CROSS JOIN qg
+        |WHERE b2.below < (qg.q * n.n + 99) // 100
+        |  AND (qg.q * n.n + 99) // 100 <= b2.below + b2.f
+        |ORDER BY qg.q""".stripMargin,
+
+    "q247_revenue_concentration" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |pw AS (SELECT CAST(1::BIGINT << g.i AS BIGINT) AS lo
+        |       FROM UNNEST(generate_series(0, 39)) g(i)),
+        |bk AS (
+        |  SELECT pw.lo, COUNT(*) AS nc, SUM(CAST(rev AS HUGEINT)) AS rv
+        |  FROM cust JOIN pw ON cust.rev >= pw.lo AND cust.rev < pw.lo * 2
+        |  GROUP BY 1),
+        |fl AS (
+        |  SELECT pw.lo, COALESCE(bk.nc, 0) AS nc,
+        |    COALESCE(bk.rv, CAST(0 AS HUGEINT)) AS rv
+        |  FROM pw LEFT JOIN bk USING (lo)),
+        |t AS (SELECT SUM(rv) AS t_rev, SUM(nc) AS t_cust FROM fl),
+        |cum AS (
+        |  SELECT a.lo, a.nc, a.rv, SUM(b.rv) AS cum_top
+        |  FROM fl a JOIN fl b ON b.lo >= a.lo
+        |  GROUP BY 1, 2, 3)
+        |SELECT c.lo AS bucket_lo, CAST(c.nc AS BIGINT) AS n_cust,
+        |  CAST(c.rv AS BIGINT) AS rev_c,
+        |  CASE WHEN t.t_rev > 0 THEN CAST(c.cum_top * 1000000 // t.t_rev AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS cum_from_top_ppm,
+        |  CAST(CASE WHEN t.t_rev > 0
+        |      AND c.cum_top * 1000000 // t.t_rev >= 800000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS covers_80
+        |FROM cum c CROSS JOIN t ORDER BY c.lo""".stripMargin,
+
+    "q248_cramers_v2" ->
+      """WITH cell AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, SUM(obs) AS row_tot FROM cell GROUP BY 1),
+        |ct AS (SELECT source, SUM(obs) AS col_tot FROM cell GROUP BY 1),
+        |g AS (SELECT SUM(obs) AS n_tot, COUNT(DISTINCT lang) AS r,
+        |        COUNT(DISTINCT source) AS c FROM cell),
+        |contrib AS (
+        |  SELECT g.n_tot, g.r, g.c,
+        |    CAST(round(
+        |      CAST(CAST(cell.obs AS HUGEINT) * g.n_tot
+        |        - CAST(rt.row_tot AS HUGEINT) * ct.col_tot AS DOUBLE) *
+        |      CAST(CAST(cell.obs AS HUGEINT) * g.n_tot
+        |        - CAST(rt.row_tot AS HUGEINT) * ct.col_tot AS DOUBLE) /
+        |      CAST(CAST(rt.row_tot AS HUGEINT) * ct.col_tot AS DOUBLE) /
+        |      CAST(g.n_tot AS DOUBLE) * 1000000) AS BIGINT) AS contrib_e6
+        |  FROM cell JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN g)
+        |SELECT CAST(n_tot AS BIGINT) AS n_docs, CAST(r AS BIGINT) AS n_langs,
+        |  CAST(c AS BIGINT) AS n_sources,
+        |  CAST(SUM(contrib_e6) AS BIGINT) AS chi2_e6,
+        |  CAST(SUM(contrib_e6) // (n_tot * LEAST(r - 1, c - 1)) AS BIGINT)
+        |    AS v2_ppm
+        |FROM contrib GROUP BY n_tot, r, c""".stripMargin
   )
 }

@@ -480,6 +480,74 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q245 tvd is bounded and zero when both halves share the distribution exactly") {
+    val rows = Quality.queries("q245_positional_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tvd_ppm") >= 0 && r.getAs[Long]("tvd_ppm") <= 1000000L)
+      // halves partition the token stream exactly
+      val total = r.getAs[Long]("n_first") + r.getAs[Long]("n_second")
+      assert(total > 0)
+    }
+    val tokTotal = docs.select(size(split(col("text"), " "))).collect()
+      .map(_.getInt(0).toLong).sum
+    assert(rows.map(r => r.getAs[Long]("n_first") + r.getAs[Long]("n_second")).sum
+      == tokTotal, "position halves must partition every token")
+  }
+
+  test("q246 latency quantiles match a sorted replay of per-user deltas") {
+    val rows = Quality.queries("q246_funnel_latency")(spark, sf).collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val deltas = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val ps = es.filter(e => e._2 == "purchase" && !e._3.before(fv)).map(_._3)
+        if (ps.isEmpty) None
+        else Some(java.time.temporal.ChronoUnit.DAYS.between(
+          fv.toLocalDateTime.toLocalDate, ps.min.toLocalDateTime.toLocalDate))
+      }
+    }.sorted
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q").toInt
+      val pos = (q * deltas.length + 99) / 100
+      assert(r.getAs[Long]("delta_days") == deltas(pos - 1), s"q$q")
+      assert(r.getAs[Long]("n_converted") == deltas.length.toLong)
+    }
+  }
+
+  test("q247 buckets conserve customers and cum-from-top descends to full coverage") {
+    val rows = Quality.queries("q247_revenue_concentration")(spark, sf)
+      .orderBy("bucket_lo").collect()
+    assert(rows.length == 40)
+    val nCust = graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_cust")).sum == nCust,
+      "no whale may fall outside the bucket grid")
+    val cums = rows.map(_.getAs[Long]("cum_from_top_ppm"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a >= b },
+      "cum-from-top must be nonincreasing in bucket_lo")
+    assert(cums.head == 1000000L, "the lowest bucket sees all revenue above it")
+    rows.foreach { r =>
+      assert((r.getAs[Long]("covers_80") == 1L) ==
+        (r.getAs[Long]("cum_from_top_ppm") >= 800000L))
+    }
+  }
+
+  test("q248 v2 is scale-free in [0, 1e6] and consistent with its own chi2") {
+    val r = Quality.queries("q248_cramers_v2")(spark, sf).collect().head
+    val (n, rr, cc) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
+      r.getAs[Long]("n_sources"))
+    assert(r.getAs[Long]("v2_ppm") ==
+      r.getAs[Long]("chi2_e6") / (n * math.min(rr - 1, cc - 1)))
+    assert(r.getAs[Long]("v2_ppm") >= 0 && r.getAs[Long]("v2_ppm") <= 1000000L)
+    assert(n == docs.count())
+  }
+
   test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
     val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
     val cells = docs.groupBy("source", "lang").count().collect()
