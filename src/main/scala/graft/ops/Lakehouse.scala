@@ -329,6 +329,74 @@ object Lakehouse {
           col("r.min_v").cast("long").as("min_v"),
           col("r.max_v").cast("long").as("max_v"))
         .orderBy("column_name")
+    },
+
+    // Order/line STATUS consistency matrix — the referential
+    // state-machine audit next to D6q/q103's FK orphan check: the
+    // full o_orderstatus × l_linestatus grid with explicit zeros, and
+    // a violation flag on the cells the state machine forbids (a
+    // finished order must not carry open lines and vice versa — the
+    // cross-table invariant a CDC/merge bug breaks first). One
+    // orderkey join; the matrix is |statuses|²-bounded.
+    "q251_status_matrix" -> { (s, d) =>
+      val j = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linestatus"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+          col("l_orderkey") === col("o_orderkey"))
+      val cnt = j.groupBy("o_orderstatus", "l_linestatus")
+        .agg(count(lit(1)).as("n0"))
+      val os = j.select("o_orderstatus").distinct()
+      val ls = j.select("l_linestatus").distinct()
+      val tot = j.agg(count(lit(1)).as("nt"))
+      os.crossJoin(broadcast(ls))
+        .join(cnt, Seq("o_orderstatus", "l_linestatus"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("o_orderstatus"), col("l_linestatus"),
+          coalesce(col("n0"), lit(0L)).cast("long").as("n_lines"),
+          expr("CAST(coalesce(n0, 0) * 1000000 DIV nt AS BIGINT)")
+            .as("share_ppm"),
+          expr("CAST(CASE WHEN (o_orderstatus = 'F' AND l_linestatus = 'O')" +
+            " OR (o_orderstatus = 'O' AND l_linestatus = 'F')" +
+            " THEN 1 ELSE 0 END AS BIGINT)").as("violation"))
+        .orderBy("o_orderstatus", "l_linestatus")
+    },
+
+    // CONSTRAINT audit — the dbt-tests image: declared row-level
+    // invariants checked in ONE scan with per-constraint violation
+    // counts and severities ('error' expects zero and a nonzero count
+    // is an incident; 'warn' tiers are distribution guards expected
+    // to trip). The check set covers range, positivity, and
+    // not-null — the three classes a lakehouse contract encodes.
+    // Exact decimal casts; no float comparison.
+    "q252_constraint_audit" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("disc"),
+        expr("CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)").as("tax"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("price_c"),
+        col("l_shipdate"))
+      val wide = li.agg(
+        count(lit(1)).as("n"),
+        count(when(col("qty") < 1 || col("qty") > 50, 1)).as("v_qty"),
+        count(when(col("disc") < 0 || col("disc") > 10, 1)).as("v_disc"),
+        count(when(col("tax") < 0 || col("tax") > 8, 1)).as("v_tax"),
+        count(when(col("price_c") <= 0, 1)).as("v_price"),
+        count(when(col("l_shipdate").isNull, 1)).as("v_ship"),
+        count(when(col("disc") > 5, 1)).as("v_disc_warn"))
+      wide.select(explode(expr(
+          "array(" +
+            "named_struct('constraint_name', 'discount_0_to_10', 'severity', 'error', 'n_rows', n, 'n_viol', v_disc)," +
+            "named_struct('constraint_name', 'discount_le_5_warn', 'severity', 'warn', 'n_rows', n, 'n_viol', v_disc_warn)," +
+            "named_struct('constraint_name', 'price_positive', 'severity', 'error', 'n_rows', n, 'n_viol', v_price)," +
+            "named_struct('constraint_name', 'qty_1_to_50', 'severity', 'error', 'n_rows', n, 'n_viol', v_qty)," +
+            "named_struct('constraint_name', 'shipdate_not_null', 'severity', 'error', 'n_rows', n, 'n_viol', v_ship)," +
+            "named_struct('constraint_name', 'tax_0_to_8', 'severity', 'error', 'n_rows', n, 'n_viol', v_tax))"))
+          .as("r"))
+        .select(col("r.constraint_name"), col("r.severity"),
+          col("r.n_rows").cast("long").as("n_rows"),
+          col("r.n_viol").cast("long").as("n_viol"),
+          expr("CAST(r.n_viol * 1000000 DIV r.n_rows AS BIGINT)").as("viol_ppm"))
+        .orderBy("constraint_name")
     }
   )
 
@@ -556,6 +624,57 @@ object Lakehouse {
         |  CAST(nul_ln AS BIGINT), min_ln, max_ln FROM w
         |UNION ALL SELECT 'l_quantity', CAST(ndv_q AS BIGINT),
         |  CAST(nul_q AS BIGINT), min_q, max_q FROM w
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+
+    "q251_status_matrix" ->
+      """WITH j AS (
+        |  SELECT o.o_orderstatus, l.l_linestatus
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cnt AS (SELECT o_orderstatus, l_linestatus, COUNT(*) AS n0
+        |        FROM j GROUP BY 1, 2),
+        |os AS (SELECT DISTINCT o_orderstatus FROM j),
+        |ls AS (SELECT DISTINCT l_linestatus FROM j),
+        |t AS (SELECT COUNT(*) AS nt FROM j)
+        |SELECT os.o_orderstatus, ls.l_linestatus,
+        |  CAST(COALESCE(c.n0, 0) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(c.n0, 0) * 1000000 // t.nt AS BIGINT) AS share_ppm,
+        |  CAST(CASE WHEN (os.o_orderstatus = 'F' AND ls.l_linestatus = 'O')
+        |      OR (os.o_orderstatus = 'O' AND ls.l_linestatus = 'F')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS violation
+        |FROM os CROSS JOIN ls
+        |LEFT JOIN cnt c USING (o_orderstatus, l_linestatus)
+        |CROSS JOIN t
+        |ORDER BY os.o_orderstatus, ls.l_linestatus""".stripMargin,
+
+    "q252_constraint_audit" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc,
+        |    CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS price_c,
+        |    l_shipdate
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE qty < 1 OR qty > 50) AS v_qty,
+        |    COUNT(*) FILTER (WHERE disc < 0 OR disc > 10) AS v_disc,
+        |    COUNT(*) FILTER (WHERE tax < 0 OR tax > 8) AS v_tax,
+        |    COUNT(*) FILTER (WHERE price_c <= 0) AS v_price,
+        |    COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS v_ship,
+        |    COUNT(*) FILTER (WHERE disc > 5) AS v_disc_warn
+        |  FROM li),
+        |u AS (
+        |  SELECT 'discount_0_to_10' AS constraint_name, 'error' AS severity,
+        |    n, v_disc AS v FROM w
+        |  UNION ALL SELECT 'discount_le_5_warn', 'warn', n, v_disc_warn FROM w
+        |  UNION ALL SELECT 'price_positive', 'error', n, v_price FROM w
+        |  UNION ALL SELECT 'qty_1_to_50', 'error', n, v_qty FROM w
+        |  UNION ALL SELECT 'shipdate_not_null', 'error', n, v_ship FROM w
+        |  UNION ALL SELECT 'tax_0_to_8', 'error', n, v_tax FROM w)
+        |SELECT constraint_name, severity, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(v AS BIGINT) AS n_viol,
+        |  CAST(v * 1000000 // n AS BIGINT) AS viol_ppm
+        |FROM u ORDER BY constraint_name""".stripMargin
   )
 }

@@ -977,6 +977,68 @@ object Quality {
           col("chi2_e6"),
           expr("CAST(chi2_e6 DIV (n_tot * least(r - 1, c - 1)) AS BIGINT)")
             .as("v2_ppm"))
+    },
+
+    // EMBEDDING SANITY audit per label — the vector-hygiene screen an
+    // ANN index build (E6/q117, q42) runs first: near-zero-norm
+    // vectors poison cosine similarity (direction is noise), exact
+    // duplicate vectors inflate neighbor lists, and a label whose max
+    // norm dwarfs its peers hints at an unnormalized batch. Norms in
+    // q3 fixed point (Σq3² µ²-units, the q112 convention); duplicate
+    // detection by md5 of the CANONICAL quantized string (engine-
+    // neutral — float bytes are not). One scan; per-label grid.
+    "q249_embedding_sanity" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          expr("aggregate(embedding, 0L, (a, x) -> a +" +
+            " CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT)" +
+            " * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT))")
+            .as("norm2_u"),
+          md5(expr("CAST(array_join(transform(embedding," +
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT)), ',')" +
+            " AS BINARY)")).as("qh"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          count(when(col("norm2_u") < 1000L, 1)).cast("long").as("n_near_zero"),
+          (count(lit(1)) - countDistinct(col("qh"))).cast("long").as("n_dups"),
+          max(col("norm2_u")).cast("long").as("max_norm2_u"),
+          min(col("norm2_u")).cast("long").as("min_norm2_u"))
+        .orderBy("label")
+    },
+
+    // MLM MASK-SPAN planner — the deterministic 15% masking plan a
+    // masked-LM data builder materializes: position masked iff the
+    // engine-neutral hash of (doc, position) lands under the rate, so
+    // the plan is reproducible and append-stable (adding a doc never
+    // remasks another). The audit per source: realized mask ppm vs
+    // the 150 000 target, span count and mean span length (consecutive
+    // masked positions fuse into one span — the gaps-islands i−rank
+    // trick on the per-DOC window, bounded by one doc's length).
+    "q250_mask_plan" -> { (s, d) =>
+      val pos = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), posexplode(tokens(col("text")))
+          .as(Seq("i", "tok")))
+        .withColumn("masked",
+          (Dedup.neutralHash32(concat(lit("mask:"), col("doc_id").cast("string"),
+            lit(":"), col("i").cast("string"))) % 100 < 15).cast("int"))
+      val wd = Window.partitionBy("doc_id").orderBy("i")
+      val spans = pos.filter(col("masked") === 1)
+        .withColumn("rk", row_number().over(wd))
+        .select(col("doc_id"), col("source"), (col("i") - col("rk")).as("island"))
+        .groupBy("doc_id", "source", "island").agg(count(lit(1)).as("sl"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_spans"), sum(col("sl")).as("n_masked2"))
+      pos.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(col("masked")).cast("long").as("n_masked"))
+        .join(spans, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"), col("n_masked"),
+          expr("CAST(n_masked * 1000000 DIV n_tokens AS BIGINT)").as("mask_ppm"),
+          coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+          expr("CASE WHEN coalesce(n_spans, 0) > 0 THEN" +
+            " CAST(n_masked * 1000000 DIV n_spans AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("mean_span_utok"))
+        .orderBy("source")
     }
   )
 
@@ -1653,6 +1715,53 @@ object Quality {
         |  CAST(SUM(contrib_e6) AS BIGINT) AS chi2_e6,
         |  CAST(SUM(contrib_e6) // (n_tot * LEAST(r - 1, c - 1)) AS BIGINT)
         |    AS v2_ppm
-        |FROM contrib GROUP BY n_tot, r, c""".stripMargin
+        |FROM contrib GROUP BY n_tot, r, c""".stripMargin,
+
+    "q249_embedding_sanity" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    (SELECT SUM(CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |       * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+        |     FROM UNNEST(embedding) AS t(x)) AS norm2_u,
+        |    md5(array_to_string(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)), ','))
+        |      AS qh
+        |  FROM embeddings)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(*) FILTER (WHERE norm2_u < 1000) AS BIGINT) AS n_near_zero,
+        |  CAST(COUNT(*) - COUNT(DISTINCT qh) AS BIGINT) AS n_dups,
+        |  CAST(MAX(norm2_u) AS BIGINT) AS max_norm2_u,
+        |  CAST(MIN(norm2_u) AS BIGINT) AS min_norm2_u
+        |FROM q GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q250_mask_plan" ->
+      """WITH pos AS (
+        |  SELECT doc_id, source, g.i - 1 AS i,
+        |    CASE WHEN ('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(g.i - 1 AS VARCHAR)), 1, 8))::BIGINT % 100 < 15
+        |      THEN 1 ELSE 0 END AS masked
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+        |        FROM documents) x,
+        |    UNNEST(generate_series(1, len(t))) g(i)),
+        |sp AS (
+        |  SELECT doc_id, source,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM pos WHERE masked = 1),
+        |spans AS (
+        |  SELECT source, COUNT(*) AS n_spans FROM (
+        |    SELECT source, doc_id, island FROM sp GROUP BY 1, 2, 3) y
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(masked) AS BIGINT) AS n_masked
+        |  FROM pos GROUP BY 1)
+        |SELECT a.source, a.n_tokens, a.n_masked,
+        |  CAST(a.n_masked * 1000000 // a.n_tokens AS BIGINT) AS mask_ppm,
+        |  CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CASE WHEN COALESCE(s.n_spans, 0) > 0
+        |    THEN CAST(a.n_masked * 1000000 // s.n_spans AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS mean_span_utok
+        |FROM agg a LEFT JOIN spans s USING (source)
+        |ORDER BY a.source""".stripMargin
   )
 }

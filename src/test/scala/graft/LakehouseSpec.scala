@@ -163,6 +163,34 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q251 the status matrix conserves the joined line count and flags only forbidden cells") {
+    val rows = Lakehouse.queries("q251_status_matrix")(spark, sf).collect()
+    val joined = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(rows.map(_.getAs[Long]("n_lines")).sum == joined)
+    rows.foreach { r =>
+      val (o, l) = (r.getAs[String]("o_orderstatus"), r.getAs[String]("l_linestatus"))
+      val expect = (o == "F" && l == "O") || (o == "O" && l == "F")
+      assert((r.getAs[Long]("violation") == 1L) == expect, s"cell $o/$l")
+    }
+  }
+
+  test("q252 error constraints hold and the warn tier matches a direct count") {
+    val rows = Lakehouse.queries("q252_constraint_audit")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.filter(_.getAs[String]("severity") == "error").foreach { r =>
+      assert(r.getAs[Long]("n_viol") == 0L,
+        s"${r.getAs[String]("constraint_name")} must not trip on clean data")
+    }
+    val warn = rows.find(_.getAs[String]("constraint_name") == "discount_le_5_warn").get
+    val direct = graft.model.Tables.lineitem(spark, sf)
+      .filter(expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) > 5"))
+      .count()
+    assert(warn.getAs[Long]("n_viol") == direct)
+    assert(warn.getAs[Long]("n_viol") > 0, "the warn tier is expected to trip")
+  }
+
   test("q229 bucket masses conserve the corpus and dup_excess counts deletable rows") {
     val rows = Lakehouse.queries("q229_dupgroup_histogram")(spark, sf).collect()
     assert(rows.length == 20)

