@@ -397,6 +397,61 @@ object Lakehouse {
           col("r.n_viol").cast("long").as("n_viol"),
           expr("CAST(r.n_viol * 1000000 DIV r.n_rows AS BIGINT)").as("viol_ppm"))
         .orderBy("constraint_name")
+    },
+
+    // SIMPSON'S-PARADOX detector — does the discount→quantity
+    // association FLIP SIGN inside order-priority strata vs the
+    // pooled view? The aggregation trap every cross-strata metric
+    // report walks into; detecting it needs only covariance SIGNS,
+    // which the exact integer n·Σxy − Σx·Σy gives without any
+    // division or sqrt (the correlation magnitude would need both).
+    // Pooled row via rollup ('__all__', the q184 convention), its
+    // sign joined back so each stratum carries its disagree flag.
+    // Products widened DECIMAL(38,0)/HUGEINT (n·Σxy is cubic-ish in
+    // volume). One scan + one orderkey join.
+    "q255_simpson_paradox" -> { (s, d) =>
+      // def, not val: the pooled branch needs its own plan instance
+      // (fresh attribute ids); and groupBy+union instead of rollup —
+      // Spark 4's rollup Expand on a join-derived frame trips the
+      // ambiguous-self-join analysis
+      def j = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("x"),
+          expr("CAST(l_quantity AS BIGINT)").as("y"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      def stats(grouped: DataFrame): DataFrame = grouped
+        .withColumn("cov_d",
+          expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"))
+        .withColumn("cov_sign", expr(
+          "CAST(CASE WHEN cov_d > 0 THEN 1 WHEN cov_d < 0 THEN -1 ELSE 0 END" +
+            " AS BIGINT)"))
+      val perStratum = stats(j.groupBy(col("o_orderpriority").as("stratum"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy")))
+      val pooledRow = stats(j.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .withColumn("stratum", lit("__all__")))
+      val agg = perStratum.unionByName(pooledRow)
+      // fresh j instance again — sharing pooledRow's lineage with agg
+      // would re-trip the self-join analysis
+      val pooled = stats(j.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy")))
+        .select(col("cov_sign").as("pooled_sign"))
+      agg.crossJoin(broadcast(pooled))
+        .select(col("stratum"), col("n"),
+          expr("CAST(cov_d AS BIGINT)").as("cov_num"),
+          col("cov_sign"), col("pooled_sign"),
+          expr("CAST(CASE WHEN cov_sign <> 0 AND pooled_sign <> 0" +
+            " AND cov_sign <> pooled_sign THEN 1 ELSE 0 END AS BIGINT)")
+            .as("paradox"))
+        .orderBy("stratum")
     }
   )
 
@@ -675,6 +730,35 @@ object Lakehouse {
         |SELECT constraint_name, severity, CAST(n AS BIGINT) AS n_rows,
         |  CAST(v AS BIGINT) AS n_viol,
         |  CAST(v * 1000000 // n AS BIGINT) AS viol_ppm
-        |FROM u ORDER BY constraint_name""".stripMargin
+        |FROM u ORDER BY constraint_name""".stripMargin,
+
+    "q255_simpson_paradox" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority,
+        |    CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x,
+        |    CAST(l.l_quantity AS BIGINT) AS y
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |agg AS (
+        |  SELECT COALESCE(o_orderpriority, '__all__') AS stratum,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM j GROUP BY ROLLUP (o_orderpriority)),
+        |sg AS (
+        |  SELECT stratum, n,
+        |    n * sxy - CAST(sx AS HUGEINT) * sy AS cov_d
+        |  FROM agg),
+        |ss AS (
+        |  SELECT stratum, n, cov_d,
+        |    CAST(CASE WHEN cov_d > 0 THEN 1 WHEN cov_d < 0 THEN -1 ELSE 0 END
+        |      AS BIGINT) AS cov_sign
+        |  FROM sg),
+        |p AS (SELECT cov_sign AS pooled_sign FROM ss WHERE stratum = '__all__')
+        |SELECT ss.stratum, ss.n, CAST(ss.cov_d AS BIGINT) AS cov_num,
+        |  ss.cov_sign, p.pooled_sign,
+        |  CAST(CASE WHEN ss.cov_sign <> 0 AND p.pooled_sign <> 0
+        |      AND ss.cov_sign <> p.pooled_sign THEN 1 ELSE 0 END AS BIGINT)
+        |    AS paradox
+        |FROM ss CROSS JOIN p ORDER BY ss.stratum""".stripMargin
   )
 }

@@ -1039,8 +1039,89 @@ object Quality {
             " CAST(n_masked * 1000000 DIV n_spans AS BIGINT)" +
             " ELSE CAST(0 AS BIGINT) END").as("mean_span_utok"))
         .orderBy("source")
+    },
+
+    // CLIPPED n-gram PRECISION of each source against the rest of the
+    // corpus — the BLEU-precision kernel (clipping = min with the
+    // reference count) at n ∈ {1, 2}: high unigram but low bigram
+    // precision is the signature of word-salad paraphrase spam that
+    // D5n/q74 containment misses and F5/q185 novelty only sees
+    // per-doc. Occurrence counts (not distinct) collapse onto the
+    // vocab grid per source in one pass per level; rest counts =
+    // global − own, so the "reference" needs no second scan. Exact
+    // integer throughout.
+    "q253_clipped_ngram_precision" -> { (s, d) =>
+      def level(n: Int): DataFrame = {
+        val grams =
+          if (n == 1)
+            Tables.documents(s, d).select(col("source"),
+              explode(tokens(col("text"))).as("g"))
+          else
+            bigrams2(s, d)
+        grams.groupBy("source", "g").agg(count(lit(1)).as("cs"))
+          .withColumn("n", lit(n.toLong))
+      }
+      val cell = level(1).unionByName(level(2))
+      val glob = cell.groupBy("n", "g").agg(sum(col("cs")).as("ct"))
+      cell.join(glob, Seq("n", "g"))
+        .groupBy("source", "n")
+        .agg(sum(col("cs")).cast("long").as("total_grams"),
+          sum(least(col("cs"), col("ct") - col("cs"))).cast("long").as("clipped"))
+        .withColumn("prec_ppm",
+          expr("CAST(clipped * 1000000 DIV total_grams AS BIGINT)"))
+        .orderBy("source", "n")
+    },
+
+    // SHARED n-gram LADDER between source pairs — contamination DEPTH
+    // where F31/q210 scores overlap MASS: sharing any 8-gram is
+    // near-verbatim copying, sharing only 2-grams is shared style;
+    // the ladder (n ∈ {2, 4, 8}) localizes each pair on that scale.
+    // Per n, distinct (source, md5(ngram)) sets join on hash with
+    // s2 > source (each unordered pair once); flags land on the
+    // |sources|²/2 pair grid with explicit zeros, max_shared_n =
+    // greatest flagged rung. The shuffle carries 32-char hashes,
+    // never text (the q182 rule).
+    "q254_shared_ngram_ladder" -> { (s, d) =>
+      def rung(n: Int): DataFrame = {
+        val g = Tables.documents(s, d)
+          .select(col("source"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= n)
+          .select(col("source"), explode(expr(
+            s"transform(sequence(1, size(t) - ${n - 1})," +
+              s" i -> array_join(slice(t, i, $n), ' '))")).as("ng"))
+          .select(col("source"), md5(col("ng")).as("h")).distinct()
+        g.join(g.select(col("source").as("s2"), col("h")), Seq("h"))
+          .filter(col("s2") > col("source"))
+          .select("source", "s2").distinct()
+          .withColumn(s"has$n", lit(1L))
+      }
+      val srcs = Tables.documents(s, d).select("source").distinct()
+      val pairs = srcs.join(srcs.select(col("source").as("s2")),
+          col("s2") > col("source"))
+      pairs.join(rung(2), Seq("source", "s2"), "left")
+        .join(rung(4), Seq("source", "s2"), "left")
+        .join(rung(8), Seq("source", "s2"), "left")
+        .select(col("source"), col("s2"),
+          coalesce(col("has2"), lit(0L)).as("has2"),
+          coalesce(col("has4"), lit(0L)).as("has4"),
+          coalesce(col("has8"), lit(0L)).as("has8"))
+        .withColumn("max_shared_n",
+          expr("CASE WHEN has8 = 1 THEN 8L WHEN has4 = 1 THEN 4L" +
+            " WHEN has2 = 1 THEN 2L ELSE 0L END"))
+        .orderBy("source", "s2")
     }
   )
+
+  /** Bigram occurrences as `(source, g)` WITH repetition — q253's
+    * count-level sibling of [[bigrams]] (which keys by doc for
+    * distinct-per-doc semantics). */
+  private def bigrams2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("g"))
 
   private val BigramSql =
     """bg AS (
@@ -1762,6 +1843,68 @@ object Quality {
         |    THEN CAST(a.n_masked * 1000000 // s.n_spans AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS mean_span_utok
         |FROM agg a LEFT JOIN spans s USING (source)
-        |ORDER BY a.source""".stripMargin
+        |ORDER BY a.source""".stripMargin,
+
+    "q253_clipped_ngram_precision" ->
+      """WITH t0 AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |u AS (
+        |  SELECT source, t[g.i] AS g, CAST(1 AS BIGINT) AS n
+        |  FROM t0, UNNEST(generate_series(1, len(t))) g(i)),
+        |b AS (
+        |  SELECT source, t[g.i] || ' ' || t[g.i + 1] AS g, CAST(2 AS BIGINT) AS n
+        |  FROM t0, UNNEST(generate_series(1, len(t) - 1)) g(i)
+        |  WHERE len(t) >= 2),
+        |cell AS (
+        |  SELECT source, n, g, COUNT(*) AS cs
+        |  FROM (SELECT * FROM u UNION ALL SELECT * FROM b) x
+        |  GROUP BY 1, 2, 3),
+        |gt AS (SELECT n, g, SUM(cs) AS ct FROM cell GROUP BY 1, 2)
+        |SELECT c.source, c.n,
+        |  CAST(SUM(c.cs) AS BIGINT) AS total_grams,
+        |  CAST(SUM(LEAST(c.cs, gl.ct - c.cs)) AS BIGINT) AS clipped,
+        |  CAST(SUM(LEAST(c.cs, gl.ct - c.cs)) * 1000000 // SUM(c.cs) AS BIGINT)
+        |    AS prec_ppm
+        |FROM cell c JOIN gt gl USING (n, g)
+        |GROUP BY 1, 2 ORDER BY c.source, c.n""".stripMargin,
+
+    "q254_shared_ngram_ladder" ->
+      """WITH t0 AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |g2 AS (
+        |  SELECT DISTINCT source, md5(array_to_string(t[g.i:g.i+1], ' ')) AS h
+        |  FROM t0, UNNEST(generate_series(1, len(t) - 1)) g(i)
+        |  WHERE len(t) >= 2),
+        |g4 AS (
+        |  SELECT DISTINCT source, md5(array_to_string(t[g.i:g.i+3], ' ')) AS h
+        |  FROM t0, UNNEST(generate_series(1, len(t) - 3)) g(i)
+        |  WHERE len(t) >= 4),
+        |g8 AS (
+        |  SELECT DISTINCT source, md5(array_to_string(t[g.i:g.i+7], ' ')) AS h
+        |  FROM t0, UNNEST(generate_series(1, len(t) - 7)) g(i)
+        |  WHERE len(t) >= 8),
+        |p2 AS (SELECT DISTINCT a.source, b.source AS s2 FROM g2 a
+        |       JOIN g2 b ON a.h = b.h AND b.source > a.source),
+        |p4 AS (SELECT DISTINCT a.source, b.source AS s2 FROM g4 a
+        |       JOIN g4 b ON a.h = b.h AND b.source > a.source),
+        |p8 AS (SELECT DISTINCT a.source, b.source AS s2 FROM g8 a
+        |       JOIN g8 b ON a.h = b.h AND b.source > a.source),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |pairs AS (SELECT a.source, b.source AS s2 FROM srcs a
+        |          JOIN srcs b ON b.source > a.source)
+        |SELECT p.source, p.s2,
+        |  CAST(CASE WHEN p2.source IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS has2,
+        |  CAST(CASE WHEN p4.source IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS has4,
+        |  CAST(CASE WHEN p8.source IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS has8,
+        |  CAST(CASE WHEN p8.source IS NOT NULL THEN 8
+        |    WHEN p4.source IS NOT NULL THEN 4
+        |    WHEN p2.source IS NOT NULL THEN 2 ELSE 0 END AS BIGINT)
+        |    AS max_shared_n
+        |FROM pairs p
+        |LEFT JOIN p2 USING (source, s2)
+        |LEFT JOIN p4 USING (source, s2)
+        |LEFT JOIN p8 USING (source, s2)
+        |ORDER BY p.source, p.s2""".stripMargin
   )
 }

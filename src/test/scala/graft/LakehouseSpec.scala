@@ -191,6 +191,32 @@ class LakehouseSpec extends AnyFunSuite {
     assert(warn.getAs[Long]("n_viol") > 0, "the warn tier is expected to trip")
   }
 
+  test("q255 covariance numerators match a first-principles replay and the pooled row is consistent") {
+    val rows = Lakehouse.queries("q255_simpson_paradox")(spark, sf).collect()
+    val data = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"),
+        expr("CAST(l_quantity AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def covNum(xs: Seq[(Long, Long)]): BigInt =
+      BigInt(xs.length) * xs.map { case (x, y) => BigInt(x) * y }.sum -
+        BigInt(xs.map(_._1).sum) * xs.map(_._2).sum
+    val pooledSign = covNum(data.map(d => (d._2, d._3)).toSeq).signum
+    rows.foreach { r =>
+      val st = r.getAs[String]("stratum")
+      val xs = if (st == "__all__") data.map(d => (d._2, d._3)).toSeq
+               else data.filter(_._1 == st).map(d => (d._2, d._3)).toSeq
+      assert(BigInt(r.getAs[Long]("cov_num")) == covNum(xs), s"$st cov")
+      assert(r.getAs[Long]("cov_sign") == covNum(xs).signum.toLong)
+      assert(r.getAs[Long]("pooled_sign") == pooledSign.toLong)
+      val expectParadox = r.getAs[Long]("cov_sign") != 0 && pooledSign != 0 &&
+        r.getAs[Long]("cov_sign") != pooledSign.toLong
+      assert((r.getAs[Long]("paradox") == 1L) == expectParadox, s"$st paradox")
+    }
+  }
+
   test("q229 bucket masses conserve the corpus and dup_excess counts deletable rows") {
     val rows = Lakehouse.queries("q229_dupgroup_histogram")(spark, sf).collect()
     assert(rows.length == 20)

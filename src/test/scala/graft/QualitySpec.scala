@@ -589,6 +589,40 @@ class QualitySpec extends AnyFunSuite {
     assert(expected == spark2)
   }
 
+  test("q253 clipped precision is bounded by 1e6 and clipping never exceeds own counts") {
+    val rows = Quality.queries("q253_clipped_ngram_precision")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("clipped") <= r.getAs[Long]("total_grams"))
+      assert(r.getAs[Long]("prec_ppm") <= 1000000L)
+    }
+    // replay one (source, n=1) cell against collected token counts
+    val toks = docs.select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val src = toks.head._1
+    val own = toks.filter(_._1 == src).groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val all = toks.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val clipped = own.map { case (t, c) => math.min(c, all(t) - c) }.sum
+    val row = rows.find(r => r.getAs[String]("source") == src && r.getAs[Long]("n") == 1L).get
+    assert(row.getAs[Long]("clipped") == clipped, s"$src unigram clip")
+    assert(row.getAs[Long]("total_grams") == own.values.sum)
+  }
+
+  test("q254 the ladder is monotone: an 8-gram share implies 4- and 2-gram shares") {
+    val rows = Quality.queries("q254_shared_ngram_ladder")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h2, h4, h8) = (r.getAs[Long]("has2"), r.getAs[Long]("has4"),
+        r.getAs[Long]("has8"))
+      assert(h8 <= h4 && h4 <= h2,
+        "a shared n-gram contains shared (n/2)-grams — the ladder cannot invert")
+      val expect = if (h8 == 1) 8L else if (h4 == 1) 4L else if (h2 == 1) 2L else 0L
+      assert(r.getAs[Long]("max_shared_n") == expect)
+      assert(r.getAs[String]("source") < r.getAs[String]("s2"),
+        "each unordered pair appears once")
+    }
+  }
+
   test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
     val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
     val cells = docs.groupBy("source", "lang").count().collect()
