@@ -452,6 +452,51 @@ object Lakehouse {
             " AND cov_sign <> pooled_sign THEN 1 ELSE 0 END AS BIGINT)")
             .as("paradox"))
         .orderBy("stratum")
+    },
+
+    // SHARE-OF-PARENT hierarchy rollup — region → nation → market
+    // segment revenue with each node's share of its PARENT (the
+    // ratio-to-parent OLAP shape B5's plain rollup lacks: a rollup
+    // emits totals, not the parent pointer). One fact pass collapses
+    // onto the finest (region, nation, segment) grid; every coarser
+    // tier and every parent total is an aggregate OF that grid, so
+    // the hierarchy costs nothing after the first shuffle. Revenue
+    // exact DECIMAL cents; floor-ppm shares; level key makes the
+    // union's grain explicit.
+    "q256_share_of_parent" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name", "c_mktsegment")
+        .agg(sum(col("cents")).as("rev"))
+      val nat = base.groupBy("r_name", "n_name").agg(sum(col("rev")).as("rev"))
+      val reg = base.groupBy("r_name").agg(sum(col("rev")).as("rev"))
+      val grand = base.agg(sum(col("rev")).as("g"))
+      val l1 = reg.crossJoin(broadcast(grand))
+        .select(lit(1L).as("lvl"), col("r_name"), lit("").as("n_name"),
+          lit("").as("segment"), col("rev").cast("long").as("rev_c"),
+          expr("CAST(rev * 1000000 DIV g AS BIGINT)").as("parent_share_ppm"))
+      val l2 = nat.join(broadcast(reg.select(col("r_name"), col("rev").as("pr"))),
+          "r_name")
+        .select(lit(2L).as("lvl"), col("r_name"), col("n_name"),
+          lit("").as("segment"), col("rev").cast("long").as("rev_c"),
+          expr("CAST(rev * 1000000 DIV pr AS BIGINT)").as("parent_share_ppm"))
+      val l3 = base.join(broadcast(nat.select(col("r_name"), col("n_name"),
+          col("rev").as("pr"))), Seq("r_name", "n_name"))
+        .select(lit(3L).as("lvl"), col("r_name"), col("n_name"),
+          col("c_mktsegment").as("segment"), col("rev").cast("long").as("rev_c"),
+          expr("CAST(rev * 1000000 DIV pr AS BIGINT)").as("parent_share_ppm"))
+      l1.unionByName(l2).unionByName(l3)
+        .orderBy("lvl", "r_name", "n_name", "segment")
     }
   )
 
@@ -759,6 +804,35 @@ object Lakehouse {
         |  CAST(CASE WHEN ss.cov_sign <> 0 AND p.pooled_sign <> 0
         |      AND ss.cov_sign <> p.pooled_sign THEN 1 ELSE 0 END AS BIGINT)
         |    AS paradox
-        |FROM ss CROSS JOIN p ORDER BY ss.stratum""".stripMargin
+        |FROM ss CROSS JOIN p ORDER BY ss.stratum""".stripMargin,
+
+    "q256_share_of_parent" ->
+      """WITH base AS (
+        |  SELECT r.r_name, n.n_name, c.c_mktsegment,
+        |    SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS rev
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2, 3),
+        |nat AS (SELECT r_name, n_name, SUM(rev) AS rev FROM base GROUP BY 1, 2),
+        |reg AS (SELECT r_name, SUM(rev) AS rev FROM base GROUP BY 1),
+        |g AS (SELECT SUM(rev) AS g FROM base),
+        |u AS (
+        |  SELECT CAST(1 AS BIGINT) AS lvl, reg.r_name, '' AS n_name,
+        |    '' AS segment, CAST(reg.rev AS BIGINT) AS rev_c,
+        |    CAST(reg.rev * 1000000 // g.g AS BIGINT) AS parent_share_ppm
+        |  FROM reg CROSS JOIN g
+        |  UNION ALL
+        |  SELECT 2, nat.r_name, nat.n_name, '', CAST(nat.rev AS BIGINT),
+        |    CAST(nat.rev * 1000000 // reg.rev AS BIGINT)
+        |  FROM nat JOIN reg USING (r_name)
+        |  UNION ALL
+        |  SELECT 3, base.r_name, base.n_name, base.c_mktsegment,
+        |    CAST(base.rev AS BIGINT),
+        |    CAST(base.rev * 1000000 // nat.rev AS BIGINT)
+        |  FROM base JOIN nat USING (r_name, n_name))
+        |SELECT * FROM u ORDER BY lvl, r_name, n_name, segment""".stripMargin
   )
 }

@@ -1109,6 +1109,77 @@ object Quality {
           expr("CASE WHEN has8 = 1 THEN 8L WHEN has4 = 1 THEN 4L" +
             " WHEN has2 = 1 THEN 2L ELSE 0L END"))
         .orderBy("source", "s2")
+    },
+
+    // Sequential 2-PATTERN support — P(a occurs before b | user saw
+    // both), any gap: the order statistic q215's Markov matrix
+    // (adjacent only) and D5k/q71's fixed funnel chain both miss. A
+    // user's first occurrence per type is a min-aggregate (ts, then
+    // event_id on ties — the mirrored two-step, no struct-min);
+    // ordered pairs explode from per-USER type sets (≤|types|² per
+    // user, linear in users), landing on the |types|² grid with
+    // explicit zeros. support(a→b) + support(b→a) = 1e6 within floor
+    // error by construction — spec-asserted.
+    "q257_seq2_support" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"), col("event_id"))
+      val mt = ev.groupBy("user_id", "event_type").agg(min(col("tu")).as("mt"))
+      val first = ev.join(mt, Seq("user_id", "event_type"))
+        .filter(col("tu") === col("mt"))
+        .groupBy("user_id", "event_type", "mt").agg(min(col("event_id")).as("me"))
+      val pairs = first.join(
+          first.select(col("user_id"), col("event_type").as("tb"),
+            col("mt").as("mtb"), col("me").as("meb")), Seq("user_id"))
+        .filter(col("event_type") =!= col("tb"))
+        .groupBy(col("event_type").as("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_both"),
+          count(when(col("mt") < col("mtb") ||
+            (col("mt") === col("mtb") && col("me") < col("meb")), 1)).as("n_first"))
+      val types = ev.select("event_type").distinct()
+      val grid = types.select(col("event_type").as("ta"))
+        .crossJoin(broadcast(types.select(col("event_type").as("tb"))))
+        .filter(col("ta") =!= col("tb"))
+      grid.join(pairs, Seq("ta", "tb"), "left")
+        .select(col("ta"), col("tb"),
+          coalesce(col("n_both"), lit(0L)).cast("long").as("n_both"),
+          coalesce(col("n_first"), lit(0L)).cast("long").as("n_a_first"),
+          expr("CASE WHEN coalesce(n_both, 0) > 0 THEN" +
+            " CAST(coalesce(n_first, 0) * 1000000 DIV n_both AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("support_ppm"))
+        .orderBy("ta", "tb")
+    },
+
+    // Survival HAZARD table of user activity lifetimes — the
+    // Kaplan–Meier INPUT (at-risk counts, churn events, hazards per
+    // lifetime day) with right-censoring: a user still active on the
+    // observation's last day hasn't churned, just stopped being
+    // observed — counting them as deaths (the naive read) biases
+    // every retention number down. The K–M survival product itself
+    // needs a multiplication chain; both engines stop at the exact
+    // hazard table it is built from. Lifetimes collapse onto the
+    // bounded day grid; at-risk = suffix-count via a ≥-join on that
+    // grid (the q201 rank rule).
+    "q258_hazard_table" -> { (s, d) =>
+      val bounds = Tables.events(s, d).agg(max(to_date(col("ts"))).as("emax"))
+      val life = Tables.events(s, d).crossJoin(broadcast(bounds))
+        .groupBy("user_id")
+        .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))))
+          .cast("long").as("t"),
+          max(when(to_date(col("ts")) === col("emax"), 1L).otherwise(0L))
+            .as("censored"))
+      val grid = life.groupBy("t")
+        .agg(count(lit(1)).as("f"),
+          count(when(col("censored") === 0, 1)).as("d"),
+          count(when(col("censored") === 1, 1)).as("c"))
+      val atRisk = grid.join(broadcast(grid.select(col("t").as("t2"),
+          col("f").as("f2"))), col("t2") >= col("t"))
+        .groupBy("t", "d", "c").agg(sum(col("f2")).as("n_at_risk"))
+      atRisk.select(col("t").as("lifetime_days"),
+          col("n_at_risk").cast("long").as("n_at_risk"),
+          col("d").cast("long").as("n_churned"),
+          col("c").cast("long").as("n_censored"),
+          expr("CAST(d * 1000000 DIV n_at_risk AS BIGINT)").as("hazard_ppm"))
+        .orderBy("lifetime_days")
     }
   )
 
@@ -1905,6 +1976,60 @@ object Quality {
         |LEFT JOIN p2 USING (source, s2)
         |LEFT JOIN p4 USING (source, s2)
         |LEFT JOIN p8 USING (source, s2)
-        |ORDER BY p.source, p.s2""".stripMargin
+        |ORDER BY p.source, p.s2""".stripMargin,
+
+    "q257_seq2_support" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+        |  FROM events),
+        |mt AS (SELECT user_id, event_type, MIN(tu) AS mt
+        |       FROM ev GROUP BY 1, 2),
+        |fst AS (
+        |  SELECT e.user_id, e.event_type, m.mt, MIN(e.event_id) AS me
+        |  FROM ev e JOIN mt m ON e.user_id = m.user_id
+        |    AND e.event_type = m.event_type AND e.tu = m.mt
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    COUNT(*) AS n_both,
+        |    COUNT(*) FILTER (WHERE a.mt < b.mt
+        |      OR (a.mt = b.mt AND a.me < b.me)) AS n_first
+        |  FROM fst a JOIN fst b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |         FROM ty a CROSS JOIN ty b WHERE a.event_type <> b.event_type)
+        |SELECT g.ta, g.tb,
+        |  CAST(COALESCE(p.n_both, 0) AS BIGINT) AS n_both,
+        |  CAST(COALESCE(p.n_first, 0) AS BIGINT) AS n_a_first,
+        |  CASE WHEN COALESCE(p.n_both, 0) > 0
+        |    THEN CAST(COALESCE(p.n_first, 0) * 1000000 // p.n_both AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS support_ppm
+        |FROM grid g LEFT JOIN pairs p USING (ta, tb)
+        |ORDER BY g.ta, g.tb""".stripMargin,
+
+    "q258_hazard_table" ->
+      """WITH b AS (SELECT MAX(CAST(ts AS DATE)) AS emax FROM events),
+        |life AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+        |      AS BIGINT) AS t,
+        |    MAX(CASE WHEN CAST(ts AS DATE) = b.emax THEN 1 ELSE 0 END)
+        |      AS censored
+        |  FROM events CROSS JOIN b GROUP BY 1),
+        |grid AS (
+        |  SELECT t, COUNT(*) AS f,
+        |    COUNT(*) FILTER (WHERE censored = 0) AS d,
+        |    COUNT(*) FILTER (WHERE censored = 1) AS c
+        |  FROM life GROUP BY 1),
+        |ar AS (
+        |  SELECT a.t, a.d, a.c, SUM(b2.f) AS n_at_risk
+        |  FROM grid a JOIN grid b2 ON b2.t >= a.t
+        |  GROUP BY 1, 2, 3)
+        |SELECT t AS lifetime_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  CAST(d AS BIGINT) AS n_churned, CAST(c AS BIGINT) AS n_censored,
+        |  CAST(d * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+        |FROM ar ORDER BY lifetime_days""".stripMargin
   )
 }

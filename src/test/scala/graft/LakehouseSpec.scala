@@ -217,6 +217,32 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q256 children's shares sum to 1e6 within floor error and revenue telescopes") {
+    val rows = Lakehouse.queries("q256_share_of_parent")(spark, sf).collect()
+    val l1 = rows.filter(_.getAs[Long]("lvl") == 1L)
+    val l2 = rows.filter(_.getAs[Long]("lvl") == 2L)
+    val l3 = rows.filter(_.getAs[Long]("lvl") == 3L)
+    assert(l1.nonEmpty && l2.nonEmpty && l3.nonEmpty)
+    // level-1 shares of grand total sum to ~1e6
+    val s1 = l1.map(_.getAs[Long]("parent_share_ppm")).sum
+    assert(s1 > 1000000L - l1.length && s1 <= 1000000L)
+    // each region's nation revenues telescope to the region revenue
+    l1.foreach { r =>
+      val reg = r.getAs[String]("r_name")
+      val kids = l2.filter(_.getAs[String]("r_name") == reg)
+      assert(kids.map(_.getAs[Long]("rev_c")).sum == r.getAs[Long]("rev_c"),
+        s"$reg nation revenues must sum to the region's")
+      val ks = kids.map(_.getAs[Long]("parent_share_ppm")).sum
+      assert(ks > 1000000L - kids.length && ks <= 1000000L)
+    }
+    // each nation's segments telescope to the nation revenue
+    l2.foreach { r =>
+      val kids = l3.filter(k => k.getAs[String]("r_name") == r.getAs[String]("r_name")
+        && k.getAs[String]("n_name") == r.getAs[String]("n_name"))
+      assert(kids.map(_.getAs[Long]("rev_c")).sum == r.getAs[Long]("rev_c"))
+    }
+  }
+
   test("q229 bucket masses conserve the corpus and dup_excess counts deletable rows") {
     val rows = Lakehouse.queries("q229_dupgroup_histogram")(spark, sf).collect()
     assert(rows.length == 20)

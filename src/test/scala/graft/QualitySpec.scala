@@ -623,6 +623,36 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q257 support is antisymmetric: a-before-b plus b-before-a covers every both-user") {
+    val rows = Quality.queries("q257_seq2_support")(spark, sf).collect()
+    val m = rows.map(r => ((r.getAs[String]("ta"), r.getAs[String]("tb")),
+      (r.getAs[Long]("n_both"), r.getAs[Long]("n_a_first")))).toMap
+    m.foreach { case ((a, b), (nb, nf)) =>
+      assert(m((b, a))._1 == nb, s"n_both symmetric $a/$b")
+      assert(m((b, a))._2 == nb - nf,
+        s"$a/$b: first counts must partition the both-population (total order)")
+    }
+  }
+
+  test("q258 at-risk counts telescope and censored users never count as churned") {
+    val rows = Quality.queries("q258_hazard_table")(spark, sf)
+      .orderBy("lifetime_days").collect()
+    val nUsers = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_at_risk") == nUsers,
+      "everyone is at risk at lifetime 0")
+    // at_risk(t) − (events(t) + censored(t)) = at_risk(next t) when ts contiguous;
+    // in general at_risk is nonincreasing and the sums conserve the population
+    val ar = rows.map(_.getAs[Long]("n_at_risk"))
+    assert(ar.zip(ar.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(r => r.getAs[Long]("n_churned") + r.getAs[Long]("n_censored"))
+      .sum == nUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hazard_ppm") ==
+        r.getAs[Long]("n_churned") * 1000000L / r.getAs[Long]("n_at_risk"))
+    }
+  }
+
   test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
     val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
     val cells = docs.groupBy("source", "lang").count().collect()
