@@ -119,6 +119,20 @@ object Multimodal {
   case class AudioStats(doc_id: Long, sample_rate: Long, n_samples: Long,
                         sum_abs: Long, peak: Long, wsum: Long)
 
+  /** REAL 2× nearest-neighbor DOWNSAMPLE through the codec — the
+    * resize step of the original multimodal mandate made real (the
+    * metadata-only `resizeStub` remains for the stub pipeline): parse
+    * actual BMP bytes, keep the even-coordinate pixels, and RE-ENCODE
+    * a standards-conformant BMP. Output dimensions are ⌈w/2⌉×⌈h/2⌉.
+    * Runs inside the same batched mapPartitions seam as every codec. */
+  def downsampleBmpBatch(batch: Seq[Asset]): Seq[Asset] = batch.map { a =>
+    val img = BmpCodec.decode(a.content)
+    val (w2, h2) = ((img.width + 1) / 2, (img.height + 1) / 2)
+    Asset(a.doc_id, a.source, BmpCodec.encode(w2, h2, (x, y) =>
+      (img.r(2 * x, 2 * y) << 16) | (img.g(2 * x, 2 * y) << 8) |
+        img.b(2 * x, 2 * y)))
+  }
+
   /** Deterministic test-pattern sample k of clip `docId`: pure integer,
     * range-exact int16 — the DuckDB oracle recomputes it
     * arithmetically, making the encode→bytes→decode round trip
@@ -257,6 +271,32 @@ object Multimodal {
         .select(col("doc_id"), col("sample_rate"), col("n_samples"),
           col("sum_abs"), col("peak"), col("wsum"))
         .orderBy("doc_id")
+    },
+
+    // REAL image RESIZE round trip — q131's pipeline with a genuine
+    // 2× nearest-neighbor downsample in the middle: encode the
+    // test-pattern BMP, decode the actual bytes, keep even-coordinate
+    // pixels, RE-ENCODE a conformant BMP at ⌈w/2⌉×⌈h/2⌉, decode
+    // AGAIN, and reduce to exact integer stats of the small image.
+    // The oracle recomputes the even-coordinate subgrid
+    // arithmetically, so both encode passes, both decode passes, and
+    // the subsample geometry are all hash-verified. Same scale shape
+    // as q131: pure per-row map work through the batched codec seam,
+    // no shuffle before the final orderBy.
+    "q259_bmp_downsample" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          Asset(id, src, BmpCodec.encode(w, h, (x, y) => patternPixel(id, x, y)))
+        }.toDF()
+      val small = decodeAssetsAs(assets, batchSize = 64)(downsampleBmpBatch)
+      decodeAssetsAs(small, batchSize = 64)(decodeBmpBatch)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("wlum"))
+        .orderBy("doc_id")
     }
   )
 
@@ -332,6 +372,31 @@ object Multimodal {
         |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
         |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
         |  CAST(SUM((k + 1) * v) AS BIGINT) AS wsum
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The downsampled image keeps the even-coordinate pixels of the
+    // pattern; the oracle recomputes that subgrid arithmetically with
+    // the SMALL image's (x2, y2, w2) indexing for wlum.
+    "q259_bmp_downsample" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |         CAST(3 + doc_id % 4 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT i.doc_id,
+        |    (i.w + 1) // 2 AS w2, (i.h + 1) // 2 AS h2, x2, y2,
+        |    (i.doc_id * 31 + (2 * x2) * 7 + (2 * y2) * 13) % 256 AS r,
+        |    (i.doc_id * 31 + (2 * x2) * 7 + (2 * y2) * 13 + 41) % 256 AS g,
+        |    (i.doc_id * 31 + (2 * x2) * 7 + (2 * y2) * 13 + 82) % 256 AS b
+        |  FROM imgs i,
+        |    UNNEST(generate_series(0, 3)) AS gx(x2),
+        |    UNNEST(generate_series(0, 2)) AS gy(y2)
+        |  WHERE 2 * x2 < i.w AND 2 * y2 < i.h)
+        |SELECT doc_id, w2 AS width, h2 AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM((y2 * w2 + x2) * (r + g + b)) AS BIGINT) AS wlum
+        |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin
   )
 }

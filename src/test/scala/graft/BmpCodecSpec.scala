@@ -86,6 +86,20 @@ class BmpCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BmpCodec.decode(huge))
   }
 
+  test("2x downsample keeps exactly the even-coordinate pixels at ceil-half dims") {
+    val w = 7; val h = 5; val id = 42L
+    val asset = Multimodal.Asset(id, "s",
+      BmpCodec.encode(w, h, (x, y) => Multimodal.patternPixel(id, x, y)))
+    val small = Multimodal.downsampleBmpBatch(Seq(asset)).head
+    val img = BmpCodec.decode(small.content)
+    assert(img.width === (w + 1) / 2 && img.height === (h + 1) / 2)
+    for (y2 <- 0 until img.height; x2 <- 0 until img.width) {
+      val expect = Multimodal.patternPixel(id, 2 * x2, 2 * y2)
+      val got = (img.r(x2, y2) << 16) | (img.g(x2, y2) << 8) | img.b(x2, y2)
+      assert(got === expect, s"pixel ($x2,$y2) must be source pixel (${2*x2},${2*y2})")
+    }
+  }
+
   test("batch decoder reduces to exact integer stats") {
     val id = 42L
     val a = Multimodal.Asset(id, "s",
