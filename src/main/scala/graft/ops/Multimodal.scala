@@ -133,6 +133,17 @@ object Multimodal {
         img.b(2 * x, 2 * y)))
   }
 
+  /** REAL audio DECIMATION through the codec — keep every 2nd sample
+    * and RE-ENCODE a conformant WAV at HALF the sample rate (the
+    * simplest correct resample for a band-limited-enough signal; a
+    * production pipeline inserts an anti-alias filter before this
+    * exact step). Same batched seam as every codec. */
+  def decimateWavBatch(batch: Seq[Asset]): Seq[Asset] = batch.map { a =>
+    val au = WavCodec.decode(a.content)
+    val half = Array.tabulate((au.samples.length + 1) / 2)(i => au.samples(2 * i))
+    Asset(a.doc_id, a.source, WavCodec.encode(au.sampleRate / 2, half))
+  }
+
   /** Deterministic test-pattern sample k of clip `docId`: pure integer,
     * range-exact int16 — the DuckDB oracle recomputes it
     * arithmetically, making the encode→bytes→decode round trip
@@ -297,6 +308,30 @@ object Multimodal {
         .select(col("doc_id"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"), col("wlum"))
         .orderBy("doc_id")
+    },
+
+    // REAL audio RESAMPLE round trip — q192's pipeline with a genuine
+    // 2× decimation in the middle: encode the test-pattern WAV,
+    // decode the actual bytes, keep every 2nd sample, RE-ENCODE a
+    // conformant WAV at half the sample rate, decode AGAIN, and
+    // reduce to exact integer stats. The oracle recomputes the
+    // even-index subsequence arithmetically — both encodes, both
+    // decodes, the header's halved rate, and the sample order are all
+    // hash-verified. Per-row map work through the batched codec seam.
+    "q260_wav_decimate" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val n = (8 + id % 8).toInt
+          Asset(id, src,
+            WavCodec.encode(8000, Array.tabulate(n)(patternSample(id, _))))
+        }.toDF()
+      val half = decodeAssetsAs(assets, batchSize = 64)(decimateWavBatch)
+      decodeAssetsAs(half, batchSize = 64)(decodeWavBatch)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sum_abs"), col("peak"), col("wsum"))
+        .orderBy("doc_id")
     }
   )
 
@@ -397,6 +432,24 @@ object Multimodal {
         |  CAST(SUM(g) AS BIGINT) AS sum_g,
         |  CAST(SUM(b) AS BIGINT) AS sum_b,
         |  CAST(SUM((y2 * w2 + x2) * (r + g + b)) AS BIGINT) AS wlum
-        |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin,
+
+    // The decimated clip keeps the even-index samples of the pattern
+    // at half the sample rate, re-indexed (k2 + 1 position weights).
+    "q260_wav_decimate" ->
+      """WITH clips AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 8 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT c.doc_id, g.k2,
+        |    ((c.doc_id * 31 + (2 * g.k2) * 7919) % 65536) - 32768 AS v
+        |  FROM clips c, UNNEST(generate_series(0, 7)) AS g(k2)
+        |  WHERE 2 * g.k2 < c.n)
+        |SELECT doc_id, CAST(4000 AS BIGINT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        |  CAST(SUM((k2 + 1) * v) AS BIGINT) AS wsum
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1180,6 +1180,45 @@ object Quality {
           col("c").cast("long").as("n_censored"),
           expr("CAST(d * 1000000 DIV n_at_risk AS BIGINT)").as("hazard_ppm"))
         .orderBy("lifetime_days")
+    },
+
+    // AS-OF join with TOLERANCE — E24/q132's merge-join ASOF plus the
+    // staleness bound every real point-in-time lookup carries (pandas
+    // merge_asof(tolerance=...), kdb wj): a view older than ONE HOUR
+    // is not "the quote in effect", it is stale context, and matching
+    // it silently is the bug this operator class exists to prevent.
+    // Same single-shuffle union-tag + running last(ignoreNulls)
+    // machinery; the tolerance is applied AFTER the match so matched
+    // (within-tolerance), stale (match beyond tolerance → nulled,
+    // flagged), and unmatched are three distinct observable states.
+    "q261_asof_tolerance" -> { (s, d) =>
+      val TolUs = 3600000000L // 1 hour in µs — interpolated into the oracle
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"),
+          lit(1).as("side"), lit(null).cast("long").as("q_us"))
+      val right = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("event_id"))
+        .select(col("user_id"), col("event_id"), col("us"),
+          lit(0).as("side"), col("us").as("q_us"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      left.unionByName(right)
+        .withColumn("raw_asof", last(col("q_us"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+          when(col("us") - col("raw_asof") <= TolUs, col("raw_asof"))
+            .as("asof_us"),
+          when(col("us") - col("raw_asof") <= TolUs, col("us") - col("raw_asof"))
+            .as("gap_us"),
+          expr(s"CAST(CASE WHEN raw_asof IS NULL THEN 0" +
+            s" WHEN us - raw_asof <= ${TolUs}L THEN 1" +
+            s" ELSE 2 END AS BIGINT)").as("match_state"))
+        .orderBy("event_id")
     }
   )
 
@@ -2030,6 +2069,26 @@ object Quality {
         |SELECT t AS lifetime_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
         |  CAST(d AS BIGINT) AS n_churned, CAST(c AS BIGINT) AS n_censored,
         |  CAST(d * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
-        |FROM ar ORDER BY lifetime_days""".stripMargin
+        |FROM ar ORDER BY lifetime_days""".stripMargin,
+
+    "q261_asof_tolerance" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, MAX(event_id) AS event_id
+        |      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |m AS (
+        |  SELECT l.event_id, l.user_id,
+        |    epoch_us(CAST(l.ts AS TIMESTAMP)) AS purchase_us,
+        |    epoch_us(CAST(r.ts AS TIMESTAMP)) AS raw_asof
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT event_id, user_id, purchase_us,
+        |  CASE WHEN purchase_us - raw_asof <= 3600000000 THEN raw_asof END
+        |    AS asof_us,
+        |  CASE WHEN purchase_us - raw_asof <= 3600000000
+        |    THEN purchase_us - raw_asof END AS gap_us,
+        |  CAST(CASE WHEN raw_asof IS NULL THEN 0
+        |    WHEN purchase_us - raw_asof <= 3600000000 THEN 1
+        |    ELSE 2 END AS BIGINT) AS match_state
+        |FROM m ORDER BY event_id""".stripMargin
   )
 }

@@ -100,6 +100,16 @@ class BmpCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("wav decimation keeps the even-index samples at half the rate") {
+    val id = 7L
+    val samples = Array.tabulate(13)(Multimodal.patternSample(id, _))
+    val asset = Multimodal.Asset(id, "s", graft.ops.WavCodec.encode(8000, samples))
+    val half = Multimodal.decimateWavBatch(Seq(asset)).head
+    val au = graft.ops.WavCodec.decode(half.content)
+    assert(au.sampleRate === 4000)
+    assert(au.samples.toSeq === (0 until 7).map(i => samples(2 * i)))
+  }
+
   test("batch decoder reduces to exact integer stats") {
     val id = 42L
     val a = Multimodal.Asset(id, "s",

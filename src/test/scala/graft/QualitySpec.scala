@@ -653,6 +653,29 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q261 tolerance nulls exactly the stale matches and the three states partition") {
+    val rows = Quality.queries("q261_asof_tolerance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tol = 3600000000L
+    rows.foreach { r =>
+      val st = r.getAs[Long]("match_state")
+      st match {
+        case 1L =>
+          assert(r.getAs[Long]("gap_us") <= tol && r.getAs[Long]("gap_us") >= 0)
+          assert(!r.isNullAt(r.fieldIndex("asof_us")))
+        case 0L | 2L =>
+          assert(r.isNullAt(r.fieldIndex("asof_us")),
+            "stale and unmatched rows must carry no asof payload")
+          assert(r.isNullAt(r.fieldIndex("gap_us")))
+        case other => fail(s"unknown state $other")
+      }
+    }
+    // every purchase appears exactly once (left-join semantics)
+    val purchases = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong == purchases)
+  }
+
   test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
     val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
     val cells = docs.groupBy("source", "lang").count().collect()
