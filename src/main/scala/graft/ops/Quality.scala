@@ -1219,6 +1219,84 @@ object Quality {
             s" WHEN us - raw_asof <= ${TolUs}L THEN 1" +
             s" ELSE 2 END AS BIGINT)").as("match_state"))
         .orderBy("event_id")
+    },
+
+    // WATERMARK SIZING quantiles — p99/p99.9 of the per-type DISORDER
+    // depth (F56/q235 measures the depths; this picks the delay): a
+    // watermark at p99 drops 1% of events, at p99.9 one in a thousand
+    // — the accuracy-vs-latency dial, read off the exact quantile
+    // table. Depths floor to SECONDS so the quantile grid is
+    // value-bounded (the permitted window class, per-type
+    // partitioned). ALL events enter with on-time depth 0 — on this
+    // fixture every stream is perfectly ordered, and "p99.9 delay =
+    // 0 s, no watermark needed" must be a MEASURED row, not an empty
+    // result (the q158 empty-bin rule applied to time).
+    "q262_watermark_sizing" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val depths = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tu"))
+        .withColumn("pm", max(col("tu")).over(w))
+        .select(col("event_type"),
+          when(col("pm").isNotNull && col("pm") > col("tu"),
+            expr("(pm - tu) DIV 1000000")).otherwise(lit(0L)).as("depth_s"))
+      val grid = depths.groupBy("event_type", "depth_s").agg(count(lit(1)).as("f"))
+      val wc = Window.partitionBy("event_type").orderBy("depth_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = grid.withColumn("below", coalesce(sum(col("f")).over(wc), lit(0L)))
+      val n = grid.groupBy("event_type").agg(sum(col("f")).as("n"))
+      val qg = s.range(0, 2)
+        .select(expr("CASE WHEN id = 0 THEN 990L ELSE 999L END").as("qpm"))
+      cum.join(broadcast(n), "event_type").crossJoin(broadcast(qg))
+        .withColumn("pos", expr("(qpm * n + 999) DIV 1000"))
+        .filter(col("below") < col("pos") && col("pos") <= col("below") + col("f"))
+        .select(col("event_type"), col("qpm"), col("depth_s").as("delay_s"),
+          col("n").cast("long").as("n_events"))
+        .orderBy("event_type", "qpm")
+    },
+
+    // CO-PURCHASE graph TRIANGLES + global clustering closure — the
+    // community-structure read of the basket graph (D6m/q99 counts
+    // pair frequencies; F14/q194 counts within-basket triples; a
+    // TRIANGLE needs its three edges in possibly three different
+    // baskets — only the graph view sees it). Edges = part pairs
+    // co-bought in ≥ 2 orders (the support threshold IS the scale
+    // bound, the df-cap analog), baskets capped at 32 lines like
+    // q194. Triangles by the standard a<b<c edge-join closure;
+    // wedges Σ deg·(deg−1)/2; closure_ppm = 3T·10⁶/W. All joins run
+    // on the thresholded edge set, never on baskets.
+    "q263_copurchase_triangles" -> { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val ok = items.groupBy("okey").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= 32).select("okey")
+      val it = items.join(ok, "okey")
+      val edges = it.join(it.select(col("okey"), col("part").as("pb")), Seq("okey"))
+        .filter(col("part") < col("pb"))
+        .groupBy(col("part").as("a"), col("pb").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("a", "b")
+      val deg = edges.select(col("a").as("v")).unionByName(
+          edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val wedges = deg.agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"),
+        count(lit(1)).as("n_vertices"))
+      val tri = edges.join(edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(edges.select(col("a"), col("b").as("c"), lit(1).as("closed")),
+          Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      wedges.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .select(col("n_vertices").cast("long").as("n_vertices"),
+          col("n_edges").cast("long").as("n_edges"),
+          col("n_wedges").cast("long").as("n_wedges"),
+          col("n_triangles").cast("long").as("n_triangles"),
+          expr("CASE WHEN n_wedges > 0 THEN" +
+            " CAST(3 * n_triangles * 1000000 DIV n_wedges AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("closure_ppm"))
     }
   )
 
@@ -2089,6 +2167,66 @@ object Quality {
         |  CAST(CASE WHEN raw_asof IS NULL THEN 0
         |    WHEN purchase_us - raw_asof <= 3600000000 THEN 1
         |    ELSE 2 END AS BIGINT) AS match_state
-        |FROM m ORDER BY event_id""".stripMargin
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    "q262_watermark_sizing" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tu,
+        |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM events),
+        |dp AS (
+        |  SELECT event_type,
+        |    CASE WHEN pm IS NOT NULL AND pm > tu
+        |      THEN (pm - tu) // 1000000 ELSE 0 END AS depth_s
+        |  FROM e),
+        |grid AS (SELECT event_type, depth_s, COUNT(*) AS f
+        |         FROM dp GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, depth_s, f,
+        |    COALESCE(SUM(f) OVER (PARTITION BY event_type ORDER BY depth_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM grid),
+        |n AS (SELECT event_type, SUM(f) AS n FROM grid GROUP BY 1),
+        |qg AS (SELECT CAST(CASE WHEN g.i = 0 THEN 990 ELSE 999 END AS BIGINT)
+        |         AS qpm
+        |       FROM UNNEST(generate_series(0, 1)) g(i))
+        |SELECT c.event_type, qg.qpm, c.depth_s AS delay_s,
+        |  CAST(n.n AS BIGINT) AS n_events
+        |FROM cum c JOIN n USING (event_type) CROSS JOIN qg
+        |WHERE c.below < (qg.qpm * n.n + 999) // 1000
+        |  AND (qg.qpm * n.n + 999) // 1000 <= c.below + c.f
+        |ORDER BY c.event_type, qg.qpm""".stripMargin,
+
+    "q263_copurchase_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |ok AS (SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 32),
+        |it AS (SELECT i.okey, i.part FROM items i JOIN ok USING (okey)),
+        |edges AS (
+        |  SELECT a.part AS a, b.part AS b
+        |  FROM it a JOIN it b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS dg FROM (
+        |    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) x
+        |  GROUP BY 1),
+        |w AS (SELECT SUM(dg * (dg - 1) // 2) AS n_wedges,
+        |        COUNT(*) AS n_vertices FROM deg),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.a = e1.b
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+        |SELECT CAST(w.n_vertices AS BIGINT) AS n_vertices,
+        |  CAST(ne.n_edges AS BIGINT) AS n_edges,
+        |  CAST(w.n_wedges AS BIGINT) AS n_wedges,
+        |  CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+        |  CASE WHEN w.n_wedges > 0
+        |    THEN CAST(3 * tri.n_triangles * 1000000 // w.n_wedges AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS closure_ppm
+        |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin
   )
 }

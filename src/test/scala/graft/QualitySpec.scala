@@ -676,6 +676,47 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.length.toLong == purchases)
   }
 
+  test("q262 every type carries both quantile rows and the delay is the measured zero") {
+    val rows = Quality.queries("q262_watermark_sizing")(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(rows.length == types.length * 2, "p99 and p99.9 per type")
+    rows.foreach { r =>
+      assert(Seq(990L, 999L).contains(r.getAs[Long]("qpm")))
+      assert(r.getAs[Long]("delay_s") >= 0)
+      // this fixture's streams are perfectly ordered — the zero is measured
+      assert(r.getAs[Long]("delay_s") == 0L)
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+  }
+
+  test("q263 triangles match a nested-loop closure replay on the thresholded edges") {
+    val r = Quality.queries("q263_copurchase_triangles")(spark, sf).collect().head
+    val items = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val ok = items.groupBy(_._1).filter(_._2.length <= 32).keySet
+    val kept = items.filter(i => ok.contains(i._1))
+    val pairCount = kept.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    val edges = pairCount.filter(_._2 >= 2).keySet
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size.toLong)
+    assert(r.getAs[Long]("n_wedges") == deg.map(d => d * (d - 1) / 2).sum)
+    val adj = edges.toSeq.groupBy(_._1)
+      .map { case (a, es2) => a -> es2.map(_._2).toSet }
+    var tri = 0L
+    edges.foreach { case (a, b) =>
+      adj.getOrElse(b, Set.empty).foreach { c =>
+        if (edges.contains((a, c))) tri += 1
+      }
+    }
+    assert(r.getAs[Long]("n_triangles") == tri)
+  }
+
   test("q219 simpson is 1e6 for a single-lang source and matches the pair-count replay") {
     val rows = Quality.queries("q219_simpson_diversity")(spark, sf).collect()
     val cells = docs.groupBy("source", "lang").count().collect()
