@@ -97,8 +97,18 @@ class PlanSpec extends AnyFunSuite {
     // (the repo-wide vocab-grid doctrine: q77/q214/q223/q241 broadcast
     // vocabulary-sized aggregates by design); disc_pct is DECIMAL(4,2)
     // percent (≤ 101 values by schema); prio aliases o_orderpriority.
+    // r_name/n_name/c_mktsegment are DIMENSION attributes (regions,
+    // nations, market segments are fixed enumerations); an aggregate
+    // grouped only on them is a dim-sized grid even when its input is a
+    // fact join (q256's parent-tier totals)
+    // lo is the power-of-2 bucket lattice key (q229/q247's 40-row Range
+    // grid): its domain is the 64 possible shiftleft exponents, not the
+    // data volume
+    // delta (q246) and t (q258) are day-granular TIME deltas — bounded by
+    // the horizon like "day"; l_linestatus is a schema enumeration
     val boundedDomainKeys = Set("day", "lang", "source", "event_type", "n_chars",
-      "from_type", "to_type", "tok", "w1", "disc_pct", "prio")
+      "from_type", "to_type", "tok", "w1", "disc_pct", "prio",
+      "r_name", "n_name", "c_mktsegment", "lo", "delta", "t", "l_linestatus")
     // Recursive: a subtree is bounded if every path from the broadcast
     // root down to a fact leaf passes through a LIMIT, a one-row
     // (groupless) aggregate, or an aggregate grouped only on
@@ -116,6 +126,9 @@ class PlanSpec extends AnyFunSuite {
       case other => other.children.forall(bounded)
     }
     def boundedOrDim(p: LogicalPlan): Boolean = bounded(p)
+    // collect ALL violations before failing — a fail-fast assert here hid
+    // later offenders behind the first one for two rounds
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     withCaches { SparkEntry.queries.keys.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       plan.foreach {
@@ -124,15 +137,14 @@ class PlanSpec extends AnyFunSuite {
             org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
           val broadcastRight = j.hint.rightHint.exists(_.strategy.contains(
             org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
-          if (broadcastLeft)
-            assert(boundedOrDim(j.left),
-              s"$name broadcasts an unbounded fact-derived side:\n${j.left.toString.take(800)}")
-          if (broadcastRight)
-            assert(boundedOrDim(j.right),
-              s"$name broadcasts an unbounded fact-derived side:\n${j.right.toString.take(800)}")
+          if (broadcastLeft && !boundedOrDim(j.left))
+            violations += s"$name broadcasts an unbounded fact-derived side:\n${j.left.toString.take(800)}"
+          if (broadcastRight && !boundedOrDim(j.right))
+            violations += s"$name broadcasts an unbounded fact-derived side:\n${j.right.toString.take(800)}"
         case _ =>
       }
     } }
+    assert(violations.isEmpty, violations.mkString("\n---\n"))
   }
 
   test("q58 bloom probes broadcast the bit set; the fact side is never exchanged for them") {
