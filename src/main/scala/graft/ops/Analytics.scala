@@ -1,0 +1,687 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.Tables
+import graft.ops.TextAnalysis.tokens
+
+/** Round-6 closing additions (SURVEY.md §2F, F85+) — corpus-allocation and
+  * corpus-statistics operators:
+  *
+  *   - q264: largest-remainder QUOTA apportionment — allocate a fixed eval
+  *     budget across sources exactly proportionally (Hamilton's method:
+  *     floor quotas + one extra doc to the largest remainders until the
+  *     budget is spent). The exact-integer answer to "give me a 10k-doc
+  *     eval set with the corpus mix" — per-source ppm quotas (D5b) round
+  *     inconsistently and miss the budget by up to |sources| docs;
+  *   - q265: ENCODING-RESIDUE screen — replacement-character (U+FFFD) and
+  *     C0-control contamination per source, the mojibake audit run before
+  *     any tokenizer sees the bytes. Counts via length-difference under
+  *     replace/regexp_replace so no engine's regex COUNT dialect is
+  *     load-bearing; explicit zeros are measured facts (q158 rule);
+  *   - q266: CHAO1 species-richness estimate + Good–Turing unseen-mass per
+  *     language — how much vocabulary the corpus has NOT seen yet
+  *     (chao1 = V + F1²-ish from the singleton/doubleton counts, in the
+  *     bias-corrected F1·(F1−1)/(2·(F2+1)) form that is exact-integer and
+  *     division-safe) and the probability the next token is novel
+  *     (GT mass = F1/N). The open-vocabulary companion of q213's Heaps
+  *     screen: Heaps says HOW growth scales, Chao1 says WHERE it plateaus.
+  *
+  * Scale notes (100 TB): q264's heavy work is ONE map-combined per-source
+  * count; everything after (quota arithmetic, the remainder rank via a
+  * predecessor-count self-join — the q201/q216 rank rule, never a global
+  * window) lives on the broadcast |sources| grid. q265 is a single scan
+  * with per-row map arithmetic collapsing onto the |sources| grid. q266's
+  * token counts collapse onto the (lang, type) vocabulary grid map-side;
+  * the F1/F2 reduction is a second map-combined agg onto |langs| rows.
+  * Magnitude rule: q264's B·n stays < 10¹⁷ for B=10⁴ up to 10¹³ docs;
+  * q266's F1·(F1−1) crosses int64 near F1 ≈ 3·10⁹ singleton types, so the
+  * product is widened DECIMAL(38,0)/HUGEINT from the start.
+  */
+object Analytics {
+
+  /** q264 eval-set budget (docs). ONE definition interpolated into both
+    * engines' SQL so the Spark leg and the oracle can never drift. */
+  private[graft] val EvalBudget = 10000L
+
+  /** Characters the q265 control screen counts: C0 minus tab/LF/CR. Java
+    * and RE2 both read this class byte-for-byte the same. */
+  private val CtrlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** q269 position-discount table: wᵢ = round(10⁶/log₂(i+1)) for ranks
+    * 1..10, precomputed ONCE as ppm integer constants so neither engine
+    * evaluates a transcendental at query time (the repo-wide log-free
+    * rule) — interpolated into both engines' SQL from this one list. */
+  private[graft] val NdcgW: Seq[Long] =
+    Seq(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L,
+      315465L, 301030L, 289065L)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Largest-remainder apportionment. floor_i = B·n_i DIV N always
+    // under-spends; the shortfall k = B − Σfloor_i (< |sources|) goes one
+    // doc each to the k largest remainders, ties broken by source name so
+    // the allocation is a pure function of the counts. Spec-asserted:
+    // Σalloc = B exactly and every source is within 1 doc of its ideal
+    // B·n_i/N — the two invariants that define Hamilton's method.
+    "q264_quota_apportionment" -> { (s, d) =>
+      val c = Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("nt"))
+      val q = c.crossJoin(broadcast(t)).select(col("source"), col("n"),
+        expr(s"CAST($EvalBudget * n DIV nt AS BIGINT)").as("floor_alloc"),
+        expr(s"CAST($EvalBudget * n % nt AS BIGINT)").as("rem_num"))
+      val k = q.agg((lit(EvalBudget) - sum(col("floor_alloc"))).as("k"))
+      // remainder rank = predecessor count on the broadcast grid
+      val b = q.select(col("source").as("bs"), col("rem_num").as("br"))
+      val rnk = q.join(broadcast(b),
+          col("br") > col("rem_num") ||
+            (col("br") === col("rem_num") && col("bs") < col("source")), "left")
+        .groupBy("source", "n", "floor_alloc", "rem_num")
+        .agg(count(col("bs")).as("rnk"))
+      rnk.crossJoin(broadcast(k))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          col("floor_alloc"), col("rem_num"),
+          (col("floor_alloc") +
+            when(col("rnk") < col("k"), lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("alloc"))
+        .orderBy("source")
+    },
+
+    // Encoding-residue screen. Occurrence counts are LENGTH DIFFERENCES
+    // under replace (U+FFFD) / regexp_replace (C0 class) — both engines
+    // count Unicode code points in length(), so the arithmetic is
+    // engine-neutral without relying on any regex-count function. The
+    // clean fixture yields all-zero rows per source: "no mojibake" is a
+    // checked fact, not an absent row (q158 rule); the spec proves the
+    // detectors actually fire on injected contamination.
+    "q265_encoding_residue" -> { (s, d) =>
+      val perDoc = Tables.documents(s, d).select(col("source"),
+        length(col("text")).as("nc"),
+        (length(col("text")) -
+          length(expr("replace(text, '�', '')"))).as("n_repl"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), lit(CtrlClass), lit("")))).as("n_ctrl"))
+      perDoc.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("n_chars"),
+          sum(when(col("n_repl") > 0, 1L).otherwise(0L)).as("docs_repl"),
+          sum(when(col("n_ctrl") > 0, 1L).otherwise(0L)).as("docs_ctrl"),
+          sum(col("n_repl")).as("repl_chars"),
+          sum(col("n_ctrl")).as("ctrl_chars"))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("docs_repl").cast("long").as("docs_repl"),
+          col("docs_ctrl").cast("long").as("docs_ctrl"),
+          col("repl_chars").cast("long").as("repl_chars"),
+          col("ctrl_chars").cast("long").as("ctrl_chars"),
+          expr("CAST(repl_chars * 1000000 DIV n_chars AS BIGINT)").as("repl_ppm"),
+          expr("CAST(ctrl_chars * 1000000 DIV n_chars AS BIGINT)").as("ctrl_ppm"))
+        .orderBy("source")
+    },
+
+    // Chao1 richness + Good–Turing unseen mass. The vocabulary agg is the
+    // only corpus-sized reduction; F1/F2/V/N are four map-combined sums
+    // over the (lang, type) grid. chao1 uses the bias-corrected form
+    // V + F1(F1−1)/(2(F2+1)) — defined even when no doubletons exist, and
+    // a pure integer floor-DIV both engines mirror. gt_unseen_ppm = F1/N
+    // is the Good–Turing estimate of P(next token is a NEW type) — the
+    // number a tokenizer-budget decision (F32/q211) reads next.
+    "q266_chao1_richness" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+      tf.groupBy("lang").agg(
+          count(lit(1)).as("v_types"),
+          sum(col("f")).as("n_tokens"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("lang"), col("v_types").cast("long").as("v_types"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("f1").cast("long").as("f1"), col("f2").cast("long").as("f2"),
+          expr("CAST(v_types + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1)" +
+            " DIV (2 * (f2 + 1)) AS BIGINT)").as("chao1_est"),
+          expr("CAST(f1 * 1000000 DIV n_tokens AS BIGINT)").as("gt_unseen_ppm"))
+        .orderBy("lang")
+    },
+
+    // Two-feature OLS by Cramér's rule on the CENTERED normal equations —
+    // price (whole dollars) ~ quantity + discount-pct over lineitem. The
+    // five sufficient statistics are exact integers from quantized
+    // columns (the q134 single-feature trend generalized to two
+    // regressors — which needs the 2×2 determinant, i.e. the first
+    // genuinely multivariate fit); the ONLY floating point is the final
+    // mirrored IEEE arithmetic assembling b1/b2 from already-BIGINT
+    // S-values (int64→double is correctly rounded in both engines and
+    // the expression tree is written identically — the q207 rule, since
+    // floor-DIV diverges across engines on negative numerators).
+    // Magnitude rule: S1y = n·Σx1y − Σx1·Σy reaches ~2·10¹⁸ at sf0.1
+    // already, so every S assembles in DECIMAL(38,0)/HUGEINT and only
+    // then casts down; past ~10⁷ rows the S-values themselves stay
+    // DECIMAL — and at 100 TB the fit would run per-stratum (the
+    // statistics are sum-mergeable, the point of the centered form).
+    "q267_ols_two_feature" -> { (s, d) =>
+      val q = Tables.lineitem(s, d).select(
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " DIV 100").as("y"),
+        expr("CAST(l_quantity AS BIGINT)").as("x1"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("x2"))
+      q.agg(count(lit(1)).as("n"), sum(col("x1")).as("sx1"),
+          sum(col("x2")).as("sx2"), sum(col("y")).as("sy"),
+          sum(expr("x1 * x1")).as("sx11"), sum(expr("x1 * x2")).as("sx12"),
+          sum(expr("x2 * x2")).as("sx22"), sum(expr("x1 * y")).as("sx1y"),
+          sum(expr("x2 * y")).as("sx2y"))
+        .select(col("n").cast("long").as("n"),
+          expr("CAST(n * CAST(sx11 AS DECIMAL(38,0)) - CAST(sx1 AS DECIMAL(38,0)) * sx1 AS BIGINT)").as("s11"),
+          expr("CAST(n * CAST(sx12 AS DECIMAL(38,0)) - CAST(sx1 AS DECIMAL(38,0)) * sx2 AS BIGINT)").as("s12"),
+          expr("CAST(n * CAST(sx22 AS DECIMAL(38,0)) - CAST(sx2 AS DECIMAL(38,0)) * sx2 AS BIGINT)").as("s22"),
+          expr("CAST(n * CAST(sx1y AS DECIMAL(38,0)) - CAST(sx1 AS DECIMAL(38,0)) * sy AS BIGINT)").as("s1y"),
+          expr("CAST(n * CAST(sx2y AS DECIMAL(38,0)) - CAST(sx2 AS DECIMAL(38,0)) * sy AS BIGINT)").as("s2y"))
+        .select(col("n"), col("s11"), col("s12"), col("s22"), col("s1y"), col("s2y"),
+          expr("(CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) -" +
+            " CAST(s2y AS DOUBLE) * CAST(s12 AS DOUBLE)) /" +
+            " (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) -" +
+            " CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))").as("b1"),
+          expr("(CAST(s2y AS DOUBLE) * CAST(s11 AS DOUBLE) -" +
+            " CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)) /" +
+            " (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) -" +
+            " CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))").as("b2"))
+    },
+
+    // Hellinger/Bhattacharyya AFFINITY between each source's language
+    // distribution and the corpus — BC = Σ√(p·q) scores how SIMILAR two
+    // distributions are where TVD (E32) scores how far apart: BC weights
+    // agreement on the SHARED mass geometrically, so a source missing a
+    // language entirely pays full price on that term (√0 = 0) no matter
+    // how the rest lines up. Shares are exact floor-ppm integers; each
+    // √(p·q) is floor(sqrt) of an integer ≤ 10¹² — exactly representable
+    // in a double, and IEEE sqrt is correctly rounded, so the floor is
+    // the EXACT integer square root in both engines (no rounding-mode
+    // drift is possible: √(k²−1) sits ~5·10⁻⁷ below k, 3 orders beyond
+    // the half-ULP at 10⁶). h2_micro = 10⁶ − BC is the squared Hellinger
+    // distance in µ-units.
+    "q268_hellinger_affinity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sl = docs.groupBy("source", "lang").agg(count(lit(1)).as("nsl"))
+      val sTot = sl.groupBy("source").agg(sum(col("nsl")).as("ns"))
+      val gl = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val n = docs.agg(count(lit(1)).as("nt"))
+      val terms = sl.join(sTot, "source")
+        .join(broadcast(gl.crossJoin(broadcast(n))), "lang")
+        .select(col("source"),
+          expr("nsl * 1000000 DIV ns").as("p_ppm"),
+          expr("nl * 1000000 DIV nt").as("q_ppm"))
+      terms.groupBy("source")
+        .agg(sum(expr("CAST(FLOOR(SQRT(CAST(p_ppm * q_ppm AS DOUBLE))) AS BIGINT)"))
+          .as("bc_micro"))
+        .select(col("source"), col("bc_micro").cast("long").as("bc_micro"),
+          (lit(1000000L) - col("bc_micro")).cast("long").as("h2_micro"))
+        .orderBy("source")
+    },
+
+    // nDCG@10 retrieval evaluation per language — the GRADED-relevance
+    // ranking metric next to q180's recall@k (binary) and q116's RRF
+    // (fusion): position discounts wᵢ = 10⁶/log₂(i+1) come from the
+    // precomputed [[NdcgW]] ppm table, so the whole metric is exact
+    // integer arithmetic at query time. Ranking = longest-document-first
+    // (the length prior, deterministic doc_id tiebreak); graded gold
+    // rel ∈ {0..3} from the engine-neutral hash — the fixture's
+    // deterministic stand-in for human judgments (the q180 convention).
+    // IDCG re-ranks the SAME 10 rows by rel desc, so ndcg_ppm = 10⁶ iff
+    // the length prior happens to order by relevance. Both windows are
+    // per-LANG partitions; everything after the top-10 cut is a
+    // 10·|langs|-row grid.
+    "q269_ndcg_at_10" -> { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      val top = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .withColumn("rel", Dedup.neutralHash32(col("doc_id").cast("string")) % 4)
+      val wi = Window.partitionBy("lang").orderBy(col("rel").desc, col("doc_id"))
+      val both = top.withColumn("irnk", row_number().over(wi))
+      val disc = NdcgW.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}L" }
+        .mkString("CASE %s ", " ", " END")
+      val scored = both.select(col("lang"),
+        (col("rel") * expr(disc.format("rnk"))).as("dg"),
+        (col("rel") * expr(disc.format("irnk"))).as("ig"))
+      scored.groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_rated"),
+          sum(col("dg")).cast("long").as("dcg_micro"),
+          sum(col("ig")).cast("long").as("idcg_micro"))
+        .withColumn("ndcg_ppm",
+          expr("CASE WHEN idcg_micro > 0 THEN" +
+            " CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)" +
+            " ELSE CAST(1000000 AS BIGINT) END"))
+        .orderBy("lang")
+    },
+
+    // Column-ENCODING advisor — the write-path statistics a parquet/ORC
+    // writer's encoding chooser reads (next to F33/q212's row-group
+    // packer and E31/q141's sort-order audit): per source, how RLE-able
+    // the lang column is in doc_id storage order. n_runs counts value
+    // CHANGES via per-source lag() (first row opens a run); dict_bits is
+    // the ceil-log2 dictionary width from a 0..31 broadcast bit ladder —
+    // log-free, the q222 power-of-two convention. rle_ratio_ppm =
+    // runs/rows is the decision number: ≪ 10⁶ → RLE wins, ≈ 10⁶ →
+    // dictionary-plain.
+    "q270_encoding_advisor" -> { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val runs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("lang"))
+        .withColumn("chg",
+          when(lag(col("lang"), 1).over(w).isNull ||
+            lag(col("lang"), 1).over(w) =!= col("lang"), 1L).otherwise(0L))
+      val g = runs.groupBy("source").agg(
+        count(lit(1)).as("n_rows"), sum(col("chg")).as("n_runs"),
+        countDistinct(col("lang")).as("ndv"),
+        sum(length(col("lang"))).as("plain_chars"))
+      val bits = g.sparkSession.range(0, 32).select(col("id").cast("long").as("b"))
+      g.join(broadcast(bits), expr("shiftleft(1L, CAST(b AS INT)) >= ndv"))
+        .groupBy("source", "n_rows", "n_runs", "ndv", "plain_chars")
+        .agg(min(col("b")).as("dict_bits"))
+        .select(col("source"), col("n_rows").cast("long").as("n_rows"),
+          col("n_runs").cast("long").as("n_runs"),
+          col("ndv").cast("long").as("ndv"),
+          col("plain_chars").cast("long").as("plain_chars"),
+          col("dict_bits").cast("long").as("dict_bits"),
+          expr("CAST(n_runs * 1000000 DIV n_rows AS BIGINT)").as("rle_ratio_ppm"))
+        .orderBy("source")
+    },
+
+    // Capture-recapture (CHAPMAN) vocabulary estimate — the mark-recapture
+    // population estimator applied to the type inventory: how many DISTINCT
+    // token types does the corpus hold, estimated from two disjoint
+    // "captures" (the vocabularies of the even/odd doc_id halves) —
+    // N̂ = (nA+1)(nB+1)/(m+1) − 1, exact integer DIV. A type "recaptured"
+    // in both halves marks how thoroughly each half samples the
+    // vocabulary; two SHARD manifests estimate global vocabulary with no
+    // cross-shard join — the third vocabulary-size instrument next to
+    // q213 (Heaps: how growth SCALES) and q266 (Chao1: where it
+    // plateaus), with a different blind spot (capture heterogeneity vs
+    // singleton mass). The exact leg is the deliberate small-SF
+    // calibration audit (the q184-HLL convention).
+    "q271_capture_recapture" -> { (s, d) =>
+      val fp = Tables.documents(s, d).select(
+        (col("doc_id") % 2 === 0).as("even"),
+        explode(tokens(col("text"))).as("fp"))
+      val caps = fp.groupBy("fp").agg(
+        max(when(col("even"), 1L).otherwise(0L)).as("in_a"),
+        max(when(!col("even"), 1L).otherwise(0L)).as("in_b"))
+      caps.agg(
+          sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+          sum(col("in_a") * col("in_b")).as("m_both"),
+          count(lit(1)).as("exact_v"))
+        .select(col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("m_both").cast("long").as("m_both"),
+          // (nA+1)(nB+1) crosses int64 near 3·10⁹ distinct per capture —
+          // widened DECIMAL(38,0)/HUGEINT per the magnitude rule
+          expr("CAST(CAST(n_a + 1 AS DECIMAL(38,0)) * (n_b + 1)" +
+            " DIV (m_both + 1) - 1 AS BIGINT)").as("est_chapman"),
+          col("exact_v").cast("long").as("exact_v"))
+        .select(col("*"),
+          expr("CAST(ABS(est_chapman - exact_v) * 1000000 DIV exact_v AS BIGINT)")
+            .as("abs_err_ppm"),
+          expr("CAST(SIGN(est_chapman - exact_v) AS BIGINT)").as("bias_sign"))
+    },
+
+    // One-pass Pearson CORRELATION MATRIX over the lineitem measures
+    // (quantity, price-dollars, discount-pct, tax-pct) — ALL pairwise
+    // moments Σxᵢxⱼ from ONE scan and one map-combined 15-sum agg (the
+    // moment-matrix read PCA/feature-selection starts from; q237
+    // cross-correlates TIME series, this correlates MEASURES). Base sums
+    // are exact BIGINTs; each r assembles from them in mirrored IEEE
+    // arithmetic (identical expression tree both engines — the q207
+    // rule: r needs sqrt and signed division, both transcendental-free
+    // points are behind us). Sums are SUM-MERGEABLE ⟹ the matrix shards
+    // at 100 TB like q267's normal equations.
+    "q272_corr_matrix" -> { (s, d) =>
+      val q = Tables.lineitem(s, d).select(
+        expr("CAST(l_quantity AS BIGINT)").as("a"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100").as("b"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("c"),
+        expr("CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)").as("e"))
+      val pairs = Seq("a" -> "b", "a" -> "c", "a" -> "e", "b" -> "c", "b" -> "e", "c" -> "e")
+      val sums =
+        Seq("a", "b", "c", "e").flatMap(v => Seq(
+          sum(col(v)).as(s"s_$v"), sum(expr(s"$v * $v")).as(s"s_$v$v"))) ++
+        pairs.map { case (x, y) => sum(expr(s"$x * $y")).as(s"s_$x$y") }
+      def r(x: String, y: String): Column = expr(
+        s"(CAST(n AS DOUBLE) * CAST(s_$x$y AS DOUBLE) -" +
+          s" CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)) /" +
+          s" SQRT((CAST(n AS DOUBLE) * CAST(s_$x$x AS DOUBLE) -" +
+          s" CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE)) *" +
+          s" (CAST(n AS DOUBLE) * CAST(s_$y$y AS DOUBLE) -" +
+          s" CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE)))")
+      q.agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("n").cast("long").as("n"),
+          r("a", "b").as("r_qty_price"), r("a", "c").as("r_qty_disc"),
+          r("a", "e").as("r_qty_tax"), r("b", "c").as("r_price_disc"),
+          r("b", "e").as("r_price_tax"), r("c", "e").as("r_disc_tax"))
+    },
+
+    // DIFFERENCE-IN-DIFFERENCES of per-line revenue: treated = PROMO
+    // part types, post = order year ≥ 1996 — did = (post−pre) change for
+    // treated MINUS the same change for controls, the causal-inference
+    // shape that nets out both the group gap and the secular trend
+    // (q177's A/B z-test compares GROUPS at one time; q231's lift curve
+    // has no time axis at all). Revenue in exact scale-4 µ-units (the
+    // q186 shift rule); the four cell means are positive floor-DIVs; the
+    // did itself is the ONE mirrored IEEE assembly (signed — the q207
+    // floor-DIV rule). All four cells reduce in a single map-combined
+    // agg over one fact pass: conditional sums, no second scan.
+    "q273_did_promo" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select(col("p_partkey"),
+          col("p_type").startsWith("PROMO").as("treated")), // broadcast by AQE
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          (year(col("o_orderdate")) >= 1996).as("post")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("treated"), col("post"),
+          (Relational.money(col("l_extendedprice")) *
+            Relational.rate(lit(1) - col("l_discount")) * lit(10000))
+            .cast("long").as("rev_u"))
+      def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+        sum(when(col("treated") === t && col("post") === p, 1L).otherwise(0L))
+          .as(s"n_$suffix"),
+        sum(when(col("treated") === t && col("post") === p, col("rev_u"))
+          .otherwise(0L)).as(s"s_$suffix"))
+      val cells = cell(true, true, "t1") ++ cell(true, false, "t0") ++
+        cell(false, true, "c1") ++ cell(false, false, "c0")
+      li.agg(cells.head, cells.tail: _*)
+        .select(
+          col("n_t1").cast("long").as("n_t1"), col("s_t1").cast("long").as("s_t1"),
+          col("n_t0").cast("long").as("n_t0"), col("s_t0").cast("long").as("s_t0"),
+          col("n_c1").cast("long").as("n_c1"), col("s_c1").cast("long").as("s_c1"),
+          col("n_c0").cast("long").as("n_c0"), col("s_c0").cast("long").as("s_c0"),
+          expr("CAST(s_t1 DIV n_t1 AS BIGINT)").as("mean_t1_u"),
+          expr("CAST(s_t0 DIV n_t0 AS BIGINT)").as("mean_t0_u"),
+          expr("CAST(s_c1 DIV n_c1 AS BIGINT)").as("mean_c1_u"),
+          expr("CAST(s_c0 DIV n_c0 AS BIGINT)").as("mean_c0_u"),
+          expr("(CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) -" +
+            " CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) -" +
+            " (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) -" +
+            " CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))").as("did_u"))
+    },
+
+    // Consistent-hash RESHARD audit — growing 16 → 17 shards, what
+    // fraction of the corpus MOVES under naive mod-N vs rendezvous/HRW
+    // hashing (shard = argmax over per-shard hashes): mod reshuffles
+    // ~16/17 of every shard's data, HRW moves only the ~1/17 the new
+    // shard wins — THE reason consistent schemes exist, measured as an
+    // exact corpus fact. HRW argmax is the mirrored two-step rule (max
+    // value, then smallest index achieving it) over a 17-slot hash array
+    // built per row — bounded map work, no join, no shuffle before the
+    // one-row agg; the 33 md5s/row are the audit's documented price (a
+    // production router caches them per key).
+    "q274_reshard_audit" -> { (s, d) =>
+      val hj = "conv(substring(md5(concat(CAST(doc_id AS STRING), ':'," +
+        " CAST(j AS STRING))), 1, 8), 16, 10)"
+      val df = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("h", Dedup.neutralHash32(col("doc_id").cast("string")))
+        .withColumn("v17", expr(s"transform(sequence(0, 16), j -> CAST($hj AS BIGINT))"))
+        .withColumn("v16", expr("slice(v17, 1, 16)"))
+        .select(
+          (col("h") % 16 =!= col("h") % 17).as("moved_mod"),
+          (expr("array_position(v16, array_max(v16))") =!=
+            expr("array_position(v17, array_max(v17))")).as("moved_hrw"))
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("moved_mod"), 1L).otherwise(0L)).as("moved_mod"),
+          sum(when(col("moved_hrw"), 1L).otherwise(0L)).as("moved_hrw"))
+        .select(col("n_docs").cast("long").as("n_docs"),
+          col("moved_mod").cast("long").as("moved_mod"),
+          col("moved_hrw").cast("long").as("moved_hrw"),
+          expr("CAST(moved_mod * 1000000 DIV n_docs AS BIGINT)").as("mod_ppm"),
+          expr("CAST(moved_hrw * 1000000 DIV n_docs AS BIGINT)").as("hrw_ppm"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q264_quota_apportionment" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         |t AS (SELECT SUM(n) AS nt FROM c),
+         |q AS (SELECT source, n,
+         |        CAST($EvalBudget * n // nt AS BIGINT) AS floor_alloc,
+         |        CAST($EvalBudget * n % nt AS BIGINT) AS rem_num FROM c, t),
+         |k AS (SELECT $EvalBudget - SUM(floor_alloc) AS k FROM q),
+         |r AS (SELECT q.source, q.n, q.floor_alloc, q.rem_num,
+         |        (SELECT COUNT(*) FROM q q2 WHERE q2.rem_num > q.rem_num
+         |           OR (q2.rem_num = q.rem_num AND q2.source < q.source)) AS rnk
+         |      FROM q)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs, floor_alloc, rem_num,
+         |  CAST(floor_alloc + CASE WHEN rnk < k THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM r, k ORDER BY source""".stripMargin,
+
+    "q265_encoding_residue" ->
+      """WITH p AS (
+        |  SELECT source, length(text) AS nc,
+        |    length(text) - length(replace(text, chr(65533), '')) AS n_repl,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_repl,
+        |  CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ctrl,
+        |  CAST(SUM(n_repl) AS BIGINT) AS repl_chars,
+        |  CAST(SUM(n_ctrl) AS BIGINT) AS ctrl_chars,
+        |  CAST(SUM(n_repl) * 1000000 // SUM(nc) AS BIGINT) AS repl_ppm,
+        |  CAST(SUM(n_ctrl) * 1000000 // SUM(nc) AS BIGINT) AS ctrl_ppm
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q266_chao1_richness" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, COUNT(*) AS f FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |g AS (SELECT lang, COUNT(*) AS v_types, SUM(f) AS n_tokens,
+        |        SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS f1,
+        |        SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS f2
+        |      FROM tf GROUP BY 1)
+        |SELECT lang, CAST(v_types AS BIGINT) AS v_types,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+        |  CAST(v_types + CAST(f1 AS HUGEINT) * (f1 - 1)
+        |    // (2 * (f2 + 1)) AS BIGINT) AS chao1_est,
+        |  CAST(f1 * 1000000 // n_tokens AS BIGINT) AS gt_unseen_ppm
+        |FROM g ORDER BY lang""".stripMargin,
+
+    "q267_ols_two_feature" ->
+      """WITH q AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS y,
+        |    CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x2
+        |  FROM lineitem),
+        |a AS (SELECT COUNT(*) AS n, SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+        |    SUM(x1 * x1) AS sx11, SUM(x1 * x2) AS sx12, SUM(x2 * x2) AS sx22,
+        |    SUM(x1 * y) AS sx1y, SUM(x2 * y) AS sx2y FROM q),
+        |s AS (SELECT CAST(n AS BIGINT) AS n,
+        |    CAST(n * CAST(sx11 AS HUGEINT) - CAST(sx1 AS HUGEINT) * sx1 AS BIGINT) AS s11,
+        |    CAST(n * CAST(sx12 AS HUGEINT) - CAST(sx1 AS HUGEINT) * sx2 AS BIGINT) AS s12,
+        |    CAST(n * CAST(sx22 AS HUGEINT) - CAST(sx2 AS HUGEINT) * sx2 AS BIGINT) AS s22,
+        |    CAST(n * CAST(sx1y AS HUGEINT) - CAST(sx1 AS HUGEINT) * sy AS BIGINT) AS s1y,
+        |    CAST(n * CAST(sx2y AS HUGEINT) - CAST(sx2 AS HUGEINT) * sy AS BIGINT) AS s2y
+        |  FROM a)
+        |SELECT n, s11, s12, s22, s1y, s2y,
+        |  (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) -
+        |   CAST(s2y AS DOUBLE) * CAST(s12 AS DOUBLE)) /
+        |  (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) -
+        |   CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS b1,
+        |  (CAST(s2y AS DOUBLE) * CAST(s11 AS DOUBLE) -
+        |   CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)) /
+        |  (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) -
+        |   CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS b2
+        |FROM s""".stripMargin,
+
+    "q268_hellinger_affinity" ->
+      """WITH sl AS (SELECT source, lang, COUNT(*) AS nsl FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(nsl) AS ns FROM sl GROUP BY 1),
+        |gl AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS nt FROM documents),
+        |terms AS (
+        |  SELECT sl.source,
+        |    CAST(FLOOR(SQRT(CAST((nsl * 1000000 // ns) * (nl * 1000000 // nt)
+        |      AS DOUBLE))) AS BIGINT) AS bq
+        |  FROM sl JOIN st USING (source) JOIN gl USING (lang) CROSS JOIN t)
+        |SELECT source, CAST(SUM(bq) AS BIGINT) AS bc_micro,
+        |  CAST(1000000 - SUM(bq) AS BIGINT) AS h2_micro
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    "q269_ndcg_at_10" -> {
+      val disc = NdcgW.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString(" ", " ", " END")
+      s"""WITH t10 AS (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+         |  FROM documents QUALIFY rnk <= 10),
+         |r AS (
+         |  SELECT lang, doc_id, rnk,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS rel
+         |  FROM t10),
+         |bi AS (
+         |  SELECT lang, rel, rnk,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rel DESC, doc_id) AS irnk
+         |  FROM r)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rated,
+         |  CAST(SUM(rel * CASE rnk$disc) AS BIGINT) AS dcg_micro,
+         |  CAST(SUM(rel * CASE irnk$disc) AS BIGINT) AS idcg_micro,
+         |  CAST(CASE WHEN SUM(rel * CASE irnk$disc) > 0
+         |    THEN SUM(rel * CASE rnk$disc) * 1000000 // SUM(rel * CASE irnk$disc)
+         |    ELSE 1000000 END AS BIGINT) AS ndcg_ppm
+         |FROM bi GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q270_encoding_advisor" ->
+      """WITH r AS (
+        |  SELECT source, lang,
+        |    CASE WHEN LAG(lang) OVER (PARTITION BY source ORDER BY doc_id)
+        |      IS DISTINCT FROM lang THEN 1 ELSE 0 END AS chg
+        |  FROM documents),
+        |g AS (SELECT source, COUNT(*) AS n_rows, SUM(chg) AS n_runs,
+        |    COUNT(DISTINCT lang) AS ndv, SUM(length(lang)) AS plain_chars
+        |  FROM r GROUP BY 1),
+        |bb AS (SELECT CAST(i.i AS BIGINT) AS b
+        |       FROM UNNEST(generate_series(0, 31)) i(i)),
+        |w AS (SELECT g.source, g.n_rows, g.n_runs, g.ndv, g.plain_chars,
+        |    MIN(bb.b) AS dict_bits
+        |  FROM g JOIN bb ON (CAST(1 AS BIGINT) << CAST(bb.b AS INT)) >= g.ndv
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_runs AS BIGINT) AS n_runs, CAST(ndv AS BIGINT) AS ndv,
+        |  CAST(plain_chars AS BIGINT) AS plain_chars,
+        |  CAST(dict_bits AS BIGINT) AS dict_bits,
+        |  CAST(n_runs * 1000000 // n_rows AS BIGINT) AS rle_ratio_ppm
+        |FROM w ORDER BY source""".stripMargin,
+
+    "q271_capture_recapture" ->
+      """WITH fp AS (
+        |  SELECT doc_id % 2 = 0 AS even,
+        |    unnest(string_split(text, ' ')) AS fp
+        |  FROM documents),
+        |caps AS (SELECT fp, MAX(CASE WHEN even THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN NOT even THEN 1 ELSE 0 END) AS in_b
+        |  FROM fp GROUP BY 1),
+        |a AS (SELECT SUM(in_a) AS n_a, SUM(in_b) AS n_b,
+        |    SUM(in_a * in_b) AS m_both, COUNT(*) AS exact_v FROM caps)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(m_both AS BIGINT) AS m_both,
+        |  CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) // (m_both + 1) - 1 AS BIGINT)
+        |    AS est_chapman,
+        |  CAST(exact_v AS BIGINT) AS exact_v,
+        |  CAST(ABS(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) // (m_both + 1) - 1
+        |    - exact_v) * 1000000 // exact_v AS BIGINT) AS abs_err_ppm,
+        |  CAST(SIGN(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) // (m_both + 1) - 1
+        |    - exact_v) AS BIGINT) AS bias_sign
+        |FROM a""".stripMargin,
+
+    "q272_corr_matrix" -> {
+      def r(x: String, y: String) =
+        s"""(CAST(n AS DOUBLE) * CAST(s_$x$y AS DOUBLE) -
+           |   CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)) /
+           |  SQRT((CAST(n AS DOUBLE) * CAST(s_$x$x AS DOUBLE) -
+           |   CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE)) *
+           |   (CAST(n AS DOUBLE) * CAST(s_$y$y AS DOUBLE) -
+           |   CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE)))""".stripMargin
+      s"""WITH q AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS a,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS b,
+         |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS c,
+         |    CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS e
+         |  FROM lineitem),
+         |m AS (SELECT COUNT(*) AS n,
+         |    SUM(a) AS s_a, SUM(a * a) AS s_aa, SUM(b) AS s_b, SUM(b * b) AS s_bb,
+         |    SUM(c) AS s_c, SUM(c * c) AS s_cc, SUM(e) AS s_e, SUM(e * e) AS s_ee,
+         |    SUM(a * b) AS s_ab, SUM(a * c) AS s_ac, SUM(a * e) AS s_ae,
+         |    SUM(b * c) AS s_bc, SUM(b * e) AS s_be, SUM(c * e) AS s_ce
+         |  FROM q)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  ${r("a", "b")} AS r_qty_price,
+         |  ${r("a", "c")} AS r_qty_disc,
+         |  ${r("a", "e")} AS r_qty_tax,
+         |  ${r("b", "c")} AS r_price_disc,
+         |  ${r("b", "e")} AS r_price_tax,
+         |  ${r("c", "e")} AS r_disc_tax
+         |FROM m""".stripMargin
+    },
+
+    "q273_did_promo" ->
+      """WITH li AS (
+        |  SELECT p.p_type LIKE 'PROMO%' AS treated,
+        |    EXTRACT(YEAR FROM o.o_orderdate) >= 1996 AS post,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - l.l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT) AS rev_u
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |a AS (SELECT
+        |    SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS n_t1,
+        |    SUM(CASE WHEN treated AND post THEN rev_u ELSE 0 END) AS s_t1,
+        |    SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS n_t0,
+        |    SUM(CASE WHEN treated AND NOT post THEN rev_u ELSE 0 END) AS s_t0,
+        |    SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS n_c1,
+        |    SUM(CASE WHEN NOT treated AND post THEN rev_u ELSE 0 END) AS s_c1,
+        |    SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS n_c0,
+        |    SUM(CASE WHEN NOT treated AND NOT post THEN rev_u ELSE 0 END) AS s_c0
+        |  FROM li)
+        |SELECT CAST(n_t1 AS BIGINT) AS n_t1, CAST(s_t1 AS BIGINT) AS s_t1,
+        |  CAST(n_t0 AS BIGINT) AS n_t0, CAST(s_t0 AS BIGINT) AS s_t0,
+        |  CAST(n_c1 AS BIGINT) AS n_c1, CAST(s_c1 AS BIGINT) AS s_c1,
+        |  CAST(n_c0 AS BIGINT) AS n_c0, CAST(s_c0 AS BIGINT) AS s_c0,
+        |  CAST(s_t1 // n_t1 AS BIGINT) AS mean_t1_u,
+        |  CAST(s_t0 // n_t0 AS BIGINT) AS mean_t0_u,
+        |  CAST(s_c1 // n_c1 AS BIGINT) AS mean_c1_u,
+        |  CAST(s_c0 // n_c0 AS BIGINT) AS mean_c0_u,
+        |  (CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) -
+        |   CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) -
+        |  (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) -
+        |   CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) AS did_u
+        |FROM a""".stripMargin,
+
+    "q274_reshard_audit" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+        |    list_transform(range(0, 17), j ->
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(j AS VARCHAR)), 1, 8))::BIGINT) AS v17
+        |  FROM documents),
+        |m AS (
+        |  SELECT h % 16 <> h % 17 AS moved_mod,
+        |    list_position(v17[1:16], list_max(v17[1:16])) <>
+        |      list_position(v17, list_max(v17)) AS moved_hrw
+        |  FROM v)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN moved_mod THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+        |  CAST(SUM(CASE WHEN moved_hrw THEN 1 ELSE 0 END) AS BIGINT) AS moved_hrw,
+        |  CAST(SUM(CASE WHEN moved_mod THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS mod_ppm,
+        |  CAST(SUM(CASE WHEN moved_hrw THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS hrw_ppm
+        |FROM m""".stripMargin
+  )
+}

@@ -1,0 +1,228 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Analytics
+
+/** First-principles invariants for the q264+ analytics operators that the
+  * DuckDB hash-compare cannot express: the two identities that DEFINE
+  * Hamilton apportionment (budget conservation, within-one-of-ideal), the
+  * q265 detectors actually firing on injected contamination, and a Scala
+  * replay of the Chao1/Good–Turing sufficient statistics.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q264 allocations conserve the budget exactly and stay within one doc of ideal") {
+    val rows = Analytics.queries("q264_quota_apportionment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val b = 10000L
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("alloc")).sum == b, "Hamilton conserves the budget")
+    rows.foreach { r =>
+      val ideal = b.toDouble * r.getAs[Long]("n_docs") / total
+      val alloc = r.getAs[Long]("alloc").toDouble
+      assert(math.abs(alloc - ideal) < 1.0, s"${r.getAs[String]("source")}: $alloc vs $ideal")
+      assert(alloc.toLong == r.getAs[Long]("floor_alloc") ||
+        alloc.toLong == r.getAs[Long]("floor_alloc") + 1)
+    }
+    // every +1 went to a remainder no smaller than any non-extra's
+    val extras = rows.filter(r => r.getAs[Long]("alloc") > r.getAs[Long]("floor_alloc"))
+      .map(_.getAs[Long]("rem_num"))
+    val plain = rows.filter(r => r.getAs[Long]("alloc") == r.getAs[Long]("floor_alloc"))
+      .map(_.getAs[Long]("rem_num"))
+    if (extras.nonEmpty && plain.nonEmpty)
+      assert(extras.min >= plain.max, "largest remainders win the extras")
+  }
+
+  test("q265 is all-zero on the clean fixture yet fires on injected mojibake") {
+    val rows = Analytics.queries("q265_encoding_residue")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => // clean corpus: zeros are measured rows, not absent ones
+      assert(r.getAs[Long]("repl_chars") == 0L)
+      assert(r.getAs[Long]("ctrl_chars") == 0L)
+      assert(r.getAs[Long]("repl_ppm") == 0L)
+    }
+    // detector mechanics on injected contamination, same expressions
+    import spark.implicits._
+    val dirty = Seq(
+      ("a", "clean text"),
+      ("a", "bad � byte �� here"),
+      ("b", "ctl\u0001and\u0002more")).toDF("source", "text")
+    val got = dirty.select(col("source"),
+        (length(col("text")) - length(expr("replace(text, '�', '')"))).as("nr"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit("")))).as("nc"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Int]("nr"), r.getAs[Int]("nc")))
+    assert(got.contains(("a", 0, 0)))
+    assert(got.contains(("a", 3, 0)))
+    assert(got.contains(("b", 0, 2)))
+  }
+
+  test("q266 matches a Scala replay of the singleton/doubleton statistics") {
+    val rows = Analytics.queries("q266_chao1_richness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val counts = byLang(lang).flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map(_._2.length.toLong)
+      val v = counts.size.toLong
+      val n = counts.sum
+      val f1 = counts.count(_ == 1L).toLong
+      val f2 = counts.count(_ == 2L).toLong
+      assert(r.getAs[Long]("v_types") == v)
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("f1") == f1)
+      assert(r.getAs[Long]("f2") == f2)
+      assert(r.getAs[Long]("chao1_est") == v + f1 * (f1 - 1) / (2 * (f2 + 1)))
+      assert(r.getAs[Long]("chao1_est") >= v, "Chao1 never estimates below the observed vocabulary")
+      assert(r.getAs[Long]("gt_unseen_ppm") == f1 * 1000000L / n)
+    }
+  }
+
+  test("q267 sufficient statistics match a BigInt replay and the normal equations solve") {
+    val r = Analytics.queries("q267_ols_two_feature")(spark, sf).collect().head
+    val rows = graft.model.Tables.lineitem(spark, sf)
+      .select(
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100"),
+        expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"))
+      .collect().map(x => (BigInt(x.getLong(0)), BigInt(x.getLong(1)), BigInt(x.getLong(2))))
+    val n = BigInt(rows.length)
+    def s(f: ((BigInt, BigInt, BigInt)) => BigInt) = rows.map(f).sum
+    val (sx1, sx2, sy) = (s(_._2), s(_._3), s(_._1))
+    val s11 = n * s(t => t._2 * t._2) - sx1 * sx1
+    val s12 = n * s(t => t._2 * t._3) - sx1 * sx2
+    val s22 = n * s(t => t._3 * t._3) - sx2 * sx2
+    val s1y = n * s(t => t._2 * t._1) - sx1 * sy
+    val s2y = n * s(t => t._3 * t._1) - sx2 * sy
+    assert(BigInt(r.getAs[Long]("s11")) == s11)
+    assert(BigInt(r.getAs[Long]("s12")) == s12)
+    assert(BigInt(r.getAs[Long]("s22")) == s22)
+    assert(BigInt(r.getAs[Long]("s1y")) == s1y)
+    assert(BigInt(r.getAs[Long]("s2y")) == s2y)
+    val det = s11 * s22 - s12 * s12
+    assert(det > 0, "centered Gram matrix of non-collinear regressors is PD")
+    val b1 = (BigDecimal(s1y * s22 - s2y * s12) / BigDecimal(det)).toDouble
+    assert(math.abs(r.getAs[Double]("b1") - b1) < math.abs(b1) * 1e-9)
+  }
+
+  test("q268 affinity is bounded by the floored self-affinity and replays exactly") {
+    val rows = Analytics.queries("q268_hellinger_affinity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "lang").collect().map(r => (r.getString(0), r.getString(1)))
+    val nt = docs.length.toLong
+    val gl = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = docs.filter(_._1 == src)
+      val ns = mine.length.toLong
+      val bc = mine.groupBy(_._2).map { case (l, xs) =>
+        val p = xs.length.toLong * 1000000L / ns
+        val q = gl(l) * 1000000L / nt
+        math.floor(math.sqrt((p * q).toDouble)).toLong
+      }.sum
+      assert(r.getAs[Long]("bc_micro") == bc)
+      assert(bc <= 1000000L, "Cauchy-Schwarz bounds the affinity")
+      assert(r.getAs[Long]("h2_micro") == 1000000L - bc)
+    }
+  }
+
+  test("q269 the ideal ordering dominates (rearrangement) and ndcg is a proper ppm") {
+    val rows = Analytics.queries("q269_ndcg_at_10")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rated") <= 10)
+      assert(r.getAs[Long]("idcg_micro") >= r.getAs[Long]("dcg_micro"),
+        "sorting by relevance maximizes the discounted sum")
+      assert(r.getAs[Long]("ndcg_ppm") >= 0 && r.getAs[Long]("ndcg_ppm") <= 1000000L)
+    }
+  }
+
+  test("q270 run counts replay exactly and the dictionary width is the ceil-log2") {
+    val rows = Analytics.queries("q270_encoding_advisor")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "doc_id", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val langs = docs.filter(_._1 == src).sortBy(_._2).map(_._3)
+      val runs = 1 + langs.zip(langs.tail).count { case (a, b) => a != b }
+      val ndv = langs.distinct.length.toLong
+      assert(r.getAs[Long]("n_runs") == runs.toLong)
+      assert(r.getAs[Long]("ndv") == ndv)
+      assert(r.getAs[Long]("n_runs") >= ndv, "each distinct value opens at least one run")
+      val bits = (0 to 31).find(b => (1L << b) >= ndv).get.toLong
+      assert(r.getAs[Long]("dict_bits") == bits)
+    }
+  }
+
+  test("q271 captures partition the population: |A| + |B| − |A∩B| = exact V") {
+    val r = Analytics.queries("q271_capture_recapture")(spark, sf).collect().head
+    // every doc is even or odd, so the capture union IS the population —
+    // the inclusion-exclusion identity must hold exactly
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") - r.getAs[Long]("m_both")
+      == r.getAs[Long]("exact_v"))
+    assert(r.getAs[Long]("m_both") > 0, "shared fingerprints make the estimator defined")
+    val est = r.getAs[Long]("est_chapman")
+    assert(est == (r.getAs[Long]("n_a") + 1) * (r.getAs[Long]("n_b") + 1) /
+      (r.getAs[Long]("m_both") + 1) - 1)
+    assert(r.getAs[Long]("abs_err_ppm") ==
+      math.abs(est - r.getAs[Long]("exact_v")) * 1000000L / r.getAs[Long]("exact_v"))
+  }
+
+  test("q272 correlations are proper and r_qty_price replays from the base sums") {
+    val r = Analytics.queries("q272_corr_matrix")(spark, sf).collect().head
+    val rs = Seq("r_qty_price", "r_qty_disc", "r_qty_tax",
+      "r_price_disc", "r_price_tax", "r_disc_tax").map(c => c -> r.getAs[Double](c))
+    rs.foreach { case (c, v) =>
+      assert(v >= -1.0 && v <= 1.0, s"$c = $v out of [-1, 1]") }
+    // replay the first entry with the same quantization from raw rows
+    val rows = graft.model.Tables.lineitem(spark, sf)
+      .select(expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = rows.length.toDouble
+    val (sa, sb) = (rows.map(_._1).sum.toDouble, rows.map(_._2).sum.toDouble)
+    val saa = rows.map(t => t._1 * t._1).sum.toDouble
+    val sbb = rows.map(t => t._2 * t._2).sum.toDouble
+    val sab = rows.map(t => t._1 * t._2).sum.toDouble
+    val expect = (n * sab - sa * sb) / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    assert(math.abs(r.getAs[Double]("r_qty_price") - expect) < 1e-12)
+  }
+
+  test("q273 cells cover every joined line exactly once and did assembles from the cells") {
+    val r = Analytics.queries("q273_did_promo")(spark, sf).collect().head
+    val total = graft.model.Tables.lineitem(spark, sf).count()
+    val cells = Seq("t1", "t0", "c1", "c0")
+    assert(cells.map(c => r.getAs[Long](s"n_$c")).sum == total,
+      "treated×post cells partition the fact table")
+    cells.foreach { c =>
+      assert(r.getAs[Long](s"mean_${c}_u") ==
+        r.getAs[Long](s"s_$c") / r.getAs[Long](s"n_$c"))
+    }
+    def m(c: String) = r.getAs[Long](s"s_$c").toDouble / r.getAs[Long](s"n_$c")
+    assert(math.abs(r.getAs[Double]("did_u") - ((m("t1") - m("t0")) - (m("c1") - m("c0"))))
+      < 1e-6)
+  }
+
+  test("q274 rendezvous hashing moves an order of magnitude less than mod-N") {
+    val r = Analytics.queries("q274_reshard_audit")(spark, sf).collect().head
+    val n = r.getAs[Long]("n_docs")
+    assert(n > 0)
+    // mod-N reshuffles ~16/17 ≈ 941k ppm; HRW only what the new shard
+    // wins, ~1/17 ≈ 59k ppm — the structural gap is the whole point
+    assert(r.getAs[Long]("mod_ppm") > 800000L)
+    assert(r.getAs[Long]("hrw_ppm") < 200000L)
+    assert(r.getAs[Long]("moved_hrw") < r.getAs[Long]("moved_mod"))
+    assert(r.getAs[Long]("mod_ppm") == r.getAs[Long]("moved_mod") * 1000000L / n)
+  }
+}
