@@ -437,6 +437,158 @@ object Analytics {
           col("moved_hrw").cast("long").as("moved_hrw"),
           expr("CAST(moved_mod * 1000000 DIV n_docs AS BIGINT)").as("mod_ppm"),
           expr("CAST(moved_hrw * 1000000 DIV n_docs AS BIGINT)").as("hrw_ppm"))
+    },
+
+    // t-CLOSENESS audit — completes the privacy triad over the SAME
+    // order/customer frame as q149: k-anonymity (q92) bounds group SIZE,
+    // l-diversity (q149) bounds sensitive-value VARIETY, t-closeness
+    // bounds sensitive-value DISTRIBUTION distance — a group can hold 5
+    // distinct nations and still leak if 96% of it is one nation the
+    // global table spreads evenly. t = TVD between the class's
+    // c_nationkey distribution and the global one, exact floor-ppm on
+    // the full class × nation grid WITH explicit zeros (a nation absent
+    // from a class is leaked information, not a missing row — the q158
+    // rule is load-bearing here, dropping zero cells understates t).
+    "q275_t_closeness" -> { (s, d) =>
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("c_mktsegment"), col("c_nationkey"))
+      val cls = j.groupBy("yr", "c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("c"))
+      val classTot = cls.groupBy("yr", "c_mktsegment").agg(sum(col("c")).as("nc"))
+      val glob = j.groupBy("c_nationkey").agg(count(lit(1)).as("g"))
+      val tot = j.agg(count(lit(1)).as("nt"))
+      classTot.crossJoin(broadcast(glob.crossJoin(broadcast(tot))))
+        .join(cls, Seq("yr", "c_mktsegment", "c_nationkey"), "left")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        .groupBy("yr", "c_mktsegment", "nc")
+        .agg(sum(expr("ABS(c0 * 1000000 DIV nc - g * 1000000 DIV nt)")).as("l1"))
+        .select(col("yr"), col("c_mktsegment"),
+          col("nc").cast("long").as("n_orders"),
+          expr("CAST(l1 DIV 2 AS BIGINT)").as("tvd_ppm"))
+        .withColumn("at_risk", col("tvd_ppm") > 300000L)
+        .orderBy("yr", "c_mktsegment")
+    },
+
+    // Quantile NORMALIZATION map — the batch-effect-removal primitive:
+    // align each source's doc-length distribution onto the pooled one by
+    // mapping decile to decile (rank-preserving, distribution-destroying
+    // — what expression-array pipelines and cross-source score
+    // calibration both do). Decile d = the smallest value whose
+    // cumulative count clears d·n/10, located by integer
+    // CROSS-MULTIPLICATION (10·cum ≥ d·n — the q179 rule, no float
+    // thresholds); shift = own − pooled is a pure subtraction, so no
+    // signed-division trap exists. Per-source cumulatives ride a
+    // per-SOURCE grid window; the POOLED cumulative uses a
+    // predecessor-count self-join on the value grid instead (the q216
+    // rank rule — a pooled window would be an unpartitioned sort).
+    "q276_quantile_normalization" -> { (s, d) =>
+      val g = Tables.documents(s, d).groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = g.withColumn("below", coalesce(sum(col("f")).over(w), lit(0L)))
+      val n = g.groupBy("source").agg(sum(col("f")).as("n"))
+      val dec = g.sparkSession.range(1, 10).select(col("id").cast("long").as("decile"))
+      val own = cum.join(n, "source").crossJoin(broadcast(dec))
+        .filter(lit(10) * col("below") < col("decile") * col("n") &&
+          col("decile") * col("n") <= lit(10) * (col("below") + col("f")))
+        .select(col("source"), col("decile"), col("n_chars").as("v_own"))
+      val pg = Tables.documents(s, d).groupBy("n_chars").agg(count(lit(1)).as("pf"))
+      val pb = pg.select(col("n_chars").as("v2"), col("pf").as("pf2"))
+      val pcum = pg.join(broadcast(pb), col("v2") < col("n_chars"), "left")
+        .groupBy("n_chars", "pf")
+        .agg(coalesce(sum(col("pf2")), lit(0L)).as("pbelow"))
+      val pn = pg.agg(sum(col("pf")).as("pn"))
+      val pool = pcum.crossJoin(broadcast(pn)).crossJoin(broadcast(dec))
+        .filter(lit(10) * col("pbelow") < col("decile") * col("pn") &&
+          col("decile") * col("pn") <= lit(10) * (col("pbelow") + col("pf")))
+        .select(col("decile"), col("n_chars").as("v_pool"))
+      own.join(broadcast(pool), "decile")
+        .select(col("source"), col("decile"),
+          col("v_own").cast("long").as("v_own"),
+          col("v_pool").cast("long").as("v_pool"),
+          (col("v_own") - col("v_pool")).cast("long").as("shift"))
+        .orderBy("source", "decile")
+    },
+
+    // Split-CONFORMAL calibration quantile per language — the
+    // distribution-free prediction-interval primitive: q̂ = the
+    // ⌈0.9·(n+1)⌉-th smallest calibration score guarantees ≥ 90%
+    // coverage on exchangeable future draws with NO model assumptions.
+    // The finite-sample ⌈·(n+1)⌉ index is the entire point (the naive
+    // 0.9·n quantile under-covers — q48/q62's percentiles answer a
+    // different question); k = (9·(n+1) + 9) DIV 10 exactly, q̂ located
+    // on the per-lang value grid by the covering-interval rule, realized
+    // calibration coverage = cum(q̂)/n ≥ 90% rides along as the check.
+    "q277_conformal_quantile" -> { (s, d) =>
+      val g = Tables.documents(s, d).groupBy("lang", "n_chars")
+        .agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = g.withColumn("below", coalesce(sum(col("f")).over(w), lit(0L)))
+      val n = g.groupBy("lang").agg(sum(col("f")).as("n"))
+      cum.join(n, "lang")
+        .withColumn("k_idx", expr("(9 * (n + 1) + 9) DIV 10"))
+        .filter(col("below") < col("k_idx") &&
+          col("k_idx") <= col("below") + col("f"))
+        .select(col("lang"), col("n").cast("long").as("n"),
+          col("k_idx").cast("long").as("k_idx"),
+          col("n_chars").cast("long").as("qhat"),
+          expr("CAST((below + f) * 1000000 DIV n AS BIGINT)").as("realized_ppm"),
+          lit(900000L).as("nominal_ppm"))
+        .orderBy("lang")
+    },
+
+    // Embedding covariance ANISOTROPY audit — how far the embedding
+    // cloud is from isotropic (the whitening go/no-go read: isotropic
+    // embeddings make cosine ≈ dot product and ANN partitions balanced;
+    // one dominant off-diagonal direction degrades both — q204 extracts
+    // the dominant direction, q112 reads per-dim moments, THIS weighs
+    // diagonal vs off-diagonal covariance mass as one number). The full
+    // 32×32 moment matrix from ONE scan: per row a double posexplode of
+    // the q3-quantized vector (1024 bounded cells/row — NO fact
+    // self-join, unlike the oracle's replay), map-combined onto the
+    // (i,j) grid; C_ij = n·S_ij − T_i·T_j exact; the dominant
+    // off-diagonal cell is the mirrored two-step argmax with an
+    // i·dims+j key for total tie order.
+    "q278_covariance_anisotropy" -> { (s, d) =>
+      val q = Tables.embeddings(s, d).select(
+        expr("transform(embedding, x ->" +
+          " CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5D) AS BIGINT))").as("qa"))
+      val cells = q
+        .select(col("qa"), posexplode(col("qa")).as(Seq("i", "qi")))
+        .select(col("i"), col("qi"), posexplode(col("qa")).as(Seq("j", "qj")))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("nv"), sum(expr("qi * qj")).as("sij"))
+      val t = q.select(posexplode(col("qa")).as(Seq("dim", "qi")))
+        .groupBy("dim").agg(sum(col("qi")).as("ti"))
+      val c = cells
+        .join(broadcast(t.withColumnRenamed("dim", "i")), "i")
+        .join(broadcast(t.select(col("dim").as("j"), col("ti").as("tj"))), "j")
+        .select(col("i"), col("j"),
+          expr("nv * CAST(sij AS DECIMAL(38,0)) -" +
+            " CAST(ti AS DECIMAL(38,0)) * tj").as("cij"))
+      val agg = c.agg(
+        sum(when(col("i") === col("j"), col("cij"))).as("trace_q"),
+        sum(when(col("i") =!= col("j"), abs(col("cij")))).as("offdiag_q"),
+        countDistinct(col("i")).as("dims"),
+        max(when(col("i") =!= col("j"), abs(col("cij")))).as("mx"))
+      val top = c.crossJoin(broadcast(agg.select(col("mx"))))
+        .filter(col("i") =!= col("j") && abs(col("cij")) === col("mx"))
+        .agg(min(col("i") * 1024 + col("j")).as("key"))
+      val nv = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vecs"))
+      agg.crossJoin(broadcast(top)).crossJoin(broadcast(nv))
+        .select(col("n_vecs").cast("long").as("n_vecs"),
+          col("dims").cast("long").as("dims"),
+          expr("CAST(trace_q AS BIGINT)").as("trace_q"),
+          expr("CAST(offdiag_q AS BIGINT)").as("offdiag_q"),
+          expr("CAST(offdiag_q * dims * 1000000 DIV (trace_q * (dims * dims - dims))" +
+            " AS BIGINT)").as("anisotropy_ppm"),
+          expr("CAST(key DIV 1024 AS BIGINT)").as("top_i"),
+          expr("CAST(key % 1024 AS BIGINT)").as("top_j"),
+          expr("CAST(mx AS BIGINT)").as("top_abs"))
     }
   )
 
@@ -682,6 +834,115 @@ object Analytics {
         |    // COUNT(*) AS BIGINT) AS mod_ppm,
         |  CAST(SUM(CASE WHEN moved_hrw THEN 1 ELSE 0 END) * 1000000
         |    // COUNT(*) AS BIGINT) AS hrw_ppm
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q275_t_closeness" ->
+      """WITH j AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+        |    c.c_mktsegment, c.c_nationkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cls AS (SELECT yr, c_mktsegment, c_nationkey, COUNT(*) AS c
+        |  FROM j GROUP BY 1, 2, 3),
+        |ct AS (SELECT yr, c_mktsegment, SUM(c) AS nc FROM cls GROUP BY 1, 2),
+        |gl AS (SELECT c_nationkey, COUNT(*) AS g FROM j GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS nt FROM j),
+        |grid AS (
+        |  SELECT ct.yr, ct.c_mktsegment, ct.nc, gl.c_nationkey, gl.g, t.nt,
+        |    COALESCE(cls.c, 0) AS c0
+        |  FROM ct CROSS JOIN gl CROSS JOIN t
+        |  LEFT JOIN cls ON cls.yr = ct.yr
+        |    AND cls.c_mktsegment = ct.c_mktsegment
+        |    AND cls.c_nationkey = gl.c_nationkey)
+        |SELECT yr, c_mktsegment, CAST(nc AS BIGINT) AS n_orders,
+        |  CAST(SUM(ABS(c0 * 1000000 // nc - g * 1000000 // nt)) // 2 AS BIGINT)
+        |    AS tvd_ppm,
+        |  CAST(SUM(ABS(c0 * 1000000 // nc - g * 1000000 // nt)) // 2 AS BIGINT)
+        |    > 300000 AS at_risk
+        |FROM grid GROUP BY yr, c_mktsegment, nc
+        |ORDER BY yr, c_mktsegment""".stripMargin,
+
+    "q276_quantile_normalization" ->
+      """WITH g AS (SELECT source, n_chars, COUNT(*) AS f
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT a.source, a.n_chars, a.f,
+        |    COALESCE(SUM(b.f), 0) AS below
+        |  FROM g a LEFT JOIN g b
+        |    ON b.source = a.source AND b.n_chars < a.n_chars
+        |  GROUP BY 1, 2, 3),
+        |n AS (SELECT source, SUM(f) AS n FROM g GROUP BY 1),
+        |dec AS (SELECT CAST(i.i AS BIGINT) AS decile
+        |  FROM UNNEST(generate_series(1, 9)) i(i)),
+        |own AS (
+        |  SELECT cum.source, dec.decile, cum.n_chars AS v_own
+        |  FROM cum JOIN n USING (source) CROSS JOIN dec
+        |  WHERE 10 * cum.below < dec.decile * n.n
+        |    AND dec.decile * n.n <= 10 * (cum.below + cum.f)),
+        |pg AS (SELECT n_chars, COUNT(*) AS pf FROM documents GROUP BY 1),
+        |pcum AS (SELECT a.n_chars, a.pf, COALESCE(SUM(b.pf), 0) AS pbelow
+        |  FROM pg a LEFT JOIN pg b ON b.n_chars < a.n_chars
+        |  GROUP BY 1, 2),
+        |pn AS (SELECT SUM(pf) AS pn FROM pg),
+        |pool AS (
+        |  SELECT dec.decile, pcum.n_chars AS v_pool
+        |  FROM pcum CROSS JOIN pn CROSS JOIN dec
+        |  WHERE 10 * pcum.pbelow < dec.decile * pn.pn
+        |    AND dec.decile * pn.pn <= 10 * (pcum.pbelow + pcum.pf))
+        |SELECT own.source, own.decile,
+        |  CAST(own.v_own AS BIGINT) AS v_own,
+        |  CAST(pool.v_pool AS BIGINT) AS v_pool,
+        |  CAST(own.v_own - pool.v_pool AS BIGINT) AS shift
+        |FROM own JOIN pool USING (decile)
+        |ORDER BY source, decile""".stripMargin,
+
+    "q277_conformal_quantile" ->
+      """WITH g AS (SELECT lang, n_chars, COUNT(*) AS f
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT a.lang, a.n_chars, a.f, COALESCE(SUM(b.f), 0) AS below
+        |  FROM g a LEFT JOIN g b ON b.lang = a.lang AND b.n_chars < a.n_chars
+        |  GROUP BY 1, 2, 3),
+        |n AS (SELECT lang, SUM(f) AS n FROM g GROUP BY 1)
+        |SELECT cum.lang, CAST(n.n AS BIGINT) AS n,
+        |  CAST((9 * (n.n + 1) + 9) // 10 AS BIGINT) AS k_idx,
+        |  CAST(cum.n_chars AS BIGINT) AS qhat,
+        |  CAST((cum.below + cum.f) * 1000000 // n.n AS BIGINT) AS realized_ppm,
+        |  CAST(900000 AS BIGINT) AS nominal_ppm
+        |FROM cum JOIN n USING (lang)
+        |WHERE cum.below < (9 * (n.n + 1) + 9) // 10
+        |  AND (9 * (n.n + 1) + 9) // 10 <= cum.below + cum.f
+        |ORDER BY lang""".stripMargin,
+
+    "q278_covariance_anisotropy" ->
+      """WITH q AS (
+        |  SELECT vec_id, g.i - 1 AS i,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qi
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+        |cells AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS nv, SUM(a.qi * b.qi) AS sij
+        |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+        |t AS (SELECT i, SUM(qi) AS ti FROM q GROUP BY 1),
+        |c AS (
+        |  SELECT cells.i, cells.j,
+        |    cells.nv * CAST(cells.sij AS HUGEINT)
+        |      - CAST(ti.ti AS HUGEINT) * tj.ti AS cij
+        |  FROM cells JOIN t ti ON ti.i = cells.i JOIN t tj ON tj.i = cells.j),
+        |a AS (
+        |  SELECT SUM(CASE WHEN i = j THEN cij END) AS trace_q,
+        |    SUM(CASE WHEN i <> j THEN ABS(cij) END) AS offdiag_q,
+        |    COUNT(DISTINCT i) AS dims,
+        |    MAX(CASE WHEN i <> j THEN ABS(cij) END) AS mx
+        |  FROM c),
+        |top AS (
+        |  SELECT MIN(c.i * 1024 + c.j) AS key FROM c, a
+        |  WHERE c.i <> c.j AND ABS(c.cij) = a.mx),
+        |nv AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+        |SELECT CAST(nv.n_vecs AS BIGINT) AS n_vecs, CAST(a.dims AS BIGINT) AS dims,
+        |  CAST(a.trace_q AS BIGINT) AS trace_q,
+        |  CAST(a.offdiag_q AS BIGINT) AS offdiag_q,
+        |  CAST(a.offdiag_q * a.dims * 1000000
+        |    // (a.trace_q * (a.dims * a.dims - a.dims)) AS BIGINT) AS anisotropy_ppm,
+        |  CAST(top.key // 1024 AS BIGINT) AS top_i,
+        |  CAST(top.key % 1024 AS BIGINT) AS top_j,
+        |  CAST(a.mx AS BIGINT) AS top_abs
+        |FROM a, top, nv""".stripMargin
   )
 }

@@ -225,4 +225,91 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("moved_hrw") < r.getAs[Long]("moved_mod"))
     assert(r.getAs[Long]("mod_ppm") == r.getAs[Long]("moved_mod") * 1000000L / n)
   }
+
+  test("q275 tvd is a proper ppm distance and replays on one class from raw rows") {
+    val rows = Analytics.queries("q275_t_closeness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("tvd_ppm")
+      assert(t >= 0 && t <= 1000000L)
+      assert(r.getAs[Boolean]("at_risk") == (t > 300000L))
+    }
+    // replay the first class
+    val j = graft.model.Tables.orders(spark, sf)
+      .join(graft.model.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(year(col("o_orderdate")).cast("long"), col("c_mktsegment"),
+        col("c_nationkey").cast("long"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val nt = j.length.toLong
+    val gl = j.groupBy(_._3).map { case (k, v) => k -> v.length.toLong }
+    val h = rows.head
+    val mine = j.filter(x => x._1 == h.getAs[Long]("yr") &&
+      x._2 == h.getAs[String]("c_mktsegment"))
+    val nc = mine.length.toLong
+    val cls = mine.groupBy(_._3).map { case (k, v) => k -> v.length.toLong }
+    val l1 = gl.keys.map { k =>
+      math.abs(cls.getOrElse(k, 0L) * 1000000L / nc - gl(k) * 1000000L / nt)
+    }.sum
+    assert(h.getAs[Long]("tvd_ppm") == l1 / 2)
+    assert(h.getAs[Long]("n_orders") == nc)
+  }
+
+  test("q276 decile maps are monotone in the decile and self-normalization is zero shift") {
+    val rows = Analytics.queries("q276_quantile_normalization")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rs) =>
+      assert(rs.length == 9, "nine deciles per source")
+      val sorted = rs.sortBy(_.getAs[Long]("decile"))
+      val own = sorted.map(_.getAs[Long]("v_own"))
+      val pool = sorted.map(_.getAs[Long]("v_pool"))
+      assert(own.zip(own.tail).forall { case (a, b) => a <= b }, "own deciles monotone")
+      assert(pool.zip(pool.tail).forall { case (a, b) => a <= b }, "pooled deciles monotone")
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("shift") ==
+          r.getAs[Long]("v_own") - r.getAs[Long]("v_pool"))
+      }
+    }
+    // the pooled column is identical across sources (it IS the target)
+    val pools = rows.groupBy(_.getAs[Long]("decile"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("v_pool")).distinct.length }
+    assert(pools.forall(_ == 1))
+  }
+
+  test("q277 the conformal index over-covers by construction") {
+    val rows = Analytics.queries("q277_conformal_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val k = r.getAs[Long]("k_idx")
+      assert(k == (9 * (n + 1) + 9) / 10, "finite-sample ceil((n+1)·0.9) index")
+      // realized calibration coverage clears the nominal level whenever
+      // the index is attainable (k ≤ n)
+      assert(k <= n, "fixture languages are large enough for a defined q-hat")
+      // coverage at q-hat reaches at least k/n ≥ 0.9 — the conformal guarantee
+      assert(r.getAs[Long]("realized_ppm") >= k * 1000000L / n)
+      assert(k * 1000000L / n >= 899999L)
+    }
+  }
+
+  test("q278 the moment matrix is symmetric in its summary and the diagonal dominates") {
+    val r = Analytics.queries("q278_covariance_anisotropy")(spark, sf).collect().head
+    val dims = r.getAs[Long]("dims")
+    val width = graft.model.Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).collect().head.getInt(0).toLong
+    assert(dims == width, "every vector dimension appears in the grid")
+    assert(r.getAs[Long]("trace_q") > 0, "total variance is positive")
+    assert(r.getAs[Long]("offdiag_q") >= 0)
+    assert(r.getAs[Long]("top_abs") > 0)
+    val (i, j) = (r.getAs[Long]("top_i"), r.getAs[Long]("top_j"))
+    assert(i >= 0 && i < dims && j >= 0 && j < dims && i != j)
+    // C(i,j) = C(j,i): the mirrored cell must carry the same |value|, so
+    // the recorded max is attained at (i,j) AND (j,i) — the argmax key
+    // rule then forces i*1024+j to be the smaller encoding
+    assert(i * 1024 + j < j * 1024 + i)
+    val anis = r.getAs[Long]("anisotropy_ppm")
+    assert(anis >= 0 && anis < 1000000L,
+      "mean |off-diagonal| stays below mean diagonal variance on near-isotropic data")
+  }
 }

@@ -105,10 +105,14 @@ class PlanSpec extends AnyFunSuite {
     // grid): its domain is the 64 possible shiftleft exponents, not the
     // data volume
     // delta (q246) and t (q258) are day-granular TIME deltas — bounded by
-    // the horizon like "day"; l_linestatus is a schema enumeration
+    // the horizon like "day"; l_linestatus is a schema enumeration;
+    // c_nationkey is an FK into the 25-row nation dim (q275's global
+    // sensitive-value distribution); dim is the embedding dimension
+    // index, capped by the vector schema (q204/q278's grid)
     val boundedDomainKeys = Set("day", "lang", "source", "event_type", "n_chars",
       "from_type", "to_type", "tok", "w1", "disc_pct", "prio",
-      "r_name", "n_name", "c_mktsegment", "lo", "delta", "t", "l_linestatus")
+      "r_name", "n_name", "c_mktsegment", "lo", "delta", "t", "l_linestatus",
+      "c_nationkey", "dim")
     // Recursive: a subtree is bounded if every path from the broadcast
     // root down to a fact leaf passes through a LIMIT, a one-row
     // (groupless) aggregate, or an aggregate grouped only on
