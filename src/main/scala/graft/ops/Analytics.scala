@@ -589,6 +589,143 @@ object Analytics {
           expr("CAST(key DIV 1024 AS BIGINT)").as("top_i"),
           expr("CAST(key % 1024 AS BIGINT)").as("top_j"),
           expr("CAST(mx AS BIGINT)").as("top_abs"))
+    },
+
+    // Catalog-statistics BROADCAST advisor — the cost-based-optimizer
+    // input Spark's autoBroadcastJoinThreshold reads, made an explicit
+    // table: per-table row counts and estimated in-memory bytes (8 per
+    // numeric/date column + measured string lengths — the width model a
+    // catalog keeps), with the would-broadcast verdict at the default
+    // 10 MiB threshold. The planning twin of F47/q226's runtime
+    // cardinality estimate: THIS is what decides broadcast-vs-shuffle
+    // BEFORE any data moves, and the dims-broadcast/fact-shuffled shape
+    // every query in this library relies on is exactly the verdict
+    // pattern this table emits. Each leg is one map-combined two-sum agg.
+    "q280_broadcast_advisor" -> { (s, d) =>
+      def leg(name: String, df: DataFrame, bytesExpr: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(expr(bytesExpr)).as("est_bytes"))
+          .select(lit(name).as("table_name"),
+            col("n_rows").cast("long").as("n_rows"),
+            col("est_bytes").cast("long").as("est_bytes"))
+      val rows = Seq(
+        leg("region", Tables.region(s, d), "8 + length(r_name)"),
+        leg("nation", Tables.nation(s, d), "16 + length(n_name)"),
+        leg("customer", Tables.customer(s, d),
+          "24 + length(c_name) + length(c_mktsegment)"),
+        leg("supplier", Tables.supplier(s, d), "24 + length(s_name)"),
+        leg("part", Tables.part(s, d),
+          "24 + length(p_name) + length(p_brand) + length(p_type)"),
+        leg("orders", Tables.orders(s, d),
+          "32 + length(o_orderstatus) + length(o_orderpriority)"),
+        leg("lineitem", Tables.lineitem(s, d),
+          "72 + length(l_returnflag) + length(l_linestatus)"))
+      rows.reduce(_ unionByName _)
+        .select(col("table_name"), col("n_rows"), col("est_bytes"),
+          expr("CAST(est_bytes DIV n_rows AS BIGINT)").as("bytes_per_row"),
+          (col("est_bytes") < 10485760L).as("would_broadcast"))
+        .orderBy("table_name")
+    },
+
+    // Folded-phase PERIOD DETECTION per event type — which cycle length
+    // p ∈ {5,6,7,8} days best explains daily volume (F60/q239 TESTS the
+    // known weekly cycle; this DETECTS the period, the log-free/FFT-free
+    // periodogram): fold the zero-filled day grid at each candidate p,
+    // score with the balanced-ANOVA eta² in exact integers — which
+    // demands truncating each fold to FULL periods (q239's 4-full-week
+    // rule generalized: unbalanced phase groups break the integer
+    // identity), eta²_ppm = (p·ΣTg² − T²)·10⁶ DIV (m·Σc² − T²), both
+    // sides nonnegative by Cauchy-Schwarz on balanced groups so the
+    // floor-DIV is sign-safe. best = the mirrored two-step argmax
+    // (max eta², then smallest p).
+    "q281_period_detection" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c0"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val days = bounds.select(explode(expr("sequence(mn, mx)")).as("day"),
+        col("mn"))
+      val types = ev.select("event_type").distinct()
+      val cells = days.crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), datediff(col("day"), col("mn")).as("di"),
+          coalesce(col("c0"), lit(0L)).as("c"))
+      val nd = cells.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val pg = ev.sparkSession.range(5, 9).select(col("id").cast("int").as("p"))
+      val folded = cells.join(broadcast(nd), "event_type")
+        .crossJoin(broadcast(pg))
+        .filter(col("di") < expr("CAST(n_days DIV p AS INT) * p"))
+        .select(col("event_type"), col("p"), (col("di") % col("p")).as("phase"),
+          col("c"))
+      val phased = folded.groupBy("event_type", "p", "phase")
+        .agg(sum(col("c")).as("tg"), sum(expr("c * c")).as("sc2"),
+          count(lit(1)).as("ng"))
+      val scored = phased.groupBy("event_type", "p")
+        .agg(sum(col("tg")).as("t"), sum(col("ng")).as("m"),
+          sum(expr("tg * CAST(tg AS DECIMAL(38,0))")).as("stg2"),
+          sum(col("sc2")).as("sc2"))
+        .select(col("event_type"), col("p").cast("long").as("p"),
+          col("m").cast("long").as("m_days"),
+          col("t").cast("long").as("n_events"),
+          expr("CASE WHEN m * CAST(sc2 AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)) * t > 0" +
+            " THEN CAST((p * stg2 - CAST(t AS DECIMAL(38,0)) * t) * 1000000" +
+            " DIV (m * CAST(sc2 AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)) * t) AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("eta2_ppm"))
+      val best = scored.groupBy(col("event_type").as("et2"))
+        .agg(max(col("eta2_ppm")).as("mx"))
+      val bestP = scored.join(broadcast(best),
+          col("event_type") === col("et2") && col("eta2_ppm") === col("mx"))
+        .groupBy(col("event_type").as("et3")).agg(min(col("p")).as("best_p"))
+      scored.join(broadcast(bestP), col("event_type") === col("et3"))
+        .select(col("event_type"), col("p"), col("m_days"), col("n_events"),
+          col("eta2_ppm"),
+          (col("p") === col("best_p")).as("is_best"))
+        .orderBy("event_type", "p")
+    },
+
+    // Jelinek-Mercer-smoothed QUERY-LIKELIHOOD retrieval (λ = ½) — the
+    // language-model ranking family next to B12/q137's BM25 and
+    // q116's RRF: score(d) = Π_t (tf/2dl + cf/2C), each factor an exact
+    // floor-ppm integer, the 3-term product ≤ 10¹⁸ so the WHOLE ranking
+    // is integer arithmetic (the standard log-sum formulation exists
+    // only to dodge underflow — at 3 terms the product needs no dodge,
+    // and stays engine-exact where logs would not be). Query = the
+    // global frequency ranks {10, 20, 30} (mid-frequency terms,
+    // deterministic); rank via TakeOrdered-30 then a predecessor-count
+    // self-join on that 30-row grid — never a global window. Every doc
+    // scores against every query term (the λ-smoothed corpus factor
+    // keeps docs MISSING a term alive — the entire point of JM
+    // smoothing), via ONE broadcast term grid; the per-doc product
+    // folds a sort_array'd collect_list, deterministic by term rank.
+    "q282_query_likelihood" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      val top30 = cf.orderBy(col("cf").desc, col("tok")).limit(30)
+      val t2 = top30.select(col("tok").as("t2"), col("cf").as("cf2"))
+      val ranked = top30.join(broadcast(t2),
+          col("cf2") > col("cf") || (col("cf2") === col("cf") && col("t2") < col("tok")),
+          "left")
+        .groupBy("tok", "cf").agg((count(col("t2")) + 1).as("trank"))
+        .filter(col("trank").isin(10L, 20L, 30L))
+      val ctot = toks.agg(count(lit(1)).as("ctot"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(dl, "doc_id")
+      val tf = toks.join(broadcast(ranked.select(col("tok"))), "tok")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val terms = docs.crossJoin(broadcast(ranked.crossJoin(broadcast(ctot))))
+        .join(tf, Seq("doc_id", "tok"), "left")
+        .select(col("doc_id"), col("lang"), col("trank"),
+          (expr("coalesce(tf, 0) * 1000000 DIV (2 * dl)") +
+            expr("cf * 1000000 DIV (2 * ctot)")).as("s_t"))
+      terms.groupBy("doc_id", "lang")
+        .agg(expr("aggregate(transform(sort_array(collect_list(struct(trank, s_t)))," +
+          " x -> x.s_t), 1L, (acc, v) -> acc * v)").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("score").cast("long").as("score"))
     }
   )
 
@@ -943,6 +1080,109 @@ object Analytics {
         |  CAST(top.key // 1024 AS BIGINT) AS top_i,
         |  CAST(top.key % 1024 AS BIGINT) AS top_j,
         |  CAST(a.mx AS BIGINT) AS top_abs
-        |FROM a, top, nv""".stripMargin
+        |FROM a, top, nv""".stripMargin,
+
+    "q280_broadcast_advisor" ->
+      """WITH legs AS (
+        |  SELECT 'region' AS table_name, COUNT(*) AS n_rows,
+        |    SUM(8 + length(r_name)) AS est_bytes FROM region
+        |  UNION ALL SELECT 'nation', COUNT(*),
+        |    SUM(16 + length(n_name)) FROM nation
+        |  UNION ALL SELECT 'customer', COUNT(*),
+        |    SUM(24 + length(c_name) + length(c_mktsegment)) FROM customer
+        |  UNION ALL SELECT 'supplier', COUNT(*),
+        |    SUM(24 + length(s_name)) FROM supplier
+        |  UNION ALL SELECT 'part', COUNT(*),
+        |    SUM(24 + length(p_name) + length(p_brand) + length(p_type)) FROM part
+        |  UNION ALL SELECT 'orders', COUNT(*),
+        |    SUM(32 + length(o_orderstatus) + length(o_orderpriority)) FROM orders
+        |  UNION ALL SELECT 'lineitem', COUNT(*),
+        |    SUM(72 + length(l_returnflag) + length(l_linestatus)) FROM lineitem)
+        |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(est_bytes AS BIGINT) AS est_bytes,
+        |  CAST(est_bytes // n_rows AS BIGINT) AS bytes_per_row,
+        |  est_bytes < 10485760 AS would_broadcast
+        |FROM legs ORDER BY table_name""".stripMargin,
+
+    "q281_period_detection" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (SELECT event_type, day, COUNT(*) AS c0 FROM ev GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+        |days AS (SELECT CAST(g.d AS DATE) AS day, b.mn
+        |         FROM b, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) g(d)),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |cells AS (
+        |  SELECT t.event_type, date_diff('day', dy.mn, dy.day) AS di,
+        |    COALESCE(d2.c0, 0) AS c
+        |  FROM days dy CROSS JOIN ty t
+        |  LEFT JOIN daily d2 ON d2.event_type = t.event_type AND d2.day = dy.day),
+        |nd AS (SELECT event_type, COUNT(*) AS n_days FROM cells GROUP BY 1),
+        |pgrid AS (SELECT CAST(i.i AS INT) AS p
+        |          FROM UNNEST(generate_series(5, 8)) i(i)),
+        |folded AS (
+        |  SELECT c.event_type, p.p, c.di % p.p AS phase, c.c
+        |  FROM cells c JOIN nd USING (event_type) CROSS JOIN pgrid p
+        |  WHERE c.di < CAST(nd.n_days // p.p AS INT) * p.p),
+        |phased AS (
+        |  SELECT event_type, p, phase, SUM(c) AS tg, SUM(c * c) AS sc2,
+        |    COUNT(*) AS ng
+        |  FROM folded GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT event_type, CAST(p AS BIGINT) AS p,
+        |    CAST(SUM(ng) AS BIGINT) AS m_days,
+        |    CAST(SUM(tg) AS BIGINT) AS n_events,
+        |    CASE WHEN SUM(ng) * CAST(SUM(sc2) AS HUGEINT)
+        |        - CAST(SUM(tg) AS HUGEINT) * SUM(tg) > 0
+        |      THEN CAST((p * CAST(SUM(tg * CAST(tg AS HUGEINT)) AS HUGEINT)
+        |        - CAST(SUM(tg) AS HUGEINT) * SUM(tg)) * 1000000
+        |        // (SUM(ng) * CAST(SUM(sc2) AS HUGEINT)
+        |        - CAST(SUM(tg) AS HUGEINT) * SUM(tg)) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS eta2_ppm
+        |  FROM phased GROUP BY event_type, p),
+        |best AS (SELECT event_type, MAX(eta2_ppm) AS mx FROM scored GROUP BY 1),
+        |bestp AS (
+        |  SELECT s.event_type, MIN(s.p) AS best_p
+        |  FROM scored s JOIN best b2 ON s.event_type = b2.event_type
+        |    AND s.eta2_ppm = b2.mx
+        |  GROUP BY 1)
+        |SELECT s.event_type, s.p, s.m_days, s.n_events, s.eta2_ppm,
+        |  s.p = bp.best_p AS is_best
+        |FROM scored s JOIN bestp bp USING (event_type)
+        |ORDER BY s.event_type, s.p""".stripMargin,
+
+    "q282_query_likelihood" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cf AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY 1),
+        |top30 AS (SELECT tok, cf FROM cf ORDER BY cf DESC, tok LIMIT 30),
+        |ranked AS (
+        |  SELECT a.tok, a.cf,
+        |    1 + (SELECT COUNT(*) FROM top30 b
+        |         WHERE b.cf > a.cf OR (b.cf = a.cf AND b.tok < a.tok)) AS trank
+        |  FROM top30 a),
+        |terms AS (SELECT tok, cf, trank FROM ranked WHERE trank IN (10, 20, 30)),
+        |ctot AS (SELECT COUNT(*) AS ctot FROM toks),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |docs AS (SELECT d.doc_id, d.lang, dl.dl FROM documents d
+        |         JOIN dl ON dl.doc_id = d.doc_id),
+        |tf AS (
+        |  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+        |  FROM toks t JOIN terms ON terms.tok = t.tok GROUP BY 1, 2),
+        |st AS (
+        |  SELECT d.doc_id, d.lang, terms.trank,
+        |    COALESCE(tf.tf, 0) * 1000000 // (2 * d.dl)
+        |      + terms.cf * 1000000 // (2 * ctot.ctot) AS s_t
+        |  FROM docs d CROSS JOIN terms CROSS JOIN ctot
+        |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = terms.tok),
+        |agg AS (
+        |  SELECT doc_id, lang,
+        |    MAX(CASE WHEN trank = 10 THEN s_t END) AS s10,
+        |    MAX(CASE WHEN trank = 20 THEN s_t END) AS s20,
+        |    MAX(CASE WHEN trank = 30 THEN s_t END) AS s30
+        |  FROM st GROUP BY 1, 2)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(s10 * s20 * s30 AS BIGINT) AS score
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

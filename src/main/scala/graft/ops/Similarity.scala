@@ -398,6 +398,64 @@ object Similarity {
         .orderBy("q_id")
     },
 
+    // IVF MULTIPROBE sweep — the recall-vs-cost TUNING CURVE above
+    // q180's single-probe audit: probing the query's P nearest cells
+    // (P ∈ {1,2,4}) buys recall with candidate volume, and the pair of
+    // columns (recall_ppm, n_candidates) at each depth IS the nprobe
+    // decision every IVF deployment makes (the q205-PR-sweep shape
+    // applied to ANN). Cell ranking per query reuses the assignment
+    // kernel verbatim (cos desc, cent_id tie-break), so P=1 reproduces
+    // q42/q180's probe exactly — recall is monotone in P and the
+    // candidate set at P=1 is a prefix of P=4's, both spec-asserted.
+    // Scale: probes (≤ 4·|queries| rows) broadcast; the corpus streams
+    // through ONE cell equi-join; the exact leg is the bounded
+    // ground-truth sweep (q180's documented price).
+    "q279_ivf_multiprobe" -> { (s, d) =>
+      val (assigned, cents) = assignedCells(s, d)
+      val q = assigned.filter(col("vec_id") % 100 === 0)
+        .orderBy("vec_id").limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val wCell = Window.partitionBy(col("q_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(vec_cosine(col("qv"), col("cv")), 6))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= 4)
+        .select(col("q_id"), col("qv"), col("cent_id").as("cell"), col("crn"))
+      val corpus = assigned
+        .select(col("vec_id").as("c_id"), col("v").as("cv2"), col("cell"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      val exact = corpus
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(vec_cosine(col("qv"), col("cv2")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("c_id"))
+      val cand = corpus
+        .join(broadcast(probes.drop("qv")), Seq("cell"))
+        .filter(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"), col("crn"))
+      val hit = exact.join(cand, Seq("q_id", "c_id"))
+      val pg = q.sparkSession.range(0, 3)
+        .select(expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("nprobe"))
+      val nq = q.agg(count(lit(1)).as("n_queries"))
+      // collapse both legs onto the 4-row probe-depth grid BEFORE the
+      // ≤-join with the depth ladder — the prefix sums then run on grids
+      val candByDepth = cand.groupBy("crn").agg(count(lit(1)).as("nc"))
+      val hitByDepth = hit.groupBy("crn").agg(count(lit(1)).as("nh"))
+      val cnt = pg.join(broadcast(candByDepth), col("crn") <= col("nprobe"), "left")
+        .groupBy("nprobe").agg(coalesce(sum(col("nc")), lit(0L)).as("n_candidates"))
+      val hits = pg.join(broadcast(hitByDepth), col("crn") <= col("nprobe"), "left")
+        .groupBy("nprobe").agg(coalesce(sum(col("nh")), lit(0L)).as("n_hits"))
+      cnt.join(hits, "nprobe").crossJoin(broadcast(nq))
+        .select(col("nprobe"), col("n_queries").cast("long").as("n_queries"),
+          col("n_candidates").cast("long").as("n_candidates"),
+          col("n_hits").cast("long").as("n_hits"),
+          expr("CAST(n_hits * 1000000 DIV (3 * n_queries) AS BIGINT)")
+            .as("recall_ppm"))
+        .orderBy("nprobe")
+    },
+
     // Label-centroid CONFUSABILITY matrix: pairwise cosine between
     // per-label centroid vectors — the inter-class geometry audit next
     // to q70's intra-class cohesion (two labels whose centroids cosine
@@ -681,6 +739,42 @@ object Similarity {
         |SELECT q.q_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
         |  CAST(COALESCE(n_hit, 0) * 1000000 // 3 AS BIGINT) AS recall_ppm
         |FROM q LEFT JOIN hits ON q.q_id = hits.q_id
-        |ORDER BY q.q_id""".stripMargin)
+        |ORDER BY q.q_id""".stripMargin),
+
+    "q279_ivf_multiprobe" -> (CellAssignSql +
+      """,
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM cells
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
+        |probes AS (
+        |  SELECT q_id, cell, crn FROM (
+        |    SELECT q_id, cent_id AS cell, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(list_dot_product(qv, cv) / (qn * cn), 6) DESC,
+        |      cent_id) AS crn
+        |    FROM q, cents) WHERE crn <= 4),
+        |ex AS (
+        |  SELECT q_id, c.vec_id AS c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY
+        |      round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) DESC,
+        |      c.vec_id) AS rn
+        |  FROM q, cells c WHERE c.vec_id <> q_id),
+        |exact3 AS (SELECT q_id, c_id FROM ex WHERE rn <= 3),
+        |cand AS (
+        |  SELECT p.q_id, c.vec_id AS c_id, p.crn
+        |  FROM probes p JOIN cells c USING (cell) WHERE c.vec_id <> p.q_id),
+        |hit AS (
+        |  SELECT e.q_id, e.c_id, cand.crn
+        |  FROM exact3 e JOIN cand ON e.q_id = cand.q_id AND e.c_id = cand.c_id),
+        |pg AS (SELECT CAST(UNNEST([1, 2, 4]) AS BIGINT) AS nprobe),
+        |nq AS (SELECT COUNT(*) AS n_queries FROM q),
+        |cnt AS (SELECT pg.nprobe, COUNT(c.c_id) AS n_candidates
+        |        FROM pg LEFT JOIN cand c ON c.crn <= pg.nprobe GROUP BY 1),
+        |hits AS (SELECT pg.nprobe, COUNT(h.c_id) AS n_hits
+        |         FROM pg LEFT JOIN hit h ON h.crn <= pg.nprobe GROUP BY 1)
+        |SELECT cnt.nprobe, CAST(nq.n_queries AS BIGINT) AS n_queries,
+        |  CAST(cnt.n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(hits.n_hits AS BIGINT) AS n_hits,
+        |  CAST(hits.n_hits * 1000000 // (3 * nq.n_queries) AS BIGINT) AS recall_ppm
+        |FROM cnt JOIN hits USING (nprobe) CROSS JOIN nq
+        |ORDER BY cnt.nprobe""".stripMargin)
   )
 }

@@ -312,4 +312,80 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(anis >= 0 && anis < 1000000L,
       "mean |off-diagonal| stays below mean diagonal variance on near-isotropic data")
   }
+
+  test("q279 depth 1 reproduces q180's single-probe hits and the curve is monotone") {
+    val rows = graft.ops.Similarity.queries("q279_ivf_multiprobe")(spark, sf)
+      .orderBy("nprobe").collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val rec = rows.map(_.getAs[Long]("recall_ppm"))
+    val cand = rows.map(_.getAs[Long]("n_candidates"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      "probing more cells never loses a hit")
+    assert(cand.zip(cand.tail).forall { case (a, b) => a <= b },
+      "the candidate set at depth P is a prefix of depth P+1's")
+    val q180hits = graft.ops.Similarity.queries("q180_ann_recall")(spark, sf)
+      .agg(sum(col("n_hit"))).collect().head.getLong(0)
+    assert(rows.head.getAs[Long]("n_hits") == q180hits,
+      "P=1 IS q180's probe — same cells, same kernel, same hits")
+  }
+
+  test("q280 stats replay per table and the verdicts split dims from facts at this SF") {
+    val rows = Analytics.queries("q280_broadcast_advisor")(spark, sf).collect()
+    assert(rows.length == 7)
+    val byName = rows.map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(byName("region").getAs[Long]("n_rows") ==
+      graft.model.Tables.region(spark, sf).count())
+    assert(byName("lineitem").getAs[Long]("n_rows") ==
+      graft.model.Tables.lineitem(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_bytes") > 0)
+      assert(r.getAs[Long]("bytes_per_row") ==
+        r.getAs[Long]("est_bytes") / r.getAs[Long]("n_rows"))
+      assert(r.getAs[Boolean]("would_broadcast") ==
+        (r.getAs[Long]("est_bytes") < 10485760L))
+    }
+    assert(byName("region").getAs[Boolean]("would_broadcast"))
+    assert(byName("nation").getAs[Boolean]("would_broadcast"))
+  }
+
+  test("q281 each type carries the full period grid with exactly one winner") {
+    val rows = Analytics.queries("q281_period_detection")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("p")).sorted.toSeq == Seq(5L, 6L, 7L, 8L))
+      assert(rs.count(_.getAs[Boolean]("is_best")) == 1, "exactly one winning period")
+      val best = rs.filter(_.getAs[Boolean]("is_best")).head
+      assert(best.getAs[Long]("eta2_ppm") == rs.map(_.getAs[Long]("eta2_ppm")).max)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("eta2_ppm") >= 0 && r.getAs[Long]("eta2_ppm") <= 1000000L)
+        assert(r.getAs[Long]("m_days") % r.getAs[Long]("p") == 0,
+          "folds truncate to FULL periods")
+      }
+    }
+  }
+
+  test("q282 scores replay from a Scala implementation of the JM model") {
+    val rows = Analytics.queries("q282_query_likelihood")(spark, sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "ranked by score")
+    // full replay: tokenize, pick frequency ranks {10,20,30}, score every doc
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val cf = docs.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val top30 = cf.toSeq.sortBy { case (t, c) => (-c, t) }.take(30)
+    val terms = Seq(10, 20, 30).map(i => top30(i - 1))
+    val ctot = cf.values.sum
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val s = terms.map { case (t, c) =>
+        val tf = toks.count(_ == t).toLong
+        tf * 1000000L / (2 * dl) + c * 1000000L / (2 * ctot)
+      }.product
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+      == scored.toSeq)
+  }
 }
