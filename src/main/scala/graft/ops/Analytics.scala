@@ -726,6 +726,136 @@ object Analytics {
         .limit(10)
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           col("score").cast("long").as("score"))
+    },
+
+    // XOR SET-DIGEST per source — the invertible content fingerprint for
+    // shard reconciliation (rsync/anti-entropy shape): digest = bit_xor
+    // of 60-bit content hashes over the source's DISTINCT doc set.
+    // Equal digests flag equal sets without comparing members; after an
+    // append, digest' = digest ⊕ h(new) updates in O(1) — the
+    // INVERTIBILITY CMS/HLL/MinHash all lack (they only add; xor also
+    // removes). The distinct-first step is load-bearing: xor is
+    // MULTISET PARITY, a doc present twice cancels itself. Spec proves
+    // the disjoint-union merge law digest(A ⊎ B) = digest(A) ⊕
+    // digest(B) and the single-doc update law. '__all__' = the digest
+    // of the global distinct set (≠ xor of per-source digests exactly
+    // when cross-source duplicates exist — that GAP is the
+    // reconciliation signal).
+    "q283_set_digest" -> { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .distinct()
+      val per = h.groupBy("source").agg(
+        count(lit(1)).as("ndv"), expr("bit_xor(h)").as("digest"))
+      val all = h.select("h").distinct()
+        .agg(count(lit(1)).as("ndv"), expr("bit_xor(h)").as("digest"))
+        .select(lit("__all__").as("source"), col("ndv"), col("digest"))
+      per.unionByName(all)
+        .select(col("source"), col("ndv").cast("long").as("ndv"),
+          col("digest").cast("long").as("digest"))
+        .orderBy("source")
+    },
+
+    // KMV/THETA sketch: distinct-UNION and INTERSECTION estimates per
+    // source pair + exact audit — the set-algebra sketch completing the
+    // suite (CMS counts frequencies, HLL counts one set's cardinality,
+    // MinHash estimates Jaccard; KMV is the one that estimates
+    // |A∪B| AND |A∩B| directly, because the k minimum hashes of a union
+    // are computable from the per-set minima — the merge law that makes
+    // it shardable). θ = the k-th minimum hash mv; est_union =
+    // (k−1)·M DIV mv (the unbiased KMV estimator); est_inter = (union
+    // bottom-k values present in BOTH sets)·M DIV mv. k = 16, M = 2⁶⁰
+    // (the 15-hex-digit hash range). The exact legs are the deliberate
+    // small-SF calibration audit (q184's convention — at 100 TB only
+    // the sketches ship).
+    "q284_kmv_theta" -> { (s, d) =>
+      val M = 1152921504606846976L // 2^60
+      val h = Tables.documents(s, d)
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .distinct()
+      val wS = Window.partitionBy("source").orderBy("h")
+      val sigs = h.withColumn("rk", row_number().over(wS)).filter(col("rk") <= 16)
+      val sa = sigs.select(col("source").as("a"), col("h"))
+      val sb = sigs.select(col("source").as("b"), col("h"))
+      // union sketch = bottom-32 of the two signature sets' union
+      val wU = Window.partitionBy("a", "b").orderBy("h")
+      // the source grid aggregates on `source` BEFORE any alias so the
+      // plan audit sees the bounded grouping key
+      val srcs = h.select("source").distinct()
+      val usig = sa.crossJoin(broadcast(srcs.select(col("source").as("b"))))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("h"))
+        .unionByName(sb.crossJoin(broadcast(srcs.select(col("source").as("a"))))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b"), col("h")))
+        .distinct() // a hash in both signature sets enters once
+        .withColumn("urk", row_number().over(wU))
+        .filter(col("urk") <= 16)
+      val theta = usig.groupBy("a", "b")
+        .agg(max(col("h")).as("mv"), count(lit(1)).as("ku"))
+      // membership of union-bottom values in each FULL distinct set
+      val inA = usig.join(h.select(col("source").as("a"), col("h"), lit(1).as("ma")),
+        Seq("a", "h"), "left")
+      val both = inA.join(h.select(col("source").as("b"), col("h"), lit(1).as("mb")),
+          Seq("b", "h"), "left")
+        .groupBy("a", "b")
+        .agg(sum(when(col("ma").isNotNull && col("mb").isNotNull, 1L).otherwise(0L))
+          .as("c_both"))
+      // exact legs from the hash → source-set inversion
+      val perSrc = h.groupBy("source").agg(count(lit(1)).as("ndv"))
+      val exInter = h.join(h.withColumnRenamed("source", "b2"), "h")
+        .where(col("source") < col("b2"))
+        .groupBy(col("source").as("a"), col("b2").as("b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      theta.join(both, Seq("a", "b"))
+        .join(broadcast(perSrc.select(col("source").as("a"), col("ndv").as("nda"))), "a")
+        .join(broadcast(perSrc.select(col("source").as("b"), col("ndv").as("ndb"))), "b")
+        .join(exInter, Seq("a", "b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .select(col("a"), col("b"), col("ku").cast("long").as("k_used"),
+          expr(s"CAST((ku - 1) * CAST($M AS DECIMAL(38,0)) DIV mv AS BIGINT)")
+            .as("est_union"),
+          (col("nda") + col("ndb") - col("exact_inter")).cast("long").as("exact_union"),
+          expr(s"CAST(c_both * CAST($M AS DECIMAL(38,0)) DIV mv AS BIGINT)")
+            .as("est_inter"),
+          col("exact_inter").cast("long").as("exact_inter"))
+        .orderBy("a", "b")
+    },
+
+    // AMS F2 sketch per language — the SECOND-MOMENT estimator
+    // completing the frequency-sketch family (CMS bounds point counts,
+    // THIS estimates Σf² = the self-join size / repeat-rate of the
+    // token stream): four independent ±1 hash estimators, Zⱼ = Σ
+    // sign_j(t)·f_t computed EXACTLY on the vocab grid (the sketch's
+    // linearity is the merge law: Zⱼ sums across shards), est = mean of
+    // Zⱼ² — E[Z²] = F2 unbiased. The exact Σf² leg rides the same grid
+    // as the calibration audit; err_ppm is the read.
+    "q285_ams_f2" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+      val jg = tf.sparkSession.range(0, 4).select(col("id").cast("int").as("j"))
+      val z = tf.crossJoin(broadcast(jg))
+        .select(col("lang"), col("j"),
+          (when(Dedup.neutralHash32(
+              concat(col("j").cast("string"), lit(":"), col("tok"))) % 2 === 0,
+            lit(1L)).otherwise(lit(-1L)) * col("f")).as("sf"))
+        .groupBy("lang", "j").agg(sum(col("sf")).as("zj"))
+      val est = z.groupBy("lang")
+        .agg(expr("CAST(sum(zj * CAST(zj AS DECIMAL(38,0))) DIV 4 AS BIGINT)")
+          .as("est_f2"))
+      val exact = tf.groupBy("lang")
+        .agg(sum(col("f")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("v_types"),
+          expr("CAST(sum(f * CAST(f AS DECIMAL(38,0))) AS BIGINT)").as("exact_f2"))
+      exact.join(est, "lang")
+        .select(col("lang"), col("n_tokens"), col("v_types"),
+          col("exact_f2"), col("est_f2"),
+          expr("CAST(ABS(est_f2 - exact_f2) * 1000000 DIV exact_f2 AS BIGINT)")
+            .as("abs_err_ppm"))
+        .orderBy("lang")
     }
   )
 
@@ -1183,6 +1313,84 @@ object Analytics {
         |  FROM st GROUP BY 1, 2)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
         |  CAST(s10 * s20 * s30 AS BIGINT) AS score
-        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q283_set_digest" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |per AS (SELECT source, COUNT(*) AS ndv, bit_xor(h) AS digest
+        |  FROM h GROUP BY 1),
+        |alld AS (SELECT '__all__' AS source, COUNT(*) AS ndv, bit_xor(h) AS digest
+        |  FROM (SELECT DISTINCT h FROM h))
+        |SELECT source, CAST(ndv AS BIGINT) AS ndv, CAST(digest AS BIGINT) AS digest
+        |FROM (SELECT * FROM per UNION ALL SELECT * FROM alld)
+        |ORDER BY source""".stripMargin,
+
+    "q284_kmv_theta" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |sigs AS (SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |    FROM h) WHERE rk <= 16),
+        |srcs AS (SELECT DISTINCT source FROM h),
+        |usig0 AS (
+        |  SELECT s.source AS a, t.source AS b, s.h
+        |  FROM sigs s, srcs t WHERE s.source < t.source
+        |  UNION
+        |  SELECT t2.source AS a, s2.source AS b, s2.h
+        |  FROM sigs s2, srcs t2 WHERE t2.source < s2.source),
+        |usig AS (SELECT a, b, h FROM (
+        |    SELECT a, b, h, row_number() OVER (PARTITION BY a, b ORDER BY h) AS urk
+        |    FROM usig0) WHERE urk <= 16),
+        |theta AS (SELECT a, b, MAX(h) AS mv, COUNT(*) AS ku FROM usig GROUP BY 1, 2),
+        |bth AS (
+        |  SELECT u.a, u.b,
+        |    SUM(CASE WHEN ha.h IS NOT NULL AND hb.h IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS c_both
+        |  FROM usig u
+        |  LEFT JOIN h ha ON ha.source = u.a AND ha.h = u.h
+        |  LEFT JOIN h hb ON hb.source = u.b AND hb.h = u.h
+        |  GROUP BY 1, 2),
+        |per AS (SELECT source, COUNT(*) AS ndv FROM h GROUP BY 1),
+        |exi AS (
+        |  SELECT x.source AS a, y.source AS b, COUNT(*) AS exact_inter
+        |  FROM h x JOIN h y ON x.h = y.h AND x.source < y.source GROUP BY 1, 2)
+        |SELECT t.a, t.b, CAST(t.ku AS BIGINT) AS k_used,
+        |  CAST((t.ku - 1) * CAST(1152921504606846976 AS HUGEINT) // t.mv AS BIGINT)
+        |    AS est_union,
+        |  CAST(pa.ndv + pb.ndv - COALESCE(exi.exact_inter, 0) AS BIGINT)
+        |    AS exact_union,
+        |  CAST(bth.c_both * CAST(1152921504606846976 AS HUGEINT) // t.mv AS BIGINT)
+        |    AS est_inter,
+        |  CAST(COALESCE(exi.exact_inter, 0) AS BIGINT) AS exact_inter
+        |FROM theta t JOIN bth USING (a, b)
+        |JOIN per pa ON pa.source = t.a JOIN per pb ON pb.source = t.b
+        |LEFT JOIN exi ON exi.a = t.a AND exi.b = t.b
+        |ORDER BY t.a, t.b""".stripMargin,
+
+    "q285_ams_f2" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, COUNT(*) AS f FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |z AS (
+        |  SELECT lang, j.j,
+        |    SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok),
+        |        1, 8)) AS BIGINT) % 2 = 0
+        |      THEN f ELSE -f END) AS zj
+        |  FROM tf, UNNEST(generate_series(0, 3)) j(j) GROUP BY 1, 2),
+        |est AS (SELECT lang, CAST(SUM(zj * CAST(zj AS HUGEINT)) // 4 AS BIGINT)
+        |    AS est_f2 FROM z GROUP BY 1),
+        |ex AS (SELECT lang, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS v_types,
+        |    CAST(SUM(f * CAST(f AS HUGEINT)) AS BIGINT) AS exact_f2
+        |  FROM tf GROUP BY 1)
+        |SELECT ex.lang, n_tokens, v_types, exact_f2, est_f2,
+        |  CAST(ABS(est_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT) AS abs_err_ppm
+        |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin
   )
 }

@@ -388,4 +388,73 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
       == scored.toSeq)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q283 digests replay, and xor obeys the disjoint-union and O(1)-update laws") {
+    val rows = Analytics.queries("q283_set_digest")(spark, sf).collect()
+    val bySrc = rows.map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("ndv"), r.getAs[Long]("digest"))).toMap
+    assert(bySrc.contains("__all__"))
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), java.lang.Long.parseLong(md5hex(r.getString(1)).take(15), 16)))
+    // replay one source and the global row
+    val (src, _) = docs.head
+    val mine = docs.filter(_._1 == src).map(_._2).distinct
+    assert(bySrc(src) == ((mine.length.toLong, mine.reduce(_ ^ _))))
+    val all = docs.map(_._2).distinct
+    assert(bySrc("__all__") == ((all.length.toLong, all.reduce(_ ^ _))))
+    // the merge laws, on the replayed arithmetic: disjoint union XORs,
+    // and appending one element updates the digest in O(1)
+    val a = Seq(3L, 17L, 99L); val b = Seq(4L, 5L)
+    assert((a ++ b).reduce(_ ^ _) == (a.reduce(_ ^ _) ^ b.reduce(_ ^ _)))
+    assert((a :+ 123L).reduce(_ ^ _) == (a.reduce(_ ^ _) ^ 123L))
+  }
+
+  test("q284 exact legs replay and every source pair is present") {
+    val rows = Analytics.queries("q284_kmv_theta")(spark, sf).collect()
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), java.lang.Long.parseLong(md5hex(r.getString(1)).take(15), 16)))
+    val sets = docs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val srcs = sets.keys.toSeq.sorted
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2, "full pair grid")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+      assert(a < b)
+      val inter = (sets(a) intersect sets(b)).size.toLong
+      val union = (sets(a) union sets(b)).size.toLong
+      assert(r.getAs[Long]("exact_inter") == inter)
+      assert(r.getAs[Long]("exact_union") == union)
+      assert(r.getAs[Long]("k_used") >= 1 && r.getAs[Long]("k_used") <= 16)
+      assert(r.getAs[Long]("est_union") >= 0 && r.getAs[Long]("est_inter") >= 0)
+    }
+  }
+
+  test("q285 the estimator and the exact second moment both replay from token counts") {
+    val rows = Analytics.queries("q285_ams_f2")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val f = docs.filter(_._1 == lang).flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val exact = f.values.map(x => BigInt(x) * x).sum
+      assert(BigInt(r.getAs[Long]("exact_f2")) == exact)
+      val est = (0 to 3).map { j =>
+        val zj = f.map { case (t, c) =>
+          val sign = if (java.lang.Long.parseLong(md5hex(s"$j:$t").take(8), 16) % 2 == 0) 1L else -1L
+          sign * c
+        }.sum
+        BigInt(zj) * zj
+      }.sum / 4
+      assert(BigInt(r.getAs[Long]("est_f2")) == est)
+      assert(r.getAs[Long]("abs_err_ppm") ==
+        ((BigInt(r.getAs[Long]("est_f2")) - exact).abs * 1000000 / exact).toLong)
+    }
+  }
 }
