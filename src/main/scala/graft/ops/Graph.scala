@@ -35,7 +35,136 @@ object Graph {
   /** ppb fixed-point scale for rank mass. */
   private val R = 1000000000L
 
+  /** The q263 co-purchase edge set (a < b, basket cap 32, support ≥ 2)
+    * shared by the q286–q288 structure queries — ONE definition so the
+    * four graph views can never disagree about what an edge is. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val ok = items.groupBy("okey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 32).select("okey")
+    val it = items.join(ok, "okey")
+    it.join(it.select(col("okey"), col("part").as("pb")), Seq("okey"))
+      .filter(col("part") < col("pb"))
+      .groupBy(col("part").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select("a", "b")
+  }
+
+  /** Undirected adjacency (both directions) over [[copurchaseEdges]]. */
+  private def adjacency(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    e.select(col("a").as("v"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("n")))
+  }
+
+  /** DuckDB mirror of [[copurchaseEdges]] + adjacency — the q263 CTEs. */
+  private val EdgesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+      |  FROM lineitem),
+      |ok AS (SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 32),
+      |it AS (SELECT i.okey, i.part FROM items i JOIN ok USING (okey)),
+      |edges AS (
+      |  SELECT a.part AS a, b.part AS b
+      |  FROM it a JOIN it b ON a.okey = b.okey AND a.part < b.part
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |adj AS (
+      |  SELECT a AS v, b AS n FROM edges
+      |  UNION ALL SELECT b AS v, a AS n FROM edges)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One synchronous LABEL-PROPAGATION step over the co-purchase graph,
+    // seeded with part BRANDS — the community-detection primitive one
+    // superstep at a time (q65/q136's min-label propagation converges to
+    // CONNECTivity; LPA converges to DENSITY communities, and its very
+    // first step already reads as a label-flow matrix: brand X's nodes
+    // adopting brand Y means X's parts are bought with Y's more than
+    // with their own). Majority neighbor label by the mirrored two-step
+    // rule (max count, then smallest label). Output = the observed
+    // (old_label, new_label) flow matrix.
+    "q286_label_propagation" -> { (s, d) =>
+      val und = adjacency(s, d)
+      val brands = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))
+      val nodeBrand = und.select("v").distinct()
+        .join(brands, col("v") === col("p_partkey"))
+        .select(col("v"), col("p_brand").as("old_label"))
+      val nb = und
+        .join(brands.select(col("p_partkey"), col("p_brand").as("nl")),
+          col("n") === col("p_partkey"))
+        .groupBy("v", "nl").agg(count(lit(1)).as("c"))
+      val mx = nb.groupBy("v").agg(max(col("c")).as("mc"))
+      val newl = nb.join(mx, "v").filter(col("c") === col("mc"))
+        .groupBy("v").agg(min(col("nl")).as("new_label"))
+      nodeBrand.join(newl, "v")
+        .groupBy("old_label", "new_label")
+        .agg(count(lit(1)).cast("long").as("n_nodes"))
+        .orderBy("old_label", "new_label")
+    },
+
+    // 1-round WEISFEILER-LEHMAN structural signatures — the
+    // graph-isomorphism refinement at radius 1: a node's class =
+    // md5(own brand | sorted neighbor-brand multiset). How many
+    // distinct classes exist (and how the top classes populate) is the
+    // structural-diversity read an embedding-free graph model starts
+    // from — two nodes in the same WL-1 class are indistinguishable to
+    // any 1-hop message-passing layer. Top-10 classes by the total
+    // (count desc, sig) order; n_classes/n_vertices ride on every row.
+    "q287_wl_signatures" -> { (s, d) =>
+      val und = adjacency(s, d)
+      val brands = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))
+      val sigs = und
+        .join(brands.select(col("p_partkey"), col("p_brand").as("nl")),
+          col("n") === col("p_partkey"))
+        .groupBy("v")
+        .agg(expr("concat_ws(',', sort_array(collect_list(nl)))").as("ns"))
+        .join(brands, col("v") === col("p_partkey"))
+        .select(col("v"), md5(concat(col("p_brand"), lit("|"), col("ns"))).as("sig"))
+      val classes = sigs.groupBy("sig").agg(count(lit(1)).as("n_nodes"))
+      val tot = classes.agg(count(lit(1)).as("n_classes"),
+        sum(col("n_nodes")).as("n_vertices"))
+      classes.orderBy(col("n_nodes").desc, col("sig")).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("sig"), col("n_nodes").cast("long").as("n_nodes"),
+          col("n_classes").cast("long").as("n_classes"),
+          col("n_vertices").cast("long").as("n_vertices"))
+        .orderBy(col("n_nodes").desc, col("sig"))
+    },
+
+    // DEGREE ASSORTATIVITY of the co-purchase graph — do hubs link to
+    // hubs (r > 0, social-network shape) or to leaves (r < 0,
+    // hub-and-spoke catalog shape)? Pearson r of (deg(u), deg(v)) over
+    // directed edge ends (both directions, the standard symmetrization).
+    // Base sums exact BIGINTs on the edge list; r is the ONE mirrored
+    // IEEE assembly (the q207/q272 rule), zero-variance guarded to 0.
+    "q288_degree_assortativity" -> { (s, d) =>
+      val und = adjacency(s, d)
+      val deg = und.groupBy("v").agg(count(lit(1)).as("dg"))
+      val pairs = und
+        .join(deg, "v")
+        .join(deg.select(col("v").as("n"), col("dg").as("dn")), "n")
+        .select(col("dg").as("x"), col("dn").as("y"))
+      pairs.agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"), sum(expr("x * y")).as("sxy"))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_vertices"))))
+        .select(col("n_vertices").cast("long").as("n_vertices"),
+          expr("CAST(np DIV 2 AS BIGINT)").as("n_edges"),
+          col("np").cast("long").as("n_pairs"),
+          col("sxy").cast("long").as("sxy"),
+          expr("CASE WHEN np * sxx - sx * sx <= 0 OR np * syy - sy * sy <= 0" +
+            " THEN CAST(0 AS DOUBLE) ELSE" +
+            " (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) -" +
+            " CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /" +
+            " SQRT((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) -" +
+            " CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *" +
+            " (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) -" +
+            " CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END").as("r_assort"))
+    },
     // Damped (0.85) random walk on the undirected bipartite graph
     // customer(2k) ↔ supplier(2k+1), edges = distinct trading pairs
     // from lineitem⨝orders. pr' = 0.15·R/N + 0.85·Σ_in pr(u)/deg(u),
@@ -105,6 +234,65 @@ object Graph {
   )
 
   def oracle: Map[String, String] = Map(
+    "q286_label_propagation" -> (EdgesSql +
+      """,
+        |nb AS (
+        |  SELECT adj.v, p.p_brand AS nl, COUNT(*) AS c
+        |  FROM adj JOIN part p ON p.p_partkey = adj.n GROUP BY 1, 2),
+        |mx AS (SELECT v, MAX(c) AS mc FROM nb GROUP BY 1),
+        |newl AS (
+        |  SELECT nb.v, MIN(nb.nl) AS new_label
+        |  FROM nb JOIN mx ON mx.v = nb.v AND nb.c = mx.mc GROUP BY 1),
+        |ob AS (
+        |  SELECT DISTINCT adj.v, p.p_brand AS old_label
+        |  FROM adj JOIN part p ON p.p_partkey = adj.v)
+        |SELECT ob.old_label, newl.new_label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM ob JOIN newl USING (v)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q287_wl_signatures" -> (EdgesSql +
+      """,
+        |ns AS (
+        |  SELECT adj.v, string_agg(p.p_brand, ',' ORDER BY p.p_brand) AS ns
+        |  FROM adj JOIN part p ON p.p_partkey = adj.n GROUP BY 1),
+        |sigs AS (
+        |  SELECT ns.v, md5(p.p_brand || '|' || ns.ns) AS sig
+        |  FROM ns JOIN part p ON p.p_partkey = ns.v),
+        |classes AS (SELECT sig, COUNT(*) AS n_nodes FROM sigs GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_classes, SUM(n_nodes) AS n_vertices
+        |        FROM classes)
+        |SELECT sig, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(tot.n_classes AS BIGINT) AS n_classes,
+        |  CAST(tot.n_vertices AS BIGINT) AS n_vertices
+        |FROM classes CROSS JOIN tot
+        |ORDER BY n_nodes DESC, sig LIMIT 10""".stripMargin),
+
+    "q288_degree_assortativity" -> (EdgesSql +
+      """,
+        |deg AS (SELECT v, COUNT(*) AS dg FROM adj GROUP BY 1),
+        |pairs AS (
+        |  SELECT d1.dg AS x, d2.dg AS y
+        |  FROM adj JOIN deg d1 ON d1.v = adj.v JOIN deg d2 ON d2.v = adj.n),
+        |a AS (SELECT COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM pairs),
+        |nv AS (SELECT COUNT(*) AS n_vertices FROM deg)
+        |SELECT CAST(nv.n_vertices AS BIGINT) AS n_vertices,
+        |  CAST(a.np // 2 AS BIGINT) AS n_edges,
+        |  CAST(a.np AS BIGINT) AS n_pairs,
+        |  CAST(a.sxy AS BIGINT) AS sxy,
+        |  CASE WHEN a.np * a.sxx - a.sx * a.sx <= 0
+        |      OR a.np * a.syy - a.sy * a.sy <= 0
+        |    THEN CAST(0 AS DOUBLE) ELSE
+        |    (CAST(a.np AS DOUBLE) * CAST(a.sxy AS DOUBLE) -
+        |     CAST(a.sx AS DOUBLE) * CAST(a.sy AS DOUBLE)) /
+        |    SQRT((CAST(a.np AS DOUBLE) * CAST(a.sxx AS DOUBLE) -
+        |     CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)) *
+        |    (CAST(a.np AS DOUBLE) * CAST(a.syy AS DOUBLE) -
+        |     CAST(a.sy AS DOUBLE) * CAST(a.sy AS DOUBLE))) END AS r_assort
+        |FROM a CROSS JOIN nv""".stripMargin),
+
     "q90_bipartite_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
