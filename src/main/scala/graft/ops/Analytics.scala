@@ -856,6 +856,131 @@ object Analytics {
           expr("CAST(ABS(est_f2 - exact_f2) * 1000000 DIV exact_f2 AS BIGINT)")
             .as("abs_err_ppm"))
         .orderBy("lang")
+    },
+
+    // ADDITIVE time-series DECOMPOSITION per event type — y = trend +
+    // seasonal + residual, the classical-decomposition read every
+    // monitoring dashboard draws (E42/q143's EWMA smooths ONE line;
+    // this SEPARATES the three components so a level shift, a weekday
+    // pattern, and noise stop masquerading as each other). Trend =
+    // centered 7-day moving sum ×10⁶ DIV 7 on the zero-filled day grid
+    // (interior days only — a partial window is a different estimator);
+    // seasonal = per-weekday-phase mean of the detrended series, the
+    // ONE mirrored floor(IEEE /) because phase sums go NEGATIVE and
+    // integer DIV truncates toward zero in Spark but floors in DuckDB
+    // (the q207 rule's division-side twin); residual = y − t − s BY
+    // CONSTRUCTION, so conservation y·10⁶ = t + s + r is exact and
+    // spec-asserted, not approximate.
+    "q289_ts_decomposition" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c0"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val days = bounds.select(explode(expr("sequence(mn, mx)")).as("day"),
+        col("mn"), col("mx"))
+      val types = ev.select("event_type").distinct()
+      val cells = days.crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), datediff(col("day"), col("mn")).as("di"),
+          datediff(col("mx"), col("mn")).as("ndm1"),
+          coalesce(col("c0"), lit(0L)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("di").rowsBetween(-3, 3)
+      val trended = cells
+        .withColumn("wsum", sum(col("c")).over(w))
+        .filter(col("di") >= 3 && col("di") <= col("ndm1") - 3)
+        .select(col("event_type"), col("di"), col("c"),
+          expr("CAST(wsum * 1000000 DIV 7 AS BIGINT)").as("trend_u"))
+        .withColumn("det_u", col("c") * lit(1000000L) - col("trend_u"))
+        .withColumn("phase", col("di") % 7)
+      val seas = trended.groupBy("event_type", "phase")
+        .agg(expr("CAST(FLOOR(CAST(SUM(det_u) AS DOUBLE) / COUNT(*)) AS BIGINT)")
+          .as("seasonal_u"))
+      trended.join(seas, Seq("event_type", "phase"))
+        .select(col("event_type"), col("di").cast("long").as("di"),
+          col("c").cast("long").as("n_events"),
+          col("trend_u"), col("seasonal_u"),
+          (col("det_u") - col("seasonal_u")).cast("long").as("resid_u"))
+        .orderBy("event_type", "di")
+    },
+
+    // Temperature-based mixing SWEEP, α ∈ {¼, ½, ¾} — the source-mix
+    // decision CURVE above D5t/q64's single α = ½ point (α → 0 is
+    // uniform-over-sources, α = 1 is proportional; WHERE to sit is the
+    // dial every pretraining mix tunes). The log-free trick: n^α at
+    // these α's is nested INTEGER square roots — isqrt(n·10¹²) =
+    // n^½·10⁶, isqrt of that ×10³-scaled again gives n^¼·10³, and
+    // n^¾ = n^½·n^¼ — floor(sqrt(double)) is the exact integer sqrt for
+    // inputs < 2⁵³ (the q268 argument), so both engines derive
+    // identical weights with no pow()/exp()/ln() anywhere. Output:
+    // per-(source, α) weight and floor-ppm mix share. Magnitude note:
+    // the n·10¹² input must stay < 2⁵³ for the exactness argument, i.e.
+    // n < 9·10³ per source at this scaling — at larger per-source
+    // counts, drop the pre-scale a decade (n·10¹⁰ → weight grid 10⁵)
+    // which the same two-engine argument covers.
+    "q290_temperature_sweep" -> { (s, d) =>
+      val c = Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+      // w_q2 = n^(1/2)·10⁶, w_q1 = n^(1/4)·10³ — exact integer sqrts
+      val w = c
+        .withColumn("w2", expr(
+          "CAST(FLOOR(SQRT(CAST(n * 1000000000000 AS DOUBLE))) AS BIGINT)"))
+        .withColumn("w1", expr("CAST(FLOOR(SQRT(CAST(w2 AS DOUBLE))) AS BIGINT)"))
+      val alphas = w.sparkSession.range(1, 4)
+        .select(col("id").cast("long").as("a4")) // α = a4/4
+      val weighted = w.crossJoin(broadcast(alphas))
+        .select(col("source"), col("n"), col("a4"),
+          // α=¼ → w1·10³ (rescale to the 10⁶ grid), α=½ → w2,
+          // α=¾ → w1·w2 DIV 10³ (scale 10⁹ → 10⁶)
+          expr("CASE a4 WHEN 1 THEN w1 * 1000 WHEN 2 THEN w2" +
+            " ELSE w1 * w2 DIV 1000 END").as("wt"))
+      val tot = weighted.groupBy("a4").agg(sum(col("wt")).as("wtot"))
+      weighted.join(broadcast(tot), "a4")
+        .select(col("source"), (col("a4") * 250000L).as("alpha_ppm"),
+          col("n").cast("long").as("n_docs"), col("wt").cast("long").as("weight"),
+          expr("CAST(wt * 1000000 DIV wtot AS BIGINT)").as("share_ppm"))
+        .orderBy("source", "alpha_ppm")
+    },
+
+    // ARC price-ELASTICITY of demand per brand (the econ read on the
+    // discount dial: midpoint-formula elasticity between the low-
+    // discount (≤ 2%) and high-discount (≥ 8%) regimes — F52/q231
+    // prices what a discount point buys in revenue; THIS asks whether
+    // quantity demanded actually responds). Arc formula
+    // ((q₂−q₁)/(q₂+q₁)) / ((p₂−p₁)/(p₂+p₁)) assembled from four exact
+    // integer sums per brand — the two quotients ride the mirrored
+    // IEEE assembly (signed — the q207 rule), with price = the exact
+    // (100 − disc_pct) mean in cross-multiplied form so no per-group
+    // division precedes the final expression.
+    "q291_arc_elasticity" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"),
+          expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("dp"))
+      val g = li.filter(col("dp") <= 2 || col("dp") >= 8)
+        .withColumn("hi", (col("dp") >= 8).cast("int"))
+        .groupBy("p_brand").agg(
+          sum(when(col("hi") === 0, 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("hi") === 0, col("q")).otherwise(0L)).as("q_lo"),
+          sum(when(col("hi") === 0, lit(100L) - col("dp")).otherwise(0L)).as("p_lo"),
+          sum(when(col("hi") === 1, 1L).otherwise(0L)).as("n_hi"),
+          sum(when(col("hi") === 1, col("q")).otherwise(0L)).as("q_hi"),
+          sum(when(col("hi") === 1, lit(100L) - col("dp")).otherwise(0L)).as("p_hi"))
+        .filter(col("n_lo") > 0 && col("n_hi") > 0)
+      // mean ratios cross-multiplied: q̄₂−q̄₁ ∝ q_hi·n_lo − q_lo·n_hi etc.
+      g.select(col("p_brand"),
+          col("n_lo").cast("long").as("n_lo"), col("n_hi").cast("long").as("n_hi"),
+          expr("CAST(q_lo * 1000000 DIV n_lo AS BIGINT)").as("qbar_lo_u"),
+          expr("CAST(q_hi * 1000000 DIV n_hi AS BIGINT)").as("qbar_hi_u"),
+          expr("((CAST(q_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) -" +
+            "   CAST(q_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) /" +
+            "  (CAST(q_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) +" +
+            "   CAST(q_lo AS DOUBLE) * CAST(n_hi AS DOUBLE))) /" +
+            " ((CAST(p_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) -" +
+            "   CAST(p_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) /" +
+            "  (CAST(p_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) +" +
+            "   CAST(p_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)))").as("elasticity"))
+        .orderBy("p_brand")
     }
   )
 
@@ -1391,6 +1516,90 @@ object Analytics {
         |  FROM tf GROUP BY 1)
         |SELECT ex.lang, n_tokens, v_types, exact_f2, est_f2,
         |  CAST(ABS(est_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT) AS abs_err_ppm
-        |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin
+        |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
+
+    "q289_ts_decomposition" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (SELECT event_type, day, COUNT(*) AS c0 FROM ev GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+        |days AS (SELECT CAST(g.d AS DATE) AS day, b.mn, b.mx
+        |         FROM b, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) g(d)),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |cells AS (
+        |  SELECT t.event_type, date_diff('day', dy.mn, dy.day) AS di,
+        |    date_diff('day', dy.mn, dy.mx) AS ndm1, COALESCE(d2.c0, 0) AS c
+        |  FROM days dy CROSS JOIN ty t
+        |  LEFT JOIN daily d2 ON d2.event_type = t.event_type AND d2.day = dy.day),
+        |tr AS (
+        |  SELECT event_type, di, c, ndm1,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY di
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum
+        |  FROM cells),
+        |trended AS (
+        |  SELECT event_type, di, c,
+        |    CAST(wsum * 1000000 // 7 AS BIGINT) AS trend_u,
+        |    c * 1000000 - CAST(wsum * 1000000 // 7 AS BIGINT) AS det_u,
+        |    di % 7 AS phase
+        |  FROM tr WHERE di >= 3 AND di <= ndm1 - 3),
+        |seas AS (
+        |  SELECT event_type, phase,
+        |    CAST(FLOOR(CAST(SUM(det_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |      AS seasonal_u
+        |  FROM trended GROUP BY 1, 2)
+        |SELECT t.event_type, CAST(t.di AS BIGINT) AS di,
+        |  CAST(t.c AS BIGINT) AS n_events, t.trend_u, s.seasonal_u,
+        |  CAST(t.det_u - s.seasonal_u AS BIGINT) AS resid_u
+        |FROM trended t JOIN seas s USING (event_type, phase)
+        |ORDER BY t.event_type, t.di""".stripMargin,
+
+    "q290_temperature_sweep" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n,
+        |    CAST(FLOOR(SQRT(CAST(n * 1000000000000 AS DOUBLE))) AS BIGINT) AS w2
+        |  FROM c),
+        |w4 AS (SELECT source, n, w2,
+        |    CAST(FLOOR(SQRT(CAST(w2 AS DOUBLE))) AS BIGINT) AS w1 FROM w),
+        |al AS (SELECT CAST(i.i AS BIGINT) AS a4
+        |       FROM UNNEST(generate_series(1, 3)) i(i)),
+        |wt AS (
+        |  SELECT source, n, a4,
+        |    CASE a4 WHEN 1 THEN w1 * 1000 WHEN 2 THEN w2
+        |      ELSE w1 * w2 // 1000 END AS wt
+        |  FROM w4 CROSS JOIN al),
+        |tot AS (SELECT a4, SUM(wt) AS wtot FROM wt GROUP BY 1)
+        |SELECT wt.source, CAST(wt.a4 * 250000 AS BIGINT) AS alpha_ppm,
+        |  CAST(wt.n AS BIGINT) AS n_docs, CAST(wt.wt AS BIGINT) AS weight,
+        |  CAST(wt.wt * 1000000 // tot.wtot AS BIGINT) AS share_ppm
+        |FROM wt JOIN tot USING (a4)
+        |ORDER BY wt.source, alpha_ppm""".stripMargin,
+
+    "q291_arc_elasticity" ->
+      """WITH li AS (
+        |  SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS dp
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |g AS (
+        |  SELECT p_brand,
+        |    SUM(CASE WHEN dp <= 2 THEN 1 ELSE 0 END) AS n_lo,
+        |    SUM(CASE WHEN dp <= 2 THEN q ELSE 0 END) AS q_lo,
+        |    SUM(CASE WHEN dp <= 2 THEN 100 - dp ELSE 0 END) AS p_lo,
+        |    SUM(CASE WHEN dp >= 8 THEN 1 ELSE 0 END) AS n_hi,
+        |    SUM(CASE WHEN dp >= 8 THEN q ELSE 0 END) AS q_hi,
+        |    SUM(CASE WHEN dp >= 8 THEN 100 - dp ELSE 0 END) AS p_hi
+        |  FROM li WHERE dp <= 2 OR dp >= 8 GROUP BY 1)
+        |SELECT p_brand, CAST(n_lo AS BIGINT) AS n_lo, CAST(n_hi AS BIGINT) AS n_hi,
+        |  CAST(q_lo * 1000000 // n_lo AS BIGINT) AS qbar_lo_u,
+        |  CAST(q_hi * 1000000 // n_hi AS BIGINT) AS qbar_hi_u,
+        |  ((CAST(q_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) -
+        |    CAST(q_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) /
+        |   (CAST(q_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) +
+        |    CAST(q_lo AS DOUBLE) * CAST(n_hi AS DOUBLE))) /
+        |  ((CAST(p_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) -
+        |    CAST(p_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) /
+        |   (CAST(p_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) +
+        |    CAST(p_lo AS DOUBLE) * CAST(n_hi AS DOUBLE))) AS elasticity
+        |FROM g WHERE n_lo > 0 AND n_hi > 0
+        |ORDER BY p_brand""".stripMargin
   )
 }

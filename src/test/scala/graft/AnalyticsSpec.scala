@@ -457,4 +457,80 @@ class AnalyticsSpec extends AnyFunSuite {
         ((BigInt(r.getAs[Long]("est_f2")) - exact).abs * 1000000 / exact).toLong)
     }
   }
+
+  test("q289 decomposition conserves y = t + s + r exactly and the trend replays") {
+    val rows = Analytics.queries("q289_ts_decomposition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") * 1000000L ==
+        r.getAs[Long]("trend_u") + r.getAs[Long]("seasonal_u") + r.getAs[Long]("resid_u"),
+        "conservation is exact BY CONSTRUCTION, not approximate")
+    }
+    // trend replay for one type from the zero-filled daily series
+    val et = rows.head.getAs[String]("event_type")
+    val daily = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toLocalDate -> r.getAs[Long]("c")).toMap
+    val all = graft.model.Tables.events(spark, sf)
+      .agg(min(to_date(col("ts"))), max(to_date(col("ts")))).collect().head
+    val (mn, mx) = (all.getAs[java.sql.Date](0).toLocalDate, all.getAs[java.sql.Date](1).toLocalDate)
+    val nd = java.time.temporal.ChronoUnit.DAYS.between(mn, mx).toInt + 1
+    val series = (0 until nd).map(i => daily.getOrElse(mn.plusDays(i), 0L))
+    rows.filter(_.getAs[String]("event_type") == et).foreach { r =>
+      val di = r.getAs[Long]("di").toInt
+      val wsum = (di - 3 to di + 3).map(series).sum
+      assert(r.getAs[Long]("trend_u") == wsum * 1000000L / 7)
+    }
+  }
+
+  test("q290 weights are exact integer roots and shares shift toward big sources as alpha rises") {
+    val rows = Analytics.queries("q290_temperature_sweep")(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("alpha_ppm")).sorted.toSeq ==
+        Seq(250000L, 500000L, 750000L))
+    }
+    rows.filter(_.getAs[Long]("alpha_ppm") == 500000L).foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val w = r.getAs[Long]("weight")
+      assert(w * w <= n * 1000000000000L && (w + 1) * (w + 1) > n * 1000000000000L,
+        "alpha=1/2 weight is the exact integer sqrt of n on the 10^6 grid")
+    }
+    // monotone mix property at the extremes of the size distribution
+    val biggest = rows.maxBy(_.getAs[Long]("n_docs")).getAs[String]("source")
+    val smallest = rows.minBy(_.getAs[Long]("n_docs")).getAs[String]("source")
+    if (biggest != smallest) {
+      def shares(src: String) = rows.filter(_.getAs[String]("source") == src)
+        .sortBy(_.getAs[Long]("alpha_ppm")).map(_.getAs[Long]("share_ppm"))
+      val b = shares(biggest); val sm = shares(smallest)
+      assert(b.zip(b.tail).forall { case (x, y) => x <= y },
+        "the biggest source gains share as alpha approaches proportional")
+      assert(sm.zip(sm.tail).forall { case (x, y) => x >= y },
+        "the smallest source loses share as alpha approaches proportional")
+    }
+  }
+
+  test("q291 elasticity replays from the four cross-multiplied sums") {
+    val rows = Analytics.queries("q291_arc_elasticity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val h = rows.head
+    val brand = h.getAs[String]("p_brand")
+    val lo = li.filter(x => x._1 == brand && x._3 <= 2)
+    val hi = li.filter(x => x._1 == brand && x._3 >= 8)
+    assert(h.getAs[Long]("n_lo") == lo.length.toLong)
+    assert(h.getAs[Long]("n_hi") == hi.length.toLong)
+    val (nl, ql, pl) = (lo.length.toDouble, lo.map(_._2).sum.toDouble,
+      lo.map(x => 100 - x._3).sum.toDouble)
+    val (nh, qh, ph) = (hi.length.toDouble, hi.map(_._2).sum.toDouble,
+      hi.map(x => 100 - x._3).sum.toDouble)
+    val expect = ((qh * nl - ql * nh) / (qh * nl + ql * nh)) /
+      ((ph * nl - pl * nh) / (ph * nl + pl * nh))
+    assert(math.abs(h.getAs[Double]("elasticity") - expect) < 1e-9)
+  }
 }
