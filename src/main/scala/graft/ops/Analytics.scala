@@ -59,6 +59,38 @@ object Analytics {
     Seq(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L,
       315465L, 301030L, 289065L)
 
+  /** q294 grid order (16×16 cells, 4 bits per axis). */
+  private[graft] val CurveN = 16
+
+  /** Hilbert curve position of cell (x, y) on the [[CurveN]]² grid —
+    * the standard xy2d rotation walk, evaluated ONCE in Scala and
+    * interpolated into both engines' SQL as a 256-entry lookup array
+    * (the curve is a constant of the operator, not data). */
+  private[graft] def hilbertD(x0: Int, y0: Int): Int = {
+    var x = x0; var y = y0; var d = 0; var s = CurveN / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  /** Z-order (Morton) position of cell (x, y): interleaved bits. */
+  private[graft] def mortonD(x: Int, y: Int): Int =
+    (0 until 4).map(b => (((x >> b) & 1) << (2 * b + 1)) | (((y >> b) & 1) << (2 * b))).sum
+
+  /** The two 256-entry curve lookups in cell = x·16+y order. */
+  private[graft] lazy val HilbertTable: Seq[Int] =
+    for (x <- 0 until CurveN; y <- 0 until CurveN) yield hilbertD(x, y)
+  private[graft] lazy val MortonTable: Seq[Int] =
+    for (x <- 0 until CurveN; y <- 0 until CurveN) yield mortonD(x, y)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Largest-remainder apportionment. floor_i = B·n_i DIV N always
     // under-spends; the shortfall k = B − Σfloor_i (< |sources|) goes one
@@ -981,6 +1013,129 @@ object Analytics {
             "  (CAST(p_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) +" +
             "   CAST(p_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)))").as("elasticity"))
         .orderBy("p_brand")
+    },
+
+    // CROSS-VALIDATED accuracy spread of the q37 language predictor —
+    // the model-eval variance read every benchmark number should carry
+    // (a single accuracy hides whether the metric is stable; the
+    // fold-to-fold spread IS the error bar, computed from q183's
+    // reproducible hash folds over the q37/q102/q207 shared predictor
+    // subtree so none of the four can drift). Per-fold accuracy is a
+    // floor-ppm integer; the spread is the overflow-free k·Σa² − (Σa)²
+    // population-variance numerator over the 5-row fold grid — exact,
+    // no mean division anywhere.
+    "q292_cv_accuracy_spread" -> { (s, d) =>
+      val folds = TextAnalysis.langIdPredictions(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .select((Dedup.neutralHash32(
+            concat(lit("fold:"), col("doc_id").cast("string"))) % 5).as("fold"),
+          when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("ok"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+        .withColumn("acc_ppm", expr("CAST(n_correct * 1000000 DIV n_docs AS BIGINT)"))
+      val spread = folds.agg(count(lit(1)).as("k"),
+          sum(col("acc_ppm")).as("sa"),
+          sum(expr("acc_ppm * acc_ppm")).as("sa2"))
+        .select(expr("CAST(k * sa2 - sa * sa AS BIGINT)").as("var_num"),
+          expr("CAST((k * sa2 - sa * sa) DIV (k * k) AS BIGINT)").as("var_ppm2"))
+      folds.crossJoin(broadcast(spread))
+        .select(col("fold").cast("long").as("fold"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_correct").cast("long").as("n_correct"),
+          col("acc_ppm"), col("var_num"), col("var_ppm2"))
+        .orderBy("fold")
+    },
+
+    // FRONT-CODING compression audit per source — how many bytes a
+    // sorted-order shared-prefix encoding saves on the text column (the
+    // string twin of F91/q270's RLE advisor: parquet's DELTA_BYTE_ARRAY
+    // IS front coding, and this measures whether it pays BEFORE the
+    // writer commits to it). Docs sort lexicographically within source
+    // (the order front coding assumes); lcp = first mismatch position
+    // against the predecessor via one transform+array_position probe —
+    // O(len) map work, no quadratic comparisons; saved = Σ lcp.
+    "q293_front_coding" -> { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("text")
+      val lcp = Tables.documents(s, d)
+        .select(col("source"), col("text"))
+        .withColumn("prev", lag(col("text"), 1).over(w))
+        .withColumn("lcp", expr(
+          // the 0-length guard matters in Spark: sequence(1, 0) runs
+          // DESCENDING, it is not empty as in DuckDB
+          "CASE WHEN prev IS NULL THEN 0L" +
+            " WHEN least(length(text), length(prev)) = 0 THEN 0L ELSE " +
+            // array_position yields 0 (not NULL) on no-mismatch in Spark
+            // — nullif() maps the all-shared case onto the min length
+            "coalesce(nullif(array_position(transform(" +
+            "  sequence(1, least(length(text), length(prev)))," +
+            "  i -> substring(text, i, 1) = substring(prev, i, 1)), false), 0) - 1," +
+            " CAST(least(length(text), length(prev)) AS BIGINT)) END"))
+      lcp.groupBy("source").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("text"))).cast("long").as("plain_chars"),
+          sum(col("lcp")).cast("long").as("saved_chars"))
+        .withColumn("saved_ppm",
+          expr("CAST(saved_chars * 1000000 DIV plain_chars AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // HILBERT vs Z-ORDER clustering audit — which space-filling curve
+    // fragments a band predicate less (the liquid-clustering vs Z-order
+    // question, measured): parts land on a 16×16 (size × price) grid,
+    // each curve assigns every cell a storage position from a
+    // PRECOMPUTED 256-entry lookup (the curve is an operator constant —
+    // no bit-twiddling at query time), and for every single-row/column
+    // band the fragment count = maximal runs of band cells in the
+    // global occupied-cell curve order (exactly the row-group runs a
+    // reader must open). Predecessor = max-d-below on the 256-cell
+    // grid — a grid self-join, never a global window. E31/q141 audits
+    // ONE ordering's zone-map quality; this ranks two orderings.
+    "q294_curve_fragmentation" -> { (s, d) =>
+      val hl = HilbertTable.mkString("array(", "L, ", "L)")
+      val ml = MortonTable.mkString("array(", "L, ", "L)")
+      val maxc = Tables.part(s, d)
+        .agg(max(expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .as("maxc"))
+      val cells = Tables.part(s, d)
+        .crossJoin(broadcast(maxc))
+        .select(
+          expr("CAST((p_size - 1) * 16 DIV 50 AS INT)").as("bx"),
+          expr("CAST(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " * 16 DIV (maxc + 1) AS INT)").as("by"))
+        .groupBy("bx", "by").agg(count(lit(1)).as("n_parts"))
+        .withColumn("zd", expr(s"element_at($ml, bx * 16 + by + 1)"))
+        .withColumn("hd", expr(s"element_at($hl, bx * 16 + by + 1)"))
+      val curves = cells.sparkSession.range(0, 2)
+        .select(when(col("id") === 0, "z").otherwise("hilbert").as("curve"))
+      val pos = cells.crossJoin(broadcast(curves))
+        .select(col("curve"), col("bx"), col("by"), col("n_parts"),
+          when(col("curve") === "z", col("zd")).otherwise(col("hd")).as("dpos"))
+      // global occupied-cell predecessor in curve order (grid self-join)
+      val prev = pos.as("p").join(
+          pos.select(col("curve").as("c2"), col("dpos").as("d2"),
+            col("bx").as("px"), col("by").as("py")),
+          col("c2") === col("curve") && col("d2") < col("dpos"), "left")
+        .groupBy("curve", "bx", "by", "n_parts", "dpos")
+        .agg(max(struct(col("d2"), col("px"), col("py"))).as("pc"))
+        .select(col("curve"), col("bx"), col("by"), col("n_parts"),
+          col("pc.px").as("px"), col("pc.py").as("py"))
+      val axes = prev.sparkSession.range(0, 2)
+        .select(when(col("id") === 0, "x").otherwise("y").as("axis"))
+      prev.crossJoin(broadcast(axes))
+        .select(col("curve"), col("axis"),
+          when(col("axis") === "x", col("bx")).otherwise(col("by"))
+            .cast("long").as("band"),
+          col("n_parts"),
+          // run start: no predecessor, or predecessor outside the band
+          when(col("px").isNull, 1L)
+            .when(col("axis") === "x" && col("px") =!= col("bx"), 1L)
+            .when(col("axis") === "y" && col("py") =!= col("by"), 1L)
+            .otherwise(0L).as("rs"))
+        .groupBy("curve", "axis", "band")
+        .agg(sum(col("n_parts")).cast("long").as("n_parts"),
+          count(lit(1)).cast("long").as("n_cells"),
+          sum(col("rs")).cast("long").as("n_fragments"))
+        .orderBy("curve", "axis", "band")
     }
   )
 
@@ -1600,6 +1755,85 @@ object Analytics {
         |   (CAST(p_hi AS DOUBLE) * CAST(n_lo AS DOUBLE) +
         |    CAST(p_lo AS DOUBLE) * CAST(n_hi AS DOUBLE))) AS elasticity
         |FROM g WHERE n_lo > 0 AND n_hi > 0
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand""".stripMargin,
+
+    "q292_cv_accuracy_spread" -> (TextAnalysis.LangIdPredSql +
+      """,
+        |pred AS (SELECT doc_id, pred_lang FROM r WHERE rn = 1),
+        |f AS (
+        |  SELECT ('0x' || substr(md5('fold:' || CAST(p.doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 5 AS fold,
+        |    CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+        |  FROM pred p JOIN documents d USING (doc_id)),
+        |folds AS (
+        |  SELECT fold, COUNT(*) AS n_docs, SUM(ok) AS n_correct,
+        |    CAST(SUM(ok) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+        |  FROM f GROUP BY 1),
+        |sp AS (SELECT COUNT(*) AS k, SUM(acc_ppm) AS sa,
+        |    SUM(acc_ppm * acc_ppm) AS sa2 FROM folds)
+        |SELECT CAST(fold AS BIGINT) AS fold, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_correct AS BIGINT) AS n_correct, acc_ppm,
+        |  CAST(k * sa2 - sa * sa AS BIGINT) AS var_num,
+        |  CAST((k * sa2 - sa * sa) // (k * k) AS BIGINT) AS var_ppm2
+        |FROM folds, sp ORDER BY fold""".stripMargin),
+
+    "q293_front_coding" ->
+      """WITH l AS (
+        |  SELECT source, text,
+        |    LAG(text) OVER (PARTITION BY source ORDER BY text) AS prev
+        |  FROM documents),
+        |x AS (
+        |  SELECT source, length(text) AS lt,
+        |    CASE WHEN prev IS NULL THEN 0
+        |      WHEN least(length(text), length(prev)) = 0 THEN 0
+        |      ELSE COALESCE(NULLIF(list_position(list_transform(
+        |        generate_series(1, least(length(text), length(prev))),
+        |        i -> substr(text, i, 1) = substr(prev, i, 1)), false), 0) - 1,
+        |        least(length(text), length(prev))) END AS lcp
+        |  FROM l)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(lt) AS BIGINT) AS plain_chars,
+        |  CAST(SUM(lcp) AS BIGINT) AS saved_chars,
+        |  CAST(SUM(lcp) * 1000000 // SUM(lt) AS BIGINT) AS saved_ppm
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
+    "q294_curve_fragmentation" -> {
+      val hl = HilbertTable.mkString("[", ", ", "]")
+      val ml = MortonTable.mkString("[", ", ", "]")
+      s"""WITH mx AS (
+         |  SELECT MAX(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+         |    AS maxc FROM part),
+         |cells0 AS (
+         |  SELECT CAST((p_size - 1) * 16 // 50 AS INT) AS bx,
+         |    CAST(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 16
+         |      // (maxc + 1) AS INT) AS by
+         |  FROM part, mx),
+         |cells AS (
+         |  SELECT bx, by, COUNT(*) AS n_parts,
+         |    ($ml)[bx * 16 + by + 1] AS zd,
+         |    ($hl)[bx * 16 + by + 1] AS hd
+         |  FROM cells0 GROUP BY 1, 2),
+         |pos AS (
+         |  SELECT c.curve, bx, by, n_parts,
+         |    CASE WHEN c.curve = 'z' THEN zd ELSE hd END AS dpos
+         |  FROM cells CROSS JOIN (SELECT UNNEST(['z', 'hilbert']) AS curve) c),
+         |prev AS (
+         |  SELECT curve, bx, by, n_parts,
+         |    LAG(bx) OVER (PARTITION BY curve ORDER BY dpos) AS px,
+         |    LAG(by) OVER (PARTITION BY curve ORDER BY dpos) AS py
+         |  FROM pos),
+         |b AS (
+         |  SELECT curve, a.axis,
+         |    CASE WHEN a.axis = 'x' THEN bx ELSE by END AS band, n_parts,
+         |    CASE WHEN px IS NULL THEN 1
+         |      WHEN a.axis = 'x' AND px <> bx THEN 1
+         |      WHEN a.axis = 'y' AND py <> by THEN 1 ELSE 0 END AS rs
+         |  FROM prev CROSS JOIN (SELECT UNNEST(['x', 'y']) AS axis) a)
+         |SELECT curve, axis, CAST(band AS BIGINT) AS band,
+         |  CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(rs) AS BIGINT) AS n_fragments
+         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    }
   )
 }

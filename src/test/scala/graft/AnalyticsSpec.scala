@@ -533,4 +533,74 @@ class AnalyticsSpec extends AnyFunSuite {
       ((ph * nl - pl * nh) / (ph * nl + pl * nh))
     assert(math.abs(h.getAs[Double]("elasticity") - expect) < 1e-9)
   }
+
+  test("q292 fold accuracies recombine into the exact variance numerator") {
+    val rows = Analytics.queries("q292_cv_accuracy_spread")(spark, sf)
+      .orderBy("fold").collect()
+    assert(rows.map(_.getAs[Long]("fold")).toSeq == (0L to 4L))
+    val accs = rows.map(_.getAs[Long]("acc_ppm"))
+    val k = accs.length.toLong
+    val vn = k * accs.map(a => a * a).sum - accs.sum * accs.sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("var_num") == vn)
+      assert(vn >= 0)
+      assert(r.getAs[Long]("var_ppm2") == vn / (k * k))
+      assert(r.getAs[Long]("acc_ppm") ==
+        r.getAs[Long]("n_correct") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q293 saved prefix mass replays from a sorted-order Scala walk") {
+    val rows = Analytics.queries("q293_front_coding")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val texts = docs.filter(_._1 == src).map(_._2).sorted
+      def lcp(a: String, b: String): Long = {
+        val n = math.min(a.length, b.length)
+        var i = 0; while (i < n && a(i) == b(i)) i += 1; i.toLong
+      }
+      val saved = texts.zip(texts.drop(1)).map { case (a, b) => lcp(a, b) }.sum
+      assert(r.getAs[Long]("n_docs") == texts.length.toLong)
+      assert(r.getAs[Long]("plain_chars") == texts.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("saved_chars") == saved)
+    }
+  }
+
+  test("q294 both curves are bijections and the fragment counts replay") {
+    import graft.ops.Analytics.{HilbertTable, MortonTable}
+    assert(HilbertTable.sorted == (0 until 256), "Hilbert visits every cell once")
+    assert(MortonTable.sorted == (0 until 256), "Z-order visits every cell once")
+    val rows = Analytics.queries("q294_curve_fragmentation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the occupied-cell set and replay fragments per curve/axis/band
+    val maxc = graft.model.Tables.part(spark, sf)
+      .agg(max(expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)")))
+      .collect().head.getLong(0)
+    val cells = graft.model.Tables.part(spark, sf)
+      .select(col("p_size"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .collect()
+      .map(r => (((r.getInt(0) - 1) * 16 / 50), (r.getLong(1) * 16 / (maxc + 1)).toInt))
+    val occ = cells.distinct
+    val mass = cells.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (curve <- Seq("z", "hilbert"); axis <- Seq("x", "y")) {
+      val table = if (curve == "z") MortonTable else HilbertTable
+      val ordered = occ.sortBy { case (x, y) => table(x * 16 + y) }
+      val bands = rows.filter(r => r.getAs[String]("curve") == curve &&
+        r.getAs[String]("axis") == axis)
+      bands.foreach { b =>
+        val band = b.getAs[Long]("band").toInt
+        def inBand(c: (Int, Int)) = if (axis == "x") c._1 == band else c._2 == band
+        val frags = ordered.zipWithIndex.count { case (c, i) =>
+          inBand(c) && (i == 0 || !inBand(ordered(i - 1)))
+        }
+        assert(b.getAs[Long]("n_fragments") == frags.toLong,
+          s"$curve/$axis/$band fragments")
+        assert(b.getAs[Long]("n_parts") == occ.filter(inBand).map(mass).sum)
+      }
+    }
+  }
 }
