@@ -1136,6 +1136,116 @@ object Analytics {
           count(lit(1)).cast("long").as("n_cells"),
           sum(col("rs")).cast("long").as("n_fragments"))
         .orderBy("curve", "axis", "band")
+    },
+
+    // GREEDY shingle SET-COVER, 3 statically unrolled rounds — which
+    // sources to ingest FIRST to cover the most distinct word-trigram
+    // shingles (the
+    // submodular data-selection primitive: greedy is the classic
+    // (1−1/e)-approximation, and its round-by-round gain curve IS the
+    // licensing/ingestion priority list). Each round picks the source
+    // with the largest count of still-uncovered types (count desc,
+    // source-name tiebreak — the mirrored two-step rule), removes its
+    // types, repeats — unrolled like F11/q191's IPF passes, no driver
+    // loop, one declarative plan. Gains are DISJOINT by construction so
+    // the cumulative telescopes exactly (spec-asserted).
+    "q295_greedy_set_cover" -> { (s, d) =>
+      val st = Tables.documents(s, d)
+        .select(col("source"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"),
+          explode(TextAnalysis.shingleExpr("t", 3)).as("tok"))
+        .distinct()
+      val tot = st.agg(countDistinct(col("tok")).as("v_total"))
+      def pick(rem: DataFrame) = rem.groupBy("source")
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source")).limit(1)
+      val p1 = pick(st)
+      val cov1 = st.join(broadcast(p1.select(col("source"))), "source")
+        .select("tok").distinct()
+      val rem2 = st.join(cov1, Seq("tok"), "left_anti")
+      val p2 = pick(rem2)
+      val cov2 = rem2.join(broadcast(p2.select(col("source"))), "source")
+        .select("tok").distinct()
+      val rem3 = rem2.join(cov2, Seq("tok"), "left_anti")
+      val p3 = pick(rem3)
+      val rounds = p1.select(lit(1L).as("round"), col("source"), col("gain"))
+        .unionByName(p2.select(lit(2L).as("round"), col("source"), col("gain")))
+        .unionByName(p3.select(lit(3L).as("round"), col("source"), col("gain")))
+      // cumulative over the 3-row round grid via predecessor self-join
+      val b = rounds.select(col("round").as("r2"), col("gain").as("g2"))
+      rounds.join(broadcast(b), col("r2") <= col("round"))
+        .groupBy("round", "source", "gain")
+        .agg(sum(col("g2")).as("cum_covered"))
+        .crossJoin(broadcast(tot))
+        .select(col("round"), col("source"), col("gain").cast("long").as("gain"),
+          col("cum_covered").cast("long").as("cum_covered"),
+          expr("CAST(cum_covered * 1000000 DIV v_total AS BIGINT)").as("cum_ppm"))
+        .orderBy("round")
+    },
+
+    // Historical VALUE-AT-RISK + EXPECTED SHORTFALL of daily order
+    // revenue (the tail-risk pair: VaR = the p5 worst day, ES = the MEAN
+    // of the worst 5% — ES is the coherent one, a single deep crash
+    // moves ES but not VaR; E38-family quantiles read the middle of a
+    // distribution, this reads its tail). k = ⌈0.05·n⌉ worst days; rank
+    // by (revenue, day) total order via a predecessor-count self-join on
+    // the bounded DAY grid — daily revenues are near-unique so the VALUE
+    // grid trick does not apply, the day grid is the bounded structure
+    // (the q216 rank rule). All cents exact.
+    "q296_var_shortfall" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .as("rev"))
+      val b = daily.select(col("day").as("d2"), col("rev").as("r2"))
+      val ranked = daily.join(b,
+          col("r2") < col("rev") || (col("r2") === col("rev") && col("d2") < col("day")),
+          "left")
+        .groupBy("day", "rev").agg((count(col("d2")) + 1).as("rk"))
+      val n = daily.agg(count(lit(1)).as("n_days"), sum(col("rev")).as("tot"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("k_tail", expr("(n_days + 19) DIV 20"))
+        .filter(col("rk") <= col("k_tail"))
+        .groupBy("n_days", "k_tail", "tot")
+        .agg(max(col("rev")).as("var_cents"), sum(col("rev")).as("tail_sum"))
+        .select(col("n_days").cast("long").as("n_days"),
+          col("k_tail").cast("long").as("k_tail"),
+          col("var_cents").cast("long").as("var_cents"),
+          expr("CAST(tail_sum DIV k_tail AS BIGINT)").as("es_cents"),
+          expr("CAST(tot DIV n_days AS BIGINT)").as("mean_cents"))
+    },
+
+    // CLUSTER JACKKNIFE of mean document length over sources — the
+    // leave-one-SOURCE-out standard-error read (docs within a source are
+    // correlated, so the i.i.d. SE of E13/q142's bootstrap-over-docs
+    // understates; deleting whole clusters is the design-correct
+    // resample). Every leave-one-out mean is an exact floor-ppm integer
+    // (S−sᵢ)·10⁶ DIV (N−nᵢ); the spread is the exact g·Σθ² − (Σθ)²
+    // numerator over the |sources| grid — NO floating point anywhere,
+    // where a naive Σ(θᵢ−θ̄)² of doubles would be partial-aggregation-
+    // order-dependent and engine-unstable.
+    "q297_cluster_jackknife" -> { (s, d) =>
+      val g = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+      val tot = g.agg(count(lit(1)).as("gs"), sum(col("n")).as("nt"),
+        sum(col("sc")).as("st"))
+      val loo = g.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          expr("CAST(CAST(st - sc AS DECIMAL(38,0)) * 1000000" +
+            " DIV (nt - n) AS BIGINT)").as("loo_mean_ppm"),
+          col("gs"), expr("CAST(CAST(st AS DECIMAL(38,0)) * 1000000" +
+            " DIV nt AS BIGINT)").as("mean_ppm"))
+      val spread = loo.agg(count(lit(1)).as("g2"),
+          sum(col("loo_mean_ppm")).as("sl"),
+          sum(expr("loo_mean_ppm * CAST(loo_mean_ppm AS DECIMAL(38,0))")).as("sl2"))
+        .select(expr("CAST(g2 * sl2 - CAST(sl AS DECIMAL(38,0)) * sl AS BIGINT)")
+          .as("jk_var_num"))
+      loo.crossJoin(broadcast(spread))
+        .select(col("source"), col("n_docs"), col("loo_mean_ppm"),
+          col("mean_ppm"), col("gs").cast("long").as("g_sources"),
+          col("jk_var_num"))
+        .orderBy("source")
     }
   )
 
@@ -1834,6 +1944,78 @@ object Analytics {
          |  CAST(COUNT(*) AS BIGINT) AS n_cells,
          |  CAST(SUM(rs) AS BIGINT) AS n_fragments
          |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
-    }
+    },
+
+    "q295_greedy_set_cover" ->
+      """WITH tk AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |st AS (
+        |  SELECT DISTINCT source,
+        |    t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2] AS tok
+        |  FROM tk, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        |  WHERE len(t) >= 3),
+        |tot AS (SELECT COUNT(DISTINCT tok) AS v_total FROM st),
+        |p1 AS (SELECT source, COUNT(*) AS gain FROM st GROUP BY 1
+        |       ORDER BY gain DESC, source LIMIT 1),
+        |cov1 AS (SELECT DISTINCT st.tok FROM st JOIN p1 USING (source)),
+        |rem2 AS (SELECT st.source, st.tok FROM st
+        |         LEFT JOIN cov1 ON cov1.tok = st.tok WHERE cov1.tok IS NULL),
+        |p2 AS (SELECT source, COUNT(*) AS gain FROM rem2 GROUP BY 1
+        |       ORDER BY gain DESC, source LIMIT 1),
+        |cov2 AS (SELECT DISTINCT rem2.tok FROM rem2 JOIN p2 USING (source)),
+        |rem3 AS (SELECT rem2.source, rem2.tok FROM rem2
+        |         LEFT JOIN cov2 ON cov2.tok = rem2.tok WHERE cov2.tok IS NULL),
+        |p3 AS (SELECT source, COUNT(*) AS gain FROM rem3 GROUP BY 1
+        |       ORDER BY gain DESC, source LIMIT 1),
+        |rounds AS (
+        |  SELECT 1 AS round, source, gain FROM p1
+        |  UNION ALL SELECT 2, source, gain FROM p2
+        |  UNION ALL SELECT 3, source, gain FROM p3)
+        |SELECT CAST(a.round AS BIGINT) AS round, a.source,
+        |  CAST(a.gain AS BIGINT) AS gain,
+        |  CAST(SUM(b.gain) AS BIGINT) AS cum_covered,
+        |  CAST(SUM(b.gain) * 1000000 // tot.v_total AS BIGINT) AS cum_ppm
+        |FROM rounds a JOIN rounds b ON b.round <= a.round CROSS JOIN tot
+        |GROUP BY a.round, a.source, a.gain, tot.v_total
+        |ORDER BY a.round""".stripMargin,
+
+    "q296_var_shortfall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT a.day, a.rev, 1 + COUNT(b.day) AS rk
+        |  FROM daily a LEFT JOIN daily b
+        |    ON b.rev < a.rev OR (b.rev = a.rev AND b.day < a.day)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n_days, SUM(rev) AS tot FROM daily)
+        |SELECT CAST(n.n_days AS BIGINT) AS n_days,
+        |  CAST((n.n_days + 19) // 20 AS BIGINT) AS k_tail,
+        |  CAST(MAX(r.rev) AS BIGINT) AS var_cents,
+        |  CAST(SUM(r.rev) // ((n.n_days + 19) // 20) AS BIGINT) AS es_cents,
+        |  CAST(n.tot // n.n_days AS BIGINT) AS mean_cents
+        |FROM ranked r CROSS JOIN n
+        |WHERE r.rk <= (n.n_days + 19) // 20
+        |GROUP BY n.n_days, n.tot""".stripMargin,
+
+    "q297_cluster_jackknife" ->
+      """WITH g AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS sc
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS gs, SUM(n) AS nt, SUM(sc) AS st FROM g),
+        |loo AS (
+        |  SELECT g.source, CAST(g.n AS BIGINT) AS n_docs,
+        |    CAST(CAST(tot.st - g.sc AS HUGEINT) * 1000000
+        |      // (tot.nt - g.n) AS BIGINT) AS loo_mean_ppm,
+        |    tot.gs,
+        |    CAST(CAST(tot.st AS HUGEINT) * 1000000 // tot.nt AS BIGINT) AS mean_ppm
+        |  FROM g CROSS JOIN tot),
+        |sp AS (SELECT CAST(COUNT(*) * SUM(loo_mean_ppm * CAST(loo_mean_ppm AS HUGEINT))
+        |    - CAST(SUM(loo_mean_ppm) AS HUGEINT) * SUM(loo_mean_ppm) AS BIGINT)
+        |    AS jk_var_num
+        |  FROM loo)
+        |SELECT loo.source, loo.n_docs, loo.loo_mean_ppm, loo.mean_ppm,
+        |  CAST(loo.gs AS BIGINT) AS g_sources, sp.jk_var_num
+        |FROM loo CROSS JOIN sp ORDER BY loo.source""".stripMargin
   )
 }

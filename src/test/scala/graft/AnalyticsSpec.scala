@@ -603,4 +603,68 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q295 greedy gains are nonincreasing, telescope exactly, and round 1 replays") {
+    val rows = Analytics.queries("q295_greedy_set_cover")(spark, sf)
+      .orderBy("round").collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    // a round is missing only when the previous round SATURATED coverage
+    if (rows.length < 3)
+      assert(rows.last.getAs[Long]("cum_ppm") == 1000000L,
+        "early exhaustion means full coverage")
+    val gains = rows.map(_.getAs[Long]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      "submodular marginal gains never increase")
+    assert(rows.map(_.getAs[String]("source")).distinct.length == rows.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("cum_covered") == gains.take(i + 1).sum) }
+    // round-1 replay: the source with the largest distinct shingle set
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1)
+      .map { case (s2, v) => s2 -> v.flatMap(_._2.split(" ", -1).toSeq
+        .sliding(3).filter(_.length == 3).map(_.mkString(" "))).toSet }
+    val best = vocab.toSeq.map { case (s2, v) => (s2, v.size) }
+      .sortBy { case (s2, n) => (-n, s2) }.head
+    assert(rows.head.getAs[String]("source") == best._1)
+    assert(rows.head.getAs[Long]("gain") == best._2.toLong)
+  }
+
+  test("q296 tail statistics replay from the sorted daily series") {
+    val r = Analytics.queries("q296_var_shortfall")(spark, sf).collect().head
+    val daily = graft.model.Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate"))).agg(
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")))
+      .collect().map(_.getLong(1)).sorted
+    val n = daily.length
+    val k = (n + 19) / 20
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("k_tail") == k.toLong)
+    assert(r.getAs[Long]("var_cents") == daily(k - 1))
+    assert(r.getAs[Long]("es_cents") == daily.take(k).sum / k)
+    assert(r.getAs[Long]("es_cents") <= r.getAs[Long]("var_cents"),
+      "the tail mean sits at or below the tail boundary")
+    assert(r.getAs[Long]("mean_cents") == daily.sum / n)
+  }
+
+  test("q297 leave-one-out means and the exact variance numerator replay") {
+    val rows = Analytics.queries("q297_cluster_jackknife")(spark, sf).collect()
+    val g = graft.model.Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)), sum(col("n_chars")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (nt, st) = (g.map(_._2).sum, g.map(_._3).sum)
+    val loos = rows.map { r =>
+      val Some((_, n, sc)) = g.find(_._1 == r.getAs[String]("source"))
+      val expect = (BigInt(st - sc) * 1000000 / BigInt(nt - n)).toLong
+      assert(r.getAs[Long]("loo_mean_ppm") == expect)
+      expect
+    }
+    val k = loos.length.toLong
+    val vn = (BigInt(k) * loos.map(a => BigInt(a) * a).sum -
+      BigInt(loos.sum) * loos.sum).toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("jk_var_num") == vn)
+      assert(r.getAs[Long]("g_sources") == k)
+    }
+  }
 }
