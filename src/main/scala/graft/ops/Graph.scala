@@ -135,6 +135,96 @@ object Graph {
         .orderBy(col("n_nodes").desc, col("sig"))
     },
 
+    // MODULARITY of the brand partition on the co-purchase graph — the
+    // community-QUALITY score (q286 flows labels, q287 counts classes;
+    // Q answers "is brand a good community structure at all": Q > 0 ⟹
+    // within-brand edges beat the degree-preserving random baseline).
+    // Q = Σ_c [e_c/m − (d_c/2m)²] assembled over the common denominator
+    // 4m²: q_num = Σ_c (4m·e_c − d_c²) exact integer, the final ratio
+    // ONE mirrored IEEE division (Q is signed — the q207 rule).
+    "q298_brand_modularity" -> { (s, d) =>
+      val e = copurchaseEdges(s, d)
+      val brands = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      val eb = e
+        .join(brands.select(col("p_partkey").as("a"), col("p_brand").as("ba")), "a")
+        .join(brands.select(col("p_partkey").as("b"), col("p_brand").as("bb")), "b")
+      val m = eb.agg(count(lit(1)).as("m"))
+      val within = eb.filter(col("ba") === col("bb"))
+        .groupBy(col("ba").as("c")).agg(count(lit(1)).as("ec"))
+      val degC = adjacency(s, d)
+        .join(brands.select(col("p_partkey").as("v"), col("p_brand").as("c")), "v")
+        .groupBy("c").agg(count(lit(1)).as("dc"))
+      val terms = degC.join(within, Seq("c"), "left")
+        .withColumn("ec", coalesce(col("ec"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .select(col("c"), col("ec"), col("dc"),
+          // 4m·e_c crosses int64 near 10⁹ edges — widened per the
+          // magnitude rule
+          expr("4 * CAST(m AS DECIMAL(38,0)) * ec - CAST(dc AS DECIMAL(38,0)) * dc")
+            .as("tnum"))
+      terms.agg(count(lit(1)).as("n_communities"),
+          sum(col("ec")).as("within_edges"), sum(col("tnum")).as("q_num"))
+        .crossJoin(broadcast(m))
+        .select(col("m").cast("long").as("n_edges"),
+          col("n_communities").cast("long").as("n_communities"),
+          col("within_edges").cast("long").as("within_edges"),
+          col("q_num").cast("long").as("q_num"),
+          expr("CAST(q_num AS DOUBLE) / (4 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))")
+            .as("modularity"))
+    },
+
+    // RICH-CLUB coefficient sweep, k ∈ {2,4,8,16} — do the best-
+    // connected parts trade among THEMSELVES (φ(k) = realized edge
+    // density among nodes of degree > k): a rising φ(k) curve is the
+    // elite-core signature assortativity (q288) summarizes to one
+    // number. Density in exact floor-ppm, 2e_k·10⁶ DIV n_k(n_k−1);
+    // clubs smaller than 2 emit the defined-zero row (the q158 rule).
+    "q299_rich_club" -> { (s, d) =>
+      val e = copurchaseEdges(s, d)
+      val deg = adjacency(s, d).groupBy("v").agg(count(lit(1)).as("dg"))
+      val ks = e.sparkSession.range(1, 5)
+        .select(expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("k"))
+      val club = deg.crossJoin(broadcast(ks)).filter(col("dg") > col("k"))
+        .select(col("k"), col("v"))
+      val nk = club.groupBy("k").agg(count(lit(1)).as("n_k"))
+      val ek = e.join(club.select(col("k"), col("v").as("a")), Seq("a"))
+        .join(club.select(col("k").as("k2"), col("v").as("b")), Seq("b"))
+        .filter(col("k") === col("k2"))
+        .groupBy("k").agg(count(lit(1)).as("e_k"))
+      ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .select(col("k"), coalesce(col("n_k"), lit(0L)).cast("long").as("n_k"),
+          coalesce(col("e_k"), lit(0L)).cast("long").as("e_k"))
+        .withColumn("phi_ppm", expr("CASE WHEN n_k >= 2 THEN" +
+          " CAST(2 * e_k * 1000000 DIV (n_k * (n_k - 1)) AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END"))
+        .orderBy("k")
+    },
+
+    // Edge TRIANGLE-SUPPORT histogram (the k-truss statistic: an edge's
+    // support = triangles through it; the (s+2)-truss keeps edges with
+    // support ≥ s, the densest-core peeling between q152's k-core —
+    // node-degree based — and raw triangles, q263). Support per edge
+    // from the SAME a<b<c closure joins as q263, counted per
+    // participating edge; histogram over the bounded support grid with
+    // the zero row explicit.
+    "q300_truss_support" -> { (s, d) =>
+      val e = copurchaseEdges(s, d)
+      val tri = e.join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(e.select(col("a"), col("b").as("c"), lit(1).as("m3")), Seq("a", "c"))
+        .select(col("a"), col("b"), col("c"))
+      // each triangle supports its three edges
+      val sup = tri.select(col("a"), col("b"))
+        .unionByName(tri.select(col("a"), col("c").as("b")))
+        .unionByName(tri.select(col("b").as("a"), col("c").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      val all = e.join(sup, Seq("a", "b"), "left")
+        .withColumn("support", coalesce(col("support"), lit(0L)))
+      all.groupBy("support").agg(count(lit(1)).as("n_edges"))
+        .select(col("support").cast("long").as("support"),
+          col("n_edges").cast("long").as("n_edges"))
+        .orderBy("support")
+    },
+
     // DEGREE ASSORTATIVITY of the co-purchase graph — do hubs link to
     // hubs (r > 0, social-network shape) or to leaves (r < 0,
     // hub-and-spoke catalog shape)? Pearson r of (deg(u), deg(v)) over
@@ -234,6 +324,69 @@ object Graph {
   )
 
   def oracle: Map[String, String] = Map(
+    "q298_brand_modularity" -> (EdgesSql +
+      """,
+        |eb AS (
+        |  SELECT e.a, e.b, pa.p_brand AS ba, pb.p_brand AS bb
+        |  FROM edges e JOIN part pa ON pa.p_partkey = e.a
+        |  JOIN part pb ON pb.p_partkey = e.b),
+        |m AS (SELECT COUNT(*) AS m FROM eb),
+        |win AS (SELECT ba AS c, COUNT(*) AS ec FROM eb
+        |        WHERE ba = bb GROUP BY 1),
+        |degc AS (
+        |  SELECT p.p_brand AS c, COUNT(*) AS dc
+        |  FROM adj JOIN part p ON p.p_partkey = adj.v GROUP BY 1),
+        |terms AS (
+        |  SELECT degc.c, COALESCE(win.ec, 0) AS ec, degc.dc,
+        |    4 * CAST(m.m AS HUGEINT) * COALESCE(win.ec, 0)
+        |      - CAST(degc.dc AS HUGEINT) * degc.dc AS tnum
+        |  FROM degc LEFT JOIN win ON win.c = degc.c CROSS JOIN m)
+        |SELECT CAST(m.m AS BIGINT) AS n_edges,
+        |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |  CAST(SUM(ec) AS BIGINT) AS within_edges,
+        |  CAST(SUM(tnum) AS BIGINT) AS q_num,
+        |  CAST(SUM(tnum) AS DOUBLE) /
+        |    (4 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)) AS modularity
+        |FROM terms CROSS JOIN m GROUP BY m.m""".stripMargin),
+
+    "q299_rich_club" -> (EdgesSql +
+      """,
+        |deg AS (SELECT v, COUNT(*) AS dg FROM adj GROUP BY 1),
+        |ks AS (SELECT CAST(1 << CAST(i.i AS INT) AS BIGINT) AS k
+        |       FROM UNNEST(generate_series(1, 4)) i(i)),
+        |club AS (SELECT ks.k, deg.v FROM deg CROSS JOIN ks WHERE deg.dg > ks.k),
+        |nk AS (SELECT k, COUNT(*) AS n_k FROM club GROUP BY 1),
+        |ek AS (
+        |  SELECT ca.k, COUNT(*) AS e_k
+        |  FROM edges e JOIN club ca ON ca.v = e.a
+        |  JOIN club cb ON cb.v = e.b AND cb.k = ca.k
+        |  GROUP BY 1)
+        |SELECT ks.k, CAST(COALESCE(nk.n_k, 0) AS BIGINT) AS n_k,
+        |  CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k,
+        |  CASE WHEN COALESCE(nk.n_k, 0) >= 2 THEN
+        |    CAST(2 * COALESCE(ek.e_k, 0) * 1000000
+        |      // (nk.n_k * (nk.n_k - 1)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS phi_ppm
+        |FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+        |ORDER BY ks.k""".stripMargin),
+
+    "q300_truss_support" -> (EdgesSql +
+      """,
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |sup AS (
+        |  SELECT a, b, COUNT(*) AS support FROM (
+        |    SELECT a, b FROM tri
+        |    UNION ALL SELECT a, c AS b FROM tri
+        |    UNION ALL SELECT b AS a, c AS b FROM tri)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(COALESCE(sup.support, 0) AS BIGINT) AS support,
+        |  CAST(COUNT(*) AS BIGINT) AS n_edges
+        |FROM edges e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "q286_label_propagation" -> (EdgesSql +
       """,
         |nb AS (

@@ -87,4 +87,50 @@ class GraphStructureSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("r_assort") - expect) < 1e-9)
     assert(r.getAs[Double]("r_assort") >= -1.0 && r.getAs[Double]("r_assort") <= 1.0)
   }
+
+  test("q298 modularity replays from the brand partition and stays in [-1, 1]") {
+    val r = Graph.queries("q298_brand_modularity")(spark, sf).collect().head
+    val m = edges.size.toLong
+    assert(r.getAs[Long]("n_edges") == m)
+    val within = edges.count(e => brand(e._1) == brand(e._2)).toLong
+    assert(r.getAs[Long]("within_edges") == within)
+    val degByBrand = adj.toSeq.groupBy { case (v, _) => brand(v) }
+      .map { case (c, vs) => c -> vs.map(_._2.size.toLong).sum }
+    val winByBrand = edges.toSeq.filter(e => brand(e._1) == brand(e._2))
+      .groupBy(e => brand(e._1)).map { case (c, es) => c -> es.size.toLong }
+    val qnum = degByBrand.map { case (c, dc) =>
+      BigInt(4) * m * BigInt(winByBrand.getOrElse(c, 0L)) - BigInt(dc) * dc }.sum
+    assert(BigInt(r.getAs[Long]("q_num")) == qnum)
+    val mod = r.getAs[Double]("modularity")
+    assert(math.abs(mod - qnum.toDouble / (4.0 * m * m)) < 1e-12)
+    assert(mod >= -1.0 && mod <= 1.0)
+  }
+
+  test("q299 club sizes and densities replay at every k") {
+    val rows = Graph.queries("q299_rich_club")(spark, sf).orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(2L, 4L, 8L, 16L))
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val club = deg.filter(_._2 > k).keySet
+      val ek = edges.count(e => club(e._1) && club(e._2)).toLong
+      assert(r.getAs[Long]("n_k") == club.size.toLong)
+      assert(r.getAs[Long]("e_k") == ek)
+      if (club.size >= 2)
+        assert(r.getAs[Long]("phi_ppm") ==
+          2 * ek * 1000000L / (club.size.toLong * (club.size - 1)))
+    }
+  }
+
+  test("q300 the support histogram replays from common-neighbor counts") {
+    val rows = Graph.queries("q300_truss_support")(spark, sf).collect()
+    val nbr = adj.map { case (v, ns) => v -> ns.toSet }
+    val hist = edges.toSeq
+      .map { case (a, b) => (nbr(a) intersect nbr(b)).size.toLong }
+      .groupBy(identity).map { case (s2, v) => s2 -> v.size.toLong }
+    assert(rows.map(r => r.getAs[Long]("support") -> r.getAs[Long]("n_edges")).toMap
+      == hist)
+    assert(rows.map(_.getAs[Long]("n_edges")).sum == edges.size.toLong,
+      "every edge lands in exactly one support bucket")
+  }
 }
