@@ -1246,6 +1246,82 @@ object Analytics {
           col("mean_ppm"), col("gs").cast("long").as("g_sources"),
           col("jk_var_num"))
         .orderBy("source")
+    },
+
+    // STYLOMETRIC fingerprint per source + nearest-style neighbor — the
+    // authorship/provenance screen run when two "different" sources are
+    // suspected to be one crawler in two coats (q174/q238 compare LENGTH
+    // distributions; style is the orthogonal axis): five exact floor-ppm
+    // features (mean word length, mean sentence length, punctuation /
+    // digit / uppercase density), then the closest OTHER source by L1
+    // distance on the feature vector — mirrored two-step argmin over the
+    // \|sources\|² grid with name tiebreak. Character-class counts are
+    // regexp_replace length differences (the q265 rule — no regex-count
+    // dialect is load-bearing).
+    "q301_stylometry" -> { (s, d) =>
+      def classCount(cls: String) =
+        length(col("text")) - length(regexp_replace(col("text"), lit(cls), lit("")))
+      val f = Tables.documents(s, d).select(col("source"),
+          length(col("text")).as("nc"),
+          size(tokens(col("text"))).cast("long").as("nw"),
+          (classCount("[.]") + lit(1L)).as("ns"),
+          classCount("[.,;:!?]").as("np"),
+          classCount("[0-9]").as("ndg"),
+          classCount("[A-Z]").as("nup"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"), sum(col("nc")).as("snc"),
+          sum(col("nw")).as("snw"), sum(col("ns")).as("sns"),
+          sum(col("np")).as("snp"), sum(col("ndg")).as("sndg"),
+          sum(col("nup")).as("snup"))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          expr("CAST(snc * 1000000 DIV snw AS BIGINT)").as("wlen_ppm"),
+          expr("CAST(snw * 1000000 DIV sns AS BIGINT)").as("slen_ppm"),
+          expr("CAST(snp * 1000000 DIV snc AS BIGINT)").as("punct_ppm"),
+          expr("CAST(sndg * 1000000 DIV snc AS BIGINT)").as("digit_ppm"),
+          expr("CAST(snup * 1000000 DIV snc AS BIGINT)").as("upper_ppm"))
+      val b = f.select(col("source").as("s2"), col("wlen_ppm").as("w2"),
+        col("slen_ppm").as("l2"), col("punct_ppm").as("p2"),
+        col("digit_ppm").as("d2"), col("upper_ppm").as("u2"))
+      val pairs = f.join(broadcast(b), col("s2") =!= col("source"))
+        .withColumn("l1", expr("ABS(wlen_ppm - w2) + ABS(slen_ppm - l2)" +
+          " + ABS(punct_ppm - p2) + ABS(digit_ppm - d2) + ABS(upper_ppm - u2)"))
+      val mn = pairs.groupBy(col("source").as("sm")).agg(min(col("l1")).as("ml"))
+      val nn = pairs.join(broadcast(mn),
+          col("sm") === col("source") && col("l1") === col("ml"))
+        .groupBy(col("source").as("sn"))
+        .agg(min(col("s2")).as("nn_source"), min(col("l1")).as("nn_l1"))
+      f.join(nn, col("sn") === col("source"))
+        .select(col("source"), col("n_docs"), col("wlen_ppm"), col("slen_ppm"),
+          col("punct_ppm"), col("digit_ppm"), col("upper_ppm"),
+          col("nn_source"), col("nn_l1").cast("long").as("nn_l1"))
+        .orderBy("source")
+    },
+
+    // WILSON score interval per source for the share of English docs —
+    // the proportion UNCERTAINTY band (E13/q142 bootstraps a mean;
+    // Wilson is the closed-form interval that stays inside [0,1] and
+    // behaves at small n where the naive ±z√(p̂q̂/n) band does not —
+    // which is exactly the small-source regime a mix decision reads).
+    // Inputs are the exact integers (k, n); the interval is ONE mirrored
+    // IEEE assembly with z² = 3.8416 (z = 1.96) as a shared literal —
+    // sqrt/division are the q207/q268-sanctioned IEEE steps; the
+    // lo ≤ p̂ ≤ hi sandwich and [0,1] bounds are spec-asserted.
+    "q302_wilson_bounds" -> { (s, d) =>
+      val g = Tables.documents(s, d).groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+      val z2 = "3.8416D"
+      def wilson(sign: String) =
+        s"(CAST(k AS DOUBLE) / n + $z2 / (2 * CAST(n AS DOUBLE)) $sign" +
+          s" SQRT($z2) * SQRT(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n" +
+          s" + $z2 / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) /" +
+          s" (1 + $z2 / CAST(n AS DOUBLE))"
+      g.select(col("source"), col("n").cast("long").as("n_docs"),
+          col("k").cast("long").as("n_en"),
+          expr("CAST(k * 1000000 DIV n AS BIGINT)").as("p_ppm"),
+          expr(wilson("-")).as("wilson_lo"),
+          expr(wilson("+")).as("wilson_hi"))
+        .orderBy("source")
     }
   )
 
@@ -2016,6 +2092,55 @@ object Analytics {
         |  FROM loo)
         |SELECT loo.source, loo.n_docs, loo.loo_mean_ppm, loo.mean_ppm,
         |  CAST(loo.gs AS BIGINT) AS g_sources, sp.jk_var_num
-        |FROM loo CROSS JOIN sp ORDER BY loo.source""".stripMargin
+        |FROM loo CROSS JOIN sp ORDER BY loo.source""".stripMargin,
+
+    "q301_stylometry" ->
+      """WITH p AS (
+        |  SELECT source, length(text) AS nc,
+        |    len(string_split(text, ' ')) AS nw,
+        |    length(text) - length(regexp_replace(text, '[.]', '', 'g')) + 1 AS ns,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS ndg,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nup
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nc) * 1000000 // SUM(nw) AS BIGINT) AS wlen_ppm,
+        |    CAST(SUM(nw) * 1000000 // SUM(ns) AS BIGINT) AS slen_ppm,
+        |    CAST(SUM(np) * 1000000 // SUM(nc) AS BIGINT) AS punct_ppm,
+        |    CAST(SUM(ndg) * 1000000 // SUM(nc) AS BIGINT) AS digit_ppm,
+        |    CAST(SUM(nup) * 1000000 // SUM(nc) AS BIGINT) AS upper_ppm
+        |  FROM p GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source, b.source AS s2,
+        |    ABS(a.wlen_ppm - b.wlen_ppm) + ABS(a.slen_ppm - b.slen_ppm)
+        |    + ABS(a.punct_ppm - b.punct_ppm) + ABS(a.digit_ppm - b.digit_ppm)
+        |    + ABS(a.upper_ppm - b.upper_ppm) AS l1
+        |  FROM f a JOIN f b ON a.source <> b.source),
+        |mn AS (SELECT source, MIN(l1) AS ml FROM pairs GROUP BY 1),
+        |nn AS (
+        |  SELECT p2.source, MIN(p2.s2) AS nn_source, MIN(p2.l1) AS nn_l1
+        |  FROM pairs p2 JOIN mn ON mn.source = p2.source AND p2.l1 = mn.ml
+        |  GROUP BY 1)
+        |SELECT f.source, f.n_docs, f.wlen_ppm, f.slen_ppm, f.punct_ppm,
+        |  f.digit_ppm, f.upper_ppm, nn.nn_source, CAST(nn.nn_l1 AS BIGINT) AS nn_l1
+        |FROM f JOIN nn USING (source) ORDER BY f.source""".stripMargin,
+
+    "q302_wilson_bounds" -> {
+      def wilson(sign: String) =
+        s"(CAST(k AS DOUBLE) / n + CAST(3.8416 AS DOUBLE) / (2 * CAST(n AS DOUBLE)) $sign" +
+          s" SQRT(CAST(3.8416 AS DOUBLE)) * SQRT(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n" +
+          s" + CAST(3.8416 AS DOUBLE) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) /" +
+          s" (1 + CAST(3.8416 AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""WITH g AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k
+         |  FROM documents GROUP BY 1)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS n_en,
+         |  CAST(k * 1000000 // n AS BIGINT) AS p_ppm,
+         |  ${wilson("-")} AS wilson_lo,
+         |  ${wilson("+")} AS wilson_hi
+         |FROM g ORDER BY source""".stripMargin
+    }
   )
 }

@@ -234,6 +234,37 @@ object Evaluation {
         .orderBy("bin")
     },
 
+    // BRIER-score sufficient statistics per calibration bin — the
+    // Murphy-decomposition INPUT table above q206's reliability diagram
+    // (q206 reads the gap; the decomposition separates reliability from
+    // resolution, and everything it needs reduces to five exact per-bin
+    // integers: n, Σp, Σy, Σp², Σpy — all SUM-MERGEABLE, so the
+    // decomposition shards at 100 TB). bin_sq = Σ(p − 10⁶y)² rides
+    // along, tied to the five by the exact algebraic identity
+    // bin_sq = Σp² − 2·10⁶·Σpy + 10¹²·Σy (y ∈ {0,1} ⟹ y² = y) —
+    // spec-asserted with NO tolerance; the floored per-bin reliability
+    // display term (Σp − 10⁶Σy)² DIV n is the one deliberate floor.
+    "q303_brier_stats" -> { (s, d) =>
+      detectorScores(s, d)
+        .withColumn("bin", least(lit(9L),
+          expr("CAST(score DIV 100000 AS BIGINT)")))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("score")).cast("long").as("sum_p"),
+          sum(col("pos")).cast("long").as("sum_y"),
+          sum(expr("score * CAST(score AS DECIMAL(38,0))")).as("sum_p2"),
+          sum(expr("score * pos")).cast("long").as("sum_py"),
+          sum(expr("(score - 1000000 * pos) * CAST(score - 1000000 * pos" +
+            " AS DECIMAL(38,0))")).as("bin_sq"))
+        .select(col("bin"), col("n_docs"), col("sum_p"), col("sum_y"),
+          expr("CAST(sum_p2 AS BIGINT)").as("sum_p2"), col("sum_py"),
+          expr("CAST(bin_sq AS BIGINT)").as("bin_sq"),
+          expr("CAST((sum_p - 1000000 * sum_y) *" +
+            " CAST(sum_p - 1000000 * sum_y AS DECIMAL(38,0))" +
+            " DIV n_docs AS BIGINT)").as("rel_q"))
+        .orderBy("bin")
+    },
+
     // Cohen's KAPPA of the q37 language predictor vs the gold labels —
     // CHANCE-corrected agreement, the number that separates "the
     // detector works" from "the detector echoes the base rate" (raw
@@ -495,6 +526,24 @@ object Evaluation {
         |  CAST(abs(mean_score_ppm - gold_ppm) AS BIGINT) AS gap_ppm,
         |  CAST(n_docs * abs(mean_score_ppm - gold_ppm) AS BIGINT) AS ece_contrib
         |FROM g ORDER BY bin""".stripMargin),
+
+    "q303_brier_stats" -> (DetectorScoreSql +
+      """,
+        |b AS (
+        |  SELECT LEAST(9, score // 100000) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(score) AS BIGINT) AS sum_p,
+        |    CAST(SUM(pos) AS BIGINT) AS sum_y,
+        |    CAST(SUM(score * CAST(score AS HUGEINT)) AS BIGINT) AS sum_p2,
+        |    CAST(SUM(score * pos) AS BIGINT) AS sum_py,
+        |    CAST(SUM((score - 1000000 * pos) *
+        |      CAST(score - 1000000 * pos AS HUGEINT)) AS BIGINT) AS bin_sq
+        |  FROM scored GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, n_docs, sum_p, sum_y, sum_p2, sum_py,
+        |  bin_sq,
+        |  CAST((sum_p - 1000000 * sum_y) *
+        |    CAST(sum_p - 1000000 * sum_y AS HUGEINT) // n_docs AS BIGINT) AS rel_q
+        |FROM b ORDER BY bin""".stripMargin),
 
     "q207_cohens_kappa" -> (TextAnalysis.LangIdPredSql +
       """,

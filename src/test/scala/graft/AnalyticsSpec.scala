@@ -667,4 +667,54 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("g_sources") == k)
     }
   }
+
+  test("q301 style features replay for one source and every neighbor is a proper other") {
+    val rows = Analytics.queries("q301_stylometry")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("nn_source") != r.getAs[String]("source"))
+      assert(r.getAs[Long]("nn_l1") >= 0)
+    }
+    val h = rows.head
+    val texts = graft.model.Tables.documents(spark, sf)
+      .filter(col("source") === h.getAs[String]("source"))
+      .select("text").collect().map(_.getString(0))
+    val nc = texts.map(_.length.toLong).sum
+    val nw = texts.map(_.split(" ", -1).length.toLong).sum
+    val ns = texts.map(t => t.count(_ == '.').toLong + 1).sum
+    val np = texts.map(_.count(".,;:!?".contains(_)).toLong).sum
+    assert(h.getAs[Long]("wlen_ppm") == nc * 1000000L / nw)
+    assert(h.getAs[Long]("slen_ppm") == nw * 1000000L / ns)
+    assert(h.getAs[Long]("punct_ppm") == np * 1000000L / nc)
+  }
+
+  test("q302 the Wilson band sandwiches the point estimate inside [0, 1]") {
+    val rows = Analytics.queries("q302_wilson_bounds")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_docs").toDouble, r.getAs[Long]("n_en").toDouble)
+      val (lo, hi) = (r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      val p = k / n
+      assert(lo >= 0.0 - 1e-12 && hi <= 1.0 + 1e-12, "Wilson never leaves the unit interval")
+      assert(lo <= p + 1e-12 && p <= hi + 1e-12, "the band sandwiches p-hat")
+      val z2 = 3.8416
+      val expectLo = (p + z2 / (2 * n) - math.sqrt(z2) *
+        math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (1 + z2 / n)
+      assert(math.abs(lo - expectLo) < 1e-12)
+    }
+  }
+
+  test("q303 the Brier identity holds with no tolerance in every bin") {
+    val rows = graft.ops.Evaluation.queries("q303_brier_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p2, py, y) = (BigInt(r.getAs[Long]("sum_p2")),
+        BigInt(r.getAs[Long]("sum_py")), BigInt(r.getAs[Long]("sum_y")))
+      assert(BigInt(r.getAs[Long]("bin_sq")) ==
+        p2 - 2 * 1000000 * py + BigInt(1000000L) * 1000000L * y,
+        "bin_sq = sum p^2 - 2e6 sum py + 1e12 sum y, exactly")
+      val d = BigInt(r.getAs[Long]("sum_p")) - 1000000 * y
+      assert(BigInt(r.getAs[Long]("rel_q")) == d * d / r.getAs[Long]("n_docs"))
+    }
+  }
 }
