@@ -1322,6 +1322,117 @@ object Analytics {
           expr(wilson("-")).as("wilson_lo"),
           expr(wilson("+")).as("wilson_hi"))
         .orderBy("source")
+    },
+
+    // LEARNED-INDEX (RMI leaf) error bound per source — fit
+    // rank ≈ a + b·key over the per-source (n_chars → cumulative rank)
+    // grid and report max |residual|: the SEARCH-WINDOW radius a learned
+    // index must binary-search after the model's guess, i.e. the ONE
+    // number that decides whether a linear leaf beats a btree page
+    // (E44/q134 fits a trend for its own sake; here the residual bound
+    // IS the product). The residual maximum is computed on EXACT
+    // integer numerators over the common denominator n·Sxx (no float
+    // residuals — a one-ulp slip would move the max), |·| taken BEFORE
+    // the floor-DIV so the division is sign-safe; a and b ride along as
+    // the mirrored IEEE display pair.
+    "q304_learned_index" -> { (s, d) =>
+      val g = Tables.documents(s, d).groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pts = g.withColumn("rk", coalesce(sum(col("f")).over(w), lit(0L)) + 1)
+        .select(col("source"), col("n_chars").as("x"), col("rk").as("y"))
+      val sums = pts.groupBy("source").agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * CAST(x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("x * CAST(y AS DECIMAL(38,0))")).as("sxy"))
+      val fitted = sums.select(col("source"), col("n"),
+        expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("bn"), // slope num
+        expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("bd"), // slope den
+        col("sx"), col("sy"), col("sxx"), col("sxy"))
+      pts.join(fitted, "source")
+        // e_num = D·y − bn·x − (sy·sxx − sxy·sx) over D = n·bd... assembled
+        // at the common denominator n·bd: n·bd·y − n·bn·x − (sy·bd − n... ):
+        // simplest exact form: bd·(n·y − sy) − bn·(n·x − sx), denominator n·bd
+        .withColumn("enum", expr(
+          "bd * (n * CAST(y AS DECIMAL(38,0)) - sy) -" +
+            " bn * (n * CAST(x AS DECIMAL(38,0)) - sx)"))
+        .groupBy("source", "n", "bn", "bd", "sx", "sy")
+        .agg(max(abs(col("enum"))).as("max_enum"))
+        .select(col("source"), col("n").cast("long").as("n_keys"),
+          expr("CAST(max_enum DIV (n * bd) AS BIGINT)").as("max_abs_err_rows"),
+          expr("CAST(bn AS DOUBLE) / CAST(bd AS DOUBLE)").as("slope"),
+          expr("(CAST(sy AS DOUBLE) - CAST(bn AS DOUBLE) / CAST(bd AS DOUBLE)" +
+            " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)").as("intercept"))
+        .orderBy("source")
+    },
+
+    // ROARING-bitmap CONTAINER planner — for each source's doc_id set,
+    // classify every container the way a roaring build does: array
+    // (2 bytes/key) vs bitmap (fixed width/8 bytes) vs run-length
+    // (4 bytes/run + header), pick the cheapest with the array < run <
+    // bitmap tie precedence. Containers are 2¹² keys wide here (vs
+    // roaring's 2¹⁶) so the fixture exercises MANY containers — the
+    // classifier thresholds scale with the width (bitmap = 2¹²/8 = 512
+    // bytes) and the mechanics are identical. The runs count is a per-(source, container)
+    // lag() over sorted keys (gap ⟹ new run) — the bitmap-index sizing
+    // twin of F91/q270's column-encoding advisor, and the statistic that
+    // decides whether a posting-list index is even affordable.
+    "q305_roaring_planner" -> { (s, d) =>
+      val w = Window.partitionBy("source", "container").orderBy("doc_id")
+      val keys = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          expr("doc_id DIV 4096").as("container"))
+        .withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .withColumn("nr",
+          when(col("prev").isNull || col("prev") =!= col("doc_id") - 1, 1L)
+            .otherwise(0L))
+      keys.groupBy("source", "container")
+        .agg(count(lit(1)).as("n_keys"), sum(col("nr")).as("n_runs"))
+        .select(col("source"), col("container").cast("long").as("container"),
+          col("n_keys").cast("long").as("n_keys"),
+          col("n_runs").cast("long").as("n_runs"),
+          (col("n_keys") * 2).cast("long").as("bytes_array"),
+          lit(512L).as("bytes_bitmap"),
+          (lit(4L) + col("n_runs") * 4).cast("long").as("bytes_run"))
+        .withColumn("best", expr("CASE" +
+          " WHEN n_keys * 2 <= 4 + n_runs * 4 AND n_keys * 2 <= 512 THEN 'array'" +
+          " WHEN 4 + n_runs * 4 <= 512 THEN 'run'" +
+          " ELSE 'bitmap' END"))
+        .orderBy("source", "container")
+    },
+
+    // PRICE-VOLUME-MIX decomposition of 1995 → 1996 order revenue per
+    // market segment (the Laspeyres "why did revenue move" BI triplet:
+    // volume effect Δn·r₀ + rate effect n₀·Δr + cross Δn·Δr, which
+    // CONSERVES exactly — Δrev = vol + rate + cross as an algebraic
+    // identity at the common denominator n₀·n₁, spec-asserted with NO
+    // tolerance). Effects emitted as exact integer NUMERATORS at that
+    // denominator (signed, so no floor-DIV is taken anywhere) plus the
+    // mirrored IEEE per-effect dollars for the human read. Revenue in
+    // whole dollars keeps every numerator inside int64 at sf0.1.
+    "q306_pvm_decomposition" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " DIV 100").as("rev_d"))
+      val g = o.groupBy("c_mktsegment").agg(
+        sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("yr") === 1995, col("rev_d")).otherwise(0L)).as("r0"),
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("yr") === 1996, col("rev_d")).otherwise(0L)).as("r1"))
+      g.select(col("c_mktsegment"),
+          col("n0").cast("long").as("n0"), col("r0").cast("long").as("rev0_d"),
+          col("n1").cast("long").as("n1"), col("r1").cast("long").as("rev1_d"),
+          expr("CAST((n1 - n0) * r0 * n1 AS BIGINT)").as("vol_num"),
+          expr("CAST(n0 * (r1 * n0 - r0 * n1) AS BIGINT)").as("rate_num"),
+          expr("CAST((n1 - n0) * (r1 * n0 - r0 * n1) AS BIGINT)").as("cross_num"),
+          expr("CAST((r1 - r0) * n0 * n1 AS BIGINT)").as("total_num"),
+          expr("CAST((n1 - n0) * r0 AS DOUBLE) / CAST(n0 AS DOUBLE)").as("vol_d"),
+          expr("CAST(r1 * n0 - r0 * n1 AS DOUBLE) / CAST(n1 AS DOUBLE)").as("rate_d"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -2141,6 +2252,83 @@ object Analytics {
          |  ${wilson("-")} AS wilson_lo,
          |  ${wilson("+")} AS wilson_hi
          |FROM g ORDER BY source""".stripMargin
-    }
+    },
+
+    "q304_learned_index" ->
+      """WITH g AS (SELECT source, n_chars, COUNT(*) AS f
+        |  FROM documents GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT a.source, a.n_chars AS x,
+        |    1 + COALESCE(SUM(b.f), 0) AS y
+        |  FROM g a LEFT JOIN g b
+        |    ON b.source = a.source AND b.n_chars < a.n_chars
+        |  GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * CAST(x AS HUGEINT)) AS sxx, SUM(x * CAST(y AS HUGEINT)) AS sxy
+        |  FROM pts GROUP BY 1),
+        |fitted AS (
+        |  SELECT source, n, sx, sy,
+        |    n * sxy - CAST(sx AS HUGEINT) * sy AS bn,
+        |    n * sxx - CAST(sx AS HUGEINT) * sx AS bd
+        |  FROM sums),
+        |res AS (
+        |  SELECT p.source, f.n, f.bn, f.bd, f.sx, f.sy,
+        |    ABS(f.bd * (f.n * CAST(p.y AS HUGEINT) - f.sy)
+        |      - f.bn * (f.n * CAST(p.x AS HUGEINT) - f.sx)) AS aenum
+        |  FROM pts p JOIN fitted f USING (source))
+        |SELECT source, CAST(n AS BIGINT) AS n_keys,
+        |  CAST(MAX(aenum) // (n * bd) AS BIGINT) AS max_abs_err_rows,
+        |  CAST(bn AS DOUBLE) / CAST(bd AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) - CAST(bn AS DOUBLE) / CAST(bd AS DOUBLE)
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        |FROM res GROUP BY source, n, bn, bd, sx, sy
+        |ORDER BY source""".stripMargin,
+
+    "q305_roaring_planner" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, doc_id // 4096 AS container,
+        |    LAG(doc_id) OVER (PARTITION BY source, doc_id // 4096
+        |      ORDER BY doc_id) AS prev
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, container,
+        |    CASE WHEN prev IS NULL OR prev <> doc_id - 1 THEN 1 ELSE 0 END AS nr
+        |  FROM k),
+        |g AS (SELECT source, container, COUNT(*) AS n_keys, SUM(nr) AS n_runs
+        |  FROM r GROUP BY 1, 2)
+        |SELECT source, CAST(container AS BIGINT) AS container,
+        |  CAST(n_keys AS BIGINT) AS n_keys, CAST(n_runs AS BIGINT) AS n_runs,
+        |  CAST(n_keys * 2 AS BIGINT) AS bytes_array,
+        |  CAST(512 AS BIGINT) AS bytes_bitmap,
+        |  CAST(4 + n_runs * 4 AS BIGINT) AS bytes_run,
+        |  CASE WHEN n_keys * 2 <= 4 + n_runs * 4 AND n_keys * 2 <= 512 THEN 'array'
+        |    WHEN 4 + n_runs * 4 <= 512 THEN 'run'
+        |    ELSE 'bitmap' END AS best
+        |FROM g ORDER BY source, container""".stripMargin,
+
+    "q306_pvm_decomposition" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100
+        |      AS rev_d
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1995, 1996)),
+        |g AS (
+        |  SELECT c_mktsegment,
+        |    SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN yr = 1995 THEN rev_d ELSE 0 END) AS r0,
+        |    SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN yr = 1996 THEN rev_d ELSE 0 END) AS r1
+        |  FROM o GROUP BY 1)
+        |SELECT c_mktsegment, CAST(n0 AS BIGINT) AS n0, CAST(r0 AS BIGINT) AS rev0_d,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(r1 AS BIGINT) AS rev1_d,
+        |  CAST((n1 - n0) * r0 * n1 AS BIGINT) AS vol_num,
+        |  CAST(n0 * (r1 * n0 - r0 * n1) AS BIGINT) AS rate_num,
+        |  CAST((n1 - n0) * (r1 * n0 - r0 * n1) AS BIGINT) AS cross_num,
+        |  CAST((r1 - r0) * n0 * n1 AS BIGINT) AS total_num,
+        |  CAST((n1 - n0) * r0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS vol_d,
+        |  CAST(r1 * n0 - r0 * n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_d
+        |FROM g ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -717,4 +717,65 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(BigInt(r.getAs[Long]("rel_q")) == d * d / r.getAs[Long]("n_docs"))
     }
   }
+
+  test("q304 the residual bound replays from an exact BigInt fit") {
+    val rows = Analytics.queries("q304_learned_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val grid = docs.filter(_._1 == src).map(_._2)
+        .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+        .toSeq.sortBy(_._1)
+      val pts = grid.zipWithIndex.map { case ((x, _), i) =>
+        (BigInt(x), BigInt(1) + grid.take(i).map(_._2).sum) }
+      val n = BigInt(pts.length)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val bn = n * sxy - sx * sy; val bd = n * sxx - sx * sx
+      val maxe = pts.map { case (x, y) =>
+        (bd * (n * y - sy) - bn * (n * x - sx)).abs }.max
+      assert(r.getAs[Long]("n_keys") == pts.length.toLong)
+      assert(BigInt(r.getAs[Long]("max_abs_err_rows")) == maxe / (n * bd))
+      assert(math.abs(r.getAs[Double]("slope") - (bn.toDouble / bd.toDouble)) < 1e-9)
+    }
+  }
+
+  test("q305 container stats replay and the classifier picks the true minimum") {
+    val rows = Analytics.queries("q305_roaring_planner")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_keys")).sum == total,
+      "every doc lands in exactly one (source, container) cell")
+    rows.foreach { r =>
+      val (na, nb, nr) = (r.getAs[Long]("bytes_array"),
+        r.getAs[Long]("bytes_bitmap"), r.getAs[Long]("bytes_run"))
+      assert(na == 2 * r.getAs[Long]("n_keys"))
+      assert(nr == 4 + 4 * r.getAs[Long]("n_runs"))
+      val best = r.getAs[String]("best")
+      val winner = if (na <= nr && na <= nb) "array"
+        else if (nr <= nb) "run" else "bitmap"
+      assert(best == winner)
+      assert(r.getAs[Long]("n_runs") <= r.getAs[Long]("n_keys"))
+    }
+  }
+
+  test("q306 the Laspeyres decomposition conserves with no tolerance") {
+    val rows = Analytics.queries("q306_pvm_decomposition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = BigInt(r.getAs[Long]("total_num"))
+      val parts = BigInt(r.getAs[Long]("vol_num")) +
+        BigInt(r.getAs[Long]("rate_num")) + BigInt(r.getAs[Long]("cross_num"))
+      assert(total == parts, "delta-revenue = volume + rate + cross, exactly")
+      // and the numerators recombine from the cell sums
+      val (n0, n1) = (BigInt(r.getAs[Long]("n0")), BigInt(r.getAs[Long]("n1")))
+      val (r0, r1) = (BigInt(r.getAs[Long]("rev0_d")), BigInt(r.getAs[Long]("rev1_d")))
+      assert(total == (r1 - r0) * n0 * n1)
+      assert(BigInt(r.getAs[Long]("vol_num")) == (n1 - n0) * r0 * n1)
+    }
+  }
 }
