@@ -1433,6 +1433,104 @@ object Analytics {
           expr("CAST((n1 - n0) * r0 AS DOUBLE) / CAST(n0 AS DOUBLE)").as("vol_d"),
           expr("CAST(r1 * n0 - r0 * n1 AS DOUBLE) / CAST(n1 AS DOUBLE)").as("rate_d"))
         .orderBy("c_mktsegment")
+    },
+
+    // EXACT SHAPLEY attribution over the 3-channel touch lattice — the
+    // game-theoretic split of conversion credit (E:q122 last-touch and
+    // q154 position rules are CONVENTIONS; Shapley is the unique
+    // axiomatic one, and with k = 3 channels it is EXACT grid
+    // arithmetic, no sampling): a converting user's coalition = the set
+    // of {view, click, signup} touched before the first purchase;
+    // v(S) = conversions whose coalition ⊆ S (8-row mask lattice);
+    // φ_c·6 = Σ_{S∌c} w(|S|)·[v(S∪c) − v(S)] with the exact 3-player
+    // weights (2,1,2)/6 — every quantity an integer at denominator 6,
+    // and the EFFICIENCY axiom Σφ = v(full) holds with no tolerance
+    // (spec-asserted). All post-reduction work on the 8×8 lattice.
+    "q307_shapley_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("pts"))
+      // one mask per CONVERTER: 0 when nothing attributable preceded the
+      // first purchase (no prior events, or only non-channel ones)
+      val userMask = firstP.join(
+          ev.join(firstP.select(col("user_id"), col("pts")), "user_id")
+            .filter(col("ts") < col("pts"))
+            .groupBy("user_id").agg(
+              (max(when(col("event_type") === "view", 1L).otherwise(0L)) +
+                max(when(col("event_type") === "click", 2L).otherwise(0L)) +
+                max(when(col("event_type") === "signup", 4L).otherwise(0L)))
+                .as("mask0"))
+            .select(col("user_id"), col("mask0")), Seq("user_id"), "left")
+        .select(coalesce(col("mask0"), lit(0L)).as("mask"))
+      // mask-0 converters leave the game (credit cannot be assigned to
+      // absent channels — and v(∅) must be 0 for efficiency to bind);
+      // they ride along as n_no_touch, conserved in the spec
+      val noTouch = userMask.filter(col("mask") === 0)
+        .agg(count(lit(1)).as("n_no_touch"))
+      val nT = userMask.filter(col("mask") > 0)
+        .groupBy("mask").agg(count(lit(1)).as("n"))
+      val lattice = nT.sparkSession.range(0, 8).select(col("id").cast("long").as("s8"))
+      val vS = lattice.join(broadcast(nT),
+          expr("CAST(mask AS INT) & CAST(s8 AS INT) = CAST(mask AS INT)"), "left")
+        .groupBy("s8").agg(coalesce(sum(col("n")), lit(0L)).as("v"))
+      val chans = vS.sparkSession.range(0, 3)
+        .select(expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("cbit"),
+          expr("CASE id WHEN 0 THEN \'view\' WHEN 1 THEN \'click\'" +
+            " ELSE \'signup\' END").as("channel"))
+      val terms = chans.join(broadcast(vS.select(col("s8"), col("v"))),
+          expr("CAST(s8 AS INT) & CAST(cbit AS INT) = 0"))
+        .join(broadcast(vS.select(col("s8").as("su"), col("v").as("vu"))),
+          expr("CAST(su AS INT) = CAST(s8 AS INT) | CAST(cbit AS INT)"))
+        .withColumn("w", expr("CASE bit_count(s8) WHEN 0 THEN 2L" +
+          " WHEN 1 THEN 1L ELSE 2L END"))
+        .groupBy("channel")
+        .agg(sum(col("w") * (col("vu") - col("v"))).as("phi6"))
+      val full = vS.filter(col("s8") === 7).select(col("v").as("v_full"))
+      terms.crossJoin(broadcast(full)).crossJoin(broadcast(noTouch))
+        .select(col("channel"), col("phi6").cast("long").as("phi6"),
+          col("v_full").cast("long").as("v_full"),
+          col("n_no_touch").cast("long").as("n_no_touch"),
+          expr("CAST(phi6 * 1000000 DIV (6 * v_full) AS BIGINT)").as("share_ppm"))
+        .orderBy("channel")
+    },
+
+    // Cohort LTV ACCUMULATION curve — cumulative revenue per signup-
+    // cohort month at ages 0..5 months (D5l/q72 counts RETENTION; LTV
+    // weighs it in dollars, and the cohort-age grid read "how much is a
+    // month-m customer worth by age a" is what an acquisition budget
+    // divides by). Cohort = the customer's first-order month index,
+    // ages beyond 5 truncated (the curve's documented horizon), first-
+    // year cohorts only so the grid is bounded and every cohort has a
+    // full horizon. Cumulative = a ≤-join on the 6-row age grid;
+    // monotonicity spec-asserted.
+    "q308_cohort_ltv" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100")
+          .as("rev_d"))
+      val first = o.groupBy("o_custkey").agg(min(col("m")).as("m0"))
+      val base = first.agg(min(col("m0")).as("mb"))
+      val aged = o.join(first, "o_custkey").crossJoin(broadcast(base))
+        .filter(col("m0") < col("mb") + 12)
+        .withColumn("cohort", col("m0") - col("mb"))
+        .withColumn("age", col("m") - col("m0"))
+        .filter(col("age") <= 5)
+      val cells = aged.groupBy("cohort", "age")
+        .agg(sum(col("rev_d")).as("rev_d"), count(lit(1)).as("n_orders"))
+      val sizes = aged.select("cohort", "o_custkey").distinct()
+        .groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+      val ages = cells.sparkSession.range(0, 6).select(col("id").cast("long").as("a2"))
+      cells.crossJoin(broadcast(ages)).filter(col("age") <= col("a2"))
+        .groupBy("cohort", "a2")
+        .agg(sum(col("rev_d")).as("cum_rev_d"), sum(col("n_orders")).as("cum_orders"))
+        .join(broadcast(sizes), "cohort")
+        .select(col("cohort").cast("long").as("cohort"), col("a2").as("age"),
+          col("n_customers").cast("long").as("n_customers"),
+          col("cum_orders").cast("long").as("cum_orders"),
+          col("cum_rev_d").cast("long").as("cum_rev_d"),
+          expr("CAST(cum_rev_d * 100 DIV n_customers AS BIGINT)")
+            .as("ltv_cents_per_cust"))
+        .orderBy("cohort", "age")
     }
   )
 
@@ -2329,6 +2427,80 @@ object Analytics {
         |  CAST((r1 - r0) * n0 * n1 AS BIGINT) AS total_num,
         |  CAST((n1 - n0) * r0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS vol_d,
         |  CAST(r1 * n0 - r0 * n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_d
-        |FROM g ORDER BY c_mktsegment""".stripMargin
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    "q307_shapley_attribution" ->
+      """WITH fp AS (
+        |  SELECT user_id, MIN(ts) AS pts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |tch AS (
+        |  SELECT e.user_id,
+        |    MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+        |    + MAX(CASE WHEN e.event_type = 'click' THEN 2 ELSE 0 END)
+        |    + MAX(CASE WHEN e.event_type = 'signup' THEN 4 ELSE 0 END) AS mask
+        |  FROM events e JOIN fp ON fp.user_id = e.user_id
+        |  WHERE e.ts < fp.pts GROUP BY 1),
+        |ntc AS (SELECT COUNT(*) AS n_no_touch FROM fp
+        |        WHERE user_id NOT IN (SELECT user_id FROM tch WHERE mask > 0)),
+        |nt AS (SELECT mask, COUNT(*) AS n FROM tch WHERE mask > 0 GROUP BY 1),
+        |lat AS (SELECT CAST(i.i AS BIGINT) AS s8
+        |        FROM UNNEST(generate_series(0, 7)) i(i)),
+        |vs AS (
+        |  SELECT lat.s8, COALESCE(SUM(nt.n), 0) AS v
+        |  FROM lat LEFT JOIN nt
+        |    ON (CAST(nt.mask AS INT) & CAST(lat.s8 AS INT)) = CAST(nt.mask AS INT)
+        |  GROUP BY 1),
+        |ch AS (SELECT CAST(1 << CAST(i.i AS INT) AS BIGINT) AS cbit,
+        |    CASE i.i WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+        |      ELSE 'signup' END AS channel
+        |  FROM UNNEST(generate_series(0, 2)) i(i)),
+        |terms AS (
+        |  SELECT ch.channel,
+        |    SUM(CASE bit_count(v0.s8) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END
+        |      * (vu.v - v0.v)) AS phi6
+        |  FROM ch
+        |  JOIN vs v0 ON (CAST(v0.s8 AS INT) & CAST(ch.cbit AS INT)) = 0
+        |  JOIN vs vu ON CAST(vu.s8 AS INT)
+        |    = (CAST(v0.s8 AS INT) | CAST(ch.cbit AS INT))
+        |  GROUP BY 1),
+        |fl AS (SELECT v AS v_full FROM vs WHERE s8 = 7)
+        |SELECT terms.channel, CAST(terms.phi6 AS BIGINT) AS phi6,
+        |  CAST(fl.v_full AS BIGINT) AS v_full,
+        |  CAST(ntc.n_no_touch AS BIGINT) AS n_no_touch,
+        |  CAST(terms.phi6 * 1000000 // (6 * fl.v_full) AS BIGINT) AS share_ppm
+        |FROM terms CROSS JOIN fl CROSS JOIN ntc ORDER BY terms.channel""".stripMargin,
+
+    "q308_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) - 1 AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100
+        |      AS rev_d
+        |  FROM orders),
+        |f AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1),
+        |b AS (SELECT MIN(m0) AS mb FROM f),
+        |aged AS (
+        |  SELECT o.o_custkey, f.m0 - b.mb AS cohort, o.m - f.m0 AS age, o.rev_d
+        |  FROM o JOIN f USING (o_custkey) CROSS JOIN b
+        |  WHERE f.m0 < b.mb + 12 AND o.m - f.m0 <= 5),
+        |cells AS (
+        |  SELECT cohort, age, SUM(rev_d) AS rev_d, COUNT(*) AS n_orders
+        |  FROM aged GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT cohort, COUNT(DISTINCT o_custkey) AS n_customers
+        |  FROM aged GROUP BY 1),
+        |ages AS (SELECT CAST(i.i AS BIGINT) AS a2
+        |         FROM UNNEST(generate_series(0, 5)) i(i))
+        |SELECT CAST(c.cohort AS BIGINT) AS cohort, ages.a2 AS age,
+        |  CAST(s.n_customers AS BIGINT) AS n_customers,
+        |  CAST(SUM(c.n_orders) AS BIGINT) AS cum_orders,
+        |  CAST(SUM(c.rev_d) AS BIGINT) AS cum_rev_d,
+        |  CAST(SUM(c.rev_d) * 100 // s.n_customers AS BIGINT) AS ltv_cents_per_cust
+        |FROM cells c CROSS JOIN ages
+        |JOIN sizes s ON s.cohort = c.cohort
+        |WHERE c.age <= ages.a2
+        |GROUP BY c.cohort, ages.a2, s.n_customers
+        |ORDER BY cohort, age""".stripMargin
   )
 }

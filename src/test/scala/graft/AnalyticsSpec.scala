@@ -778,4 +778,38 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(BigInt(r.getAs[Long]("vol_num")) == (n1 - n0) * r0 * n1)
     }
   }
+
+  test("q307 the efficiency axiom holds exactly and v(full) counts every converter") {
+    val rows = Analytics.queries("q307_shapley_attribution")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("channel")).sorted.toSeq ==
+      Seq("click", "signup", "view"))
+    val vFull = rows.head.getAs[Long]("v_full")
+    assert(rows.forall(_.getAs[Long]("v_full") == vFull))
+    // every coalition is ⊆ the full set, so v(full) + untouched = converters
+    val converters = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(vFull + rows.head.getAs[Long]("n_no_touch") == converters,
+      "the game plus the no-touch remainder conserves the converter count")
+    assert(rows.map(_.getAs[Long]("phi6")).sum == 6 * vFull,
+      "Shapley efficiency: the credits sum to v(full), exactly")
+    rows.foreach(r => assert(r.getAs[Long]("phi6") >= 0,
+      "v is monotone, so every marginal contribution is nonnegative"))
+  }
+
+  test("q308 cohort curves are monotone with a full age horizon") {
+    val rows = Analytics.queries("q308_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("age"))
+      assert(sorted.map(_.getAs[Long]("age")).toSeq == (0L to 5L),
+        "age 0 always exists, so every cohort carries the full horizon")
+      val cum = sorted.map(_.getAs[Long]("cum_rev_d"))
+      assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }, "LTV accumulates")
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("ltv_cents_per_cust") ==
+          r.getAs[Long]("cum_rev_d") * 100 / r.getAs[Long]("n_customers"))
+      }
+    }
+  }
 }

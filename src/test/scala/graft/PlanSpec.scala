@@ -109,11 +109,13 @@ class PlanSpec extends AnyFunSuite {
     // c_nationkey is an FK into the 25-row nation dim (q275's global
     // sensitive-value distribution); dim is the embedding dimension
     // index, capped by the vector schema (q204/q278's grid)
-    // crn is q279's probe-depth rank, capped at 4 by construction
+    // crn is q279's probe-depth rank, capped at 4 by construction;
+    // mask/s8 are q307's 3-bit touch-lattice codes (8 values); cohort is
+    // q308's first-year month index (< 12 by filter)
     val boundedDomainKeys = Set("day", "lang", "source", "event_type", "n_chars",
       "from_type", "to_type", "tok", "w1", "disc_pct", "prio",
       "r_name", "n_name", "c_mktsegment", "lo", "delta", "t", "l_linestatus",
-      "c_nationkey", "dim", "crn")
+      "c_nationkey", "dim", "crn", "mask", "s8", "cohort")
     // Recursive: a subtree is bounded if every path from the broadcast
     // root down to a fact leaf passes through a LIMIT, a one-row
     // (groupless) aggregate, or an aggregate grouped only on
