@@ -1531,6 +1531,90 @@ object Analytics {
           expr("CAST(cum_rev_d * 100 DIV n_customers AS BIGINT)")
             .as("ltv_cents_per_cust"))
         .orderBy("cohort", "age")
+    },
+
+    // TRENDING-TERMS drift — top-10 token lists of the first vs second
+    // doc_id half, compared by set Jaccard and summed rank displacement
+    // (the "what changed in the feed" monitoring read next to F66/q245's
+    // distribution-level TVD: TVD says THAT the mix moved, this names
+    // WHICH head terms moved and by how many places). Both top-10s are
+    // TakeOrdered under the (count desc, token) total order; ranks via
+    // predecessor-count self-joins on the two 10-row grids; a term
+    // absent from the other list displaces to the clamp rank 11.
+    "q309_trending_terms" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mid = docs.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2)
+        .cast("long").as("mid"))
+      val tok = docs.crossJoin(broadcast(mid))
+        .select((col("doc_id") <= col("mid")).as("h1"),
+          explode(tokens(col("text"))).as("tok"))
+      def top(h: Boolean) = {
+        val t = tok.filter(col("h1") === h).groupBy("tok")
+          .agg(count(lit(1)).as("c")).orderBy(col("c").desc, col("tok")).limit(10)
+        val b = t.select(col("tok").as("t2"), col("c").as("c2"))
+        t.join(broadcast(b),
+            col("c2") > col("c") || (col("c2") === col("c") && col("t2") < col("tok")),
+            "left")
+          .groupBy("tok", "c").agg((count(col("t2")) + 1).as("rk"))
+      }
+      val t1 = top(true).select(col("tok"), col("rk").as("rk1"), col("c").as("c1"))
+      val t2 = top(false).select(col("tok"), col("rk").as("rk2"), col("c").as("c2"))
+      t1.join(t2, Seq("tok"), "full_outer")
+        .select(col("tok"),
+          coalesce(col("rk1"), lit(11L)).cast("long").as("rank_h1"),
+          coalesce(col("rk2"), lit(11L)).cast("long").as("rank_h2"),
+          coalesce(col("c1"), lit(0L)).cast("long").as("count_h1"),
+          coalesce(col("c2"), lit(0L)).cast("long").as("count_h2"))
+        .withColumn("displacement", abs(col("rank_h1") - col("rank_h2")))
+        .orderBy("tok")
+    },
+
+    // MULTIBYTE-density audit per source — UTF-8 bytes vs characters
+    // (the storage/tokenizer-budget gap ASCII-centric estimates miss: a
+    // CJK corpus is 3× the bytes its char count suggests, and byte-level
+    // BPE pays exactly that ratio). octet_length vs length per doc,
+    // floor-ppm overhead on the source grid; the ASCII fixture's zero
+    // rows are measured facts (q158 rule), and the spec proves the
+    // detector fires on injected multibyte text.
+    "q310_multibyte_audit" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), length(col("text")).as("nc"),
+          octet_length(col("text")).as("nb"))
+        .groupBy("source").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("nc")).cast("long").as("n_chars"),
+          sum(col("nb")).cast("long").as("n_bytes"),
+          sum(when(col("nb") > col("nc"), 1L).otherwise(0L)).cast("long")
+            .as("docs_multibyte"))
+        .withColumn("overhead_ppm",
+          expr("CAST((n_bytes - n_chars) * 1000000 DIV n_chars AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // FRESHNESS dashboard per event type — staleness of each stream
+    // behind the global high-water mark, plus arrival-rate context (the
+    // ops table a pipeline on-call reads first; F83/q262 sizes the
+    // watermark DELAY, this reads which feed has gone QUIET): last-event
+    // lag in seconds (exact µs integer arithmetic), events in the final
+    // 24h window, and the mean inter-arrival gap over the whole stream.
+    "q311_freshness" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("tu"))
+      val hwm = ev.agg(max(col("tu")).as("hw"))
+      ev.crossJoin(broadcast(hwm))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          max(col("tu")).as("last_tu"), min(col("tu")).as("first_tu"),
+          max(col("hw")).as("hw"),
+          sum(when(col("tu") >= col("hw") - lit(86400000000L), 1L)
+            .otherwise(0L)).cast("long").as("n_last_24h"))
+        .select(col("event_type"), col("n_events"),
+          expr("CAST((hw - last_tu) DIV 1000000 AS BIGINT)").as("staleness_s"),
+          col("n_last_24h"),
+          expr("CASE WHEN n_events > 1 THEN" +
+            " CAST((last_tu - first_tu) DIV (1000000 * (n_events - 1)) AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END").as("mean_gap_s"))
+        .orderBy("event_type")
     }
   )
 
@@ -2501,6 +2585,58 @@ object Analytics {
         |JOIN sizes s ON s.cohort = c.cohort
         |WHERE c.age <= ages.a2
         |GROUP BY c.cohort, ages.a2, s.n_customers
-        |ORDER BY cohort, age""".stripMargin
+        |ORDER BY cohort, age""".stripMargin,
+
+    "q309_trending_terms" ->
+      """WITH m AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
+        |tok AS (
+        |  SELECT d.doc_id <= m.mid AS h1,
+        |    unnest(string_split(d.text, ' ')) AS tok
+        |  FROM documents d CROSS JOIN m),
+        |t1 AS (SELECT tok, COUNT(*) AS c FROM tok WHERE h1
+        |       GROUP BY 1 ORDER BY c DESC, tok LIMIT 10),
+        |t2 AS (SELECT tok, COUNT(*) AS c FROM tok WHERE NOT h1
+        |       GROUP BY 1 ORDER BY c DESC, tok LIMIT 10),
+        |r1 AS (SELECT a.tok, a.c,
+        |    1 + (SELECT COUNT(*) FROM t1 b WHERE b.c > a.c
+        |         OR (b.c = a.c AND b.tok < a.tok)) AS rk
+        |  FROM t1 a),
+        |r2 AS (SELECT a.tok, a.c,
+        |    1 + (SELECT COUNT(*) FROM t2 b WHERE b.c > a.c
+        |         OR (b.c = a.c AND b.tok < a.tok)) AS rk
+        |  FROM t2 a)
+        |SELECT COALESCE(r1.tok, r2.tok) AS tok,
+        |  CAST(COALESCE(r1.rk, 11) AS BIGINT) AS rank_h1,
+        |  CAST(COALESCE(r2.rk, 11) AS BIGINT) AS rank_h2,
+        |  CAST(COALESCE(r1.c, 0) AS BIGINT) AS count_h1,
+        |  CAST(COALESCE(r2.c, 0) AS BIGINT) AS count_h2,
+        |  CAST(ABS(COALESCE(r1.rk, 11) - COALESCE(r2.rk, 11)) AS BIGINT)
+        |    AS displacement
+        |FROM r1 FULL OUTER JOIN r2 ON r1.tok = r2.tok
+        |ORDER BY tok""".stripMargin,
+
+    "q310_multibyte_audit" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_multibyte,
+        |  CAST((SUM(strlen(text)) - SUM(length(text))) * 1000000
+        |    // SUM(length(text)) AS BIGINT) AS overhead_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q311_freshness" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS tu FROM events),
+        |h AS (SELECT MAX(tu) AS hw FROM ev)
+        |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST((h.hw - MAX(ev.tu)) // 1000000 AS BIGINT) AS staleness_s,
+        |  CAST(SUM(CASE WHEN ev.tu >= h.hw - 86400000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_last_24h,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    CAST((MAX(ev.tu) - MIN(ev.tu)) // (1000000 * (COUNT(*) - 1)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS mean_gap_s
+        |FROM ev CROSS JOIN h
+        |GROUP BY ev.event_type, h.hw ORDER BY ev.event_type""".stripMargin
   )
 }

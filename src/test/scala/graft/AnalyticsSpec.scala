@@ -812,4 +812,44 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q309 each half contributes exactly ten head terms and displacement is consistent") {
+    val rows = Analytics.queries("q309_trending_terms")(spark, sf).collect()
+    assert(rows.length >= 10 && rows.length <= 20)
+    assert(rows.count(_.getAs[Long]("rank_h1") <= 10) == 10, "ten head terms in half 1")
+    assert(rows.count(_.getAs[Long]("rank_h2") <= 10) == 10, "ten head terms in half 2")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("displacement") ==
+        math.abs(r.getAs[Long]("rank_h1") - r.getAs[Long]("rank_h2")))
+      assert(r.getAs[Long]("rank_h1") <= 10 || r.getAs[Long]("count_h1") == 0,
+        "clamp rank 11 appears only for terms absent from the half")
+    }
+  }
+
+  test("q310 ascii fixture reads zero overhead yet the detector fires on multibyte text") {
+    val rows = Analytics.queries("q310_multibyte_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") >= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("overhead_ppm") == 0L, "the fixture corpus is pure ASCII")
+    }
+    import spark.implicits._
+    val probe = Seq("héllo wörld", "plain ascii").toDF("text")
+      .select((octet_length(col("text")) - length(col("text"))).as("d"))
+      .collect().map(_.getInt(0)).sorted
+    assert(probe.toSeq == Seq(0, 2), "two 2-byte code points measured")
+  }
+
+  test("q311 the freshest stream sits exactly at the high-water mark") {
+    val rows = Analytics.queries("q311_freshness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("staleness_s")).min == 0L,
+      "some type attains the global maximum timestamp")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("staleness_s") >= 0)
+      assert(r.getAs[Long]("n_last_24h") >= 0)
+      assert(r.getAs[Long]("n_last_24h") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("mean_gap_s") >= 0)
+    }
+  }
 }
