@@ -36,18 +36,28 @@ object Graph {
   private val R = 1000000000L
 
   /** The q263 co-purchase edge set (a < b, basket cap 32, support ≥ 2)
-    * shared by the q286–q288 structure queries — ONE definition so the
-    * four graph views can never disagree about what an edge is. */
+    * shared by the q286–q300 structure queries — ONE definition so the
+    * graph views can never disagree about what an edge is. Pairs expand
+    * IN-ROW from each order's sorted distinct-part basket (collect_set
+    * + a nested-sequence transform) instead of an okey self-join: the
+    * sorted array makes a < b free, the ≤32 cap bounds the fan-out at
+    * C(32,2), and the plan runs TWO shuffles (basket groupBy + pair
+    * groupBy) where the join form needed four. The pair SET is
+    * identical — the oracle and the brute-force spec replays are
+    * unchanged. */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val items = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    val ok = items.groupBy("okey").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= 32).select("okey")
-    val it = items.join(ok, "okey")
-    it.join(it.select(col("okey"), col("part").as("pb")), Seq("okey"))
-      .filter(col("part") < col("pb"))
-      .groupBy(col("part").as("a"), col("pb").as("b"))
+      .groupBy("okey")
+      .agg(expr("sort_array(collect_set(part))").as("ps"))
+      .filter(size(col("ps")).between(2, 32))
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ps) - 1)," +
+          " i -> transform(sequence(i + 1, size(ps))," +
+          " j -> struct(element_at(ps, i) AS a, element_at(ps, j) AS b))))"))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
       .select("a", "b")

@@ -1267,15 +1267,21 @@ object Quality {
     // wedges Σ deg·(deg−1)/2; closure_ppm = 3T·10⁶/W. All joins run
     // on the thresholded edge set, never on baskets.
     "q263_copurchase_triangles" -> { (s, d) =>
-      val items = Tables.lineitem(s, d)
+      // in-row pair expansion from the sorted basket (two shuffles where
+      // the okey self-join form needed four) — the same pair set; the
+      // sorted array makes a < b free and the ≤32 cap bounds fan-out
+      val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-      val ok = items.groupBy("okey").agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= 32).select("okey")
-      val it = items.join(ok, "okey")
-      val edges = it.join(it.select(col("okey"), col("part").as("pb")), Seq("okey"))
-        .filter(col("part") < col("pb"))
-        .groupBy(col("part").as("a"), col("pb").as("b"))
+        .groupBy("okey")
+        .agg(expr("sort_array(collect_set(part))").as("ps"))
+        .filter(size(col("ps")).between(2, 32))
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps) - 1)," +
+            " i -> transform(sequence(i + 1, size(ps))," +
+            " j -> struct(element_at(ps, i) AS a, element_at(ps, j) AS b))))"))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b")
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
         .select("a", "b")
