@@ -1056,20 +1056,32 @@ object Analytics {
     // O(len) map work, no quadratic comparisons; saved = Σ lcp.
     "q293_front_coding" -> { (s, d) =>
       val w = Window.partitionBy("source").orderBy("text")
-      val lcp = Tables.documents(s, d)
+      // lcp by UNROLLED binary lifting: 12 chained window comparisons
+      // (4096 → 1) — each step extends the matched prefix by `step` when
+      // the next window agrees. Windows memcmp in O(step) with no
+      // per-character array materialization (the transform+array_position
+      // form allocated one boolean per character and ran 3× slower at
+      // sf0.1); the final clamp to min(len) absorbs the equal-prefix
+      // overshoot. The chain lives in stacked withColumns so each step
+      // references the previous ONCE — inlining it would blow the
+      // expression tree up 3^12. The ladder covers lcp ≤ Σsteps = 8191
+      // chars (fixture max doc length 577); longer corpora prepend
+      // larger steps — one extra step per doubling.
+      val steps = Seq(4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+      val base = Tables.documents(s, d)
         .select(col("source"), col("text"))
         .withColumn("prev", lag(col("text"), 1).over(w))
-        .withColumn("lcp", expr(
-          // the 0-length guard matters in Spark: sequence(1, 0) runs
-          // DESCENDING, it is not empty as in DuckDB
-          "CASE WHEN prev IS NULL THEN 0L" +
-            " WHEN least(length(text), length(prev)) = 0 THEN 0L ELSE " +
-            // array_position yields 0 (not NULL) on no-mismatch in Spark
-            // — nullif() maps the all-shared case onto the min length
-            "coalesce(nullif(array_position(transform(" +
-            "  sequence(1, least(length(text), length(prev)))," +
-            "  i -> substring(text, i, 1) = substring(prev, i, 1)), false), 0) - 1," +
-            " CAST(least(length(text), length(prev)) AS BIGINT)) END"))
+        .withColumn("m", lit(0L))
+      val lifted = steps.foldLeft(base) { (df, st) =>
+        df.withColumn("m", expr(
+          s"m + CASE WHEN prev IS NOT NULL AND" +
+            s" substring(text, CAST(m + 1 AS INT), $st) =" +
+            s" substring(prev, CAST(m + 1 AS INT), $st)" +
+            s" THEN ${st}L ELSE 0L END"))
+      }
+      val lcp = lifted.withColumn("lcp", expr(
+        "CASE WHEN prev IS NULL THEN 0L" +
+          " ELSE least(m, CAST(least(length(text), length(prev)) AS BIGINT)) END"))
       lcp.groupBy("source").agg(
           count(lit(1)).cast("long").as("n_docs"),
           sum(length(col("text"))).cast("long").as("plain_chars"),
