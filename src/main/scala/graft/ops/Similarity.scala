@@ -456,6 +456,80 @@ object Similarity {
         .orderBy("nprobe")
     },
 
+    // HUBNESS audit — the k-occurrence distribution N₃(x): how many
+    // OTHER vectors list x in their exact top-3 (the high-dimensional
+    // pathology every ANN deployment should measure before trusting
+    // neighbor lists: hubs absorb neighbor slots, antihubs vanish from
+    // all of them, and recall targets calibrated on uniform data
+    // silently miss both). Conservation Σ N₃ = 3·n is structural
+    // (every vector emits exactly 3 votes) and spec-asserted; the
+    // histogram grid carries N₃ = 0 antihubs explicitly via a left
+    // join from the full vector set (the q158 rule — the antihub COUNT
+    // is the finding). Bounded exact sweep (the q41 MaxSweep
+    // convention); same (cos desc, id) kernel as q180.
+    "q312_hubness" -> { (s, d) =>
+      val e = vecs(s, d).orderBy("vec_id").limit(MaxSweep)
+      val a = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+      val b = e.select(col("vec_id").as("cid"), col("v").as("cv3"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      val top3 = a.join(b, col("qid") =!= col("cid"))
+        .withColumn("cos", round(vec_cosine(col("qv"), col("cv3")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("cid"))
+      val n3 = e.select(col("vec_id").as("cid"))
+        .join(top3.groupBy("cid").agg(count(lit(1)).as("k3")), Seq("cid"), "left")
+        .select(coalesce(col("k3"), lit(0L)).as("n3"))
+      n3.groupBy("n3").agg(count(lit(1)).as("n_vectors"))
+        .select(col("n3").cast("long").as("n3"),
+          col("n_vectors").cast("long").as("n_vectors"))
+        .orderBy("n3")
+    },
+
+    // TwoNN RATIO statistics — the intrinsic-dimension SUFFICIENT
+    // statistic (Facco et al.'s estimator is d ≈ ln N / Σln μ with
+    // μ = r₂/r₁ the two-nearest-neighbor distance ratio; ln() is
+    // transcendental, so per the repo-wide log-free rule both engines
+    // stop at the EXACT μ decile table — the estimator is one ln-sum
+    // away for whoever consumes it, and the deciles already answer the
+    // operational question "is the manifold much lower-dimensional
+    // than the 64 ambient dims" since μ → 1 means high intrinsic
+    // dimension). Distances 1 − cos on the round(6) kernel; μ in ppb
+    // by ONE mirrored IEEE division + half-up floor; exact-duplicate
+    // neighbors (r₁ = 0) leave the statistic and ride along as
+    // n_degenerate. Deciles by cross-multiplied predecessor counts on
+    // the μ value grid (the q179 rule).
+    "q313_twonn_ratios" -> { (s, d) =>
+      val e = vecs(s, d).orderBy("vec_id").limit(MaxSweep)
+      val a = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+      val b = e.select(col("vec_id").as("cid"), col("v").as("cv3"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+      val top2 = a.join(b, col("qid") =!= col("cid"))
+        .withColumn("dist", round(lit(1) - vec_cosine(col("qv"), col("cv3")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val mu = top2.groupBy("qid")
+        .agg(min(when(col("rn") === 1, col("dist"))).as("r1"),
+          min(when(col("rn") === 2, col("dist"))).as("r2"))
+      val good = mu.filter(col("r1") > 0)
+        .select(expr("CAST(FLOOR(r2 / r1 * 1000000000 + 0.5) AS BIGINT)").as("mu_ppb"))
+      val ndeg = mu.filter(col("r1") <= 0).agg(count(lit(1)).as("n_degenerate"))
+      val g = good.groupBy("mu_ppb").agg(count(lit(1)).as("f"))
+      val bb = g.select(col("mu_ppb").as("v2"), col("f").as("f2"))
+      val cum = g.join(bb, col("v2") < col("mu_ppb"), "left")
+        .groupBy("mu_ppb", "f").agg(coalesce(sum(col("f2")), lit(0L)).as("below"))
+      val n = g.agg(sum(col("f")).as("n"))
+      val dec = g.sparkSession.range(1, 10).select(col("id").cast("long").as("decile"))
+      cum.crossJoin(broadcast(n)).crossJoin(broadcast(dec))
+        .filter(lit(10) * col("below") < col("decile") * col("n") &&
+          col("decile") * col("n") <= lit(10) * (col("below") + col("f")))
+        .crossJoin(broadcast(ndeg))
+        .select(col("decile"), col("mu_ppb").cast("long").as("mu_ppb"),
+          col("n").cast("long").as("n_vecs"),
+          col("n_degenerate").cast("long").as("n_degenerate"))
+        .orderBy("decile")
+    },
+
     // Label-centroid CONFUSABILITY matrix: pairwise cosine between
     // per-label centroid vectors — the inter-class geometry audit next
     // to q70's intra-class cohesion (two labels whose centroids cosine
@@ -775,6 +849,61 @@ object Similarity {
         |  CAST(hits.n_hits AS BIGINT) AS n_hits,
         |  CAST(hits.n_hits * 1000000 // (3 * nq.n_queries) AS BIGINT) AS recall_ppm
         |FROM cnt JOIN hits USING (nprobe) CROSS JOIN nq
-        |ORDER BY cnt.nprobe""".stripMargin)
+        |ORDER BY cnt.nprobe""".stripMargin),
+
+    "q312_hubness" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT * FROM n0 ORDER BY vec_id LIMIT 4096),
+        |pr AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |t3 AS (SELECT cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |    FROM pr) WHERE rn <= 3),
+        |k AS (SELECT cid, COUNT(*) AS k3 FROM t3 GROUP BY 1)
+        |SELECT CAST(COALESCE(k.k3, 0) AS BIGINT) AS n3,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |FROM e LEFT JOIN k ON k.cid = e.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q313_twonn_ratios" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT * FROM n0 ORDER BY vec_id LIMIT 4096),
+        |pr AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    round(1 - list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS dist
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |t2 AS (SELECT qid, dist, rn FROM (
+        |    SELECT qid, dist,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+        |    FROM pr) WHERE rn <= 2),
+        |mu AS (
+        |  SELECT qid, MIN(CASE WHEN rn = 1 THEN dist END) AS r1,
+        |    MIN(CASE WHEN rn = 2 THEN dist END) AS r2
+        |  FROM t2 GROUP BY 1),
+        |good AS (
+        |  SELECT CAST(FLOOR(r2 / r1 * 1000000000 + 0.5) AS BIGINT) AS mu_ppb
+        |  FROM mu WHERE r1 > 0),
+        |nd AS (SELECT COUNT(*) AS n_degenerate FROM mu WHERE r1 <= 0),
+        |g AS (SELECT mu_ppb, COUNT(*) AS f FROM good GROUP BY 1),
+        |cum AS (
+        |  SELECT a.mu_ppb, a.f, COALESCE(SUM(b.f), 0) AS below
+        |  FROM g a LEFT JOIN g b ON b.mu_ppb < a.mu_ppb GROUP BY 1, 2),
+        |n AS (SELECT SUM(f) AS n FROM g),
+        |dec AS (SELECT CAST(i.i AS BIGINT) AS decile
+        |        FROM UNNEST(generate_series(1, 9)) i(i))
+        |SELECT dec.decile, CAST(cum.mu_ppb AS BIGINT) AS mu_ppb,
+        |  CAST(n.n AS BIGINT) AS n_vecs,
+        |  CAST(nd.n_degenerate AS BIGINT) AS n_degenerate
+        |FROM cum CROSS JOIN n CROSS JOIN dec CROSS JOIN nd
+        |WHERE 10 * cum.below < dec.decile * n.n
+        |  AND dec.decile * n.n <= 10 * (cum.below + cum.f)
+        |ORDER BY dec.decile""".stripMargin
   )
 }

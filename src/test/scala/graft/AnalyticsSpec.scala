@@ -852,4 +852,24 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("mean_gap_s") >= 0)
     }
   }
+
+  test("q312 every vector casts exactly three votes and antihubs stay visible") {
+    val rows = graft.ops.Similarity.queries("q312_hubness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_.getAs[Long]("n_vectors")).sum
+    val votes = rows.map(r => r.getAs[Long]("n3") * r.getAs[Long]("n_vectors")).sum
+    assert(votes == 3 * nTotal, "conservation: sum N3 = 3n")
+    val nVecs = graft.model.Tables.embeddings(spark, sf).count()
+    assert(nTotal == math.min(nVecs, 4096L))
+  }
+
+  test("q313 the ratio deciles are monotone and never drop below 1") {
+    val rows = graft.ops.Similarity.queries("q313_twonn_ratios")(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 9L))
+    val mus = rows.map(_.getAs[Long]("mu_ppb"))
+    assert(mus.forall(_ >= 1000000000L), "r2 >= r1 forces mu >= 1")
+    assert(mus.zip(mus.tail).forall { case (a, b) => a <= b }, "deciles are a CDF walk")
+    assert(rows.map(_.getAs[Long]("n_degenerate")).distinct.length == 1)
+  }
 }
