@@ -1627,6 +1627,35 @@ object Analytics {
             " CAST((last_tu - first_tu) DIV (1000000 * (n_events - 1)) AS BIGINT)" +
             " ELSE CAST(0 AS BIGINT) END").as("mean_gap_s"))
         .orderBy("event_type")
+    },
+
+    // SKEW-SALT advisor — the shuffle-planning table behind E:q121's
+    // salted join and AQE's skew splitting, emitted BEFORE any join
+    // runs: the top-5 hottest part keys by lineitem rows, each with its
+    // corpus share and the salt factor k = ⌈rows / target⌉ that brings
+    // the key under the average-partition target (total DIV 32 — the
+    // session's shuffle parallelism), plus the post-salt residual
+    // share. q89 AUDITS skew after the fact; this PRESCRIBES the fix.
+    // Top-5 = TakeOrdered + predecessor-count rank (never a global
+    // window); all arithmetic exact positive integers.
+    "q315_salt_advisor" -> { (s, d) =>
+      val cnt = Tables.lineitem(s, d).groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+      val top5 = cnt.orderBy(col("n").desc, col("l_partkey")).limit(5)
+      top5.crossJoin(broadcast(tot))
+        .withColumn("target_rows", expr("CAST(total DIV 32 AS BIGINT)"))
+        .select(col("l_partkey").cast("long").as("partkey"),
+          col("n").cast("long").as("n_rows"),
+          expr("CAST(n * 1000000 DIV total AS BIGINT)").as("share_ppm"),
+          col("target_rows"),
+          expr("CAST(CASE WHEN n <= total DIV 32 THEN 1" +
+            " ELSE (n + total DIV 32 - 1) DIV (total DIV 32) END AS BIGINT)")
+            .as("salt_k"),
+          expr("CAST((n DIV CASE WHEN n <= total DIV 32 THEN 1" +
+            " ELSE (n + total DIV 32 - 1) DIV (total DIV 32) END)" +
+            " * 1000000 DIV total AS BIGINT)").as("post_salt_share_ppm"))
+        .orderBy(col("n_rows").desc, col("partkey"))
     }
   )
 
@@ -2649,6 +2678,22 @@ object Analytics {
         |    CAST((MAX(ev.tu) - MIN(ev.tu)) // (1000000 * (COUNT(*) - 1)) AS BIGINT)
         |  ELSE CAST(0 AS BIGINT) END AS mean_gap_s
         |FROM ev CROSS JOIN h
-        |GROUP BY ev.event_type, h.hw ORDER BY ev.event_type""".stripMargin
+        |GROUP BY ev.event_type, h.hw ORDER BY ev.event_type""".stripMargin,
+
+    "q315_salt_advisor" ->
+      """WITH cnt AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM cnt),
+        |top5 AS (SELECT l_partkey, n FROM cnt ORDER BY n DESC, l_partkey LIMIT 5)
+        |SELECT CAST(t.l_partkey AS BIGINT) AS partkey, CAST(t.n AS BIGINT) AS n_rows,
+        |  CAST(t.n * 1000000 // tot.total AS BIGINT) AS share_ppm,
+        |  CAST(tot.total // 32 AS BIGINT) AS target_rows,
+        |  CAST(CASE WHEN t.n <= tot.total // 32 THEN 1
+        |    ELSE (t.n + tot.total // 32 - 1) // (tot.total // 32) END AS BIGINT)
+        |    AS salt_k,
+        |  CAST((t.n // CASE WHEN t.n <= tot.total // 32 THEN 1
+        |    ELSE (t.n + tot.total // 32 - 1) // (tot.total // 32) END)
+        |    * 1000000 // tot.total AS BIGINT) AS post_salt_share_ppm
+        |FROM top5 t CROSS JOIN tot
+        |ORDER BY n_rows DESC, partkey""".stripMargin
   )
 }

@@ -456,6 +456,39 @@ object Similarity {
         .orderBy("nprobe")
     },
 
+    // LSH BUCKET-LOAD histogram + verify-cost accounting — the capacity
+    // plan for the q29 hyperplane index read BEFORE build time: bucket
+    // sizes in power-of-2 classes (explicit ladder, the q229
+    // convention), per-class candidate pairs Σ s(s−1)/2, and the prune
+    // ratio vs the n(n−1)/2 brute-force sweep. One over-full bucket
+    // dominates verify cost quadratically — this table is where that
+    // shows up first (q156 calibrates LSH ACCURACY; this prices its
+    // WORK).
+    "q314_lsh_bucket_load" -> { (s, d) =>
+      val e = vecs(s, d)
+      val sizes = lshBuckets(e, numPlanes = 12, dim = 64, spark = s)
+        .groupBy("bucket").agg(count(lit(1)).as("sz"))
+      val lad = sizes.sparkSession.range(0, 20)
+        .select(expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("lo"))
+      val classes = sizes.join(broadcast(lad),
+          col("sz") >= col("lo") && col("sz") < col("lo") * 2)
+        .groupBy("lo").agg(count(lit(1)).as("n_buckets"),
+          sum(col("sz")).as("n_vectors"),
+          sum(expr("sz * (sz - 1) DIV 2")).as("cand_pairs"))
+      val tot = classes.agg(sum(col("cand_pairs")).as("total_cand"),
+        sum(col("n_vectors")).as("nv"))
+      classes.crossJoin(broadcast(tot))
+        .select(col("lo").as("size_class_lo"),
+          col("n_buckets").cast("long").as("n_buckets"),
+          col("n_vectors").cast("long").as("n_vectors"),
+          col("cand_pairs").cast("long").as("cand_pairs"),
+          col("total_cand").cast("long").as("total_cand"),
+          expr("CAST(nv * (nv - 1) DIV 2 AS BIGINT)").as("brute_pairs"),
+          expr("CAST(total_cand * 1000000 DIV (nv * (nv - 1) DIV 2) AS BIGINT)")
+            .as("work_ppm"))
+        .orderBy("size_class_lo")
+    },
+
     // HUBNESS audit — the k-occurrence distribution N₃(x): how many
     // OTHER vectors list x in their exact top-3 (the high-dimensional
     // pathology every ANN deployment should measure before trusting
@@ -850,6 +883,39 @@ object Similarity {
         |  CAST(hits.n_hits * 1000000 // (3 * nq.n_queries) AS BIGINT) AS recall_ppm
         |FROM cnt JOIN hits USING (nprobe) CROSS JOIN nq
         |ORDER BY cnt.nprobe""".stripMargin),
+
+    "q314_lsh_bucket_load" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, j, CAST(floor(v[j+1]*1000000) AS BIGINT) AS xi
+        |      FROM e, UNNEST(generate_series(0, 63)) AS g(j)),
+        |planes AS (SELECT i, j, ((i*7919 + j*104729) % 2001) - 1000 AS w
+        |           FROM UNNEST(generate_series(0, 11)) AS gi(i),
+        |                UNNEST(generate_series(0, 63)) AS gj(j)),
+        |dots AS (SELECT vec_id, i, SUM(xi*w) AS dotp
+        |         FROM x JOIN planes USING (j) GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |              SUM(CASE WHEN dotp > 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+        |            FROM dots GROUP BY 1),
+        |sz AS (SELECT bucket, COUNT(*) AS sz FROM buckets GROUP BY 1),
+        |lad AS (SELECT CAST(1 << CAST(i.i AS INT) AS BIGINT) AS lo
+        |        FROM UNNEST(generate_series(0, 19)) i(i)),
+        |cls AS (
+        |  SELECT lad.lo, COUNT(*) AS n_buckets, SUM(sz.sz) AS n_vectors,
+        |    SUM(sz.sz * (sz.sz - 1) // 2) AS cand_pairs
+        |  FROM sz JOIN lad ON sz.sz >= lad.lo AND sz.sz < lad.lo * 2
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(cand_pairs) AS total_cand, SUM(n_vectors) AS nv
+        |        FROM cls)
+        |SELECT cls.lo AS size_class_lo,
+        |  CAST(cls.n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(cls.n_vectors AS BIGINT) AS n_vectors,
+        |  CAST(cls.cand_pairs AS BIGINT) AS cand_pairs,
+        |  CAST(tot.total_cand AS BIGINT) AS total_cand,
+        |  CAST(tot.nv * (tot.nv - 1) // 2 AS BIGINT) AS brute_pairs,
+        |  CAST(tot.total_cand * 1000000 // (tot.nv * (tot.nv - 1) // 2) AS BIGINT)
+        |    AS work_ppm
+        |FROM cls CROSS JOIN tot ORDER BY size_class_lo""".stripMargin,
 
     "q312_hubness" ->
       """WITH e0 AS (

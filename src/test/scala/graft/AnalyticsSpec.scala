@@ -872,4 +872,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mus.zip(mus.tail).forall { case (a, b) => a <= b }, "deciles are a CDF walk")
     assert(rows.map(_.getAs[Long]("n_degenerate")).distinct.length == 1)
   }
+
+  test("q314 size classes conserve the vector count and work never exceeds brute force") {
+    val rows = graft.ops.Similarity.queries("q314_lsh_bucket_load")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nv = graft.model.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == nv,
+      "every vector lands in exactly one size class")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_cand") <= r.getAs[Long]("brute_pairs"),
+        "bucketing can only prune the pair space")
+      assert(r.getAs[Long]("work_ppm") <= 1000000L)
+      assert(r.getAs[Long]("brute_pairs") == nv * (nv - 1) / 2)
+    }
+  }
+
+  test("q315 salting brings every hot key under the partition target") {
+    val rows = Analytics.queries("q315_salt_advisor")(spark, sf).collect()
+    assert(rows.length == 5)
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b }, "hottest first")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("salt_k")
+      assert(k >= 1)
+      assert(r.getAs[Long]("n_rows") / k <= math.max(r.getAs[Long]("target_rows"), 1),
+        "ceil-division salt factor fits the target")
+      assert(r.getAs[Long]("post_salt_share_ppm") <= r.getAs[Long]("share_ppm"))
+    }
+  }
 }
