@@ -1656,6 +1656,43 @@ object Analytics {
             " ELSE (n + total DIV 32 - 1) DIV (total DIV 32) END)" +
             " * 1000000 DIV total AS BIGINT)").as("post_salt_share_ppm"))
         .orderBy(col("n_rows").desc, col("partkey"))
+    },
+
+    // Dedup-tier LADDER — one table pricing three NESTED dedup passes
+    // before any of them runs: tier 1 byte-exact (md5 of the raw text),
+    // tier 2 normalization-insensitive (q182's strip-and-collapse rule),
+    // tier 3 ORDER-insensitive (md5 of the sorted token bag of the
+    // normalized text — catches shuffled boilerplate that every
+    // position-sensitive tier misses). The nesting is BY CONSTRUCTION
+    // (equal text ⟹ equal normalization ⟹ equal sorted bag), so dup
+    // mass is monotone up the ladder — spec-asserted, and the
+    // tier-over-tier DELTA prices each pass separately (the q229
+    // histogram sizes ONE tier's groups; this ranks the tiers). Savings
+    // use the keep-min-doc_id survivor convention (q14's rule): saved
+    // chars = total minus each group's representative.
+    "q316_dedup_ladder" -> { (s, d) =>
+      val f = Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).as("nc"),
+        md5(col("text")).as("t1"),
+        md5(trim(regexp_replace(
+          regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " "))).as("t2"),
+        md5(expr("concat_ws(' ', sort_array(split(trim(regexp_replace(" +
+          "regexp_replace(text, '[^A-Za-z0-9 ]', ''), ' +', ' ')), ' ')))"))
+          .as("t3"))
+      def tier(n: Int, c: String) = f.groupBy(col(c).as("fp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("nc")).as("sc"),
+          min(struct(col("doc_id"), col("nc"))).as("rep"))
+        .agg(lit(n.toLong).as("tier"), count(lit(1)).as("ndv"),
+          sum(col("cnt") - 1).as("dup_docs"),
+          sum(col("sc") - col("rep.nc")).as("saved_chars"),
+          sum(col("cnt")).as("n_docs"), sum(col("sc")).as("n_chars"))
+      tier(1, "t1").unionByName(tier(2, "t2")).unionByName(tier(3, "t3"))
+        .select(col("tier"), col("ndv").cast("long").as("ndv"),
+          col("dup_docs").cast("long").as("dup_docs"),
+          col("saved_chars").cast("long").as("saved_chars"),
+          expr("CAST(dup_docs * 1000000 DIV n_docs AS BIGINT)").as("dup_ppm"),
+          expr("CAST(saved_chars * 1000000 DIV n_chars AS BIGINT)").as("saved_ppm"))
+        .orderBy("tier")
     }
   )
 
@@ -2694,6 +2731,34 @@ object Analytics {
         |    ELSE (t.n + tot.total // 32 - 1) // (tot.total // 32) END)
         |    * 1000000 // tot.total AS BIGINT) AS post_salt_share_ppm
         |FROM top5 t CROSS JOIN tot
-        |ORDER BY n_rows DESC, partkey""".stripMargin
+        |ORDER BY n_rows DESC, partkey""".stripMargin,
+
+    "q316_dedup_ladder" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    md5(text) AS t1,
+        |    md5(trim(regexp_replace(
+        |      regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |      AS t2,
+        |    md5(array_to_string(list_sort(string_split(trim(regexp_replace(
+        |      regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+        |      ' ')), ' ')) AS t3
+        |  FROM documents),
+        |tier AS (
+        |  SELECT 1 AS tier, fp, COUNT(*) AS cnt, SUM(nc) AS sc,
+        |    arg_min(nc, doc_id) AS rep_nc
+        |  FROM (SELECT doc_id, nc, t1 AS fp FROM f) GROUP BY 2
+        |  UNION ALL
+        |  SELECT 2, fp, COUNT(*), SUM(nc), arg_min(nc, doc_id)
+        |  FROM (SELECT doc_id, nc, t2 AS fp FROM f) GROUP BY 2
+        |  UNION ALL
+        |  SELECT 3, fp, COUNT(*), SUM(nc), arg_min(nc, doc_id)
+        |  FROM (SELECT doc_id, nc, t3 AS fp FROM f) GROUP BY 2)
+        |SELECT CAST(tier AS BIGINT) AS tier, CAST(COUNT(*) AS BIGINT) AS ndv,
+        |  CAST(SUM(cnt - 1) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(sc - rep_nc) AS BIGINT) AS saved_chars,
+        |  CAST(SUM(cnt - 1) * 1000000 // SUM(cnt) AS BIGINT) AS dup_ppm,
+        |  CAST(SUM(sc - rep_nc) * 1000000 // SUM(sc) AS BIGINT) AS saved_ppm
+        |FROM tier GROUP BY tier ORDER BY tier""".stripMargin
   )
 }

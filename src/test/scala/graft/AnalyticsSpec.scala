@@ -900,4 +900,23 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("post_salt_share_ppm") <= r.getAs[Long]("share_ppm"))
     }
   }
+
+  test("q316 the dedup tiers nest: dup mass is monotone up the ladder") {
+    val rows = Analytics.queries("q316_dedup_ladder")(spark, sf)
+      .orderBy("tier").collect()
+    assert(rows.map(_.getAs[Long]("tier")).toSeq == Seq(1L, 2L, 3L))
+    val ndv = rows.map(_.getAs[Long]("ndv"))
+    val dup = rows.map(_.getAs[Long]("dup_docs"))
+    val saved = rows.map(_.getAs[Long]("saved_chars"))
+    assert(ndv.zip(ndv.tail).forall { case (a, b) => a >= b },
+      "coarser fingerprints can only merge groups")
+    assert(dup.zip(dup.tail).forall { case (a, b) => a <= b },
+      "duplicate mass is monotone up the ladder")
+    assert(saved.zip(saved.tail).forall { case (a, b) => a <= b })
+    // tier 1 replays from raw text equality
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    assert(ndv.head == texts.distinct.length.toLong)
+    assert(dup.head == (texts.length - texts.distinct.length).toLong)
+  }
 }
