@@ -39,8 +39,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY (local dev only; the driver never sets it): CSV of
+    // query names to measure — lets a single new query get its dual-run
+    // baseline entry without re-timing the whole surface. Unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
     // warmup at the smallest SF (not measured)
-    SparkEntry.queries.keys.foreach(materialize(_, "/root/testdata/sf0.001"))
+    SparkEntry.queries.keys.filter(n => only.forall(_.contains(n)))
+      .foreach(materialize(_, "/root/testdata/sf0.001"))
 
     // TWO measured passes, back to back. Host timing variance on this
     // box is ±40% on heavy queries (BASELINE.md "A/B evidence"), so a
@@ -50,6 +56,7 @@ object Bench {
     // stay run A (unchanged methodology vs every prior round's
     // baseline); run B rides along as `queriesB` for adjudication.
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val runA = names.map { name => name -> materialize(name, sfDir) }
     val runB = names.map { name => name -> materialize(name, sfDir) }
     def toJson(rs: Seq[(String, Double)]): String =
