@@ -1046,6 +1046,43 @@ object Behavior {
               CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
               CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
               * 1000) AS BIGINT)""").as("z2_milli"))
+    },
+
+    // TEMPORAL-HOLDOUT leakage audit: split the stream at the 80%
+    // point of its time range (cut = lo + (hi−lo)·4 DIV 5, exact µs
+    // integers — the chronological train/test split every time-series
+    // model needs) and report, per event type, the row masses on each
+    // side and the USERS APPEARING ON BOTH SIDES — the identity-overlap
+    // channel through which "future" behavior leaks into training
+    // features. q76 audits leakage through CONTENT clusters; this
+    // audits it through the entity axis, the other main leak path.
+    // Both-side presence is decided per (type, user) from one
+    // conditional aggregation — never a distinct-set intersection join.
+    // Scale: one scan onto the (type, user) grid (map-combined), a
+    // second |grid|-sized agg onto |types| rows; the cut is a one-row
+    // broadcast. The 4/5 split fraction is part of the declared
+    // operator (a deployment parameterizes it).
+    "q320_holdout_audit" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      val rng = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val pu = ev.crossJoin(broadcast(rng))
+        .withColumn("cut", expr("lo + (hi - lo) * 4 DIV 5"))
+        .groupBy("event_type", "user_id")
+        .agg(sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("n_tr"),
+          sum(when(col("us") >= col("cut"), 1L).otherwise(0L)).as("n_te"))
+      pu.groupBy("event_type")
+        .agg(sum(col("n_tr")).cast("long").as("n_train"),
+          sum(col("n_te")).cast("long").as("n_test"),
+          sum(when(col("n_tr") > 0, 1L).otherwise(0L)).cast("long")
+            .as("u_train"),
+          sum(when(col("n_te") > 0, 1L).otherwise(0L)).cast("long")
+            .as("u_test"),
+          sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L))
+            .cast("long").as("u_both"))
+        .withColumn("overlap_ppm",
+          expr("CAST(u_both * 1000000 DIV greatest(u_test, 1) AS BIGINT)"))
+        .orderBy("event_type")
     }
   )
 
@@ -1718,6 +1755,28 @@ object Behavior {
         |    CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
         |    CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
         |    * 1000) AS BIGINT) AS z2_milli
-        |FROM a CROSS JOIN b""".stripMargin
+        |FROM a CROSS JOIN b""".stripMargin,
+
+    "q320_holdout_audit" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |rng AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |pu AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CASE WHEN us < lo + (hi - lo) * 4 // 5 THEN 1 ELSE 0 END) AS n_tr,
+        |    SUM(CASE WHEN us >= lo + (hi - lo) * 4 // 5 THEN 1 ELSE 0 END) AS n_te
+        |  FROM ev CROSS JOIN rng GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(SUM(n_tr) AS BIGINT) AS n_train,
+        |  CAST(SUM(n_te) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_train,
+        |  CAST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_test,
+        |  CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS u_both,
+        |  CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) * 1000000
+        |    // GREATEST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END), 1) AS BIGINT)
+        |    AS overlap_ppm
+        |FROM pu GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

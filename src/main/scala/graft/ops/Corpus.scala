@@ -697,6 +697,41 @@ object Corpus {
         .withColumn("pass_ppm",
           expr("CAST(n_all * 1000000 DIV n_docs AS BIGINT)"))
         .orderBy("source")
+    },
+
+    // HERFINDAHL–HIRSCHMAN concentration of sources WITHIN each
+    // language — the one-number "is this language's data all from one
+    // crawl?" gauge a mixture designer reads next to q64's temperature
+    // weights: HHI = Σ share² over sources, 10⁶ = single-source
+    // monopoly, 10⁶/n = perfectly even over n. q247 ranks revenue
+    // concentration by cumulative top-share; HHI is the standard
+    // antitrust-style scalar for the same question, and the rational
+    // Σshare² needs no transcendentals. Shares are floor-ppm of doc
+    // counts (exact integers, the repo's share convention); HHI sums
+    // their squares DIV 10⁶ — both engines floor identically. Output
+    // also carries the char-mass HHI: doc-count concentration and
+    // byte concentration diverge when one source ships long docs.
+    // Scale: one scan onto the |langs|×|sources| grid; per-lang totals
+    // broadcast back onto it.
+    "q321_hhi" -> { (s, d) =>
+      val cell = Tables.documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("nc"))
+      val tot = cell.groupBy("lang")
+        .agg(sum(col("nd")).as("td"), sum(col("nc")).as("tc"),
+          count(lit(1)).as("n_sources"))
+      cell.join(broadcast(tot), "lang")
+        .withColumn("sd_ppm", expr("CAST(nd * 1000000 DIV td AS BIGINT)"))
+        .withColumn("sc_ppm", expr("CAST(nc * 1000000 DIV tc AS BIGINT)"))
+        .groupBy(col("lang"), col("n_sources"), col("td"))
+        .agg(sum(expr("sd_ppm * sd_ppm")).as("hd"),
+          sum(expr("sc_ppm * sc_ppm")).as("hc"),
+          max(col("sd_ppm")).as("top_share_ppm"))
+        .select(col("lang"), col("n_sources").cast("long").as("n_sources"),
+          col("td").cast("long").as("n_docs"),
+          expr("CAST(hd DIV 1000000 AS BIGINT)").as("hhi_docs_ppm"),
+          expr("CAST(hc DIV 1000000 AS BIGINT)").as("hhi_chars_ppm"),
+          col("top_share_ppm"))
+        .orderBy("lang")
     }
   )
 
@@ -1111,6 +1146,26 @@ object Corpus {
         |  CAST(s.est_p95 AS BIGINT) AS est_p95,
         |  abs(s.est_p50 - e.x50) <= 64 AS ok_p50,
         |  abs(s.est_p95 - e.x95) <= 64 AS ok_p95
-        |FROM exact e JOIN est s USING (lang) ORDER BY e.lang""".stripMargin
+        |FROM exact e JOIN est s USING (lang) ORDER BY e.lang""".stripMargin,
+
+    "q321_hhi" ->
+      """WITH cell AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(n_chars) AS BIGINT) AS nc
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, SUM(nd) AS td, SUM(nc) AS tc, COUNT(*) AS n_sources
+        |  FROM cell GROUP BY 1),
+        |sh AS (
+        |  SELECT cell.lang, tot.n_sources, tot.td,
+        |    CAST(nd * 1000000 // td AS BIGINT) AS sd_ppm,
+        |    CAST(nc * 1000000 // tc AS BIGINT) AS sc_ppm
+        |  FROM cell JOIN tot USING (lang))
+        |SELECT lang, CAST(n_sources AS BIGINT) AS n_sources,
+        |  CAST(td AS BIGINT) AS n_docs,
+        |  CAST(SUM(sd_ppm * sd_ppm) // 1000000 AS BIGINT) AS hhi_docs_ppm,
+        |  CAST(SUM(sc_ppm * sc_ppm) // 1000000 AS BIGINT) AS hhi_chars_ppm,
+        |  CAST(MAX(sd_ppm) AS BIGINT) AS top_share_ppm
+        |FROM sh GROUP BY lang, n_sources, td ORDER BY lang""".stripMargin
   )
 }

@@ -838,6 +838,42 @@ object Dedup {
           expr("CAST(wit DIV 1000000000 AS BIGINT)").as("witness_a"),
           expr("CAST(wit % 1000000000 AS BIGINT)").as("witness_b"))
         .orderBy(col("score").desc)
+    },
+
+    // CROSS-SOURCE duplicate-overlap matrix: for every unordered source
+    // pair, how many distinct byte-exact contents (md5, the q24 tier)
+    // appear in BOTH — the mirror-detection table (Common-Crawl-vs-C4
+    // style pipelines dedup ACROSS snapshots before anything else, and
+    // this prices which pairs make that pass worth running). q182
+    // audits dup mass WITHIN a source; q202 crosses LANGUAGES by
+    // shingle; this crosses SOURCES by exact content. Zero-overlap
+    // pairs are explicit rows via the source-grid left join (the q158
+    // rule — "no mirroring" is the finding). Jaccard is floor-ppm over
+    // the fingerprint union. Scale: the heavy agg is distinct
+    // (fp, source) — fixed-width md5 keys, map-combined; the fp
+    // self-join fans out |sources|² per fingerprint AT MOST (sources
+    // are an enum, docs are not); the pair grid is |sources|²-sized
+    // and the per-source ndv table broadcasts onto it.
+    "q322_source_overlap" -> { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .select(md5(col("text")).as("fp"), col("source")).distinct()
+      val nd = fp.groupBy("source").agg(count(lit(1)).as("ndv"))
+      val shared = fp.select(col("fp"), col("source").as("src_a"))
+        .join(fp.select(col("fp"), col("source").as("src_b")), Seq("fp"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+      val grid = nd.select(col("source").as("src_a"), col("ndv").as("ndv_a"))
+        .crossJoin(broadcast(
+          nd.select(col("source").as("src_b"), col("ndv").as("ndv_b"))))
+        .filter(col("src_a") < col("src_b"))
+      grid.join(shared, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          col("ndv_a").cast("long").as("ndv_a"),
+          col("ndv_b").cast("long").as("ndv_b"),
+          coalesce(col("shared"), lit(0L)).cast("long").as("shared_fps"))
+        .withColumn("jaccard_ppm", expr(
+          "CAST(shared_fps * 1000000 DIV (ndv_a + ndv_b - shared_fps) AS BIGINT)"))
+        .orderBy("src_a", "src_b")
     }
   )
 
@@ -1265,6 +1301,27 @@ object Dedup {
         |    AS witness_a,
         |  CAST(MIN(id_a * 1000000000 + id_b) % 1000000000 AS BIGINT)
         |    AS witness_b
-        |FROM pairs GROUP BY score ORDER BY score DESC""".stripMargin
+        |FROM pairs GROUP BY score ORDER BY score DESC""".stripMargin,
+
+    "q322_source_overlap" ->
+      """WITH fp AS (SELECT DISTINCT md5(text) AS fp, source FROM documents),
+        |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ndv
+        |       FROM fp GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    a.ndv AS ndv_a, b.ndv AS ndv_b
+        |  FROM nd a JOIN nd b ON a.source < b.source)
+        |SELECT g.src_a, g.src_b, g.ndv_a, g.ndv_b,
+        |  CAST(COALESCE(sh.shared, 0) AS BIGINT) AS shared_fps,
+        |  CAST(COALESCE(sh.shared, 0) * 1000000
+        |    // (g.ndv_a + g.ndv_b - COALESCE(sh.shared, 0)) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM grid g LEFT JOIN sh ON g.src_a = sh.src_a AND g.src_b = sh.src_b
+        |ORDER BY g.src_a, g.src_b""".stripMargin
   )
 }

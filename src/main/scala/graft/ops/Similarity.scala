@@ -44,6 +44,14 @@ object Similarity {
     * 4096 covers every current SF's full corpus (sf0.1 has 2000 vectors)
     * while keeping the declared query bounded at any data size. */
   val MaxSweep = 4096
+  /** q317 SemDeDup cosine threshold: a pair at or above this within a
+    * cell is a semantic duplicate and the larger vec_id is pruned. */
+  val SemTau = 0.4
+  /** q319 MMR candidate-pool bound: the TakeOrdered relevance prefilter
+    * that keeps the pairwise sim matrix at MmrCandidates² regardless of
+    * corpus size (the standard MMR deployment reranks a retriever's
+    * top-N, never the corpus). */
+  val MmrCandidates = 32
 
   /** Cast a float array to double and compute the sequential dot product. */
   def dot(a: String, b: String): Column =
@@ -612,6 +620,131 @@ object Similarity {
                  ELSE dot / na / nb END) * 1000000000 + 0.5) AS BIGINT)""")
             .as("cos_ppb"))
         .orderBy("label_a", "label_b")
+    },
+
+    // SemDeDup-style embedding-space dedup prune (Abbas et al. 2023,
+    // arXiv:2303.09540): cluster with the shared coarse quantizer
+    // (assignedCells — the q42/q83/q117 cell assignment), then prune,
+    // WITHIN each cell only, every vector that has a higher-priority
+    // (smaller vec_id — the q14 keep-min survivor convention) neighbor
+    // at cosine ≥ SemTau. This is the embedding-side sibling of the
+    // MinHash text tiers: paraphrases and re-encodings that share no
+    // shingles land in the same cell and cosine-match. Per-cell output
+    // (kept/pruned/prune-ppm) so a skewed cell — the quadratic-cost
+    // risk — is visible directly. Scale: the pairwise leg is
+    // cell-local by construction; cells number MaxCentroids and the
+    // clustering (not this audit) is responsible for balancing them —
+    // q314 prices exactly that bucket-load risk for the LSH index.
+    "q317_semdedup" -> { (s, d) =>
+      val assigned = assignedCells(s, d)._1
+      val aa = assigned.select(col("cell"), col("vec_id").as("id_a"),
+        col("v").as("va"))
+      val bb = assigned.select(col("cell"), col("vec_id").as("id_b"),
+        col("v").as("vb"))
+      val pruned = aa.join(bb, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", round(vec_cosine(col("va"), col("vb")), 6))
+        .filter(col("cos") >= SemTau)
+        .groupBy("cell")
+        .agg(countDistinct(col("id_b")).as("n_pruned"))
+      assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .join(pruned, Seq("cell"), "left")
+        .select(col("cell").cast("long").as("cell"),
+          col("n_vecs").cast("long").as("n_vecs"),
+          coalesce(col("n_pruned"), lit(0L)).cast("long").as("n_pruned"))
+        .withColumn("n_kept", (col("n_vecs") - col("n_pruned")).cast("long"))
+        .withColumn("prune_ppm",
+          expr("CAST(n_pruned * 1000000 DIV n_vecs AS BIGINT)"))
+        .orderBy("cell")
+    },
+
+    // Maximal-marginal-relevance top-5 selection (Carbonell & Goldstein
+    // 1998), fully UNROLLED — the diverse-exemplar picker behind "show
+    // me 5 representative-but-different documents": greedy argmax of
+    // rel(v) − max_{s∈S} sim(v, s) (λ = ½ scales both terms equally, so
+    // it cancels from the argmax). The iteration is 5 statically
+    // unrolled steps over a TakeOrdered top-MmrCandidates pool — no
+    // driver loop, no recursion: step k is one max-aggregation over the
+    // ≤MmrCandidates×k cached pair-sim frame. Relevance anchor = the
+    // smallest-vec_id vector (deterministic); all scores are µ-unit
+    // integers (floor(round(cos,6)·10⁶ + ½) — exact, the 6-decimal
+    // rounding grid is below the integer grid), ties broken by vec_id.
+    // Scale: the corpus-sized work is ONE broadcast-anchor cosine scan +
+    // TakeOrdered; everything after runs on a constant-bounded pool.
+    "q319_mmr_select" -> { (s, d) =>
+      val e = vecs(s, d)
+      // The anchor is excluded from the pool: with it in, step 1 picks
+      // the anchor itself (rel = 1) and step 2's diversity term
+      // degenerates to rel (maxsim-to-{anchor} ≡ rel ⟹ every score 0).
+      val anchor = e.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cand = Caches.shared(
+        e.crossJoin(broadcast(anchor))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("relr", round(vec_cosine(col("v"), col("qv")), 6))
+          .withColumn("rel_u",
+            expr("CAST(floor(relr * 1000000 + 0.5) AS BIGINT)"))
+          .orderBy(col("rel_u").desc, col("vec_id"))
+          .limit(MmrCandidates)
+          .select(col("vec_id"), col("v"), col("rel_u")))
+      val simPairs =
+        cand.select(col("vec_id").as("ida"), col("v").as("va"))
+          .join(cand.select(col("vec_id").as("idb"), col("v").as("vb")),
+            col("ida") =!= col("idb"))
+          .withColumn("simr", round(vec_cosine(col("va"), col("vb")), 6))
+          .select(col("ida"), col("idb"),
+            expr("CAST(floor(simr * 1000000 + 0.5) AS BIGINT)").as("sim_u"))
+      // The greedy tail runs as ONE projection over the collected
+      // candidate/sim arrays (≤32 + ≤32·31 rows — driver-safe by the
+      // MmrCandidates bound): a DataFrame-join fold here costs ~15 tiny
+      // shuffle jobs whose fixed overhead dominates 1000:1 at local
+      // scale and adds 5 pointless barriers at cluster scale. argmax =
+      // array_max over struct(score, -id, …) — struct ordering gives
+      // the (max score, min id) tiebreak; extra fields ride along.
+      val pool = cand.agg(collect_list(
+        struct(col("vec_id").as("id"), col("rel_u").as("rel"))).as("cs"))
+      val sims = simPairs.agg(collect_list(
+        struct(col("ida").as("a"), col("idb").as("b"),
+          col("sim_u").as("sim"))).as("ss"))
+      def stepExpr(sel: String): String =
+        s"""array_max(transform(
+           |  filter(cs, x -> NOT array_contains($sel, x.id)),
+           |  x -> struct(
+           |    x.rel - array_max(transform(
+           |      filter(ss, p -> p.a = x.id AND array_contains($sel, p.b)),
+           |      p -> p.sim)) AS sc,
+           |    -x.id AS ni, x.rel AS r,
+           |    array_max(transform(
+           |      filter(ss, p -> p.a = x.id AND array_contains($sel, p.b)),
+           |      p -> p.sim)) AS ms)))""".stripMargin
+      pool.crossJoin(sims)
+        .withColumn("p1", expr("array_max(transform(cs, x -> struct(" +
+          "x.rel AS sc, -x.id AS ni, x.rel AS r, CAST(0 AS BIGINT) AS ms)))"))
+        .withColumn("sel1", expr("array(-p1.ni)"))
+        .withColumn("p2", expr(stepExpr("sel1")))
+        .withColumn("sel2", expr("array(-p1.ni, -p2.ni)"))
+        .withColumn("p3", expr(stepExpr("sel2")))
+        .withColumn("sel3", expr("array(-p1.ni, -p2.ni, -p3.ni)"))
+        .withColumn("p4", expr(stepExpr("sel3")))
+        .withColumn("sel4", expr("array(-p1.ni, -p2.ni, -p3.ni, -p4.ni)"))
+        .withColumn("p5", expr(stepExpr("sel4")))
+        .select(explode(expr(
+          """array(
+            |  struct(CAST(1 AS BIGINT) AS step, -p1.ni AS vec_id,
+            |         p1.r AS rel_u, p1.ms AS maxsim_u, p1.sc AS score_u),
+            |  struct(CAST(2 AS BIGINT) AS step, -p2.ni AS vec_id,
+            |         p2.r AS rel_u, p2.ms AS maxsim_u, p2.sc AS score_u),
+            |  struct(CAST(3 AS BIGINT) AS step, -p3.ni AS vec_id,
+            |         p3.r AS rel_u, p3.ms AS maxsim_u, p3.sc AS score_u),
+            |  struct(CAST(4 AS BIGINT) AS step, -p4.ni AS vec_id,
+            |         p4.r AS rel_u, p4.ms AS maxsim_u, p4.sc AS score_u),
+            |  struct(CAST(5 AS BIGINT) AS step, -p5.ni AS vec_id,
+            |         p5.r AS rel_u, p5.ms AS maxsim_u, p5.sc AS score_u))""".stripMargin))
+          .as("pk"))
+        .select(col("pk.step").as("step"), col("pk.vec_id").as("vec_id"),
+          col("pk.rel_u").as("rel_u"), col("pk.maxsim_u").as("maxsim_u"),
+          col("pk.score_u").as("score_u"))
+        .orderBy("step")
     }
   )
 
@@ -978,6 +1111,85 @@ object Similarity {
         |FROM cum CROSS JOIN n CROSS JOIN dec CROSS JOIN nd
         |WHERE 10 * cum.below < dec.decile * n.n
         |  AND dec.decile * n.n <= 10 * (cum.below + cum.f)
-        |ORDER BY dec.decile""".stripMargin
+        |ORDER BY dec.decile""".stripMargin,
+
+    "q317_semdedup" -> (CellAssignSql +
+      """,
+        |pr AS (
+        |  SELECT b.cell, b.vec_id AS id_b
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT cell, COUNT(*) AS n_pruned FROM pr GROUP BY 1),
+        |nc AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1)
+        |SELECT CAST(nc.cell AS BIGINT) AS cell,
+        |  CAST(nc.n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(COALESCE(pc.n_pruned, 0) AS BIGINT) AS n_pruned,
+        |  CAST(nc.n_vecs - COALESCE(pc.n_pruned, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(pc.n_pruned, 0) * 1000000 // nc.n_vecs AS BIGINT)
+        |    AS prune_ppm
+        |FROM nc LEFT JOIN pc ON nc.cell = pc.cell ORDER BY cell""".stripMargin),
+
+    "q319_mmr_select" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |anch AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n0
+        |         ORDER BY vec_id LIMIT 1),
+        |cand AS (
+        |  SELECT vec_id, v, nrm,
+        |    CAST(floor(round(list_dot_product(v, qv) / (nrm * qn), 6)
+        |      * 1000000 + 0.5) AS BIGINT) AS rel_u
+        |  FROM n0, anch WHERE vec_id <> qid
+        |  ORDER BY rel_u DESC, vec_id LIMIT 32),
+        |sim AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    CAST(floor(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+        |      * 1000000 + 0.5) AS BIGINT) AS sim_u
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |s1 AS (SELECT vec_id, rel_u FROM cand ORDER BY rel_u DESC, vec_id LIMIT 1),
+        |p2 AS (
+        |  SELECT c.vec_id, c.rel_u, MAX(s.sim_u) AS maxsim_u
+        |  FROM cand c JOIN sim s ON s.ida = c.vec_id
+        |    AND s.idb IN (SELECT vec_id FROM s1)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT vec_id, rel_u, maxsim_u, rel_u - maxsim_u AS score_u
+        |       FROM p2 ORDER BY score_u DESC, vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+        |p3 AS (
+        |  SELECT c.vec_id, c.rel_u, MAX(s.sim_u) AS maxsim_u
+        |  FROM cand c JOIN sim s ON s.ida = c.vec_id
+        |    AND s.idb IN (SELECT vec_id FROM sel2)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT vec_id, rel_u, maxsim_u, rel_u - maxsim_u AS score_u
+        |       FROM p3 ORDER BY score_u DESC, vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        |p4 AS (
+        |  SELECT c.vec_id, c.rel_u, MAX(s.sim_u) AS maxsim_u
+        |  FROM cand c JOIN sim s ON s.ida = c.vec_id
+        |    AND s.idb IN (SELECT vec_id FROM sel3)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  GROUP BY 1, 2),
+        |s4 AS (SELECT vec_id, rel_u, maxsim_u, rel_u - maxsim_u AS score_u
+        |       FROM p4 ORDER BY score_u DESC, vec_id LIMIT 1),
+        |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+        |p5 AS (
+        |  SELECT c.vec_id, c.rel_u, MAX(s.sim_u) AS maxsim_u
+        |  FROM cand c JOIN sim s ON s.ida = c.vec_id
+        |    AND s.idb IN (SELECT vec_id FROM sel4)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+        |  GROUP BY 1, 2),
+        |s5 AS (SELECT vec_id, rel_u, maxsim_u, rel_u - maxsim_u AS score_u
+        |       FROM p5 ORDER BY score_u DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS step, vec_id, rel_u,
+        |  CAST(0 AS BIGINT) AS maxsim_u, rel_u AS score_u FROM s1
+        |UNION ALL SELECT 2, vec_id, rel_u, maxsim_u, score_u FROM s2
+        |UNION ALL SELECT 3, vec_id, rel_u, maxsim_u, score_u FROM s3
+        |UNION ALL SELECT 4, vec_id, rel_u, maxsim_u, score_u FROM s4
+        |UNION ALL SELECT 5, vec_id, rel_u, maxsim_u, score_u FROM s5
+        |ORDER BY step""".stripMargin
   )
 }

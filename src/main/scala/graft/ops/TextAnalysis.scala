@@ -624,6 +624,52 @@ object TextAnalysis {
         .select(col("doc_id"), col("phrase"), col("df").cast("long").as("df"),
           col("n_hits"))
         .orderBy("doc_id").limit(50)
+    },
+
+    // χ² KEYNESS — the top-5 tokens most DISTINCTIVE of each source
+    // (source vs rest-of-corpus 2×2 contingency per token, Pearson χ²):
+    // the corpus-linguistics primitive behind "what is this crawl
+    // actually full of?" — q301's stylometry profiles FIXED function
+    // words, this DISCOVERS the discriminating content terms. Log-
+    // likelihood keyness (Dunning G²) needs ln(); χ² is rational, so it
+    // is the exact-arithmetic keyness per the repo-wide log-free rule.
+    // Sufficient statistics a,b,c,d are exact BIGINTs; the cross
+    // product ad−bc widens to DECIMAL(38,0); the single mirrored
+    // IEEE step is the q248 convention (double mul/div in fixed order,
+    // round to e6). Candidates need in-source tf ≥ 5 AND positive
+    // enrichment (ad > bc) — keyness is one-sided; depletion is the
+    // OTHER source's enrichment. Scale: tf agg map-combines on
+    // (source, token); the token-margin join is vocab-sized; source
+    // margins and the grand total broadcast; the top-5 window runs per
+    // source over the candidate vocabulary, never over documents.
+    "q318_keyness" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("a"))
+      val tokT = tf.groupBy("tok").agg(sum(col("a")).as("tf_tok"))
+      val srcT = tf.groupBy("source").agg(sum(col("a")).as("n_src"))
+      val grand = srcT.agg(sum(col("n_src")).as("n_tot"))
+      val scored = tf.filter(col("a") >= 5)
+        .join(tokT, "tok").join(broadcast(srcT), "source")
+        .crossJoin(broadcast(grand))
+        .withColumn("diff", expr(
+          "CAST(a AS DECIMAL(38,0)) * (n_tot - n_src - (tf_tok - a))" +
+            " - CAST(tf_tok - a AS DECIMAL(38,0)) * (n_src - a)"))
+        .filter(col("diff") > 0)
+        .withColumn("chi2_e6", expr("""CAST(round(
+            CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE) /
+            CAST(CAST(tf_tok AS DECIMAL(38,0)) * (n_tot - tf_tok) AS DOUBLE) /
+            CAST(CAST(n_src AS DECIMAL(38,0)) * (n_tot - n_src) AS DOUBLE) *
+            CAST(n_tot AS DOUBLE) * 1000000) AS BIGINT)"""))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("chi2_e6").desc, col("tok"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("tok"), col("a").cast("long").as("tf_src"),
+          (col("tf_tok") - col("a")).cast("long").as("tf_rest"),
+          col("chi2_e6"))
+        .orderBy("source", "rank")
     }
   )
 
@@ -1012,6 +1058,36 @@ object TextAnalysis {
         |SELECT doc_id, phrase, df, CAST(COUNT(*) AS BIGINT) AS n_hits
         |FROM grams JOIN phrase ON bg = phrase
         |GROUP BY doc_id, phrase, df
-        |ORDER BY doc_id LIMIT 50""".stripMargin
+        |ORDER BY doc_id LIMIT 50""".stripMargin,
+
+    "q318_keyness" ->
+      """WITH tf AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |tt AS (SELECT tok, SUM(a) AS tf_tok FROM tf GROUP BY 1),
+        |st AS (SELECT source, SUM(a) AS n_src FROM tf GROUP BY 1),
+        |g AS (SELECT SUM(n_src) AS n_tot FROM st),
+        |sc AS (
+        |  SELECT tf.source, tf.tok, tf.a, tt.tf_tok, st.n_src, g.n_tot,
+        |    CAST(tf.a AS HUGEINT) * (g.n_tot - st.n_src - (tt.tf_tok - tf.a))
+        |      - CAST(tt.tf_tok - tf.a AS HUGEINT) * (st.n_src - tf.a) AS diff
+        |  FROM tf JOIN tt USING (tok) JOIN st USING (source) CROSS JOIN g
+        |  WHERE tf.a >= 5),
+        |ch AS (
+        |  SELECT source, tok, a, tf_tok - a AS b,
+        |    CAST(round(
+        |      CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE) /
+        |      CAST(CAST(tf_tok AS HUGEINT) * (n_tot - tf_tok) AS DOUBLE) /
+        |      CAST(CAST(n_src AS HUGEINT) * (n_tot - n_src) AS DOUBLE) *
+        |      CAST(n_tot AS DOUBLE) * 1000000) AS BIGINT) AS chi2_e6
+        |  FROM sc WHERE diff > 0),
+        |rk AS (
+        |  SELECT source, tok, a, b, chi2_e6, row_number() OVER
+        |    (PARTITION BY source ORDER BY chi2_e6 DESC, tok) AS rank
+        |  FROM ch)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, tok,
+        |  CAST(a AS BIGINT) AS tf_src, CAST(b AS BIGINT) AS tf_rest, chi2_e6
+        |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin
   )
 }

@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Behavior, Corpus, Dedup, Similarity, TextAnalysis}
+
+/** Invariants + injected-detector proofs for q317–q322.
+  *
+  * The DuckDB hash-compare proves Spark and DuckDB agree; these specs
+  * prove the operators DETECT what they claim to detect. The shipped
+  * corpus has no cross-source mirrors and no exclusive-token spam, so
+  * (per the repo's q310 convention) each detector is additionally run on
+  * a written fixture that injects the condition, and must fire.
+  */
+class AuditOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def writeDocs(rows: Seq[Row]): String = {
+    val dir = Files.createTempDirectory("graft-audit-docs").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def doc(id: Long, text: String, lang: String, source: String) =
+    Row(id, text, lang, source, text.length.toLong)
+
+  // ---- q317 SemDeDup -------------------------------------------------
+
+  test("q317 conserves vectors per cell and never prunes more than n_vecs - 1") {
+    val rows = Similarity.queries("q317_semdedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_pruned") ==
+        r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_kept") >= 1,
+        "the keep-min survivor convention always keeps a representative")
+    }
+  }
+
+  test("q317 prunes an injected exact-duplicate vector (and keeps the smaller id)") {
+    val dir = Files.createTempDirectory("graft-audit-vecs").toString
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    // vec 0 is the (only) centroid (vec_id % 50 == 0); 1 and 2 are exact
+    // duplicates of each other → cosine 1 ≥ SemTau → 2 is pruned; 3 is
+    // near-orthogonal and must survive.
+    val v = Seq(
+      Row(0L, Array(1.0f, 0.0f, 0.0f), 0),
+      Row(1L, Array(0.6f, 0.8f, 0.0f), 0),
+      Row(2L, Array(0.6f, 0.8f, 0.0f), 0),
+      Row(3L, Array(0.0f, 0.1f, -0.9f), 0))
+    spark.createDataFrame(spark.sparkContext.parallelize(v, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.queries("q317_semdedup")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == 4)
+    assert(out.map(_.getAs[Long]("n_pruned")).sum >= 1,
+      "an exact duplicate pair must prune its larger vec_id")
+    assert(out.map(_.getAs[Long]("n_kept")).sum <= 3)
+  }
+
+  // ---- q318 keyness --------------------------------------------------
+
+  test("q318 emits ranks 1..k per source with non-negative chi2") {
+    val rows = TextAnalysis.queries("q318_keyness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq)
+    }
+    rows.foreach(r => assert(r.getAs[Long]("chi2_e6") >= 0))
+  }
+
+  test("q318 ranks an injected source-exclusive token #1 for that source") {
+    val common = "alpha beta gamma delta epsilon"
+    val dir = writeDocs(
+      (1L to 6L).map(i => doc(i, s"$common zebraword", "en", "spamSrc")) ++
+      (7L to 30L).map(i => doc(i, common, "en", "cleanSrc")))
+    val out = TextAnalysis.queries("q318_keyness")(spark, dir).collect()
+    val top = out.filter(r => r.getAs[String]("source") == "spamSrc" &&
+      r.getAs[Long]("rank") == 1L)
+    assert(top.length == 1 && top.head.getAs[String]("tok") == "zebraword",
+      s"exclusive token must be the #1 key term; got ${top.toSeq}")
+    assert(top.head.getAs[Long]("tf_rest") == 0L)
+  }
+
+  // ---- q319 MMR ------------------------------------------------------
+
+  test("q319 picks 5 distinct vectors with non-increasing greedy scores") {
+    val rows = Similarity.queries("q319_mmr_select")(spark, sf)
+      .orderBy("step").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    assert(rows.head.getAs[Long]("maxsim_u") == 0L)
+    // Non-increasing from step 2 on: every candidate's maxsim only grows
+    // as S grows, so the attainable max score shrinks. Step 1 is outside
+    // the law — its score is pure relevance, and a NEGATIVE maxsim at
+    // step 2 (anti-correlated pick) can legitimately beat it.
+    val scores = rows.map(_.getAs[Long]("score_u")).drop(1)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"greedy MMR scores must be non-increasing from step 2: ${scores.toSeq}")
+  }
+
+  // ---- q320 temporal holdout ----------------------------------------
+
+  test("q320 masses add up and the both-sides user count is bounded") {
+    val rows = Behavior.queries("q320_holdout_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evTotal = graft.model.Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_train") + r.getAs[Long]("n_test")).sum
+      == evTotal)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u_both") <=
+        math.min(r.getAs[Long]("u_train"), r.getAs[Long]("u_test")))
+    }
+  }
+
+  test("q320 detects an injected boundary-crossing user and clears a clean split") {
+    val dir = Files.createTempDirectory("graft-audit-ev").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def t(sec: Long) = java.time.LocalDateTime.ofEpochSecond(
+      1700000000L + sec, 0, java.time.ZoneOffset.UTC)
+    // range [0, 100] s → cut at 80 s. User 1 appears both sides of the
+    // cut ("leaky"); users 2/3 are train-only / test-only ("clean").
+    val rows = Seq(
+      Row(1L, t(0L), 1L, "leaky", 0.0, ""), Row(2L, t(90L), 1L, "leaky", 0.0, ""),
+      Row(3L, t(10L), 2L, "clean", 0.0, ""), Row(4L, t(95L), 3L, "clean", 0.0, ""),
+      Row(5L, t(100L), 9L, "clean", 0.0, ""))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavior.queries("q320_holdout_audit")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("leaky").getAs[Long]("u_both") == 1L)
+    assert(out("leaky").getAs[Long]("overlap_ppm") == 1000000L)
+    assert(out("clean").getAs[Long]("u_both") == 0L)
+  }
+
+  // ---- q321 HHI ------------------------------------------------------
+
+  test("q321 HHI sits between top-share-squared and monopoly; single source = 1e6") {
+    val rows = Corpus.queries("q321_hhi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hhi = r.getAs[Long]("hhi_docs_ppm")
+      val top = r.getAs[Long]("top_share_ppm")
+      assert(hhi <= 1000000L && hhi >= top * top / 1000000L)
+    }
+    val dir = writeDocs(Seq(
+      doc(1, "aa bb", "mono", "onlySrc"), doc(2, "cc dd", "mono", "onlySrc")))
+    val out = Corpus.queries("q321_hhi")(spark, dir).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("hhi_docs_ppm") == 1000000L)
+    assert(out.head.getAs[Long]("n_sources") == 1L)
+  }
+
+  // ---- q322 cross-source overlap ------------------------------------
+
+  test("q322 emits explicit zero rows and counts injected cross-source mirrors") {
+    val real = Dedup.queries("q322_source_overlap")(spark, sf).collect()
+    val nSources = graft.model.Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(real.length == nSources * (nSources - 1) / 2,
+      "every unordered source pair must be an explicit row")
+    // Injected: A and B share two exact texts; C shares nothing.
+    val dir = writeDocs(Seq(
+      doc(1, "mirrored one", "en", "A"), doc(2, "mirrored two", "en", "A"),
+      doc(3, "only in a", "en", "A"),
+      doc(4, "mirrored one", "en", "B"), doc(5, "mirrored two", "en", "B"),
+      doc(6, "fresh text", "en", "C")))
+    val out = Dedup.queries("q322_source_overlap")(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r).toMap
+    assert(out(("A", "B")).getAs[Long]("shared_fps") == 2L)
+    // |A ∪ B| = 3 + 2 − 2 = 3 distinct contents → Jaccard 2/3
+    assert(out(("A", "B")).getAs[Long]("jaccard_ppm") == 666666L)
+    assert(out(("A", "C")).getAs[Long]("shared_fps") == 0L)
+    assert(out(("B", "C")).getAs[Long]("shared_fps") == 0L)
+  }
+}
