@@ -732,6 +732,126 @@ object Corpus {
           expr("CAST(hc DIV 1000000 AS BIGINT)").as("hhi_chars_ppm"),
           col("top_share_ppm"))
         .orderBy("lang")
+    },
+
+    // DSIR-proxy DOMAIN scoring (Xie et al. 2023, arXiv:2302.03169,
+    // hashed-n-gram importance resampling): score each document by how
+    // much its hashed-bigram feature mass sits in buckets the TARGET
+    // domain (the lexicographically first source — a deployment passes
+    // its own) over-represents vs the corpus. The paper's importance
+    // weight is a log-ratio product; the log-free integer form is the
+    // inner product Σ_b n_doc(b)·(t_ppm(b) − c_ppm(b)) — same sign
+    // structure, exact in int64 (|score| ≤ n_bg·10⁶). Per-source
+    // output: docs, positive-score docs ("selected" mass under the
+    // resampling rule), and the exact score sum — NO mean division, a
+    // signed DIV floors differently across engines (the q112 rule).
+    // Scale: 64 buckets by the engine-neutral md5 hash; the bucket
+    // stats are a broadcast; corpus work = one bigram explode + two
+    // map-combined aggs ((doc, bucket) then source).
+    "q323_dsir_proxy" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bg = docs.withColumn("t", split(col("text"), " "))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(1, size(t) - 1)," +
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .as("bg"))
+        .withColumn("b",
+          expr("CAST(conv(substring(md5(bg), 1, 8), 16, 10) AS BIGINT) % 64"))
+      val tgt = docs.agg(min(col("source")).as("tsrc"))
+      // ONE explode pass: the per-(doc, bucket) counts are cached
+      // (≤ docs×64 rows) and the bucket/target distributions FOLD OUT
+      // of them — a second corpus-wide bigram explode for the bucket
+      // stats would double the heavy leg.
+      val perDoc = Caches.shared(
+        bg.groupBy("doc_id", "source", "b").agg(count(lit(1)).as("nb")))
+      val bstats = perDoc.crossJoin(broadcast(tgt))
+        .groupBy("b").agg(sum(col("nb")).as("n_all"),
+          sum(when(col("source") === col("tsrc"), col("nb")).otherwise(0L))
+            .as("n_tgt"))
+      val tots = bstats.agg(sum(col("n_all")).as("t_all"),
+        sum(col("n_tgt")).as("t_tgt"))
+      val bw = bstats.crossJoin(broadcast(tots))
+        .select(col("b"),
+          expr("CAST(n_tgt * 1000000 DIV t_tgt AS BIGINT)").as("t_ppm"),
+          expr("CAST(n_all * 1000000 DIV t_all AS BIGINT)").as("c_ppm"))
+      perDoc.join(broadcast(bw), "b")
+        .groupBy("doc_id", "source")
+        .agg(sum(col("nb") * (col("t_ppm") - col("c_ppm"))).as("score"),
+          sum(col("nb")).as("n_bg"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).cast("long")
+            .as("n_selected"),
+          sum(col("score")).cast("long").as("score_sum"),
+          sum(col("n_bg")).cast("long").as("n_bigrams"))
+        .withColumn("selected_ppm",
+          expr("CAST(n_selected * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // word2vec NEGATIVE-SAMPLING table (Mikolov et al. 2013): the
+    // unigram^(3/4) sampling distribution over the top-64 vocabulary —
+    // the damping that keeps "the" from absorbing every negative draw.
+    // tf^¾ is transcendental-free via NESTED EXACT INTEGER SQUARE
+    // ROOTS (the q290 trick): isqrt(tf·10⁸) = tf^½·10⁴ (exact while
+    // tf·10⁸ < 2⁵³, i.e. tf < 9·10⁷), isqrt of that ·10⁴ = tf^¼·10⁴,
+    // and w¾ = w½·w¼ DIV 10⁴ — the floor-product form both engines
+    // compute identically. Output per token: damped share vs
+    // proportional share and the signed delta (head tokens negative =
+    // mass released, tail positive = mass gained). Scale: tf agg
+    // map-combines on tokens; TakeOrdered bounds the table at 64; all
+    // share arithmetic on the 64-row grid.
+    "q326_negative_sampling" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok")).limit(64)
+      val w = tf
+        .withColumn("w2",
+          expr("CAST(FLOOR(SQRT(CAST(tf * 100000000 AS DOUBLE))) AS BIGINT)"))
+        .withColumn("w1",
+          expr("CAST(FLOOR(SQRT(CAST(w2 * 10000 AS DOUBLE))) AS BIGINT)"))
+        .withColumn("w34", expr("w2 * w1 DIV 10000"))
+      val tot = w.agg(sum(col("w34")).as("wt"), sum(col("tf")).as("tt"))
+      w.crossJoin(broadcast(tot))
+        .select(col("tok"), col("tf").cast("long").as("tf"),
+          col("w34").cast("long").as("w34"),
+          expr("CAST(w34 * 1000000 DIV wt AS BIGINT)").as("share_ppm"),
+          expr("CAST(tf * 1000000 DIV tt AS BIGINT)").as("prop_ppm"))
+        .withColumn("delta_ppm", (col("share_ppm") - col("prop_ppm")))
+        .orderBy(col("tf").desc, col("tok"))
+    },
+
+    // MAX-LEN packing SWEEP: the context-length decision table — for
+    // L ∈ {32, 64, 128, 256} (whitespace tokens), what truncation
+    // destroys and what padding wastes: docs over L, tokens cut,
+    // pad-to-L waste, and the kept-token utilization ppm. D5s/q61
+    // packs AT one length; this prices the CHOICE of length (the
+    // truncate-vs-pack trade every pretraining data pipeline sweeps
+    // before committing a sequence length). Exact integers throughout.
+    // Scale: per-doc token counts map-combine; the L grid is a 4-row
+    // broadcast; output is the 4-row grid.
+    "q327_maxlen_sweep" -> { (s, d) =>
+      val n = Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("nt"))
+      val grid = n.sparkSession.range(0, 4)
+        .select(expr("CAST(32 * shiftleft(1, CAST(id AS INT)) AS BIGINT)")
+          .as("max_len"))
+      n.crossJoin(broadcast(grid))
+        .groupBy("max_len")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("nt")).cast("long").as("n_tokens"),
+          sum(least(col("nt"), col("max_len"))).cast("long").as("kept_tokens"),
+          sum(when(col("nt") > col("max_len"), 1L).otherwise(0L)).cast("long")
+            .as("trunc_docs"),
+          sum(greatest(col("nt") - col("max_len"), lit(0L))).cast("long")
+            .as("trunc_tokens"),
+          sum(col("max_len") - least(col("nt"), col("max_len"))).cast("long")
+            .as("pad_tokens"))
+        .withColumn("util_ppm",
+          expr("CAST(kept_tokens * 1000000 DIV (n_docs * max_len) AS BIGINT)"))
+        .orderBy("max_len")
     }
   )
 
@@ -1166,6 +1286,82 @@ object Corpus {
         |  CAST(SUM(sd_ppm * sd_ppm) // 1000000 AS BIGINT) AS hhi_docs_ppm,
         |  CAST(SUM(sc_ppm * sc_ppm) // 1000000 AS BIGINT) AS hhi_chars_ppm,
         |  CAST(MAX(sd_ppm) AS BIGINT) AS top_share_ppm
-        |FROM sh GROUP BY lang, n_sources, td ORDER BY lang""".stripMargin
+        |FROM sh GROUP BY lang, n_sources, td ORDER BY lang""".stripMargin,
+
+    "q323_dsir_proxy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 8))::BIGINT
+        |      % 64 AS b
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+        |tgt AS (SELECT MIN(source) AS tsrc FROM documents),
+        |bs AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(CASE WHEN source = tsrc THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tgt
+        |  FROM bg CROSS JOIN tgt GROUP BY 1),
+        |tots AS (SELECT SUM(n_all) AS t_all, SUM(n_tgt) AS t_tgt FROM bs),
+        |bw AS (
+        |  SELECT b, CAST(n_tgt * 1000000 // t_tgt AS BIGINT) AS t_ppm,
+        |    CAST(n_all * 1000000 // t_all AS BIGINT) AS c_ppm
+        |  FROM bs CROSS JOIN tots),
+        |pd AS (
+        |  SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM bg GROUP BY 1, 2, 3),
+        |ds AS (
+        |  SELECT pd.doc_id, pd.source,
+        |    SUM(pd.nb * (bw.t_ppm - bw.c_ppm)) AS score,
+        |    SUM(pd.nb) AS n_bg
+        |  FROM pd JOIN bw USING (b) GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_selected,
+        |  CAST(SUM(score) AS BIGINT) AS score_sum,
+        |  CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS selected_ppm
+        |FROM ds GROUP BY source ORDER BY source""".stripMargin,
+
+    "q326_negative_sampling" ->
+      """WITH tf AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1 ORDER BY tf DESC, tok LIMIT 64),
+        |w AS (
+        |  SELECT tok, tf,
+        |    CAST(FLOOR(SQRT(CAST(tf * 100000000 AS DOUBLE))) AS BIGINT) AS w2
+        |  FROM tf),
+        |w4 AS (
+        |  SELECT tok, tf, w2,
+        |    CAST(FLOOR(SQRT(CAST(w2 * 10000 AS DOUBLE))) AS BIGINT) AS w1
+        |  FROM w),
+        |ww AS (SELECT tok, tf, w2 * w1 // 10000 AS w34 FROM w4),
+        |tot AS (SELECT SUM(w34) AS wt, SUM(tf) AS tt FROM ww)
+        |SELECT tok, tf, CAST(w34 AS BIGINT) AS w34,
+        |  CAST(w34 * 1000000 // wt AS BIGINT) AS share_ppm,
+        |  CAST(tf * 1000000 // tt AS BIGINT) AS prop_ppm,
+        |  CAST(w34 * 1000000 // wt AS BIGINT)
+        |    - CAST(tf * 1000000 // tt AS BIGINT) AS delta_ppm
+        |FROM ww CROSS JOIN tot ORDER BY tf DESC, tok""".stripMargin,
+
+    "q327_maxlen_sweep" ->
+      """WITH n AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |grid AS (SELECT CAST(l.l AS BIGINT) AS max_len
+        |         FROM UNNEST([32, 64, 128, 256]) AS l(l))
+        |SELECT max_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(LEAST(nt, max_len)) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(CASE WHEN nt > max_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS trunc_docs,
+        |  CAST(SUM(GREATEST(nt - max_len, 0)) AS BIGINT) AS trunc_tokens,
+        |  CAST(SUM(max_len - LEAST(nt, max_len)) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(LEAST(nt, max_len)) * 1000000
+        |    // (COUNT(*) * max_len) AS BIGINT) AS util_ppm
+        |FROM n CROSS JOIN grid GROUP BY max_len ORDER BY max_len""".stripMargin
   )
 }

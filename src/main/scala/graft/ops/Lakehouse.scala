@@ -497,6 +497,46 @@ object Lakehouse {
           expr("CAST(rev * 1000000 DIV pr AS BIGINT)").as("parent_share_ppm"))
       l1.unionByName(l2).unionByName(l3)
         .orderBy("lvl", "r_name", "n_name", "segment")
+    },
+
+    // FUNCTIONAL-DEPENDENCY audit over a declared candidate set (the
+    // TANE-style profiling pass a lakehouse runs before trusting a
+    // column as a join key, a partition key, or a denormalization
+    // target): for each candidate lhs → rhs, the number of lhs groups,
+    // the groups carrying >1 distinct rhs (violations), and the
+    // violation ppm. Candidates mix known keys (controls that MUST
+    // hold: nationkey → regionkey, partkey → brand), a real TPC-H
+    // hidden dependency (brand → "Brand#MN" digits... here brand →
+    // p_retailprice does NOT hold — the violated rows prove the audit
+    // bites), and denormalization traps (custkey → priority,
+    // partkey → suppkey, source → lang). holds = zero violating
+    // groups. Scale: each branch is ONE map-combined
+    // groupBy(lhs).agg(countDistinct(rhs)) on its own key — no joins;
+    // the union output is |candidates| rows.
+    "q324_fd_audit" -> { (s, d) =>
+      def fd(df: DataFrame, tbl: String, lhs: String, rhs: String) =
+        df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("viol_groups"))
+          .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+            col("n_groups").cast("long").as("n_groups"),
+            col("viol_groups").cast("long").as("viol_groups"),
+            expr("CAST(viol_groups * 1000000 DIV n_groups AS BIGINT)")
+              .as("viol_ppm"),
+            (col("viol_groups") === 0L).as("holds"))
+      fd(Tables.nation(s, d), "nation", "n_nationkey", "n_regionkey")
+        .unionByName(fd(Tables.part(s, d), "part", "p_partkey", "p_brand"))
+        .unionByName(fd(Tables.customer(s, d), "customer", "c_nationkey",
+          "c_mktsegment"))
+        .unionByName(fd(Tables.orders(s, d), "orders", "o_custkey",
+          "o_orderpriority"))
+        .unionByName(fd(Tables.lineitem(s, d), "lineitem", "l_partkey",
+          "l_suppkey"))
+        .unionByName(fd(Tables.part(s, d), "part", "p_brand",
+          "p_retailprice"))
+        .unionByName(fd(Tables.documents(s, d), "documents", "source",
+          "lang"))
+        .orderBy("tbl", "lhs", "rhs")
     }
   )
 
@@ -833,6 +873,29 @@ object Lakehouse {
         |    CAST(base.rev AS BIGINT),
         |    CAST(base.rev * 1000000 // nat.rev AS BIGINT)
         |  FROM base JOIN nat USING (r_name, n_name))
-        |SELECT * FROM u ORDER BY lvl, r_name, n_name, segment""".stripMargin
+        |SELECT * FROM u ORDER BY lvl, r_name, n_name, segment""".stripMargin,
+
+    "q324_fd_audit" -> {
+      def fd(tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$tbl' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+           |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS viol_groups,
+           |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) * 1000000
+           |    // COUNT(*) AS BIGINT) AS viol_ppm,
+           |  SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS ndv FROM $tbl
+           |      GROUP BY 1)""".stripMargin
+      Seq(
+        fd("nation", "n_nationkey", "n_regionkey"),
+        fd("part", "p_partkey", "p_brand"),
+        fd("customer", "c_nationkey", "c_mktsegment"),
+        fd("orders", "o_custkey", "o_orderpriority"),
+        fd("lineitem", "l_partkey", "l_suppkey"),
+        fd("part", "p_brand", "p_retailprice"),
+        fd("documents", "source", "lang"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY tbl, lhs, rhs")
+    }
   )
 }

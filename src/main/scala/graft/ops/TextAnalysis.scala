@@ -670,6 +670,47 @@ object TextAnalysis {
           (col("tf_tok") - col("a")).cast("long").as("tf_rest"),
           col("chi2_e6"))
         .orderBy("source", "rank")
+    },
+
+    // SPAN-level cross-source overlap: the winnowing-fingerprint (MOSS)
+    // sibling of Dedup's q322 whole-document mirror matrix — two
+    // sources that share NO byte-exact documents still share character
+    // 5-gram spans (boilerplate, citations, partial copies), and this
+    // prices that per unordered source pair: shared winnow fingerprints,
+    // floor-ppm Jaccard over the fingerprint union, and CONTAINMENT
+    // (shared / smaller side) — the asymmetric-copy detector: a small
+    // source lifted wholesale into a big one shows low Jaccard but
+    // containment → 10⁶. Runs over the q39 sampling convention
+    // (doc_id % 3 — the bounded declared form; the grid covers sources
+    // with ≥1 sampled fingerprint). Scale: fingerprints are int32
+    // hashes — the distinct (fp, source) agg shuffles fixed-width keys;
+    // the fp self-join fans out ≤|sources|² per fingerprint; the pair
+    // grid is |sources|²-sized.
+    "q325_span_overlap" -> { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("source"),
+          explode(Winnow.winnow_fingerprints(col("text"), 5, 4)).as("fp"))
+        .distinct()
+      val nd = fp.groupBy("source").agg(count(lit(1)).as("ndv"))
+      val shared = fp.select(col("fp"), col("source").as("src_a"))
+        .join(fp.select(col("fp"), col("source").as("src_b")), Seq("fp"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+      nd.select(col("source").as("src_a"), col("ndv").as("ndv_a"))
+        .crossJoin(broadcast(
+          nd.select(col("source").as("src_b"), col("ndv").as("ndv_b"))))
+        .filter(col("src_a") < col("src_b"))
+        .join(shared, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          col("ndv_a").cast("long").as("ndv_a"),
+          col("ndv_b").cast("long").as("ndv_b"),
+          coalesce(col("shared"), lit(0L)).cast("long").as("shared_fps"))
+        .withColumn("jaccard_ppm", expr(
+          "CAST(shared_fps * 1000000 DIV (ndv_a + ndv_b - shared_fps) AS BIGINT)"))
+        .withColumn("containment_ppm", expr(
+          "CAST(shared_fps * 1000000 DIV least(ndv_a, ndv_b) AS BIGINT)"))
+        .orderBy("src_a", "src_b")
     }
   )
 
@@ -691,6 +732,33 @@ object TextAnalysis {
       |r AS (SELECT doc_id, pred_lang, overlap,
       |        row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, pred_lang) AS rn
       |      FROM ov)""".stripMargin
+
+  /** SQL mirror of [[graft.functions.Winnow]] (k=5, w=4) up to the
+    * `picked` fingerprint set, over the `doc_id % mod = 0` sample — ONE
+    * parameterized definition shared by the q39 and q325 oracles so the
+    * rolling-hash/rightmost-min logic cannot drift between them. */
+  private def winnowPickedSql(mod: Int): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, text, length(text) AS n FROM documents
+       |  WHERE doc_id % $mod = 0),
+       |hashes AS (
+       |  SELECT d.doc_id, g.i,
+       |    (SUM((ord(substr(d.text, g.i + j.j + 1, 1))::BIGINT) *
+       |         ([67503107,16974593,66049,257,1])[j.j + 1]))
+       |      % 2147483647 AS h
+       |  FROM docs d,
+       |       UNNEST(generate_series(0, d.n - 5)) AS g(i),
+       |       UNNEST(generate_series(0, 4)) AS j(j)
+       |  GROUP BY d.doc_id, g.i),
+       |nh AS (SELECT doc_id, COUNT(*) AS n_hashes FROM hashes GROUP BY 1),
+       |wins AS (
+       |  SELECT h.doc_id, w.ws, h.i, h.h,
+       |    row_number() OVER (PARTITION BY h.doc_id, w.ws ORDER BY h.h ASC, h.i DESC) AS rn
+       |  FROM nh
+       |  JOIN LATERAL (SELECT UNNEST(generate_series(0, (nh.n_hashes - least(4, nh.n_hashes))::BIGINT)) AS ws) w ON TRUE
+       |  JOIN hashes h ON h.doc_id = nh.doc_id
+       |    AND h.i BETWEEN w.ws AND w.ws + least(4, nh.n_hashes) - 1),
+       |picked AS (SELECT DISTINCT doc_id, i, h FROM wins WHERE rn = 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q137_bm25_retrieval" ->
@@ -941,27 +1009,10 @@ object TextAnalysis {
     // index (the rightmost-min index is non-decreasing as the window
     // slides, so "emit when the index changes" ≡ picked-index set).
     // ord() == byte value because the corpus is ASCII (verified both SFs).
-    "q39_winnow_fingerprint" ->
-      """WITH docs AS (
-        |  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 29 = 0),
-        |hashes AS (
-        |  SELECT d.doc_id, g.i,
-        |    (SUM((ord(substr(d.text, g.i + j.j + 1, 1))::BIGINT) *
-        |         ([67503107,16974593,66049,257,1])[j.j + 1]))
-        |      % 2147483647 AS h
-        |  FROM docs d,
-        |       UNNEST(generate_series(0, d.n - 5)) AS g(i),
-        |       UNNEST(generate_series(0, 4)) AS j(j)
-        |  GROUP BY d.doc_id, g.i),
-        |nh AS (SELECT doc_id, COUNT(*) AS n_hashes FROM hashes GROUP BY 1),
-        |wins AS (
-        |  SELECT h.doc_id, w.ws, h.i, h.h,
-        |    row_number() OVER (PARTITION BY h.doc_id, w.ws ORDER BY h.h ASC, h.i DESC) AS rn
-        |  FROM nh
-        |  JOIN LATERAL (SELECT UNNEST(generate_series(0, (nh.n_hashes - least(4, nh.n_hashes))::BIGINT)) AS ws) w ON TRUE
-        |  JOIN hashes h ON h.doc_id = nh.doc_id
-        |    AND h.i BETWEEN w.ws AND w.ws + least(4, nh.n_hashes) - 1),
-        |picked AS (SELECT DISTINCT doc_id, i, h FROM wins WHERE rn = 1),
+    // ONE parameterized definition (the ClusterLabelsSql rule) feeds the
+    // q39 per-doc audit and q325's cross-source span-overlap matrix.
+    "q39_winnow_fingerprint" -> (winnowPickedSql(29) +
+      """,
         |agg AS (
         |  SELECT doc_id, COUNT(*) AS n_fps, COUNT(DISTINCT h) AS n_distinct_fps,
         |         MIN(h) AS min_fp, MAX(h) AS max_fp
@@ -970,7 +1021,7 @@ object TextAnalysis {
         |  CAST(COALESCE(a.n_distinct_fps, 0) AS BIGINT) AS n_distinct_fps,
         |  CAST(a.min_fp AS BIGINT) AS min_fp, CAST(a.max_fp AS BIGINT) AS max_fp
         |FROM docs d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
 
     "q94_vocab_coverage" ->
       """WITH toks AS (
@@ -1088,6 +1139,31 @@ object TextAnalysis {
         |  FROM ch)
         |SELECT source, CAST(rank AS BIGINT) AS rank, tok,
         |  CAST(a AS BIGINT) AS tf_src, CAST(b AS BIGINT) AS tf_rest, chi2_e6
-        |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+        |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q325_span_overlap" -> (winnowPickedSql(3) +
+      """,
+        |fp AS (
+        |  SELECT DISTINCT d.source, p.h AS fp
+        |  FROM picked p JOIN docs d USING (doc_id)),
+        |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ndv
+        |       FROM fp GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT g.src_a, g.src_b, g.ndv_a, g.ndv_b,
+        |  CAST(COALESCE(sh.shared, 0) AS BIGINT) AS shared_fps,
+        |  CAST(COALESCE(sh.shared, 0) * 1000000
+        |    // (g.ndv_a + g.ndv_b - COALESCE(sh.shared, 0)) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  CAST(COALESCE(sh.shared, 0) * 1000000
+        |    // LEAST(g.ndv_a, g.ndv_b) AS BIGINT) AS containment_ppm
+        |FROM (SELECT a.source AS src_a, b.source AS src_b,
+        |        a.ndv AS ndv_a, b.ndv AS ndv_b
+        |      FROM nd a JOIN nd b ON a.source < b.source) g
+        |LEFT JOIN sh ON g.src_a = sh.src_a AND g.src_b = sh.src_b
+        |ORDER BY g.src_a, g.src_b""".stripMargin)
   )
 }

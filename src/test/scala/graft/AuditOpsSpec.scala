@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Behavior, Corpus, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Behavior, Corpus, Dedup, Lakehouse, Similarity, TextAnalysis}
 
 /** Invariants + injected-detector proofs for q317–q322.
   *
@@ -188,5 +188,82 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(out(("A", "B")).getAs[Long]("jaccard_ppm") == 666666L)
     assert(out(("A", "C")).getAs[Long]("shared_fps") == 0L)
     assert(out(("B", "C")).getAs[Long]("shared_fps") == 0L)
+  }
+
+  // ---- q323 DSIR proxy ----------------------------------------------
+
+  test("q323 selects the target domain's own docs under an injected vocabulary split") {
+    // Target = lexicographically first source ("aaTarget"). Its docs use
+    // a disjoint vocabulary, so every target doc scores positive and
+    // every other doc negative under the inner-product rule.
+    val dir = writeDocs(
+      (1L to 10L).map(i => doc(i, "quark gluon boson lepton", "en", "aaTarget")) ++
+      (11L to 30L).map(i => doc(i, "apple banana cherry date", "en", "zzOther")))
+    val out = Corpus.queries("q323_dsir_proxy")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("aaTarget").getAs[Long]("selected_ppm") == 1000000L)
+    assert(out("zzOther").getAs[Long]("n_selected") == 0L)
+    assert(out("aaTarget").getAs[Long]("score_sum") > 0L)
+    assert(out("zzOther").getAs[Long]("score_sum") < 0L)
+  }
+
+  // ---- q324 FD audit -------------------------------------------------
+
+  test("q324 key controls hold and denormalization traps are violated") {
+    val rows = Lakehouse.queries("q324_fd_audit")(spark, sf).collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[String]("lhs")) -> r).toMap
+    assert(rows(("nation", "n_nationkey")).getAs[Boolean]("holds"),
+      "a key column must determine every other column")
+    assert(rows(("part", "p_partkey")).getAs[Boolean]("holds"))
+    assert(!rows(("lineitem", "l_partkey")).getAs[Boolean]("holds"),
+      "a part ships from many suppliers — the trap must be flagged")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("viol_groups") <= r.getAs[Long]("n_groups"))
+    }
+  }
+
+  // ---- q325 span overlap ---------------------------------------------
+
+  test("q325 containment dominates jaccard and shared is bounded by the smaller side") {
+    val rows = TextAnalysis.queries("q325_span_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sh = r.getAs[Long]("shared_fps")
+      assert(sh <= math.min(r.getAs[Long]("ndv_a"), r.getAs[Long]("ndv_b")))
+      assert(r.getAs[Long]("containment_ppm") >= r.getAs[Long]("jaccard_ppm"))
+    }
+  }
+
+  // ---- q326 negative sampling ---------------------------------------
+
+  test("q326 shares sum to ~1e6 and damping releases mass from the head token") {
+    val rows = Corpus.queries("q326_negative_sampling")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(sSum <= 1000000L && sSum >= 1000000L - rows.length,
+      s"floor-ppm shares must sum to 1e6 minus at most one ulp per row, got $sSum")
+    val head = rows.maxBy(r => (r.getAs[Long]("tf"), r.getAs[String]("tok")))
+    assert(head.getAs[Long]("delta_ppm") <= 0L,
+      "the highest-frequency token must not GAIN mass under ^(3/4) damping")
+  }
+
+  // ---- q327 max-len sweep --------------------------------------------
+
+  test("q327 token masses are conserved and monotone in max_len") {
+    val rows = Corpus.queries("q327_maxlen_sweep")(spark, sf)
+      .orderBy("max_len").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") + r.getAs[Long]("trunc_tokens") ==
+        r.getAs[Long]("n_tokens"), "truncation must conserve tokens")
+      assert(r.getAs[Long]("kept_tokens") + r.getAs[Long]("pad_tokens") ==
+        r.getAs[Long]("n_docs") * r.getAs[Long]("max_len"),
+        "padding must fill every doc to max_len exactly")
+      assert(r.getAs[Long]("util_ppm") <= 1000000L)
+    }
+    val kept = rows.map(_.getAs[Long]("kept_tokens"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b })
+    val trunc = rows.map(_.getAs[Long]("trunc_docs"))
+    assert(trunc.zip(trunc.tail).forall { case (a, b) => a >= b })
   }
 }
