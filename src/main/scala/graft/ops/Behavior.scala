@@ -1083,6 +1083,52 @@ object Behavior {
         .withColumn("overlap_ppm",
           expr("CAST(u_both * 1000000 DIV greatest(u_test, 1) AS BIGINT)"))
         .orderBy("event_type")
+    },
+
+    // ATTRIBUTION-model comparison: first-touch vs last-touch vs linear
+    // credit per channel (event type), side by side — the marketing-
+    // science table whose DISAGREEMENT is the finding (q307's Shapley is
+    // the principled answer; this prices how far the three cheap
+    // industry rules diverge from each other on the same conversions).
+    // Conversion = a user's FIRST purchase (min (us, event_id) — exact
+    // integer argmin); touches = that user's strictly-earlier non-
+    // purchase events. First/last = min/max(struct(us, event_id, type))
+    // over touches — the struct argmin/argmax convention; linear =
+    // per-user count_type·10⁶ DIV n_touches µ-credits (floored per
+    // user, conservation ≤ 10⁶ per conversion — the documented floor).
+    // Scale: two (user)-keyed aggs + one (user, type) agg, all
+    // map-combined; output is the |channels| grid.
+    "q328_attribution_models" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("us"), col("event_id"))).as("c"))
+        .select(col("user_id"), col("c.us").as("cus"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .join(conv, "user_id").filter(col("us") < col("cus"))
+      val ends = touches.groupBy("user_id")
+        .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+            .as("f"),
+          max(struct(col("us"), col("event_id"), col("event_type")))
+            .as("l"))
+      val firstC = ends.groupBy(col("f.event_type").as("channel"))
+        .agg(count(lit(1)).as("first_touch"))
+      val lastC = ends.groupBy(col("l.event_type").as("channel"))
+        .agg(count(lit(1)).as("last_touch"))
+      val linear = touches.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("nt"))
+        .withColumn("tot", sum(col("nt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+        .groupBy(col("event_type").as("channel"))
+        .agg(sum(expr("nt * 1000000 DIV tot")).as("linear_u"))
+      linear.join(firstC, Seq("channel"), "left")
+        .join(lastC, Seq("channel"), "left")
+        .select(col("channel"),
+          coalesce(col("first_touch"), lit(0L)).cast("long").as("first_touch"),
+          coalesce(col("last_touch"), lit(0L)).cast("long").as("last_touch"),
+          col("linear_u").cast("long").as("linear_u"))
+        .orderBy("channel")
     }
   )
 
@@ -1777,6 +1823,42 @@ object Behavior {
         |  CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) * 1000000
         |    // GREATEST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END), 1) AS BIGINT)
         |    AS overlap_ppm
-        |FROM pu GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM pu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q328_attribution_models" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |conv AS (
+        |  SELECT user_id, us AS cus FROM (
+        |    SELECT user_id, us, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+        |tch AS (
+        |  SELECT e.user_id, e.event_id, e.event_type, e.us
+        |  FROM ev e JOIN conv USING (user_id)
+        |  WHERE e.event_type <> 'purchase' AND e.us < cus),
+        |fl AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rnf,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rnl
+        |  FROM tch),
+        |fc AS (SELECT event_type AS channel, COUNT(*) AS first_touch
+        |       FROM fl WHERE rnf = 1 GROUP BY 1),
+        |lc AS (SELECT event_type AS channel, COUNT(*) AS last_touch
+        |       FROM fl WHERE rnl = 1 GROUP BY 1),
+        |lin AS (
+        |  SELECT channel, SUM(nt * 1000000 // tot) AS linear_u FROM (
+        |    SELECT user_id, event_type AS channel, COUNT(*) AS nt,
+        |      SUM(COUNT(*)) OVER (PARTITION BY user_id) AS tot
+        |    FROM tch GROUP BY 1, 2) GROUP BY 1)
+        |SELECT lin.channel,
+        |  CAST(COALESCE(first_touch, 0) AS BIGINT) AS first_touch,
+        |  CAST(COALESCE(last_touch, 0) AS BIGINT) AS last_touch,
+        |  CAST(linear_u AS BIGINT) AS linear_u
+        |FROM lin LEFT JOIN fc USING (channel) LEFT JOIN lc USING (channel)
+        |ORDER BY lin.channel""".stripMargin
   )
 }

@@ -852,6 +852,93 @@ object Corpus {
         .withColumn("util_ppm",
           expr("CAST(kept_tokens * 1000000 DIV (n_docs * max_len) AS BIGINT)"))
         .orderBy("max_len")
+    },
+
+    // Contamination n-gram LADDER: D2/q59's benchmark-decontamination
+    // hit rate swept over shingle widths n ∈ {3,4,5,6} — the
+    // sensitivity/specificity dial every decontam deployment argues
+    // about (n too small flags common phrases, n too large misses
+    // near-verbatim leaks). A shared n-shingle implies shared
+    // (n−1)-shingles, so flagged mass is monotone NON-INCREASING in n
+    // by construction — spec-asserted, and the n-over-n delta is the
+    // false-positive mass the next widening buys back. Same benchmark
+    // stand-in as q59 (doc_id % 23). Scale: each rung is linear corpus
+    // vs bounded benchmark-shingle set — never a self-join; rungs
+    // union into one |n|-row grid.
+    "q330_contamination_ladder" -> { (s, d) =>
+      // ONE tokenize scan builds all four shingle widths as (n, sh)
+      // structs concatenated before a single explode — four per-rung
+      // scans would pay the corpus read 4×, and the bench join then
+      // runs ONCE on the (n, sh) composite key.
+      // the SQL-string twin of TextAnalysis.shingleExpr("t", n), needed
+      // because the width rides INSIDE a transform over the same scan
+      def shingleSqlFor(n: Int): String = {
+        val joined = (0 until n).map(k => s"t[i+$k]")
+          .mkString("concat_ws(' ', ", ", ", ")")
+        s"CASE WHEN size(t) >= $n THEN " +
+          s"transform(sequence(0, size(t) - $n), i -> $joined) " +
+          "ELSE array() END"
+      }
+      val widths = (3 to 6)
+      // shingles leave the scan as 60-bit md5-prefix hashes (the
+      // engine-neutral family, widened past the q26 32-bit form so
+      // collisions are negligible at corpus scale) — the shuffle and
+      // the bench join carry (long, long) keys, never shingle text
+      val arrays = widths.map(n =>
+        s"transform(${shingleSqlFor(n)}, x -> struct(CAST($n AS BIGINT) AS n," +
+          s" CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) AS sh))")
+        .mkString("concat(", ", ", ")")
+      val sh = Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), explode(expr(arrays)).as("p"))
+        .select(col("doc_id"), col("p.n").as("n"), col("p.sh").as("sh"))
+        .distinct()
+      val bench = sh.filter(col("doc_id") % 23 === 0)
+        .select("n", "sh").distinct()
+      val train = Tables.documents(s, d).filter(col("doc_id") % 23 =!= 0)
+        .agg(count(lit(1)).as("n_train"))
+      val grid = sh.sparkSession.range(3, 7).select(col("id").as("n"))
+      val flagged = sh.filter(col("doc_id") % 23 =!= 0)
+        .join(bench, Seq("n", "sh"))
+        .select("n", "doc_id").distinct()
+        .groupBy("n").agg(count(lit(1)).as("n_flagged"))
+      grid.join(flagged, Seq("n"), "left")
+        .crossJoin(broadcast(train))
+        .select(col("n").cast("long").as("n"),
+          col("n_train").cast("long").as("n_train"),
+          coalesce(col("n_flagged"), lit(0L)).cast("long").as("n_flagged"),
+          expr("CAST(coalesce(n_flagged, 0) * 1000000 DIV n_train AS BIGINT)")
+            .as("flagged_ppm"))
+        .orderBy("n")
+    },
+
+    // EPOCH repeat-factor planner (Muennighoff et al. 2022, data-
+    // constrained scaling): given a token budget of 4× the corpus and
+    // the α = ½ temperature mix (q290's exact-isqrt weights), how many
+    // times does each source repeat — and which sources cross the ~4-
+    // epoch line past which repetition stops buying loss. target(s) =
+    // B·w(s) DIV Σw with w = isqrt(tok_s·10⁸) (exact while tok_s <
+    // 9·10⁷ — the q290 magnitude rule, one decade of headroom past
+    // sf1); repeat ×100 = ceil-division. Scale: one token-count agg;
+    // everything after on the |sources| grid with broadcast totals.
+    "q331_repeat_factors" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long")
+          .as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("tk"))
+      val w = tok.withColumn("w2",
+        expr("CAST(FLOOR(SQRT(CAST(tk * 100000000 AS DOUBLE))) AS BIGINT)"))
+      val tots = w.agg(sum(col("w2")).as("sw"), sum(col("tk")).as("st"))
+      w.crossJoin(broadcast(tots))
+        .withColumn("target_tokens",
+          expr("CAST(CAST(4 * st AS DECIMAL(38,0)) * w2 DIV sw AS BIGINT)"))
+        .select(col("source"), col("tk").cast("long").as("n_tokens"),
+          col("w2").cast("long").as("weight"),
+          col("target_tokens"),
+          expr("CAST((target_tokens * 100 + tk - 1) DIV tk AS BIGINT)")
+            .as("repeat_x100"))
+        .withColumn("over_4_epochs", col("repeat_x100") > 400L)
+        .orderBy("source")
     }
   )
 
@@ -1362,6 +1449,54 @@ object Corpus {
         |  CAST(SUM(max_len - LEAST(nt, max_len)) AS BIGINT) AS pad_tokens,
         |  CAST(SUM(LEAST(nt, max_len)) * 1000000
         |    // (COUNT(*) * max_len) AS BIGINT) AS util_ppm
-        |FROM n CROSS JOIN grid GROUP BY max_len ORDER BY max_len""".stripMargin
+        |FROM n CROSS JOIN grid GROUP BY max_len ORDER BY max_len""".stripMargin,
+
+    "q330_contamination_ladder" -> {
+      def rung(n: Int) =
+        s"""SELECT CAST($n AS BIGINT) AS n,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+           |   WHERE doc_id % 23 <> 0) AS n_train,
+           |  (SELECT CAST(COUNT(DISTINCT s.doc_id) AS BIGINT)
+           |   FROM (SELECT DISTINCT doc_id,
+           |           ('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')),
+           |             1, 15))::BIGINT AS sh
+           |         FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |               FROM documents
+           |               WHERE len(string_split(text, ' ')) >= $n) tt,
+           |              UNNEST(generate_series(1, len(t) - ${n - 1})) AS g(i)) s
+           |   WHERE s.doc_id % 23 <> 0 AND s.sh IN (
+           |     SELECT ('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')),
+           |         1, 15))::BIGINT
+           |     FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |           FROM documents
+           |           WHERE len(string_split(text, ' ')) >= $n) tb,
+           |          UNNEST(generate_series(1, len(t) - ${n - 1})) AS g(i)
+           |     WHERE tb.doc_id % 23 = 0)) AS n_flagged""".stripMargin
+      Seq(3, 4, 5, 6).map(rung)
+        .mkString("SELECT n, n_train, n_flagged,\n" +
+          "  CAST(n_flagged * 1000000 // n_train AS BIGINT) AS flagged_ppm\n" +
+          "FROM (\n", "\nUNION ALL\n", "\n) ORDER BY n")
+    },
+
+    "q331_repeat_factors" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tk
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, tk,
+        |        CAST(FLOOR(SQRT(CAST(tk * 100000000 AS DOUBLE))) AS BIGINT)
+        |          AS w2
+        |      FROM tok),
+        |t AS (SELECT SUM(w2) AS sw, SUM(tk) AS st FROM w),
+        |p AS (
+        |  SELECT source, tk, w2,
+        |    CAST(CAST(4 * st AS HUGEINT) * w2 // sw AS BIGINT)
+        |      AS target_tokens
+        |  FROM w CROSS JOIN t)
+        |SELECT source, tk AS n_tokens, w2 AS weight, target_tokens,
+        |  CAST((target_tokens * 100 + tk - 1) // tk AS BIGINT) AS repeat_x100,
+        |  CAST((target_tokens * 100 + tk - 1) // tk AS BIGINT) > 400
+        |    AS over_4_epochs
+        |FROM p ORDER BY source""".stripMargin
   )
 }

@@ -874,6 +874,72 @@ object Dedup {
         .withColumn("jaccard_ppm", expr(
           "CAST(shared_fps * 1000000 DIV (ndv_a + ndv_b - shared_fps) AS BIGINT)"))
         .orderBy("src_a", "src_b")
+    },
+
+    // Dedup DRIFT audit: how GLOBAL exact dedup (q24's content-md5,
+    // keep-min-doc_id survivor — ACROSS sources, which is what makes
+    // shares move) changes the source mixture. A source whose mass is
+    // copies of other sources' content loses share; the per-source
+    // before/after ppm delta is the mixture shift a "dedup then train"
+    // pipeline silently applies to its carefully-tuned q64/q290 mix.
+    // Scale: one distinct-survivor agg on md5 keys + two grid aggs;
+    // totals broadcast.
+    "q329_dedup_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      val surv = docs.groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("source"))).as("k"))
+        .select(col("k.source").as("source"))
+        .groupBy("source").agg(count(lit(1)).as("after"))
+      val before = docs.groupBy("source").agg(count(lit(1)).as("before"))
+      val tots = before.agg(sum(col("before")).as("tb"))
+        .crossJoin(surv.agg(sum(col("after")).as("ta")))
+      before.join(surv, Seq("source"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("source"), col("before").cast("long").as("docs_before"),
+          coalesce(col("after"), lit(0L)).cast("long").as("docs_after"),
+          expr("CAST(before * 1000000 DIV tb AS BIGINT)").as("before_ppm"),
+          expr("CAST(coalesce(after, 0) * 1000000 DIV ta AS BIGINT)")
+            .as("after_ppm"))
+        .withColumn("delta_abs_ppm",
+          expr("CAST(abs(after_ppm - before_ppm) AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // Near-dup THRESHOLD retention curve: what each Jaccard cutoff τ
+    // would delete, BEFORE committing to one — q26 verifies pairs at a
+    // fixed τ, q156 calibrates the sketch against τ; this sweeps τ over
+    // the verified-pair set and prices the retention consequence.
+    // Prune rule = q317's keep-min convention (doc_b pruned if some
+    // doc_a < doc_b has jac ≥ τ) — pair-level, the documented
+    // under-count vs q65's cluster closure. The τ comparison is exact
+    // integer cross-multiplication (common·100 ≥ τ·union — never the
+    // float jac). Scale: the pair set is LSH-candidate-bounded; the τ
+    // grid is a 7-row broadcast; pruned = distinct doc_b per τ.
+    "q332_threshold_retention" -> { (s, d) =>
+      val pairs = Caches.shared(minhashVerifiedPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          (col("na") + col("nb") - col("common")).as("un")))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val taus = pairs.sparkSession.range(3, 10)
+        .select((col("id") * 10).cast("long").as("tau_pct"))
+      val perTau = pairs.crossJoin(broadcast(taus))
+        .filter(col("common") * 100 >= col("tau_pct") * col("un"))
+        .groupBy("tau_pct")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_pruned"))
+      // left join FROM the grid: a τ that prunes nothing is an explicit
+      // zero row (q158 rule)
+      taus.join(perTau, Seq("tau_pct"), "left")
+        .crossJoin(broadcast(nDocs))
+        .select(col("tau_pct"),
+          coalesce(col("n_pairs"), lit(0L)).cast("long").as("n_pairs"),
+          coalesce(col("n_pruned"), lit(0L)).cast("long").as("n_pruned"),
+          (col("n_docs") - coalesce(col("n_pruned"), lit(0L))).cast("long")
+            .as("n_retained"),
+          expr("CAST(coalesce(n_pruned, 0) * 1000000 DIV n_docs AS BIGINT)")
+            .as("pruned_ppm"))
+        .orderBy("tau_pct")
     }
   )
 
@@ -1322,6 +1388,53 @@ object Dedup {
         |    // (g.ndv_a + g.ndv_b - COALESCE(sh.shared, 0)) AS BIGINT)
         |    AS jaccard_ppm
         |FROM grid g LEFT JOIN sh ON g.src_a = sh.src_a AND g.src_b = sh.src_b
-        |ORDER BY g.src_a, g.src_b""".stripMargin
+        |ORDER BY g.src_a, g.src_b""".stripMargin,
+
+    "q329_dedup_drift" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |surv AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS after FROM (
+        |    SELECT source FROM (
+        |      SELECT source, row_number() OVER
+        |        (PARTITION BY fp ORDER BY doc_id) AS rn FROM docs)
+        |    WHERE rn = 1) GROUP BY 1),
+        |bef AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS before
+        |        FROM docs GROUP BY 1),
+        |tb AS (SELECT SUM(before) AS tb FROM bef),
+        |ta AS (SELECT SUM(after) AS ta FROM surv)
+        |SELECT bef.source, before AS docs_before,
+        |  CAST(COALESCE(after, 0) AS BIGINT) AS docs_after,
+        |  CAST(before * 1000000 // tb.tb AS BIGINT) AS before_ppm,
+        |  CAST(COALESCE(after, 0) * 1000000 // ta.ta AS BIGINT) AS after_ppm,
+        |  CAST(ABS(CAST(COALESCE(after, 0) * 1000000 // ta.ta AS BIGINT)
+        |    - CAST(before * 1000000 // tb.tb AS BIGINT)) AS BIGINT)
+        |    AS delta_abs_ppm
+        |FROM bef LEFT JOIN surv USING (source)
+        |CROSS JOIN tb CROSS JOIN ta ORDER BY bef.source""".stripMargin,
+
+    "q332_threshold_retention" -> (LshPairsSql +
+      """,
+        |pr AS (
+        |  SELECT c.doc_a, c.doc_b, c.common,
+        |    ca.n + cb.n - c.common AS un
+        |  FROM common c JOIN cnt ca ON ca.doc_id = c.doc_a
+        |                JOIN cnt cb ON cb.doc_id = c.doc_b),
+        |taus AS (SELECT CAST(t.t * 10 AS BIGINT) AS tau_pct
+        |         FROM UNNEST(generate_series(3, 9)) AS t(t)),
+        |hit AS (
+        |  SELECT tau_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_pruned
+        |  FROM pr CROSS JOIN taus WHERE common * 100 >= tau_pct * un
+        |  GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT taus.tau_pct,
+        |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(n_pruned, 0) AS BIGINT) AS n_pruned,
+        |  CAST(n_docs - COALESCE(n_pruned, 0) AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(n_pruned, 0) * 1000000 // n_docs AS BIGINT)
+        |    AS pruned_ppm
+        |FROM taus LEFT JOIN hit USING (tau_pct) CROSS JOIN nd
+        |ORDER BY taus.tau_pct""".stripMargin)
   )
 }

@@ -266,4 +266,66 @@ class AuditOpsSpec extends AnyFunSuite {
     val trunc = rows.map(_.getAs[Long]("trunc_docs"))
     assert(trunc.zip(trunc.tail).forall { case (a, b) => a >= b })
   }
+
+  // ---- q328 attribution models --------------------------------------
+
+  test("q328 first/last credits both sum to the converting-user count; linear conserves up to per-user floors") {
+    val rows = Behavior.queries("q328_attribution_models")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val f = rows.map(_.getAs[Long]("first_touch")).sum
+    val l = rows.map(_.getAs[Long]("last_touch")).sum
+    assert(f == l, "every attributed user has exactly one first and one last touch")
+    val lin = rows.map(_.getAs[Long]("linear_u")).sum
+    assert(lin <= f * 1000000L && lin >= f * 1000000L - f * rows.length,
+      "per-user linear credit floors lose at most |channels| µ-units per user")
+  }
+
+  // ---- q329 dedup drift ----------------------------------------------
+
+  test("q329 never grows a source and conserves the survivor total") {
+    val rows = Dedup.queries("q329_dedup_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_after") <= r.getAs[Long]("docs_before"))
+    }
+    val distinctContents = graft.model.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("docs_after")).sum == distinctContents,
+      "survivors must partition the distinct-content set")
+  }
+
+  // ---- q330 contamination ladder ------------------------------------
+
+  test("q330 flagged mass is monotone non-increasing in shingle width") {
+    val rows = Corpus.queries("q330_contamination_ladder")(spark, sf)
+      .orderBy("n").collect()
+    assert(rows.length == 4)
+    val fl = rows.map(_.getAs[Long]("n_flagged"))
+    assert(fl.zip(fl.tail).forall { case (a, b) => a >= b },
+      s"an n-shingle hit implies an (n-1)-shingle hit: ${fl.toSeq}")
+  }
+
+  // ---- q331 repeat factors -------------------------------------------
+
+  test("q331 targets sum to the 4x budget up to per-source floors") {
+    val rows = Corpus.queries("q331_repeat_factors")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = 4L * rows.map(_.getAs[Long]("n_tokens")).sum
+    val t = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(t <= budget && t >= budget - rows.length,
+      s"floor-division loses at most one token per source: $t vs $budget")
+  }
+
+  // ---- q332 threshold retention --------------------------------------
+
+  test("q332 pair and prune counts are monotone non-increasing in tau") {
+    val rows = Dedup.queries("q332_threshold_retention")(spark, sf)
+      .orderBy("tau_pct").collect()
+    assert(rows.length == 7)
+    val p = rows.map(_.getAs[Long]("n_pairs"))
+    assert(p.zip(p.tail).forall { case (a, b) => a >= b })
+    val pr = rows.map(_.getAs[Long]("n_pruned"))
+    assert(pr.zip(pr.tail).forall { case (a, b) => a >= b })
+  }
 }
