@@ -330,6 +330,36 @@ object Graph {
           (col("node") % 2 === 1).as("is_supplier"),
           col("deg").cast("long").as("deg"),
           col("pr").cast("long").as("pr_ppb"))
+    },
+
+    // HITS hubs-and-authorities, two UNROLLED supersteps on the
+    // customer → part purchase bipartite graph (Kleinberg 1999): the
+    // OTHER eigenvector centrality next to q90's PageRank — no
+    // damping, no division, mutual reinforcement only, so every score
+    // is an EXACT integer path count: a₁(p) = buyer count, h₁(c) =
+    // Σ a₁ over c's parts, a₂(p) = Σ h₁ over p's buyers = #(c→p'→c'→p)
+    // 3-paths ending at p. Top-10 authorities by (a₂, part). Magnitude:
+    // a₂ ≤ deg·max(h₁) ≈ 10¹⁴ at sf1 — int64 holds through sf10; the
+    // declared headroom rule. Scale: each superstep is one edge-join +
+    // map-combined agg on the key it groups by — the Pregel shape; the
+    // edge list derives once (distinct (cust, part)) and is cached.
+    "q335_hits" -> { (s, d) =>
+      val e = Caches.shared(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct())
+      val a1 = e.groupBy("p").agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, "p").groupBy("c").agg(sum(col("a1")).as("h1"))
+      val a2 = e.join(h1, "c").groupBy("p").agg(sum(col("h1")).as("a2"))
+      a1.join(a2, "p")
+        .orderBy(col("a2").desc, col("p"))
+        .limit(10)
+        .select(col("p").cast("long").as("part"),
+          col("a1").cast("long").as("auth1"),
+          col("a2").cast("long").as("auth2"))
     }
   )
 
@@ -497,6 +527,20 @@ object Graph {
         |  ) c ON p.node = c.dst)
         |SELECT CAST(node AS BIGINT) AS node, node % 2 = 1 AS is_supplier,
         |  CAST(deg AS BIGINT) AS deg, CAST(pr AS BIGINT) AS pr_ppb
-        |FROM it3 ORDER BY pr DESC, node LIMIT 20""".stripMargin
+        |FROM it3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
+    "q335_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY 1),
+        |h1 AS (SELECT e.c, SUM(a1.a1) AS h1
+        |       FROM e JOIN a1 USING (p) GROUP BY 1),
+        |a2 AS (SELECT e.p, SUM(h1.h1) AS a2
+        |       FROM e JOIN h1 USING (c) GROUP BY 1)
+        |SELECT CAST(a1.p AS BIGINT) AS part, a1.a1 AS auth1,
+        |  CAST(a2.a2 AS BIGINT) AS auth2
+        |FROM a1 JOIN a2 USING (p)
+        |ORDER BY a2.a2 DESC, a1.p LIMIT 10""".stripMargin
   )
 }

@@ -112,6 +112,32 @@ object Multimodal {
     ImageStats(a.doc_id, img.width, img.height, sr, sg, sb, wl)
   }
 
+  /** One (channel, 64-wide intensity bin) count row for q333. */
+  case class ChannelBin(doc_id: Long, source: String, channel: String,
+                        bin: Long, cnt: Long)
+
+  /** Histogram batch decoder (q333): parse actual BMP bytes, bin each
+    * channel's pixels into four intensity classes, emit 12 PRE-REDUCED
+    * rows per image — pixels never leave the batch. */
+  def histogramBmpBatch(batch: Seq[Asset]): Seq[ChannelBin] = batch.flatMap { a =>
+    val img = BmpCodec.decode(a.content)
+    val counts = Array.ofDim[Long](3, 4)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        counts(0)(img.r(x, y) / 64) += 1
+        counts(1)(img.g(x, y) / 64) += 1
+        counts(2)(img.b(x, y) / 64) += 1
+        x += 1
+      }
+      y += 1
+    }
+    for (c <- 0 until 3; b <- 0 until 4)
+      yield ChannelBin(a.doc_id, a.source, Seq("r", "g", "b")(c), b.toLong,
+        counts(c)(b))
+  }
+
   /** Real decoded-audio features (q192): exact integer sample stats.
     * `wsum` is the position-weighted SIGNED sum Σ (k+1)·sₖ — a decoder
     * that reverses sample order or flips endianness produces a
@@ -332,6 +358,31 @@ object Multimodal {
         .select(col("doc_id"), col("sample_rate"), col("n_samples"),
           col("sum_abs"), col("peak"), col("wsum"))
         .orderBy("doc_id")
+    },
+
+    // Per-SOURCE color-channel HISTOGRAM through the real codec — the
+    // corpus-level image-statistics reduction (q131 audits one image's
+    // sums; a dataset card wants the channel DISTRIBUTION): decode
+    // actual BMP bytes, bin every pixel's r/g/b into four 64-wide
+    // intensity classes, aggregate per (source, channel, bin). The
+    // decoder emits 12 pre-reduced rows per image (never raw pixels),
+    // so bytes stay inside the mapPartitions batch and the shuffle
+    // carries (source, channel, bin, count) — the multimodal analog of
+    // the map-side-combine rule. Oracle recomputes the pattern
+    // arithmetically (the q131 convention).
+    "q333_bmp_histogram" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          Asset(id, src, BmpCodec.encode(w, h, (x, y) => patternPixel(id, x, y)))
+        }.toDF()
+      decodeAssetsAs(assets, batchSize = 64)(histogramBmpBatch)
+        .groupBy("source", "channel", "bin")
+        .agg(sum(col("cnt")).cast("long").as("n_px"))
+        .orderBy("source", "channel", "bin")
     }
   )
 
@@ -450,6 +501,37 @@ object Multimodal {
         |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
         |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
         |  CAST(SUM((k2 + 1) * v) AS BIGINT) AS wsum
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q333_bmp_histogram" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, source, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |         CAST(3 + doc_id % 4 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT i.source,
+        |    (i.doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+        |    (i.doc_id * 31 + x * 7 + y * 13 + 41) % 256 AS g,
+        |    (i.doc_id * 31 + x * 7 + y * 13 + 82) % 256 AS b
+        |  FROM imgs i,
+        |    UNNEST(generate_series(0, 7)) AS gx(x),
+        |    UNNEST(generate_series(0, 5)) AS gy(y)
+        |  WHERE x < i.w AND y < i.h),
+        |lng AS (
+        |  SELECT source, 'r' AS channel, r // 64 AS bin FROM px
+        |  UNION ALL SELECT source, 'g', g // 64 FROM px
+        |  UNION ALL SELECT source, 'b', b // 64 FROM px),
+        |cnt AS (SELECT source, channel, CAST(bin AS BIGINT) AS bin,
+        |          CAST(COUNT(*) AS BIGINT) AS n_px
+        |        FROM lng GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT DISTINCT d.source, c.channel, CAST(b.b AS BIGINT) AS bin
+        |  FROM documents d,
+        |       (SELECT UNNEST(['r', 'g', 'b']) AS channel) c,
+        |       UNNEST(generate_series(0, 3)) AS b(b))
+        |SELECT g.source, g.channel, g.bin,
+        |  CAST(COALESCE(n_px, 0) AS BIGINT) AS n_px
+        |FROM grid g LEFT JOIN cnt USING (source, channel, bin)
+        |ORDER BY source, channel, bin""".stripMargin
   )
 }

@@ -745,6 +745,61 @@ object Similarity {
           col("pk.rel_u").as("rel_u"), col("pk.maxsim_u").as("maxsim_u"),
           col("pk.score_u").as("score_u"))
         .orderBy("step")
+    },
+
+    // MATRYOSHKA truncation audit (Kusupati et al. 2022, MRL): how much
+    // cosine geometry survives keeping only the first k ∈ {8, 16, 32}
+    // of 64 dimensions — the accuracy/cost table read before serving a
+    // truncated index. Per k, over the (bounded query set × corpus)
+    // pairs: mean |cos_k − cos_64| distortion in µ-units (sum DIV
+    // count — non-negative, so integer division is engine-exact) and
+    // top-1-neighbor PRESERVATION (does the exact NN under cos_k match
+    // cos_64's — the metric that decides if the truncation is
+    // deployable; argmax via max(struct(cos, −cid))). Scale: ONE
+    // broadcast-query cosine scan cached, the k grid rides a 3-row
+    // broadcast; per-(k, query) argmaxes map-combine.
+    "q334_matryoshka" -> { (s, d) =>
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0).orderBy("vec_id")
+        .limit(MaxQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val pairs = Caches.shared(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+          .withColumn("c64r", round(vec_cosine(col("v"), col("qv")), 6))
+          .select(col("qid"), col("vec_id").as("cid"), col("v"), col("qv"),
+            expr("CAST(floor(c64r * 1000000 + 0.5) AS BIGINT)").as("c64")))
+      val ks = e.sparkSession.range(3, 6)
+        .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").as("k"))
+      val trunc = pairs.crossJoin(broadcast(ks))
+        .withColumn("ckr", round(vec_cosine(
+          expr("slice(v, 1, CAST(k AS INT))"),
+          expr("slice(qv, 1, CAST(k AS INT))")), 6))
+        .select(col("k"), col("qid"), col("cid"), col("c64"),
+          expr("CAST(floor(ckr * 1000000 + 0.5) AS BIGINT)").as("ck"))
+      val top64 = pairs.groupBy("qid")
+        .agg(max(struct(col("c64"), (-col("cid")).as("ni"))).as("m"))
+        .select(col("qid"), (-col("m.ni")).as("nn64"))
+      val topk = trunc.groupBy("k", "qid")
+        .agg(max(struct(col("ck"), (-col("cid")).as("ni"))).as("m"))
+        .select(col("k"), col("qid"), (-col("m.ni")).as("nnk"))
+      val pres = topk.join(broadcast(top64), "qid")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("nnk") === col("nn64"), 1L).otherwise(0L))
+            .as("nn_preserved"))
+      trunc.groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("ck") - col("c64"))).as("dist_sum_u"),
+          max(abs(col("ck") - col("c64"))).as("max_dist_u"))
+        .join(pres, "k")
+        .select(col("k"), col("n_pairs").cast("long").as("n_pairs"),
+          expr("CAST(dist_sum_u DIV n_pairs AS BIGINT)").as("mean_dist_u"),
+          col("max_dist_u").cast("long").as("max_dist_u"),
+          col("n_queries").cast("long").as("n_queries"),
+          col("nn_preserved").cast("long").as("nn_preserved"),
+          expr("CAST(nn_preserved * 1000000 DIV n_queries AS BIGINT)")
+            .as("recall1_ppm"))
+        .orderBy("k")
     }
   )
 
@@ -1190,6 +1245,49 @@ object Similarity {
         |UNION ALL SELECT 3, vec_id, rel_u, maxsim_u, score_u FROM s3
         |UNION ALL SELECT 4, vec_id, rel_u, maxsim_u, score_u FROM s4
         |UNION ALL SELECT 5, vec_id, rel_u, maxsim_u, score_u FROM s5
-        |ORDER BY step""".stripMargin
+        |ORDER BY step""".stripMargin,
+
+    "q334_matryoshka" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n0
+        |      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
+        |pr AS (
+        |  SELECT q.qid, n0.vec_id AS cid, n0.v, q.qv,
+        |    CAST(floor(round(list_dot_product(n0.v, q.qv) / (n0.nrm * q.qn), 6)
+        |      * 1000000 + 0.5) AS BIGINT) AS c64
+        |  FROM n0, q WHERE n0.vec_id <> q.qid),
+        |ks AS (SELECT CAST(k.k AS BIGINT) AS k FROM UNNEST([8, 16, 32]) AS k(k)),
+        |tr AS (
+        |  SELECT ks.k, pr.qid, pr.cid, pr.c64,
+        |    CAST(floor(round(
+        |      list_dot_product(pr.v[1:ks.k], pr.qv[1:ks.k]) /
+        |      (sqrt(list_dot_product(pr.v[1:ks.k], pr.v[1:ks.k])) *
+        |       sqrt(list_dot_product(pr.qv[1:ks.k], pr.qv[1:ks.k]))), 6)
+        |      * 1000000 + 0.5) AS BIGINT) AS ck
+        |  FROM pr CROSS JOIN ks),
+        |t64 AS (SELECT qid, cid AS nn64 FROM (
+        |    SELECT qid, cid, row_number() OVER
+        |      (PARTITION BY qid ORDER BY c64 DESC, cid) AS rn FROM pr)
+        |  WHERE rn = 1),
+        |tk AS (SELECT k, qid, cid AS nnk FROM (
+        |    SELECT k, qid, cid, row_number() OVER
+        |      (PARTITION BY k, qid ORDER BY ck DESC, cid) AS rn FROM tr)
+        |  WHERE rn = 1),
+        |pres AS (
+        |  SELECT k, COUNT(*) AS n_queries,
+        |    SUM(CASE WHEN nnk = nn64 THEN 1 ELSE 0 END) AS nn_preserved
+        |  FROM tk JOIN t64 USING (qid) GROUP BY 1),
+        |dd AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    SUM(ABS(ck - c64)) AS ds, MAX(ABS(ck - c64)) AS md
+        |  FROM tr GROUP BY 1)
+        |SELECT dd.k, n_pairs, CAST(ds // n_pairs AS BIGINT) AS mean_dist_u,
+        |  CAST(md AS BIGINT) AS max_dist_u,
+        |  CAST(n_queries AS BIGINT) AS n_queries,
+        |  CAST(nn_preserved AS BIGINT) AS nn_preserved,
+        |  CAST(nn_preserved * 1000000 // n_queries AS BIGINT) AS recall1_ppm
+        |FROM dd JOIN pres USING (k) ORDER BY dd.k""".stripMargin
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Behavior, Corpus, Dedup, Lakehouse, Similarity, TextAnalysis}
+import graft.ops.{Behavior, Corpus, Dedup, Graph, Lakehouse, Multimodal, Similarity, TextAnalysis}
 
 /** Invariants + injected-detector proofs for q317–q322.
   *
@@ -327,5 +327,47 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(p.zip(p.tail).forall { case (a, b) => a >= b })
     val pr = rows.map(_.getAs[Long]("n_pruned"))
     assert(pr.zip(pr.tail).forall { case (a, b) => a >= b })
+  }
+
+  // ---- q333 BMP histogram --------------------------------------------
+
+  test("q333 every channel of a source carries the same pixel mass") {
+    val rows = Multimodal.queries("q333_bmp_histogram")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrcCh = rows.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[String]("channel")))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_px")).sum }
+    bySrcCh.groupBy(_._1._1).foreach { case (_, chans) =>
+      assert(chans.values.toSet.size == 1,
+        "r/g/b histograms of one source must each sum to its pixel count")
+    }
+  }
+
+  // ---- q334 matryoshka ------------------------------------------------
+
+  test("q334 distortion shrinks and recall grows as kept dimensions double") {
+    val rows = Similarity.queries("q334_matryoshka")(spark, sf)
+      .orderBy("k").collect()
+    assert(rows.length == 3)
+    val dist = rows.map(_.getAs[Long]("mean_dist_u"))
+    assert(dist.zip(dist.tail).forall { case (a, b) => a >= b },
+      s"mean cosine distortion must not grow with more dimensions: ${dist.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_dist_u") >= r.getAs[Long]("mean_dist_u"))
+      assert(r.getAs[Long]("nn_preserved") <= r.getAs[Long]("n_queries"))
+    }
+  }
+
+  // ---- q335 HITS ------------------------------------------------------
+
+  test("q335 second-iteration authority dominates first and the list is ranked") {
+    val rows = Graph.queries("q335_hits")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("auth2") >= r.getAs[Long]("auth1"),
+        "every hub score is >= 1, so the 3-path count dominates the buyer count")
+    }
+    val a2 = rows.map(_.getAs[Long]("auth2"))
+    assert(a2.zip(a2.tail).forall { case (a, b) => a >= b })
   }
 }
