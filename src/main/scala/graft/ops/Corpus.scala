@@ -939,6 +939,60 @@ object Corpus {
             .as("repeat_x100"))
         .withColumn("over_4_epochs", col("repeat_x100") > 400L)
         .orderBy("source")
+    },
+
+    // BLOOM-filter SIZING sweep: measured false-positive rate of a
+    // k=2 bloom filter at m ∈ {1024, 4096, 16384} bits over a real
+    // key set — the capacity table read before the D1/q58 bloom join
+    // commits to a width (the textbook (1−e^{−kn/m})^k curve is
+    // transcendental; the MEASURED rate on a held-out probe set is
+    // exact and is what production tuning actually uses). Build keys =
+    // size-1 parts, probes = all other parts (disjoint by
+    // construction, so every hit is a false positive). Hashes are the
+    // engine-neutral md5 family (h₂ salted "b:"); a probe is a FP only
+    // if ALL its distinct bits are set (h₁≡h₂ collapses to one bit —
+    // counted once via the distinct (m, key, bit) form). Scale: the
+    // bit set is ≤ m rows per width — broadcastable by construction
+    // (q58's argument); probes stream through one join.
+    "q338_bloom_sweep" -> { (s, d) =>
+      def hashed(df: DataFrame) = df
+        .select(col("p_partkey").cast("long").as("key"))
+        .withColumn("h1", expr(
+          "CAST(conv(substring(md5(CAST(key AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("h2", expr(
+          "CAST(conv(substring(md5(concat('b:', CAST(key AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      val ms = Tables.part(s, d).sparkSession.range(0, 3)
+        .select(expr("CAST(1024 * shiftleft(1, CAST(2 * id AS INT)) AS BIGINT)")
+          .as("m"))
+      val build = hashed(Tables.part(s, d).filter(col("p_size") === 1))
+      val probe = hashed(Tables.part(s, d).filter(col("p_size") =!= 1))
+      val bits = build.crossJoin(broadcast(ms))
+        .select(col("m"),
+          explode(array(col("h1") % col("m"), col("h2") % col("m"))).as("bit"))
+        .distinct()
+      val pb = probe.crossJoin(broadcast(ms))
+        .select(col("m"), col("key"),
+          explode(array(col("h1") % col("m"), col("h2") % col("m"))).as("bit"))
+        .distinct()
+      val nbits = pb.groupBy("m", "key").agg(count(lit(1)).as("nb"))
+      val hits = pb.join(bits, Seq("m", "bit"))
+        .groupBy("m", "key").agg(count(lit(1)).as("nh"))
+      val fp = nbits.join(hits, Seq("m", "key"), "left")
+        .filter(coalesce(col("nh"), lit(0L)) === col("nb"))
+        .groupBy("m").agg(count(lit(1)).as("n_fp"))
+      val counts = build.agg(count(lit(1)).as("n_build"))
+        .crossJoin(probe.agg(count(lit(1)).as("n_probe")))
+      val setbits = bits.groupBy("m").agg(count(lit(1)).as("bits_set"))
+      setbits.join(fp, Seq("m"), "left").crossJoin(broadcast(counts))
+        .select(col("m"), col("n_build").cast("long").as("n_build"),
+          col("n_probe").cast("long").as("n_probe"),
+          col("bits_set").cast("long").as("bits_set"),
+          coalesce(col("n_fp"), lit(0L)).cast("long").as("n_fp"))
+        .withColumn("fpr_ppm",
+          expr("CAST(n_fp * 1000000 DIV n_probe AS BIGINT)"))
+        .withColumn("load_ppm",
+          expr("CAST(bits_set * 1000000 DIV m AS BIGINT)"))
+        .orderBy("m")
     }
   )
 
@@ -1497,6 +1551,49 @@ object Corpus {
         |  CAST((target_tokens * 100 + tk - 1) // tk AS BIGINT) AS repeat_x100,
         |  CAST((target_tokens * 100 + tk - 1) // tk AS BIGINT) > 400
         |    AS over_4_epochs
-        |FROM p ORDER BY source""".stripMargin
+        |FROM p ORDER BY source""".stripMargin,
+
+    "q338_bloom_sweep" ->
+      """WITH ms AS (SELECT CAST(m.m AS BIGINT) AS m
+        |            FROM UNNEST([1024, 4096, 16384]) AS m(m)),
+        |bk AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS key,
+        |    ('0x' || substr(md5(CAST(CAST(p_partkey AS BIGINT) AS VARCHAR)),
+        |      1, 8))::BIGINT AS h1,
+        |    ('0x' || substr(md5('b:' || CAST(CAST(p_partkey AS BIGINT) AS VARCHAR)),
+        |      1, 8))::BIGINT AS h2
+        |  FROM part WHERE p_size = 1),
+        |pk AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS key,
+        |    ('0x' || substr(md5(CAST(CAST(p_partkey AS BIGINT) AS VARCHAR)),
+        |      1, 8))::BIGINT AS h1,
+        |    ('0x' || substr(md5('b:' || CAST(CAST(p_partkey AS BIGINT) AS VARCHAR)),
+        |      1, 8))::BIGINT AS h2
+        |  FROM part WHERE p_size <> 1),
+        |bits AS (
+        |  SELECT DISTINCT m, bit FROM (
+        |    SELECT ms.m, h1 % ms.m AS bit FROM bk CROSS JOIN ms
+        |    UNION ALL SELECT ms.m, h2 % ms.m FROM bk CROSS JOIN ms)),
+        |pb AS (
+        |  SELECT DISTINCT m, key, bit FROM (
+        |    SELECT ms.m, key, h1 % ms.m AS bit FROM pk CROSS JOIN ms
+        |    UNION ALL SELECT ms.m, key, h2 % ms.m FROM pk CROSS JOIN ms)),
+        |nb AS (SELECT m, key, COUNT(*) AS nb FROM pb GROUP BY 1, 2),
+        |ht AS (SELECT pb.m, pb.key, COUNT(*) AS nh
+        |       FROM pb JOIN bits USING (m, bit) GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT nb.m, CAST(COUNT(*) AS BIGINT) AS n_fp
+        |  FROM nb LEFT JOIN ht USING (m, key)
+        |  WHERE COALESCE(nh, 0) = nb GROUP BY 1),
+        |sb AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS bits_set
+        |       FROM bits GROUP BY 1),
+        |cn AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS n_build,
+        |              (SELECT CAST(COUNT(*) AS BIGINT) FROM pk) AS n_probe)
+        |SELECT sb.m, cn.n_build, cn.n_probe, sb.bits_set,
+        |  CAST(COALESCE(fp.n_fp, 0) AS BIGINT) AS n_fp,
+        |  CAST(COALESCE(fp.n_fp, 0) * 1000000 // cn.n_probe AS BIGINT)
+        |    AS fpr_ppm,
+        |  CAST(sb.bits_set * 1000000 // sb.m AS BIGINT) AS load_ppm
+        |FROM sb LEFT JOIN fp USING (m) CROSS JOIN cn ORDER BY sb.m""".stripMargin
   )
 }

@@ -537,6 +537,49 @@ object Lakehouse {
         .unionByName(fd(Tables.documents(s, d), "documents", "source",
           "lang"))
         .orderBy("tbl", "lhs", "rhs")
+    },
+
+    // Incremental VIEW MAINTENANCE delta-merge with its consistency
+    // audit: a materialized per-priority revenue/count view "as of"
+    // 1997-01-01 is advanced by merging ONLY the delta partition
+    // (orders on/after the cutoff) — the additive-aggregate IVM rule a
+    // lakehouse uses instead of recomputing 100 TB nightly — and every
+    // row carries the audit columns against a FULL recompute (the law
+    // `base ⊎ delta = full`, which holds for SUM/COUNT exactly because
+    // exact-decimal cents are associative — the reason the repo's money
+    // convention exists; float sums would NOT satisfy it bit-for-bit).
+    // Scale: base and delta aggs map-combine on the same key and the
+    // merge is a grid-sized full-outer union; the full-recompute leg is
+    // the AUDIT (a deployment drops it — the merged view IS the result).
+    "q337_ivm_delta" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        (col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .as("is_delta"))
+      def agg(df: DataFrame) = df.groupBy("prio")
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("rev"))
+      val base = agg(o.filter(!col("is_delta")))
+        .select(col("prio"), col("cnt").as("b_cnt"), col("rev").as("b_rev"))
+      val delta = agg(o.filter(col("is_delta")))
+        .select(col("prio"), col("cnt").as("d_cnt"), col("rev").as("d_rev"))
+      val full = agg(o)
+        .select(col("prio"), col("cnt").as("f_cnt"), col("rev").as("f_rev"))
+      base.join(delta, Seq("prio"), "full")
+        .join(full, Seq("prio"), "full")
+        .select(col("prio"),
+          coalesce(col("b_cnt"), lit(0L)).cast("long").as("base_cnt"),
+          coalesce(col("d_cnt"), lit(0L)).cast("long").as("delta_cnt"),
+          (coalesce(col("b_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+            .cast("long").as("merged_cnt"),
+          col("f_cnt").cast("long").as("full_cnt"),
+          expr("CAST(coalesce(b_rev, 0) + coalesce(d_rev, 0) AS BIGINT)")
+            .as("merged_rev_c"),
+          expr("CAST(f_rev AS BIGINT)").as("full_rev_c"))
+        .withColumn("consistent",
+          col("merged_cnt") === col("full_cnt") &&
+            col("merged_rev_c") === col("full_rev_c"))
+        .orderBy("prio")
     }
   )
 
@@ -896,6 +939,32 @@ object Lakehouse {
         fd("documents", "source", "lang"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY tbl, lhs, rhs")
-    }
+    },
+
+    "q337_ivm_delta" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderdate >= TIMESTAMP '1997-01-01' AS is_delta
+        |  FROM orders),
+        |b AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS b_cnt,
+        |        SUM(cents) AS b_rev FROM o WHERE NOT is_delta GROUP BY 1),
+        |dl AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS d_cnt,
+        |        SUM(cents) AS d_rev FROM o WHERE is_delta GROUP BY 1),
+        |f AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS f_cnt,
+        |        SUM(cents) AS f_rev FROM o GROUP BY 1)
+        |SELECT f.prio,
+        |  CAST(COALESCE(b_cnt, 0) AS BIGINT) AS base_cnt,
+        |  CAST(COALESCE(d_cnt, 0) AS BIGINT) AS delta_cnt,
+        |  CAST(COALESCE(b_cnt, 0) + COALESCE(d_cnt, 0) AS BIGINT)
+        |    AS merged_cnt,
+        |  f_cnt AS full_cnt,
+        |  CAST(COALESCE(b_rev, 0) + COALESCE(d_rev, 0) AS BIGINT)
+        |    AS merged_rev_c,
+        |  CAST(f_rev AS BIGINT) AS full_rev_c,
+        |  COALESCE(b_cnt, 0) + COALESCE(d_cnt, 0) = f_cnt
+        |    AND COALESCE(b_rev, 0) + COALESCE(d_rev, 0) = f_rev AS consistent
+        |FROM f LEFT JOIN b USING (prio) LEFT JOIN dl USING (prio)
+        |ORDER BY f.prio""".stripMargin
   )
 }

@@ -800,6 +800,65 @@ object Similarity {
           expr("CAST(nn_preserved * 1000000 DIV n_queries AS BIGINT)")
             .as("recall1_ppm"))
         .orderBy("k")
+    },
+
+    // LSH MULTI-PROBE recall/cost table (Lv et al. 2007): q29 probes
+    // the query's ONE hyperplane bucket; multi-probe additionally
+    // probes the 12 single-bit-flip neighbors — the standard trick
+    // that buys recall without rebuilding the index (a flipped sign
+    // bit is exactly "the query was near that hyperplane"). Output,
+    // side by side per mode: candidates examined (the COST — the
+    // verify-join fan-in q314 prices per bucket) and recall@5 against
+    // the exact top-5 (the q28 baseline leg, query-bounded). Scale:
+    // the bucketed corpus is cached once; probes broadcast (≤13 rows
+    // per query); candidates never duplicate across probes because a
+    // vector lives in exactly one bucket.
+    "q336_lsh_multiprobe" -> { (s, d) =>
+      val e = vecs(s, d)
+      val eb = Caches.shared(
+        e.join(lshBuckets(e, numPlanes = 12, dim = 64, spark = s), "vec_id")
+          .select(col("vec_id"), col("v"), col("bucket")))
+      val q = eb.filter(col("vec_id") % 100 === 0)
+        .orderBy("vec_id").limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("bucket").as("qb"))
+      val exact = Caches.shared(
+        e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+          .join(broadcast(q.select(col("q_id"), col("qv"))),
+            col("c_id") =!= col("q_id"))
+          .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("c_id"))))
+          .filter(col("rn") <= 5).select("q_id", "c_id"))
+      def leg(mode: String, probes: DataFrame): DataFrame = {
+        val cand = eb.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("qv"), col("vec_id").as("c_id"),
+            col("v").as("cv"))
+        val top = cand
+          .withColumn("cos", round(vec_cosine(col("qv"), col("cv")), 6))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("c_id"))))
+          .filter(col("rn") <= 5).select("q_id", "c_id")
+        val hits = top.join(exact, Seq("q_id", "c_id"))
+          .agg(count(lit(1)).as("hits"))
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(hits)
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .select(lit(mode).as("mode"),
+            col("n_candidates").cast("long").as("n_candidates"),
+            col("hits").cast("long").as("hits"),
+            col("n_exact").cast("long").as("n_exact"),
+            expr("CAST(hits * 1000000 DIV n_exact AS BIGINT)")
+              .as("recall_ppm"))
+      }
+      val single = q.select(col("q_id"), col("qv"), col("qb").as("bucket"))
+      val multi = q.select(col("q_id"), col("qv"), explode(expr(
+        "concat(array(qb), transform(sequence(0, 11)," +
+          " i -> CAST(qb ^ shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) AS BIGINT)))"))
+        .as("bucket"))
+      leg("multi", multi).unionByName(leg("single", single))
+        .orderBy("mode")
     }
   )
 
@@ -1288,6 +1347,56 @@ object Similarity {
         |  CAST(n_queries AS BIGINT) AS n_queries,
         |  CAST(nn_preserved AS BIGINT) AS nn_preserved,
         |  CAST(nn_preserved * 1000000 // n_queries AS BIGINT) AS recall1_ppm
-        |FROM dd JOIN pres USING (k) ORDER BY dd.k""".stripMargin
+        |FROM dd JOIN pres USING (k) ORDER BY dd.k""".stripMargin,
+
+    "q336_lsh_multiprobe" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |x AS (SELECT vec_id, j, CAST(floor(v[j+1]*1000000) AS BIGINT) AS xi
+        |      FROM n, UNNEST(generate_series(0, 63)) AS g(j)),
+        |planes AS (SELECT i, j, ((i*7919 + j*104729) % 2001) - 1000 AS w
+        |           FROM UNNEST(generate_series(0, 11)) AS gi(i),
+        |                UNNEST(generate_series(0, 63)) AS gj(j)),
+        |dots AS (SELECT vec_id, i, SUM(xi*w) AS dotp
+        |         FROM x JOIN planes USING (j) GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |              SUM(CASE WHEN dotp > 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+        |            FROM dots GROUP BY 1),
+        |eb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN buckets USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb FROM eb
+        |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
+        |ex AS (SELECT q_id, c_id FROM (
+        |    SELECT q.q_id, c.vec_id AS c_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 6) DESC,
+        |        c.vec_id) AS rn
+        |    FROM q, n c WHERE c.vec_id <> q.q_id) WHERE rn <= 5),
+        |nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+        |probes AS (
+        |  SELECT 'single' AS mode, q_id, qv, qn, qb AS bucket FROM q
+        |  UNION ALL
+        |  SELECT 'multi', q_id, qv, qn, qb FROM q
+        |  UNION ALL
+        |  SELECT 'multi', q_id, qv, qn, xor(qb, (1::BIGINT << i))
+        |  FROM q, UNNEST(generate_series(0, 11)) AS gi(i)),
+        |cand AS (
+        |  SELECT p.mode, p.q_id, p.qv, p.qn, c.vec_id AS c_id, c.v, c.nrm
+        |  FROM probes p JOIN eb c USING (bucket) WHERE c.vec_id <> p.q_id),
+        |nc AS (SELECT mode, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |       FROM cand GROUP BY 1),
+        |top AS (SELECT mode, q_id, c_id FROM (
+        |    SELECT mode, q_id, c_id,
+        |      row_number() OVER (PARTITION BY mode, q_id ORDER BY
+        |        round(list_dot_product(qv, v) / (qn * nrm), 6) DESC, c_id) AS rn
+        |    FROM cand) WHERE rn <= 5),
+        |hits AS (SELECT mode, CAST(COUNT(*) AS BIGINT) AS hits
+        |         FROM top JOIN ex USING (q_id, c_id) GROUP BY mode)
+        |SELECT nc.mode, nc.n_candidates,
+        |  CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits, nex.n_exact,
+        |  CAST(COALESCE(hits.hits, 0) * 1000000 // nex.n_exact AS BIGINT)
+        |    AS recall_ppm
+        |FROM nc LEFT JOIN hits USING (mode) CROSS JOIN nex
+        |ORDER BY nc.mode""".stripMargin
   )
 }

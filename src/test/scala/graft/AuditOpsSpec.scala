@@ -370,4 +370,47 @@ class AuditOpsSpec extends AnyFunSuite {
     val a2 = rows.map(_.getAs[Long]("auth2"))
     assert(a2.zip(a2.tail).forall { case (a, b) => a >= b })
   }
+
+  // ---- q336 LSH multi-probe -------------------------------------------
+
+  test("q336 multi-probe dominates single-probe in both recall and cost") {
+    val rows = Similarity.queries("q336_lsh_multiprobe")(spark, sf).collect()
+      .map(r => r.getAs[String]("mode") -> r).toMap
+    assert(rows.keySet == Set("single", "multi"))
+    assert(rows("multi").getAs[Long]("recall_ppm") >=
+      rows("single").getAs[Long]("recall_ppm"),
+      "probing a superset of buckets cannot lose candidates")
+    assert(rows("multi").getAs[Long]("n_candidates") >=
+      rows("single").getAs[Long]("n_candidates"))
+    rows.values.foreach(r =>
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_exact")))
+  }
+
+  // ---- q337 IVM delta -------------------------------------------------
+
+  test("q337 delta merge reproduces the full recompute on every group") {
+    val rows = Lakehouse.queries("q337_ivm_delta")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("consistent"),
+        s"IVM law violated for ${r.getAs[String]("prio")}")
+      assert(r.getAs[Long]("merged_cnt") == r.getAs[Long]("full_cnt"))
+      assert(r.getAs[Long]("merged_rev_c") == r.getAs[Long]("full_rev_c"))
+    }
+  }
+
+  // ---- q338 bloom sweep -----------------------------------------------
+
+  test("q338 false-positive rate falls as the filter widens") {
+    val rows = Corpus.queries("q338_bloom_sweep")(spark, sf)
+      .orderBy("m").collect()
+    assert(rows.length == 3)
+    val fpr = rows.map(_.getAs[Long]("fpr_ppm"))
+    assert(fpr.zip(fpr.tail).forall { case (a, b) => a >= b },
+      s"a wider filter cannot have a higher FP rate on the same keys: ${fpr.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bits_set") <=
+        math.min(2 * r.getAs[Long]("n_build"), r.getAs[Long]("m")))
+    }
+  }
 }
