@@ -756,7 +756,7 @@ object Corpus {
           explode(expr("transform(sequence(1, size(t) - 1)," +
             " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
             .as("bg"))
-        .withColumn("b",
+        .withColumn("hb64",
           expr("CAST(conv(substring(md5(bg), 1, 8), 16, 10) AS BIGINT) % 64"))
       val tgt = docs.agg(min(col("source")).as("tsrc"))
       // ONE explode pass: the per-(doc, bucket) counts are cached
@@ -764,18 +764,18 @@ object Corpus {
       // of them — a second corpus-wide bigram explode for the bucket
       // stats would double the heavy leg.
       val perDoc = Caches.shared(
-        bg.groupBy("doc_id", "source", "b").agg(count(lit(1)).as("nb")))
+        bg.groupBy("doc_id", "source", "hb64").agg(count(lit(1)).as("nb")))
       val bstats = perDoc.crossJoin(broadcast(tgt))
-        .groupBy("b").agg(sum(col("nb")).as("n_all"),
+        .groupBy("hb64").agg(sum(col("nb")).as("n_all"),
           sum(when(col("source") === col("tsrc"), col("nb")).otherwise(0L))
             .as("n_tgt"))
       val tots = bstats.agg(sum(col("n_all")).as("t_all"),
         sum(col("n_tgt")).as("t_tgt"))
       val bw = bstats.crossJoin(broadcast(tots))
-        .select(col("b"),
+        .select(col("hb64"),
           expr("CAST(n_tgt * 1000000 DIV t_tgt AS BIGINT)").as("t_ppm"),
           expr("CAST(n_all * 1000000 DIV t_all AS BIGINT)").as("c_ppm"))
-      perDoc.join(broadcast(bw), "b")
+      perDoc.join(broadcast(bw), "hb64")
         .groupBy("doc_id", "source")
         .agg(sum(col("nb") * (col("t_ppm") - col("c_ppm"))).as("score"),
           sum(col("nb")).as("n_bg"))

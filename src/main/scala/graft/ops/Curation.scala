@@ -931,6 +931,56 @@ object Curation {
             .cast("long").as("p75_cents"),
           max(col("wtot")).cast("long").as("total_weight"))
         .orderBy("flag")
+    },
+
+    // COMPRESSION-ratio quality signal (the CCNet/RefinedWeb gzip
+    // filter): per source, the deflate(level 6) byte mass over the raw
+    // byte mass in floor-ppm, plus the count of suspiciously-
+    // compressible docs (ratio < 25% — template/boilerplate spam; prose
+    // sits far higher). Runs through the codegen'd [[DeflateLength]]
+    // expression — one static zlib call per row inside the projection,
+    // no UDF boxing. NO DuckDB oracle: zlib is not expressible in SQL,
+    // so this is a declared rows-only entry (the streaming-op
+    // convention); determinism and the more-repetition-compresses-more
+    // law are spec-proven instead (AuditOpsSpec).
+    "q339_gzip_quality" -> { (s, d) =>
+      import graft.functions.TextCodecs.deflate_len
+      Tables.documents(s, d)
+        .select(col("source"), octet_length(col("text")).cast("long").as("nb"),
+          deflate_len(col("text")).as("nz"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("nb")).cast("long").as("raw_bytes"),
+          sum(col("nz")).cast("long").as("deflate_bytes"),
+          sum(when(col("nz") * 4 < col("nb"), 1L).otherwise(0L)).cast("long")
+            .as("n_suspicious"))
+        .withColumn("ratio_ppm",
+          expr("CAST(deflate_bytes * 1000000 DIV raw_bytes AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // Unicode NFC-normalization audit: docs whose text changes under
+    // canonical composition and the char-count delta — the hygiene gate
+    // in FRONT of every hash-based dedup tier (composed "café" and
+    // decomposed "café" are the same text but different md5s; q310
+    // prices the multibyte mass, this prices the mass that isn't even
+    // canonically composed). Runs through the codegen'd [[NfcNormalize]]
+    // expression; DuckDB mirrors with nfc_normalize(). The shipped
+    // corpus is ASCII, so the zeros are measured facts (the q158 rule);
+    // the detector is spec-proven on injected decomposed text.
+    "q340_nfc_audit" -> { (s, d) =>
+      import graft.functions.TextCodecs.nfc
+      Tables.documents(s, d)
+        .select(col("source"), col("text"), nfc(col("text")).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("text") =!= col("nt"), 1L).otherwise(0L)).cast("long")
+            .as("docs_changed"),
+          sum(abs(length(col("text")) - length(col("nt")))).cast("long")
+            .as("chars_delta"))
+        .withColumn("changed_ppm",
+          expr("CAST(docs_changed * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
     }
   )
 
@@ -1477,6 +1527,21 @@ object Curation {
         |    AS p75_cents,
         |  CAST(MAX(wtot) AS BIGINT) AS total_weight
         |FROM cum JOIN tot ON cum.flag = tot.flag
-        |GROUP BY cum.flag ORDER BY cum.flag""".stripMargin
+        |GROUP BY cum.flag ORDER BY cum.flag""".stripMargin,
+
+    // q339_gzip_quality deliberately ABSENT: zlib is not expressible in
+    // DuckDB SQL — the driver records the weaker rows-only check (the
+    // declared streaming-op convention); AuditOpsSpec carries the
+    // determinism and compression-law proofs.
+
+    "q340_nfc_audit" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_changed,
+        |  CAST(SUM(ABS(length(text) - length(nfc_normalize(text))))
+        |    AS BIGINT) AS chars_delta,
+        |  CAST(SUM(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS changed_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

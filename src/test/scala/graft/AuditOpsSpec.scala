@@ -413,4 +413,44 @@ class AuditOpsSpec extends AnyFunSuite {
         math.min(2 * r.getAs[Long]("n_build"), r.getAs[Long]("m")))
     }
   }
+
+  // ---- q339 gzip quality ----------------------------------------------
+
+  test("q339 is deterministic and flags repetitive text as more compressible") {
+    val a = graft.ops.Curation.queries("q339_gzip_quality")(spark, sf).collect()
+    val b = graft.ops.Curation.queries("q339_gzip_quality")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "deflate at a pinned level must be run-to-run deterministic")
+    a.foreach(r => assert(r.getAs[Long]("deflate_bytes") > 0))
+    // law: heavy repetition compresses far below varied prose
+    val dir = writeDocs(Seq(
+      doc(1, "spam spam spam spam spam spam spam spam spam spam spam spam " * 8,
+        "en", "looped"),
+      doc(2, "the quick brown fox jumps over a lazy dog while seven wizards " +
+        "brew unique potions under amber skies every dusk", "en", "prose")))
+    val out = graft.ops.Curation.queries("q339_gzip_quality")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("looped").getAs[Long]("ratio_ppm") <
+      out("prose").getAs[Long]("ratio_ppm") / 2,
+      "looped boilerplate must compress far harder than varied prose")
+    assert(out("looped").getAs[Long]("n_suspicious") == 1L)
+    assert(out("prose").getAs[Long]("n_suspicious") == 0L)
+  }
+
+  // ---- q340 NFC audit -------------------------------------------------
+
+  test("q340 detects injected decomposed text and clears composed text") {
+    // "cafe" + COMBINING ACUTE (decomposed) vs precomposed U+00E9
+    val decomposed = "cafe\u0301 royale"
+    val composed = "caf\u00e9 royale"
+    val dir = writeDocs(Seq(
+      doc(1, decomposed, "fr", "dirty"), doc(2, composed, "fr", "clean"),
+      doc(3, "plain ascii", "en", "clean")))
+    val out = graft.ops.Curation.queries("q340_nfc_audit")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("dirty").getAs[Long]("docs_changed") == 1L)
+    assert(out("dirty").getAs[Long]("chars_delta") == 1L,
+      "NFC composes e + combining acute into one char")
+    assert(out("clean").getAs[Long]("docs_changed") == 0L)
+  }
 }

@@ -112,10 +112,12 @@ class PlanSpec extends AnyFunSuite {
     // crn is q279's probe-depth rank, capped at 4 by construction;
     // mask/s8 are q307's 3-bit touch-lattice codes (8 values); cohort is
     // q308's first-year month index (< 12 by filter)
+    // hb64 is q323's hashed-bigram bucket lattice: hash % 64 — the
+    // domain is the 64 residues by construction, never the data volume
     val boundedDomainKeys = Set("day", "lang", "source", "event_type", "n_chars",
       "from_type", "to_type", "tok", "w1", "disc_pct", "prio",
       "r_name", "n_name", "c_mktsegment", "lo", "delta", "t", "l_linestatus",
-      "c_nationkey", "dim", "crn", "mask", "s8", "cohort")
+      "c_nationkey", "dim", "crn", "mask", "s8", "cohort", "hb64")
     // Recursive: a subtree is bounded if every path from the broadcast
     // root down to a fact leaf passes through a LIMIT, a one-row
     // (groupless) aggregate, or an aggregate grouped only on
