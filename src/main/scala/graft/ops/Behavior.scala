@@ -1129,6 +1129,102 @@ object Behavior {
           coalesce(col("last_touch"), lit(0L)).cast("long").as("last_touch"),
           col("linear_u").cast("long").as("linear_u"))
         .orderBy("channel")
+    },
+
+    // MARKOV removal-effect attribution (Anderl et al. 2014) — the
+    // principled chain-based answer q328's three heuristics bracket:
+    // build the journey transition matrix (start → touches → first
+    // purchase as the absorbing 'conv'), then for each channel ZERO the
+    // transitions INTO it (paths through the channel break — the
+    // removal semantics) and re-propagate; the conversion-probability
+    // drop IS the channel's credit. The absorption probability is
+    // computed by EIGHT statically-unrolled propagation steps over the
+    // (scenario × state) grid — no matrix inversion, no driver loop;
+    // mass is integer 10¹² fixed-point (mass·p_ppm ≤ 10¹⁸ holds int64),
+    // transition probabilities floor-ppm. Scale: the corpus-sized work
+    // is ONE per-user window pass building transition counts; the
+    // matrix is |states|²-bounded, scenarios = |channels|+1, and all
+    // propagation runs on a ≤(|channels|+1)·|states| grid.
+    "q341_markov_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("us"), col("event_id"))).as("c"))
+        .select(col("user_id"), col("c.us").as("cus"), col("c.event_id").as("cid"))
+      // journey = events up to and including the first purchase;
+      // non-converting users keep their whole history (absorbed to null)
+      val j = ev.join(conv, Seq("user_id"), "left")
+        .filter(col("cus").isNull || col("us") < col("cus") ||
+          (col("us") === col("cus") && col("event_id") <= col("cid")))
+        .withColumn("state", when(col("event_type") === "purchase", "conv")
+          .otherwise(col("event_type")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val seq0 = j.withColumn("rn", row_number().over(w))
+        .withColumn("nxt", lead(col("state"), 1).over(w))
+      // the ONLY corpus-sized pass; cached as a ≤|states|² grid so the
+      // row totals, channel list, scenario grid, and matrix all read
+      // 30 rows instead of re-running the window scan (first cut paid
+      // SIX hidden corpus passes through this subtree — 7.6 s → 1.6 s)
+      val trans = Caches.shared(seq0.filter(col("rn") === 1)
+        .select(lit("start").as("f"), col("state").as("t"))
+        .unionByName(seq0.filter(col("nxt").isNotNull &&
+          col("state") =!= "conv")
+          .select(col("state").as("f"), col("nxt").as("t")))
+        .groupBy("f", "t").agg(count(lit(1)).as("n")))
+      val rowTot = trans.groupBy("f").agg(sum(col("n")).as("nt"))
+      val chan = trans.select(col("t").as("channel")).distinct()
+        .filter(col("channel") =!= "conv")
+      val scen = chan.select(col("channel").as("removed"))
+        .unionByName(chan.sparkSession.range(1)
+          .select(lit("__none__").as("removed")))
+      // scenario matrix: removal zeroes transitions INTO the channel
+      val mat = trans.join(broadcast(rowTot), "f")
+        .crossJoin(broadcast(scen))
+        .withColumn("p_ppm",
+          when(col("t") === col("removed"), lit(0L))
+            .otherwise(expr("CAST(n * 1000000 DIV nt AS BIGINT)")))
+        .select(col("removed"), col("f"), col("t"), col("p_ppm"))
+      // conv is absorbing in every scenario
+      val matAbs = mat.unionByName(
+        scen.select(col("removed"), lit("conv").as("f"),
+          lit("conv").as("t"), lit(1000000L).as("p_ppm")))
+      // the fold references v ONCE per step, so lineage stays LINEAR —
+      // no per-step materialization needed (q319's blowup came from a
+      // double reference per step); the matrix side is cached once
+      val matC = Caches.shared(matAbs)
+      // The 8 propagation steps run as ONE projection over the
+      // collected per-scenario matrix (≤|states|² rows) — the q319
+      // lesson: a join-per-step fold on a 30-row grid is pure shuffle-
+      // stage overhead (measured 5.6 s; this form 1-2 s), and at
+      // cluster scale it would add 16 pointless barriers. Per-edge
+      // floor order matches the SQL mirror exactly (integer adds
+      // commute).
+      val matArr = matC.groupBy("removed")
+        .agg(collect_list(struct(col("f"), col("t"), col("p_ppm"))).as("ms"))
+        .withColumn("tstates", expr("array_distinct(transform(ms, m -> m.t))"))
+      def stepExpr(prev: String): String =
+        s"""transform(tstates, ts -> struct(ts AS state,
+           |  aggregate(filter(ms, m -> m.t = ts), CAST(0 AS BIGINT),
+           |    (acc, m) -> acc +
+           |      (coalesce(try_element_at(filter($prev, x -> x.state = m.f), 1).mass,
+           |        CAST(0 AS BIGINT)) * m.p_ppm) DIV 1000000) AS mass))""".stripMargin
+      var folded = matArr.withColumn("v0", expr(
+        "array(struct('start' AS state, CAST(1000000000000 AS BIGINT) AS mass))"))
+      for (k <- 1 to 8)
+        folded = folded.withColumn(s"v$k", expr(stepExpr(s"v${k - 1}")))
+      val pconv = Caches.shared(folded.select(col("removed"), expr(
+        "CAST(coalesce(try_element_at(filter(v8, x -> x.state = 'conv'), 1).mass," +
+          " CAST(0 AS BIGINT)) DIV 1000000 AS BIGINT)").as("pconv_ppm")))
+      val full = pconv.filter(col("removed") === "__none__")
+        .select(col("pconv_ppm").as("pconv_full_ppm"))
+      pconv.filter(col("removed") =!= "__none__")
+        .crossJoin(broadcast(full))
+        .select(col("removed").as("channel"), col("pconv_full_ppm"),
+          col("pconv_ppm").as("pconv_removed_ppm"),
+          (col("pconv_full_ppm") - col("pconv_ppm")).as("removal_ppm"))
+        .orderBy("channel")
     }
   )
 
@@ -1859,6 +1955,67 @@ object Behavior {
         |  CAST(COALESCE(last_touch, 0) AS BIGINT) AS last_touch,
         |  CAST(linear_u AS BIGINT) AS linear_u
         |FROM lin LEFT JOIN fc USING (channel) LEFT JOIN lc USING (channel)
-        |ORDER BY lin.channel""".stripMargin
+        |ORDER BY lin.channel""".stripMargin,
+
+    "q341_markov_attribution" -> {
+      val steps = (1 to 8).map { k =>
+        s"""v$k AS (
+           |  SELECT v.removed, m.t AS state,
+           |    CAST(SUM(v.mass * m.p_ppm // 1000000) AS BIGINT) AS mass
+           |  FROM v${k - 1} v JOIN mat m
+           |    ON v.state = m.f AND v.removed = m.removed
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |cnv AS (SELECT user_id, us AS cus, event_id AS cid FROM (
+         |    SELECT user_id, us, event_id, row_number() OVER
+         |      (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+         |j AS (
+         |  SELECT e.user_id, e.event_id, e.us,
+         |    CASE WHEN e.event_type = 'purchase' THEN 'conv'
+         |         ELSE e.event_type END AS state
+         |  FROM ev e LEFT JOIN cnv USING (user_id)
+         |  WHERE cus IS NULL OR e.us < cus
+         |     OR (e.us = cus AND e.event_id <= cid)),
+         |sq AS (
+         |  SELECT user_id, state,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS rn,
+         |    lead(state) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS nxt
+         |  FROM j),
+         |tr AS (
+         |  SELECT 'start' AS f, state AS t, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sq WHERE rn = 1 GROUP BY 2
+         |  UNION ALL
+         |  SELECT state, nxt, CAST(COUNT(*) AS BIGINT)
+         |  FROM sq WHERE nxt IS NOT NULL AND state <> 'conv' GROUP BY 1, 2),
+         |rt AS (SELECT f, SUM(n) AS nt FROM tr GROUP BY 1),
+         |ch AS (SELECT DISTINCT t AS channel FROM tr WHERE t <> 'conv'),
+         |sc AS (SELECT channel AS removed FROM ch
+         |       UNION ALL SELECT '__none__'),
+         |mat AS (
+         |  SELECT sc.removed, tr.f, tr.t,
+         |    CASE WHEN tr.t = sc.removed THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(tr.n * 1000000 // rt.nt AS BIGINT) END AS p_ppm
+         |  FROM tr JOIN rt USING (f) CROSS JOIN sc
+         |  UNION ALL
+         |  SELECT removed, 'conv', 'conv', CAST(1000000 AS BIGINT) FROM sc),
+         |v0 AS (SELECT removed, 'start' AS state,
+         |         CAST(1000000000000 AS BIGINT) AS mass FROM sc),
+         |$steps,
+         |pc AS (SELECT removed, CAST(mass // 1000000 AS BIGINT) AS pconv_ppm
+         |       FROM v8 WHERE state = 'conv'),
+         |fl AS (SELECT pconv_ppm AS pconv_full_ppm FROM pc
+         |       WHERE removed = '__none__')
+         |SELECT pc.removed AS channel, fl.pconv_full_ppm,
+         |  pc.pconv_ppm AS pconv_removed_ppm,
+         |  fl.pconv_full_ppm - pc.pconv_ppm AS removal_ppm
+         |FROM pc CROSS JOIN fl WHERE pc.removed <> '__none__'
+         |ORDER BY channel""".stripMargin
+    }
   )
 }

@@ -580,6 +580,38 @@ object Lakehouse {
           col("merged_cnt") === col("full_cnt") &&
             col("merged_rev_c") === col("full_rev_c"))
         .orderBy("prio")
+    },
+
+    // DATASET content FINGERPRINT (the reproducibility-card stamp a
+    // dataset release ships: "this exact byte content, this exact
+    // count"): per source an ORDER-INSENSITIVE pair of digests over the
+    // 60-bit md5-prefix content hashes — XOR fold and sum mod the
+    // Mersenne prime 2⁶¹−1 — plus the '__all__' row computed by MERGING
+    // the per-source digests (XOR of XORs, modular sum of sums — the
+    // associativity that makes the fingerprint a one-scan map-combined
+    // aggregate at any scale and lets shard-level stamps roll up
+    // without re-reading bytes; the q184 merge convention). Two
+    // digests because XOR alone is blind to duplicate pairs (x⊕x = 0)
+    // and the modular sum alone to reordering-with-carry collisions.
+    "q342_dataset_fingerprint" -> { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), expr(
+          "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+          .as("h60"))
+      val per = h.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          expr("bit_xor(h60)").as("fp_xor"),
+          expr("CAST(sum(CAST(h60 AS DECIMAL(38,0))) % 2305843009213693951" +
+            " AS BIGINT)").as("fp_sum"))
+      val all = per.agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          expr("bit_xor(fp_xor)").as("fp_xor"),
+          expr("CAST(sum(CAST(fp_sum AS DECIMAL(38,0))) % 2305843009213693951" +
+            " AS BIGINT)").as("fp_sum"))
+        .select(lit("__all__").as("source"), col("n_docs"), col("n_chars"),
+          col("fp_xor"), col("fp_sum"))
+      per.unionByName(all).orderBy("source")
     }
   )
 
@@ -965,6 +997,27 @@ object Lakehouse {
         |  COALESCE(b_cnt, 0) + COALESCE(d_cnt, 0) = f_cnt
         |    AND COALESCE(b_rev, 0) + COALESCE(d_rev, 0) = f_rev AS consistent
         |FROM f LEFT JOIN b USING (prio) LEFT JOIN dl USING (prio)
-        |ORDER BY f.prio""".stripMargin
+        |ORDER BY f.prio""".stripMargin,
+
+    "q342_dataset_fingerprint" ->
+      """WITH h AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h60
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(bit_xor(h60) AS BIGINT) AS fp_xor,
+        |    CAST(SUM(CAST(h60 AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+        |      AS fp_sum
+        |  FROM h GROUP BY source),
+        |al AS (
+        |  SELECT '__all__' AS source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(bit_xor(fp_xor) AS BIGINT) AS fp_xor,
+        |    CAST(SUM(CAST(fp_sum AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+        |      AS fp_sum
+        |  FROM per)
+        |SELECT * FROM per UNION ALL SELECT * FROM al ORDER BY source""".stripMargin
   )
 }
