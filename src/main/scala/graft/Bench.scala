@@ -31,12 +31,18 @@ object Bench {
 
     def materialize(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
-      finally graft.ops.Caches.clear() // release shared persisted subtrees
-      (System.nanoTime() - t0) / 1e9
+      // Watchdog: a stuck query records -1 and the run continues —
+      // round 6's BENCH artifact was zeroed by a single 1 h hang.
+      val err = Watchdog.run(spark, name) {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.ops.Caches.clear() // release shared persisted subtrees
+      err match {
+        case Some(msg) =>
+          System.err.println(s"[bench] $name failed: $msg"); -1.0
+        case None => (System.nanoTime() - t0) / 1e9
+      }
     }
 
     // SPARK_GRAFT_ONLY (local dev only; the driver never sets it): CSV of

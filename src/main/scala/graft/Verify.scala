@@ -22,12 +22,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      finally graft.ops.Caches.clear() // release shared persisted subtrees
+      // Watchdog: one stuck query must cost one red row, not the round
+      // (round 6's artifacts were zeroed by a single 1 h hang).
+      Watchdog.run(spark, name) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }.foreach(msg => System.err.println(s"[verify] $name failed: $msg"))
+      graft.ops.Caches.clear() // release shared persisted subtrees
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1190,30 +1190,33 @@ object Behavior {
       val matAbs = mat.unionByName(
         scen.select(col("removed"), lit("conv").as("f"),
           lit("conv").as("t"), lit(1000000L).as("p_ppm")))
-      // the fold references v ONCE per step, so lineage stays LINEAR —
-      // no per-step materialization needed (q319's blowup came from a
-      // double reference per step); the matrix side is cached once
+      // the matrix side is cached once; the propagation below folds at
+      // RUNTIME (value accumulator), never at expression level
       val matC = Caches.shared(matAbs)
       // The 8 propagation steps run as ONE projection over the
       // collected per-scenario matrix (≤|states|² rows) — the q319
       // lesson: a join-per-step fold on a 30-row grid is pure shuffle-
-      // stage overhead (measured 5.6 s; this form 1-2 s), and at
-      // cluster scale it would add 16 pointless barriers. Per-edge
-      // floor order matches the SQL mirror exactly (integer adds
-      // commute).
+      // stage overhead, and at cluster scale it would add 16 pointless
+      // barriers. CRITICAL FORM: the fold MUST be a single runtime
+      // aggregate() over sequence(1,8) whose accumulator is a
+      // materialized VALUE each step. The first cut unrolled 8
+      // withColumn steps, each referencing v(k-1) inside the per-edge
+      // lambda; CollapseProject inlined them and evaluation re-computed
+      // the whole previous vector once per (state × edge) pair —
+      // O((|states|·|edges|)^8) interpreted work, a ~1 h hang at sf0.1
+      // that zeroed round 6's gate artifacts. Per-edge floor order
+      // matches the SQL mirror exactly (integer adds commute).
       val matArr = matC.groupBy("removed")
         .agg(collect_list(struct(col("f"), col("t"), col("p_ppm"))).as("ms"))
         .withColumn("tstates", expr("array_distinct(transform(ms, m -> m.t))"))
-      def stepExpr(prev: String): String =
-        s"""transform(tstates, ts -> struct(ts AS state,
-           |  aggregate(filter(ms, m -> m.t = ts), CAST(0 AS BIGINT),
-           |    (acc, m) -> acc +
-           |      (coalesce(try_element_at(filter($prev, x -> x.state = m.f), 1).mass,
-           |        CAST(0 AS BIGINT)) * m.p_ppm) DIV 1000000) AS mass))""".stripMargin
-      var folded = matArr.withColumn("v0", expr(
-        "array(struct('start' AS state, CAST(1000000000000 AS BIGINT) AS mass))"))
-      for (k <- 1 to 8)
-        folded = folded.withColumn(s"v$k", expr(stepExpr(s"v${k - 1}")))
+      val folded = matArr.withColumn("v8", expr(
+        """aggregate(sequence(1, 8),
+          |  array(struct('start' AS state, CAST(1000000000000 AS BIGINT) AS mass)),
+          |  (v, k) -> transform(tstates, s -> struct(s AS state,
+          |    aggregate(filter(ms, m -> m.t = s), CAST(0 AS BIGINT),
+          |      (acc, m) -> acc +
+          |        (coalesce(try_element_at(filter(v, x -> x.state = m.f), 1).mass,
+          |          CAST(0 AS BIGINT)) * m.p_ppm) DIV 1000000) AS mass)))""".stripMargin))
       val pconv = Caches.shared(folded.select(col("removed"), expr(
         "CAST(coalesce(try_element_at(filter(v8, x -> x.state = 'conv'), 1).mass," +
           " CAST(0 AS BIGINT)) DIV 1000000 AS BIGINT)").as("pconv_ppm")))

@@ -741,6 +741,13 @@ object Similarity {
             |  struct(CAST(5 AS BIGINT) AS step, -p5.ni AS vec_id,
             |         p5.r AS rel_u, p5.ms AS maxsim_u, p5.sc AS score_u))""".stripMargin))
           .as("pk"))
+        // pool exhaustion (|cand| < 5): an exhausted step's argmax is a
+        // NULL struct, and the NULL id it injects into sel makes every
+        // LATER step's filter NULL out too (exhaustion is absorbing) —
+        // dropping NULL-id rows therefore emits exactly min(5, |pool|)
+        // steps, the same rows the SQL mirror's LIMIT-1 CTEs produce on
+        // a degenerate corpus.
+        .filter(col("pk.vec_id").isNotNull)
         .select(col("pk.step").as("step"), col("pk.vec_id").as("vec_id"),
           col("pk.rel_u").as("rel_u"), col("pk.maxsim_u").as("maxsim_u"),
           col("pk.score_u").as("score_u"))
@@ -859,6 +866,39 @@ object Similarity {
         .as("bucket"))
       leg("multi", multi).unionByName(leg("single", single))
         .orderBy("mode")
+    },
+
+    // INT8 symmetric-quantization utilization audit (the per-dimension
+    // table read before an embedding index is served quantized — the
+    // PRECISION sibling of q334's dimension truncation): per dim, the
+    // absmax scale, the mean magnitude utilization of the 127-step
+    // budget (a dim whose mass sits at 5% of its own absmax wastes the
+    // int8 range on one outlier — the signal that picks per-dim over
+    // per-tensor scaling), and the saturation count. q = ⌊x·127/amax +
+    // 0.5⌋ — one multiply + one divide, each a single IEEE step both
+    // engines execute bit-identically (the mirrored-float rule);
+    // everything after q is exact integers. Magnitude: Σ|q| ≤ 127·n ≈
+    // 1.3·10¹¹ per dim at 10⁹ vectors; ×10⁶ cross-multiplied against
+    // 127·n stays < 10¹⁸. Scale: posexplode is map-side; both passes
+    // shuffle on the 64-value dim key with map-side combine; the scale
+    // table broadcasts by construction.
+    "q343_int8_quant" -> { (s, d) =>
+      val dims = vecs(s, d).select(posexplode(col("v")).as(Seq("dim", "x")))
+      val scales = dims.groupBy("dim").agg(max(abs(col("x"))).as("amax"))
+      dims.join(broadcast(scales), "dim")
+        .withColumn("q", expr("CAST(CASE WHEN amax = 0 THEN 0" +
+          " ELSE floor(x * 127 / amax + 0.5) END AS BIGINT)"))
+        .groupBy("dim")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          expr("CAST(floor(max(amax) * 1000000 + 0.5) AS BIGINT)").as("absmax_u"),
+          sum(abs(col("q"))).cast("long").as("sum_abs_q"),
+          sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).cast("long")
+            .as("n_saturated"))
+        .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+          col("absmax_u"), col("sum_abs_q"), col("n_saturated"),
+          expr("CAST(sum_abs_q * 1000000 DIV (127 * n_vecs) AS BIGINT)")
+            .as("util_ppm"))
+        .orderBy("dim")
     }
   )
 
@@ -1228,12 +1268,12 @@ object Similarity {
         |ORDER BY dec.decile""".stripMargin,
 
     "q317_semdedup" -> (CellAssignSql +
-      """,
+      s""",
         |pr AS (
         |  SELECT b.cell, b.vec_id AS id_b
         |  FROM cells a JOIN cells b
         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $SemTau
         |  GROUP BY 1, 2),
         |pc AS (SELECT cell, COUNT(*) AS n_pruned FROM pr GROUP BY 1),
         |nc AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1)
@@ -1246,7 +1286,7 @@ object Similarity {
         |FROM nc LEFT JOIN pc ON nc.cell = pc.cell ORDER BY cell""".stripMargin),
 
     "q319_mmr_select" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |anch AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n0
@@ -1256,7 +1296,7 @@ object Similarity {
         |    CAST(floor(round(list_dot_product(v, qv) / (nrm * qn), 6)
         |      * 1000000 + 0.5) AS BIGINT) AS rel_u
         |  FROM n0, anch WHERE vec_id <> qid
-        |  ORDER BY rel_u DESC, vec_id LIMIT 32),
+        |  ORDER BY rel_u DESC, vec_id LIMIT $MmrCandidates),
         |sim AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
         |    CAST(floor(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
@@ -1321,10 +1361,13 @@ object Similarity {
         |tr AS (
         |  SELECT ks.k, pr.qid, pr.cid, pr.c64,
         |    CAST(floor(round(
-        |      list_dot_product(pr.v[1:ks.k], pr.qv[1:ks.k]) /
-        |      (sqrt(list_dot_product(pr.v[1:ks.k], pr.v[1:ks.k])) *
-        |       sqrt(list_dot_product(pr.qv[1:ks.k], pr.qv[1:ks.k]))), 6)
-        |      * 1000000 + 0.5) AS BIGINT) AS ck
+        |      CASE WHEN list_dot_product(pr.v[1:ks.k], pr.v[1:ks.k]) = 0
+        |             OR list_dot_product(pr.qv[1:ks.k], pr.qv[1:ks.k]) = 0
+        |           THEN 0
+        |           ELSE list_dot_product(pr.v[1:ks.k], pr.qv[1:ks.k]) /
+        |             (sqrt(list_dot_product(pr.v[1:ks.k], pr.v[1:ks.k])) *
+        |              sqrt(list_dot_product(pr.qv[1:ks.k], pr.qv[1:ks.k])))
+        |      END, 6) * 1000000 + 0.5) AS BIGINT) AS ck
         |  FROM pr CROSS JOIN ks),
         |t64 AS (SELECT qid, cid AS nn64 FROM (
         |    SELECT qid, cid, row_number() OVER
@@ -1391,12 +1434,35 @@ object Similarity {
         |        round(list_dot_product(qv, v) / (qn * nrm), 6) DESC, c_id) AS rn
         |    FROM cand) WHERE rn <= 5),
         |hits AS (SELECT mode, CAST(COUNT(*) AS BIGINT) AS hits
-        |         FROM top JOIN ex USING (q_id, c_id) GROUP BY mode)
-        |SELECT nc.mode, nc.n_candidates,
+        |         FROM top JOIN ex USING (q_id, c_id) GROUP BY mode),
+        |modes AS (SELECT 'single' AS mode UNION ALL SELECT 'multi')
+        |SELECT m.mode, CAST(COALESCE(nc.n_candidates, 0) AS BIGINT)
+        |    AS n_candidates,
         |  CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits, nex.n_exact,
         |  CAST(COALESCE(hits.hits, 0) * 1000000 // nex.n_exact AS BIGINT)
         |    AS recall_ppm
-        |FROM nc LEFT JOIN hits USING (mode) CROSS JOIN nex
-        |ORDER BY nc.mode""".stripMargin
+        |FROM modes m LEFT JOIN nc USING (mode) LEFT JOIN hits USING (mode)
+        |  CROSS JOIN nex
+        |ORDER BY m.mode""".stripMargin,
+
+    "q343_int8_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, g.j - 1 AS dim, v[g.j] AS x
+        |      FROM e, UNNEST(generate_series(1, len(v))) AS g(j)),
+        |sc AS (SELECT dim, MAX(ABS(x)) AS amax FROM x GROUP BY 1),
+        |q AS (
+        |  SELECT x.dim,
+        |    CAST(CASE WHEN sc.amax = 0 THEN 0
+        |      ELSE floor(x.x * 127 / sc.amax + 0.5) END AS BIGINT) AS q,
+        |    sc.amax
+        |  FROM x JOIN sc USING (dim))
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(floor(MAX(amax) * 1000000 + 0.5) AS BIGINT) AS absmax_u,
+        |  CAST(SUM(ABS(q)) AS BIGINT) AS sum_abs_q,
+        |  CAST(SUM(CASE WHEN ABS(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_saturated,
+        |  CAST(SUM(ABS(q)) * 1000000 // (127 * COUNT(*)) AS BIGINT) AS util_ppm
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
