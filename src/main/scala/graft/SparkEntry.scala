@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ops.{Analytics, Behavior, ConvertQueries, Corpus, Curation, Dedup, Evaluation, Extras, FlowQueries, Graph, Lakehouse, Multimodal, Pipeline, Quality, Relational, Similarity, TextAnalysis, Warehouse}
+import graft.ops.{Analytics, Behavior, ConvertQueries, Corpus, Curation, Dedup, Evaluation, Extras, FlowQueries, Graph, Lakehouse, Multimodal, Pipeline, Quality, Relational, Similarity, Stewardship, TextAnalysis, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Extras.queries ++ Curation.queries ++ Corpus.queries ++ Behavior.queries ++
       Graph.queries ++ Warehouse.queries ++ Pipeline.queries ++ Evaluation.queries ++
-      Quality.queries ++ Lakehouse.queries ++ Analytics.queries
+      Quality.queries ++ Lakehouse.queries ++ Analytics.queries ++
+      Stewardship.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       Extras.oracle ++ Curation.oracle ++ Corpus.oracle ++ Behavior.oracle ++
       Graph.oracle ++ Warehouse.oracle ++ Pipeline.oracle ++ Evaluation.oracle ++
-      Quality.oracle ++ Lakehouse.oracle ++ Analytics.oracle
+      Quality.oracle ++ Lakehouse.oracle ++ Analytics.oracle ++
+      Stewardship.oracle
 }

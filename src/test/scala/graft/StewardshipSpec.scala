@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Tables
+import graft.ops.Stewardship
+
+/** Round-7 stewardship batch (q343–q349): every law below is either a
+  * full brute-force Scala mirror of the operator on the sf0.001 corpus
+  * (the strongest check we can run without DuckDB) or a detector-arm
+  * proof on injected violations.
+  */
+class StewardshipSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q343 int8 quantization matches a Scala brute-force mirror per dim") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .collect().map(_.getSeq[Double](0))
+    val nd = vs.head.length
+    val amax = (0 until nd).map(j => vs.map(v => math.abs(v(j))).max)
+    val rows = run("q343_int8_quant").collect()
+    assert(rows.length == nd)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("dim").toInt
+      val qs = vs.map { v =>
+        if (amax(j) == 0) 0L
+        else math.floor(v(j) * 127 / amax(j) + 0.5).toLong
+      }
+      assert(qs.forall(q => math.abs(q) <= 127), s"dim $j: |q| must be <= 127")
+      assert(r.getAs[Long]("sum_abs_q") == qs.map(math.abs).sum, s"dim $j sum_abs_q")
+      assert(r.getAs[Long]("n_saturated") == qs.count(q => math.abs(q) == 127))
+      assert(r.getAs[Long]("absmax_u") == math.floor(amax(j) * 1000000 + 0.5).toLong)
+      assert(r.getAs[Long]("util_ppm") <= 1000000L)
+    }
+  }
+
+  test("q344 medians and MAD match exact rank selection over the daily grid") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+    val rows = run("q344_mad_anomalies").collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val g = daily.filter(_._1 == t)
+      def medianBy(vals: Seq[(Long, String)]): Long = {
+        val sorted = vals.sortBy(identity)
+        sorted(((sorted.length + 1) / 2) - 1)._1
+      }
+      val med = medianBy(g.map(x => (x._3, x._2)).toSeq)
+      val devs = g.map(x => (math.abs(x._3 - med), x._2)).toSeq
+      val mad = medianBy(devs)
+      assert(r.getAs[Long]("n_days") == g.length)
+      assert(r.getAs[Long]("med") == med, s"$t median")
+      assert(r.getAs[Long]("mad") == mad, s"$t MAD")
+      assert(r.getAs[Long]("n_anomalies") == devs.count(_._1 > Stewardship.MadK * mad))
+      assert(r.getAs[Long]("max_dev") == devs.map(_._1).max)
+    }
+  }
+
+  test("q345 all six checks pass on the pristine corpus") {
+    val rows = run("q345_expectations").collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(r.getAs[Boolean]("pass"),
+      s"${r.getString(0)} should pass on pristine data, got ${r.getAs[Long]("n_violations")}"))
+  }
+
+  test("q345 every detector arm fires on injected violations") {
+    val ts = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+    val bad = java.sql.Timestamp.valueOf("1985-01-01 00:00:00")
+    val inj = Seq(
+      (1L, Some(10L), "O", 100.0, ts, "2-HIGH"),          // clean
+      (2L, Some(11L), "O", -5.0, ts, "2-HIGH"),           // c1
+      (3L, Some(12L), "X", 100.0, ts, "2-HIGH"),          // c2
+      (4L, Some(13L), "O", 100.0, ts, "9-BOGUS"),         // c3
+      (5L, None: Option[Long], "O", 100.0, ts, "2-HIGH"), // c4
+      (6L, Some(14L), "O", 100.0, bad, "2-HIGH"),         // c5
+      (6L, Some(15L), "O", 100.0, ts, "2-HIGH"))          // c6 dup key
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = Stewardship.expectationReport(inj).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_violations")).toMap
+    assert(got == Map(
+      "c1_totalprice_positive" -> 1L, "c2_status_domain" -> 1L,
+      "c3_priority_domain" -> 1L, "c4_custkey_not_null" -> 1L,
+      "c5_orderdate_bounds" -> 1L, "c6_orderkey_unique" -> 1L))
+  }
+
+  test("q346 chunk geometry matches a per-doc Scala mirror") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cl = Stewardship.ChunkLen.toInt
+    val st = Stewardship.ChunkStride.toInt
+    case class Agg(chunks: Long = 0, chars: Long = 0, span: Long = 0,
+                   bounds: Long = 0, broken: Long = 0)
+    val mirror = docs.groupBy(_._1).map { case (src, ds) =>
+      var a = Agg()
+      ds.foreach { case (_, text) =>
+        val nc = text.length
+        val n = 1 + (math.max(nc - cl, 0) + st - 1) / st
+        a = a.copy(chunks = a.chunks + n, chars = a.chars + nc)
+        for (i <- 0 until n) {
+          a = a.copy(span = a.span + math.min(cl, nc - i * st))
+          if (i > 0) {
+            val brk = text.charAt(i * st - 1) != ' ' && text.charAt(i * st) != ' '
+            a = a.copy(bounds = a.bounds + 1, broken = a.broken + (if (brk) 1 else 0))
+          }
+        }
+      }
+      src -> a
+    }
+    run("q346_chunking_audit").collect().foreach { r =>
+      val a = mirror(r.getString(0))
+      assert(r.getAs[Long]("n_chunks") == a.chunks)
+      assert(r.getAs[Long]("n_chars") == a.chars)
+      assert(r.getAs[Long]("span_chars") == a.span)
+      assert(r.getAs[Long]("n_boundaries") == a.bounds)
+      assert(r.getAs[Long]("broken") == a.broken)
+      assert(r.getAs[Long]("span_chars") >= r.getAs[Long]("n_chars"),
+        "overlap cannot be negative")
+    }
+  }
+
+  test("q347 island histogram matches a Scala sweep-line mirror") {
+    val cov = Stewardship.CoverUs
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).map { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var islands = List.empty[(Long, Long)] // (start, end)
+      for ((_, _, us) <- sorted) {
+        val en = us + cov
+        islands match {
+          case (s0, e0) :: rest if us <= e0 =>
+            islands = (s0, math.max(e0, en)) :: rest
+          case _ => islands = (us, en) :: islands
+        }
+      }
+      (islands.length.toLong, islands.map(i => i._2 - i._1).sum,
+        islands.map(i => i._2 - i._1).max)
+    }.toSeq
+    val hist = perUser.groupBy(_._1).map { case (k, us) =>
+      k -> (us.length.toLong, us.map(_._2).sum / 1000000L, us.map(_._3).max / 1000000L)
+    }
+    val got = run("q347_interval_coverage").collect()
+      .map(r => r.getAs[Long]("n_islands") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("covered_s"),
+          r.getAs[Long]("max_island_s"))).toMap
+    assert(got.keySet == hist.keySet)
+    hist.foreach { case (k, (nu, cs, mx)) =>
+      assert(got(k)._1 == nu, s"islands=$k n_users")
+      assert(got(k)._2 == cs, s"islands=$k covered_s")
+      assert(got(k)._3 == mx, s"islands=$k max_island_s")
+    }
+  }
+
+  test("q348 Theil-Sen median slope matches a Scala brute-force mirror") {
+    val months = Tables.orders(spark, sf)
+      .select(((year(col("o_orderdate")) - 1990) * 12 +
+        month(col("o_orderdate"))).as("t"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy("t").agg(sum(col("c")).as("rc"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+    val slopes = for {
+      (t1, r1) <- months; (t2, r2) <- months if t1 < t2
+    } yield {
+      val num = r2 - r1; val den = t2 - t1
+      val su = if (num >= 0) num * 1000000L / den else -((-num) * 1000000L / den)
+      (su, num, den, t1, t2)
+    }
+    val sorted = slopes.sortBy(identity)
+    val medianRow = sorted(((sorted.length + 1) / 2) - 1)
+    val r = run("q348_theil_sen").collect()(0)
+    assert(r.getAs[Long]("n_months") == months.length)
+    assert(r.getAs[Long]("n_pairs") == slopes.length)
+    assert(r.getAs[Long]("ts_slope_u") == medianRow._1)
+    assert(r.getAs[Long]("min_slope_u") == sorted.head._1)
+    assert(r.getAs[Long]("max_slope_u") == sorted.last._1)
+  }
+
+  test("q349 Benford grid laws: constants sum to 1e6, counts conserve, zeros explicit") {
+    assert(Stewardship.BenfordPpm.sum == 1000000L)
+    val rows = run("q349_benford").collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "every positive-cents order carries exactly one first digit")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chi2_scaled") >= 0)
+      assert(r.getAs[Long]("abs_delta_ppm") ==
+        math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")))
+    }
+  }
+}
