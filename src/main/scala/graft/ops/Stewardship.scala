@@ -311,6 +311,196 @@ object Stewardship {
           expr("CAST((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) DIV exp_ppm" +
             " AS BIGINT)").as("chi2_scaled"))
         .orderBy("digit")
+    },
+
+    // GDPR DELETION-CASCADE planner — the table a right-to-be-forgotten
+    // batch reads before it runs: a deterministic 5% customer cohort
+    // (engine-neutral md5 acceptance, the q64 hash-sampling rule, so
+    // the same customers delete in every engine and every rerun), the
+    // referential closure it drags along (their orders, those orders'
+    // lineitems), and the post-delete ORPHAN audit per table — rows
+    // whose parent is in the deletion set but which the closure missed
+    // (zero BY CONSTRUCTION for a transitive closure; measured, not
+    // assumed — the q158 rule). Scale: two semi-join hops on the FK
+    // spine, never broadcast-hinted (a 5% cohort grows with the data);
+    // counts map-combine.
+    "q350_deletion_cascade" -> { (s, d) =>
+      val cohort = Tables.customer(s, d)
+        .filter(expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING))," +
+          " 1, 15), 16, 10) AS BIGINT) % 100 < 5"))
+        .select(col("c_custkey"))
+      val delOrders = Tables.orders(s, d)
+        .join(cohort, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"))
+      val delLines = Tables.lineitem(s, d)
+        .join(delOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      // orphan audit: lineitems referencing a DELETED order that the
+      // closure itself would not delete — the anti-of-the-semi, so the
+      // count is a measured zero
+      val orphans = Tables.lineitem(s, d)
+        .join(delOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(delLines.select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2")),
+          col("l_orderkey") === col("k1") && col("l_linenumber") === col("k2"),
+          "left_anti")
+      val c = Tables.customer(s, d).agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(cohort.agg(count(lit(1)).as("n_delete"))))
+        .select(lit("customer").as("table_name"), col("n_rows"), col("n_delete"),
+          lit(0L).as("n_orphans"))
+      val o = Tables.orders(s, d).agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(delOrders.agg(count(lit(1)).as("n_delete"))))
+        .select(lit("orders").as("table_name"), col("n_rows"), col("n_delete"),
+          lit(0L).as("n_orphans"))
+      val l = Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(delLines.agg(count(lit(1)).as("n_delete"))))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orph"))))
+        .select(lit("lineitem").as("table_name"), col("n_rows"), col("n_delete"),
+          col("n_orph").as("n_orphans"))
+      c.unionByName(o).unionByName(l)
+        .select(col("table_name"), col("n_rows").cast("long").as("n_rows"),
+          col("n_delete").cast("long").as("n_delete"),
+          expr("CAST(n_delete * 1000000 DIV n_rows AS BIGINT)").as("delete_ppm"),
+          col("n_orphans").cast("long").as("n_orphans"))
+        .orderBy("table_name")
+    },
+
+    // PARETO FRONTIER (2-D skyline) over parts — maximize p_size,
+    // minimize price: the multi-objective shortlist every "best value"
+    // curation pass computes. Reduced FIRST to the 50-row size grid
+    // (per size: part count + cheapest part under the (price, partkey)
+    // total order), then a size is on the frontier iff NO larger size
+    // is as cheap or cheaper — best_price < min over larger sizes,
+    // evaluated by the predecessor-count-style successor join on the
+    // grid (the max size, having no successors, is always on the
+    // frontier via the left join's NULL). Scale: one map-combined agg
+    // to the schema-bounded grid; the skyline itself is grid² algebra.
+    "q351_pareto_frontier" -> { (s, d) =>
+      val g = Caches.shared(Tables.part(s, d)
+        .select(col("p_size"),
+          expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("pc"),
+          col("p_partkey"))
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("n_parts"),
+          min(struct(col("pc"), col("p_partkey"))).as("best"))
+        .select(col("p_size"), col("n_parts"),
+          col("best.pc").as("best_price_c"),
+          col("best.p_partkey").as("best_partkey")))
+      g.join(broadcast(g.select(col("p_size").as("s2"),
+          col("best_price_c").as("bp2"))), col("s2") > col("p_size"), "left")
+        .groupBy("p_size", "n_parts", "best_price_c", "best_partkey")
+        .agg(min(col("bp2")).as("min_larger"))
+        .select(col("p_size").cast("long").as("p_size"),
+          col("n_parts").cast("long").as("n_parts"),
+          col("best_price_c"), col("best_partkey").cast("long").as("best_partkey"),
+          (col("min_larger").isNull ||
+            col("best_price_c") < col("min_larger")).as("on_frontier"))
+        .orderBy("p_size")
+    },
+
+    // MAX-DRAWDOWN audit over the daily event-volume series per type —
+    // the "how far below its own peak has this feed fallen" measure
+    // finance runs on equity curves and pipelines should run on feed
+    // volume (a slow bleed never trips q344's point-anomaly MAD rule;
+    // drawdown catches it): running peak via the partitioned prefix-max
+    // window, dd = peak − n, plus days-underwater and the FIRST day the
+    // maximum drawdown was reached (max(struct(dd, −day)) — the
+    // (max dd, min day) tiebreak in one aggregate). Scale: one
+    // map-combined (type, day) pass; windows PARTITIONED by event_type
+    // over the horizon-bounded day grid.
+    "q352_drawdown" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dd = daily
+        .withColumn("peak", max(col("n")).over(w))
+        .withColumn("dd", col("peak") - col("n"))
+        .withColumn("di", datediff(col("day"), lit("1990-01-01").cast("date")))
+      dd.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          max(col("peak")).cast("long").as("peak_max"),
+          max(col("dd")).cast("long").as("max_drawdown"),
+          sum(when(col("dd") > 0, 1L).otherwise(0L)).cast("long")
+            .as("days_underwater"),
+          max(struct(col("dd"), (-col("di")).as("ni"))).as("m"))
+        .select(col("event_type"), col("n_days"), col("peak_max"),
+          col("max_drawdown"), col("days_underwater"),
+          expr("date_add(CAST('1990-01-01' AS DATE), CAST(-m.ni AS INT))")
+            .as("max_dd_day"))
+        .orderBy("event_type")
+    },
+
+    // RANGE-PARTITION boundary planner — the exact image of Spark's
+    // RangePartitioner decision (sample → pick split points) computed
+    // EXACTLY: for 8 target partitions over documents sorted by
+    // n_chars, the 7 split values at ideal ranks k·n DIV 8, each chosen
+    // by the predecessor-count rule over the schema-bounded n_chars
+    // grid (the value whose cumulative tie-range covers the rank), with
+    // the achieved rank and the overshoot a DISCRETE key forces — ties
+    // cannot be split, and overshoot_ppm prices exactly the skew that
+    // sampling-based planners only estimate. Scale: one map-combined
+    // value-grid agg; the cum/boundary joins are grid² and grid×7.
+    "q353_range_splits" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("n_chars").agg(count(lit(1)).as("cnt")))
+      val cum = g.join(broadcast(g.select(col("n_chars").as("v2"),
+          col("cnt").as("c2"))), col("v2") < col("n_chars"), "left")
+        .groupBy("n_chars", "cnt")
+        .agg(coalesce(sum(col("c2")), lit(0L)).as("before"))
+      val tot = g.agg(sum(col("cnt")).as("n"))
+      val ks = g.sparkSession.range(1, 8).select(col("id").as("k"))
+      ks.crossJoin(broadcast(tot))
+        .withColumn("target_rank", expr("k * n DIV 8"))
+        .join(broadcast(cum),
+          col("target_rank") > col("before") &&
+            col("target_rank") <= col("before") + col("cnt"))
+        .select(col("k").cast("long").as("k"),
+          col("target_rank").cast("long").as("target_rank"),
+          col("n_chars").cast("long").as("boundary_n_chars"),
+          (col("before") + col("cnt")).cast("long").as("cum_le_boundary"),
+          expr("CAST((before + cnt - target_rank) * 1000000 DIV n AS BIGINT)")
+            .as("overshoot_ppm"))
+        .orderBy("k")
+    },
+
+    // K-ANONYMITY audit over the (nation, segment, balance-band)
+    // quasi-identifier — the re-identification screen run before a
+    // customer extract ships (t-closeness/q275 measures attribute
+    // disclosure; this measures IDENTITY disclosure): equivalence-class
+    // sizes bucketed into the standard risk bands, with the global
+    // minimum k and the k<5 violator population every row carries.
+    // Balance band = floor(acctbal/1000) on exact cents — a ≤12-value
+    // schema-bounded key, so the class grid is domain-bounded (≤25·5·12
+    // classes). Scale: one map-combined class count; band algebra on
+    // the grid.
+    "q354_k_anonymity" -> { (s, d) =>
+      val cls = Caches.shared(Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          // OFFSET by +100000 cents so the dividend stays positive —
+          // Spark's DIV truncates toward zero while DuckDB's // floors,
+          // and they only agree on non-negatives (the q348 sign rule)
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " + 100000) DIV 100000").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("ksz")))
+      val glob = cls.agg(min(col("ksz")).as("min_k"),
+        sum(when(col("ksz") < 5, col("ksz")).otherwise(0L)).as("n_below5"))
+      cls
+        .withColumn("band",
+          when(col("ksz") === 1, "a_unique")
+            .when(col("ksz") <= 4, "b_2_4")
+            .when(col("ksz") <= 9, "c_5_9")
+            .otherwise("d_10_plus"))
+        .groupBy("band")
+        .agg(count(lit(1)).cast("long").as("n_classes"),
+          sum(col("ksz")).cast("long").as("n_customers"))
+        .crossJoin(broadcast(glob))
+        .select(col("band"), col("n_classes"), col("n_customers"),
+          col("min_k").cast("long").as("min_k"),
+          col("n_below5").cast("long").as("n_below_k5"))
+        .orderBy("band")
     }
   )
 
@@ -479,6 +669,139 @@ object Stewardship {
          |    // grid.exp_ppm AS BIGINT) AS chi2_scaled
          |FROM grid LEFT JOIN obs USING (digit) CROSS JOIN tot
          |ORDER BY digit""".stripMargin
-    }
+    },
+
+    "q350_deletion_cascade" ->
+      """WITH cohort AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+        |    % 100 < 5),
+        |del_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM cohort)),
+        |del_lines AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)),
+        |orph AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem li
+        |  WHERE li.l_orderkey IN (SELECT o_orderkey FROM del_orders)
+        |    AND NOT EXISTS (SELECT 1 FROM del_lines dl
+        |      WHERE dl.l_orderkey = li.l_orderkey
+        |        AND dl.l_linenumber = li.l_linenumber)),
+        |u AS (
+        |  SELECT 'customer' AS table_name,
+        |    CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows,
+        |    CAST((SELECT COUNT(*) FROM cohort) AS BIGINT) AS n_delete,
+        |    CAST(0 AS BIGINT) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM del_orders) AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM del_lines) AS BIGINT),
+        |    (SELECT n FROM orph))
+        |SELECT table_name, n_rows, n_delete,
+        |  CAST(n_delete * 1000000 // n_rows AS BIGINT) AS delete_ppm,
+        |  n_orphans
+        |FROM u ORDER BY table_name""".stripMargin,
+
+    "q351_pareto_frontier" ->
+      """WITH p AS (
+        |  SELECT p_size, p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+        |  FROM part),
+        |g1 AS (SELECT p_size, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |         MIN(pc) AS best_price_c FROM p GROUP BY 1),
+        |g AS (
+        |  SELECT g1.p_size, g1.n_parts, g1.best_price_c,
+        |    CAST(MIN(p.p_partkey) AS BIGINT) AS best_partkey
+        |  FROM g1 JOIN p ON p.p_size = g1.p_size AND p.pc = g1.best_price_c
+        |  GROUP BY 1, 2, 3),
+        |sky AS (
+        |  SELECT a.p_size, a.n_parts, a.best_price_c, a.best_partkey,
+        |    MIN(b.best_price_c) AS min_larger
+        |  FROM g a LEFT JOIN g b ON b.p_size > a.p_size
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(p_size AS BIGINT) AS p_size, n_parts,
+        |  CAST(best_price_c AS BIGINT) AS best_price_c,
+        |  best_partkey,
+        |  (min_larger IS NULL OR best_price_c < min_larger) AS on_frontier
+        |FROM sky ORDER BY p_size""".stripMargin,
+
+    "q352_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, day, n,
+        |    MAX(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |d2 AS (SELECT event_type, day, n, peak, peak - n AS dd FROM dd),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(MAX(peak) AS BIGINT) AS peak_max,
+        |    CAST(MAX(dd) AS BIGINT) AS max_drawdown,
+        |    CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS days_underwater
+        |  FROM d2 GROUP BY 1),
+        |sel AS (
+        |  SELECT d2.event_type, MIN(d2.day) AS max_dd_day
+        |  FROM d2 JOIN agg ON d2.event_type = agg.event_type
+        |    AND d2.dd = agg.max_drawdown
+        |  GROUP BY 1)
+        |SELECT agg.event_type, n_days, peak_max, max_drawdown, days_underwater,
+        |  sel.max_dd_day
+        |FROM agg JOIN sel ON agg.event_type = sel.event_type
+        |ORDER BY agg.event_type""".stripMargin,
+
+    "q353_range_splits" ->
+      """WITH g AS (
+        |  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT a.n_chars, a.cnt,
+        |    CAST(COALESCE(SUM(b.cnt), 0) AS BIGINT) AS before
+        |  FROM g a LEFT JOIN g b ON b.n_chars < a.n_chars
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+        |ks AS (SELECT CAST(k.k AS BIGINT) AS k
+        |       FROM UNNEST(generate_series(1, 7)) AS k(k))
+        |SELECT ks.k, CAST(ks.k * tot.n // 8 AS BIGINT) AS target_rank,
+        |  CAST(cum.n_chars AS BIGINT) AS boundary_n_chars,
+        |  CAST(cum.before + cum.cnt AS BIGINT) AS cum_le_boundary,
+        |  CAST((cum.before + cum.cnt - ks.k * tot.n // 8) * 1000000 // tot.n
+        |    AS BIGINT) AS overshoot_ppm
+        |FROM ks CROSS JOIN tot JOIN cum
+        |  ON ks.k * tot.n // 8 > cum.before
+        |  AND ks.k * tot.n // 8 <= cum.before + cum.cnt
+        |ORDER BY ks.k""".stripMargin,
+
+    "q354_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)
+        |      // 100000 AS bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS ksz
+        |  FROM customer GROUP BY 1, 2, 3),
+        |gl AS (SELECT CAST(MIN(ksz) AS BIGINT) AS min_k,
+        |  CAST(SUM(CASE WHEN ksz < 5 THEN ksz ELSE 0 END) AS BIGINT)
+        |    AS n_below5 FROM cls),
+        |banded AS (
+        |  SELECT CASE WHEN ksz = 1 THEN 'a_unique'
+        |              WHEN ksz <= 4 THEN 'b_2_4'
+        |              WHEN ksz <= 9 THEN 'c_5_9'
+        |              ELSE 'd_10_plus' END AS band, ksz
+        |  FROM cls)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(ksz) AS BIGINT) AS n_customers,
+        |  gl.min_k, gl.n_below5 AS n_below_k5
+        |FROM banded CROSS JOIN gl
+        |GROUP BY band, gl.min_k, gl.n_below5
+        |ORDER BY band""".stripMargin
   )
 }

@@ -200,4 +200,105 @@ class StewardshipSpec extends AnyFunSuite {
         math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")))
     }
   }
+
+  test("q350 cascade closure laws: FK containment, zero orphans, determinism") {
+    val rows = run("q350_deletion_cascade").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    // a transitive closure leaves no orphans, and the cascade fans OUT
+    rows.values.foreach(r => assert(r.getAs[Long]("n_orphans") == 0L))
+    assert(rows("customer").getAs[Long]("n_delete") > 0, "5% cohort is non-empty")
+    assert(rows("orders").getAs[Long]("n_delete") >=
+      0L.max(rows("customer").getAs[Long]("n_delete") - rows("customer").getAs[Long]("n_rows")))
+    // rerun is bit-identical (hash acceptance, no rand())
+    val again = run("q350_deletion_cascade").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_delete"))).toMap
+    rows.foreach { case (t, r) => assert(again(t) == r.getAs[Long]("n_delete")) }
+  }
+
+  test("q351 skyline matches the brute-force dominance definition") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_size").cast("long"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bestBySize = parts.groupBy(_._1).map { case (sz, ps) =>
+      sz -> ps.map(_._2).min }
+    val rows = run("q351_pareto_frontier").collect()
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("p_size"); val bp = r.getAs[Long]("best_price_c")
+      assert(bp == bestBySize(sz))
+      val dominated = bestBySize.exists { case (s2, p2) => s2 > sz && p2 <= bp }
+      assert(r.getAs[Boolean]("on_frontier") == !dominated, s"size $sz")
+    }
+    // along the frontier, a LARGER size must cost strictly MORE — were it
+    // as cheap, it would dominate the smaller point off the frontier
+    val frontier = rows.filter(_.getAs[Boolean]("on_frontier"))
+      .map(r => (r.getAs[Long]("p_size"), r.getAs[Long]("best_price_c")))
+      .sortBy(_._1)
+    frontier.sliding(2).foreach {
+      case Array((_, p1), (_, p2)) =>
+        assert(p2 > p1, "frontier prices must strictly increase with size")
+      case _ =>
+    }
+  }
+
+  test("q352 drawdown matches a Scala running-peak mirror") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    run("q352_drawdown").collect().foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).sortBy(_._2)
+      var peak = 0L; var maxDd = 0L; var under = 0L; var ddDay = ""
+      series.foreach { case (_, day, n) =>
+        peak = math.max(peak, n)
+        val dd = peak - n
+        if (dd > 0) under += 1
+        if (dd > maxDd) { maxDd = dd; ddDay = day }
+        else if (maxDd == 0 && ddDay.isEmpty) ddDay = day // dd=0 tie: first day
+      }
+      assert(r.getAs[Long]("n_days") == series.length)
+      assert(r.getAs[Long]("peak_max") == peak)
+      assert(r.getAs[Long]("max_drawdown") == maxDd, s"$t max_drawdown")
+      assert(r.getAs[Long]("days_underwater") == under, s"$t days_underwater")
+      assert(r.getAs[java.sql.Date]("max_dd_day").toString == ddDay, s"$t max_dd_day")
+    }
+  }
+
+  test("q353 boundaries cover their target ranks exactly and are monotone") {
+    val n = Tables.documents(spark, sf).count()
+    val lens = Tables.documents(spark, sf).select(col("n_chars"))
+      .collect().map(_.getLong(0)).sorted
+    val rows = run("q353_range_splits").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == (1L to 7L))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val rk = r.getAs[Long]("target_rank")
+      assert(rk == k * n / 8)
+      // the boundary IS the value at the target rank in the sorted corpus
+      assert(r.getAs[Long]("boundary_n_chars") == lens((rk - 1).toInt),
+        s"k=$k boundary must equal the rank-$rk value")
+      assert(r.getAs[Long]("cum_le_boundary") >= rk)
+      assert(r.getAs[Long]("overshoot_ppm") >= 0)
+    }
+    val bs = rows.map(_.getAs[Long]("boundary_n_chars"))
+    bs.sliding(2).foreach { case Array(a, b) => assert(a <= b); case _ => }
+  }
+
+  test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
+    val classes = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " + 100000) DIV 100000").as("b"))
+      .groupBy("c_nationkey", "c_mktsegment", "b").count()
+      .collect().map(_.getAs[Long]("count"))
+    val rows = run("q354_k_anonymity").collect()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == classes.sum)
+    assert(rows.map(_.getAs[Long]("n_classes")).sum == classes.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_k") == classes.min)
+      assert(r.getAs[Long]("n_below_k5") == classes.filter(_ < 5).sum)
+    }
+  }
 }
