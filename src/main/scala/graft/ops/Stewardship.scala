@@ -501,6 +501,203 @@ object Stewardship {
           col("min_k").cast("long").as("min_k"),
           col("n_below5").cast("long").as("n_below_k5"))
         .orderBy("band")
+    },
+
+    // JOHNSON–LINDENSTRAUSS random-projection distortion audit: project
+    // the 64-d embeddings to 16-d with the deterministic ±1 sign matrix
+    // (the q336 plane-lattice hash, so both engines build the identical
+    // matrix from the (i,j) index alone) and measure, over the bounded
+    // query-sample pair set, how well d16²/16 estimates d64² — the
+    // distance-preservation table read before an index is served on
+    // projected vectors (q334 SLICES dimensions; JL MIXES them, which is
+    // why it works on non-Matryoshka embeddings). EXACT integers
+    // throughout: components quantize to floor(x·10³+0.5) (the
+    // lshBuckets trick), so projections, squared distances, and the
+    // ratio are engine-exact with no float-summation order to pin.
+    // Magnitude: |y| ≤ 64·2·10³, d16² ≤ 16·(2.6·10⁵)² ≈ 10¹²; ×10⁶
+    // < 10¹⁸ holds int64 for any |x| ≤ 2 embedding. Scale: projection
+    // is ONE runtime fold per row (value accumulator, the q341 rule);
+    // the pair set is sample²-bounded.
+    "q355_jl_projection" -> { (s, d) =>
+      val q3 = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+          " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q"))
+        .filter(col("vec_id") % 50 === 0).orderBy("vec_id").limit(64)
+      // NOT cached: the broadcast-audit needs the LIMIT visible in the
+      // plan (a cache leaf carries vec_id, a fact marker), and the
+      // 64-row projection is cheaper than the cache round-trip anyway
+      val proj = q3.withColumn("y", expr(
+        """transform(sequence(0, 15), i ->
+          |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) ->
+          |    acc + (CASE WHEN (i * 7919 + j * 104729) % 2001 - 1000 >= 0
+          |           THEN 1 ELSE -1 END) * element_at(q, j + 1)))""".stripMargin))
+      val pairs = proj.select(col("vec_id").as("ida"), col("q").as("qa"),
+          col("y").as("ya"))
+        .join(broadcast(proj.select(col("vec_id").as("idb"), col("q").as("qb"),
+          col("y").as("yb"))), col("ida") < col("idb"))
+        .withColumn("d64", expr("aggregate(zip_with(qa, qb," +
+          " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, e) -> a + e)"))
+        .withColumn("d16", expr("aggregate(zip_with(ya, yb," +
+          " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, e) -> a + e)"))
+        .withColumn("ratio_u", expr("CASE WHEN d64 = 0 THEN CAST(1000000 AS BIGINT)" +
+          " ELSE d16 * 1000000 DIV (16 * d64) END"))
+      pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
+          min(col("ratio_u")).cast("long").as("min_ratio_u"),
+          max(col("ratio_u")).cast("long").as("max_ratio_u"),
+          sum(col("ratio_u")).as("sr"),
+          sum(when(abs(col("ratio_u") - 1000000L) <= 100000L, 1L).otherwise(0L))
+            .cast("long").as("n_within_10pct"))
+        .select(col("n_pairs"), col("min_ratio_u"), col("max_ratio_u"),
+          expr("CAST(sr DIV n_pairs AS BIGINT)").as("mean_ratio_u"),
+          col("n_within_10pct"))
+    },
+
+    // FARTHEST-POINT traversal (Gonzalez maximin, the k-center /
+    // coreset seeding active-learning batches run to pick MAXIMALLY
+    // DIVERSE exemplars — where q83's k-means step refines given
+    // centers, this PICKS them with a 2-approximation guarantee): seed
+    // at min vec_id, then 3× "take the point whose distance to its
+    // nearest selected is largest" (argmax by the (mindist, −id)
+    // struct-max tiebreak). Distances are exact integers on the q355
+    // 10³ quantization grid, so the traversal is engine-identical.
+    // Scale: k−1 corpus passes, each joining the cached corpus against
+    // a ≤k-row broadcast of the selected set — never corpus×corpus.
+    "q356_farthest_points" -> { (s, d) =>
+      val corpus = Caches.shared(Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+          " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q")))
+      val seed = corpus.orderBy("vec_id").limit(1)
+        .select(col("vec_id"), col("q"), lit(1L).as("step"),
+          lit(0L).as("mindist_sq"))
+      var sel = seed
+      for (k <- 2 to 4) {
+        // q rides through the groupBy and the struct-argmax (the
+        // struct order decides on (mind, −id) before ever comparing
+        // it), so the next selected point needs NO join back to the
+        // corpus — which keeps every broadcast side a groupless
+        // aggregate the plan audit can prove bounded
+        val cand = corpus.join(sel.select(col("vec_id").as("xid")),
+            col("vec_id") === col("xid"), "left_anti")
+          .crossJoin(broadcast(sel.select(col("q").as("sq"))))
+          .withColumn("d2", expr("aggregate(zip_with(q, sq," +
+            " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, e) -> a + e)"))
+          .groupBy("vec_id", "q").agg(min(col("d2")).as("mind"))
+        val next = cand
+          .agg(max(struct(col("mind"), (-col("vec_id")).as("ni"), col("q")))
+            .as("m"))
+          .select((-col("m.ni")).as("vec_id"), col("m.q").as("q"),
+            lit(k.toLong).as("step"), col("m.mind").as("mindist_sq"))
+        sel = sel.unionByName(next)
+      }
+      sel.select(col("step"), col("vec_id").cast("long").as("vec_id"),
+          col("mindist_sq").cast("long").as("mindist_sq"))
+        .orderBy("step")
+    },
+
+    // SAMPLE-RATIO-MISMATCH (SRM) check — the first gate every
+    // experimentation platform runs before reading any metric: users
+    // hash-split 50/50 (engine-neutral md5 acceptance), then the
+    // per-stratum UNIT counts compared arm vs arm with the scaled χ²
+    // statistic ((n_a−n_b)²·10⁶ DIV total — exact because the expected
+    // split is exactly half). Imbalance in any stratum means the
+    // assignment, not the treatment, moved the metric. The '__all__'
+    // row counts distinct users globally (a user spans strata, so it is
+    // NOT the column sum — computed separately, the q342 merge-row
+    // discipline). Scale: one distinct-user pass per stratum grid +
+    // one global; counts map-combine.
+    "q357_srm_check" -> { (s, d) =>
+      val u = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15)," +
+            " 16, 10) AS BIGINT) % 2").as("arm"))
+      val per = u.select("event_type", "user_id", "arm").distinct()
+        .groupBy("event_type")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      val all = u.select("user_id", "arm").distinct()
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(lit("__all__").as("event_type"), col("n_a"), col("n_b"))
+      per.unionByName(all)
+        .select(col("event_type"), col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          expr("CAST(abs(n_a - n_b) * 1000000 DIV (n_a + n_b) AS BIGINT)")
+            .as("delta_ppm"),
+          expr("CAST((n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)" +
+            " AS BIGINT)").as("chi2_scaled"))
+        .orderBy("event_type")
+    },
+
+    // PEAK sliding-window load — the capacity number a feed is
+    // provisioned for (q311's freshness reads the now; this reads the
+    // worst hour ever): events bucketed to 5-min cells per type, the
+    // 1-hour peak as a 12-bucket RANGE-frame sliding sum over the
+    // bucket index (RANGE, not ROWS — empty buckets are absent from the
+    // grid and a row frame would silently span gaps), peak start by
+    // join-back min-bucket selection. Scale: one map-combined
+    // (type, bucket) pass; windows PARTITIONED by type over the
+    // horizon-bounded bucket grid.
+    "q358_peak_window" -> { (s, d) =>
+      val b = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 300000000").as("b"))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("b"))
+        .rangeBetween(-11, 0)
+      val sl = b.withColumn("win", sum(col("n")).over(w))
+      val agg = sl.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_buckets"),
+          sum(col("n")).cast("long").as("total_events"),
+          max(col("win")).cast("long").as("peak_events"))
+      val sel = sl.join(agg.select(col("event_type"), col("peak_events")),
+          Seq("event_type"))
+        .filter(col("win") === col("peak_events"))
+        .groupBy("event_type").agg(min(col("b")).as("pb"))
+      agg.join(sel, "event_type")
+        .select(col("event_type"), col("n_buckets"), col("total_events"),
+          col("peak_events"),
+          expr("CAST((pb - 11) * 300000000 AS BIGINT)").as("peak_window_start_us"))
+        .orderBy("event_type")
+    },
+
+    // Order-to-ship SLA latency table — exact p50/p90/p99 shipping
+    // latency in days per order priority (the contract-compliance table
+    // an ops review reads; interpolating percentiles are useless in an
+    // SLA argument — the quantile must be an ACTUAL observed latency):
+    // rank_k = ceil(n·k/100) selected by the predecessor-count rule
+    // over the (priority, latency-days) grid — latency is
+    // horizon-bounded, so the grid is ≤ 5·|days| at any SF. Scale: the
+    // one corpus-sized step is the canonical lineitem⋈orders key join;
+    // everything after is grid algebra.
+    "q359_sla_latency" -> { (s, d) =>
+      val lat = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("lat"))
+      val g = Caches.shared(lat.groupBy("prio", "lat")
+        .agg(count(lit(1)).as("cnt")))
+      val cum = g.join(broadcast(g.select(col("prio").as("p2"),
+          col("lat").as("l2"), col("cnt").as("c2"))),
+          col("p2") === col("prio") && col("l2") < col("lat"), "left")
+        .groupBy("prio", "lat", "cnt")
+        .agg(coalesce(sum(col("c2")), lit(0L)).as("before"))
+      val tot = g.groupBy("prio").agg(sum(col("cnt")).as("n"))
+      val ks = g.sparkSession.range(1).select(explode(expr(
+        "array(CAST(50 AS BIGINT), CAST(90 AS BIGINT), CAST(99 AS BIGINT))"))
+        .as("k"))
+      val picked = tot.crossJoin(broadcast(ks))
+        .withColumn("rk", expr("(n * k + 99) DIV 100"))
+        .join(broadcast(cum), Seq("prio"))
+        .filter(col("rk") > col("before") &&
+          col("rk") <= col("before") + col("cnt"))
+      picked.groupBy("prio")
+        .agg(max(col("n")).cast("long").as("n_lines"),
+          max(when(col("k") === 50, col("lat"))).cast("long").as("p50_days"),
+          max(when(col("k") === 90, col("lat"))).cast("long").as("p90_days"),
+          max(when(col("k") === 99, col("lat"))).cast("long").as("p99_days"))
+        .orderBy("prio")
     }
   )
 
@@ -802,6 +999,141 @@ object Stewardship {
         |  gl.min_k, gl.n_below5 AS n_below_k5
         |FROM banded CROSS JOIN gl
         |GROUP BY band, gl.min_k, gl.n_below5
-        |ORDER BY band""".stripMargin
+        |ORDER BY band""".stripMargin,
+
+    "q355_jl_projection" ->
+      """WITH q3 AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
+        |proj AS (
+        |  SELECT vec_id, q, list_transform(generate_series(0, 15), i ->
+        |    CAST(list_sum(list_transform(generate_series(0, 63), j ->
+        |      (CASE WHEN (i * 7919 + j * 104729) % 2001 - 1000 >= 0
+        |       THEN 1 ELSE -1 END) * q[j + 1])) AS BIGINT)) AS y
+        |  FROM q3),
+        |pairs AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      j -> (a.q[j] - b.q[j]) * (a.q[j] - b.q[j]))) AS BIGINT) AS d64,
+        |    CAST(list_sum(list_transform(generate_series(1, 16),
+        |      j -> (a.y[j] - b.y[j]) * (a.y[j] - b.y[j]))) AS BIGINT) AS d16
+        |  FROM proj a JOIN proj b ON a.vec_id < b.vec_id),
+        |r AS (
+        |  SELECT CASE WHEN d64 = 0 THEN CAST(1000000 AS BIGINT)
+        |    ELSE d16 * 1000000 // (16 * d64) END AS ratio_u
+        |  FROM pairs)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(ratio_u) AS BIGINT) AS min_ratio_u,
+        |  CAST(MAX(ratio_u) AS BIGINT) AS max_ratio_u,
+        |  CAST(SUM(ratio_u) // COUNT(*) AS BIGINT) AS mean_ratio_u,
+        |  CAST(SUM(CASE WHEN ABS(ratio_u - 1000000) <= 100000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct
+        |FROM r""".stripMargin,
+
+    "q356_farthest_points" -> {
+      def step(k: Int, prevSel: String): String =
+        s"""d$k AS (
+           |  SELECT c.vec_id, c.q,
+           |    MIN(CAST(list_sum(list_transform(generate_series(1, 64),
+           |      j -> (c.q[j] - s.q[j]) * (c.q[j] - s.q[j]))) AS BIGINT)) AS mind
+           |  FROM c, $prevSel s
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prevSel)
+           |  GROUP BY 1, 2),
+           |p$k AS (SELECT vec_id, q, mind FROM d$k
+           |        ORDER BY mind DESC, vec_id LIMIT 1),
+           |sel$k AS (SELECT vec_id, q FROM $prevSel
+           |          UNION ALL SELECT vec_id, q FROM p$k)""".stripMargin
+      s"""WITH c AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |sel1 AS (SELECT vec_id, q FROM c ORDER BY vec_id LIMIT 1),
+         |${step(2, "sel1")},
+         |${step(3, "sel2")},
+         |${step(4, "sel3")}
+         |SELECT CAST(1 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(0 AS BIGINT) AS mindist_sq FROM sel1
+         |UNION ALL SELECT 2, vec_id, mind FROM p2
+         |UNION ALL SELECT 3, vec_id, mind FROM p3
+         |UNION ALL SELECT 4, vec_id, mind FROM p4
+         |ORDER BY step""".stripMargin
+    },
+
+    "q357_srm_check" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+        |      AS arm
+        |  FROM events),
+        |per AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM (SELECT DISTINCT event_type, user_id, arm FROM u) GROUP BY 1),
+        |al AS (
+        |  SELECT '__all__' AS event_type,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM (SELECT DISTINCT user_id, arm FROM u)),
+        |uni AS (SELECT * FROM per UNION ALL SELECT * FROM al)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(ABS(n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT) AS delta_ppm,
+        |  CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT)
+        |    AS chi2_scaled
+        |FROM uni ORDER BY event_type""".stripMargin,
+
+    "q358_peak_window" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT event_type, b, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY b
+        |      RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS win
+        |  FROM b),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(SUM(n) AS BIGINT) AS total_events,
+        |    CAST(MAX(win) AS BIGINT) AS peak_events
+        |  FROM sl GROUP BY 1),
+        |sel AS (
+        |  SELECT sl.event_type, MIN(sl.b) AS pb
+        |  FROM sl JOIN agg ON sl.event_type = agg.event_type
+        |    AND sl.win = agg.peak_events
+        |  GROUP BY 1)
+        |SELECT agg.event_type, n_buckets, total_events, peak_events,
+        |  CAST((sel.pb - 11) * 300000000 AS BIGINT) AS peak_window_start_us
+        |FROM agg JOIN sel ON agg.event_type = sel.event_type
+        |ORDER BY agg.event_type""".stripMargin,
+
+    "q359_sla_latency" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT prio, lat, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM lat GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT a.prio, a.lat, a.cnt,
+        |    CAST(COALESCE(SUM(b.cnt), 0) AS BIGINT) AS before
+        |  FROM g a LEFT JOIN g b ON b.prio = a.prio AND b.lat < a.lat
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT prio, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |ks AS (SELECT CAST(k.k AS BIGINT) AS k
+        |       FROM UNNEST([50, 90, 99]) AS k(k)),
+        |picked AS (
+        |  SELECT tot.prio, tot.n, ks.k, cum.lat
+        |  FROM tot CROSS JOIN ks JOIN cum ON cum.prio = tot.prio
+        |    AND (tot.n * ks.k + 99) // 100 > cum.before
+        |    AND (tot.n * ks.k + 99) // 100 <= cum.before + cum.cnt)
+        |SELECT prio, CAST(MAX(n) AS BIGINT) AS n_lines,
+        |  CAST(MAX(CASE WHEN k = 50 THEN lat END) AS BIGINT) AS p50_days,
+        |  CAST(MAX(CASE WHEN k = 90 THEN lat END) AS BIGINT) AS p90_days,
+        |  CAST(MAX(CASE WHEN k = 99 THEN lat END) AS BIGINT) AS p99_days
+        |FROM picked GROUP BY prio ORDER BY prio""".stripMargin
   )
 }

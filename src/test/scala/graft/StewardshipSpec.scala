@@ -286,6 +286,97 @@ class StewardshipSpec extends AnyFunSuite {
     bs.sliding(2).foreach { case Array(a, b) => assert(a <= b); case _ => }
   }
 
+  test("q355 JL ratios are valid and the projection is sign-matrix exact") {
+    val r = run("q355_jl_projection").collect()(0)
+    assert(r.getAs[Long]("n_pairs") > 0)
+    assert(r.getAs[Long]("min_ratio_u") >= 0)
+    assert(r.getAs[Long]("min_ratio_u") <= r.getAs[Long]("mean_ratio_u"))
+    assert(r.getAs[Long]("mean_ratio_u") <= r.getAs[Long]("max_ratio_u"))
+    assert(r.getAs[Long]("n_within_10pct") <= r.getAs[Long]("n_pairs"))
+    // the estimator is UNBIASED (E[d16²/16] = d64² for ±1 rows), so the
+    // mean ratio must sit near 10⁶ even though per-pair spread at k=16
+    // is wide (Var ≈ 2/k → ~35% std — "most pairs within 10%" would be
+    // a WRONG law at this k). A sign-matrix bug (e.g. all-same-sign
+    // rows degenerating to rank 1) pushes the mean far from 10⁶.
+    val mean = r.getAs[Long]("mean_ratio_u")
+    assert(mean > 500000L && mean < 2000000L,
+      s"mean ratio $mean not near 1e6 - projection matrix broken?")
+  }
+
+  test("q356 farthest-point traversal matches a Scala maximin mirror") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+        " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var sel = List(vs.minBy(_._1))
+    var expected = List((1L, sel.head._1, 0L))
+    for (k <- 2 to 4) {
+      val cand = vs.filterNot(v => sel.exists(_._1 == v._1))
+        .map(v => (v, sel.map(s => d2(v._2, s._2)).min))
+      val (best, mind) = cand.maxBy { case ((id, _), m) => (m, -id) }
+      sel = sel :+ best
+      expected = expected :+ ((k.toLong, best._1, mind))
+    }
+    val got = run("q356_farthest_points").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("mindist_sq"))).toList
+    assert(got == expected)
+  }
+
+  test("q357 SRM arms partition the users and chi2 is consistent") {
+    val rows = run("q357_srm_check").collect()
+    val all = rows.filter(_.getString(0) == "__all__").head
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(all.getAs[Long]("n_a") + all.getAs[Long]("n_b") == users)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(r.getAs[Long]("delta_ppm") == math.abs(a - b) * 1000000L / (a + b))
+      assert(r.getAs[Long]("chi2_scaled") == (a - b) * (a - b) * 1000000L / (a + b))
+    }
+  }
+
+  test("q358 peak window matches a Scala sliding-sum mirror") {
+    val buckets = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 300000000").as("b"))
+      .groupBy("event_type", "b").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    run("q358_peak_window").collect().foreach { r =>
+      val t = r.getString(0)
+      val g = buckets.filter(_._1 == t).map(x => (x._2, x._3)).sortBy(_._1)
+      val wins = g.map { case (b, _) =>
+        (b, g.filter(x => x._1 >= b - 11 && x._1 <= b).map(_._2).sum) }
+      val peak = wins.map(_._2).max
+      val pb = wins.filter(_._2 == peak).map(_._1).min
+      assert(r.getAs[Long]("n_buckets") == g.length)
+      assert(r.getAs[Long]("total_events") == g.map(_._2).sum)
+      assert(r.getAs[Long]("peak_events") == peak, s"$t peak")
+      assert(r.getAs[Long]("peak_window_start_us") == (pb - 11) * 300000000L)
+    }
+  }
+
+  test("q359 percentiles are actual observed latencies at the right ranks") {
+    val lat = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    run("q359_sla_latency").collect().foreach { r =>
+      val p = r.getString(0)
+      val sorted = lat.filter(_._1 == p).map(_._2).sorted
+      val n = sorted.length
+      assert(r.getAs[Long]("n_lines") == n)
+      def atRank(k: Int): Long = sorted(((n * k + 99) / 100 - 1).toInt)
+      assert(r.getAs[Long]("p50_days") == atRank(50), s"$p p50")
+      assert(r.getAs[Long]("p90_days") == atRank(90), s"$p p90")
+      assert(r.getAs[Long]("p99_days") == atRank(99), s"$p p99")
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"))
+      assert(r.getAs[Long]("p90_days") <= r.getAs[Long]("p99_days"))
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
