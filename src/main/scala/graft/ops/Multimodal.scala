@@ -112,6 +112,36 @@ object Multimodal {
     ImageStats(a.doc_id, img.width, img.height, sr, sg, sb, wl)
   }
 
+  /** One perceptual-hash row per image for q363. */
+  case class ImageHash(doc_id: Long, source: String, width: Long,
+                       height: Long, ahash: Long)
+
+  /** aHash batch decoder (q363): parse actual BMP bytes, threshold each
+    * pixel's integer luminance (2r+5g+b) DIV 8 against the image mean,
+    * pack bits row-major. ≤48 pixels per image keeps the hash in int64. */
+  def ahashBmpBatch(batch: Seq[Asset]): Seq[ImageHash] = batch.map { a =>
+    val img = BmpCodec.decode(a.content)
+    val n = img.width * img.height
+    val lums = new Array[Long](n)
+    var sum = 0L
+    var y = 0
+    var i = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        lums(i) = (2L * img.r(x, y) + 5L * img.g(x, y) + img.b(x, y)) / 8
+        sum += lums(i)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val mean = sum / n
+    var h = 0L
+    i = 0
+    while (i < n) { if (lums(i) > mean) h |= (1L << i); i += 1 }
+    ImageHash(a.doc_id, a.source, img.width, img.height, h)
+  }
+
   /** One (channel, 64-wide intensity bin) count row for q333. */
   case class ChannelBin(doc_id: Long, source: String, channel: String,
                         bin: Long, cnt: Long)
@@ -383,6 +413,38 @@ object Multimodal {
         .groupBy("source", "channel", "bin")
         .agg(sum(col("cnt")).cast("long").as("n_px"))
         .orderBy("source", "channel", "bin")
+    },
+
+    // PERCEPTUAL-HASH image dedup through the real codec — the
+    // multimodal sibling of q24's md5 content dedup: byte-level hashing
+    // misses re-encoded copies of the SAME pixels, so image pipelines
+    // dedup on a perceptual hash; this is the classic aHash
+    // (average-hash): integer luminance (2r+5g+b) DIV 8 per pixel,
+    // threshold each pixel against the image's mean, pack the bits in
+    // row-major order (≤48 px, so the hash holds int64). The decoder
+    // emits ONE (w, h, hash) row per image — pixels never leave the
+    // batch — and duplicate CLUSTERS are a (w, h, hash) group-by.
+    // Oracle recomputes the hash arithmetically from the pattern (the
+    // q131 convention), proving bit-exact pixel recovery through the
+    // real encode→bytes→decode round trip.
+    "q363_phash_dedup" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          Asset(id, src, BmpCodec.encode(w, h, (x, y) => patternPixel(id, x, y)))
+        }.toDF()
+      val hashed = decodeAssetsAs(assets, batchSize = 64)(ahashBmpBatch)
+      hashed.groupBy("width", "height", "ahash")
+        .agg(count(lit(1)).as("csz"))
+        .groupBy("width", "height")
+        .agg(count(lit(1)).cast("long").as("n_clusters"),
+          sum(col("csz")).cast("long").as("n_images"),
+          max(col("csz")).cast("long").as("max_cluster"),
+          sum(col("csz") - 1).cast("long").as("dup_images"))
+        .orderBy("width", "height")
     }
   )
 
@@ -532,6 +594,38 @@ object Multimodal {
         |SELECT g.source, g.channel, g.bin,
         |  CAST(COALESCE(n_px, 0) AS BIGINT) AS n_px
         |FROM grid g LEFT JOIN cnt USING (source, channel, bin)
-        |ORDER BY source, channel, bin""".stripMargin
+        |ORDER BY source, channel, bin""".stripMargin,
+
+    "q363_phash_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |         CAST(3 + doc_id % 4 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT i.doc_id, i.w, i.h, y * i.w + x AS idx,
+        |    (2 * ((i.doc_id * 31 + x * 7 + y * 13) % 256)
+        |     + 5 * ((i.doc_id * 31 + x * 7 + y * 13 + 41) % 256)
+        |     + ((i.doc_id * 31 + x * 7 + y * 13 + 82) % 256)) // 8 AS lum
+        |  FROM imgs i,
+        |    UNNEST(generate_series(0, 7)) AS gx(x),
+        |    UNNEST(generate_series(0, 5)) AS gy(y)
+        |  WHERE x < i.w AND y < i.h),
+        |mn AS (
+        |  SELECT doc_id, w, h, SUM(lum) // (w * h) AS mean
+        |  FROM px GROUP BY 1, 2, 3),
+        |hs AS (
+        |  SELECT px.doc_id, px.w AS width, px.h AS height,
+        |    CAST(SUM(CASE WHEN px.lum > mn.mean
+        |      THEN (1::BIGINT << px.idx) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN mn USING (doc_id) GROUP BY 1, 2, 3),
+        |cl AS (
+        |  SELECT width, height, ahash, CAST(COUNT(*) AS BIGINT) AS csz
+        |  FROM hs GROUP BY 1, 2, 3)
+        |SELECT CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(csz) AS BIGINT) AS n_images,
+        |  CAST(MAX(csz) AS BIGINT) AS max_cluster,
+        |  CAST(SUM(csz - 1) AS BIGINT) AS dup_images
+        |FROM cl GROUP BY 1, 2 ORDER BY width, height""".stripMargin
   )
 }

@@ -698,6 +698,140 @@ object Stewardship {
           max(when(col("k") === 90, col("lat"))).cast("long").as("p90_days"),
           max(when(col("k") === 99, col("lat"))).cast("long").as("p99_days"))
         .orderBy("prio")
+    },
+
+    // CARDINALITY-ESTIMATION q-error audit — the cost-based-optimizer
+    // science every join-order decision rests on: walk the star's
+    // canonical chain (nation ⋈ customer ⋈ orders ⋈ lineitem), compute
+    // each step's System-R estimate |A|·|B| DIV max(ndv_A(k), ndv_B(k))
+    // CASCADED from the previous step's estimate (exactly how a planner
+    // compounds its errors), and price it against the measured
+    // cardinality with the standard q-error. ONE stats pass per table
+    // (exact NDVs — this audits the formula, not a sketch); the actuals
+    // are the three real joins, which ARE the corpus-sized work.
+    // Magnitude: est·|B| ≤ 10¹⁶ at sf100; DECIMAL(38,0) widening keeps
+    // the headroom.
+    "q360_cardinality_qerror" -> { (s, d) =>
+      val st = Tables.nation(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("n_nationkey")).as("n_ndv"))
+        .crossJoin(Tables.customer(s, d)
+          .agg(count(lit(1)).as("c_rows"),
+            countDistinct(col("c_nationkey")).as("c_nk_ndv"),
+            countDistinct(col("c_custkey")).as("c_ck_ndv")))
+        .crossJoin(Tables.orders(s, d)
+          .agg(count(lit(1)).as("o_rows"),
+            countDistinct(col("o_custkey")).as("o_ck_ndv"),
+            countDistinct(col("o_orderkey")).as("o_ok_ndv")))
+        .crossJoin(Tables.lineitem(s, d)
+          .agg(count(lit(1)).as("l_rows"),
+            countDistinct(col("l_orderkey")).as("l_ok_ndv")))
+        .withColumn("est1", expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * c_rows" +
+          " DIV greatest(n_ndv, c_nk_ndv) AS BIGINT)"))
+        .withColumn("est2", expr("CAST(CAST(est1 AS DECIMAL(38,0)) * o_rows" +
+          " DIV greatest(c_ck_ndv, o_ck_ndv) AS BIGINT)"))
+        .withColumn("est3", expr("CAST(CAST(est2 AS DECIMAL(38,0)) * l_rows" +
+          " DIV greatest(o_ok_ndv, l_ok_ndv) AS BIGINT)"))
+      val a1 = Tables.nation(s, d).join(Tables.customer(s, d),
+        col("n_nationkey") === col("c_nationkey"))
+        .agg(count(lit(1)).as("act1"))
+      val a2 = Tables.customer(s, d).join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"))
+        .agg(count(lit(1)).as("act2"))
+      val a3 = Tables.orders(s, d).join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("act3"))
+      // step-2/3 actuals are the full-chain prefixes: customer⋈orders
+      // and orders⋈lineitem have no dangling rows vs the chain (FK
+      // integrity, audited by q103), so the pair joins ARE the chain
+      // cardinalities — one join each instead of re-joining the prefix
+      val j = st.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+        .crossJoin(broadcast(a3))
+      def leg(nm: String, est: String, act: String) =
+        j.select(lit(nm).as("step"), col(est).cast("long").as("est_rows"),
+          col(act).cast("long").as("actual_rows"),
+          expr(s"CAST(greatest($est, $act) * 1000000" +
+            s" DIV greatest(least($est, $act), 1) AS BIGINT)").as("q_error_ppm"))
+      leg("s1_nation_customer", "est1", "act1")
+        .unionByName(leg("s2_join_orders", "est2", "act2"))
+        .unionByName(leg("s3_join_lineitem", "est3", "act3"))
+        .orderBy("step")
+    },
+
+    // ZONE-MAP file-skipping simulator — the parquet min/max pruning
+    // decision measured exactly, for the SAME corpus under two layouts:
+    // 32 files by insertion order (doc_id ranges — the layout you get
+    // for free) vs 32 files value-clustered on the filter column (what
+    // a sort-on-write buys). For each `n_chars < T` threshold: files
+    // skipped (zone min ≥ T), rows actually scanned, true matches, and
+    // the scan amplification — THE number that justifies a re-cluster
+    // job (q294 compares curve orders; this prices the skipping
+    // itself). Scale: one stats pass builds both zone maps; the
+    // threshold sweep is grid algebra on 2×32 zones.
+    "q361_zonemap_skip" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val mx = docs.agg(max(col("doc_id")).as("mi"), max(col("n_chars")).as("mn"))
+      val filed = Caches.shared(docs.crossJoin(broadcast(mx))
+        .select(col("n_chars"),
+          expr("doc_id * 32 DIV (mi + 1)").as("f_row"),
+          expr("n_chars * 32 DIV (mn + 1)").as("f_clu")))
+      def zones(fcol: String, layout: String) = filed
+        .groupBy(col(fcol).as("fid"))
+        .agg(min(col("n_chars")).as("zmin"), count(lit(1)).as("rows"))
+        .select(lit(layout).as("layout"), col("fid"), col("zmin"), col("rows"))
+      val z = zones("f_row", "a_insertion_order")
+        .unionByName(zones("f_clu", "b_value_clustered"))
+      val ts = docs.sparkSession.range(1, 6)
+        .select((col("id") * 100).cast("long").as("t"))
+      val matching = docs.crossJoin(broadcast(ts))
+        .filter(col("n_chars") < col("t"))
+        .groupBy("t").agg(count(lit(1)).as("n_match"))
+      z.crossJoin(broadcast(ts))
+        .groupBy("layout", "t")
+        .agg(count(lit(1)).cast("long").as("files_total"),
+          sum(when(col("zmin") >= col("t"), 1L).otherwise(0L)).cast("long")
+            .as("files_skipped"),
+          sum(when(col("zmin") < col("t"), col("rows")).otherwise(0L))
+            .cast("long").as("rows_scanned"))
+        .join(broadcast(matching), Seq("t"), "left")
+        .select(col("layout"), col("t"), col("files_total"),
+          col("files_skipped"), col("rows_scanned"),
+          coalesce(col("n_match"), lit(0L)).cast("long").as("rows_matching"),
+          expr("CAST(rows_scanned * 1000000" +
+            " DIV greatest(coalesce(n_match, 0), 1) AS BIGINT)")
+            .as("scan_amplification_ppm"))
+        .orderBy("layout", "t")
+    },
+
+    // 2σ-DIMENSION outlier census over the embeddings — per vector, in
+    // how many of its 64 dimensions it sits beyond two standard
+    // deviations of that dimension's corpus distribution (the
+    // Mahalanobis-diagonal screen run before outliers poison a
+    // centroid/ANN build), emitted as the census histogram. The σ test
+    // is EXACT integer cross-multiplication on the 10³ quantization
+    // grid: (q·n − Σq)² > 4·(n·Σq² − (Σq)²) — no sqrt, no division, no
+    // float; DECIMAL(38,0) widening because (q·n)² exceeds int64 past
+    // ~10⁶ vectors. Scale: one posexplode pass to 64-key per-dim
+    // stats; the flag pass re-joins the broadcast stats grid.
+    "q362_sigma_dims" -> { (s, d) =>
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(expr(
+          "transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+            " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"))
+          .as(Seq("dim", "qv")))
+      val st = q.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("sq"),
+          sum(col("qv") * col("qv")).as("sqq"))
+      val flags = q.join(broadcast(st), "dim")
+        .withColumn("dev_n", expr("qv * n - sq"))
+        .withColumn("is_out", expr(
+          "CAST(dev_n AS DECIMAL(38,0)) * dev_n >" +
+            " 4 * (CAST(n AS DECIMAL(38,0)) * sqq - CAST(sq AS DECIMAL(38,0)) * sq)"))
+      flags.groupBy("vec_id")
+        .agg(sum(when(col("is_out"), 1L).otherwise(0L)).as("k"))
+        .groupBy("k").agg(count(lit(1)).cast("long").as("n_vectors"))
+        .select(col("k").cast("long").as("n_outlier_dims"), col("n_vectors"))
+        .orderBy("n_outlier_dims")
     }
   )
 
@@ -1134,6 +1268,114 @@ object Stewardship {
         |  CAST(MAX(CASE WHEN k = 50 THEN lat END) AS BIGINT) AS p50_days,
         |  CAST(MAX(CASE WHEN k = 90 THEN lat END) AS BIGINT) AS p90_days,
         |  CAST(MAX(CASE WHEN k = 99 THEN lat END) AS BIGINT) AS p99_days
-        |FROM picked GROUP BY prio ORDER BY prio""".stripMargin
+        |FROM picked GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q360_cardinality_qerror" ->
+      """WITH st AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM nation) AS n_rows,
+        |    (SELECT COUNT(DISTINCT n_nationkey) FROM nation) AS n_ndv,
+        |    (SELECT COUNT(*) FROM customer) AS c_rows,
+        |    (SELECT COUNT(DISTINCT c_nationkey) FROM customer) AS c_nk_ndv,
+        |    (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS c_ck_ndv,
+        |    (SELECT COUNT(*) FROM orders) AS o_rows,
+        |    (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS o_ck_ndv,
+        |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS o_ok_ndv,
+        |    (SELECT COUNT(*) FROM lineitem) AS l_rows,
+        |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS l_ok_ndv),
+        |est AS (
+        |  SELECT *,
+        |    CAST(CAST(n_rows AS HUGEINT) * c_rows
+        |      // GREATEST(n_ndv, c_nk_ndv) AS BIGINT) AS est1
+        |  FROM st),
+        |est2 AS (
+        |  SELECT *,
+        |    CAST(CAST(est1 AS HUGEINT) * o_rows
+        |      // GREATEST(c_ck_ndv, o_ck_ndv) AS BIGINT) AS est2
+        |  FROM est),
+        |est3 AS (
+        |  SELECT *,
+        |    CAST(CAST(est2 AS HUGEINT) * l_rows
+        |      // GREATEST(o_ok_ndv, l_ok_ndv) AS BIGINT) AS est3
+        |  FROM est2),
+        |act AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM nation JOIN customer
+        |       ON n_nationkey = c_nationkey) AS act1,
+        |    (SELECT COUNT(*) FROM customer JOIN orders
+        |       ON c_custkey = o_custkey) AS act2,
+        |    (SELECT COUNT(*) FROM orders JOIN lineitem
+        |       ON o_orderkey = l_orderkey) AS act3),
+        |u AS (
+        |  SELECT 's1_nation_customer' AS step, est1 AS est_rows, act1 AS act
+        |  FROM est3 CROSS JOIN act
+        |  UNION ALL SELECT 's2_join_orders', est2, act2 FROM est3 CROSS JOIN act
+        |  UNION ALL SELECT 's3_join_lineitem', est3, act3 FROM est3 CROSS JOIN act)
+        |SELECT step, CAST(est_rows AS BIGINT) AS est_rows,
+        |  CAST(act AS BIGINT) AS actual_rows,
+        |  CAST(GREATEST(est_rows, act) * 1000000
+        |    // GREATEST(LEAST(est_rows, act), 1) AS BIGINT) AS q_error_ppm
+        |FROM u ORDER BY step""".stripMargin,
+
+    "q361_zonemap_skip" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS mi, MAX(n_chars) AS mn FROM documents),
+        |filed AS (
+        |  SELECT n_chars,
+        |    doc_id * 32 // (mi + 1) AS f_row,
+        |    n_chars * 32 // (mn + 1) AS f_clu
+        |  FROM documents CROSS JOIN mx),
+        |z AS (
+        |  SELECT 'a_insertion_order' AS layout, f_row AS fid,
+        |    MIN(n_chars) AS zmin, CAST(COUNT(*) AS BIGINT) AS rows_
+        |  FROM filed GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'b_value_clustered', f_clu, MIN(n_chars),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM filed GROUP BY 2),
+        |ts AS (SELECT CAST(t.t * 100 AS BIGINT) AS t
+        |       FROM UNNEST(generate_series(1, 5)) AS t(t)),
+        |matching AS (
+        |  SELECT ts.t, CAST(COUNT(*) AS BIGINT) AS n_match
+        |  FROM documents CROSS JOIN ts WHERE n_chars < ts.t GROUP BY 1),
+        |sw AS (
+        |  SELECT layout, ts.t,
+        |    CAST(COUNT(*) AS BIGINT) AS files_total,
+        |    CAST(SUM(CASE WHEN zmin >= ts.t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS files_skipped,
+        |    CAST(SUM(CASE WHEN zmin < ts.t THEN rows_ ELSE 0 END) AS BIGINT)
+        |      AS rows_scanned
+        |  FROM z CROSS JOIN ts GROUP BY 1, 2)
+        |SELECT sw.layout, sw.t AS t, files_total, files_skipped, rows_scanned,
+        |  CAST(COALESCE(n_match, 0) AS BIGINT) AS rows_matching,
+        |  CAST(rows_scanned * 1000000
+        |    // GREATEST(COALESCE(n_match, 0), 1) AS BIGINT)
+        |    AS scan_amplification_ppm
+        |FROM sw LEFT JOIN matching ON sw.t = matching.t
+        |ORDER BY layout, t""".stripMargin,
+
+    "q362_sigma_dims" ->
+      """WITH q AS (
+        |  SELECT vec_id, g.j - 1 AS dim,
+        |    CAST(floor(v[g.j] * 1000 + 0.5) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |    UNNEST(generate_series(1, len(v))) AS g(j)),
+        |st AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qv) AS BIGINT) AS sq,
+        |    CAST(SUM(qv * qv) AS BIGINT) AS sqq
+        |  FROM q GROUP BY 1),
+        |flags AS (
+        |  SELECT q.vec_id,
+        |    CASE WHEN CAST(q.qv * st.n - st.sq AS HUGEINT)
+        |        * (q.qv * st.n - st.sq) >
+        |      4 * (CAST(st.n AS HUGEINT) * st.sqq
+        |        - CAST(st.sq AS HUGEINT) * st.sq)
+        |      THEN 1 ELSE 0 END AS is_out
+        |  FROM q JOIN st USING (dim)),
+        |census AS (
+        |  SELECT vec_id, CAST(SUM(is_out) AS BIGINT) AS k
+        |  FROM flags GROUP BY 1)
+        |SELECT k AS n_outlier_dims, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |FROM census GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -377,6 +377,78 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q360 q-errors are >= 1e6 and actuals match direct join counts") {
+    val rows = run("q360_cardinality_qerror").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_error_ppm") >= 1000000L,
+        "q-error is max/min, so always >= 1")
+      assert(r.getAs[Long]("est_rows") > 0 && r.getAs[Long]("actual_rows") > 0)
+    }
+    val actNC = Tables.nation(spark, sf).join(Tables.customer(spark, sf),
+      col("n_nationkey") === col("c_nationkey")).count()
+    assert(rows.find(_.getString(0) == "s1_nation_customer").get
+      .getAs[Long]("actual_rows") == actNC)
+  }
+
+  test("q361 zone-map laws: clustering dominates, scans cover matches") {
+    val rows = run("q361_zonemap_skip").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("files_total") == 32 ||
+        r.getAs[Long]("files_total") > 0)
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matching"),
+        "a zone map never skips a file containing a match (no false skips)")
+    }
+    // at equal thresholds the value-clustered layout never scans MORE
+    val byT = rows.groupBy(_.getAs[Long]("t"))
+    byT.foreach { case (t, rs) =>
+      val a = rs.find(_.getString(0) == "a_insertion_order").get
+      val b = rs.find(_.getString(0) == "b_value_clustered").get
+      assert(b.getAs[Long]("rows_scanned") <= a.getAs[Long]("rows_scanned"),
+        s"t=$t clustering must not scan more")
+    }
+  }
+
+  test("q362 sigma census conserves vectors and matches a Scala mirror") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+        " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"))
+      .collect().map(_.getSeq[Long](0))
+    val nd = vs.head.length
+    val n = vs.length.toLong
+    val stats = (0 until nd).map { j =>
+      val col = vs.map(_(j))
+      (col.sum, col.map(q => q * q).sum)
+    }
+    val expected = vs.map { v =>
+      (0 until nd).count { j =>
+        val (sq, sqq) = stats(j)
+        val devN = BigInt(v(j) * n - sq)
+        devN * devN > 4 * (BigInt(n) * sqq - BigInt(sq) * sq)
+      }.toLong
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = run("q362_sigma_dims").collect()
+      .map(r => r.getAs[Long]("n_outlier_dims") -> r.getAs[Long]("n_vectors"))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q363 aHash clusters conserve images and find genuine duplicates") {
+    val rows = run("q363_phash_dedup").collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_images")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_images"))
+      assert(r.getAs[Long]("dup_images") ==
+        r.getAs[Long]("n_images") - r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("max_cluster") >= 1)
+    }
+    // the pattern repeats with doc_id period 256 within a (w, h) class,
+    // so at >> 256·20 docs duplicates MUST exist
+    if (total > 6000) assert(rows.map(_.getAs[Long]("dup_images")).sum > 0)
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
