@@ -144,6 +144,47 @@ object StreamingOps {
       }
   }
 
+  /** Streaming MISRA–GRIES heavy-hitter summary — the bounded-state
+    * frequent-items operator a feed monitor runs where an exact
+    * groupBy's state would grow with item cardinality: per stratum, at
+    * most k−1 counters. The classic guarantees hold per stratum and are
+    * spec-asserted: any item with true frequency > N/k is PRESENT in
+    * the summary, and every estimate undercounts its true frequency by
+    * at most the decrement total (≤ N/k) — so `est` brackets truth as
+    * est ≤ true ≤ est + decrements. Emission is one summary row per
+    * stratum per micro-batch (Update mode); state is the counter map
+    * alone, independent of stream length. The batch-side q309/q245
+    * read WHICH terms are hot offline; this is the online image with
+    * an explicit error budget.
+    */
+  case class HeavyHitters(stratum: String, n_processed: Long,
+                          decrements: Long, items: Map[String, Long])
+  case class MgState(n: Long, dec: Long, counters: Map[String, Long])
+  def heavyHitters[T](ds: Dataset[T], stratumOf: T => String,
+                      itemOf: T => String, k: Int): Dataset[HeavyHitters] = {
+    import ds.sparkSession.implicits._
+    require(k >= 2, "Misra-Gries needs k >= 2 (k-1 counters)")
+    ds.groupByKey(stratumOf)
+      .mapGroupsWithState[MgState, HeavyHitters](GroupStateTimeout.NoTimeout) {
+        (stratum: String, values: Iterator[T], state: GroupState[MgState]) =>
+          var st = state.getOption.getOrElse(MgState(0L, 0L, Map.empty))
+          values.foreach { v =>
+            val item = itemOf(v)
+            val c = st.counters
+            val next =
+              if (c.contains(item)) c.updated(item, c(item) + 1)
+              else if (c.size < k - 1) c.updated(item, 1L)
+              else {
+                st = st.copy(dec = st.dec + 1)
+                c.map { case (i, n) => i -> (n - 1) }.filter(_._2 > 0)
+              }
+            st = st.copy(n = st.n + 1, counters = next)
+          }
+          state.update(st)
+          HeavyHitters(stratum, st.n, st.dec, st.counters)
+      }
+  }
+
   /** Streaming near-dup candidate detection — the B11 MinHash/LSH scale
     * path running INSIDE a stream with bounded state: each document's
     * band buckets are computed per row ([[graft.ops.Dedup

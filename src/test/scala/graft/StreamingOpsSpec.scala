@@ -522,4 +522,43 @@ class StreamingOpsSpec extends AnyFunSuite {
       ("zz", 3.0, None, None)), // missing dim key SURVIVES with nulls
       s"enrichment rows: $rows")
   }
+
+  test("Misra-Gries heavy hitters: bounded state, frequent items present, error bracketed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    val k = 4 // at most 3 counters; anything with freq > N/4 guaranteed kept
+    val hh = StreamingOps.heavyHitters[Ev](s.toDS(), _ => "all", _.key, k)
+    val q = hh.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("mg_hh").start()
+    // skewed stream across two micro-batches: "hot" 12 of 20 events,
+    // 8 singleton-ish others spread over 6 distinct keys
+    val hot = (1 to 7).map(i => Ev(t(i), "hot", 1.0))
+    val cold = Seq("c1", "c2", "c3", "c4").zipWithIndex
+      .map { case (c, i) => Ev(t(10 + i), c, 1.0) }
+    s.addData(hot ++ cold: _*)
+    q.processAllAvailable()
+    s.addData((1 to 5).map(i => Ev(t(30 + i), "hot", 1.0)) ++
+      Seq(Ev(t(40), "c5", 1.0), Ev(t(41), "c6", 1.0),
+        Ev(t(42), "c1", 1.0), Ev(t(43), "c2", 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("mg_hh").collect()
+      .map(r => (r.getAs[Long]("n_processed"), r.getAs[Long]("decrements"),
+        r.getAs[Map[String, Long]]("items")))
+      .maxBy(_._1) // latest summary has the largest n
+    val (n, dec, items) = last
+    val trueCounts = Map("hot" -> 12L, "c1" -> 2L, "c2" -> 2L,
+      "c3" -> 1L, "c4" -> 1L, "c5" -> 1L, "c6" -> 1L)
+    assert(n == 20L)
+    assert(items.size <= k - 1, "state must stay within k-1 counters")
+    assert(dec <= n / k, "decrement rounds cannot exceed N/k")
+    // frequency > N/k = 5 must be present
+    assert(items.contains("hot"), s"hot item missing from $items")
+    // every estimate brackets truth: est <= true <= est + dec
+    items.foreach { case (i, est) =>
+      assert(est <= trueCounts(i), s"$i overestimated")
+      assert(trueCounts(i) <= est + dec, s"$i undercounted beyond the bound")
+    }
+  }
 }
