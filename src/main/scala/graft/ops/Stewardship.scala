@@ -832,6 +832,71 @@ object Stewardship {
         .groupBy("k").agg(count(lit(1)).cast("long").as("n_vectors"))
         .select(col("k").cast("long").as("n_outlier_dims"), col("n_vectors"))
         .orderBy("n_outlier_dims")
+    },
+
+    // CUSUM change-point detector over daily event volume — the
+    // SEQUENTIAL drift alarm that completes the anomaly triptych (q344
+    // flags single outlier days, q352 prices the fall from a peak;
+    // CUSUM accumulates SMALL persistent shifts until they cross a
+    // threshold — the Page 1954 control chart). Exact integers by the
+    // closed form: with P_t the prefix sum of (x_t·D − T) (D = days,
+    // T = total — so the target mean needs NO division), S_t = P_t −
+    // running_min(P) and the alarm fires when S_t > 4·T (cumulative
+    // excess worth 4 average days). Windows PARTITIONED by type over
+    // the horizon-bounded day grid; one corpus pass.
+    "q364_cusum" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("dd"), sum(col("n")).as("tt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val su = daily.join(broadcast(tot), "event_type")
+        .withColumn("p", sum(col("n") * col("dd") - col("tt")).over(w))
+        .withColumn("pmin", min(least(col("p"), lit(0L))).over(w))
+        .withColumn("cusum", col("p") - col("pmin"))
+      val agg = su.groupBy("event_type")
+        .agg(max(col("dd")).cast("long").as("n_days"),
+          max(col("tt")).cast("long").as("total_events"),
+          max(col("cusum")).cast("long").as("max_cusum"),
+          sum(when(col("cusum") > lit(4L) * col("tt"), 1L).otherwise(0L))
+            .cast("long").as("n_alarm_days"))
+      val first = su.filter(col("cusum") > lit(4L) * col("tt"))
+        .groupBy("event_type").agg(min(col("day")).as("first_alarm_day"))
+      agg.join(first, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"), col("total_events"),
+          col("max_cusum"), col("n_alarm_days"), col("first_alarm_day"))
+        .orderBy("event_type")
+    },
+
+    // READABILITY sufficient statistics per source — the exact integer
+    // inputs of every readability formula (Flesch et al. are affine in
+    // words/sentence and syllables/word with float constants, so per
+    // the log-free rule both engines stop at the sufficient-statistic
+    // table; the ppm ratios already rank sources): sentences by
+    // terminal punctuation runs, words by whitespace tokens, the
+    // classic vowel-GROUP syllable proxy by regexp runs — one regex
+    // class+quantifier, byte-identical in RE2 and Java. Scale: pure
+    // per-row map work; one grid agg; text never shuffles.
+    "q365_readability" -> { (s, d) =>
+      val f = Tables.documents(s, d).select(col("source"),
+        expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long").as("sents"),
+        expr("size(split(trim(text), ' +'))").cast("long").as("words"),
+        expr("size(regexp_extract_all(text, '[aeiouAEIOU]+', 0))").cast("long")
+          .as("vgroups"))
+      f.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("words")).cast("long").as("words"),
+          sum(col("sents")).cast("long").as("sentences"),
+          sum(col("vgroups")).cast("long").as("vowel_groups"))
+        .select(col("source"), col("n_docs"), col("words"), col("sentences"),
+          col("vowel_groups"),
+          expr("CAST(words * 1000000 DIV greatest(sentences, 1) AS BIGINT)")
+            .as("words_per_sentence_ppm"),
+          expr("CAST(vowel_groups * 1000000 DIV greatest(words, 1) AS BIGINT)")
+            .as("vgroups_per_word_ppm"))
+        .orderBy("source")
     }
   )
 
@@ -1376,6 +1441,59 @@ object Stewardship {
         |  SELECT vec_id, CAST(SUM(is_out) AS BIGINT) AS k
         |  FROM flags GROUP BY 1)
         |SELECT k AS n_outlier_dims, CAST(COUNT(*) AS BIGINT) AS n_vectors
-        |FROM census GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM census GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q364_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dd,
+        |          CAST(SUM(n) AS BIGINT) AS tt
+        |        FROM daily GROUP BY 1),
+        |su AS (
+        |  SELECT d.event_type, d.day, t.dd, t.tt,
+        |    SUM(d.n * t.dd - t.tt) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS p
+        |  FROM daily d JOIN tot t ON d.event_type = t.event_type),
+        |cs AS (
+        |  SELECT event_type, day, dd, tt,
+        |    p - MIN(LEAST(p, 0)) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM su),
+        |agg AS (
+        |  SELECT event_type, CAST(MAX(dd) AS BIGINT) AS n_days,
+        |    CAST(MAX(tt) AS BIGINT) AS total_events,
+        |    CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+        |    CAST(SUM(CASE WHEN cusum > 4 * tt THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_alarm_days
+        |  FROM cs GROUP BY 1),
+        |fst AS (
+        |  SELECT event_type, MIN(day) AS first_alarm_day
+        |  FROM cs WHERE cusum > 4 * tt GROUP BY 1)
+        |SELECT agg.event_type, n_days, total_events, max_cusum, n_alarm_days,
+        |  fst.first_alarm_day
+        |FROM agg LEFT JOIN fst ON agg.event_type = fst.event_type
+        |ORDER BY agg.event_type""".stripMargin,
+
+    "q365_readability" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sents,
+        |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+        |      AS words,
+        |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+        |      AS vgroups
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(words) AS BIGINT) AS words,
+        |  CAST(SUM(sents) AS BIGINT) AS sentences,
+        |  CAST(SUM(vgroups) AS BIGINT) AS vowel_groups,
+        |  CAST(SUM(words) * 1000000 // GREATEST(SUM(sents), 1) AS BIGINT)
+        |    AS words_per_sentence_ppm,
+        |  CAST(SUM(vgroups) * 1000000 // GREATEST(SUM(words), 1) AS BIGINT)
+        |    AS vgroups_per_word_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

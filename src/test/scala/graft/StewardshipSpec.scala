@@ -449,6 +449,50 @@ class StewardshipSpec extends AnyFunSuite {
     if (total > 6000) assert(rows.map(_.getAs[Long]("dup_images")).sum > 0)
   }
 
+  test("q364 CUSUM matches the sequential max(0, S+z) recursion exactly") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    run("q364_cusum").collect().foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).sortBy(_._2)
+      val dd = series.length.toLong
+      val tt = series.map(_._3).sum
+      var s = 0L; var mx = 0L; var alarms = 0L; var firstDay: Option[String] = None
+      series.foreach { case (_, day, n) =>
+        s = math.max(0L, s + n * dd - tt) // the textbook recursion
+        mx = math.max(mx, s)
+        if (s > 4 * tt) { alarms += 1; if (firstDay.isEmpty) firstDay = Some(day) }
+      }
+      assert(r.getAs[Long]("n_days") == dd)
+      assert(r.getAs[Long]("max_cusum") == mx,
+        s"$t closed form P - runmin(P) must equal the recursion")
+      assert(r.getAs[Long]("n_alarm_days") == alarms)
+      val gotDay = Option(r.getAs[java.sql.Date]("first_alarm_day")).map(_.toString)
+      assert(gotDay == firstDay, s"$t first alarm day")
+    }
+  }
+
+  test("q365 readability stats match per-doc Scala regex counts") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val mirror = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ((
+        ds.map(d => "[.!?]+".r.findAllIn(d._2).length.toLong).sum,
+        ds.map(d => d._2.trim.split(" +").length.toLong).sum,
+        ds.map(d => "[aeiouAEIOU]+".r.findAllIn(d._2).length.toLong).sum))
+    }
+    run("q365_readability").collect().foreach { r =>
+      val (sents, words, vg) = mirror(r.getString(0))
+      assert(r.getAs[Long]("sentences") == sents)
+      assert(r.getAs[Long]("words") == words)
+      assert(r.getAs[Long]("vowel_groups") == vg)
+      assert(r.getAs[Long]("vgroups_per_word_ppm") == vg * 1000000L / math.max(words, 1L))
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
