@@ -54,6 +54,13 @@ object Stewardship {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** Embeddings quantized to the 10³ integer grid (the q355 trick):
+    * (vec_id, q: Array[Long]) — exact integer geometry in both engines. */
+  private def vecsQ3(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+        " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q"))
+
   /** q345's constraint evaluation over any orders-shaped frame — factored
     * out so the spec can prove each detector arm on injected violations
     * (the production query passes [[Tables.orders]] through unchanged).
@@ -897,6 +904,139 @@ object Stewardship {
           expr("CAST(vowel_groups * 1000000 DIV greatest(words, 1) AS BIGINT)")
             .as("vgroups_per_word_ppm"))
         .orderBy("source")
+    },
+
+    // SPLIT-CONFORMAL calibration table — distribution-free uncertainty
+    // quantification (Vovk; the ML-ops staple): hash-split events 40/60
+    // into calibration/test, per type take the calibration median as
+    // the point prediction, the ⌈0.9(n+1)⌉-th smallest absolute
+    // residual as the conformal quantile q̂, and MEASURE the test-side
+    // coverage of [med − q̂, med + q̂] — marginal validity says it
+    // lands ≥ ~90%, and the spec asserts the finite-sample bound.
+    // Values quantize to µ-integers first, medians/quantiles are exact
+    // rank selection under (value, event_id) total orders via windows
+    // PARTITIONED by event_type (the q344 convention). One corpus
+    // pass builds the split; everything else is per-type grid work.
+    "q366_conformal" -> { (s, d) =>
+      // event_id is consumed for the hash split, then DROPPED before the
+      // cache: the rank-selected VALUE at a given rank is the same for
+      // every tie order (same multiset), so the windows below need no
+      // tiebreak key — and the cached leaf carrying no fact marker is
+      // what lets the med/qhat grids broadcast past the plan audit
+      val ev = Caches.shared(Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("vu"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15)," +
+            " 16, 10) AS BIGINT) % 5").as("arm")))
+      val cal = ev.filter(col("arm") < 2)
+      val test = ev.filter(col("arm") >= 2)
+      val nCal = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+      val wv = Window.partitionBy("event_type").orderBy(col("vu"))
+      val med = cal.withColumn("rn", row_number().over(wv))
+        .join(broadcast(nCal), "event_type")
+        .filter(col("rn") === expr("(n_cal + 1) DIV 2"))
+        .select(col("event_type"), col("vu").as("med_u"))
+      val resid = cal.join(broadcast(med), "event_type")
+        .withColumn("r", abs(col("vu") - col("med_u")))
+      val wr = Window.partitionBy("event_type").orderBy(col("r"))
+      val qhat = resid.withColumn("rn", row_number().over(wr))
+        .join(broadcast(nCal), "event_type")
+        .filter(col("rn") === expr("least((9 * (n_cal + 1) + 9) DIV 10, n_cal)"))
+        .select(col("event_type"), col("r").as("qhat_u"))
+      test.join(broadcast(med), "event_type")
+        .join(broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_test"),
+          max(col("med_u")).cast("long").as("med_u"),
+          max(col("qhat_u")).cast("long").as("qhat_u"),
+          sum(when(abs(col("vu") - col("med_u")) <= col("qhat_u"), 1L)
+            .otherwise(0L)).cast("long").as("n_covered"))
+        .join(broadcast(nCal), "event_type")
+        .select(col("event_type"), col("n_cal").cast("long").as("n_cal"),
+          col("n_test"), col("med_u"), col("qhat_u"), col("n_covered"),
+          expr("CAST(n_covered * 1000000 DIV n_test AS BIGINT)")
+            .as("coverage_ppm"))
+        .orderBy("event_type")
+    },
+
+    // RECIPROCAL-RANK FUSION of two retrieval rankings (Cormack et al.
+    // 2009 — the parameter-free ensemble every hybrid-search stack
+    // ships): for one anchor query, fuse the cosine top-32 with the
+    // L2-distance top-32 (different geometries — they genuinely
+    // disagree when norms vary) by RRF score Σ ⌊10⁹/(60+rank)⌋,
+    // missing-from-a-list clamped to rank 33 (the q309 clamp rule);
+    // floor keeps the score an exact integer in both engines. Ranks
+    // WITHIN each 32-row list come from predecessor-count joins on the
+    // list grids — never a global window; candidate lists are
+    // TakeOrdered-bounded. Output: fused top-10.
+    "q367_rrf_fusion" -> { (s, d) =>
+      val e = vecsQ3(s, d)
+      val anchor = e.orderBy("vec_id").limit(1)
+        .select(col("q").as("aq"))
+      // the anchor stays in the corpus — it simply ranks first in its
+      // own cosine list, as a real self-retrieval sanity row would
+      val scored = Caches.shared(e.crossJoin(broadcast(anchor))
+        .select(col("vec_id"),
+          expr("aggregate(zip_with(q, aq, (x, y) -> x * y)," +
+            " CAST(0 AS BIGINT), (a, e) -> a + e)").as("dot"),
+          expr("aggregate(zip_with(q, aq, (x, y) -> (x - y) * (x - y))," +
+            " CAST(0 AS BIGINT), (a, e) -> a + e)").as("l2")))
+      val topCos = scored.orderBy(col("dot").desc, col("vec_id")).limit(32)
+        .select(col("vec_id"), col("dot"))
+      val topL2 = scored.orderBy(col("l2").asc, col("vec_id")).limit(32)
+        .select(col("vec_id"), col("l2"))
+      // rank within each 32-row grid = 1 + count of strictly-better rows
+      val rA = topCos.join(broadcast(topCos.select(col("dot").as("d2"),
+          col("vec_id").as("i2"))),
+          col("d2") > col("dot") ||
+            (col("d2") === col("dot") && col("i2") < col("vec_id")), "left")
+        .groupBy("vec_id").agg((count(col("i2")) + 1).as("rank_cos"))
+      val rB = topL2.join(broadcast(topL2.select(col("l2").as("d2"),
+          col("vec_id").as("i2"))),
+          col("d2") < col("l2") ||
+            (col("d2") === col("l2") && col("i2") < col("vec_id")), "left")
+        .groupBy("vec_id").agg((count(col("i2")) + 1).as("rank_l2"))
+      rA.join(rB, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+          coalesce(col("rank_cos"), lit(33L)).cast("long").as("rank_cos"),
+          coalesce(col("rank_l2"), lit(33L)).cast("long").as("rank_l2"))
+        .withColumn("rrf_score", expr("CAST(1000000000 DIV (60 + rank_cos)" +
+          " + 1000000000 DIV (60 + rank_l2) AS BIGINT)"))
+        .orderBy(col("rrf_score").desc, col("vec_id")).limit(10)
+    },
+
+    // TRIMMED-MEAN robust price table per priority — the estimator
+    // between q348's median (throws away magnitude) and the raw mean
+    // (one fat-finger order moves it): drop the bottom and top 5% BY
+    // RANK (exact rank bounds ⌈0.05n⌉ / ⌊0.95n⌋ under the (cents, key)
+    // total order, windows PARTITIONED by priority) and report the
+    // exact integer mean of what remains next to the raw mean — the
+    // gap IS the tail's leverage. One corpus pass; grid output.
+    "q368_trimmed_mean" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+        col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("c"))
+      val n = o.groupBy("prio").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("prio").orderBy(col("c"), col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .join(broadcast(n), "prio")
+        .groupBy("prio")
+        .agg(max(col("n")).cast("long").as("n_orders"),
+          sum(col("c")).as("sum_all"),
+          sum(when(col("rn") > expr("(n + 19) DIV 20") &&
+            col("rn") <= expr("(19 * n) DIV 20"), col("c")).otherwise(0L))
+            .as("sum_mid"),
+          sum(when(col("rn") > expr("(n + 19) DIV 20") &&
+            col("rn") <= expr("(19 * n) DIV 20"), 1L).otherwise(0L))
+            .as("n_mid"))
+        .select(col("prio"), col("n_orders"),
+          expr("CAST(sum_all DIV n_orders AS BIGINT)").as("mean_cents"),
+          col("n_mid").cast("long").as("n_kept"),
+          expr("CAST(sum_mid DIV n_mid AS BIGINT)").as("trimmed_mean_cents"),
+          expr("CAST(abs(sum_all DIV n_orders - sum_mid DIV n_mid)" +
+            " AS BIGINT)").as("tail_leverage_cents"))
+        .orderBy("prio")
     }
   )
 
@@ -1494,6 +1634,110 @@ object Stewardship {
         |    AS words_per_sentence_ppm,
         |  CAST(SUM(vgroups) * 1000000 // GREATEST(SUM(words), 1) AS BIGINT)
         |    AS vgroups_per_word_ppm
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q366_conformal" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 5
+        |      AS arm
+        |  FROM events),
+        |cal AS (SELECT event_type, vu FROM ev WHERE arm < 2),
+        |tst AS (SELECT event_type, vu FROM ev WHERE arm >= 2),
+        |nc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal
+        |       FROM cal GROUP BY 1),
+        |medr AS (
+        |  SELECT event_type, vu, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY vu) AS rn
+        |  FROM cal),
+        |med AS (
+        |  SELECT m.event_type, m.vu AS med_u FROM medr m JOIN nc
+        |    USING (event_type) WHERE m.rn = (n_cal + 1) // 2),
+        |res AS (
+        |  SELECT c.event_type, ABS(c.vu - med.med_u) AS r
+        |  FROM cal c JOIN med USING (event_type)),
+        |qr AS (
+        |  SELECT event_type, r, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY r) AS rn
+        |  FROM res),
+        |qh AS (
+        |  SELECT q.event_type, q.r AS qhat_u FROM qr q JOIN nc
+        |    USING (event_type)
+        |  WHERE q.rn = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)),
+        |tv AS (
+        |  SELECT t.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(MAX(med.med_u) AS BIGINT) AS med_u,
+        |    CAST(MAX(qh.qhat_u) AS BIGINT) AS qhat_u,
+        |    CAST(SUM(CASE WHEN ABS(t.vu - med.med_u) <= qh.qhat_u
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM tst t JOIN med USING (event_type) JOIN qh USING (event_type)
+        |  GROUP BY 1)
+        |SELECT tv.event_type, nc.n_cal, n_test, med_u, qhat_u, n_covered,
+        |  CAST(n_covered * 1000000 // n_test AS BIGINT) AS coverage_ppm
+        |FROM tv JOIN nc USING (event_type) ORDER BY tv.event_type""".stripMargin,
+
+    "q367_rrf_fusion" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |a AS (SELECT q AS aq FROM c ORDER BY vec_id LIMIT 1),
+        |sc AS (
+        |  SELECT c.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      j -> c.q[j] * a.aq[j])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      j -> (c.q[j] - a.aq[j]) * (c.q[j] - a.aq[j]))) AS BIGINT) AS l2
+        |  FROM c, a),
+        |tc AS (SELECT vec_id, dot FROM sc ORDER BY dot DESC, vec_id LIMIT 32),
+        |tl AS (SELECT vec_id, l2 FROM sc ORDER BY l2 ASC, vec_id LIMIT 32),
+        |ra AS (
+        |  SELECT a1.vec_id, CAST(1 + COUNT(a2.vec_id) AS BIGINT) AS rank_cos
+        |  FROM tc a1 LEFT JOIN tc a2 ON a2.dot > a1.dot
+        |    OR (a2.dot = a1.dot AND a2.vec_id < a1.vec_id)
+        |  GROUP BY 1),
+        |rb AS (
+        |  SELECT b1.vec_id, CAST(1 + COUNT(b2.vec_id) AS BIGINT) AS rank_l2
+        |  FROM tl b1 LEFT JOIN tl b2 ON b2.l2 < b1.l2
+        |    OR (b2.l2 = b1.l2 AND b2.vec_id < b1.vec_id)
+        |  GROUP BY 1),
+        |fu AS (
+        |  SELECT COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+        |    CAST(COALESCE(rank_cos, 33) AS BIGINT) AS rank_cos,
+        |    CAST(COALESCE(rank_l2, 33) AS BIGINT) AS rank_l2
+        |  FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id)
+        |SELECT vec_id, rank_cos, rank_l2,
+        |  CAST(1000000000 // (60 + rank_cos)
+        |    + 1000000000 // (60 + rank_l2) AS BIGINT) AS rrf_score
+        |FROM fu ORDER BY rrf_score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q368_trimmed_mean" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |n AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |r AS (
+        |  SELECT o.prio, o.c, row_number() OVER
+        |    (PARTITION BY o.prio ORDER BY o.c, o.o_orderkey) AS rn
+        |  FROM o),
+        |agg AS (
+        |  SELECT r.prio, MAX(n.n) AS n_orders,
+        |    CAST(SUM(c) AS BIGINT) AS sum_all,
+        |    CAST(SUM(CASE WHEN rn > (n.n + 19) // 20
+        |      AND rn <= (19 * n.n) // 20 THEN c ELSE 0 END) AS BIGINT)
+        |      AS sum_mid,
+        |    CAST(SUM(CASE WHEN rn > (n.n + 19) // 20
+        |      AND rn <= (19 * n.n) // 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_mid
+        |  FROM r JOIN n USING (prio) GROUP BY 1)
+        |SELECT prio, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(sum_all // n_orders AS BIGINT) AS mean_cents,
+        |  n_mid AS n_kept,
+        |  CAST(sum_mid // n_mid AS BIGINT) AS trimmed_mean_cents,
+        |  CAST(ABS(sum_all // n_orders - sum_mid // n_mid) AS BIGINT)
+        |    AS tail_leverage_cents
+        |FROM agg ORDER BY prio""".stripMargin
   )
 }

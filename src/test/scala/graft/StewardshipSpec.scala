@@ -493,6 +493,63 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q366 conformal intervals achieve the marginal coverage guarantee") {
+    val rows = run("q366_conformal").collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getAs[Long]("n_cal") > 0 && r.getAs[Long]("n_test") > 0)
+      assert(r.getAs[Long]("qhat_u") >= 0)
+      // split-conformal marginal validity: coverage ≈ 90%; allow
+      // finite-sample + exchangeability slack on the hash split
+      val cov = r.getAs[Long]("coverage_ppm")
+      assert(cov >= 820000L, s"$t coverage $cov below the conformal bound")
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_test"))
+    }
+  }
+
+  test("q367 RRF laws: anchor tops its own cosine list, scores are exact") {
+    val rows = run("q367_rrf_fusion").collect()
+    assert(rows.length == 10)
+    val anchorId = Tables.embeddings(spark, sf)
+      .agg(min(col("vec_id"))).collect()(0).getLong(0)
+    val anchorRow = rows.find(_.getAs[Long]("vec_id") == anchorId)
+    assert(anchorRow.isDefined, "self-retrieval: the anchor must be fused in")
+    assert(anchorRow.get.getAs[Long]("rank_cos") == 1L)
+    assert(anchorRow.get.getAs[Long]("rank_l2") == 1L,
+      "anchor has dot=|a|^2 max-cos AND l2=0 min")
+    rows.foreach { r =>
+      val (ra, rb) = (r.getAs[Long]("rank_cos"), r.getAs[Long]("rank_l2"))
+      assert(ra >= 1 && ra <= 33 && rb >= 1 && rb <= 33)
+      assert(r.getAs[Long]("rrf_score") ==
+        1000000000L / (60 + ra) + 1000000000L / (60 + rb))
+    }
+    // output is sorted by fused score
+    val scores = rows.map(_.getAs[Long]("rrf_score"))
+    scores.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+  }
+
+  test("q368 trimmed mean matches a Scala mirror and bounds the raw mean tails") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    run("q368_trimmed_mean").collect().foreach { r =>
+      val p = r.getString(0)
+      val sorted = orders.filter(_._1 == p).sortBy(x => (x._3, x._2)).map(_._3)
+      val n = sorted.length
+      val lo = (n + 19) / 20
+      val hi = (19 * n) / 20
+      val mid = sorted.slice(lo, hi) // ranks lo+1..hi (1-indexed)
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Long]("n_kept") == mid.length)
+      assert(r.getAs[Long]("mean_cents") == sorted.sum / n)
+      assert(r.getAs[Long]("trimmed_mean_cents") == mid.sum / mid.length)
+      // the trimmed mean must lie within the kept range
+      assert(r.getAs[Long]("trimmed_mean_cents") >= mid.min &&
+        r.getAs[Long]("trimmed_mean_cents") <= mid.max)
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
