@@ -1037,6 +1037,35 @@ object Stewardship {
           expr("CAST(abs(sum_all DIV n_orders - sum_mid DIV n_mid)" +
             " AS BIGINT)").as("tail_leverage_cents"))
         .orderBy("prio")
+    },
+
+    // SEMI-MARKOV holding-time table — the DURATION dimension the
+    // transition-count grid (D-family q215) and the q341 chain both
+    // ignore: per (from → to) edge, how long a user SITS in `from`
+    // before that transition fires (mean/max dwell, exact µs integer
+    // sums). A funnel whose view→purchase dwell doubles has changed
+    // even if its transition PROBABILITIES are identical — this is the
+    // table that catches it. One per-user window pass (the q341
+    // ordering convention: (ts, event_id) total order); output is the
+    // ≤\|types\|² edge grid.
+    "q369_holding_times" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val tr = ev
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .withColumn("nxt_us", lead(col("us"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("from_type"), col("nxt").as("to_type"),
+          (col("nxt_us") - col("us")).as("dwell_us"))
+      tr.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).cast("long").as("n_transitions"),
+          expr("CAST(sum(dwell_us) DIV count(1) AS BIGINT)").as("mean_dwell_us"),
+          max(col("dwell_us")).cast("long").as("max_dwell_us"),
+          sum(when(col("dwell_us") === 0, 1L).otherwise(0L)).cast("long")
+            .as("n_instant"))
+        .orderBy("from_type", "to_type")
     }
   )
 
@@ -1738,6 +1767,26 @@ object Stewardship {
         |  CAST(sum_mid // n_mid AS BIGINT) AS trimmed_mean_cents,
         |  CAST(ABS(sum_all // n_orders - sum_mid // n_mid) AS BIGINT)
         |    AS tail_leverage_cents
-        |FROM agg ORDER BY prio""".stripMargin
+        |FROM agg ORDER BY prio""".stripMargin,
+
+    "q369_holding_times" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS to_type,
+        |    lead(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) - us AS dwell_us
+        |  FROM ev)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |  CAST(SUM(dwell_us) // COUNT(*) AS BIGINT) AS mean_dwell_us,
+        |  CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us,
+        |  CAST(SUM(CASE WHEN dwell_us = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_instant
+        |FROM tr WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -550,6 +550,35 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q369 holding times conserve transitions and match a Scala mirror") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val mirror = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      sorted.sliding(2).collect {
+        case Array(a, b) => ((a._3, b._3), b._4 - a._4)
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._2).sum / vs.length, vs.map(_._2).max,
+        vs.count(_._2 == 0L).toLong)
+    }
+    val rows = run("q369_holding_times").collect()
+    // conservation: Σ transitions = Σ_users (events_u − 1)
+    val users = ev.groupBy(_._1).map(_._2.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum ==
+      users.map(_ - 1).sum)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (n, mean, mx, inst) = mirror(k)
+      assert(r.getAs[Long]("n_transitions") == n, s"$k count")
+      assert(r.getAs[Long]("mean_dwell_us") == mean, s"$k mean")
+      assert(r.getAs[Long]("max_dwell_us") == mx, s"$k max")
+      assert(r.getAs[Long]("n_instant") == inst, s"$k instant")
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
