@@ -54,6 +54,45 @@ object Stewardship {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** q374 2-D box probe on the (user_id%256, day%256) demo grid —
+    * ONE set of constants interpolated into both engines. The day leg
+    * maps to real epoch days 197xx (inside every SF's 2024-01 horizon,
+    * the q141 probe convention). */
+  private[graft] val BoxULo = 100L
+  private[graft] val BoxUHi = 115L
+  private[graft] val BoxDLo = 20L
+  private[graft] val BoxDHi = 35L
+
+  /** Hilbert xy→d index on the 256×256 grid as ONE runtime
+    * `aggregate()` fold (the q341 rule: the 8 rotation steps carry the
+    * (x, y, d) accumulator at RUNTIME — expression-level unrolling
+    * would inline the previous step into every branch and go
+    * exponential). Classic top-down bit algorithm: at level i with
+    * s = 2^i, quadrant code (3·rx) XOR ry advances d by s²·code, then
+    * the lower bits are reflected/transposed into the quadrant's frame
+    * (reflection bound 255 = n−1; bits ≥ s diverge from the s−1 form
+    * but are never examined again). Bijectivity + the unit-step
+    * adjacency law (only a TRUE Hilbert curve moves one cell per
+    * index step) are spec-asserted over the full 65536-cell domain. */
+  private[graft] def hilbertSql(x: String, y: String): String = {
+    val s = "shiftleft(CAST(1 AS BIGINT), i)"
+    s"""aggregate(
+       |  sequence(7, 0, -1),
+       |  named_struct('x', CAST($x AS BIGINT), 'y', CAST($y AS BIGINT),
+       |               'h', CAST(0 AS BIGINT)),
+       |  (a, i) -> named_struct(
+       |    'x', CASE WHEN (a.y & $s) = 0
+       |           THEN (CASE WHEN (a.x & $s) > 0 THEN 255 - a.y ELSE a.y END)
+       |           ELSE a.x END,
+       |    'y', CASE WHEN (a.y & $s) = 0
+       |           THEN (CASE WHEN (a.x & $s) > 0 THEN 255 - a.x ELSE a.x END)
+       |           ELSE a.y END,
+       |    'h', a.h + shiftleft(CAST(1 AS BIGINT), 2 * i) *
+       |      CAST(((CASE WHEN (a.x & $s) > 0 THEN 3 ELSE 0 END) ^
+       |            (CASE WHEN (a.y & $s) > 0 THEN 1 ELSE 0 END)) AS BIGINT)),
+       |  a -> a.h)""".stripMargin.replaceAll("\n\\s*", " ")
+  }
+
   /** Embeddings quantized to the 10³ integer grid (the q355 trick):
     * (vec_id, q: Array[Long]) — exact integer geometry in both engines. */
   private def vecsQ3(s: SparkSession, d: String): DataFrame =
@@ -1066,6 +1105,482 @@ object Stewardship {
           sum(when(col("dwell_us") === 0, 1L).otherwise(0L)).cast("long")
             .as("n_instant"))
         .orderBy("from_type", "to_type")
+    },
+
+    // Exact KOLMOGOROV–SMIRNOV two-sample statistic between every
+    // source PAIR's length distributions — the sup-norm CDF distance
+    // that catches shape drift TVD's fixed bins smear out (F66's TVD
+    // needs a bin width; KS is bin-free). Exact integers by
+    // cross-multiplication: D·n_a·n_b = max over the value grid of
+    // |F_a(v)·n_b − F_b(v)·n_a|, with each leg's CDF count at v a
+    // conditional SUM over its (source, n_chars) grid rows ≤ v (the
+    // sup is attained at a sample point, so the shared value grid
+    // suffices). Scale: one corpus grid agg; the sweep is
+    // |sources|²·|values|² algebra on SCHEMA-bounded domains (length
+    // is policy-capped — the q203 n_chars rule), independent of corpus
+    // size.
+    "q370_ks_statistic" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt")))
+      val tot = g.groupBy("source").agg(sum(col("cnt")).as("n"))
+      val vals = g.select("n_chars").distinct()
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+          col("sa") < col("sb"))
+      // step-CDF computed ONCE per (source, value) over the shared value
+      // grid — zero-filled at absent values, then a running-sum window
+      // PARTITIONED by source (≤|values| rows per partition, schema-
+      // bounded) — and looked up per pair by EQUI-join. The per-pair
+      // theta-join form re-summed each source's grid |pairs| times and
+      // measured ~4× slower.
+      val cumAll = Caches.shared(tot.select(col("source").as("cs"))
+        .crossJoin(broadcast(vals))
+        .join(broadcast(g.select(col("source").as("g2"),
+          col("n_chars").as("v2"), col("cnt").as("c2"))),
+          col("g2") === col("cs") && col("v2") === col("n_chars"), "left")
+        .select(col("cs"), col("n_chars"),
+          coalesce(col("c2"), lit(0L)).as("c0"))
+        .withColumn("f", sum(col("c0")).over(Window.partitionBy("cs")
+          .orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0))))
+      val atV = pairs.crossJoin(broadcast(vals))
+        .join(broadcast(cumAll.select(col("cs").as("csa"),
+          col("n_chars").as("va"), col("f").as("fa"))),
+          col("csa") === col("sa") && col("va") === col("n_chars"))
+        .join(broadcast(cumAll.select(col("cs").as("csb"),
+          col("n_chars").as("vb"), col("f").as("fb"))),
+          col("csb") === col("sb") && col("vb") === col("n_chars"))
+      atV.groupBy("sa", "sb")
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("dnum"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_a"), col("n_b"), col("dnum").cast("long").as("d_scaled"),
+          expr("CAST(dnum * 1000000 DIV (n_a * n_b) AS BIGINT)").as("ks_ppm"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // Exact MANN–WHITNEY U + CLIFF'S DELTA per source pair — the
+    // rank-sum location test beside q370's shape test (KS asks "same
+    // distribution?", U asks "does one source stochastically WRITE
+    // LONGER documents?"): 2U_a = Σ over a's grid values v of
+    // cnt_a(v)·(2·cumlt_b(v) + cnt_b(v)) — the doubled form absorbs
+    // the ½ tie credit so everything stays integer; Cliff's δ in ppm =
+    // (2U_a − n_a·n_b)·10⁶ / (n_a·n_b), sign-split around the
+    // non-negative division (the q348 rule). Same grid machinery as
+    // q370 — never a corpus² join. Magnitude: 2U ≤ 2·n_a·n_b; int64
+    // holds to ~2·10⁹ docs per pair, DECIMAL widening past that.
+    "q371_mannwhitney" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt")))
+      val tot = g.groupBy("source").agg(sum(col("cnt")).as("n"))
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+          col("sa") < col("sb"))
+      val agrid = pairs.join(broadcast(g.select(col("source").as("ga"),
+          col("n_chars").as("va"), col("cnt").as("ca"))),
+          col("ga") === col("sa"))
+      val withLt = agrid.join(broadcast(g.select(col("source").as("gb"),
+          col("n_chars").as("vb"), col("cnt").as("cb"))),
+          col("gb") === col("sb") && col("vb") < col("va"), "left")
+        .groupBy("sa", "sb", "na", "nb", "va", "ca")
+        .agg(coalesce(sum(col("cb")), lit(0L)).as("cbl"))
+      val withEq = withLt.join(broadcast(g.select(col("source").as("gb2"),
+          col("n_chars").as("vb2"), col("cnt").as("cb2"))),
+          col("gb2") === col("sb") && col("vb2") === col("va"), "left")
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          (col("ca") * (col("cbl") * 2 + coalesce(col("cb2"), lit(0L))))
+            .as("u2part"))
+      withEq.groupBy("sa", "sb")
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          sum(col("u2part")).as("u2"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_a"), col("n_b"), col("u2").cast("long").as("u2_a"),
+          expr("CAST(CASE WHEN u2 - n_a * n_b >= 0" +
+            " THEN (u2 - n_a * n_b) * 1000000 DIV (n_a * n_b)" +
+            " ELSE -((n_a * n_b - u2) * 1000000 DIV (n_a * n_b))" +
+            " END AS BIGINT)").as("cliffs_delta_ppm"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // Exact KRUSKAL–WALLIS mean-rank table — the k-SAMPLE extension of
+    // q371's two-sample rank test (one table answers "which sources
+    // drift?" where q371 needs all 190 pairs): every doc's MIDRANK over
+    // the pooled corpus, doubled to stay integer (2·r̄(v) = 2·cumlt(v)
+    // + c_all(v) + 1), summed per source. mean_rank_milli vs the
+    // pooled expectation (N+1)/2 ranks sources by stochastic length
+    // dominance; the H statistic is a float function of exactly these
+    // sufficient statistics (the log-free rule stops here). cumlt by
+    // predecessor-count theta-join on the bounded value grid — never a
+    // global window (PlanSpec rule). Conservation Σ 2R_i = N(N+1)
+    // spec-asserted. Magnitude: 2R ≤ 2N², ×1000 holds int64 to
+    // N ≈ 6·10⁷ docs; DECIMAL(38,0) widening past that.
+    "q372_kruskal_wallis" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt")))
+      val gv = g.groupBy("n_chars").agg(sum(col("cnt")).as("call"))
+      val cum = gv.select(col("n_chars").as("v"), col("call"))
+        .join(broadcast(gv.select(col("n_chars").as("w"), col("call").as("cw"))),
+          col("w") < col("v"), "left")
+        .groupBy("v", "call")
+        .agg(coalesce(sum(col("cw")), lit(0L)).as("cumlt"))
+      val nTot = g.agg(sum(col("cnt")).as("ntot"))
+      g.join(broadcast(cum), g("n_chars") === cum("v"))
+        .groupBy("source")
+        .agg(sum(col("cnt")).cast("long").as("n_docs"),
+          sum(col("cnt") * (col("cumlt") * 2 + col("call") + 1)).as("r2"))
+        .crossJoin(broadcast(nTot))
+        .select(col("source"), col("n_docs"),
+          col("r2").cast("long").as("rank2_sum"),
+          expr("CAST(r2 * 1000 DIV (2 * n_docs) AS BIGINT)")
+            .as("mean_rank_milli"),
+          expr("CAST(r2 * 1000 DIV (2 * n_docs) - (ntot + 1) * 500 AS BIGINT)")
+            .as("delta_milli"))
+        .orderBy("source")
+    },
+
+    // MANN–KENDALL trend test over daily event volume per type — the
+    // NONPARAMETRIC monotone-trend sibling of q125's Theil–Sen slope
+    // (S answers "is there a trend?", the slope says how steep):
+    // S = Σ_{i<j} sign(x_j − x_i) over the day grid, plus the
+    // tie-corrected variance NUMERATOR var18 = N(N−1)(2N+5) −
+    // Σ_t t(t−1)(2t+5) (the /18 and the z-score's sqrt are float steps
+    // both engines skip — sufficient statistics only), and Kendall's
+    // tau in ppm = S·2·10⁶ DIV N(N−1), sign-split around the
+    // non-negative division (the q348 rule). Scale: the pair sweep is
+    // the HORIZON-bounded day grid squared (30² per type here, never
+    // corpus²); one corpus pass builds the grid.
+    "q373_mann_kendall" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      val p = daily.select(col("event_type"), col("day").as("d1"),
+          col("n").as("n1"))
+        .join(broadcast(daily.select(col("event_type").as("et2"),
+          col("day").as("d2"), col("n").as("n2"))),
+          col("event_type") === col("et2") && col("d1") < col("d2"))
+      val sStat = p.groupBy("event_type")
+        .agg(sum(when(col("n2") > col("n1"), 1L)
+          .when(col("n2") < col("n1"), -1L).otherwise(0L)).as("s"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("ndays"))
+      val ties = daily.groupBy("event_type", "n")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tiesum"))
+      nd.join(sStat, "event_type").join(ties, "event_type")
+        .select(col("event_type"), col("ndays").cast("long").as("n_days"),
+          col("s").cast("long").as("s_stat"),
+          expr("CAST(ndays * (ndays - 1) * (2 * ndays + 5) - tiesum" +
+            " AS BIGINT)").as("var18_num"),
+          expr("CAST(CASE WHEN s >= 0" +
+            " THEN s * 2000000 DIV (ndays * (ndays - 1))" +
+            " ELSE -((-s) * 2000000 DIV (ndays * (ndays - 1)))" +
+            " END AS BIGINT)").as("tau_ppm"))
+        .orderBy("event_type")
+    },
+
+    // HILBERT-curve layout audit — q141/q361's zone-map machinery under
+    // the THIRD layout the lakehouse clustering debate is actually
+    // about: Morton (Z-order) interleaving has long diagonal jumps that
+    // smear a file's 2-D zone box; the Hilbert walk moves ONE cell per
+    // index step, so consecutive rows land in tighter boxes and a 2-D
+    // box probe reads fewer files (the Delta/Iceberg liquid-clustering
+    // pitch, measured exactly instead of argued). Each event maps to
+    // the (user_id%256, day%256) demo cell; three 2048-file layouts —
+    // hilbert (index DIV 32), zorder (Morton DIV 32, the q141
+    // expression), row_order (event_id-ranged insertion order) — get
+    // per-file (u8, d8) zone maps, priced against the ONE 16×16 box
+    // probe. The Hilbert index is a runtime aggregate() fold
+    // ([[hilbertSql]]); the oracle replays it as a recursive CTE.
+    // Scale: map-only key computation, then a groupBy on a ≤2048-value
+    // file key per layout — bounded shuffle, SF-independent result
+    // shape; the audit prices a rewrite without performing it.
+    "q374_hilbert_layout" -> { (s, d) =>
+      val base = Tables.events(s, d).select(col("event_id"),
+        (col("user_id") % 256).as("u8"), (Behavior.dayIndex % 256).as("d8"))
+      val mx = base.agg(max(col("event_id")).as("mi"))
+      val filed = Caches.shared(base.crossJoin(broadcast(mx)).select(
+        col("u8"), col("d8"),
+        expr(s"(${hilbertSql("u8", "d8")}) div 32").as("f_h"),
+        expr(s"(${Curation.zorderSql("u8", "d8", "div")}) div 32").as("f_z"),
+        expr("event_id * 2048 DIV (mi + 1)").as("f_r")))
+      def zones(fcol: String, layout: String) = filed
+        .groupBy(col(fcol).as("fid"))
+        .agg(min(col("u8")).as("lu"), max(col("u8")).as("hu"),
+          min(col("d8")).as("ld"), max(col("d8")).as("hd"),
+          count(lit(1)).as("rows"))
+        .withColumn("layout", lit(layout))
+      val z = zones("f_h", "a_hilbert")
+        .unionByName(zones("f_z", "b_zorder"))
+        .unionByName(zones("f_r", "c_row_order"))
+      val matching = filed
+        .filter(col("u8").between(BoxULo, BoxUHi) &&
+          col("d8").between(BoxDLo, BoxDHi))
+        .agg(count(lit(1)).as("n_match"))
+      z.groupBy("layout")
+        .agg(count(lit(1)).cast("long").as("files_total"),
+          sum(when(col("lu") <= BoxUHi && col("hu") >= BoxULo &&
+            col("ld") <= BoxDHi && col("hd") >= BoxDLo, 1L).otherwise(0L))
+            .cast("long").as("files_box"),
+          sum(when(col("lu") <= BoxUHi && col("hu") >= BoxULo &&
+            col("ld") <= BoxDHi && col("hd") >= BoxDLo, col("rows"))
+            .otherwise(0L)).cast("long").as("rows_scanned"),
+          sum(col("rows")).cast("long").as("rows_total"))
+        .crossJoin(broadcast(matching))
+        .select(col("layout"), col("files_total"), col("files_box"),
+          col("rows_scanned"), col("rows_total"),
+          col("n_match").cast("long").as("rows_matching"),
+          expr("CAST(rows_scanned * 1000000" +
+            " DIV greatest(n_match, 1) AS BIGINT)")
+            .as("scan_amplification_ppm"))
+        .orderBy("layout")
+    },
+
+    // Exact WASSERSTEIN-1 (earth-mover) distance per source pair — the
+    // L¹ companion to q370's sup-norm KS: W₁ integrates |F_a − F_b|
+    // over the value axis, so it prices HOW FAR mass must move, not
+    // just the worst crossing (two sources can tie on KS yet differ
+    // 10× on W₁). For step CDFs the integral is exact:
+    // W₁·n_a·n_b = Σ over the sorted shared value grid of
+    // |F_a(v)·n_b − F_b(v)·n_a| · (next(v) − v); the top value's gap
+    // is empty (both CDFs are full there). next(v) by a min-over-
+    // successors theta-join on the bounded grid — never an
+    // unpartitioned window (PlanSpec rule). Same once-per-(source,
+    // value) step-CDF cache as q370. Magnitude: Σ|D|·gap ≤
+    // n_a·n_b·range(values); ×1000 holds int64 to ~10¹² doc-pairs per
+    // source pair at the policy-capped length range.
+    "q375_wasserstein" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt")))
+      val tot = g.groupBy("source").agg(sum(col("cnt")).as("n"))
+      val vals = g.select("n_chars").distinct()
+      val gaps = vals.select(col("n_chars").as("v"))
+        .join(broadcast(vals.select(col("n_chars").as("w"))),
+          col("w") > col("v"))
+        .groupBy("v").agg(min(col("w")).as("nxt"))
+        .select(col("v"), (col("nxt") - col("v")).as("gap"))
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+          col("sa") < col("sb"))
+      val cumAll = Caches.shared(tot.select(col("source").as("cs"))
+        .crossJoin(broadcast(vals))
+        .join(broadcast(g.select(col("source").as("g2"),
+          col("n_chars").as("v2"), col("cnt").as("c2"))),
+          col("g2") === col("cs") && col("v2") === col("n_chars"), "left")
+        .select(col("cs"), col("n_chars"),
+          coalesce(col("c2"), lit(0L)).as("c0"))
+        .withColumn("f", sum(col("c0")).over(Window.partitionBy("cs")
+          .orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0))))
+      pairs.crossJoin(broadcast(gaps))
+        .join(broadcast(cumAll.select(col("cs").as("csa"),
+          col("n_chars").as("va"), col("f").as("fa"))),
+          col("csa") === col("sa") && col("va") === col("v"))
+        .join(broadcast(cumAll.select(col("cs").as("csb"),
+          col("n_chars").as("vb"), col("f").as("fb"))),
+          col("csb") === col("sb") && col("vb") === col("v"))
+        .groupBy("sa", "sb")
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          sum(abs(col("fa") * col("nb") - col("fb") * col("na"))
+            * col("gap")).as("wnum"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_a"), col("n_b"), col("wnum").cast("long").as("w1_scaled"),
+          expr("CAST(wnum * 1000 DIV (n_a * n_b) AS BIGINT)")
+            .as("w1_milli"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // Exact CRAMÉR–VON MISES two-sample statistic per source pair —
+    // the L² member completing the CDF-distance triple (q370 sup-norm,
+    // q375 L¹): ω² sums the SQUARED CDF gap at every pooled
+    // observation, so it weights persistent mid-distribution drift the
+    // sup-norm ignores and is more powerful than KS against
+    // diffuse alternatives. Exact: cvm_num = Σ over the value grid of
+    // (c_a(v)+c_b(v))·(F_a(v)·n_b − F_b(v)·n_a)² — the weight is the
+    // PAIR's pooled point mass at v — with T = cvm_num / (N²·n_a·n_b)
+    // the textbook normalization (N = n_a+n_b); the division is the
+    // one reported (ppm), the numerator accumulates in DECIMAL(38,0)
+    // because pooled·D² reaches ~N·(n_a·n_b)² (past int64 by sf1;
+    // DuckDB mirrors in HUGEINT). Same grid machinery as q370.
+    "q376_cramer_von_mises" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt")))
+      val tot = g.groupBy("source").agg(sum(col("cnt")).as("n"))
+      val vals = g.groupBy("n_chars").agg(sum(col("cnt")).as("call"))
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+          col("sa") < col("sb"))
+      // step-CDF AND the per-(source, value) point mass c0 — the CvM
+      // weight at v for pair (a,b) is the PAIR's pooled count
+      // c0_a(v) + c0_b(v), not the global grid count (values only other
+      // sources hit carry zero weight for this pair).
+      val cumAll = Caches.shared(tot.select(col("source").as("cs"))
+        .crossJoin(broadcast(vals.select("n_chars")))
+        .join(broadcast(g.select(col("source").as("g2"),
+          col("n_chars").as("v2"), col("cnt").as("c2"))),
+          col("g2") === col("cs") && col("v2") === col("n_chars"), "left")
+        .select(col("cs"), col("n_chars"),
+          coalesce(col("c2"), lit(0L)).as("c0"))
+        .withColumn("f", sum(col("c0")).over(Window.partitionBy("cs")
+          .orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0))))
+      pairs.crossJoin(broadcast(vals.select("n_chars")))
+        .join(broadcast(cumAll.select(col("cs").as("csa"),
+          col("n_chars").as("va"), col("f").as("fa"), col("c0").as("ca"))),
+          col("csa") === col("sa") && col("va") === col("n_chars"))
+        .join(broadcast(cumAll.select(col("cs").as("csb"),
+          col("n_chars").as("vb"), col("f").as("fb"), col("c0").as("cb"))),
+          col("csb") === col("sb") && col("vb") === col("n_chars"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          ((col("ca") + col("cb")).cast("decimal(38,0)") *
+            (col("fa") * col("nb") - col("fb") * col("na")) *
+            (col("fa") * col("nb") - col("fb") * col("na"))).as("term"))
+        .groupBy("sa", "sb")
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          sum(col("term")).as("cvmd"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_a"), col("n_b"),
+          expr("CAST(cvmd * 1000000 div (CAST(n_a + n_b AS DECIMAL(38,0))" +
+            " * (n_a + n_b) * n_a * n_b) AS BIGINT)").as("cvm_ppm"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // KENDALL cross-correlation between event-type pairs' daily volume
+    // series — "which event types CO-MOVE day over day?" (q373 is
+    // Kendall-vs-TIME; this is Kendall-vs-each-other — the
+    // nonparametric robust alternative to Pearson on raw counts, whose
+    // sqrt-denominator the integer-exactness rule excludes):
+    // S = Σ_{d1<d2} sign(x_a(d2)−x_a(d1)) · sign(x_b(d2)−x_b(d1))
+    // over days BOTH types fired, tau_a in ppm = S·2·10⁶ DIV n(n−1),
+    // sign-split around the non-negative division (q348 rule), plus
+    // the concordant/discordant split so the ppm is auditable. Scale:
+    // the sweep is the horizon-bounded day grid squared per type pair
+    // — |types|²·|days|² algebra, never corpus²; one pass builds the
+    // grid.
+    "q377_kendall_comove" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      val pairDays = daily.select(col("event_type").as("ta"),
+          col("day"), col("n").as("xa"))
+        .join(broadcast(daily.select(col("event_type").as("tb"),
+          col("day").as("db"), col("n").as("xb"))),
+          col("ta") < col("tb") && col("day") === col("db"))
+        .select(col("ta"), col("tb"), col("day"), col("xa"), col("xb"))
+      val sweep = pairDays.select(col("ta"), col("tb"), col("day").as("d1"),
+          col("xa").as("a1"), col("xb").as("b1"))
+        .join(broadcast(pairDays.select(col("ta").as("ta2"),
+          col("tb").as("tb2"), col("day").as("d2"),
+          col("xa").as("a2"), col("xb").as("b2"))),
+          col("ta") === col("ta2") && col("tb") === col("tb2") &&
+            col("d1") < col("d2"))
+        .select(col("ta"), col("tb"),
+          (signum(col("a2") - col("a1")).cast("long") *
+            signum(col("b2") - col("b1")).cast("long")).as("sg"))
+      val nShared = pairDays.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("nd"))
+      sweep.groupBy("ta", "tb")
+        .agg(sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("conc"),
+          sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("disc"))
+        .join(nShared, Seq("ta", "tb"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("nd").cast("long").as("n_days"),
+          col("conc").cast("long").as("concordant"),
+          col("disc").cast("long").as("discordant"),
+          expr("CAST(CASE WHEN conc - disc >= 0" +
+            " THEN (conc - disc) * 2000000 DIV greatest(nd * (nd - 1), 1)" +
+            " ELSE -((disc - conc) * 2000000 DIV greatest(nd * (nd - 1), 1))" +
+            " END AS BIGINT)").as("tau_ppm"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // WALD–WOLFOWITZ runs test over daily volume per event type — the
+    // randomness check underneath q373's trend test: binarize each day
+    // against the series' exact lower median (rank ⌈n/2⌉ by
+    // predecessor-count selection on the bounded value grid — never a
+    // global window), count maximal runs of the binary sequence, and
+    // report the exact sufficient statistics: R, n₁ (above-median
+    // days), n₀, the expectation numerator E[R]·n = n + 2n₁n₀ (milli),
+    // and the variance numerator 2n₁n₀(2n₁n₀−n) (the /n²(n−1) and the
+    // z sqrt are the float steps both engines skip). Too FEW runs ⇒
+    // clumped regimes (weekend plateaus); too many ⇒ oscillation.
+    // Adjacent-day pairing by a next-day-with-data theta-join on the
+    // horizon-bounded day grid.
+    "q378_runs_test" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("ndays"))
+      val grid = daily.groupBy("event_type", "n")
+        .agg(count(lit(1)).as("c"))
+      val cum = grid.select(col("event_type"), col("n").as("v"), col("c"))
+        .join(broadcast(grid.select(col("event_type").as("e2"),
+          col("n").as("w"), col("c").as("cw"))),
+          col("event_type") === col("e2") && col("w") < col("v"), "left")
+        .groupBy("event_type", "v", "c")
+        .agg(coalesce(sum(col("cw")), lit(0L)).as("cumlt"))
+      val med = cum.join(nd, "event_type")
+        .withColumn("k", expr("(ndays + 1) div 2"))
+        .filter(col("cumlt") < col("k") && col("k") <= col("cumlt") + col("c"))
+        .select(col("event_type"), col("v").as("med"))
+      val flagged = Caches.shared(daily.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("day"),
+          when(col("n") > col("med"), 1L).otherwise(0L).as("hi")))
+      val nxt = flagged.select(col("event_type"), col("day").as("d1"))
+        .join(broadcast(flagged.select(col("event_type").as("e3"),
+          col("day").as("d2"))),
+          col("event_type") === col("e3") && col("d2") > col("d1"))
+        .groupBy("event_type", "d1").agg(min(col("d2")).as("dn"))
+      val steps = flagged.select(col("event_type"), col("day").as("d1"),
+          col("hi").as("h1"))
+        .join(nxt, Seq("event_type", "d1"))
+        .join(flagged.select(col("event_type").as("e4"),
+          col("day").as("d4"), col("hi").as("h2")),
+          col("event_type") === col("e4") && col("dn") === col("d4"))
+        .groupBy("event_type")
+        .agg(sum(when(col("h1") =!= col("h2"), 1L).otherwise(0L)).as("chg"))
+      val ones = flagged.groupBy("event_type")
+        .agg(sum(col("hi")).as("n1"), count(lit(1)).as("n"))
+      ones.join(steps, "event_type")
+        .select(col("event_type"), col("n").cast("long").as("n_days"),
+          col("n1").cast("long").as("n_above"),
+          (col("n") - col("n1")).cast("long").as("n_below"),
+          (col("chg") + 1).cast("long").as("runs"),
+          expr("CAST((n + 2 * n1 * (n - n1)) * 1000 DIV n AS BIGINT)")
+            .as("e_runs_milli"),
+          expr("CAST(2 * n1 * (n - n1) * (2 * n1 * (n - n1) - n)" +
+            " AS BIGINT)").as("var_num"))
+        .orderBy("event_type")
+    },
+
+    // FANO-factor burstiness census per event type — the dispersion
+    // diagnostic under q364's CUSUM and q358's peak window: a Poisson
+    // arrival process has Var/mean = 1; Fano ≫ 1 means bursty regime
+    // days (campaign spikes), ≪ 1 means a rate-limited/quota-shaped
+    // feed. Exact sufficient statistics over the daily-count series —
+    // n, Σx, Σx², the variance NUMERATOR n·Σx² − (Σx)², and
+    // fano_ppm = (n·Σx² − (Σx)²)·10⁶ DIV ((n−1)·n·x̄·n) rearranged
+    // integer-exactly as var_num·10⁶ DIV ((n−1)·Σx) (sample variance
+    // over mean; all non-negative so plain DIV). Magnitude: Σx² ≤
+    // n·max_daily²; int64 to ~3·10⁹ events/day — DECIMAL past. One
+    // grid agg; output is |types| rows.
+    "q379_fano_burstiness" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n").cast("long").as("n_days"),
+          col("sx").cast("long").as("sum_n"),
+          col("sxx").cast("long").as("sum_sq"),
+          expr("CAST(n * sxx - sx * sx AS BIGINT)").as("var_num"),
+          expr("CAST((n * sxx - sx * sx) * 1000000" +
+            " DIV ((n - 1) * sx) AS BIGINT)").as("fano_ppm"))
+        .orderBy("event_type")
     }
   )
 
@@ -1787,6 +2302,318 @@ object Stewardship {
         |  CAST(SUM(CASE WHEN dwell_us = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_instant
         |FROM tr WHERE to_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q370_ks_statistic" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |vals AS (SELECT DISTINCT n_chars FROM g),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |atv AS (
+        |  SELECT p.sa, p.sb, p.na, p.nb, v.n_chars,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sa AND g.n_chars <= v.n_chars), 0) AS fa,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sb AND g.n_chars <= v.n_chars), 0) AS fb
+        |  FROM pairs p CROSS JOIN vals v)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(MAX(ABS(fa * nb - fb * na)) AS BIGINT) AS d_scaled,
+        |  CAST(MAX(ABS(fa * nb - fb * na)) * 1000000 // (na * nb) AS BIGINT)
+        |    AS ks_ppm
+        |FROM atv GROUP BY sa, sb, na, nb ORDER BY 1, 2""".stripMargin,
+
+    "q371_mannwhitney" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |terms AS (
+        |  SELECT p.sa, p.sb, p.na, p.nb,
+        |    a.cnt * (2 * COALESCE((SELECT SUM(cnt) FROM g b
+        |        WHERE b.source = p.sb AND b.n_chars < a.n_chars), 0)
+        |      + COALESCE((SELECT SUM(cnt) FROM g b2
+        |        WHERE b2.source = p.sb AND b2.n_chars = a.n_chars), 0))
+        |      AS u2part
+        |  FROM pairs p JOIN g a ON a.source = p.sa)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(SUM(u2part) AS BIGINT) AS u2_a,
+        |  CAST(CASE WHEN SUM(u2part) - na * nb >= 0
+        |    THEN (SUM(u2part) - na * nb) * 1000000 // (na * nb)
+        |    ELSE -((na * nb - SUM(u2part)) * 1000000 // (na * nb))
+        |    END AS BIGINT) AS cliffs_delta_ppm
+        |FROM terms GROUP BY sa, sb, na, nb ORDER BY 1, 2""".stripMargin,
+
+    "q372_kruskal_wallis" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |gv AS (SELECT n_chars, CAST(SUM(cnt) AS BIGINT) AS c_all
+        |  FROM g GROUP BY 1),
+        |cum AS (
+        |  SELECT v.n_chars, v.c_all,
+        |    COALESCE((SELECT SUM(w.c_all) FROM gv w
+        |      WHERE w.n_chars < v.n_chars), 0) AS cumlt
+        |  FROM gv v),
+        |ntot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ntot FROM g),
+        |r2 AS (
+        |  SELECT g.source, CAST(SUM(g.cnt) AS BIGINT) AS n_docs,
+        |    CAST(SUM(g.cnt * (2 * c.cumlt + c.c_all + 1)) AS BIGINT) AS r2
+        |  FROM g JOIN cum c ON c.n_chars = g.n_chars GROUP BY 1)
+        |SELECT source, n_docs, r2 AS rank2_sum,
+        |  CAST(r2 * 1000 // (2 * n_docs) AS BIGINT) AS mean_rank_milli,
+        |  CAST(r2 * 1000 // (2 * n_docs) - (ntot + 1) * 500 AS BIGINT)
+        |    AS delta_milli
+        |FROM r2, ntot ORDER BY source""".stripMargin,
+
+    "q373_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sst AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.n > a.n THEN 1
+        |      WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ndays
+        |  FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tiesum
+        |  FROM (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS t
+        |    FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT nd.event_type, nd.ndays AS n_days, sst.s AS s_stat,
+        |  CAST(nd.ndays * (nd.ndays - 1) * (2 * nd.ndays + 5) - ties.tiesum
+        |    AS BIGINT) AS var18_num,
+        |  CAST(CASE WHEN sst.s >= 0
+        |    THEN sst.s * 2000000 // (nd.ndays * (nd.ndays - 1))
+        |    ELSE -((-sst.s) * 2000000 // (nd.ndays * (nd.ndays - 1)))
+        |    END AS BIGINT) AS tau_ppm
+        |FROM nd JOIN sst ON sst.event_type = nd.event_type
+        |JOIN ties ON ties.event_type = nd.event_type
+        |ORDER BY 1""".stripMargin,
+
+    "q374_hilbert_layout" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT event_id, CAST(user_id % 256 AS BIGINT) AS u8,
+         |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 256
+         |      AS BIGINT) AS d8
+         |  FROM events),
+         |cells AS (SELECT DISTINCT u8, d8 FROM base),
+         |hil AS (
+         |  SELECT u8, d8, u8 AS x, d8 AS y, CAST(0 AS BIGINT) AS h, 7 AS i
+         |  FROM cells
+         |  UNION ALL
+         |  SELECT u8, d8,
+         |    CASE WHEN (y & (1 << i)) = 0
+         |      THEN (CASE WHEN (x & (1 << i)) > 0 THEN 255 - y ELSE y END)
+         |      ELSE x END,
+         |    CASE WHEN (y & (1 << i)) = 0
+         |      THEN (CASE WHEN (x & (1 << i)) > 0 THEN 255 - x ELSE x END)
+         |      ELSE y END,
+         |    h + (CAST(1 AS BIGINT) << (2 * i)) *
+         |      xor(CASE WHEN (x & (1 << i)) > 0 THEN 3 ELSE 0 END,
+         |          CASE WHEN (y & (1 << i)) > 0 THEN 1 ELSE 0 END),
+         |    i - 1
+         |  FROM hil WHERE i >= 0),
+         |hidx AS (SELECT u8, d8, h FROM hil WHERE i = -1),
+         |keyed AS (
+         |  SELECT b.u8, b.d8, hi.h // 32 AS f_h,
+         |    (${Curation.zorderSql("b.u8", "b.d8", "//")}) // 32 AS f_z,
+         |    b.event_id * 2048 // (SELECT MAX(event_id) + 1 FROM base) AS f_r
+         |  FROM base b JOIN hidx hi ON hi.u8 = b.u8 AND hi.d8 = b.d8),
+         |zones AS (
+         |  SELECT 'a_hilbert' AS layout, f_h AS fid, MIN(u8) AS lu,
+         |    MAX(u8) AS hu, MIN(d8) AS ld, MAX(d8) AS hd,
+         |    CAST(COUNT(*) AS BIGINT) AS nrows
+         |  FROM keyed GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'b_zorder', f_z, MIN(u8), MAX(u8), MIN(d8), MAX(d8),
+         |    CAST(COUNT(*) AS BIGINT)
+         |  FROM keyed GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'c_row_order', f_r, MIN(u8), MAX(u8), MIN(d8), MAX(d8),
+         |    CAST(COUNT(*) AS BIGINT)
+         |  FROM keyed GROUP BY 1, 2),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match FROM base
+         |  WHERE u8 BETWEEN $BoxULo AND $BoxUHi
+         |    AND d8 BETWEEN $BoxDLo AND $BoxDHi)
+         |SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_total,
+         |  CAST(SUM(CASE WHEN lu <= $BoxUHi AND hu >= $BoxULo
+         |    AND ld <= $BoxDHi AND hd >= $BoxDLo THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS files_box,
+         |  CAST(SUM(CASE WHEN lu <= $BoxUHi AND hu >= $BoxULo
+         |    AND ld <= $BoxDHi AND hd >= $BoxDLo THEN nrows ELSE 0 END)
+         |    AS BIGINT) AS rows_scanned,
+         |  CAST(SUM(nrows) AS BIGINT) AS rows_total,
+         |  m.n_match AS rows_matching,
+         |  CAST(SUM(CASE WHEN lu <= $BoxUHi AND hu >= $BoxULo
+         |    AND ld <= $BoxDHi AND hd >= $BoxDLo THEN nrows ELSE 0 END)
+         |    * 1000000 // GREATEST(m.n_match, 1) AS BIGINT)
+         |    AS scan_amplification_ppm
+         |FROM zones, m GROUP BY layout, m.n_match
+         |ORDER BY layout""".stripMargin,
+
+    "q375_wasserstein" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |vals AS (SELECT DISTINCT n_chars FROM g),
+        |gaps AS (
+        |  SELECT v.n_chars,
+        |    (SELECT MIN(w.n_chars) FROM vals w WHERE w.n_chars > v.n_chars)
+        |      - v.n_chars AS gap
+        |  FROM vals v),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |atv AS (
+        |  SELECT p.sa, p.sb, p.na, p.nb, gp.gap,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sa AND g.n_chars <= gp.n_chars), 0) AS fa,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sb AND g.n_chars <= gp.n_chars), 0) AS fb
+        |  FROM pairs p CROSS JOIN gaps gp WHERE gp.gap IS NOT NULL)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(SUM(ABS(fa * nb - fb * na) * gap) AS BIGINT) AS w1_scaled,
+        |  CAST(SUM(ABS(fa * nb - fb * na) * gap) * 1000 // (na * nb)
+        |    AS BIGINT) AS w1_milli
+        |FROM atv GROUP BY sa, sb, na, nb ORDER BY 1, 2""".stripMargin,
+
+    "q376_cramer_von_mises" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |gv AS (SELECT n_chars, CAST(SUM(cnt) AS BIGINT) AS c_all
+        |  FROM g GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |atv AS (
+        |  SELECT p.sa, p.sb, p.na, p.nb,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sa AND g.n_chars = v.n_chars), 0)
+        |    + COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sb AND g.n_chars = v.n_chars), 0) AS w,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sa AND g.n_chars <= v.n_chars), 0) AS fa,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sb AND g.n_chars <= v.n_chars), 0) AS fb
+        |  FROM pairs p CROSS JOIN gv v)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(SUM(CAST(w AS HUGEINT) * (fa * nb - fb * na)
+        |      * (fa * nb - fb * na)) * 1000000
+        |    // (CAST(na + nb AS HUGEINT) * (na + nb) * na * nb)
+        |    AS BIGINT) AS cvm_ppm
+        |FROM atv GROUP BY sa, sb, na, nb ORDER BY 1, 2""".stripMargin,
+
+    "q377_kendall_comove" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+        |    a.n AS xa, b.n AS xb
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type < b.event_type AND a.day = b.day),
+        |sw AS (
+        |  SELECT p.ta, p.tb,
+        |    CAST(SIGN(q.xa - p.xa) * SIGN(q.xb - p.xb) AS BIGINT) AS sg
+        |  FROM pd p JOIN pd q
+        |    ON q.ta = p.ta AND q.tb = p.tb AND p.day < q.day),
+        |nsh AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM pd GROUP BY 1, 2)
+        |SELECT s.ta AS type_a, s.tb AS type_b, nsh.nd AS n_days,
+        |  CAST(SUM(CASE WHEN s.sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS concordant,
+        |  CAST(SUM(CASE WHEN s.sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS discordant,
+        |  CAST(CASE WHEN SUM(CASE WHEN s.sg = 1 THEN 1 ELSE 0 END)
+        |      - SUM(CASE WHEN s.sg = -1 THEN 1 ELSE 0 END) >= 0
+        |    THEN (SUM(CASE WHEN s.sg = 1 THEN 1 ELSE 0 END)
+        |      - SUM(CASE WHEN s.sg = -1 THEN 1 ELSE 0 END)) * 2000000
+        |      // GREATEST(nsh.nd * (nsh.nd - 1), 1)
+        |    ELSE -((SUM(CASE WHEN s.sg = -1 THEN 1 ELSE 0 END)
+        |      - SUM(CASE WHEN s.sg = 1 THEN 1 ELSE 0 END)) * 2000000
+        |      // GREATEST(nsh.nd * (nsh.nd - 1), 1))
+        |    END AS BIGINT) AS tau_ppm
+        |FROM sw s JOIN nsh ON nsh.ta = s.ta AND nsh.tb = s.tb
+        |GROUP BY s.ta, s.tb, nsh.nd ORDER BY 1, 2""".stripMargin,
+
+    "q378_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ndays
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT event_type, n AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g.event_type, g.v, g.c,
+        |    COALESCE((SELECT SUM(w.c) FROM grid w
+        |      WHERE w.event_type = g.event_type AND w.v < g.v), 0) AS cumlt
+        |  FROM grid g),
+        |med AS (
+        |  SELECT c.event_type, c.v AS med
+        |  FROM cum c JOIN nd ON nd.event_type = c.event_type
+        |  WHERE c.cumlt < (nd.ndays + 1) // 2
+        |    AND (nd.ndays + 1) // 2 <= c.cumlt + c.c),
+        |flagged AS (
+        |  SELECT d.event_type, d.day,
+        |    CASE WHEN d.n > m.med THEN 1 ELSE 0 END AS hi
+        |  FROM daily d JOIN med m ON m.event_type = d.event_type),
+        |steps AS (
+        |  SELECT f.event_type,
+        |    CAST(SUM(CASE WHEN f.hi <> g.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS chg
+        |  FROM flagged f JOIN flagged g
+        |    ON g.event_type = f.event_type
+        |    AND g.day = (SELECT MIN(h.day) FROM flagged h
+        |      WHERE h.event_type = f.event_type AND h.day > f.day)
+        |  GROUP BY 1),
+        |ones AS (
+        |  SELECT event_type, CAST(SUM(hi) AS BIGINT) AS n1,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM flagged GROUP BY 1)
+        |SELECT o.event_type, o.n AS n_days, o.n1 AS n_above,
+        |  o.n - o.n1 AS n_below, s.chg + 1 AS runs,
+        |  CAST((o.n + 2 * o.n1 * (o.n - o.n1)) * 1000 // o.n AS BIGINT)
+        |    AS e_runs_milli,
+        |  CAST(2 * o.n1 * (o.n - o.n1) * (2 * o.n1 * (o.n - o.n1) - o.n)
+        |    AS BIGINT) AS var_num
+        |FROM ones o JOIN steps s ON s.event_type = o.event_type
+        |ORDER BY 1""".stripMargin,
+
+    "q379_fano_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(x) AS BIGINT) AS sum_n,
+        |  CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+        |  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+        |    AS var_num,
+        |  CAST((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000000
+        |    // ((COUNT(*) - 1) * SUM(x)) AS BIGINT) AS fano_ppm
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

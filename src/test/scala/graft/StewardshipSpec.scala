@@ -579,6 +579,275 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q370 KS statistic matches a brute-force empirical-CDF mirror") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    run("q370_ks_statistic").collect().foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (xa, xb) = (bySrc(sa), bySrc(sb))
+      val vals = (xa ++ xb).distinct
+      val dnum = vals.map { v =>
+        math.abs(xa.count(_ <= v).toLong * xb.length -
+          xb.count(_ <= v).toLong * xa.length)
+      }.max
+      assert(r.getAs[Long]("n_a") == xa.length && r.getAs[Long]("n_b") == xb.length)
+      assert(r.getAs[Long]("d_scaled") == dnum, s"($sa,$sb) KS numerator")
+      assert(r.getAs[Long]("ks_ppm") ==
+        dnum * 1000000L / (xa.length.toLong * xb.length))
+    }
+  }
+
+  test("q371 Mann-Whitney 2U matches brute-force pair counting; delta in [-1,1]") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    run("q371_mannwhitney").collect().foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (xa, xb) = (bySrc(sa), bySrc(sb))
+      val u2 = (for (x <- xa; y <- xb) yield {
+        if (x > y) 2L else if (x == y) 1L else 0L
+      }).sum
+      assert(r.getAs[Long]("u2_a") == u2, s"($sa,$sb) 2U")
+      val d = r.getAs[Long]("cliffs_delta_ppm")
+      assert(d >= -1000000L && d <= 1000000L)
+    }
+  }
+
+  test("q372 Kruskal-Wallis doubled rank sums match brute-force midranks and conserve N(N+1)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val all = docs.map(_._2)
+    val n = all.length.toLong
+    def rank2(v: Long): Long = 2L * all.count(_ < v) + all.count(_ == v) + 1
+    val rows = run("q372_kruskal_wallis").collect()
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = docs.filter(_._1 == src).map(_._2)
+      assert(r.getAs[Long]("n_docs") == mine.length)
+      val r2 = mine.map(rank2).sum
+      assert(r.getAs[Long]("rank2_sum") == r2, s"$src rank2_sum")
+      assert(r.getAs[Long]("mean_rank_milli") == r2 * 1000 / (2L * mine.length))
+      assert(r.getAs[Long]("delta_milli") ==
+        r2 * 1000 / (2L * mine.length) - (n + 1) * 500)
+    }
+    assert(rows.map(_.getAs[Long]("rank2_sum")).sum == n * (n + 1),
+      "doubled rank sums must conserve N(N+1)")
+  }
+
+  test("q373 Mann-Kendall S, tie-corrected var18 and tau match brute force") {
+    val utc = java.time.ZoneOffset.UTC
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.atZone(utc).toLocalDate))
+      .groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }
+      .toSeq
+    run("q373_mann_kendall").collect().foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).sortBy(_._2.toEpochDay)
+        .map(_._3)
+      val nDays = series.length.toLong
+      val s = (for (i <- series.indices; j <- i + 1 until series.length)
+        yield java.lang.Long.signum(series(j) - series(i)).toLong).sum
+      val tiesum = series.groupBy(identity).values
+        .map(g => { val tt = g.length.toLong; tt * (tt - 1) * (2 * tt + 5) })
+        .sum
+      assert(r.getAs[Long]("n_days") == nDays, s"$t n_days")
+      assert(r.getAs[Long]("s_stat") == s, s"$t s_stat")
+      assert(r.getAs[Long]("var18_num") ==
+        nDays * (nDays - 1) * (2 * nDays + 5) - tiesum, s"$t var18")
+      val denom = nDays * (nDays - 1)
+      val tau = if (s >= 0) s * 2000000L / denom else -((-s) * 2000000L / denom)
+      assert(r.getAs[Long]("tau_ppm") == tau, s"$t tau_ppm")
+    }
+  }
+
+  // Scala mirror of the classic top-down Hilbert xy2d (the exact
+  // algorithm hilbertSql folds at runtime).
+  private def hilbertXy2d(x0: Long, y0: Long): Long = {
+    var (x, y, dd) = (x0, y0, 0L)
+    var i = 7
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      dd += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 255 - x; y = 255 - y }
+        val t = x; x = y; y = t
+      }
+      i -= 1
+    }
+    dd
+  }
+
+  test("q374 Hilbert index: bijective, unit-step adjacent, and the SQL fold matches the mirror") {
+    // Law 1-2 on the Scala mirror over the FULL 256x256 domain: only a
+    // true Hilbert curve visits every cell once moving one cell per step.
+    val pos = new Array[Int](65536)
+    java.util.Arrays.fill(pos, -1)
+    for (x <- 0 until 256; y <- 0 until 256) {
+      val d = hilbertXy2d(x, y).toInt
+      assert(pos(d) == -1, s"collision at d=$d")
+      pos(d) = x * 256 + y
+    }
+    for (d <- 0 until 65535) {
+      val (x1, y1) = (pos(d) / 256, pos(d) % 256)
+      val (x2, y2) = (pos(d + 1) / 256, pos(d + 1) % 256)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step at d=$d")
+    }
+    // Law 3: the runtime aggregate() fold computes the same index for
+    // every cell of the domain.
+    val got = spark.range(65536)
+      .selectExpr("id div 256 AS x", "id % 256 AS y")
+      .selectExpr("x", "y", s"${Stewardship.hilbertSql("x", "y")} AS h")
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("h") ==
+        hilbertXy2d(r.getAs[Long]("x"), r.getAs[Long]("y")))
+    }
+  }
+
+  test("q374 layout audit: conserved row totals, no false skips, bounded file count") {
+    val rows = run("q374_hilbert_layout").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("a_hilbert", "b_zorder", "c_row_order"))
+    val totals = rows.map(_.getAs[Long]("rows_total")).distinct
+    assert(totals.length == 1, "every layout must file every row")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("files_total") <= 2048L)
+      assert(r.getAs[Long]("files_box") <= r.getAs[Long]("files_total"))
+      // zone maps may over-read but never false-skip
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matching"))
+    }
+  }
+
+  test("q375 Wasserstein-1 matches a brute-force sorted-merge mirror") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    run("q375_wasserstein").collect().foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (xa, xb) = (bySrc(sa), bySrc(sb))
+      val vals = (xa ++ xb).distinct.sorted
+      // sum over grid cells of |Fa·nb − Fb·na| · gap-to-next-value
+      val wnum = vals.zip(vals.tail).map { case (v, nxt) =>
+        math.abs(xa.count(_ <= v).toLong * xb.length -
+          xb.count(_ <= v).toLong * xa.length) * (nxt - v)
+      }.sum
+      assert(r.getAs[Long]("n_a") == xa.length && r.getAs[Long]("n_b") == xb.length)
+      assert(r.getAs[Long]("w1_scaled") == wnum, s"($sa,$sb) W1 numerator")
+      assert(r.getAs[Long]("w1_milli") ==
+        wnum * 1000L / (xa.length.toLong * xb.length))
+    }
+  }
+
+  test("q376 Cramer-von Mises matches brute force and is KS-bounded") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val ks = run("q370_ks_statistic").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("d_scaled"))
+      .toMap
+    run("q376_cramer_von_mises").collect().foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (xa, xb) = (bySrc(sa), bySrc(sb))
+      val pooled = xa ++ xb
+      val num = pooled.distinct.map { v =>
+        val d = BigInt(xa.count(_ <= v).toLong * xb.length -
+          xb.count(_ <= v).toLong * xa.length)
+        BigInt(pooled.count(_ == v)) * d * d
+      }.sum
+      val n = BigInt(pooled.length)
+      val expect = num * 1000000 /
+        (n * n * BigInt(xa.length.toLong * xb.length))
+      assert(BigInt(r.getAs[Long]("cvm_ppm")) == expect, s"($sa,$sb) cvm_ppm")
+      // ω² at each point is ≤ the KS sup-norm gap squared
+      val dks = BigInt(ks((sa, sb)))
+      assert(num <= n * dks * dks, s"($sa,$sb) CvM must be KS-bounded")
+    }
+  }
+
+  test("q377 Kendall co-movement matches brute force; self-law tau(x,x)=1") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(x => x._2 -> x._3).toMap
+    }
+    run("q377_kendall_comove").collect().foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (ma, mb) = (byType(ta), byType(tb))
+      val days = ma.keySet.intersect(mb.keySet).toSeq.sorted
+      var (conc, disc) = (0L, 0L)
+      for (i <- days.indices; j <- i + 1 until days.length) {
+        val s = math.signum(ma(days(j)) - ma(days(i))) *
+          math.signum(mb(days(j)) - mb(days(i)))
+        if (s > 0) conc += 1 else if (s < 0) disc += 1
+      }
+      assert(r.getAs[Long]("n_days") == days.length)
+      assert(r.getAs[Long]("concordant") == conc, s"($ta,$tb) concordant")
+      assert(r.getAs[Long]("discordant") == disc, s"($ta,$tb) discordant")
+      val n = days.length.toLong
+      val t = r.getAs[Long]("tau_ppm")
+      assert(t >= -1000000L && t <= 1000000L)
+      if (conc - disc >= 0)
+        assert(t == (conc - disc) * 2000000L / math.max(n * (n - 1), 1L))
+    }
+  }
+
+  test("q378 runs test matches a brute-force day-ordered mirror") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    run("q378_runs_test").collect().foreach { r =>
+      val et = r.getString(0)
+      val series = byType(et).sortBy(_._2).map(_._3)
+      val sorted = series.sorted
+      val med = sorted((series.length + 1) / 2 - 1) // lower median, 1-based ceil rank
+      val bits = series.map(x => if (x > med) 1 else 0)
+      val runs = 1 + bits.zip(bits.tail).count { case (a, b) => a != b }
+      val n1 = bits.count(_ == 1).toLong
+      val n = series.length.toLong
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("n_above") == n1, s"$et n_above")
+      assert(r.getAs[Long]("runs") == runs, s"$et runs")
+      assert(r.getAs[Long]("e_runs_milli") == (n + 2 * n1 * (n - n1)) * 1000 / n)
+      assert(r.getAs[Long]("var_num") ==
+        2 * n1 * (n - n1) * (2 * n1 * (n - n1) - n))
+    }
+  }
+
+  test("q379 Fano sufficient stats match brute force; Poisson-ish data stays near 1e6") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val byType = daily.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    run("q379_fano_burstiness").collect().foreach { r =>
+      val et = r.getString(0)
+      val xs = byType(et)
+      val (n, sx, sxx) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("sum_n") == sx, s"$et sum_n")
+      assert(r.getAs[Long]("sum_sq") == sxx, s"$et sum_sq")
+      val varNum = n * sxx - sx * sx
+      assert(varNum >= 0, "Cauchy-Schwarz")
+      assert(r.getAs[Long]("var_num") == varNum)
+      assert(r.getAs[Long]("fano_ppm") == varNum * 1000000L / ((n - 1) * sx))
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
