@@ -1581,6 +1581,325 @@ object Stewardship {
           expr("CAST((n * sxx - sx * sx) * 1000000" +
             " DIV ((n - 1) * sx) AS BIGINT)").as("fano_ppm"))
         .orderBy("event_type")
+    },
+
+    // Exact CRAMÉR / ENERGY distance per source pair — the UNWEIGHTED
+    // L² Lebesgue member finishing the CDF-distance family (q370 sup,
+    // q375 L¹ ∫|ΔF|dx, q376 pooled-mass-weighted Σ(ΔF)²): the squared
+    // CDF gap integrated over the VALUE AXIS itself, ∫(F_a−F_b)² dx —
+    // Székely's 1-D energy distance 2E|X−Y| − E|X−X'| − E|Y−Y'| is
+    // exactly TWICE this integral, so one number prices both. Exact
+    // integers: e_num = Σ over the sorted shared grid of
+    // (F_a(v)·n_b − F_b(v)·n_a)²·(next(v)−v) accumulated in
+    // DECIMAL(38,0) (the squared term reaches (n_a·n_b)²·range — past
+    // int64 by sf1; DuckDB mirrors in HUGEINT); int_sq_ppm =
+    // e_num·10⁶ DIV (n_a·n_b)² (micro-chars of integral), energy_ppm
+    // its doubled form as an INDEPENDENT division (never 2× the
+    // already-rounded value — the mirrors must agree bit-for-bit).
+    // |ΔF| ≤ D everywhere gives the law e_num ≤ D_scaled·W1_scaled
+    // (checked in spec against q370/q375). Same step-CDF + gap
+    // machinery as q375 — one corpus grid agg, |sources|²·|values|
+    // algebra on the schema-bounded length histogram.
+    "q380_energy_distance" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt")))
+      val tot = g.groupBy("source").agg(sum(col("cnt")).as("n"))
+      val vals = g.select("n_chars").distinct()
+      val gaps = vals.select(col("n_chars").as("v"))
+        .join(broadcast(vals.select(col("n_chars").as("w"))),
+          col("w") > col("v"))
+        .groupBy("v").agg(min(col("w")).as("nxt"))
+        .select(col("v"), (col("nxt") - col("v")).as("gap"))
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+          col("sa") < col("sb"))
+      val cumAll = Caches.shared(tot.select(col("source").as("cs"))
+        .crossJoin(broadcast(vals))
+        .join(broadcast(g.select(col("source").as("g2"),
+          col("n_chars").as("v2"), col("cnt").as("c2"))),
+          col("g2") === col("cs") && col("v2") === col("n_chars"), "left")
+        .select(col("cs"), col("n_chars"),
+          coalesce(col("c2"), lit(0L)).as("c0"))
+        .withColumn("f", sum(col("c0")).over(Window.partitionBy("cs")
+          .orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0))))
+      pairs.crossJoin(broadcast(gaps))
+        .join(broadcast(cumAll.select(col("cs").as("csa"),
+          col("n_chars").as("va"), col("f").as("fa"))),
+          col("csa") === col("sa") && col("va") === col("v"))
+        .join(broadcast(cumAll.select(col("cs").as("csb"),
+          col("n_chars").as("vb"), col("f").as("fb"))),
+          col("csb") === col("sb") && col("vb") === col("v"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          ((col("fa") * col("nb") - col("fb") * col("na"))
+            .cast("decimal(38,0)") *
+            (col("fa") * col("nb") - col("fb") * col("na")) *
+            col("gap")).as("term"))
+        .groupBy("sa", "sb")
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          sum(col("term")).as("edist"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_a"), col("n_b"),
+          expr("CAST(edist * 1000000 DIV (CAST(n_a AS DECIMAL(38,0))" +
+            " * n_a * n_b * n_b) AS BIGINT)").as("int_sq_ppm"),
+          expr("CAST(edist * 2000000 DIV (CAST(n_a AS DECIMAL(38,0))" +
+            " * n_a * n_b * n_b) AS BIGINT)").as("energy_ppm"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // TURNING-POINT randomness census per event type — the
+    // local-extremum companion to q378's runs test (runs binarize
+    // around the median and see regime CLUMPS; turning points read the
+    // raw series and see OSCILLATION): an interior day is a turning
+    // point iff its volume is a STRICT local max or min vs the
+    // adjacent days-with-data; under exchangeability E[T] = 2(n−2)/3
+    // and Var(T) = (16n−29)/90 — both reported as exact integer
+    // numerators (e_tp_milli = 2000(n−2) DIV 3, var90_num = 16n−29;
+    // the /90 and the z sqrt are the float steps both engines skip).
+    // T ≫ E ⇒ day-to-day oscillation (retry storms, alternating
+    // feeds); T ≪ E ⇒ smooth ramps. Neighbor lookup by min/max
+    // theta-joins on the horizon-bounded day grid (the q378 pattern);
+    // types with < 3 days anchor explicit zero rows (the q336 rule).
+    "q381_turning_points" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("ndays"))
+      val nxt = daily.select(col("event_type"), col("day").as("d1"))
+        .join(broadcast(daily.select(col("event_type").as("e2"),
+          col("day").as("d2"))),
+          col("event_type") === col("e2") && col("d2") > col("d1"))
+        .groupBy("event_type", "d1").agg(min(col("d2")).as("dn"))
+      val prv = daily.select(col("event_type"), col("day").as("d1"))
+        .join(broadcast(daily.select(col("event_type").as("e3"),
+          col("day").as("d3"))),
+          col("event_type") === col("e3") && col("d3") < col("d1"))
+        .groupBy("event_type", "d1").agg(max(col("d3")).as("dp"))
+      val interior = daily.select(col("event_type"), col("day").as("d1"),
+          col("n").as("x"))
+        .join(nxt, Seq("event_type", "d1"))
+        .join(prv, Seq("event_type", "d1"))
+        .join(daily.select(col("event_type").as("e4"), col("day").as("d4"),
+          col("n").as("xn")),
+          col("event_type") === col("e4") && col("dn") === col("d4"))
+        .join(daily.select(col("event_type").as("e5"), col("day").as("d5"),
+          col("n").as("xp")),
+          col("event_type") === col("e5") && col("dp") === col("d5"))
+      val tp = interior.groupBy("event_type")
+        .agg(sum(when(col("x") > col("xp") && col("x") > col("xn"), 1L)
+          .otherwise(0L)).as("peaks"),
+          sum(when(col("x") < col("xp") && col("x") < col("xn"), 1L)
+            .otherwise(0L)).as("troughs"))
+      nd.join(tp, Seq("event_type"), "left")
+        .select(col("event_type"), col("ndays").cast("long").as("n_days"),
+          coalesce(col("peaks"), lit(0L)).cast("long").as("n_peaks"),
+          coalesce(col("troughs"), lit(0L)).cast("long").as("n_troughs"),
+          (coalesce(col("peaks"), lit(0L)) + coalesce(col("troughs"), lit(0L)))
+            .cast("long").as("n_turning"),
+          expr("CAST(CASE WHEN ndays >= 3 THEN 2000 * (ndays - 2) DIV 3" +
+            " ELSE 0 END AS BIGINT)").as("e_tp_milli"),
+          expr("CAST(CASE WHEN ndays >= 3 THEN 16 * ndays - 29" +
+            " ELSE 0 END AS BIGINT)").as("var90_num"))
+        .orderBy("event_type")
+    },
+
+    // BLOMQVIST'S BETA (median-quadrant dependence) per event-type
+    // pair — the cheapest member of the dependence family beside
+    // q377's Kendall tau: split each pair's shared-day scatter at the
+    // two legs' LOWER MEDIANS (exact rank selection with the (value,
+    // day) total tie-break order) and count quadrants; beta =
+    // (n_pp + n_mm − n_pm − n_mp) / (quadrant total), on-median days
+    // reported as ties and excluded (the classic treatment). Kendall
+    // compares every day PAIR (O(days²) per pair); beta reads each day
+    // ONCE against two constants — the screening statistic you run
+    // before paying for tau at scale. Sign-split ppm around the
+    // non-negative DIV (q348 rule); medians over the SHARED-day subset
+    // so both legs see the same n.
+    "q382_blomqvist_beta" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      val pairDays = Caches.shared(daily.select(col("event_type").as("ta"),
+          col("day"), col("n").as("xa"))
+        .join(broadcast(daily.select(col("event_type").as("tb"),
+          col("day").as("db"), col("n").as("xb"))),
+          col("ta") < col("tb") && col("day") === col("db"))
+        .select(col("ta"), col("tb"), col("day"), col("xa"), col("xb")))
+      val nd = pairDays.groupBy("ta", "tb").agg(count(lit(1)).as("nd"))
+      val withRanks = pairDays.join(broadcast(nd), Seq("ta", "tb"))
+        .withColumn("ra", row_number().over(Window.partitionBy("ta", "tb")
+          .orderBy(col("xa"), col("day"))))
+        .withColumn("rb", row_number().over(Window.partitionBy("ta", "tb")
+          .orderBy(col("xb"), col("day"))))
+      val medA = withRanks.filter(col("ra") === expr("(nd + 1) div 2"))
+        .select(col("ta"), col("tb"), col("xa").as("ma"))
+      val medB = withRanks.filter(col("rb") === expr("(nd + 1) div 2"))
+        .select(col("ta").as("ta2"), col("tb").as("tb2"),
+          col("xb").as("mb"))
+      pairDays.join(broadcast(medA), Seq("ta", "tb"))
+        .join(broadcast(medB),
+          col("ta") === col("ta2") && col("tb") === col("tb2"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("ndays"),
+          sum(when(col("xa") > col("ma") && col("xb") > col("mb"), 1L)
+            .otherwise(0L)).as("n_pp"),
+          sum(when(col("xa") < col("ma") && col("xb") < col("mb"), 1L)
+            .otherwise(0L)).as("n_mm"),
+          sum(when(col("xa") > col("ma") && col("xb") < col("mb"), 1L)
+            .otherwise(0L)).as("n_pm"),
+          sum(when(col("xa") < col("ma") && col("xb") > col("mb"), 1L)
+            .otherwise(0L)).as("n_mp"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("ndays").cast("long").as("n_days"),
+          col("n_pp").cast("long").as("n_pp"),
+          col("n_mm").cast("long").as("n_mm"),
+          col("n_pm").cast("long").as("n_pm"),
+          col("n_mp").cast("long").as("n_mp"),
+          (col("ndays") - col("n_pp") - col("n_mm") - col("n_pm")
+            - col("n_mp")).cast("long").as("n_ties"),
+          expr("CAST(CASE WHEN n_pp + n_mm - n_pm - n_mp >= 0" +
+            " THEN (n_pp + n_mm - n_pm - n_mp) * 1000000" +
+            " DIV greatest(n_pp + n_mm + n_pm + n_mp, 1)" +
+            " ELSE -((n_pm + n_mp - n_pp - n_mm) * 1000000" +
+            " DIV greatest(n_pp + n_mm + n_pm + n_mp, 1))" +
+            " END AS BIGINT)").as("beta_ppm"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // RUNNING-RECORD census per event type — extreme-value forensics
+    // over the daily series: a record-high day strictly exceeds EVERY
+    // earlier day (the first day is a record both ways — the classic
+    // convention); under exchangeability the expected record count is
+    // the harmonic number H(n), so records ≫ H(n) is direct evidence
+    // of a growth trend the q373 tau then quantifies, records ≈ H(n)
+    // says spikes are just reshuffled noise. H(n) is reported as the
+    // exact integer Σ_{i=1..n} 10⁶ DIV i — a DEFINED statistic both
+    // engines compute identically (the repo-wide log-free rule;
+    // truncation error < n ppm, irrelevant at horizon scale). Prior
+    // extrema by one left theta-join on the horizon-bounded day grid;
+    // the harmonic leg explodes sequence(1, n) per type — |types|·|days|
+    // rows, never corpus-shaped.
+    "q383_record_days" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      val pri = daily.select(col("event_type"), col("day").as("d1"),
+          col("n").as("x"))
+        .join(broadcast(daily.select(col("event_type").as("e2"),
+          col("day").as("d2"), col("n").as("x2"))),
+          col("event_type") === col("e2") && col("d2") < col("d1"), "left")
+        .groupBy("event_type", "d1", "x")
+        .agg(max(col("x2")).as("pmax"), min(col("x2")).as("pmin"))
+      val rec = pri.groupBy("event_type")
+        .agg(count(lit(1)).as("ndays"),
+          sum(when(col("pmax").isNull || col("x") > col("pmax"), 1L)
+            .otherwise(0L)).as("nh"),
+          sum(when(col("pmin").isNull || col("x") < col("pmin"), 1L)
+            .otherwise(0L)).as("nl"))
+      val harm = rec.select(col("event_type").as("eh"), col("ndays").as("nd2"))
+        .select(col("eh"), explode(expr("sequence(1, nd2)")).as("i"))
+        .groupBy("eh").agg(sum(expr("1000000 div i")).as("h_ppm"))
+      rec.join(broadcast(harm), col("event_type") === col("eh"))
+        .select(col("event_type"), col("ndays").cast("long").as("n_days"),
+          col("nh").cast("long").as("n_record_high"),
+          col("nl").cast("long").as("n_record_low"),
+          col("h_ppm").cast("long").as("expected_ppm"))
+        .orderBy("event_type")
+    },
+
+    // BOWLEY QUARTILE SKEWNESS per source over document lengths — the
+    // moment-free asymmetry statistic (classical skewness needs a
+    // cube and a 3/2-power the integer-exactness rule excludes; Bowley
+    // reads three rank selections): B = (Q3 + Q1 − 2·Q2)/(Q3 − Q1) in
+    // sign-split milli, quartiles as exact ceil-rank selection
+    // (k = ⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉) by predecessor-count on the
+    // schema-bounded (source, n_chars) grid — never a global window.
+    // B > 0 ⇒ a long-document tail (truncation policy candidates),
+    // B < 0 ⇒ a short-document floor (boilerplate stubs). Degenerate
+    // IQR = 0 guards to 0 via greatest(·, 1). One corpus grid agg.
+    "q384_bowley_skew" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+      val tot = g.groupBy("source").agg(sum(col("c")).as("n"))
+      val cum = g.select(col("source"), col("n_chars").as("v"), col("c"))
+        .join(broadcast(g.select(col("source").as("s2"),
+          col("n_chars").as("w"), col("c").as("cw"))),
+          col("source") === col("s2") && col("w") < col("v"), "left")
+        .groupBy("source", "v", "c")
+        .agg(coalesce(sum(col("cw")), lit(0L)).as("cumlt"))
+        .join(broadcast(tot), "source")
+      def sel(kExpr: String, nm: String) =
+        cum.filter(expr(s"cumlt < $kExpr AND $kExpr <= cumlt + c"))
+          .select(col("source").as(s"s_$nm"), col("v").as(nm))
+      sel("(n + 3) div 4", "q1")
+        .join(sel("(n + 1) div 2", "q2"), col("s_q1") === col("s_q2"))
+        .join(sel("(3 * n + 3) div 4", "q3"), col("s_q1") === col("s_q3"))
+        .join(broadcast(tot), col("s_q1") === col("source"))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          col("q1").cast("long").as("q1"),
+          col("q2").cast("long").as("q2"),
+          col("q3").cast("long").as("q3"),
+          (col("q3") - col("q1")).cast("long").as("iqr"),
+          expr("CAST(CASE WHEN q3 + q1 - 2 * q2 >= 0" +
+            " THEN (q3 + q1 - 2 * q2) * 1000 DIV greatest(q3 - q1, 1)" +
+            " ELSE -((2 * q2 - q3 - q1) * 1000 DIV greatest(q3 - q1, 1))" +
+            " END AS BIGINT)").as("bowley_milli"))
+        .orderBy("source")
+    },
+
+    // LAG-k AUTOREGRESSION slope per event type on the ZERO-FILLED day
+    // grid — "does yesterday predict today, and does last week echo?"
+    // (k ∈ {1, 2, 3, 7}; the 7-lag is the weekly-seasonality probe
+    // beside the q373 trend and q378 runs tests, which both ignore
+    // LINEAR memory). Zero-filling the [min_day, max_day] horizon per
+    // type matters: silent gap days ARE signal for memory statistics
+    // (a skipped join leg would splice non-adjacent days together).
+    // Exact integers: slope_ppm = cov_num·10⁶ / var_num sign-split,
+    // cov_num = m·Σxy − Σx·Σy and var_num = m·Σx² − (Σx)² accumulated
+    // in DECIMAL(38,0) (m·Σxy reaches days·(daily volume)² — past
+    // int64 near ~10⁹ events/day; DuckDB mirrors in HUGEINT). The
+    // lag pairing is an equi-join on date_add(day, k) over the
+    // horizon-bounded grid; the k fan-out is a literal 4-row
+    // broadcast. Pearson's r itself needs a sqrt — the regression
+    // slope is the exact-integer stand-in with the same sign and zero
+    // set.
+    "q385_lag_slope" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = daily.groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = Caches.shared(span
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("x")))
+      val lags = span.sparkSession.range(1)
+        .select(explode(array(lit(1), lit(2), lit(3), lit(7))).as("k"))
+      grid.crossJoin(broadcast(lags))
+        .join(grid.select(col("event_type").as("e2"), col("day").as("d2"),
+          col("x").as("y")),
+          col("event_type") === col("e2") &&
+            expr("date_add(day, k)") === col("d2"))
+        .groupBy("event_type", "k")
+        .agg(count(lit(1)).as("m"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+        .select(col("event_type"), col("k").cast("long").as("lag_days"),
+          col("m").cast("long").as("n_pairs"),
+          expr("CAST(m * sxy - sx * sy AS BIGINT)").as("cov_num"),
+          expr("CAST(m * sxx - sx * sx AS BIGINT)").as("var_num"),
+          expr("CAST(CASE WHEN m * sxy - sx * sy >= 0" +
+            " THEN (m * sxy - sx * sy) * 1000000" +
+            " DIV greatest(m * sxx - sx * sx, 1)" +
+            " ELSE -((sx * sy - m * sxy) * 1000000" +
+            " DIV greatest(m * sxx - sx * sx, 1)) END AS BIGINT)")
+            .as("slope_ppm"))
+        .orderBy("event_type", "lag_days")
     }
   )
 
@@ -2614,6 +2933,226 @@ object Stewardship {
         |    AS var_num,
         |  CAST((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000000
         |    // ((COUNT(*) - 1) * SUM(x)) AS BIGINT) AS fano_ppm
-        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q380_energy_distance" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |vals AS (SELECT DISTINCT n_chars FROM g),
+        |gaps AS (
+        |  SELECT v.n_chars,
+        |    (SELECT MIN(w.n_chars) FROM vals w WHERE w.n_chars > v.n_chars)
+        |      - v.n_chars AS gap
+        |  FROM vals v),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |atv AS (
+        |  SELECT p.sa, p.sb, p.na, p.nb, gp.gap,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sa AND g.n_chars <= gp.n_chars), 0) AS fa,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sb AND g.n_chars <= gp.n_chars), 0) AS fb
+        |  FROM pairs p CROSS JOIN gaps gp WHERE gp.gap IS NOT NULL)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(SUM(CAST(fa * nb - fb * na AS HUGEINT)
+        |      * (fa * nb - fb * na) * gap) * 1000000
+        |    // (CAST(na AS HUGEINT) * na * nb * nb) AS BIGINT)
+        |    AS int_sq_ppm,
+        |  CAST(SUM(CAST(fa * nb - fb * na AS HUGEINT)
+        |      * (fa * nb - fb * na) * gap) * 2000000
+        |    // (CAST(na AS HUGEINT) * na * nb * nb) AS BIGINT)
+        |    AS energy_ppm
+        |FROM atv GROUP BY sa, sb, na, nb ORDER BY 1, 2""".stripMargin,
+
+    "q381_turning_points" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ndays
+        |  FROM daily GROUP BY 1),
+        |inter AS (
+        |  SELECT d.event_type, d.n AS x,
+        |    (SELECT e.n FROM daily e WHERE e.event_type = d.event_type
+        |      AND e.day = (SELECT MIN(f.day) FROM daily f
+        |        WHERE f.event_type = d.event_type AND f.day > d.day)) AS xn,
+        |    (SELECT e.n FROM daily e WHERE e.event_type = d.event_type
+        |      AND e.day = (SELECT MAX(f.day) FROM daily f
+        |        WHERE f.event_type = d.event_type AND f.day < d.day)) AS xp
+        |  FROM daily d),
+        |tp AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+        |      AND x > xp AND x > xn THEN 1 ELSE 0 END) AS BIGINT) AS peaks,
+        |    CAST(SUM(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+        |      AND x < xp AND x < xn THEN 1 ELSE 0 END) AS BIGINT) AS troughs
+        |  FROM inter GROUP BY 1)
+        |SELECT nd.event_type, nd.ndays AS n_days,
+        |  CAST(COALESCE(tp.peaks, 0) AS BIGINT) AS n_peaks,
+        |  CAST(COALESCE(tp.troughs, 0) AS BIGINT) AS n_troughs,
+        |  CAST(COALESCE(tp.peaks, 0) + COALESCE(tp.troughs, 0) AS BIGINT)
+        |    AS n_turning,
+        |  CAST(CASE WHEN nd.ndays >= 3 THEN 2000 * (nd.ndays - 2) // 3
+        |    ELSE 0 END AS BIGINT) AS e_tp_milli,
+        |  CAST(CASE WHEN nd.ndays >= 3 THEN 16 * nd.ndays - 29
+        |    ELSE 0 END AS BIGINT) AS var90_num
+        |FROM nd LEFT JOIN tp ON tp.event_type = nd.event_type
+        |ORDER BY 1""".stripMargin,
+
+    "q382_blomqvist_beta" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+        |    a.n AS xa, b.n AS xb
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type < b.event_type AND a.day = b.day),
+        |nd AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM pd GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT ta, tb, day, xa, xb,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY xa, day) AS ra,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY xb, day) AS rb
+        |  FROM pd),
+        |ma AS (SELECT r.ta, r.tb, r.xa AS ma FROM rk r
+        |  JOIN nd ON nd.ta = r.ta AND nd.tb = r.tb
+        |  WHERE r.ra = (nd.nd + 1) // 2),
+        |mb AS (SELECT r.ta, r.tb, r.xb AS mb FROM rk r
+        |  JOIN nd ON nd.ta = r.ta AND nd.tb = r.tb
+        |  WHERE r.rb = (nd.nd + 1) // 2),
+        |q AS (
+        |  SELECT p.ta, p.tb, CAST(COUNT(*) AS BIGINT) AS ndays,
+        |    CAST(SUM(CASE WHEN p.xa > ma.ma AND p.xb > mb.mb
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pp,
+        |    CAST(SUM(CASE WHEN p.xa < ma.ma AND p.xb < mb.mb
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_mm,
+        |    CAST(SUM(CASE WHEN p.xa > ma.ma AND p.xb < mb.mb
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pm,
+        |    CAST(SUM(CASE WHEN p.xa < ma.ma AND p.xb > mb.mb
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_mp
+        |  FROM pd p JOIN ma ON ma.ta = p.ta AND ma.tb = p.tb
+        |  JOIN mb ON mb.ta = p.ta AND mb.tb = p.tb
+        |  GROUP BY 1, 2)
+        |SELECT ta AS type_a, tb AS type_b, ndays AS n_days,
+        |  n_pp, n_mm, n_pm, n_mp,
+        |  ndays - n_pp - n_mm - n_pm - n_mp AS n_ties,
+        |  CAST(CASE WHEN n_pp + n_mm - n_pm - n_mp >= 0
+        |    THEN (n_pp + n_mm - n_pm - n_mp) * 1000000
+        |      // GREATEST(n_pp + n_mm + n_pm + n_mp, 1)
+        |    ELSE -((n_pm + n_mp - n_pp - n_mm) * 1000000
+        |      // GREATEST(n_pp + n_mm + n_pm + n_mp, 1))
+        |    END AS BIGINT) AS beta_ppm
+        |FROM q ORDER BY 1, 2""".stripMargin,
+
+    "q383_record_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pri AS (
+        |  SELECT d.event_type, d.day, d.n,
+        |    (SELECT MAX(e.n) FROM daily e WHERE e.event_type = d.event_type
+        |      AND e.day < d.day) AS pmax,
+        |    (SELECT MIN(e.n) FROM daily e WHERE e.event_type = d.event_type
+        |      AND e.day < d.day) AS pmin
+        |  FROM daily d),
+        |rec AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ndays,
+        |    CAST(SUM(CASE WHEN pmax IS NULL OR n > pmax THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nh,
+        |    CAST(SUM(CASE WHEN pmin IS NULL OR n < pmin THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nl
+        |  FROM pri GROUP BY 1),
+        |ser AS (SELECT UNNEST(generate_series(1,
+        |  (SELECT MAX(ndays) FROM rec))) AS i),
+        |harm AS (
+        |  SELECT r.event_type, CAST(SUM(1000000 // s.i) AS BIGINT) AS h_ppm
+        |  FROM rec r JOIN ser s ON s.i <= r.ndays GROUP BY 1)
+        |SELECT r.event_type, r.ndays AS n_days, r.nh AS n_record_high,
+        |  r.nl AS n_record_low, h.h_ppm AS expected_ppm
+        |FROM rec r JOIN harm h ON h.event_type = r.event_type
+        |ORDER BY 1""".stripMargin,
+
+    "q384_bowley_skew" ->
+      """WITH gr AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM gr GROUP BY 1),
+        |cum AS (
+        |  SELECT o.source, o.n_chars AS v, o.c,
+        |    COALESCE((SELECT SUM(w.c) FROM gr w
+        |      WHERE w.source = o.source AND w.n_chars < o.n_chars), 0)
+        |      AS cumlt
+        |  FROM gr o),
+        |q1c AS (SELECT c.source, c.v AS q1 FROM cum c
+        |  JOIN tot ON tot.source = c.source
+        |  WHERE c.cumlt < (tot.n + 3) // 4
+        |    AND (tot.n + 3) // 4 <= c.cumlt + c.c),
+        |q2c AS (SELECT c.source, c.v AS q2 FROM cum c
+        |  JOIN tot ON tot.source = c.source
+        |  WHERE c.cumlt < (tot.n + 1) // 2
+        |    AND (tot.n + 1) // 2 <= c.cumlt + c.c),
+        |q3c AS (SELECT c.source, c.v AS q3 FROM cum c
+        |  JOIN tot ON tot.source = c.source
+        |  WHERE c.cumlt < (3 * tot.n + 3) // 4
+        |    AND (3 * tot.n + 3) // 4 <= c.cumlt + c.c)
+        |SELECT t.source, t.n AS n_docs,
+        |  CAST(q1c.q1 AS BIGINT) AS q1, CAST(q2c.q2 AS BIGINT) AS q2,
+        |  CAST(q3c.q3 AS BIGINT) AS q3,
+        |  CAST(q3c.q3 - q1c.q1 AS BIGINT) AS iqr,
+        |  CAST(CASE WHEN q3c.q3 + q1c.q1 - 2 * q2c.q2 >= 0
+        |    THEN (q3c.q3 + q1c.q1 - 2 * q2c.q2) * 1000
+        |      // GREATEST(q3c.q3 - q1c.q1, 1)
+        |    ELSE -((2 * q2c.q2 - q3c.q3 - q1c.q1) * 1000
+        |      // GREATEST(q3c.q3 - q1c.q1, 1))
+        |    END AS BIGINT) AS bowley_milli
+        |FROM tot t JOIN q1c ON q1c.source = t.source
+        |JOIN q2c ON q2c.source = t.source
+        |JOIN q3c ON q3c.source = t.source
+        |ORDER BY 1""".stripMargin,
+
+    "q385_lag_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT s.event_type,
+        |    CAST(UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span s),
+        |gx AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.n, 0) AS x
+        |  FROM grid g LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day),
+        |ks AS (SELECT * FROM (VALUES (1), (2), (3), (7)) AS t(k)),
+        |pr AS (
+        |  SELECT a.event_type, ks.k, a.x, b.x AS y
+        |  FROM gx a CROSS JOIN ks JOIN gx b
+        |    ON b.event_type = a.event_type AND b.day = a.day + ks.k)
+        |SELECT event_type, CAST(k AS BIGINT) AS lag_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y) - SUM(x) * SUM(y)
+        |    AS BIGINT) AS cov_num,
+        |  CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x) - SUM(x) * SUM(x)
+        |    AS BIGINT) AS var_num,
+        |  CAST(CASE WHEN COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+        |      - SUM(x) * SUM(y) >= 0
+        |    THEN (COUNT(*) * SUM(CAST(x AS HUGEINT) * y) - SUM(x) * SUM(y))
+        |      * 1000000 // GREATEST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+        |      - SUM(x) * SUM(x), 1)
+        |    ELSE -((SUM(x) * SUM(y) - COUNT(*) * SUM(CAST(x AS HUGEINT) * y))
+        |      * 1000000 // GREATEST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+        |      - SUM(x) * SUM(x), 1))
+        |    END AS BIGINT) AS slope_ppm
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

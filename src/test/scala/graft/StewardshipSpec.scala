@@ -848,6 +848,174 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q380 energy distance matches a brute-force CDF-integral mirror; D*W1 bound holds") {
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    run("q380_energy_distance").collect().foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (xs, ys) = (bySource(sa), bySource(sb))
+      val (na, nb) = (xs.length.toLong, ys.length.toLong)
+      val grid = (xs ++ ys ++ bySource.values.flatten).distinct.sorted
+      var (e, w1) = (BigInt(0), BigInt(0))
+      var dmax = 0L
+      grid.zip(grid.tail).foreach { case (v, nxt) =>
+        val fa = xs.count(_ <= v).toLong
+        val fb = ys.count(_ <= v).toLong
+        val diff = fa * nb - fb * na
+        dmax = math.max(dmax, math.abs(diff))
+        e += BigInt(diff) * diff * (nxt - v)
+        w1 += BigInt(math.abs(diff)) * (nxt - v)
+      }
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      val denom = BigInt(na) * na * nb * nb
+      assert(BigInt(r.getAs[Long]("int_sq_ppm")) == e * 1000000 / denom,
+        s"($sa,$sb) int_sq_ppm")
+      assert(BigInt(r.getAs[Long]("energy_ppm")) == e * 2000000 / denom)
+      // |dF| <= D everywhere => integral of dF^2 <= D * integral of |dF|
+      assert(e <= BigInt(dmax) * w1, s"($sa,$sb) D*W1 bound")
+    }
+  }
+
+  test("q381 turning points match a brute-force day-ordered mirror") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    run("q381_turning_points").collect().foreach { r =>
+      val et = r.getString(0)
+      val xs = byType(et).sortBy(_._2).map(_._3)
+      val peaks = (1 until xs.length - 1)
+        .count(i => xs(i) > xs(i - 1) && xs(i) > xs(i + 1)).toLong
+      val troughs = (1 until xs.length - 1)
+        .count(i => xs(i) < xs(i - 1) && xs(i) < xs(i + 1)).toLong
+      val n = xs.length.toLong
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("n_peaks") == peaks, s"$et peaks")
+      assert(r.getAs[Long]("n_troughs") == troughs, s"$et troughs")
+      assert(r.getAs[Long]("n_turning") == peaks + troughs)
+      assert(r.getAs[Long]("n_turning") <= math.max(n - 2, 0))
+      assert(r.getAs[Long]("e_tp_milli") ==
+        (if (n >= 3) 2000 * (n - 2) / 3 else 0L))
+      assert(r.getAs[Long]("var90_num") == (if (n >= 3) 16 * n - 29 else 0L))
+    }
+  }
+
+  test("q382 Blomqvist beta quadrants match a brute-force median-split mirror") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(x => x._2 -> x._3).toMap
+    }
+    run("q382_blomqvist_beta").collect().foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (ma0, mb0) = (byType(ta), byType(tb))
+      val days = ma0.keySet.intersect(mb0.keySet).toSeq.sorted
+      val nd = days.length
+      val k = (nd + 1) / 2
+      val medA = days.map(d => (ma0(d), d)).sorted.apply(k - 1)._1
+      val medB = days.map(d => (mb0(d), d)).sorted.apply(k - 1)._1
+      val pp = days.count(d => ma0(d) > medA && mb0(d) > medB).toLong
+      val mm = days.count(d => ma0(d) < medA && mb0(d) < medB).toLong
+      val pm = days.count(d => ma0(d) > medA && mb0(d) < medB).toLong
+      val mp = days.count(d => ma0(d) < medA && mb0(d) > medB).toLong
+      assert(r.getAs[Long]("n_days") == nd.toLong)
+      assert(r.getAs[Long]("n_pp") == pp, s"($ta,$tb) n_pp")
+      assert(r.getAs[Long]("n_mm") == mm)
+      assert(r.getAs[Long]("n_pm") == pm)
+      assert(r.getAs[Long]("n_mp") == mp)
+      assert(r.getAs[Long]("n_ties") == nd - pp - mm - pm - mp)
+      val (num, den) = (pp + mm - pm - mp, math.max(pp + mm + pm + mp, 1L))
+      val want = if (num >= 0) num * 1000000L / den else -((-num) * 1000000L / den)
+      assert(r.getAs[Long]("beta_ppm") == want, s"($ta,$tb) beta")
+      assert(math.abs(r.getAs[Long]("beta_ppm")) <= 1000000L)
+    }
+  }
+
+  test("q383 record days match brute force; harmonic expectation is the exact DIV sum") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    run("q383_record_days").collect().foreach { r =>
+      val et = r.getString(0)
+      val xs = byType(et).sortBy(_._2).map(_._3)
+      var (hi, lo) = (0L, 0L)
+      xs.indices.foreach { i =>
+        if (i == 0 || xs(i) > xs.take(i).max) hi += 1
+        if (i == 0 || xs(i) < xs.take(i).min) lo += 1
+      }
+      val n = xs.length.toLong
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("n_record_high") == hi, s"$et highs")
+      assert(r.getAs[Long]("n_record_low") == lo, s"$et lows")
+      assert(r.getAs[Long]("expected_ppm") ==
+        (1L to n).map(1000000L / _).sum, s"$et harmonic")
+    }
+  }
+
+  test("q384 Bowley quartiles are exact ceil-rank selections and the skew is bounded") {
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    run("q384_bowley_skew").collect().foreach { r =>
+      val src = r.getString(0)
+      val xs = bySource(src)
+      val n = xs.length.toLong
+      def at(k: Long) = xs((k - 1).toInt)
+      val (q1, q2, q3) = (at((n + 3) / 4), at((n + 1) / 2), at((3 * n + 3) / 4))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("q1") == q1, s"$src q1")
+      assert(r.getAs[Long]("q2") == q2, s"$src q2")
+      assert(r.getAs[Long]("q3") == q3, s"$src q3")
+      assert(r.getAs[Long]("iqr") == q3 - q1)
+      val num = q3 + q1 - 2 * q2
+      val den = math.max(q3 - q1, 1L)
+      val want = if (num >= 0) num * 1000L / den else -((-num) * 1000L / den)
+      assert(r.getAs[Long]("bowley_milli") == want, s"$src bowley")
+      assert(math.abs(r.getAs[Long]("bowley_milli")) <= 1000L)
+    }
+  }
+
+  test("q385 lag slopes match a zero-filled brute-force mirror; lag-0 self-law") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val rows = run("q385_lag_slope").collect()
+    assert(rows.map(_.getString(0)).distinct.length * 4 == rows.length,
+      "four lags per type")
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val k = r.getAs[Long]("lag_days").toInt
+      val m0 = byType(et).map(x => x._2 -> x._3).toMap
+      val (d0, d1) = (m0.keys.min, m0.keys.max)
+      val series = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => m0.getOrElse(d, 0L)).toVector
+      val pairs = series.dropRight(k).zip(series.drop(k))
+      val m = pairs.length.toLong
+      val sx = pairs.map(_._1).sum
+      val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val cov = m * sxy - BigInt(sx) * sy
+      val vn = m * sxx - BigInt(sx) * sx
+      assert(r.getAs[Long]("n_pairs") == m, s"$et k=$k n_pairs")
+      assert(BigInt(r.getAs[Long]("cov_num")) == cov, s"$et k=$k cov")
+      assert(BigInt(r.getAs[Long]("var_num")) == vn)
+      val den = vn.max(BigInt(1))
+      val want = if (cov >= 0) cov * 1000000 / den else -((-cov) * 1000000 / den)
+      assert(BigInt(r.getAs[Long]("slope_ppm")) == want, s"$et k=$k slope")
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
