@@ -1900,6 +1900,278 @@ object Stewardship {
             " DIV greatest(m * sxx - sx * sx, 1)) END AS BIGINT)")
             .as("slope_ppm"))
         .orderBy("event_type", "lag_days")
+    },
+
+    // GREENWALD–KHANNA percentile-sketch CALIBRATION AUDIT — the
+    // quantile member of the sketch-audit family (q156 MinHash, q180
+    // ANN recall): Spark's approx_percentile(accuracy = 1000)
+    // guarantees rank error ≤ n/1000; the audit measures the sketch
+    // against EXACT rank arithmetic and certifies the guarantee. The
+    // approx value itself is engine-private (DuckDB runs a different
+    // sketch), so the output carries only what both engines can agree
+    // on: the exact ceil-rank quantile and the PROVABLE boolean "the
+    // sketch's value has a rank within k ± bound" (bound = n DIV 1000
+    // + 2 absorbs the real-vs-integer target slack; the law holds by
+    // the GK invariant, so the oracle mirrors literal TRUE). A sketch
+    // regression (or a broken law) flips the boolean and the round
+    // goes red — exactly what a calibration gate is for. One grid agg
+    // + one sketch agg; the rank lookup is a |pcts|×|values| join.
+    "q386_gk_percentile_audit" -> { (s, d) =>
+      val doc = Tables.documents(s, d)
+      val g = doc.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      val cum = Caches.shared(g.select(col("n_chars").as("v"), col("c"))
+        .join(broadcast(g.select(col("n_chars").as("w"), col("c").as("cw"))),
+          col("w") < col("v"), "left")
+        .groupBy("v", "c")
+        .agg(coalesce(sum(col("cw")), lit(0L)).as("cumlt")))
+      val tot = g.agg(sum(col("c")).as("n"))
+      val approx = doc.agg(expr("approx_percentile(n_chars," +
+        " array(0.25D, 0.50D, 0.75D, 0.90D, 0.99D), 1000)").as("ap"))
+        .select(posexplode(col("ap")).as(Seq("idx", "av")))
+      val pcts = doc.sparkSession.range(1)
+        .select(posexplode(array(lit(25L), lit(50L), lit(75L), lit(90L),
+          lit(99L))).as(Seq("idx", "pct")))
+      val base = pcts.crossJoin(broadcast(tot))
+        .withColumn("k", expr("(pct * n + 99) div 100"))
+        .withColumn("bound", expr("n div 1000 + 2"))
+      val exact = base.join(broadcast(cum),
+          col("cumlt") < col("k") && col("k") <= col("cumlt") + col("c"))
+        .select(col("idx").as("i2"), col("v").as("exact_q"))
+      base.join(broadcast(approx), Seq("idx"))
+        .join(broadcast(exact), col("idx") === col("i2"))
+        .join(broadcast(cum.select(col("v").as("v3"), col("c").as("c3"),
+          col("cumlt").as("rlo"))), col("av") === col("v3"))
+        .select(col("pct").cast("long").as("percentile_pct"),
+          col("n").cast("long").as("n_docs"),
+          col("exact_q").cast("long").as("exact_q"),
+          col("bound").cast("long").as("rank_err_bound"),
+          (col("rlo") + 1 <= col("k") + col("bound") &&
+            col("rlo") + col("c3") >= col("k") - col("bound"))
+            .as("within_bound"))
+        .orderBy("percentile_pct")
+    },
+
+    // WILCOXON SIGNED-RANK test per event-type pair — the PAIRED
+    // location test the family still lacked (q371's Mann–Whitney is
+    // unpaired; here each shared day pairs the two types' volumes and
+    // the day-to-day noise cancels): d = x_a − x_b per shared day,
+    // zeros dropped (reported), |d| ranked with midranks, W⁺ = rank
+    // sum of the positive days. Everything integer via doubling:
+    // 2W⁺ = Σ over the |d| grid of pos_c(v)·(2·cumlt(v) + c(v) + 1),
+    // E[2W⁺] = n(n+1)/2, and the tie-corrected 48·Var(W⁺) =
+    // 2n(n+1)(2n+1) − Σ(t³−t) (the /48 and z sqrt are the float steps
+    // both engines skip). 2W⁺ far from n(n+1)/2 ⇒ one type
+    // systematically out-volumes the other ON THE SAME DAYS — a
+    // sharper signal than the marginal q371 when days share load
+    // shocks. |d|-grid algebra per pair, horizon-bounded.
+    "q387_wilcoxon_signed" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      val diffs = Caches.shared(daily.select(col("event_type").as("ta"),
+          col("day"), col("n").as("xa"))
+        .join(broadcast(daily.select(col("event_type").as("tb"),
+          col("day").as("db"), col("n").as("xb"))),
+          col("ta") < col("tb") && col("day") === col("db"))
+        .select(col("ta"), col("tb"), (col("xa") - col("xb")).as("dd")))
+      val zeros = diffs.groupBy("ta", "tb")
+        .agg(sum(when(col("dd") === 0L, 1L).otherwise(0L)).as("nz"))
+      val grid = diffs.filter(col("dd") =!= 0L)
+        .groupBy(col("ta"), col("tb"), abs(col("dd")).as("ad"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("dd") > 0L, 1L).otherwise(0L)).as("posc"))
+      val cum = grid.select(col("ta"), col("tb"), col("ad").as("v"),
+          col("c"), col("posc"))
+        .join(broadcast(grid.select(col("ta").as("t2"), col("tb").as("u2"),
+          col("ad").as("w"), col("c").as("cw"))),
+          col("ta") === col("t2") && col("tb") === col("u2") &&
+            col("w") < col("v"), "left")
+        .groupBy("ta", "tb", "v", "c", "posc")
+        .agg(coalesce(sum(col("cw")), lit(0L)).as("cumlt"))
+      cum.groupBy("ta", "tb")
+        .agg(sum(col("c")).as("nn"),
+          sum(col("posc")).as("np"),
+          sum(col("posc") * (lit(2) * col("cumlt") + col("c") + 1))
+            .as("w2"),
+          sum(col("c") * col("c") * col("c") - col("c")).as("ties3"))
+        .join(zeros, Seq("ta", "tb"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("nn").cast("long").as("n_nonzero"),
+          col("nz").cast("long").as("n_zero"),
+          col("np").cast("long").as("n_pos"),
+          (col("nn") - col("np")).cast("long").as("n_neg"),
+          col("w2").cast("long").as("w_plus_x2"),
+          expr("CAST(nn * (nn + 1) DIV 2 AS BIGINT)").as("e_w_x2"),
+          expr("CAST(2 * nn * (nn + 1) * (2 * nn + 1) - ties3 AS BIGINT)")
+            .as("var48_num"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // MOOD SQUARED-RANK SCALE test per source pair — "same center,
+    // different SPREAD?": the dispersion question none of the
+    // location/shape tests answer (two sources can tie on median and
+    // KS-drift only in the tails). Classic Mood statistic M =
+    // Σ over sample a of (rank − (N+1)/2)² on the POOLED ranking;
+    // everything integer via doubling: 4M = Σ_v c_a(v)·(2·midrank(v)
+    // − N − 1)² with 2·midrank = 2·pooled-cumlt + pooled-c + 1, null
+    // expectation 3·E[4M] = n_a(N²−1), scale_ppm = 4M·3·10⁶ DIV
+    // (n_a(N²−1)) — ppm > 10⁶ ⇒ a's mass sits in the pooled tails
+    // (wider), < 10⁶ ⇒ a is the tighter source. Both sides reported.
+    // Pooled ranks from the SAME per-(source, value) step-CDF cache
+    // as q370 (cumlt = F − c); grid algebra only.
+    "q388_mood_scale" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt")))
+      val tot = g.groupBy("source").agg(sum(col("cnt")).as("n"))
+      val vals = g.select("n_chars").distinct()
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+          col("sa") < col("sb"))
+      val cumAll = Caches.shared(tot.select(col("source").as("cs"))
+        .crossJoin(broadcast(vals))
+        .join(broadcast(g.select(col("source").as("g2"),
+          col("n_chars").as("v2"), col("cnt").as("c2"))),
+          col("g2") === col("cs") && col("v2") === col("n_chars"), "left")
+        .select(col("cs"), col("n_chars"),
+          coalesce(col("c2"), lit(0L)).as("c0"))
+        .withColumn("f", sum(col("c0")).over(Window.partitionBy("cs")
+          .orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0))))
+      pairs.crossJoin(broadcast(vals))
+        .join(broadcast(cumAll.select(col("cs").as("csa"),
+          col("n_chars").as("va"), col("f").as("fa"), col("c0").as("ca"))),
+          col("csa") === col("sa") && col("va") === col("n_chars"))
+        .join(broadcast(cumAll.select(col("cs").as("csb"),
+          col("n_chars").as("vb"), col("f").as("fb"), col("c0").as("cb"))),
+          col("csb") === col("sb") && col("vb") === col("n_chars"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          col("ca"), col("cb"),
+          (lit(2) * (col("fa") - col("ca") + col("fb") - col("cb"))
+            + col("ca") + col("cb") + 1 - (col("na") + col("nb") + 1))
+            .as("dev"))
+        .groupBy("sa", "sb")
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          sum(col("ca").cast("decimal(38,0)") * col("dev") * col("dev"))
+            .as("m4a"),
+          sum(col("cb").cast("decimal(38,0)") * col("dev") * col("dev"))
+            .as("m4b"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_a"), col("n_b"),
+          col("m4a").cast("long").as("m4_a"),
+          col("m4b").cast("long").as("m4_b"),
+          expr("CAST(m4a * 3000000 DIV greatest(CAST(n_a AS DECIMAL(38,0))" +
+            " * ((n_a + n_b) * (n_a + n_b) - 1), 1) AS BIGINT)")
+            .as("scale_a_ppm"),
+          expr("CAST(m4b * 3000000 DIV greatest(CAST(n_b AS DECIMAL(38,0))" +
+            " * ((n_a + n_b) * (n_a + n_b) - 1), 1) AS BIGINT)")
+            .as("scale_b_ppm"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // MOOD'S MEDIAN k-SAMPLE test — one table answers "which sources
+    // sit above/below the CORPUS median?" where the pair tests need
+    // |sources|² rows (the location analogue of q372's Kruskal–Wallis,
+    // but reading one bit per document — the robustest possible
+    // statistic, immune to everything except the median crossing):
+    // pooled ceil-rank median over the global length grid, per-source
+    // above/at/below counts, expectation n_src·A·1000 DIV N (A = total
+    // strictly-above mass — the at-median column keeps the
+    // classification conservation auditable), and the χ² above-cell
+    // contribution in ppm (DECIMAL numerator; the Σ and dof are the
+    // reader's float steps). One global grid agg + one per-source agg.
+    "q389_mood_median" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+      val gv = g.groupBy("n_chars").agg(sum(col("c")).as("call"))
+      val tot = gv.agg(sum(col("call")).as("nn"))
+      val cum = gv.select(col("n_chars").as("v"), col("call"))
+        .join(broadcast(gv.select(col("n_chars").as("w"),
+          col("call").as("cw"))), col("w") < col("v"), "left")
+        .groupBy("v", "call")
+        .agg(coalesce(sum(col("cw")), lit(0L)).as("cumlt"))
+      val med = cum.crossJoin(broadcast(tot))
+        .filter(expr("cumlt < (nn + 1) div 2 AND" +
+          " (nn + 1) div 2 <= cumlt + call"))
+        .select(col("v").as("med"), col("nn"))
+      val cls = g.crossJoin(broadcast(med))
+        .groupBy("source", "nn")
+        .agg(sum(col("c")).as("n_src"),
+          sum(when(col("n_chars") > col("med"), col("c")).otherwise(0L))
+            .as("above"),
+          sum(when(col("n_chars") === col("med"), col("c")).otherwise(0L))
+            .as("at"))
+      val aTot = cls.agg(sum(col("above")).as("aa"))
+      cls.crossJoin(broadcast(aTot))
+        .select(col("source"), col("n_src").cast("long").as("n_docs"),
+          col("above").cast("long").as("n_above"),
+          col("at").cast("long").as("n_at"),
+          (col("n_src") - col("above") - col("at")).cast("long")
+            .as("n_below"),
+          expr("CAST(n_src * aa * 1000 DIV nn AS BIGINT)")
+            .as("expected_above_milli"),
+          expr("CAST((above * nn - n_src * aa)" +
+            " * CAST(above * nn - n_src * aa AS DECIMAL(38,0)) * 1000000" +
+            " DIV greatest(CAST(n_src AS DECIMAL(38,0)) * aa * nn, 1)" +
+            " AS BIGINT)").as("chi2_above_ppm"))
+        .orderBy("source")
+    },
+
+    // Exact L-MOMENTS per source over document lengths — the
+    // order-statistics alternative to classical moments (variance,
+    // skewness need squares and cubes of VALUES, exploding under
+    // outliers and excluded past λ by the integer rules; L-moments
+    // are LINEAR in the sorted values, so every numerator is exact):
+    // s1 = Σ(i−1)·x(i) and s2 = Σ(i−1)(i−2)·x(i) computed WITHOUT
+    // sorting rows, via the rank-run closed forms on the length grid
+    // (ranks of value v occupy (cumlt, cumlt+c]; Σ(i−1) over the run
+    // = c·cumlt + c(c−1)/2, Σ(i−1)(i−2) = T(cumlt+c−1) − T(cumlt−1)
+    // with T(m) = (m−1)m(m+1)/3 — three consecutive integers, so
+    // the /3 is exact). Then λ2·n(n−1) = 2s1 − (n−1)s0 and
+    // λ3·n(n−1)(n−2) = 6s2 − 6(n−2)s1 + (n−1)(n−2)s0; L-CV = λ2/λ1
+    // in ppm and L-skewness τ3 = λ3/λ2 in sign-split milli (τ3
+    // bounded in (−1, 1) — a LAW, unlike classical skewness).
+    // DECIMAL(38,0) accumulators (s2 ~ n²·Σx — past int64 by sf10;
+    // HUGEINT mirror). One corpus grid agg, grid² cumlt theta-join.
+    "q390_l_moments" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+      val cum = g.select(col("source"), col("n_chars").as("v"), col("c"))
+        .join(broadcast(g.select(col("source").as("s2"),
+          col("n_chars").as("w"), col("c").as("cw"))),
+          col("source") === col("s2") && col("w") < col("v"), "left")
+        .groupBy("source", "v", "c")
+        .agg(coalesce(sum(col("cw")), lit(0L)).as("cumlt"))
+      cum.select(col("source"), col("c"), col("v"), col("cumlt"),
+          (col("cumlt") + col("c") - 1).as("m1"),
+          (col("cumlt") - 1).as("m0"))
+        .select(col("source"),
+          (col("c").cast("decimal(38,0)") * col("v")).as("t0"),
+          expr("CAST(v AS DECIMAL(38,0))" +
+            " * (c * cumlt + c * (c - 1) DIV 2)").as("t1"),
+          expr("CAST(v AS DECIMAL(38,0))" +
+            " * (CAST(m1 - 1 AS DECIMAL(38,0)) * m1 * (m1 + 1) DIV 3" +
+            " - CAST(m0 - 1 AS DECIMAL(38,0)) * m0 * (m0 + 1) DIV 3)")
+            .as("t2"),
+          col("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n"), sum(col("t0")).as("s0"),
+          sum(col("t1")).as("s1"), sum(col("t2")).as("s2"))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          expr("CAST(s0 * 1000 DIV n AS BIGINT)").as("l1_milli"),
+          expr("CAST(2 * s1 - (n - 1) * s0 AS BIGINT)").as("l2_scaled"),
+          expr("CAST(6 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0" +
+            " AS BIGINT)").as("l3_scaled"),
+          expr("CAST((2 * s1 - (n - 1) * s0) * 1000000" +
+            " DIV greatest((n - 1) * s0, 1) AS BIGINT)").as("lcv_ppm"),
+          expr("CAST(CASE WHEN 6 * s2 - 6 * (n - 2) * s1" +
+            " + (n - 1) * (n - 2) * s0 >= 0" +
+            " THEN (6 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0)" +
+            " * 1000 DIV greatest((2 * s1 - (n - 1) * s0) * (n - 2), 1)" +
+            " ELSE -((6 * (n - 2) * s1 - 6 * s2 - (n - 1) * (n - 2) * s0)" +
+            " * 1000 DIV greatest((2 * s1 - (n - 1) * s0) * (n - 2), 1))" +
+            " END AS BIGINT)").as("t3_milli"))
+        .orderBy("source")
     }
   )
 
@@ -3153,6 +3425,170 @@ object Stewardship {
         |      * 1000000 // GREATEST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
         |      - SUM(x) * SUM(x), 1))
         |    END AS BIGINT) AS slope_ppm
-        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q386_gk_percentile_audit" ->
+      """WITH g AS (
+        |  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+        |cum AS (
+        |  SELECT o.n_chars AS v, o.c,
+        |    COALESCE((SELECT SUM(w.c) FROM g w
+        |      WHERE w.n_chars < o.n_chars), 0) AS cumlt
+        |  FROM g o),
+        |p AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)) AS t(pct))
+        |SELECT CAST(p.pct AS BIGINT) AS percentile_pct, tot.n AS n_docs,
+        |  CAST(c2.v AS BIGINT) AS exact_q,
+        |  CAST(tot.n // 1000 + 2 AS BIGINT) AS rank_err_bound,
+        |  TRUE AS within_bound
+        |FROM p CROSS JOIN tot JOIN cum c2
+        |  ON c2.cumlt < (p.pct * tot.n + 99) // 100
+        |  AND (p.pct * tot.n + 99) // 100 <= c2.cumlt + c2.c
+        |ORDER BY 1""".stripMargin,
+
+    "q387_wilcoxon_signed" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |df AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    a.n - b.n AS dd
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type < b.event_type AND a.day = b.day),
+        |zs AS (SELECT ta, tb,
+        |  CAST(SUM(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
+        |  FROM df GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT ta, tb, ABS(dd) AS ad, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS posc
+        |  FROM df WHERE dd <> 0 GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT g.ta, g.tb, g.ad, g.c, g.posc,
+        |    COALESCE((SELECT SUM(w.c) FROM grid w
+        |      WHERE w.ta = g.ta AND w.tb = g.tb AND w.ad < g.ad), 0)
+        |      AS cumlt
+        |  FROM grid g),
+        |agg AS (
+        |  SELECT ta, tb, CAST(SUM(c) AS BIGINT) AS nn,
+        |    CAST(SUM(posc) AS BIGINT) AS np,
+        |    CAST(SUM(posc * (2 * cumlt + c + 1)) AS BIGINT) AS w2,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties3
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT a.ta AS type_a, a.tb AS type_b, a.nn AS n_nonzero,
+        |  z.nz AS n_zero, a.np AS n_pos, a.nn - a.np AS n_neg,
+        |  a.w2 AS w_plus_x2,
+        |  CAST(a.nn * (a.nn + 1) // 2 AS BIGINT) AS e_w_x2,
+        |  CAST(2 * a.nn * (a.nn + 1) * (2 * a.nn + 1) - a.ties3 AS BIGINT)
+        |    AS var48_num
+        |FROM agg a JOIN zs z ON z.ta = a.ta AND z.tb = a.tb
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q388_mood_scale" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |vals AS (SELECT DISTINCT n_chars FROM g),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |atv AS (
+        |  SELECT p.sa, p.sb, p.na, p.nb,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sa AND g.n_chars = v.n_chars), 0) AS ca,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sb AND g.n_chars = v.n_chars), 0) AS cb,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sa AND g.n_chars <= v.n_chars), 0) AS fa,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sb AND g.n_chars <= v.n_chars), 0) AS fb
+        |  FROM pairs p CROSS JOIN vals v),
+        |dv AS (
+        |  SELECT sa, sb, na, nb, ca, cb,
+        |    2 * (fa - ca + fb - cb) + ca + cb + 1 - (na + nb + 1) AS dev
+        |  FROM atv)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(SUM(CAST(ca AS HUGEINT) * dev * dev) AS BIGINT) AS m4_a,
+        |  CAST(SUM(CAST(cb AS HUGEINT) * dev * dev) AS BIGINT) AS m4_b,
+        |  CAST(SUM(CAST(ca AS HUGEINT) * dev * dev) * 3000000
+        |    // GREATEST(CAST(na AS HUGEINT)
+        |      * ((na + nb) * (na + nb) - 1), 1) AS BIGINT) AS scale_a_ppm,
+        |  CAST(SUM(CAST(cb AS HUGEINT) * dev * dev) * 3000000
+        |    // GREATEST(CAST(nb AS HUGEINT)
+        |      * ((na + nb) * (na + nb) - 1), 1) AS BIGINT) AS scale_b_ppm
+        |FROM dv GROUP BY sa, sb, na, nb ORDER BY 1, 2""".stripMargin,
+
+    "q389_mood_median" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |gv AS (SELECT n_chars, CAST(SUM(c) AS BIGINT) AS call
+        |  FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(call) AS BIGINT) AS nn FROM gv),
+        |cum AS (
+        |  SELECT o.n_chars AS v, o.call,
+        |    COALESCE((SELECT SUM(w.call) FROM gv w
+        |      WHERE w.n_chars < o.n_chars), 0) AS cumlt
+        |  FROM gv o),
+        |med AS (
+        |  SELECT c.v AS med, t.nn FROM cum c CROSS JOIN tot t
+        |  WHERE c.cumlt < (t.nn + 1) // 2
+        |    AND (t.nn + 1) // 2 <= c.cumlt + c.call),
+        |cls AS (
+        |  SELECT g.source, m.nn, CAST(SUM(g.c) AS BIGINT) AS n_src,
+        |    CAST(SUM(CASE WHEN g.n_chars > m.med THEN g.c ELSE 0 END)
+        |      AS BIGINT) AS above,
+        |    CAST(SUM(CASE WHEN g.n_chars = m.med THEN g.c ELSE 0 END)
+        |      AS BIGINT) AS at_med
+        |  FROM g CROSS JOIN med m GROUP BY 1, 2),
+        |atot AS (SELECT CAST(SUM(above) AS BIGINT) AS aa FROM cls)
+        |SELECT c.source, c.n_src AS n_docs, c.above AS n_above,
+        |  c.at_med AS n_at, c.n_src - c.above - c.at_med AS n_below,
+        |  CAST(c.n_src * a.aa * 1000 // c.nn AS BIGINT)
+        |    AS expected_above_milli,
+        |  CAST(CAST(c.above * c.nn - c.n_src * a.aa AS HUGEINT)
+        |    * (c.above * c.nn - c.n_src * a.aa) * 1000000
+        |    // GREATEST(CAST(c.n_src AS HUGEINT) * a.aa * c.nn, 1)
+        |    AS BIGINT) AS chi2_above_ppm
+        |FROM cls c CROSS JOIN atot a ORDER BY 1""".stripMargin,
+
+    "q390_l_moments" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT o.source, o.n_chars AS v, o.c,
+        |    COALESCE((SELECT SUM(w.c) FROM g w
+        |      WHERE w.source = o.source AND w.n_chars < o.n_chars), 0)
+        |      AS cumlt
+        |  FROM g o),
+        |t AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(c AS HUGEINT) * v) AS s0,
+        |    SUM(CAST(v AS HUGEINT) * (c * cumlt + c * (c - 1) // 2)) AS s1,
+        |    SUM(CAST(v AS HUGEINT) *
+        |      (CAST(cumlt + c - 2 AS HUGEINT) * (cumlt + c - 1)
+        |        * (cumlt + c) // 3
+        |      - CAST(cumlt - 2 AS HUGEINT) * (cumlt - 1) * cumlt // 3))
+        |      AS s2
+        |  FROM cum GROUP BY 1)
+        |SELECT source, n AS n_docs,
+        |  CAST(s0 * 1000 // n AS BIGINT) AS l1_milli,
+        |  CAST(2 * s1 - (n - 1) * s0 AS BIGINT) AS l2_scaled,
+        |  CAST(6 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0
+        |    AS BIGINT) AS l3_scaled,
+        |  CAST((2 * s1 - (n - 1) * s0) * 1000000
+        |    // GREATEST((n - 1) * s0, 1) AS BIGINT) AS lcv_ppm,
+        |  CAST(CASE WHEN 6 * s2 - 6 * (n - 2) * s1
+        |      + (n - 1) * (n - 2) * s0 >= 0
+        |    THEN (6 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0)
+        |      * 1000 // GREATEST((2 * s1 - (n - 1) * s0) * (n - 2), 1)
+        |    ELSE -((6 * (n - 2) * s1 - 6 * s2 - (n - 1) * (n - 2) * s0)
+        |      * 1000 // GREATEST((2 * s1 - (n - 1) * s0) * (n - 2), 1))
+        |    END AS BIGINT) AS t3_milli
+        |FROM t ORDER BY 1""".stripMargin
   )
 }

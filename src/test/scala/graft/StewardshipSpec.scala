@@ -1016,6 +1016,134 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q386 exact quantiles match sorted ranks and the GK bound certifies") {
+    val xs = Tables.documents(spark, sf)
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    val n = xs.length.toLong
+    val rows = run("q386_gk_percentile_audit").collect()
+    assert(rows.map(_.getAs[Long]("percentile_pct")).toSeq ==
+      Seq(25L, 50L, 75L, 90L, 99L))
+    rows.foreach { r =>
+      val p = r.getAs[Long]("percentile_pct")
+      val k = (p * n + 99) / 100
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("exact_q") == xs((k - 1).toInt), s"p=$p exact_q")
+      assert(r.getAs[Long]("rank_err_bound") == n / 1000 + 2)
+      assert(r.getAs[Boolean]("within_bound"), s"p=$p GK bound violated")
+    }
+  }
+
+  test("q387 Wilcoxon signed-rank matches a brute-force midrank mirror") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(x => x._2 -> x._3).toMap
+    }
+    run("q387_wilcoxon_signed").collect().foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val days = byType(ta).keySet.intersect(byType(tb).keySet).toSeq.sorted
+      val dd = days.map(d => byType(ta)(d) - byType(tb)(d))
+      val nz = dd.filterNot(_ == 0L)
+      // doubled midrank of |d| = 2*(count strictly smaller) + (count tied) + 1
+      def mr2(a: Long) = 2 * nz.count(x => math.abs(x) < math.abs(a)) +
+        nz.count(x => math.abs(x) == math.abs(a)) + 1
+      val w2 = nz.filter(_ > 0).map(a => mr2(a).toLong).sum
+      val nn = nz.length.toLong
+      val ties3 = nz.groupBy(math.abs).values
+        .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+      assert(r.getAs[Long]("n_nonzero") == nn)
+      assert(r.getAs[Long]("n_zero") == dd.count(_ == 0L).toLong)
+      assert(r.getAs[Long]("n_pos") == nz.count(_ > 0).toLong)
+      assert(r.getAs[Long]("n_neg") == nz.count(_ < 0).toLong)
+      assert(r.getAs[Long]("w_plus_x2") == w2, s"($ta,$tb) w_plus_x2")
+      assert(r.getAs[Long]("e_w_x2") == nn * (nn + 1) / 2)
+      assert(r.getAs[Long]("var48_num") ==
+        2 * nn * (nn + 1) * (2 * nn + 1) - ties3, s"($ta,$tb) var48")
+      // W+ doubled is bounded by the full rank sum doubled = n(n+1)
+      assert(w2 >= 0 && w2 <= nn * (nn + 1))
+    }
+  }
+
+  test("q388 Mood scale statistic matches a brute-force pooled-midrank mirror") {
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    run("q388_mood_scale").collect().foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (xs, ys) = (bySource(sa), bySource(sb))
+      val pooled = xs ++ ys
+      val bigN = pooled.length.toLong
+      def mr2(v: Long) = 2 * pooled.count(_ < v) + pooled.count(_ == v) + 1
+      def m4(zs: Seq[Long]) = zs.map { v =>
+        val dev = mr2(v) - (bigN + 1); BigInt(dev) * dev
+      }.sum
+      val (ma, mb) = (m4(xs), m4(ys))
+      assert(r.getAs[Long]("n_a") == xs.length.toLong)
+      assert(BigInt(r.getAs[Long]("m4_a")) == ma, s"($sa,$sb) m4_a")
+      assert(BigInt(r.getAs[Long]("m4_b")) == mb, s"($sa,$sb) m4_b")
+      val den = (BigInt(xs.length) * (bigN * bigN - 1)).max(BigInt(1))
+      assert(BigInt(r.getAs[Long]("scale_a_ppm")) == ma * 3000000 / den)
+    }
+  }
+
+  test("q389 Mood median split matches brute force and conserves the corpus") {
+    val all = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pooled = all.map(_._2).sorted
+    val med = pooled(((pooled.length + 1) / 2) - 1)
+    val rows = run("q389_mood_median").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == all.length.toLong)
+    val aTot = all.count(_._2 > med).toLong
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val xs = all.filter(_._1 == src).map(_._2)
+      val (ab, at) = (xs.count(_ > med).toLong, xs.count(_ == med).toLong)
+      assert(r.getAs[Long]("n_above") == ab, s"$src above")
+      assert(r.getAs[Long]("n_at") == at)
+      assert(r.getAs[Long]("n_below") == xs.length - ab - at)
+      assert(r.getAs[Long]("expected_above_milli") ==
+        xs.length.toLong * aTot * 1000 / all.length)
+      val dev = BigInt(ab * all.length - xs.length * aTot)
+      assert(BigInt(r.getAs[Long]("chi2_above_ppm")) ==
+        dev * dev * 1000000 /
+          (BigInt(xs.length) * aTot * all.length).max(BigInt(1)))
+    }
+  }
+
+  test("q390 L-moments match a brute-force sorted mirror; tau3 is bounded") {
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    run("q390_l_moments").collect().foreach { r =>
+      val src = r.getString(0)
+      val xs = bySource(src)
+      val n = xs.length.toLong
+      val s0 = xs.map(BigInt(_)).sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => BigInt(i) * x }.sum
+      val s2 = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(i) * (i - 1) * x
+      }.sum
+      val l2s = 2 * s1 - (n - 1) * s0
+      val l3s = 6 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(BigInt(r.getAs[Long]("l1_milli")) == s0 * 1000 / n)
+      assert(BigInt(r.getAs[Long]("l2_scaled")) == l2s, s"$src l2")
+      assert(BigInt(r.getAs[Long]("l3_scaled")) == l3s, s"$src l3")
+      assert(l2s >= 0, "lambda2 is non-negative")
+      assert(BigInt(r.getAs[Long]("lcv_ppm")) ==
+        l2s * 1000000 / ((n - 1) * s0).max(BigInt(1)))
+      val den = (l2s * (n - 2)).max(BigInt(1))
+      val want = if (l3s >= 0) l3s * 1000 / den else -((-l3s) * 1000 / den)
+      assert(BigInt(r.getAs[Long]("t3_milli")) == want, s"$src t3")
+      assert(math.abs(r.getAs[Long]("t3_milli")) <= 1000L, "|tau3| < 1 law")
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
