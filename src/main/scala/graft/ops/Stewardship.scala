@@ -2172,6 +2172,215 @@ object Stewardship {
             " * 1000 DIV greatest((2 * s1 - (n - 1) * s0) * (n - 2), 1))" +
             " END AS BIGINT)").as("t3_milli"))
         .orderBy("source")
+    },
+
+    // ROUGE-1 ANCHOR audit per source — the eval-metric view of
+    // templating: micro-averaged clipped-unigram precision/recall of
+    // every document against its source's three anchor documents
+    // (lowest doc_ids — deterministic, no sampling). ROUGE-1 overlap
+    // = Σ_t min(cnt_doc(t), cnt_anchor(t)) — the MULTISET clip the
+    // set-based q59 shingle containment can't see (a doc repeating
+    // one anchor word 50× scores 1 shared shingle but 50/|doc| here
+    // without the clip; the clip caps it at the anchor's count).
+    // High micro-precision against a fixed anchor ⇒ boilerplate
+    // vocabulary; recall normalizes by the anchor instead. Anchors by
+    // THREE chained min-aggregations (min, min>a1, min>a2) — never a
+    // per-source window over the corpus (unbounded partition at
+    // 100 TB); zero-overlap docs stay in the denominators via
+    // independent length/count legs. Token joins are (source, token)
+    // equi-joins against a 3-row-per-source anchor side.
+    "q391_rouge1_anchors" -> { (s, d) =>
+      val doc = Caches.shared(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.tokens(col("text")).as("t")))
+      val tok = Caches.shared(doc
+        .select(col("doc_id"), col("source"), explode(col("t")).as("tok"))
+        .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("cnt")))
+      val lens = doc.select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("len"))
+      // each chained-min rung is an aggregate grouped ONLY on source
+      // (never on the previous rung's doc_id) so the whole anchor
+      // subtree stays |sources|-sized BY STRUCTURE — the PlanSpec
+      // broadcast audit proves boundedness from grouping keys alone
+      val a1 = lens.groupBy("source").agg(min(col("doc_id")).as("a1"))
+      val a2 = lens.join(broadcast(a1), "source")
+        .filter(col("doc_id") > col("a1"))
+        .groupBy("source").agg(min(col("doc_id")).as("a2"))
+      val a3 = lens.join(broadcast(a2), "source")
+        .filter(col("doc_id") > col("a2"))
+        .groupBy("source").agg(min(col("doc_id")).as("a3"))
+      val anchors = a1.select(col("source").as("asrc"),
+          lit(1L).as("anchor_rank"), col("a1").as("a_doc"))
+        .unionByName(a2.select(col("source").as("asrc"),
+          lit(2L).as("anchor_rank"), col("a2").as("a_doc")))
+        .unionByName(a3.select(col("source").as("asrc"),
+          lit(3L).as("anchor_rank"), col("a3").as("a_doc")))
+      // anchor-side token/length frames re-aggregate on (source,
+      // anchor_rank[, tok]) — bounded keys — so the broadcast roots are
+      // aggregates the audit can certify, not raw fact joins
+      val aTok = tok.join(broadcast(anchors),
+          col("source") === col("asrc") && col("doc_id") === col("a_doc"))
+        .groupBy(col("source"), col("anchor_rank"), col("tok").as("atok"))
+        .agg(max(col("a_doc")).as("a_doc"), max(col("cnt")).as("acnt"))
+        .select(col("source").as("asrc"), col("anchor_rank"), col("a_doc"),
+          col("atok"), col("acnt"))
+      val aLen = lens.join(broadcast(anchors),
+          col("source") === col("asrc") && col("doc_id") === col("a_doc"))
+        .groupBy(col("source"), col("anchor_rank"))
+        .agg(max(col("a_doc")).as("a_doc"), max(col("len")).as("alen"))
+        .select(col("source").as("asrc"), col("anchor_rank"), col("a_doc"),
+          col("alen"))
+      val denom = lens.join(broadcast(aLen.select(col("asrc").as("s2"),
+          col("anchor_rank").as("r2"), col("a_doc").as("ad2"),
+          col("alen"))), col("source") === col("s2"))
+        .filter(col("doc_id") =!= col("ad2"))
+        .groupBy(col("source"), col("r2"), col("ad2"), col("alen"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+      val ov = tok.join(broadcast(aTok.select(col("asrc").as("s3"),
+          col("anchor_rank").as("r3"), col("a_doc").as("ad3"),
+          col("atok"), col("acnt"))),
+          col("source") === col("s3") && col("tok") === col("atok") &&
+            col("doc_id") =!= col("ad3"))
+        .groupBy(col("source"), col("r3"))
+        .agg(sum(least(col("cnt"), col("acnt"))).as("sum_ov"))
+      denom.join(ov.select(col("source").as("s4"), col("r3"),
+          col("sum_ov")),
+          col("source") === col("s4") && col("r2") === col("r3"), "left")
+        .select(col("source"), col("r2").as("anchor_rank"),
+          col("ad2").cast("long").as("anchor_doc_id"),
+          col("alen").cast("long").as("anchor_len"),
+          col("n_docs").cast("long").as("n_docs"),
+          coalesce(col("sum_ov"), lit(0L)).cast("long").as("sum_overlap"),
+          col("sum_len").cast("long").as("sum_doc_len"))
+        .withColumn("prec_ppm",
+          expr("CAST(sum_overlap * 1000000 DIV greatest(sum_doc_len, 1)" +
+            " AS BIGINT)"))
+        .withColumn("recall_ppm",
+          expr("CAST(sum_overlap * 1000000" +
+            " DIV greatest(n_docs * anchor_len, 1) AS BIGINT)"))
+        .orderBy("source", "anchor_rank")
+    },
+
+    // L-DIVERSITY census — the privacy triad's second leg (q354 asked
+    // "how many people share my quasi-identifier?"; this asks "do they
+    // also share my SENSITIVE value?" — a k = 50 class where all 50
+    // share one balance band leaks the attribute with certainty):
+    // quasi-ID = (nation, segment), sensitive = the q354 balance band;
+    // distinct-l per class, classes banded by l, plus the global
+    // attack surface (customers in classes with l < 3) and the
+    // RECURSIVE (2,2)-diversity failure count (r1 > 2·(k − r1): the
+    // modal band dominates even after discounting — distinct-l alone
+    // misses a 98/1/1 split). One grid agg; the sensitive grid is
+    // schema-bounded (11 bands). Explicit four-band anchor rows (the
+    // q336 rule) so empty bands hash identically in both engines.
+    "q392_l_diversity" -> { (s, d) =>
+      val cls = Caches.shared(Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " + 100000) DIV 100000").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("cnt")))
+      val qi = cls.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("l"), sum(col("cnt")).as("ksz"),
+          max(col("cnt")).as("r1"))
+      val glob = qi.agg(min(col("l")).as("min_l"),
+        sum(when(col("l") < 3, col("ksz")).otherwise(0L)).as("n_below_l3"),
+        sum(when(col("r1") > lit(2) * (col("ksz") - col("r1")), 1L)
+          .otherwise(0L)).as("n_rec22_fail"))
+      val bands = qi.sparkSession.range(1).select(explode(array(
+        lit("a_l1"), lit("b_l2"), lit("c_l3_4"), lit("d_l5_plus")))
+        .as("band"))
+      val got = qi.withColumn("band",
+          when(col("l") === 1, "a_l1").when(col("l") === 2, "b_l2")
+            .when(col("l") <= 4, "c_l3_4").otherwise("d_l5_plus"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("ncl"), sum(col("ksz")).as("ncu"))
+      bands.join(got, Seq("band"), "left")
+        .crossJoin(broadcast(glob))
+        .select(col("band"),
+          coalesce(col("ncl"), lit(0L)).cast("long").as("n_classes"),
+          coalesce(col("ncu"), lit(0L)).cast("long").as("n_customers"),
+          col("min_l").cast("long").as("min_l"),
+          col("n_below_l3").cast("long").as("n_below_l3"),
+          col("n_rec22_fail").cast("long").as("n_rec22_fail"))
+        .orderBy("band")
+    },
+
+    // T-CLOSENESS census — the privacy triad's third leg: l-diversity
+    // counts distinct sensitive values; t-closeness asks whether the
+    // class's sensitive DISTRIBUTION stays close to the corpus-wide
+    // one (a class can hold all 11 bands yet be 95% band-2 — high l,
+    // still leaking "probably band 2"). Exact TVD per quasi-class in
+    // cross-multiplied integers: tvd_scaled = Σ over the band grid of
+    // |cnt_class(v)·N − cnt_glob(v)·k|, tvd_milli = ·1000 DIV (2kN)
+    // (the ½Σ|p−q| definition; int64 to ~3·10⁹ customers — the q168
+    // magnitude-rule derivation, this time done right). Zero-filled
+    // band grid per class (absent bands carry |0·N − g·k|, which is
+    // exactly the leaked mass). |nations|·|segments| rows at any SF.
+    "q393_t_closeness" -> { (s, d) =>
+      val cls = Caches.shared(Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " + 100000) DIV 100000").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("cnt")))
+      val qi = cls.groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("cnt")).as("ksz"))
+      val gb = cls.groupBy("bal_band").agg(sum(col("cnt")).as("gcnt"))
+      val tot = gb.agg(sum(col("gcnt")).as("nn"))
+      qi.crossJoin(broadcast(gb))
+        .join(cls, Seq("c_nationkey", "c_mktsegment", "bal_band"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("ksz"),
+          col("nn"),
+          abs(coalesce(col("cnt"), lit(0L)) * col("nn")
+            - col("gcnt") * col("ksz")).as("term"))
+        .groupBy("c_nationkey", "c_mktsegment", "ksz", "nn")
+        .agg(sum(col("term")).as("tvd_scaled"))
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"),
+          col("ksz").cast("long").as("n_customers"),
+          col("tvd_scaled").cast("long").as("tvd_scaled"),
+          expr("CAST(tvd_scaled * 1000 DIV (2 * ksz * nn) AS BIGINT)")
+            .as("tvd_milli"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // GENERALIZATION-LADDER utility audit — the Samarati ladder the
+    // anonymization decision actually walks: each level drops one
+    // quasi-identifier attribute ((nation, segment, band) → (nation,
+    // segment) → (nation) → ⊤) and the table prices the privacy/
+    // utility trade at every rung in one read: class count (utility —
+    // more classes = finer analysis), min k (privacy floor), and the
+    // suppression cost of enforcing k ≥ 5 (records that must be
+    // dropped). The level whose min_k first clears the policy is the
+    // release level; everything below is the utility price paid. Four
+    // aggregations over ONE cached projection — a grouping-sets scan
+    // shape, kept as explicit unions so each rung carries its label.
+    "q394_generalization_ladder" -> { (s, d) =>
+      val base = Caches.shared(Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " + 100000) DIV 100000").as("bal_band")))
+      def rung(label: String, nAttrs: Long, keys: Seq[String]) = {
+        val g = if (keys.isEmpty) base.groupBy(lit(1).as("one"))
+        else base.groupBy(keys.map(col): _*)
+        g.agg(count(lit(1)).as("ksz"))
+          .agg(count(lit(1)).as("n_classes"), min(col("ksz")).as("min_k"),
+            sum(when(col("ksz") < 5, col("ksz")).otherwise(0L))
+              .as("n_suppressed_k5"))
+          .select(lit(label).as("level"), lit(nAttrs).as("n_qi_attrs"),
+            col("n_classes").cast("long").as("n_classes"),
+            col("min_k").cast("long").as("min_k"),
+            col("n_suppressed_k5").cast("long").as("n_suppressed_k5"))
+      }
+      rung("l0_nation_segment_band", 3L,
+          Seq("c_nationkey", "c_mktsegment", "bal_band"))
+        .unionByName(rung("l1_nation_segment", 2L,
+          Seq("c_nationkey", "c_mktsegment")))
+        .unionByName(rung("l2_nation", 1L, Seq("c_nationkey")))
+        .unionByName(rung("l3_top", 0L, Seq.empty))
+        .orderBy("level")
     }
   )
 
@@ -3589,6 +3798,145 @@ object Stewardship {
         |    ELSE -((6 * (n - 2) * s1 - 6 * s2 - (n - 1) * (n - 2) * s0)
         |      * 1000 // GREATEST((2 * s1 - (n - 1) * s0) * (n - 2), 1))
         |    END AS BIGINT) AS t3_milli
-        |FROM t ORDER BY 1""".stripMargin
+        |FROM t ORDER BY 1""".stripMargin,
+
+    "q391_rouge1_anchors" ->
+      """WITH doc AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |tokc AS (
+        |  SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, source, UNNEST(t) AS tok FROM doc)
+        |  GROUP BY 1, 2, 3),
+        |lens AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS l
+        |  FROM doc),
+        |a1 AS (SELECT source, MIN(doc_id) AS a1 FROM lens GROUP BY 1),
+        |a2 AS (SELECT l.source, MIN(l.doc_id) AS a2 FROM lens l
+        |  JOIN a1 ON a1.source = l.source AND l.doc_id > a1.a1 GROUP BY 1),
+        |a3 AS (SELECT l.source, MIN(l.doc_id) AS a3 FROM lens l
+        |  JOIN a2 ON a2.source = l.source AND l.doc_id > a2.a2 GROUP BY 1),
+        |anch AS (
+        |  SELECT source, 1 AS anchor_rank, a1 AS a_doc FROM a1
+        |  UNION ALL SELECT source, 2, a2 FROM a2
+        |  UNION ALL SELECT source, 3, a3 FROM a3),
+        |alen AS (SELECT an.source, an.anchor_rank, an.a_doc, l.l AS alen
+        |  FROM anch an JOIN lens l ON l.doc_id = an.a_doc),
+        |denom AS (
+        |  SELECT al.source, al.anchor_rank, al.a_doc, al.alen,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(l.l) AS BIGINT) AS sum_len
+        |  FROM alen al JOIN lens l
+        |    ON l.source = al.source AND l.doc_id <> al.a_doc
+        |  GROUP BY 1, 2, 3, 4),
+        |atok AS (SELECT an.source, an.anchor_rank, an.a_doc, t.tok, t.cnt
+        |  FROM anch an JOIN tokc t ON t.doc_id = an.a_doc),
+        |ov AS (
+        |  SELECT a.source, a.anchor_rank,
+        |    CAST(SUM(LEAST(t.cnt, a.cnt)) AS BIGINT) AS sum_ov
+        |  FROM atok a JOIN tokc t
+        |    ON t.source = a.source AND t.tok = a.tok AND t.doc_id <> a.a_doc
+        |  GROUP BY 1, 2)
+        |SELECT d.source, CAST(d.anchor_rank AS BIGINT) AS anchor_rank,
+        |  CAST(d.a_doc AS BIGINT) AS anchor_doc_id, d.alen AS anchor_len,
+        |  d.n_docs, CAST(COALESCE(o.sum_ov, 0) AS BIGINT) AS sum_overlap,
+        |  d.sum_len AS sum_doc_len,
+        |  CAST(COALESCE(o.sum_ov, 0) * 1000000 // GREATEST(d.sum_len, 1)
+        |    AS BIGINT) AS prec_ppm,
+        |  CAST(COALESCE(o.sum_ov, 0) * 1000000
+        |    // GREATEST(d.n_docs * d.alen, 1) AS BIGINT) AS recall_ppm
+        |FROM denom d LEFT JOIN ov o
+        |  ON o.source = d.source AND o.anchor_rank = d.anchor_rank
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q392_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      + 100000) // 100000 AS bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3),
+        |qi AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS l,
+        |    CAST(SUM(cnt) AS BIGINT) AS ksz, CAST(MAX(cnt) AS BIGINT) AS r1
+        |  FROM cls GROUP BY 1, 2),
+        |gstats AS (
+        |  SELECT CAST(MIN(l) AS BIGINT) AS min_l,
+        |    CAST(SUM(CASE WHEN l < 3 THEN ksz ELSE 0 END) AS BIGINT)
+        |      AS n_below_l3,
+        |    CAST(SUM(CASE WHEN r1 > 2 * (ksz - r1) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rec22_fail
+        |  FROM qi),
+        |bands AS (SELECT * FROM (VALUES ('a_l1'), ('b_l2'), ('c_l3_4'),
+        |  ('d_l5_plus')) AS t(band)),
+        |got AS (
+        |  SELECT CASE WHEN l = 1 THEN 'a_l1' WHEN l = 2 THEN 'b_l2'
+        |    WHEN l <= 4 THEN 'c_l3_4' ELSE 'd_l5_plus' END AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS ncl, CAST(SUM(ksz) AS BIGINT) AS ncu
+        |  FROM qi GROUP BY 1)
+        |SELECT b.band, CAST(COALESCE(g.ncl, 0) AS BIGINT) AS n_classes,
+        |  CAST(COALESCE(g.ncu, 0) AS BIGINT) AS n_customers,
+        |  gl.min_l, gl.n_below_l3, gl.n_rec22_fail
+        |FROM bands b LEFT JOIN got g USING (band) CROSS JOIN gstats gl
+        |ORDER BY 1""".stripMargin,
+
+    "q393_t_closeness" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      + 100000) // 100000 AS bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3),
+        |qi AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(SUM(cnt) AS BIGINT) AS ksz
+        |  FROM cls GROUP BY 1, 2),
+        |gb AS (SELECT bal_band, CAST(SUM(cnt) AS BIGINT) AS gcnt
+        |  FROM cls GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS nn FROM gb),
+        |grid AS (
+        |  SELECT q.c_nationkey, q.c_mktsegment, q.ksz, t.nn,
+        |    ABS(COALESCE(c.cnt, 0) * t.nn - g.gcnt * q.ksz) AS term
+        |  FROM qi q CROSS JOIN gb g CROSS JOIN tot t
+        |  LEFT JOIN cls c ON c.c_nationkey = q.c_nationkey
+        |    AND c.c_mktsegment = q.c_mktsegment AND c.bal_band = g.bal_band)
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+        |  CAST(ksz AS BIGINT) AS n_customers,
+        |  CAST(SUM(term) AS BIGINT) AS tvd_scaled,
+        |  CAST(SUM(term) * 1000 // (2 * ksz * nn) AS BIGINT) AS tvd_milli
+        |FROM grid GROUP BY c_nationkey, c_mktsegment, ksz, nn
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q394_generalization_ladder" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      + 100000) // 100000 AS bal_band
+        |  FROM customer),
+        |l0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ksz FROM base
+        |  GROUP BY c_nationkey, c_mktsegment, bal_band),
+        |l1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ksz FROM base
+        |  GROUP BY c_nationkey, c_mktsegment),
+        |l2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ksz FROM base
+        |  GROUP BY c_nationkey),
+        |l3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ksz FROM base)
+        |SELECT 'l0_nation_segment_band' AS level,
+        |  CAST(3 AS BIGINT) AS n_qi_attrs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(MIN(ksz) AS BIGINT) AS min_k,
+        |  CAST(SUM(CASE WHEN ksz < 5 THEN ksz ELSE 0 END) AS BIGINT)
+        |    AS n_suppressed_k5
+        |FROM l0
+        |UNION ALL SELECT 'l1_nation_segment', CAST(2 AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(MIN(ksz) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ksz < 5 THEN ksz ELSE 0 END) AS BIGINT)
+        |FROM l1
+        |UNION ALL SELECT 'l2_nation', CAST(1 AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(MIN(ksz) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ksz < 5 THEN ksz ELSE 0 END) AS BIGINT)
+        |FROM l2
+        |UNION ALL SELECT 'l3_top', CAST(0 AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(MIN(ksz) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ksz < 5 THEN ksz ELSE 0 END) AS BIGINT)
+        |FROM l3
+        |ORDER BY 1""".stripMargin
   )
 }

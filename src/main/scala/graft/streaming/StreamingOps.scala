@@ -185,6 +185,52 @@ object StreamingOps {
       }
   }
 
+  /** Streaming ONLINE CUSUM drift alarm — the stateful-stream image of
+    * the batch q364 detector (there the day grid is replayed offline;
+    * here the page-style recursion S⁺ = max(0, S⁺ + (x − ref)),
+    * S⁻ = max(0, S⁻ + (ref − x)) folds ONLINE, alarming and resetting
+    * the tripped side when it exceeds `h` — the classic restart
+    * convention, so repeated drift re-alarms instead of saturating).
+    * Integer-exact: values, reference and threshold are all Long (the
+    * repo-wide exactness rule extends to stream state).
+    *
+    * State per key is five Longs — constant, independent of stream
+    * length (the q364 batch detector's whole day grid never lives in
+    * memory here). Emission is one status row per key per micro-batch
+    * (Update mode). Values fold in ascending `seqOf` order WITHIN a
+    * micro-batch (mapGroupsWithState's iterator order is otherwise
+    * partition-arrival order); ACROSS batches the fold is arrival
+    * order — the reference's Kafka-record model
+    * (BigqueryStorageWriteSinkTask.java:98-116), where reordering
+    * guarantees belong to the upstream log, not the operator. */
+  case class CusumStatus(key: String, n: Long, s_pos: Long, s_neg: Long,
+                         alarms_pos: Long, alarms_neg: Long)
+  case class CusumState(n: Long, sPos: Long, sNeg: Long,
+                        aPos: Long, aNeg: Long)
+  def onlineCusum[T](ds: Dataset[T], keyOf: T => String, seqOf: T => Long,
+                     valueOf: T => Long, ref: Long,
+                     h: Long): Dataset[CusumStatus] = {
+    import ds.sparkSession.implicits._
+    require(h > 0, "CUSUM threshold must be positive")
+    ds.groupByKey(keyOf)
+      .mapGroupsWithState[CusumState, CusumStatus](GroupStateTimeout.NoTimeout) {
+        (key: String, values: Iterator[T], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, 0L))
+          values.toSeq.sortBy(seqOf).foreach { v =>
+            val x = valueOf(v)
+            var sp = math.max(0L, st.sPos + (x - ref))
+            var sn = math.max(0L, st.sNeg + (ref - x))
+            var ap = st.aPos
+            var an = st.aNeg
+            if (sp > h) { ap += 1; sp = 0L }
+            if (sn > h) { an += 1; sn = 0L }
+            st = CusumState(st.n + 1, sp, sn, ap, an)
+          }
+          state.update(st)
+          CusumStatus(key, st.n, st.sPos, st.sNeg, st.aPos, st.aNeg)
+      }
+  }
+
   /** Streaming near-dup candidate detection — the B11 MinHash/LSH scale
     * path running INSIDE a stream with bounded state: each document's
     * band buckets are computed per row ([[graft.ops.Dedup

@@ -1144,6 +1144,91 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q391 ROUGE-1 anchor overlaps match a brute-force clipped-multiset mirror") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySource = docs.groupBy(_._2)
+    def bag(t: String) = t.split(" ", -1).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    run("q391_rouge1_anchors").collect().foreach { r =>
+      val src = r.getString(0)
+      val ds = bySource(src).sortBy(_._1)
+      val anchor = ds(r.getAs[Long]("anchor_rank").toInt - 1)
+      assert(r.getAs[Long]("anchor_doc_id") == anchor._1, s"$src anchor id")
+      val aBag = bag(anchor._3)
+      val others = ds.filterNot(_._1 == anchor._1)
+      val sumOv = others.map { d =>
+        bag(d._3).map { case (t, c) => math.min(c, aBag.getOrElse(t, 0L)) }.sum
+      }.sum
+      val sumLen = others.map(_._3.split(" ", -1).length.toLong).sum
+      val aLen = anchor._3.split(" ", -1).length.toLong
+      assert(r.getAs[Long]("anchor_len") == aLen)
+      assert(r.getAs[Long]("n_docs") == others.length.toLong)
+      assert(r.getAs[Long]("sum_overlap") == sumOv, s"$src overlap")
+      assert(r.getAs[Long]("sum_doc_len") == sumLen)
+      assert(r.getAs[Long]("prec_ppm") ==
+        sumOv * 1000000L / math.max(sumLen, 1L))
+      assert(r.getAs[Long]("recall_ppm") ==
+        sumOv * 1000000L / math.max(others.length * aLen, 1L))
+      assert(r.getAs[Long]("prec_ppm") <= 1000000L, "clip caps precision at 1")
+    }
+  }
+
+  test("q392-q394 privacy triad matches a brute-force class mirror") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " + 100000) DIV 100000").as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // q392: l-diversity over (nation, segment) classes
+    val byQi = rows.groupBy(x => (x._1, x._2))
+    val ls = byQi.map { case (_, v) => (v.map(_._3).distinct.length.toLong,
+      v.length.toLong, v.groupBy(_._3).values.map(_.length.toLong).max) }
+    val got392 = run("q392_l_diversity").collect()
+    assert(got392.map(_.getAs[Long]("n_classes")).sum == byQi.size.toLong)
+    assert(got392.map(_.getAs[Long]("n_customers")).sum == rows.length.toLong)
+    got392.foreach { r =>
+      assert(r.getAs[Long]("min_l") == ls.map(_._1).min)
+      assert(r.getAs[Long]("n_below_l3") ==
+        ls.filter(_._1 < 3).map(_._2).sum)
+      assert(r.getAs[Long]("n_rec22_fail") ==
+        ls.count { case (_, k, r1) => r1 > 2 * (k - r1) }.toLong)
+    }
+    // q393: t-closeness TVD per class
+    val gb = rows.groupBy(_._3).map { case (k, v) => k -> v.length.toLong }
+    val bigN = rows.length.toLong
+    run("q393_t_closeness").collect().foreach { r =>
+      val key = (r.getAs[Long]("c_nationkey"), r.getString(1))
+      val cl = byQi(key)
+      val k = cl.length.toLong
+      val tvd = gb.map { case (band, g) =>
+        math.abs(cl.count(_._3 == band) * bigN - g * k)
+      }.sum
+      assert(r.getAs[Long]("n_customers") == k)
+      assert(r.getAs[Long]("tvd_scaled") == tvd, s"$key tvd")
+      assert(r.getAs[Long]("tvd_milli") == tvd * 1000 / (2 * k * bigN))
+      assert(r.getAs[Long]("tvd_milli") <= 1000L, "TVD <= 1 law")
+    }
+    // q394: the generalization ladder is monotone in both directions
+    val lad = run("q394_generalization_ladder").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_classes"),
+        r.getAs[Long]("min_k"), r.getAs[Long]("n_suppressed_k5"))).toMap
+    assert(lad("l0_nation_segment_band")._1 ==
+      rows.groupBy(x => (x._1, x._2, x._3)).size.toLong)
+    assert(lad("l1_nation_segment")._1 == byQi.size.toLong)
+    assert(lad("l2_nation")._1 == rows.map(_._1).distinct.length.toLong)
+    assert(lad("l3_top") == ((1L, bigN, 0L)))
+    val order = Seq("l0_nation_segment_band", "l1_nation_segment",
+      "l2_nation", "l3_top").map(lad)
+    assert(order.map(_._1) == order.map(_._1).sorted.reverse,
+      "utility (class count) falls as attributes generalize away")
+    assert(order.map(_._2) == order.map(_._2).sorted,
+      "privacy floor (min_k) rises as attributes generalize away")
+    assert(order.map(_._3) == order.map(_._3).sorted.reverse,
+      "suppression cost falls as attributes generalize away")
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),

@@ -561,4 +561,57 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(trueCounts(i) <= est + dec, s"$i undercounted beyond the bound")
     }
   }
+
+  test("online CUSUM alarms on the shifted key only and matches a fold mirror") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val (ref, h) = (10L, 25L)
+    val s = MemoryStream[Ev]
+    val cusum = StreamingOps.onlineCusum[Ev](s.toDS(), _.key, _.ts.getTime,
+      _.value.toLong, ref = ref, h = h)
+    val q = cusum.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("cusum_status").start()
+    val batch1 = (1 to 6).map(i => Ev(t(i), "stable", 10.0 + (i % 2))) ++
+      (1 to 6).map(i => Ev(t(i), "drift", 10.0 - (i % 2)))
+    s.addData(batch1: _*)
+    q.processAllAvailable()
+    val mid = spark.table("cusum_status").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("alarms_pos"), r.getAs[Long]("alarms_neg"))).toMap
+    assert(mid("stable") == ((0L, 0L)) && mid("drift") == ((0L, 0L)),
+      "no alarm before the level shift")
+    // level shift: "drift" jumps to 25/event (+15 vs the reference)
+    val batch2 = (7 to 12).map(i => Ev(t(i), "drift", 25.0)) ++
+      (7 to 12).map(i => Ev(t(i), "stable", 10.0))
+    s.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // Scala fold mirror over the full per-key value sequence
+    def mirror(xs: Seq[Long]) =
+      xs.foldLeft((0L, 0L, 0L, 0L, 0L)) { case ((n, sp0, sn0, ap0, an0), x) =>
+        var sp = math.max(0L, sp0 + (x - ref))
+        var sn = math.max(0L, sn0 + (ref - x))
+        var ap = ap0
+        var an = an0
+        if (sp > h) { ap += 1; sp = 0L }
+        if (sn > h) { an += 1; sn = 0L }
+        (n + 1, sp, sn, ap, an)
+      }
+    val byKey = (batch1 ++ batch2).groupBy(_.key)
+      .map { case (k, vs) => k -> vs.sortBy(_.ts.getTime).map(_.value.toLong) }
+    val fin = spark.table("cusum_status").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("s_pos"),
+        r.getAs[Long]("s_neg"), r.getAs[Long]("alarms_pos"),
+        r.getAs[Long]("alarms_neg")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+    byKey.foreach { case (k, xs) =>
+      val (n, sp, sn, ap, an) = mirror(xs)
+      val got = fin(k)
+      assert((got._2, got._3, got._4, got._5, got._6) == ((n, sp, sn, ap, an)),
+        s"key $k: got $got, want ($n, $sp, $sn, $ap, $an)")
+    }
+    assert(fin("drift")._5 > 0, "the shifted key must alarm on the high side")
+    assert(fin("stable")._5 == 0 && fin("stable")._6 == 0,
+      "the stable key must never alarm")
+  }
 }
