@@ -899,6 +899,167 @@ object Similarity {
           expr("CAST(sum_abs_q * 1000000 DIV (127 * n_vecs) AS BIGINT)")
             .as("util_ppm"))
         .orderBy("dim")
+    },
+
+    // FISHER-style label-centroid SEPARABILITY table — "which label
+    // PAIRS does this embedding space actually separate?": squared
+    // centroid distance over pooled within-class spread, all in exact
+    // cross-multiplied integers on the 10³ grid (means never
+    // materialize — dist²(μa,μb)·(n_a·n_b)² = Σ_j (Sa_j·n_b − Sb_j·n_a)²
+    // and within-SS·n = n·Σ‖x‖² − ‖S‖², both DECIMAL(38,0)/HUGEINT).
+    // fisher_ppm = d2num·10⁶ DIV (n_b²·w_a + n_a²·w_b) — the two-class
+    // Fisher criterion's exact-integer image; low ppm pairs are the
+    // confusable ones q91's kNN vote then mislabels. One corpus scan →
+    // per-(label, dim) sums; the pair sweep is |labels|²·|dims| algebra
+    // on broadcastable aggregates, never corpus².
+    "q395_fisher_separability" -> { (s, d) =>
+      val e = Caches.shared(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+            " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q")))
+      val perLD = e.select(col("label"), posexplode(col("q"))
+          .as(Seq("dim", "qx")))
+        .groupBy("label", "dim").agg(sum(col("qx")).as("sj"))
+      val perL = e.select(col("label"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+            .as("ss"))
+        .groupBy("label").agg(count(lit(1)).as("n"), sum(col("ss")).as("ssq"))
+      val w = perLD.groupBy("label")
+        .agg(sum(col("sj").cast("decimal(38,0)") * col("sj")).as("s2"))
+        .join(perL, "label")
+        .select(col("label"), col("n"),
+          (col("n").cast("decimal(38,0)") * col("ssq") - col("s2")).as("w"))
+      val withN = perLD.join(broadcast(perL.select(col("label"), col("n"))),
+        "label")
+      val d2 = withN.select(col("label").as("la"), col("n").as("na"),
+          col("dim"), col("sj").as("sa"))
+        .join(broadcast(withN.select(col("label").as("lb"),
+          col("n").as("nb"), col("dim").as("dim2"), col("sj").as("sb"))),
+          col("dim") === col("dim2") && col("la") < col("lb"))
+        .select(col("la"), col("lb"), col("na"), col("nb"),
+          ((col("sa") * col("nb") - col("sb") * col("na"))
+            .cast("decimal(38,0)") *
+            (col("sa") * col("nb") - col("sb") * col("na"))).as("term"))
+        .groupBy("la", "lb", "na", "nb")
+        .agg(sum(col("term")).as("d2num"))
+      d2.join(broadcast(w.select(col("label").as("wla"), col("w").as("wa"))),
+          col("la") === col("wla"))
+        .join(broadcast(w.select(col("label").as("wlb"), col("w").as("wb"))),
+          col("lb") === col("wlb"))
+        .select(col("la").as("label_a"), col("lb").as("label_b"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          expr("CAST(d2num * 1000 DIV (CAST(na AS DECIMAL(38,0))" +
+            " * na * nb * nb) AS BIGINT)").as("d2_milli"),
+          expr("CAST(wa * 1000 DIV (CAST(na AS DECIMAL(38,0)) * na)" +
+            " AS BIGINT)").as("w2_a_milli"),
+          expr("CAST(wb * 1000 DIV (CAST(nb AS DECIMAL(38,0)) * nb)" +
+            " AS BIGINT)").as("w2_b_milli"),
+          expr("CAST(d2num * 1000000 DIV greatest(CAST(nb AS DECIMAL(38,0))" +
+            " * nb * wa + CAST(na AS DECIMAL(38,0)) * na * wb, 1)" +
+            " AS BIGINT)").as("fisher_ppm"))
+        .orderBy("label_a", "label_b")
+    },
+
+    // Simplified SILHOUETTE census over a bounded query sample — the
+    // per-POINT cluster-quality read beside q395's per-PAIR geometry:
+    // for each sampled vector, a = mean squared distance to its own
+    // label, b = the minimum over other labels of their mean squared
+    // distance (the "neighboring cluster"), s = (b − a)/max(a, b) in
+    // sign-split ppm via cross-multiplication (sb·ma vs sa·mb — the
+    // means never materialize). The b-label argmin orders by the
+    // FLOOR-scaled mean (sd DIV m, label tie-break) — one deterministic
+    // convention both engines replay. s ≈ 10⁶ ⇒ the point sits deep in
+    // its label; s < 0 ⇒ it is closer to another label's mass (a
+    // mislabel or boundary point — exactly what q85 mines as hard
+    // negatives). Distances are exact integer folds on the 10³ grid;
+    // the sweep is sample×corpus, LIMIT-bounded at any SF.
+    "q396_silhouette" -> { (s, d) =>
+      val e = Caches.shared(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+            " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q")))
+      val qs = e.filter(col("vec_id") % 100 === 0)
+        .orderBy("vec_id").limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("q").as("qv"))
+      val agg = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("q").as("cv"))
+        .join(broadcast(qs), col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("c_label"),
+          expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b))," +
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dd"))
+        .groupBy("q_id", "q_label", "c_label")
+        .agg(sum(col("dd")).as("sd"), count(lit(1)).as("m"))
+      val aLeg = agg.filter(col("c_label") === col("q_label"))
+        .select(col("q_id").as("qa"), col("sd").as("sa"), col("m").as("ma"))
+      val bLeg = agg.filter(col("c_label") =!= col("q_label"))
+        .withColumn("mean_e0", expr("sd DIV m"))
+        .groupBy("q_id", "q_label")
+        .agg(min(struct(col("mean_e0"), col("c_label"), col("sd"),
+          col("m"))).as("b"))
+        .select(col("q_id"), col("q_label"), col("b.c_label").as("b_label"),
+          col("b.sd").as("sb"), col("b.m").as("mb"),
+          col("b.mean_e0").as("b_mean_e0"))
+      bLeg.join(aLeg, col("q_id") === col("qa"))
+        .select(col("q_id").cast("long").as("q_id"),
+          col("q_label").cast("long").as("label"),
+          col("b_label").cast("long").as("b_label"),
+          col("ma").cast("long").as("n_same"),
+          col("mb").cast("long").as("n_b_label"),
+          expr("CAST(sa DIV ma AS BIGINT)").as("a_mean_e0"),
+          col("b_mean_e0").cast("long").as("b_mean_e0"),
+          expr("CAST(CASE WHEN CAST(sb AS DECIMAL(38,0)) * ma" +
+            " - CAST(sa AS DECIMAL(38,0)) * mb >= 0" +
+            " THEN (CAST(sb AS DECIMAL(38,0)) * ma" +
+            " - CAST(sa AS DECIMAL(38,0)) * mb) * 1000000" +
+            " DIV greatest(greatest(CAST(sb AS DECIMAL(38,0)) * ma," +
+            " CAST(sa AS DECIMAL(38,0)) * mb), 1)" +
+            " ELSE -((CAST(sa AS DECIMAL(38,0)) * mb" +
+            " - CAST(sb AS DECIMAL(38,0)) * ma) * 1000000" +
+            " DIV greatest(greatest(CAST(sb AS DECIMAL(38,0)) * ma," +
+            " CAST(sa AS DECIMAL(38,0)) * mb), 1)) END AS BIGINT)")
+            .as("s_ppm"))
+        .orderBy("q_id")
+    },
+
+    // Per-DIMENSION eta-squared discriminativeness — "which of the 64
+    // dimensions carry the label signal?" (q112 reads raw per-dim
+    // moments, q362 hunts outlier dims; THIS is the feature-selection
+    // read: between-label SS over total SS per dim). eta2_ppm =
+    // ssb_e6·10⁶ DIV sst_e6 with ssb_e6 = Σ_g (S_g²·10⁶ DIV n_g) −
+    // S²·10⁶ DIV N and sst_e6 = Σx²·10⁶ − S²·10⁶ DIV N — the per-group
+    // divisions are FLOOR-scaled (micro grid-units², one convention
+    // both engines replay; the ≤|labels| ulp of floor slack is clamped
+    // at 0 where SSB ≈ 0). A dim with eta² ≈ 0 is dead weight the
+    // Matryoshka prefix (q334) should not be spending on. One
+    // exploded-grid scan; output is |dims| rows at any SF.
+    "q397_dim_eta2" -> { (s, d) =>
+      val e = Caches.shared(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+            " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q")))
+      val qd = e.select(col("label"), posexplode(col("q")).as(Seq("dim", "qx")))
+      val g = qd.groupBy("dim", "label")
+        .agg(count(lit(1)).as("ng"), sum(col("qx")).as("sg"))
+        .select(col("dim"),
+          expr("CAST(CAST(sg AS DECIMAL(38,0)) * sg * 1000000 DIV ng" +
+            " AS DECIMAL(38,0))").as("t"))
+        .groupBy("dim").agg(sum(col("t")).as("sg2e6"))
+      val dA = qd.groupBy("dim")
+        .agg(count(lit(1)).as("nn"), sum(col("qx")).as("ss"),
+          sum(col("qx") * col("qx")).as("ssq"))
+      dA.join(g, "dim")
+        .select(col("dim").cast("long").as("dim"),
+          col("nn").cast("long").as("n_vecs"),
+          col("ss").cast("long").as("sum_q3"),
+          expr("CAST(greatest(sg2e6 - CAST(ss AS DECIMAL(38,0)) * ss" +
+            " * 1000000 DIV nn, 0) AS BIGINT)").as("ssb_e6"),
+          expr("CAST(CAST(ssq AS DECIMAL(38,0)) * 1000000" +
+            " - CAST(ss AS DECIMAL(38,0)) * ss * 1000000 DIV nn AS BIGINT)")
+            .as("sst_e6"))
+        .withColumn("eta2_ppm",
+          expr("CAST(ssb_e6 * 1000000 DIV greatest(sst_e6, 1) AS BIGINT)"))
+        .orderBy("dim")
     }
   )
 
@@ -1463,6 +1624,121 @@ object Similarity {
         |  CAST(SUM(CASE WHEN ABS(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_saturated,
         |  CAST(SUM(ABS(q)) * 1000000 // (127 * COUNT(*)) AS BIGINT) AS util_ppm
-        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q395_fisher_separability" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qd AS (SELECT label, g.i - 1 AS dim, q[g.i] AS qx
+        |  FROM e, UNNEST(generate_series(1, len(q))) AS g(i)),
+        |perld AS (SELECT label, dim, CAST(SUM(qx) AS BIGINT) AS sj
+        |  FROM qd GROUP BY 1, 2),
+        |perl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(list_sum(list_transform(q, x -> x * x))) AS BIGINT)
+        |      AS ssq
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT p.label, p.n,
+        |    CAST(p.n AS HUGEINT) * p.ssq
+        |      - (SELECT SUM(CAST(sj AS HUGEINT) * sj) FROM perld d
+        |         WHERE d.label = p.label) AS w
+        |  FROM perl p),
+        |d2 AS (
+        |  SELECT a.label AS la, b.label AS lb, pa.n AS na, pb.n AS nb,
+        |    SUM(CAST(a.sj * pb.n - b.sj * pa.n AS HUGEINT)
+        |      * (a.sj * pb.n - b.sj * pa.n)) AS d2num
+        |  FROM perld a JOIN perld b ON a.dim = b.dim AND a.label < b.label
+        |  JOIN perl pa ON pa.label = a.label
+        |  JOIN perl pb ON pb.label = b.label
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT la AS label_a, lb AS label_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(d2num * 1000 // (CAST(na AS HUGEINT) * na * nb * nb)
+        |    AS BIGINT) AS d2_milli,
+        |  CAST(wa.w * 1000 // (CAST(na AS HUGEINT) * na) AS BIGINT)
+        |    AS w2_a_milli,
+        |  CAST(wb.w * 1000 // (CAST(nb AS HUGEINT) * nb) AS BIGINT)
+        |    AS w2_b_milli,
+        |  CAST(d2num * 1000000 // GREATEST(CAST(nb AS HUGEINT) * nb * wa.w
+        |    + CAST(na AS HUGEINT) * na * wb.w, 1) AS BIGINT) AS fisher_ppm
+        |FROM d2 JOIN w wa ON wa.label = d2.la JOIN w wb ON wb.label = d2.lb
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q396_silhouette" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, label AS q_label, q AS qv FROM e
+        |  WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
+        |dd AS (
+        |  SELECT s.q_id, s.q_label, c.label AS c_label,
+        |    list_sum(list_transform(generate_series(1, len(s.qv)),
+        |      i -> (s.qv[i] - c.q[i]) * (s.qv[i] - c.q[i]))) AS dd
+        |  FROM qs s JOIN e c ON c.vec_id <> s.q_id),
+        |agg AS (SELECT q_id, q_label, c_label, CAST(SUM(dd) AS BIGINT) AS sd,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM dd GROUP BY 1, 2, 3),
+        |aleg AS (SELECT q_id, sd AS sa, m AS ma FROM agg
+        |  WHERE c_label = q_label),
+        |bleg AS (
+        |  SELECT q_id, q_label, c_label AS b_label, sd AS sb, m AS mb,
+        |    sd // m AS b_mean_e0,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sd // m, c_label)
+        |      AS rn
+        |  FROM agg WHERE c_label <> q_label)
+        |SELECT CAST(b.q_id AS BIGINT) AS q_id,
+        |  CAST(b.q_label AS BIGINT) AS label,
+        |  CAST(b.b_label AS BIGINT) AS b_label,
+        |  a.ma AS n_same, b.mb AS n_b_label,
+        |  CAST(a.sa // a.ma AS BIGINT) AS a_mean_e0,
+        |  CAST(b.b_mean_e0 AS BIGINT) AS b_mean_e0,
+        |  CAST(CASE WHEN CAST(b.sb AS HUGEINT) * a.ma
+        |      - CAST(a.sa AS HUGEINT) * b.mb >= 0
+        |    THEN (CAST(b.sb AS HUGEINT) * a.ma - CAST(a.sa AS HUGEINT) * b.mb)
+        |      * 1000000 // GREATEST(GREATEST(CAST(b.sb AS HUGEINT) * a.ma,
+        |      CAST(a.sa AS HUGEINT) * b.mb), 1)
+        |    ELSE -((CAST(a.sa AS HUGEINT) * b.mb
+        |      - CAST(b.sb AS HUGEINT) * a.ma)
+        |      * 1000000 // GREATEST(GREATEST(CAST(b.sb AS HUGEINT) * a.ma,
+        |      CAST(a.sa AS HUGEINT) * b.mb), 1))
+        |    END AS BIGINT) AS s_ppm
+        |FROM bleg b JOIN aleg a ON a.q_id = b.q_id WHERE b.rn = 1
+        |ORDER BY 1""".stripMargin,
+
+    "q397_dim_eta2" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qd AS (SELECT label, g.i - 1 AS dim, q[g.i] AS qx
+        |  FROM e, UNNEST(generate_series(1, len(q))) AS g(i)),
+        |g1 AS (SELECT dim, label, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(qx) AS BIGINT) AS sg
+        |  FROM qd GROUP BY 1, 2),
+        |g2 AS (SELECT dim, SUM(CAST(sg AS HUGEINT) * sg * 1000000 // ng)
+        |    AS sg2e6
+        |  FROM g1 GROUP BY 1),
+        |da AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(SUM(qx) AS BIGINT) AS ss,
+        |    CAST(SUM(qx * qx) AS BIGINT) AS ssq
+        |  FROM qd GROUP BY 1)
+        |SELECT CAST(da.dim AS BIGINT) AS dim, da.nn AS n_vecs,
+        |  da.ss AS sum_q3,
+        |  CAST(GREATEST(g2.sg2e6 - CAST(da.ss AS HUGEINT) * da.ss * 1000000
+        |    // da.nn, 0) AS BIGINT) AS ssb_e6,
+        |  CAST(CAST(da.ssq AS HUGEINT) * 1000000
+        |    - CAST(da.ss AS HUGEINT) * da.ss * 1000000 // da.nn AS BIGINT)
+        |    AS sst_e6,
+        |  CAST(GREATEST(g2.sg2e6 - CAST(da.ss AS HUGEINT) * da.ss * 1000000
+        |      // da.nn, 0) * 1000000
+        |    // GREATEST(CAST(da.ssq AS HUGEINT) * 1000000
+        |      - CAST(da.ss AS HUGEINT) * da.ss * 1000000 // da.nn, 1)
+        |    AS BIGINT) AS eta2_ppm
+        |FROM da JOIN g2 ON g2.dim = da.dim ORDER BY 1""".stripMargin
   )
 }

@@ -453,4 +453,107 @@ class AuditOpsSpec extends AnyFunSuite {
       "NFC composes e + combining acute into one char")
     assert(out("clean").getAs[Long]("docs_changed") == 0L)
   }
+
+  /** Shared brute-force q³ grid for the q395-q397 label-geometry mirrors. */
+  private lazy val labVecs: Array[(Long, Long, Array[Long])] =
+    graft.model.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          r.getSeq[Double](2).map(x => math.floor(x * 1000 + 0.5).toLong)
+            .toArray)
+      }
+
+  test("q395 Fisher separability matches a brute-force centroid-algebra mirror") {
+    val byLab = labVecs.groupBy(_._2)
+    def sj(l: Long) = {
+      val vs = byLab(l).map(_._3)
+      (0 until vs.head.length).map(j => vs.map(_(j)).sum).toArray
+    }
+    def w(l: Long) = {
+      val vs = byLab(l).map(_._3)
+      val n = vs.length.toLong
+      val ssq = vs.map(v => v.map(x => BigInt(x) * x).sum).sum
+      val s2 = sj(l).map(x => BigInt(x) * x).sum
+      n * ssq - s2
+    }
+    Similarity.queries("q395_fisher_separability")(spark, sf)
+      .collect().foreach { r =>
+        val (la, lb) = (r.getLong(0), r.getLong(1))
+        val (na, nb) = (byLab(la).length.toLong, byLab(lb).length.toLong)
+        val (sa, sb) = (sj(la), sj(lb))
+        val d2num = sa.indices.map { j =>
+          val t = BigInt(sa(j) * nb - sb(j) * na); t * t
+        }.sum
+        val (wa, wb) = (w(la), w(lb))
+        assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+        assert(BigInt(r.getAs[Long]("d2_milli")) ==
+          d2num * 1000 / (BigInt(na) * na * nb * nb), s"($la,$lb) d2")
+        assert(BigInt(r.getAs[Long]("w2_a_milli")) == wa * 1000 / (na * na))
+        assert(BigInt(r.getAs[Long]("fisher_ppm")) ==
+          d2num * 1000000 / (BigInt(nb) * nb * wa + BigInt(na) * na * wb)
+            .max(BigInt(1)), s"($la,$lb) fisher")
+        assert(wa >= 0 && wb >= 0, "within-SS is non-negative")
+      }
+  }
+
+  test("q396 silhouette matches a brute-force a/b mirror and is bounded") {
+    val byId = labVecs.map(v => v._1 -> v).toMap
+    Similarity.queries("q396_silhouette")(spark, sf)
+      .collect().foreach { r =>
+        val qid = r.getAs[Long]("q_id")
+        val (_, qlab, qv) = byId(qid)
+        def d2(a: Array[Long], b: Array[Long]) =
+          a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+        val others = labVecs.filterNot(_._1 == qid)
+        val byLab = others.groupBy(_._2)
+          .map { case (l, vs) =>
+            l -> (vs.map(v => d2(qv, v._3)).sum, vs.length.toLong)
+          }
+        val (sa, ma) = byLab(qlab)
+        val bl = byLab.filterNot(_._1 == qlab)
+          .minBy { case (l, (sd, m)) => (sd / m, l) }
+        val (blab, (sb, mb)) = bl
+        assert(r.getAs[Long]("label") == qlab)
+        assert(r.getAs[Long]("b_label") == blab, s"q$qid b_label")
+        assert(r.getAs[Long]("n_same") == ma)
+        assert(r.getAs[Long]("a_mean_e0") == sa / ma)
+        assert(r.getAs[Long]("b_mean_e0") == sb / mb)
+        val (x, y) = (BigInt(sb) * ma, BigInt(sa) * mb)
+        val den = x.max(y).max(BigInt(1))
+        val want = if (x >= y) (x - y) * 1000000 / den
+                   else -((y - x) * 1000000 / den)
+        assert(BigInt(r.getAs[Long]("s_ppm")) == want, s"q$qid s_ppm")
+        assert(math.abs(r.getAs[Long]("s_ppm")) <= 1000000L,
+          "|s| <= 1 silhouette law")
+      }
+  }
+
+  test("q397 per-dim eta2 matches brute force and obeys 0 <= eta2 <= 1") {
+    val rows = Similarity.queries("q397_dim_eta2")(spark, sf).collect()
+    assert(rows.length == labVecs.head._3.length)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("dim").toInt
+      val xs = labVecs.map(v => (v._2, v._3(j)))
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      val ssq = xs.map(x => x._2 * x._2).sum
+      val sg2e6 = xs.groupBy(_._1).values.map { g =>
+        val sg = g.map(_._2).sum
+        BigInt(sg) * sg * 1000000 / g.length
+      }.sum
+      val corr = BigInt(s) * s * 1000000 / n
+      val ssb = (sg2e6 - corr).max(BigInt(0))
+      val sst = BigInt(ssq) * 1000000 - corr
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("sum_q3") == s)
+      assert(BigInt(r.getAs[Long]("ssb_e6")) == ssb, s"dim $j ssb")
+      assert(BigInt(r.getAs[Long]("sst_e6")) == sst, s"dim $j sst")
+      assert(BigInt(r.getAs[Long]("eta2_ppm")) ==
+        ssb * 1000000 / sst.max(BigInt(1)))
+      assert(r.getAs[Long]("eta2_ppm") <= 1000000L + 10L,
+        "eta2 <= 1 up to floor slack")
+    }
+  }
 }

@@ -115,12 +115,14 @@ class PlanSpec extends AnyFunSuite {
     // hb64 is q323's hashed-bigram bucket lattice: hash % 64 — the
     // domain is the 64 residues by construction, never the data volume
     // anchor_rank is q391's literal 3-value rank grid (1/2/3 from the
-    // chained-min anchor selection) — a constant domain by construction
+    // chained-min anchor selection) — a constant domain by construction;
+    // label is the embeddings class enumeration (10 values by schema —
+    // q395's per-label centroid sums are |labels|·|dims|-sized grids)
     val boundedDomainKeys = Set("day", "lang", "source", "event_type", "n_chars",
       "from_type", "to_type", "tok", "w1", "disc_pct", "prio",
       "r_name", "n_name", "c_mktsegment", "lo", "delta", "t", "l_linestatus",
       "c_nationkey", "dim", "crn", "mask", "s8", "cohort", "hb64",
-      "anchor_rank")
+      "anchor_rank", "label")
     // Recursive: a subtree is bounded if every path from the broadcast
     // root down to a fact leaf passes through a LIMIT, a one-row
     // (groupless) aggregate, or an aggregate grouped only on
