@@ -224,6 +224,75 @@ object Multimodal {
       sa, pk, ws)
   }
 
+  /** q400 silence threshold: |sample| below this is silence. ONE
+    * constant interpolated into both engines. */
+  val SilenceT = 8192L
+
+  case class AudioZc(doc_id: Long, n_samples: Long, zero_crossings: Long,
+                     sum_sq: Long, n_frames: Long, max_frame_sumabs: Long)
+
+  /** Zero-crossing + frame-loudness decoder (q398): sign convention is
+    * v ≥ 0 ⇒ positive (zero counts as positive — one rule both engines
+    * replay); frames are non-overlapping 8-sample windows, last one
+    * partial. */
+  def zcWavBatch(batch: Seq[Asset]): Seq[AudioZc] = batch.map { a =>
+    val au = WavCodec.decode(a.content)
+    var (zc, ssq) = (0L, 0L)
+    var (frameSum, maxFrame, nFrames) = (0L, 0L, 0L)
+    var k = 0
+    while (k < au.samples.length) {
+      val v = au.samples(k).toLong
+      ssq += v * v
+      if (k > 0 && (v >= 0) != (au.samples(k - 1) >= 0)) zc += 1
+      if (k % 8 == 0) { frameSum = 0L; nFrames += 1 }
+      frameSum += math.abs(v)
+      maxFrame = math.max(maxFrame, frameSum)
+      k += 1
+    }
+    AudioZc(a.doc_id, au.samples.length.toLong, zc, ssq, nFrames, maxFrame)
+  }
+
+  case class AudioRuns(doc_id: Long, n_samples: Long, n_silent: Long,
+                       n_runs: Long, max_run: Long)
+
+  /** Silence-run decoder (q400): maximal runs of consecutive samples
+    * with |v| < [[SilenceT]]. */
+  def silenceWavBatch(batch: Seq[Asset]): Seq[AudioRuns] = batch.map { a =>
+    val au = WavCodec.decode(a.content)
+    var (nSil, nRuns, maxRun, cur) = (0L, 0L, 0L, 0L)
+    var k = 0
+    while (k < au.samples.length) {
+      if (math.abs(au.samples(k).toLong) < SilenceT) {
+        if (cur == 0L) nRuns += 1
+        cur += 1; nSil += 1
+        maxRun = math.max(maxRun, cur)
+      } else cur = 0L
+      k += 1
+    }
+    AudioRuns(a.doc_id, au.samples.length.toLong, nSil, nRuns, maxRun)
+  }
+
+  case class ImageEdges(doc_id: Long, width: Long, height: Long,
+                        grad_h: Long, grad_v: Long)
+
+  /** L1 gradient-energy decoder (q399) over luminance = r + g + b. */
+  def edgeBmpBatch(batch: Seq[Asset]): Seq[ImageEdges] = batch.map { a =>
+    val img = BmpCodec.decode(a.content)
+    def lum(x: Int, y: Int) = (img.r(x, y) + img.g(x, y) + img.b(x, y)).toLong
+    var (gh, gv) = (0L, 0L)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        if (x + 1 < img.width) gh += math.abs(lum(x + 1, y) - lum(x, y))
+        if (y + 1 < img.height) gv += math.abs(lum(x, y + 1) - lum(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    ImageEdges(a.doc_id, img.width, img.height, gh, gv)
+  }
+
   /** STUB resize — a real implementation rescales pixels; the stub halves
     * the fake dimensions, preserving the typed metadata contract. */
   def resizeStub(m: DecodedAsset, maxDim: Long): DecodedAsset = {
@@ -445,6 +514,79 @@ object Multimodal {
           max(col("csz")).cast("long").as("max_cluster"),
           sum(col("csz") - 1).cast("long").as("dup_images"))
         .orderBy("width", "height")
+    },
+
+    // ZERO-CROSSING + frame-loudness census through the REAL WAV codec
+    // — the spectral-proxy reduction a speech pipeline runs before any
+    // FFT (zc rate separates voiced/unvoiced/noise; the 8-sample frame
+    // envelope is the loudness contour): per doc a 16+id%16-sample
+    // deterministic PCM16 clip is encoded to RIFF bytes, decoded back,
+    // and reduced to exact integers — zero crossings under the v ≥ 0 ⇒
+    // positive convention, Σv² energy, and the max non-overlapping
+    // 8-sample frame Σ|v|. The oracle replays the pattern
+    // arithmetically, so the codec round trip is hash-verified sample
+    // by sample. Pure per-row map through the batched codec seam — no
+    // shuffle before the final orderBy, same scale shape as q192.
+    "q398_wav_zero_crossings" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val n = (16 + id % 16).toInt
+          Asset(id, src,
+            WavCodec.encode(8000, Array.tabulate(n)(patternSample(id, _))))
+        }.toDF()
+      decodeAssetsAs(assets, batchSize = 64)(zcWavBatch)
+        .select(col("doc_id"), col("n_samples"), col("zero_crossings"),
+          col("sum_sq"), col("n_frames"), col("max_frame_sumabs"))
+        .orderBy("doc_id")
+    },
+
+    // L1 GRADIENT-ENERGY census through the REAL BMP codec — the
+    // edge-content reduction (blur/quality proxy: near-zero gradient
+    // energy at normal variance means flat or synthetic fills; q333's
+    // histogram sees the palette, THIS sees the structure): per-pixel
+    // luminance r+g+b, horizontal + vertical absolute-difference sums
+    // in exact integers. The oracle recomputes the pattern's luminance
+    // grid arithmetically — both codec passes and the neighbor
+    // geometry (row stride, padding) are hash-verified.
+    "q399_bmp_edge_energy" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          Asset(id, src, BmpCodec.encode(w, h, (x, y) => patternPixel(id, x, y)))
+        }.toDF()
+      decodeAssetsAs(assets, batchSize = 64)(edgeBmpBatch)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("grad_h"), col("grad_v"),
+          (col("grad_h") + col("grad_v")).as("edge_total"))
+        .orderBy("doc_id")
+    },
+
+    // SILENCE-RUN census through the REAL WAV codec — the trim/VAD
+    // preprocessing read (how much of each clip is dead air, and is it
+    // one leading block or scattered?): maximal runs of consecutive
+    // samples with |v| < SilenceT, exact counts + longest run +
+    // silent_ppm. The oracle rebuilds the runs with the classic
+    // k − row_number() run-id trick over the arithmetic pattern.
+    "q400_wav_silence_runs" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val n = (16 + id % 16).toInt
+          Asset(id, src,
+            WavCodec.encode(8000, Array.tabulate(n)(patternSample(id, _))))
+        }.toDF()
+      decodeAssetsAs(assets, batchSize = 64)(silenceWavBatch)
+        .select(col("doc_id"), col("n_samples"), col("n_silent"),
+          col("n_runs"), col("max_run"),
+          expr("CAST(n_silent * 1000000 DIV n_samples AS BIGINT)")
+            .as("silent_ppm"))
+        .orderBy("doc_id")
     }
   )
 
@@ -626,6 +768,92 @@ object Multimodal {
         |  CAST(SUM(csz) AS BIGINT) AS n_images,
         |  CAST(MAX(csz) AS BIGINT) AS max_cluster,
         |  CAST(SUM(csz - 1) AS BIGINT) AS dup_images
-        |FROM cl GROUP BY 1, 2 ORDER BY width, height""".stripMargin
+        |FROM cl GROUP BY 1, 2 ORDER BY width, height""".stripMargin,
+
+    "q398_wav_zero_crossings" ->
+      """WITH clips AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 16 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT c.doc_id, g.k,
+        |    ((c.doc_id * 31 + g.k * 7919) % 65536) - 32768 AS v
+        |  FROM clips c, UNNEST(generate_series(0, 30)) AS g(k)
+        |  WHERE g.k < c.n),
+        |zc AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN (a.v >= 0) <> (b.v >= 0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS zc
+        |  FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.k = a.k - 1
+        |  GROUP BY 1),
+        |fr AS (SELECT doc_id, k // 8 AS f, CAST(SUM(ABS(v)) AS BIGINT) AS fs
+        |  FROM s GROUP BY 1, 2),
+        |fa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |    CAST(MAX(fs) AS BIGINT) AS mf
+        |  FROM fr GROUP BY 1)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  zc.zc AS zero_crossings,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  fa.n_frames, fa.mf AS max_frame_sumabs
+        |FROM s JOIN zc USING (doc_id) JOIN fa USING (doc_id)
+        |GROUP BY s.doc_id, zc.zc, fa.n_frames, fa.mf
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q399_bmp_edge_energy" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT i.doc_id, i.w, i.h, gx.x, gy.y,
+        |    ((i.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256)
+        |     + ((i.doc_id * 31 + gx.x * 7 + gy.y * 13 + 41) % 256)
+        |     + ((i.doc_id * 31 + gx.x * 7 + gy.y * 13 + 82) % 256) AS lum
+        |  FROM imgs i,
+        |    UNNEST(generate_series(0, 8)) AS gx(x),
+        |    UNNEST(generate_series(0, 6)) AS gy(y)
+        |  WHERE gx.x < i.w AND gy.y < i.h),
+        |gh AS (
+        |  SELECT a.doc_id, CAST(SUM(ABS(b.lum - a.lum)) AS BIGINT) AS grad_h
+        |  FROM px a JOIN px b
+        |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  GROUP BY 1),
+        |gv AS (
+        |  SELECT a.doc_id, CAST(SUM(ABS(b.lum - a.lum)) AS BIGINT) AS grad_v
+        |  FROM px a JOIN px b
+        |    ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y + 1
+        |  GROUP BY 1)
+        |SELECT i.doc_id, i.w AS width, i.h AS height,
+        |  gh.grad_h, gv.grad_v, gh.grad_h + gv.grad_v AS edge_total
+        |FROM imgs i JOIN gh USING (doc_id) JOIN gv USING (doc_id)
+        |ORDER BY 1""".stripMargin,
+
+    "q400_wav_silence_runs" ->
+      s"""WITH clips AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 16 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT c.doc_id, g.k,
+        |    ((c.doc_id * 31 + g.k * 7919) % 65536) - 32768 AS v
+        |  FROM clips c, UNNEST(generate_series(0, 30)) AS g(k)
+        |  WHERE g.k < c.n),
+        |sil AS (
+        |  SELECT doc_id, k,
+        |    k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS grp
+        |  FROM s WHERE ABS(v) < $SilenceT),
+        |runs AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS rl
+        |  FROM sil GROUP BY 1, 2),
+        |ra AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |    CAST(MAX(rl) AS BIGINT) AS max_run,
+        |    CAST(SUM(rl) AS BIGINT) AS n_silent
+        |  FROM runs GROUP BY 1),
+        |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples
+        |  FROM s GROUP BY 1)
+        |SELECT ns.doc_id, ns.n_samples,
+        |  CAST(COALESCE(ra.n_silent, 0) AS BIGINT) AS n_silent,
+        |  CAST(COALESCE(ra.n_runs, 0) AS BIGINT) AS n_runs,
+        |  CAST(COALESCE(ra.max_run, 0) AS BIGINT) AS max_run,
+        |  CAST(COALESCE(ra.n_silent, 0) * 1000000 // ns.n_samples AS BIGINT)
+        |    AS silent_ppm
+        |FROM ns LEFT JOIN ra USING (doc_id) ORDER BY 1""".stripMargin
   )
 }

@@ -124,4 +124,27 @@ class BmpCodecSpec extends AnyFunSuite {
     assert((st.sum_r, st.sum_g, st.sum_b, st.wlum) === ((sr, sg, sb, wl)))
     assert(st.width === 6 && st.height === 5)
   }
+
+  test("q399 edge-energy decoder matches a pixel-walk mirror") {
+    import graft.ops.{BmpCodec, Multimodal}
+    for (id <- Seq(2L, 11L, 42L)) {
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+      val bytes = BmpCodec.encode(w, h,
+        (x, y) => Multimodal.patternPixel(id, x, y))
+      val st = Multimodal.edgeBmpBatch(
+        Seq(Multimodal.Asset(id, "s", bytes))).head
+      def lum(x: Int, y: Int) = {
+        val base = id * 31 + x * 7 + y * 13
+        base % 256 + (base + 41) % 256 + (base + 82) % 256
+      }
+      var (gh, gv) = (0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (x + 1 < w) gh += math.abs(lum(x + 1, y) - lum(x, y))
+        if (y + 1 < h) gv += math.abs(lum(x, y + 1) - lum(x, y))
+      }
+      assert(st.width == w.toLong && st.height == h.toLong)
+      assert(st.grad_h == gh, s"img $id grad_h")
+      assert(st.grad_v == gv, s"img $id grad_v")
+    }
+  }
 }

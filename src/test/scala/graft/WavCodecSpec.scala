@@ -49,4 +49,43 @@ class WavCodecSpec extends AnyFunSuite {
     val truncated = good.dropRight(1) // data length now inconsistent
     assertThrows[IllegalArgumentException](WavCodec.decode(truncated))
   }
+
+  test("q398 zero-crossing/frame decoder matches a sample-walk mirror") {
+    import graft.ops.Multimodal
+    for (id <- Seq(0L, 7L, 23L)) {
+      val n = (16 + id % 16).toInt
+      val samples = Array.tabulate(n)(Multimodal.patternSample(id, _))
+      val asset = Multimodal.Asset(id, "s",
+        WavCodec.encode(8000, samples))
+      val st = Multimodal.zcWavBatch(Seq(asset)).head
+      val vs = samples.map(_.toLong)
+      val zc = (1 until n).count(k => (vs(k) >= 0) != (vs(k - 1) >= 0)).toLong
+      val frames = vs.grouped(8).toSeq
+      assert(st.n_samples == n.toLong)
+      assert(st.zero_crossings == zc, s"clip $id zc")
+      assert(st.sum_sq == vs.map(v => v * v).sum)
+      assert(st.n_frames == frames.length.toLong)
+      assert(st.max_frame_sumabs == frames.map(_.map(math.abs).sum).max)
+    }
+  }
+
+  test("q400 silence-run decoder matches a run-walk mirror") {
+    import graft.ops.Multimodal
+    for (id <- Seq(1L, 9L, 30L)) {
+      val n = (16 + id % 16).toInt
+      val samples = Array.tabulate(n)(Multimodal.patternSample(id, _))
+      val st = Multimodal.silenceWavBatch(Seq(Multimodal.Asset(id, "s",
+        WavCodec.encode(8000, samples)))).head
+      val flags = samples.map(v => math.abs(v.toLong) < Multimodal.SilenceT)
+      val runs = flags.foldLeft(List.empty[Long]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 =>
+          (acc.head + 1) :: acc.tail
+        case (acc, true) => 1L :: acc
+        case (acc, false) => 0L :: acc
+      }.filter(_ > 0)
+      assert(st.n_silent == flags.count(identity).toLong, s"clip $id silent")
+      assert(st.n_runs == runs.length.toLong, s"clip $id runs")
+      assert(st.max_run == (if (runs.isEmpty) 0L else runs.max))
+    }
+  }
 }
