@@ -2381,6 +2381,110 @@ object Stewardship {
         .unionByName(rung("l2_nation", 1L, Seq("c_nationkey")))
         .unionByName(rung("l3_top", 0L, Seq.empty))
         .orderBy("level")
+    },
+
+    // CLUSTERING OVERLAP-DEPTH metric — the Delta/Iceberg OPTIMIZE
+    // decision's other half (q361 prices skipping for ONE filter
+    // column under two layouts; THIS asks, for each CANDIDATE key, how
+    // clustered the insertion-order layout already is): depth(v) =
+    // number of files whose [min, max] zone contains value v; a
+    // perfectly clustered key has depth ≈ 1 everywhere, a shuffled key
+    // has depth ≈ |files|. avg_depth_milli vs max_depth per candidate
+    // tells which re-cluster job pays before running it. Same 32-file
+    // insertion-order model as q361 (event_id·32 DIV (max+1)). Keys:
+    // the event day (generator writes roughly time-ordered — low
+    // depth) vs the user bucket (hash-scattered — depth ≈ files).
+    // Scale: one stats pass builds 2×32 zones; the depth sweep is
+    // |values|×32 algebra on horizon/lattice-bounded domains.
+    "q401_overlap_depth" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+            .as("day_k"),
+          (col("user_id") % 256).as("user_k"))
+      val mx = ev.agg(max(col("event_id")).as("mi"))
+      val filed = Caches.shared(ev.crossJoin(broadcast(mx))
+        .select(expr("event_id * 32 DIV (mi + 1)").as("fid"),
+          col("day_k"), col("user_k")))
+      def depth(key: String, nm: String) = {
+        val zones = filed.groupBy("fid")
+          .agg(min(col(key)).as("zmin"), max(col(key)).as("zmax"))
+        val vals = filed.select(col(key).as("v")).distinct()
+        val nf = zones.agg(count(lit(1)).as("n_files"))
+        vals.join(broadcast(zones),
+            col("v") >= col("zmin") && col("v") <= col("zmax"))
+          .groupBy("v").agg(count(lit(1)).as("dep"))
+          .agg(count(lit(1)).as("n_values"), sum(col("dep")).as("sdep"),
+            max(col("dep")).as("maxd"))
+          .crossJoin(broadcast(nf))
+          .select(lit(nm).as("candidate_key"),
+            col("n_files").cast("long").as("n_files"),
+            col("n_values").cast("long").as("n_values"),
+            expr("CAST(sdep * 1000 DIV n_values AS BIGINT)")
+              .as("avg_depth_milli"),
+            col("maxd").cast("long").as("max_depth"))
+      }
+      depth("day_k", "a_event_day").unionByName(depth("user_k", "b_user_bucket"))
+        .orderBy("candidate_key")
+    },
+
+    // NEYMAN ALLOCATION table — "given a labeling/eval budget, how many
+    // docs should each source contribute?": optimal stratified
+    // allocation n_h ∝ N_h·S_h. The exact-integer route: the variance
+    // NUMERATOR var_num = n·Σx² − (Σx)² equals n²·Var, so
+    // floor(sqrt(var_num)) IS n·S floored — sqrt is IEEE-754
+    // correctly-rounded (hardware fsqrt, unlike log/exp), so
+    // FLOOR(SQRT(CAST(x AS DOUBLE))) is bit-identical across engines
+    // for x < 2^53 (var_num ≈ n²·var stays under that to ~10⁸ docs per
+    // source; DECIMAL route past it). alloc_ppm vs the proportional
+    // share n_h·10⁶ DIV N shows exactly where Neyman disagrees with
+    // naive proportional sampling (high-variance sources oversample).
+    // One grid agg; |sources| output rows.
+    "q402_neyman_allocation" -> { (s, d) =>
+      val st = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .select(col("source"), col("n"),
+          expr("CAST(n * sxx - sx * sx AS BIGINT)").as("var_num"),
+          expr("CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)))" +
+            " AS BIGINT)").as("ns"))
+      val tot = st.agg(sum(col("ns")).as("tns"), sum(col("n")).as("nn"))
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          col("var_num"), col("ns").as("n_times_sd"),
+          expr("CAST(ns * 1000000 DIV greatest(tns, 1) AS BIGINT)")
+            .as("neyman_ppm"),
+          expr("CAST(n * 1000000 DIV nn AS BIGINT)").as("proportional_ppm"),
+          expr("CAST(ns * 1000 DIV greatest(tns, 1) AS BIGINT)")
+            .as("n_alloc_of_1000"))
+        .orderBy("source")
+    },
+
+    // SESSION TRIGRAM MOTIFS — which 3-step event-type sequences users
+    // actually walk (q99's basket pairs are order-free co-occurrence;
+    // funnels test ONE fixed sequence; this censuses ALL length-3
+    // paths): per user, events ordered by (ts, event_id) — the
+    // reference's arrival-order model — with the two successors read
+    // by lead() over ONE user-partitioned sort; trigram counts and
+    // share ppm over all trigrams. Output is ≤ |types|³ rows at any
+    // SF. The per-user window is bounded by per-user activity, not
+    // corpus size, and the single sort serves both leads.
+    "q403_trigram_motifs" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tri = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("cnt"))
+      val tot = tri.agg(sum(col("cnt")).as("tt"))
+      tri.crossJoin(broadcast(tot))
+        .select(col("e1"), col("e2"), col("e3"),
+          col("cnt").cast("long").as("n_walks"),
+          expr("CAST(cnt * 1000000 DIV tt AS BIGINT)").as("share_ppm"))
+        .orderBy("e1", "e2", "e3")
     }
   )
 
@@ -3937,6 +4041,79 @@ object Stewardship {
         |  CAST(COUNT(*) AS BIGINT), CAST(MIN(ksz) AS BIGINT),
         |  CAST(SUM(CASE WHEN ksz < 5 THEN ksz ELSE 0 END) AS BIGINT)
         |FROM l3
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q401_overlap_depth" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_k,
+        |    CAST(user_id % 256 AS BIGINT) AS user_k
+        |  FROM events),
+        |mx AS (SELECT MAX(event_id) AS mi FROM ev),
+        |filed AS (
+        |  SELECT e.event_id * 32 // (m.mi + 1) AS fid, e.day_k, e.user_k
+        |  FROM ev e CROSS JOIN mx m),
+        |zd AS (SELECT fid, MIN(day_k) AS zmin, MAX(day_k) AS zmax
+        |  FROM filed GROUP BY 1),
+        |vd AS (SELECT DISTINCT day_k AS v FROM filed),
+        |dd AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dep
+        |  FROM vd JOIN zd ON v BETWEEN zmin AND zmax GROUP BY 1),
+        |ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    CAST(SUM(dep) AS BIGINT) AS sdep, CAST(MAX(dep) AS BIGINT) AS maxd
+        |  FROM dd),
+        |nfd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM zd),
+        |zu AS (SELECT fid, MIN(user_k) AS zmin, MAX(user_k) AS zmax
+        |  FROM filed GROUP BY 1),
+        |vu AS (SELECT DISTINCT user_k AS v FROM filed),
+        |du AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dep
+        |  FROM vu JOIN zu ON v BETWEEN zmin AND zmax GROUP BY 1),
+        |au AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    CAST(SUM(dep) AS BIGINT) AS sdep, CAST(MAX(dep) AS BIGINT) AS maxd
+        |  FROM du),
+        |nfu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM zu)
+        |SELECT 'a_event_day' AS candidate_key, nfd.n_files, ad.n_values,
+        |  CAST(ad.sdep * 1000 // ad.n_values AS BIGINT) AS avg_depth_milli,
+        |  ad.maxd AS max_depth
+        |FROM ad CROSS JOIN nfd
+        |UNION ALL
+        |SELECT 'b_user_bucket', nfu.n_files, au.n_values,
+        |  CAST(au.sdep * 1000 // au.n_values AS BIGINT), au.maxd
+        |FROM au CROSS JOIN nfu
+        |ORDER BY 1""".stripMargin,
+
+    "q402_neyman_allocation" ->
+      """WITH st AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |s2 AS (
+        |  SELECT source, n, CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
+        |    CAST(FLOOR(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+        |      AS ns
+        |  FROM st),
+        |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS tns,
+        |    CAST(SUM(n) AS BIGINT) AS nn FROM s2)
+        |SELECT source, n AS n_docs, var_num, ns AS n_times_sd,
+        |  CAST(ns * 1000000 // GREATEST(tns, 1) AS BIGINT) AS neyman_ppm,
+        |  CAST(n * 1000000 // nn AS BIGINT) AS proportional_ppm,
+        |  CAST(ns * 1000 // GREATEST(tns, 1) AS BIGINT) AS n_alloc_of_1000
+        |FROM s2 CROSS JOIN tot ORDER BY 1""".stripMargin,
+
+    "q403_trigram_motifs" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events),
+        |tri AS (SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM tri)
+        |SELECT e1, e2, e3, cnt AS n_walks,
+        |  CAST(cnt * 1000000 // tt AS BIGINT) AS share_ppm
+        |FROM tri CROSS JOIN tot ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -1229,6 +1229,82 @@ class StewardshipSpec extends AnyFunSuite {
       "suppression cost falls as attributes generalize away")
   }
 
+  test("q401 overlap depth matches a brute-force zone mirror and obeys its bounds") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"),
+        (col("user_id") % 256))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mi = ev.map(_._1).max
+    def mirror(keyOf: ((Long, Long, Long)) => Long) = {
+      val zones = ev.groupBy(e => e._1 * 32 / (mi + 1))
+        .values.toSeq.map(es => (es.map(keyOf).min, es.map(keyOf).max))
+      val vals = ev.map(keyOf).distinct
+      val deps = vals.map(v => zones.count(z => v >= z._1 && v <= z._2).toLong)
+      (zones.length.toLong, vals.length.toLong, deps.sum, deps.max)
+    }
+    val rows = run("q401_overlap_depth").collect()
+      .map(r => r.getString(0) -> r).toMap
+    Seq("a_event_day" -> mirror(_._2), "b_user_bucket" -> mirror(_._3))
+      .foreach { case (k, (nf, nv, sdep, maxd)) =>
+        val r = rows(k)
+        assert(r.getAs[Long]("n_files") == nf, s"$k files")
+        assert(r.getAs[Long]("n_values") == nv)
+        assert(r.getAs[Long]("avg_depth_milli") == sdep * 1000 / nv, s"$k avg")
+        assert(r.getAs[Long]("max_depth") == maxd)
+        assert(r.getAs[Long]("avg_depth_milli") >= 1000L &&
+          r.getAs[Long]("max_depth") <= nf, s"$k depth bounds")
+      }
+  }
+
+  test("q402 Neyman allocation matches an isqrt mirror and conserves the budget") {
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val nsBy = bySource.map { case (src, xs) =>
+      val v = xs.map(_._2)
+      val (n, sx, sxx) = (v.length.toLong, v.sum, v.map(x => x * x).sum)
+      src -> (n, n * sxx - sx * sx)
+    }
+    val tns = nsBy.values.map(v => math.sqrt(v._2.toDouble).toLong).sum
+    val nn = nsBy.values.map(_._1).sum
+    val rows = run("q402_neyman_allocation").collect()
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val (n, vn) = nsBy(src)
+      val ns = math.sqrt(vn.toDouble).toLong
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("var_num") == vn, s"$src var_num")
+      assert(r.getAs[Long]("n_times_sd") == ns, s"$src isqrt")
+      assert(r.getAs[Long]("neyman_ppm") == ns * 1000000 / math.max(tns, 1L))
+      assert(r.getAs[Long]("proportional_ppm") == n * 1000000 / nn)
+    }
+    assert(rows.map(_.getAs[Long]("n_alloc_of_1000")).sum <= 1000L,
+      "floored allocations never exceed the budget")
+  }
+
+  test("q403 trigram motifs match a per-user walk mirror and conserve walks") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val walks = ev.groupBy(_._1).values.flatMap { es =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).map(t => (t(0), t(1), t(2)))
+    }.toSeq
+    val counts = walks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tt = walks.length.toLong
+    val rows = run("q403_trigram_motifs").collect()
+    assert(rows.map(_.getAs[Long]("n_walks")).sum == tt, "walk conservation")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getString(2))
+      assert(counts(key) == r.getAs[Long]("n_walks"), s"$key count")
+      assert(r.getAs[Long]("share_ppm") == counts(key) * 1000000 / tt)
+    }
+    assert(rows.length == counts.size)
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
