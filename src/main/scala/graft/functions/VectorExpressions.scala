@@ -117,6 +117,65 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** l2sq_q(a, b) = Σ (a_i − b_i)² over min(len) elements — the EXACT
+  * integer squared distance on the 10³ quantization grid (array<bigint>
+  * inputs, bigint result). The silhouette/margin sweeps evaluate it
+  * |sample| × |corpus| times; as an `aggregate(zip_with(...))`
+  * higher-order function the fold is an eval() island — this kernel
+  * keeps the loop inside WholeStageCodegen like its double cousins
+  * above. Overflow bound: |q| ≤ 2¹⁰ per element ⇒ per-term ≤ 2²² and
+  * 64-dim sums ≤ 2²⁸ — int64 headroom of 2³⁵ vectors' worth. */
+case class L2SquaredQ(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_l2sq_q"
+  override def dataType: DataType = LongType
+
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dv = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $dv = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $dv * $dv;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   import ColumnBridge.{column, expression}
 
@@ -124,10 +183,13 @@ object VectorExpressions {
     column(DotProduct(expression(a), expression(b)))
   def vec_cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def vec_l2sq_q(a: Column, b: Column): Column =
+    column(L2SquaredQ(expression(a), expression(b)))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_l2sq_q", es => L2SquaredQ(es(0), es(1)), "scala_udf")
   }
 }

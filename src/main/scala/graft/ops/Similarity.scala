@@ -985,9 +985,11 @@ object Similarity {
       val agg = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
           col("q").as("cv"))
         .join(broadcast(qs), col("c_id") =!= col("q_id"))
+        // codegen'd integer kernel — the |sample|×|corpus| hot loop stays
+        // inside WholeStageCodegen instead of an aggregate() eval island
         .select(col("q_id"), col("q_label"), col("c_label"),
-          expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b))," +
-            " CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dd"))
+          graft.functions.VectorExpressions.vec_l2sq_q(col("qv"), col("cv"))
+            .as("dd"))
         .groupBy("q_id", "q_label", "c_label")
         .agg(sum(col("dd")).as("sd"), count(lit(1)).as("m"))
       val aLeg = agg.filter(col("c_label") === col("q_label"))

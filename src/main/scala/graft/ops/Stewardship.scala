@@ -625,8 +625,10 @@ object Stewardship {
         val cand = corpus.join(sel.select(col("vec_id").as("xid")),
             col("vec_id") === col("xid"), "left_anti")
           .crossJoin(broadcast(sel.select(col("q").as("sq"))))
-          .withColumn("d2", expr("aggregate(zip_with(q, sq," +
-            " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, e) -> a + e)"))
+          // codegen'd integer kernel (vec_l2sq_q) — the corpus×selected
+          // sweep repeats every round, so it must not be an eval island
+          .withColumn("d2",
+            graft.functions.VectorExpressions.vec_l2sq_q(col("q"), col("sq")))
           .groupBy("vec_id", "q").agg(min(col("d2")).as("mind"))
         val next = cand
           .agg(max(struct(col("mind"), (-col("vec_id")).as("ni"), col("q")))
@@ -1018,8 +1020,8 @@ object Stewardship {
         .select(col("vec_id"),
           expr("aggregate(zip_with(q, aq, (x, y) -> x * y)," +
             " CAST(0 AS BIGINT), (a, e) -> a + e)").as("dot"),
-          expr("aggregate(zip_with(q, aq, (x, y) -> (x - y) * (x - y))," +
-            " CAST(0 AS BIGINT), (a, e) -> a + e)").as("l2")))
+          graft.functions.VectorExpressions.vec_l2sq_q(col("q"), col("aq"))
+            .as("l2")))
       val topCos = scored.orderBy(col("dot").desc, col("vec_id")).limit(32)
         .select(col("vec_id"), col("dot"))
       val topL2 = scored.orderBy(col("l2").asc, col("vec_id")).limit(32)

@@ -55,6 +55,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("vec_l2sq_q matches a Scala fold and rejects non-bigint arrays") {
+    VectorExpressions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT vec_l2sq_q(array(3L, -2L, 7L), array(1L, 4L, 7L)) AS d")
+      .collect()(0).getLong(0)
+    assert(r == 4L + 36L + 0L)
+    // zero-length and length-mismatch fold over min(len)
+    val r2 = spark.sql("SELECT vec_l2sq_q(array(5L, 1L), array(2L)) AS d")
+      .collect()(0).getLong(0)
+    assert(r2 == 9L)
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_l2sq_q(array(1.0D), array(2.0D))").collect()
+    }
+  }
+
+  test("codegen path is active (no fallback) for vec_l2sq_q") {
+    val df = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+        " x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("q"))
+      .select(VectorExpressions.vec_l2sq_q(col("q"), col("q")).as("z"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("vec_l2sq_q") && l.contains("*(")),
+      s"vec_l2sq_q project must be codegen'd:\n$plan")
+    assert(df.collect().forall(_.getLong(0) == 0L), "self-distance is zero")
+  }
+
   test("codegen path is active (no fallback) for vec_cosine") {
     // literal inputs get constant-folded, so drive it from a parquet scan
     val df = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
