@@ -581,10 +581,12 @@ object Stewardship {
           col("y").as("ya"))
         .join(broadcast(proj.select(col("vec_id").as("idb"), col("q").as("qb"),
           col("y").as("yb"))), col("ida") < col("idb"))
-        .withColumn("d64", expr("aggregate(zip_with(qa, qb," +
-          " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, e) -> a + e)"))
-        .withColumn("d16", expr("aggregate(zip_with(ya, yb," +
-          " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, e) -> a + e)"))
+        // codegen'd integer kernels — the pair sweep evaluates both
+        // distances per pair; vec_l2sq_q keeps them in WholeStageCodegen
+        .withColumn("d64",
+          graft.functions.VectorExpressions.vec_l2sq_q(col("qa"), col("qb")))
+        .withColumn("d16",
+          graft.functions.VectorExpressions.vec_l2sq_q(col("ya"), col("yb")))
         .withColumn("ratio_u", expr("CASE WHEN d64 = 0 THEN CAST(1000000 AS BIGINT)" +
           " ELSE d16 * 1000000 DIV (16 * d64) END"))
       pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
@@ -2487,6 +2489,133 @@ object Stewardship {
           col("cnt").cast("long").as("n_walks"),
           expr("CAST(cnt * 1000000 DIV tt AS BIGINT)").as("share_ppm"))
         .orderBy("e1", "e2", "e3")
+    },
+
+    // WEEKLY FULFILLMENT-LAG percentile trend — "is shipping
+    // degrading?" read as exact rank selections, not averages (q187
+    // counts LATE lines against a threshold; this reads the whole
+    // latency DISTRIBUTION per week): lag = ship − order days (a
+    // SCHEMA-bounded 1..121 domain per the TPC-H generator), weekly
+    // p50/p90/p95 by ceil-rank predecessor-count on the (week, lag)
+    // grid — never a corpus-wide sort. Weeks are Monday buckets
+    // (epoch-day DIV 7 — one arithmetic convention both engines
+    // replay). One orders⋈lineitem orderkey join (the natural fact
+    // shuffle) → horizon×121 grid; selection is grid algebra.
+    "q404_lag_percentiles" -> { (s, d) =>
+      val g = Caches.shared(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("odate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(expr("datediff(ship, DATE '1970-01-05') div 7").as("wk"),
+          datediff(col("ship"), col("odate")).cast("long").as("lag"))
+        .groupBy("wk", "lag").agg(count(lit(1)).as("c")))
+      val nw = g.groupBy("wk").agg(sum(col("c")).as("n"))
+      // three rank selections consume this subtree — the repo's
+      // subtree-reuse rule: eager-share it or pay the cumlt join 3×
+      val cum = Caches.shared(g.select(col("wk"), col("lag").as("v"), col("c"))
+        .join(broadcast(g.select(col("wk").as("w2"), col("lag").as("u"),
+          col("c").as("cu"))),
+          col("wk") === col("w2") && col("u") < col("v"), "left")
+        .groupBy("wk", "v", "c")
+        .agg(coalesce(sum(col("cu")), lit(0L)).as("cumlt"))
+        .join(broadcast(nw), "wk"))
+      def sel(kExpr: String, nm: String) =
+        cum.filter(expr(s"cumlt < $kExpr AND $kExpr <= cumlt + c"))
+          .select(col("wk").as(s"w_$nm"), col("v").as(nm))
+      sel("(n + 1) div 2", "p50")
+        .join(sel("(9 * n + 9) div 10", "p90"), col("w_p50") === col("w_p90"))
+        .join(sel("(19 * n + 19) div 20", "p95"), col("w_p50") === col("w_p95"))
+        .join(broadcast(nw), col("w_p50") === col("wk"))
+        .select(col("wk").cast("long").as("week"),
+          col("n").cast("long").as("n_lines"),
+          col("p50").cast("long").as("p50_days"),
+          col("p90").cast("long").as("p90_days"),
+          col("p95").cast("long").as("p95_days"))
+        .orderBy("week")
+    },
+
+    // MONTHLY OPEN-ORDER BACKLOG — the inventory-balance time series
+    // (every warehouse runs one): an order opens at o_orderdate and
+    // closes when its LAST line ships; backlog(m) = orders opened in
+    // months ≤ m minus orders closed in months ≤ m, both cumulative
+    // sums by predecessor-count theta-join on the horizon-bounded
+    // month grid (84 months — never a window over the fact table). A
+    // backlog that trends up says intake outruns fulfillment. Scale:
+    // close dates are ONE max-aggregation per order (the natural
+    // l_orderkey shuffle); everything after is month-grid algebra.
+    "q405_order_backlog" -> { (s, d) =>
+      def ym(c: Column) = (year(c) * 12 + month(c) - 1).cast("long")
+      val opened = Tables.orders(s, d)
+        .groupBy(ym(col("o_orderdate")).as("m")).agg(count(lit(1)).as("op"))
+      val closed = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(max(to_date(col("l_shipdate"))).as("closed"))
+        .groupBy(ym(col("closed")).as("m")).agg(count(lit(1)).as("cl"))
+      val months = opened.select("m").union(closed.select("m")).distinct()
+      val grid = Caches.shared(months
+        .join(opened, Seq("m"), "left").join(closed, Seq("m"), "left")
+        .select(col("m"), coalesce(col("op"), lit(0L)).as("op"),
+          coalesce(col("cl"), lit(0L)).as("cl")))
+      grid.select(col("m"), col("op"), col("cl"))
+        .join(broadcast(grid.select(col("m").as("m2"), col("op").as("op2"),
+          col("cl").as("cl2"))), col("m2") <= col("m"))
+        .groupBy("m", "op", "cl")
+        .agg(sum(col("op2")).as("cum_open"), sum(col("cl2")).as("cum_close"))
+        .select(col("m").cast("long").as("month_idx"),
+          col("op").cast("long").as("n_opened"),
+          col("cl").cast("long").as("n_closed"),
+          (col("cum_open") - col("cum_close")).cast("long").as("backlog"))
+        .orderBy("month_idx")
+    },
+
+    // LEAD-LAG cross-correlation table — "does type A LEAD type B by k
+    // days?" (q377 reads same-day co-movement; q385 reads each type's
+    // own memory; THIS scans the lag axis BETWEEN types): for every
+    // ordered pair and k ∈ −3..3, the exact covariance numerator
+    // m·Σxy − Σx·Σy on the zero-filled day grids, then the argmax of
+    // |cov| with the (|cov| desc, k asc) deterministic tie order. A
+    // best lag of +2 with positive cov says A's spikes precede B's by
+    // two days — the causality-screening table an attribution model
+    // starts from. Zero-filling matters for the same reason as q385;
+    // the k fan-out is a 7-row literal lattice; DECIMAL(38,0)
+    // numerators (HUGEINT mirror).
+    "q406_leadlag_best" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = daily.groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = Caches.shared(span
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("x")))
+      val lags = span.sparkSession.range(-3, 4)
+        .select(col("id").cast("int").as("k"))
+      val perK = grid.select(col("event_type").as("ta"), col("day"),
+          col("x").as("xa"))
+        .crossJoin(broadcast(lags))
+        .join(grid.select(col("event_type").as("tb"), col("day").as("db"),
+          col("x").as("xb")),
+          col("ta") =!= col("tb") && expr("date_add(day, k)") === col("db"))
+        .groupBy("ta", "tb", "k")
+        .agg(count(lit(1)).as("m"),
+          sum(col("xa").cast("decimal(38,0)")).as("sx"),
+          sum(col("xb").cast("decimal(38,0)")).as("sy"),
+          sum(col("xa").cast("decimal(38,0)") * col("xb")).as("sxy"))
+        .select(col("ta"), col("tb"), col("k"),
+          col("m"), expr("m * sxy - sx * sy").as("cov"))
+      perK.groupBy("ta", "tb")
+        .agg(max(struct(abs(col("cov")).as("ac"), (-col("k")).as("nk"),
+          col("cov").as("cv"), col("m").as("mm"))).as("b"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          (-col("b.nk")).cast("long").as("best_lag_days"),
+          col("b.mm").cast("long").as("n_pairs"),
+          col("b.cv").cast("long").as("cov_num"),
+          col("b.ac").cast("long").as("abs_cov"))
+        .orderBy("type_a", "type_b")
     }
   )
 
@@ -4116,6 +4245,94 @@ object Stewardship {
         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM tri)
         |SELECT e1, e2, e3, cnt AS n_walks,
         |  CAST(cnt * 1000000 // tt AS BIGINT) AS share_ppm
-        |FROM tri CROSS JOIN tot ORDER BY 1, 2, 3""".stripMargin
+        |FROM tri CROSS JOIN tot ORDER BY 1, 2, 3""".stripMargin,
+
+    "q404_lag_percentiles" ->
+      """WITH g AS (
+        |  SELECT (CAST(l.l_shipdate AS DATE) - DATE '1970-01-05') // 7 AS wk,
+        |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+        |      AS BIGINT) AS lag,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |nw AS (SELECT wk, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
+        |cum AS (
+        |  SELECT o.wk, o.lag AS v, o.c,
+        |    COALESCE((SELECT SUM(w.c) FROM g w
+        |      WHERE w.wk = o.wk AND w.lag < o.lag), 0) AS cumlt
+        |  FROM g o),
+        |p50 AS (SELECT c2.wk, c2.v FROM cum c2 JOIN nw ON nw.wk = c2.wk
+        |  WHERE c2.cumlt < (nw.n + 1) // 2
+        |    AND (nw.n + 1) // 2 <= c2.cumlt + c2.c),
+        |p90 AS (SELECT c2.wk, c2.v FROM cum c2 JOIN nw ON nw.wk = c2.wk
+        |  WHERE c2.cumlt < (9 * nw.n + 9) // 10
+        |    AND (9 * nw.n + 9) // 10 <= c2.cumlt + c2.c),
+        |p95 AS (SELECT c2.wk, c2.v FROM cum c2 JOIN nw ON nw.wk = c2.wk
+        |  WHERE c2.cumlt < (19 * nw.n + 19) // 20
+        |    AND (19 * nw.n + 19) // 20 <= c2.cumlt + c2.c)
+        |SELECT CAST(nw.wk AS BIGINT) AS week, nw.n AS n_lines,
+        |  CAST(p50.v AS BIGINT) AS p50_days,
+        |  CAST(p90.v AS BIGINT) AS p90_days,
+        |  CAST(p95.v AS BIGINT) AS p95_days
+        |FROM nw JOIN p50 ON p50.wk = nw.wk JOIN p90 ON p90.wk = nw.wk
+        |JOIN p95 ON p95.wk = nw.wk
+        |ORDER BY 1""".stripMargin,
+
+    "q405_order_backlog" ->
+      """WITH op AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |    AS BIGINT) AS m, CAST(COUNT(*) AS BIGINT) AS op
+        |  FROM orders GROUP BY 1),
+        |cls AS (
+        |  SELECT CAST(year(closed) * 12 + month(closed) - 1 AS BIGINT) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS cl
+        |  FROM (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS closed
+        |        FROM lineitem GROUP BY 1)
+        |  GROUP BY 1),
+        |months AS (SELECT m FROM op UNION SELECT m FROM cls),
+        |grid AS (
+        |  SELECT months.m, COALESCE(op.op, 0) AS op, COALESCE(cls.cl, 0) AS cl
+        |  FROM months LEFT JOIN op USING (m) LEFT JOIN cls USING (m))
+        |SELECT g.m AS month_idx, CAST(g.op AS BIGINT) AS n_opened,
+        |  CAST(g.cl AS BIGINT) AS n_closed,
+        |  CAST((SELECT SUM(h.op - h.cl) FROM grid h WHERE h.m <= g.m)
+        |    AS BIGINT) AS backlog
+        |FROM grid g ORDER BY 1""".stripMargin,
+
+    "q406_leadlag_best" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT s.event_type,
+        |    CAST(UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span s),
+        |gx AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.n, 0) AS x
+        |  FROM grid g LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day),
+        |ks AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+        |  AS t(k)),
+        |perk AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, ks.k,
+        |    CAST(COUNT(*) AS BIGINT) AS m,
+        |    COUNT(*) * SUM(CAST(a.x AS HUGEINT) * b.x)
+        |      - SUM(CAST(a.x AS HUGEINT)) * SUM(CAST(b.x AS HUGEINT)) AS cov
+        |  FROM gx a CROSS JOIN ks JOIN gx b
+        |    ON b.event_type <> a.event_type AND b.day = a.day + ks.k
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT ta, tb, k, m, cov,
+        |    row_number() OVER (PARTITION BY ta, tb
+        |      ORDER BY ABS(cov) DESC, k ASC) AS rn
+        |  FROM perk)
+        |SELECT ta AS type_a, tb AS type_b,
+        |  CAST(k AS BIGINT) AS best_lag_days, m AS n_pairs,
+        |  CAST(cov AS BIGINT) AS cov_num, CAST(ABS(cov) AS BIGINT) AS abs_cov
+        |FROM best WHERE rn = 1 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1305,6 +1305,92 @@ class StewardshipSpec extends AnyFunSuite {
     assert(rows.length == counts.size)
   }
 
+  test("q404 weekly lag percentiles are exact rank selections; p50<=p90<=p95") {
+    val lags = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr("datediff(ship, DATE '1970-01-05') div 7"),
+        datediff(col("ship"), col("odate")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byWk = lags.groupBy(_._1).map { case (w, v) => w -> v.map(_._2).sorted }
+    val rows = run("q404_lag_percentiles").collect()
+    assert(rows.length == byWk.size)
+    rows.foreach { r =>
+      val wk = r.getAs[Long]("week")
+      val xs = byWk(wk)
+      val n = xs.length.toLong
+      def at(k: Long) = xs((k - 1).toInt)
+      assert(r.getAs[Long]("n_lines") == n)
+      assert(r.getAs[Long]("p50_days") == at((n + 1) / 2), s"wk $wk p50")
+      assert(r.getAs[Long]("p90_days") == at((9 * n + 9) / 10), s"wk $wk p90")
+      assert(r.getAs[Long]("p95_days") == at((19 * n + 19) / 20), s"wk $wk p95")
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days") &&
+        r.getAs[Long]("p90_days") <= r.getAs[Long]("p95_days"))
+    }
+  }
+
+  test("q405 backlog matches a cumulative mirror and drains to zero") {
+    val opened = Tables.orders(spark, sf)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long"))
+      .collect().map(_.getLong(0))
+    val closed = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(max(to_date(col("l_shipdate"))).as("c"))
+      .select((year(col("c")) * 12 + month(col("c")) - 1).cast("long"))
+      .collect().map(_.getLong(0))
+    val rows = run("q405_order_backlog").collect()
+    var (cumO, cumC) = (0L, 0L)
+    rows.sortBy(_.getAs[Long]("month_idx")).foreach { r =>
+      val m = r.getAs[Long]("month_idx")
+      assert(r.getAs[Long]("n_opened") == opened.count(_ == m).toLong)
+      assert(r.getAs[Long]("n_closed") == closed.count(_ == m).toLong)
+      cumO += r.getAs[Long]("n_opened"); cumC += r.getAs[Long]("n_closed")
+      assert(r.getAs[Long]("backlog") == cumO - cumC, s"month $m backlog")
+      assert(r.getAs[Long]("backlog") >= 0, "an order never closes before opening")
+    }
+    // every order eventually ships (each order has lineitems), so the
+    // final month's backlog is the orders with no lines, if any
+    assert(rows.maxBy(_.getAs[Long]("month_idx")).getAs[Long]("backlog") ==
+      opened.length - closed.length)
+  }
+
+  test("q406 lead-lag best matches a zero-filled argmax mirror") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1).map { case (t, v) =>
+      val m = v.map(x => x._2 -> x._3).toMap
+      val (d0, d1) = (m.keys.min, m.keys.max)
+      t -> Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(dd => dd -> m.getOrElse(dd, 0L)).toMap
+    }
+    run("q406_leadlag_best").collect().foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (ga, gb) = (byType(ta), byType(tb))
+      val cand = (-3 to 3).flatMap { k =>
+        val pairs = ga.toSeq.flatMap { case (dd, xa) =>
+          gb.get(dd.plusDays(k)).map(xb => (xa, xb))
+        }
+        if (pairs.isEmpty) None
+        else {
+          val m = pairs.length.toLong
+          val sx = pairs.map(p => BigInt(p._1)).sum
+          val sy = pairs.map(p => BigInt(p._2)).sum
+          val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+          Some((k, m, m * sxy - sx * sy))
+        }
+      }
+      val best = cand.minBy { case (k, _, cov) => (-cov.abs, k) }
+      assert(r.getAs[Long]("best_lag_days") == best._1.toLong, s"($ta,$tb) lag")
+      assert(r.getAs[Long]("n_pairs") == best._2)
+      assert(BigInt(r.getAs[Long]("cov_num")) == best._3, s"($ta,$tb) cov")
+      assert(BigInt(r.getAs[Long]("abs_cov")) == best._3.abs)
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
