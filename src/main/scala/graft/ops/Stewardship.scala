@@ -2616,6 +2616,119 @@ object Stewardship {
           col("b.cv").cast("long").as("cov_num"),
           col("b.ac").cast("long").as("abs_cov"))
         .orderBy("type_a", "type_b")
+    },
+
+    // RENDEZVOUS (highest-random-weight) ROUTING audit — the
+    // consistent-routing primitive behind cache shards and stateless
+    // partitioners, measured exactly: shard(d, N) = argmax over s < N
+    // of h(d:s) with the engine-neutral md5 hash (h desc, s asc tie
+    // order — 32-bit collisions are possible at corpus scale, so the
+    // tie rule is part of the definition). The table shows the 8-shard
+    // balance, the 9-shard balance, and the REMAP column that proves
+    // rendezvous' selling point: a document moves iff the NEW shard
+    // wins its argmax, so every move lands on shard 8 and the old
+    // shards lose ≈ 1/9 each and gain NOTHING (the zero-move law for
+    // s < 8 is spec-asserted, not assumed). Scale: one |docs|×9
+    // lattice explode, two conditional argmax aggregations, one
+    // grid-sized groupBy — no shuffle wider than the doc_id agg.
+    "q407_rendezvous_routing" -> { (s, d) =>
+      val lat = Tables.documents(s, d).sparkSession.range(0, 9)
+        .select(col("id").cast("long").as("sh"))
+      val ex = Tables.documents(s, d).select(col("doc_id"))
+        .crossJoin(broadcast(lat))
+        .withColumn("h", Dedup.neutralHash32(
+          concat(col("doc_id").cast("string"), lit(":"), col("sh"))))
+      val assigned = ex.groupBy("doc_id")
+        .agg(max(when(col("sh") <= 7, struct(col("h"), (-col("sh")).as("ns"))))
+          .as("a8"),
+          max(struct(col("h"), (-col("sh")).as("ns"))).as("a9"))
+        .select(col("doc_id"), (-col("a8.ns")).as("s8"),
+          (-col("a9.ns")).as("s9"))
+      val tot = assigned.agg(count(lit(1)).as("n"))
+      assigned.groupBy("s9")
+        .agg(count(lit(1)).as("n9"),
+          sum(when(col("s8") === col("s9"), 1L).otherwise(0L)).as("stay"),
+          sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("moved_in"))
+        .join(assigned.groupBy(col("s8").as("s9")).agg(count(lit(1)).as("n8"))
+          .select(col("s9"), col("n8")), Seq("s9"), "full")
+        .crossJoin(broadcast(tot))
+        .select(col("s9").cast("long").as("shard"),
+          coalesce(col("n8"), lit(0L)).cast("long").as("n_at_8_shards"),
+          coalesce(col("n9"), lit(0L)).cast("long").as("n_at_9_shards"),
+          coalesce(col("moved_in"), lit(0L)).cast("long").as("moved_in"),
+          expr("CAST(coalesce(n9, 0) * 1000000 DIV n AS BIGINT)")
+            .as("share9_ppm"))
+        .orderBy("shard")
+    },
+
+    // RIGHT-TO-ERASURE impact census — the governance pre-flight every
+    // deletion pipeline runs before touching data: given a deletion
+    // cohort (key % 23 = 0 — the q59 sampling convention), how many
+    // rows does each table lose, directly (events by user, customer by
+    // key, orders by customer) and TRANSITIVELY (lineitem through its
+    // order — the FK cascade q350 audits in the other direction)?
+    // share_ppm per table shows whether the cohort's footprint is
+    // uniform or concentrated. One scan per table; the lineitem leg
+    // pays the natural orderkey shuffle against the doomed-orders set.
+    "q408_erasure_impact" -> { (s, d) =>
+      def leg(nm: String, df: DataFrame, hit: Column) =
+        df.agg(count(lit(1)).as("t"),
+            sum(when(hit, 1L).otherwise(0L)).as("del"))
+          .select(lit(nm).as("table_name"), col("t").cast("long")
+            .as("n_rows_total"), col("del").cast("long").as("n_rows_deleted"),
+            expr("CAST(del * 1000000 DIV t AS BIGINT)").as("share_ppm"))
+      val doomed = Tables.orders(s, d)
+        .filter(col("o_custkey") % 23 === 0)
+        .select(col("o_orderkey").as("dk"))
+      val liLeg = Tables.lineitem(s, d).select(col("l_orderkey"))
+        .join(doomed, col("l_orderkey") === col("dk"), "left")
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("dk").isNotNull, 1L).otherwise(0L)).as("del"))
+        .select(lit("d_lineitem").as("table_name"),
+          col("t").cast("long").as("n_rows_total"),
+          col("del").cast("long").as("n_rows_deleted"),
+          expr("CAST(del * 1000000 DIV t AS BIGINT)").as("share_ppm"))
+      leg("a_customer", Tables.customer(s, d), col("c_custkey") % 23 === 0)
+        .unionByName(leg("b_orders", Tables.orders(s, d),
+          col("o_custkey") % 23 === 0))
+        .unionByName(leg("c_events", Tables.events(s, d),
+          col("user_id") % 23 === 0))
+        .unionByName(liLeg)
+        .orderBy("table_name")
+    },
+
+    // INVERTED-INDEX POSTINGS census — the index-build capacity table
+    // (q77 prices per-DOC rarity; q137's BM25 consumes the index; THIS
+    // sizes it): document frequency per term, terms bucketed on the
+    // power-of-2 df lattice (the q229 `lo` grid — log2 via lattice
+    // join, never a transcendental), and per bucket the term count,
+    // total postings and postings share. The long tail (df = 1) vs the
+    // stop-band (top buckets) is THE sizing decision for posting-list
+    // compression and stopword cuts. One tokenize+distinct scan →
+    // (term, df) grid; the bucket join is a 34-row broadcast lattice.
+    "q409_postings_census" -> { (s, d) =>
+      val df0 = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val lat = df0.sparkSession.range(0, 34)
+        .select(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))" +
+          " AS BIGINT)").as("lo"))
+      val tot = df0.agg(sum(col("df")).as("tp"), count(lit(1)).as("nt"))
+      df0.join(broadcast(lat),
+          col("df") >= col("lo") && col("df") < col("lo") * 2)
+        .groupBy("lo")
+        .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("postings"))
+        .crossJoin(broadcast(tot))
+        .select(col("lo").cast("long").as("df_bucket_lo"),
+          col("n_terms").cast("long").as("n_terms"),
+          col("postings").cast("long").as("n_postings"),
+          expr("CAST(postings * 1000000 DIV tp AS BIGINT)")
+            .as("postings_share_ppm"),
+          expr("CAST(n_terms * 1000000 DIV nt AS BIGINT)")
+            .as("terms_share_ppm"))
+        .orderBy("df_bucket_lo")
     }
   )
 
@@ -4333,6 +4446,95 @@ object Stewardship {
         |SELECT ta AS type_a, tb AS type_b,
         |  CAST(k AS BIGINT) AS best_lag_days, m AS n_pairs,
         |  CAST(cov AS BIGINT) AS cov_num, CAST(ABS(cov) AS BIGINT) AS abs_cov
-        |FROM best WHERE rn = 1 ORDER BY 1, 2""".stripMargin
+        |FROM best WHERE rn = 1 ORDER BY 1, 2""".stripMargin,
+
+    "q407_rendezvous_routing" ->
+      """WITH lat AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5),
+        |  (6), (7), (8)) AS t(sh)),
+        |ex AS (
+        |  SELECT d.doc_id, l.sh,
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+        |      || CAST(l.sh AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents d CROSS JOIN lat l),
+        |a8 AS (SELECT doc_id, sh AS s8 FROM (
+        |    SELECT doc_id, sh, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY h DESC, sh ASC) AS rn
+        |    FROM ex WHERE sh <= 7) WHERE rn = 1),
+        |a9 AS (SELECT doc_id, sh AS s9 FROM (
+        |    SELECT doc_id, sh, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY h DESC, sh ASC) AS rn
+        |    FROM ex) WHERE rn = 1),
+        |asg AS (SELECT a9.doc_id, a8.s8, a9.s9
+        |  FROM a9 JOIN a8 USING (doc_id)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM asg),
+        |g9 AS (SELECT s9, CAST(COUNT(*) AS BIGINT) AS n9,
+        |    CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS moved_in
+        |  FROM asg GROUP BY 1),
+        |g8 AS (SELECT s8 AS s9, CAST(COUNT(*) AS BIGINT) AS n8
+        |  FROM asg GROUP BY 1)
+        |SELECT CAST(COALESCE(g9.s9, g8.s9) AS BIGINT) AS shard,
+        |  CAST(COALESCE(g8.n8, 0) AS BIGINT) AS n_at_8_shards,
+        |  CAST(COALESCE(g9.n9, 0) AS BIGINT) AS n_at_9_shards,
+        |  CAST(COALESCE(g9.moved_in, 0) AS BIGINT) AS moved_in,
+        |  CAST(COALESCE(g9.n9, 0) * 1000000 // tot.n AS BIGINT)
+        |    AS share9_ppm
+        |FROM g9 FULL JOIN g8 ON g8.s9 = g9.s9 CROSS JOIN tot
+        |ORDER BY 1""".stripMargin,
+
+    "q408_erasure_impact" ->
+      """WITH doomed AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey % 23 = 0)
+        |SELECT * FROM (
+        |  SELECT 'a_customer' AS table_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows_total,
+        |    CAST(SUM(CASE WHEN c_custkey % 23 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rows_deleted,
+        |    CAST(SUM(CASE WHEN c_custkey % 23 = 0 THEN 1 ELSE 0 END)
+        |      * 1000000 // COUNT(*) AS BIGINT) AS share_ppm
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'b_orders', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_custkey % 23 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_custkey % 23 = 0 THEN 1 ELSE 0 END)
+        |      * 1000000 // COUNT(*) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'c_events', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN user_id % 23 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(SUM(CASE WHEN user_id % 23 = 0 THEN 1 ELSE 0 END)
+        |      * 1000000 // COUNT(*) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'd_lineitem', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      * 1000000 // COUNT(*) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN doomed d ON d.o_orderkey = l.l_orderkey
+        |) ORDER BY 1""".stripMargin,
+
+    "q409_postings_census" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |df0 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tk GROUP BY 1),
+        |lat AS (SELECT CAST(1::BIGINT << g.i AS BIGINT) AS lo
+        |  FROM UNNEST(generate_series(0, 33)) AS g(i)),
+        |tot AS (SELECT CAST(SUM(df) AS BIGINT) AS tp,
+        |  CAST(COUNT(*) AS BIGINT) AS nt FROM df0)
+        |SELECT CAST(l.lo AS BIGINT) AS df_bucket_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(d.df) AS BIGINT) AS n_postings,
+        |  CAST(SUM(d.df) * 1000000 // tot.tp AS BIGINT)
+        |    AS postings_share_ppm,
+        |  CAST(COUNT(*) * 1000000 // tot.nt AS BIGINT) AS terms_share_ppm
+        |FROM df0 d JOIN lat l ON d.df >= l.lo AND d.df < l.lo * 2
+        |CROSS JOIN tot
+        |GROUP BY l.lo, tot.tp, tot.nt ORDER BY 1""".stripMargin
   )
 }

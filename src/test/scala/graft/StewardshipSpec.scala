@@ -1391,6 +1391,77 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q407 rendezvous routing: zero-move law for old shards, conservation") {
+    val rows = run("q407_rendezvous_routing").collect()
+    assert(rows.length == 9)
+    val n = rows.map(_.getAs[Long]("n_at_9_shards")).sum
+    assert(rows.map(_.getAs[Long]("n_at_8_shards")).sum == n,
+      "both layouts route every document")
+    rows.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      if (shard < 8)
+        assert(r.getAs[Long]("moved_in") == 0L,
+          s"rendezvous: old shard $shard must gain nothing")
+      else {
+        assert(r.getAs[Long]("n_at_8_shards") == 0L)
+        assert(r.getAs[Long]("moved_in") == r.getAs[Long]("n_at_9_shards"),
+          "every doc on the new shard moved there")
+      }
+      // each old shard keeps at least half its docs on a 9-way split
+      if (shard < 8)
+        assert(r.getAs[Long]("n_at_9_shards") * 2 >=
+          r.getAs[Long]("n_at_8_shards"), s"shard $shard drained too far")
+    }
+    // the remap fraction is ~1/9 of the corpus (binomial tolerance: 3x)
+    val moved = rows.map(_.getAs[Long]("moved_in")).sum
+    assert(moved > 0 && moved * 3 <= n, s"moved $moved of $n")
+  }
+
+  test("q408 erasure impact matches direct cohort counts per table") {
+    val rows = run("q408_erasure_impact").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val ords = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val doomedOrders = ords.filter(_._2 % 23 == 0).map(_._1).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id")).collect().map(_.getLong(0))
+    def check(nm: String, total: Long, del: Long) = {
+      val r = rows(nm)
+      assert(r.getAs[Long]("n_rows_total") == total, s"$nm total")
+      assert(r.getAs[Long]("n_rows_deleted") == del, s"$nm deleted")
+      assert(r.getAs[Long]("share_ppm") == del * 1000000 / total)
+    }
+    check("a_customer", cust.length.toLong, cust.count(_ % 23 == 0).toLong)
+    check("b_orders", ords.length.toLong, doomedOrders.size.toLong)
+    check("c_events", ev.length.toLong, ev.count(_ % 23 == 0).toLong)
+    check("d_lineitem", li.length.toLong,
+      li.count(doomedOrders.contains).toLong)
+  }
+
+  test("q409 postings census conserves terms and postings across buckets") {
+    val dfs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).distinct
+        .map(t => (t, r.getLong(0))))
+      .groupBy(_._1).map { case (_, v) => v.length.toLong }
+    val rows = run("q409_postings_census").collect()
+    assert(rows.map(_.getAs[Long]("n_terms")).sum == dfs.size.toLong,
+      "term conservation")
+    assert(rows.map(_.getAs[Long]("n_postings")).sum == dfs.sum,
+      "posting conservation")
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("df_bucket_lo")
+      val inB = dfs.filter(d => d >= lo && d < 2 * lo)
+      assert(r.getAs[Long]("n_terms") == inB.size.toLong, s"bucket $lo terms")
+      assert(r.getAs[Long]("n_postings") == inB.sum, s"bucket $lo postings")
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
