@@ -2729,6 +2729,95 @@ object Stewardship {
           expr("CAST(n_terms * 1000000 DIV nt AS BIGINT)")
             .as("terms_share_ppm"))
         .orderBy("df_bucket_lo")
+    },
+
+    // TREND SIGNIFICANCE screen — q373's Mann–Kendall made decidable
+    // WITHOUT a single float: the z-score z = S/√Var compares to a
+    // threshold c exactly by SQUARING both sides (S²·18 vs c²·var18 —
+    // the sqrt never happens; sign carried separately). One table
+    // flags every event type at the 2σ and 3σ gates and carries
+    // z²·1000 for ranking; the 3σ column doubles as a 5-test
+    // Bonferroni-ish screen (α ≈ 0.003 per test). The multiple-testing
+    // story the per-type tau alone can't tell.
+    "q410_trend_screen" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      val p = daily.select(col("event_type"), col("day").as("d1"),
+          col("n").as("n1"))
+        .join(broadcast(daily.select(col("event_type").as("et2"),
+          col("day").as("d2"), col("n").as("n2"))),
+          col("event_type") === col("et2") && col("d1") < col("d2"))
+      val sStat = p.groupBy("event_type")
+        .agg(sum(when(col("n2") > col("n1"), 1L)
+          .when(col("n2") < col("n1"), -1L).otherwise(0L)).as("s"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("ndays"))
+      val ties = daily.groupBy("event_type", "n")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tiesum"))
+      nd.join(sStat, "event_type").join(ties, "event_type")
+        .withColumn("var18",
+          expr("ndays * (ndays - 1) * (2 * ndays + 5) - tiesum"))
+        .select(col("event_type"), col("ndays").cast("long").as("n_days"),
+          col("s").cast("long").as("s_stat"),
+          col("var18").cast("long").as("var18_num"),
+          expr("CAST(18 * s * s * 1000 DIV greatest(var18, 1) AS BIGINT)")
+            .as("z2_milli"),
+          expr("18 * s * s > 4 * var18").as("sig_2sigma"),
+          expr("18 * s * s > 9 * var18").as("sig_3sigma"))
+        .orderBy("event_type")
+    },
+
+    // TIME-SPLIT drift test — the exact Kolmogorov–Smirnov machinery
+    // (q370) pointed at the TIME axis instead of the source axis: for
+    // each event type, does the VALUE distribution of the first half
+    // of the horizon (through Jan 15) match the second half? Values
+    // land on the floor(value) integer grid (≈ 560 buckets by the
+    // generator's range — a documented bucketing, exact thereafter);
+    // D·n_a·n_b = max over the type's value grid of
+    // |F_a(v)·n_b − F_b(v)·n_a| with the step-CDFs built by one
+    // running-sum window per (type, half) — partitions bounded by the
+    // value grid, never the corpus. The drift gate a training-data
+    // snapshot diff runs before shipping an incremental batch.
+    "q411_timesplit_ks" -> { (s, d) =>
+      val g = Caches.shared(Tables.events(s, d)
+        .select(col("event_type"),
+          when(to_date(col("ts")) <= lit("2024-01-15"), "a").otherwise("b")
+            .as("half"),
+          expr("CAST(floor(value) AS BIGINT)").as("v"))
+        .groupBy("event_type", "half", "v").agg(count(lit(1)).as("c")))
+      val tot = g.groupBy("event_type", "half").agg(sum(col("c")).as("n"))
+      val vals = g.select("event_type", "v").distinct()
+      val halves = g.sparkSession.range(1)
+        .select(explode(array(lit("a"), lit("b"))).as("half"))
+      val cum = vals.crossJoin(broadcast(halves))
+        .join(g, Seq("event_type", "half", "v"), "left")
+        .select(col("event_type"), col("half"), col("v"),
+          coalesce(col("c"), lit(0L)).as("c0"))
+        .withColumn("f", sum(col("c0")).over(
+          Window.partitionBy("event_type", "half").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val wide = cum.filter(col("half") === "a")
+        .select(col("event_type"), col("v"), col("f").as("fa"))
+        .join(cum.filter(col("half") === "b")
+          .select(col("event_type").as("e2"), col("v").as("v2"),
+            col("f").as("fb")),
+          col("event_type") === col("e2") && col("v") === col("v2"))
+      val ns = tot.groupBy("event_type")
+        .agg(max(when(col("half") === "a", col("n"))).as("na"),
+          max(when(col("half") === "b", col("n"))).as("nb"))
+      wide.join(broadcast(ns), "event_type")
+        .groupBy("event_type", "na", "nb")
+        .agg(max(abs(col("fa") * col("nb") - col("fb") * col("na")))
+          .as("dnum"))
+        .select(col("event_type"),
+          col("na").cast("long").as("n_first"),
+          col("nb").cast("long").as("n_second"),
+          col("dnum").cast("long").as("d_scaled"),
+          expr("CAST(dnum * 1000000 DIV greatest(na * nb, 1) AS BIGINT)")
+            .as("ks_ppm"))
+        .orderBy("event_type")
     }
   )
 
@@ -4535,6 +4624,72 @@ object Stewardship {
         |  CAST(COUNT(*) * 1000000 // tot.nt AS BIGINT) AS terms_share_ppm
         |FROM df0 d JOIN lat l ON d.df >= l.lo AND d.df < l.lo * 2
         |CROSS JOIN tot
-        |GROUP BY l.lo, tot.tp, tot.nt ORDER BY 1""".stripMargin
+        |GROUP BY l.lo, tot.tp, tot.nt ORDER BY 1""".stripMargin,
+
+    "q410_trend_screen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sw AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.n > a.n THEN 1
+        |      WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ndays
+        |  FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tiesum
+        |  FROM (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT nd.event_type, nd.ndays, sw.s,
+        |    nd.ndays * (nd.ndays - 1) * (2 * nd.ndays + 5) - ties.tiesum
+        |      AS var18
+        |  FROM nd JOIN sw ON sw.event_type = nd.event_type
+        |  JOIN ties ON ties.event_type = nd.event_type)
+        |SELECT event_type, ndays AS n_days, s AS s_stat,
+        |  CAST(var18 AS BIGINT) AS var18_num,
+        |  CAST(18 * s * s * 1000 // GREATEST(var18, 1) AS BIGINT)
+        |    AS z2_milli,
+        |  18 * s * s > 4 * var18 AS sig_2sigma,
+        |  18 * s * s > 9 * var18 AS sig_3sigma
+        |FROM v ORDER BY 1""".stripMargin,
+
+    "q411_timesplit_ks" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 'a' ELSE 'b' END AS half,
+        |    CAST(floor(value) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, half, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM g GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT event_type, v FROM g),
+        |atv AS (
+        |  SELECT vl.event_type, vl.v,
+        |    COALESCE((SELECT SUM(c) FROM g
+        |      WHERE g.event_type = vl.event_type AND g.half = 'a'
+        |        AND g.v <= vl.v), 0) AS fa,
+        |    COALESCE((SELECT SUM(c) FROM g
+        |      WHERE g.event_type = vl.event_type AND g.half = 'b'
+        |        AND g.v <= vl.v), 0) AS fb
+        |  FROM vals vl),
+        |ns AS (
+        |  SELECT event_type,
+        |    CAST(MAX(CASE WHEN half = 'a' THEN n END) AS BIGINT) AS na,
+        |    CAST(MAX(CASE WHEN half = 'b' THEN n END) AS BIGINT) AS nb
+        |  FROM tot GROUP BY 1)
+        |SELECT a.event_type, ns.na AS n_first, ns.nb AS n_second,
+        |  CAST(MAX(ABS(a.fa * ns.nb - a.fb * ns.na)) AS BIGINT) AS d_scaled,
+        |  CAST(MAX(ABS(a.fa * ns.nb - a.fb * ns.na)) * 1000000
+        |    // GREATEST(ns.na * ns.nb, 1) AS BIGINT) AS ks_ppm
+        |FROM atv a JOIN ns ON ns.event_type = a.event_type
+        |GROUP BY a.event_type, ns.na, ns.nb ORDER BY 1""".stripMargin
   )
 }

@@ -231,6 +231,23 @@ object StreamingOps {
       }
   }
 
+  /** Streaming WINDOWED-DISTINCT gauge — distinct keys per tumbling
+    * event-time window via the HLL++ sketch (approx_count_distinct):
+    * the sketch IS the state, so per-window memory is a fixed few KB
+    * regardless of key cardinality — the reason a live "unique users
+    * per 10 minutes" board can run forever where an exact
+    * countDistinct's state grows with every new key. Watermarked, so
+    * closed windows emit finals and drop state (Append mode). The
+    * batch q36 audits HLL's error offline; this is its streaming
+    * deployment with the n_distinct ≤ n_events law carried alongside.
+    */
+  def windowedDistinct(df: DataFrame, tsCol: String, keyCol: String,
+                       win: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), win))
+      .agg(approx_count_distinct(col(keyCol)).as("n_distinct"),
+        count(lit(1)).as("n_events"))
+
   /** Streaming near-dup candidate detection — the B11 MinHash/LSH scale
     * path running INSIDE a stream with bounded state: each document's
     * band buckets are computed per row ([[graft.ops.Dedup

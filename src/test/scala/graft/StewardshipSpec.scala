@@ -1462,6 +1462,47 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q410 trend screen agrees with q373's statistics and its own flags") {
+    val mk = run("q373_mann_kendall").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("s_stat"),
+        r.getAs[Long]("var18_num"))).toMap
+    run("q410_trend_screen").collect().foreach { r =>
+      val et = r.getString(0)
+      val (s, v18) = mk(et)
+      assert(r.getAs[Long]("s_stat") == s, s"$et s")
+      assert(r.getAs[Long]("var18_num") == v18)
+      assert(r.getAs[Long]("z2_milli") ==
+        18 * s * s * 1000 / math.max(v18, 1L))
+      assert(r.getAs[Boolean]("sig_2sigma") == (18 * s * s > 4 * v18), s"$et 2s")
+      assert(r.getAs[Boolean]("sig_3sigma") == (18 * s * s > 9 * v18))
+      // 3-sigma implies 2-sigma
+      assert(!r.getAs[Boolean]("sig_3sigma") || r.getAs[Boolean]("sig_2sigma"))
+    }
+  }
+
+  test("q411 time-split KS matches a brute-force two-half CDF mirror") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (to_date(col("ts")) <= lit("2024-01-15")).as("first"),
+        expr("CAST(floor(value) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val byType = ev.groupBy(_._1)
+    run("q411_timesplit_ks").collect().foreach { r =>
+      val et = r.getString(0)
+      val (as0, bs0) = byType(et).partition(_._2)
+      val (as1, bs1) = (as0.map(_._3), bs0.map(_._3))
+      val (na, nb) = (as1.length.toLong, bs1.length.toLong)
+      val grid = (as1 ++ bs1).distinct
+      val d = grid.map { v =>
+        math.abs(as1.count(_ <= v) * nb - bs1.count(_ <= v) * na)
+      }.max
+      assert(r.getAs[Long]("n_first") == na && r.getAs[Long]("n_second") == nb)
+      assert(r.getAs[Long]("d_scaled") == d, s"$et d_scaled")
+      assert(r.getAs[Long]("ks_ppm") == d * 1000000 / math.max(na * nb, 1L))
+      assert(r.getAs[Long]("ks_ppm") <= 1000000L, "D <= 1 law")
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),

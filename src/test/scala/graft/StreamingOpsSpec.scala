@@ -614,4 +614,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(fin("stable")._5 == 0 && fin("stable")._6 == 0,
       "the stable key must never alarm")
   }
+
+  test("windowed distinct gauge closes windows and bounds its estimate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    val wd = StreamingOps.windowedDistinct(s.toDF(), "ts", "key",
+      win = "10 minutes", watermark = "0 seconds")
+    val q = wd.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_distinct").start()
+    // window [10:00, 10:10): keys a,b,a,c (3 distinct, 4 events)
+    s.addData(Ev(t(1), "a", 1.0), Ev(t(2), "b", 1.0), Ev(t(3), "a", 1.0),
+      Ev(t(4), "c", 1.0))
+    q.processAllAvailable()
+    // advance the watermark past the first window to force its close
+    s.addData(Ev(t(15), "z", 1.0))
+    q.processAllAvailable()
+    s.addData(Ev(t(25), "z", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_distinct")
+      .selectExpr("window.start", "n_distinct", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toList
+    val first = rows.find(_._1 == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(first.isDefined, s"first window must close and emit: $rows")
+    val (_, nd, ne) = first.get
+    assert(ne == 4L)
+    assert(nd <= ne, "distinct estimate never exceeds the event count")
+    // HLL++ is exact in its sparse regime; allow the contractual rsd anyway
+    assert(math.abs(nd - 3L) <= 1L, s"estimate $nd too far from 3")
+  }
 }
