@@ -2818,6 +2818,84 @@ object Stewardship {
           expr("CAST(dnum * 1000000 DIV greatest(na * nb, 1) AS BIGINT)")
             .as("ks_ppm"))
         .orderBy("event_type")
+    },
+
+    // MEDIAN with its ORDER-STATISTIC confidence interval — the robust
+    // report every per-source summary should carry (a bare median from
+    // 30 docs and one from 30,000 read the same; the CI width says
+    // which to trust): the classic distribution-free √n interval —
+    // ranks k ± ⌊√n⌋ clamped to [1, n] (≈ 95% coverage at the normal
+    // approximation; the CONSTRUCTION is exact order statistics either
+    // way) — with ⌊√n⌋ = FLOOR(SQRT(n)), bit-identical across engines
+    // for n < 2⁵³ (the q402 IEEE-sqrt rule). Three ceil-rank
+    // selections from ONE shared cumlt grid; width in chars is the
+    // comparability number. One corpus grid agg.
+    "q412_median_ci" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+      val tot = g.groupBy("source").agg(sum(col("c")).as("n"))
+      val cum = Caches.shared(g.select(col("source"), col("n_chars").as("v"),
+          col("c"))
+        .join(broadcast(g.select(col("source").as("s2"),
+          col("n_chars").as("w"), col("c").as("cw"))),
+          col("source") === col("s2") && col("w") < col("v"), "left")
+        .groupBy("source", "v", "c")
+        .agg(coalesce(sum(col("cw")), lit(0L)).as("cumlt"))
+        .join(broadcast(tot), "source")
+        .withColumn("k", expr("(n + 1) div 2"))
+        .withColumn("r", expr("CAST(floor(sqrt(CAST(n AS DOUBLE)))" +
+          " AS BIGINT)")))
+      def sel(kExpr: String, nm: String) =
+        cum.filter(expr(s"cumlt < $kExpr AND $kExpr <= cumlt + c"))
+          .select(col("source").as(s"s_$nm"), col("v").as(nm))
+      sel("k", "med")
+        .join(sel("greatest(k - r, 1)", "ci_lo"), col("s_med") === col("s_ci_lo"))
+        .join(sel("least(k + r, n)", "ci_hi"), col("s_med") === col("s_ci_hi"))
+        .join(broadcast(tot), col("s_med") === col("source"))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          col("med").cast("long").as("median_chars"),
+          col("ci_lo").cast("long").as("ci_lo"),
+          col("ci_hi").cast("long").as("ci_hi"),
+          (col("ci_hi") - col("ci_lo")).cast("long").as("ci_width"))
+        .orderBy("source")
+    },
+
+    // COLUMN-ENCODING advisor — the parquet writer decision (dictionary
+    // vs run-length) read from the data itself, per candidate column:
+    // distinct ratio (dictionary page viability) and the CHANGE-POINT
+    // count along adjacent doc_ids (run-length viability — values that
+    // cluster in writer order compress as runs; the count is over
+    // ADJACENT id pairs, one convention both engines replay, so id
+    // gaps cost a pair, never a wrong answer). rle_ratio_ppm =
+    // est_runs·10⁶ DIV rows: ≪ 10⁶ means sort-order already favors
+    // RLE; ≈ 10⁶ means shuffled — dictionary or re-sort first. One
+    // scan + one adjacent-id self-join; 2 output rows.
+    "q413_encoding_advisor" -> { (s, d) =>
+      val base = Caches.shared(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang")))
+      val pairs = Caches.shared(base.select(col("doc_id"),
+          col("source").as("sa"), col("lang").as("la"))
+        .join(base.select((col("doc_id") - 1).as("doc_id"),
+          col("source").as("sb"), col("lang").as("lb")), "doc_id"))
+      def leg(nm: String, vcol: String, a: String, b: String) = {
+        val st = base.agg(count(lit(1)).as("nr"),
+          countDistinct(col(vcol)).as("ndist"))
+        val ch = pairs.agg(count(lit(1)).as("np"),
+          sum(when(col(a) =!= col(b), 1L).otherwise(0L)).as("chg"))
+        st.crossJoin(ch)
+          .select(lit(nm).as("column_name"),
+            col("nr").cast("long").as("n_rows"),
+            col("ndist").cast("long").as("n_distinct"),
+            expr("CAST(ndist * 1000000 DIV nr AS BIGINT)")
+              .as("distinct_ppm"),
+            col("np").cast("long").as("n_adjacent_pairs"),
+            col("chg").cast("long").as("n_change_points"),
+            expr("CAST((chg + 1) * 1000000 DIV nr AS BIGINT)")
+              .as("rle_ratio_ppm"))
+      }
+      leg("a_source", "source", "sa", "sb")
+        .unionByName(leg("b_lang", "lang", "la", "lb"))
+        .orderBy("column_name")
     }
   )
 
@@ -4690,6 +4768,63 @@ object Stewardship {
         |  CAST(MAX(ABS(a.fa * ns.nb - a.fb * ns.na)) * 1000000
         |    // GREATEST(ns.na * ns.nb, 1) AS BIGINT) AS ks_ppm
         |FROM atv a JOIN ns ON ns.event_type = a.event_type
-        |GROUP BY a.event_type, ns.na, ns.nb ORDER BY 1""".stripMargin
+        |GROUP BY a.event_type, ns.na, ns.nb ORDER BY 1""".stripMargin,
+
+    "q412_median_ci" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
+        |cum AS (
+        |  SELECT o.source, o.n_chars AS v, o.c, t.n,
+        |    (t.n + 1) // 2 AS k,
+        |    CAST(FLOOR(SQRT(CAST(t.n AS DOUBLE))) AS BIGINT) AS r,
+        |    COALESCE((SELECT SUM(w.c) FROM g w
+        |      WHERE w.source = o.source AND w.n_chars < o.n_chars), 0)
+        |      AS cumlt
+        |  FROM g o JOIN tot t ON t.source = o.source),
+        |med AS (SELECT source, v FROM cum
+        |  WHERE cumlt < k AND k <= cumlt + c),
+        |lo AS (SELECT source, v FROM cum
+        |  WHERE cumlt < GREATEST(k - r, 1) AND GREATEST(k - r, 1) <= cumlt + c),
+        |hi AS (SELECT source, v FROM cum
+        |  WHERE cumlt < LEAST(k + r, n) AND LEAST(k + r, n) <= cumlt + c)
+        |SELECT t.source, t.n AS n_docs,
+        |  CAST(med.v AS BIGINT) AS median_chars,
+        |  CAST(lo.v AS BIGINT) AS ci_lo, CAST(hi.v AS BIGINT) AS ci_hi,
+        |  CAST(hi.v - lo.v AS BIGINT) AS ci_width
+        |FROM tot t JOIN med ON med.source = t.source
+        |JOIN lo ON lo.source = t.source JOIN hi ON hi.source = t.source
+        |ORDER BY 1""".stripMargin,
+
+    "q413_encoding_advisor" ->
+      """WITH base AS (SELECT doc_id, source, lang FROM documents),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.lang AS la, b.source AS sb, b.lang AS lb
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS nd_src,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS nd_lang
+        |  FROM base),
+        |ch AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS chg_src,
+        |    CAST(SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS chg_lang
+        |  FROM pairs)
+        |SELECT 'a_source' AS column_name, st.nr AS n_rows,
+        |  st.nd_src AS n_distinct,
+        |  CAST(st.nd_src * 1000000 // st.nr AS BIGINT) AS distinct_ppm,
+        |  ch.np AS n_adjacent_pairs, ch.chg_src AS n_change_points,
+        |  CAST((ch.chg_src + 1) * 1000000 // st.nr AS BIGINT)
+        |    AS rle_ratio_ppm
+        |FROM st CROSS JOIN ch
+        |UNION ALL
+        |SELECT 'b_lang', st.nr, st.nd_lang,
+        |  CAST(st.nd_lang * 1000000 // st.nr AS BIGINT),
+        |  ch.np, ch.chg_lang,
+        |  CAST((ch.chg_lang + 1) * 1000000 // st.nr AS BIGINT)
+        |FROM st CROSS JOIN ch
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -1503,6 +1503,52 @@ class StewardshipSpec extends AnyFunSuite {
     }
   }
 
+  test("q412 median CI matches sorted-rank selection and brackets the median") {
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    run("q412_median_ci").collect().foreach { r =>
+      val src = r.getString(0)
+      val xs = bySource(src)
+      val n = xs.length.toLong
+      val k = (n + 1) / 2
+      val rad = math.sqrt(n.toDouble).toLong
+      def at(j: Long) = xs((j - 1).toInt)
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("median_chars") == at(k), s"$src median")
+      assert(r.getAs[Long]("ci_lo") == at(math.max(k - rad, 1L)), s"$src lo")
+      assert(r.getAs[Long]("ci_hi") == at(math.min(k + rad, n)), s"$src hi")
+      assert(r.getAs[Long]("ci_lo") <= r.getAs[Long]("median_chars") &&
+        r.getAs[Long]("median_chars") <= r.getAs[Long]("ci_hi"))
+      assert(r.getAs[Long]("ci_width") ==
+        r.getAs[Long]("ci_hi") - r.getAs[Long]("ci_lo"))
+    }
+  }
+
+  test("q413 encoding advisor matches an adjacent-id walk mirror") {
+    val rows0 = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = rows0.map(x => x._1 -> x).toMap
+    val pairs = rows0.flatMap(a => byId.get(a._1 + 1).map(b => (a, b)))
+    val out = run("q413_encoding_advisor").collect()
+      .map(r => r.getString(0) -> r).toMap
+    def check(nm: String, vOf: ((Long, String, String)) => String) = {
+      val r = out(nm)
+      val chg = pairs.count(p => vOf(p._1) != vOf(p._2)).toLong
+      assert(r.getAs[Long]("n_rows") == rows0.length.toLong)
+      assert(r.getAs[Long]("n_distinct") ==
+        rows0.map(vOf).distinct.length.toLong, s"$nm distinct")
+      assert(r.getAs[Long]("n_adjacent_pairs") == pairs.length.toLong)
+      assert(r.getAs[Long]("n_change_points") == chg, s"$nm changes")
+      assert(r.getAs[Long]("rle_ratio_ppm") ==
+        (chg + 1) * 1000000 / rows0.length)
+    }
+    check("a_source", _._2)
+    check("b_lang", _._3)
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
