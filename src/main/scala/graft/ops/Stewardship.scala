@@ -2896,6 +2896,97 @@ object Stewardship {
       leg("a_source", "source", "sa", "sb")
         .unionByName(leg("b_lang", "lang", "la", "lb"))
         .orderBy("column_name")
+    },
+
+    // KENDALL'S W concordance across weekday rankings — "do the seven
+    // weekdays agree on which event types are big?" (q373/q410 test
+    // each type against time; THIS tests the RANKINGS against each
+    // other — W ≈ 1 means one stable league table, W ≈ 0 means the
+    // mix reshuffles by weekday and any single-day sample is biased):
+    // judges = weekdays (m = 7), items = event types, midranks doubled
+    // to stay integer (2r = 2·cnt_smaller + ties + 1 per judge),
+    // R2_i = Σ_judges 2r, S4 = Σ_i (R2_i − m(k+1))² = 4S, and the
+    // tie-corrected W = 12S/(m²(k³−k) − m·ΣT_j) reported as
+    // w_ppm = 12·S4·10⁶ DIV 4·(m²(k³−k) − m·ΣT_j). Weekday index is
+    // (epoch_day + 4) % 7 — one arithmetic convention both engines
+    // replay (1970-01-01 was a Thursday), immune to locale WEEKDAY()
+    // disagreements. Per-type rank sums ride along for audit. All
+    // grids are |weekdays|×|types|.
+    "q414_kendall_w" -> { (s, d) =>
+      val g = Caches.shared(Tables.events(s, d)
+        .select(expr("(datediff(to_date(ts), DATE '1970-01-01') + 4) % 7")
+          .as("wd"), col("event_type"))
+        .groupBy("wd", "event_type").agg(count(lit(1)).as("tot")))
+      val r2 = g.select(col("wd"), col("event_type"), col("tot"))
+        .join(broadcast(g.select(col("wd").as("w2"),
+          col("event_type").as("e2"), col("tot").as("t2"))),
+          col("wd") === col("w2"))
+        .groupBy("wd", "event_type")
+        .agg((lit(2) * sum(when(col("t2") < col("tot"), 1L).otherwise(0L))
+          + sum(when(col("t2") === col("tot"), 1L).otherwise(0L)) + 1)
+          .as("r2x"))
+      val ranks = r2.groupBy("event_type").agg(sum(col("r2x")).as("rsum2"))
+      val ties = g.groupBy("wd", "tot").agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      val mk = g.agg(countDistinct(col("wd")).as("m"),
+        countDistinct(col("event_type")).as("k"))
+      val s4 = ranks.crossJoin(broadcast(mk))
+        .select(((col("rsum2") - col("m") * (col("k") + 1)) *
+          (col("rsum2") - col("m") * (col("k") + 1))).as("dev2"))
+        .agg(sum(col("dev2")).as("s4"))
+      ranks.crossJoin(broadcast(mk)).crossJoin(broadcast(ties))
+        .crossJoin(broadcast(s4))
+        .select(col("event_type"),
+          col("rsum2").cast("long").as("rank_sum_x2"),
+          col("m").cast("long").as("m_judges"),
+          col("k").cast("long").as("k_items"),
+          col("s4").cast("long").as("s4_num"),
+          col("tsum").cast("long").as("tie_sum"),
+          expr("CAST(12 * s4 * 1000000 DIV (4 * (m * m * (k * k * k - k)" +
+            " - m * tsum)) AS BIGINT)").as("w_ppm"))
+        .orderBy("event_type")
+    },
+
+    // WINSORIZED mean league — q368's trimmed mean DROPS the tails;
+    // winsorizing CLAMPS them to the 5th/95th-percentile values (the
+    // estimator that keeps n constant, so per-group means stay
+    // comparable when group sizes differ): g = n DIV 20 rows clamp on
+    // each side, clamp values by exact rank selection (x_(g+1),
+    // x_(n−g)), winsorized sum = Σ middle + g·lo + g·hi in exact
+    // cents. The wins-vs-raw delta prices the tails' leverage with
+    // the q368 column conventions so the two robust means read
+    // side-by-side. One partitioned rank pass (the q368 window).
+    "q415_winsorized_mean" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+        col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("c"))
+      val n = o.groupBy("prio").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("prio").orderBy(col("c"), col("o_orderkey"))
+      val rn = Caches.shared(o.withColumn("rn", row_number().over(w))
+        .join(broadcast(n), "prio")
+        .withColumn("gg", expr("n DIV 20")))
+      val loHi = rn.groupBy("prio")
+        .agg(max(when(col("rn") === col("gg") + 1, col("c"))).as("lo"),
+          max(when(col("rn") === col("n") - col("gg"), col("c"))).as("hi"))
+      rn.groupBy("prio")
+        .agg(max(col("n")).cast("long").as("n_orders"),
+          max(col("gg")).cast("long").as("g_clamped"),
+          sum(col("c")).as("sum_all"),
+          sum(when(col("rn") > col("gg") &&
+            col("rn") <= col("n") - col("gg"), col("c")).otherwise(0L))
+            .as("sum_mid"))
+        .join(broadcast(loHi), "prio")
+        .select(col("prio"), col("n_orders"), col("g_clamped"),
+          col("lo").cast("long").as("lo_clamp_cents"),
+          col("hi").cast("long").as("hi_clamp_cents"),
+          expr("CAST(sum_all DIV n_orders AS BIGINT)").as("mean_cents"),
+          expr("CAST((sum_mid + g_clamped * (lo + hi)) DIV n_orders" +
+            " AS BIGINT)").as("winsorized_mean_cents"),
+          expr("CAST(abs(sum_all DIV n_orders - (sum_mid + g_clamped" +
+            " * (lo + hi)) DIV n_orders) AS BIGINT)")
+            .as("clamp_delta_cents"))
+        .orderBy("prio")
     }
   )
 
@@ -4825,6 +4916,69 @@ object Stewardship {
         |  ch.np, ch.chg_lang,
         |  CAST((ch.chg_lang + 1) * 1000000 // st.nr AS BIGINT)
         |FROM st CROSS JOIN ch
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q414_kendall_w" ->
+      """WITH g AS (
+        |  SELECT ((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7 AS wd,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS tot
+        |  FROM events GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT a.wd, a.event_type,
+        |    CAST(2 * SUM(CASE WHEN b.tot < a.tot THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN b.tot = a.tot THEN 1 ELSE 0 END) + 1
+        |      AS BIGINT) AS r2x
+        |  FROM g a JOIN g b ON b.wd = a.wd GROUP BY 1, 2),
+        |ranks AS (SELECT event_type, CAST(SUM(r2x) AS BIGINT) AS rsum2
+        |  FROM r2 GROUP BY 1),
+        |ties AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum FROM (
+        |  SELECT wd, tot, CAST(COUNT(*) AS BIGINT) AS t FROM g
+        |  GROUP BY 1, 2)),
+        |mk AS (SELECT CAST(COUNT(DISTINCT wd) AS BIGINT) AS m,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM g),
+        |s4 AS (SELECT CAST(SUM((rsum2 - mk.m * (mk.k + 1))
+        |    * (rsum2 - mk.m * (mk.k + 1))) AS BIGINT) AS s4
+        |  FROM ranks CROSS JOIN mk)
+        |SELECT ranks.event_type, ranks.rsum2 AS rank_sum_x2,
+        |  mk.m AS m_judges, mk.k AS k_items, s4.s4 AS s4_num,
+        |  ties.tsum AS tie_sum,
+        |  CAST(12 * s4.s4 * 1000000 // (4 * (mk.m * mk.m
+        |    * (mk.k * mk.k * mk.k - mk.k) - mk.m * ties.tsum)) AS BIGINT)
+        |    AS w_ppm
+        |FROM ranks CROSS JOIN mk CROSS JOIN ties CROSS JOIN s4
+        |ORDER BY 1""".stripMargin,
+
+    "q415_winsorized_mean" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |n AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |rn AS (
+        |  SELECT o.prio, o.c,
+        |    row_number() OVER (PARTITION BY o.prio
+        |      ORDER BY o.c, o.o_orderkey) AS rn,
+        |    n.n, n.n // 20 AS gg
+        |  FROM o JOIN n USING (prio)),
+        |lohi AS (
+        |  SELECT prio, MAX(CASE WHEN rn = gg + 1 THEN c END) AS lo,
+        |    MAX(CASE WHEN rn = n - gg THEN c END) AS hi
+        |  FROM rn GROUP BY 1),
+        |agg AS (
+        |  SELECT prio, CAST(MAX(n) AS BIGINT) AS n_orders,
+        |    CAST(MAX(gg) AS BIGINT) AS g_clamped,
+        |    CAST(SUM(c) AS BIGINT) AS sum_all,
+        |    CAST(SUM(CASE WHEN rn > gg AND rn <= n - gg THEN c ELSE 0 END)
+        |      AS BIGINT) AS sum_mid
+        |  FROM rn GROUP BY 1)
+        |SELECT a.prio, a.n_orders, a.g_clamped,
+        |  CAST(l.lo AS BIGINT) AS lo_clamp_cents,
+        |  CAST(l.hi AS BIGINT) AS hi_clamp_cents,
+        |  CAST(a.sum_all // a.n_orders AS BIGINT) AS mean_cents,
+        |  CAST((a.sum_mid + a.g_clamped * (l.lo + l.hi)) // a.n_orders
+        |    AS BIGINT) AS winsorized_mean_cents,
+        |  CAST(ABS(a.sum_all // a.n_orders - (a.sum_mid + a.g_clamped
+        |    * (l.lo + l.hi)) // a.n_orders) AS BIGINT) AS clamp_delta_cents
+        |FROM agg a JOIN lohi l USING (prio) ORDER BY 1""".stripMargin
   )
 }

@@ -1549,6 +1549,70 @@ class StewardshipSpec extends AnyFunSuite {
     check("b_lang", _._3)
   }
 
+  test("q414 Kendall W matches a brute-force midrank mirror; rank sums conserve") {
+    val g = Tables.events(spark, sf)
+      .select(expr("(datediff(to_date(ts), DATE '1970-01-01') + 4) % 7"),
+        col("event_type"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val judges = g.keys.map(_._1).toSeq.distinct
+    val items = g.keys.map(_._2).toSeq.distinct
+    val (m, k) = (judges.length.toLong, items.length.toLong)
+    def r2(wd: Int, et: String) = {
+      val mine = g((wd, et))
+      // only items PRESENT for this judge rank; absent items are absent rows
+      val present = items.filter(i => g.contains((wd, i)))
+        .map(i => g((wd, i)))
+      2 * present.count(_ < mine) + present.count(_ == mine) + 1
+    }
+    val rsum2 = items.map(et => et ->
+      judges.filter(wd => g.contains((wd, et)))
+        .map(wd => r2(wd, et).toLong).sum).toMap
+    val s4 = rsum2.values.map(r => (r - m * (k + 1)) * (r - m * (k + 1))).sum
+    val tsum = judges.flatMap { wd =>
+      items.filter(i => g.contains((wd, i))).map(i => g((wd, i)))
+        .groupBy(identity).values.map(t => {
+          val tt = t.length.toLong; tt * tt * tt - tt
+        })
+    }.sum
+    val rows = run("q414_kendall_w").collect()
+    // per-judge doubled rank sums conserve to k(k+1) when all items fire
+    rows.foreach { r =>
+      val et = r.getString(0)
+      assert(r.getAs[Long]("rank_sum_x2") == rsum2(et), s"$et rank sum")
+      assert(r.getAs[Long]("m_judges") == m && r.getAs[Long]("k_items") == k)
+      assert(r.getAs[Long]("s4_num") == s4)
+      assert(r.getAs[Long]("tie_sum") == tsum)
+      assert(r.getAs[Long]("w_ppm") ==
+        12 * s4 * 1000000 / (4 * (m * m * (k * k * k - k) - m * tsum)))
+      assert(r.getAs[Long]("w_ppm") <= 1000000L, "W <= 1 law")
+    }
+  }
+
+  test("q415 winsorized mean matches a sorted-clamp mirror and tempers the tails") {
+    val byPrio = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sorted }
+    run("q415_winsorized_mean").collect().foreach { r =>
+      val prio = r.getString(0)
+      val xs = byPrio(prio)
+      val n = xs.length.toLong
+      val gg = n / 20
+      val (lo, hi) = (xs(gg.toInt), xs((n - gg - 1).toInt))
+      val wsum = xs.map(x => math.max(lo, math.min(hi, x))).sum
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Long]("g_clamped") == gg)
+      assert(r.getAs[Long]("lo_clamp_cents") == lo, s"$prio lo")
+      assert(r.getAs[Long]("hi_clamp_cents") == hi, s"$prio hi")
+      assert(r.getAs[Long]("mean_cents") == xs.sum / n)
+      assert(r.getAs[Long]("winsorized_mean_cents") == wsum / n, s"$prio wmean")
+      assert(r.getAs[Long]("clamp_delta_cents") ==
+        math.abs(xs.sum / n - wsum / n))
+    }
+  }
+
   test("q354 k-anonymity bands conserve customers and min_k is the true minimum") {
     val classes = Tables.customer(spark, sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
