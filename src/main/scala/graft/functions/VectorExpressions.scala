@@ -21,6 +21,16 @@ import org.apache.spark.sql.types._
   * Summation is a strict left-to-right fold, matching both the
   * `functions.aggregate` formulation and DuckDB's list_dot_product, so
   * results are bit-identical to the oracle-checked baseline.
+  *
+  * PRECONDITION (all kernels, double and long): array ELEMENTS must be
+  * non-null. The kernels null-check the array arguments themselves
+  * (nullSafeEval/nullSafeCodeGen) but read slots with getDouble/getLong,
+  * which is undefined over null elements — a per-slot isNullAt branch in
+  * the hottest loop in the engine would price every call for a case no
+  * call site produces. Every registered call site builds its arrays from
+  * non-null source columns (embeddings.vec; transform(...) over them),
+  * where element nulls are impossible; a NEW call site whose element
+  * nullability is not provable must filter/coalesce elements first.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType

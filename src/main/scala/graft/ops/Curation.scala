@@ -939,10 +939,13 @@ object Curation {
     // compressible docs (ratio < 25% — template/boilerplate spam; prose
     // sits far higher). Runs through the codegen'd [[DeflateLength]]
     // expression — one static zlib call per row inside the projection,
-    // no UDF boxing. NO DuckDB oracle: zlib is not expressible in SQL,
-    // so this is a declared rows-only entry (the streaming-op
-    // convention); determinism and the more-repetition-compresses-more
-    // law are spec-proven instead (AuditOpsSpec).
+    // no UDF boxing. Oracle: zlib is not expressible in DuckDB SQL, so
+    // Verify emits a JVM-MIRROR oracle — the expected aggregates
+    // recomputed driver-side by an independent java.util.zip loop over
+    // the same parquet, dumped as a literal VALUES query (Verify.scala)
+    // — giving this row the same hard rows+schema+hash verdict as the
+    // SQL-expressible queries; determinism and the more-repetition-
+    // compresses-more law stay spec-proven too (AuditOpsSpec).
     "q339_gzip_quality" -> { (s, d) =>
       import graft.functions.TextCodecs.deflate_len
       Tables.documents(s, d)

@@ -2496,42 +2496,39 @@ object Stewardship {
     // counts LATE lines against a threshold; this reads the whole
     // latency DISTRIBUTION per week): lag = ship − order days (a
     // SCHEMA-bounded 1..121 domain per the TPC-H generator), weekly
-    // p50/p90/p95 by ceil-rank predecessor-count on the (week, lag)
-    // grid — never a corpus-wide sort. Weeks are Monday buckets
-    // (epoch-day DIV 7 — one arithmetic convention both engines
-    // replay). One orders⋈lineitem orderkey join (the natural fact
-    // shuffle) → horizon×121 grid; selection is grid algebra.
+    // p50/p90/p95 by a PARTITIONED running sum over the (week, lag)
+    // grid — Window.partitionBy(wk).orderBy(lag) is O(grid log grid)
+    // where the earlier grid²-per-week theta-join was O(grid²/weeks)
+    // (round-7 VERDICT "What's wrong #2"); never a corpus-wide sort.
+    // Weeks are Monday buckets (epoch-day DIV 7 — one arithmetic
+    // convention both engines replay). One orders⋈lineitem orderkey
+    // join (the natural fact shuffle) → horizon×121 grid; all three
+    // rank selections fold in ONE aggregate over the same pass, and
+    // the final groupBy("wk") reuses the window's hash partitioning
+    // on wk — no extra exchange, no shared subtree to cache.
     "q404_lag_percentiles" -> { (s, d) =>
-      val g = Caches.shared(Tables.lineitem(s, d)
+      val g = Tables.lineitem(s, d)
         .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
         .join(Tables.orders(s, d).select(col("o_orderkey"),
           to_date(col("o_orderdate")).as("odate")),
           col("l_orderkey") === col("o_orderkey"))
         .select(expr("datediff(ship, DATE '1970-01-05') div 7").as("wk"),
           datediff(col("ship"), col("odate")).cast("long").as("lag"))
-        .groupBy("wk", "lag").agg(count(lit(1)).as("c")))
-      val nw = g.groupBy("wk").agg(sum(col("c")).as("n"))
-      // three rank selections consume this subtree — the repo's
-      // subtree-reuse rule: eager-share it or pay the cumlt join 3×
-      val cum = Caches.shared(g.select(col("wk"), col("lag").as("v"), col("c"))
-        .join(broadcast(g.select(col("wk").as("w2"), col("lag").as("u"),
-          col("c").as("cu"))),
-          col("wk") === col("w2") && col("u") < col("v"), "left")
-        .groupBy("wk", "v", "c")
-        .agg(coalesce(sum(col("cu")), lit(0L)).as("cumlt"))
-        .join(broadcast(nw), "wk"))
-      def sel(kExpr: String, nm: String) =
-        cum.filter(expr(s"cumlt < $kExpr AND $kExpr <= cumlt + c"))
-          .select(col("wk").as(s"w_$nm"), col("v").as(nm))
-      sel("(n + 1) div 2", "p50")
-        .join(sel("(9 * n + 9) div 10", "p90"), col("w_p50") === col("w_p90"))
-        .join(sel("(19 * n + 19) div 20", "p95"), col("w_p50") === col("w_p95"))
-        .join(broadcast(nw), col("w_p50") === col("wk"))
-        .select(col("wk").cast("long").as("week"),
-          col("n").cast("long").as("n_lines"),
-          col("p50").cast("long").as("p50_days"),
-          col("p90").cast("long").as("p90_days"),
-          col("p95").cast("long").as("p95_days"))
+        .groupBy("wk", "lag").agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy("wk").orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g
+        .withColumn("cumlt", sum(col("c")).over(run) - col("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("wk")))
+      def pick(kExpr: String) =
+        max(when(expr(s"cumlt < $kExpr AND $kExpr <= cumlt + c"), col("lag")))
+      cum.groupBy("wk")
+        .agg(max(col("n")).cast("long").as("n_lines"),
+          pick("(n + 1) div 2").cast("long").as("p50_days"),
+          pick("(9 * n + 9) div 10").cast("long").as("p90_days"),
+          pick("(19 * n + 19) div 20").cast("long").as("p95_days"))
+        .select(col("wk").cast("long").as("week"), col("n_lines"),
+          col("p50_days"), col("p90_days"), col("p95_days"))
         .orderBy("week")
     },
 
@@ -2911,12 +2908,20 @@ object Stewardship {
     // (epoch_day + 4) % 7 — one arithmetic convention both engines
     // replay (1970-01-01 was a Thursday), immune to locale WEEKDAY()
     // disagreements. Per-type rank sums ride along for audit. All
-    // grids are |weekdays|×|types|.
+    // grids are |weekdays|×|types|. The grid is DENSIFIED (weekday ×
+    // type cross join, missing counts 0) before ranking: a type with
+    // zero events on some weekday must still be ranked by that judge,
+    // or per-judge midranks break the m(k+1) centering W relies on.
     "q414_kendall_w" -> { (s, d) =>
-      val g = Caches.shared(Tables.events(s, d)
+      val raw = Tables.events(s, d)
         .select(expr("(datediff(to_date(ts), DATE '1970-01-01') + 4) % 7")
           .as("wd"), col("event_type"))
-        .groupBy("wd", "event_type").agg(count(lit(1)).as("tot")))
+        .groupBy("wd", "event_type").agg(count(lit(1)).as("tot"))
+      val g = Caches.shared(raw.select("wd").distinct()
+        .crossJoin(broadcast(raw.select("event_type").distinct()))
+        .join(broadcast(raw), Seq("wd", "event_type"), "left")
+        .select(col("wd"), col("event_type"),
+          coalesce(col("tot"), lit(0L)).as("tot")))
       val r2 = g.select(col("wd"), col("event_type"), col("tot"))
         .join(broadcast(g.select(col("wd").as("w2"),
           col("event_type").as("e2"), col("tot").as("t2"))),
@@ -4626,27 +4631,20 @@ object Stewardship {
         |    CAST(COUNT(*) AS BIGINT) AS c
         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         |  GROUP BY 1, 2),
-        |nw AS (SELECT wk, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
         |cum AS (
-        |  SELECT o.wk, o.lag AS v, o.c,
-        |    COALESCE((SELECT SUM(w.c) FROM g w
-        |      WHERE w.wk = o.wk AND w.lag < o.lag), 0) AS cumlt
-        |  FROM g o),
-        |p50 AS (SELECT c2.wk, c2.v FROM cum c2 JOIN nw ON nw.wk = c2.wk
-        |  WHERE c2.cumlt < (nw.n + 1) // 2
-        |    AND (nw.n + 1) // 2 <= c2.cumlt + c2.c),
-        |p90 AS (SELECT c2.wk, c2.v FROM cum c2 JOIN nw ON nw.wk = c2.wk
-        |  WHERE c2.cumlt < (9 * nw.n + 9) // 10
-        |    AND (9 * nw.n + 9) // 10 <= c2.cumlt + c2.c),
-        |p95 AS (SELECT c2.wk, c2.v FROM cum c2 JOIN nw ON nw.wk = c2.wk
-        |  WHERE c2.cumlt < (19 * nw.n + 19) // 20
-        |    AND (19 * nw.n + 19) // 20 <= c2.cumlt + c2.c)
-        |SELECT CAST(nw.wk AS BIGINT) AS week, nw.n AS n_lines,
-        |  CAST(p50.v AS BIGINT) AS p50_days,
-        |  CAST(p90.v AS BIGINT) AS p90_days,
-        |  CAST(p95.v AS BIGINT) AS p95_days
-        |FROM nw JOIN p50 ON p50.wk = nw.wk JOIN p90 ON p90.wk = nw.wk
-        |JOIN p95 ON p95.wk = nw.wk
+        |  SELECT wk, lag, c,
+        |    CAST(SUM(c) OVER (PARTITION BY wk ORDER BY lag
+        |      ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS cumlt,
+        |    CAST(SUM(c) OVER (PARTITION BY wk) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT CAST(wk AS BIGINT) AS week, CAST(MAX(n) AS BIGINT) AS n_lines,
+        |  CAST(MAX(CASE WHEN cumlt < (n + 1) // 2
+        |    AND (n + 1) // 2 <= cumlt + c THEN lag END) AS BIGINT) AS p50_days,
+        |  CAST(MAX(CASE WHEN cumlt < (9 * n + 9) // 10
+        |    AND (9 * n + 9) // 10 <= cumlt + c THEN lag END) AS BIGINT) AS p90_days,
+        |  CAST(MAX(CASE WHEN cumlt < (19 * n + 19) // 20
+        |    AND (19 * n + 19) // 20 <= cumlt + c THEN lag END) AS BIGINT) AS p95_days
+        |FROM cum GROUP BY wk
         |ORDER BY 1""".stripMargin,
 
     "q405_order_backlog" ->
@@ -4919,10 +4917,15 @@ object Stewardship {
         |ORDER BY 1""".stripMargin,
 
     "q414_kendall_w" ->
-      """WITH g AS (
+      """WITH raw AS (
         |  SELECT ((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7 AS wd,
         |    event_type, CAST(COUNT(*) AS BIGINT) AS tot
         |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT w.wd, e.event_type, CAST(COALESCE(r.tot, 0) AS BIGINT) AS tot
+        |  FROM (SELECT DISTINCT wd FROM raw) w
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM raw) e
+        |  LEFT JOIN raw r ON r.wd = w.wd AND r.event_type = e.event_type),
         |r2 AS (
         |  SELECT a.wd, a.event_type,
         |    CAST(2 * SUM(CASE WHEN b.tot < a.tot THEN 1 ELSE 0 END)

@@ -202,7 +202,16 @@ object StreamingOps {
     * partition-arrival order); ACROSS batches the fold is arrival
     * order — the reference's Kafka-record model
     * (BigqueryStorageWriteSinkTask.java:98-116), where reordering
-    * guarantees belong to the upstream log, not the operator. */
+    * guarantees belong to the upstream log, not the operator.
+    *
+    * Memory caveat: the per-batch `seqOf` sort materializes ONE KEY's
+    * micro-batch rows in executor memory (`values.toSeq`), so the
+    * cross-batch STATE is constant (5 longs) but the per-batch working
+    * set for a hot key is that key's batch volume — under burst load,
+    * bound it with the micro-batch trigger (maxOffsetsPerTrigger /
+    * trigger interval), which caps the batch and therefore the sort.
+    * Folding in iterator order would be O(1) memory but gives up the
+    * within-batch determinism the spec asserts. */
   case class CusumStatus(key: String, n: Long, s_pos: Long, s_neg: Long,
                          alarms_pos: Long, alarms_neg: Long)
   case class CusumState(n: Long, sPos: Long, sNeg: Long,

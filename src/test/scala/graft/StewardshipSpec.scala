@@ -1559,18 +1559,17 @@ class StewardshipSpec extends AnyFunSuite {
     val items = g.keys.map(_._2).toSeq.distinct
     val (m, k) = (judges.length.toLong, items.length.toLong)
     def r2(wd: Int, et: String) = {
-      val mine = g((wd, et))
-      // only items PRESENT for this judge rank; absent items are absent rows
-      val present = items.filter(i => g.contains((wd, i)))
-        .map(i => g((wd, i)))
-      2 * present.count(_ < mine) + present.count(_ == mine) + 1
+      // DENSE grid: every judge ranks all k items; a type with zero
+      // events that weekday ranks with count 0 (ties among the zeros)
+      val mine = g.getOrElse((wd, et), 0L)
+      val all = items.map(i => g.getOrElse((wd, i), 0L))
+      2 * all.count(_ < mine) + all.count(_ == mine) + 1
     }
     val rsum2 = items.map(et => et ->
-      judges.filter(wd => g.contains((wd, et)))
-        .map(wd => r2(wd, et).toLong).sum).toMap
+      judges.map(wd => r2(wd, et).toLong).sum).toMap
     val s4 = rsum2.values.map(r => (r - m * (k + 1)) * (r - m * (k + 1))).sum
     val tsum = judges.flatMap { wd =>
-      items.filter(i => g.contains((wd, i))).map(i => g((wd, i)))
+      items.map(i => g.getOrElse((wd, i), 0L))
         .groupBy(identity).values.map(t => {
           val tt = t.length.toLong; tt * tt * tt - tt
         })
