@@ -329,6 +329,51 @@ class AnalyticsSpec extends AnyFunSuite {
       "P=1 IS q180's probe — same cells, same kernel, same hits")
   }
 
+  test("q416 Lloyd-3 ladder conserves members per iteration and only sheds cells") {
+    val rows = graft.ops.Similarity.queries("q416_lloyd3_convergence")(spark, sf)
+      .collect()
+    val nVecs = graft.model.Tables.embeddings(spark, sf).count()
+    val byIter = rows.groupBy(_.getAs[Long]("iter"))
+    assert(byIter.keySet == Set(1L, 2L, 3L), "exactly three iterations")
+    byIter.foreach { case (it, rs) =>
+      // every vector is assigned every iteration — Lloyd loses nothing
+      assert(rs.map(_.getAs[Long]("n_members")).sum == nVecs,
+        s"iter $it membership conserves the corpus")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_members") > 0, "emitted cells are non-empty")
+        assert(r.getAs[Double]("new_norm") > 0.0)
+        assert(math.abs(r.getAs[Double]("shift_cos")) <= 1.0)
+      }
+    }
+    // cells can only DROP out across iterations (empty cells vanish; no
+    // mechanism creates a centroid), and the seed set bounds iteration 1
+    def cells(it: Long) = byIter(it).map(_.getAs[Long]("cell")).toSet
+    assert(cells(2L).subsetOf(cells(1L)) && cells(3L).subsetOf(cells(2L)))
+    assert(cells(1L).forall(_ % 50 == 0), "iter-1 cells carry seed ids")
+  }
+
+  test("q418 depth 1 reproduces q417's refined single-probe hits; curve monotone") {
+    val rows = graft.ops.Similarity.queries("q418_multiprobe_lloyd3")(spark, sf)
+      .orderBy("nprobe").collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val rec = rows.map(_.getAs[Long]("recall_ppm"))
+    val cand = rows.map(_.getAs[Long]("n_candidates"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      "probing more refined cells never loses a hit")
+    assert(cand.zip(cand.tail).forall { case (a, b) => a <= b },
+      "the candidate set at depth P is a prefix of depth P+1's")
+    val q417 = graft.ops.Similarity.queries("q417_ivf_recall_lloyd3")(spark, sf)
+      .collect()
+    q417.foreach { r =>
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0 && h <= 3)
+      assert(r.getAs[Long]("recall_ppm") == h * 1000000L / 3)
+    }
+    assert(rows.head.getAs[Long]("n_hits") == q417.map(_.getAs[Long]("n_hit")).sum,
+      "P=1 IS q417's probe — same refined cells, same kernel, same hits")
+    assert(rows.head.getAs[Long]("n_queries") == q417.length.toLong)
+  }
+
   test("q280 stats replay per table and the verdicts split dims from facts at this SF") {
     val rows = Analytics.queries("q280_broadcast_advisor")(spark, sf).collect()
     assert(rows.length == 7)
