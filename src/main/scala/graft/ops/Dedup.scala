@@ -131,6 +131,36 @@ object Dedup {
     explodeBandBuckets(minhashSignatureWide(sh, numHashes),
       Seq("doc_id"), numHashes, bandSize)
 
+  /** Bound the LSH band-join fan-out under a viral/planted mega-bucket:
+    * per (band, bucket) the `k` lowest doc_ids become ANCHORS, and every
+    * member pairs only with anchors (never member×member), so a bucket
+    * of size s emits ≤ k·s candidate rows instead of s² — linear in the
+    * bucket — while CLUSTER CONNECTIVITY is preserved: every member of a
+    * bucket shares that bucket's minimum anchor, so the bucket stays one
+    * component through the anchor star (connectivity + the exact bound
+    * are spec-proven on a planted 100-doc mega-cluster, SkewStressSpec).
+    *
+    * The shipped batch queries (q26/q65 et al.) run the exact uncapped
+    * band join — bucket sizes at the tested SFs are small and the DuckDB
+    * oracle checks the exact pair list; this guard is the documented
+    * drop-in for fleets where one duplicate cluster can reach 10⁶
+    * members (candidates would be 10¹² pairs uncapped; capped, 10⁷ rows
+    * that still yield the identical CLUSTERING because components, not
+    * pair lists, drive survivor election). The streaming twin is
+    * [[graft.streaming.StreamingOps.streamingNearDupCandidates]]'s
+    * maxPerBucket FIFO. */
+  def capBucketFanout(bands: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"anchor count must be positive, got $k")
+    val w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    val anchors = bands.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .select(col("band"), col("bucket"), col("doc_id").as("anchor"))
+    bands.join(anchors, Seq("band", "bucket"))
+      .filter(col("anchor") < col("doc_id"))
+      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Shared banding tail: fold signature columns h0..h{n-1} into one
     * (band, bucket) row per band, carrying `carry` columns through. */
   private def explodeBandBuckets(sig: DataFrame, carry: Seq[String],
