@@ -721,7 +721,13 @@ object Analytics {
     // floor-ppm integer, the 3-term product ≤ 10¹⁸ so the WHOLE ranking
     // is integer arithmetic (the standard log-sum formulation exists
     // only to dodge underflow — at 3 terms the product needs no dodge,
-    // and stays engine-exact where logs would not be). Query = the
+    // and stays engine-exact where logs would not be).
+    // PRECONDITION: the corpus vocabulary holds >= 30 distinct tokens
+    // (true of any real corpus; GenData guarantees 31 like the driver
+    // corpus) — below that, rank 30 has no term and the two engines'
+    // missing-term conventions diverge (Spark folds the present terms,
+    // the SQL mirror's MAX(CASE) goes NULL — caught by the round-8
+    // generated-corpus gate). Query = the
     // global frequency ranks {10, 20, 30} (mid-frequency terms,
     // deterministic); rank via TakeOrdered-30 then a predecessor-count
     // self-join on that 30-row grid — never a global window. Every doc
