@@ -360,6 +360,85 @@ object Graph {
         .select(col("p").cast("long").as("part"),
           col("a1").cast("long").as("auth1"),
           col("a2").cast("long").as("auth2"))
+    },
+
+    // LINK PREDICTION over the co-purchase graph — common-neighbors +
+    // resource-allocation index (Zhou/Lü/Zhang 2009), the two classical
+    // local scores: for every NON-adjacent pair (x, y) sharing ≥1
+    // neighbor, cn = |Γx ∩ Γy| and ra_ppm = Σ_z 10⁶ DIV deg(z) over the
+    // common neighbors z (RA discounts hub brokers — a shared rare part
+    // predicts a future co-purchase far better than a shared bestseller;
+    // floor-ppm keeps it engine-exact where 1/deg floats would not be).
+    // Top-20 by (ra_ppm desc, cn desc, x, y) — the "recommend next
+    // bundle" table. Scale: candidates come from the wedge join
+    // (Σ deg(z)² — q115's triangle-census cost, bounded by the basket
+    // cap + support pruning in copurchaseEdges), the existing-edge
+    // anti-join is on the same (a, b) key, and the top-20 is a
+    // TakeOrdered, never a global sort.
+    "q419_link_prediction" -> { (s, d) =>
+      val adj = Caches.shared(adjacency(s, d))
+      val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+      val wedges = adj.as("l").join(adj.as("r"),
+          col("l.v") === col("r.v") && col("l.n") < col("r.n"))
+        .select(col("l.n").as("x"), col("r.n").as("y"), col("l.v").as("z"))
+      val scored = wedges.join(deg.select(col("v").as("z"),
+          col("deg").as("dz")), "z")
+        .groupBy("x", "y")
+        .agg(count(lit(1)).as("cn"),
+          sum(expr("1000000 DIV dz")).as("ra_ppm"))
+      val edges = adj.filter(col("v") < col("n"))
+        .select(col("v").as("x"), col("n").as("y"))
+      scored.join(edges, Seq("x", "y"), "left_anti")
+        .orderBy(col("ra_ppm").desc, col("cn").desc, col("x"), col("y"))
+        .limit(20)
+        .select(col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+          col("cn").cast("long").as("cn"),
+          col("ra_ppm").cast("long").as("ra_ppm"))
+    },
+
+    // PERSONALIZED PageRank from a brand seed set — "what does Brand#1's
+    // neighborhood buy?" (q90 is the GLOBAL bipartite walk; PPR
+    // restarts at the seeds, so mass measures proximity TO THE BRAND,
+    // the related-products/taste-propagation primitive): teleport
+    // vector = R DIV |seeds| on Brand#1's in-graph parts, two unrolled
+    // supersteps of r' = (R−D)·t + D·Σ_{u→v} (r(u) DIV deg(u)), all
+    // ppb fixed-point floor arithmetic (D = 0.85R) — deterministic,
+    // partitioning-independent, engine-exact like q90. Top-15 by
+    // (ppr desc, node) with seed flag and degree. Magnitude:
+    // D·Σcontrib ≤ 0.85·10⁹·10⁹ < 2⁶³. Scale: per superstep one
+    // rank⋈edge join + map-combined agg on the destination (the Pregel
+    // shape); teleport/seed-count are one-row broadcasts.
+    "q421_personalized_pagerank" -> { (s, d) =>
+      val adj = Caches.shared(adjacency(s, d))
+      val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+      val seeds = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("v"), lit(1L).as("is_seed"))
+      val nodes = Caches.shared(deg.join(seeds, Seq("v"), "left")
+        .select(col("v"), col("deg"),
+          coalesce(col("is_seed"), lit(0L)).as("is_seed")))
+      val ns = nodes.agg(sum(col("is_seed")).as("n_seeds"))
+      val t = nodes.crossJoin(broadcast(ns))
+        .select(col("v"), col("deg"), col("is_seed"),
+          when(col("is_seed") === 1L, expr("1000000000L DIV n_seeds"))
+            .otherwise(0L).as("tele"))
+      def step(r: DataFrame): DataFrame = {
+        val contrib = adj.join(r.select(col("v"), col("r"), col("deg")), "v")
+          .groupBy(col("n").as("v"))
+          .agg(sum(expr("r DIV deg")).as("inflow"))
+        Caches.shared(t.join(contrib, Seq("v"), "left")
+          .select(col("v"), col("deg"), col("is_seed"), col("tele"),
+            (expr("150000000L * tele DIV 1000000000L") +
+              expr("850000000L * coalesce(inflow, 0L) DIV 1000000000L"))
+              .as("r")))
+      }
+      val r0 = t.withColumn("r", col("tele"))
+      val r2 = step(step(r0))
+      r2.orderBy(col("r").desc, col("v"))
+        .limit(15)
+        .select(col("v").cast("long").as("node"),
+          (col("is_seed") === 1L).as("is_seed"),
+          col("deg").cast("long").as("deg"),
+          col("r").cast("long").as("ppr_ppb"))
     }
   )
 
@@ -541,6 +620,53 @@ object Graph {
         |SELECT CAST(a1.p AS BIGINT) AS part, a1.a1 AS auth1,
         |  CAST(a2.a2 AS BIGINT) AS auth2
         |FROM a1 JOIN a2 USING (p)
-        |ORDER BY a2.a2 DESC, a1.p LIMIT 10""".stripMargin
+        |ORDER BY a2.a2 DESC, a1.p LIMIT 10""".stripMargin,
+
+    "q419_link_prediction" -> (EdgesSql +
+      """,
+        |deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |wedges AS (
+        |  SELECT l.n AS x, r.n AS y, l.v AS z
+        |  FROM adj l JOIN adj r ON l.v = r.v AND l.n < r.n),
+        |scored AS (
+        |  SELECT w.x, w.y, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_ppm
+        |  FROM wedges w JOIN deg d ON d.v = w.z GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT s.x, s.y, s.cn, s.ra_ppm FROM scored s
+        |  LEFT JOIN edges e ON e.a = s.x AND e.b = s.y
+        |  WHERE e.a IS NULL)
+        |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, cn, ra_ppm
+        |FROM pred ORDER BY ra_ppm DESC, cn DESC, x, y LIMIT 20""".stripMargin),
+
+    "q421_personalized_pagerank" -> (EdgesSql +
+      """,
+        |deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |nodes AS (
+        |  SELECT d.v, d.deg,
+        |    CASE WHEN p.p_partkey IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+        |  FROM deg d LEFT JOIN part p
+        |    ON p.p_partkey = d.v AND p.p_brand = 'Brand#1'),
+        |ns AS (SELECT SUM(is_seed) AS n_seeds FROM nodes),
+        |t AS (SELECT v, deg, is_seed,
+        |    CASE WHEN is_seed = 1 THEN 1000000000 // ns.n_seeds ELSE 0 END
+        |      AS tele
+        |  FROM nodes CROSS JOIN ns),
+        |r0 AS (SELECT v, deg, is_seed, tele, tele AS r FROM t),
+        |c1 AS (SELECT a.n AS v, SUM(r0.r // r0.deg) AS inflow
+        |  FROM adj a JOIN r0 ON r0.v = a.v GROUP BY 1),
+        |r1 AS (SELECT t.v, t.deg, t.is_seed, t.tele,
+        |    150000000 * t.tele // 1000000000
+        |      + 850000000 * COALESCE(c1.inflow, 0) // 1000000000 AS r
+        |  FROM t LEFT JOIN c1 ON c1.v = t.v),
+        |c2 AS (SELECT a.n AS v, SUM(r1.r // r1.deg) AS inflow
+        |  FROM adj a JOIN r1 ON r1.v = a.v GROUP BY 1),
+        |r2 AS (SELECT t.v, t.deg, t.is_seed, t.tele,
+        |    150000000 * t.tele // 1000000000
+        |      + 850000000 * COALESCE(c2.inflow, 0) // 1000000000 AS r
+        |  FROM t LEFT JOIN c2 ON c2.v = t.v)
+        |SELECT CAST(v AS BIGINT) AS node, is_seed = 1 AS is_seed,
+        |  CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS ppr_ppb
+        |FROM r2 ORDER BY r DESC, v LIMIT 15""".stripMargin)
   )
 }

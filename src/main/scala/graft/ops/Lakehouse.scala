@@ -612,10 +612,69 @@ object Lakehouse {
         .select(lit("__all__").as("source"), col("n_docs"), col("n_chars"),
           col("fp_xor"), col("fp_sum"))
       per.unionByName(all).orderBy("source")
+    },
+
+    // Small-files COMPACTION planner — the OPTIMIZE/bin-packing decision
+    // every lakehouse table eventually needs (q234 profiles stats, q361
+    // prices zone-map skipping; THIS plans the rewrite): monthly order
+    // "files" (size = 64 bytes/row — a documented fixed-width estimate,
+    // the q280 convention) packed NEXT-FIT in month order into 1 MiB
+    // target bins via bin = cum_before DIV target — the declarative
+    // next-fit: deterministic, one pass, no sequential FFD loop (an FFD
+    // plan is marginally tighter but inherently serial; next-fit's
+    // overshoot is bounded by one file and the bins stay time-contiguous,
+    // which ALSO preserves date-range zone maps — the reason real
+    // compactors pack neighbors, not best-fit scatter). Per bin: file
+    // count, span, bytes, fill vs target. Cumulative sums run by
+    // predecessor-count theta-join on the bounded month grid (the q405
+    // rule: never a window over an unbounded axis, and the grid is
+    // ~80 rows).
+    "q420_compaction_plan" -> { (s, d) =>
+      val target = 1048576L
+      val files = Caches.shared(Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+        .agg((count(lit(1)) * 64L).as("bytes")))
+      val cum = files.select(col("m"), col("bytes"))
+        .join(broadcast(files.select(col("m").as("m2"), col("bytes").as("b2"))),
+          col("m2") < col("m"), "left")
+        .groupBy("m", "bytes")
+        .agg(coalesce(sum(col("b2")), lit(0L)).as("cum_before"))
+        .withColumn("bin", expr(s"cum_before DIV ${target}L"))
+      cum.groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          min(col("m")).cast("long").as("first_month"),
+          max(col("m")).cast("long").as("last_month"),
+          sum(col("bytes")).cast("long").as("bytes"))
+        .withColumn("fill_ppm",
+          expr(s"CAST(bytes * 1000000 DIV ${target}L AS BIGINT)"))
+        .orderBy("bin")
+        .select(col("bin").cast("long").as("bin"), col("n_files"),
+          col("first_month"), col("last_month"), col("bytes"), col("fill_ppm"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q420_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |    AS m, CAST(COUNT(*) * 64 AS BIGINT) AS bytes
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT f.m, f.bytes,
+        |    CAST(COALESCE((SELECT SUM(g.bytes) FROM files g WHERE g.m < f.m), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM files f),
+        |bins AS (
+        |  SELECT m, bytes, cum_before // 1048576 AS bin FROM cum)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(MIN(m) AS BIGINT) AS first_month,
+        |  CAST(MAX(m) AS BIGINT) AS last_month,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+        |  CAST(SUM(bytes) * 1000000 // 1048576 AS BIGINT) AS fill_ppm
+        |FROM bins GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q224_scd2_build" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id,

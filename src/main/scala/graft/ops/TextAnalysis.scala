@@ -711,6 +711,40 @@ object TextAnalysis {
         .withColumn("containment_ppm", expr(
           "CAST(shared_fps * 1000000 DIV least(ndv_a, ndv_b) AS BIGINT)"))
         .orderBy("src_a", "src_b")
+    },
+
+    // Char-trigram REPEAT RATE per source — the collision-probability
+    // entropy proxy (the lang-id literature's "repeat rate"/Simpson
+    // collision over character n-grams): p_coll = Σc(c−1) / N(N−1) in
+    // floor-ppm over each source's char-trigram MULTISET. Boilerplate
+    // and template spam repeat trigrams far above prose, so a high
+    // repeat_ppm source gets the q339 gzip signal WITHOUT a compressor
+    // — pure counting, no log, engine-exact (Shannon entropy needs ln;
+    // the collision rate is the standard transcendental-free stand-in,
+    // same reason q219 uses Simpson over langs). Distinct-trigram count
+    // and mass ride along. Magnitude: N ≈ chars/source, Σc(c−1) ≤ N² —
+    // DECIMAL(38,0)/HUGEINT numerators hold to ~10¹⁸ chars/source
+    // (int64 alone overflows at ~3·10⁹ — the q165 rule). Scale: one
+    // in-row transform→explode to (source, trigram) and one two-level
+    // map-combined aggregation; text never shuffles, trigrams do.
+    "q422_char_repeat_rate" -> { (s, d) =>
+      val tri = Tables.documents(s, d)
+        .filter(length(col("text")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(text) - 2)," +
+            " i -> substring(text, i, 3))")).as("tri"))
+      val counts = tri.groupBy("source", "tri").agg(count(lit(1)).as("c"))
+      counts.groupBy("source")
+        .agg(sum(col("c")).cast("long").as("n_trigrams"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("c") * (col("c") - 1)).cast("long").as("coll"))
+        .withColumn("repeat_ppm", expr(
+          "CAST(CAST(coll AS DECIMAL(38,0)) * 1000000" +
+            " DIV (CAST(n_trigrams AS DECIMAL(38,0)) * (n_trigrams - 1))" +
+            " AS BIGINT)"))
+        .select(col("source"), col("n_trigrams"), col("n_distinct"),
+          col("coll").as("collisions"), col("repeat_ppm"))
+        .orderBy("source")
     }
   )
 
@@ -761,6 +795,24 @@ object TextAnalysis {
        |picked AS (SELECT DISTINCT doc_id, i, h FROM wins WHERE rn = 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q422_char_repeat_rate" ->
+      """WITH tri AS (
+        |  SELECT source, substr(text, CAST(g.i AS INT), 3) AS tri
+        |  FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
+        |  WHERE length(text) >= 3),
+        |counts AS (SELECT source, tri, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tri GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS collisions
+        |  FROM counts GROUP BY 1)
+        |SELECT source, n_trigrams, n_distinct, collisions,
+        |  CAST(CAST(collisions AS HUGEINT) * 1000000
+        |    // (CAST(n_trigrams AS HUGEINT) * (n_trigrams - 1)) AS BIGINT)
+        |    AS repeat_ppm
+        |FROM agg ORDER BY source""".stripMargin,
+
     "q137_bm25_retrieval" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -556,4 +556,38 @@ class AuditOpsSpec extends AnyFunSuite {
         "eta2 <= 1 up to floor slack")
     }
   }
+
+  test("q422 repeat rate replays a plain-Scala trigram collision count") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.filter(_._2.length >= 3).groupBy(_._1)
+    val rows = TextAnalysis.queries("q422_char_repeat_rate")(spark, sf)
+      .collect()
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val tris = bySrc(src).flatMap { case (_, t) =>
+        (0 to t.length - 3).map(i => t.substring(i, i + 3)) }
+      val counts = tris.groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val coll = counts.map(c => c * (c - 1)).sum
+      assert(r.getAs[Long]("n_trigrams") == n, s"$src n")
+      assert(r.getAs[Long]("n_distinct") == counts.size.toLong, s"$src ndv")
+      assert(r.getAs[Long]("collisions") == coll, s"$src coll")
+      assert(r.getAs[Long]("repeat_ppm") ==
+        (BigInt(coll) * 1000000 / (BigInt(n) * (n - 1))).toLong, s"$src ppm")
+      assert(r.getAs[Long]("repeat_ppm") <= 1000000L, "collision prob <= 1")
+    }
+    // detector leg (the q310 convention): an injected template-spam
+    // source must out-repeat every organic source
+    val spam = (0L until 20L).map(i =>
+      Row(9000L + i, "ab" * 50, "en", "spam_src", 100L))
+    val dir = writeDocs(docs.zipWithIndex.map { case ((s0, t), i) =>
+      Row(i.toLong, t, "en", s0, t.length.toLong) } ++ spam)
+    val fired = TextAnalysis.queries("q422_char_repeat_rate")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("repeat_ppm")).toMap
+    assert(fired("spam_src") > fired.filterNot(_._1 == "spam_src").values.max,
+      "template spam must dominate the repeat-rate league")
+  }
 }

@@ -133,4 +133,57 @@ class GraphStructureSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_edges")).sum == edges.size.toLong,
       "every edge lands in exactly one support bucket")
   }
+
+  test("q419 link prediction replays the CN/RA scores over non-adjacent wedge pairs") {
+    val deg = adj.map { case (v, ns) => v -> ns.length.toLong }
+    // brute-force: all x<y pairs with >=1 common neighbor, minus edges
+    val cand = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)] // (cn, ra_ppm)
+    for ((z, ns) <- adj; x <- ns; y <- ns if x < y) {
+      val k = (x, y)
+      val (cn, ra) = cand.getOrElse(k, (0L, 0L))
+      cand(k) = (cn + 1, ra + 1000000L / deg(z))
+    }
+    val pred = cand.toSeq.filterNot { case (k, _) => edges.contains(k) }
+      .map { case ((x, y), (cn, ra)) => (x, y, cn, ra) }
+      .sortBy { case (x, y, cn, ra) => (-ra, -cn, x, y) }
+      .take(20)
+    val rows = Graph.queries("q419_link_prediction")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == pred, "top-20 CN/RA table replays exactly")
+    // laws: predicted pairs are never existing edges; every common
+    // neighbor has degree >= 2 (it touches both endpoints), so each RA
+    // term <= 0.5 and ra_ppm <= cn * 500000
+    rows.foreach { case (x, y, cn, ra) =>
+      assert(!edges.contains((x, y)), s"($x,$y) is an existing edge")
+      assert(ra <= cn * 500000L, "RA term bound via deg >= 2")
+    }
+  }
+
+  test("q421 personalized PageRank replays the 2-superstep integer recurrence") {
+    val deg = adj.map { case (v, ns) => v -> ns.length.toLong }
+    val seeds = brand.filter(_._2 == "Brand#1").keySet.intersect(adj.keySet)
+    assert(seeds.nonEmpty, "fixture has in-graph Brand#1 parts")
+    val tele = adj.keySet.map(v =>
+      v -> (if (seeds.contains(v)) 1000000000L / seeds.size else 0L)).toMap
+    def step(r: Map[Long, Long]): Map[Long, Long] = {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((u, ns) <- adj; v <- ns)
+        inflow(v) += r(u) / deg(u)
+      adj.keySet.map(v => v ->
+        (150000000L * tele(v) / 1000000000L +
+          850000000L * inflow(v) / 1000000000L)).toMap
+    }
+    val r2 = step(step(tele))
+    val expected = r2.toSeq.sortBy { case (v, r) => (-r, v) }.take(15)
+    val rows = Graph.queries("q421_personalized_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(rows.toSeq == expected, "top-15 PPR table replays exactly")
+    // law: restart mass keeps seeds strictly ahead of a zero-teleport
+    // far node — some seed must appear in the top-15
+    val got = Graph.queries("q421_personalized_pagerank")(spark, sf).collect()
+    assert(got.exists(_.getAs[Boolean]("is_seed")), "a seed ranks in top-15")
+    got.foreach(r => assert(r.getAs[Long]("ppr_ppb") >= 0))
+  }
 }

@@ -255,4 +255,40 @@ class LakehouseSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_groups")).sum == groups)
     assert(rows.map(_.getAs[Long]("dup_excess")).sum == docs - groups)
   }
+
+  test("q420 compaction plan replays next-fit exactly and conserves bytes in time order") {
+    val target = 1048576L
+    // month index computed BY Spark (session-TZ-safe); the mirror's
+    // subject is the next-fit packing, the oracle checks the date math
+    val files = graft.model.Tables.orders(spark, sf)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long")).collect()
+      .map(_.getLong(0))
+      .groupBy(identity).toSeq
+      .map { case (m, rs) => (m, rs.length.toLong * 64) }
+      .sortBy(_._1)
+    // next-fit mirror: bin = cumulative-before DIV target
+    var cum = 0L
+    val assign = files.map { case (m, b) =>
+      val bin = cum / target; cum += b; (bin, m, b)
+    }
+    val expected = assign.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (bin, fs) => (bin, fs.length.toLong, fs.map(_._2).min,
+        fs.map(_._2).max, fs.map(_._3).sum)
+    }
+    val rows = graft.ops.Lakehouse.queries("q420_compaction_plan")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq == expected)
+    // laws: bytes conserve; bins are time-contiguous (ranges never
+    // interleave — the property that preserves date zone maps); fill is
+    // the floor-ppm of bytes vs target
+    assert(rows.map(_._5).sum == files.map(_._2).sum, "byte conservation")
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3, "bins pack neighbors in time order")
+      case _ =>
+    }
+    rows.foreach(t => assert(t._6 == t._5 * 1000000 / target))
+  }
 }
