@@ -1228,6 +1228,63 @@ object Behavior {
           col("pconv_ppm").as("pconv_removed_ppm"),
           (col("pconv_full_ppm") - col("pconv_ppm")).as("removal_ppm"))
         .orderBy("channel")
+    },
+
+    // ASSOCIATION RULES — q99's undirected pair support finished into
+    // the DIRECTED rule table a recommender actually consumes: for the
+    // top-20 support pairs, BOTH directions A→B and B→A with
+    // confidence = supp/cnt_A, lift = supp·N/(cnt_A·cnt_B) (direction-
+    // symmetric — listed once per direction because conf/conviction
+    // are not), and conviction = (1 − supp_B)/(1 − conf) — the
+    // "how much worse is B without A than chance" odds ratio that
+    // separates high-confidence-because-B-is-everywhere rules (conv ≈
+    // 1) from genuinely predictive ones. All floor-ppm; a conf = 1
+    // rule has infinite conviction — emitted as the documented -1
+    // sentinel (NULL would be indistinguishable from a missing row in
+    // the hash compare). Magnitude: supp·N ≤ N² → DECIMAL(38,0) for
+    // the lift numerator (the q165 rule). Scale: identical to q99 —
+    // pair fan-out bounded by basket size, TakeOrdered-20, then a
+    // 40-row grid of rule algebra.
+    "q427_assoc_rules" -> { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
+      val partCnt = items.groupBy("part").agg(count(lit(1)).as("cnt"))
+      val top = items.as("a")
+        .join(items.as("b"),
+          col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("p_a"), col("b.part").as("p_b"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("p_a"), col("p_b"))
+        .limit(20)
+      val rules = top
+        .select(col("p_a").as("antecedent"), col("p_b").as("consequent"),
+          col("support"))
+        .unionByName(top.select(col("p_b").as("antecedent"),
+          col("p_a").as("consequent"), col("support")))
+      rules
+        .join(partCnt.select(col("part").as("antecedent"),
+          col("cnt").as("cnt_a")), "antecedent")
+        .join(partCnt.select(col("part").as("consequent"),
+          col("cnt").as("cnt_b")), "consequent")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("conf_ppm",
+          expr("CAST(support * 1000000 DIV cnt_a AS BIGINT)"))
+        .withColumn("suppb_ppm",
+          expr("CAST(cnt_b * 1000000 DIV n_orders AS BIGINT)"))
+        .select(col("antecedent").cast("long").as("antecedent"),
+          col("consequent").cast("long").as("consequent"),
+          col("support").cast("long").as("support"),
+          col("conf_ppm"),
+          expr("""CAST(CAST(support AS DECIMAL(38,0)) * n_orders * 1000000
+                 | DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)""".stripMargin)
+            .as("lift_ppm"),
+          expr("""CAST(CASE WHEN conf_ppm >= 1000000 THEN -1
+                 | ELSE (1000000 - suppb_ppm) * 1000000
+                 |      DIV (1000000 - conf_ppm) END AS BIGINT)""".stripMargin)
+            .as("conviction_ppm"))
+        .orderBy("antecedent", "consequent")
     }
   )
 
@@ -2019,6 +2076,38 @@ object Behavior {
          |  fl.pconv_full_ppm - pc.pconv_ppm AS removal_ppm
          |FROM pc CROSS JOIN fl WHERE pc.removed <> '__none__'
          |ORDER BY channel""".stripMargin
-    }
+    },
+
+    "q427_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |no AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+        |pc AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+        |top AS (
+        |  SELECT a.part AS p_a, b.part AS p_b,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2 ORDER BY support DESC, p_a, p_b LIMIT 20),
+        |rules AS (
+        |  SELECT p_a AS antecedent, p_b AS consequent, support FROM top
+        |  UNION ALL
+        |  SELECT p_b, p_a, support FROM top),
+        |j AS (
+        |  SELECT r.antecedent, r.consequent, r.support,
+        |    ca.cnt AS cnt_a, cb.cnt AS cnt_b, no.n_orders,
+        |    CAST(r.support * 1000000 // ca.cnt AS BIGINT) AS conf_ppm,
+        |    CAST(cb.cnt * 1000000 // no.n_orders AS BIGINT) AS suppb_ppm
+        |  FROM rules r
+        |  JOIN pc ca ON ca.part = r.antecedent
+        |  JOIN pc cb ON cb.part = r.consequent
+        |  CROSS JOIN no)
+        |SELECT CAST(antecedent AS BIGINT) AS antecedent,
+        |  CAST(consequent AS BIGINT) AS consequent, support, conf_ppm,
+        |  CAST(CAST(support AS HUGEINT) * n_orders * 1000000
+        |    // (CAST(cnt_a AS HUGEINT) * cnt_b) AS BIGINT) AS lift_ppm,
+        |  CAST(CASE WHEN conf_ppm >= 1000000 THEN -1
+        |    ELSE (1000000 - suppb_ppm) * 1000000 // (1000000 - conf_ppm)
+        |    END AS BIGINT) AS conviction_ppm
+        |FROM j ORDER BY antecedent, consequent""".stripMargin
   )
 }

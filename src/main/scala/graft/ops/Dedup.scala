@@ -970,6 +970,140 @@ object Dedup {
           expr("CAST(coalesce(n_pruned, 0) * 1000000 DIV n_docs AS BIGINT)")
             .as("pruned_ppm"))
         .orderBy("tau_pct")
+    },
+
+    // LSH BAND-PLAN calibration — the S-CURVE the banding theorem
+    // promises, measured against this corpus: re-band the 16-slot
+    // signatures under every plan (b bands × r rows) ∈ {(16,1), (8,2),
+    // (4,4), (2,8)} and, per true-Jaccard decile, compare the MEASURED
+    // collision rate (≥1 fully-matching band) with the THEORETICAL
+    // 1 − (1 − s^r)^b at the decile midpoint — the table that picks b/r
+    // for a target threshold before a 100 TB dedup run (steeper r =
+    // fewer false candidates but a sharper miss cliff; q156 calibrates
+    // slot-match ≈ Jaccard, this calibrates the BAND geometry built on
+    // it). The S-curve is evaluated in per-mille fixed point by
+    // exponentiation-by-squaring with floor rescaling at every step
+    // (s_pm² DIV 1000 …) — a DEFINED integer algorithm both engines
+    // replay digit-identically; no pow(), no doubles. Population note:
+    // pairs are the (4×4) production plan's candidates, so each decile
+    // row reads "collision probability GIVEN true similarity s" over
+    // that candidate population — exactly the conditional the planner
+    // needs. Scale: slots = |candidates|×16 rows, ×4 plans before the
+    // band reduction — linear in verified-candidate count; the grids
+    // and the ladder are constant-width row expressions.
+    "q424_lsh_band_plan" -> { (s, d) =>
+      val sh = Caches.shared(docShingles(s, d, 1))
+      val sig = Caches.shared(minhashSignatureWide(sh, 16))
+      val bands = explodeBandBuckets(sig, Seq("doc_id"), 16, 4)
+      val cand = bands.as("x").hint("shuffle_hash")
+        .join(bands.as("y").hint("shuffle_hash"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val exact = jaccardOfPairs(cand, sh)
+        .select(col("doc_a"), col("doc_b"),
+          expr("common * 1000000 DIV (na + nb - common)").as("exact_ppm"))
+      val sigLong = sig.select(col("doc_id"),
+        posexplode(array((0 until 16).map(i => col(s"h$i")): _*))
+          .as(Seq("i", "mh")))
+      val plans = s.range(4).select(
+        expr("CAST(shiftright(16, CAST(id AS INT)) AS BIGINT)").as("b"),
+        expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").as("r"))
+      val sa = sigLong.select(col("doc_id").as("doc_a"), col("i"),
+        col("mh").as("ma"))
+      val sb = sigLong.select(col("doc_id").as("doc_b"), col("i"),
+        col("mh").as("mb"))
+      val slots = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "i"))
+        .withColumn("m", when(col("ma") === col("mb"), 1L).otherwise(0L))
+      val coll = slots.crossJoin(broadcast(plans))
+        .groupBy(col("doc_a"), col("doc_b"), col("b"), col("r"),
+          expr("i DIV r").as("band"))
+        .agg(sum(col("m")).as("nm"))
+        .withColumn("allm", when(col("nm") === col("r"), 1L).otherwise(0L))
+        .groupBy("doc_a", "doc_b", "b", "r")
+        .agg(max(col("allm")).as("collided"))
+      coll.join(exact, Seq("doc_a", "doc_b"))
+        .groupBy(col("b"), col("r"), expr("exact_ppm DIV 100000").as("decile"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("collided")).cast("long").as("n_collide"))
+        .withColumn("s_pm", expr("least(decile * 100 + 50, 1000)"))
+        .withColumn("p2", expr("s_pm * s_pm DIV 1000"))
+        .withColumn("p4", expr("p2 * p2 DIV 1000"))
+        .withColumn("p8", expr("p4 * p4 DIV 1000"))
+        .withColumn("q1", expr(
+          "1000 - CASE r WHEN 1 THEN s_pm WHEN 2 THEN p2 WHEN 4 THEN p4 ELSE p8 END"))
+        .withColumn("q2", expr("q1 * q1 DIV 1000"))
+        .withColumn("q4", expr("q2 * q2 DIV 1000"))
+        .withColumn("q8", expr("q4 * q4 DIV 1000"))
+        .withColumn("q16", expr("q8 * q8 DIV 1000"))
+        .select(col("b").cast("long").as("bands"),
+          col("r").cast("long").as("rows_per_band"),
+          col("decile").cast("long").as("decile"),
+          col("n_pairs"), col("n_collide"),
+          expr("CAST(n_collide * 1000000 DIV n_pairs AS BIGINT)")
+            .as("measured_ppm"),
+          expr("""CAST((1000 - CASE b WHEN 2 THEN q2 WHEN 4 THEN q4
+                 | WHEN 8 THEN q8 ELSE q16 END) * 1000 AS BIGINT)""".stripMargin)
+            .as("expected_ppm"))
+        .orderBy("bands", "decile")
+    },
+
+    // CONTENT-DEFINED CHUNKING dedup — the STORAGE-dedup primitive
+    // (rsync/LBFS/FastCDC family): cut each document where the hash of
+    // the trailing 8-char window ≡ 0 (mod 64) — boundaries follow
+    // CONTENT, not offsets, so an insertion early in a doc shifts
+    // every fixed-size block but only ONE content-defined chunk — then
+    // dedupe chunks by hash per source. unique_chars/total_chars is
+    // the byte-level dedup ratio: the storage (and dedup-aware
+    // training-token) cost of a source AFTER chunk-level dedup,
+    // catching repeated BLOCKS inside and across documents that
+    // whole-doc hashing (q24) cannot see and shingle Jaccard (q26)
+    // only scores, never prices. Expected chunk ≈ 64 chars (the mod);
+    // docs under 8 chars are excluded (documented domain). Engine-
+    // neutral arithmetic throughout: the cut predicate is the md5-
+    // derived neutralHash32 of the window, chunk identity is md5 —
+    // both replayed verbatim by the oracle; 1-BASED element_at
+    // everywhere (Spark [] is 0-based, DuckDB [] is 1-based — the one
+    // indexing convention both engines share is element_at/[i]₁).
+    // Scale: per-char window hashing is one in-row transform (linear,
+    // no shuffle — production swaps md5 for a codegen'd Rabin
+    // polynomial, same plan shape); only (source, chunk-hash, len)
+    // rows shuffle — never text.
+    "q426_cdc_chunks" -> { (s, d) =>
+      // bnds materialized as a named column so the window-hash pass runs
+      // ONCE per doc (as a shared subtree of three element_at calls it
+      // would lean on codegen CSE — the minhashSignatureWide rule)
+      val chunks = Tables.documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(col("source"), col("text"))
+        .withColumn("bnds", expr(
+          """concat(array(0),
+            |  filter(sequence(8, length(text)),
+            |    i -> i < length(text) AND
+            |      CAST(conv(substring(md5(substring(text, i - 7, 8)), 1, 8),
+            |           16, 10) AS BIGINT) % 64 = 0),
+            |  array(length(text)))""".stripMargin))
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(bnds) - 1),
+            |  j -> substring(text, element_at(bnds, j) + 1,
+            |    element_at(bnds, j + 1) - element_at(bnds, j)))""".stripMargin))
+          .as("chunk"))
+      val perChunk = chunks
+        .select(col("source"), md5(col("chunk")).as("h"),
+          length(col("chunk")).cast("long").as("len"))
+        .groupBy("source", "h")
+        .agg(count(lit(1)).as("n"), max(col("len")).as("len"))
+      perChunk.groupBy("source")
+        .agg(sum(col("n")).cast("long").as("n_chunks"),
+          count(lit(1)).cast("long").as("ndv_chunks"),
+          sum(col("n") * col("len")).cast("long").as("total_chars"),
+          sum(col("len")).cast("long").as("unique_chars"))
+        .withColumn("dedup_ratio_ppm",
+          expr("CAST(unique_chars * 1000000 DIV total_chars AS BIGINT)"))
+        .withColumn("mean_chunk_len",
+          expr("CAST(total_chars DIV n_chunks AS BIGINT)"))
+        .orderBy("source")
     }
   )
 
@@ -1465,6 +1599,89 @@ object Dedup {
         |  CAST(COALESCE(n_pruned, 0) * 1000000 // n_docs AS BIGINT)
         |    AS pruned_ppm
         |FROM taus LEFT JOIN hit USING (tau_pct) CROSS JOIN nd
-        |ORDER BY taus.tau_pct""".stripMargin)
+        |ORDER BY taus.tau_pct""".stripMargin),
+
+    "q424_lsh_band_plan" -> (LshPairsSql +
+      """,
+        |plans AS (
+        |  SELECT CAST(16 // (1 << t.t) AS BIGINT) AS b,
+        |    CAST((1 << t.t) AS BIGINT) AS r
+        |  FROM UNNEST(generate_series(0, 3)) AS t(t)),
+        |slots AS (
+        |  SELECT c.doc_a, c.doc_b, sa.i,
+        |    CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END AS m
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+        |              JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i),
+        |bandm AS (
+        |  SELECT s.doc_a, s.doc_b, p.b, p.r, s.i // p.r AS band,
+        |    CASE WHEN SUM(s.m) = p.r THEN 1 ELSE 0 END AS allm
+        |  FROM slots s CROSS JOIN plans p
+        |  GROUP BY s.doc_a, s.doc_b, p.b, p.r, s.i // p.r),
+        |coll AS (SELECT doc_a, doc_b, b, r, MAX(allm) AS collided
+        |         FROM bandm GROUP BY 1, 2, 3, 4),
+        |ex AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    c.common * 1000000 // (ca.n + cb.n - c.common) AS exact_ppm
+        |  FROM common c JOIN cnt ca ON ca.doc_id = c.doc_a
+        |                JOIN cnt cb ON cb.doc_id = c.doc_b),
+        |binned AS (
+        |  SELECT coll.b, coll.r, ex.exact_ppm // 100000 AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(coll.collided) AS BIGINT) AS n_collide
+        |  FROM coll JOIN ex ON ex.doc_a = coll.doc_a AND ex.doc_b = coll.doc_b
+        |  GROUP BY 1, 2, 3),
+        |e0 AS (SELECT *, least(decile * 100 + 50, 1000) AS s_pm FROM binned),
+        |e1 AS (SELECT *, s_pm * s_pm // 1000 AS p2 FROM e0),
+        |e2 AS (SELECT *, p2 * p2 // 1000 AS p4 FROM e1),
+        |e3 AS (SELECT *, p4 * p4 // 1000 AS p8 FROM e2),
+        |e4 AS (SELECT *, 1000 - CASE r WHEN 1 THEN s_pm WHEN 2 THEN p2
+        |  WHEN 4 THEN p4 ELSE p8 END AS q1 FROM e3),
+        |e5 AS (SELECT *, q1 * q1 // 1000 AS q2 FROM e4),
+        |e6 AS (SELECT *, q2 * q2 // 1000 AS q4 FROM e5),
+        |e7 AS (SELECT *, q4 * q4 // 1000 AS q8 FROM e6),
+        |e8 AS (SELECT *, q8 * q8 // 1000 AS q16 FROM e7)
+        |SELECT b AS bands, r AS rows_per_band, CAST(decile AS BIGINT) AS decile,
+        |  n_pairs, n_collide,
+        |  CAST(n_collide * 1000000 // n_pairs AS BIGINT) AS measured_ppm,
+        |  CAST((1000 - CASE b WHEN 2 THEN q2 WHEN 4 THEN q4
+        |    WHEN 8 THEN q8 ELSE q16 END) * 1000 AS BIGINT) AS expected_ppm
+        |FROM e8 ORDER BY bands, decile""".stripMargin),
+
+    "q426_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, text FROM documents WHERE length(text) >= 8),
+        |cutl AS (
+        |  SELECT source, doc_id, list_sort(list(i)) AS cuts
+        |  FROM (SELECT source, doc_id, i
+        |        FROM d, UNNEST(generate_series(8, length(text) - 1)) AS g(i)
+        |        WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8))::BIGINT
+        |              % 64 = 0)
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT d.source, d.text,
+        |    [CAST(0 AS BIGINT)]
+        |      || COALESCE(c.cuts, CAST([] AS BIGINT[]))
+        |      || [CAST(length(d.text) AS BIGINT)] AS bnds
+        |  FROM d LEFT JOIN cutl c USING (source, doc_id)),
+        |chunks AS (
+        |  SELECT source,
+        |    substr(text, CAST(bnds[j] + 1 AS INT),
+        |      CAST(bnds[j + 1] - bnds[j] AS INT)) AS chunk
+        |  FROM b, UNNEST(generate_series(1, len(bnds) - 1)) AS g(j)),
+        |perchunk AS (
+        |  SELECT source, md5(chunk) AS h, COUNT(*) AS n,
+        |    MAX(length(chunk)) AS len
+        |  FROM chunks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_chunks,
+        |    CAST(COUNT(*) AS BIGINT) AS ndv_chunks,
+        |    CAST(SUM(n * len) AS BIGINT) AS total_chars,
+        |    CAST(SUM(len) AS BIGINT) AS unique_chars
+        |  FROM perchunk GROUP BY 1)
+        |SELECT source, n_chunks, ndv_chunks, total_chars, unique_chars,
+        |  CAST(unique_chars * 1000000 // total_chars AS BIGINT)
+        |    AS dedup_ratio_ppm,
+        |  CAST(total_chars // n_chunks AS BIGINT) AS mean_chunk_len
+        |FROM agg ORDER BY source""".stripMargin
   )
 }

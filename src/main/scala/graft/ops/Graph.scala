@@ -439,6 +439,50 @@ object Graph {
           (col("is_seed") === 1L).as("is_seed"),
           col("deg").cast("long").as("deg"),
           col("r").cast("long").as("ppr_ppb"))
+    },
+
+    // Multi-source BFS REACHABILITY census — hop distance from the
+    // Brand#1 seed set, 3 unrolled frontier expansions (the q421
+    // teleport walk weights proximity; this measures it in HOPS — the
+    // "how many recommendation steps reach the catalog" coverage
+    // number, and the hop histogram is the standard small-world
+    // diagnostic). Frontier algebra is pure relational Pregel: next =
+    // distinct neighbors of the frontier ANTI-JOINed against everything
+    // already labeled — each round one adjacency join + one distinct +
+    // one anti-join, all on the vertex key; no per-node state beyond
+    // the (node, hop) label frame. Per hop (plus the 'unreached'
+    // remainder): node count, summed degree, and the floor-ppm share
+    // of graph nodes — monotone frontier laws spec-proven. Scale: 3
+    // bounded supersteps; the label frame carries (node, hop) only.
+    "q428_seed_bfs" -> { (s, d) =>
+      val adj = Caches.shared(adjacency(s, d))
+      val nodes = Caches.shared(adj.groupBy("v")
+        .agg(count(lit(1)).as("deg")))
+      val seeds = nodes.join(
+        Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+          .select(col("p_partkey").as("v")), "v")
+        .select(col("v"), lit(0L).as("hop"))
+      def expand(labeled: DataFrame, hop: Int): DataFrame = {
+        val next = adj.join(labeled.filter(col("hop") === (hop - 1))
+            .select(col("v")), "v")
+          .select(col("n").as("v")).distinct()
+          .join(labeled.select("v"), Seq("v"), "left_anti")
+          .select(col("v"), lit(hop.toLong).as("hop"))
+        Caches.shared(labeled.unionByName(next))
+      }
+      val labeled = expand(expand(expand(Caches.shared(seeds), 1), 2), 3)
+      val full = nodes.join(labeled, Seq("v"), "left")
+        .withColumn("hop", coalesce(col("hop"), lit(-1L)))
+      val nAll = nodes.agg(count(lit(1)).as("n_nodes_total"))
+      full.groupBy("hop")
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum(col("deg")).cast("long").as("sum_deg"))
+        .crossJoin(broadcast(nAll))
+        .select(col("hop").cast("long").as("hop"), col("n_nodes"),
+          col("sum_deg"),
+          expr("CAST(n_nodes * 1000000 DIV n_nodes_total AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy("hop")
     }
   )
 
@@ -667,6 +711,36 @@ object Graph {
         |  FROM t LEFT JOIN c2 ON c2.v = t.v)
         |SELECT CAST(v AS BIGINT) AS node, is_seed = 1 AS is_seed,
         |  CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS ppr_ppb
-        |FROM r2 ORDER BY r DESC, v LIMIT 15""".stripMargin)
+        |FROM r2 ORDER BY r DESC, v LIMIT 15""".stripMargin),
+
+    "q428_seed_bfs" -> (EdgesSql +
+      """,
+        |nodes AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |h0 AS (SELECT n.v FROM nodes n JOIN part p ON p.p_partkey = n.v
+        |       WHERE p.p_brand = 'Brand#1'),
+        |h1 AS (
+        |  SELECT DISTINCT a.n AS v FROM adj a JOIN h0 ON a.v = h0.v
+        |  WHERE a.n NOT IN (SELECT v FROM h0)),
+        |h2 AS (
+        |  SELECT DISTINCT a.n AS v FROM adj a JOIN h1 ON a.v = h1.v
+        |  WHERE a.n NOT IN (SELECT v FROM h0 UNION ALL SELECT v FROM h1)),
+        |h3 AS (
+        |  SELECT DISTINCT a.n AS v FROM adj a JOIN h2 ON a.v = h2.v
+        |  WHERE a.n NOT IN (SELECT v FROM h0 UNION ALL SELECT v FROM h1
+        |                    UNION ALL SELECT v FROM h2)),
+        |lab AS (
+        |  SELECT v, 0 AS hop FROM h0
+        |  UNION ALL SELECT v, 1 FROM h1
+        |  UNION ALL SELECT v, 2 FROM h2
+        |  UNION ALL SELECT v, 3 FROM h3),
+        |fl AS (
+        |  SELECT n.v, n.deg, COALESCE(l.hop, -1) AS hop
+        |  FROM nodes n LEFT JOIN lab l USING (v)),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM nodes)
+        |SELECT CAST(hop AS BIGINT) AS hop,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(deg) AS BIGINT) AS sum_deg,
+        |  CAST(COUNT(*) * 1000000 // na.nt AS BIGINT) AS share_ppm
+        |FROM fl CROSS JOIN na GROUP BY hop, na.nt ORDER BY hop""".stripMargin)
   )
 }

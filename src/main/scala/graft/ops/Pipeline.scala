@@ -375,6 +375,83 @@ object Pipeline {
           coalesce(col("n_docs_involved"), lit(0L)).cast("long")
             .as("n_docs_involved"))
         .orderBy("lang_a", "lang_b")
+    },
+
+    // HLL PAIRWISE MERGE — the property that justifies keeping q133's
+    // registers at all: two sources' sketches union by slot-wise MAX
+    // with ZERO data re-reads (the distributed-sketch contract — per-
+    // shard registers merge associatively, so a 100 TB corpus unions
+    // source cardinalities from 64-row register tables, never raw
+    // text). Per source pair: union estimate from the merged registers
+    // (q184's exact estimator arithmetic, one definition of the
+    // α₆₄·m²/Σ2^(−ρ) fixed-point form), the EXACT union distinct for
+    // the error audit, and the inclusion-exclusion intersection
+    // estimate est_a + est_b − est_union (signed — small/disjoint
+    // pairs legitimately go negative; that instability IS the
+    // documented reason theta/KMV sketches exist, measured here
+    // against the exact intersection). Scale: registers are
+    // |sources|×64 rows; every join below is grid-sized; the only
+    // data-volume pass is the one md5 scan shared with q133/q184.
+    "q423_hll_pair_union" -> { (s, d) =>
+      val hx = Tables.documents(s, d)
+        .select(col("source"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+        .withColumn("bucket", expr("CAST(h % 64 AS BIGINT)"))
+        .withColumn("v", expr("h DIV 64"))
+        .withColumn("rho", expr(
+          "CAST(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END AS BIGINT)"))
+      val reg = Caches.shared(hx.groupBy("source", "bucket")
+        .agg(max(col("rho")).as("max_rho")))
+      // register-table estimator: E = α₆₄·m² / (Σ_occ 2^(−ρ) + n_empty·1)
+      // scaled by 2⁶² exactly as q184 (DECIMAL(38,0) throughout).
+      def estimate(r: DataFrame, keys: Seq[String]): DataFrame =
+        r.groupBy(keys.map(col): _*)
+          .agg(sum(expr(
+            "CAST(shiftleft(1L, CAST(62 - max_rho AS INT)) AS DECIMAL(38,0))"))
+            .as("s_occ"), count(lit(1)).as("n_occ"))
+          .select(keys.map(col) :+
+            expr(s"""CAST(CAST($Alpha64Ppm AS DECIMAL(38,0)) * 4096 * 4611686018427387904
+                    | DIV ((s_occ + (64 - n_occ) * CAST(4611686018427387904 AS DECIMAL(38,0)))
+                    |      * 1000000) AS BIGINT)""".stripMargin).as("est"): _*)
+      val srcs = reg.select("source").distinct()
+      val pairs = srcs.select(col("source").as("src_a"))
+        .join(broadcast(srcs.select(col("source").as("src_b"))),
+          col("src_a") < col("src_b"))
+      val merged = pairs.join(reg.withColumnRenamed("source", "src_a"), "src_a")
+        .select("src_a", "src_b", "bucket", "max_rho")
+        .unionByName(pairs.join(reg.withColumnRenamed("source", "src_b"), "src_b")
+          .select("src_a", "src_b", "bucket", "max_rho"))
+        .groupBy("src_a", "src_b", "bucket").agg(max(col("max_rho")).as("max_rho"))
+      val estU = estimate(merged, Seq("src_a", "src_b"))
+        .withColumnRenamed("est", "union_est")
+      val estS = estimate(reg, Seq("source"))
+      // exact legs over distinct text hashes (the same universe the
+      // registers sketch): per-source ndv, cross-source intersection.
+      val dist = Caches.shared(Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("hh")).distinct())
+      val ndv = dist.groupBy("source").agg(count(lit(1)).as("ndv"))
+      val interX = dist.as("x")
+        .join(dist.as("y"),
+          col("x.hh") === col("y.hh") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("inter_exact"))
+      estU
+        .join(estS.select(col("source").as("src_a"), col("est").as("est_a")), "src_a")
+        .join(estS.select(col("source").as("src_b"), col("est").as("est_b")), "src_b")
+        .join(ndv.select(col("source").as("src_a"), col("ndv").as("ndv_a")), "src_a")
+        .join(ndv.select(col("source").as("src_b"), col("ndv").as("ndv_b")), "src_b")
+        .join(interX, Seq("src_a", "src_b"), "left")
+        .withColumn("inter_exact",
+          coalesce(col("inter_exact"), lit(0L)).cast("long"))
+        .select(col("src_a"), col("src_b"),
+          col("union_est"),
+          expr("CAST(ndv_a + ndv_b - inter_exact AS BIGINT)").as("union_exact"),
+          expr("""CAST(abs(union_est - (ndv_a + ndv_b - inter_exact)) * 1000000
+                 | DIV (ndv_a + ndv_b - inter_exact) AS BIGINT)""".stripMargin)
+            .as("union_err_ppm"),
+          expr("CAST(est_a + est_b - union_est AS BIGINT)").as("inter_est"),
+          col("inter_exact"))
+        .orderBy("src_a", "src_b")
     }
   )
 
@@ -594,6 +671,67 @@ object Pipeline {
         |  CAST(COALESCE(n_docs_involved, 0) AS BIGINT) AS n_docs_involved
         |FROM langs x JOIN langs y ON x.lang < y.lang
         |LEFT JOIN found ON x.lang = found.lang_a AND y.lang = found.lang_b
-        |ORDER BY lang_a, lang_b""".stripMargin
+        |ORDER BY lang_a, lang_b""".stripMargin,
+
+    "q423_hll_pair_union" ->
+      s"""WITH hx AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h // 64)) END AS rho
+        |  FROM hx),
+        |reg AS (SELECT source, bucket, MAX(rho) AS max_rho FROM b
+        |        GROUP BY source, bucket),
+        |srcs AS (SELECT DISTINCT source FROM reg),
+        |pairs AS (
+        |  SELECT x.source AS src_a, y.source AS src_b
+        |  FROM srcs x JOIN srcs y ON x.source < y.source),
+        |merged AS (
+        |  SELECT src_a, src_b, bucket, MAX(max_rho) AS max_rho FROM (
+        |    SELECT p.src_a, p.src_b, r.bucket, r.max_rho
+        |    FROM pairs p JOIN reg r ON r.source = p.src_a
+        |    UNION ALL
+        |    SELECT p.src_a, p.src_b, r.bucket, r.max_rho
+        |    FROM pairs p JOIN reg r ON r.source = p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |estu AS (
+        |  SELECT src_a, src_b,
+        |    CAST(CAST($Alpha64Ppm AS HUGEINT) * 4096 * 4611686018427387904
+        |      // ((SUM(CAST(CAST(1 AS BIGINT) << CAST(62 - max_rho AS INT) AS HUGEINT))
+        |          + (64 - COUNT(*)) * CAST(4611686018427387904 AS HUGEINT))
+        |         * 1000000) AS BIGINT) AS union_est
+        |  FROM merged GROUP BY 1, 2),
+        |ests AS (
+        |  SELECT source,
+        |    CAST(CAST($Alpha64Ppm AS HUGEINT) * 4096 * 4611686018427387904
+        |      // ((SUM(CAST(CAST(1 AS BIGINT) << CAST(62 - max_rho AS INT) AS HUGEINT))
+        |          + (64 - COUNT(*)) * CAST(4611686018427387904 AS HUGEINT))
+        |         * 1000000) AS BIGINT) AS est
+        |  FROM reg GROUP BY source),
+        |dist AS (SELECT DISTINCT source, md5(text) AS hh FROM documents),
+        |ndv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ndv FROM dist GROUP BY 1),
+        |interx AS (
+        |  SELECT x.source AS src_a, y.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter_exact
+        |  FROM dist x JOIN dist y ON x.hh = y.hh AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT e.src_a, e.src_b, e.union_est,
+        |  CAST(na.ndv + nb.ndv - COALESCE(ix.inter_exact, 0) AS BIGINT)
+        |    AS union_exact,
+        |  CAST(abs(e.union_est - (na.ndv + nb.ndv - COALESCE(ix.inter_exact, 0)))
+        |    * 1000000 // (na.ndv + nb.ndv - COALESCE(ix.inter_exact, 0)) AS BIGINT)
+        |    AS union_err_ppm,
+        |  CAST(ea.est + eb.est - e.union_est AS BIGINT) AS inter_est,
+        |  CAST(COALESCE(ix.inter_exact, 0) AS BIGINT) AS inter_exact
+        |FROM estu e
+        |JOIN ests ea ON ea.source = e.src_a
+        |JOIN ests eb ON eb.source = e.src_b
+        |JOIN ndv na ON na.source = e.src_a
+        |JOIN ndv nb ON nb.source = e.src_b
+        |LEFT JOIN interx ix ON ix.src_a = e.src_a AND ix.src_b = e.src_b
+        |ORDER BY e.src_a, e.src_b""".stripMargin
   )
 }

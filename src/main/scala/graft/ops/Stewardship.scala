@@ -2992,6 +2992,57 @@ object Stewardship {
             " * (lo + hi)) DIV n_orders) AS BIGINT)")
             .as("clamp_delta_cents"))
         .orderBy("prio")
+    },
+
+    // DIFFERENTIAL-PRIVACY pre-flight — the SENSITIVITY census that
+    // must precede any "publish per-day event counts with DP noise"
+    // release (the F175 k-anonymity / F214 l-diversity / F215
+    // t-closeness triad bounds re-identification of the PUBLISHED
+    // rows; this bounds what the MECHANISM must hide — one user's
+    // total influence on the released histogram). Release = count per
+    // (event_type, day) cell; contributor = user_id. Per event type:
+    // Δ∞ = max single-user count in one cell, Δ₁ = max single-user
+    // total across that type's cells (user-level Laplace calibration
+    // uses Δ₁), Δ₀ = max cells one user touches, and the utility
+    // verdict — Laplace scale b = Δ₁/ε as relative error vs the mean
+    // and MINIMUM cell at ε ∈ {1, 2} in floor-ppm (a cell smaller
+    // than Δ₁/ε is noise, not signal — the "suppress small cells"
+    // rule made quantitative). Deterministic: no noise is drawn; the
+    // operator prices the noise that WOULD be added. Scale: one
+    // (type, day, user) map-combined agg — contributions shuffle as
+    // fixed-width keys; everything after lives on user- then
+    // type-level grids.
+    "q425_dp_sensitivity" -> { (s, d) =>
+      val uc = Tables.events(s, d)
+        .select(col("event_type"), Behavior.dayIndex.as("day"), col("user_id"))
+        .groupBy("event_type", "day", "user_id")
+        .agg(count(lit(1)).as("c"))
+      val byUser = uc.groupBy("event_type", "user_id")
+        .agg(max(col("c")).as("u_linf"), sum(col("c")).as("u_l1"),
+          count(lit(1)).as("u_l0"))
+      val sens = byUser.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          max(col("u_linf")).cast("long").as("delta_inf"),
+          max(col("u_l1")).cast("long").as("delta_l1"),
+          max(col("u_l0")).cast("long").as("delta_l0"))
+      val cells = uc.groupBy("event_type", "day")
+        .agg(sum(col("c")).as("cell_n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_cells"),
+          sum(col("cell_n")).cast("long").as("total_events"),
+          min(col("cell_n")).cast("long").as("min_cell"))
+      sens.join(cells, "event_type")
+        .withColumn("mean_cell", expr("total_events DIV n_cells"))
+        .select(col("event_type"), col("n_users"), col("n_cells"),
+          col("total_events"), col("delta_inf"), col("delta_l1"),
+          col("delta_l0"), col("mean_cell"), col("min_cell"),
+          expr("CAST(delta_l1 * 1000000 DIV mean_cell AS BIGINT)")
+            .as("rel_err_eps1_ppm"),
+          expr("CAST(delta_l1 * 500000 DIV mean_cell AS BIGINT)")
+            .as("rel_err_eps2_ppm"),
+          expr("CAST(delta_l1 * 1000000 DIV min_cell AS BIGINT)")
+            .as("worst_rel_err_eps1_ppm"))
+        .orderBy("event_type")
     }
   )
 
@@ -4982,6 +5033,40 @@ object Stewardship {
         |    AS BIGINT) AS winsorized_mean_cents,
         |  CAST(ABS(a.sum_all // a.n_orders - (a.sum_mid + a.g_clamped
         |    * (l.lo + l.hi)) // a.n_orders) AS BIGINT) AS clamp_delta_cents
-        |FROM agg a JOIN lohi l USING (prio) ORDER BY 1""".stripMargin
+        |FROM agg a JOIN lohi l USING (prio) ORDER BY 1""".stripMargin,
+
+    "q425_dp_sensitivity" ->
+      """WITH uc AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    user_id, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |byuser AS (
+        |  SELECT event_type, user_id, MAX(c) AS u_linf, SUM(c) AS u_l1,
+        |    COUNT(*) AS u_l0
+        |  FROM uc GROUP BY 1, 2),
+        |sens AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(MAX(u_linf) AS BIGINT) AS delta_inf,
+        |    CAST(MAX(u_l1) AS BIGINT) AS delta_l1,
+        |    CAST(MAX(u_l0) AS BIGINT) AS delta_l0
+        |  FROM byuser GROUP BY 1),
+        |cells AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(cell_n) AS BIGINT) AS total_events,
+        |    CAST(MIN(cell_n) AS BIGINT) AS min_cell
+        |  FROM (SELECT event_type, day, SUM(c) AS cell_n FROM uc
+        |        GROUP BY 1, 2) GROUP BY 1)
+        |SELECT s.event_type, s.n_users, c.n_cells, c.total_events,
+        |  s.delta_inf, s.delta_l1, s.delta_l0,
+        |  CAST(c.total_events // c.n_cells AS BIGINT) AS mean_cell,
+        |  c.min_cell,
+        |  CAST(s.delta_l1 * 1000000 // (c.total_events // c.n_cells)
+        |    AS BIGINT) AS rel_err_eps1_ppm,
+        |  CAST(s.delta_l1 * 500000 // (c.total_events // c.n_cells)
+        |    AS BIGINT) AS rel_err_eps2_ppm,
+        |  CAST(s.delta_l1 * 1000000 // c.min_cell AS BIGINT)
+        |    AS worst_rel_err_eps1_ppm
+        |FROM sens s JOIN cells c USING (event_type) ORDER BY 1""".stripMargin
   )
 }

@@ -590,4 +590,232 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(fired("spam_src") > fired.filterNot(_._1 == "spam_src").values.max,
       "template spam must dominate the repeat-rate league")
   }
+
+  // ---- q423 HLL pairwise merge ---------------------------------------
+
+  test("q423 union/intersection replay a plain-Scala register merge and exact set algebra") {
+    import java.security.MessageDigest
+    def md5Hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), md5Hex(r.getString(1))))
+    val hashSets = docs.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.map(_._2).toSet }
+    // registers: h = first 15 hex chars (60 bits), bucket = h%64, v = h/64
+    def registers(hs: Set[String]): Map[Long, Long] =
+      hs.map { hh =>
+        val h = java.lang.Long.parseLong(hh.take(15), 16)
+        val v = h / 64
+        (h % 64, if (v == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(v)))
+      }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    def estimate(reg: Map[Long, Long]): Long = {
+      val two62 = BigInt(1) << 62
+      val sOcc = reg.values.map(r => BigInt(1) << (62 - r).toInt).sum
+      val denom = (sOcc + BigInt(64 - reg.size) * two62) * 1000000
+      (BigInt(709341L) * 4096 * two62 / denom).toLong
+    }
+    val rows = graft.ops.Pipeline.queries("q423_hll_pair_union")(spark, sf)
+      .collect()
+    val srcs = hashSets.keys.toSeq.sorted
+    assert(rows.length == srcs.combinations(2).size, "one row per pair")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "ordered pair")
+      val (ha, hb) = (hashSets(a), hashSets(b))
+      assert(r.getAs[Long]("union_exact") == (ha union hb).size.toLong)
+      assert(r.getAs[Long]("inter_exact") == (ha intersect hb).size.toLong)
+      val merged = (registers(ha).toSeq ++ registers(hb).toSeq)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(r.getAs[Long]("union_est") == estimate(merged), s"$a/$b est")
+      // inclusion-exclusion identity over the three estimates
+      assert(r.getAs[Long]("inter_est") ==
+        estimate(registers(ha)) + estimate(registers(hb)) - estimate(merged))
+    }
+  }
+
+  // ---- q424 LSH band-plan S-curve ------------------------------------
+
+  test("q424 nested plans are monotone and the production plan collides by construction") {
+    val rows = Dedup.queries("q424_lsh_band_plan")(spark, sf).collect()
+    val byPlan = rows.groupBy(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")))
+    assert(byPlan.keySet == Set((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L)))
+    // candidates come from the (4,4) production banding, so every pair
+    // collides under (4,4) — and, by band nesting, under (8,2)/(16,1)
+    for (plan <- Seq((16L, 1L), (8L, 2L), (4L, 4L)); r <- byPlan(plan))
+      assert(r.getAs[Long]("n_collide") == r.getAs[Long]("n_pairs"),
+        s"$plan must saturate on its own candidates")
+    // per decile, collision count is monotone non-increasing in r
+    val chain = Seq((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L))
+    val deciles = rows.map(_.getAs[Long]("decile")).distinct
+    for (d <- deciles) {
+      val counts = chain.map(p => byPlan(p)
+        .find(_.getAs[Long]("decile") == d)
+        .map(_.getAs[Long]("n_collide")).getOrElse(0L))
+      assert(counts == counts.sorted.reverse,
+        s"decile $d: nesting chain must be non-increasing ($counts)")
+    }
+    // expected S-curve is monotone non-decreasing in similarity per plan
+    byPlan.values.foreach { rs =>
+      val exp = rs.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("expected_ppm"))
+      assert(exp.zip(exp.tail).forall { case (x, y) => x <= y },
+        "S-curve monotone in s")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("expected_ppm") <= 1000000L)
+      assert(r.getAs[Long]("measured_ppm") <= 1000000L)
+    }
+  }
+
+  // ---- q425 DP sensitivity pre-flight --------------------------------
+
+  test("q425 replays a plain-Scala sensitivity census over (type, day, user)") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS day",
+        "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = graft.ops.Stewardship.queries("q425_dp_sensitivity")(spark, sf)
+      .collect()
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet == byType.keySet)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cells = byType(t).groupBy(e => (e._2, e._3)).map(_._2.length.toLong)
+      val users = byType(t).groupBy(_._3).map { case (_, es) =>
+        val perCell = es.groupBy(_._2).map(_._2.length.toLong)
+        (perCell.max, perCell.sum, perCell.size.toLong)
+      }
+      val dayCells = byType(t).groupBy(_._2).map(_._2.length.toLong)
+      assert(r.getAs[Long]("n_users") == users.size.toLong)
+      assert(r.getAs[Long]("delta_inf") == users.map(_._1).max)
+      assert(r.getAs[Long]("delta_l1") == users.map(_._2).max)
+      assert(r.getAs[Long]("delta_l0") == users.map(_._3).max)
+      assert(r.getAs[Long]("n_cells") == dayCells.size.toLong)
+      assert(r.getAs[Long]("total_events") == dayCells.sum)
+      assert(r.getAs[Long]("min_cell") == dayCells.min)
+      // ordering laws the release planner relies on
+      assert(r.getAs[Long]("delta_inf") <= r.getAs[Long]("delta_l1"))
+      assert(r.getAs[Long]("delta_l0") <= r.getAs[Long]("n_cells"))
+      assert(r.getAs[Long]("rel_err_eps2_ppm") <= r.getAs[Long]("rel_err_eps1_ppm"))
+      assert(r.getAs[Long]("rel_err_eps1_ppm") <=
+        r.getAs[Long]("worst_rel_err_eps1_ppm"))
+      val meanCell = r.getAs[Long]("total_events") / r.getAs[Long]("n_cells")
+      assert(r.getAs[Long]("mean_cell") == meanCell)
+      assert(r.getAs[Long]("rel_err_eps1_ppm") ==
+        r.getAs[Long]("delta_l1") * 1000000L / meanCell)
+    }
+  }
+
+  // ---- q426 content-defined chunking ---------------------------------
+
+  test("q426 replays a plain-Scala CDC chunker and detects injected block spam") {
+    import java.security.MessageDigest
+    def md5Hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def hash32(s: String): Long =
+      java.lang.Long.parseLong(md5Hex(s).take(8), 16)
+    def chunksOf(text: String): Seq[String] = {
+      val cuts = (8 until text.length)
+        .filter(i => hash32(text.substring(i - 8, i)) % 64 == 0)
+      val bnds = 0 +: cuts :+ text.length
+      bnds.zip(bnds.tail).map { case (a, b) => text.substring(a, b) }
+    }
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.length >= 8)
+    val rows = Dedup.queries("q426_cdc_chunks")(spark, sf).collect()
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet == bySrc.keySet)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val chunks = bySrc(src).flatMap(d => chunksOf(d._2))
+      assert(r.getAs[Long]("n_chunks") == chunks.length.toLong, s"$src n")
+      assert(r.getAs[Long]("total_chars") ==
+        bySrc(src).map(_._2.length.toLong).sum, s"$src conservation")
+      val uniq = chunks.groupBy(identity).keys.toSeq
+      assert(r.getAs[Long]("ndv_chunks") == uniq.size.toLong, s"$src ndv")
+      assert(r.getAs[Long]("unique_chars") ==
+        uniq.map(_.length.toLong).sum, s"$src uniq chars")
+      assert(r.getAs[Long]("unique_chars") <= r.getAs[Long]("total_chars"))
+    }
+    // detector leg: a source of one block repeated 30× must dedup far
+    // below any organic source
+    val block = docs.head._2.take(120)
+    val spam = (0L until 30L).map(i =>
+      Row(9100L + i, block, "en", "block_spam", block.length.toLong))
+    val dir = writeDocs(docs.zipWithIndex.map { case ((s0, t), i) =>
+      Row(i.toLong, t, "en", s0, t.length.toLong) } ++ spam)
+    val fired = Dedup.queries("q426_cdc_chunks")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("dedup_ratio_ppm")).toMap
+    assert(fired("block_spam") < fired.filterNot(_._1 == "block_spam").values.min,
+      "repeated-block source must show the lowest unique-byte ratio")
+  }
+
+  // ---- q427 association rules ----------------------------------------
+
+  test("q427 rule algebra: paired directions, symmetric lift, conviction bounds") {
+    val rows = Behavior.queries("q427_assoc_rules")(spark, sf).collect()
+    assert(rows.length % 2 == 0, "both directions of every pair")
+    val byPair = rows.groupBy(r => {
+      val (a, b) = (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"))
+      (math.min(a, b), math.max(a, b))
+    })
+    byPair.values.foreach { dir2 =>
+      assert(dir2.length == 2, "exactly two directed rules per pair")
+      assert(dir2.map(_.getAs[Long]("lift_ppm")).distinct.length == 1,
+        "lift is direction-symmetric")
+      assert(dir2.map(_.getAs[Long]("support")).distinct.length == 1)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conf_ppm") <= 1000000L)
+      val conv = r.getAs[Long]("conviction_ppm")
+      assert(conv == -1L || conv >= 0L)
+      // conviction > 1 iff lift > 1 (both say "better than chance"),
+      // up to floor slack on either side of the 1.0 boundary
+      if (conv > 1001000L) assert(r.getAs[Long]("lift_ppm") >= 999000L,
+        s"conviction ${conv} with lift ${r.getAs[Long]("lift_ppm")}")
+    }
+  }
+
+  // ---- q428 seed BFS -------------------------------------------------
+
+  test("q428 replays a plain-Scala BFS over the basket graph") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).filter(_._2.length <= 32)
+    val pairCounts = byOrder.values.toSeq.flatMap { its =>
+      val ps = its.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.length >= 2).keys.toSeq
+    val adj = (pairCounts ++ pairCounts.map(_.swap))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val brand1 = graft.model.Tables.part(spark, sf)
+      .filter("p_brand = 'Brand#1'").select("p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    val h0 = adj.keySet intersect brand1
+    var seen = h0
+    var frontier = h0
+    val hops = scala.collection.mutable.Map(0 -> h0)
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj(_)) -- seen
+      hops(h) = next; seen ++= next; frontier = next
+    }
+    val rows = graft.ops.Graph.queries("q428_seed_bfs")(spark, sf).collect()
+      .map(r => r.getAs[Long]("hop") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("sum_deg"))).toMap
+    for (h <- 0 to 3; if hops(h).nonEmpty) {
+      assert(rows(h.toLong)._1 == hops(h).size.toLong, s"hop $h count")
+      assert(rows(h.toLong)._2 == hops(h).toSeq.map(v => adj(v).size.toLong).sum,
+        s"hop $h degree mass")
+    }
+    val unreached = adj.keySet -- seen
+    if (unreached.nonEmpty)
+      assert(rows(-1L)._1 == unreached.size.toLong, "unreached census")
+    assert(rows.values.map(_._1).sum == adj.size.toLong,
+      "hops partition the vertex set")
+  }
 }
