@@ -1285,6 +1285,42 @@ object Behavior {
                  |      DIV (1000000 - conf_ppm) END AS BIGINT)""".stripMargin)
             .as("conviction_ppm"))
         .orderBy("antecedent", "consequent")
+    },
+
+    // BOT-REGULARITY detector — machine traffic ticks like a clock;
+    // human traffic is bursty (q159 censuses the gap DISTRIBUTION,
+    // q379 the daily Fano factor; this flags the USERS): per user with
+    // ≥ 8 inter-arrival gaps, the squared coefficient of variation
+    // CV² = var/mean² of the µs gaps in floor-ppm — scale-free, so a
+    // 1-per-second bot and a 1-per-hour bot score alike — computed as
+    // (n·Σg² − (Σg)²)·10⁶ DIV (Σg)², exact integer (DECIMAL(38,0):
+    // Σg ≤ horizon·n µs, squared ≈ 10²⁵ᐩ — the q165 rule). League of
+    // the 20 most-regular users (cv2 asc, user asc) with the
+    // is_bot = CV < 0.1 verdict column; an injected metronome user
+    // must take rank 1 (spec). Scale: one user-partitioned lag sort
+    // (bounded by per-user activity) + map-combined moment agg;
+    // TakeOrdered-20, never a global sort.
+    "q434_bot_regularity" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
+          sum(expr("CAST(gap AS DECIMAL(38,0)) * gap")).as("sgg"))
+        .filter(col("n") >= 8)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("n").cast("long").as("n_gaps"),
+          expr("CAST(sg DIV n AS BIGINT)").as("mean_gap_us"),
+          expr("""CAST(greatest(CAST(n AS DECIMAL(38,0)) * sgg
+                 |  - CAST(sg AS DECIMAL(38,0)) * sg, 0) * 1000000
+                 | DIV greatest(CAST(sg AS DECIMAL(38,0)) * sg, 1)
+                 | AS BIGINT)""".stripMargin).as("cv2_ppm"))
+        .withColumn("is_bot", col("cv2_ppm") < 10000L)
+        .orderBy(col("cv2_ppm"), col("user_id"))
+        .limit(20)
     }
   )
 
@@ -2108,6 +2144,30 @@ object Behavior {
         |  CAST(CASE WHEN conf_ppm >= 1000000 THEN -1
         |    ELSE (1000000 - suppb_ppm) * 1000000 // (1000000 - conf_ppm)
         |    END AS BIGINT) AS conviction_ppm
-        |FROM j ORDER BY antecedent, consequent""".stripMargin
+        |FROM j ORDER BY antecedent, consequent""".stripMargin,
+
+    "q434_bot_regularity" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (SELECT user_id, us - prev AS gap FROM e WHERE prev IS NOT NULL),
+        |st AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(gap) AS BIGINT) AS sg,
+        |    SUM(CAST(gap AS HUGEINT) * gap) AS sgg
+        |  FROM g GROUP BY 1 HAVING COUNT(*) >= 8)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, n AS n_gaps,
+        |  CAST(sg // n AS BIGINT) AS mean_gap_us,
+        |  CAST(GREATEST(CAST(n AS HUGEINT) * sgg
+        |      - CAST(sg AS HUGEINT) * sg, 0) * 1000000
+        |    // GREATEST(CAST(sg AS HUGEINT) * sg, 1) AS BIGINT) AS cv2_ppm,
+        |  CAST(GREATEST(CAST(n AS HUGEINT) * sgg
+        |      - CAST(sg AS HUGEINT) * sg, 0) * 1000000
+        |    // GREATEST(CAST(sg AS HUGEINT) * sg, 1) AS BIGINT) < 10000
+        |    AS is_bot
+        |FROM st ORDER BY cv2_ppm, user_id LIMIT 20""".stripMargin
   )
 }

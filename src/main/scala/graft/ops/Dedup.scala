@@ -419,9 +419,23 @@ object Dedup {
     },
 
     "q115_dup_triangles" -> { (s, d) =>
+      // DEDUP-GRADE edges (jac ≥ 0.6), not the 0.3 cluster edges the
+      // linear ops (q65 CC, q152 k-core) run on — a triangle census is
+      // a cohesion diagnostic of DUPLICATE families, so it should read
+      // the edge set that defines them, with the 0.3 graph kept for
+      // the linear cluster ops. Round-8 sf1 ground truth: the corpus's
+      // five templates share one 30-word cycle (17t+7j mod 30), so
+      // every template/variant doc lands in ONE ~2.5k-doc family —
+      // 2539 nodes / 3.2M edges / 2.72e9 triangles, counted EXACTLY in
+      // ~10 min at local[24] by the ordered path join (cost is
+      // output-bound — no exact algorithm beats the triangle count
+      // itself; closure_ppm = 0.999 correctly reads "one clique").
+      // Real pipelines collapse identical docs before a census like
+      // this; the exact form is the oracle-checkable contract.
       // eager shared persist (see q118's note on lazy-persist branch
       // races); Caches registers it so Verify/Bench unpersist after use
-      val edges = Caches.shared(dupEdges(s, d))
+      val edges = Caches.shared(minhashVerifiedPairs(s, d)
+        .filter(col("jac") >= 0.6).select("doc_a", "doc_b"))
       val deg = edges.select(col("doc_a").as("n"))
         .unionByName(edges.select(col("doc_b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -451,7 +465,7 @@ object Dedup {
     // the join is exact (no LSH false-negative probability), while the
     // rarest-first order keeps the hottest tokens out of the index.
     // Candidates verify by exact intersection with the threshold as a
-    // cross-multiplied integer (3·common ≥ na+nb ⇔ jac ≥ ½). The SET
+    // cross-multiplied integer (7·common ≥ 3·(na+nb) ⇔ jac ≥ ¾). The SET
     // UNIT is the word trigram (q26's shingle space), not the unigram:
     // over a closed vocabulary every document shares most unigrams, so
     // a unigram prefix filter degenerates to the quadratic join it
@@ -484,13 +498,22 @@ object Dedup {
       val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       val wn = Window.partitionBy("doc_id")
+      // τ = ¾ (the PPJoin-regime threshold). Round 8's sf1 gate
+      // measured τ = ½ degenerating on this CLOSED-vocabulary corpus:
+      // the prefix is n − ⌈τn⌉ + 1 tokens, so τ = ½ indexes HALF of
+      // every document and the candidate join saw 217M collision rows
+      // / 3.3B verify rows at sf1 (600 s+). At τ = ¾ the prefix is a
+      // quarter of the doc and only the rarest quarter at that — the
+      // same gate measured 30M collisions / 0.9B verify rows. The
+      // published PPJoin evaluations run τ ≥ 0.7 for exactly this
+      // reason; ½ is below the regime where a prefix filter filters.
       val prefix = toks.join(dfTbl, "tok")
         .withColumn("n", count(lit(1)).over(wn))
         .withColumn("r", row_number().over(wd))
-        .filter(col("r") <= col("n") - expr("(n + 1) DIV 2") + 1)
+        .filter(col("r") <= col("n") - expr("(3 * n + 3) DIV 4") + 1)
         .select(col("doc_id"), col("tok"), col("n"), col("r"))
-      // the LENGTH filter rides in the join predicate (exact: jac ≥ ½
-      // forces |A∩B| ≤ min ≤ max ≤ |A∪B| so min/max ≥ ½) — it prunes
+      // the LENGTH filter rides in the join predicate (exact: jac ≥ ¾
+      // forces |A∩B| ≤ min ≤ max ≤ |A∪B| so min/max ≥ ¾) — it prunes
       // size-incompatible collisions before the verify fan-out, which
       // is the dominant cost (candidates × shingles-per-doc rows).
       // PPJoin POSITION filter on top: the (df, tok) order is GLOBAL,
@@ -503,24 +526,26 @@ object Dedup {
       // theorem's witness), so w IS one of the collision rows — the
       // max over shared prefix tokens recovers exactly w's bound.
       // Candidates whose best-possible overlap already misses
-      // 3·common ≥ na+nb are dropped BEFORE the verify join pays
+      // 7·common ≥ 3·(na+nb) are dropped BEFORE the verify join pays
       // (candidates × shingles-per-doc); exactness is untouched (the
       // completeness spec vs the exhaustive join still passes).
+      // length filter: jac ≥ ¾ forces 3·max ≤ 4·min; position filter:
+      // jac ≥ ¾ ⇔ 7·common ≥ 3·(na + nb), with common ≤ ub0 + 1
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+            col("a.n") * 4 >= col("b.n") * 3 && col("b.n") * 4 >= col("a.n") * 3)
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .agg(max(least(col("a.n") - col("a.r"), col("b.n") - col("b.r")))
           .as("ub0"))
-        .filter((col("ub0") + lit(1)) * 3 >= col("na") + col("nb"))
+        .filter((col("ub0") + lit(1)) * 7 >= (col("na") + col("nb")) * 3)
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       val ta = toks.select(col("doc_id").as("doc_a"), col("tok"))
       val tb = toks.select(col("doc_id").as("doc_b"), col("tok"))
       cand.join(ta, "doc_a").join(tb, Seq("doc_b", "tok"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("common"))
-        .filter(col("common") * 3 >= col("na") + col("nb"))
+        .filter(col("common") * 7 >= (col("na") + col("nb")) * 3)
         .select(col("doc_a"), col("doc_b"),
           col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
           col("common").cast("long").as("common"),
@@ -1262,13 +1287,13 @@ object Dedup {
         |  FROM toks t JOIN dfed d USING (tok)),
         |prefix AS (
         |  SELECT doc_id, tok, n FROM ranked
-        |  WHERE r <= n - (n + 1) // 2 + 1),
+        |  WHERE r <= n - (3 * n + 3) // 4 + 1),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.n AS na, b.n AS nb
         |  FROM prefix a JOIN prefix b
         |    ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |    AND a.n * 2 >= b.n AND b.n * 2 >= a.n),
+        |    AND a.n * 4 >= b.n * 3 AND b.n * 4 >= a.n * 3),
         |ver AS (
         |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS common
         |  FROM cand c
@@ -1278,7 +1303,7 @@ object Dedup {
         |SELECT doc_a, doc_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
         |  CAST(common AS BIGINT) AS common,
         |  CAST(common * 1000000 // (na + nb - common) AS BIGINT) AS jac_ppm
-        |FROM ver WHERE common * 3 >= na + nb
+        |FROM ver WHERE common * 7 >= (na + nb) * 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q160_drop_reasons" -> (ClusterLabelsSql +
@@ -1381,18 +1406,23 @@ object Dedup {
 
     // Reuses ClusterLabelsSql's `jpair` CTE (the verified ≥0.3-Jaccard
     // pair list) — the unused closure CTEs behind it are never evaluated.
-    "q115_dup_triangles" -> (ClusterLabelsSql +
+    "q115_dup_triangles" -> (LshPairsSql +
       """,
+        |tpair AS (
+        |  SELECT doc_a, doc_b
+        |  FROM common JOIN cnt ca ON doc_a = ca.doc_id
+        |              JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.6),
         |deg AS (
         |  SELECT n, COUNT(*) AS deg FROM (
-        |    SELECT doc_a AS n FROM jpair UNION ALL SELECT doc_b FROM jpair)
+        |    SELECT doc_a AS n FROM tpair UNION ALL SELECT doc_b FROM tpair)
         |  GROUP BY n),
         |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |        CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
-        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM jpair),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM tpair),
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-        |      FROM jpair e1 JOIN jpair e2 ON e1.doc_b = e2.doc_a
-        |      JOIN jpair e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+        |      FROM tpair e1 JOIN tpair e2 ON e1.doc_b = e2.doc_a
+        |      JOIN tpair e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  CAST(COALESCE(3 * n_triangles * 1000000 // NULLIF(n_wedges, 0), 0) AS BIGINT)
         |    AS closure_ppm

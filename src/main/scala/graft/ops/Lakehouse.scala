@@ -651,6 +651,65 @@ object Lakehouse {
         .orderBy("bin")
         .select(col("bin").cast("long").as("bin"), col("n_files"),
           col("first_month"), col("last_month"), col("bytes"), col("fill_ppm"))
+    },
+
+    // JOIN-STRATEGY advisor — the CBO's physical-join decision read
+    // from the catalog, for every FK edge of the star schema (q280
+    // prices ONE broadcast decision; q360 audits cardinality ERROR;
+    // this tables the full broadcast/shuffle-hash/sort-merge choice the
+    // way Spark's JoinSelection makes it): per edge, build = smaller
+    // side, 64 B/row size estimate (the q280/q420 convention), then
+    // Spark's own rules pinned as integer constants — broadcast iff
+    // build ≤ 10 MiB (autoBroadcastJoinThreshold default), else
+    // shuffle-hash iff 3·build ≤ probe (JoinSelection's muchSmaller
+    // test), else sort-merge — plus the network-cost read: broadcast
+    // ships build×W (W = 32, the bench executor convention), shuffles
+    // ship build+probe once. At sf0.01 every edge broadcasts; the
+    // differentiation appears exactly where it should — lineitem⋈orders
+    // crosses to shuffle-hash once orders outgrows 10 MiB (sf ≥ ~0.11)
+    // — which is the advisor's point. Scale: seven COUNT aggregates
+    // (metadata reads at a real lakehouse) + a 7-row grid.
+    "q429_join_strategy" -> { (s, d) =>
+      import s.implicits._
+      def cnt(t: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(t).as("t"), col("n"))
+      val counts = cnt("lineitem", Tables.lineitem(s, d))
+        .unionByName(cnt("orders", Tables.orders(s, d)))
+        .unionByName(cnt("customer", Tables.customer(s, d)))
+        .unionByName(cnt("part", Tables.part(s, d)))
+        .unionByName(cnt("supplier", Tables.supplier(s, d)))
+        .unionByName(cnt("nation", Tables.nation(s, d)))
+        .unionByName(cnt("region", Tables.region(s, d)))
+      val edges = Seq(
+        ("lineitem_orders", "lineitem", "orders"),
+        ("lineitem_part", "lineitem", "part"),
+        ("lineitem_supplier", "lineitem", "supplier"),
+        ("orders_customer", "orders", "customer"),
+        ("customer_nation", "customer", "nation"),
+        ("supplier_nation", "supplier", "nation"),
+        ("nation_region", "nation", "region"))
+        .toDF("join_name", "t_a", "t_b")
+      edges
+        .join(broadcast(counts.select(col("t").as("t_a"), col("n").as("n_a"))),
+          "t_a")
+        .join(broadcast(counts.select(col("t").as("t_b"), col("n").as("n_b"))),
+          "t_b")
+        .withColumn("n_build", least(col("n_a"), col("n_b")))
+        .withColumn("n_probe", greatest(col("n_a"), col("n_b")))
+        .withColumn("build_bytes", col("n_build") * 64)
+        .withColumn("probe_bytes", col("n_probe") * 64)
+        .select(col("join_name"),
+          col("n_build").cast("long").as("n_build"),
+          col("n_probe").cast("long").as("n_probe"),
+          col("build_bytes").cast("long").as("build_bytes"),
+          col("probe_bytes").cast("long").as("probe_bytes"),
+          expr("""CASE WHEN build_bytes <= 10485760 THEN 'broadcast'
+                 | WHEN build_bytes * 3 <= probe_bytes THEN 'shuffle_hash'
+                 | ELSE 'sort_merge' END""".stripMargin).as("strategy"),
+          expr("""CAST(CASE WHEN build_bytes <= 10485760 THEN build_bytes * 32
+                 | ELSE build_bytes + probe_bytes END AS BIGINT)""".stripMargin)
+            .as("est_network_bytes"))
+        .orderBy("join_name")
     }
   )
 
@@ -1077,6 +1136,44 @@ object Lakehouse {
         |    CAST(SUM(CAST(fp_sum AS HUGEINT)) % 2305843009213693951 AS BIGINT)
         |      AS fp_sum
         |  FROM per)
-        |SELECT * FROM per UNION ALL SELECT * FROM al ORDER BY source""".stripMargin
+        |SELECT * FROM per UNION ALL SELECT * FROM al ORDER BY source""".stripMargin,
+
+    "q429_join_strategy" ->
+      """WITH counts AS (
+        |  SELECT 'lineitem' AS t, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+        |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'part', COUNT(*) FROM part
+        |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |  UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |  UNION ALL SELECT 'region', COUNT(*) FROM region),
+        |edges AS (
+        |  SELECT * FROM (VALUES
+        |    ('lineitem_orders', 'lineitem', 'orders'),
+        |    ('lineitem_part', 'lineitem', 'part'),
+        |    ('lineitem_supplier', 'lineitem', 'supplier'),
+        |    ('orders_customer', 'orders', 'customer'),
+        |    ('customer_nation', 'customer', 'nation'),
+        |    ('supplier_nation', 'supplier', 'nation'),
+        |    ('nation_region', 'nation', 'region'))
+        |    v(join_name, t_a, t_b)),
+        |x AS (
+        |  SELECT e.join_name,
+        |    least(ca.n, cb.n) AS n_build, greatest(ca.n, cb.n) AS n_probe,
+        |    least(ca.n, cb.n) * 64 AS build_bytes,
+        |    greatest(ca.n, cb.n) * 64 AS probe_bytes
+        |  FROM edges e JOIN counts ca ON ca.t = e.t_a
+        |               JOIN counts cb ON cb.t = e.t_b)
+        |SELECT join_name, CAST(n_build AS BIGINT) AS n_build,
+        |  CAST(n_probe AS BIGINT) AS n_probe,
+        |  CAST(build_bytes AS BIGINT) AS build_bytes,
+        |  CAST(probe_bytes AS BIGINT) AS probe_bytes,
+        |  CASE WHEN build_bytes <= 10485760 THEN 'broadcast'
+        |       WHEN build_bytes * 3 <= probe_bytes THEN 'shuffle_hash'
+        |       ELSE 'sort_merge' END AS strategy,
+        |  CAST(CASE WHEN build_bytes <= 10485760 THEN build_bytes * 32
+        |       ELSE build_bytes + probe_bytes END AS BIGINT)
+        |    AS est_network_bytes
+        |FROM x ORDER BY join_name""".stripMargin
   )
 }

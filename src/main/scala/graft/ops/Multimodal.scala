@@ -116,6 +116,50 @@ object Multimodal {
   case class ImageHash(doc_id: Long, source: String, width: Long,
                        height: Long, ahash: Long)
 
+  /** Per-image Otsu stats (q430): exact integer argmax of the between-
+    * class variance over the distinct-luminance threshold grid. */
+  case class OtsuStats(doc_id: Long, source: String, width: Long,
+                       height: Long, otsu_t: Long, fg_px: Long)
+
+  /** Otsu batch decoder (q430): luminance = (2r+5g+b) DIV 8 (the q363
+    * aHash convention); between-class variance compared through the
+    * floor-scaled integer score (s0·n − s·c0)²·10⁶ DIV (c0·(n−c0)) —
+    * a DEFINED fixed-point algorithm the oracle replays digit-
+    * identically (no doubles, ties break to the SMALLEST threshold).
+    * Sweeping only distinct luminances below the max is exact: the
+    * score is constant on each inter-value plateau and the smallest-t
+    * tie-break lands on a distinct value. A flat image (no candidate)
+    * degenerates to t = max luminance with zero foreground. */
+  def otsuBmpBatch(batch: Seq[Asset]): Seq[OtsuStats] = batch.map { a =>
+    val img = BmpCodec.decode(a.content)
+    val n = img.width * img.height
+    val lums = new Array[Long](n)
+    var sum = 0L
+    var y = 0; var i = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        lums(i) = (2L * img.r(x, y) + 5L * img.g(x, y) + img.b(x, y)) / 8
+        sum += lums(i); i += 1; x += 1
+      }
+      y += 1
+    }
+    val maxL = lums.max
+    var bestF = -1L
+    var bestT = maxL
+    lums.distinct.sorted.foreach { t =>
+      if (t < maxL) {
+        var c0 = 0L; var s0 = 0L
+        lums.foreach { l => if (l <= t) { c0 += 1; s0 += l } }
+        val num = s0 * n - sum * c0
+        val f = num * num * 1000000L / (c0 * (n - c0))
+        if (f > bestF) { bestF = f; bestT = t }
+      }
+    }
+    OtsuStats(a.doc_id, a.source, img.width, img.height, bestT,
+      lums.count(_ > bestT).toLong)
+  }
+
   /** aHash batch decoder (q363): parse actual BMP bytes, threshold each
     * pixel's integer luminance (2r+5g+b) DIV 8 against the image mean,
     * pack bits row-major. ≤48 pixels per image keeps the hash in int64. */
@@ -587,6 +631,40 @@ object Multimodal {
           expr("CAST(n_silent * 1000000 DIV n_samples AS BIGINT)")
             .as("silent_ppm"))
         .orderBy("doc_id")
+    },
+
+    // OTSU binarization-threshold census through the REAL BMP codec —
+    // the document-scan/segmentation preprocessor's first decision
+    // (q333 gives the channel distribution; q399 the edge energy; this
+    // the optimal foreground/background SPLIT): per image the exact
+    // integer Otsu threshold (argmax of between-class variance over
+    // the distinct-luminance grid — see otsuBmpBatch for the pinned
+    // fixed-point score and tie rule), aggregated per source with the
+    // foreground-pixel share. Decoder emits ONE row per image; pixels
+    // never leave the batch (the q333/q363 rule). The oracle replays
+    // pattern pixels arithmetically and the identical argmax in SQL,
+    // so the codec round trip stays hash-verified.
+    "q430_otsu_threshold" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          Asset(id, src, BmpCodec.encode(w, h, (x, y) => patternPixel(id, x, y)))
+        }.toDF()
+      decodeAssetsAs(assets, batchSize = 64)(otsuBmpBatch)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_images"),
+          min(col("otsu_t")).cast("long").as("min_t"),
+          max(col("otsu_t")).cast("long").as("max_t"),
+          sum(col("otsu_t")).cast("long").as("sum_t"),
+          sum(col("fg_px")).cast("long").as("fg_px"),
+          sum(col("width") * col("height")).cast("long").as("n_px"))
+        .withColumn("mean_t", expr("CAST(sum_t DIV n_images AS BIGINT)"))
+        .withColumn("fg_ppm",
+          expr("CAST(fg_px * 1000000 DIV n_px AS BIGINT)"))
+        .orderBy("source")
     }
   )
 
@@ -854,6 +932,62 @@ object Multimodal {
         |  CAST(COALESCE(ra.max_run, 0) AS BIGINT) AS max_run,
         |  CAST(COALESCE(ra.n_silent, 0) * 1000000 // ns.n_samples AS BIGINT)
         |    AS silent_ppm
-        |FROM ns LEFT JOIN ra USING (doc_id) ORDER BY 1""".stripMargin
+        |FROM ns LEFT JOIN ra USING (doc_id) ORDER BY 1""".stripMargin,
+
+    "q430_otsu_threshold" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, source, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |         CAST(3 + doc_id % 4 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT i.doc_id, i.source, i.w, i.h,
+        |    (2 * ((i.doc_id * 31 + x * 7 + y * 13) % 256)
+        |     + 5 * ((i.doc_id * 31 + x * 7 + y * 13 + 41) % 256)
+        |     + ((i.doc_id * 31 + x * 7 + y * 13 + 82) % 256)) // 8 AS lum
+        |  FROM imgs i,
+        |    UNNEST(generate_series(0, 7)) AS gx(x),
+        |    UNNEST(generate_series(0, 5)) AS gy(y)
+        |  WHERE x < i.w AND y < i.h),
+        |st AS (
+        |  SELECT doc_id, source, COUNT(*) AS n, SUM(lum) AS s,
+        |    MAX(lum) AS maxl
+        |  FROM px GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT p.doc_id, p.lum AS t
+        |  FROM px p JOIN st USING (doc_id) WHERE p.lum < st.maxl),
+        |ft AS (
+        |  SELECT c.doc_id, c.t, st.n, st.s,
+        |    SUM(CASE WHEN p.lum <= c.t THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN p.lum <= c.t THEN p.lum ELSE 0 END) AS s0
+        |  FROM cand c JOIN px p USING (doc_id) JOIN st USING (doc_id)
+        |  GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT doc_id, t,
+        |    (s0 * n - s * c0) * (s0 * n - s * c0) * 1000000
+        |      // (c0 * (n - c0)) AS f
+        |  FROM ft),
+        |best AS (
+        |  SELECT doc_id, t AS otsu_t FROM (
+        |    SELECT doc_id, t,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY f DESC, t) AS rk
+        |    FROM scored) WHERE rk = 1),
+        |per AS (
+        |  SELECT st.doc_id, st.source, st.n,
+        |    COALESCE(b.otsu_t, st.maxl) AS otsu_t
+        |  FROM st LEFT JOIN best b USING (doc_id)),
+        |fg AS (
+        |  SELECT p.doc_id, SUM(CASE WHEN p.lum > per.otsu_t THEN 1 ELSE 0 END)
+        |    AS fg_px
+        |  FROM px p JOIN per USING (doc_id) GROUP BY 1)
+        |SELECT per.source, CAST(COUNT(*) AS BIGINT) AS n_images,
+        |  CAST(MIN(per.otsu_t) AS BIGINT) AS min_t,
+        |  CAST(MAX(per.otsu_t) AS BIGINT) AS max_t,
+        |  CAST(SUM(per.otsu_t) AS BIGINT) AS sum_t,
+        |  CAST(SUM(fg.fg_px) AS BIGINT) AS fg_px,
+        |  CAST(SUM(per.n) AS BIGINT) AS n_px,
+        |  CAST(SUM(per.otsu_t) // COUNT(*) AS BIGINT) AS mean_t,
+        |  CAST(SUM(fg.fg_px) * 1000000 // SUM(per.n) AS BIGINT) AS fg_ppm
+        |FROM per JOIN fg USING (doc_id)
+        |GROUP BY per.source ORDER BY per.source""".stripMargin
   )
 }

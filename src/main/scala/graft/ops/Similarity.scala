@@ -1153,7 +1153,11 @@ object Similarity {
             " - CAST(ss AS DECIMAL(38,0)) * ss * 1000000 DIV nn AS BIGINT)")
             .as("sst_e6"))
         .withColumn("eta2_ppm",
-          expr("CAST(ssb_e6 * 1000000 DIV greatest(sst_e6, 1) AS BIGINT)"))
+          // DECIMAL numerator: ssb_e6 itself approaches 10¹⁶ at sf1
+          // (sum-of-squares × 10⁶ scaling), so ssb_e6 · 10⁶ overflows
+          // int64 — the q165 magnitude rule, caught by the sf1 gate
+          expr("CAST(CAST(ssb_e6 AS DECIMAL(38,0)) * 1000000" +
+            " DIV greatest(sst_e6, 1) AS BIGINT)"))
         .orderBy("dim")
     },
 

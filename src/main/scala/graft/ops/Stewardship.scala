@@ -3043,6 +3043,163 @@ object Stewardship {
           expr("CAST(delta_l1 * 1000000 DIV min_cell AS BIGINT)")
             .as("worst_rel_err_eps1_ppm"))
         .orderBy("event_type")
+    },
+
+    // Stratified-sampling DESIGN EFFECT — the number that closes the
+    // F225/q402 allocation story: q402 SAYS how to split the label
+    // budget; this PRICES what stratification buys. For the mean
+    // document length under source strata: DEFF = V_design/V_SRS in
+    // floor-ppm for proportional allocation (Σ_h N_h·σ_h² over the
+    // pooled N·σ², the n-free form — sample size cancels) and Neyman
+    // allocation ((Σ_h N_h·σ_h)²/N over the same base, using q402's
+    // floor-isqrt N_h·σ_h convention — ONE sqrt definition across both
+    // operators). DEFF < 1 is variance REMOVED by stratifying; Neyman
+    // ≤ proportional ≤ SRS is the textbook ordering, spec-asserted up
+    // to floor slack. Magnitude: N_h·SS_h products run in
+    // DECIMAL(38,0)/HUGEINT (the q165 rule); the isqrt operand must
+    // stay under 2⁵³ for the shared IEEE-exact floor(sqrt(double))
+    // convention — same documented bound as q402. Scale: one
+    // map-combined (source) moment pass; everything after is a
+    // |sources|-row grid folding to ONE design row.
+    "q431_design_effect" -> { (s, d) =>
+      val st = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("nh"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .select(col("nh"), col("sx"), col("sxx"),
+          expr("""CAST((CAST(nh AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                 | DIV nh AS BIGINT)""".stripMargin).as("ah"),
+          expr("CAST(floor(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE))) AS BIGINT)")
+            .as("ns"))
+      st.agg(count(lit(1)).cast("long").as("n_strata"),
+          sum(col("nh")).as("n"), sum(col("sx")).as("s"),
+          sum(col("sxx")).as("ss"), sum(col("ah")).as("v_prop_num"),
+          sum(col("ns")).as("sum_ns"))
+        .select(col("n_strata"), col("n").cast("long").as("n_total"),
+          expr("""CAST((CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)
+                 | DIV n AS BIGINT)""".stripMargin).as("v_srs_num"),
+          col("v_prop_num").cast("long").as("v_prop_num"),
+          expr("""CAST(CAST(v_prop_num AS DECIMAL(38,0)) * 1000000
+                 | DIV ((CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)
+                 |      DIV n) AS BIGINT)""".stripMargin).as("deff_prop_ppm"),
+          expr("CAST(CAST(sum_ns AS DECIMAL(38,0)) * sum_ns DIV n AS BIGINT)")
+            .as("v_ney_num"),
+          expr("""CAST((CAST(sum_ns AS DECIMAL(38,0)) * sum_ns DIV n) * 1000000
+                 | DIV ((CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)
+                 |      DIV n) AS BIGINT)""".stripMargin).as("deff_ney_ppm"))
+    },
+
+    // SORT-ORDER INTERFERENCE matrix — the OPTIMIZE-key decision q361
+    // prices for one column, completed across a WORKLOAD: cluster
+    // lineitem into 32 files by each candidate key (ship-day, partkey,
+    // suppkey; value-proportional splits, the q361 convention) and
+    // probe every layout with a mid-band range filter on every
+    // candidate column ([40%, 60%) of the value domain). The diagonal
+    // shows what sorting buys; the OFF-diagonal shows what it costs
+    // the other filters — the cross-interference that makes the sort
+    // key a WORKLOAD decision, not a column decision (and why Z-order
+    // (q141/q294) exists: it trades diagonal depth for off-diagonal
+    // breadth). Zone-map skip rule: file skipped iff zmax < lo or
+    // zmin ≥ hi. Scale: ONE scan computes all three file ids + all
+    // three probe columns; per (layout, filter) everything after is
+    // 32-row zone-grid algebra.
+    "q432_sort_advisor" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+          .as("v_day"),
+        col("l_partkey").cast("long").as("v_part"),
+        col("l_suppkey").cast("long").as("v_supp"))
+      val mx = li.agg(
+        min(col("v_day")).as("lo_day"), max(col("v_day")).as("hi_day"),
+        min(col("v_part")).as("lo_part"), max(col("v_part")).as("hi_part"),
+        min(col("v_supp")).as("lo_supp"), max(col("v_supp")).as("hi_supp"))
+      val filed = Caches.shared(li.crossJoin(broadcast(mx))
+        .select(col("v_day"), col("v_part"), col("v_supp"),
+          expr("(v_day - lo_day) * 32 DIV (hi_day - lo_day + 1)").as("f_day"),
+          expr("(v_part - lo_part) * 32 DIV (hi_part - lo_part + 1)").as("f_part"),
+          expr("(v_supp - lo_supp) * 32 DIV (hi_supp - lo_supp + 1)").as("f_supp"),
+          expr("lo_day + (hi_day - lo_day + 1) * 2 DIV 5").as("q_lo_day"),
+          expr("lo_day + (hi_day - lo_day + 1) * 3 DIV 5").as("q_hi_day"),
+          expr("lo_part + (hi_part - lo_part + 1) * 2 DIV 5").as("q_lo_part"),
+          expr("lo_part + (hi_part - lo_part + 1) * 3 DIV 5").as("q_hi_part"),
+          expr("lo_supp + (hi_supp - lo_supp + 1) * 2 DIV 5").as("q_lo_supp"),
+          expr("lo_supp + (hi_supp - lo_supp + 1) * 3 DIV 5").as("q_hi_supp")))
+      val cols = Seq("day", "part", "supp")
+      val legs = for (lay <- cols; f <- cols) yield {
+        val zones = filed.groupBy(col(s"f_$lay").as("fid"))
+          .agg(min(col(s"v_$f")).as("zmin"), max(col(s"v_$f")).as("zmax"),
+            count(lit(1)).as("rows"),
+            max(col(s"q_lo_$f")).as("lo"), max(col(s"q_hi_$f")).as("hi"),
+            sum(when(col(s"v_$f") >= col(s"q_lo_$f") &&
+              col(s"v_$f") < col(s"q_hi_$f"), 1L).otherwise(0L)).as("hits"))
+        zones.agg(count(lit(1)).cast("long").as("files_total"),
+            sum(when(col("zmax") < col("lo") || col("zmin") >= col("hi"), 1L)
+              .otherwise(0L)).cast("long").as("files_skipped"),
+            sum(when(col("zmax") >= col("lo") && col("zmin") < col("hi"),
+              col("rows")).otherwise(0L)).cast("long").as("rows_scanned"),
+            sum(col("hits")).cast("long").as("rows_matching"))
+          .select(lit(lay).as("layout_key"), lit(f).as("filter_col"),
+            col("files_total"), col("files_skipped"), col("rows_scanned"),
+            col("rows_matching"),
+            expr("""CAST(rows_scanned * 1000000
+                   | DIV greatest(rows_matching, 1) AS BIGINT)""".stripMargin)
+              .as("scan_amplification_ppm"))
+      }
+      legs.reduce(_.unionByName(_)).orderBy("layout_key", "filter_col")
+    },
+
+    // SELECTIVITY-estimation audit — the FILTER side of q360's join
+    // q-error: for a battery of four predicate shapes over orders, the
+    // estimate a statistics-only CBO makes (uniformity + NDV: equality
+    // → n/ndv; range → n·(t−min)/(max−min)) vs the exact count, with
+    // the q360 q-error convention. Low-NDV equality (priority) is
+    // near-exact by construction; high-NDV equality (custkey), value
+    // ranges (price), and time ranges (date) expose exactly where the
+    // uniformity assumption bends — the table that justifies
+    // histogram-backed stats. Thresholds are stats-derived (min + ¼
+    // span), so the audit is self-contained at any SF. Scale: one
+    // stats aggregation + one conditional-count scan; everything else
+    // is a 4-row grid.
+    "q433_selectivity_audit" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderpriority"),
+        col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+          .as("day"))
+      val st = o.agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderpriority")).as("ndv_prio"),
+        countDistinct(col("o_custkey")).as("ndv_cust"),
+        min(col("o_custkey")).as("k0"),
+        min(col("cents")).as("lo_c"), max(col("cents")).as("hi_c"),
+        min(col("day")).as("lo_d"), max(col("day")).as("hi_d"))
+        .withColumn("t_c", expr("lo_c + (hi_c - lo_c + 1) DIV 4"))
+        .withColumn("t_d", expr("lo_d + (hi_d - lo_d + 1) DIV 4"))
+      val acts = o.crossJoin(broadcast(st)).agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("a1"),
+        sum(when(col("o_custkey") === col("k0"), 1L).otherwise(0L)).as("a2"),
+        sum(when(col("cents") < col("t_c"), 1L).otherwise(0L)).as("a3"),
+        sum(when(col("day") < col("t_d"), 1L).otherwise(0L)).as("a4"),
+        max(col("n")).as("n"), max(col("ndv_prio")).as("ndv_prio"),
+        max(col("ndv_cust")).as("ndv_cust"),
+        max(col("lo_c")).as("lo_c"), max(col("hi_c")).as("hi_c"),
+        max(col("t_c")).as("t_c"),
+        max(col("lo_d")).as("lo_d"), max(col("hi_d")).as("hi_d"),
+        max(col("t_d")).as("t_d"))
+      def leg(nm: String, est: String, act: String) =
+        acts.select(lit(nm).as("predicate"),
+          expr(s"CAST($est AS BIGINT)").as("est_rows"),
+          col(act).cast("long").as("actual_rows"),
+          expr(s"""CAST(greatest($est, $act) * 1000000
+                  | DIV greatest(least($est, $act), 1) AS BIGINT)""".stripMargin)
+            .as("q_error_ppm"))
+      leg("p1_eq_low_ndv", "n DIV ndv_prio", "a1")
+        .unionByName(leg("p2_eq_high_ndv", "n DIV ndv_cust", "a2"))
+        .unionByName(leg("p3_range_price",
+          "n * (t_c - lo_c) DIV (hi_c - lo_c + 1)", "a3"))
+        .unionByName(leg("p4_range_date",
+          "n * (t_d - lo_d) DIV (hi_d - lo_d + 1)", "a4"))
+        .orderBy("predicate")
     }
   )
 
@@ -5067,6 +5224,122 @@ object Stewardship {
         |    AS BIGINT) AS rel_err_eps2_ppm,
         |  CAST(s.delta_l1 * 1000000 // c.min_cell AS BIGINT)
         |    AS worst_rel_err_eps1_ppm
-        |FROM sens s JOIN cells c USING (event_type) ORDER BY 1""".stripMargin
+        |FROM sens s JOIN cells c USING (event_type) ORDER BY 1""".stripMargin,
+
+    "q431_design_effect" ->
+      """WITH st AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |s2 AS (
+        |  SELECT nh, sx, sxx,
+        |    CAST((CAST(nh AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |      // nh AS BIGINT) AS ah,
+        |    CAST(FLOOR(SQRT(CAST(nh * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+        |      AS ns
+        |  FROM st),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(nh) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS s,
+        |    CAST(SUM(sxx) AS BIGINT) AS ss,
+        |    CAST(SUM(ah) AS BIGINT) AS v_prop_num,
+        |    CAST(SUM(ns) AS BIGINT) AS sum_ns
+        |  FROM s2)
+        |SELECT n_strata, n AS n_total,
+        |  CAST((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) // n
+        |    AS BIGINT) AS v_srs_num,
+        |  v_prop_num,
+        |  CAST(CAST(v_prop_num AS HUGEINT) * 1000000
+        |    // ((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) // n)
+        |    AS BIGINT) AS deff_prop_ppm,
+        |  CAST(CAST(sum_ns AS HUGEINT) * sum_ns // n AS BIGINT) AS v_ney_num,
+        |  CAST((CAST(sum_ns AS HUGEINT) * sum_ns // n) * 1000000
+        |    // ((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) // n)
+        |    AS BIGINT) AS deff_ney_ppm
+        |FROM tot""".stripMargin,
+
+    "q432_sort_advisor" -> {
+      val legs = for (lay <- Seq("day", "part", "supp");
+                      f <- Seq("day", "part", "supp")) yield
+        s"""SELECT '$lay' AS layout_key, '$f' AS filter_col,
+           |  CAST(COUNT(*) AS BIGINT) AS files_total,
+           |  CAST(SUM(CASE WHEN zmax < lo OR zmin >= hi THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS files_skipped,
+           |  CAST(SUM(CASE WHEN zmax >= lo AND zmin < hi THEN nr ELSE 0 END)
+           |    AS BIGINT) AS rows_scanned,
+           |  CAST(SUM(hits) AS BIGINT) AS rows_matching,
+           |  CAST(SUM(CASE WHEN zmax >= lo AND zmin < hi THEN nr ELSE 0 END)
+           |    * 1000000 // GREATEST(SUM(hits), 1) AS BIGINT)
+           |    AS scan_amplification_ppm
+           |FROM (
+           |  SELECT f_$lay AS fid, MIN(v_$f) AS zmin, MAX(v_$f) AS zmax,
+           |    COUNT(*) AS nr, MAX(q_lo_$f) AS lo, MAX(q_hi_$f) AS hi,
+           |    SUM(CASE WHEN v_$f >= q_lo_$f AND v_$f < q_hi_$f
+           |        THEN 1 ELSE 0 END) AS hits
+           |  FROM filed GROUP BY 1) z""".stripMargin
+      """WITH li AS (
+        |  SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS v_day,
+        |    CAST(l_partkey AS BIGINT) AS v_part,
+        |    CAST(l_suppkey AS BIGINT) AS v_supp
+        |  FROM lineitem),
+        |mx AS (
+        |  SELECT MIN(v_day) AS lo_day, MAX(v_day) AS hi_day,
+        |    MIN(v_part) AS lo_part, MAX(v_part) AS hi_part,
+        |    MIN(v_supp) AS lo_supp, MAX(v_supp) AS hi_supp
+        |  FROM li),
+        |filed AS (
+        |  SELECT v_day, v_part, v_supp,
+        |    (v_day - lo_day) * 32 // (hi_day - lo_day + 1) AS f_day,
+        |    (v_part - lo_part) * 32 // (hi_part - lo_part + 1) AS f_part,
+        |    (v_supp - lo_supp) * 32 // (hi_supp - lo_supp + 1) AS f_supp,
+        |    lo_day + (hi_day - lo_day + 1) * 2 // 5 AS q_lo_day,
+        |    lo_day + (hi_day - lo_day + 1) * 3 // 5 AS q_hi_day,
+        |    lo_part + (hi_part - lo_part + 1) * 2 // 5 AS q_lo_part,
+        |    lo_part + (hi_part - lo_part + 1) * 3 // 5 AS q_hi_part,
+        |    lo_supp + (hi_supp - lo_supp + 1) * 2 // 5 AS q_lo_supp,
+        |    lo_supp + (hi_supp - lo_supp + 1) * 3 // 5 AS q_hi_supp
+        |  FROM li CROSS JOIN mx)
+        |""".stripMargin + legs.mkString("\nUNION ALL\n") +
+        "\nORDER BY layout_key, filter_col"
+    },
+
+    "q433_selectivity_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM orders),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_prio,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_cust,
+        |    MIN(o_custkey) AS k0,
+        |    MIN(cents) AS lo_c, MAX(cents) AS hi_c,
+        |    MIN(day) AS lo_d, MAX(day) AS hi_d
+        |  FROM o),
+        |s2 AS (SELECT *, lo_c + (hi_c - lo_c + 1) // 4 AS t_c,
+        |         lo_d + (hi_d - lo_d + 1) // 4 AS t_d FROM st),
+        |a AS (
+        |  SELECT
+        |    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a1,
+        |    SUM(CASE WHEN o_custkey = s2.k0 THEN 1 ELSE 0 END) AS a2,
+        |    SUM(CASE WHEN cents < s2.t_c THEN 1 ELSE 0 END) AS a3,
+        |    SUM(CASE WHEN day < s2.t_d THEN 1 ELSE 0 END) AS a4
+        |  FROM o CROSS JOIN s2),
+        |legs AS (
+        |  SELECT 'p1_eq_low_ndv' AS predicate, n // ndv_prio AS est_rows,
+        |    a1 AS actual_rows FROM s2, a
+        |  UNION ALL SELECT 'p2_eq_high_ndv', n // ndv_cust, a2 FROM s2, a
+        |  UNION ALL SELECT 'p3_range_price',
+        |    n * (t_c - lo_c) // (hi_c - lo_c + 1), a3 FROM s2, a
+        |  UNION ALL SELECT 'p4_range_date',
+        |    n * (t_d - lo_d) // (hi_d - lo_d + 1), a4 FROM s2, a)
+        |SELECT predicate, CAST(est_rows AS BIGINT) AS est_rows,
+        |  CAST(actual_rows AS BIGINT) AS actual_rows,
+        |  CAST(GREATEST(est_rows, actual_rows) * 1000000
+        |    // GREATEST(LEAST(est_rows, actual_rows), 1) AS BIGINT)
+        |    AS q_error_ppm
+        |FROM legs ORDER BY predicate""".stripMargin
   )
 }

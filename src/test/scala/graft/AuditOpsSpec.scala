@@ -818,4 +818,231 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(rows.values.map(_._1).sum == adj.size.toLong,
       "hops partition the vertex set")
   }
+
+  // ---- q429 join-strategy advisor ------------------------------------
+
+  test("q429 replays Spark's pinned JoinSelection rules over exact counts") {
+    val tables = Map(
+      "lineitem" -> graft.model.Tables.lineitem(spark, sf).count(),
+      "orders" -> graft.model.Tables.orders(spark, sf).count(),
+      "customer" -> graft.model.Tables.customer(spark, sf).count(),
+      "part" -> graft.model.Tables.part(spark, sf).count(),
+      "supplier" -> graft.model.Tables.supplier(spark, sf).count(),
+      "nation" -> graft.model.Tables.nation(spark, sf).count(),
+      "region" -> graft.model.Tables.region(spark, sf).count())
+    val edges = Map(
+      "lineitem_orders" -> ("lineitem", "orders"),
+      "lineitem_part" -> ("lineitem", "part"),
+      "lineitem_supplier" -> ("lineitem", "supplier"),
+      "orders_customer" -> ("orders", "customer"),
+      "customer_nation" -> ("customer", "nation"),
+      "supplier_nation" -> ("supplier", "nation"),
+      "nation_region" -> ("nation", "region"))
+    val rows = Lakehouse.queries("q429_join_strategy")(spark, sf).collect()
+    assert(rows.length == edges.size)
+    rows.foreach { r =>
+      val (ta, tb) = edges(r.getString(0))
+      val build = math.min(tables(ta), tables(tb))
+      val probe = math.max(tables(ta), tables(tb))
+      assert(r.getAs[Long]("n_build") == build)
+      assert(r.getAs[Long]("n_probe") == probe)
+      val (bb, pb) = (build * 64, probe * 64)
+      val strat = if (bb <= 10485760L) "broadcast"
+        else if (bb * 3 <= pb) "shuffle_hash" else "sort_merge"
+      assert(r.getAs[String]("strategy") == strat, r.getString(0))
+      val net = if (bb <= 10485760L) bb * 32 else bb + pb
+      assert(r.getAs[Long]("est_network_bytes") == net)
+    }
+  }
+
+  // ---- q430 Otsu threshold census ------------------------------------
+
+  test("q430 replays the Otsu argmax from first-principles pattern pixels") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def otsu(id: Long): (Long, Long, Long) = { // (t, fg, npx)
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+      val lums = for (y <- 0 until h; x <- 0 until w) yield {
+        val base = id * 31 + x * 7 + y * 13
+        (2 * (base % 256) + 5 * ((base + 41) % 256) + ((base + 82) % 256)) / 8
+      }
+      val n = lums.length; val s = lums.sum
+      val maxL = lums.max
+      var bestF = -1L; var bestT = maxL
+      lums.distinct.sorted.foreach { t =>
+        if (t < maxL) {
+          val c0 = lums.count(_ <= t).toLong
+          val s0 = lums.filter(_ <= t).sum
+          val num = s0 * n - s * c0
+          val f = num * num * 1000000L / (c0 * (n - c0))
+          if (f > bestF) { bestF = f; bestT = t }
+        }
+      }
+      (bestT, lums.count(_ > bestT).toLong, n.toLong)
+    }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val os = ds.map(d => otsu(d._1))
+      src -> ((os.length.toLong, os.map(_._1).sum, os.map(_._1).min,
+        os.map(_._1).max, os.map(_._2).sum, os.map(_._3).sum))
+    }
+    val rows = Multimodal.queries("q430_otsu_threshold")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (ni, sumT, minT, maxT, fg, npx) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_images") == ni)
+      assert(r.getAs[Long]("sum_t") == sumT, s"${r.getString(0)} sum_t")
+      assert(r.getAs[Long]("min_t") == minT)
+      assert(r.getAs[Long]("max_t") == maxT)
+      assert(r.getAs[Long]("fg_px") == fg)
+      assert(r.getAs[Long]("n_px") == npx)
+      // a threshold must actually separate: foreground is a strict,
+      // nonempty subset unless the image is flat
+      assert(fg < npx)
+    }
+  }
+
+  // ---- q431 design effect --------------------------------------------
+
+  test("q431 Neyman <= proportional <= SRS ordering and a BigInt replay") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val strata = docs.groupBy(_._1).map { case (_, xs) =>
+      val nh = BigInt(xs.length); val sx = BigInt(xs.map(_._2).sum)
+      val sxx = xs.map(x => BigInt(x._2) * x._2).sum
+      val varNum = nh * sxx - sx * sx
+      (nh, sx, sxx, varNum / nh,
+        BigInt(math.sqrt(varNum.toDouble).toLong))
+    }
+    val n = strata.map(_._1).sum; val s = strata.map(_._2).sum
+    val ss = strata.map(_._3).sum
+    val vProp = strata.map(_._4).sum
+    val sumNs = strata.map(_._5).sum
+    val vSrs = (n * ss - s * s) / n
+    val vNey = sumNs * sumNs / n
+    val row = graft.ops.Stewardship.queries("q431_design_effect")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_strata") == strata.size.toLong)
+    assert(row.getAs[Long]("n_total") == n.toLong)
+    assert(row.getAs[Long]("v_srs_num") == vSrs.toLong)
+    assert(row.getAs[Long]("v_prop_num") == vProp.toLong)
+    assert(row.getAs[Long]("v_ney_num") == vNey.toLong)
+    assert(row.getAs[Long]("deff_prop_ppm") == (vProp * 1000000 / vSrs).toLong)
+    assert(row.getAs[Long]("deff_ney_ppm") == (vNey * 1000000 / vSrs).toLong)
+    // the textbook ordering, with floor slack for the isqrt/DIV steps
+    assert(row.getAs[Long]("deff_ney_ppm") <=
+      row.getAs[Long]("deff_prop_ppm") + 1000L)
+    assert(row.getAs[Long]("deff_prop_ppm") <= 1000000L + 1000L)
+  }
+
+  // ---- q432 sort-order interference ----------------------------------
+
+  test("q432 diagonal layouts skip most files; matches are layout-invariant") {
+    val rows = graft.ops.Stewardship.queries("q432_sort_advisor")(spark, sf)
+      .collect()
+    assert(rows.length == 9)
+    val byCell = rows.map(r => (r.getAs[String]("layout_key"),
+      r.getAs[String]("filter_col")) -> r).toMap
+    // the matching-row count depends only on the filter, never the layout
+    for (f <- Seq("day", "part", "supp")) {
+      val ms = Seq("day", "part", "supp")
+        .map(l => byCell((l, f)).getAs[Long]("rows_matching"))
+      assert(ms.distinct.length == 1, s"filter $f matches differ by layout")
+    }
+    rows.foreach { r =>
+      // files_total = non-empty value buckets: min(32, ndv-ish) — at
+      // sf0.001 the 10 suppliers fill only 10 buckets
+      assert(r.getAs[Long]("files_total") >= 1L &&
+        r.getAs[Long]("files_total") <= 32L)
+      assert(r.getAs[Long]("files_skipped") <= r.getAs[Long]("files_total"))
+      assert(r.getAs[Long]("rows_matching") <= r.getAs[Long]("rows_scanned"),
+        "zone maps never skip a matching row")
+    }
+    // clustering on the filter column must dominate every other layout:
+    // the [40%, 60%) band leaves ~60% of the value-proportional files
+    // entirely outside the probe
+    for (f <- Seq("day", "part", "supp")) {
+      val cell = byCell((f, f))
+      val (diag, tot) = (cell.getAs[Long]("files_skipped"),
+        cell.getAs[Long]("files_total"))
+      assert(diag * 10 >= tot * 6,
+        s"$f diagonal should skip >= 60% of $tot files ($diag)")
+      for (l <- Seq("day", "part", "supp") if l != f)
+        assert(byCell((l, f)).getAs[Long]("files_skipped") <= diag,
+          s"layout $l cannot out-skip clustering on $f itself")
+    }
+  }
+
+  // ---- q433 selectivity audit ----------------------------------------
+
+  test("q433 replays the uniformity estimates and exact counts") {
+    val o = graft.model.Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents",
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT) AS day")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = o.length.toLong
+    val (loC, hiC) = (o.map(_._3).min, o.map(_._3).max)
+    val (loD, hiD) = (o.map(_._4).min, o.map(_._4).max)
+    val (tC, tD) = (loC + (hiC - loC + 1) / 4, loD + (hiD - loD + 1) / 4)
+    val k0 = o.map(_._2).min
+    val expected = Map(
+      "p1_eq_low_ndv" -> (n / o.map(_._1).distinct.length,
+        o.count(_._1 == "1-URGENT").toLong),
+      "p2_eq_high_ndv" -> (n / o.map(_._2).distinct.length,
+        o.count(_._2 == k0).toLong),
+      "p3_range_price" -> (n * (tC - loC) / (hiC - loC + 1),
+        o.count(_._3 < tC).toLong),
+      "p4_range_date" -> (n * (tD - loD) / (hiD - loD + 1),
+        o.count(_._4 < tD).toLong))
+    val rows = graft.ops.Stewardship.queries("q433_selectivity_audit")(spark, sf)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (est, act) = expected(r.getAs[String]("predicate"))
+      assert(r.getAs[Long]("est_rows") == est, r.getAs[String]("predicate"))
+      assert(r.getAs[Long]("actual_rows") == act, r.getAs[String]("predicate"))
+      assert(r.getAs[Long]("q_error_ppm") ==
+        math.max(est, act) * 1000000L / math.max(math.min(est, act), 1L))
+      assert(r.getAs[Long]("q_error_ppm") >= 1000000L, "q-error >= 1")
+    }
+  }
+
+  // ---- q434 bot regularity -------------------------------------------
+
+  test("q434 ranks an injected metronome user first with cv2 = 0") {
+    val dir = Files.createTempDirectory("graft-audit-bot").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def t(sec: Long) = java.time.LocalDateTime.ofEpochSecond(
+      1700000000L + sec, 0, java.time.ZoneOffset.UTC)
+    // user 77: a perfect 60 s metronome (12 events → 11 equal gaps);
+    // users 1-4: irregular humans (hash-spread gaps, >= 9 events each)
+    val bot = (0 until 12).map(i => Row(1000L + i, t(60L * i), 77L, "tick", 0.0, ""))
+    val humans = for (u <- 1 to 4; i <- 0 until 10) yield
+      Row(u * 100L + i, t((u * 9901L + i * i * 37L + i * 13L) % 86400L),
+        u.toLong, "act", 0.0, "")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(bot ++ humans, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.ops.Behavior.queries("q434_bot_regularity")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getAs[Long]("user_id") == 77L, "metronome must rank first")
+    assert(first.getAs[Long]("n_gaps") == 11L)
+    assert(first.getAs[Long]("cv2_ppm") == 0L, "perfect clock has zero CV")
+    assert(first.getAs[Boolean]("is_bot"))
+    assert(first.getAs[Long]("mean_gap_us") == 60000000L)
+    rows.tail.foreach { r =>
+      assert(r.getAs[Long]("cv2_ppm") >= first.getAs[Long]("cv2_ppm"),
+        "league sorted ascending")
+      if (r.getAs[Long]("cv2_ppm") >= 10000L)
+        assert(!r.getAs[Boolean]("is_bot"))
+    }
+  }
 }
