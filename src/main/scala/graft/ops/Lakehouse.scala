@@ -710,6 +710,86 @@ object Lakehouse {
                  | ELSE build_bytes + probe_bytes END AS BIGINT)""".stripMargin)
             .as("est_network_bytes"))
         .orderBy("join_name")
+    },
+
+    // VACUUM / log-RETENTION planner — the Delta/Iceberg "how far back
+    // can time travel reach vs how much log must we keep" sizing table:
+    // treating the event stream as a per-user upsert changelog (the
+    // q81/q105 frame), a version row is SAFELY deletable under
+    // retention R iff a NEWER version of the same key already existed
+    // at the cutoff (max_ts − R) — any time-travel query inside the
+    // window then never resolves to it. That predicate is one per-key
+    // lead(): deletable ⇔ next_ts ≤ cutoff. Per R ∈ {1, 7, 30} days:
+    // rows/bytes deletable vs retained (64 B/row, the q280/q420
+    // convention) and the floor-ppm reclaim share — monotone in R by
+    // construction (spec law: longer retention never reclaims more).
+    // Scale: ONE user-partitioned sort serves every R (the grid rides
+    // a broadcast); no per-R scans.
+    "q435_vacuum_retention" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val versioned = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+      val mx = versioned.agg(max(col("us")).as("max_us"))
+      val rs = versioned.sparkSession.range(3)
+        .select(expr("CAST(element_at(array(1, 7, 30), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("retention_days"))
+      versioned.crossJoin(broadcast(mx)).crossJoin(broadcast(rs))
+        .withColumn("deletable",
+          col("next_us").isNotNull &&
+            col("next_us") <= col("max_us") - col("retention_days") * 86400000000L)
+        .groupBy("retention_days")
+        .agg(count(lit(1)).cast("long").as("n_versions"),
+          sum(when(col("deletable"), 1L).otherwise(0L)).cast("long")
+            .as("n_deletable"))
+        .select(col("retention_days"), col("n_versions"), col("n_deletable"),
+          (col("n_versions") - col("n_deletable")).cast("long").as("n_retained"),
+          (col("n_deletable") * 64).cast("long").as("reclaim_bytes"),
+          expr("CAST(n_deletable * 1000000 DIV n_versions AS BIGINT)")
+            .as("reclaim_ppm"))
+        .orderBy("retention_days")
+    },
+
+    // STORAGE-TIERING advisor — the lifecycle policy table (S3
+    // IA/Glacier, Delta cold-compaction): tier each part by the
+    // RECENCY of its last shipment against the corpus's latest
+    // ship-day — hot ≤ 90 days, warm ≤ 365, else cold — with bytes at
+    // the 64 B/lineitem convention and each tier's share of RECENT
+    // access mass (lines shipped in the final 90 days — which is, by
+    // construction, entirely inside the hot tier: the spec law that
+    // makes the policy SAFE, cold data receives zero recent reads).
+    // Scale: one map-combined (part) aggregation + a 3-row tier grid;
+    // the advisor reads per-part stats a real catalog already keeps.
+    "q437_storage_tiers" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+          .as("day"))
+      val mx = li.agg(max(col("day")).as("max_day"))
+      val per = li.crossJoin(broadcast(mx))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_lines"),
+          max(col("day")).as("last_day"),
+          sum(when(col("day") > col("max_day") - 90, 1L).otherwise(0L))
+            .as("recent_lines"),
+          max(col("max_day")).as("max_day"))
+        .withColumn("tier", expr(
+          """CASE WHEN max_day - last_day <= 90 THEN 'a_hot'
+            | WHEN max_day - last_day <= 365 THEN 'b_warm'
+            | ELSE 'c_cold' END""".stripMargin))
+      val tot = per.agg(sum(col("recent_lines")).as("recent_total"))
+      per.groupBy("tier")
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          sum(col("n_lines")).cast("long").as("n_lines"),
+          sum(col("recent_lines")).cast("long").as("recent_lines"))
+        .crossJoin(broadcast(tot))
+        .select(col("tier"), col("n_parts"), col("n_lines"),
+          (col("n_lines") * 64).cast("long").as("est_bytes"),
+          col("recent_lines"),
+          expr("""CAST(recent_lines * 1000000
+                 | DIV greatest(recent_total, 1) AS BIGINT)""".stripMargin)
+            .as("recent_share_ppm"))
+        .orderBy("tier")
     }
   )
 
@@ -1174,6 +1254,54 @@ object Lakehouse {
         |  CAST(CASE WHEN build_bytes <= 10485760 THEN build_bytes * 32
         |       ELSE build_bytes + probe_bytes END AS BIGINT)
         |    AS est_network_bytes
-        |FROM x ORDER BY join_name""".stripMargin
+        |FROM x ORDER BY join_name""".stripMargin,
+
+    "q435_vacuum_retention" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |mx AS (SELECT MAX(us) AS max_us FROM v),
+        |rs AS (SELECT CAST(r.r AS BIGINT) AS retention_days
+        |       FROM UNNEST([1, 7, 30]) AS r(r)),
+        |agg AS (
+        |  SELECT retention_days, CAST(COUNT(*) AS BIGINT) AS n_versions,
+        |    CAST(SUM(CASE WHEN next_us IS NOT NULL AND
+        |      next_us <= max_us - retention_days * 86400000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_deletable
+        |  FROM v CROSS JOIN mx CROSS JOIN rs GROUP BY 1)
+        |SELECT retention_days, n_versions, n_deletable,
+        |  CAST(n_versions - n_deletable AS BIGINT) AS n_retained,
+        |  CAST(n_deletable * 64 AS BIGINT) AS reclaim_bytes,
+        |  CAST(n_deletable * 1000000 // n_versions AS BIGINT) AS reclaim_ppm
+        |FROM agg ORDER BY retention_days""".stripMargin,
+
+    "q437_storage_tiers" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM lineitem),
+        |mx AS (SELECT MAX(day) AS max_day FROM li),
+        |per AS (
+        |  SELECT l_partkey, COUNT(*) AS n_lines, MAX(day) AS last_day,
+        |    SUM(CASE WHEN day > mx.max_day - 90 THEN 1 ELSE 0 END)
+        |      AS recent_lines,
+        |    MAX(mx.max_day) AS max_day
+        |  FROM li CROSS JOIN mx GROUP BY 1),
+        |t AS (SELECT *,
+        |    CASE WHEN max_day - last_day <= 90 THEN 'a_hot'
+        |         WHEN max_day - last_day <= 365 THEN 'b_warm'
+        |         ELSE 'c_cold' END AS tier
+        |  FROM per),
+        |tot AS (SELECT SUM(recent_lines) AS recent_total FROM t)
+        |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(SUM(n_lines) * 64 AS BIGINT) AS est_bytes,
+        |  CAST(SUM(recent_lines) AS BIGINT) AS recent_lines,
+        |  CAST(SUM(recent_lines) * 1000000
+        |    // GREATEST(tot.recent_total, 1) AS BIGINT) AS recent_share_ppm
+        |FROM t CROSS JOIN tot
+        |GROUP BY tier, tot.recent_total ORDER BY tier""".stripMargin
   )
 }

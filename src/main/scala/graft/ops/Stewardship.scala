@@ -3200,6 +3200,53 @@ object Stewardship {
         .unionByName(leg("p4_range_date",
           "n * (t_d - lo_d) DIV (hi_d - lo_d + 1)", "a4"))
         .orderBy("predicate")
+    },
+
+    // HISTOGRAM-refined selectivity — the fix q433's audit motivates:
+    // the same `price < min + ¼·span` predicate estimated from
+    // equi-width histograms of B ∈ {1, 16, 256} bins (B = 1 IS q433's
+    // min/max uniformity estimate — one definition, three refinement
+    // levels). Each bin keeps (count, observed min/max) — zone-map
+    // statistics — and the estimate interpolates uniformly ONLY inside
+    // the one bin straddling the threshold: est = Σ_{bin below} cnt +
+    // cnt_t·(t − mn_t) DIV (mx_t − mn_t + 1). The estimation error is
+    // therefore bounded by the straddling bin's population (spec law:
+    // |est − act| ≤ max boundary-bin count) — the formal reason
+    // engines ship histogram stats: error shrinks with 1/B regardless
+    // of the distribution's shape. Scale: one map-combined bin
+    // aggregation per B (bounded grids, no window, no sort); the
+    // estimate folds ≤ B rows.
+    "q436_histogram_selectivity" -> { (s, d) =>
+      val o = Caches.shared(Tables.orders(s, d).select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents")))
+      val st = o.agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        .withColumn("t", expr("lo + (hi - lo + 1) DIV 4"))
+      val act = o.crossJoin(broadcast(st))
+        .agg(sum(when(col("cents") < col("t"), 1L).otherwise(0L)).as("actual"))
+      def method(bins: Int) = {
+        val tag = f"b$bins%03d_bins"
+        o.crossJoin(broadcast(st))
+          .groupBy(expr(s"(cents - lo) * $bins DIV (hi - lo + 1)").as("bin"))
+          .agg(count(lit(1)).as("cnt"), min(col("cents")).as("mn"),
+            max(col("cents")).as("mx"), max(col("t")).as("t"))
+          .agg(sum(expr(
+            """CASE WHEN mx < t THEN cnt
+              | WHEN mn >= t THEN CAST(0 AS BIGINT)
+              | ELSE cnt * (t - mn) DIV (mx - mn + 1) END""".stripMargin))
+            .as("est"))
+          .select(lit(tag).as("method"), lit(bins.toLong).as("n_bins"),
+            col("est").cast("long").as("est_rows"))
+      }
+      method(1).unionByName(method(16)).unionByName(method(256))
+        .crossJoin(broadcast(act))
+        .select(col("method"), col("n_bins"), col("est_rows"),
+          col("actual").cast("long").as("actual_rows"),
+          expr("""CAST(greatest(est_rows, actual) * 1000000
+                 | DIV greatest(least(est_rows, actual), 1) AS BIGINT)""".stripMargin)
+            .as("q_error_ppm"))
+        .orderBy("method")
     }
   )
 
@@ -5340,6 +5387,42 @@ object Stewardship {
         |  CAST(GREATEST(est_rows, actual_rows) * 1000000
         |    // GREATEST(LEAST(est_rows, actual_rows), 1) AS BIGINT)
         |    AS q_error_ppm
-        |FROM legs ORDER BY predicate""".stripMargin
+        |FROM legs ORDER BY predicate""".stripMargin,
+
+    "q436_histogram_selectivity" -> {
+      val methods = Seq(1, 16, 256).map { bins =>
+        val tag = f"b$bins%03d_bins"
+        s"""SELECT '$tag' AS method, CAST($bins AS BIGINT) AS n_bins,
+           |  CAST(SUM(CASE WHEN mx < t THEN cnt
+           |    WHEN mn >= t THEN 0
+           |    ELSE cnt * (t - mn) // (mx - mn + 1) END) AS BIGINT)
+           |    AS est_rows
+           |FROM (
+           |  SELECT (cents - lo) * $bins // (hi - lo + 1) AS bin,
+           |    COUNT(*) AS cnt, MIN(cents) AS mn, MAX(cents) AS mx,
+           |    MAX(t) AS t
+           |  FROM o CROSS JOIN s2 GROUP BY 1) z""".stripMargin
+      }
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM orders),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(cents) AS lo,
+        |         MAX(cents) AS hi FROM o),
+        |s2 AS (SELECT *, lo + (hi - lo + 1) // 4 AS t FROM st),
+        |act AS (
+        |  SELECT CAST(SUM(CASE WHEN cents < t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS actual
+        |  FROM o CROSS JOIN s2),
+        |ms AS (
+        |""".stripMargin + methods.mkString("\nUNION ALL\n") + """
+        |)
+        |SELECT method, n_bins, est_rows,
+        |  act.actual AS actual_rows,
+        |  CAST(GREATEST(est_rows, act.actual) * 1000000
+        |    // GREATEST(LEAST(est_rows, act.actual), 1) AS BIGINT)
+        |    AS q_error_ppm
+        |FROM ms CROSS JOIN act ORDER BY method""".stripMargin
+    }
   )
 }

@@ -1045,4 +1045,101 @@ class AuditOpsSpec extends AnyFunSuite {
         assert(!r.getAs[Boolean]("is_bot"))
     }
   }
+
+  // ---- q435 vacuum retention -----------------------------------------
+
+  test("q435 reclaim is monotone non-increasing in retention and replays exactly") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxUs = ev.map(_._2).max
+    val rows = Lakehouse.queries("q435_vacuum_retention")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("retention_days"))
+    assert(rows.map(_.getAs[Long]("retention_days")).toSeq == Seq(1L, 7L, 30L))
+    val byUser = ev.groupBy(_._1).values.map(_.sortBy(e => (e._2, e._3)))
+    def deletable(r: Long): Long = byUser.map { es =>
+      es.zip(es.tail).count { case (_, nxt) =>
+        nxt._2 <= maxUs - r * 86400000000L }.toLong
+    }.sum
+    rows.foreach { row =>
+      val r = row.getAs[Long]("retention_days")
+      assert(row.getAs[Long]("n_versions") == ev.length.toLong)
+      assert(row.getAs[Long]("n_deletable") == deletable(r), s"R=$r")
+      assert(row.getAs[Long]("n_retained") ==
+        ev.length.toLong - row.getAs[Long]("n_deletable"))
+      assert(row.getAs[Long]("reclaim_bytes") ==
+        row.getAs[Long]("n_deletable") * 64L)
+    }
+    val del = rows.map(_.getAs[Long]("n_deletable"))
+    assert(del.zip(del.tail).forall { case (a, b) => a >= b },
+      "longer retention never reclaims more")
+  }
+
+  // ---- q436 histogram selectivity ------------------------------------
+
+  test("q436 replays all three histogram estimates; b001 equals q433's uniform leg") {
+    val cents = graft.model.Tables.orders(spark, sf)
+      .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(_.getLong(0))
+    val (lo, hi, n) = (cents.min, cents.max, cents.length.toLong)
+    val t = lo + (hi - lo + 1) / 4
+    val actual = cents.count(_ < t).toLong
+    def est(bins: Int): Long = cents.groupBy(c => (c - lo) * bins / (hi - lo + 1))
+      .values.map { bs =>
+        val (mn, mx, cnt) = (bs.min, bs.max, bs.length.toLong)
+        if (mx < t) cnt else if (mn >= t) 0L
+        else cnt * (t - mn) / (mx - mn + 1)
+      }.sum
+    val rows = graft.ops.Stewardship
+      .queries("q436_histogram_selectivity")(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet == Set("b001_bins", "b016_bins", "b256_bins"))
+    for ((m, b) <- Seq(("b001_bins", 1), ("b016_bins", 16), ("b256_bins", 256))) {
+      assert(rows(m).getAs[Long]("est_rows") == est(b), m)
+      assert(rows(m).getAs[Long]("actual_rows") == actual)
+      // estimation error is bounded by the straddling bin's population
+      val straddle = cents.groupBy(c => (c - lo) * b / (hi - lo + 1)).values
+        .filter(bs => bs.min < t && bs.max >= t)
+        .map(_.length.toLong).sum
+      assert(math.abs(rows(m).getAs[Long]("est_rows") - actual) <= straddle + 1,
+        s"$m error exceeds the boundary-bin bound")
+    }
+    // the single-bin method IS q433's p3 uniform estimate — one definition
+    val p3 = graft.ops.Stewardship.queries("q433_selectivity_audit")(spark, sf)
+      .collect().find(_.getAs[String]("predicate") == "p3_range_price").get
+    assert(rows("b001_bins").getAs[Long]("est_rows") ==
+      p3.getAs[Long]("est_rows"))
+  }
+
+  // ---- q437 storage tiers --------------------------------------------
+
+  test("q437 partitions the part catalog and recent reads land only in hot") {
+    val rows = Lakehouse.queries("q437_storage_tiers")(spark, sf).collect()
+      .map(r => r.getAs[String]("tier") -> r).toMap
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey",
+        "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 AS BIGINT) AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = li.map(_._2).max
+    val perPart = li.groupBy(_._1).map { case (p, ds) =>
+      (p, ds.map(_._2).max, ds.count(_._2 > maxDay - 90).toLong, ds.length.toLong)
+    }
+    assert(rows.values.map(_.getAs[Long]("n_parts")).sum == perPart.size.toLong)
+    assert(rows.values.map(_.getAs[Long]("n_lines")).sum == li.length.toLong)
+    def tierOf(lastDay: Long) =
+      if (maxDay - lastDay <= 90) "a_hot"
+      else if (maxDay - lastDay <= 365) "b_warm" else "c_cold"
+    val expTiers = perPart.groupBy(p => tierOf(p._2))
+    expTiers.foreach { case (tier, ps) =>
+      assert(rows(tier).getAs[Long]("n_parts") == ps.size.toLong, tier)
+      assert(rows(tier).getAs[Long]("recent_lines") == ps.map(_._3).sum, tier)
+      assert(rows(tier).getAs[Long]("est_bytes") ==
+        ps.map(_._4).sum * 64L, tier)
+    }
+    // safety law: anything read in the last 90 days is, by construction, hot
+    rows.filterKeys(_ != "a_hot").values.foreach { r =>
+      assert(r.getAs[Long]("recent_lines") == 0L,
+        "cold/warm tiers must receive zero recent reads")
+    }
+  }
 }
