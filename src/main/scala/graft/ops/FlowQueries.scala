@@ -391,6 +391,86 @@ object FlowQueries {
              count(lit(1)).as("n_sessions"),
              max(col("slen")).as("max_session"))
         .orderBy("user_id")
+    },
+
+    // BUFFER-SIZING sweep — the reference's count-based micro-batch
+    // buffer (A5: flush every `buffer.size` records per partition,
+    // BigqueryStreamWriter.java:54-56) turned into the TUNING TABLE
+    // that picks the size: per (event_type ≙ topic partition, buffer
+    // size B ∈ {100, 1000, 10000}) the batch census — batch count,
+    // mean batch latency span (µs between a batch's first and last
+    // arrival — the freshness cost of batching), the p-max span, and
+    // mean batch bytes (64 B/record) — small B buys freshness at
+    // request-count cost, large B the reverse; the table quantifies
+    // the elbow. Batch id = (arrival rank − 1) DIV B under the
+    // reference's per-partition (ts, event_id) arrival order. Scale:
+    // ONE per-type rank window serves every B; batch reductions are
+    // map-combined on (type, B, batch).
+    "q438_buffer_sizing" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rk", row_number().over(w))
+      val bs = ranked.sparkSession.range(3)
+        .select(expr("CAST(element_at(array(100, 1000, 10000), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("buf_size"))
+      ranked.crossJoin(broadcast(bs))
+        .groupBy(col("event_type"), col("buf_size"),
+          expr("(rk - 1) DIV buf_size").as("batch"))
+        .agg(count(lit(1)).as("n"), min(col("us")).as("us0"),
+          max(col("us")).as("us1"))
+        .groupBy("event_type", "buf_size")
+        .agg(count(lit(1)).cast("long").as("n_batches"),
+          sum(col("n")).cast("long").as("n_records"),
+          expr("CAST(sum(us1 - us0) DIV count(1) AS BIGINT)")
+            .as("mean_span_us"),
+          max(col("us1") - col("us0")).cast("long").as("max_span_us"),
+          expr("CAST(sum(n) * 64 DIV count(1) AS BIGINT)")
+            .as("mean_batch_bytes"))
+        .orderBy("event_type", "buf_size")
+    },
+
+    // SESSION-GAP sweep — q86 sessionizes at ONE gap (30 min); this is
+    // the tuning curve over the gap parameter g ∈ {5 min, 30 min, 2 h}
+    // that justifies the choice: per g, session count, mean session
+    // length (events, floor), and the floor-ppm share of singleton
+    // sessions — too small a gap shreds journeys into singletons, too
+    // large fuses separate visits; the elbow between those is the
+    // operating point. ONE per-user lag sort serves every g (the gap
+    // grid rides a broadcast; session ids integrate new-session flags
+    // per (user, g) — same window family as q86, partitioned, never
+    // global).
+    "q440_session_gap_sweep" -> { (s, d) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      val gs = base.sparkSession.range(3)
+        .select(expr("CAST(element_at(array(300, 1800, 7200), CAST(id AS INT) + 1) AS BIGINT) * 1000000")
+          .as("gap_us"))
+      val flagged = base.crossJoin(broadcast(gs))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > col("gap_us"), 1L).otherwise(0L))
+      val wRun = Window.partitionBy("user_id", "gap_us")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      flagged.withColumn("sid", sum(col("new_s")).over(wRun))
+        .groupBy("gap_us", "user_id", "sid")
+        .agg(count(lit(1)).as("slen"))
+        .groupBy("gap_us")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("slen")).cast("long").as("n_events"),
+          sum(when(col("slen") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n_singletons"))
+        .select(expr("CAST(gap_us DIV 1000000 AS BIGINT)").as("gap_seconds"),
+          col("n_sessions"), col("n_events"),
+          expr("CAST(n_events DIV n_sessions AS BIGINT)").as("mean_len"),
+          col("n_singletons"),
+          expr("CAST(n_singletons * 1000000 DIV n_sessions AS BIGINT)")
+            .as("singleton_ppm"))
+        .orderBy("gap_seconds")
     }
   )
 
@@ -619,6 +699,58 @@ object FlowQueries {
         |SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
         | MIN(pt_day) AS min_day, MAX(pt_day) AS max_day
         |FROM pts JOIN iv2 ON start_day <= pt_day AND pt_day <= end_day
-        |GROUP BY iv_id ORDER BY iv_id""".stripMargin
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
+
+    "q438_buffer_sizing" ->
+      """WITH ranked AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |bs AS (SELECT CAST(b.b AS BIGINT) AS buf_size
+        |       FROM UNNEST([100, 1000, 10000]) AS b(b)),
+        |batches AS (
+        |  SELECT event_type, buf_size, (rk - 1) // buf_size AS batch,
+        |    COUNT(*) AS n, MIN(us) AS us0, MAX(us) AS us1
+        |  FROM ranked CROSS JOIN bs GROUP BY 1, 2, 3)
+        |SELECT event_type, buf_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |  CAST(SUM(n) AS BIGINT) AS n_records,
+        |  CAST(SUM(us1 - us0) // COUNT(*) AS BIGINT) AS mean_span_us,
+        |  CAST(MAX(us1 - us0) AS BIGINT) AS max_span_us,
+        |  CAST(SUM(n) * 64 // COUNT(*) AS BIGINT) AS mean_batch_bytes
+        |FROM batches GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q440_session_gap_sweep" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |gs AS (SELECT CAST(g.g AS BIGINT) * 1000000 AS gap_us
+        |       FROM UNNEST([300, 1800, 7200]) AS g(g)),
+        |flagged AS (
+        |  SELECT user_id, us, event_id, gap_us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > gap_us
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM base CROSS JOIN gs),
+        |sess AS (
+        |  SELECT gap_us, user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id, gap_us
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |slen AS (
+        |  SELECT gap_us, user_id, sid, COUNT(*) AS slen
+        |  FROM sess GROUP BY 1, 2, 3)
+        |SELECT CAST(gap_us // 1000000 AS BIGINT) AS gap_seconds,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(slen) AS BIGINT) AS n_events,
+        |  CAST(SUM(slen) // COUNT(*) AS BIGINT) AS mean_len,
+        |  CAST(SUM(CASE WHEN slen = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons,
+        |  CAST(SUM(CASE WHEN slen = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS singleton_ppm
+        |FROM slen GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

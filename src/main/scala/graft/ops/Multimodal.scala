@@ -251,6 +251,31 @@ object Multimodal {
   def patternSample(docId: Long, k: Int): Short =
     (((docId * 31 + k.toLong * 7919) % 65536) - 32768).toShort
 
+  /** Per-clip gain-staging stats (q439): exact integer peak/energy/
+    * clip census through the real WAV codec. */
+  case class HeadroomStats(doc_id: Long, source: String, n_samples: Long,
+                           peak: Long, energy: Long, n_clipped: Long)
+
+  /** Headroom batch decoder (q439): peak |sample|, Σv² energy, and the
+    * count of full-scale samples (|v| ≥ 32767 — the int16 rails, both
+    * of them: −32768 clips too). All exact integers; the oracle
+    * replays the pattern arithmetically. */
+  def headroomWavBatch(batch: Seq[Asset]): Seq[HeadroomStats] =
+    batch.map { a =>
+      val au = WavCodec.decode(a.content)
+      var (pk, en, cl) = (0L, 0L, 0L)
+      var k = 0
+      while (k < au.samples.length) {
+        val v = au.samples(k).toLong
+        val av = math.abs(v)
+        if (av > pk) pk = av
+        en += v * v
+        if (av >= 32767L) cl += 1
+        k += 1
+      }
+      HeadroomStats(a.doc_id, a.source, au.samples.length.toLong, pk, en, cl)
+    }
+
   /** The real-codec audio batch decoder: parse actual WAV bytes, reduce
     * to exact integer stats. */
   def decodeWavBatch(batch: Seq[Asset]): Seq[AudioStats] = batch.map { a =>
@@ -665,6 +690,40 @@ object Multimodal {
         .withColumn("fg_ppm",
           expr("CAST(fg_px * 1000000 DIV n_px AS BIGINT)"))
         .orderBy("source")
+    },
+
+    // GAIN-STAGING / HEADROOM audit through the REAL WAV codec — the
+    // normalize-or-reject decision an audio-ingest pipeline makes
+    // before feature extraction (q398 reads spectral proxies, q400
+    // silence; this reads LEVELS): per source, the peak-of-peaks, the
+    // count of full-scale samples (|v| ≥ 32767 — BOTH int16 rails;
+    // clipping destroys training signal irreversibly), the clipped
+    // share in floor-ppm, and the mean per-clip energy (Σv² DIV
+    // samples — the integer RMS² proxy; no sqrt needed to RANK
+    // loudness). Codec round trip stays hash-verified: the oracle
+    // replays the PCM pattern arithmetically. One row per clip leaves
+    // the decoder batch; per-source reduction is map-combined.
+    "q439_wav_headroom" -> { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val n = (16 + id % 16).toInt
+          Asset(id, src,
+            WavCodec.encode(8000, Array.tabulate(n)(patternSample(id, _))))
+        }.toDF()
+      decodeAssetsAs(assets, batchSize = 64)(headroomWavBatch)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_clips"),
+          sum(col("n_samples")).cast("long").as("n_samples"),
+          max(col("peak")).cast("long").as("peak"),
+          sum(col("energy")).cast("long").as("sum_energy"),
+          sum(col("n_clipped")).cast("long").as("n_clipped"))
+        .withColumn("clip_ppm",
+          expr("CAST(n_clipped * 1000000 DIV n_samples AS BIGINT)"))
+        .withColumn("mean_energy",
+          expr("CAST(sum_energy DIV n_samples AS BIGINT)"))
+        .orderBy("source")
     }
   )
 
@@ -988,6 +1047,30 @@ object Multimodal {
         |  CAST(SUM(per.otsu_t) // COUNT(*) AS BIGINT) AS mean_t,
         |  CAST(SUM(fg.fg_px) * 1000000 // SUM(per.n) AS BIGINT) AS fg_ppm
         |FROM per JOIN fg USING (doc_id)
-        |GROUP BY per.source ORDER BY per.source""".stripMargin
+        |GROUP BY per.source ORDER BY per.source""".stripMargin,
+
+    "q439_wav_headroom" ->
+      """WITH clips AS (
+        |  SELECT doc_id, source, CAST(16 + doc_id % 16 AS BIGINT) AS n
+        |  FROM documents),
+        |smp AS (
+        |  SELECT c.source, c.doc_id,
+        |    ((c.doc_id * 31 + k.k * 7919) % 65536) - 32768 AS v
+        |  FROM clips c, UNNEST(generate_series(0, 30)) AS k(k)
+        |  WHERE k.k < c.n),
+        |per AS (
+        |  SELECT source, doc_id, COUNT(*) AS n_samples, MAX(ABS(v)) AS peak,
+        |    SUM(v * v) AS energy,
+        |    SUM(CASE WHEN ABS(v) >= 32767 THEN 1 ELSE 0 END) AS n_clipped
+        |  FROM smp GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |  CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+        |  CAST(MAX(peak) AS BIGINT) AS peak,
+        |  CAST(SUM(energy) AS BIGINT) AS sum_energy,
+        |  CAST(SUM(n_clipped) AS BIGINT) AS n_clipped,
+        |  CAST(SUM(n_clipped) * 1000000 // SUM(n_samples) AS BIGINT)
+        |    AS clip_ppm,
+        |  CAST(SUM(energy) // SUM(n_samples) AS BIGINT) AS mean_energy
+        |FROM per GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -1142,4 +1142,92 @@ class AuditOpsSpec extends AnyFunSuite {
         "cold/warm tiers must receive zero recent reads")
     }
   }
+
+  // ---- q438 buffer sizing --------------------------------------------
+
+  test("q438 batch census: conservation, ceil counts, nested max spans") {
+    val rows = graft.ops.FlowQueries.queries("q438_buffer_sizing")(spark, sf)
+      .collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("buf_size"))
+      assert(sorted.map(_.getAs[Long]("buf_size")).toSeq ==
+        Seq(100L, 1000L, 10000L))
+      val recs = sorted.map(_.getAs[Long]("n_records"))
+      assert(recs.distinct.length == 1, s"$t record conservation")
+      sorted.foreach { r =>
+        val (n, b) = (r.getAs[Long]("n_records"), r.getAs[Long]("buf_size"))
+        assert(r.getAs[Long]("n_batches") == (n + b - 1) / b,
+          s"$t ceil(n/B) batches")
+      }
+      // buffer sizes nest (100 | 1000 | 10000): every small batch is
+      // contained in a big one, so the max span can only grow
+      val spans = sorted.map(_.getAs[Long]("max_span_us"))
+      assert(spans.zip(spans.tail).forall { case (a, b) => a <= b },
+        s"$t max span must be monotone in buffer size")
+    }
+  }
+
+  // ---- q439 WAV headroom ---------------------------------------------
+
+  test("q439 replays the PCM pattern's peak/energy/clip census") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def clip(id: Long): (Long, Long, Long, Long) = {
+      val n = (16 + id % 16).toInt
+      val vs = (0 until n).map(k => ((id * 31 + k.toLong * 7919) % 65536) - 32768)
+      (n.toLong, vs.map(math.abs).max, vs.map(v => v * v).sum,
+        vs.count(v => math.abs(v) >= 32767).toLong)
+    }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val cs = ds.map(d => clip(d._1))
+      src -> ((cs.length.toLong, cs.map(_._1).sum, cs.map(_._2).max,
+        cs.map(_._3).sum, cs.map(_._4).sum))
+    }
+    val rows = Multimodal.queries("q439_wav_headroom")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (nc, ns, pk, en, cl) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_clips") == nc)
+      assert(r.getAs[Long]("n_samples") == ns)
+      assert(r.getAs[Long]("peak") == pk, s"${r.getString(0)} peak")
+      assert(r.getAs[Long]("sum_energy") == en, s"${r.getString(0)} energy")
+      assert(r.getAs[Long]("n_clipped") == cl)
+      assert(r.getAs[Long]("peak") <= 32768L)
+    }
+  }
+
+  // ---- q440 session gap sweep ----------------------------------------
+
+  test("q440 sessions and singletons are monotone non-increasing in the gap") {
+    val rows = graft.ops.FlowQueries.queries("q440_session_gap_sweep")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("gap_seconds"))
+    assert(rows.map(_.getAs[Long]("gap_seconds")).toSeq ==
+      Seq(300L, 1800L, 7200L))
+    assert(rows.map(_.getAs[Long]("n_events")).distinct.length == 1,
+      "event conservation across gaps")
+    val sess = rows.map(_.getAs[Long]("n_sessions"))
+    assert(sess.zip(sess.tail).forall { case (a, b) => a >= b },
+      "larger gap can only merge sessions")
+    val single = rows.map(_.getAs[Long]("n_singletons"))
+    assert(single.zip(single.tail).forall { case (a, b) => a >= b },
+      "a singleton at a large gap is a singleton at every smaller gap")
+    // replay the 1800 s row against a plain-Scala sessionizer
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bySess = ev.groupBy(_._1).values.flatMap { es =>
+      val s0 = es.sortBy(e => (e._2, e._3))
+      s0.zipWithIndex.foldLeft(List.empty[List[Long]]) {
+        case (acc, ((_, us, _), i)) =>
+          if (i == 0 || us - s0(i - 1)._2 > 1800000000L) List(us) :: acc
+          else (us :: acc.head) :: acc.tail
+      }
+    }
+    val mid = rows(1)
+    assert(mid.getAs[Long]("n_sessions") == bySess.size.toLong)
+    assert(mid.getAs[Long]("n_singletons") ==
+      bySess.count(_.length == 1).toLong)
+  }
 }
