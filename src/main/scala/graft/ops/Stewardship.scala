@@ -3247,6 +3247,184 @@ object Stewardship {
                  | DIV greatest(least(est_rows, actual), 1) AS BIGINT)""".stripMargin)
             .as("q_error_ppm"))
         .orderBy("method")
+    },
+
+    // JOIN-ORDER DP — the Selinger enumeration that q429 (per-join
+    // strategy) and q433/q436 (selectivity) feed: price every LEFT-DEEP
+    // order of the filtered customer ⋈ orders ⋈ lineitem triple with
+    // the System-R cost model (cost = Σ intermediate-result rows;
+    // |R ⋈ S| on key k = |R|·|S| DIV max(V(R,k), V(S,k)); an
+    // intermediate inherits V(·,k) = least(V(base,k), |intermediate|)),
+    // then measure the REAL intermediates and rank both ways — the
+    // audit row is "did stats-only DP pick the truly cheapest order?".
+    // plan_c prices the cartesian-first order the enumerator exists to
+    // reject; its j1 size is EXACT arithmetic (nc·nl — measuring a
+    // cross join is the thing the planner avoids), so pricing it costs
+    // nothing. Filters are stats-derived (median order day) or domain
+    // constants, so the audit is self-contained at any SF. Magnitude
+    // rule: cardinality products run in DECIMAL(38,0) (nc·nl·no_
+    // exceeds int64 headroom past ~sf30); quotients land back in
+    // int64. Scale: three stats scans + two real equi-join counts + one
+    // 3-way join count; the DP itself is a 3-row grid ranked by a 3×3
+    // broadcast count — no window, no global sort.
+    "q441_join_order_dp" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("ck"))
+      val oAll = Tables.orders(s, d).select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"),
+        expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+          .as("day"))
+      val daySt = oAll.agg(min(col("day")).as("lo_d"), max(col("day")).as("hi_d"))
+      val o = Caches.shared(oAll.crossJoin(broadcast(daySt))
+        .filter(expr("day < lo_d + (hi_d - lo_d + 1) DIV 2"))
+        .select("ok", "ck"))
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"))
+      val cc = Caches.shared(c)
+      // ONE O⋈L pass serves both act_b and act_f: ck uniqueness in C makes
+      // the left-tag count of in-C rows exactly |C⋈O⋈L|
+      val jj = o.join(l, "ok")
+        .join(cc.withColumn("in_c", lit(1L)), Seq("ck"), "left")
+        .agg(count(lit(1)).as("act_b"),
+          sum(coalesce(col("in_c"), lit(0L))).as("act_f"))
+      val st = cc.agg(count(lit(1)).as("nc"))
+        .crossJoin(o.agg(count(lit(1)).as("no_"),
+          countDistinct(col("ck")).as("vo_ck")))
+        .crossJoin(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .agg(count(lit(1)).as("nl"),
+            countDistinct(col("l_orderkey")).as("vl_ok")))
+        .crossJoin(cc.join(o, "ck").agg(count(lit(1)).as("act_a")))
+        .crossJoin(jj)
+      // V(C, ck) = nc and V(O, ok) = no_ (keys); V(O, ck), V(L, ok) measured
+      val j1a = "CAST(nc AS DECIMAL(38,0)) * no_ DIV greatest(nc, vo_ck, 1)"
+      val fa  = s"CAST(($j1a) AS DECIMAL(38,0)) * nl" +
+        s" DIV greatest(least($j1a, no_), vl_ok, 1)"
+      val j1b = "CAST(no_ AS DECIMAL(38,0)) * nl DIV greatest(no_, vl_ok, 1)"
+      val fb  = s"CAST(($j1b) AS DECIMAL(38,0)) * nc" +
+        s" DIV greatest(least($j1b, vo_ck), nc, 1)"
+      val j1c = "CAST(nc AS DECIMAL(38,0)) * nl"
+      val fc  = s"CAST(($j1c) AS DECIMAL(38,0)) * no_" +
+        " DIV greatest(greatest(nc, vo_ck) * greatest(vl_ok, no_), 1)"
+      def plan(nm: String, j1Est: String, fEst: String, j1Act: String) =
+        st.select(lit(nm).as("plan"),
+          expr(s"CAST($j1Est AS BIGINT)").as("est_inter_rows"),
+          expr(s"CAST($fEst AS BIGINT)").as("est_final_rows"),
+          expr(s"CAST(CAST($j1Est AS DECIMAL(38,0)) + ($fEst) AS BIGINT)")
+            .as("est_cost"),
+          expr(s"CAST($j1Act AS BIGINT)").as("act_inter_rows"),
+          col("act_f").cast("long").as("act_final_rows"),
+          expr(s"CAST(CAST($j1Act AS DECIMAL(38,0)) + act_f AS BIGINT)")
+            .as("act_cost"))
+      val plans = plan("plan_a_co_then_l", j1a, fa, "act_a")
+        .unionByName(plan("plan_b_ol_then_c", j1b, fb, "act_b"))
+        .unionByName(plan("plan_c_cxl_then_o", j1c, fc, j1c))
+      plans.crossJoin(broadcast(plans.select(col("plan").as("p2"),
+          col("est_cost").as("e2"), col("act_cost").as("a2"))))
+        .groupBy("plan", "est_inter_rows", "est_final_rows", "est_cost",
+          "act_inter_rows", "act_final_rows", "act_cost")
+        .agg((sum(when(col("e2") < col("est_cost") ||
+            (col("e2") === col("est_cost") && col("p2") < col("plan")), 1L)
+            .otherwise(0L)) + 1L).cast("long").as("est_rank"),
+          (sum(when(col("a2") < col("act_cost") ||
+            (col("a2") === col("act_cost") && col("p2") < col("plan")), 1L)
+            .otherwise(0L)) + 1L).cast("long").as("act_rank"))
+        .orderBy("plan")
+    },
+
+    // EAGER PRE-AGGREGATION advisor — the group-by-pushdown rewrite
+    // (Yan & Larson's eager aggregation) priced on the revenue-by-nation
+    // rollup: SUM(lineitem cents) BY c_nationkey through L ⋈ O ⋈ C can
+    // ship every lineitem row through both shuffles (join-then-agg), or
+    // partial-aggregate L by l_orderkey BEFORE the first join and by
+    // o_custkey before the second, shrinking each shuffle to the key
+    // cardinality. BOTH plans execute for real and must produce the
+    // identical (n_groups, total_cents) — the rewrite's correctness law,
+    // visible in the output so the oracle checks it. Row-flow metrics
+    // are stats-exact: referential integrity (q103-audited) makes
+    // |L ⋈ O| = nl and the eager mids = the measured key NDVs. Scale:
+    // this is THE 100 TB rewrite — shuffle mass drops from O(|fact|) to
+    // O(|keys|); the table quantifies it (reduction_ppm). One NDV stats
+    // pass + the two real aggregation pipelines.
+    "q442_eager_preagg" -> { (s, d) =>
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk"))
+      val stats = l.agg(count(lit(1)).as("nl"),
+          countDistinct(col("ok")).as("nok"))
+        .crossJoin(o.agg(count(lit(1)).as("no_"),
+          countDistinct(col("ck")).as("nck")))
+        .crossJoin(c.agg(count(lit(1)).as("nc")))
+      val naive = l.join(o, "ok").join(c, "ck").groupBy("nk")
+        .agg(sum(col("cents")).as("cents"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("cents")).as("total_cents"))
+      val eager = l.groupBy("ok").agg(sum(col("cents")).as("cents"))
+        .join(o, "ok").groupBy("ck").agg(sum(col("cents")).as("cents"))
+        .join(c, "ck").groupBy("nk").agg(sum(col("cents")).as("cents"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("cents")).as("total_cents"))
+      def leg(nm: String, sm: DataFrame, j1: String, j2: String) =
+        sm.crossJoin(broadcast(stats)).select(lit(nm).as("strategy"),
+          expr(s"CAST($j1 AS BIGINT)").as("rows_into_join1"),
+          expr(s"CAST($j2 AS BIGINT)").as("rows_into_join2"),
+          expr(s"CAST(($j1) + ($j2) AS BIGINT)").as("rows_shuffled"),
+          expr(s"CAST((($j1) + ($j2)) * 1000000 DIV (no_ + nl + nl + nc) AS BIGINT)")
+            .as("reduction_ppm"),
+          col("n_groups").cast("long").as("n_groups"),
+          col("total_cents").cast("long").as("total_cents"))
+      leg("s1_join_then_agg", naive, "no_ + nl", "nl + nc")
+        .unionByName(leg("s2_eager_preagg", eager, "no_ + nok", "nck + nc"))
+        .orderBy("strategy")
+    },
+
+    // TIMESTAMP DELTA-OF-DELTA encoding audit — the Gorilla/Parquet
+    // DELTA_BINARY_PACKED decision for the event-time column, measured
+    // exactly: per event_type in (ts, event_id) arrival order, the
+    // second difference dod = Δus − lag(Δus) falls into Gorilla's
+    // asymmetric bit buckets (0 → 1 bit; [−63, 64] → 2+7; [−255, 256]
+    // → 3+9; [−2047, 2048] → 4+12; else 4+32), with the first two
+    // samples of each series stored raw (64 bits). The table is the
+    // encoder's sizing sheet: bucket census, total bits vs 64·n raw,
+    // and the floor-ppm compressed share — near-metronomic types (cf.
+    // q434's bot detector) compress toward 1 bit/point, bursty human
+    // traffic lands in the wide buckets. Scale: ONE partitioned window
+    // per series (bounded key), then a map-combined census; nothing
+    // global.
+    "q443_delta_encoding" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, d).select(col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("dd", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("dod", col("dd") - lag(col("dd"), 1).over(w))
+        .withColumn("bits", expr(
+          """CASE WHEN dod IS NULL THEN 64
+            | WHEN dod = 0 THEN 1
+            | WHEN dod >= -63 AND dod <= 64 THEN 9
+            | WHEN dod >= -255 AND dod <= 256 THEN 12
+            | WHEN dod >= -2047 AND dod <= 2048 THEN 16
+            | ELSE 36 END""".stripMargin))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_points"),
+          sum(when(col("dod").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_raw"),
+          sum(when(col("bits") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n_zero"),
+          sum(when(col("bits") === 9, 1L).otherwise(0L)).cast("long")
+            .as("n_b9"),
+          sum(when(col("bits") === 12, 1L).otherwise(0L)).cast("long")
+            .as("n_b12"),
+          sum(when(col("bits") === 16, 1L).otherwise(0L)).cast("long")
+            .as("n_b16"),
+          sum(when(col("bits") === 36, 1L).otherwise(0L)).cast("long")
+            .as("n_b36"),
+          sum(col("bits")).cast("long").as("bits_total"))
+        .withColumn("raw_bits", expr("n_points * 64"))
+        .withColumn("compressed_ppm",
+          expr("CAST(bits_total * 1000000 DIV raw_bits AS BIGINT)"))
+        .orderBy("event_type")
     }
   )
 
@@ -5423,6 +5601,140 @@ object Stewardship {
         |    // GREATEST(LEAST(est_rows, act.actual), 1) AS BIGINT)
         |    AS q_error_ppm
         |FROM ms CROSS JOIN act ORDER BY method""".stripMargin
-    }
+    },
+
+    "q441_join_order_dp" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS ck FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |o0 AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM orders),
+        |ds AS (SELECT MIN(day) AS lo_d, MAX(day) AS hi_d FROM o0),
+        |o AS (SELECT ok, ck FROM o0, ds
+        |      WHERE day < lo_d + (hi_d - lo_d + 1) // 2),
+        |l AS (SELECT l_orderkey AS ok FROM lineitem WHERE l_returnflag = 'R'),
+        |st AS (SELECT
+        |    (SELECT COUNT(*) FROM c) AS nc,
+        |    (SELECT COUNT(*) FROM o) AS no_,
+        |    (SELECT COUNT(DISTINCT ck) FROM o) AS vo_ck,
+        |    (SELECT COUNT(*) FROM l) AS nl,
+        |    (SELECT COUNT(DISTINCT ok) FROM l) AS vl_ok,
+        |    (SELECT COUNT(*) FROM c JOIN o USING (ck)) AS act_a,
+        |    (SELECT COUNT(*) FROM o JOIN l USING (ok)) AS act_b,
+        |    (SELECT COUNT(*) FROM c JOIN o USING (ck) JOIN l USING (ok))
+        |      AS act_f),
+        |pa AS (SELECT CAST(nc AS HUGEINT) * no_
+        |         // greatest(nc, vo_ck, 1) AS j1, * FROM st),
+        |pa2 AS (SELECT 'plan_a_co_then_l' AS plan, j1,
+        |          j1 * nl // greatest(least(j1, no_), vl_ok, 1) AS f,
+        |          act_a AS act_j1, act_f FROM pa),
+        |pb AS (SELECT CAST(no_ AS HUGEINT) * nl
+        |         // greatest(no_, vl_ok, 1) AS j1, * FROM st),
+        |pb2 AS (SELECT 'plan_b_ol_then_c' AS plan, j1,
+        |          j1 * nc // greatest(least(j1, vo_ck), nc, 1) AS f,
+        |          act_b AS act_j1, act_f FROM pb),
+        |pc AS (SELECT CAST(nc AS HUGEINT) * nl AS j1, * FROM st),
+        |pc2 AS (SELECT 'plan_c_cxl_then_o' AS plan, j1,
+        |          j1 * no_ // greatest(greatest(nc, vo_ck)
+        |            * greatest(vl_ok, no_), 1) AS f,
+        |          j1 AS act_j1, act_f FROM pc),
+        |plans AS (
+        |  SELECT plan, j1, f, j1 + f AS est_cost, act_j1,
+        |    act_f, act_j1 + act_f AS act_cost
+        |  FROM (SELECT * FROM pa2 UNION ALL SELECT * FROM pb2
+        |        UNION ALL SELECT * FROM pc2) u)
+        |SELECT p.plan, CAST(p.j1 AS BIGINT) AS est_inter_rows,
+        |  CAST(p.f AS BIGINT) AS est_final_rows,
+        |  CAST(p.est_cost AS BIGINT) AS est_cost,
+        |  CAST(p.act_j1 AS BIGINT) AS act_inter_rows,
+        |  CAST(p.act_f AS BIGINT) AS act_final_rows,
+        |  CAST(p.act_cost AS BIGINT) AS act_cost,
+        |  CAST((SELECT COUNT(*) FROM plans q
+        |        WHERE q.est_cost < p.est_cost
+        |           OR (q.est_cost = p.est_cost AND q.plan < p.plan)) + 1
+        |    AS BIGINT) AS est_rank,
+        |  CAST((SELECT COUNT(*) FROM plans q
+        |        WHERE q.act_cost < p.act_cost
+        |           OR (q.act_cost = p.act_cost AND q.plan < p.plan)) + 1
+        |    AS BIGINT) AS act_rank
+        |FROM plans p ORDER BY p.plan""".stripMargin,
+
+    "q442_eager_preagg" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS ok,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |o AS (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders),
+        |c AS (SELECT c_custkey AS ck, c_nationkey AS nk FROM customer),
+        |st AS (SELECT
+        |    (SELECT COUNT(*) FROM l) AS nl,
+        |    (SELECT COUNT(DISTINCT ok) FROM l) AS nok,
+        |    (SELECT COUNT(*) FROM o) AS no_,
+        |    (SELECT COUNT(DISTINCT ck) FROM o) AS nck,
+        |    (SELECT COUNT(*) FROM c) AS nc),
+        |naive AS (
+        |  SELECT COUNT(*) AS n_groups, SUM(cents) AS total_cents FROM (
+        |    SELECT nk, SUM(cents) AS cents
+        |    FROM l JOIN o USING (ok) JOIN c USING (ck) GROUP BY 1) z),
+        |eager AS (
+        |  SELECT COUNT(*) AS n_groups, SUM(cents) AS total_cents FROM (
+        |    SELECT nk, SUM(cents) AS cents FROM (
+        |      SELECT ck, SUM(cents) AS cents FROM (
+        |        SELECT ok, SUM(cents) AS cents FROM l GROUP BY 1) la
+        |      JOIN o USING (ok) GROUP BY 1) oa
+        |    JOIN c USING (ck) GROUP BY 1) z),
+        |legs AS (
+        |  SELECT 's1_join_then_agg' AS strategy, no_ + nl AS r1,
+        |    nl + nc AS r2, n_groups, total_cents FROM st, naive
+        |  UNION ALL
+        |  SELECT 's2_eager_preagg', no_ + nok, nck + nc,
+        |    n_groups, total_cents FROM st, eager)
+        |SELECT strategy, CAST(r1 AS BIGINT) AS rows_into_join1,
+        |  CAST(r2 AS BIGINT) AS rows_into_join2,
+        |  CAST(r1 + r2 AS BIGINT) AS rows_shuffled,
+        |  CAST((r1 + r2) * 1000000 // (st.no_ + st.nl + st.nl + st.nc)
+        |    AS BIGINT) AS reduction_ppm,
+        |  CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(total_cents AS BIGINT) AS total_cents
+        |FROM legs, st ORDER BY strategy""".stripMargin,
+
+    "q443_delta_encoding" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |d1 AS (
+        |  SELECT event_type, us, event_id,
+        |    us - lag(us) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id) AS dd
+        |  FROM ev),
+        |d2 AS (
+        |  SELECT event_type,
+        |    dd - lag(dd) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id) AS dod
+        |  FROM d1),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN dod IS NULL THEN 64 WHEN dod = 0 THEN 1
+        |      WHEN dod >= -63 AND dod <= 64 THEN 9
+        |      WHEN dod >= -255 AND dod <= 256 THEN 12
+        |      WHEN dod >= -2047 AND dod <= 2048 THEN 16
+        |      ELSE 36 END AS bits,
+        |    CASE WHEN dod IS NULL THEN 1 ELSE 0 END AS raw
+        |  FROM d2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(raw) AS BIGINT) AS n_raw,
+        |  CAST(SUM(CASE WHEN bits = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(CASE WHEN bits = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_b9,
+        |  CAST(SUM(CASE WHEN bits = 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_b12,
+        |  CAST(SUM(CASE WHEN bits = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_b16,
+        |  CAST(SUM(CASE WHEN bits = 36 THEN 1 ELSE 0 END) AS BIGINT) AS n_b36,
+        |  CAST(SUM(bits) AS BIGINT) AS bits_total,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits,
+        |  CAST(SUM(bits) * 1000000 // (COUNT(*) * 64) AS BIGINT)
+        |    AS compressed_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1230,4 +1230,115 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(mid.getAs[Long]("n_singletons") ==
       bySess.count(_.length == 1).toLong)
   }
+
+  // ---- q441 join-order DP ----------------------------------------------
+
+  test("q441 replays the Selinger audit's measured intermediates and ranks") {
+    val rows = graft.ops.Stewardship.queries("q441_join_order_dp")(spark, sf)
+      .collect()
+    val byPlan = rows.map(r => r.getAs[String]("plan") -> r).toMap
+    assert(byPlan.keySet == Set("plan_a_co_then_l", "plan_b_ol_then_c",
+      "plan_c_cxl_then_o"))
+    val cks = graft.model.Tables.customer(spark, sf)
+      .filter("c_mktsegment = 'BUILDING'")
+      .selectExpr("CAST(c_custkey AS BIGINT)").collect()
+      .map(_.getLong(0)).toSet
+    val ords = graft.model.Tables.orders(spark, sf)
+      .selectExpr("CAST(o_orderkey AS BIGINT)", "CAST(o_custkey AS BIGINT)",
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (lo, hi) = (ords.map(_._3).min, ords.map(_._3).max)
+    val o = ords.filter(_._3 < lo + (hi - lo + 1) / 2)
+    val okCount = graft.model.Tables.lineitem(spark, sf)
+      .filter("l_returnflag = 'R'").selectExpr("CAST(l_orderkey AS BIGINT)")
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nl = okCount.values.sum
+    val actA = o.count(t => cks(t._2)).toLong
+    val actB = o.map(t => okCount.getOrElse(t._1, 0L)).sum
+    val actF = o.filter(t => cks(t._2)).map(t => okCount.getOrElse(t._1, 0L)).sum
+    assert(byPlan("plan_a_co_then_l").getAs[Long]("act_inter_rows") == actA)
+    assert(byPlan("plan_b_ol_then_c").getAs[Long]("act_inter_rows") == actB)
+    assert(byPlan("plan_c_cxl_then_o").getAs[Long]("act_inter_rows") ==
+      cks.size.toLong * nl)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("act_final_rows") == actF)
+      assert(r.getAs[Long]("est_cost") ==
+        r.getAs[Long]("est_inter_rows") + r.getAs[Long]("est_final_rows"))
+      assert(r.getAs[Long]("act_cost") ==
+        r.getAs[Long]("act_inter_rows") + r.getAs[Long]("act_final_rows"))
+    }
+    assert(rows.map(_.getAs[Long]("est_rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("act_rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+    // the cartesian-first order must price (and measure) worst
+    assert(byPlan("plan_c_cxl_then_o").getAs[Long]("est_rank") == 3L)
+    assert(byPlan("plan_c_cxl_then_o").getAs[Long]("act_rank") == 3L)
+  }
+
+  // ---- q442 eager pre-aggregation ---------------------------------------
+
+  test("q442 rewrite preserves the aggregate and shrinks the shuffle") {
+    val rows = graft.ops.Stewardship.queries("q442_eager_preagg")(spark, sf)
+      .collect().sortBy(_.getAs[String]("strategy"))
+    assert(rows.length == 2)
+    val (naive, eager) = (rows(0), rows(1))
+    assert(naive.getAs[String]("strategy") == "s1_join_then_agg")
+    // the rewrite's correctness law: identical result both ways
+    assert(naive.getAs[Long]("n_groups") == eager.getAs[Long]("n_groups"))
+    assert(naive.getAs[Long]("total_cents") == eager.getAs[Long]("total_cents"))
+    assert(eager.getAs[Long]("rows_shuffled") <=
+      naive.getAs[Long]("rows_shuffled"))
+    assert(naive.getAs[Long]("reduction_ppm") == 1000000L)
+    assert(eager.getAs[Long]("reduction_ppm") <= 1000000L)
+    // RI makes the rollup total the plain lineitem sum — replay it
+    val total = graft.model.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(_.getLong(0)).sum
+    assert(naive.getAs[Long]("total_cents") == total)
+  }
+
+  // ---- q443 delta-of-delta encoding --------------------------------------
+
+  test("q443 replays the Gorilla bit census per event type") {
+    val rows = graft.ops.Stewardship.queries("q443_delta_encoding")(spark, sf)
+      .collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS us",
+        "CAST(event_id AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (t, es) =>
+      val us = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val dds = us.indices.map(i =>
+        if (i == 0) None else Some(us(i) - us(i - 1)))
+      val dods = us.indices.map(i =>
+        if (i < 2) None else Some(dds(i).get - dds(i - 1).get))
+      val bits = dods.map {
+        case None => 64L
+        case Some(0L) => 1L
+        case Some(x) if x >= -63 && x <= 64 => 9L
+        case Some(x) if x >= -255 && x <= 256 => 12L
+        case Some(x) if x >= -2047 && x <= 2048 => 16L
+        case _ => 36L
+      }
+      t -> bits
+    }
+    assert(rows.map(_.getString(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      val bits = expected(r.getString(0))
+      assert(r.getAs[Long]("n_points") == bits.length.toLong)
+      assert(r.getAs[Long]("bits_total") == bits.sum)
+      assert(r.getAs[Long]("n_raw") == bits.count(_ == 64L).toLong)
+      assert(r.getAs[Long]("n_zero") == bits.count(_ == 1L).toLong)
+      // bucket conservation + the exact weighted-bits identity
+      assert(r.getAs[Long]("n_points") == r.getAs[Long]("n_raw") +
+        r.getAs[Long]("n_zero") + r.getAs[Long]("n_b9") +
+        r.getAs[Long]("n_b12") + r.getAs[Long]("n_b16") +
+        r.getAs[Long]("n_b36"))
+      assert(r.getAs[Long]("bits_total") == 64L * r.getAs[Long]("n_raw") +
+        r.getAs[Long]("n_zero") + 9L * r.getAs[Long]("n_b9") +
+        12L * r.getAs[Long]("n_b12") + 16L * r.getAs[Long]("n_b16") +
+        36L * r.getAs[Long]("n_b36"))
+      assert(r.getAs[Long]("raw_bits") == 64L * r.getAs[Long]("n_points"))
+    }
+  }
 }
