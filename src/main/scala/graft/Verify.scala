@@ -93,6 +93,20 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Shared-prefix prelude for the cached-CTE compare harness: the
+    // LSH-family oracles all open with the same candidate-pair CTE chain;
+    // exporting it as ordered (name, select) stages lets tools/compare.py
+    // materialize each stage ONCE per run instead of re-deriving it per
+    // query (at sf1 that prefix is minutes of DuckDB work × ~12 oracles).
+    // The oracles themselves stay self-contained — a harness without
+    // prelude support (the driver's) ignores this file entirely.
+    val preludeJson = graft.ops.Dedup.oraclePreludes
+      .map { case (k, prefix, stages) =>
+        s"""{"key": ${q(k)}, "prefix": ${q(prefix)}, "stages": [""" +
+          stages.map { case (n, sql) => s"[${q(n)}, ${q(sql)}]" }
+            .mkString(", ") + "]}"
+      }.mkString("[", ", ", "]")
+    Files.writeString(Paths.get(s"$outDir/oracle_prelude.json"), preludeJson)
     spark.stop()
   }
 }

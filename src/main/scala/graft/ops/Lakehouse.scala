@@ -790,6 +790,64 @@ object Lakehouse {
                  | DIV greatest(recent_total, 1) AS BIGINT)""".stripMargin)
             .as("recent_share_ppm"))
         .orderBy("tier")
+    },
+
+    // MERGE-ON-READ vs COPY-ON-WRITE advisor — the table-format
+    // decision (Iceberg/Delta/Hudi all ship both) priced on the event
+    // stream read as a per-user upsert changelog sharded into 32
+    // user-hash files: each day a file is touched, COW rewrites the
+    // WHOLE file (write cost = file width = the bucket's distinct-user
+    // count at 64 B/row; readers always open 1 file), while MOR
+    // appends a day-delta (write cost = that day's rows) and readers
+    // must merge base + every delta since the last weekly compaction
+    // (epoch = day DIV 7). The table carries both totals plus
+    // write-amplification vs the logical update mass and the read-side
+    // file count summed over (bucket, epoch) audit points — the two
+    // strategies bracket every real workload; which side wins is
+    // exactly the update-locality statistic this measures. Scale: two
+    // map-combined aggregations over (bucket, day) / (bucket) — the
+    // 100 TB shape; nothing row-wise survives the first groupBy.
+    "q444_mor_vs_cow" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        expr("user_id % 32").as("bucket"), col("user_id"),
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      val width = ev.groupBy("bucket")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val daily = ev.groupBy("bucket", "day")
+        .agg(count(lit(1)).as("u"))
+        .withColumn("epoch", expr("day DIV 7"))
+      val perBucket = daily.join(width, "bucket")
+        .groupBy("bucket")
+        .agg(sum(col("u")).as("rows_upserted"),
+          count(lit(1)).as("days_touched"),
+          sum(col("n_users")).as("cow_rows_written"), // n_users × touched days
+          countDistinct(col("epoch")).as("n_epochs"))
+      // MOR read audit point: at each (bucket, epoch) end, readers merge
+      // 1 base + one delta per touched day in the epoch
+      val morRead = daily.groupBy("bucket", "epoch")
+        .agg(count(lit(1)).as("deltas"))
+        .agg(sum(expr("1 + deltas")).as("mor_files"),
+          count(lit(1)).as("n_points"))
+      val tot = perBucket.agg(
+        sum(col("rows_upserted")).as("upserts"),
+        sum(col("cow_rows_written")).as("cow_rows"),
+        sum(col("n_epochs")).as("cow_points"))
+        .crossJoin(broadcast(morRead))
+      tot.select(lit("s1_copy_on_write").as("strategy"),
+          expr("CAST(cow_rows * 64 AS BIGINT)").as("write_bytes"),
+          expr("CAST(cow_rows * 1000000 DIV upserts AS BIGINT)")
+            .as("write_amp_ppm"),
+          col("cow_points").cast("long").as("read_points"),
+          col("cow_points").cast("long").as("read_files_total"),
+          lit(1000000L).as("read_files_per_point_ppm"))
+        .unionByName(tot.select(lit("s2_merge_on_read").as("strategy"),
+          expr("CAST(upserts * 64 AS BIGINT)").as("write_bytes"),
+          lit(1000000L).as("write_amp_ppm"),
+          col("n_points").cast("long").as("read_points"),
+          col("mor_files").cast("long").as("read_files_total"),
+          expr("CAST(mor_files * 1000000 DIV n_points AS BIGINT)")
+            .as("read_files_per_point_ppm")))
+        .orderBy("strategy")
     }
   )
 
@@ -1302,6 +1360,45 @@ object Lakehouse {
         |  CAST(SUM(recent_lines) * 1000000
         |    // GREATEST(tot.recent_total, 1) AS BIGINT) AS recent_share_ppm
         |FROM t CROSS JOIN tot
-        |GROUP BY tier, tot.recent_total ORDER BY tier""".stripMargin
+        |GROUP BY tier, tot.recent_total ORDER BY tier""".stripMargin,
+
+    "q444_mor_vs_cow" ->
+      """WITH ev AS (
+        |  SELECT user_id % 32 AS bucket, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |width AS (
+        |  SELECT bucket, COUNT(DISTINCT user_id) AS n_users
+        |  FROM ev GROUP BY 1),
+        |daily AS (
+        |  SELECT bucket, day, COUNT(*) AS u, day // 7 AS epoch
+        |  FROM ev GROUP BY 1, 2),
+        |per AS (
+        |  SELECT d.bucket, SUM(u) AS rows_upserted,
+        |    SUM(w.n_users) AS cow_rows_written,
+        |    COUNT(DISTINCT epoch) AS n_epochs
+        |  FROM daily d JOIN width w USING (bucket) GROUP BY 1),
+        |mr AS (
+        |  SELECT SUM(1 + deltas) AS mor_files, COUNT(*) AS n_points FROM (
+        |    SELECT bucket, epoch, COUNT(*) AS deltas
+        |    FROM daily GROUP BY 1, 2) z),
+        |tot AS (
+        |  SELECT SUM(rows_upserted) AS upserts,
+        |    SUM(cow_rows_written) AS cow_rows,
+        |    SUM(n_epochs) AS cow_points FROM per)
+        |SELECT 's1_copy_on_write' AS strategy,
+        |  CAST(cow_rows * 64 AS BIGINT) AS write_bytes,
+        |  CAST(cow_rows * 1000000 // upserts AS BIGINT) AS write_amp_ppm,
+        |  CAST(cow_points AS BIGINT) AS read_points,
+        |  CAST(cow_points AS BIGINT) AS read_files_total,
+        |  CAST(1000000 AS BIGINT) AS read_files_per_point_ppm
+        |FROM tot, mr
+        |UNION ALL
+        |SELECT 's2_merge_on_read', CAST(upserts * 64 AS BIGINT),
+        |  CAST(1000000 AS BIGINT), CAST(n_points AS BIGINT),
+        |  CAST(mor_files AS BIGINT),
+        |  CAST(mor_files * 1000000 // n_points AS BIGINT)
+        |FROM tot, mr
+        |ORDER BY strategy""".stripMargin
   )
 }

@@ -3425,6 +3425,47 @@ object Stewardship {
         .withColumn("compressed_ppm",
           expr("CAST(bits_total * 1000000 DIV raw_bits AS BIGINT)"))
         .orderBy("event_type")
+    },
+
+    // SHUFFLE-PARTITION sizing advisor — the spark.sql.shuffle.partitions
+    // / AQE advisoryPartitionSizeInBytes decision priced from per-key
+    // statistics for the three shuffles this corpus's pipelines actually
+    // run (events by user_id, lineitem by l_orderkey, orders by
+    // o_custkey): total shuffle bytes at declared row widths, partition
+    // counts at the 128 MiB and 32 MiB targets (ceil division), the
+    // single biggest key's byte share, and the skew verdict —
+    // skew_ratio_ppm > 1,000,000 means one key alone exceeds the even
+    // 128 MiB share, so no partition COUNT fixes it; that key needs
+    // salting (q315's advisor) or AQE skew-join handling. Magnitude
+    // rule: the skew product (max_key_bytes × parts × 10⁶) runs in
+    // DECIMAL(38,0). Scale: one map-combined per-key aggregation + a
+    // one-row reduction per leg — exactly the statistics a shuffle
+    // write already maintains.
+    "q446_shuffle_sizing" -> { (s, d) =>
+      def leg(nm: String, df: DataFrame, key: String, width: Int) =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_key_rows"))
+          .select(lit(nm).as("shuffle"),
+            col("n_rows").cast("long").as("n_rows"),
+            col("n_keys").cast("long").as("n_keys"),
+            expr(s"CAST(n_rows * $width AS BIGINT)").as("total_bytes"),
+            expr(s"CAST(max_key_rows * $width AS BIGINT)").as("max_key_bytes"),
+            expr(s"CAST((n_rows * $width + 134217727) DIV 134217728 AS BIGINT)")
+              .as("parts_128mb"),
+            expr(s"CAST((n_rows * $width + 33554431) DIV 33554432 AS BIGINT)")
+              .as("parts_32mb"),
+            expr("CAST(max_key_rows * 1000000 DIV n_rows AS BIGINT)")
+              .as("max_key_share_ppm"))
+          .withColumn("skew_ratio_ppm",
+            expr("""CAST(CAST(max_key_bytes AS DECIMAL(38,0)) * parts_128mb
+                   | * 1000000 DIV total_bytes AS BIGINT)""".stripMargin))
+      leg("s1_events_by_user", Tables.events(s, d), "user_id", 48)
+        .unionByName(
+          leg("s2_lineitem_by_orderkey", Tables.lineitem(s, d), "l_orderkey", 64))
+        .unionByName(
+          leg("s3_orders_by_custkey", Tables.orders(s, d), "o_custkey", 48))
+        .orderBy("shuffle")
     }
   )
 
@@ -5735,6 +5776,33 @@ object Stewardship {
         |  CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits,
         |  CAST(SUM(bits) * 1000000 // (COUNT(*) * 64) AS BIGINT)
         |    AS compressed_ppm
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q446_shuffle_sizing" -> {
+      def leg(nm: String, table: String, key: String, width: Int) =
+        s"""SELECT '$nm' AS shuffle, $width AS w,
+           |    COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS mx
+           |  FROM (SELECT COUNT(*) AS cnt FROM $table GROUP BY $key) z"""
+          .stripMargin
+      """WITH u AS (
+        |""".stripMargin +
+        Seq(leg("s1_events_by_user", "events", "user_id", 48),
+          leg("s2_lineitem_by_orderkey", "lineitem", "l_orderkey", 64),
+          leg("s3_orders_by_custkey", "orders", "o_custkey", 48))
+          .mkString("\nUNION ALL\n") + """
+        |)
+        |SELECT shuffle, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_rows * w AS BIGINT) AS total_bytes,
+        |  CAST(mx * w AS BIGINT) AS max_key_bytes,
+        |  CAST((n_rows * w + 134217727) // 134217728 AS BIGINT)
+        |    AS parts_128mb,
+        |  CAST((n_rows * w + 33554431) // 33554432 AS BIGINT) AS parts_32mb,
+        |  CAST(mx * 1000000 // n_rows AS BIGINT) AS max_key_share_ppm,
+        |  CAST(CAST(mx * w AS HUGEINT)
+        |    * ((n_rows * w + 134217727) // 134217728)
+        |    * 1000000 // (n_rows * w) AS BIGINT) AS skew_ratio_ppm
+        |FROM u ORDER BY shuffle""".stripMargin
+    }
   )
 }

@@ -1341,4 +1341,100 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("raw_bits") == 64L * r.getAs[Long]("n_points"))
     }
   }
+
+  // ---- q444 MOR vs COW ---------------------------------------------------
+
+  test("q444 replays both strategies' write/read accounting") {
+    val rows = graft.ops.Lakehouse.queries("q444_mor_vs_cow")(spark, sf)
+      .collect().sortBy(_.getAs[String]("strategy"))
+    assert(rows.length == 2)
+    val (cow, mor) = (rows(0), rows(1))
+    assert(cow.getAs[String]("strategy") == "s1_copy_on_write")
+    // both strategies are audited at the same (bucket, epoch) points
+    assert(cow.getAs[Long]("read_points") == mor.getAs[Long]("read_points"))
+    assert(cow.getAs[Long]("read_files_total") == cow.getAs[Long]("read_points"))
+    assert(mor.getAs[Long]("read_files_total") >= mor.getAs[Long]("read_points"))
+    assert(mor.getAs[Long]("write_amp_ppm") == 1000000L)
+    // plain-Scala replay over the collected stream
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id % 32 AS b", "user_id",
+        "CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val width = ev.groupBy(_._1).map { case (b, es) =>
+      b -> es.map(_._2).distinct.length.toLong
+    }
+    val daily = ev.groupBy(e => (e._1, e._3)).map { case (k, es) =>
+      k -> es.length.toLong
+    }
+    val upserts = daily.values.sum
+    val cowRows = daily.keys.toSeq.map { case (b, _) => width(b) }.sum
+    val points = daily.keys.toSeq.map { case (b, day) => (b, day / 7) }.toSet
+    val morFiles = points.size.toLong +
+      daily.keys.size.toLong // 1 base per point + 1 delta per touched day
+    assert(mor.getAs[Long]("write_bytes") == upserts * 64)
+    assert(cow.getAs[Long]("write_bytes") == cowRows * 64)
+    assert(cow.getAs[Long]("write_amp_ppm") == cowRows * 1000000L / upserts)
+    assert(cow.getAs[Long]("read_points") == points.size.toLong)
+    assert(mor.getAs[Long]("read_files_total") == morFiles)
+  }
+
+  // ---- q445 star components ----------------------------------------------
+
+  test("q445 star CC agrees label-for-label with label propagation") {
+    val star = Dedup.starComponents(Dedup.dupEdges(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(Dedup.dupEdges(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop, "the two CC algorithms must agree exactly")
+    val hist = Dedup.queries("q445_star_components")(spark, sf).collect()
+    assert(hist.map(r =>
+      r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")).sum ==
+      star.size.toLong, "histogram mass must equal labeled nodes")
+    assert(hist.map(_.getAs[Long]("n_docs")).sum == star.size.toLong)
+    // every cluster label is its own minimum member
+    star.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
+  test("q445 star CC labels a planted chain and a planted clique correctly") {
+    import spark.implicits._
+    // a 60-node path (diameter stress) plus a 10-node clique, disjoint
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 109L; b <- (a + 1) to 109L) yield (a, b)
+    val edges = (chain ++ clique).toDF("doc_a", "doc_b")
+    val labels = Dedup.starComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 59L).foreach(n => assert(labels(n) == 0L))
+    (100L to 109L).foreach(n => assert(labels(n) == 100L))
+  }
+
+  // ---- q446 shuffle sizing -------------------------------------------------
+
+  test("q446 replays the shuffle statistics and its sizing laws hold") {
+    val rows = graft.ops.Stewardship.queries("q446_shuffle_sizing")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("shuffle")).toSeq ==
+      Seq("s1_events_by_user", "s2_lineitem_by_orderkey",
+        "s3_orders_by_custkey"))
+    def replay(df: org.apache.spark.sql.DataFrame, key: String) = {
+      val counts = df.selectExpr(s"CAST($key AS BIGINT)").collect()
+        .map(_.getLong(0)).groupBy(identity).map(_._2.length.toLong)
+      (counts.sum, counts.size.toLong, counts.max)
+    }
+    val expected = Seq(
+      replay(graft.model.Tables.events(spark, sf), "user_id"),
+      replay(graft.model.Tables.lineitem(spark, sf), "l_orderkey"),
+      replay(graft.model.Tables.orders(spark, sf), "o_custkey"))
+    rows.zip(expected).foreach { case (r, (n, k, mx)) =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_keys") == k)
+      val w = r.getAs[Long]("total_bytes") / n
+      assert(r.getAs[Long]("max_key_bytes") == mx * w)
+      assert(r.getAs[Long]("parts_128mb") == (n * w + 134217727) / 134217728)
+      assert(r.getAs[Long]("parts_32mb") >= r.getAs[Long]("parts_128mb"))
+      assert(r.getAs[Long]("skew_ratio_ppm") >=
+        r.getAs[Long]("max_key_share_ppm"))
+    }
+  }
 }
