@@ -3466,6 +3466,93 @@ object Stewardship {
         .unionByName(
           leg("s3_orders_by_custkey", Tables.orders(s, d), "o_custkey", 48))
         .orderBy("shuffle")
+    },
+
+    // OPTIMISTIC-CONCURRENCY conflict audit — the lakehouse
+    // commit-protocol decision (OCC retry vs partition locking) priced
+    // from the stream itself: model two concurrent writers (event_id
+    // parity — deterministic, engine-neutral) committing (user, hour)
+    // cells; a cell BOTH writers touch inside one hour is a write-write
+    // conflict an optimistic committer must retry. The by-hour-of-day
+    // profile shows when contention peaks (OCC is fine off-peak;
+    // sustained high conflict_ppm hours want key-partitioned writers).
+    // Scale: two map-combined aggregations, (user, hr) then hour-of-day
+    // — the same stats shape a commit coordinator's metrics already
+    // emit; nothing row-wise past the first groupBy.
+    "q447_occ_conflicts" -> { (s, d) =>
+      Tables.events(s, d).select(col("user_id"),
+          expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)").as("hr"),
+          expr("event_id % 2").as("writer"))
+        .groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n_ev"),
+          countDistinct(col("writer")).as("nw"))
+        .groupBy(expr("hr % 24").as("hour_of_day"))
+        .agg(count(lit(1)).cast("long").as("n_cells"),
+          sum(col("n_ev")).cast("long").as("n_events"),
+          sum(when(col("nw") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_conflicts"))
+        .withColumn("conflict_ppm",
+          expr("CAST(n_conflicts * 1000000 DIV n_cells AS BIGINT)"))
+        .orderBy("hour_of_day")
+    },
+
+    // A/B SAMPLE-SIZE planner — the pre-registration table q177 (the
+    // z² test) and q357 (SRM) assume someone computed: per event_type,
+    // the baseline user-level conversion rate p, and for each minimum
+    // detectable effect δ ∈ {1, 2, 5} percentage points the per-arm
+    // sample size by the rule of 16 (n = 16·p(1−p)/δ², the standard
+    // α = 5% two-sided / 80%-power approximation), entirely in ppm
+    // integer arithmetic, plus the feasibility verdict against the
+    // corpus's own user count — an experiment this corpus cannot power
+    // is flagged before it ships. Scale: one distinct-user agg + a
+    // (type × 3) broadcast grid.
+    "q448_ab_power_planner" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val users = ev.agg(countDistinct(col("user_id")).as("n_users"))
+      val grid = s.range(3)
+        .select(expr("CAST(element_at(array(10000, 20000, 50000), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("mde_ppm"))
+      ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("ntu"))
+        .crossJoin(broadcast(users))
+        .crossJoin(broadcast(grid))
+        .withColumn("base_rate_ppm",
+          expr("CAST(ntu * 1000000 DIV n_users AS BIGINT)"))
+        .withColumn("n_per_arm",
+          expr("""CAST(16 * base_rate_ppm * (1000000 - base_rate_ppm)
+                 | DIV (mde_ppm * mde_ppm) AS BIGINT)""".stripMargin))
+        .select(col("event_type"), col("mde_ppm"), col("base_rate_ppm"),
+          col("n_users").cast("long").as("n_users"), col("n_per_arm"),
+          expr("n_per_arm * 2 <= n_users").as("feasible"))
+        .orderBy("event_type", "mde_ppm")
+    },
+
+    // RETRY-STORM / at-least-once REDELIVERY audit — the DOWNSTREAM
+    // twin of the reference's exactly-once sink (A10/A14 prevent the
+    // WRITER duplicating; this measures what an at-least-once PRODUCER
+    // feeds it): an event is a redelivery iff the same logical payload
+    // (user_id, event_type, value) already arrived within the previous
+    // 60 s. Per event_type: event mass, redelivered count and floor-ppm
+    // share, and how many users see any — the table that decides
+    // whether the pipeline needs an idempotency-key dedup stage before
+    // the sink. Scale: ONE window partitioned by the full payload key
+    // (bounded per-key history), then a map-combined census.
+    "q449_retry_storm" -> { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type", "value")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("dup", when(col("prev").isNotNull &&
+          col("us") - col("prev") <= 60000000L, 1L).otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("dup")).cast("long").as("n_redelivered"),
+          countDistinct(when(col("dup") === 1L, col("user_id")))
+            .cast("long").as("n_affected_users"))
+        .withColumn("redelivery_ppm",
+          expr("CAST(n_redelivered * 1000000 DIV n_events AS BIGINT)"))
+        .orderBy("event_type")
     }
   )
 
@@ -5803,6 +5890,65 @@ object Stewardship {
         |    * ((n_rows * w + 134217727) // 134217728)
         |    * 1000000 // (n_rows * w) AS BIGINT) AS skew_ratio_ppm
         |FROM u ORDER BY shuffle""".stripMargin
-    }
+    },
+
+    "q447_occ_conflicts" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |    event_id % 2 AS writer
+        |  FROM events),
+        |cells AS (
+        |  SELECT user_id, hr, COUNT(*) AS n_ev,
+        |    COUNT(DISTINCT writer) AS nw
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT CAST(hr % 24 AS BIGINT) AS hour_of_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN nw > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_conflicts,
+        |  CAST(SUM(CASE WHEN nw > 1 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS conflict_ppm
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q448_ab_power_planner" ->
+      """WITH u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+        |r AS (SELECT event_type, COUNT(DISTINCT user_id) AS ntu
+        |      FROM events GROUP BY 1),
+        |g AS (SELECT CAST(m.m AS BIGINT) AS mde_ppm
+        |      FROM UNNEST([10000, 20000, 50000]) AS m(m)),
+        |b AS (
+        |  SELECT event_type, mde_ppm,
+        |    CAST(ntu * 1000000 // n_users AS BIGINT) AS base_rate_ppm,
+        |    n_users
+        |  FROM r, u, g),
+        |p AS (
+        |  SELECT *, CAST(16 * base_rate_ppm * (1000000 - base_rate_ppm)
+        |    // (mde_ppm * mde_ppm) AS BIGINT) AS n_per_arm
+        |  FROM b)
+        |SELECT event_type, mde_ppm, base_rate_ppm,
+        |  CAST(n_users AS BIGINT) AS n_users, n_per_arm,
+        |  n_per_arm * 2 <= n_users AS feasible
+        |FROM p ORDER BY event_type, mde_ppm""".stripMargin,
+
+    "q449_retry_storm" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id, event_type, value
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, user_id,
+        |    CASE WHEN prev IS NOT NULL AND us - prev <= 60000000
+        |         THEN 1 ELSE 0 END AS dup
+        |  FROM ev)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(dup) AS BIGINT) AS n_redelivered,
+        |  CAST(COUNT(DISTINCT CASE WHEN dup = 1 THEN user_id END) AS BIGINT)
+        |    AS n_affected_users,
+        |  CAST(SUM(dup) * 1000000 // COUNT(*) AS BIGINT) AS redelivery_ppm
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

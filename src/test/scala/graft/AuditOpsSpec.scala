@@ -1437,4 +1437,119 @@ class AuditOpsSpec extends AnyFunSuite {
         r.getAs[Long]("max_key_share_ppm"))
     }
   }
+
+  // ---- q447 OCC conflicts ---------------------------------------------------
+
+  test("q447 replays the two-writer conflict census") {
+    val rows = graft.ops.Stewardship.queries("q447_occ_conflicts")(spark, sf)
+      .collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(unix_micros(ts) div 3600000000 AS BIGINT) AS hr",
+        "event_id % 2 AS w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cells = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> ((es.length.toLong, es.map(_._3).distinct.length))
+    }
+    val expected = cells.groupBy { case ((_, hr), _) => hr % 24 }
+      .map { case (h, cs) =>
+        h -> ((cs.size.toLong, cs.values.map(_._1).sum,
+          cs.values.count(_._2 > 1).toLong))
+      }
+    assert(rows.map(_.getAs[Long]("hour_of_day")).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (nc, ne, conf) = expected(r.getAs[Long]("hour_of_day"))
+      assert(r.getAs[Long]("n_cells") == nc)
+      assert(r.getAs[Long]("n_events") == ne)
+      assert(r.getAs[Long]("n_conflicts") == conf)
+      assert(r.getAs[Long]("conflict_ppm") == conf * 1000000L / nc)
+    }
+  }
+
+  // ---- q448 A/B power planner ---------------------------------------------
+
+  test("q448 sample sizes follow the rule of 16 and shrink with the MDE") {
+    val rows = graft.ops.Stewardship.queries("q448_ab_power_planner")(spark, sf)
+      .collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("mde_ppm"))
+      assert(sorted.map(_.getAs[Long]("mde_ppm")).toSeq ==
+        Seq(10000L, 20000L, 50000L))
+      // one baseline per type; n shrinks as the detectable effect grows
+      assert(sorted.map(_.getAs[Long]("base_rate_ppm")).distinct.length == 1)
+      val ns = sorted.map(_.getAs[Long]("n_per_arm"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+      sorted.foreach { r =>
+        val (p, m) = (r.getAs[Long]("base_rate_ppm"), r.getAs[Long]("mde_ppm"))
+        assert(r.getAs[Long]("n_per_arm") ==
+          16L * p * (1000000L - p) / (m * m))
+        assert(r.getAs[Boolean]("feasible") ==
+          (r.getAs[Long]("n_per_arm") * 2 <= r.getAs[Long]("n_users")))
+      }
+    }
+  }
+
+  // ---- q449 retry storm ------------------------------------------------------
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def writeEvents(rows: Seq[Row]): String = {
+    val dir = Files.createTempDirectory("graft-audit-events").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), eventSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q449 fires on planted redeliveries and stays quiet otherwise") {
+    def ev(id: Long, ms: Long, u: Long, t: String, v: Double) =
+      Row(id, new java.sql.Timestamp(ms), u, t, v, "{}")
+    val t0 = 1700000000000L
+    val dir = writeEvents(Seq(
+      // user 1: identical (click, 1.0) 10 s apart -> 1 redelivery
+      ev(1, t0, 1L, "click", 1.0), ev(2, t0 + 10000, 1L, "click", 1.0),
+      // then 300 s later -> outside the window, NOT a redelivery
+      ev(3, t0 + 310000, 1L, "click", 1.0),
+      // user 2: 59 s apart -> redelivery; next 61 s after that -> not
+      ev(4, t0, 2L, "click", 2.0), ev(5, t0 + 59000, 2L, "click", 2.0),
+      ev(6, t0 + 120000, 2L, "click", 2.0),
+      // same instant, different VALUE -> different payload, never a dup
+      ev(7, t0, 3L, "view", 5.0), ev(8, t0 + 1000, 3L, "view", 6.0)))
+    val out = graft.ops.Stewardship.queries("q449_retry_storm")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("click").getAs[Long]("n_events") == 6L)
+    assert(out("click").getAs[Long]("n_redelivered") == 2L)
+    assert(out("click").getAs[Long]("n_affected_users") == 2L)
+    assert(out("click").getAs[Long]("redelivery_ppm") == 333333L)
+    assert(out("view").getAs[Long]("n_redelivered") == 0L)
+    assert(out("view").getAs[Long]("n_affected_users") == 0L)
+  }
+
+  test("q449 replays the corpus census in plain Scala") {
+    val rows = graft.ops.Stewardship.queries("q449_retry_storm")(spark, sf)
+      .collect()
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "value", "unix_micros(ts) AS us",
+        "CAST(event_id AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))
+    val expected = ev.groupBy(_._2).map { case (t, es) =>
+      val dups = es.groupBy(e => (e._1, e._3)).toSeq.flatMap { case (_, ps) =>
+        val us = ps.sortBy(p => (p._4, p._5))
+        us.zip(us.tail).filter { case (a, b) => b._4 - a._4 <= 60000000L }
+          .map(_._2)
+      }
+      t -> ((es.length.toLong, dups.length.toLong,
+        dups.map(_._1).distinct.length.toLong))
+    }
+    rows.foreach { r =>
+      val (n, nd, nu) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("n_redelivered") == nd)
+      assert(r.getAs[Long]("n_affected_users") == nu)
+    }
+  }
 }
