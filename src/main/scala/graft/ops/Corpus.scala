@@ -338,6 +338,49 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Tokenizer FERTILITY per language — the multilingual-equity
+    // metric tokenizer papers report (tokens per word, chars per
+    // token): a vocabulary induced on the pooled corpus (q68's merges)
+    // encodes under-represented languages at HIGHER fertility, which
+    // taxes their effective context window and training compute. Same
+    // induced merge table and relational BPE encoder as q97 (one
+    // definition, [[bpeApplySql]]); the aggregation pivots per-LANG
+    // over a 1-in-7 doc sample (q67's sampling convention — denser
+    // than q97's 1/97 because per-language cells need mass). Scale:
+    // merge table is a broadcast 1-row pivot; the encode is
+    // whole-stage-codegen string work; census map-combined on lang.
+    "q450_tokenizer_fertility" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val top = docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(BpeMerges)
+      val m = top.agg(array_sort(collect_list(
+          struct((-col("cnt")).as("nc"), col("pair")))).as("ms"))
+        .select((0 until BpeMerges).map(i =>
+          coalesce(get(col("ms"), lit(i)).getField("pair"), lit(""))
+            .as(s"m$i")): _*)
+      val appliedSql = bpeApplySql("s0", BpeMerges)
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .crossJoin(broadcast(m))
+        .withColumn("s0", regexp_replace(col("w"), "(.)", BpeSep + "$1" + BpeSep))
+        .withColumn("s_enc", expr(appliedSql))
+        .withColumn("na", expr(
+          "CAST((length(s_enc) - length(replace(s_enc, chr(31), ''))) DIV 2 AS BIGINT)"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(col("na")).cast("long").as("n_tokens"))
+        .withColumn("fertility_ppm",
+          expr("CAST(n_tokens * 1000000 DIV n_words AS BIGINT)"))
+        .withColumn("chars_per_token_ppm",
+          expr("CAST(n_chars * 1000000 DIV n_tokens AS BIGINT)"))
+        .orderBy("lang")
+    },
+
     // Cross-document duplicated span detection — the fixed-granularity
     // image of exact-substring dedup (dedup at the SPAN level, below
     // document granularity): 40-char windows at stride 10 are hashed,
@@ -1327,6 +1370,39 @@ object Corpus {
         |  CAST(SUM(na) AS BIGINT) AS n_sym_after,
         |  CAST(SUM(na) * 1000000 // SUM(nb) AS BIGINT) AS compression_ppm
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q450_tokenizer_fertility" -> {
+      val mCols = (0 until BpeMerges).map(i =>
+        s"COALESCE(MAX(CASE WHEN rn = ${i + 1} THEN pair END), '') AS m$i")
+        .mkString(", ")
+      val applied = bpeApplySql("s0", BpeMerges)
+      s"""WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair
+        |  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+        |  WHERE length(w) >= 2),
+        |top AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+        |        ORDER BY cnt DESC, pair LIMIT $BpeMerges),
+        |ranked AS (SELECT pair,
+        |  row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM top),
+        |m AS (SELECT $mCols FROM ranked),
+        |sw AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |       FROM documents WHERE doc_id % 7 = 0),
+        |sym AS (SELECT lang, w,
+        |  regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s0, m.*
+        |  FROM sw CROSS JOIN m),
+        |enc AS (SELECT lang, length(w) AS nc,
+        |  (length($applied) - length(replace($applied, chr(31), ''))) // 2 AS na
+        |  FROM sym)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(na) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(na) * 1000000 // COUNT(*) AS BIGINT) AS fertility_ppm,
+        |  CAST(SUM(nc) * 1000000 // SUM(na) AS BIGINT)
+        |    AS chars_per_token_ppm
+        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "q69_dup_spans" ->

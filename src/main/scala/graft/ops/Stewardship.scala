@@ -3553,6 +3553,111 @@ object Stewardship {
         .withColumn("redelivery_ppm",
           expr("CAST(n_redelivered * 1000000 DIV n_events AS BIGINT)"))
         .orderBy("event_type")
+    },
+
+    // STRAGGLER / MAKESPAN audit — hash-assignment load balance
+    // measured, not assumed: 128 order-hash shards of lineitem assigned
+    // to W ∈ {4, 8, 16} workers by shard % W; per W the makespan (max
+    // worker load), the ceil(total/W) lower bound, the floor-ppm
+    // efficiency total/(W·makespan), and the imbalance vs the bound.
+    // This is THE wide-transform wall-clock model: a stage finishes
+    // when its slowest worker does, so the gap between makespan and
+    // bound is pure straggler tax — the number that justifies AQE
+    // coalescing and q446's sizing. Scale: one map-combined (shard)
+    // agg; everything after is a ≤ 128×3 grid.
+    "q451_straggler_makespan" -> { (s, d) =>
+      val shards = Tables.lineitem(s, d)
+        .groupBy(expr("l_orderkey % 128").as("shard"))
+        .agg(count(lit(1)).as("rows_"))
+      val ws = s.range(3)
+        .select(expr("CAST(element_at(array(4, 8, 16), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("w"))
+      shards.crossJoin(broadcast(ws))
+        .groupBy(col("w"), expr("shard % w").as("worker"))
+        .agg(sum(col("rows_")).as("load"))
+        .groupBy("w")
+        .agg(count(lit(1)).cast("long").as("n_workers"),
+          sum(col("load")).cast("long").as("total_rows"),
+          max(col("load")).cast("long").as("makespan_rows"))
+        .withColumn("lower_bound",
+          expr("CAST((total_rows + w - 1) DIV w AS BIGINT)"))
+        .withColumn("efficiency_ppm",
+          expr("CAST(total_rows * 1000000 DIV (w * makespan_rows) AS BIGINT)"))
+        .withColumn("imbalance_ppm",
+          expr("CAST(makespan_rows * 1000000 DIV lower_bound AS BIGINT)"))
+        .orderBy("w")
+    },
+
+    // GROUPING-NDV correlation forecaster — the CBO input q433/q436
+    // don't cover: multi-column GROUP BY cardinality. For every subset
+    // of (priority, status, order-year) over orders, the measured NDV
+    // vs the independence forecast min(Π single-column NDVs, n) — the
+    // correlation_ppm column (measured/forecast) is exactly the
+    // correction factor engines ship as column-group statistics; 10⁶
+    // means independent, small means correlated (a planner assuming
+    // independence over-allocates reducers by its inverse). Scale: the
+    // multi-countDistinct is one expand + map-combined partial agg over
+    // a 3-attribute projection — the ANALYZE-pass shape; the 7-row
+    // subset lattice is arithmetic on one stats row.
+    "q452_grouping_ndv" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("a"), col("o_orderstatus").as("b"),
+        expr("year(CAST(o_orderdate AS DATE))").as("c"))
+      val st = o.agg(count(lit(1)).as("n"),
+        countDistinct(col("a")).as("va"), countDistinct(col("b")).as("vb"),
+        countDistinct(col("c")).as("vc"),
+        countDistinct(col("a"), col("b")).as("vab"),
+        countDistinct(col("a"), col("c")).as("vac"),
+        countDistinct(col("b"), col("c")).as("vbc"),
+        countDistinct(col("a"), col("b"), col("c")).as("vabc"))
+      def leg(nm: String, measured: String, forecast: String) =
+        st.select(lit(nm).as("grouping_set"),
+          expr(s"CAST($measured AS BIGINT)").as("measured_ndv"),
+          expr(s"CAST(least($forecast, n) AS BIGINT)").as("forecast_ndv"),
+          expr(s"""CAST($measured * 1000000
+                  | DIV least($forecast, n) AS BIGINT)""".stripMargin)
+            .as("correlation_ppm"))
+      leg("g1_priority", "va", "va")
+        .unionByName(leg("g2_status", "vb", "vb"))
+        .unionByName(leg("g3_year", "vc", "vc"))
+        .unionByName(leg("g4_priority_status", "vab", "va * vb"))
+        .unionByName(leg("g5_priority_year", "vac", "va * vc"))
+        .unionByName(leg("g6_status_year", "vbc", "vb * vc"))
+        .unionByName(leg("g7_all_three", "vabc", "va * vb * vc"))
+        .orderBy("grouping_set")
+    },
+
+    // CACHE-SIZING hit-rate curve — the broadcast/cache admission
+    // decision priced from the access distribution itself: keys =
+    // user_id per event_type ranked by access count; for cache sizes
+    // C ∈ {8, 64, 512} hot keys, the floor-ppm hit rate a
+    // most-frequently-used cache of that size would serve. Zipfian
+    // traffic makes tiny caches disproportionately effective — this
+    // table says exactly how much, which is the q315/q446 skew story
+    // read as an OPPORTUNITY (cache the head, shuffle only the tail).
+    // Scale: one map-combined (type, user) agg, one PARTITIONED rank
+    // window per bounded event_type, then a grid census.
+    "q453_cache_sizing" -> { (s, d) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("hits").desc, col("user_id"))
+      val acc = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("rk", row_number().over(w))
+      val cs = s.range(3)
+        .select(expr("CAST(element_at(array(8, 64, 512), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("cache_size"))
+      acc.crossJoin(broadcast(cs))
+        .groupBy("event_type", "cache_size")
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(col("hits")).cast("long").as("n_accesses"),
+          sum(when(col("rk") <= col("cache_size"), col("hits"))
+            .otherwise(0L)).cast("long").as("hot_accesses"),
+          sum(when(col("rk") <= col("cache_size"), 1L).otherwise(0L))
+            .cast("long").as("cached_keys"))
+        .withColumn("hit_ppm",
+          expr("CAST(hot_accesses * 1000000 DIV n_accesses AS BIGINT)"))
+        .orderBy("event_type", "cache_size")
     }
   )
 
@@ -5949,6 +6054,76 @@ object Stewardship {
         |  CAST(COUNT(DISTINCT CASE WHEN dup = 1 THEN user_id END) AS BIGINT)
         |    AS n_affected_users,
         |  CAST(SUM(dup) * 1000000 // COUNT(*) AS BIGINT) AS redelivery_ppm
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q451_straggler_makespan" ->
+      """WITH shards AS (
+        |  SELECT l_orderkey % 128 AS shard, COUNT(*) AS rows_
+        |  FROM lineitem GROUP BY 1),
+        |ws AS (SELECT CAST(w.w AS BIGINT) AS w FROM UNNEST([4, 8, 16]) AS w(w)),
+        |loads AS (
+        |  SELECT w, shard % w AS worker, SUM(rows_) AS load
+        |  FROM shards CROSS JOIN ws GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT w, COUNT(*) AS n_workers, SUM(load) AS total_rows,
+        |    MAX(load) AS makespan_rows
+        |  FROM loads GROUP BY 1)
+        |SELECT w, CAST(n_workers AS BIGINT) AS n_workers,
+        |  CAST(total_rows AS BIGINT) AS total_rows,
+        |  CAST(makespan_rows AS BIGINT) AS makespan_rows,
+        |  CAST((total_rows + w - 1) // w AS BIGINT) AS lower_bound,
+        |  CAST(total_rows * 1000000 // (w * makespan_rows) AS BIGINT)
+        |    AS efficiency_ppm,
+        |  CAST(makespan_rows * 1000000 // ((total_rows + w - 1) // w)
+        |    AS BIGINT) AS imbalance_ppm
+        |FROM agg ORDER BY w""".stripMargin,
+
+    "q452_grouping_ndv" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    year(CAST(o_orderdate AS DATE)) AS c
+        |  FROM orders),
+        |st AS (SELECT
+        |  (SELECT COUNT(*) FROM o) AS n,
+        |  (SELECT COUNT(DISTINCT a) FROM o) AS va,
+        |  (SELECT COUNT(DISTINCT b) FROM o) AS vb,
+        |  (SELECT COUNT(DISTINCT c) FROM o) AS vc,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT a, b FROM o) z) AS vab,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT a, c FROM o) z) AS vac,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT b, c FROM o) z) AS vbc,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT a, b, c FROM o) z) AS vabc),
+        |legs AS (
+        |  SELECT 'g1_priority' AS grouping_set, va AS m, va AS f, n FROM st
+        |  UNION ALL SELECT 'g2_status', vb, vb, n FROM st
+        |  UNION ALL SELECT 'g3_year', vc, vc, n FROM st
+        |  UNION ALL SELECT 'g4_priority_status', vab, va * vb, n FROM st
+        |  UNION ALL SELECT 'g5_priority_year', vac, va * vc, n FROM st
+        |  UNION ALL SELECT 'g6_status_year', vbc, vb * vc, n FROM st
+        |  UNION ALL SELECT 'g7_all_three', vabc, va * vb * vc, n FROM st)
+        |SELECT grouping_set, CAST(m AS BIGINT) AS measured_ndv,
+        |  CAST(LEAST(f, n) AS BIGINT) AS forecast_ndv,
+        |  CAST(m * 1000000 // LEAST(f, n) AS BIGINT) AS correlation_ppm
+        |FROM legs ORDER BY grouping_set""".stripMargin,
+
+    "q453_cache_sizing" ->
+      """WITH acc AS (
+        |  SELECT event_type, user_id, COUNT(*) AS hits
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, hits,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hits DESC, user_id) AS rk
+        |  FROM acc),
+        |cs AS (SELECT CAST(c.c AS BIGINT) AS cache_size
+        |       FROM UNNEST([8, 64, 512]) AS c(c))
+        |SELECT event_type, cache_size, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(hits) AS BIGINT) AS n_accesses,
+        |  CAST(SUM(CASE WHEN rk <= cache_size THEN hits ELSE 0 END)
+        |    AS BIGINT) AS hot_accesses,
+        |  CAST(SUM(CASE WHEN rk <= cache_size THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS cached_keys,
+        |  CAST(SUM(CASE WHEN rk <= cache_size THEN hits ELSE 0 END)
+        |    * 1000000 // SUM(hits) AS BIGINT) AS hit_ppm
+        |FROM r CROSS JOIN cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1552,4 +1552,132 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_affected_users") == nu)
     }
   }
+
+  // ---- q450 tokenizer fertility ---------------------------------------------
+
+  test("q450 replays the per-language BPE fertility census") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // induce the same top-8 merges over the pooled corpus
+    val pairs = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, _, text) =>
+      text.split(" ", -1).filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          pairs(p) = pairs.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val merges = pairs.toSeq.sortBy { case (p, c) => (-c, p) }.take(8).map(_._1)
+    val S = "\u001f"
+    def encTokens(w: String): Long = {
+      var s = w.flatMap(c => s"$S$c$S")
+      merges.foreach { m =>
+        s = s.replace(s"$S${m(0)}$S$S${m(1)}$S", s"$S$m$S")
+      }
+      (s.length - s.replace(S, "").length).toLong / 2
+    }
+    val expected = docs.filter(_._1 % 7 == 0).groupBy(_._2)
+      .map { case (lang, ds) =>
+        val ws = ds.flatMap(_._3.split(" ", -1))
+        lang -> ((ws.length.toLong, ws.map(_.length.toLong).sum,
+          ws.map(encTokens).sum))
+      }
+    val rows = graft.ops.Corpus.queries("q450_tokenizer_fertility")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (nw, nc, nt) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_words") == nw, s"${r.getString(0)} words")
+      assert(r.getAs[Long]("n_chars") == nc, s"${r.getString(0)} chars")
+      assert(r.getAs[Long]("n_tokens") == nt, s"${r.getString(0)} tokens")
+      // a word is at least one token; a token covers at least one char
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+      assert(r.getAs[Long]("chars_per_token_ppm") >= 1000000L)
+    }
+  }
+
+  // ---- q451 straggler makespan -----------------------------------------------
+
+  test("q451 replays the hash-assignment makespan table") {
+    val shards = graft.model.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(l_orderkey % 128 AS BIGINT)").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, v) =>
+        k -> v.length.toLong
+      }
+    val rows = graft.ops.Stewardship.queries("q451_straggler_makespan")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("w"))
+    assert(rows.map(_.getAs[Long]("w")).toSeq == Seq(4L, 8L, 16L))
+    rows.foreach { r =>
+      val w = r.getAs[Long]("w")
+      val loads = shards.groupBy { case (s0, _) => s0 % w }
+        .map { case (_, ss) => ss.values.sum }
+      assert(r.getAs[Long]("n_workers") == w)
+      assert(r.getAs[Long]("total_rows") == loads.sum)
+      assert(r.getAs[Long]("makespan_rows") == loads.max)
+      assert(r.getAs[Long]("makespan_rows") >= r.getAs[Long]("lower_bound"))
+      assert(r.getAs[Long]("efficiency_ppm") <= 1000000L)
+      assert(r.getAs[Long]("imbalance_ppm") >= 1000000L)
+    }
+  }
+
+  // ---- q452 grouping NDV -------------------------------------------------------
+
+  test("q452 replays the subset-lattice NDVs and the independence bound") {
+    val o = graft.model.Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "o_orderstatus",
+        "CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val (va, vb, vc) = (o.map(_._1).distinct.length.toLong,
+      o.map(_._2).distinct.length.toLong, o.map(_._3).distinct.length.toLong)
+    val expected = Map(
+      "g1_priority" -> ((va, va)), "g2_status" -> ((vb, vb)),
+      "g3_year" -> ((vc, vc)),
+      "g4_priority_status" -> ((o.map(t => (t._1, t._2)).distinct.length.toLong, va * vb)),
+      "g5_priority_year" -> ((o.map(t => (t._1, t._3)).distinct.length.toLong, va * vc)),
+      "g6_status_year" -> ((o.map(t => (t._2, t._3)).distinct.length.toLong, vb * vc)),
+      "g7_all_three" -> ((o.distinct.length.toLong, va * vb * vc)))
+    val rows = graft.ops.Stewardship.queries("q452_grouping_ndv")(spark, sf)
+      .collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val (m, f) = expected(r.getString(0))
+      assert(r.getAs[Long]("measured_ndv") == m, r.getString(0))
+      assert(r.getAs[Long]("forecast_ndv") == math.min(f, o.length.toLong))
+      // a tuple NDV never exceeds the independence forecast
+      assert(r.getAs[Long]("correlation_ppm") <= 1000000L)
+    }
+  }
+
+  // ---- q453 cache sizing ---------------------------------------------------------
+
+  test("q453 replays the MFU hit-rate curve and its monotonicity") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = graft.ops.Stewardship.queries("q453_cache_sizing")(spark, sf)
+      .collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      val hits = ev.filter(_._1 == t).groupBy(_._2)
+        .map { case (u, es) => (u, es.length.toLong) }.toSeq
+        .sortBy { case (u, h) => (-h, u) }
+      val total = hits.map(_._2).sum
+      val sorted = rs.sortBy(_.getAs[Long]("cache_size"))
+      assert(sorted.map(_.getAs[Long]("cache_size")).toSeq ==
+        Seq(8L, 64L, 512L))
+      sorted.foreach { r =>
+        val c = r.getAs[Long]("cache_size").toInt
+        assert(r.getAs[Long]("n_keys") == hits.length.toLong)
+        assert(r.getAs[Long]("n_accesses") == total)
+        assert(r.getAs[Long]("hot_accesses") == hits.take(c).map(_._2).sum)
+        assert(r.getAs[Long]("cached_keys") ==
+          math.min(c.toLong, hits.length.toLong))
+      }
+      val ppms = sorted.map(_.getAs[Long]("hit_ppm"))
+      assert(ppms.zip(ppms.tail).forall { case (a, b) => a <= b },
+        s"$t hit rate must grow with cache size")
+    }
+  }
 }
