@@ -1266,6 +1266,38 @@ object Similarity {
           expr("CAST(n_hits * 1000000 DIV (3 * n_queries) AS BIGINT)")
             .as("recall_ppm"))
         .orderBy("nprobe")
+    },
+
+    // IVF SHARD-BALANCE audit — placing the q42 quantizer's cells onto
+    // 8 index shards: the naive hash placement (cell % 8) versus
+    // size-ranked round-robin, each strategy's used-shard count, max/min
+    // shard load, and imbalance vs the ceil(total/8) bound. The naive
+    // row is the cautionary tale measured: cell ids are the quantizer's
+    // every-50th vec_ids, and multiples of 50 are EVEN mod 8 — hash
+    // placement aliases with id structure and lands everything on half
+    // the shards; occupancy-ranked round-robin is flat by construction.
+    // This is q451's makespan lesson applied to the ANN serving tier.
+    // Scale: cell sizes are one map-combined agg; the rank window runs
+    // over the ≤ MaxCentroids bounded cell grid (house rule), never the
+    // vectors.
+    "q456_ivf_shard_balance" -> { (s, d) =>
+      val (assigned, _) = assignedCells(s, d)
+      val sz = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      val rk = sz.withColumn("r",
+        row_number().over(Window.orderBy(col("n").desc, col("cell"))))
+      val asg = rk.select(lit("s1_hash_assign").as("strategy"),
+          expr("cell % 8").as("shard"), col("n"))
+        .unionByName(rk.select(lit("s2_size_round_robin").as("strategy"),
+          expr("(r - 1) % 8").as("shard"), col("n")))
+      asg.groupBy("strategy", "shard").agg(sum(col("n")).as("load"))
+        .groupBy("strategy")
+        .agg(count(lit(1)).cast("long").as("n_shards_used"),
+          sum(col("load")).cast("long").as("total_vecs"),
+          max(col("load")).cast("long").as("max_shard"),
+          min(col("load")).cast("long").as("min_shard"))
+        .withColumn("imbalance_ppm",
+          expr("CAST(max_shard * 1000000 DIV ((total_vecs + 7) DIV 8) AS BIGINT)"))
+        .orderBy("strategy")
     }
   )
 
@@ -2081,6 +2113,26 @@ object Similarity {
         |    // GREATEST(CAST(da.ssq AS HUGEINT) * 1000000
         |      - CAST(da.ss AS HUGEINT) * da.ss * 1000000 // da.nn, 1)
         |    AS BIGINT) AS eta2_ppm
-        |FROM da JOIN g2 ON g2.dim = da.dim ORDER BY 1""".stripMargin
+        |FROM da JOIN g2 ON g2.dim = da.dim ORDER BY 1""".stripMargin,
+
+    "q456_ivf_shard_balance" -> (CellAssignSql +
+      """,
+        |sz AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY 1),
+        |rk AS (SELECT cell, n,
+        |         row_number() OVER (ORDER BY n DESC, cell) AS r FROM sz),
+        |asg AS (
+        |  SELECT 's1_hash_assign' AS strategy, cell % 8 AS shard, n FROM rk
+        |  UNION ALL
+        |  SELECT 's2_size_round_robin', (r - 1) % 8, n FROM rk),
+        |loads AS (
+        |  SELECT strategy, shard, SUM(n) AS load
+        |  FROM asg GROUP BY 1, 2)
+        |SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_shards_used,
+        |  CAST(SUM(load) AS BIGINT) AS total_vecs,
+        |  CAST(MAX(load) AS BIGINT) AS max_shard,
+        |  CAST(MIN(load) AS BIGINT) AS min_shard,
+        |  CAST(MAX(load) * 1000000 // ((SUM(load) + 7) // 8) AS BIGINT)
+        |    AS imbalance_ppm
+        |FROM loads GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

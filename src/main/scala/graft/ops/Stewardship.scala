@@ -3658,6 +3658,72 @@ object Stewardship {
         .withColumn("hit_ppm",
           expr("CAST(hot_accesses * 1000000 DIV n_accesses AS BIGINT)"))
         .orderBy("event_type", "cache_size")
+    },
+
+    // SALT-FACTOR sweep — q315 names the keys to salt; this prices the
+    // salt ITSELF on the events-by-user shuffle: under salt factor
+    // S ∈ {1, 4, 16} the hottest key's per-reducer slice shrinks to
+    // ceil(max_key/S), while the re-combine pass (a salted aggregation
+    // needs a second stage keyed on the original key) grows to
+    // Σ_k min(S, rows_k) partial rows. The table shows both curves so
+    // the operator picks the knee instead of over-salting — small keys
+    // don't split (min(S, rows_k) caps their partials), so the overhead
+    // is NOT n_keys·S. Scale: everything derives from one map-combined
+    // per-key count; the sweep is a 3-row broadcast grid.
+    "q454_salt_factor_sweep" -> { (s, d) =>
+      val perKey = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val ss = s.range(3)
+        .select(expr("CAST(element_at(array(1, 4, 16), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("salt"))
+      perKey.crossJoin(broadcast(ss))
+        .groupBy("salt")
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(col("cnt")).cast("long").as("n_rows"),
+          max(col("cnt")).cast("long").as("max_key_rows"),
+          max(expr("(cnt + salt - 1) DIV salt")).cast("long")
+            .as("max_shard_rows"),
+          sum(least(col("salt"), col("cnt"))).cast("long")
+            .as("partial_rows"))
+        .withColumn("balance_gain_ppm",
+          expr("CAST(max_shard_rows * 1000000 DIV max_key_rows AS BIGINT)"))
+        .withColumn("overhead_ppm",
+          expr("CAST(partial_rows * 1000000 DIV n_keys AS BIGINT)"))
+        .orderBy("salt")
+    },
+
+    // CHECKPOINT-INTERVAL planner — the streaming recovery/overhead
+    // tradeoff (StreamPipeline checkpoints per micro-batch; the
+    // reference commits offsets per flush): per event_type, the
+    // measured arrival rate over the stream's span and the distinct-key
+    // state size, priced at checkpoint intervals I ∈ {10, 60, 600} s —
+    // worst-case replay on failure = floor(rate·I) = n·I/span rows,
+    // state writes per hour = state_keys · 3600/I. Replay grows and
+    // write mass shrinks linearly in I; the table is where those curves
+    // cross the operator's RTO and IO budgets. Scale: one map-combined
+    // per-type agg; the interval grid rides a broadcast.
+    "q455_checkpoint_interval" -> { (s, d) =>
+      val st = Tables.events(s, d).select(col("event_type"),
+          unix_micros(col("ts")).as("us"), col("user_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("state_keys"),
+          min(col("us")).as("us0"), max(col("us")).as("us1"))
+        .withColumn("span_s",
+          expr("greatest((us1 - us0) DIV 1000000, 1)"))
+      val is = s.range(3)
+        .select(expr("CAST(element_at(array(10, 60, 600), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("interval_s"))
+      st.crossJoin(broadcast(is))
+        .select(col("event_type"), col("interval_s"),
+          col("n").cast("long").as("n_events"),
+          col("state_keys").cast("long").as("state_keys"),
+          col("span_s").cast("long").as("span_s"),
+          expr("CAST(n * interval_s DIV span_s AS BIGINT)")
+            .as("replay_rows_worst"),
+          expr("CAST(state_keys * 3600 DIV interval_s AS BIGINT)")
+            .as("state_rows_per_hour"))
+        .orderBy("event_type", "interval_s")
     }
   )
 
@@ -6124,6 +6190,40 @@ object Stewardship {
         |    AS cached_keys,
         |  CAST(SUM(CASE WHEN rk <= cache_size THEN hits ELSE 0 END)
         |    * 1000000 // SUM(hits) AS BIGINT) AS hit_ppm
-        |FROM r CROSS JOIN cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM r CROSS JOIN cs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q454_salt_factor_sweep" ->
+      """WITH perkey AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |ss AS (SELECT CAST(s.s AS BIGINT) AS salt
+        |       FROM UNNEST([1, 4, 16]) AS s(s))
+        |SELECT salt, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+        |  CAST(MAX((cnt + salt - 1) // salt) AS BIGINT) AS max_shard_rows,
+        |  CAST(SUM(LEAST(salt, cnt)) AS BIGINT) AS partial_rows,
+        |  CAST(MAX((cnt + salt - 1) // salt) * 1000000 // MAX(cnt)
+        |    AS BIGINT) AS balance_gain_ppm,
+        |  CAST(SUM(LEAST(salt, cnt)) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS overhead_ppm
+        |FROM perkey CROSS JOIN ss GROUP BY salt ORDER BY salt""".stripMargin,
+
+    "q455_checkpoint_interval" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    COUNT(DISTINCT user_id) AS state_keys,
+        |    GREATEST((MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      - MIN(epoch_us(CAST(ts AS TIMESTAMP)))) // 1000000, 1)
+        |      AS span_s
+        |  FROM events GROUP BY 1),
+        |iv AS (SELECT CAST(i.i AS BIGINT) AS interval_s
+        |       FROM UNNEST([10, 60, 600]) AS i(i))
+        |SELECT event_type, interval_s, CAST(n AS BIGINT) AS n_events,
+        |  CAST(state_keys AS BIGINT) AS state_keys,
+        |  CAST(span_s AS BIGINT) AS span_s,
+        |  CAST(n * interval_s // span_s AS BIGINT) AS replay_rows_worst,
+        |  CAST(state_keys * 3600 // interval_s AS BIGINT)
+        |    AS state_rows_per_hour
+        |FROM st CROSS JOIN iv ORDER BY event_type, interval_s""".stripMargin
   )
 }

@@ -1680,4 +1680,77 @@ class AuditOpsSpec extends AnyFunSuite {
         s"$t hit rate must grow with cache size")
     }
   }
+
+  // ---- q454 salt factor sweep --------------------------------------------------
+
+  test("q454 replays the salt tradeoff: balance improves, overhead grows") {
+    val counts = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id").collect().map(_.getLong(0))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val rows = graft.ops.Stewardship.queries("q454_salt_factor_sweep")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("salt"))
+    assert(rows.map(_.getAs[Long]("salt")).toSeq == Seq(1L, 4L, 16L))
+    rows.foreach { r =>
+      val sSalt = r.getAs[Long]("salt")
+      assert(r.getAs[Long]("n_keys") == counts.length.toLong)
+      assert(r.getAs[Long]("n_rows") == counts.sum)
+      assert(r.getAs[Long]("max_key_rows") == counts.max)
+      assert(r.getAs[Long]("max_shard_rows") ==
+        counts.map(c => (c + sSalt - 1) / sSalt).max)
+      assert(r.getAs[Long]("partial_rows") ==
+        counts.map(c => math.min(sSalt, c)).sum)
+    }
+    assert(rows.head.getAs[Long]("balance_gain_ppm") == 1000000L)
+    assert(rows.head.getAs[Long]("overhead_ppm") == 1000000L)
+    val gains = rows.map(_.getAs[Long]("balance_gain_ppm"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      "more salt can only shrink the hottest shard")
+    val over = rows.map(_.getAs[Long]("overhead_ppm"))
+    assert(over.zip(over.tail).forall { case (a, b) => a <= b },
+      "more salt can only add re-combine partials")
+  }
+
+  // ---- q455 checkpoint interval -----------------------------------------------
+
+  test("q455 replay/write-mass curves move oppositely in the interval") {
+    val rows = graft.ops.Stewardship.queries("q455_checkpoint_interval")(spark, sf)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("interval_s"))
+      assert(sorted.map(_.getAs[Long]("interval_s")).toSeq ==
+        Seq(10L, 60L, 600L))
+      val (n, k, span) = (sorted.head.getAs[Long]("n_events"),
+        sorted.head.getAs[Long]("state_keys"),
+        sorted.head.getAs[Long]("span_s"))
+      sorted.foreach { r =>
+        val i = r.getAs[Long]("interval_s")
+        assert(r.getAs[Long]("replay_rows_worst") == n * i / span, s"$t replay")
+        assert(r.getAs[Long]("state_rows_per_hour") == k * 3600 / i, s"$t state")
+      }
+      val rep = sorted.map(_.getAs[Long]("replay_rows_worst"))
+      assert(rep.zip(rep.tail).forall { case (a, b) => a <= b })
+      val wr = sorted.map(_.getAs[Long]("state_rows_per_hour"))
+      assert(wr.zip(wr.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---- q456 IVF shard balance ----------------------------------------------------
+
+  test("q456 round-robin placement beats the aliased hash placement") {
+    val rows = graft.ops.Similarity.queries("q456_ivf_shard_balance")(spark, sf)
+      .collect().sortBy(_.getAs[String]("strategy"))
+    assert(rows.length == 2)
+    val (hash, rr) = (rows(0), rows(1))
+    assert(hash.getAs[String]("strategy") == "s1_hash_assign")
+    // both place every vector
+    assert(hash.getAs[Long]("total_vecs") == rr.getAs[Long]("total_vecs"))
+    // quantizer cell ids are multiples of 50 — even mod 8, so hash
+    // placement uses only half the shards; round-robin uses all 8
+    assert(hash.getAs[Long]("n_shards_used") <= 4L)
+    assert(rr.getAs[Long]("n_shards_used") == 8L)
+    assert(rr.getAs[Long]("max_shard") <= hash.getAs[Long]("max_shard"))
+    assert(rr.getAs[Long]("imbalance_ppm") <=
+      hash.getAs[Long]("imbalance_ppm"))
+    rows.foreach(r => assert(r.getAs[Long]("imbalance_ppm") >= 1000000L))
+  }
 }
