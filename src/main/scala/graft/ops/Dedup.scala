@@ -786,6 +786,35 @@ object Dedup {
         .orderBy("cluster_size")
     },
 
+    // Cluster CONSENSUS audit — is a near-dup cluster a TEMPLATE
+    // family (one shared core with small edits) or a drift CHAIN
+    // (pairwise-similar neighbors, no global core)? Per q65 component:
+    // member count, the shingle UNION, the CORE (shingles every member
+    // carries), and the floor-ppm core share. High core share justifies
+    // electing one survivor for the whole cluster (the members are one
+    // document in n variants); a low share is the over-deletion warning
+    // q115's closure ratio flags from the edge side — this reads it
+    // from the CONTENT side. Shares q65's labels and the LSH shingle
+    // definition (one docShingles). Scale: one shingle join against the
+    // (bounded) labeled-node set; counts shuffle, never shingle text
+    // beyond the first hash-partitioned agg.
+    "q457_cluster_consensus" -> { (s, d) =>
+      val member = connectedComponents(dupEdges(s, d))
+        .select(col("node").as("doc_id"), col("label"))
+      val sizes = member.groupBy("label").agg(count(lit(1)).as("n_members"))
+      docShingles(s, d, 1).join(member, "doc_id")
+        .groupBy("label", "sh").agg(count(lit(1)).as("dfin"))
+        .join(sizes, "label")
+        .groupBy(col("label").as("cluster_id"))
+        .agg(max(col("n_members")).cast("long").as("n_members"),
+          count(lit(1)).cast("long").as("n_union_shingles"),
+          sum(when(col("dfin") === col("n_members"), 1L).otherwise(0L))
+            .cast("long").as("n_core_shingles"))
+        .withColumn("core_share_ppm",
+          expr("CAST(n_core_shingles * 1000000 DIV n_union_shingles AS BIGINT)"))
+        .orderBy("cluster_id")
+    },
+
     // B11/D follow-through: train/val/test SPLIT-LEAKAGE audit. The
     // standard 80/10/10 assignment hashes each document independently —
     // which silently places members of one near-dup cluster in different
@@ -1587,6 +1616,23 @@ object Dedup {
         |  COUNT(DISTINCT split) > 1 AS leaky,
         |  ${splitCaseSql("label")} AS cluster_split
         |FROM sp GROUP BY label ORDER BY cluster_id""".stripMargin),
+
+    "q457_cluster_consensus" -> (ClusterLabelsSql +
+      """,
+        |mem AS (SELECT node AS doc_id, label FROM lab),
+        |szs AS (SELECT label, COUNT(*) AS n_members FROM mem GROUP BY 1),
+        |cs AS (
+        |  SELECT m.label, s.sh, COUNT(*) AS dfin
+        |  FROM sh s JOIN mem m USING (doc_id) GROUP BY 1, 2)
+        |SELECT cs.label AS cluster_id,
+        |  CAST(MAX(szs.n_members) AS BIGINT) AS n_members,
+        |  CAST(COUNT(*) AS BIGINT) AS n_union_shingles,
+        |  CAST(SUM(CASE WHEN dfin = szs.n_members THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_core_shingles,
+        |  CAST(SUM(CASE WHEN dfin = szs.n_members THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS core_share_ppm
+        |FROM cs JOIN szs USING (label)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q445_star_components" -> (ClusterLabelsSql +
       """,

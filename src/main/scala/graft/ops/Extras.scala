@@ -241,6 +241,30 @@ object Extras {
     // distinct pass map-side combines down to the ≤|segments|×|priorities|
     // grid before any shuffle; the collect_list only ever sees that
     // bounded grid, never raw orders.
+    // TOP-K + OTHER rollup — the bounded-output reporting primitive: a
+    // per-source language breakdown that can NEVER explode a dashboard,
+    // because every source emits exactly top-3 rows plus one exact
+    // 'zz_other' remainder (prefix keeps 'other' sorted last). The tail
+    // is aggregated, not dropped — per-source masses are conserved
+    // (spec law). This is the guard a 100 TB reporting layer puts in
+    // front of every high-cardinality GROUP BY: output is O(sources·k)
+    // regardless of the language cardinality. Scale: one map-combined
+    // (source, lang) agg + a partitioned rank window over it.
+    "q459_topk_other" -> { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_docs").desc, col("lang"))
+      val per = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("rk", row_number().over(w))
+      per.withColumn("bucket",
+          when(col("rk") <= 3, col("lang")).otherwise(lit("zz_other")))
+        .groupBy("source", "bucket")
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_langs"),
+          min(col("rk")).cast("long").as("best_rank"))
+        .orderBy("source", "best_rank")
+    },
+
     "q151_listagg" -> { (s, d) =>
       val pairs = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -256,6 +280,22 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "q459_topk_other" ->
+      """WITH per AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, lang, n_docs,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_docs DESC, lang) AS rk
+        |  FROM per)
+        |SELECT source,
+        |  CASE WHEN rk <= 3 THEN lang ELSE 'zz_other' END AS bucket,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |  CAST(MIN(rk) AS BIGINT) AS best_rank
+        |FROM r GROUP BY 1, 2 ORDER BY source, best_rank""".stripMargin,
+
     "q151_listagg" ->
       """WITH pairs AS (
         |  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders

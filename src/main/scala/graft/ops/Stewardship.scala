@@ -3724,6 +3724,50 @@ object Stewardship {
           expr("CAST(state_keys * 3600 DIV interval_s AS BIGINT)")
             .as("state_rows_per_hour"))
         .orderBy("event_type", "interval_s")
+    },
+
+    // PEAK-SHAVING BACKLOG audit — admission control for a
+    // fixed-capacity consumer: per event_type on the ZERO-FILLED hour
+    // grid, provision capacity at {1.0, 1.5, 2.0}× the mean hourly rate
+    // and integrate the queue recurrence backlog_t = (backlog_{t−1} +
+    // a_t − cap)⁺ — expressed windowed, not recursively: with
+    // cum_t = Σ(a − cap), backlog_t = cum_t − min(0, min_{j≤t} cum_j),
+    // the running-sum/running-min identity for the Lindley recursion.
+    // Reported: hours over capacity and the peak backlog — the consumer
+    // lag a Kafka-style sink (the reference's world) would show, and
+    // the number that sizes its burst buffer. Scale: windows are
+    // per-type over the generator-bounded hour grid (house rule);
+    // everything upstream is one map-combined (type, hour) agg.
+    "q458_peak_backlog" -> { (s, d) =>
+      val arr = Tables.events(s, d).select(col("event_type"),
+          expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("a"))
+      val span = arr.groupBy("event_type")
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"),
+          sum(col("a")).as("tot"))
+        .withColumn("n_hours", expr("hi - lo + 1"))
+      val dense = span
+        .select(col("event_type"), col("tot"), col("n_hours"),
+          explode(expr("sequence(lo, hi)")).as("hr"))
+        .join(arr, Seq("event_type", "hr"), "left")
+        .withColumn("a", coalesce(col("a"), lit(0L)))
+      val cg = s.range(3)
+        .select(expr("CAST(element_at(array(10, 15, 20), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("c_tenths"))
+      val w = Window.partitionBy("event_type", "c_tenths")
+        .orderBy("hr").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.crossJoin(broadcast(cg))
+        .withColumn("cap", expr("greatest(tot * c_tenths DIV (10 * n_hours), 1)"))
+        .withColumn("cum", sum(col("a") - col("cap")).over(w))
+        .withColumn("backlog",
+          expr("cum - least(0, min(cum) OVER (PARTITION BY event_type, c_tenths ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"))
+        .groupBy("event_type", "c_tenths")
+        .agg(count(lit(1)).cast("long").as("n_hours"),
+          max(col("cap")).cast("long").as("capacity_per_hour"),
+          sum(when(col("a") > col("cap"), 1L).otherwise(0L)).cast("long")
+            .as("hours_over"),
+          max(col("backlog")).cast("long").as("peak_backlog"))
+        .orderBy("event_type", "c_tenths")
     }
   )
 
@@ -6224,6 +6268,45 @@ object Stewardship {
         |  CAST(n * interval_s // span_s AS BIGINT) AS replay_rows_worst,
         |  CAST(state_keys * 3600 // interval_s AS BIGINT)
         |    AS state_rows_per_hour
-        |FROM st CROSS JOIN iv ORDER BY event_type, interval_s""".stripMargin
+        |FROM st CROSS JOIN iv ORDER BY event_type, interval_s""".stripMargin,
+
+    "q458_peak_backlog" ->
+      """WITH arr AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |    COUNT(*) AS a
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi, SUM(a) AS tot,
+        |    MAX(hr) - MIN(hr) + 1 AS n_hours
+        |  FROM arr GROUP BY 1),
+        |grid AS (
+        |  SELECT s.event_type, s.tot, s.n_hours, g.hr
+        |  FROM span s, UNNEST(generate_series(s.lo, s.hi)) AS g(hr)),
+        |dense AS (
+        |  SELECT g.event_type, g.tot, g.n_hours, g.hr, COALESCE(ar.a, 0) AS a
+        |  FROM grid g
+        |  LEFT JOIN arr ar ON ar.event_type = g.event_type AND ar.hr = g.hr),
+        |cg AS (SELECT CAST(c.c AS BIGINT) AS c_tenths
+        |       FROM UNNEST([10, 15, 20]) AS c(c)),
+        |walk AS (
+        |  SELECT event_type, c_tenths, hr, a,
+        |    GREATEST(tot * c_tenths // (10 * n_hours), 1) AS cap,
+        |    SUM(a - GREATEST(tot * c_tenths // (10 * n_hours), 1)) OVER (
+        |      PARTITION BY event_type, c_tenths ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dense CROSS JOIN cg),
+        |bl AS (
+        |  SELECT event_type, c_tenths, a, cap,
+        |    cum - LEAST(0, MIN(cum) OVER (
+        |      PARTITION BY event_type, c_tenths ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS backlog
+        |  FROM walk)
+        |SELECT event_type, c_tenths, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(MAX(cap) AS BIGINT) AS capacity_per_hour,
+        |  CAST(SUM(CASE WHEN a > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hours_over,
+        |  CAST(MAX(backlog) AS BIGINT) AS peak_backlog
+        |FROM bl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1753,4 +1753,92 @@ class AuditOpsSpec extends AnyFunSuite {
       hash.getAs[Long]("imbalance_ppm"))
     rows.foreach(r => assert(r.getAs[Long]("imbalance_ppm") >= 1000000L))
   }
+
+  // ---- q457 cluster consensus ---------------------------------------------------
+
+  test("q457 replays the union/core shingle census per q65 cluster") {
+    val labels = Dedup.connectedComponents(Dedup.dupEdges(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = labels.groupBy(_._2).map { case (label, members) =>
+      val shs = members.keys.toSeq.map(id => shingles(docs(id)))
+      label -> ((members.size.toLong, shs.reduce(_ union _).size.toLong,
+        shs.reduce(_ intersect _).size.toLong))
+    }
+    val rows = Dedup.queries("q457_cluster_consensus")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (nm, uni, core) = expected(r.getAs[Long]("cluster_id"))
+      assert(r.getAs[Long]("n_members") == nm)
+      assert(r.getAs[Long]("n_union_shingles") == uni)
+      assert(r.getAs[Long]("n_core_shingles") == core)
+      assert(core <= uni)
+      assert(r.getAs[Long]("core_share_ppm") <= 1000000L)
+    }
+  }
+
+  // ---- q458 peak backlog ------------------------------------------------------------
+
+  test("q458 replays the Lindley backlog walk; more capacity never hurts") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(unix_micros(ts) div 3600000000 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = graft.ops.Stewardship.queries("q458_peak_backlog")(spark, sf)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val hrs = ev.filter(_._1 == t).map(_._2)
+      val (lo, hi) = (hrs.min, hrs.max)
+      val counts = hrs.groupBy(identity).map { case (h, v) => h -> v.length.toLong }
+      val tot = hrs.length.toLong
+      val nHours = hi - lo + 1
+      val sorted = rs.sortBy(_.getAs[Long]("c_tenths"))
+      assert(sorted.map(_.getAs[Long]("c_tenths")).toSeq == Seq(10L, 15L, 20L))
+      sorted.foreach { r =>
+        val cap = math.max(tot * r.getAs[Long]("c_tenths") / (10 * nHours), 1L)
+        var (bl, peak, over) = (0L, 0L, 0L)
+        (lo to hi).foreach { h =>
+          val a = counts.getOrElse(h, 0L)
+          if (a > cap) over += 1
+          bl = math.max(0L, bl + a - cap)
+          peak = math.max(peak, bl)
+        }
+        assert(r.getAs[Long]("n_hours") == nHours, s"$t hours")
+        assert(r.getAs[Long]("capacity_per_hour") == cap, s"$t cap")
+        assert(r.getAs[Long]("hours_over") == over, s"$t over")
+        assert(r.getAs[Long]("peak_backlog") == peak, s"$t peak")
+      }
+      val peaks = sorted.map(_.getAs[Long]("peak_backlog"))
+      assert(peaks.zip(peaks.tail).forall { case (a, b) => a >= b })
+      val overs = sorted.map(_.getAs[Long]("hours_over"))
+      assert(overs.zip(overs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---- q459 top-k + other --------------------------------------------------------------
+
+  test("q459 conserves per-source mass and bounds the output") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = graft.ops.Extras.queries("q459_topk_other")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 4, s"$src emits at most top-3 + other")
+      val mass = docs.count(_._1 == src).toLong
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == mass,
+        s"$src tail is aggregated, not dropped")
+      val perLang = docs.filter(_._1 == src).groupBy(_._2)
+        .map(_._2.length.toLong).toSeq.sortBy(-_)
+      val top = rs.filter(_.getAs[String]("bucket") != "zz_other")
+      assert(top.map(_.getAs[Long]("n_docs")).sorted.reverse.toSeq ==
+        perLang.take(top.length))
+      top.foreach(r => assert(r.getAs[Long]("n_langs") == 1L))
+    }
+  }
 }
