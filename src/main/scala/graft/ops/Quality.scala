@@ -1303,6 +1303,39 @@ object Quality {
           expr("CASE WHEN n_wedges > 0 THEN" +
             " CAST(3 * n_triangles * 1000000 DIV n_wedges AS BIGINT)" +
             " ELSE CAST(0 AS BIGINT) END").as("closure_ppm"))
+    },
+
+    // WATERMARK COMPLETENESS curve — q262 sizes the watermark from
+    // lateness QUANTILES; this prices fixed CHOICES: per event_type in
+    // per-partition arrival order (event_id — the q235 disorder
+    // convention), an event's lateness is how far the stream's
+    // event-time high-water mark had already passed it, and a watermark
+    // of delay d DROPS events later than d. For d ∈ {60 s, 1 h, 1 d}
+    // the table reports dropped count and floor-ppm completeness — the
+    // correctness-vs-latency contract a streaming SLA states. Scale:
+    // ONE per-type running-max window + a map-combined census per grid
+    // point; the d grid rides a broadcast.
+    "q460_watermark_completeness" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("hwm", max(col("us")).over(w))
+        .withColumn("late_s", when(col("hwm").isNotNull &&
+          col("hwm") > col("us"),
+          expr("(hwm - us) DIV 1000000")).otherwise(lit(0L)))
+      val ds = s.range(3)
+        .select(expr("CAST(element_at(array(60, 3600, 86400), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("watermark_s"))
+      late.crossJoin(broadcast(ds))
+        .groupBy("event_type", "watermark_s")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("late_s") > col("watermark_s"), 1L).otherwise(0L))
+            .cast("long").as("n_dropped"))
+        .withColumn("completeness_ppm",
+          expr("CAST((n_events - n_dropped) * 1000000 DIV n_events AS BIGINT)"))
+        .orderBy("event_type", "watermark_s")
     }
   )
 
@@ -2233,6 +2266,27 @@ object Quality {
         |  CASE WHEN w.n_wedges > 0
         |    THEN CAST(3 * tri.n_triangles * 1000000 // w.n_wedges AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS closure_ppm
-        |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin
+        |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin,
+
+    "q460_watermark_completeness" ->
+      """WITH late AS (
+        |  SELECT event_type,
+        |    CASE WHEN hwm IS NOT NULL AND hwm > us
+        |         THEN (hwm - us) // 1000000 ELSE 0 END AS late_s
+        |  FROM (
+        |    SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |      MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY event_type ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |    FROM events) z),
+        |ds AS (SELECT CAST(d.d AS BIGINT) AS watermark_s
+        |       FROM UNNEST([60, 3600, 86400]) AS d(d))
+        |SELECT event_type, watermark_s, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN late_s > watermark_s THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST((COUNT(*) - SUM(CASE WHEN late_s > watermark_s
+        |    THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS completeness_ppm
+        |FROM late CROSS JOIN ds GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

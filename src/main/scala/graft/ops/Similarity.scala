@@ -1268,6 +1268,51 @@ object Similarity {
         .orderBy("nprobe")
     },
 
+    // EMBEDDING-DRIFT monitor — the production ML-ops gauge: split the
+    // corpus into two deterministic cohorts (vec_id parity — stand-in
+    // for yesterday/today batches) and compare per-label integer
+    // centroids in the q70 micro-unit fixed point (floor(x·10⁶ + 0.5)
+    // longs; mean differences via the cross-multiplied non-negative
+    // quotient, engine-exact). Reported per label: cohort sizes, the L1 centroid
+    // shift in micro-units (Σ_d |mean_a,d − mean_b,d|), the single
+    // worst dimension and its shift — an alert threshold on shift_l1
+    // is the retraining/reindexing trigger. Scale: ONE posexplode +
+    // (label, cohort, dim) map-combined sums; centroid algebra on the
+    // bounded (label × 64) grid.
+    "q461_embedding_drift" -> { (s, d) =>
+      val dims = Tables.embeddings(s, d)
+        .select(col("label"), expr("vec_id % 2").as("cohort"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"))
+            .as(Seq("dim", "q")))
+      val cent = dims.groupBy("label", "cohort", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      val a = cent.filter(col("cohort") === 0)
+        .select(col("label"), col("dim"), col("n").as("n_a"),
+          col("sq").as("sa"))
+      val b = cent.filter(col("cohort") === 1)
+        .select(col("label"), col("dim"), col("n").as("n_b"),
+          col("sq").as("sb"))
+      // |mean_a − mean_b| via the cross-multiplied NON-NEGATIVE quotient
+      // (abs before DIV: floor and truncation agree on non-negatives, so
+      // the two engines cannot drift on negative sums); product in
+      // DECIMAL(38,0) — sa·n_b passes int64 near sf100
+      a.join(b, Seq("label", "dim"))
+        .withColumn("shift", expr(
+          """CAST(abs(CAST(sa AS DECIMAL(38,0)) * n_b
+            | - CAST(sb AS DECIMAL(38,0)) * n_a)
+            | DIV (n_a * n_b) AS BIGINT)""".stripMargin))
+        .groupBy("label")
+        .agg(max(col("n_a")).cast("long").as("n_a"),
+          max(col("n_b")).cast("long").as("n_b"),
+          sum(col("shift")).cast("long").as("shift_l1_micro"),
+          max(col("shift")).cast("long").as("max_dim_shift"),
+          // argmax as arithmetic (dims < 1000): identical on both engines
+          (max(expr("shift * 1000 + dim")) % 1000).cast("long")
+            .as("worst_dim"))
+        .orderBy("label")
+    },
+
     // IVF SHARD-BALANCE audit — placing the q42 quantizer's cells onto
     // 8 index shards: the naive hash placement (cell % 8) versus
     // size-ranked round-robin, each strategy's used-shard count, max/min
@@ -2114,6 +2159,30 @@ object Similarity {
         |      - CAST(da.ss AS HUGEINT) * da.ss * 1000000 // da.nn, 1)
         |    AS BIGINT) AS eta2_ppm
         |FROM da JOIN g2 ON g2.dim = da.dim ORDER BY 1""".stripMargin,
+
+    "q461_embedding_drift" ->
+      """WITH dims AS (
+        |  SELECT label, vec_id % 2 AS cohort, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings,
+        |    UNNEST(generate_series(1, len(embedding))) AS g(i)),
+        |cent AS (
+        |  SELECT label, cohort, dim, COUNT(*) AS n, SUM(q) AS sq
+        |  FROM dims GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+        |    ABS(CAST(a.sq AS HUGEINT) * b.n - CAST(b.sq AS HUGEINT) * a.n)
+        |      // (a.n * b.n) AS shift
+        |  FROM cent a JOIN cent b
+        |    ON a.label = b.label AND a.dim = b.dim
+        |   AND a.cohort = 0 AND b.cohort = 1)
+        |SELECT label, CAST(MAX(n_a) AS BIGINT) AS n_a,
+        |  CAST(MAX(n_b) AS BIGINT) AS n_b,
+        |  CAST(SUM(shift) AS BIGINT) AS shift_l1_micro,
+        |  CAST(MAX(shift) AS BIGINT) AS max_dim_shift,
+        |  CAST(MAX(shift * 1000 + dim) % 1000 AS BIGINT) AS worst_dim
+        |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q456_ivf_shard_balance" -> (CellAssignSql +
       """,

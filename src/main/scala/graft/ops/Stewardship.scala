@@ -3768,6 +3768,50 @@ object Stewardship {
             .as("hours_over"),
           max(col("backlog")).cast("long").as("peak_backlog"))
         .orderBy("event_type", "c_tenths")
+    },
+
+    // BEHAVIORAL RE-IDENTIFICATION audit — the privacy quadrilateral
+    // (q149/q275/q392/q425) guards QUASI-IDENTIFIER columns; the
+    // re-identification literature's point is that BEHAVIOR is a
+    // quasi-identifier too: fingerprint every user by their first three
+    // event types (arrival order) plus the 6-hour bucket of their first
+    // event, then run the k-anonymity census over fingerprints —
+    // per anonymity class (k=1 unique / 2-4 / 5-9 / 10+): fingerprint
+    // and user mass, and the headline unique-user ppm (users whose
+    // behavior alone singles them out). Scale: one per-user window
+    // (bounded first-3 prefix via conditional min), two map-combined
+    // censuses.
+    "q462_behavior_reident" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val fp = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy("user_id")
+        .agg(min(when(col("rk") === 1, col("event_type"))).as("t1"),
+          min(when(col("rk") === 2, col("event_type"))).as("t2"),
+          min(when(col("rk") === 3, col("event_type"))).as("t3"),
+          min(when(col("rk") === 1,
+            expr("(us div 3600000000) % 24 DIV 6"))).as("h6"))
+        .select(col("user_id"), concat_ws(">",
+          coalesce(col("t1"), lit("_")), coalesce(col("t2"), lit("_")),
+          coalesce(col("t3"), lit("_")), col("h6").cast("string"))
+          .as("fingerprint"))
+      val classes = fp.groupBy("fingerprint")
+        .agg(count(lit(1)).as("k"))
+        .withColumn("k_class", expr(
+          """CASE WHEN k = 1 THEN 'a_unique' WHEN k <= 4 THEN 'b_2_to_4'
+            | WHEN k <= 9 THEN 'c_5_to_9' ELSE 'd_10_plus' END""".stripMargin))
+      val tot = classes.agg(sum(col("k")).as("n_users_total"))
+      classes.groupBy("k_class")
+        .agg(count(lit(1)).cast("long").as("n_fingerprints"),
+          sum(col("k")).cast("long").as("n_users"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_ppm",
+          expr("CAST(n_users * 1000000 DIV n_users_total AS BIGINT)"))
+        .drop("n_users_total")
+        .orderBy("k_class")
     }
   )
 
@@ -6307,6 +6351,36 @@ object Stewardship {
         |  CAST(SUM(CASE WHEN a > cap THEN 1 ELSE 0 END) AS BIGINT)
         |    AS hours_over,
         |  CAST(MAX(backlog) AS BIGINT) AS peak_backlog
-        |FROM bl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM bl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q462_behavior_reident" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |fp AS (
+        |  SELECT user_id,
+        |    COALESCE(MIN(CASE WHEN rk = 1 THEN event_type END), '_') || '>' ||
+        |    COALESCE(MIN(CASE WHEN rk = 2 THEN event_type END), '_') || '>' ||
+        |    COALESCE(MIN(CASE WHEN rk = 3 THEN event_type END), '_') || '>' ||
+        |    CAST(MIN(CASE WHEN rk = 1
+        |      THEN (us // 3600000000) % 24 // 6 END) AS VARCHAR)
+        |      AS fingerprint
+        |  FROM ranked WHERE rk <= 3 GROUP BY user_id),
+        |classes AS (
+        |  SELECT fingerprint, COUNT(*) AS k,
+        |    CASE WHEN COUNT(*) = 1 THEN 'a_unique'
+        |         WHEN COUNT(*) <= 4 THEN 'b_2_to_4'
+        |         WHEN COUNT(*) <= 9 THEN 'c_5_to_9'
+        |         ELSE 'd_10_plus' END AS k_class
+        |  FROM fp GROUP BY fingerprint),
+        |tot AS (SELECT SUM(k) AS n_users_total FROM classes)
+        |SELECT k_class, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+        |  CAST(SUM(k) AS BIGINT) AS n_users,
+        |  CAST(SUM(k) * 1000000 // MAX(tot.n_users_total) AS BIGINT)
+        |    AS share_ppm
+        |FROM classes CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1841,4 +1841,100 @@ class AuditOpsSpec extends AnyFunSuite {
       top.foreach(r => assert(r.getAs[Long]("n_langs") == 1L))
     }
   }
+
+  // ---- q460 watermark completeness ------------------------------------------------
+
+  test("q460 replays the drop census; a longer watermark only helps") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(event_id AS BIGINT)",
+        "unix_micros(ts) AS us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = graft.ops.Quality.queries("q460_watermark_completeness")(spark, sf)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val ordered = ev.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val lates = ordered.zipWithIndex.map { case (us, i) =>
+        if (i == 0) 0L
+        else math.max(0L, (ordered.take(i).max - us) / 1000000L)
+      }
+      val sorted = rs.sortBy(_.getAs[Long]("watermark_s"))
+      assert(sorted.map(_.getAs[Long]("watermark_s")).toSeq ==
+        Seq(60L, 3600L, 86400L))
+      sorted.foreach { r =>
+        val d = r.getAs[Long]("watermark_s")
+        assert(r.getAs[Long]("n_events") == ordered.length.toLong)
+        assert(r.getAs[Long]("n_dropped") == lates.count(_ > d).toLong,
+          s"$t at $d s")
+      }
+      val comp = sorted.map(_.getAs[Long]("completeness_ppm"))
+      assert(comp.zip(comp.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  // ---- q461 embedding drift ----------------------------------------------------------
+
+  test("q461 replays the split-cohort centroid shift in exact fixed point") {
+    val em = graft.model.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(label AS STRING)",
+        "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Double](2)))
+    val rows = graft.ops.Similarity.queries("q461_embedding_drift")(spark, sf)
+      .collect()
+    val byLabel = em.groupBy(_._2)
+    rows.foreach { r =>
+      val label = String.valueOf(r.get(0))
+      val (a, b) = byLabel(label).partition(_._1 % 2 == 0)
+      def sums(vs: Array[(Long, String, Seq[Double])]): Array[Long] = {
+        val dim = vs.head._3.length
+        val out = Array.fill(dim)(0L)
+        vs.foreach(v => v._3.zipWithIndex.foreach { case (x, i) =>
+          out(i) += math.floor(x * 1000000 + 0.5).toLong
+        })
+        out
+      }
+      val (sa, sb) = (sums(a), sums(b))
+      val shifts = sa.indices.map(i =>
+        (BigInt(sa(i)) * b.length - BigInt(sb(i)) * a.length).abs /
+          (BigInt(a.length) * b.length))
+      assert(r.getAs[Long]("n_a") == a.length.toLong)
+      assert(r.getAs[Long]("n_b") == b.length.toLong)
+      assert(r.getAs[Long]("shift_l1_micro") == shifts.sum.toLong, label)
+      assert(r.getAs[Long]("max_dim_shift") == shifts.max.toLong)
+      val worst = shifts.indices.map(i => shifts(i) * 1000 + i).max % 1000
+      assert(r.getAs[Long]("worst_dim") == worst.toLong)
+    }
+  }
+
+  // ---- q462 behavioral re-identification ----------------------------------------------
+
+  test("q462 replays the fingerprint k-anonymity census") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us",
+        "CAST(event_id AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val fps = ev.groupBy(_._1).map { case (_, es) =>
+      val s3 = es.sortBy(e => (e._3, e._4)).take(3)
+      val ts = (0 until 3).map(i =>
+        if (i < s3.length) s3(i)._2 else "_")
+      val h6 = (s3.head._3 / 3600000000L) % 24 / 6
+      s"${ts(0)}>${ts(1)}>${ts(2)}>$h6"
+    }.toSeq
+    val classes = fps.groupBy(identity).map(_._2.size.toLong)
+    def cls(k: Long) = if (k == 1) "a_unique" else if (k <= 4) "b_2_to_4"
+      else if (k <= 9) "c_5_to_9" else "d_10_plus"
+    val expected = classes.groupBy(cls).map { case (c, ks) =>
+      c -> ((ks.size.toLong, ks.sum))
+    }
+    val rows = graft.ops.Stewardship.queries("q462_behavior_reident")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == expected.keySet)
+    assert(rows.map(_.getAs[Long]("n_users")).sum == fps.length.toLong,
+      "census conserves users")
+    rows.foreach { r =>
+      val (nf, nu) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_fingerprints") == nf, r.getString(0))
+      assert(r.getAs[Long]("n_users") == nu, r.getString(0))
+    }
+  }
 }
