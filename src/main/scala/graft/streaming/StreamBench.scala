@@ -130,6 +130,34 @@ object StreamBench {
           .format("memory").queryName(nm).start())
     }
 
+    // F287 late-drop gauge — 64 keys, every 7th event 10 min late
+    locally {
+      val s = MemoryStream[(String, Long, Long)]
+      val ds = StreamingOps.lateDropGauge[(String, Long, Long)](
+        s.toDS(), _._1, _._2, _._3, allowedLatenessUs = 300L * 1000000L)
+      out += "late_drop" -> drain(spark, "sb_ld", rows, chunks)(
+        (from, n) => s.addData((from until from + n).map { i =>
+          val us = (base + i * 100L) * 1000L -
+            (if (i % 7 == 0) 600L * 1000000L else 0L)
+          (s"k${i % 64}", i.toLong, us)
+        }),
+        nm => ds.toDF().writeStream.outputMode(OutputMode.Update)
+          .format("memory").queryName(nm).start())
+    }
+
+    // F288 token-bucket admission gauge — 64 keys, bursty arrivals
+    locally {
+      val s = MemoryStream[(String, Long, Long)]
+      val ds = StreamingOps.tokenBucketGauge[(String, Long, Long)](
+        s.toDS(), _._1, _._2, _._3, ratePerSec = 10L, burst = 100L)
+      out += "token_bucket" -> drain(spark, "sb_tb", rows, chunks)(
+        (from, n) => s.addData((from until from + n).map { i =>
+          ((s"k${i % 64}"), i.toLong, (base + (i / 640) * 1000L) * 1000L)
+        }),
+        nm => ds.toDF().writeStream.outputMode(OutputMode.Update)
+          .format("memory").queryName(nm).start())
+    }
+
     out
   }
 }

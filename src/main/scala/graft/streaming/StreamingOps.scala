@@ -240,6 +240,84 @@ object StreamingOps {
       }
   }
 
+  /** Streaming LATE-DROP gauge — the live twin of the batch watermark
+    * completeness curve (q460): per key, state is the event-time
+    * high-water mark plus three counters; an arrival more than
+    * `allowedLatenessUs` behind the mark is counted DROPPED (what a
+    * watermark of that delay would discard), everything else admits
+    * and can only advance the mark. Emits one gauge row per key per
+    * micro-batch — the completeness dashboard a streaming SLA watches,
+    * measured by the operator itself instead of inferred offline.
+    * State is O(1) per key (one long + three counters); elements fold
+    * in `seqOf` arrival order so replays are deterministic. */
+  case class LateGauge(key: String, n_seen: Long, n_admitted: Long,
+                       n_dropped: Long, hwm_us: Long)
+  case class LateState(hwm: Long, seen: Long, admitted: Long, dropped: Long)
+  def lateDropGauge[T](ds: Dataset[T], keyOf: T => String, seqOf: T => Long,
+                       usOf: T => Long,
+                       allowedLatenessUs: Long): Dataset[LateGauge] = {
+    import ds.sparkSession.implicits._
+    require(allowedLatenessUs >= 0, "allowed lateness must be non-negative")
+    ds.groupByKey(keyOf)
+      .mapGroupsWithState[LateState, LateGauge](GroupStateTimeout.NoTimeout) {
+        (key: String, values: Iterator[T], state: GroupState[LateState]) =>
+          var st = state.getOption.getOrElse(
+            LateState(Long.MinValue, 0L, 0L, 0L))
+          values.toSeq.sortBy(seqOf).foreach { v =>
+            val us = usOf(v)
+            val late = st.hwm != Long.MinValue &&
+              us < st.hwm - allowedLatenessUs
+            st = LateState(math.max(st.hwm, us), st.seen + 1,
+              st.admitted + (if (late) 0L else 1L),
+              st.dropped + (if (late) 1L else 0L))
+          }
+          state.update(st)
+          LateGauge(key, st.seen, st.admitted, st.dropped, st.hwm)
+      }
+  }
+
+  /** Streaming TOKEN-BUCKET admission gauge — the live twin of the
+    * batch peak-backlog model (q458): per key, a bucket of at most
+    * `burst` tokens refills `ratePerSec` per elapsed EVENT-TIME second
+    * and each arrival spends one token or is counted DEFERRED. The
+    * gauge row per key per micro-batch is the admission-control
+    * dashboard (admitted/deferred mass) that sizes a downstream
+    * consumer's burst buffer. O(1) state per key; event-time refill
+    * makes replays deterministic (no wall clock in the fold). */
+  case class AdmissionGauge(key: String, n_seen: Long, n_admitted: Long,
+                            n_deferred: Long, tokens_left: Long)
+  case class BucketGaugeState(sec: Long, tokens: Long, seen: Long,
+                              admitted: Long, deferred: Long)
+  def tokenBucketGauge[T](ds: Dataset[T], keyOf: T => String,
+                          seqOf: T => Long, usOf: T => Long,
+                          ratePerSec: Long, burst: Long): Dataset[AdmissionGauge] = {
+    import ds.sparkSession.implicits._
+    require(ratePerSec >= 0 && burst >= 1, "need burst >= 1, rate >= 0")
+    ds.groupByKey(keyOf)
+      .mapGroupsWithState[BucketGaugeState, AdmissionGauge](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, values: Iterator[T],
+         state: GroupState[BucketGaugeState]) =>
+          var st = state.getOption.orNull
+          values.toSeq.sortBy(seqOf).foreach { v =>
+            val sec = usOf(v) / 1000000L
+            st =
+              if (st == null) BucketGaugeState(sec, burst, 0L, 0L, 0L)
+              else if (sec > st.sec) BucketGaugeState(sec,
+                math.min(burst, st.tokens + (sec - st.sec) * ratePerSec),
+                st.seen, st.admitted, st.deferred)
+              else st // same or older event-time second: no refill
+            st =
+              if (st.tokens >= 1)
+                st.copy(tokens = st.tokens - 1, seen = st.seen + 1,
+                  admitted = st.admitted + 1)
+              else st.copy(seen = st.seen + 1, deferred = st.deferred + 1)
+          }
+          state.update(st)
+          AdmissionGauge(key, st.seen, st.admitted, st.deferred, st.tokens)
+      }
+  }
+
   /** Streaming WINDOWED-DISTINCT gauge — distinct keys per tumbling
     * event-time window via the HLL++ sketch (approx_count_distinct):
     * the sketch IS the state, so per-window memory is a fixed few KB

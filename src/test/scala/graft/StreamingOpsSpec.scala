@@ -644,4 +644,61 @@ class StreamingOpsSpec extends AnyFunSuite {
     // HLL++ is exact in its sparse regime; allow the contractual rsd anyway
     assert(math.abs(nd - 3L) <= 1L, s"estimate $nd too far from 3")
   }
+
+  test("late-drop gauge counts exactly what a watermark would discard") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    // 2-minute allowed lateness, event-time in the ts column
+    val g = StreamingOps.lateDropGauge[Ev](s.toDS(), _.key, _.value.toLong,
+      _.ts.getTime * 1000L, allowedLatenessUs = 120L * 1000000L)
+    val q = g.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("late_gauge").start()
+    // arrival order via value: hwm reaches 10:10; 10:05 is within the
+    // 2-min?? no — 5 min behind -> dropped; 10:09 is 1 min behind -> ok
+    s.addData(Ev(t(1), "a", 1), Ev(t(10), "a", 2), Ev(t(5), "a", 3),
+      Ev(t(9), "a", 4), Ev(t(11), "a", 5))
+    s.addData(Ev(t(1), "b", 1), Ev(t(2), "b", 2))
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("late_gauge").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_seen"),
+        r.getAs[Long]("n_admitted"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("hwm_us")))).toMap
+    assert(fin("a") == ((5L, 4L, 1L, t(11).getTime * 1000L)),
+      s"a: ${fin("a")} — only the 5-minutes-late event drops")
+    assert(fin("b") == ((2L, 2L, 0L, t(2).getTime * 1000L)))
+    // conservation law
+    fin.values.foreach { case (n, adm, drop, _) => assert(n == adm + drop) }
+  }
+
+  test("token-bucket gauge admits the burst, defers the flood, refills on event time") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    // burst 3, refill 1 token per event-time second
+    val g = StreamingOps.tokenBucketGauge[Ev](s.toDS(), _.key,
+      _.value.toLong, _.ts.getTime * 1000L, ratePerSec = 1L, burst = 3L)
+    val q = g.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("bucket_gauge").start()
+    // five arrivals in the SAME second: 3 admitted (the burst), 2 deferred
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(sec: Int) = new Timestamp(base.getTime + sec * 1000L)
+    s.addData((1 to 5).map(i => Ev(at(0), "flood", i.toDouble)): _*)
+    // 10 seconds later: bucket refilled to the 3-token cap, 2 more admit
+    s.addData(Ev(at(10), "flood", 6), Ev(at(10), "flood", 7))
+    s.addData(Ev(at(0), "calm", 1), Ev(at(5), "calm", 2))
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("bucket_gauge").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_seen"),
+        r.getAs[Long]("n_admitted"), r.getAs[Long]("n_deferred"),
+        r.getAs[Long]("tokens_left")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+    val fl = fin("flood")
+    assert((fl._2, fl._3, fl._4) == ((7L, 5L, 2L)),
+      s"flood: $fl — burst of 3, then 2 deferred, then 2 refilled admits")
+    assert(fl._5 == 1L, "10 s refill caps at burst 3, two spent -> 1 left")
+    val cm = fin("calm")
+    assert((cm._2, cm._3, cm._4) == ((2L, 2L, 0L)))
+    fin.values.foreach { case (_, n, adm, defe, _) => assert(n == adm + defe) }
+  }
 }
