@@ -786,6 +786,54 @@ object Dedup {
         .orderBy("cluster_size")
     },
 
+    // HASH-AVALANCHE audit — the pipeline's trust anchor measured:
+    // every dedup fingerprint, split assignment, salt, and band bucket
+    // rides the ONE engine-neutral md5-derived hash (neutralHash32);
+    // this audits its bit balance over the live id population. Per
+    // output bit 0..31: the ones-share in ppm and the absolute bias vs
+    // the ideal 500000 — a stuck or skewed bit here would silently
+    // unbalance every downstream modulo (splits, salts, buckets).
+    // Binomial noise at n docs is ~±1e6/(2√n) ppm; the spec pins a
+    // generous 20× bound and the oracle pins the exact counts. Scale:
+    // one hash pass × a broadcast 32-row bit grid, map-combined.
+    "q463_hash_avalanche" -> { (s, d) =>
+      val hx = Tables.documents(s, d)
+        .select(neutralHash32(col("doc_id").cast("string")).as("h"))
+      val bits = s.range(32).select(col("id").cast("long").as("bit"))
+      hx.crossJoin(broadcast(bits))
+        .withColumn("one", expr("CAST(shiftright(h, CAST(bit AS INT)) & 1 AS BIGINT)"))
+        .groupBy("bit")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("one")).cast("long").as("n_ones"))
+        .withColumn("ones_ppm", expr("CAST(n_ones * 1000000 DIV n AS BIGINT)"))
+        .withColumn("bias_ppm", expr("abs(ones_ppm - 500000)"))
+        .orderBy("bit")
+    },
+
+    // SPLIT-BALANCE audit — the 8/1/1 train/val/test hash assignment
+    // (ONE splitOf definition with q76/q136) audited per source: share
+    // ppm vs the declared 800000/100000/100000 design and the absolute
+    // deviation — a source whose ids alias the split hash would skew
+    // its eval slice, the quiet way membership bugs enter benchmarks.
+    // Scale: one map-combined (source, split) census over the split
+    // expression the pipeline already computes.
+    "q464_split_balance" -> { (s, d) =>
+      val per = Tables.documents(s, d)
+        .withColumn("split", splitOf(col("doc_id")))
+        .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+      val tot = per.groupBy("source").agg(sum(col("n_docs")).as("n_source"))
+      per.join(tot, "source")
+        .withColumn("share_ppm",
+          expr("CAST(n_docs * 1000000 DIV n_source AS BIGINT)"))
+        .withColumn("design_ppm", expr(
+          """CAST(CASE WHEN split = 'train' THEN 800000
+            | WHEN split = 'val' THEN 100000 ELSE 100000 END AS BIGINT)""".stripMargin))
+        .withColumn("abs_dev_ppm", expr("abs(share_ppm - design_ppm)"))
+        .select(col("source"), col("split"), col("n_docs").cast("long").as("n_docs"),
+          col("share_ppm"), col("design_ppm"), col("abs_dev_ppm"))
+        .orderBy("source", "split")
+    },
+
     // Cluster CONSENSUS audit — is a near-dup cluster a TEMPLATE
     // family (one shared core with small edits) or a drift CHAIN
     // (pairwise-similar neighbors, no global core)? Per q65 component:
@@ -1616,6 +1664,39 @@ object Dedup {
         |  COUNT(DISTINCT split) > 1 AS leaky,
         |  ${splitCaseSql("label")} AS cluster_split
         |FROM sp GROUP BY label ORDER BY cluster_id""".stripMargin),
+
+    "q463_hash_avalanche" ->
+      """WITH hx AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    AS h
+        |  FROM documents),
+        |bits AS (SELECT CAST(b.b AS BIGINT) AS bit
+        |         FROM UNNEST(generate_series(0, 31)) AS b(b))
+        |SELECT bit, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM((h >> CAST(bit AS INT)) & 1) AS BIGINT) AS n_ones,
+        |  CAST(SUM((h >> CAST(bit AS INT)) & 1) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS ones_ppm,
+        |  ABS(CAST(SUM((h >> CAST(bit AS INT)) & 1) * 1000000 // COUNT(*)
+        |    AS BIGINT) - 500000) AS bias_ppm
+        |FROM hx CROSS JOIN bits GROUP BY bit ORDER BY bit""".stripMargin,
+
+    "q464_split_balance" -> {
+      s"""WITH per AS (
+        |  SELECT source, ${splitCaseSql("doc_id")} AS split,
+        |    COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(n_docs) AS n_source FROM per GROUP BY 1)
+        |SELECT source, split, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_docs * 1000000 // n_source AS BIGINT) AS share_ppm,
+        |  CAST(CASE WHEN split = 'train' THEN 800000
+        |    WHEN split = 'val' THEN 100000 ELSE 100000 END AS BIGINT)
+        |    AS design_ppm,
+        |  ABS(CAST(n_docs * 1000000 // n_source AS BIGINT)
+        |    - CASE WHEN split = 'train' THEN 800000
+        |      WHEN split = 'val' THEN 100000 ELSE 100000 END) AS abs_dev_ppm
+        |FROM per JOIN tot USING (source)
+        |ORDER BY source, split""".stripMargin
+    },
 
     "q457_cluster_consensus" -> (ClusterLabelsSql +
       """,

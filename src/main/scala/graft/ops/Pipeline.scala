@@ -182,6 +182,49 @@ object Pipeline {
         .orderBy("source")
     },
 
+    // HLL PRECISION LADDER — q436 refines histograms and q338 sizes
+    // blooms; this sizes the distinct-count sketch: the SAME register
+    // construction as q133/q184 (15-hex md5 → h; value field v = h DIV
+    // 256 so its bits are disjoint from EVERY bucket width here;
+    // rho = 53 − bitlen(v)) run at m ∈ {16, 64, 256} registers over
+    // the distinct-user population, with the raw HLL estimate in exact
+    // integer arithmetic (empties contribute 2⁶⁰ to the harmonic sum;
+    // α_m in ppm; DECIMAL(38,0) numerator) and the measured error vs
+    // the exact count. The table is the memory-vs-accuracy sizing
+    // sheet: 16 registers = 128 B of state, 256 = 2 KB — and the
+    // measured err_ppm says what each buys. Scale: ONE hash pass
+    // cached, one ≤ m-row register agg per rung.
+    "q465_hll_precision_ladder" -> { (s, d) =>
+      val hx = Caches.shared(Tables.events(s, d)
+        .select(conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"))
+        .withColumn("v", expr("h DIV 256"))
+        .withColumn("rho", expr(
+          "CAST(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END AS BIGINT)")))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct(col("user_id")).cast("long").as("n_exact"))
+      def rung(m: Int, alphaPpm: Long) =
+        hx.groupBy(expr(s"h % $m").as("bucket"))
+          .agg(max(col("rho")).as("max_rho"))
+          .agg(sum(expr(
+            "CAST(shiftleft(1L, CAST(60 - max_rho AS INT)) AS DECIMAL(38,0))"))
+            .as("s_occ"), count(lit(1)).as("n_occ"))
+          .select(lit(m.toLong).as("m"),
+            expr(s"CAST($m - n_occ AS BIGINT)").as("n_empty"),
+            expr(s"""CAST(CAST($alphaPpm AS DECIMAL(38,0)) * ${m.toLong * m}
+                    | * 1152921504606846976
+                    | DIV ((s_occ + ($m - n_occ)
+                    |       * CAST(1152921504606846976 AS DECIMAL(38,0)))
+                    |      * 1000000) AS BIGINT)""".stripMargin)
+              .as("hll_raw_est"))
+      rung(16, 673000L).unionByName(rung(64, 709000L))
+        .unionByName(rung(256, 718274L))
+        .crossJoin(broadcast(exact))
+        .withColumn("err_ppm",
+          expr("CAST(abs(hll_raw_est - n_exact) * 1000000 DIV n_exact AS BIGINT)"))
+        .orderBy("m")
+    },
+
     // Bigram-level novelty scoring — the sequence-level sibling of
     // q77's token-rarity gate: a document whose word PAIRS are unseen
     // elsewhere is novel composition even when every word is common
@@ -548,6 +591,39 @@ object Pipeline {
         |  CAST(abs(hll_raw_est - n_exact) * 1000000 // n_exact AS BIGINT)
         |    AS err_ppm
         |FROM est JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    "q465_hll_precision_ladder" -> {
+      def rung(m: Int, alphaPpm: Long) =
+        s"""SELECT CAST($m AS BIGINT) AS m,
+           |  CAST($m - COUNT(*) AS BIGINT) AS n_empty,
+           |  CAST(CAST($alphaPpm AS HUGEINT) * ${m.toLong * m}
+           |    * 1152921504606846976
+           |    // ((SUM(CAST(CAST(1 AS BIGINT) << CAST(60 - max_rho AS INT)
+           |            AS HUGEINT))
+           |        + ($m - COUNT(*)) * CAST(1152921504606846976 AS HUGEINT))
+           |       * 1000000) AS BIGINT) AS hll_raw_est
+           |FROM (SELECT h % $m AS bucket, MAX(rho) AS max_rho
+           |      FROM hx GROUP BY 1) r$m""".stripMargin
+      """WITH hx AS (
+        |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT // 256 = 0
+        |         THEN 53
+        |         ELSE 53 - length(bin(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT // 256))
+        |    END AS rho
+        |  FROM events),
+        |ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |       FROM events),
+        |rungs AS (
+        |""".stripMargin +
+        Seq(rung(16, 673000L), rung(64, 709000L), rung(256, 718274L))
+          .mkString("\nUNION ALL\n") + """
+        |)
+        |SELECT m, n_exact, n_empty, hll_raw_est,
+        |  CAST(abs(hll_raw_est - n_exact) * 1000000 // n_exact AS BIGINT)
+        |    AS err_ppm
+        |FROM rungs CROSS JOIN ex ORDER BY m""".stripMargin
+    },
 
     "q185_bigram_novelty" ->
       """WITH toks AS (

@@ -1937,4 +1937,81 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_users") == nu, r.getString(0))
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---- q463 hash avalanche --------------------------------------------------------
+
+  test("q463 replays the per-bit ones census of the neutral hash") {
+    val ids = graft.model.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val hs = ids.map(id => java.lang.Long.parseLong(
+      md5hex(id.toString).take(8), 16))
+    val rows = Dedup.queries("q463_hash_avalanche")(spark, sf).collect()
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      val bit = r.getAs[Long]("bit").toInt
+      val ones = hs.count(h => ((h >> bit) & 1L) == 1L).toLong
+      assert(r.getAs[Long]("n") == ids.length.toLong)
+      assert(r.getAs[Long]("n_ones") == ones, s"bit $bit")
+      assert(r.getAs[Long]("bias_ppm") ==
+        math.abs(ones * 1000000L / ids.length - 500000L))
+    }
+  }
+
+  // ---- q464 split balance ----------------------------------------------------------
+
+  test("q464 replays the 8/1/1 split census and conserves per-source mass") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(s"split:$id").take(8), 16) % 10
+      if (b <= 7) "train" else if (b == 8) "val" else "test"
+    }
+    val expected = docs.groupBy(d => (d._2, splitOf(d._1)))
+      .map { case (k, v) => k -> v.length.toLong }
+    val rows = Dedup.queries("q464_split_balance")(spark, sf).collect()
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n_docs") == expected(k), k.toString)
+    }
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum ==
+        docs.count(_._2 == src).toLong, src)
+    }
+  }
+
+  // ---- q465 HLL precision ladder -----------------------------------------------------
+
+  test("q465 replays the raw HLL estimate at every precision rung") {
+    val users = graft.model.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0))
+    val hs = users.map(u => java.lang.Long.parseLong(
+      md5hex(u.toString).take(15), 16))
+    val rhos = hs.map { h =>
+      val v = h / 256
+      if (v == 0) 53L else 53L - java.lang.Long.toBinaryString(v).length
+    }
+    val exact = users.distinct.length.toLong
+    val alphas = Map(16 -> 673000L, 64 -> 709000L, 256 -> 718274L)
+    val rows = graft.ops.Pipeline.queries("q465_hll_precision_ladder")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("m")).toSeq == Seq(16L, 64L, 256L))
+    rows.foreach { r =>
+      val m = r.getAs[Long]("m").toInt
+      val reg = hs.indices.groupBy(i => hs(i) % m)
+        .map { case (b, is) => b -> is.map(rhos).max }
+      val sOcc = reg.values.map(rho => BigInt(1) << (60 - rho.toInt)).sum
+      val sAll = sOcc + BigInt(m - reg.size) * (BigInt(1) << 60)
+      val est = (BigInt(alphas(m)) * m * m * (BigInt(1) << 60)) /
+        (sAll * 1000000)
+      assert(r.getAs[Long]("n_empty") == (m - reg.size).toLong, s"m=$m")
+      assert(r.getAs[Long]("hll_raw_est") == est.toLong, s"m=$m estimate")
+      assert(r.getAs[Long]("n_exact") == exact)
+      assert(r.getAs[Long]("hll_raw_est") > 0L)
+    }
+  }
 }
