@@ -3812,6 +3812,104 @@ object Stewardship {
           expr("CAST(n_users * 1000000 DIV n_users_total AS BIGINT)"))
         .drop("n_users_total")
         .orderBy("k_class")
+    },
+
+    // JAIN FAIRNESS index of the daily event-type mix — the
+    // multi-tenant scheduling gauge: per day, J = (Σx)² / (n·Σx²) over
+    // the k event types' volumes (1 = perfectly fair, 1/k = one tenant
+    // owns the day), in floor-ppm with the (Σx)² product in
+    // DECIMAL(38,0). Summarized per event-type COUNT present that day
+    // and overall: days measured, mean J, worst day — the fairness-SLA
+    // row a shared ingest pipeline reports. Scale: one map-combined
+    // (day, type) agg, then day-grid algebra.
+    "q466_jain_fairness" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"),
+          col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("x"))
+      val perDay = daily.groupBy("day")
+        .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+          sum(expr("x * x")).as("sx2"))
+        .withColumn("j_ppm", expr(
+          """CAST(CAST(sx AS DECIMAL(38,0)) * sx * 1000000
+            | DIV (k * sx2) AS BIGINT)""".stripMargin))
+      perDay.groupBy("k")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          expr("CAST(sum(j_ppm) DIV count(1) AS BIGINT)").as("mean_j_ppm"),
+          min(col("j_ppm")).cast("long").as("worst_j_ppm"),
+          max(col("j_ppm")).cast("long").as("best_j_ppm"))
+        .withColumn("floor_j_ppm", expr("CAST(1000000 DIV k AS BIGINT)"))
+        .select(col("k").cast("long").as("k_types"), col("n_days"),
+          col("mean_j_ppm"), col("worst_j_ppm"), col("best_j_ppm"),
+          col("floor_j_ppm"))
+        .orderBy("k_types")
+    },
+
+    // INT64-HEADROOM canary — the magnitude-rule table this repo's
+    // operators carry as comments, automated: for every monetary/
+    // measure column an aggregate might sum (lineitem cents, order
+    // cents, event micro-values, doc chars), the live max |value|, its
+    // bit width, and the headroom exponent 62 − bits — the number of
+    // DOUBLINGS of the summand (or of row count under a full-table
+    // SUM, reading sum_bits) left before an int64 aggregate overflows
+    // and the DECIMAL(38,0) switch is mandatory. The canary is how a
+    // 100× scale-up is caught in review instead of production. Scale:
+    // four map-combined single-pass aggs on projected columns.
+    "q467_headroom_canary" -> { (s, d) =>
+      // sum headroom from the n·max UPPER BOUND (bits(max)+bits(n)), not
+      // the live sum — the canary must not itself overflow at the very
+      // scale it warns about
+      def leg(nm: String, df: DataFrame, valueExpr: String) =
+        df.select(expr(valueExpr).as("v"))
+          .agg(count(lit(1)).as("n"), max(expr("abs(v)")).as("mx"))
+          .select(lit(nm).as("column_key"),
+            col("n").cast("long").as("n_rows"),
+            col("mx").cast("long").as("max_abs"),
+            expr("CAST(length(bin(greatest(mx, 1))) AS BIGINT)").as("value_bits"),
+            expr("""CAST(length(bin(greatest(mx, 1)))
+                   | + length(bin(greatest(n, 1))) AS BIGINT)""".stripMargin)
+              .as("sum_bits_bound"),
+            expr("""CAST(62 - length(bin(greatest(mx, 1)))
+                   | - length(bin(greatest(n, 1))) AS BIGINT)""".stripMargin)
+              .as("sum_headroom_doublings"))
+      leg("c1_lineitem_price_cents", Tables.lineitem(s, d),
+          "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .unionByName(leg("c2_orders_total_cents", Tables.orders(s, d),
+          "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .unionByName(leg("c3_event_value_micro", Tables.events(s, d),
+          "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+        .unionByName(leg("c4_doc_chars", Tables.documents(s, d),
+          "CAST(n_chars AS BIGINT)"))
+        .orderBy("column_key")
+    },
+
+    // PEAK-RATE gauge — the fine-grained burst q455/q458 price by the
+    // hour, measured at its true resolution: per event_type, the count
+    // of events inside the trailing 60-second EVENT-TIME window at
+    // every arrival (a RANGE frame over unix micros — O(1) sliding
+    // state, never a self-join), summarized as the peak, the p-max
+    // arrival second, and the mean-over-peak burstiness ratio. This is
+    // the admission-control and provisioning number: a consumer sized
+    // for the MEAN rate underruns by exactly peak/mean. Scale: ONE
+    // per-type RANGE window in arrival order; census map-combined.
+    "q468_peak_rate" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy(col("us"))
+        .rangeBetween(-60000000L + 1, 0)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("win60", count(lit(1)).over(w))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          max(col("win60")).cast("long").as("peak_60s"),
+          min(col("us")).as("us0"), max(col("us")).as("us1"))
+        .withColumn("span_s", expr("greatest((us1 - us0) DIV 1000000, 1)"))
+        .withColumn("mean_per_60s",
+          expr("CAST(n_events * 60 DIV span_s AS BIGINT)"))
+        .withColumn("burst_ratio_ppm", expr(
+          "CAST(peak_60s * 1000000 DIV greatest(mean_per_60s, 1) AS BIGINT)"))
+        .select("event_type", "n_events", "peak_60s", "mean_per_60s",
+          "burst_ratio_ppm")
+        .orderBy("event_type")
     }
   )
 
@@ -6381,6 +6479,71 @@ object Stewardship {
         |  CAST(SUM(k) AS BIGINT) AS n_users,
         |  CAST(SUM(k) * 1000000 // MAX(tot.n_users_total) AS BIGINT)
         |    AS share_ppm
-        |FROM classes CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM classes CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q466_jain_fairness" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    event_type, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |perday AS (
+        |  SELECT day, COUNT(*) AS k, SUM(x) AS sx, SUM(x * x) AS sx2
+        |  FROM daily GROUP BY 1),
+        |j AS (
+        |  SELECT day, k,
+        |    CAST(CAST(sx AS HUGEINT) * sx * 1000000 // (k * sx2) AS BIGINT)
+        |      AS j_ppm
+        |  FROM perday)
+        |SELECT CAST(k AS BIGINT) AS k_types,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(j_ppm) // COUNT(*) AS BIGINT) AS mean_j_ppm,
+        |  CAST(MIN(j_ppm) AS BIGINT) AS worst_j_ppm,
+        |  CAST(MAX(j_ppm) AS BIGINT) AS best_j_ppm,
+        |  CAST(1000000 // k AS BIGINT) AS floor_j_ppm
+        |FROM j GROUP BY k ORDER BY k_types""".stripMargin,
+
+    "q467_headroom_canary" -> {
+      def leg(nm: String, table: String, valueExpr: String) =
+        s"""SELECT '$nm' AS column_key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+           |  CAST(length(bin(GREATEST(MAX(ABS(v)), 1))) AS BIGINT)
+           |    AS value_bits,
+           |  CAST(length(bin(GREATEST(MAX(ABS(v)), 1)))
+           |    + length(bin(GREATEST(COUNT(*), 1))) AS BIGINT)
+           |    AS sum_bits_bound,
+           |  CAST(62 - length(bin(GREATEST(MAX(ABS(v)), 1)))
+           |    - length(bin(GREATEST(COUNT(*), 1))) AS BIGINT)
+           |    AS sum_headroom_doublings
+           |FROM (SELECT $valueExpr AS v FROM $table) z""".stripMargin
+      Seq(
+        leg("c1_lineitem_price_cents", "lineitem",
+          "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        leg("c2_orders_total_cents", "orders",
+          "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        leg("c3_event_value_micro", "events",
+          "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"),
+        leg("c4_doc_chars", "documents", "CAST(n_chars AS BIGINT)"))
+        .mkString("\nUNION ALL\n") + "\nORDER BY column_key"
+    },
+
+    "q468_peak_rate" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |win AS (
+        |  SELECT event_type, us, COUNT(*) OVER (
+        |    PARTITION BY event_type ORDER BY us
+        |    RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS win60
+        |  FROM ev),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_events, MAX(win60) AS peak_60s,
+        |    GREATEST((MAX(us) - MIN(us)) // 1000000, 1) AS span_s
+        |  FROM win GROUP BY 1)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(peak_60s AS BIGINT) AS peak_60s,
+        |  CAST(n_events * 60 // span_s AS BIGINT) AS mean_per_60s,
+        |  CAST(peak_60s * 1000000
+        |    // GREATEST(n_events * 60 // span_s, 1) AS BIGINT)
+        |    AS burst_ratio_ppm
+        |FROM agg ORDER BY event_type""".stripMargin
   )
 }

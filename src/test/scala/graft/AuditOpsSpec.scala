@@ -2014,4 +2014,74 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("hll_raw_est") > 0L)
     }
   }
+
+  // ---- q466 Jain fairness ------------------------------------------------------------
+
+  test("q466 replays the daily Jain index and its 1/k..1 bounds") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)",
+        "event_type").collect().map(r => (r.getLong(0), r.getString(1)))
+    val perDay = ev.groupBy(_._1).map { case (day, es) =>
+      val xs = es.groupBy(_._2).map(_._2.length.toLong).toSeq
+      val j = (BigInt(xs.sum) * xs.sum * 1000000 /
+        (xs.length * xs.map(x => BigInt(x) * x).sum)).toLong
+      (day, xs.length, j)
+    }.toSeq
+    val rows = graft.ops.Stewardship.queries("q466_jain_fairness")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k_types").toInt
+      val js = perDay.filter(_._2 == k).map(_._3)
+      assert(r.getAs[Long]("n_days") == js.length.toLong, s"k=$k")
+      assert(r.getAs[Long]("mean_j_ppm") == js.sum / js.length, s"k=$k mean")
+      assert(r.getAs[Long]("worst_j_ppm") == js.min)
+      assert(r.getAs[Long]("best_j_ppm") == js.max)
+      assert(r.getAs[Long]("worst_j_ppm") >= r.getAs[Long]("floor_j_ppm"))
+      assert(r.getAs[Long]("best_j_ppm") <= 1000000L)
+    }
+  }
+
+  // ---- q467 headroom canary ------------------------------------------------------------
+
+  test("q467 bit arithmetic matches the n-times-max bound") {
+    val rows = graft.ops.Stewardship.queries("q467_headroom_canary")(spark, sf)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val bitsV = 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(r.getAs[Long]("max_abs"), 1L))
+      val bitsN = 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(r.getAs[Long]("n_rows"), 1L))
+      assert(r.getAs[Long]("value_bits") == bitsV.toLong, r.getString(0))
+      assert(r.getAs[Long]("sum_bits_bound") == (bitsV + bitsN).toLong)
+      assert(r.getAs[Long]("sum_headroom_doublings") ==
+        (62 - bitsV - bitsN).toLong)
+    }
+    // at test SFs nothing may be within a doubling of overflow
+    rows.foreach(r => assert(r.getAs[Long]("sum_headroom_doublings") > 1L))
+  }
+
+  // ---- q468 peak rate --------------------------------------------------------------------
+
+  test("q468 replays the trailing-60s peak with a two-pointer mirror") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = graft.ops.Stewardship.queries("q468_peak_rate")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val us = ev.filter(_._1 == t).map(_._2).sorted
+      var (lo, peak) = (0, 0L)
+      us.indices.foreach { hi =>
+        while (us(hi) - us(lo) > 59999999L) lo += 1
+        peak = math.max(peak, (hi - lo + 1).toLong)
+      }
+      assert(r.getAs[Long]("n_events") == us.length.toLong, t)
+      assert(r.getAs[Long]("peak_60s") == peak, s"$t peak")
+      assert(r.getAs[Long]("peak_60s") >= 1L)
+      assert(r.getAs[Long]("burst_ratio_ppm") >= 1000000L ||
+        r.getAs[Long]("mean_per_60s") > r.getAs[Long]("peak_60s"))
+    }
+  }
 }
