@@ -115,6 +115,49 @@ object Curation {
     }.mkString(" + ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EPOCH-SHUFFLE adjacency audit — "is my shuffle actually
+    // shuffling": multi-epoch training orders documents by a per-epoch
+    // hash (md5 of epoch:id — the engine-neutral family); if the
+    // shuffle works, the probability that two docs adjacent in epoch 0
+    // are adjacent again in epoch 1 is ~2/(n−1), and systematic repeats
+    // mean the "shuffle" is aliasing (the classic broken-seed bug that
+    // quietly turns multi-epoch training into repeated batch order).
+    // Per source (orders are built WITHIN source partitions — the
+    // house no-global-sort rule, and how sharded loaders shuffle
+    // anyway): adjacent-pair repeat count, floor-ppm rate, and the
+    // 2·10⁶/(n−1) expectation to compare against. Scale: two
+    // partitioned rank windows + one fixed-width pair join.
+    "q469_epoch_shuffle" -> { (s, d) =>
+      def ranked(epoch: Int) = {
+        val w = Window.partitionBy("source")
+          .orderBy(s"h$epoch", "doc_id")
+        Tables.documents(s, d).select(col("source"), col("doc_id"),
+            Dedup.neutralHash32(concat(lit(s"epoch$epoch:"),
+              col("doc_id").cast("string"))).as(s"h$epoch"))
+          .withColumn("rk", row_number().over(w))
+      }
+      def pairs(epoch: Int) = {
+        val r = ranked(epoch)
+        r.select(col("source"), col("doc_id").as("a"), col("rk"))
+          .join(r.select(col("source"), col("doc_id").as("b"),
+            (col("rk") - 1).as("rk")), Seq("source", "rk"))
+          .select(col("source"), least(col("a"), col("b")).as("lo"),
+            greatest(col("a"), col("b")).as("hi"))
+      }
+      val rep = pairs(0).join(pairs(1), Seq("source", "lo", "hi"))
+        .groupBy("source").agg(count(lit(1)).as("n_repeats"))
+      Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .join(rep, Seq("source"), "left")
+        .withColumn("n_repeats",
+          coalesce(col("n_repeats"), lit(0L)).cast("long"))
+        .withColumn("repeat_ppm", expr(
+          "CAST(n_repeats * 1000000 DIV greatest(n_docs - 1, 1) AS BIGINT)"))
+        .withColumn("expected_ppm",
+          expr("CAST(2000000 DIV greatest(n_docs - 1, 1) AS BIGINT)"))
+        .orderBy("source")
+    },
+
     // Z-order (Morton) clustering + zone-map pruning audit — the
     // lakehouse write-layout op: interleaving the bits of two filter
     // dimensions gives files whose min/max zone maps prune on BOTH
@@ -988,6 +1031,34 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "q469_epoch_shuffle" -> {
+      def ranks(e: Int) =
+        s"""r$e AS (
+           |  SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source ORDER BY
+           |      ('0x' || substr(md5('epoch$e:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+           |      doc_id) AS rk
+           |  FROM documents),
+           |p$e AS (
+           |  SELECT a.source, LEAST(a.doc_id, b.doc_id) AS lo,
+           |    GREATEST(a.doc_id, b.doc_id) AS hi
+           |  FROM r$e a JOIN r$e b
+           |    ON a.source = b.source AND b.rk = a.rk + 1)""".stripMargin
+      s"""WITH ${ranks(0)},
+        |${ranks(1)},
+        |rep AS (
+        |  SELECT p0.source, COUNT(*) AS n_repeats
+        |  FROM p0 JOIN p1 USING (source, lo, hi) GROUP BY 1),
+        |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT t.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(n_repeats, 0) AS BIGINT) AS n_repeats,
+        |  CAST(COALESCE(n_repeats, 0) * 1000000
+        |    // GREATEST(n_docs - 1, 1) AS BIGINT) AS repeat_ppm,
+        |  CAST(2000000 // GREATEST(n_docs - 1, 1) AS BIGINT) AS expected_ppm
+        |FROM tot t LEFT JOIN rep ON rep.source = t.source
+        |ORDER BY t.source""".stripMargin
+    },
+
     "q141_zorder_zonemap" ->
       s"""WITH ev AS (
         |  SELECT user_id,

@@ -140,6 +140,34 @@ object TextAnalysis {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CODE-vs-PROSE detector — the corpus-composition gate every
+    // pretraining mix needs (code routes to a different tokenizer
+    // budget and dedup policy than prose): per document, the density of
+    // code-signature characters (;{}()[]=<># — near-absent in prose,
+    // structural in code) in floor-ppm of chars; a doc at ≥ 30000 ppm
+    // (3%) flags as code. Per source: doc mass, flagged count and
+    // share, and the mean density. The shipped corpus is prose, so the
+    // detector must stay QUIET here — the injected-fixture spec (q310
+    // convention) plants code-shaped docs and requires it to FIRE.
+    // Scale: one regexp per doc inside codegen; census map-combined.
+    "q470_code_detector" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_sym", expr(
+          """length(text) - length(regexp_replace(text,
+            | '[;{}\\(\\)\\[\\]=<>#]', ''))""".stripMargin))
+        .withColumn("sym_ppm", expr(
+          "CAST(n_sym * 1000000 DIV greatest(length(text), 1) AS BIGINT)"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("sym_ppm") >= 30000L, 1L).otherwise(0L)).cast("long")
+            .as("n_code"),
+          expr("CAST(sum(sym_ppm) DIV count(1) AS BIGINT)")
+            .as("mean_sym_ppm"))
+        .withColumn("code_ppm",
+          expr("CAST(n_code * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
     // BM25-lite retrieval scoring — query-scored corpus search, the IR
     // primitive q31's tf-idf (per-doc top term) does not cover: given
     // query terms, rank documents by tf·idf with the BM25 length
@@ -795,6 +823,21 @@ object TextAnalysis {
        |picked AS (SELECT DISTINCT doc_id, i, h FROM wins WHERE rn = 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q470_code_detector" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST((length(text) - length(regexp_replace(text,
+        |      '[;{}\(\)\[\]=<>#]', '', 'g'))) * 1000000
+        |      // GREATEST(length(text), 1) AS BIGINT) AS sym_ppm
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN sym_ppm >= 30000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_code,
+        |  CAST(SUM(sym_ppm) // COUNT(*) AS BIGINT) AS mean_sym_ppm,
+        |  CAST(SUM(CASE WHEN sym_ppm >= 30000 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS code_ppm
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q422_char_repeat_rate" ->
       """WITH tri AS (
         |  SELECT source, substr(text, CAST(g.i AS INT), 3) AS tri

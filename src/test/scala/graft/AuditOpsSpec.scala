@@ -2084,4 +2084,56 @@ class AuditOpsSpec extends AnyFunSuite {
         r.getAs[Long]("mean_per_60s") > r.getAs[Long]("peak_60s"))
     }
   }
+
+  // ---- q469 epoch shuffle ---------------------------------------------------------
+
+  test("q469 replays the adjacency-repeat census across two epoch orders") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def order(e: Int, ids: Seq[Long]): Seq[Long] =
+      ids.sortBy(id => (java.lang.Long.parseLong(
+        md5hex(s"epoch$e:$id").take(8), 16), id))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val ids = ds.map(_._2).toSeq
+      def pairs(e: Int) = {
+        val o = order(e, ids)
+        o.zip(o.tail).map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .toSet
+      }
+      src -> ((ids.length.toLong, (pairs(0) intersect pairs(1)).size.toLong))
+    }
+    val rows = graft.ops.Curation.queries("q469_epoch_shuffle")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (n, rep) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == n, r.getString(0))
+      assert(r.getAs[Long]("n_repeats") == rep, r.getString(0))
+      assert(r.getAs[Long]("repeat_ppm") ==
+        rep * 1000000L / math.max(n - 1, 1L))
+    }
+  }
+
+  // ---- q470 code detector -----------------------------------------------------------
+
+  test("q470 stays quiet on the prose corpus and fires on planted code") {
+    val quiet = graft.ops.TextAnalysis.queries("q470_code_detector")(spark, sf)
+      .collect()
+    assert(quiet.nonEmpty)
+    quiet.foreach(r => assert(r.getAs[Long]("code_ppm") == 0L,
+      s"${r.getString(0)} must not flag prose as code"))
+    // planted fixture: two code-shaped docs + one prose doc per source
+    val dir = writeDocs(Seq(
+      doc(1, "def f(x) { return g[x] <= h(x); } // #1 y = (a < b);", "en", "s1"),
+      doc(2, "for (i = 0; i < n; i++) { acc[i] = f(i) > 0 ? x : y; }", "en", "s1"),
+      doc(3, "plain prose text with ordinary words and no markup at all", "en", "s1")))
+    val fired = graft.ops.TextAnalysis.queries("q470_code_detector")(spark, dir)
+      .collect()
+    assert(fired.length == 1)
+    assert(fired.head.getAs[Long]("n_docs") == 3L)
+    assert(fired.head.getAs[Long]("n_code") == 2L,
+      "both planted code docs must flag")
+    assert(fired.head.getAs[Long]("code_ppm") == 666666L)
+  }
 }
