@@ -115,6 +115,44 @@ object Curation {
     }.mkString(" + ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SAMPLING-BIAS audit — the foundation under every sampled audit
+    // leg in this engine (q28/q41/q180's bounded sweeps, q97's encode
+    // sample, q142's bootstrap): is a doc_id-HASH sample exchangeable
+    // with the full population? Per source, the EXACT two-sample KS
+    // distance (F192's step-CDF machinery) between the 1-in-16
+    // neutral-hash sample's length distribution and the full corpus's,
+    // in cross-multiplied floor-ppm (DECIMAL(38,0) products). A biased
+    // hash here would quietly tilt every sampled estimate; the number
+    // should sit at the √n noise floor. Scale: one map-combined
+    // (source, value, leg) census + per-source cumulative windows over
+    // the bounded distinct-length grid.
+    "q471_sampling_bias" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(col("source"),
+          col("n_chars").as("v"),
+          (Dedup.neutralHash32(concat(lit("samp:"),
+            col("doc_id").cast("string"))) % 16 === 0).as("in_samp"))
+      val per = base.groupBy("source", "v")
+        .agg(count(lit(1)).as("nf"),
+          sum(when(col("in_samp"), 1L).otherwise(0L)).as("ns"))
+      val tot = per.groupBy("source")
+        .agg(sum(col("nf")).as("tf"), sum(col("ns")).as("ts_"))
+      val w = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("cf", sum(col("nf")).over(w))
+        .withColumn("cs", sum(col("ns")).over(w))
+        .join(tot, "source")
+        .withColumn("d_ppm", expr(
+          """CAST(abs(CAST(cs AS DECIMAL(38,0)) * tf
+            | - CAST(cf AS DECIMAL(38,0)) * ts_) * 1000000
+            | DIV (CAST(tf AS DECIMAL(38,0)) * greatest(ts_, 1)) AS BIGINT)"""
+            .stripMargin))
+        .groupBy("source")
+        .agg(max(col("tf")).cast("long").as("n_full"),
+          max(col("ts_")).cast("long").as("n_sample"),
+          max(col("d_ppm")).cast("long").as("ks_ppm"))
+        .orderBy("source")
+    },
+
     // EPOCH-SHUFFLE adjacency audit — "is my shuffle actually
     // shuffling": multi-epoch training orders documents by a per-epoch
     // hash (md5 of epoch:id — the engine-neutral family); if the
@@ -1031,6 +1069,36 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "q471_sampling_bias" ->
+      """WITH base AS (
+        |  SELECT source, n_chars AS v,
+        |    ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 16 = 0 AS in_samp
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, v, COUNT(*) AS nf,
+        |    SUM(CASE WHEN in_samp THEN 1 ELSE 0 END) AS ns
+        |  FROM base GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(nf) AS tf, SUM(ns) AS ts_
+        |        FROM per GROUP BY 1),
+        |cum AS (
+        |  SELECT source, v, nf, ns,
+        |    SUM(nf) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+        |    SUM(ns) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM per),
+        |d AS (
+        |  SELECT c.source, t.tf, t.ts_,
+        |    CAST(ABS(CAST(cs AS HUGEINT) * tf - CAST(cf AS HUGEINT) * ts_)
+        |      * 1000000 // (CAST(tf AS HUGEINT) * GREATEST(ts_, 1))
+        |      AS BIGINT) AS d_ppm
+        |  FROM cum c JOIN tot t USING (source))
+        |SELECT source, CAST(MAX(tf) AS BIGINT) AS n_full,
+        |  CAST(MAX(ts_) AS BIGINT) AS n_sample,
+        |  CAST(MAX(d_ppm) AS BIGINT) AS ks_ppm
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q469_epoch_shuffle" -> {
       def ranks(e: Int) =
         s"""r$e AS (

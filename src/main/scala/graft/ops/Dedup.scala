@@ -786,6 +786,31 @@ object Dedup {
         .orderBy("cluster_size")
     },
 
+    // LSH PARAMETER PLANNER — the DESIGN-time sibling of q424's
+    // measured S-curve: for every factorization r·b = 16 of the
+    // signature and candidate thresholds τ ∈ {0.5, 0.7, 0.9}, the
+    // analytic capture probability 1 − (1 − τ^r)^b, computed as
+    // floor-rescaled ppm multiply chains (x ← x·τ DIV 10⁶ — identical
+    // deterministic arithmetic on both engines; see [[lshPowChain]]),
+    // with the ≥ 90%-recall verdict. The planner says (4, 4) holds the
+    // knee this engine ships; q424 then MEASURES that same curve on the
+    // live corpus — design and calibration as two oracle-checked
+    // tables. Scale: pure grid arithmetic on a 15-row broadcast frame.
+    "q472_lsh_param_planner" -> { (s, d) =>
+      val taus = s.range(3)
+        .select(expr("CAST(element_at(array(500000, 700000, 900000), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("tau_ppm"))
+      val legs = LshPlans.map { case (r, b) =>
+        val recall = lshRecallExpr(r, b, "DIV")
+        taus.select(col("tau_ppm"), lit(r.toLong).as("rows_r"),
+          lit(b.toLong).as("bands_b"),
+          expr(s"CAST($recall AS BIGINT)").as("recall_ppm"))
+      }
+      legs.reduce(_.unionByName(_))
+        .withColumn("meets_90", col("recall_ppm") >= 900000L)
+        .orderBy("tau_ppm", "rows_r")
+    },
+
     // HASH-AVALANCHE audit — the pipeline's trust anchor measured:
     // every dedup fingerprint, split assignment, salt, and band bucket
     // rides the ONE engine-neutral md5-derived hash (neutralHash32);
@@ -1396,6 +1421,24 @@ object Dedup {
   private val ClusterLabelsSql: String =
     chainCtes(LshStages ++ ClusterStages)
 
+  /** q472's (rows, bands) factorizations of the 16-hash signature. */
+  private[graft] val LshPlans: Seq[(Int, Int)] =
+    Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** Floor-rescaled ppm power chain: x^k with x ← x·base DIV 10⁶ at
+    * every step — the SAME literal arithmetic interpolated into both
+    * engines' SQL (pass "DIV" or "//"), so the planner's probabilities
+    * cannot drift between them. */
+  private def lshPowChain(base: String, k: Int, div: String): String =
+    (1 until k).foldLeft(base)((acc, _) => s"($acc * $base $div 1000000)")
+
+  /** 1 − (1 − τ^r)^b in the chain arithmetic above. */
+  private[graft] def lshRecallExpr(r: Int, b: Int, div: String): String = {
+    val tr = lshPowChain("tau_ppm", r, div)
+    val miss = lshPowChain(s"(1000000 - $tr)", b, div)
+    s"1000000 - $miss"
+  }
+
   /** Shared oracle prefixes for the cached-CTE compare harness:
     * (key, exact chained-prefix text, ordered stages). Longest prefix
     * FIRST so a harness matching top-down picks the most specific one.
@@ -1664,6 +1707,24 @@ object Dedup {
         |  COUNT(DISTINCT split) > 1 AS leaky,
         |  ${splitCaseSql("label")} AS cluster_split
         |FROM sp GROUP BY label ORDER BY cluster_id""".stripMargin),
+
+    "q472_lsh_param_planner" -> {
+      val legs = LshPlans.map { case (r, b) =>
+        s"""SELECT tau_ppm, CAST($r AS BIGINT) AS rows_r,
+           |  CAST($b AS BIGINT) AS bands_b,
+           |  CAST(${lshRecallExpr(r, b, "//")} AS BIGINT) AS recall_ppm
+           |FROM taus""".stripMargin
+      }
+      """WITH taus AS (
+        |  SELECT CAST(t.t AS BIGINT) AS tau_ppm
+        |  FROM UNNEST([500000, 700000, 900000]) AS t(t)),
+        |legs AS (
+        |""".stripMargin + legs.mkString("\nUNION ALL\n") + """
+        |)
+        |SELECT tau_ppm, rows_r, bands_b, recall_ppm,
+        |  recall_ppm >= 900000 AS meets_90
+        |FROM legs ORDER BY tau_ppm, rows_r""".stripMargin
+    },
 
     "q463_hash_avalanche" ->
       """WITH hx AS (

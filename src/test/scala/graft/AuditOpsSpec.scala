@@ -2136,4 +2136,63 @@ class AuditOpsSpec extends AnyFunSuite {
       "both planted code docs must flag")
     assert(fired.head.getAs[Long]("code_ppm") == 666666L)
   }
+
+  // ---- q471 sampling bias ------------------------------------------------------------
+
+  test("q471 replays the exact sample-vs-full KS distance per source") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = graft.ops.Curation.queries("q471_sampling_bias")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ds = docs.filter(_._1 == src)
+      val samp = ds.filter(d => java.lang.Long.parseLong(
+        md5hex(s"samp:${d._2}").take(8), 16) % 16 == 0)
+      val values = ds.map(_._3).distinct.sorted
+      val (tf, ts) = (ds.length.toLong, samp.length.toLong)
+      val d = values.map { v =>
+        val cf = ds.count(_._3 <= v).toLong
+        val cs = samp.count(_._3 <= v).toLong
+        ((BigInt(cs) * tf - BigInt(cf) * ts).abs * 1000000 /
+          (BigInt(tf) * ts.max(1L))).toLong
+      }.max
+      assert(r.getAs[Long]("n_full") == tf, src)
+      assert(r.getAs[Long]("n_sample") == ts, src)
+      assert(r.getAs[Long]("ks_ppm") == d, s"$src KS")
+    }
+  }
+
+  // ---- q472 LSH parameter planner -----------------------------------------------------
+
+  test("q472 replays the banding probability chains and their shape laws") {
+    val rows = graft.ops.Dedup.queries("q472_lsh_param_planner")(spark, sf)
+      .collect()
+    assert(rows.length == 15)
+    def chainPow(x0: Long, base: Long, k: Int): Long =
+      (1 until k).foldLeft(x0)((x, _) => x * base / 1000000L)
+    rows.foreach { r =>
+      val (tau, rr, b) = (r.getAs[Long]("tau_ppm"),
+        r.getAs[Long]("rows_r").toInt, r.getAs[Long]("bands_b").toInt)
+      val tr = chainPow(tau, tau, rr)
+      val miss = chainPow(1000000L - tr, 1000000L - tr, b)
+      assert(r.getAs[Long]("recall_ppm") == 1000000L - miss,
+        s"tau=$tau r=$rr b=$b")
+      assert(r.getAs[Boolean]("meets_90") ==
+        (r.getAs[Long]("recall_ppm") >= 900000L))
+    }
+    // at fixed signature size, recall falls as rows-per-band grows
+    rows.groupBy(_.getAs[Long]("tau_ppm")).foreach { case (tau, rs) =>
+      val byR = rs.sortBy(_.getAs[Long]("rows_r"))
+        .map(_.getAs[Long]("recall_ppm"))
+      assert(byR.zip(byR.tail).forall { case (a, b) => a >= b },
+        s"tau=$tau recall must be non-increasing in r")
+    }
+    // the shipped (4, 4) plan must capture dedup-grade pairs
+    val ship = rows.find(r => r.getAs[Long]("rows_r") == 4L &&
+      r.getAs[Long]("tau_ppm") == 900000L).get
+    assert(ship.getAs[Boolean]("meets_90"),
+      "(4,4) at tau=0.9 is the plan this engine ships — it must pass")
+  }
 }
