@@ -3883,6 +3883,122 @@ object Stewardship {
         .orderBy("column_key")
     },
 
+    // PREDICATE-ORDER advisor — the conjunctive-filter evaluation-order
+    // decision (vectorized engines pay per row EXAMINED per predicate):
+    // three lineitem predicates' full 2³ joint cell census in ONE pass,
+    // then every one of the 6 evaluation orders priced exactly — cost =
+    // rows examined = N + surv(first) + surv(first two). Greedy
+    // marginal-selectivity ordering is optimal only under independence;
+    // this table prices the TRUE joint distribution, so correlated
+    // predicates (the q452 lesson) surface as a greedy-vs-optimal rank
+    // gap. Scale: one map-combined 8-cell census; the 6-permutation
+    // pricing and 6×6 rank are broadcast grid algebra.
+    "q473_predicate_order" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_quantity"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val st = li.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        .withColumn("t", expr("lo + (hi - lo + 1) DIV 4"))
+      val cells = li.crossJoin(broadcast(st))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L).as("p1"),
+          when(col("l_quantity") < 25, 1L).otherwise(0L).as("p2"),
+          when(col("cents") < col("t"), 1L).otherwise(0L).as("p3"))
+        .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("c"))
+      // survivals of every predicate subset from the 8-cell census —
+      // shared-persisted: six permutation legs read this ONE row
+      val sv = Caches.shared(cells.agg(sum(col("c")).as("n"),
+        sum(expr("c * p1")).as("s1"), sum(expr("c * p2")).as("s2"),
+        sum(expr("c * p3")).as("s3"),
+        sum(expr("c * p1 * p2")).as("s12"),
+        sum(expr("c * p1 * p3")).as("s13"),
+        sum(expr("c * p2 * p3")).as("s23"),
+        sum(expr("c * p1 * p2 * p3")).as("s123")))
+      def perm(nm: String, first: String, firstTwo: String) =
+        sv.select(lit(nm).as("eval_order"),
+          col("n").cast("long").as("stage1_rows"),
+          col(first).cast("long").as("stage2_rows"),
+          col(firstTwo).cast("long").as("stage3_rows"),
+          expr(s"CAST(n + $first + $firstTwo AS BIGINT)").as("cost_rows"),
+          col("s123").cast("long").as("out_rows"))
+      val plans = perm("o1_p1_p2_p3", "s1", "s12")
+        .unionByName(perm("o2_p1_p3_p2", "s1", "s13"))
+        .unionByName(perm("o3_p2_p1_p3", "s2", "s12"))
+        .unionByName(perm("o4_p2_p3_p1", "s2", "s23"))
+        .unionByName(perm("o5_p3_p1_p2", "s3", "s13"))
+        .unionByName(perm("o6_p3_p2_p1", "s3", "s23"))
+      plans.crossJoin(broadcast(plans.select(col("eval_order").as("o2"),
+          col("cost_rows").as("c2"))))
+        .groupBy("eval_order", "stage1_rows", "stage2_rows", "stage3_rows",
+          "cost_rows", "out_rows")
+        .agg((sum(when(col("c2") < col("cost_rows") ||
+          (col("c2") === col("cost_rows") && col("o2") < col("eval_order")),
+          1L).otherwise(0L)) + 1L).cast("long").as("cost_rank"))
+        .orderBy("eval_order")
+    },
+
+    // ANOMALY-CONSENSUS disposition — the on-call integration view
+    // (q160's role for the anomaly family): per (event_type, day) on
+    // the zero-filled grid, three INDEPENDENT detector votes — robust
+    // MAD (|n − median| > 3·MAD, the q344 rule), RECORD day (strictly
+    // above every prior day, q383's statistic), and BURST (n > 2× the
+    // trailing-7-day mean, integer cross-multiplied, needing ≥ 3 prior
+    // days) — folded to the per-type consensus census: how many days
+    // each detector flags alone vs how many carry 2+ and 3 votes. A
+    // single-detector day is review noise; a 3-vote day is an incident.
+    // Scale: per-type windows over the bounded day grid; median/MAD by
+    // explicit rank selection (house convention).
+    "q474_anomaly_consensus" -> { (s, d) =>
+      val daily0 = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val span = daily0.groupBy("event_type")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val daily = Caches.shared(span
+        .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day"))
+        .join(daily0, Seq("event_type", "day"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L))))
+      val wCnt = Window.partitionBy("event_type")
+      val wOrd = Window.partitionBy("event_type").orderBy("n", "day")
+      val med = daily.withColumn("nd", count(lit(1)).over(wCnt))
+        .withColumn("rk", row_number().over(wOrd))
+        .filter(expr("rk = (nd + 1) DIV 2"))
+        .select(col("event_type"), col("n").as("med"))
+      val wDev = Window.partitionBy("event_type").orderBy("dev", "day")
+      val mad = daily.join(med, "event_type")
+        .withColumn("dev", expr("abs(n - med)"))
+        .withColumn("nd", count(lit(1)).over(wCnt))
+        .withColumn("rk", row_number().over(wDev))
+        .filter(expr("rk = (nd + 1) DIV 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      val wPrev = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val votes = daily.join(med, "event_type").join(mad, "event_type")
+        .withColumn("prev_max", max(col("n")).over(wPrev))
+        .withColumn("t7_sum", sum(col("n")).over(w7))
+        .withColumn("t7_n", count(lit(1)).over(w7))
+        .withColumn("v_mad",
+          when(expr("abs(n - med) > 3 * mad"), 1L).otherwise(0L))
+        .withColumn("v_record", when(col("prev_max").isNotNull &&
+          col("n") > col("prev_max"), 1L).otherwise(0L))
+        .withColumn("v_burst", when(expr("t7_n >= 3 AND n * t7_n > 2 * t7_sum"),
+          1L).otherwise(0L))
+        .withColumn("votes", expr("v_mad + v_record + v_burst"))
+      votes.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("v_mad")).cast("long").as("n_mad"),
+          sum(col("v_record")).cast("long").as("n_record"),
+          sum(col("v_burst")).cast("long").as("n_burst"),
+          sum(when(col("votes") >= 2, 1L).otherwise(0L)).cast("long")
+            .as("n_consensus2"),
+          sum(when(col("votes") === 3, 1L).otherwise(0L)).cast("long")
+            .as("n_consensus3"))
+        .orderBy("event_type")
+    },
+
     // PEAK-RATE gauge — the fine-grained burst q455/q458 price by the
     // hour, measured at its true resolution: per event_type, the count
     // of events inside the trailing 60-second EVENT-TIME window at
@@ -6525,6 +6641,111 @@ object Stewardship {
         leg("c4_doc_chars", "documents", "CAST(n_chars AS BIGINT)"))
         .mkString("\nUNION ALL\n") + "\nORDER BY column_key"
     },
+
+    "q473_predicate_order" -> {
+      def perm(nm: String, first: String, firstTwo: String) =
+        s"""SELECT '$nm' AS eval_order, n AS stage1_rows,
+           |  $first AS stage2_rows, $firstTwo AS stage3_rows,
+           |  n + $first + $firstTwo AS cost_rows, s123 AS out_rows
+           |FROM sv""".stripMargin
+      """WITH li AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |st AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+        |         MIN(cents) + (MAX(cents) - MIN(cents) + 1) // 4 AS t
+        |       FROM li),
+        |cells AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p1,
+        |    CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END AS p2,
+        |    CASE WHEN cents < st.t THEN 1 ELSE 0 END AS p3,
+        |    COUNT(*) AS c
+        |  FROM li CROSS JOIN st GROUP BY 1, 2, 3),
+        |sv AS (
+        |  SELECT SUM(c) AS n, SUM(c * p1) AS s1, SUM(c * p2) AS s2,
+        |    SUM(c * p3) AS s3, SUM(c * p1 * p2) AS s12,
+        |    SUM(c * p1 * p3) AS s13, SUM(c * p2 * p3) AS s23,
+        |    SUM(c * p1 * p2 * p3) AS s123
+        |  FROM cells),
+        |plans AS (
+        |""".stripMargin +
+        Seq(perm("o1_p1_p2_p3", "s1", "s12"), perm("o2_p1_p3_p2", "s1", "s13"),
+          perm("o3_p2_p1_p3", "s2", "s12"), perm("o4_p2_p3_p1", "s2", "s23"),
+          perm("o5_p3_p1_p2", "s3", "s13"), perm("o6_p3_p2_p1", "s3", "s23"))
+          .mkString("\nUNION ALL\n") + """
+        |)
+        |SELECT p.eval_order, CAST(p.stage1_rows AS BIGINT) AS stage1_rows,
+        |  CAST(p.stage2_rows AS BIGINT) AS stage2_rows,
+        |  CAST(p.stage3_rows AS BIGINT) AS stage3_rows,
+        |  CAST(p.cost_rows AS BIGINT) AS cost_rows,
+        |  CAST(p.out_rows AS BIGINT) AS out_rows,
+        |  CAST((SELECT COUNT(*) FROM plans q
+        |        WHERE q.cost_rows < p.cost_rows
+        |           OR (q.cost_rows = p.cost_rows
+        |               AND q.eval_order < p.eval_order)) + 1 AS BIGINT)
+        |    AS cost_rank
+        |FROM plans p ORDER BY p.eval_order""".stripMargin
+    },
+
+    "q474_anomaly_consensus" ->
+      """WITH daily0 AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+        |         FROM daily0 GROUP BY 1),
+        |grid AS (
+        |  SELECT s.event_type, g.day FROM span s,
+        |    UNNEST(generate_series(s.lo, s.hi)) AS g(day)),
+        |daily AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+        |  FROM grid g LEFT JOIN daily0 d
+        |    ON d.event_type = g.event_type AND d.day = g.day),
+        |cnts AS (SELECT event_type, COUNT(*) AS nd FROM daily GROUP BY 1),
+        |medr AS (
+        |  SELECT event_type, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY n, day) AS rk
+        |  FROM daily),
+        |med AS (
+        |  SELECT m.event_type, m.n AS med FROM medr m JOIN cnts c
+        |    USING (event_type) WHERE m.rk = (c.nd + 1) // 2),
+        |devr AS (
+        |  SELECT d.event_type, ABS(d.n - med.med) AS dev, d.day,
+        |    row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY ABS(d.n - med.med), d.day) AS rk
+        |  FROM daily d JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT m.event_type, m.dev AS mad FROM devr m JOIN cnts c
+        |    USING (event_type) WHERE m.rk = (c.nd + 1) // 2),
+        |pm AS (
+        |  SELECT event_type, day, n,
+        |    MAX(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS t7_sum,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS t7_n
+        |  FROM daily),
+        |votes AS (
+        |  SELECT pm.event_type,
+        |    CASE WHEN ABS(pm.n - med.med) > 3 * mad.mad THEN 1 ELSE 0 END
+        |      AS v_mad,
+        |    CASE WHEN pm.prev_max IS NOT NULL AND pm.n > pm.prev_max
+        |         THEN 1 ELSE 0 END AS v_record,
+        |    CASE WHEN pm.t7_n >= 3 AND pm.n * pm.t7_n > 2 * pm.t7_sum
+        |         THEN 1 ELSE 0 END AS v_burst
+        |  FROM pm JOIN med USING (event_type) JOIN mad USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(v_mad) AS BIGINT) AS n_mad,
+        |  CAST(SUM(v_record) AS BIGINT) AS n_record,
+        |  CAST(SUM(v_burst) AS BIGINT) AS n_burst,
+        |  CAST(SUM(CASE WHEN v_mad + v_record + v_burst >= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_consensus2,
+        |  CAST(SUM(CASE WHEN v_mad + v_record + v_burst = 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_consensus3
+        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q468_peak_rate" ->
       """WITH ev AS (

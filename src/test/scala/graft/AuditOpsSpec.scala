@@ -2195,4 +2195,73 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(ship.getAs[Boolean]("meets_90"),
       "(4,4) at tau=0.9 is the plan this engine ships — it must pass")
   }
+
+  // ---- q473 predicate order ------------------------------------------------------------
+
+  test("q473 replays the joint-cell costs; ranks are a permutation") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (lo, hi) = (li.map(_._3).min, li.map(_._3).max)
+    val t = lo + (hi - lo + 1) / 4
+    def s(is: Int*) = li.count { x =>
+      val f = Seq(x._1 == "R", x._2 < 25, x._3 < t)
+      is.forall(f)
+    }.toLong
+    val n = li.length.toLong
+    val expected = Map(
+      "o1_p1_p2_p3" -> (n + s(0) + s(0, 1)), "o2_p1_p3_p2" -> (n + s(0) + s(0, 2)),
+      "o3_p2_p1_p3" -> (n + s(1) + s(0, 1)), "o4_p2_p3_p1" -> (n + s(1) + s(1, 2)),
+      "o5_p3_p1_p2" -> (n + s(2) + s(0, 2)), "o6_p3_p2_p1" -> (n + s(2) + s(1, 2)))
+    val rows = graft.ops.Stewardship.queries("q473_predicate_order")(spark, sf)
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cost_rows") == expected(r.getString(0)),
+        r.getString(0))
+      assert(r.getAs[Long]("out_rows") == s(0, 1, 2))
+      assert(r.getAs[Long]("stage1_rows") == n)
+    }
+    assert(rows.map(_.getAs[Long]("cost_rank")).sorted.toSeq ==
+      (1L to 6L).toSeq)
+  }
+
+  // ---- q474 anomaly consensus -------------------------------------------------------------
+
+  test("q474 replays the three detector votes on the zero-filled grid") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(unix_micros(ts) div 86400000000 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = graft.ops.Stewardship.queries("q474_anomaly_consensus")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val hs = ev.filter(_._1 == tpe).map(_._2)
+      val (lo, hi) = (hs.min, hs.max)
+      val counts = hs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val ns = (lo to hi).map(dd => counts.getOrElse(dd, 0L))
+      def rankMid(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      val med = rankMid(ns)
+      val mad = rankMid(ns.map(x => math.abs(x - med)))
+      var (nm, nr, nb, c2, c3) = (0L, 0L, 0L, 0L, 0L)
+      ns.indices.foreach { i =>
+        val x = ns(i)
+        val vMad = if (math.abs(x - med) > 3 * mad) 1 else 0
+        val vRec = if (i > 0 && x > ns.take(i).max) 1 else 0
+        val w = ns.slice(math.max(0, i - 7), i)
+        val vBur = if (w.length >= 3 && x * w.length > 2 * w.sum) 1 else 0
+        nm += vMad; nr += vRec; nb += vBur
+        val v = vMad + vRec + vBur
+        if (v >= 2) c2 += 1
+        if (v == 3) c3 += 1
+      }
+      assert(r.getAs[Long]("n_days") == (hi - lo + 1), tpe)
+      assert(r.getAs[Long]("n_mad") == nm, s"$tpe mad")
+      assert(r.getAs[Long]("n_record") == nr, s"$tpe record")
+      assert(r.getAs[Long]("n_burst") == nb, s"$tpe burst")
+      assert(r.getAs[Long]("n_consensus2") == c2)
+      assert(r.getAs[Long]("n_consensus3") == c3)
+    }
+  }
 }
