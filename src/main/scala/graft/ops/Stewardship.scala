@@ -3883,6 +3883,76 @@ object Stewardship {
         .orderBy("column_key")
     },
 
+    // RUNTIME-FILTER (semi-join pushdown / DPP) benefit table — what a
+    // dimension filter is WORTH when pushed across the joins: for each
+    // customer market segment, the orders rows a runtime filter admits
+    // (vs the full probe side) and the lineitem rows one hop deeper,
+    // with floor-ppm reductions at both hops. This is the measured
+    // justification for Spark's runtime row-group filters and dynamic
+    // partition pruning: the fact-side scan shrinks by exactly these
+    // ppm BEFORE the join executes. Scale: one semi-join count per hop
+    // (the filter side is dimension-sized and broadcastable); the
+    // segment grid is bounded by the domain.
+    "q475_runtime_filter" -> { (s, d) =>
+      val seg = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("segment"), col("c_custkey").as("ck"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"))
+      val tot = o.agg(count(lit(1)).as("n_orders"))
+        .crossJoin(li.agg(count(lit(1)).as("n_lines")))
+      val oSeg = o.join(seg, "ck").groupBy("segment")
+        .agg(count(lit(1)).as("orders_admitted"))
+      val liSeg = li.join(o, "ok").join(seg, "ck").groupBy("segment")
+        .agg(count(lit(1)).as("lines_admitted"))
+      oSeg.join(liSeg, "segment").crossJoin(broadcast(tot))
+        .select(col("segment"),
+          col("n_orders").cast("long").as("n_orders"),
+          col("orders_admitted").cast("long").as("orders_admitted"),
+          expr("CAST(orders_admitted * 1000000 DIV n_orders AS BIGINT)")
+            .as("orders_admit_ppm"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("lines_admitted").cast("long").as("lines_admitted"),
+          expr("CAST(lines_admitted * 1000000 DIV n_lines AS BIGINT)")
+            .as("lines_admit_ppm"))
+        .orderBy("segment")
+    },
+
+    // AGG-SPILL forecaster — will a groupBy's hash table fit? For the
+    // two real aggregation keys (events by user, lineitem by partkey)
+    // and reducer counts P ∈ {32, 256}, route every key by the neutral
+    // hash % P and measure the BIGGEST reducer's key count and row
+    // count exactly, priced at 64 B/entry against a 64 MiB per-task
+    // hash-table budget — the fits/spills verdict AQE's coalescing and
+    // q446's byte sizing do not see (they size by ROWS; a hash AGG
+    // sizes by KEYS). Scale: one map-combined per-key count per leg;
+    // the P routing is arithmetic on the key census, never the rows.
+    "q476_agg_spill_forecast" -> { (s, d) =>
+      def leg(nm: String, df: DataFrame, key: String) = {
+        val perKey = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+          .select(Dedup.neutralHash32(col("k").cast("string")).as("h"),
+            col("cnt"))
+        val ps = perKey.sparkSession.range(2)
+          .select(expr("CAST(element_at(array(32, 256), CAST(id AS INT) + 1) AS BIGINT)")
+            .as("p"))
+        perKey.crossJoin(broadcast(ps))
+          .groupBy(col("p"), expr("h % p").as("reducer"))
+          .agg(count(lit(1)).as("keys_"), sum(col("cnt")).as("rows_"))
+          .groupBy("p")
+          .agg(sum(col("keys_")).cast("long").as("n_keys"),
+            max(col("keys_")).cast("long").as("max_reducer_keys"),
+            max(col("rows_")).cast("long").as("max_reducer_rows"))
+          .select(lit(nm).as("agg_key"), col("p"), col("n_keys"),
+            col("max_reducer_keys"), col("max_reducer_rows"),
+            expr("CAST(max_reducer_keys * 64 AS BIGINT)").as("est_table_bytes"),
+            (expr("max_reducer_keys * 64") <= 67108864L).as("fits_64mb"))
+      }
+      leg("k1_events_by_user", Tables.events(s, d), "user_id")
+        .unionByName(leg("k2_lineitem_by_partkey", Tables.lineitem(s, d),
+          "l_partkey"))
+        .orderBy("agg_key", "p")
+    },
+
     // PREDICATE-ORDER advisor — the conjunctive-filter evaluation-order
     // decision (vectorized engines pay per row EXAMINED per predicate):
     // three lineitem predicates' full 2³ joint cell census in ONE pass,
@@ -6640,6 +6710,54 @@ object Stewardship {
           "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"),
         leg("c4_doc_chars", "documents", "CAST(n_chars AS BIGINT)"))
         .mkString("\nUNION ALL\n") + "\nORDER BY column_key"
+    },
+
+    "q475_runtime_filter" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment AS segment, c_custkey AS ck FROM customer),
+        |o AS (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders),
+        |li AS (SELECT l_orderkey AS ok FROM lineitem),
+        |tot AS (SELECT (SELECT COUNT(*) FROM o) AS n_orders,
+        |               (SELECT COUNT(*) FROM li) AS n_lines),
+        |oseg AS (
+        |  SELECT segment, COUNT(*) AS orders_admitted
+        |  FROM o JOIN seg USING (ck) GROUP BY 1),
+        |liseg AS (
+        |  SELECT segment, COUNT(*) AS lines_admitted
+        |  FROM li JOIN o USING (ok) JOIN seg USING (ck) GROUP BY 1)
+        |SELECT segment, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(orders_admitted AS BIGINT) AS orders_admitted,
+        |  CAST(orders_admitted * 1000000 // n_orders AS BIGINT)
+        |    AS orders_admit_ppm,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(lines_admitted AS BIGINT) AS lines_admitted,
+        |  CAST(lines_admitted * 1000000 // n_lines AS BIGINT)
+        |    AS lines_admit_ppm
+        |FROM oseg JOIN liseg USING (segment) CROSS JOIN tot
+        |ORDER BY segment""".stripMargin,
+
+    "q476_agg_spill_forecast" -> {
+      def leg(nm: String, table: String, key: String) =
+        s"""SELECT '$nm' AS agg_key, p, CAST(SUM(keys_) AS BIGINT) AS n_keys,
+           |  CAST(MAX(keys_) AS BIGINT) AS max_reducer_keys,
+           |  CAST(MAX(rows_) AS BIGINT) AS max_reducer_rows,
+           |  CAST(MAX(keys_) * 64 AS BIGINT) AS est_table_bytes,
+           |  MAX(keys_) * 64 <= 67108864 AS fits_64mb
+           |FROM (
+           |  SELECT p, h % p AS reducer, COUNT(*) AS keys_,
+           |    SUM(cnt) AS rows_
+           |  FROM (
+           |    SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT
+           |        AS h, cnt
+           |    FROM (SELECT $key AS k, COUNT(*) AS cnt
+           |          FROM $table GROUP BY 1) z) hh
+           |  CROSS JOIN (SELECT CAST(p.p AS BIGINT) AS p
+           |              FROM UNNEST([32, 256]) AS p(p)) ps
+           |  GROUP BY 1, 2) r
+           |GROUP BY p""".stripMargin
+      Seq(leg("k1_events_by_user", "events", "user_id"),
+        leg("k2_lineitem_by_partkey", "lineitem", "l_partkey"))
+        .mkString("\nUNION ALL\n") + "\nORDER BY agg_key, p"
     },
 
     "q473_predicate_order" -> {

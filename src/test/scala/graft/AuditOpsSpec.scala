@@ -2264,4 +2264,73 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_consensus3") == c3)
     }
   }
+
+  // ---- q475 runtime filter ------------------------------------------------------------
+
+  test("q475 replays the per-segment admit counts at both hops") {
+    val segOf = graft.model.Tables.customer(spark, sf)
+      .selectExpr("CAST(c_custkey AS BIGINT)", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = graft.model.Tables.orders(spark, sf)
+      .selectExpr("CAST(o_orderkey AS BIGINT)", "CAST(o_custkey AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val okSeg = orders.map { case (ok, ck) => ok -> segOf.get(ck) }.toMap
+    val lines = graft.model.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(l_orderkey AS BIGINT)").collect().map(_.getLong(0))
+    val rows = graft.ops.Stewardship.queries("q475_runtime_filter")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val sg = r.getString(0)
+      assert(r.getAs[Long]("n_orders") == orders.length.toLong)
+      assert(r.getAs[Long]("orders_admitted") ==
+        orders.count(o => segOf.get(o._2).contains(sg)).toLong, sg)
+      assert(r.getAs[Long]("n_lines") == lines.length.toLong)
+      assert(r.getAs[Long]("lines_admitted") ==
+        lines.count(ok => okSeg.get(ok).flatten.contains(sg)).toLong, sg)
+      assert(r.getAs[Long]("lines_admit_ppm") <= 1000000L)
+    }
+    // segments partition the fact mass: admits sum to the totals
+    assert(rows.map(_.getAs[Long]("orders_admitted")).sum ==
+      orders.length.toLong)
+    assert(rows.map(_.getAs[Long]("lines_admitted")).sum ==
+      lines.length.toLong)
+  }
+
+  // ---- q476 agg spill forecast ----------------------------------------------------------
+
+  test("q476 replays the per-reducer key census at both widths") {
+    def replay(keys: Seq[Long], p: Long): (Long, Long, Long) = {
+      val perKey = keys.groupBy(identity).toSeq.map { case (k, v) =>
+        (java.lang.Long.parseLong(md5hex(k.toString).take(8), 16) % p,
+          v.length.toLong)
+      }
+      val byRed = perKey.groupBy(_._1)
+      (perKey.length.toLong,
+        byRed.map(_._2.length.toLong).max,
+        byRed.map(_._2.map(_._2).sum).max)
+    }
+    val evKeys = graft.model.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0)).toSeq
+    val liKeys = graft.model.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(l_partkey AS BIGINT)").collect().map(_.getLong(0)).toSeq
+    val rows = graft.ops.Stewardship.queries("q476_agg_spill_forecast")(spark, sf)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val keys = if (r.getString(0).startsWith("k1")) evKeys else liKeys
+      val (nk, mk, mr) = replay(keys, r.getAs[Long]("p"))
+      assert(r.getAs[Long]("n_keys") == nk, r.getString(0))
+      assert(r.getAs[Long]("max_reducer_keys") == mk,
+        s"${r.getString(0)} p=${r.getAs[Long]("p")}")
+      assert(r.getAs[Long]("max_reducer_rows") == mr)
+      assert(r.getAs[Boolean]("fits_64mb") ==
+        (r.getAs[Long]("est_table_bytes") <= 67108864L))
+    }
+    // more reducers can only shrink the biggest reducer
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("p"))
+      assert(sorted.head.getAs[Long]("max_reducer_keys") >=
+        sorted.last.getAs[Long]("max_reducer_keys"))
+    }
+  }
 }
