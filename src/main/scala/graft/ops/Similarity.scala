@@ -1269,8 +1269,11 @@ object Similarity {
     },
 
     // EMBEDDING-DRIFT monitor — the production ML-ops gauge: split the
-    // corpus into two deterministic cohorts (vec_id parity — stand-in
-    // for yesterday/today batches) and compare per-label integer
+    // corpus into two deterministic cohorts (md5-hash parity of the
+    // vec_id — NOT raw id parity: the sf1 gate caught id parity
+    // aliasing with the label assignment, leaving the cohorts with
+    // disjoint label sets and an empty audit; the neutral hash is the
+    // q463-audited decorrelator) and compare per-label integer
     // centroids in the q70 micro-unit fixed point (floor(x·10⁶ + 0.5)
     // longs; mean differences via the cross-multiplied non-negative
     // quotient, engine-exact). Reported per label: cohort sizes, the L1 centroid
@@ -1281,7 +1284,9 @@ object Similarity {
     // bounded (label × 64) grid.
     "q461_embedding_drift" -> { (s, d) =>
       val dims = Tables.embeddings(s, d)
-        .select(col("label"), expr("vec_id % 2").as("cohort"),
+        .select(col("label"),
+          (Dedup.neutralHash32(concat(lit("cohort:"),
+            col("vec_id").cast("string"))) % 2).as("cohort"),
           posexplode(expr(
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"))
             .as(Seq("dim", "q")))
@@ -2162,7 +2167,9 @@ object Similarity {
 
     "q461_embedding_drift" ->
       """WITH dims AS (
-        |  SELECT label, vec_id % 2 AS cohort, g.i - 1 AS dim,
+        |  SELECT label,
+        |    ('0x' || substr(md5('cohort:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS cohort, g.i - 1 AS dim,
         |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
         |      AS BIGINT) AS q
         |  FROM embeddings,

@@ -1884,7 +1884,8 @@ class AuditOpsSpec extends AnyFunSuite {
     val byLabel = em.groupBy(_._2)
     rows.foreach { r =>
       val label = String.valueOf(r.get(0))
-      val (a, b) = byLabel(label).partition(_._1 % 2 == 0)
+      val (a, b) = byLabel(label).partition(v =>
+        java.lang.Long.parseLong(md5hex(s"cohort:${v._1}").take(8), 16) % 2 == 0)
       def sums(vs: Array[(Long, String, Seq[Double])]): Array[Long] = {
         val dim = vs.head._3.length
         val out = Array.fill(dim)(0L)
