@@ -1327,14 +1327,19 @@ object Similarity {
     // placement aliases with id structure and lands everything on half
     // the shards; occupancy-ranked round-robin is flat by construction.
     // This is q451's makespan lesson applied to the ANN serving tier.
-    // Scale: cell sizes are one map-combined agg; the rank window runs
-    // over the ≤ MaxCentroids bounded cell grid (house rule), never the
-    // vectors.
+    // Scale: cell sizes are one map-combined agg; the size rank is a
+    // ≤ MaxCentroids² broadcast join-count over the bounded cell grid
+    // (never a global window — the PlanSpec no-unpartitioned-window
+    // rule holds for every declared query), never the vectors.
     "q456_ivf_shard_balance" -> { (s, d) =>
       val (assigned, _) = assignedCells(s, d)
-      val sz = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
-      val rk = sz.withColumn("r",
-        row_number().over(Window.orderBy(col("n").desc, col("cell"))))
+      val sz = Caches.shared(assigned.groupBy("cell").agg(count(lit(1)).as("n")))
+      val rk = sz.crossJoin(broadcast(sz.select(col("cell").as("c2"),
+          col("n").as("n2"))))
+        .groupBy("cell", "n")
+        .agg((sum(when(col("n2") > col("n") ||
+          (col("n2") === col("n") && col("c2") < col("cell")), 1L)
+          .otherwise(0L)) + 1L).as("r"))
       val asg = rk.select(lit("s1_hash_assign").as("strategy"),
           expr("cell % 8").as("shard"), col("n"))
         .unionByName(rk.select(lit("s2_size_round_robin").as("strategy"),
