@@ -117,6 +117,32 @@ object Behavior {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // NEW-vs-RETURNING growth accounting — the weekly acquisition
+    // ledger q163 (rolling actives) and q243 (stickiness) read sideways:
+    // per ISO-ish week (day DIV 7 on the epoch grid), actives split
+    // into first-seen-this-week NEW users and RETURNING ones, with the
+    // returning share in floor-ppm. The two series answer the only two
+    // growth questions — is acquisition growing, and does the product
+    // retain — and their sum re-derives q163's actives (conservation
+    // law in the spec). Scale: one per-user min-day agg + one
+    // (week, user) distinct census; both map-combined.
+    "q477_new_vs_returning" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("CAST(unix_micros(ts) div 86400000000 DIV 7 AS BIGINT)").as("wk"))
+      val firstWk = ev.groupBy("user_id").agg(min(col("wk")).as("first_wk"))
+      val active = ev.distinct()
+      active.join(firstWk, "user_id")
+        .groupBy("wk")
+        .agg(count(lit(1)).cast("long").as("n_active"),
+          sum(when(col("wk") === col("first_wk"), 1L).otherwise(0L))
+            .cast("long").as("n_new"),
+          sum(when(col("wk") =!= col("first_wk"), 1L).otherwise(0L))
+            .cast("long").as("n_returning"))
+        .withColumn("returning_ppm",
+          expr("CAST(n_returning * 1000000 DIV n_active AS BIGINT)"))
+        .orderBy("wk")
+    },
+
     // Ordered funnel over the shared [[funnelTimes]] stage table;
     // conversion ratios are floor-ppm integers.
     "q71_event_funnel" -> { (s, d) =>
@@ -1355,6 +1381,23 @@ object Behavior {
       |  FROM s4 GROUP BY user_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q477_new_vs_returning" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(wk) AS first_wk FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, wk FROM ev)
+        |SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN wk <> first_wk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning,
+        |  CAST(SUM(CASE WHEN wk <> first_wk THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS returning_ppm
+        |FROM act JOIN fw USING (user_id)
+        |GROUP BY wk ORDER BY wk""".stripMargin,
+
     // DuckDB's native ASOF LEFT JOIN implements the same at-or-before
     // semantics the Spark union-tag window composes — two independent
     // implementations agreeing row-for-row is the point.

@@ -792,6 +792,37 @@ object Lakehouse {
         .orderBy("tier")
     },
 
+    // ID-SPACE reconciliation audit — the entity-resolution pre-flight
+    // run when a new source lands next to the warehouse: do the event
+    // stream's user ids and the customer dimension's keys denote the
+    // same population? One row: each space's cardinality and range,
+    // the exact overlap, and coverage floor-ppm in BOTH directions —
+    // near-zero coverage means a join between them would be semantic
+    // garbage (the audit that belongs BEFORE q103's referential checks
+    // ever run against a foreign id space). Scale: two distinct
+    // censuses + one equi-join count; all map-combined.
+    "q478_idspace_reconcile" -> { (s, d) =>
+      val u = Tables.events(s, d).select(col("user_id").as("id")).distinct()
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("id")).distinct()
+      u.agg(count(lit(1)).as("n_users"), min(col("id")).as("min_user"),
+          max(col("id")).as("max_user"))
+        .crossJoin(c.agg(count(lit(1)).as("n_custs"),
+          min(col("id")).as("min_cust"), max(col("id")).as("max_cust")))
+        .crossJoin(u.join(c, "id").agg(count(lit(1)).as("n_common")))
+        .select(col("n_users").cast("long").as("n_users"),
+          col("min_user").cast("long").as("min_user"),
+          col("max_user").cast("long").as("max_user"),
+          col("n_custs").cast("long").as("n_custs"),
+          col("min_cust").cast("long").as("min_cust"),
+          col("max_cust").cast("long").as("max_cust"),
+          col("n_common").cast("long").as("n_common"),
+          expr("CAST(n_common * 1000000 DIV n_users AS BIGINT)")
+            .as("user_coverage_ppm"),
+          expr("CAST(n_common * 1000000 DIV n_custs AS BIGINT)")
+            .as("cust_coverage_ppm"))
+    },
+
     // MERGE-ON-READ vs COPY-ON-WRITE advisor — the table-format
     // decision (Iceberg/Delta/Hudi all ship both) priced on the event
     // stream read as a per-user upsert changelog sharded into 32
@@ -1361,6 +1392,25 @@ object Lakehouse {
         |    // GREATEST(tot.recent_total, 1) AS BIGINT) AS recent_share_ppm
         |FROM t CROSS JOIN tot
         |GROUP BY tier, tot.recent_total ORDER BY tier""".stripMargin,
+
+    "q478_idspace_reconcile" ->
+      """WITH u AS (SELECT DISTINCT user_id AS id FROM events),
+        |c AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer),
+        |us AS (SELECT COUNT(*) AS n_users, MIN(id) AS min_user,
+        |         MAX(id) AS max_user FROM u),
+        |cs AS (SELECT COUNT(*) AS n_custs, MIN(id) AS min_cust,
+        |         MAX(id) AS max_cust FROM c),
+        |com AS (SELECT COUNT(*) AS n_common FROM u JOIN c USING (id))
+        |SELECT CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(min_user AS BIGINT) AS min_user,
+        |  CAST(max_user AS BIGINT) AS max_user,
+        |  CAST(n_custs AS BIGINT) AS n_custs,
+        |  CAST(min_cust AS BIGINT) AS min_cust,
+        |  CAST(max_cust AS BIGINT) AS max_cust,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(n_common * 1000000 // n_users AS BIGINT) AS user_coverage_ppm,
+        |  CAST(n_common * 1000000 // n_custs AS BIGINT) AS cust_coverage_ppm
+        |FROM us, cs, com""".stripMargin,
 
     "q444_mor_vs_cow" ->
       """WITH ev AS (

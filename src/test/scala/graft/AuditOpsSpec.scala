@@ -2334,4 +2334,49 @@ class AuditOpsSpec extends AnyFunSuite {
         sorted.last.getAs[Long]("max_reducer_keys"))
     }
   }
+
+  // ---- q477 new vs returning -----------------------------------------------------------
+
+  test("q477 replays the weekly ledger; new + returning = active") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(unix_micros(ts) div 86400000000 DIV 7 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstWk = ev.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val rows = graft.ops.Behavior.queries("q477_new_vs_returning")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val wk = r.getAs[Long]("wk")
+      val active = ev.filter(_._2 == wk).map(_._1).distinct
+      val nNew = active.count(u => firstWk(u) == wk).toLong
+      assert(r.getAs[Long]("n_active") == active.length.toLong, s"wk $wk")
+      assert(r.getAs[Long]("n_new") == nNew, s"wk $wk new")
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+    }
+    // the first week is all-new by definition
+    val first = rows.minBy(_.getAs[Long]("wk"))
+    assert(first.getAs[Long]("n_returning") == 0L)
+    // every user is new exactly once across the whole ledger
+    assert(rows.map(_.getAs[Long]("n_new")).sum == firstWk.size.toLong)
+  }
+
+  // ---- q478 id-space reconciliation ------------------------------------------------------
+
+  test("q478 replays the two key spaces and their exact overlap") {
+    val users = graft.model.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0)).distinct
+    val custs = graft.model.Tables.customer(spark, sf)
+      .selectExpr("CAST(c_custkey AS BIGINT)").collect().map(_.getLong(0))
+      .distinct
+    val common = users.toSet.intersect(custs.toSet).size.toLong
+    val r = graft.ops.Lakehouse.queries("q478_idspace_reconcile")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_users") == users.length.toLong)
+    assert(r.getAs[Long]("n_custs") == custs.length.toLong)
+    assert(r.getAs[Long]("n_common") == common)
+    assert(r.getAs[Long]("min_user") == users.min)
+    assert(r.getAs[Long]("max_cust") == custs.max)
+    assert(r.getAs[Long]("user_coverage_ppm") ==
+      common * 1000000L / users.length)
+  }
 }
