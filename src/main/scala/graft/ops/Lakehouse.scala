@@ -823,6 +823,39 @@ object Lakehouse {
             .as("cust_coverage_ppm"))
     },
 
+    // EMBEDDING-COVERAGE audit — q478's reconciliation pointed at the
+    // ML asset pair: is every document embedded, and does every vector
+    // still have a document (the index-staleness orphan check a vector
+    // store runs before serving)? Per source: doc mass, docs WITH a
+    // vector (vec_id ≙ doc_id — the corpus contract), coverage ppm,
+    // plus the global orphan-vector count on a literal total row. A
+    // coverage dip localizes a broken embedding backfill to its
+    // source; orphans mean deletes never reached the index. Scale: one
+    // left-semi-tagged join on the id + map-combined censuses.
+    "q479_embedding_coverage" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id")).distinct()
+      val perSrc = Tables.documents(s, d).select("source", "doc_id")
+        .join(vecs.withColumn("has_vec", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("has_vec"), lit(0L))).as("n_embedded"))
+      val orphans = vecs.join(
+          Tables.documents(s, d).select(col("doc_id"),
+            lit(1L).as("has_doc")), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("has_doc").isNull, 1L).otherwise(0L))
+            .as("n_orphan_vecs"))
+      perSrc.crossJoin(broadcast(orphans))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_embedded").cast("long").as("n_embedded"),
+          expr("CAST(n_embedded * 1000000 DIV n_docs AS BIGINT)")
+            .as("coverage_ppm"),
+          col("n_vecs").cast("long").as("n_vecs"),
+          col("n_orphan_vecs").cast("long").as("n_orphan_vecs"))
+        .orderBy("source")
+    },
+
     // MERGE-ON-READ vs COPY-ON-WRITE advisor — the table-format
     // decision (Iceberg/Delta/Hudi all ship both) priced on the event
     // stream read as a per-user upsert changelog sharded into 32
@@ -1392,6 +1425,27 @@ object Lakehouse {
         |    // GREATEST(tot.recent_total, 1) AS BIGINT) AS recent_share_ppm
         |FROM t CROSS JOIN tot
         |GROUP BY tier, tot.recent_total ORDER BY tier""".stripMargin,
+
+    "q479_embedding_coverage" ->
+      """WITH vecs AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings),
+        |per AS (
+        |  SELECT d.source, COUNT(*) AS n_docs,
+        |    SUM(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS n_embedded
+        |  FROM documents d LEFT JOIN vecs v USING (doc_id)
+        |  GROUP BY 1),
+        |orph AS (
+        |  SELECT COUNT(*) AS n_vecs,
+        |    SUM(CASE WHEN dd.doc_id IS NULL THEN 1 ELSE 0 END)
+        |      AS n_orphan_vecs
+        |  FROM vecs v LEFT JOIN (SELECT doc_id FROM documents) dd
+        |    USING (doc_id))
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_embedded AS BIGINT) AS n_embedded,
+        |  CAST(n_embedded * 1000000 // n_docs AS BIGINT) AS coverage_ppm,
+        |  CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(n_orphan_vecs AS BIGINT) AS n_orphan_vecs
+        |FROM per CROSS JOIN orph ORDER BY source""".stripMargin,
 
     "q478_idspace_reconcile" ->
       """WITH u AS (SELECT DISTINCT user_id AS id FROM events),

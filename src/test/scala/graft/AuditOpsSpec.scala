@@ -2379,4 +2379,28 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("user_coverage_ppm") ==
       common * 1000000L / users.length)
   }
+
+  // ---- q479 embedding coverage ------------------------------------------------------------
+
+  test("q479 replays per-source coverage and the orphan census") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val vecs = graft.model.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val docIds = docs.map(_._2).toSet
+    val rows = graft.ops.Lakehouse.queries("q479_embedding_coverage")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ds = docs.filter(_._1 == src)
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong, src)
+      assert(r.getAs[Long]("n_embedded") ==
+        ds.count(d => vecs(d._2)).toLong, src)
+      assert(r.getAs[Long]("n_vecs") == vecs.size.toLong)
+      assert(r.getAs[Long]("n_orphan_vecs") ==
+        vecs.count(v => !docIds(v)).toLong)
+      assert(r.getAs[Long]("coverage_ppm") <= 1000000L)
+    }
+  }
 }
