@@ -362,6 +362,36 @@ object Quality {
         .orderBy("source", "l")
     },
 
+    // PAD-TO-MULTIPLE waste sweep — the tensor-alignment knob q221
+    // does NOT measure: q221 pads/truncates to a FIXED context window;
+    // production batching instead pads each sequence up to the next
+    // multiple of m (8/64/512 — tensor-core alignment, KV-cache page,
+    // bucket granularity) and never truncates. Per (source, m): doc
+    // mass, payload units, padded units Σ ceil(len/m)·m, and the waste
+    // in floor-ppm of the padded mass — the fraction of accelerator
+    // FLOPs burned on padding at that alignment. The m-ladder is the
+    // decision table: waste grows with m while kernel efficiency grows
+    // with m; this emits the data side of that tradeoff. Scale: one
+    // map-side-combined (source × 3)-cell aggregation; the sweep is a
+    // 3-row broadcast, nothing row-wise survives the groupBy.
+    "q482_pad_multiple_sweep" -> { (s, d) =>
+      val ms = s.range(0, 3).select(
+        expr("element_at(array(8L, 64L, 512L), CAST(id + 1 AS INT))")
+          .as("m"))
+      Tables.documents(s, d).select(col("source"), col("n_chars"))
+        .crossJoin(broadcast(ms))
+        .groupBy("source", "m")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("payload"),
+          sum(expr("((n_chars + m - 1) DIV m) * m")).cast("long")
+            .as("padded"))
+        .select(col("source"), col("m"), col("n_docs"), col("payload"),
+          col("padded"),
+          expr("CAST(CAST(padded - payload AS DECIMAL(38,0)) * 1000000" +
+            " DIV padded AS BIGINT)").as("waste_ppm"))
+        .orderBy("source", "m")
+    },
+
     // Phrase-index POSTING-LIST histogram: document frequency of each
     // distinct bigram bucketed into powers of two — the sizing audit
     // for the q176 phrase-search index (how many singleton postings
@@ -1567,6 +1597,20 @@ object Quality {
          |  CAST(CAST(pad AS HUGEINT) * 1000000 // (n_docs * l) AS BIGINT)
          |    AS pad_ppm
          |FROM agg ORDER BY source, l""".stripMargin,
+
+    "q482_pad_multiple_sweep" ->
+      """WITH ms AS (
+        |  SELECT CAST(g.m AS BIGINT) AS m FROM UNNEST([8, 64, 512]) g(m)),
+        |agg AS (
+        |  SELECT source, m,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS payload,
+        |    CAST(SUM(((n_chars + m - 1) // m) * m) AS BIGINT) AS padded
+        |  FROM documents CROSS JOIN ms GROUP BY 1, 2)
+        |SELECT source, m, n_docs, payload, padded,
+        |  CAST(CAST(padded - payload AS HUGEINT) * 1000000 // padded
+        |    AS BIGINT) AS waste_ppm
+        |FROM agg ORDER BY source, m""".stripMargin,
 
     "q222_posting_buckets" ->
       ("""WITH """ + BigramSql +

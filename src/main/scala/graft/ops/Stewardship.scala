@@ -1452,6 +1452,132 @@ object Stewardship {
         .orderBy("source_a", "source_b")
     },
 
+    // Exact ANDERSON–DARLING two-sample statistic per source pair —
+    // the TAIL-weighted member completing the CDF-distance quartet
+    // (q370 sup-norm, q375 L¹, q376 pooled-mass L², q380 Lebesgue L²):
+    // the 1/(H(1−H)) weight diverges at both CDF ends, so A² detects
+    // tail drift (a new source whose SHORTEST and LONGEST docs differ)
+    // that every mid-weighted member underrates. Tie-adjusted
+    // Scholz–Stephens form on doubled half-counts (M2 = 2F − c, so
+    // midrank halves stay integer): for pair (a,b) the two per-sample
+    // terms collapse algebraically to
+    //   A² = (1/(n_a·n_b)) · Σ_v l_v · D_v² / (B2_v·(2N − B2_v)),
+    // D_v = n_b·M2_a(v) − n_a·M2_b(v), B2_v = M2_a(v) + M2_b(v),
+    // l_v = the pair's pooled point mass (zero-mass grid values are
+    // filtered — their denominator is 0/0 by construction). Per-term
+    // floor at ×10⁶ then a final DIV n_a·n_b keeps everything integer;
+    // the numerator runs in DECIMAL(38,0) (l·D²·10⁶ ~ 10²⁹ at sf100 —
+    // DuckDB mirrors in HUGEINT); the per-term quotient itself stays
+    // int64 through ~10⁵ docs/source (drop the 10⁶ prescale past
+    // that — documented magnitude rule). Same (source × value)
+    // step-CDF grid as q370/q376; grid algebra only, never corpus².
+    "q480_anderson_darling" -> { (s, d) =>
+      val g = Caches.shared(Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt")))
+      val tot = g.groupBy("source").agg(sum(col("cnt")).as("n"))
+      val vals = g.groupBy("n_chars").agg(sum(col("cnt")).as("call"))
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+          col("sa") < col("sb"))
+      val cumAll = Caches.shared(tot.select(col("source").as("cs"))
+        .crossJoin(broadcast(vals.select("n_chars")))
+        .join(broadcast(g.select(col("source").as("g2"),
+          col("n_chars").as("v2"), col("cnt").as("c2"))),
+          col("g2") === col("cs") && col("v2") === col("n_chars"), "left")
+        .select(col("cs"), col("n_chars"),
+          coalesce(col("c2"), lit(0L)).as("c0"))
+        .withColumn("f", sum(col("c0")).over(Window.partitionBy("cs")
+          .orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0))))
+      pairs.crossJoin(broadcast(vals.select("n_chars")))
+        .join(broadcast(cumAll.select(col("cs").as("csa"),
+          col("n_chars").as("va"), col("f").as("fa"), col("c0").as("ca"))),
+          col("csa") === col("sa") && col("va") === col("n_chars"))
+        .join(broadcast(cumAll.select(col("cs").as("csb"),
+          col("n_chars").as("vb"), col("f").as("fb"), col("c0").as("cb"))),
+          col("csb") === col("sb") && col("vb") === col("n_chars"))
+        .filter(col("ca") + col("cb") > 0)
+        .withColumn("m2a", col("fa") * 2 - col("ca"))
+        .withColumn("m2b", col("fb") * 2 - col("cb"))
+        .withColumn("dd", col("nb") * col("m2a") - col("na") * col("m2b"))
+        .withColumn("b2", col("m2a") + col("m2b"))
+        .withColumn("term", expr(
+          "(CAST(ca + cb AS DECIMAL(38,0)) * dd * dd * 1000000)" +
+            " div (b2 * ((na + nb) * 2 - b2))"))
+        .groupBy("sa", "sb")
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          count(lit(1)).cast("long").as("n_grid"),
+          sum(col("term").cast("decimal(38,0)")).as("adsum"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_a"), col("n_b"), col("n_grid"),
+          expr("CAST(adsum div (n_a * n_b) AS BIGINT)").as("ad_ppm"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // JONCKHEERE–TERPSTRA ordered-alternative trend — "does ship delay
+    // RISE as order priority falls?": the dose–response question the
+    // unordered k-sample tests (q372 Kruskal–Wallis, q389 Mood median)
+    // cannot pose. Groups are the five o_orderpriority levels in their
+    // banner order (the '1-'…'5-' prefix makes lexicographic = urgency
+    // order); JT sums the Mann–Whitney count over every ordered pair,
+    // doubled so ties count once and stay integer: U2(g,h) =
+    // Σ_v c_h(v)·(2·cumlt_g(v) + c_g(v)) — q371's exact statistic on
+    // the (priority × delay-day) grid, 5 × O(time-span) cells, never
+    // corpus².
+    // Per ordered pair the table carries U2 and its normalized
+    // trend_ppm = U2·10⁶ DIV (2·n_g·n_h) (500000 = no trend, >½ means
+    // the later group runs LATER); the product runs in DECIMAL(38,0)
+    // (U2·10⁶ passes int64 just past sf1's 1.2M-row groups). One
+    // orders⋈lineitem join is the only fact shuffle. The cumlt counts
+    // come from the q370/q480 step-CDF (a PARTITIONED window over the
+    // priority × delay grid — the grid is generator-span-bounded at a
+    // few thousand delay values, and the <-comparison folds into the
+    // running sum; a per-pair `va < vb` theta-join over the same grid
+    // measured 35 s at sf0.1, this shape ~1 s).
+    "q481_jonckheere_trend" -> { (s, d) =>
+      val g = Caches.shared(Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("delay"))
+        .groupBy("prio", "delay").agg(count(lit(1)).as("cnt")))
+      val tot = g.groupBy("prio").agg(sum(col("cnt")).as("n"))
+      val vals = g.select("delay").distinct()
+      val cumAll = tot.select(col("prio").as("cs"))
+        .crossJoin(broadcast(vals))
+        .join(broadcast(g.select(col("prio").as("g2"),
+          col("delay").as("v2"), col("cnt").as("c2"))),
+          col("g2") === col("cs") && col("v2") === col("delay"), "left")
+        .select(col("cs"), col("delay"),
+          coalesce(col("c2"), lit(0L)).as("c0"))
+        .withColumn("f", sum(col("c0")).over(Window.partitionBy("cs")
+          .orderBy("delay")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val pairs = tot.select(col("prio").as("pa"), col("n").as("na"))
+        .join(broadcast(tot.select(col("prio").as("pb"), col("n").as("nb"))),
+          col("pa") < col("pb"))
+      val withEq = pairs.join(broadcast(g.select(col("prio").as("gb"),
+          col("delay").as("vb"), col("cnt").as("cb"))),
+          col("gb") === col("pb"))
+        .join(broadcast(cumAll.select(col("cs").as("csa"),
+          col("delay").as("va"), col("f").as("fa"), col("c0").as("ca0"))),
+          col("csa") === col("pa") && col("va") === col("vb"))
+        .select(col("pa"), col("pb"), col("na"), col("nb"),
+          (col("cb") * ((col("fa") - col("ca0")) * 2 + col("ca0")))
+            .as("u2part"))
+      withEq.groupBy("pa", "pb")
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          sum(col("u2part")).as("u2"))
+        .select(col("pa").as("prio_a"), col("pb").as("prio_b"),
+          col("n_a"), col("n_b"), col("u2").cast("long").as("u2_ab"),
+          expr("CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000" +
+            " DIV (2 * n_a * n_b) AS BIGINT)").as("trend_ppm"))
+        .orderBy("prio_a", "prio_b")
+    },
+
     // KENDALL cross-correlation between event-type pairs' daily volume
     // series — "which event types CO-MOVE day over day?" (q373 is
     // Kendall-vs-TIME; this is Kendall-vs-each-other — the
@@ -5037,6 +5163,66 @@ object Stewardship {
         |    // (CAST(na + nb AS HUGEINT) * (na + nb) * na * nb)
         |    AS BIGINT) AS cvm_ppm
         |FROM atv GROUP BY sa, sb, na, nb ORDER BY 1, 2""".stripMargin,
+
+    "q480_anderson_darling" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |gv AS (SELECT n_chars FROM g GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |atv AS (
+        |  SELECT p.sa, p.sb, p.na, p.nb,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sa AND g.n_chars = v.n_chars), 0) AS ca,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sb AND g.n_chars = v.n_chars), 0) AS cb,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sa AND g.n_chars <= v.n_chars), 0) AS fa,
+        |    COALESCE((SELECT SUM(cnt) FROM g
+        |      WHERE g.source = p.sb AND g.n_chars <= v.n_chars), 0) AS fb
+        |  FROM pairs p CROSS JOIN gv v),
+        |terms AS (
+        |  SELECT sa, sb, na, nb,
+        |    (CAST(ca + cb AS HUGEINT)
+        |      * (nb * (2 * fa - ca) - na * (2 * fb - cb))
+        |      * (nb * (2 * fa - ca) - na * (2 * fb - cb)) * 1000000)
+        |      // (((2 * fa - ca) + (2 * fb - cb))
+        |        * ((na + nb) * 2 - ((2 * fa - ca) + (2 * fb - cb)))) AS term
+        |  FROM atv WHERE ca + cb > 0)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grid,
+        |  CAST(SUM(term) // (na * nb) AS BIGINT) AS ad_ppm
+        |FROM terms GROUP BY sa, sb, na, nb ORDER BY 1, 2""".stripMargin,
+
+    "q481_jonckheere_trend" ->
+      """WITH g AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+        |      AS delay,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT prio, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.prio AS pa, a.n AS na, b.prio AS pb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.prio < b.prio),
+        |terms AS (
+        |  SELECT p.pa, p.pb, p.na, p.nb,
+        |    b.cnt * (2 * COALESCE((SELECT SUM(cnt) FROM g a
+        |        WHERE a.prio = p.pa AND a.delay < b.delay), 0)
+        |      + COALESCE((SELECT SUM(cnt) FROM g a2
+        |        WHERE a2.prio = p.pa AND a2.delay = b.delay), 0)) AS u2part
+        |  FROM pairs p JOIN g b ON b.prio = p.pb)
+        |SELECT pa AS prio_a, pb AS prio_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(SUM(u2part) AS BIGINT) AS u2_ab,
+        |  CAST(CAST(SUM(u2part) AS HUGEINT) * 1000000 // (2 * na * nb)
+        |    AS BIGINT) AS trend_ppm
+        |FROM terms GROUP BY pa, pb, na, nb ORDER BY 1, 2""".stripMargin,
 
     "q377_kendall_comove" ->
       """WITH daily AS (

@@ -2403,4 +2403,100 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("coverage_ppm") <= 1000000L)
     }
   }
+
+  // ---- q480 Anderson–Darling ---------------------------------------------------------------
+
+  test("q480 replays the tie-adjusted two-sample A2 and detects planted tail drift") {
+    // brute-force mirror on the shipped corpus
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).map { case (s2, xs) => s2 -> xs.map(_._2) }
+    val rows = graft.ops.Stewardship.queries("q480_anderson_darling")(spark, sf)
+      .collect()
+    rows.take(12).foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (xa, xb) = (bySrc(a), bySrc(b))
+      val (na, nb) = (xa.length.toLong, xb.length.toLong)
+      val grid = (xa ++ xb).distinct.sorted
+      var sum = BigInt(0)
+      grid.foreach { v =>
+        val ca = xa.count(_ == v).toLong; val cb = xb.count(_ == v).toLong
+        val fa = xa.count(_ <= v).toLong; val fb = xb.count(_ <= v).toLong
+        val m2a = 2 * fa - ca; val m2b = 2 * fb - cb
+        val dd = BigInt(nb * m2a - na * m2b)
+        val b2 = m2a + m2b
+        val den = BigInt(b2) * (2 * (na + nb) - b2)
+        sum += (BigInt(ca + cb) * dd * dd * 1000000) / den
+      }
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb, (a, b))
+      assert(r.getAs[Long]("n_grid") == grid.length.toLong, (a, b))
+      assert(BigInt(r.getAs[Long]("ad_ppm")) == sum / (BigInt(na) * nb), (a, b))
+    }
+    // identical samples ⇒ D ≡ 0 ⇒ A² = 0; planted tail drift must fire.
+    // A fixture with two sources: same body mass, one source with a
+    // heavy far tail the mid-weighted members underrate.
+    val fx = writeDocs((1L to 40L).map(i =>
+      doc(i, "x" * 100, "en", "same")) ++
+      (41L to 78L).map(i => doc(i, "x" * 100, "en", "tail")) ++
+      (79L to 80L).map(i => doc(i, "x" * 5000, "en", "tail")))
+    val fr = graft.ops.Stewardship.queries("q480_anderson_darling")(spark, fx)
+      .collect()
+    assert(fr.length == 1)
+    assert(fr.head.getAs[Long]("ad_ppm") > 0L)
+  }
+
+  // ---- q481 Jonckheere–Terpstra ------------------------------------------------------------
+
+  test("q481 replays pairwise doubled U and respects the 2·na·nb bound") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr("o_orderpriority",
+        "CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byPrio = li.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+    val rows = graft.ops.Stewardship.queries("q481_jonckheere_trend")(spark, sf)
+      .collect()
+    assert(rows.length == 10) // C(5,2) ordered priority pairs
+    rows.foreach { r =>
+      val (xa, xb) = (byPrio(r.getString(0)), byPrio(r.getString(1)))
+      var u2 = 0L
+      xb.foreach { vb =>
+        u2 += 2 * xa.count(_ < vb) + xa.count(_ == vb)
+      }
+      assert(r.getAs[Long]("n_a") == xa.length.toLong)
+      assert(r.getAs[Long]("u2_ab") == u2, (r.getString(0), r.getString(1)))
+      assert(r.getAs[Long]("u2_ab") <= 2L * xa.length * xb.length)
+      assert(r.getAs[Long]("trend_ppm") ==
+        (BigInt(u2) * 1000000 / (BigInt(2) * xa.length * xb.length)).toLong)
+    }
+  }
+
+  // ---- q482 pad-to-multiple sweep ----------------------------------------------------------
+
+  test("q482 replays padded mass; waste is monotone in m and zero-bounded") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = graft.ops.Quality.queries("q482_pad_multiple_sweep")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val ds = docs.filter(_._1 == r.getString(0)).map(_._2)
+      val m = r.getAs[Long]("m")
+      val padded = ds.map(l => ((l + m - 1) / m) * m).sum
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("payload") == ds.sum)
+      assert(r.getAs[Long]("padded") == padded, (r.getString(0), m))
+      assert(r.getAs[Long]("waste_ppm") ==
+        (padded - ds.sum) * 1000000L / padded)
+    }
+    // padded mass (hence waste) is monotone non-decreasing in m per source
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("m"))
+      assert(sorted.sliding(2).forall(p =>
+        p.head.getAs[Long]("padded") <= p.last.getAs[Long]("padded")))
+    }
+  }
 }
