@@ -92,6 +92,58 @@ object Analytics {
     for (x <- 0 until CurveN; y <- 0 until CurveN) yield mortonD(x, y)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DOMINANT-RESOURCE-FAIRNESS allocation (Ghodsi et al., NSDI'11 —
+    // the YARN/Mesos/K8s multi-tenant scheduler invariant) over the
+    // corpus read as a two-resource tenancy: each source demands
+    // (chars, docs) against the pooled capacities; DRF equalizes every
+    // tenant's DOMINANT share (q264 apportions ONE resource by count —
+    // this is the two-resource generalization where a tenant of many
+    // short docs is doc-bound while a long-doc tenant is char-bound).
+    // Closed form, no iteration: tenant i's dominant mass m_i =
+    // max(chars_i·C_docs, docs_i·C_chars) (cross-multiplied — exact,
+    // no floor in the comparison); per unit of common dominant share α
+    // it consumes CEIL(d_ir·K / m_i) of resource r (K = C_chars·C_docs;
+    // the per-term CEILING makes the consumption estimate conservative,
+    // so the floored α can never over-fill a capacity — a floored
+    // estimate measurably over-allocated the binding resource by
+    // ~0.06%, the law the spec enforces); α_ppm = min_r C_r·10⁶ DIV
+    // Σ_i cons_ir, and the admitted fraction x_i = α·K/m_i (floor —
+    // under-admission is safe). Products reach ~10²⁵ —
+    // DECIMAL(38,0) throughout, HUGEINT mirror. Output: per source the
+    // demand, dominant resource, dominant-share ppm, and drf_ppm (the
+    // admitted fraction; >10⁶ means the fair share exceeds the
+    // tenant's own demand). Scale: one (source)-grid agg + scalar
+    // algebra; nothing row-wise survives the groupBy.
+    "q483_drf_allocation" -> { (s, d) =>
+      val c = Tables.documents(s, d).groupBy("source")
+        .agg(sum(col("n_chars")).as("chars"), count(lit(1)).as("docs"))
+      val t = c.agg(sum(col("chars")).as("cc"), sum(col("docs")).as("cd"))
+      val g = c.crossJoin(broadcast(t))
+        .withColumn("mi", expr("GREATEST(CAST(chars AS DECIMAL(38,0)) * cd," +
+          " CAST(docs AS DECIMAL(38,0)) * cc)"))
+        .withColumn("cons_chars",
+          expr("(CAST(chars AS DECIMAL(38,0)) * cc * cd + mi - 1) div mi"))
+        .withColumn("cons_docs",
+          expr("(CAST(docs AS DECIMAL(38,0)) * cc * cd + mi - 1) div mi"))
+      val alpha = g.agg(
+          sum(expr("CAST(cons_chars AS DECIMAL(38,0))")).as("tot_chars"),
+          sum(expr("CAST(cons_docs AS DECIMAL(38,0))")).as("tot_docs"),
+          max(col("cc")).as("cc2"), max(col("cd")).as("cd2"))
+        .select(expr("LEAST(" +
+          "(CAST(cc2 AS DECIMAL(38,0)) * 1000000) div tot_chars," +
+          "(CAST(cd2 AS DECIMAL(38,0)) * 1000000) div tot_docs)")
+          .as("alpha_ppm"))
+      g.crossJoin(broadcast(alpha))
+        .select(col("source"), col("chars").cast("long").as("chars"),
+          col("docs").cast("long").as("docs"),
+          expr("CASE WHEN CAST(chars AS DECIMAL(38,0)) * cd >=" +
+            " CAST(docs AS DECIMAL(38,0)) * cc THEN 'chars' ELSE 'docs' END")
+            .as("dominant"),
+          expr("CAST((mi * 1000000) div (CAST(cc AS DECIMAL(38,0)) * cd)" +
+            " AS BIGINT)").as("domshare_ppm"),
+          expr("CAST((alpha_ppm * cc * cd) div mi AS BIGINT)").as("drf_ppm"))
+        .orderBy("source")
+    },
     // Largest-remainder apportionment. floor_i = B·n_i DIV N always
     // under-spends; the shortfall k = B − Σfloor_i (< |sources|) goes one
     // doc each to the k largest remainders, ties broken by source name so
@@ -1703,6 +1755,36 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q483_drf_allocation" ->
+      """WITH c AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |    CAST(COUNT(*) AS BIGINT) AS docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(chars) AS BIGINT) AS cc,
+        |    CAST(SUM(docs) AS BIGINT) AS cd FROM c),
+        |g AS (
+        |  SELECT source, chars, docs, cc, cd,
+        |    GREATEST(CAST(chars AS HUGEINT) * cd,
+        |      CAST(docs AS HUGEINT) * cc) AS mi
+        |  FROM c CROSS JOIN t),
+        |g2 AS (
+        |  SELECT *,
+        |    (CAST(chars AS HUGEINT) * cc * cd + mi - 1) // mi AS cons_chars,
+        |    (CAST(docs AS HUGEINT) * cc * cd + mi - 1) // mi AS cons_docs
+        |  FROM g),
+        |alpha AS (
+        |  SELECT LEAST(
+        |    (CAST(MAX(cc) AS HUGEINT) * 1000000) // SUM(cons_chars),
+        |    (CAST(MAX(cd) AS HUGEINT) * 1000000) // SUM(cons_docs))
+        |    AS alpha_ppm
+        |  FROM g2)
+        |SELECT source, chars, docs,
+        |  CASE WHEN CAST(chars AS HUGEINT) * cd >= CAST(docs AS HUGEINT) * cc
+        |    THEN 'chars' ELSE 'docs' END AS dominant,
+        |  CAST((mi * 1000000) // (CAST(cc AS HUGEINT) * cd) AS BIGINT)
+        |    AS domshare_ppm,
+        |  CAST((alpha_ppm * cc * cd) // mi AS BIGINT) AS drf_ppm
+        |FROM g2 CROSS JOIN alpha ORDER BY source""".stripMargin,
     "q264_quota_apportionment" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
          |t AS (SELECT SUM(n) AS nt FROM c),

@@ -1157,6 +1157,53 @@ object Behavior {
         .orderBy("channel")
     },
 
+    // POPULARITY-BASELINE retrieval backtest — the recommender
+    // evaluation floor every ranking model must beat (if learned
+    // embeddings can't out-hit "recommend the globally popular parts",
+    // the pipeline has a problem): split the order timeline at the 80%
+    // point (q320's exact integer cut, epoch days), rank parts by
+    // train-side purchase count (ties by partkey — deterministic), and
+    // score hit@k ∈ {1, 5, 20} over test orders ("hit" = the order
+    // contains ANY top-k part). Rank WITHOUT a global window (the
+    // PlanSpec rule): TakeOrdered caps the candidate set at 20, then a
+    // 20×20 broadcast join-count assigns ranks — the q456 de-window
+    // shape. Scale: one train-side part agg (the natural shuffle), a
+    // 20-row broadcast against test lines, per-order min-rank agg, and
+    // a 3-row literal k-grid.
+    "q488_popularity_backtest" -> { (s, d) =>
+      val od = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("day"))
+      val rng = od.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(expr("lo + (hi - lo) * 4 DIV 5").as("cut"))
+      val tagged = Caches.shared(od.crossJoin(broadcast(rng))
+        .select(col("okey"), (col("day") < col("cut")).as("is_train")))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      val top = li.join(tagged, "okey").filter(col("is_train"))
+        .groupBy("part").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("part")).limit(20)
+      val ranked = top.join(broadcast(top.select(col("part").as("p2"),
+          col("cnt").as("c2"))),
+          col("c2") > col("cnt") ||
+            (col("c2") === col("cnt") && col("p2") < col("part")), "left")
+        .groupBy("part")
+        .agg((count(col("p2")) + 1).cast("long").as("rk"))
+      val testHits = li.join(tagged, "okey").filter(!col("is_train"))
+        .join(broadcast(ranked), Seq("part"), "left")
+        .groupBy("okey").agg(min(col("rk")).as("best_rk"))
+      val ks = s.range(0, 3).select(
+        expr("element_at(array(1L, 5L, 20L), CAST(id + 1 AS INT))").as("k"))
+      testHits.crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(count(lit(1)).cast("long").as("n_test_orders"),
+          sum(when(col("best_rk") <= col("k"), 1L).otherwise(0L))
+            .cast("long").as("n_hit"))
+        .withColumn("hit_ppm",
+          expr("CAST(n_hit * 1000000 DIV n_test_orders AS BIGINT)"))
+        .orderBy("k")
+    },
+
     // MARKOV removal-effect attribution (Anderl et al. 2014) — the
     // principled chain-based answer q328's three heuristics bracket:
     // build the journey transition matrix (start → touches → first
@@ -2059,6 +2106,38 @@ object Behavior {
         |    // GREATEST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END), 1) AS BIGINT)
         |    AS overlap_ppm
         |FROM pu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q488_popularity_backtest" ->
+      """WITH od AS (
+        |  SELECT o_orderkey AS okey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM orders),
+        |rng AS (SELECT MIN(day) + (MAX(day) - MIN(day)) * 4 // 5 AS cut
+        |  FROM od),
+        |tagged AS (SELECT okey, day < cut AS is_train FROM od CROSS JOIN rng),
+        |li AS (SELECT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |top AS (
+        |  SELECT part, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM li JOIN tagged USING (okey) WHERE is_train
+        |  GROUP BY 1 ORDER BY cnt DESC, part LIMIT 20),
+        |ranked AS (
+        |  SELECT t.part, CAST(1 + COUNT(o.part) AS BIGINT) AS rk
+        |  FROM top t LEFT JOIN top o
+        |    ON o.cnt > t.cnt OR (o.cnt = t.cnt AND o.part < t.part)
+        |  GROUP BY 1),
+        |hits AS (
+        |  SELECT li.okey, MIN(r.rk) AS best_rk
+        |  FROM li JOIN tagged USING (okey) LEFT JOIN ranked r
+        |    ON r.part = li.part
+        |  WHERE NOT is_train GROUP BY 1),
+        |ks AS (SELECT CAST(g.k AS BIGINT) AS k FROM UNNEST([1, 5, 20]) g(k))
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_test_orders,
+        |  CAST(SUM(CASE WHEN best_rk <= k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hit,
+        |  CAST(SUM(CASE WHEN best_rk <= k THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS hit_ppm
+        |FROM hits CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
 
     "q328_attribution_models" ->
       """WITH ev AS (

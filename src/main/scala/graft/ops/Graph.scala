@@ -241,6 +241,36 @@ object Graph {
     // directed edge ends (both directions, the standard symmetrization).
     // Base sums exact BIGINTs on the edge list; r is the ONE mirrored
     // IEEE assembly (the q207/q272 rule), zero-variance guarded to 0.
+    // Degree-OCTAVE census + decay ratio — the scale-free read of the
+    // co-purchase graph without a floating log: nodes bucket by the
+    // power-of-two octave of their degree (the q222 posting-bucket
+    // pattern), and the consecutive-octave count ratio in ppm is the
+    // tail-decay diagnostic (a roughly constant ratio ≈ 2^(1−γ)·10⁶ is
+    // the power-law signature; a cliff marks a degree cap or a
+    // truncated crawl). Hub planning reads straight off the top
+    // octaves — which is what decides q315/q454-style salting and the
+    // q58 bloom sizing for graph joins. Scale: one degree agg over the
+    // shared edge set, a 32-row broadcast range join, and octave-grid
+    // algebra; never corpus².
+    "q484_degree_octaves" -> { (s, d) =>
+      val deg = adjacency(s, d).groupBy("v").agg(count(lit(1)).as("dg"))
+      val pw = s.range(0, 32).select(col("id").cast("long").as("o"),
+        expr("shiftleft(1L, CAST(id AS INT))").as("lo"))
+      val b = deg.join(broadcast(pw),
+          col("dg") >= col("lo") && col("dg") < col("lo") * 2)
+        .groupBy("o", "lo")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("sum_degree"))
+      b.join(broadcast(b.select((col("o") - 1).as("o"),
+          col("n_nodes").as("n_next"))), Seq("o"), "left")
+        .select(col("o").cast("long").as("octave"),
+          col("lo").cast("long").as("degree_lo"),
+          col("n_nodes").cast("long").as("n_nodes"),
+          col("sum_degree").cast("long").as("sum_degree"),
+          expr("CAST(COALESCE(n_next, 0) * 1000000 DIV n_nodes AS BIGINT)")
+            .as("decay_ppm"))
+        .orderBy("octave")
+    },
+
     "q288_degree_assortativity" -> { (s, d) =>
       val und = adjacency(s, d)
       val deg = und.groupBy("v").agg(count(lit(1)).as("dg"))
@@ -583,6 +613,23 @@ object Graph {
         |  CAST(tot.n_vertices AS BIGINT) AS n_vertices
         |FROM classes CROSS JOIN tot
         |ORDER BY n_nodes DESC, sig LIMIT 10""".stripMargin),
+
+    "q484_degree_octaves" -> (EdgesSql +
+      """,
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+        |pw AS (SELECT CAST(g.i AS BIGINT) AS o,
+        |    CAST(1::BIGINT << g.i AS BIGINT) AS lo
+        |  FROM UNNEST(generate_series(0, 31)) g(i)),
+        |b AS (
+        |  SELECT pw.o, pw.lo, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(deg.dg) AS BIGINT) AS sum_degree
+        |  FROM deg JOIN pw ON deg.dg >= pw.lo AND deg.dg < pw.lo * 2
+        |  GROUP BY 1, 2)
+        |SELECT b.o AS octave, b.lo AS degree_lo, b.n_nodes, b.sum_degree,
+        |  CAST(COALESCE(nx.n_nodes, 0) * 1000000 // b.n_nodes AS BIGINT)
+        |    AS decay_ppm
+        |FROM b LEFT JOIN b nx ON nx.o = b.o + 1
+        |ORDER BY octave""".stripMargin),
 
     "q288_degree_assortativity" -> (EdgesSql +
       """,

@@ -2692,6 +2692,100 @@ object Stewardship {
         .orderBy("month_idx")
     },
 
+    // BACKLOG AGING — q405's balance split by AGE: the finance/WIP
+    // aging report ("how much of the open book is 0, 1–3, 4–12, >12
+    // months old?") that decides escalation and write-off policy; a
+    // backlog that grows ONLY in the old buckets is a stuck-order
+    // problem, not an intake problem. An order opened in month mo,
+    // last-shipped in month mc is open at month-ends m ∈ [mo, mc)
+    // (same-month closes never appear — filtered EXPLICITLY because
+    // Spark's sequence() runs DESCENDING on an empty range while
+    // DuckDB's generate_series returns empty, a parity trap);
+    // never-shipped orders stay open through the horizon. Count AND
+    // o_totalprice cents mass per bucket. Scale: close month is ONE
+    // max-agg per order (the natural shuffle); orders collapse onto
+    // the (mo, mc) month-pair grid (≤ horizon² cells) BEFORE the
+    // explode, so the month fan-out is grid algebra, never per-order.
+    "q486_backlog_aging" -> { (s, d) =>
+      def ym(c: Column) = (year(c) * 12 + month(c) - 1).cast("long")
+      val closed = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(ym(max(to_date(col("l_shipdate")))).as("mc"))
+      val ords = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
+          ym(col("o_orderdate")).as("mo"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .join(closed, col("okey") === col("l_orderkey"), "left")
+      val hi = ords.agg(max(greatest(col("mo"),
+        coalesce(col("mc"), col("mo")))).as("hi"))
+      val cells = ords.crossJoin(broadcast(hi))
+        .withColumn("mceff", coalesce(col("mc"), col("hi") + 1))
+        .groupBy("mo", "mceff", "hi")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .filter(col("mceff") > col("mo"))
+      cells.select(col("mo"), col("n"), col("cents"),
+          explode(expr("sequence(mo, least(mceff - 1, hi))")).as("m"))
+        .withColumn("bucket", expr("CASE WHEN m = mo THEN 'a_0m'" +
+          " WHEN m - mo <= 3 THEN 'b_1_3m'" +
+          " WHEN m - mo <= 12 THEN 'c_4_12m' ELSE 'd_gt12m' END"))
+        .groupBy("m", "bucket")
+        .agg(sum(col("n")).cast("long").as("n_open"),
+          sum(col("cents")).cast("long").as("open_cents"))
+        .select(col("m").cast("long").as("month_idx"), col("bucket"),
+          col("n_open"), col("open_cents"))
+        .orderBy("month_idx", "bucket")
+    },
+
+    // PERCENTILE-OF-PERCENTILES bias audit — the distributed-systems
+    // anti-pattern measured exactly: per-shard p50s averaged together
+    // are NOT the p50 (percentiles don't compose), yet sharded
+    // dashboards do it anyway; this prices the bias on real data. Ship
+    // delay per order priority, sharded 16 ways by l_orderkey hash:
+    // the TRUE exact p50 (q359's ceil-rank selection on the marginal),
+    // the mean of the 16 per-shard p50s in milli-days, the bias, and
+    // the worst single-shard deviation (how wrong one unlucky shard's
+    // gauge can read). Windows are partitioned by the bounded
+    // (priority[, shard]) keys over the generator-span delay grid —
+    // the q404 selection shape, never a corpus sort.
+    "q487_sharded_percentile_bias" -> { (s, d) =>
+      val base = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          (col("l_orderkey") % 16).cast("long").as("shard"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("delay"))
+      val g = Caches.shared(base.groupBy("prio", "shard", "delay")
+        .agg(count(lit(1)).as("c")))
+      def p50(df: DataFrame, keys: Seq[String]): DataFrame = {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy("delay")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy(keys.map(col): _*)
+        df.withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(wn))
+          .groupBy(keys.map(col): _*)
+          .agg(max(col("n")).as("n"),
+            max(when(expr("cum - c < (n + 1) DIV 2 AND (n + 1) DIV 2 <= cum"),
+              col("delay"))).as("p50"))
+      }
+      val byShard = p50(g, Seq("prio", "shard"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("p50")).as("sum_p50"),
+          max(col("p50")).as("max_p50"), min(col("p50")).as("min_p50"))
+      val truth = p50(g.groupBy("prio", "delay")
+          .agg(sum(col("c")).as("c")), Seq("prio"))
+      truth.join(byShard, "prio")
+        .select(col("prio"), col("n").cast("long").as("n_lines"),
+          col("p50").cast("long").as("p50_true"),
+          col("n_shards").cast("long").as("n_shards"),
+          expr("CAST(sum_p50 * 1000 DIV n_shards AS BIGINT)")
+            .as("shard_mean_milli"),
+          expr("CAST(sum_p50 * 1000 DIV n_shards - p50 * 1000 AS BIGINT)")
+            .as("bias_milli"),
+          expr("CAST(GREATEST(max_p50 - p50, p50 - min_p50) AS BIGINT)")
+            .as("worst_shard_dev"))
+        .orderBy("prio")
+    },
+
     // LEAD-LAG cross-correlation table — "does type A LEAD type B by k
     // days?" (q377 reads same-day co-movement; q385 reads each type's
     // own memory; THIS scans the lag axis BETWEEN types): for every
@@ -5957,6 +6051,84 @@ object Stewardship {
         |  CAST((SELECT SUM(h.op - h.cl) FROM grid h WHERE h.m <= g.m)
         |    AS BIGINT) AS backlog
         |FROM grid g ORDER BY 1""".stripMargin,
+
+    "q486_backlog_aging" ->
+      """WITH cls AS (
+        |  SELECT l_orderkey,
+        |    CAST(year(closed) * 12 + month(closed) - 1 AS BIGINT) AS mc
+        |  FROM (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS closed
+        |        FROM lineitem GROUP BY 1)),
+        |ords AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+        |      AS BIGINT) AS mo,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    cls.mc
+        |  FROM orders o LEFT JOIN cls ON cls.l_orderkey = o.o_orderkey),
+        |hi AS (SELECT MAX(GREATEST(mo, COALESCE(mc, mo))) AS hi FROM ords),
+        |cells AS (
+        |  SELECT mo, COALESCE(mc, hi.hi + 1) AS mceff, hi.hi,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM ords CROSS JOIN hi GROUP BY 1, 2, 3
+        |  HAVING COALESCE(mc, hi.hi + 1) > mo),
+        |expanded AS (
+        |  SELECT c.mo, c.n, c.cents, CAST(g.m AS BIGINT) AS m
+        |  FROM cells c, UNNEST(generate_series(c.mo, LEAST(c.mceff - 1,
+        |    c.hi))) g(m))
+        |SELECT m AS month_idx,
+        |  CASE WHEN m = mo THEN 'a_0m' WHEN m - mo <= 3 THEN 'b_1_3m'
+        |    WHEN m - mo <= 12 THEN 'c_4_12m' ELSE 'd_gt12m' END AS bucket,
+        |  CAST(SUM(n) AS BIGINT) AS n_open,
+        |  CAST(SUM(cents) AS BIGINT) AS open_cents
+        |FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q487_sharded_percentile_bias" ->
+      """WITH base AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    CAST(l.l_orderkey % 16 AS BIGINT) AS shard,
+        |    CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+        |      AS delay
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (SELECT prio, shard, delay, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |shx AS (
+        |  SELECT prio, shard, delay, c,
+        |    SUM(c) OVER (PARTITION BY prio, shard ORDER BY delay) AS cum,
+        |    SUM(c) OVER (PARTITION BY prio, shard) AS n
+        |  FROM g),
+        |sh AS (
+        |  SELECT prio, shard, MAX(n) AS n,
+        |    MAX(CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |      THEN delay END) AS p50
+        |  FROM shx GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |    CAST(SUM(p50) AS BIGINT) AS sum_p50,
+        |    CAST(MAX(p50) AS BIGINT) AS max_p50,
+        |    CAST(MIN(p50) AS BIGINT) AS min_p50
+        |  FROM sh GROUP BY 1),
+        |tm AS (SELECT prio, delay, CAST(SUM(c) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2),
+        |trx AS (
+        |  SELECT prio, delay, c,
+        |    SUM(c) OVER (PARTITION BY prio ORDER BY delay) AS cum,
+        |    SUM(c) OVER (PARTITION BY prio) AS n
+        |  FROM tm),
+        |tr AS (
+        |  SELECT prio, MAX(n) AS n,
+        |    MAX(CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |      THEN delay END) AS p50
+        |  FROM trx GROUP BY 1)
+        |SELECT tr.prio, CAST(tr.n AS BIGINT) AS n_lines,
+        |  CAST(tr.p50 AS BIGINT) AS p50_true,
+        |  a.n_shards,
+        |  CAST(a.sum_p50 * 1000 // a.n_shards AS BIGINT) AS shard_mean_milli,
+        |  CAST(a.sum_p50 * 1000 // a.n_shards - tr.p50 * 1000 AS BIGINT)
+        |    AS bias_milli,
+        |  CAST(GREATEST(a.max_p50 - tr.p50, tr.p50 - a.min_p50) AS BIGINT)
+        |    AS worst_shard_dev
+        |FROM tr JOIN agg a ON a.prio = tr.prio ORDER BY tr.prio""".stripMargin,
 
     "q406_leadlag_best" ->
       """WITH daily AS (

@@ -507,6 +507,42 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // CREDENTIAL/SECRET screen — the scrub q96 (PII) does not cover:
+    // leaked API keys and tokens in pretraining text (the Copilot
+    // lesson). Detector = maximal runs of the base64url/key alphabet
+    // ≥ 20 chars that mix all three character classes (digit + lower +
+    // upper) — the lookahead-free, RE2-safe high-entropy proxy (true
+    // Shannon entropy needs a log; the mixed-class long-run rule is
+    // what production scanners like detect-secrets ship as baseline).
+    // The synthetic corpus carries no secrets, so ~1/9 of docs get one
+    // PLANTED deterministically from doc_id (q96's convention, mirrored
+    // in the oracle): ' key AKa1' + md5-prefix — 20 chars, all three
+    // classes by construction. Per source: docs, flagged docs,
+    // candidate count, masked mass, flag floor-ppm. Row-local regex
+    // work only — no shuffle beyond the (source)-grid agg.
+    "q485_secret_screen" -> { (s, d) =>
+      val planted = Tables.documents(s, d)
+        .withColumn("t", concat(col("text"),
+          when(col("doc_id") % 9 === 0,
+            concat(lit(" key AKa1"),
+              substring(md5(col("doc_id").cast("string")), 1, 16)))
+            .otherwise(lit(""))))
+      planted.select(col("source"),
+          expr("filter(regexp_extract_all(t, '[A-Za-z0-9+/=_-]{20,}', 0)," +
+            " x -> x RLIKE '[0-9]' AND x RLIKE '[a-z]' AND x RLIKE '[A-Z]')")
+            .as("ks"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(size(col("ks")) > 0, 1L).otherwise(0L)).cast("long")
+            .as("n_flagged_docs"),
+          sum(size(col("ks")).cast("long")).cast("long").as("n_secrets"),
+          sum(expr("aggregate(ks, 0L, (a, x) -> a + length(x))"))
+            .cast("long").as("masked_chars"))
+        .withColumn("flag_ppm",
+          expr("CAST(n_flagged_docs * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
     // Collocation mining by integer PMI proxy: PMI ranks bigrams by
     // log(p(xy)/(p(x)p(y))) and log is monotone, so ranking by the LIFT
     // n_xy·N/(n_x·n_y) is the same ordering with zero transcendental
@@ -1140,6 +1176,28 @@ object TextAnalysis {
         |  CAST(n_covered * 1000000 // n_tokens AS BIGINT) AS token_cov_ppm,
         |  CAST(n_types_covered * 1000000 // n_types AS BIGINT) AS type_cov_ppm
         |FROM agg ORDER BY lang""".stripMargin,
+
+    "q485_secret_screen" ->
+      """WITH planted AS (
+        |  SELECT source, text ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' key AKa1' ||
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) ELSE '' END AS t
+        |  FROM documents),
+        |cands AS (
+        |  SELECT source,
+        |    list_filter(regexp_extract_all(t, '[A-Za-z0-9+/=_-]{20,}'),
+        |      x -> regexp_matches(x, '[0-9]') AND regexp_matches(x, '[a-z]')
+        |        AND regexp_matches(x, '[A-Z]')) AS ks
+        |  FROM planted)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN len(ks) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged_docs,
+        |  CAST(SUM(len(ks)) AS BIGINT) AS n_secrets,
+        |  CAST(SUM(COALESCE(list_sum(list_transform(ks, x -> length(x))), 0))
+        |    AS BIGINT) AS masked_chars,
+        |  CAST(SUM(CASE WHEN len(ks) > 0 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS flag_ppm
+        |FROM cands GROUP BY source ORDER BY source""".stripMargin,
 
     "q96_pii_redact" -> {
       // one source of truth: the oracle interpolates the SAME patterns

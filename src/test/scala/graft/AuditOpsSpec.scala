@@ -2499,4 +2499,202 @@ class AuditOpsSpec extends AnyFunSuite {
         p.head.getAs[Long]("padded") <= p.last.getAs[Long]("padded")))
     }
   }
+
+  // ---- q483 DRF allocation -----------------------------------------------------------------
+
+  test("q483 equalizes dominant shares and never over-allocates either resource") {
+    val demands = graft.model.Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("chars"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cc = demands.map(_._2).sum; val cd = demands.map(_._3).sum
+    val kk = BigInt(cc) * cd
+    val rows = graft.ops.Analytics.queries("q483_drf_allocation")(spark, sf)
+      .collect()
+    // exact replay of the closed form
+    val mi = demands.map { case (s2, ch, dc) =>
+      s2 -> (BigInt(ch) * cd).max(BigInt(dc) * cc) }.toMap
+    val consC = demands.map { case (s2, ch, _) =>
+      (BigInt(ch) * cc * cd + mi(s2) - 1) / mi(s2) }.sum
+    val consD = demands.map { case (s2, _, dc) =>
+      (BigInt(dc) * cc * cd + mi(s2) - 1) / mi(s2) }.sum
+    val alpha = ((BigInt(cc) * 1000000) / consC)
+      .min((BigInt(cd) * 1000000) / consD)
+    rows.foreach { r =>
+      val m = mi(r.getString(0))
+      assert(BigInt(r.getAs[Long]("drf_ppm")) == (alpha * kk) / m,
+        r.getString(0))
+      assert(BigInt(r.getAs[Long]("domshare_ppm")) == (m * 1000000) / kk)
+      // equal dominant share up to the floor: x_i·m_i ∈ (αK − m_i, αK]
+      val xm = BigInt(r.getAs[Long]("drf_ppm")) * m
+      assert(xm <= alpha * kk && xm > alpha * kk - m, r.getString(0))
+    }
+    // feasibility: total admitted consumption within each capacity
+    val byName = demands.map(t => t._1 -> t).toMap
+    val usedC = rows.map(r => BigInt(r.getAs[Long]("drf_ppm")) *
+      byName(r.getString(0))._2).sum
+    val usedD = rows.map(r => BigInt(r.getAs[Long]("drf_ppm")) *
+      byName(r.getString(0))._3).sum
+    assert(usedC <= BigInt(cc) * 1000000)
+    assert(usedD <= BigInt(cd) * 1000000)
+    // the binding resource is nearly saturated (floors only under-fill)
+    assert(usedC * 100 >= BigInt(cc) * 1000000 * 99 ||
+      usedD * 100 >= BigInt(cd) * 1000000 * 99)
+  }
+
+  // ---- q484 degree octaves -------------------------------------------------------------------
+
+  test("q484 conserves vertices and degree mass over the octave grid") {
+    val rows = graft.ops.Graph.queries("q484_degree_octaves")(spark, sf)
+      .collect()
+    val assort = graft.ops.Graph.queries("q288_degree_assortativity")(
+      spark, sf).collect().head
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum ==
+      assort.getAs[Long]("n_vertices"))
+    assert(rows.map(_.getAs[Long]("sum_degree")).sum ==
+      2L * assort.getAs[Long]("n_edges"))
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("degree_lo")
+      assert(lo == (1L << r.getAs[Long]("octave").toInt))
+      // bucket mean degree lies inside [lo, 2·lo)
+      assert(r.getAs[Long]("sum_degree") >= lo * r.getAs[Long]("n_nodes"))
+      assert(r.getAs[Long]("sum_degree") < 2 * lo * r.getAs[Long]("n_nodes"))
+    }
+  }
+
+  // ---- q485 secret screen ----------------------------------------------------------------------
+
+  test("q485 finds exactly the planted credentials; class-incomplete runs do not fire") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = graft.ops.TextAnalysis.queries("q485_secret_screen")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val ds = docs.filter(_._1 == r.getString(0))
+      val planted = ds.count(_._2 % 9 == 0).toLong
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_flagged_docs") == planted, r.getString(0))
+      assert(r.getAs[Long]("n_secrets") == planted)
+      assert(r.getAs[Long]("masked_chars") == 20L * planted)
+    }
+    // fixture: a mixed-class 24-char run fires; all-lowercase and
+    // lower+digit runs of the same length do not (doc ids chosen % 9 != 0
+    // so nothing extra is planted)
+    val fx = writeDocs(Seq(
+      doc(1L, "body Abc1abcdefghijklmnopqrst tail", "en", "hit"),
+      doc(2L, "body abcdefghijklmnopqrstuvwx tail", "en", "miss"),
+      doc(3L, "body abc1abcdefghijklmnopqrs2 tail", "en", "miss")))
+    val fr = graft.ops.TextAnalysis.queries("q485_secret_screen")(spark, fx)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_secrets")).toMap
+    assert(fr("hit") == 1L && fr("miss") == 0L)
+  }
+
+  // ---- q486 backlog aging ----------------------------------------------------------------------
+
+  test("q486 replays the interval-aging census exactly") {
+    // NOTE: q405's open-minus-closed balance is NOT the comparison
+    // oracle here — the driver corpus contains orders whose last ship
+    // month PRECEDES the order month (negative delays), which the
+    // cumulative balance nets against genuine opens while the interval
+    // definition [mo, mc) correctly drops them. Replay the interval
+    // definition brute-force instead.
+    val mc = graft.model.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(year(MAX(l_shipdate)) * 12 + month(MAX(l_shipdate)) - 1" +
+          " AS BIGINT)").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ords = graft.model.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hi = ords.map(t => math.max(t._2, mc.getOrElse(t._1, t._2))).max
+    val expected = scala.collection.mutable.Map
+      .empty[(Long, String), (Long, Long)]
+    ords.foreach { case (okey, mo, cents) =>
+      val mceff = mc.getOrElse(okey, hi + 1)
+      (mo until math.min(mceff, hi + 1)).foreach { m =>
+        val b = if (m == mo) "a_0m" else if (m - mo <= 3) "b_1_3m"
+          else if (m - mo <= 12) "c_4_12m" else "d_gt12m"
+        val (n0, c0) = expected.getOrElse((m, b), (0L, 0L))
+        expected((m, b)) = (n0 + 1, c0 + cents)
+      }
+    }
+    val aging = graft.ops.Stewardship.queries("q486_backlog_aging")(spark, sf)
+      .collect()
+    assert(aging.length == expected.size)
+    aging.foreach { r =>
+      val key = (r.getAs[Long]("month_idx"), r.getString(1))
+      assert(expected(key) ==
+        ((r.getAs[Long]("n_open"), r.getAs[Long]("open_cents"))), key)
+    }
+  }
+
+  // ---- q487 sharded percentile bias ---------------------------------------------------------------
+
+  test("q487 true p50 replays exactly and lies within the shard-median envelope") {
+    val base = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr("o_orderpriority", "l_orderkey % 16",
+        "CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def p50(xs: Seq[Long]): Long = xs.sorted.apply(((xs.length + 1) / 2) - 1)
+    val rows = graft.ops.Stewardship.queries(
+      "q487_sharded_percentile_bias")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val prio = r.getString(0)
+      val all = base.filter(_._1 == prio).map(_._3)
+      val shardP50s = base.filter(_._1 == prio).groupBy(_._2)
+        .map { case (_, xs) => p50(xs.map(_._3).toSeq) }.toSeq
+      assert(r.getAs[Long]("n_lines") == all.length.toLong)
+      assert(r.getAs[Long]("p50_true") == p50(all.toSeq), prio)
+      assert(r.getAs[Long]("n_shards") == shardP50s.length.toLong)
+      assert(r.getAs[Long]("shard_mean_milli") ==
+        shardP50s.sum * 1000L / shardP50s.length)
+      // pooled median always lies inside [min, max] of the shard medians
+      assert(r.getAs[Long]("p50_true") >= shardP50s.min)
+      assert(r.getAs[Long]("p50_true") <= shardP50s.max)
+      assert(r.getAs[Long]("worst_shard_dev") ==
+        math.max(shardP50s.max - r.getAs[Long]("p50_true"),
+          r.getAs[Long]("p50_true") - shardP50s.min))
+    }
+  }
+
+  // ---- q488 popularity backtest ---------------------------------------------------------------------
+
+  test("q488 replays the split, the top-20 ranking, and monotone hit@k") {
+    val od = graft.model.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "CAST(datediff(o_orderdate, '1970-01-01') AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cut = od.map(_._2).min + (od.map(_._2).max - od.map(_._2).min) * 4 / 5
+    val train = od.filter(_._2 < cut).map(_._1).toSet
+    val test = od.filter(_._2 >= cut).map(_._1).toSet
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val top = li.filter(t => train(t._1)).groupBy(_._2)
+      .map { case (p, xs) => (p, xs.length.toLong) }.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(20).map(_._1).zipWithIndex
+      .map { case (p, i) => p -> (i + 1L) }.toMap
+    val byOrder = li.filter(t => test(t._1)).groupBy(_._1)
+    val rows = graft.ops.Behavior.queries("q488_popularity_backtest")(
+      spark, sf).collect().sortBy(_.getAs[Long]("k"))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val hits = byOrder.count { case (_, xs) =>
+        xs.exists(t => top.get(t._2).exists(_ <= k)) }
+      assert(r.getAs[Long]("n_test_orders") == byOrder.size.toLong)
+      assert(r.getAs[Long]("n_hit") == hits.toLong, s"k=$k")
+    }
+    // hit@k is monotone in k
+    assert(rows.sliding(2).forall(p =>
+      p.head.getAs[Long]("n_hit") <= p.last.getAs[Long]("n_hit")))
+  }
 }
