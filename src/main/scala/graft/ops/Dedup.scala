@@ -763,6 +763,45 @@ object Dedup {
         .orderBy("cluster_id")
     },
 
+    // LICENSE PROPAGATION through dup clusters — the pretraining-
+    // governance rule dedup makes NECESSARY: when near-duplicates of a
+    // document exist under different licenses, the survivor must carry
+    // the STRICTEST member license (keeping the permissive copy of a
+    // restricted text launders the restriction away). Licenses are
+    // assigned deterministically per source (neutral md5 → 3 tiers,
+    // the q133 conv pattern — a deployment reads them from metadata);
+    // effective license = max tier within the q65 cluster (singletons
+    // keep their own). Output: the own × effective ESCALATION matrix
+    // with doc and cluster masses — the off-diagonal rows are the docs
+    // whose usable rights changed because of dedup, the number a legal
+    // review asks for first. Cost: the q65 envelope (shared LSH +
+    // CC) + one cluster-keyed max + one matrix agg.
+    "q491_license_propagation" -> { (s, d) =>
+      val lab = connectedComponents(dupEdges(s, d))
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        expr("CAST(conv(substring(md5(source), 1, 2), 16, 10) AS BIGINT) % 3")
+          .as("lic"))
+      val labeled = docs
+        .join(lab.select(col("node").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lic"),
+          coalesce(col("label"), col("doc_id")).as("cl"))
+      val eff = labeled.groupBy("cl").agg(max(col("lic")).as("eff"))
+      labeled.join(eff, "cl")
+        .groupBy("lic", "eff")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("cl")).cast("long").as("n_clusters"))
+        .select(
+          expr("CASE lic WHEN 0 THEN 'a_permissive' WHEN 1" +
+            " THEN 'b_attribution' ELSE 'c_restricted' END")
+            .as("own_license"),
+          expr("CASE eff WHEN 0 THEN 'a_permissive' WHEN 1" +
+            " THEN 'b_attribution' ELSE 'c_restricted' END")
+            .as("eff_license"),
+          col("n_docs"), col("n_clusters"))
+        .orderBy("own_license", "eff_license")
+    },
+
     // ALTERNATING-STAR connected components — the published
     // shuffle-bounded alternative to q65's label propagation (Kiveris
     // et al., "Connected Components in MapReduce and Beyond", SoCC'14):
@@ -1680,6 +1719,24 @@ object Dedup {
         |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
         |  MAX(node) AS max_member
         |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin),
+
+    "q491_license_propagation" -> (ClusterLabelsSql +
+      """,
+        |docs2 AS (
+        |  SELECT d.doc_id,
+        |    ('0x' || substr(md5(d.source), 1, 2))::BIGINT % 3 AS lic,
+        |    COALESCE(l.label, d.doc_id) AS cl
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+        |eff AS (SELECT cl, MAX(lic) AS eff FROM docs2 GROUP BY 1)
+        |SELECT
+        |  CASE d2.lic WHEN 0 THEN 'a_permissive' WHEN 1 THEN 'b_attribution'
+        |    ELSE 'c_restricted' END AS own_license,
+        |  CASE eff.eff WHEN 0 THEN 'a_permissive' WHEN 1
+        |    THEN 'b_attribution' ELSE 'c_restricted' END AS eff_license,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT d2.cl) AS BIGINT) AS n_clusters
+        |FROM docs2 d2 JOIN eff ON eff.cl = d2.cl
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q106_effective_tokens" -> (ClusterLabelsSql +
       """,

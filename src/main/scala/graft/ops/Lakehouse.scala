@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,53 @@ object Lakehouse {
   private[graft] val SampleK = 10
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PARTITION-LAYOUT advisor — the `partitionBy` decision every
+    // lakehouse table gets wrong once: for each candidate column set
+    // (source; lang; source×lang; source×lang×length-octile) the
+    // physical-partition census a writer would produce — partition
+    // count, min/median/max rows, SMALL-partition count (< 128 rows —
+    // the small-file problem) and skew_ppm = max·n_parts·10⁶ DIV total
+    // (how much the biggest partition exceeds the uniform share).
+    // Over-partitioning shows as the small-file column exploding while
+    // skew barely improves — exactly the tradeoff this table prices
+    // (q452 forecasts grouping NDV; THIS prices the resulting files).
+    // Median by the q404 ceil-rank running-sum selection on the
+    // (strategy, rows)-grid — windows partitioned by the 4-row
+    // strategy key, never a corpus sort.
+    "q489_partition_layout" -> { (s, d) =>
+      val base = Caches.shared(Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          expr("n_chars DIV 128").as("lenb")))
+      def parts(tag: String, keys: Seq[Column]): DataFrame =
+        base.groupBy(keys: _*).agg(count(lit(1)).as("rows"))
+          .select(lit(tag).as("strategy"), col("rows"))
+      val all = parts("a_source", Seq(col("source")))
+        .unionByName(parts("b_lang", Seq(col("lang"))))
+        .unionByName(parts("c_source_lang",
+          Seq(col("source"), col("lang"))))
+        .unionByName(parts("d_source_lang_len",
+          Seq(col("source"), col("lang"), col("lenb"))))
+      val g = all.groupBy("strategy", "rows").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("strategy").orderBy("rows")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("strategy")
+      g.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("np", sum(col("c")).over(wn))
+        .withColumn("tot", sum(col("c") * col("rows")).over(wn))
+        .groupBy("strategy")
+        .agg(max(col("np")).cast("long").as("n_partitions"),
+          min(col("rows")).cast("long").as("rows_min"),
+          max(when(expr("cum - c < (np + 1) DIV 2 AND (np + 1) DIV 2 <= cum"),
+            col("rows"))).cast("long").as("rows_p50"),
+          max(col("rows")).cast("long").as("rows_max"),
+          sum(when(col("rows") < 128, col("c")).otherwise(lit(0L)))
+            .cast("long").as("n_small"),
+          max(col("tot")).as("tot"))
+        .withColumn("skew_ppm",
+          expr("CAST(rows_max * n_partitions * 1000000 DIV tot AS BIGINT)"))
+        .drop("tot")
+        .orderBy("strategy")
+    },
     // SCD TYPE-2 dimension build over the event stream — the
     // lakehouse mutation primitive next to E29/q139's CDC merge: the
     // per-user attribute k (the props payload) becomes a sequence of
@@ -916,6 +963,38 @@ object Lakehouse {
   )
 
   def oracle: Map[String, String] = Map(
+    "q489_partition_layout" ->
+      """WITH base AS (
+        |  SELECT source, lang, n_chars // 128 AS lenb FROM documents),
+        |allp AS (
+        |  SELECT 'a_source' AS strategy, CAST(COUNT(*) AS BIGINT) AS rows_
+        |    FROM base GROUP BY source
+        |  UNION ALL
+        |  SELECT 'b_lang', CAST(COUNT(*) AS BIGINT) FROM base GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'c_source_lang', CAST(COUNT(*) AS BIGINT) FROM base
+        |    GROUP BY source, lang
+        |  UNION ALL
+        |  SELECT 'd_source_lang_len', CAST(COUNT(*) AS BIGINT) FROM base
+        |    GROUP BY source, lang, lenb),
+        |g AS (SELECT strategy, rows_, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM allp GROUP BY 1, 2),
+        |gx AS (
+        |  SELECT strategy, rows_, c,
+        |    SUM(c) OVER (PARTITION BY strategy ORDER BY rows_) AS cum,
+        |    SUM(c) OVER (PARTITION BY strategy) AS np,
+        |    SUM(c * rows_) OVER (PARTITION BY strategy) AS tot
+        |  FROM g)
+        |SELECT strategy, CAST(MAX(np) AS BIGINT) AS n_partitions,
+        |  CAST(MIN(rows_) AS BIGINT) AS rows_min,
+        |  CAST(MAX(CASE WHEN cum - c < (np + 1) // 2 AND (np + 1) // 2 <= cum
+        |    THEN rows_ END) AS BIGINT) AS rows_p50,
+        |  CAST(MAX(rows_) AS BIGINT) AS rows_max,
+        |  CAST(SUM(CASE WHEN rows_ < 128 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_small,
+        |  CAST(MAX(rows_) * MAX(np) * 1000000 // MAX(tot) AS BIGINT)
+        |    AS skew_ppm
+        |FROM gx GROUP BY strategy ORDER BY strategy""".stripMargin,
     "q420_compaction_plan" ->
       """WITH files AS (
         |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)

@@ -2692,6 +2692,44 @@ object Stewardship {
         .orderBy("month_idx")
     },
 
+    // DAY-BOUNDARY sensitivity audit — how much every daily metric in
+    // this repo depends on WHERE midnight falls (the timezone gotcha
+    // that silently shifts dashboards when a pipeline moves regions):
+    // the per-type daily-count series computed at the UTC boundary vs
+    // the same series at UTC+8, full-outer-joined on (type, day);
+    // reported per type as diverging-day count, max |Δ|, and the
+    // total-variation-style shift_ppm = Σ|Δ|·10⁶ DIV (2·mass) — the
+    // fraction of event mass that changes its day label. A high value
+    // says "this metric is boundary-fragile; pin the reporting
+    // timezone in the contract". Scale: two (type, day)-grid aggs +
+    // grid algebra, both map-combined.
+    "q490_day_boundary_shift" -> { (s, d) =>
+      val ev = Caches.shared(Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us")))
+      val a = ev.groupBy(col("event_type"),
+          expr("us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("ca"))
+      val b = ev.groupBy(col("event_type"),
+          expr("(us + 28800000000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cb"))
+      a.join(b, Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)).cast("long")
+            .as("n_diverging"),
+          max(abs(col("ca") - col("cb"))).cast("long").as("max_abs_diff"),
+          sum(abs(col("ca") - col("cb"))).as("sum_abs"),
+          sum(col("ca")).as("mass"))
+        .select(col("event_type"), col("n_days"), col("n_diverging"),
+          col("max_abs_diff"),
+          expr("CAST(sum_abs * 1000000 DIV (2 * mass) AS BIGINT)")
+            .as("shift_ppm"))
+        .orderBy("event_type")
+    },
+
     // BACKLOG AGING — q405's balance split by AGE: the finance/WIP
     // aging report ("how much of the open book is 0, 1–3, 4–12, >12
     // months old?") that decides escalation and write-off policy; a
@@ -6051,6 +6089,30 @@ object Stewardship {
         |  CAST((SELECT SUM(h.op - h.cl) FROM grid h WHERE h.m <= g.m)
         |    AS BIGINT) AS backlog
         |FROM grid g ORDER BY 1""".stripMargin,
+
+    "q490_day_boundary_shift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |a AS (SELECT event_type, us // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT event_type, (us + 28800000000) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM ev GROUP BY 1, 2),
+        |j AS (
+        |  SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+        |    COALESCE(a.day, b.day) AS day,
+        |    COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b
+        |    ON a.event_type = b.event_type AND a.day = b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_diverging,
+        |  CAST(MAX(ABS(ca - cb)) AS BIGINT) AS max_abs_diff,
+        |  CAST(SUM(ABS(ca - cb)) * 1000000 // (2 * SUM(ca)) AS BIGINT)
+        |    AS shift_ppm
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q486_backlog_aging" ->
       """WITH cls AS (

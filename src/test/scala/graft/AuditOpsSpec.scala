@@ -2697,4 +2697,101 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(rows.sliding(2).forall(p =>
       p.head.getAs[Long]("n_hit") <= p.last.getAs[Long]("n_hit")))
   }
+
+  // ---- q489 partition layout -----------------------------------------------------------------------
+
+  test("q489 replays the partition censuses; refinement only grows parts and small files") {
+    val base = graft.model.Tables.documents(spark, sf)
+      .selectExpr("source", "lang", "n_chars DIV 128").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def census(key: ((String, String, Long)) => Any): Seq[Long] =
+      base.groupBy(key).map(_._2.length.toLong).toSeq
+    val expected = Map(
+      "a_source" -> census(_._1), "b_lang" -> census(_._2),
+      "c_source_lang" -> census(t => (t._1, t._2)),
+      "d_source_lang_len" -> census(t => (t._1, t._2, t._3)))
+    val rows = graft.ops.Lakehouse.queries("q489_partition_layout")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    expected.foreach { case (tag, sizes) =>
+      val r = rows(tag)
+      val sorted = sizes.sorted
+      assert(r.getAs[Long]("n_partitions") == sizes.length.toLong, tag)
+      assert(r.getAs[Long]("rows_min") == sorted.head, tag)
+      assert(r.getAs[Long]("rows_max") == sorted.last, tag)
+      assert(r.getAs[Long]("rows_p50") ==
+        sorted(((sizes.length + 1) / 2) - 1), tag)
+      assert(r.getAs[Long]("n_small") == sizes.count(_ < 128).toLong, tag)
+      assert(r.getAs[Long]("skew_ppm") ==
+        sorted.last * sizes.length * 1000000L / sizes.sum, tag)
+    }
+    // nested refinement a ⊂ c ⊂ d: partition count and small-file count
+    // are monotone along the chain
+    val chain = Seq("a_source", "c_source_lang", "d_source_lang_len")
+    chain.sliding(2).foreach { case Seq(x, y) =>
+      assert(rows(x).getAs[Long]("n_partitions") <=
+        rows(y).getAs[Long]("n_partitions"))
+      assert(rows(x).getAs[Long]("n_small") <= rows(y).getAs[Long]("n_small"))
+    }
+  }
+
+  // ---- q490 day-boundary shift ------------------------------------------------------------------------
+
+  test("q490 replays both boundary series; mass is conserved across the shift") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = graft.ops.Stewardship.queries("q490_day_boundary_shift")(
+      spark, sf).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val us = ev.filter(_._1 == t).map(_._2)
+      val a = us.groupBy(_ / 86400000000L).map { case (d2, xs) =>
+        d2 -> xs.length.toLong }
+      val b = us.groupBy(u => (u + 28800000000L) / 86400000000L)
+        .map { case (d2, xs) => d2 -> xs.length.toLong }
+      val days = (a.keySet ++ b.keySet).toSeq
+      val diffs = days.map(d2 =>
+        math.abs(a.getOrElse(d2, 0L) - b.getOrElse(d2, 0L)))
+      assert(r.getAs[Long]("n_days") == days.length.toLong, t)
+      assert(r.getAs[Long]("n_diverging") == diffs.count(_ != 0L).toLong, t)
+      assert(r.getAs[Long]("max_abs_diff") == diffs.max, t)
+      assert(r.getAs[Long]("shift_ppm") ==
+        diffs.sum * 1000000L / (2L * us.length), t)
+      assert(r.getAs[Long]("shift_ppm") <= 1000000L)
+    }
+  }
+
+  // ---- q491 license propagation --------------------------------------------------------------------------
+
+  test("q491 escalates only upward and conserves the doc census") {
+    def licOf(src: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${dig(0) & 0xff}%02x", 16) % 3
+    }
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> licOf(r.getString(1))).toMap
+    val lab = graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.dupEdges(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = docs.keys.groupBy(k => lab.getOrElse(k, k))
+    val eff = byCluster.map { case (cl, ms) => cl -> ms.map(docs).max }
+    val names = Seq("a_permissive", "b_attribution", "c_restricted")
+    val expected = docs.keys.groupBy { k =>
+      (names(docs(k).toInt), names(eff(lab.getOrElse(k, k)).toInt))
+    }.map { case (key, ms) =>
+      key -> ((ms.size.toLong,
+        ms.map(k => lab.getOrElse(k, k)).toSet.size.toLong))
+    }
+    val rows = graft.ops.Dedup.queries("q491_license_propagation")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.size.toLong)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getString(0) <= r.getString(1), key) // escalation only up
+      assert(expected(key) ==
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"))), key)
+    }
+  }
 }
