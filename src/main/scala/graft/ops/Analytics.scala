@@ -91,6 +91,44 @@ object Analytics {
   private[graft] lazy val MortonTable: Seq[Int] =
     for (x <- 0 until CurveN; y <- 0 until CurveN) yield mortonD(x, y)
 
+  /** The q289 classical-decomposition CTE chain (events → zero-filled
+    * day grid → centered 7-day trend → weekday seasonal → residual),
+    * shared verbatim by q289's oracle and q492's anomaly layer so the
+    * decomposition has ONE definition DuckDB-side. Ends in `dec`
+    * (event_type, di, c, trend_u, seasonal_u, resid_u). */
+  private[graft] val DecompChainSql: String =
+    """ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |daily AS (SELECT event_type, day, COUNT(*) AS c0 FROM ev GROUP BY 1, 2),
+      |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+      |days AS (SELECT CAST(g.d AS DATE) AS day, b.mn, b.mx
+      |         FROM b, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) g(d)),
+      |ty AS (SELECT DISTINCT event_type FROM ev),
+      |cells AS (
+      |  SELECT t.event_type, date_diff('day', dy.mn, dy.day) AS di,
+      |    date_diff('day', dy.mn, dy.mx) AS ndm1, COALESCE(d2.c0, 0) AS c
+      |  FROM days dy CROSS JOIN ty t
+      |  LEFT JOIN daily d2 ON d2.event_type = t.event_type AND d2.day = dy.day),
+      |tr AS (
+      |  SELECT event_type, di, c, ndm1,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY di
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum
+      |  FROM cells),
+      |trended AS (
+      |  SELECT event_type, di, c,
+      |    CAST(wsum * 1000000 // 7 AS BIGINT) AS trend_u,
+      |    c * 1000000 - CAST(wsum * 1000000 // 7 AS BIGINT) AS det_u,
+      |    di % 7 AS phase
+      |  FROM tr WHERE di >= 3 AND di <= ndm1 - 3),
+      |seas AS (
+      |  SELECT event_type, phase,
+      |    CAST(FLOOR(CAST(SUM(det_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS seasonal_u
+      |  FROM trended GROUP BY 1, 2),
+      |dec AS (
+      |  SELECT t.event_type, t.di, t.c, t.trend_u, s.seasonal_u,
+      |    CAST(t.det_u - s.seasonal_u AS BIGINT) AS resid_u
+      |  FROM trended t JOIN seas s USING (event_type, phase))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DOMINANT-RESOURCE-FAIRNESS allocation (Ghodsi et al., NSDI'11 —
     // the YARN/Mesos/K8s multi-tenant scheduler invariant) over the
@@ -993,6 +1031,50 @@ object Analytics {
         .orderBy("event_type", "di")
     },
 
+    // SEASONAL-RESIDUAL anomaly detector — the RIGHT way to alert on a
+    // seasonal series: q344/q218 flag raw daily counts, so every
+    // weekend reads as an anomaly on weekday-patterned data; THIS
+    // flags |residual − median(residual)| > 3·MAD on q289's exact
+    // decomposition residuals, where trend and weekday pattern are
+    // already removed — the q344 robust rule pointed at the component
+    // that is actually supposed to be noise. Medians/MADs by the
+    // ceil-rank running-sum selection partitioned by event type (the
+    // q487 shape). Per type: interior days, median residual, MAD,
+    // anomaly count, worst |deviation|. Scale: rides q289's grid (the
+    // horizon-bounded day lattice); two grid-sized rank selections.
+    "q492_seasonal_anomaly" -> { (s, d) =>
+      val dec = Caches.shared(queries("q289_ts_decomposition")(s, d)
+        .select(col("event_type"), col("resid_u")))
+      def medOf(df: DataFrame, v: String): DataFrame = {
+        val g = df.groupBy(col("event_type"), col(v))
+          .agg(count(lit(1)).as("cc"))
+        val w = Window.partitionBy("event_type").orderBy(v)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("cum", sum(col("cc")).over(w))
+          .withColumn("n", sum(col("cc"))
+            .over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            max(when(expr("cum - cc < (n + 1) DIV 2 AND (n + 1) DIV 2 <= cum"),
+              col(v))).as("med"))
+      }
+      val med = medOf(dec, "resid_u")
+      val ad = dec.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("resid_u") - col("med")).as("adv"))
+      val mad = medOf(ad, "adv")
+        .select(col("event_type"), col("med").as("mad"))
+      dec.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(max(col("n")).cast("long").as("n_days"),
+          max(col("med")).cast("long").as("median_resid_u"),
+          max(col("mad")).cast("long").as("mad_u"),
+          sum(when(abs(col("resid_u") - col("med")) > col("mad") * 3, 1L)
+            .otherwise(0L)).cast("long").as("n_anomalies"),
+          max(abs(col("resid_u") - col("med"))).cast("long")
+            .as("worst_abs_dev"))
+        .orderBy("event_type")
+    },
+
     // Temperature-based mixing SWEEP, α ∈ {¼, ½, ¾} — the source-mix
     // decision CURVE above D5t/q64's single α = ½ point (α → 0 is
     // uniform-over-sources, α = 1 is proportional; WHERE to sit is the
@@ -1028,6 +1110,42 @@ object Analytics {
           col("n").cast("long").as("n_docs"), col("wt").cast("long").as("weight"),
           expr("CAST(wt * 1000000 DIV wtot AS BIGINT)").as("share_ppm"))
         .orderBy("source", "alpha_ppm")
+    },
+
+    // BATCH-MEAN variance DECAY audit — the data-side gradient-noise
+    // read (McCandlish et al.'s critical-batch-size intuition, proxied
+    // on an exact statistic): for deterministic id-order batches of
+    // B ∈ {16, 256, 4096} docs, the variance of the batch MEAN doc
+    // length, exactly (nb·ΣS² − (ΣS)²)·10⁶ DIV (nb²·B²). Under
+    // iid-like ordering this decays as 1/B — so b_var_u = B·var stays
+    // flat; a RISING b_var_u curve means id-adjacent docs correlate
+    // (template runs, crawl bursts — the q469 adjacency finding read
+    // through training-batch glasses) and batch means won't concentrate
+    // the way the lr schedule assumes. Partial trailing batches are
+    // dropped (k = B exactly). DECIMAL(38,0) sums (HUGEINT mirror).
+    "q493_batch_variance_decay" -> { (s, d) =>
+      val bs = s.range(0, 3).select(
+        expr("element_at(array(16L, 256L, 4096L), CAST(id + 1 AS INT))")
+          .as("bsz"))
+      val batches = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(bs))
+        .groupBy(col("bsz"), expr("doc_id DIV bsz").as("bid"))
+        .agg(count(lit(1)).as("k"), sum(col("n_chars")).as("sb"))
+        .filter(col("k") === col("bsz"))
+      batches.groupBy("bsz")
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("CAST(sb AS DECIMAL(38,0))")).as("ssum"),
+          sum(expr("sb * CAST(sb AS DECIMAL(38,0))")).as("ssq"))
+        .select(col("bsz").cast("long").as("batch_size"),
+          col("nb").cast("long").as("n_batches"),
+          expr("CAST((nb * ssq - ssum * ssum) * 1000000" +
+            " div (CAST(nb AS DECIMAL(38,0)) * nb * bsz * bsz) AS BIGINT)")
+            .as("var_mean_u"),
+          expr("CAST((nb * ssq - ssum * ssum) * 1000000" +
+            " div (CAST(nb AS DECIMAL(38,0)) * nb * bsz) AS BIGINT)")
+            .as("b_var_u"))
+        .orderBy("batch_size")
     },
 
     // ARC price-ELASTICITY of demand per brand (the econ read on the
@@ -2318,39 +2436,72 @@ object Analytics {
         |  CAST(ABS(est_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT) AS abs_err_ppm
         |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
 
-    "q289_ts_decomposition" ->
-      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
-        |daily AS (SELECT event_type, day, COUNT(*) AS c0 FROM ev GROUP BY 1, 2),
-        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
-        |days AS (SELECT CAST(g.d AS DATE) AS day, b.mn, b.mx
-        |         FROM b, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) g(d)),
-        |ty AS (SELECT DISTINCT event_type FROM ev),
-        |cells AS (
-        |  SELECT t.event_type, date_diff('day', dy.mn, dy.day) AS di,
-        |    date_diff('day', dy.mn, dy.mx) AS ndm1, COALESCE(d2.c0, 0) AS c
-        |  FROM days dy CROSS JOIN ty t
-        |  LEFT JOIN daily d2 ON d2.event_type = t.event_type AND d2.day = dy.day),
-        |tr AS (
-        |  SELECT event_type, di, c, ndm1,
-        |    SUM(c) OVER (PARTITION BY event_type ORDER BY di
-        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum
-        |  FROM cells),
-        |trended AS (
-        |  SELECT event_type, di, c,
-        |    CAST(wsum * 1000000 // 7 AS BIGINT) AS trend_u,
-        |    c * 1000000 - CAST(wsum * 1000000 // 7 AS BIGINT) AS det_u,
-        |    di % 7 AS phase
-        |  FROM tr WHERE di >= 3 AND di <= ndm1 - 3),
-        |seas AS (
-        |  SELECT event_type, phase,
-        |    CAST(FLOOR(CAST(SUM(det_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
-        |      AS seasonal_u
-        |  FROM trended GROUP BY 1, 2)
-        |SELECT t.event_type, CAST(t.di AS BIGINT) AS di,
-        |  CAST(t.c AS BIGINT) AS n_events, t.trend_u, s.seasonal_u,
-        |  CAST(t.det_u - s.seasonal_u AS BIGINT) AS resid_u
-        |FROM trended t JOIN seas s USING (event_type, phase)
-        |ORDER BY t.event_type, t.di""".stripMargin,
+    "q289_ts_decomposition" -> ("WITH " + DecompChainSql +
+      """
+        |SELECT event_type, CAST(di AS BIGINT) AS di,
+        |  CAST(c AS BIGINT) AS n_events, trend_u, seasonal_u, resid_u
+        |FROM dec ORDER BY event_type, di""".stripMargin),
+
+    "q492_seasonal_anomaly" -> ("WITH " + DecompChainSql +
+      """,
+        |g AS (SELECT event_type, resid_u, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM dec GROUP BY 1, 2),
+        |gx AS (
+        |  SELECT event_type, resid_u, c2,
+        |    SUM(c2) OVER (PARTITION BY event_type ORDER BY resid_u) AS cum,
+        |    SUM(c2) OVER (PARTITION BY event_type) AS n
+        |  FROM g),
+        |med AS (
+        |  SELECT event_type, MAX(n) AS n,
+        |    MAX(CASE WHEN cum - c2 < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |      THEN resid_u END) AS med
+        |  FROM gx GROUP BY 1),
+        |ad AS (
+        |  SELECT d2.event_type, ABS(d2.resid_u - m.med) AS adv
+        |  FROM dec d2 JOIN med m USING (event_type)),
+        |ag AS (SELECT event_type, adv, CAST(COUNT(*) AS BIGINT) AS c3
+        |  FROM ad GROUP BY 1, 2),
+        |agx AS (
+        |  SELECT event_type, adv, c3,
+        |    SUM(c3) OVER (PARTITION BY event_type ORDER BY adv) AS cum,
+        |    SUM(c3) OVER (PARTITION BY event_type) AS n
+        |  FROM ag),
+        |mad AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN cum - c3 < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |      THEN adv END) AS mad
+        |  FROM agx GROUP BY 1)
+        |SELECT m.event_type, CAST(m.n AS BIGINT) AS n_days,
+        |  CAST(m.med AS BIGINT) AS median_resid_u,
+        |  CAST(mad.mad AS BIGINT) AS mad_u,
+        |  CAST((SELECT COUNT(*) FROM dec d3
+        |    WHERE d3.event_type = m.event_type
+        |      AND ABS(d3.resid_u - m.med) > 3 * mad.mad) AS BIGINT)
+        |    AS n_anomalies,
+        |  CAST((SELECT MAX(ABS(d4.resid_u - m.med)) FROM dec d4
+        |    WHERE d4.event_type = m.event_type) AS BIGINT) AS worst_abs_dev
+        |FROM med m JOIN mad USING (event_type)
+        |ORDER BY m.event_type""".stripMargin),
+
+    "q493_batch_variance_decay" ->
+      """WITH bs AS (
+        |  SELECT CAST(g.b AS BIGINT) AS bsz FROM UNNEST([16, 256, 4096]) g(b)),
+        |batches AS (
+        |  SELECT bsz, doc_id // bsz AS bid, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sb
+        |  FROM documents CROSS JOIN bs GROUP BY 1, 2
+        |  HAVING COUNT(*) = bsz),
+        |agg AS (
+        |  SELECT bsz, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    SUM(CAST(sb AS HUGEINT)) AS ssum,
+        |    SUM(sb * CAST(sb AS HUGEINT)) AS ssq
+        |  FROM batches GROUP BY 1)
+        |SELECT bsz AS batch_size, nb AS n_batches,
+        |  CAST((nb * ssq - ssum * ssum) * 1000000
+        |    // (CAST(nb AS HUGEINT) * nb * bsz * bsz) AS BIGINT) AS var_mean_u,
+        |  CAST((nb * ssq - ssum * ssum) * 1000000
+        |    // (CAST(nb AS HUGEINT) * nb * bsz) AS BIGINT) AS b_var_u
+        |FROM agg ORDER BY batch_size""".stripMargin,
 
     "q290_temperature_sweep" ->
       """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),

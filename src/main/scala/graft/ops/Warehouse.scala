@@ -22,7 +22,54 @@ import graft.ops.Relational.{dsum, money, rate}
   */
 object Warehouse {
 
+  /** q494 priority-tiered ship SLA (days from order date). ONE CASE
+    * expression interpolated into both engines' SQL so the contract has
+    * a single definition; a deployment reads these from a vendor
+    * contract table instead. */
+  private[graft] val SlaCaseSql: String =
+    "CASE o_orderpriority WHEN '1-URGENT' THEN 30 WHEN '2-HIGH' THEN 45" +
+      " WHEN '3-MEDIUM' THEN 60 WHEN '4-NOT SPECIFIED' THEN 75 ELSE 90 END"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SUPPLIER SLA SCORECARD per nation — the vendor-management read
+    // of the q359/q404 latency distributions: each line's ship delay
+    // vs a priority-tiered SLA ([[SlaCaseSql]]), rolled up supplier →
+    // nation so the table answers both "which region's supply base is
+    // late" (ontime_ppm, avg_late_milli over late lines) and "is it
+    // one bad vendor or systemic" (the min/max per-supplier on-time
+    // ppm WITHIN the nation — a wide spread says one vendor, a tight
+    // low band says systemic). Two-level aggregation: the lineitem ⋈
+    // orders fact shuffle collapses to per-supplier partials first,
+    // then the |suppliers|-sized grid joins the broadcast dimensions.
+    "q494_supplier_sla" -> { (s, d) =>
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) -
+            expr(SlaCaseSql)).cast("long").as("late"))
+      val perSupp = late.groupBy("sk")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late") <= 0, 1L).otherwise(0L)).as("ontime"),
+          sum(when(col("late") > 0, col("late")).otherwise(lit(0L)))
+            .as("late_days"))
+        .withColumn("s_ppm", expr("CAST(ontime * 1000000 DIV n AS BIGINT)"))
+      perSupp
+        .join(Tables.supplier(s, d).select(col("s_suppkey"),
+          col("s_nationkey")), col("sk") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).cast("long").as("n_suppliers"),
+          sum(col("n")).cast("long").as("n_lines"),
+          expr("CAST(SUM(ontime) * 1000000 DIV SUM(n) AS BIGINT)")
+            .as("ontime_ppm"),
+          expr("CAST(SUM(late_days) * 1000 DIV SUM(n) AS BIGINT)")
+            .as("avg_late_milli"),
+          min(col("s_ppm")).cast("long").as("worst_supplier_ppm"),
+          max(col("s_ppm")).cast("long").as("best_supplier_ppm"))
+        .orderBy("n_name")
+    },
     // TPC-H Q13 image (customer order-count distribution): how many
     // customers placed 0, 1, 2, … qualifying orders (priority filter
     // standing in for Q13's o_comment NOT LIKE). The aggregate-BEFORE-
@@ -517,6 +564,32 @@ object Warehouse {
   )
 
   def oracle: Map[String, String] = Map(
+    "q494_supplier_sla" -> (
+      s"""WITH late AS (
+        |  SELECT l.l_suppkey AS sk,
+        |    CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+        |      - ($SlaCaseSql) AS BIGINT) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ps AS (
+        |  SELECT sk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN late <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ontime,
+        |    CAST(SUM(CASE WHEN late > 0 THEN late ELSE 0 END) AS BIGINT)
+        |      AS late_days
+        |  FROM late GROUP BY 1),
+        |ps2 AS (SELECT *, CAST(ontime * 1000000 // n AS BIGINT) AS s_ppm
+        |  FROM ps)
+        |SELECT n.n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM(p.n) AS BIGINT) AS n_lines,
+        |  CAST(SUM(p.ontime) * 1000000 // SUM(p.n) AS BIGINT) AS ontime_ppm,
+        |  CAST(SUM(p.late_days) * 1000 // SUM(p.n) AS BIGINT)
+        |    AS avg_late_milli,
+        |  CAST(MIN(p.s_ppm) AS BIGINT) AS worst_supplier_ppm,
+        |  CAST(MAX(p.s_ppm) AS BIGINT) AS best_supplier_ppm
+        |FROM ps2 p JOIN supplier s ON s.s_suppkey = p.sk
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
     "q167_cust_order_dist" ->
       """WITH per_cust AS (
         |  SELECT o_custkey, COUNT(*) AS cnt

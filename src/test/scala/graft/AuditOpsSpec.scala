@@ -2794,4 +2794,95 @@ class AuditOpsSpec extends AnyFunSuite {
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"))), key)
     }
   }
+
+  // ---- q492 seasonal-residual anomaly --------------------------------------------------------------------
+
+  test("q492 replays the median/MAD flags on q289's residuals") {
+    val dec = graft.ops.Analytics.queries("q289_ts_decomposition")(spark, sf)
+      .select("event_type", "resid_u").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def med(xs: Seq[Long]): Long = xs.sorted.apply(((xs.length + 1) / 2) - 1)
+    val rows = graft.ops.Analytics.queries("q492_seasonal_anomaly")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = dec.filter(_._1 == t).map(_._2).toSeq
+      val m = med(xs)
+      val mad = med(xs.map(x => math.abs(x - m)))
+      val anom = xs.count(x => math.abs(x - m) > 3 * mad).toLong
+      assert(r.getAs[Long]("n_days") == xs.length.toLong, t)
+      assert(r.getAs[Long]("median_resid_u") == m, t)
+      assert(r.getAs[Long]("mad_u") == mad, t)
+      assert(r.getAs[Long]("n_anomalies") == anom, t)
+      assert(r.getAs[Long]("worst_abs_dev") ==
+        xs.map(x => math.abs(x - m)).max, t)
+      // the detector flags the tail, not the body
+      assert(anom * 5 <= xs.length.toLong, t)
+    }
+  }
+
+  // ---- q493 batch variance decay ------------------------------------------------------------------------------
+
+  test("q493 replays the exact batch-mean variance at every B") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = graft.ops.Analytics.queries("q493_batch_variance_decay")(
+      spark, sf).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("batch_size")
+      val sums = docs.groupBy(_._1 / b).values
+        .filter(_.length == b).map(_.map(_._2).sum).toSeq
+      val nb = BigInt(sums.length)
+      val ssum = sums.map(BigInt(_)).sum
+      val ssq = sums.map(x => BigInt(x) * x).sum
+      assert(r.getAs[Long]("n_batches") == sums.length.toLong, b)
+      assert(BigInt(r.getAs[Long]("var_mean_u")) ==
+        (nb * ssq - ssum * ssum) * 1000000 / (nb * nb * b * b), b)
+      assert(BigInt(r.getAs[Long]("b_var_u")) ==
+        (nb * ssq - ssum * ssum) * 1000000 / (nb * nb * b), b)
+    }
+  }
+
+  // ---- q494 supplier SLA scorecard ---------------------------------------------------------------------------------
+
+  test("q494 replays the nation rollup; the supplier envelope brackets it") {
+    val sla = Map("1-URGENT" -> 30L, "2-HIGH" -> 45L, "3-MEDIUM" -> 60L,
+      "4-NOT SPECIFIED" -> 75L, "5-LOW" -> 90L)
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr("l_suppkey", "o_orderpriority",
+        "CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val suppNation = graft.model.Tables.supplier(spark, sf)
+      .join(graft.model.Tables.nation(spark, sf),
+        org.apache.spark.sql.functions.col("s_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .select("s_suppkey", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.ops.Warehouse.queries("q494_supplier_sla")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val nat = r.getString(0)
+      val lines = li.filter(t => suppNation.get(t._1).contains(nat))
+      val bySupp = lines.groupBy(_._1)
+      val ontime = lines.count(t => t._3 <= sla(t._2)).toLong
+      val lateDays = lines.map(t => math.max(0L, t._3 - sla(t._2))).sum
+      val suppPpm = bySupp.values.map { xs =>
+        xs.count(t => t._3 <= sla(t._2)).toLong * 1000000L / xs.length }
+      assert(r.getAs[Long]("n_suppliers") == bySupp.size.toLong, nat)
+      assert(r.getAs[Long]("n_lines") == lines.length.toLong, nat)
+      assert(r.getAs[Long]("ontime_ppm") ==
+        ontime * 1000000L / lines.length, nat)
+      assert(r.getAs[Long]("avg_late_milli") ==
+        lateDays * 1000L / lines.length, nat)
+      assert(r.getAs[Long]("worst_supplier_ppm") == suppPpm.min, nat)
+      assert(r.getAs[Long]("best_supplier_ppm") == suppPpm.max, nat)
+      // the per-supplier envelope brackets the nation rate (±1 ppm floor)
+      assert(suppPpm.min <= r.getAs[Long]("ontime_ppm") + 1)
+      assert(suppPpm.max + 1 >= r.getAs[Long]("ontime_ppm"))
+    }
+  }
 }
