@@ -1157,6 +1157,92 @@ object Behavior {
         .orderBy("channel")
     },
 
+    // A/A CALIBRATION harness — the null-experiment sanity check every
+    // experimentation platform runs before trusting its A/B readouts:
+    // q177's exact conversion metric and z² machinery pointed at EIGHT
+    // independent null splits (salted hash of user_id — both arms draw
+    // from the same population by construction), so every z² is a draw
+    // from the null distribution. A platform is calibrated when ~5% of
+    // A/A tests cross the 3.841 χ²₁ critical value; systematic
+    // crossings mean the unit of randomization leaks (shared devices,
+    // interference) and every real A/B p-value is garbage. Output: one
+    // row per salt with arm masses, rates, z²_milli, and the
+    // significance flag. Scale: one per-user agg (map-combined), an
+    // 8-row salt lattice, grid algebra after.
+    "q496_aa_calibration" -> { (s, d) =>
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("first_buy_us"))
+        .select(col("user_id"),
+          when(col("first_buy_us").isNotNull &&
+            col("first_buy_us") <= col("first_us") + lit(86400000000L), 1L)
+            .otherwise(0L).as("converted"))
+      val salts = s.range(0, 8).select(col("id").cast("long").as("salt"))
+      val v = users.crossJoin(broadcast(salts))
+        .withColumn("variant",
+          graft.ops.Dedup.neutralHash32(concat(lit("aa:"),
+            col("salt").cast("string"), lit(":"),
+            col("user_id").cast("string"))) % 2)
+        .groupBy("salt", "variant")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val a = v.filter(col("variant") === 0)
+        .select(col("salt"), col("n").as("n_a"), col("conv").as("conv_a"))
+      val b = v.filter(col("variant") === 1)
+        .select(col("salt").as("salt2"), col("n").as("n_b"),
+          col("conv").as("conv_b"))
+      // no broadcast hint: the side is an 8-row salt grid and Spark's
+      // size-thresholded auto-broadcast covers it; a HINT on a
+      // fact-derived aggregate is what the PlanSpec bounded-broadcast
+      // rule (correctly) rejects
+      a.join(b, col("salt") === col("salt2"))
+        .select(col("salt"),
+          col("n_a").cast("long").as("n_a"),
+          col("conv_a").cast("long").as("conv_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("conv_b").cast("long").as("conv_b"),
+          expr("""CAST(round(
+              CAST(CAST(conv_a AS DECIMAL(38,0)) * n_b - CAST(conv_b AS DECIMAL(38,0)) * n_a AS DOUBLE) *
+              CAST(CAST(conv_a AS DECIMAL(38,0)) * n_b - CAST(conv_b AS DECIMAL(38,0)) * n_a AS DOUBLE) *
+              CAST(n_a + n_b AS DOUBLE) /
+              CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE) /
+              CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
+              CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
+              * 1000) AS BIGINT)""").as("z2_milli"))
+        .withColumn("sig_at_5pct",
+          (col("z2_milli") > 3841L).cast("long"))
+        .orderBy("salt")
+    },
+
+    // MINUTE-OF-HOUR load profile — the autoscaler's tuning input one
+    // level below q164's weekday seasonality and q281's day-scale
+    // period sweep: per event type the 60-phase minute profile
+    // (cron-aligned crawls, retry storms and batch jobs all paint
+    // sharp minute-phase spikes invisible at day granularity) plus the
+    // provisioning ratio peak_to_mean_milli = max_phase·60·1000 DIV
+    // total — the factor a fixed-capacity deployment must over-provision
+    // over a uniform-load one. Scale: one (type × 60)-cell agg,
+    // map-combined; the phase grid is literal.
+    "q497_minute_phase_profile" -> { (s, d) =>
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 60000000 % 60").as("phase"))
+        .agg(count(lit(1)).as("c"))
+      g.groupBy("event_type")
+        .agg(sum(col("c")).as("total"),
+          count(lit(1)).cast("long").as("n_phases"),
+          max(col("c")).as("max_c"), min(col("c")).as("min_c"))
+        .select(col("event_type"),
+          col("total").cast("long").as("n_events"),
+          col("n_phases"),
+          col("max_c").cast("long").as("peak_minute_events"),
+          col("min_c").cast("long").as("trough_minute_events"),
+          expr("CAST(max_c * 60 * 1000 DIV total AS BIGINT)")
+            .as("peak_to_mean_milli"))
+        .orderBy("event_type")
+    },
+
     // POPULARITY-BASELINE retrieval backtest — the recommender
     // evaluation floor every ranking model must beat (if learned
     // embeddings can't out-hit "recommend the globally popular parts",
@@ -2106,6 +2192,66 @@ object Behavior {
         |    // GREATEST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END), 1) AS BIGINT)
         |    AS overlap_ppm
         |FROM pu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q496_aa_calibration" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_buy_us
+        |  FROM events GROUP BY user_id),
+        |users AS (
+        |  SELECT user_id,
+        |    CASE WHEN first_buy_us IS NOT NULL
+        |      AND first_buy_us <= first_us + 86400000000 THEN 1 ELSE 0 END
+        |      AS converted
+        |  FROM per_user),
+        |salts AS (SELECT CAST(g.s AS BIGINT) AS salt
+        |  FROM UNNEST(generate_series(0, 7)) g(s)),
+        |v AS (
+        |  SELECT salt,
+        |    ('0x' || substr(md5('aa:' || CAST(salt AS VARCHAR) || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant,
+        |    COUNT(*) AS n, SUM(converted) AS conv
+        |  FROM users CROSS JOIN salts GROUP BY 1, 2),
+        |a AS (SELECT salt, n AS n_a, conv AS conv_a FROM v WHERE variant = 0),
+        |b AS (SELECT salt, n AS n_b, conv AS conv_b FROM v WHERE variant = 1),
+        |j AS (SELECT a.salt, n_a, conv_a, n_b, conv_b
+        |  FROM a JOIN b ON a.salt = b.salt)
+        |SELECT salt, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(conv_a AS BIGINT) AS conv_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+        |  CAST(round(
+        |    CAST(CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a AS DOUBLE) *
+        |    CAST(CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a AS DOUBLE) *
+        |    CAST(n_a + n_b AS DOUBLE) /
+        |    CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) /
+        |    CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
+        |    CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
+        |    * 1000) AS BIGINT) AS z2_milli,
+        |  CAST(CASE WHEN CAST(round(
+        |    CAST(CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a AS DOUBLE) *
+        |    CAST(CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a AS DOUBLE) *
+        |    CAST(n_a + n_b AS DOUBLE) /
+        |    CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) /
+        |    CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
+        |    CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
+        |    * 1000) AS BIGINT) > 3841 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS sig_at_5pct
+        |FROM j ORDER BY salt""".stripMargin,
+
+    "q497_minute_phase_profile" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 % 60 AS phase,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_phases,
+        |  CAST(MAX(c) AS BIGINT) AS peak_minute_events,
+        |  CAST(MIN(c) AS BIGINT) AS trough_minute_events,
+        |  CAST(MAX(c) * 60 * 1000 // SUM(c) AS BIGINT) AS peak_to_mean_milli
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q488_popularity_backtest" ->
       """WITH od AS (

@@ -41,6 +41,49 @@ object Relational {
   def rate(c: Column): Column  = c.cast(DecimalType(4, 2))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CROSS-ENGINE SEMANTICS CANARY — the two-engine contract this
+    // whole library's oracle methodology rests on, made EXECUTABLE:
+    // one row per semantic probe (integer floor-division, decimal
+    // cents, the md5→int64 hash bridge, RE2-safe regex, char-vs-byte
+    // length, 1-based substring, the isqrt-exactness bound, epoch
+    // microseconds, binary string collation, the negative-division
+    // sign-split convention). Spark computes each with its idiom; the
+    // oracle computes the SAME VALUE with DuckDB's idiom — any engine
+    // upgrade that shifts a semantic breaks exactly one named row here
+    // before it silently skews a real query. Literal-only: no scan, no
+    // shuffle; the values are SF-invariant by design.
+    "q500_semantics_canary" -> { (s, d) =>
+      val probes: Seq[(String, String)] = Seq(
+        "a_div_floor_pos" -> "CAST(7 DIV 2 AS STRING)",
+        "b_mod_pos" -> "CAST(7 % 2 AS STRING)",
+        "c_decimal_cents" ->
+          ("CAST(CAST(CAST('12345.67' AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " AS STRING)"),
+        "d_md5_hex" -> "md5('graft')",
+        "e_md5_int64_bridge" ->
+          ("CAST(CAST(conv(substring(md5('graft'), 1, 8), 16, 10)" +
+            " AS BIGINT) AS STRING)"),
+        "f_regex_runs" ->
+          ("CAST(size(regexp_extract_all('a1b22c333', '[0-9]+', 0))" +
+            " AS STRING)"),
+        "g_char_len" -> "CAST(length('héllo') AS STRING)",
+        "h_byte_len" -> "CAST(octet_length('héllo') AS STRING)",
+        "i_substr_1based" -> "substring('abcdef', 2, 3)",
+        "j_isqrt_2p52" ->
+          ("CAST(CAST(FLOOR(SQRT(CAST(4503599627370496 AS DOUBLE)))" +
+            " AS BIGINT) AS STRING)"),
+        "k_epoch_us" ->
+          "CAST(unix_micros(TIMESTAMP '2024-01-01 00:00:00') AS STRING)",
+        "l_datediff_days" ->
+          "CAST(datediff(DATE '2024-03-01', DATE '2024-01-01') AS STRING)",
+        "m_collation_binary" ->
+          "CASE WHEN 'B' < 'a' THEN 'binary' ELSE 'other' END",
+        "n_concat_ws" -> "concat_ws(':', 'x', 'y')",
+        "o_neg_div_convention" -> "CAST(-(7 DIV 2) AS STRING)")
+      probes.map { case (name, e) =>
+        s.range(1).select(lit(name).as("probe"), expr(e).as("value"))
+      }.reduce(_ unionByName _).orderBy("probe")
+    },
     // Incremental view maintenance — the aggregate-state MERGE a 100 TB
     // pipeline relies on to avoid full recomputes: yesterday's stored
     // partial state and today's batch partial state are UNIONED AND
@@ -408,6 +451,35 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q500_semantics_canary" ->
+      """SELECT probe, value FROM (
+        |  SELECT 'a_div_floor_pos' AS probe, CAST(7 // 2 AS VARCHAR) AS value
+        |  UNION ALL SELECT 'b_mod_pos', CAST(7 % 2 AS VARCHAR)
+        |  UNION ALL SELECT 'c_decimal_cents',
+        |    CAST(CAST(CAST('12345.67' AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS VARCHAR)
+        |  UNION ALL SELECT 'd_md5_hex', md5('graft')
+        |  UNION ALL SELECT 'e_md5_int64_bridge',
+        |    CAST(('0x' || substr(md5('graft'), 1, 8))::BIGINT AS VARCHAR)
+        |  UNION ALL SELECT 'f_regex_runs',
+        |    CAST(len(regexp_extract_all('a1b22c333', '[0-9]+')) AS VARCHAR)
+        |  UNION ALL SELECT 'g_char_len', CAST(length('héllo') AS VARCHAR)
+        |  UNION ALL SELECT 'h_byte_len', CAST(strlen('héllo') AS VARCHAR)
+        |  UNION ALL SELECT 'i_substr_1based', substr('abcdef', 2, 3)
+        |  UNION ALL SELECT 'j_isqrt_2p52',
+        |    CAST(CAST(FLOOR(SQRT(CAST(4503599627370496 AS DOUBLE)))
+        |      AS BIGINT) AS VARCHAR)
+        |  UNION ALL SELECT 'k_epoch_us',
+        |    CAST(epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS VARCHAR)
+        |  UNION ALL SELECT 'l_datediff_days',
+        |    CAST(datediff('day', DATE '2024-01-01', DATE '2024-03-01')
+        |      AS VARCHAR)
+        |  UNION ALL SELECT 'm_collation_binary',
+        |    CASE WHEN 'B' < 'a' THEN 'binary' ELSE 'other' END
+        |  UNION ALL SELECT 'n_concat_ws', concat_ws(':', 'x', 'y')
+        |  UNION ALL SELECT 'o_neg_div_convention',
+        |    CAST(-(7 // 2) AS VARCHAR)
+        |) ORDER BY probe""".stripMargin,
     // one-pass direct recompute — the rebuild the Spark-side partial
     // merge must reproduce bit-for-bit
     "q138_incremental_agg" ->

@@ -2692,6 +2692,110 @@ object Stewardship {
         .orderBy("month_idx")
     },
 
+    // MULTIWINDOW BURN-RATE alerts — the Google-SRE error-budget
+    // policy q495's consecutive-minutes breaker complements: a page
+    // fires when the error rate burns the budget at 14.4× over a SHORT
+    // 5-minute window AND 6× over a LONG 60-minute window (the AND is
+    // the design — the short window gives reaction speed, the long one
+    // kills flapping). Budget rate = the grid-mean error rate; window
+    // sums are running sums over the zero-filled minute grid; the
+    // threshold compare is division-free (sum_w·n_min·10 >
+    // burn_tenths·total·w). Output: flagged-minute census for the 5m
+    // leg, the 60m leg, and the AND-page — the table that shows how
+    // much alert noise the multiwindow rule removes. Windows partition
+    // by the 2-row config key over the generator-span minute grid.
+    "q498_burn_rate_alerts" -> { (s, d) =>
+      val err = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(expr("unix_micros(ts) div 60000000").as("m"))
+      val perMin = err.groupBy("m").agg(count(lit(1)).as("c"))
+      val bounds = err.agg(min(col("m")).as("mn"), max(col("m")).as("mx"),
+        count(lit(1)).as("total"))
+      val grid = bounds
+        .select(explode(expr("sequence(mn, mx)")).as("m"),
+          (col("mx") - col("mn") + 1).as("nmin"), col("total"))
+        .join(perMin, Seq("m"), "left")
+        .select(col("m"), col("nmin"), col("total"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      // rolling sum with a per-config width needs the width folded into
+      // the frame: run the two widths as separate branches of one join
+      // (partition key = the constant nmin column — one run-scoped
+      // partition over the time-span-bounded grid, the q495 envelope)
+      def leg(w: Int, burnTenths: Long, tag: String): DataFrame =
+        grid.withColumn("ws", sum(col("c")).over(
+            Window.partitionBy("nmin").orderBy("m")
+              .rowsBetween(-(w - 1), 0)))
+          .select(col("m"),
+            (col("ws") * col("nmin") * 10 >
+              lit(burnTenths) * col("total") * w).as(tag))
+      val f5 = leg(5, 144L, "f5")
+      val f60 = leg(60, 60L, "f60")
+      val joined = Caches.shared(f5.join(f60, "m"))
+      val legs = Seq(
+        ("a_5m_fast", col("f5")), ("b_60m_slow", col("f60")),
+        ("c_page_and", col("f5") && col("f60")))
+      legs.map { case (tag, cond) =>
+        joined.agg(count(lit(1)).as("n_minutes"),
+            sum(when(cond, 1L).otherwise(0L)).as("n_flagged"))
+          .select(lit(tag).as("alert_leg"),
+            col("n_minutes").cast("long").as("n_minutes"),
+            col("n_flagged").cast("long").as("n_flagged"),
+            expr("CAST(n_flagged * 1000000 DIV n_minutes AS BIGINT)")
+              .as("noise_ppm"))
+      }.reduce(_ unionByName _).orderBy("alert_leg")
+    },
+
+    // ERROR-BURST CIRCUIT-BREAKER tuning — the SRE dial (trip after K
+    // consecutive over-threshold minutes) priced on real error
+    // traffic: the error stream on the ZERO-FILLED minute grid (absent
+    // minutes must break runs — without the fill, a quiet hour glues
+    // two bursts together), swept at thresholds t× the grid-mean rate,
+    // t ∈ {1, 2, 4}; "above" is the division-free cross-multiplied
+    // compare c·n_minutes > t·total. Bursts = gaps-and-islands (q175)
+    // over the flagged minutes: island id = minute − rank among
+    // flagged; a trip = an island of ≥ 3 consecutive minutes. Per
+    // threshold: grid size, above-minutes, burst count, trip count,
+    // longest burst — the table that picks the threshold where trips
+    // are incidents, not noise. Windows partition by the 3-row
+    // threshold key over the generator-span minute grid (time-bounded,
+    // never volume-bounded — the q404 rule).
+    "q495_circuit_breaker" -> { (s, d) =>
+      val err = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(expr("unix_micros(ts) div 60000000").as("m"))
+      val perMin = err.groupBy("m").agg(count(lit(1)).as("c"))
+      val bounds = err.agg(min(col("m")).as("mn"), max(col("m")).as("mx"),
+        count(lit(1)).as("total"))
+      val grid = bounds
+        .select(explode(expr("sequence(mn, mx)")).as("m"),
+          (col("mx") - col("mn") + 1).as("nmin"), col("total"))
+        .join(perMin, Seq("m"), "left")
+        .select(col("m"), col("nmin"), col("total"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val ts2 = s.range(0, 3).select(
+        expr("element_at(array(1L, 2L, 4L), CAST(id + 1 AS INT))").as("t"))
+      val flagged = grid.crossJoin(broadcast(ts2))
+        .withColumn("above",
+          col("c") * col("nmin") > col("t") * col("total"))
+      val wr = Window.partitionBy("t").orderBy("m")
+      val islands = flagged.filter(col("above"))
+        .withColumn("isl", col("m") - row_number().over(wr))
+        .groupBy("t", "isl").agg(count(lit(1)).as("len"))
+      val perT = islands.groupBy("t")
+        .agg(sum(col("len")).as("n_above"),
+          count(lit(1)).cast("long").as("n_bursts"),
+          sum(when(col("len") >= 3, 1L).otherwise(0L)).cast("long")
+            .as("n_trips"),
+          max(col("len")).cast("long").as("longest_burst"))
+      ts2.join(perT, Seq("t"), "left")
+        .crossJoin(broadcast(bounds.select(
+          (col("mx") - col("mn") + 1).cast("long").as("n_minutes"))))
+        .select(col("t").cast("long").as("threshold_x"), col("n_minutes"),
+          coalesce(col("n_above"), lit(0L)).cast("long").as("n_above"),
+          coalesce(col("n_bursts"), lit(0L)).as("n_bursts"),
+          coalesce(col("n_trips"), lit(0L)).as("n_trips"),
+          coalesce(col("longest_burst"), lit(0L)).as("longest_burst"))
+        .orderBy("threshold_x")
+    },
+
     // DAY-BOUNDARY sensitivity audit — how much every daily metric in
     // this repo depends on WHERE midnight falls (the timezone gotcha
     // that silently shifts dashboards when a pipeline moves regions):
@@ -6089,6 +6193,83 @@ object Stewardship {
         |  CAST((SELECT SUM(h.op - h.cl) FROM grid h WHERE h.m <= g.m)
         |    AS BIGINT) AS backlog
         |FROM grid g ORDER BY 1""".stripMargin,
+
+    "q498_burn_rate_alerts" ->
+      """WITH err AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS m
+        |  FROM events WHERE event_type = 'error'),
+        |pm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM err GROUP BY 1),
+        |b AS (SELECT MIN(m) AS mn, MAX(m) AS mx,
+        |    CAST(COUNT(*) AS BIGINT) AS total FROM err),
+        |grid AS (
+        |  SELECT CAST(g.m AS BIGINT) AS m, b.mx - b.mn + 1 AS nmin, b.total,
+        |    COALESCE(pm.c, 0) AS c
+        |  FROM b, UNNEST(generate_series(b.mn, b.mx)) g(m)
+        |  LEFT JOIN pm ON pm.m = g.m),
+        |f5 AS (
+        |  SELECT m, SUM(c) OVER (ORDER BY m
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * nmin * 10
+        |    > 144 * total * 5 AS f
+        |  FROM grid),
+        |f60 AS (
+        |  SELECT m, SUM(c) OVER (ORDER BY m
+        |      ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) * nmin * 10
+        |    > 60 * total * 60 AS f
+        |  FROM grid),
+        |j AS (SELECT f5.m, f5.f AS a5, f60.f AS a60
+        |  FROM f5 JOIN f60 ON f5.m = f60.m),
+        |legs AS (
+        |  SELECT 'a_5m_fast' AS alert_leg, CAST(COUNT(*) AS BIGINT)
+        |      AS n_minutes,
+        |    CAST(SUM(CASE WHEN a5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |  FROM j
+        |  UNION ALL
+        |  SELECT 'b_60m_slow', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN a60 THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        |  UNION ALL
+        |  SELECT 'c_page_and', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN a5 AND a60 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM j)
+        |SELECT alert_leg, n_minutes, n_flagged,
+        |  CAST(n_flagged * 1000000 // n_minutes AS BIGINT) AS noise_ppm
+        |FROM legs ORDER BY alert_leg""".stripMargin,
+
+    "q495_circuit_breaker" ->
+      """WITH err AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS m
+        |  FROM events WHERE event_type = 'error'),
+        |pm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM err GROUP BY 1),
+        |b AS (SELECT MIN(m) AS mn, MAX(m) AS mx,
+        |    CAST(COUNT(*) AS BIGINT) AS total FROM err),
+        |grid AS (
+        |  SELECT CAST(g.m AS BIGINT) AS m, b.mx - b.mn + 1 AS nmin, b.total,
+        |    COALESCE(pm.c, 0) AS c
+        |  FROM b, UNNEST(generate_series(b.mn, b.mx)) g(m)
+        |  LEFT JOIN pm ON pm.m = g.m),
+        |ts2 AS (SELECT CAST(g.t AS BIGINT) AS t FROM UNNEST([1, 2, 4]) g(t)),
+        |fl AS (
+        |  SELECT t, m, nmin,
+        |    c * nmin > t * total AS above
+        |  FROM grid CROSS JOIN ts2),
+        |isl AS (
+        |  SELECT t, m - ROW_NUMBER() OVER (PARTITION BY t ORDER BY m) AS i
+        |  FROM fl WHERE above),
+        |il AS (SELECT t, i, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT t, SUM(len) AS n_above, CAST(COUNT(*) AS BIGINT) AS n_bursts,
+        |    CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_trips,
+        |    CAST(MAX(len) AS BIGINT) AS longest_burst
+        |  FROM il GROUP BY 1)
+        |SELECT ts2.t AS threshold_x,
+        |  CAST(b.mx - b.mn + 1 AS BIGINT) AS n_minutes,
+        |  CAST(COALESCE(pt.n_above, 0) AS BIGINT) AS n_above,
+        |  COALESCE(pt.n_bursts, 0) AS n_bursts,
+        |  COALESCE(pt.n_trips, 0) AS n_trips,
+        |  COALESCE(pt.longest_burst, 0) AS longest_burst
+        |FROM ts2 CROSS JOIN b LEFT JOIN pt ON pt.t = ts2.t
+        |ORDER BY threshold_x""".stripMargin,
 
     "q490_day_boundary_shift" ->
       """WITH ev AS (

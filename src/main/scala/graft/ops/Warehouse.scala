@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -70,6 +71,72 @@ object Warehouse {
           max(col("s_ppm")).cast("long").as("best_supplier_ppm"))
         .orderBy("n_name")
     },
+    // WILSON-RANKING inversion audit — "how not to sort by average"
+    // made measurable: within each nation, suppliers ranked by RAW
+    // on-time ppm vs by the Wilson LOWER bound (q302's interval, the
+    // z²=3.8416 mirrored-IEEE form — low-volume suppliers with lucky
+    // streaks sink under the bound, which is the point). Per nation:
+    // the strict-order inversion count between the two rankings and
+    // whether the TOP supplier changes — the number that tells a
+    // vendor-scorecard owner how much their naive sort misleads.
+    // Candidates cap at the top-100 suppliers by line volume per
+    // nation (row_number over the bounded nation key) so the pair
+    // sweep is ≤ 100² per nation at ANY scale.
+    "q499_wilson_rank_inversions" -> { (s, d) =>
+      val perSupp = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) -
+            expr(SlaCaseSql)).cast("long").as("late"))
+        .groupBy("sk")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late") <= 0, 1L).otherwise(0L)).as("k"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"),
+          col("s_nationkey")), col("sk") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("sk"), col("n"), col("k"),
+          expr("CAST(k * 1000000 DIV n AS BIGINT)").as("ppm"),
+          expr("(CAST(k AS DOUBLE) / n + 3.8416D / (2 * CAST(n AS DOUBLE))" +
+            " - SQRT(3.8416D) * SQRT(CAST(k AS DOUBLE) / n" +
+            " * (1 - CAST(k AS DOUBLE) / n) / n" +
+            " + 3.8416D / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))" +
+            " / (1 + 3.8416D / CAST(n AS DOUBLE))").as("wl"))
+      val top = perSupp.withColumn("vol_rk",
+          row_number().over(Window.partitionBy("n_name")
+            .orderBy(col("n").desc, col("sk"))))
+        .filter(col("vol_rk") <= 100).drop("vol_rk")
+      val cached = Caches.shared(top)
+      val pairs = cached.select(col("n_name"), col("sk").as("ska"),
+          col("ppm").as("pa"), col("wl").as("wa"))
+        .join(cached.select(col("n_name"), col("sk").as("skb"),
+          col("ppm").as("pb"), col("wl").as("wb")), "n_name")
+        .filter(col("ska") =!= col("skb"))
+        .filter( // a precedes b in the raw order...
+          (col("pa") > col("pb")) ||
+            (col("pa") === col("pb") && col("ska") < col("skb")))
+        .filter( // ...but b precedes a under the Wilson bound
+          (col("wa") < col("wb")) ||
+            (col("wa") === col("wb") && col("ska") > col("skb")))
+      val inv = pairs.groupBy("n_name")
+        .agg(count(lit(1)).cast("long").as("n_inversions"))
+      val tops = cached.groupBy("n_name")
+        .agg(max(struct(col("ppm"), (-col("sk")).as("nsk"))).as("t_raw"),
+          max(struct(col("wl"), (-col("sk")).as("nsk"))).as("t_wl"),
+          count(lit(1)).cast("long").as("n_suppliers"))
+        .select(col("n_name"), col("n_suppliers"),
+          (-col("t_raw.nsk")).cast("long").as("top1_raw_sk"),
+          (-col("t_wl.nsk")).cast("long").as("top1_wilson_sk"))
+      tops.join(inv, Seq("n_name"), "left")
+        .select(col("n_name"), col("n_suppliers"),
+          coalesce(col("n_inversions"), lit(0L)).as("n_inversions"),
+          col("top1_raw_sk"), col("top1_wilson_sk"),
+          when(col("top1_raw_sk") === col("top1_wilson_sk"), 0L)
+            .otherwise(1L).as("top1_changed"))
+        .orderBy("n_name")
+    },
+
     // TPC-H Q13 image (customer order-count distribution): how many
     // customers placed 0, 1, 2, … qualifying orders (priority filter
     // standing in for Q13's o_comment NOT LIKE). The aggregate-BEFORE-
@@ -564,6 +631,49 @@ object Warehouse {
   )
 
   def oracle: Map[String, String] = Map(
+    "q499_wilson_rank_inversions" -> (
+      s"""WITH ps AS (
+        |  SELECT l.l_suppkey AS sk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+        |      - ($SlaCaseSql) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT nn.n_name, ps.sk, ps.n, ps.k,
+        |    CAST(ps.k * 1000000 // ps.n AS BIGINT) AS ppm,
+        |    (CAST(ps.k AS DOUBLE) / ps.n + 3.8416 / (2 * CAST(ps.n AS DOUBLE))
+        |      - SQRT(3.8416) * SQRT(CAST(ps.k AS DOUBLE) / ps.n
+        |      * (1 - CAST(ps.k AS DOUBLE) / ps.n) / ps.n
+        |      + 3.8416 / (4 * CAST(ps.n AS DOUBLE) * CAST(ps.n AS DOUBLE))))
+        |      / (1 + 3.8416 / CAST(ps.n AS DOUBLE)) AS wl
+        |  FROM ps JOIN supplier s ON s.s_suppkey = ps.sk
+        |  JOIN nation nn ON nn.n_nationkey = s.s_nationkey),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+        |      ORDER BY n DESC, sk) AS rk FROM w) x WHERE rk <= 100),
+        |pairs AS (
+        |  SELECT a.n_name
+        |  FROM top a JOIN top b ON a.n_name = b.n_name AND a.sk <> b.sk
+        |  WHERE (a.ppm > b.ppm OR (a.ppm = b.ppm AND a.sk < b.sk))
+        |    AND (a.wl < b.wl OR (a.wl = b.wl AND a.sk > b.sk))),
+        |inv AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_inversions
+        |  FROM pairs GROUP BY 1),
+        |tops AS (
+        |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |    CAST(-struct_extract(MAX({'p': ppm, 'ns': -sk}), 'ns') AS BIGINT)
+        |      AS top1_raw_sk,
+        |    CAST(-struct_extract(MAX({'w': wl, 'ns': -sk}), 'ns') AS BIGINT)
+        |      AS top1_wilson_sk
+        |  FROM top GROUP BY 1)
+        |SELECT t.n_name, t.n_suppliers,
+        |  CAST(COALESCE(i.n_inversions, 0) AS BIGINT) AS n_inversions,
+        |  t.top1_raw_sk, t.top1_wilson_sk,
+        |  CAST(CASE WHEN t.top1_raw_sk = t.top1_wilson_sk THEN 0 ELSE 1 END
+        |    AS BIGINT) AS top1_changed
+        |FROM tops t LEFT JOIN inv i ON i.n_name = t.n_name
+        |ORDER BY t.n_name""".stripMargin),
+
     "q494_supplier_sla" -> (
       s"""WITH late AS (
         |  SELECT l.l_suppkey AS sk,

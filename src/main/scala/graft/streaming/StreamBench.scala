@@ -145,6 +145,19 @@ object StreamBench {
           .format("memory").queryName(nm).start())
     }
 
+    // F324 P² quantile gauge — 64 keys, shuffled value ramp
+    locally {
+      val s = MemoryStream[(String, Long, Long)]
+      val ds = StreamingOps.p2QuantileGauge[(String, Long, Long)](
+        s.toDS(), _._1, _._2, _._3, p = 0.95)
+      out += "p2_quantile" -> drain(spark, "sb_p2", rows, chunks)(
+        (from, n) => s.addData((from until from + n).map { i =>
+          (s"k${i % 64}", i.toLong, ((i * 2654435761L) % 10000L))
+        }),
+        nm => ds.toDF().writeStream.outputMode(OutputMode.Update)
+          .format("memory").queryName(nm).start())
+    }
+
     // F288 token-bucket admission gauge — 64 keys, bursty arrivals
     locally {
       val s = MemoryStream[(String, Long, Long)]

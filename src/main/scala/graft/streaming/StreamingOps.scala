@@ -318,6 +318,89 @@ object StreamingOps {
       }
   }
 
+  /** Streaming P² QUANTILE gauge (Jain & Chlamtac, CACM 1985) — the
+    * classic O(1)-state online percentile estimator: five markers
+    * (min, p/2, p, (1+p)/2, max) whose heights adjust by parabolic
+    * (fallback linear) interpolation as observations stream in. The
+    * state is FIVE numbers per key regardless of volume — the reason a
+    * live p95-latency board can run forever where an exact quantile's
+    * state grows with every distinct value (the q386 GK sketch audits
+    * batch-side accuracy; this is the streaming deployment at even
+    * smaller state). No oracle (estimator, not exact) — the spec
+    * bounds its error against the exact quantile on a planted stream
+    * and pins the exact-min/max invariants. Values fold in seq order
+    * so replays are deterministic. */
+  case class P2Gauge(key: String, n: Long, est_milli: Long,
+                     v_min: Long, v_max: Long)
+  case class P2State(n: Long, init: Seq[Double], q: Seq[Double],
+                     pos: Seq[Double], dpos: Seq[Double])
+  def p2QuantileGauge[T](ds: Dataset[T], keyOf: T => String,
+                         seqOf: T => Long, valueOf: T => Long,
+                         p: Double): Dataset[P2Gauge] = {
+    import ds.sparkSession.implicits._
+    require(p > 0 && p < 1, "quantile must be in (0, 1)")
+    def step(st0: P2State, x: Double): P2State = {
+      if (st0.n < 5) {
+        val init = (st0.init :+ x).sorted
+        if (st0.n == 4)
+          P2State(5, Nil, init, Seq(1d, 2d, 3d, 4d, 5d),
+            Seq(1d, 1 + 2 * p, 1 + 4 * p, 3 + 2 * p, 5d))
+        else st0.copy(n = st0.n + 1, init = init)
+      } else {
+        var q = st0.q.toArray
+        var n = st0.pos.toArray
+        val np = st0.dpos.toArray
+        // locate cell and clamp extremes
+        val k =
+          if (x < q(0)) { q(0) = x; 0 }
+          else if (x >= q(4)) { q(4) = math.max(q(4), x); 3 }
+          else (0 to 3).find(i => q(i) <= x && x < q(i + 1)).get
+        (k + 1 to 4).foreach(i => n(i) += 1)
+        val inc = Seq(0d, p / 2, p, (1 + p) / 2, 1d)
+        (0 to 4).foreach(i => np(i) += inc(i))
+        (1 to 3).foreach { i =>
+          val d = np(i) - n(i)
+          if ((d >= 1 && n(i + 1) - n(i) > 1) ||
+              (d <= -1 && n(i - 1) - n(i) < -1)) {
+            val s = math.signum(d)
+            // parabolic (P²) candidate, linear fallback if non-monotone
+            val qp = q(i) + s / (n(i + 1) - n(i - 1)) *
+              ((n(i) - n(i - 1) + s) * (q(i + 1) - q(i)) /
+                (n(i + 1) - n(i)) +
+               (n(i + 1) - n(i) - s) * (q(i) - q(i - 1)) /
+                (n(i) - n(i - 1)))
+            q(i) =
+              if (q(i - 1) < qp && qp < q(i + 1)) qp
+              else q(i) + s * (q((i + s).toInt) - q(i)) /
+                (n((i + s).toInt) - n(i))
+            n(i) += s
+          }
+        }
+        P2State(st0.n + 1, Nil, q.toSeq, n.toSeq, np.toSeq)
+      }
+    }
+    ds.groupByKey(keyOf)
+      .mapGroupsWithState[P2State, P2Gauge](GroupStateTimeout.NoTimeout) {
+        (key: String, values: Iterator[T], state: GroupState[P2State]) =>
+          var st = state.getOption.getOrElse(
+            P2State(0L, Nil, Nil, Nil, Nil))
+          values.toSeq.sortBy(seqOf).foreach { v =>
+            st = step(st, valueOf(v).toDouble)
+          }
+          state.update(st)
+          val (est, mn, mx) =
+            if (st.n == 0) (0d, 0d, 0d)
+            else if (st.n < 5) {
+              val srt = st.init
+              val idx = math.min(srt.size - 1,
+                math.max(0, math.ceil(p * srt.size).toInt - 1))
+              (srt(idx), srt.head, srt.last)
+            } else (st.q(2), st.q(0), st.q(4))
+          P2Gauge(key, st.n, math.round(est * 1000), math.round(mn),
+            math.round(mx))
+      }
+  }
+
   /** Streaming WINDOWED-DISTINCT gauge — distinct keys per tumbling
     * event-time window via the HLL++ sketch (approx_count_distinct):
     * the sketch IS the state, so per-window memory is a fixed few KB

@@ -2885,4 +2885,190 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(suppPpm.max + 1 >= r.getAs[Long]("ontime_ppm"))
     }
   }
+
+  // ---- q495 circuit breaker --------------------------------------------------------------------------------------
+
+  test("q495 replays the burst census; raising the threshold only shrinks it") {
+    val ms = graft.model.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .selectExpr("unix_micros(ts) div 60000000").collect().map(_.getLong(0))
+    val (mn, mx, total) = (ms.min, ms.max, ms.length.toLong)
+    val perMin = ms.groupBy(identity).map { case (m, xs) =>
+      m -> xs.length.toLong }
+    val rows = graft.ops.Stewardship.queries("q495_circuit_breaker")(
+      spark, sf).collect().sortBy(_.getAs[Long]("threshold_x"))
+    rows.foreach { r =>
+      val t = r.getAs[Long]("threshold_x")
+      val nmin = mx - mn + 1
+      val above = (mn to mx).map(m =>
+        perMin.getOrElse(m, 0L) * nmin > t * total)
+      // islands of consecutive trues
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var run = 0L
+      above.foreach { a =>
+        if (a) run += 1
+        else { if (run > 0) lens += run; run = 0 } }
+      if (run > 0) lens += run
+      assert(r.getAs[Long]("n_minutes") == nmin, t)
+      assert(r.getAs[Long]("n_above") == above.count(identity).toLong, t)
+      assert(r.getAs[Long]("n_bursts") == lens.length.toLong, t)
+      assert(r.getAs[Long]("n_trips") == lens.count(_ >= 3).toLong, t)
+      assert(r.getAs[Long]("longest_burst") ==
+        (if (lens.isEmpty) 0L else lens.max), t)
+    }
+    // monotone: a higher threshold can only reduce above-minutes and trips
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getAs[Long]("n_above") >= y.getAs[Long]("n_above"))
+      assert(x.getAs[Long]("n_trips") >= y.getAs[Long]("n_trips"))
+    case _ => ()
+    }
+  }
+
+  // ---- q496 A/A calibration ------------------------------------------------------------------------------------------
+
+  test("q496 arms partition the population and the null rarely fires") {
+    val rows = graft.ops.Behavior.queries("q496_aa_calibration")(spark, sf)
+      .collect()
+    assert(rows.length == 8)
+    val nUsers = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      // every salt's two arms partition the same user population
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == nUsers)
+      assert(r.getAs[Long]("z2_milli") >= 0L)
+    }
+    // calibration: at most 2 of 8 null experiments may cross 5%
+    assert(rows.map(_.getAs[Long]("sig_at_5pct")).sum <= 2L)
+    // the salted splits genuinely differ (not one split copied 8 times)
+    assert(rows.map(_.getAs[Long]("n_a")).distinct.length > 1)
+  }
+
+  // ---- q498 burn-rate alerts ------------------------------------------------------------------------------------
+
+  test("q498 replays both burn legs; the AND page is the intersection") {
+    val ms = graft.model.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .selectExpr("unix_micros(ts) div 60000000").collect().map(_.getLong(0))
+    val (mn, mx, total) = (ms.min, ms.max, ms.length.toLong)
+    val nmin = mx - mn + 1
+    val perMin = ms.groupBy(identity).map { case (m, xs) =>
+      m -> xs.length.toLong }
+    val cs = (mn to mx).map(m => perMin.getOrElse(m, 0L))
+    def flags(w: Int, burnTenths: Long): Seq[Boolean] =
+      cs.indices.map { i =>
+        val ws = cs.slice(math.max(0, i - w + 1), i + 1).sum
+        ws * nmin * 10 > burnTenths * total * w
+      }
+    val f5 = flags(5, 144L); val f60 = flags(60, 60L)
+    val rows = graft.ops.Stewardship.queries("q498_burn_rate_alerts")(
+      spark, sf).collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("a_5m_fast").getAs[Long]("n_flagged") ==
+      f5.count(identity).toLong)
+    assert(rows("b_60m_slow").getAs[Long]("n_flagged") ==
+      f60.count(identity).toLong)
+    val both = f5.zip(f60).count { case (a, b) => a && b }.toLong
+    assert(rows("c_page_and").getAs[Long]("n_flagged") == both)
+    // the AND page never fires more than either leg
+    assert(both <= f5.count(identity) && both <= f60.count(identity))
+    rows.values.foreach(r => assert(r.getAs[Long]("n_minutes") == nmin))
+  }
+
+  // ---- q499 Wilson-ranking inversions -----------------------------------------------------------------------------
+
+  test("q499 replays the inversion census against a brute-force double mirror") {
+    val sla = Map("1-URGENT" -> 30L, "2-HIGH" -> 45L, "3-MEDIUM" -> 60L,
+      "4-NOT SPECIFIED" -> 75L, "5-LOW" -> 90L)
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr("l_suppkey", "o_orderpriority",
+        "CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val suppNation = graft.model.Tables.supplier(spark, sf)
+      .join(graft.model.Tables.nation(spark, sf),
+        org.apache.spark.sql.functions.col("s_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .select("s_suppkey", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    case class W(sk: Long, n: Long, k: Long, ppm: Long, wl: Double)
+    val bySupp = li.groupBy(_._1).map { case (sk, xs) =>
+      val n = xs.length.toLong
+      val k = xs.count(t => t._3 <= sla(t._2)).toLong
+      val z2 = 3.8416
+      val p = k.toDouble / n
+      val wl = (p + z2 / (2.0 * n) -
+        math.sqrt(z2) * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))) /
+        (1 + z2 / n)
+      W(sk, n, k, k * 1000000L / n, wl)
+    }.toSeq
+    val rows = graft.ops.Warehouse.queries("q499_wilson_rank_inversions")(
+      spark, sf).collect()
+    rows.foreach { r =>
+      val nat = r.getString(0)
+      val ws = bySupp.filter(w => suppNation.get(w.sk).contains(nat))
+        .sortBy(w => (-w.n, w.sk)).take(100)
+      val inv = (for {
+        a <- ws; b <- ws if a.sk != b.sk
+        if a.ppm > b.ppm || (a.ppm == b.ppm && a.sk < b.sk)
+        if a.wl < b.wl || (a.wl == b.wl && a.sk > b.sk)
+      } yield 1).size.toLong
+      assert(r.getAs[Long]("n_suppliers") == ws.length.toLong, nat)
+      assert(r.getAs[Long]("n_inversions") == inv, nat)
+      assert(r.getAs[Long]("n_inversions") <=
+        ws.length.toLong * (ws.length - 1) / 2)
+      val topRaw = ws.maxBy(w => (w.ppm, -w.sk)).sk
+      val topWl = ws.maxBy(w => (w.wl, -w.sk)).sk
+      assert(r.getAs[Long]("top1_raw_sk") == topRaw, nat)
+      assert(r.getAs[Long]("top1_wilson_sk") == topWl, nat)
+      assert(r.getAs[Long]("top1_changed") ==
+        (if (topRaw == topWl) 0L else 1L))
+    }
+  }
+
+  // ---- q500 semantics canary ---------------------------------------------------------------------------------------
+
+  test("q500 canary values match an independent JVM replay (third engine)") {
+    val rows = graft.ops.Relational.queries("q500_semantics_canary")(
+      spark, sf).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 15)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("graft".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(rows("a_div_floor_pos") == "3")
+    assert(rows("b_mod_pos") == "1")
+    assert(rows("c_decimal_cents") == "1234567")
+    assert(rows("d_md5_hex") == md5)
+    assert(rows("e_md5_int64_bridge") ==
+      java.lang.Long.parseLong(md5.take(8), 16).toString)
+    assert(rows("f_regex_runs") == "3")
+    assert(rows("g_char_len") == "5")
+    assert(rows("h_byte_len") == "6")
+    assert(rows("i_substr_1based") == "bcd")
+    assert(rows("j_isqrt_2p52") == math.sqrt(4503599627370496L.toDouble)
+      .toLong.toString)
+    assert(rows("k_epoch_us") == "1704067200000000")
+    assert(rows("l_datediff_days") == "60")
+    assert(rows("m_collation_binary") == "binary")
+    assert(rows("n_concat_ws") == "x:y")
+    assert(rows("o_neg_div_convention") == "-3")
+  }
+
+  // ---- q497 minute phase profile -----------------------------------------------------------------------------------------
+
+  test("q497 conserves event mass and its peak dominates the mean") {
+    val rows = graft.ops.Behavior.queries("q497_minute_phase_profile")(
+      spark, sf).collect()
+    val totals = graft.model.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getAs[Long]("n_events") == totals(t), t)
+      assert(r.getAs[Long]("n_phases") <= 60L)
+      assert(r.getAs[Long]("peak_minute_events") >=
+        r.getAs[Long]("trough_minute_events"))
+      // peak·60/total ≥ 1000 milli by definition of max
+      assert(r.getAs[Long]("peak_to_mean_milli") >= 1000L, t)
+    }
+  }
 }

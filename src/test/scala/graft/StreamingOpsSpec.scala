@@ -671,6 +671,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     fin.values.foreach { case (n, adm, drop, _) => assert(n == adm + drop) }
   }
 
+
+  test("P2 quantile gauge tracks the exact p95 within tolerance at O(1) state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Ev]
+    val g = StreamingOps.p2QuantileGauge[Ev](s.toDS(), _.key,
+      _.value.toLong, _.value.toLong, p = 0.95)
+    val q = g.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("p2_gauge").start()
+    // a deterministic permutation of 1..2000 for key a, fed in 4 batches;
+    // key b sees only 3 values (the pre-init path)
+    val perm = (1 to 2000).sortBy(i => (i * 2654435761L) % 4096)
+    perm.grouped(500).foreach { chunk =>
+      s.addData(chunk.map(i => Ev(t(1), "a", i.toDouble)))
+      q.processAllAvailable()
+    }
+    s.addData(Ev(t(1), "b", 7.0), Ev(t(2), "b", 3.0), Ev(t(3), "b", 5.0))
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("p2_gauge").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.maxBy(_.getAs[Long]("n")) }
+    val a = fin("a")
+    assert(a.getAs[Long]("n") == 2000L)
+    assert(a.getAs[Long]("v_min") == 1L && a.getAs[Long]("v_max") == 2000L)
+    // exact p95 of 1..2000 is 1900; P2 must land within 5% of the range
+    val est = a.getAs[Long]("est_milli") / 1000.0
+    assert(math.abs(est - 1900.0) <= 100.0, s"p95 estimate drifted: $est")
+    // pre-init path: exact small-n quantile (ceil-rank of the sorted 3)
+    val b = fin("b")
+    assert(b.getAs[Long]("n") == 3L)
+    assert(b.getAs[Long]("est_milli") == 7000L)
+    assert(b.getAs[Long]("v_min") == 3L && b.getAs[Long]("v_max") == 7L)
+  }
+
   test("token-bucket gauge admits the burst, defers the flood, refills on event time") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
