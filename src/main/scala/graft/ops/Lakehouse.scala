@@ -34,6 +34,37 @@ object Lakehouse {
   private[graft] val SampleK = 10
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BASKET-SIZE dispersion — the index-of-dispersion (Fano) read on
+    // ORDERS where q217/q379 read DAYS: per order priority, lines per
+    // order with the exact variance-to-mean ratio fano_milli =
+    // (n·Σx² − S²)·1000 DIV (n·S) — Poisson baskets sit at 1000;
+    // over-dispersion (clumpy baskets — wholesale mixed with retail)
+    // breaks every per-order cost model that assumed the mean. Orders
+    // without lineitems are absent by construction (this reads the
+    // lineitem side; q167 counts the zero-order customers). Magnitude:
+    // n·Σx² ≤ ~10¹⁸ at sf100 — int64 with the DECIMAL widening rule
+    // documented. One l_orderkey agg (the natural shuffle) → a
+    // 5-row priority grid.
+    "q502_basket_dispersion" -> { (s, d) =>
+      val basket = Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("x"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority").as("prio")),
+          col("l_orderkey") === col("o_orderkey"))
+      basket.groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(expr("x * CAST(x AS DECIMAL(38,0))")).as("sxx"),
+          max(col("x")).as("mx"))
+        .select(col("prio"), col("n").cast("long").as("n_orders"),
+          col("sx").cast("long").as("n_lines"),
+          col("mx").cast("long").as("max_basket"),
+          expr("CAST(sx * 1000 DIV n AS BIGINT)").as("mean_milli"),
+          expr("CAST((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) * 1000" +
+            " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)")
+            .as("fano_milli"))
+        .orderBy("prio")
+    },
+
     // PARTITION-LAYOUT advisor — the `partitionBy` decision every
     // lakehouse table gets wrong once: for each candidate column set
     // (source; lang; source×lang; source×lang×length-octile) the
@@ -963,6 +994,23 @@ object Lakehouse {
   )
 
   def oracle: Map[String, String] = Map(
+    "q502_basket_dispersion" ->
+      """WITH basket AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderpriority AS prio, b.x
+        |  FROM basket b JOIN orders o ON o.o_orderkey = b.l_orderkey)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(x) AS BIGINT) AS n_lines,
+        |  CAST(MAX(x) AS BIGINT) AS max_basket,
+        |  CAST(SUM(x) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+        |  CAST((COUNT(*) * SUM(x * CAST(x AS HUGEINT))
+        |      - CAST(SUM(x) AS HUGEINT) * SUM(x)) * 1000
+        |    // (CAST(COUNT(*) AS HUGEINT) * SUM(x)) AS BIGINT)
+        |    AS fano_milli
+        |FROM j GROUP BY prio ORDER BY prio""".stripMargin,
+
     "q489_partition_layout" ->
       """WITH base AS (
         |  SELECT source, lang, n_chars // 128 AS lenb FROM documents),

@@ -182,6 +182,57 @@ object Relational {
         .orderBy("cust_bloc", "supp_bloc", "l_year")
     },
 
+    // NATION-PAIR trade IMBALANCE — the macro read on q126's bilateral
+    // flows: for every unordered customer-nation × supplier-nation pair
+    // with traffic in BOTH directions, the flow cents each way and the
+    // imbalance |a−b|·10⁶ DIV (a+b) — the surplus/deficit statistic
+    // (1e6 = fully one-sided, 0 = balanced). Cents are the exact
+    // decimal convention; restricting to two-way pairs keeps the
+    // division total (one-way pairs are reported by q126's shape, not
+    // this ratio). Scale: the one fact shuffle collapses onto the
+    // ≤ nations² directed grid before the pair join; dims broadcast.
+    "q503_trade_imbalance" -> { (s, d) =>
+      val directed = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"),
+          (money(col("l_extendedprice")) * rate(lit(1) - col("l_discount")))
+            .as("v"))
+        .groupBy("cn", "sn")
+        // the 4-decimal discount product leaves fractional cents: FLOOR
+        // explicitly — a bare CAST truncates in Spark but ROUNDS in
+        // DuckDB (one-ulp cents drift, caught by the sf0.01 gate)
+        .agg(expr("CAST(FLOOR(SUM(v) * 100) AS BIGINT)").as("cents"),
+          count(lit(1)).as("n"))
+      // ONE conditional aggregation over the canonical (least, greatest)
+      // pair — no self-join (a dual reference to the directed CTE sent
+      // DuckDB's optimizer into a spilling plan at sf1; this shape is
+      // one exchange cheaper on Spark too); both-directions-present is
+      // a COUNT(*) = 2 filter since (cn, sn) rows are distinct, and it
+      // ALSO excludes the diagonal — an explicit cn <> sn prefilter is
+      // deliberately absent (DuckDB pushed it below the aggregation
+      // into a customer × supplier `!=` NESTED-LOOP join, a 1.5·10⁹-row
+      // intermediate that spilled 78 GB at sf1 — found by this gate)
+      directed
+        .groupBy(least(col("cn"), col("sn")).as("na"),
+          greatest(col("cn"), col("sn")).as("nb"))
+        .agg(sum(when(col("cn") < col("sn"), col("cents")).otherwise(0L))
+            .as("cents_ab"),
+          sum(when(col("cn") > col("sn"), col("cents")).otherwise(0L))
+            .as("cents_ba"),
+          sum(col("n")).as("nl"), count(lit(1)).as("dirs"))
+        .filter(col("dirs") === 2)
+        .select(col("na").cast("long").as("nation_a"),
+          col("nb").cast("long").as("nation_b"),
+          col("cents_ab").cast("long").as("cents_a_buys_from_b"),
+          col("cents_ba").cast("long").as("cents_b_buys_from_a"),
+          col("nl").cast("long").as("n_lines"),
+          expr("CAST(ABS(cents_ab - cents_ba) * 1000000" +
+            " DIV (cents_ab + cents_ba) AS BIGINT)").as("imbalance_ppm"))
+        .orderBy("nation_a", "nation_b")
+    },
+
     // B3 completion, TPC-H Q11 image: per-part stock value filtered by
     // a GLOBAL scalar threshold — the uncorrelated-scalar-subquery
     // shape q51's correlated form does not cover. The threshold is
@@ -491,6 +542,34 @@ object Relational {
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q503_trade_imbalance" ->
+      """WITH directed AS (
+        |  SELECT c_nationkey AS cn, s_nationkey AS sn,
+        |    CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(4,2))) * 100) AS BIGINT)
+        |      AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT LEAST(cn, sn) AS na, GREATEST(cn, sn) AS nb,
+        |    SUM(CASE WHEN cn < sn THEN cents ELSE 0 END) AS cents_ab,
+        |    SUM(CASE WHEN cn > sn THEN cents ELSE 0 END) AS cents_ba,
+        |    SUM(n) AS nl, COUNT(*) AS dirs
+        |  FROM directed GROUP BY 1, 2)
+        |SELECT CAST(na AS BIGINT) AS nation_a,
+        |  CAST(nb AS BIGINT) AS nation_b,
+        |  CAST(cents_ab AS BIGINT) AS cents_a_buys_from_b,
+        |  CAST(cents_ba AS BIGINT) AS cents_b_buys_from_a,
+        |  CAST(nl AS BIGINT) AS n_lines,
+        |  CAST(ABS(cents_ab - cents_ba) * 1000000
+        |    // (cents_ab + cents_ba) AS BIGINT) AS imbalance_ppm
+        |FROM pairs WHERE dirs = 2
+        |ORDER BY nation_a, nation_b""".stripMargin,
 
     "q126_nation_trade" ->
       """SELECT 'BLOC_' || (nc.n_nationkey % 5) AS cust_bloc,

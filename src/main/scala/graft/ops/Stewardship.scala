@@ -2692,6 +2692,40 @@ object Stewardship {
         .orderBy("month_idx")
     },
 
+    // DIXON-Q extreme-day screen — the ratio-based single-outlier test
+    // (Dean & Dixon 1951): per event type, Q = gap/range of the daily
+    // maximum, Q_milli = (max − 2nd_max)·1000 DIV (max − min) on the
+    // ACTIVE-day counts — division-free apart from the one final
+    // floor, no variance, no distribution assumption; the classic lab
+    // rule Q > 0.5-ish marks the top day as a discordant outlier
+    // (replay spike, bot storm) rather than the tail of normal
+    // variation. Complements q344/q218 (threshold detectors flag MANY
+    // days; Dixon asks specifically whether the SINGLE worst day
+    // belongs). The 2nd max comes from one max-of-struct pass over the
+    // (type, day)-grid — no sort.
+    "q501_dixon_extreme_day" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c")))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          max(col("c")).as("mx"), min(col("c")).as("mn"))
+      val second = daily.join(
+          stats.select(col("event_type"), col("mx").as("mx2")),
+          Seq("event_type"))
+        .filter(col("c") < col("mx2"))
+        .groupBy("event_type").agg(max(col("c")).as("snd"))
+      stats.join(second, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          col("mx").cast("long").as("max_day_events"),
+          // all-tied series: gap 0 by convention (second := max)
+          coalesce(col("snd"), col("mx")).cast("long").as("second_max"),
+          col("mn").cast("long").as("min_day_events"),
+          expr("CAST((mx - COALESCE(snd, mx)) * 1000" +
+            " DIV GREATEST(mx - mn, 1) AS BIGINT)").as("q_milli"))
+        .orderBy("event_type")
+    },
+
     // MULTIWINDOW BURN-RATE alerts — the Google-SRE error-budget
     // policy q495's consecutive-minutes breaker complements: a page
     // fires when the error rate burns the budget at 14.4× over a SHORT
@@ -6193,6 +6227,28 @@ object Stewardship {
         |  CAST((SELECT SUM(h.op - h.cl) FROM grid h WHERE h.m <= g.m)
         |    AS BIGINT) AS backlog
         |FROM grid g ORDER BY 1""".stripMargin,
+
+    "q501_dixon_extreme_day" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    MAX(c) AS mx, MIN(c) AS mn
+        |  FROM daily GROUP BY 1),
+        |snd AS (
+        |  SELECT d.event_type, MAX(d.c) AS snd
+        |  FROM daily d JOIN st ON st.event_type = d.event_type
+        |  WHERE d.c < st.mx GROUP BY 1)
+        |SELECT st.event_type, st.n_days,
+        |  CAST(st.mx AS BIGINT) AS max_day_events,
+        |  CAST(COALESCE(snd.snd, st.mx) AS BIGINT) AS second_max,
+        |  CAST(st.mn AS BIGINT) AS min_day_events,
+        |  CAST((st.mx - COALESCE(snd.snd, st.mx)) * 1000
+        |    // GREATEST(st.mx - st.mn, 1) AS BIGINT) AS q_milli
+        |FROM st LEFT JOIN snd ON snd.event_type = st.event_type
+        |ORDER BY st.event_type""".stripMargin,
 
     "q498_burn_rate_alerts" ->
       """WITH err AS (

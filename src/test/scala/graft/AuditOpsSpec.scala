@@ -3053,6 +3053,102 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(rows("o_neg_div_convention") == "-3")
   }
 
+  // ---- q501 Dixon extreme-day screen ------------------------------------------------------------------------------
+
+  test("q501 replays gap-over-range for the single worst day") {
+    val daily = graft.model.Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")))
+      .count().collect().map(r => (r.getString(0), r.getLong(2)))
+    val rows = graft.ops.Stewardship.queries("q501_dixon_extreme_day")(
+      spark, sf).collect()
+    rows.foreach { r =>
+      val cs = daily.filter(_._1 == r.getString(0)).map(_._2)
+      val mx = cs.max; val mn = cs.min
+      val snd = cs.filter(_ < mx) match {
+        case xs if xs.isEmpty => mx
+        case xs => xs.max
+      }
+      assert(r.getAs[Long]("n_days") == cs.length.toLong)
+      assert(r.getAs[Long]("max_day_events") == mx)
+      assert(r.getAs[Long]("second_max") == snd)
+      assert(r.getAs[Long]("min_day_events") == mn)
+      assert(r.getAs[Long]("q_milli") ==
+        (mx - snd) * 1000L / math.max(mx - mn, 1L))
+      assert(r.getAs[Long]("q_milli") <= 1000L)
+    }
+  }
+
+  // ---- q502 basket dispersion -----------------------------------------------------------------------------------------
+
+  test("q502 replays the exact Fano ratio per priority") {
+    val baskets = graft.model.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").count()
+      .join(graft.model.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .select("o_orderpriority", "count").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = graft.ops.Lakehouse.queries("q502_basket_dispersion")(
+      spark, sf).collect()
+    rows.foreach { r =>
+      val xs = baskets.filter(_._1 == r.getString(0)).map(_._2)
+      val n = BigInt(xs.length); val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      assert(r.getAs[Long]("n_orders") == xs.length.toLong)
+      assert(r.getAs[Long]("n_lines") == xs.sum)
+      assert(r.getAs[Long]("max_basket") == xs.max)
+      assert(BigInt(r.getAs[Long]("mean_milli")) == sx * 1000 / n)
+      assert(BigInt(r.getAs[Long]("fano_milli")) ==
+        (n * sxx - sx * sx) * 1000 / (n * sx), r.getString(0))
+      assert(r.getAs[Long]("fano_milli") >= 0L)
+    }
+  }
+
+  // ---- q503 trade imbalance ------------------------------------------------------------------------------------------------
+
+  test("q503 flows replay exactly; imbalance is symmetric and bounded") {
+    val directed = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .join(graft.model.Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .join(graft.model.Tables.supplier(spark, sf),
+        org.apache.spark.sql.functions.col("l_suppkey") ===
+          org.apache.spark.sql.functions.col("s_suppkey"))
+      .selectExpr("CAST(c_nationkey AS BIGINT) AS c_nationkey",
+        "CAST(s_nationkey AS BIGINT) AS s_nationkey",
+        "CAST(l_extendedprice AS DECIMAL(12,2))" +
+          " * CAST(1 - l_discount AS DECIMAL(4,2)) AS v")
+      .groupBy("c_nationkey", "s_nationkey")
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(FLOOR(SUM(v) * 100) AS BIGINT) AS cents"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("cents"), r.getAs[Long]("n")))).toMap
+    val rows = graft.ops.Relational.queries("q503_trade_imbalance")(
+      spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("nation_a"), r.getAs[Long]("nation_b"))
+      assert(a < b)
+      val ab = directed((a, b)); val ba = directed((b, a))
+      assert(r.getAs[Long]("cents_a_buys_from_b") == ab._1)
+      assert(r.getAs[Long]("cents_b_buys_from_a") == ba._1)
+      assert(r.getAs[Long]("n_lines") == ab._2 + ba._2)
+      assert(r.getAs[Long]("imbalance_ppm") ==
+        math.abs(ab._1 - ba._1) * 1000000L / (ab._1 + ba._1))
+      assert(r.getAs[Long]("imbalance_ppm") <= 1000000L)
+    }
+    // every two-way pair in the data appears in the output
+    val twoWay = directed.keys.filter { case (x, y) =>
+      x < y && directed.contains((y, x)) }.toSet
+    assert(rows.length == twoWay.size)
+  }
+
   // ---- q497 minute phase profile -----------------------------------------------------------------------------------------
 
   test("q497 conserves event mass and its peak dominates the mean") {
