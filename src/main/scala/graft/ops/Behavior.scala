@@ -1210,8 +1210,12 @@ object Behavior {
               CAST(nullif(conv_a + conv_b, 0) AS DOUBLE) /
               CAST(nullif(n_a + n_b - conv_a - conv_b, 0) AS DOUBLE)
               * 1000) AS BIGINT)""").as("z2_milli"))
+        // coalesce: a degenerate split (zero conversions or zero
+        // non-conversions) makes z2_milli NULL via the nullif guards;
+        // the oracle's CASE maps that to 0, so the flag must too —
+        // NULL > 3841 would otherwise propagate NULL here only
         .withColumn("sig_at_5pct",
-          (col("z2_milli") > 3841L).cast("long"))
+          coalesce((col("z2_milli") > 3841L).cast("long"), lit(0L)))
         .orderBy("salt")
     },
 

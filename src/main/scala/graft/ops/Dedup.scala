@@ -60,6 +60,30 @@ object Dedup {
       .select(col("doc_id"), explode(shingleExpr("t", 3)).as("sh"))
       .distinct()
 
+  /** TWIN-COLLAPSE classes over a (key, item) set table: group rows whose
+    * DISTINCT item sets are identical into one class. Exact twins (verbatim
+    * template copies) are indistinguishable to every set-similarity operator
+    * — identical MinHash signatures, identical prefix tokens, identical
+    * Jaccard against any third set — so pair/triangle enumeration can run
+    * over one REPRESENTATIVE per class and expand by multiplicity
+    * afterwards (q115 expands by algebra, q118 by join). The class key is
+    * md5 over the sorted item list (engine-internal only — it never
+    * reaches an oracle), so two classes collide only on an md5 collision.
+    * Returns (members, classes):
+    *   members = (key, fp, n)       one row per input key (n = |set|)
+    *   classes = (fp, rep, m, n)    rep = min key, m = multiplicity. */
+  private[graft] def shingleClasses(sh: DataFrame, key: String = "doc_id",
+      item: String = "sh"): (DataFrame, DataFrame) = {
+    val members = sh.groupBy(key)
+      .agg(md5(concat_ws("\u0001", sort_array(collect_list(col(item)))))
+          .as("fp"),
+        count(lit(1)).cast("long").as("n"))
+    val classes = members.groupBy("fp")
+      .agg(min(col(key)).as("rep"), count(lit(1)).cast("long").as("m"),
+        max(col("n")).as("n"))
+    (members, classes)
+  }
+
   /** Drop shingles whose document frequency exceeds `maxDf` — the
     * standard guard before a shingle self-join: pair count per shingle is
     * df², so one boilerplate shingle shared by 10⁶ documents would emit
@@ -491,31 +515,78 @@ object Dedup {
       // linear ops (q65 CC, q152 k-core) run on — a triangle census is
       // a cohesion diagnostic of DUPLICATE families, so it should read
       // the edge set that defines them, with the 0.3 graph kept for
-      // the linear cluster ops. Round-8 sf1 ground truth: the corpus's
-      // five templates share one 30-word cycle (17t+7j mod 30), so
-      // every template/variant doc lands in ONE ~2.5k-doc family —
-      // 2539 nodes / 3.2M edges / 2.72e9 triangles, counted EXACTLY in
-      // ~10 min at local[24] by the ordered path join (cost is
-      // output-bound — no exact algorithm beats the triangle count
-      // itself; closure_ppm = 0.999 correctly reads "one clique").
-      // Real pipelines collapse identical docs before a census like
-      // this; the exact form is the oracle-checkable contract.
-      // eager shared persist (see q118's note on lazy-persist branch
-      // races); Caches registers it so Verify/Bench unpersist after use
-      val edges = Caches.shared(minhashVerifiedPairs(s, d)
-        .filter(col("jac") >= 0.6).select("doc_a", "doc_b"))
-      val deg = edges.select(col("doc_a").as("n"))
-        .unionByName(edges.select(col("doc_b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      val w = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
-        sum(expr("deg * (deg - 1) DIV 2")).cast("long").as("n_wedges"))
-      val ne = edges.agg(count(lit(1)).cast("long").as("n_edges"))
-      val tri = edges.as("e1")
-        .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
-        .select(col("e1.doc_a").as("a"), col("e2.doc_b").as("c"))
-        .join(edges.select(col("doc_a").as("a"), col("doc_b").as("c")),
+      // the linear cluster ops.
+      //
+      // TWIN-COLLAPSE (round-9 rework of the round-8 output-bound form):
+      // documents with IDENTICAL distinct-shingle sets are exact twins —
+      // they carry identical MinHash signatures (the signature is a
+      // function of the set), so (a) every intra-class pair band-collides
+      // in all bands and has jac = 1 ≥ 0.6 (always an edge), and (b) a
+      // cross pair's candidacy and jac depend only on the two CLASSES,
+      // never the members. The census therefore collapses each class to
+      // (representative, multiplicity m), runs the LSH chain over
+      // representatives only, and emits the ORIGINAL graph's counts by
+      // exact algebra: with per-class degree d = (m−1) + Σ_adj m_j,
+      //   edges     = Σ C(m,2)            + Σ_E' m_i·m_j
+      //   wedges    = Σ m·C(d,2)
+      //   triangles = Σ C(m,3)            (all-in-one-class)
+      //             + Σ_E' C(m_i,2)·m_j + C(m_j,2)·m_i   (2+1)
+      //             + Σ_{rep triangles} m_i·m_j·m_k      (1+1+1)
+      // Round-8 sf1 ground truth (exact path, ~10 min): one ~2.5k-doc
+      // family, 2539 nodes / 3.2M edges / 2.72e9 triangles; the collapsed
+      // algebra reproduces those counts bit-for-bit in seconds because
+      // the rep graph enumerates distinct CONTENT, not copies. The
+      // per-query law 3T ≤ W stays spec-asserted (LateOpsSpec).
+      // Overflow: counts are exact longs; C(m,3) stays in int64 through
+      // m ≈ 3.8M twins of one document — past that the DECIMAL(38,0)
+      // magnitude rule applies (documented, not hit at any gated SF).
+      val sh = Caches.shared(docShingles(s, d, 1))
+      val (members, classesRaw) = shingleClasses(sh)
+      val classes = Caches.shared(classesRaw)
+      val repSh = sh.join(classes.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val bands = minhashBands(repSh, numHashes = 16, bandSize = 4)
+      val cand = bands.as("x").hint("shuffle_hash")
+        .join(bands.as("y").hint("shuffle_hash"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val cm = classes.select(col("rep"), col("m"))
+      val e = Caches.shared(jaccardOfPairs(cand, repSh)
+        .filter(col("jac") >= 0.6)
+        .select("doc_a", "doc_b")
+        .join(cm.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
+        .join(cm.select(col("rep").as("doc_b"), col("m").as("mb")), "doc_b"))
+      val nbr = e.select(col("doc_a").as("rep"), col("mb").as("w"))
+        .unionByName(e.select(col("doc_b").as("rep"), col("ma").as("w")))
+        .groupBy("rep").agg(sum(col("w")).as("nm"))
+      val degs = classes.join(nbr, Seq("rep"), "left")
+        .select(col("m"),
+          (col("m") - 1 + coalesce(col("nm"), lit(0L))).as("deg"))
+        .filter(col("deg") >= 1)
+      val w = degs.agg(sum(col("m")).cast("long").as("n_nodes"),
+        sum(expr("m * (deg * (deg - 1) DIV 2)")).cast("long").as("n_wedges"))
+      val ne = classes.agg(sum(expr("m * (m - 1) DIV 2")).as("intra"))
+        .crossJoin(broadcast(
+          e.agg(coalesce(sum(expr("ma * mb")), lit(0L)).as("cross"))))
+        .select((col("intra") + col("cross")).cast("long").as("n_edges"))
+      val t1 = classes.agg(
+        coalesce(sum(expr("m * (m - 1) * (m - 2) DIV 6")), lit(0L)).as("t1"))
+      val t2 = e.agg(coalesce(sum(expr(
+        "(ma * (ma - 1) DIV 2) * mb + (mb * (mb - 1) DIV 2) * ma")),
+        lit(0L)).as("t2"))
+      val t3 = e.as("e1")
+        .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .select(col("e1.doc_a").as("a"), col("e2.doc_b").as("c"),
+          (col("e1.ma") * col("e1.mb") * col("e2.mb")).as("wt"))
+        .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
           Seq("a", "c"), "left_semi")
-        .agg(count(lit(1)).cast("long").as("n_triangles"))
+        .agg(coalesce(sum(col("wt")), lit(0L)).as("t3"))
+      val tri = t1.crossJoin(broadcast(t2)).crossJoin(broadcast(t3))
+        .select((col("t1") + col("t2") + col("t3")).cast("long")
+          .as("n_triangles"))
       w.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
@@ -544,6 +615,18 @@ object Dedup {
     // × shingles-per-doc, both bounded. A completeness spec asserts
     // parity with the exhaustive pairwise join.
     "q118_prefix_filter_join" -> { (s, d) =>
+      // TWIN-COLLAPSE front (round 9, same theorem as q115): exact
+      // template copies have identical distinct-shingle sets, so the
+      // prefix-filter join runs over one REPRESENTATIVE per class and
+      // the verified rep pairs expand back by join afterwards — every
+      // intra-class pair is (n, n, n, 10⁶) by construction, and every
+      // cross pair of classes (i, j) carries the rep pair's exact
+      // (na, nb, common). Round-8 sf1 evidence: at τ=¾ the planted
+      // template family alone produced ~30M prefix collisions / 0.9B
+      // verify rows; collapsed, those copies cost ONE row each in the
+      // class table and the collision/verify legs see distinct content
+      // only. The completeness spec (exhaustive-join parity) and the
+      // SkewStress template-block fixture pin output equality.
       // the shingle table feeds FOUR plan branches (df table, prefix
       // index, and both verify legs) — persist() so the explode+distinct
       // scan runs once, not per branch (measured ~3× on this query).
@@ -563,7 +646,17 @@ object Dedup {
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
           explode(array_distinct(shingleExpr("t", 3))).as("tok")))
-      val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val (membersRaw, classesRaw) = shingleClasses(toks, item = "tok")
+      val members = Caches.shared(membersRaw) // (doc_id, fp, n)
+      val classes = Caches.shared(classesRaw) // (fp, rep, m, n)
+      // representative shingle table: the whole PPJoin machinery below
+      // (df order, prefix index, collision join, verify legs) runs over
+      // distinct CONTENT only. The df order is now class-frequency, not
+      // doc-frequency — completeness only needs ONE global token order
+      // shared by the prefix rule and the position filter, which this is.
+      val repToks = toks.join(classes.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val dfTbl = repToks.groupBy("tok").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       val wn = Window.partitionBy("doc_id")
       // τ = ¾ (the PPJoin-regime threshold). Round 8's sf1 gate
@@ -575,7 +668,7 @@ object Dedup {
       // same gate measured 30M collisions / 0.9B verify rows. The
       // published PPJoin evaluations run τ ≥ 0.7 for exactly this
       // reason; ½ is below the regime where a prefix filter filters.
-      val prefix = toks.join(dfTbl, "tok")
+      val prefix = repToks.join(dfTbl, "tok")
         .withColumn("n", count(lit(1)).over(wn))
         .withColumn("r", row_number().over(wd))
         .filter(col("r") <= col("n") - expr("(3 * n + 3) DIV 4") + 1)
@@ -608,12 +701,34 @@ object Dedup {
           .as("ub0"))
         .filter((col("ub0") + lit(1)) * 7 >= (col("na") + col("nb")) * 3)
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      val ta = toks.select(col("doc_id").as("doc_a"), col("tok"))
-      val tb = toks.select(col("doc_id").as("doc_b"), col("tok"))
-      cand.join(ta, "doc_a").join(tb, Seq("doc_b", "tok"))
+      val ta = repToks.select(col("doc_id").as("doc_a"), col("tok"))
+      val tb = repToks.select(col("doc_id").as("doc_b"), col("tok"))
+      // verified REP pairs (rep ids + class-level sizes/overlap)
+      val repPairs = cand.join(ta, "doc_a").join(tb, Seq("doc_b", "tok"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("common"))
         .filter(col("common") * 7 >= (col("na") + col("nb")) * 3)
+      // EXPANSION back to document pairs. Cross pairs: every member of
+      // class a × every member of class b shares the rep pair's stats;
+      // doc ids re-canonicalize to (least, greatest) with na/nb riding
+      // their documents. Intra pairs: C(m, 2) per class at jac = 1.
+      val repFp = classes.select(col("rep"), col("fp"))
+      val cross = repPairs
+        .join(repFp.select(col("rep").as("doc_a"), col("fp").as("fpa")), "doc_a")
+        .join(repFp.select(col("rep").as("doc_b"), col("fp").as("fpb")), "doc_b")
+        .join(members.select(col("fp").as("fpa"), col("doc_id").as("da")), "fpa")
+        .join(members.select(col("fp").as("fpb"), col("doc_id").as("db")), "fpb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("na"),
+          when(col("da") < col("db"), col("nb")).otherwise(col("na")).as("nb"),
+          col("common"))
+      val intra = members.as("a")
+        .join(members.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"), col("a.n").as("common"))
+      cross.unionByName(intra)
         .select(col("doc_a"), col("doc_b"),
           col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
           col("common").cast("long").as("common"),

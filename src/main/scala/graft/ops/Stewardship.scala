@@ -1452,15 +1452,19 @@ object Stewardship {
         .orderBy("source_a", "source_b")
     },
 
-    // Exact ANDERSON–DARLING two-sample statistic per source pair —
-    // the TAIL-weighted member completing the CDF-distance quartet
+    // ANDERSON–DARLING-STYLE tail-weighted two-sample CDF distance per
+    // source pair — the TAIL-weighted member completing the quartet
     // (q370 sup-norm, q375 L¹, q376 pooled-mass L², q380 Lebesgue L²):
-    // the 1/(H(1−H)) weight diverges at both CDF ends, so A² detects
-    // tail drift (a new source whose SHORTEST and LONGEST docs differ)
-    // that every mid-weighted member underrates. Tie-adjusted
-    // Scholz–Stephens form on doubled half-counts (M2 = 2F − c, so
-    // midrank halves stay integer): for pair (a,b) the two per-sample
-    // terms collapse algebraically to
+    // the 1/(H(1−H)) weight diverges at both CDF ends, so the statistic
+    // detects tail drift (a new source whose SHORTEST and LONGEST docs
+    // differ) that every mid-weighted member underrates. NOT the exact
+    // Scholz–Stephens A²_akN: the (N−1)/N factor and the −N·l_j/4 tie
+    // term in the denominator are deliberately dropped (both engines
+    // drop them identically), so ad_ppm is a self-consistent A²-family
+    // distance for CROSS-PAIR comparison — do not read it against
+    // published A² critical values. Midrank handling keeps the doubled
+    // half-counts integer (M2 = 2F − c); for pair (a,b) the two
+    // per-sample terms collapse algebraically to
     //   A² = (1/(n_a·n_b)) · Σ_v l_v · D_v² / (B2_v·(2N − B2_v)),
     // D_v = n_b·M2_a(v) − n_a·M2_b(v), B2_v = M2_a(v) + M2_b(v),
     // l_v = the pair's pooled point mass (zero-mass grid values are
@@ -2701,8 +2705,12 @@ object Stewardship {
     // (replay spike, bot storm) rather than the tail of normal
     // variation. Complements q344/q218 (threshold detectors flag MANY
     // days; Dixon asks specifically whether the SINGLE worst day
-    // belongs). The 2nd max comes from one max-of-struct pass over the
-    // (type, day)-grid — no sort.
+    // belongs). second_max is the ORDER-STATISTIC x(n−1): when ≥2 days
+    // tie at the maximum, x(n−1) = x(n) so the gap (and Q) is 0 — a
+    // duplicated spike is two observations, not one discordant outlier
+    // (Dixon's test is single-outlier by construction). One grouped
+    // pass over the (type, day)-grid computes both the strict runner-up
+    // and the tie count — no sort.
     "q501_dixon_extreme_day" -> { (s, d) =>
       val daily = Caches.shared(Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -2713,15 +2721,20 @@ object Stewardship {
       val second = daily.join(
           stats.select(col("event_type"), col("mx").as("mx2")),
           Seq("event_type"))
-        .filter(col("c") < col("mx2"))
-        .groupBy("event_type").agg(max(col("c")).as("snd"))
+        .groupBy("event_type").agg(
+          max(when(col("c") < col("mx2"), col("c"))).as("snd"),
+          sum(when(col("c") === col("mx2"), 1L).otherwise(0L)).as("n_at_max"))
       stats.join(second, Seq("event_type"), "left")
+        // x(n−1): the max itself when tied (n_at_max ≥ 2) or when every
+        // day ties (snd NULL); the strict runner-up otherwise
+        .withColumn("x_nm1",
+          when(col("n_at_max") >= 2L, col("mx"))
+            .otherwise(coalesce(col("snd"), col("mx"))))
         .select(col("event_type"), col("n_days"),
           col("mx").cast("long").as("max_day_events"),
-          // all-tied series: gap 0 by convention (second := max)
-          coalesce(col("snd"), col("mx")).cast("long").as("second_max"),
+          col("x_nm1").cast("long").as("second_max"),
           col("mn").cast("long").as("min_day_events"),
-          expr("CAST((mx - COALESCE(snd, mx)) * 1000" +
+          expr("CAST((mx - x_nm1) * 1000" +
             " DIV GREATEST(mx - mn, 1) AS BIGINT)").as("q_milli"))
         .orderBy("event_type")
     },
@@ -6238,17 +6251,23 @@ object Stewardship {
         |    MAX(c) AS mx, MIN(c) AS mn
         |  FROM daily GROUP BY 1),
         |snd AS (
-        |  SELECT d.event_type, MAX(d.c) AS snd
+        |  SELECT d.event_type,
+        |    MAX(CASE WHEN d.c < st.mx THEN d.c END) AS snd,
+        |    SUM(CASE WHEN d.c = st.mx THEN 1 ELSE 0 END) AS n_at_max
         |  FROM daily d JOIN st ON st.event_type = d.event_type
-        |  WHERE d.c < st.mx GROUP BY 1)
-        |SELECT st.event_type, st.n_days,
-        |  CAST(st.mx AS BIGINT) AS max_day_events,
-        |  CAST(COALESCE(snd.snd, st.mx) AS BIGINT) AS second_max,
-        |  CAST(st.mn AS BIGINT) AS min_day_events,
-        |  CAST((st.mx - COALESCE(snd.snd, st.mx)) * 1000
-        |    // GREATEST(st.mx - st.mn, 1) AS BIGINT) AS q_milli
-        |FROM st LEFT JOIN snd ON snd.event_type = st.event_type
-        |ORDER BY st.event_type""".stripMargin,
+        |  GROUP BY 1),
+        |x AS (
+        |  SELECT st.event_type, st.n_days, st.mx, st.mn,
+        |    CASE WHEN snd.n_at_max >= 2 THEN st.mx
+        |         ELSE COALESCE(snd.snd, st.mx) END AS x_nm1
+        |  FROM st LEFT JOIN snd ON snd.event_type = st.event_type)
+        |SELECT event_type, n_days,
+        |  CAST(mx AS BIGINT) AS max_day_events,
+        |  CAST(x_nm1 AS BIGINT) AS second_max,
+        |  CAST(mn AS BIGINT) AS min_day_events,
+        |  CAST((mx - x_nm1) * 1000
+        |    // GREATEST(mx - mn, 1) AS BIGINT) AS q_milli
+        |FROM x ORDER BY event_type""".stripMargin,
 
     "q498_burn_rate_alerts" ->
       """WITH err AS (

@@ -63,7 +63,7 @@ object StreamBench {
     locally {
       val s = MemoryStream[(String, Long, Long)]
       val ds = StreamingOps.onlineCusum[(String, Long, Long)](
-        s.toDS(), _._1, _._2, _._3, ref = 50L, h = 500L)
+        s.toDS(), _._1, _._3, ref = 50L, h = 500L)
       out += "cusum" -> drain(spark, "sb_cusum", rows, chunks)(
         (from, n) => s.addData((from until from + n).map(i =>
           (s"k${i % 64}", i.toLong, (i % 100).toLong))),

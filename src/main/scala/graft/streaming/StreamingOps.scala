@@ -197,26 +197,19 @@ object StreamingOps {
     * State per key is five Longs — constant, independent of stream
     * length (the q364 batch detector's whole day grid never lives in
     * memory here). Emission is one status row per key per micro-batch
-    * (Update mode). Values fold in ascending `seqOf` order WITHIN a
-    * micro-batch (mapGroupsWithState's iterator order is otherwise
-    * partition-arrival order); ACROSS batches the fold is arrival
-    * order — the reference's Kafka-record model
-    * (BigqueryStorageWriteSinkTask.java:98-116), where reordering
-    * guarantees belong to the upstream log, not the operator.
-    *
-    * Memory caveat: the per-batch `seqOf` sort materializes ONE KEY's
-    * micro-batch rows in executor memory (`values.toSeq`), so the
-    * cross-batch STATE is constant (5 longs) but the per-batch working
-    * set for a hot key is that key's batch volume — under burst load,
-    * bound it with the micro-batch trigger (maxOffsetsPerTrigger /
-    * trigger interval), which caps the batch and therefore the sort.
-    * Folding in iterator order would be O(1) memory but gives up the
-    * within-batch determinism the spec asserts. */
+    * (Update mode). Values fold in ARRIVAL order, within and across
+    * micro-batches — the reference's Kafka-record model
+    * (BigqueryStorageWriteSinkTask.java:98-116), where ordering
+    * guarantees belong to the upstream log, not the operator. The fold
+    * consumes the group iterator directly (no per-batch `toSeq`/sort),
+    * so the working set is O(1) even when one hot key receives an
+    * entire burst batch — the Page recursion only ever needs the
+    * running (S⁺, S⁻) pair, never the batch. */
   case class CusumStatus(key: String, n: Long, s_pos: Long, s_neg: Long,
                          alarms_pos: Long, alarms_neg: Long)
   case class CusumState(n: Long, sPos: Long, sNeg: Long,
                         aPos: Long, aNeg: Long)
-  def onlineCusum[T](ds: Dataset[T], keyOf: T => String, seqOf: T => Long,
+  def onlineCusum[T](ds: Dataset[T], keyOf: T => String,
                      valueOf: T => Long, ref: Long,
                      h: Long): Dataset[CusumStatus] = {
     import ds.sparkSession.implicits._
@@ -225,7 +218,7 @@ object StreamingOps {
       .mapGroupsWithState[CusumState, CusumStatus](GroupStateTimeout.NoTimeout) {
         (key: String, values: Iterator[T], state: GroupState[CusumState]) =>
           var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, 0L))
-          values.toSeq.sortBy(seqOf).foreach { v =>
+          values.foreach { v =>
             val x = valueOf(v)
             var sp = math.max(0L, st.sPos + (x - ref))
             var sn = math.max(0L, st.sNeg + (ref - x))
@@ -354,7 +347,12 @@ object StreamingOps {
         val k =
           if (x < q(0)) { q(0) = x; 0 }
           else if (x >= q(4)) { q(4) = math.max(q(4), x); 3 }
-          else (0 to 3).find(i => q(i) <= x && x < q(i + 1)).get
+          // getOrElse clamp: unreachable while marker heights stay
+          // monotone (the parabolic-accept/linear-fallback invariant);
+          // if a future edit ever broke monotonicity this degrades the
+          // estimate to the nearest cell instead of killing the query
+          else (0 to 3).find(i => q(i) <= x && x < q(i + 1))
+            .getOrElse(if (x < q(2)) 0 else 3)
         (k + 1 to 4).foreach(i => n(i) += 1)
         val inc = Seq(0d, p / 2, p, (1 + p) / 2, 1d)
         (0 to 4).foreach(i => np(i) += inc(i))

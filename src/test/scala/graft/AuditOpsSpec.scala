@@ -3066,10 +3066,13 @@ class AuditOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val cs = daily.filter(_._1 == r.getString(0)).map(_._2)
       val mx = cs.max; val mn = cs.min
-      val snd = cs.filter(_ < mx) match {
-        case xs if xs.isEmpty => mx
-        case xs => xs.max
-      }
+      // order-statistic x(n−1): the max itself when ≥2 days tie at it
+      val snd =
+        if (cs.count(_ == mx) >= 2) mx
+        else cs.filter(_ < mx) match {
+          case xs if xs.isEmpty => mx
+          case xs => xs.max
+        }
       assert(r.getAs[Long]("n_days") == cs.length.toLong)
       assert(r.getAs[Long]("max_day_events") == mx)
       assert(r.getAs[Long]("second_max") == snd)

@@ -567,7 +567,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     val (ref, h) = (10L, 25L)
     val s = MemoryStream[Ev]
-    val cusum = StreamingOps.onlineCusum[Ev](s.toDS(), _.key, _.ts.getTime,
+    val cusum = StreamingOps.onlineCusum[Ev](s.toDS(), _.key,
       _.value.toLong, ref = ref, h = h)
     val q = cusum.toDF().writeStream.outputMode(OutputMode.Update)
       .format("memory").queryName("cusum_status").start()
