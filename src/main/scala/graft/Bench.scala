@@ -120,11 +120,45 @@ object Bench {
         }.mkString(",\"streaming\":{", ",", "}")
       }
 
+    // Scale-out sweep (round-9 VERDICT ask #4b): the same gauges at
+    // shuffle-partitions 1/4/16 and on the RocksDB state store, at a
+    // reduced per-config row budget. runScaling builds one fresh session
+    // per config, so the current session is stopped first; the sweep is
+    // bounded by a plain thread-join timeout (Watchdog is session-
+    // coupled and these sessions are sweep-internal).
+    val streamScaleJson: String =
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_STREAMBENCH").contains("0")
+          || sys.env.get("SPARK_GRAFT_STREAM_SCALING").contains("0")) ""
+      else {
+        spark.stop()
+        val rows = sys.env.get("SPARK_GRAFT_STREAM_SCALE_ROWS")
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(25000)
+        @volatile var results =
+          Map.empty[String, Map[String, graft.streaming.StreamBench.OpResult]]
+        val t = new Thread(() => {
+          try results = graft.streaming.StreamBench.runScaling(rows)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] stream scaling failed: ${e.getMessage}") }
+        }, "stream-scaling")
+        t.setDaemon(true)
+        t.start()
+        t.join(900L * 1000L)
+        if (t.isAlive) System.err.println("[bench] stream scaling timed out")
+        if (results.isEmpty) ""
+        else results.toSeq.sortBy(_._1).map { case (cfg, ops) =>
+          "\"" + cfg + "\":{" + ops.toSeq.sortBy(_._1).map { case (k, r) =>
+            val rps = if (r.sec > 0) r.rows / r.sec else 0.0
+            "\"" + k + "\":{\"rows\":" + r.rows + ",\"rows_per_sec\":" + rps +
+              ",\"batches\":" + r.batches + ",\"state_rows\":" + r.stateRows + "}"
+          }.mkString(",") + "}"
+        }.mkString(",\"streaming_scaling\":{", ",", "}")
+      }
+
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = runA.map(_._2).filter(_ >= 0).sum
     val totalB = runB.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(runA)},"queriesB":${toJson(runB)},"totalB":$totalB$streamJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(runA)},"queriesB":${toJson(runB)},"totalB":$totalB$streamJson$streamScaleJson,"sf":"$sfDir"}"""
     // Durable file copy: with ~100 queries the JSON line outgrows captured
     // stdout tails (round 3 lost q01–q36 that way), so the file is the
     // artifact of record and stdout stays the driver-contract summary.

@@ -11,6 +11,17 @@ object StreamBenchSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("scaling")) {
+      spark.stop() // runScaling builds one fresh session per config
+      val rows = args.lift(1).map(_.toInt).getOrElse(8000)
+      graft.streaming.StreamBench.runScaling(rows).toSeq.sortBy(_._1)
+        .foreach { case (cfg, ops) =>
+          ops.toSeq.sortBy(_._1).foreach { case (k, r) =>
+            println(f"$cfg%-12s $k%-18s rps=${r.rows / r.sec}%9.0f batches=${r.batches}%3d state=${r.stateRows}%6d")
+          }
+        }
+      return
+    }
     val rows = args.headOption.map(_.toInt).getOrElse(20000)
     graft.streaming.StreamBench.run(spark, rows).toSeq.sortBy(_._1)
       .foreach { case (k, r) =>

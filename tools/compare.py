@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB oracle compare.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--json <path>]
 
 Reads each <verifyOutDir>/<name>/ parquet result produced by graft.Verify,
 runs the matching SQL from oracle_sql.json in DuckDB over the same sfDir
 parquet tables, and reports row-count / schema / value mismatches.
+--json additionally writes a driver-format correctness artifact
+(name -> {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}) — used for the committed multi-SF gates (CORRECTNESS_sf1.json).
 """
 import sys, json, glob, os
 import duckdb
@@ -28,7 +31,8 @@ def canon(v):
         return tuple(canon(x) for x in v)
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    report = {}
     con = duckdb.connect()
     # heavy oracles (the sf1 LSH/triangle CTEs) spill; keep the spill on
     # the big /tmp volume and under a cap instead of cwd/.tmp
@@ -70,21 +74,28 @@ def main(sf_dir, out_dir):
         return sql
 
     n_ok = n_bad = 0
+    def rec(name, rows_m, schema_m, hash_m, s_rows=None, o_rows=None, err=None):
+        report[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                        "hash_match": hash_m, "spark_rows": s_rows,
+                        "oracle_rows": o_rows, "err": err}
     for name, sql in sorted(oracle.items()):
         sql = rewrite(sql)
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark result");  n_bad += 1;  continue
+            print(f"FAIL {name}: no spark result");  n_bad += 1
+            rec(name, False, False, False, err="no spark result");  continue
         spark_tbl = pq.read_table(files[0])
         try:
             duck = con.execute(sql).fetch_arrow_table()
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}");  n_bad += 1;  continue
+            print(f"FAIL {name}: oracle error {e}");  n_bad += 1
+            rec(name, False, False, False, err=f"oracle error: {e}");  continue
         s_cols = sorted(spark_tbl.column_names)
         d_cols = sorted(duck.column_names)
         if s_cols != d_cols:
-            print(f"FAIL {name}: cols spark={s_cols} duck={d_cols}");  n_bad += 1;  continue
+            print(f"FAIL {name}: cols spark={s_cols} duck={d_cols}");  n_bad += 1
+            rec(name, False, False, False, err="column sets differ");  continue
         # Arrow-TYPE parity: the driver's hash is type-tagged, so a value-
         # identical decimal128 vs int64 (DuckDB silently widens SUM-derived
         # projections to HUGEINT/DECIMAL) still hash-mismatches there even
@@ -100,10 +111,13 @@ def main(sf_dir, out_dir):
         d_types = {f.name: ntype(f.type) for f in duck.schema}
         mism = {c: (s_types[c], d_types[c]) for c in s_cols if s_types[c] != d_types[c]}
         if mism:
-            print(f"FAIL {name}: arrow types differ {mism}");  n_bad += 1;  continue
+            print(f"FAIL {name}: arrow types differ {mism}");  n_bad += 1
+            rec(name, False, False, False, err=f"arrow types differ {mism}");  continue
         if spark_tbl.num_rows != duck.num_rows:
             print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
-            n_bad += 1;  continue
+            n_bad += 1
+            rec(name, False, True, False, spark_tbl.num_rows, duck.num_rows,
+                "row counts differ");  continue
         s_rows = [tuple(canon(r[c]) for c in s_cols) for r in spark_tbl.to_pylist()]
         d_rows = [tuple(canon(r[c]) for c in d_cols) for r in duck.to_pylist()]
 
@@ -134,11 +148,21 @@ def main(sf_dir, out_dir):
             diffs = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows))
                      if not rows_eq(a, b)]
             print(f"FAIL {name}: {len(diffs)} differing rows; first: {diffs[0]}")
-            n_bad += 1;  continue
+            n_bad += 1
+            rec(name, True, True, False, spark_tbl.num_rows, duck.num_rows,
+                f"{len(diffs)} differing rows");  continue
         print(f"OK   {name}: {duck.num_rows} rows")
+        rec(name, True, True, True, spark_tbl.num_rows, duck.num_rows)
         n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    jpath = None
+    args = sys.argv[1:]
+    if "--json" in args:
+        i = args.index("--json");  jpath = args[i + 1];  del args[i:i + 2]
+    sys.exit(main(args[0], args[1], jpath))
