@@ -79,6 +79,56 @@ class SkewStressSpec extends AnyFunSuite {
       "every node adopts the chain's minimum label — converged, not truncated")
   }
 
+  test("q115 twin-collapse equals the direct census on a planted twin/variant corpus") {
+    // 3 twin families (exact copies: multiplicities 12, 7, 1) + 2 edited
+    // VARIANTS of family A (near-dup, not twins) + 30 unique docs — the
+    // fixture exercises every algebra term: intra-class edges/triangles
+    // (C(m,2)/C(m,3)), cross-class 2+1 triangles via the variant edges,
+    // and rep-graph 1+1+1 triangles if A and both variants interlink.
+    val base = (0 until 30).map(w => s"t$w").mkString(" ")
+    def variant(k: Int) =
+      ((0 until 27).map(w => s"t$w") ++ (0 until 3).map(j => s"v${k}_$j"))
+        .mkString(" ")
+    val famB = (0 until 24).map(w => s"b$w").mkString(" ")
+    val docs = ((0 until 12).map(i => (i.toLong, base)) ++
+      Seq((100L, variant(1)), (101L, variant(2))) ++
+      (0 until 7).map(i => (200L + i, famB)) ++
+      (0 until 30).map(i => (300L + i,
+        (0 until 20).map(j => s"u_${i}_$j").mkString(" ")))
+    ).map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("twincensus").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.queries("q115_dup_triangles")(spark, dir).collect()(0)
+    graft.ops.Caches.clear()
+    // DIRECT census: the uncollapsed LSH chain (minhashVerifiedPairs is
+    // the same public kernel q26/q65 consume) + collections counting
+    val edges = Dedup.minhashVerifiedPairs(spark, dir)
+      .filter(col("jac") >= 0.6).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.ops.Caches.clear()
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    val eset = edges.toSet
+    val tris = (for {
+      (a, b) <- edges; (c, d) <- edges if b == c
+      if eset.contains((a, d))
+    } yield 1L).sum
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    assert(got.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(got.getAs[Long]("n_edges") == edges.length.toLong)
+    assert(got.getAs[Long]("n_wedges") == wedges)
+    assert(got.getAs[Long]("n_triangles") == tris)
+    // the fixture really exercises the collapse: twins exist (m up to
+    // 12) AND a cross-class near-dup edge exists (variant ~ base)
+    assert(got.getAs[Long]("n_triangles") >= 12L * 11 * 10 / 6 + 7L * 6 * 5 / 6,
+      "both twin families must contribute their C(m,3) triangles")
+    assert(got.getAs[Long]("n_edges") > 12L * 11 / 2 + 7L * 6 / 2,
+      "at least one cross-class (variant) edge must exist")
+  }
+
   test("q118 PPJoin stays exact under a global boilerplate band + template block") {
     // 60 docs: 10 verbatim template copies + 50 unique bodies; EVERY doc
     // ends with the same boilerplate sentence — the prefix filter's
