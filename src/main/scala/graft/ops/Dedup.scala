@@ -265,11 +265,62 @@ object Dedup {
     * tiny). maxIter caps pathological chains. */
   /** The duplicate-graph edge list shared by q65 (cluster formation) and
     * q76 (split-leakage audit): verified MinHash pairs at Jaccard ≥ 0.3.
-    * One definition so the threshold can never drift between the two. */
+    * One definition so the threshold can never drift between the two.
+    * This is the EXACT (uncollapsed) pair list — q152's k-core reads it
+    * because degree semantics need true edges; component consumers read
+    * [[dupEdgesSparse]] instead. */
   def dupEdges(s: SparkSession, d: String): DataFrame =
     minhashVerifiedPairs(s, d)
       .filter(col("jac") >= 0.3)
       .select("doc_a", "doc_b")
+
+  /** Twin-collapsed LSH chain shared by q115's census and
+    * [[dupEdgesSparse]]: classes of identical-shingle-set documents,
+    * their members, and the verified REP pair list (with exact jac) —
+    * identical signatures mean rep-level candidacy and Jaccard decide
+    * every cross pair of two classes at once, so the band join and the
+    * verify fan-out see distinct CONTENT only (a 25k-copy template
+    * family is ONE row here; uncollapsed it is 3·10⁸ candidate pairs ×
+    * shingles-per-doc verify rows — the measured 78 GB sf10 spill).
+    * Returns (members(doc_id, fp, n), classes(fp, rep, m, n),
+    * verified(doc_a, doc_b, na, nb, common, jac) over rep ids). */
+  private[graft] def collapsedVerifiedPairs(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val sh = Caches.shared(docShingles(s, d, 1))
+    val (members, classesRaw) = shingleClasses(sh)
+    val classes = Caches.shared(classesRaw)
+    val repSh = sh.join(classes.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val bands = minhashBands(repSh, numHashes = 16, bandSize = 4)
+    val cand = bands.as("x").hint("shuffle_hash")
+      .join(bands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    (members, classes, jaccardOfPairs(cand, repSh))
+  }
+
+  /** Connectivity-EQUIVALENT sparse form of [[dupEdges]] for component
+    * consumers (q65/q76/q106/q136/q160/q445/q457/q491): per twin class a
+    * STAR rep→member replaces the C(m,2) intra clique, and one rep→rep
+    * edge replaces each verified cross biclique. Components are
+    * identical to the exact graph's — intra-class pairs are always
+    * exact-graph edges (jac = 1 ≥ 0.3) and star-connected here; a cross
+    * pair (a∈i, b∈j) is an exact edge iff (rep_i, rep_j) is, and both
+    * connect through the stars — so every CC-derived output is
+    * bit-identical while the edge list is linear in docs + distinct
+    * content, never quadratic in copies. Canonical (doc_a < doc_b)
+    * holds: rep = min member, and verified pairs are rep-ordered. */
+  def dupEdgesSparse(s: SparkSession, d: String): DataFrame = {
+    val (members, classes, verified) = collapsedVerifiedPairs(s, d)
+    val stars = members.join(classes.select(col("fp"), col("rep")), "fp")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    verified.filter(col("jac") >= 0.3).select("doc_a", "doc_b")
+      .unionByName(stars)
+  }
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE: sym is referenced by every round's
@@ -440,7 +491,7 @@ object Dedup {
         .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
         .groupBy("phash")
         .agg(min(col("doc_id")).as("b_surv"), count(lit(1)).as("b_n"))
-      val labels = connectedComponents(dupEdges(s, d))
+      val labels = connectedComponents(dupEdgesSparse(s, d))
         .select(col("node").as("doc_id"), col("label"))
       val tagged = docs
         .withColumn("cmd5", md5(col("text")))
@@ -540,21 +591,9 @@ object Dedup {
       // Overflow: counts are exact longs; C(m,3) stays in int64 through
       // m ≈ 3.8M twins of one document — past that the DECIMAL(38,0)
       // magnitude rule applies (documented, not hit at any gated SF).
-      val sh = Caches.shared(docShingles(s, d, 1))
-      val (members, classesRaw) = shingleClasses(sh)
-      val classes = Caches.shared(classesRaw)
-      val repSh = sh.join(classes.select(col("rep").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val bands = minhashBands(repSh, numHashes = 16, bandSize = 4)
-      val cand = bands.as("x").hint("shuffle_hash")
-        .join(bands.as("y").hint("shuffle_hash"),
-          col("x.band") === col("y.band") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val (members, classes, verified) = collapsedVerifiedPairs(s, d)
       val cm = classes.select(col("rep"), col("m"))
-      val e = Caches.shared(jaccardOfPairs(cand, repSh)
+      val e = Caches.shared(verified
         .filter(col("jac") >= 0.6)
         .select("doc_a", "doc_b")
         .join(cm.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
@@ -737,6 +776,56 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // EXACT-TWIN census per source (F331) — the collapse machinery
+    // q115/q118/dupEdgesSparse run on, surfaced as a first-class audit:
+    // per source, how many documents carry an identical distinct-
+    // shingle set as another (verbatim template copies and trivial
+    // reorderings), the class count, the largest copy family, and the
+    // twin fraction. This is the number that says how much of a corpus
+    // the twin-collapse front absorbs before any LSH work happens — on
+    // a template-heavy crawl it is the difference between a linear and
+    // a quadratic dedup pass. Cost: one shingle explode + two
+    // map-combined aggregations; the fingerprint shuffles 16 bytes per
+    // doc, never shingle text.
+    "q504_twin_census" -> { (s, d) =>
+      val (members, _) = shingleClasses(docShingles(s, d, 1))
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val cl = members.join(src, "doc_id")
+        .groupBy("source", "fp").agg(count(lit(1)).as("m"))
+      cl.groupBy("source").agg(
+          sum(col("m")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_classes"),
+          max(col("m")).cast("long").as("max_multiplicity"),
+          sum(when(col("m") >= 2, col("m")).otherwise(0L)).cast("long")
+            .as("twin_docs"))
+        .withColumn("twin_ppm",
+          expr("CAST(twin_docs * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // EXACT-COPY token waste per source (F332) — the byte bill of
+    // verbatim duplication: per source, raw token mass, the mass after
+    // exact (md5-of-text) dedup keeps one survivor per copy class, and
+    // the wasted share. Complements q106 (NEAR-dup effective tokens —
+    // cluster survivors) and q504 (twin classes in shingle space;
+    // exact-text classes are strictly finer): this is the storage/
+    // compute overcount a trainer pays before any similarity machinery
+    // runs. One linear scan + two map-combined aggregations.
+    "q505_copy_waste" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("source"),
+        md5(col("text")).as("h"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val cl = docs.groupBy("source", "h")
+        .agg(count(lit(1)).as("m"), max(col("n_tok")).as("n_tok"))
+      cl.groupBy("source").agg(
+          sum(expr("m * n_tok")).cast("long").as("raw_tokens"),
+          sum(col("n_tok")).cast("long").as("unique_tokens"),
+          sum(expr("(m - 1) * n_tok")).cast("long").as("wasted_tokens"))
+        .withColumn("waste_ppm",
+          expr("CAST(wasted_tokens * 1000000 DIV GREATEST(raw_tokens, 1) AS BIGINT)"))
+        .orderBy("source")
+    },
+
     // Dedup-adjusted corpus accounting: what the corpus is WORTH after
     // near-dup collapse — per source, raw vs effective token counts
     // where only each dup-cluster's survivor (min doc_id = its label)
@@ -746,7 +835,7 @@ object Dedup {
     // the same checkpointed CC output, the corpus side is one linear
     // scan + left join on doc_id.
     "q106_effective_tokens" -> { (s, d) =>
-      val labels = connectedComponents(dupEdges(s, d))
+      val labels = connectedComponents(dupEdgesSparse(s, d))
         .withColumnRenamed("node", "doc_id")
       Tables.documents(s, d)
         .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
@@ -871,7 +960,7 @@ object Dedup {
     // deterministic-survivor rule as q14/q24). cluster_id = survivor by
     // construction of min-label propagation.
     "q65_dup_clusters" -> { (s, d) =>
-      connectedComponents(dupEdges(s, d))
+      connectedComponents(dupEdgesSparse(s, d))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).cast("long").as("n_members"),
              max(col("node")).as("max_member"))
@@ -892,7 +981,7 @@ object Dedup {
     // review asks for first. Cost: the q65 envelope (shared LSH +
     // CC) + one cluster-keyed max + one matrix agg.
     "q491_license_propagation" -> { (s, d) =>
-      val lab = connectedComponents(dupEdges(s, d))
+      val lab = connectedComponents(dupEdgesSparse(s, d))
       val docs = Tables.documents(s, d).select(col("doc_id"),
         expr("CAST(conv(substring(md5(source), 1, 2), 16, 10) AS BIGINT) % 3")
           .as("lic"))
@@ -932,7 +1021,7 @@ object Dedup {
     // Scale: this IS the 100 TB CC algorithm (proven O(log² n) rounds);
     // same driver-paced checkpoint-truncated loop envelope as q65.
     "q445_star_components" -> { (s, d) =>
-      starComponents(dupEdges(s, d))
+      starComponents(dupEdgesSparse(s, d))
         .groupBy("label").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").cast("long").as("cluster_size"))
         .agg(count(lit(1)).cast("long").as("n_clusters"),
@@ -1026,7 +1115,7 @@ object Dedup {
     // (bounded) labeled-node set; counts shuffle, never shingle text
     // beyond the first hash-partitioned agg.
     "q457_cluster_consensus" -> { (s, d) =>
-      val member = connectedComponents(dupEdges(s, d))
+      val member = connectedComponents(dupEdgesSparse(s, d))
         .select(col("node").as("doc_id"), col("label"))
       val sizes = member.groupBy("label").agg(count(lit(1)).as("n_members"))
       docShingles(s, d, 1).join(member, "doc_id")
@@ -1051,7 +1140,7 @@ object Dedup {
     // CLUSTER label instead of the doc id. Reuses the q65 component
     // labels; the audit itself is one aggregation over them.
     "q76_split_leakage" -> { (s, d) =>
-      connectedComponents(dupEdges(s, d))
+      connectedComponents(dupEdgesSparse(s, d))
         .withColumn("split", splitOf(col("node")))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).cast("long").as("n_members"),
@@ -1073,7 +1162,7 @@ object Dedup {
     // component machinery. Scale: the labels table is dup-cluster-
     // member-sized (≪ corpus); one left equi-join + a 3-row rollup.
     "q136_cluster_split" -> { (s, d) =>
-      val labels = connectedComponents(dupEdges(s, d))
+      val labels = connectedComponents(dupEdgesSparse(s, d))
         .select(col("node").as("doc_id"), col("label"))
       Tables.documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
@@ -1852,6 +1941,41 @@ object Dedup {
         |  CAST(COUNT(DISTINCT d2.cl) AS BIGINT) AS n_clusters
         |FROM docs2 d2 JOIN eff ON eff.cl = d2.cl
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q504_twin_census" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        |fp AS (
+        |  SELECT doc_id, source, md5(string_agg(sh, chr(1) ORDER BY sh)) AS fp
+        |  FROM sh GROUP BY 1, 2),
+        |cl AS (SELECT source, fp, COUNT(*) AS m FROM fp GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(m) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(MAX(m) AS BIGINT) AS max_multiplicity,
+        |  CAST(SUM(CASE WHEN m >= 2 THEN m ELSE 0 END) AS BIGINT) AS twin_docs,
+        |  CAST(SUM(CASE WHEN m >= 2 THEN m ELSE 0 END) * 1000000 // SUM(m)
+        |    AS BIGINT) AS twin_ppm
+        |FROM cl GROUP BY source ORDER BY source""".stripMargin,
+
+    "q505_copy_waste" ->
+      """WITH d AS (
+        |  SELECT source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cl AS (
+        |  SELECT source, h, COUNT(*) AS m, MAX(n_tok) AS n_tok
+        |  FROM d GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(m * n_tok) AS BIGINT) AS raw_tokens,
+        |  CAST(SUM(n_tok) AS BIGINT) AS unique_tokens,
+        |  CAST(SUM((m - 1) * n_tok) AS BIGINT) AS wasted_tokens,
+        |  CAST(SUM((m - 1) * n_tok) * 1000000
+        |    // GREATEST(SUM(m * n_tok), 1) AS BIGINT) AS waste_ppm
+        |FROM cl GROUP BY source ORDER BY source""".stripMargin,
 
     "q106_effective_tokens" -> (ClusterLabelsSql +
       """,

@@ -3170,4 +3170,71 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("peak_to_mean_milli") >= 1000L, t)
     }
   }
+
+  // ---- q504 twin census / q505 copy waste (batch 49) -------------------------------------------------------------
+
+  test("q504 replays the per-source twin-class census") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // plain-Scala twin classes: identical distinct word-trigram sets
+    val classes = docs.flatMap { case (_, src, text) =>
+        val t = text.split(" ", -1)
+        if (t.length >= 3) Some((src, t.sliding(3).map(_.mkString(" ")).toSet))
+        else None
+      }.groupBy(identity).toSeq
+      .map { case ((src, _), g) => (src, g.length.toLong) }
+      .groupBy(_._1)
+    val rows = Dedup.queries("q504_twin_census")(spark, sf).collect()
+    graft.ops.Caches.clear()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cls = classes(r.getString(0)).map(_._2)
+      assert(r.getAs[Long]("n_docs") == cls.sum)
+      assert(r.getAs[Long]("n_classes") == cls.length.toLong)
+      assert(r.getAs[Long]("max_multiplicity") == cls.max)
+      val twins = cls.filter(_ >= 2).sum
+      assert(r.getAs[Long]("twin_docs") == twins)
+      assert(r.getAs[Long]("twin_ppm") == twins * 1000000L / cls.sum)
+    }
+    // detector proof on a planted fixture (sf0.001's template copies
+    // are cross-source, so the per-source census legitimately reads 0
+    // there): 3 verbatim copies + 1 unique doc in one source must read
+    // twin_docs = 3, max multiplicity 3
+    val tpl = "alpha beta gamma delta epsilon zeta"
+    val dir = writeDocs((0 until 3).map(i =>
+      Row(i.toLong, tpl, "en", "s0", tpl.length.toLong)) :+
+      Row(9L, "one unique doc here now", "en", "s0", 23L))
+    val fx = Dedup.queries("q504_twin_census")(spark, dir).collect()
+    graft.ops.Caches.clear()
+    assert(fx.length == 1)
+    assert(fx(0).getAs[Long]("n_docs") == 4L)
+    assert(fx(0).getAs[Long]("n_classes") == 2L)
+    assert(fx(0).getAs[Long]("max_multiplicity") == 3L)
+    assert(fx(0).getAs[Long]("twin_docs") == 3L)
+    assert(fx(0).getAs[Long]("twin_ppm") == 750000L)
+  }
+
+  test("q505 copy-waste accounting: raw = unique + wasted, exact-dup classes replay") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = Dedup.queries("q505_copy_waste")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val cls = docs.filter(_._1 == src).groupBy(_._2).toSeq
+        .map { case (text, g) =>
+          (g.length.toLong, text.split(" ", -1).length.toLong) }
+      val raw = cls.map { case (m, n) => m * n }.sum
+      val uniq = cls.map(_._2).sum
+      assert(r.getAs[Long]("raw_tokens") == raw, src)
+      assert(r.getAs[Long]("unique_tokens") == uniq, src)
+      assert(r.getAs[Long]("wasted_tokens") == raw - uniq, src)
+      assert(r.getAs[Long]("raw_tokens") ==
+        r.getAs[Long]("unique_tokens") + r.getAs[Long]("wasted_tokens"))
+      assert(r.getAs[Long]("waste_ppm") ==
+        (raw - uniq) * 1000000L / math.max(raw, 1L))
+    }
+  }
 }
