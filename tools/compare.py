@@ -2,6 +2,7 @@
 """Local stand-in for the driver's DuckDB oracle compare.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--json <path>]
+       [--timeout <sec>] [--threads <n>]
 
 Reads each <verifyOutDir>/<name>/ parquet result produced by graft.Verify,
 runs the matching SQL from oracle_sql.json in DuckDB over the same sfDir
@@ -9,6 +10,10 @@ parquet tables, and reports row-count / schema / value mismatches.
 --json additionally writes a driver-format correctness artifact
 (name -> {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
 err}) — used for the committed multi-SF gates (CORRECTNESS_sf1.json).
+--timeout interrupts any single oracle query after N seconds (recorded
+as an oracle-timeout FAIL; the run continues) — the per-query watchdog
+the sf10 gate needs where one DuckDB leg is resource-bound.
+--threads caps DuckDB's thread pool (co-scheduling with a Spark run).
 """
 import sys, json, glob, os
 import duckdb
@@ -31,9 +36,12 @@ def canon(v):
         return tuple(canon(x) for x in v)
     return v
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, timeout=None, threads=None):
+    import threading
     report = {}
     con = duckdb.connect()
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     # heavy oracles (the sf1 LSH/triangle CTEs) spill; keep the spill on
     # the big /tmp volume and under a cap instead of cwd/.tmp
     con.execute("SET temp_directory='/tmp/duckcmp_tmp'")
@@ -87,7 +95,15 @@ def main(sf_dir, out_dir, json_out=None):
             rec(name, False, False, False, err="no spark result");  continue
         spark_tbl = pq.read_table(files[0])
         try:
-            duck = con.execute(sql).fetch_arrow_table()
+            if timeout:
+                timer = threading.Timer(timeout, con.interrupt)
+                timer.start()
+                try:
+                    duck = con.execute(sql).fetch_arrow_table()
+                finally:
+                    timer.cancel()
+            else:
+                duck = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}");  n_bad += 1
             rec(name, False, False, False, err=f"oracle error: {e}");  continue
@@ -161,8 +177,12 @@ def main(sf_dir, out_dir, json_out=None):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    jpath = None
+    jpath = tmo = thr = None
     args = sys.argv[1:]
     if "--json" in args:
         i = args.index("--json");  jpath = args[i + 1];  del args[i:i + 2]
-    sys.exit(main(args[0], args[1], jpath))
+    if "--timeout" in args:
+        i = args.index("--timeout");  tmo = float(args[i + 1]);  del args[i:i + 2]
+    if "--threads" in args:
+        i = args.index("--threads");  thr = int(args[i + 1]);  del args[i:i + 2]
+    sys.exit(main(args[0], args[1], jpath, tmo, thr))
