@@ -4505,6 +4505,182 @@ object Stewardship {
         .select("event_type", "n_events", "peak_60s", "mean_per_60s",
           "burst_ratio_ppm")
         .orderBy("event_type")
+    },
+
+    // DETERMINISTIC EVAL-HOLDOUT carve — the min-k hash sample every
+    // training pipeline cuts before anything else (the eval set must be
+    // a pure function of the DATA, not of partitioning or arrival
+    // order): per source, the k = 5 documents with the SMALLEST salted
+    // md5 priority (13 hex chars = 52 bits, exact in a double, so the
+    // bounded-heap aggregator's double score compares identically to
+    // the oracle's integer order; ties broken by doc_id). Scale: the
+    // window spelling sorts every doc of every source behind a full
+    // shuffle — the TopKAggregator keeps k pairs per partition and
+    // combines map-side, so the shuffle carries k·|sources| rows at
+    // any corpus size (the q55 plan, applied to sampling).
+    "q506_eval_holdout" -> { (s, d) =>
+      import s.implicits._
+      val k = 5
+      val hx = "CAST(conv(substring(md5(concat('smp:', CAST(doc_id AS" +
+        " STRING))), 1, 13), 16, 10) AS BIGINT)"
+      val picked = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), expr(hx).as("h"))
+        .select(col("source"), col("h"), col("doc_id"))
+        .as[(String, Long, Long)]
+        // score DESC = priority ASC: 52-bit h negates exactly in double
+        .groupByKey(_._1)
+        .mapValues(t => (-t._2.toDouble, t._3))
+        .agg(graft.functions.TopKAggregator(k).toColumn.name("topk"))
+        .toDF("source", "topk")
+        .select(col("source"), posexplode(col("topk")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+          col("col._2").as("doc_id"))
+      picked.select(col("source"), col("rk"), col("doc_id"), expr(hx).as("h"))
+        .orderBy("source", "rk")
+    },
+
+    // TRAIN/TEST CONTAMINATION census — the leakage audit an LLM eval
+    // pipeline must run before trusting any benchmark number: docs are
+    // hash-split 90/10 (split is a salted-md5 function of doc_id, so
+    // it is stable under re-partitioning and re-ingestion), exact-dup
+    // classes are md5-of-text fingerprints, and a class that spans both
+    // splits means the test side is memorizable from train. Per source:
+    // class counts, cross-split classes, contaminated test docs, exact
+    // train×test pair count, and the contamination share in ppm. Scale:
+    // ONE linear scan; the shuffle carries (source, 16-byte fp) partial
+    // counts, map-combined — never text.
+    "q507_split_contamination" -> { (s, d) =>
+      val isTest = expr("CAST(conv(substring(md5(concat('spl:'," +
+        " CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT) % 100 < 10")
+      Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("fp"),
+          when(isTest, 1L).otherwise(0L).as("t"))
+        .groupBy("source", "fp")
+        .agg(sum(col("t")).as("nt"), sum(lit(1L) - col("t")).as("ntr"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_classes"),
+          sum(when(col("nt") + col("ntr") >= 2, 1L).otherwise(0L))
+            .cast("long").as("n_multi"),
+          sum(when(col("nt") >= 1 && col("ntr") >= 1, 1L).otherwise(0L))
+            .cast("long").as("n_cross"),
+          sum(col("nt") * col("ntr")).cast("long").as("contam_pairs"),
+          sum(when(col("ntr") >= 1, col("nt")).otherwise(0L))
+            .cast("long").as("contam_test_docs"),
+          sum(col("nt")).cast("long").as("test_docs"))
+        .withColumn("contam_ppm", expr(
+          "CAST(contam_test_docs * 1000000 DIV greatest(test_docs, 1)" +
+            " AS BIGINT)"))
+        .orderBy("source")
+    },
+
+    // MANN–KENDALL trend census — the distribution-free monotone-trend
+    // test (Mann 1945, Kendall 1975) the seasonal detectors (q289/q492)
+    // assume away: per event type over its active-day counts, S =
+    // Σ_{i<j} sign(c_j − c_i) and the tie-adjusted variance as the
+    // EXACT integer numerator var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5)
+    // (Var = var18/18; the /18 and the z sqrt are the float steps both
+    // engines skip). All pair work runs on the post-agg (type, day)
+    // grid — ≤ |types|·31 rows by the generator horizon — so the
+    // theta-join is bounded at ANY corpus size; the fact table is
+    // touched by exactly one map-combined count.
+    "q508_mann_kendall" -> { (s, d) =>
+      val daily = Caches.shared(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c")))
+      val pairs = daily.as("a")
+        .join(daily.as("b"),
+          col("b.event_type") === col("a.event_type") &&
+            col("b.day") > col("a.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(when(col("b.c") > col("a.c"), 1L)
+          .when(col("b.c") < col("a.c"), -1L).otherwise(0L)).as("s_stat"))
+      val n = daily.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"))
+      val ties = daily.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+      n.join(pairs, Seq("event_type"), "left")
+        .join(ties, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          coalesce(col("s_stat"), lit(0L)).cast("long").as("s_stat"),
+          (expr("n_days * (n_days - 1) * (2 * n_days + 5)") -
+            coalesce(col("tie_term"), lit(0L))).cast("long").as("var18_num"),
+          when(coalesce(col("s_stat"), lit(0L)) > 0, 1L)
+            .when(coalesce(col("s_stat"), lit(0L)) < 0, -1L).otherwise(0L)
+            .cast("long").as("trend_dir"))
+        .orderBy("event_type")
+    },
+
+    // SHIP-LAG SURVIVAL table — the Kaplan–Meier at-risk accounting
+    // (n_at_risk, d_events, hazard) applied to order-to-ship latency:
+    // for every active lag t, how many lines were still unshipped at t
+    // (lag ≥ t) and how many shipped exactly at t; hazard_ppm =
+    // d·10⁶ DIV r is the discrete conditional ship rate. The KM curve
+    // itself is the float product both engines skip — the integer
+    // at-risk table IS the estimator's sufficient statistic. Scale:
+    // one natural-key lineitem⋈orders join + one lag agg; the suffix
+    // sum runs as a theta-join on the lag grid, which is HORIZON-
+    // bounded, not corpus-bounded: lag ∈ (−span, +span) of the 7-year
+    // order horizon (the driver corpus ships negative delays — q486's
+    // finding), ≈ 4.7k distinct lags ⇒ ≤ ~11M theta pairs at ANY sf,
+    // broadcast-side grid.
+    "q509_ship_lag_survival" -> { (s, d) =>
+      val lag = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))).cast("long").as("t"))
+      val grid = Caches.shared(
+        lag.groupBy("t").agg(count(lit(1)).as("d_events")))
+      grid.as("a")
+        .join(broadcast(grid.as("b")), col("b.t") >= col("a.t"))
+        .groupBy(col("a.t").as("lag_days"),
+          col("a.d_events").as("d_events"))
+        .agg(sum(col("b.d_events")).cast("long").as("n_at_risk"))
+        .withColumn("hazard_ppm",
+          expr("CAST(d_events * 1000000 DIV n_at_risk AS BIGINT)"))
+        .select(col("lag_days"), col("d_events").cast("long").as("d_events"),
+          col("n_at_risk"), col("hazard_ppm"))
+        .orderBy("lag_days")
+    },
+
+    // OFFLINE CUSUM CHANGE-POINT — the batch twin of the streaming
+    // Page detector (F217): per event type, the day k* maximizing
+    // |n·P_k − k·S| over the active-day prefix sums (the scaled CUSUM
+    // deviation — integer-exact because the mean is folded in as n·P −
+    // k·S rather than divided out), with the earliest day winning ties.
+    // cusum_milli = D_max·1000 DIV (n·S) normalizes to [0, 1000] for
+    // cross-type compare. Magnitudes: n ≤ 31 days and P, S ≤ corpus
+    // events, so n·P tops ~2·10⁹ even at sf100 — int64 holds by 9
+    // orders. Windows run PARTITIONED on the post-agg per-type grid
+    // (≤ 31 rows/type), never on the fact table.
+    "q510_cusum_changepoint" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("p", sum(col("c")).over(w))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("c")).cast("long").as("total_events"))
+      val dk = Caches.shared(daily.join(tot, Seq("event_type"))
+        .withColumn("dk", abs(col("n_days") * col("p") -
+          col("k") * col("total_events"))))
+      dk.groupBy("event_type", "n_days", "total_events")
+        .agg(max(col("dk")).as("d_abs_max"))
+        .join(dk.select(col("event_type"), col("day"), col("dk")),
+          Seq("event_type"))
+        .filter(col("dk") === col("d_abs_max"))
+        .groupBy("event_type", "n_days", "total_events", "d_abs_max")
+        .agg(min(datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long")).as("cp_epoch_day"))
+        .select(col("event_type"), col("n_days"), col("total_events"),
+          col("cp_epoch_day"), col("d_abs_max").cast("long").as("d_abs_max"),
+          expr("CAST(d_abs_max * 1000 DIV greatest(n_days * total_events," +
+            " 1) AS BIGINT)").as("cusum_milli"))
+        .orderBy("event_type")
     }
   )
 
@@ -7559,6 +7735,119 @@ object Stewardship {
         |  CAST(peak_60s * 1000000
         |    // GREATEST(n_events * 60 // span_s, 1) AS BIGINT)
         |    AS burst_ratio_ppm
-        |FROM agg ORDER BY event_type""".stripMargin
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    "q506_eval_holdout" ->
+      """WITH pr AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |      ::BIGINT AS h
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, doc_id, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |  FROM pr)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, h
+        |FROM rk WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "q507_split_contamination" ->
+      """WITH d AS (
+        |  SELECT source, md5(text) AS fp,
+        |    CASE WHEN ('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)),
+        |      1, 13))::BIGINT % 100 < 10 THEN 1 ELSE 0 END AS t
+        |  FROM documents),
+        |cls AS (
+        |  SELECT source, fp, CAST(SUM(t) AS BIGINT) AS nt,
+        |    CAST(SUM(1 - t) AS BIGINT) AS ntr
+        |  FROM d GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(CASE WHEN nt + ntr >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi,
+        |  CAST(SUM(CASE WHEN nt >= 1 AND ntr >= 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cross,
+        |  CAST(SUM(nt * ntr) AS BIGINT) AS contam_pairs,
+        |  CAST(SUM(CASE WHEN ntr >= 1 THEN nt ELSE 0 END) AS BIGINT)
+        |    AS contam_test_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS test_docs,
+        |  CAST(SUM(CASE WHEN ntr >= 1 THEN nt ELSE 0 END) * 1000000
+        |    // GREATEST(SUM(nt), 1) AS BIGINT) AS contam_ppm
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q508_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    SUM(CASE WHEN b.c > a.c THEN 1
+        |             WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.day > a.day
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |      FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+        |  FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT n.event_type, n.n_days,
+        |  CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+        |  CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+        |    - COALESCE(ties.tie_term, 0) AS BIGINT) AS var18_num,
+        |  CAST(CASE WHEN COALESCE(s.s_stat, 0) > 0 THEN 1
+        |            WHEN COALESCE(s.s_stat, 0) < 0 THEN -1
+        |            ELSE 0 END AS BIGINT) AS trend_dir
+        |FROM n LEFT JOIN s USING (event_type)
+        |LEFT JOIN ties USING (event_type) ORDER BY 1""".stripMargin,
+
+    "q509_ship_lag_survival" ->
+      """WITH lag AS (
+        |  SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)) AS BIGINT) AS t
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |d AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS d_events
+        |      FROM lag GROUP BY 1),
+        |r AS (
+        |  SELECT a.t, a.d_events,
+        |    CAST((SELECT SUM(b.d_events) FROM d b WHERE b.t >= a.t)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM d a)
+        |SELECT t AS lag_days, d_events, n_at_risk,
+        |  CAST(d_events * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+        |FROM r ORDER BY 1""".stripMargin,
+
+    "q510_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, day, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS k,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS p
+        |  FROM daily),
+        |t AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1),
+        |d AS (
+        |  SELECT g.event_type, g.day, t.n, t.s,
+        |    ABS(t.n * g.p - g.k * t.s) AS dk
+        |  FROM g JOIN t USING (event_type)),
+        |best AS (
+        |  SELECT event_type, n, s, MAX(dk) AS d_max
+        |  FROM d GROUP BY 1, 2, 3)
+        |SELECT b.event_type, b.n AS n_days, b.s AS total_events,
+        |  CAST(MIN(d.day - DATE '1970-01-01') AS BIGINT) AS cp_epoch_day,
+        |  CAST(b.d_max AS BIGINT) AS d_abs_max,
+        |  CAST(b.d_max * 1000 // GREATEST(b.n * b.s, 1) AS BIGINT)
+        |    AS cusum_milli
+        |FROM best b JOIN d ON d.event_type = b.event_type
+        |  AND d.dk = b.d_max
+        |GROUP BY 1, 2, 3, 5, 6 ORDER BY 1""".stripMargin
   )
 }

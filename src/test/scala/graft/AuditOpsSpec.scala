@@ -3237,4 +3237,165 @@ class AuditOpsSpec extends AnyFunSuite {
         (raw - uniq) * 1000000L / math.max(raw, 1L))
     }
   }
+
+  // ---- batch 50: q506-q510 ----------------------------------------------------------------------------------------
+
+  /** Independent JVM md5 bridge: same 13-hex-char → 52-bit integer
+    * convention as the engines, via java.security.MessageDigest. */
+  private def jvmH(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(13), 16)
+  }
+
+  test("q506 eval holdout equals the plain-Scala min-5-by-salted-md5 carve") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.map { case (id, src) => (src, jvmH(s"smp:$id"), id) }
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3)).take(5))
+      .toMap
+    val rows = graft.ops.Stewardship.queries("q506_eval_holdout")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getString(0))
+    assert(bySrc.keySet == expect.keySet)
+    bySrc.foreach { case (src, rs) =>
+      val exp = expect(src)
+      assert(rs.length == math.min(5, exp.length))
+      rs.sortBy(_.getAs[Long]("rk")).zip(exp).foreach { case (r, (_, h, id)) =>
+        assert(r.getAs[Long]("doc_id") == id, s"$src rank ${r.getAs[Long]("rk")}")
+        assert(r.getAs[Long]("h") == h)
+      }
+    }
+  }
+
+  test("q507 split contamination replays and fires on a planted cross-split twin") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def isTest(id: Long): Boolean = jvmH(s"spl:$id") % 100 < 10
+    val rows = graft.ops.Stewardship
+      .queries("q507_split_contamination")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val cls = docs.filter(_._2 == src).groupBy(_._3).toSeq.map { case (_, g) =>
+        val nt = g.count(d => isTest(d._1)).toLong
+        (nt, g.length.toLong - nt)
+      }
+      assert(r.getAs[Long]("n_classes") == cls.length.toLong, src)
+      assert(r.getAs[Long]("n_multi") == cls.count(c => c._1 + c._2 >= 2), src)
+      assert(r.getAs[Long]("n_cross") ==
+        cls.count(c => c._1 >= 1 && c._2 >= 1), src)
+      assert(r.getAs[Long]("contam_pairs") ==
+        cls.map(c => c._1 * c._2).sum, src)
+      val ctd = cls.filter(_._2 >= 1).map(_._1).sum
+      val td = cls.map(_._1).sum
+      assert(r.getAs[Long]("contam_test_docs") == ctd, src)
+      assert(r.getAs[Long]("test_docs") == td, src)
+      assert(r.getAs[Long]("contam_ppm") == ctd * 1000000L / math.max(td, 1L))
+    }
+    // detector proof: plant one exact-dup class spanning the hash split —
+    // pick (deterministically) one test id and one train id from 0..999
+    val testId = (0L until 1000L).find(isTest).get
+    val trainId = (0L until 1000L).find(!isTest(_)).get
+    val tpl = "contaminated benchmark answer text"
+    val dir = writeDocs(Seq(
+      Row(testId, tpl, "en", "s0", tpl.length.toLong),
+      Row(trainId, tpl, "en", "s0", tpl.length.toLong)))
+    val fx = graft.ops.Stewardship
+      .queries("q507_split_contamination")(spark, dir).collect()
+    assert(fx.length == 1)
+    assert(fx(0).getAs[Long]("n_cross") == 1L)
+    assert(fx(0).getAs[Long]("contam_pairs") == 1L)
+    assert(fx(0).getAs[Long]("contam_test_docs") == 1L)
+    assert(fx(0).getAs[Long]("contam_ppm") == 1000000L)
+  }
+
+  test("q508 Mann-Kendall S and tie-adjusted var18 replay exactly") {
+    val daily = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((et, day), c) => (et, day, c) }
+      .groupBy(_._1)
+    val rows = graft.ops.Stewardship.queries("q508_mann_kendall")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val cs = daily(et).sortBy(_._2).map(_._3)
+      val n = cs.length.toLong
+      val sStat = (for {
+        i <- cs.indices; j <- (i + 1) until cs.length
+      } yield java.lang.Long.signum(cs(j) - cs(i)).toLong).sum
+      val tie = cs.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      assert(r.getAs[Long]("n_days") == n, et)
+      assert(r.getAs[Long]("s_stat") == sStat, et)
+      assert(r.getAs[Long]("var18_num") == n * (n - 1) * (2 * n + 5) - tie, et)
+      assert(r.getAs[Long]("trend_dir") == java.lang.Long.signum(sStat), et)
+    }
+  }
+
+  test("q509 survival table replays; at-risk is a non-increasing suffix sum") {
+    val rows = graft.ops.Stewardship
+      .queries("q509_ship_lag_survival")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("lag_days"))
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("d_events")).sum
+    // suffix-sum law: r(t) = Σ_{t' ≥ t} d(t'); first active lag covers all
+    var suffix = total
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_at_risk") == suffix)
+      assert(r.getAs[Long]("hazard_ppm") ==
+        r.getAs[Long]("d_events") * 1000000L / suffix)
+      suffix -= r.getAs[Long]("d_events")
+    }
+    assert(suffix == 0L)
+    // independent replay of the lag histogram via the SQL-free join
+    val o = graft.model.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS d").collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    val lags = graft.model.Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS d").collect()
+      .map(r => java.time.temporal.ChronoUnit.DAYS.between(
+        o(r.getLong(0)), r.getDate(1).toLocalDate))
+    val hist = lags.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getAs[Long]("lag_days") ->
+      r.getAs[Long]("d_events")).toMap == hist)
+  }
+
+  test("q510 CUSUM change-point replays the argmax of |n*P_k - k*S|") {
+    val daily = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day").collect()
+      .map(r => (r.getString(0), r.getDate(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((et, day), c) => (et, day, c) }
+      .groupBy(_._1)
+    val rows = graft.ops.Stewardship
+      .queries("q510_cusum_changepoint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val series = daily(et).sortBy(_._2.toLocalDate.toEpochDay)
+      val n = series.length.toLong
+      val s = series.map(_._3).sum
+      var p = 0L
+      val dks = series.zipWithIndex.map { case ((_, day, c), i) =>
+        p += c
+        (day.toLocalDate.toEpochDay, math.abs(n * p - (i + 1) * s))
+      }
+      val dMax = dks.map(_._2).max
+      assert(r.getAs[Long]("n_days") == n, et)
+      assert(r.getAs[Long]("total_events") == s, et)
+      assert(r.getAs[Long]("d_abs_max") == dMax, et)
+      assert(r.getAs[Long]("cp_epoch_day") ==
+        dks.filter(_._2 == dMax).map(_._1).min, et)
+      assert(r.getAs[Long]("cusum_milli") ==
+        dMax * 1000L / math.max(n * s, 1L), et)
+      assert(r.getAs[Long]("cusum_milli") <= 1000L, et)
+    }
+  }
 }
