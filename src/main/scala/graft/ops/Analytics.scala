@@ -1595,10 +1595,13 @@ object Analytics {
     // volume effect Δn·r₀ + rate effect n₀·Δr + cross Δn·Δr, which
     // CONSERVES exactly — Δrev = vol + rate + cross as an algebraic
     // identity at the common denominator n₀·n₁, spec-asserted with NO
-    // tolerance). Effects emitted as exact integer NUMERATORS at that
+    // tolerance). Effects emitted as exact NUMERATORS at that
     // denominator (signed, so no floor-DIV is taken anywhere) plus the
-    // mirrored IEEE per-effect dollars for the human read. Revenue in
-    // whole dollars keeps every numerator inside int64 at sf0.1.
+    // mirrored IEEE per-effect dollars for the human read. Numerators
+    // are DECIMAL(38,0)/HUGEINT: r·n·n tops ~10²¹ at sf10 (the sf10
+    // gate caught the int64 cut overflowing — the q397 class), and 38
+    // digits hold to ~sf10⁴. Float legs are num/(n₀·n₁) in BOTH
+    // engines (one decimal→double conversion each, ≤2-ulp rule).
     "q306_pvm_decomposition" -> { (s, d) =>
       val o = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1614,12 +1617,20 @@ object Analytics {
       g.select(col("c_mktsegment"),
           col("n0").cast("long").as("n0"), col("r0").cast("long").as("rev0_d"),
           col("n1").cast("long").as("n1"), col("r1").cast("long").as("rev1_d"),
-          expr("CAST((n1 - n0) * r0 * n1 AS BIGINT)").as("vol_num"),
-          expr("CAST(n0 * (r1 * n0 - r0 * n1) AS BIGINT)").as("rate_num"),
-          expr("CAST((n1 - n0) * (r1 * n0 - r0 * n1) AS BIGINT)").as("cross_num"),
-          expr("CAST((r1 - r0) * n0 * n1 AS BIGINT)").as("total_num"),
-          expr("CAST((n1 - n0) * r0 AS DOUBLE) / CAST(n0 AS DOUBLE)").as("vol_d"),
-          expr("CAST(r1 * n0 - r0 * n1 AS DOUBLE) / CAST(n1 AS DOUBLE)").as("rate_d"))
+          expr("CAST(CAST(n1 - n0 AS DECIMAL(38,0)) * r0 * n1" +
+            " AS DECIMAL(38,0))").as("vol_num"),
+          expr("CAST(CAST(n0 AS DECIMAL(38,0)) * (CAST(r1 AS DECIMAL(38,0))" +
+            " * n0 - CAST(r0 AS DECIMAL(38,0)) * n1) AS DECIMAL(38,0))")
+            .as("rate_num"),
+          expr("CAST(CAST(n1 - n0 AS DECIMAL(38,0)) * (CAST(r1 AS" +
+            " DECIMAL(38,0)) * n0 - CAST(r0 AS DECIMAL(38,0)) * n1)" +
+            " AS DECIMAL(38,0))").as("cross_num"),
+          expr("CAST(CAST(r1 - r0 AS DECIMAL(38,0)) * n0 * n1" +
+            " AS DECIMAL(38,0))").as("total_num"))
+        .withColumn("vol_d", expr("CAST(vol_num AS DOUBLE)" +
+          " / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))"))
+        .withColumn("rate_d", expr("CAST(rate_num AS DOUBLE)" +
+          " / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))"))
         .orderBy("c_mktsegment")
     },
 
@@ -2822,12 +2833,14 @@ object Analytics {
         |  FROM o GROUP BY 1)
         |SELECT c_mktsegment, CAST(n0 AS BIGINT) AS n0, CAST(r0 AS BIGINT) AS rev0_d,
         |  CAST(n1 AS BIGINT) AS n1, CAST(r1 AS BIGINT) AS rev1_d,
-        |  CAST((n1 - n0) * r0 * n1 AS BIGINT) AS vol_num,
-        |  CAST(n0 * (r1 * n0 - r0 * n1) AS BIGINT) AS rate_num,
-        |  CAST((n1 - n0) * (r1 * n0 - r0 * n1) AS BIGINT) AS cross_num,
-        |  CAST((r1 - r0) * n0 * n1 AS BIGINT) AS total_num,
-        |  CAST((n1 - n0) * r0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS vol_d,
-        |  CAST(r1 * n0 - r0 * n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_d
+        |  CAST((n1 - n0) * r0 * n1 AS DECIMAL(38,0)) AS vol_num,
+        |  CAST(n0 * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS rate_num,
+        |  CAST((n1 - n0) * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS cross_num,
+        |  CAST((r1 - r0) * n0 * n1 AS DECIMAL(38,0)) AS total_num,
+        |  CAST(CAST((n1 - n0) * r0 * n1 AS DECIMAL(38,0)) AS DOUBLE)
+        |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS vol_d,
+        |  CAST(CAST(n0 * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS DOUBLE)
+        |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS rate_d
         |FROM g ORDER BY c_mktsegment""".stripMargin,
 
     "q307_shapley_attribution" ->

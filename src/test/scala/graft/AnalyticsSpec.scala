@@ -812,15 +812,17 @@ class AnalyticsSpec extends AnyFunSuite {
     val rows = Analytics.queries("q306_pvm_decomposition")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val total = BigInt(r.getAs[Long]("total_num"))
-      val parts = BigInt(r.getAs[Long]("vol_num")) +
-        BigInt(r.getAs[Long]("rate_num")) + BigInt(r.getAs[Long]("cross_num"))
+      // numerators are DECIMAL(38,0) since the sf10 gate caught the
+      // int64 cut overflowing (r·n·n ~ 10²¹ at sf10)
+      def num(c: String) = BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger)
+      val total = num("total_num")
+      val parts = num("vol_num") + num("rate_num") + num("cross_num")
       assert(total == parts, "delta-revenue = volume + rate + cross, exactly")
       // and the numerators recombine from the cell sums
       val (n0, n1) = (BigInt(r.getAs[Long]("n0")), BigInt(r.getAs[Long]("n1")))
       val (r0, r1) = (BigInt(r.getAs[Long]("rev0_d")), BigInt(r.getAs[Long]("rev1_d")))
       assert(total == (r1 - r0) * n0 * n1)
-      assert(BigInt(r.getAs[Long]("vol_num")) == (n1 - n0) * r0 * n1)
+      assert(num("vol_num") == (n1 - n0) * r0 * n1)
     }
   }
 

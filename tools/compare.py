@@ -45,7 +45,9 @@ def main(sf_dir, out_dir, json_out=None, timeout=None, threads=None):
     # heavy oracles (the sf1 LSH/triangle CTEs) spill; keep the spill on
     # the big /tmp volume and under a cap instead of cwd/.tmp
     con.execute("SET temp_directory='/tmp/duckcmp_tmp'")
-    con.execute("SET memory_limit='48GB'")
+    # override when co-scheduling with a Spark run (no swap on this box —
+    # two 48GB pools + one JVM heap overcommit physical RAM and thrash)
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # GenData SFs write directory-shaped tables
