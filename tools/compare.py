@@ -48,6 +48,11 @@ def main(sf_dir, out_dir, json_out=None, timeout=None, threads=None):
     # override when co-scheduling with a Spark run (no swap on this box —
     # two 48GB pools + one JVM heap overcommit physical RAM and thrash)
     con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
+    # cap the spill so one runaway oracle leg fails ITS row instead of
+    # filling the volume and IO-poisoning every later query (and any
+    # concurrent Spark shuffle) — the round-9 q416 lesson
+    con.execute("SET max_temp_directory_size="
+                f"'{os.environ.get('DUCK_TMP_CAP', '50GB')}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # GenData SFs write directory-shaped tables
@@ -89,23 +94,25 @@ def main(sf_dir, out_dir, json_out=None, timeout=None, threads=None):
                         "hash_match": hash_m, "spark_rows": s_rows,
                         "oracle_rows": o_rows, "err": err}
     for name, sql in sorted(oracle.items()):
-        sql = rewrite(sql)
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark result");  n_bad += 1
             rec(name, False, False, False, err="no spark result");  continue
         spark_tbl = pq.read_table(files[0])
+        # prelude materialization (inside rewrite) runs DuckDB work too —
+        # keep it under the SAME timer/try as the query so a chain prefix
+        # that exceeds the box fails ITS rows, not the whole run
         try:
             if timeout:
                 timer = threading.Timer(timeout, con.interrupt)
                 timer.start()
                 try:
-                    duck = con.execute(sql).fetch_arrow_table()
+                    duck = con.execute(rewrite(sql)).fetch_arrow_table()
                 finally:
                     timer.cancel()
             else:
-                duck = con.execute(sql).fetch_arrow_table()
+                duck = con.execute(rewrite(sql)).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}");  n_bad += 1
             rec(name, False, False, False, err=f"oracle error: {e}");  continue
