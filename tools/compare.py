@@ -44,7 +44,7 @@ def main(sf_dir, out_dir, json_out=None, timeout=None, threads=None):
         con.execute(f"SET threads={int(threads)}")
     # heavy oracles (the sf1 LSH/triangle CTEs) spill; keep the spill on
     # the big /tmp volume and under a cap instead of cwd/.tmp
-    con.execute("SET temp_directory='/tmp/duckcmp_tmp'")
+    con.execute(f"SET temp_directory='{os.environ.get('DUCK_TMP', '/tmp/duckcmp_tmp')}'")
     # override when co-scheduling with a Spark run (no swap on this box —
     # two 48GB pools + one JVM heap overcommit physical RAM and thrash)
     con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
