@@ -86,12 +86,22 @@ object Verify {
         " deflate_bytes, n_suspicious, ratio_ppm) ORDER BY source"
     }.toOption
     // JVM-mirror oracles for the DuckDB-resource-bound legs (round-9
-    // VERDICT ask #2): opt-in via SPARK_GRAFT_MIRRORS=1 — the default
+    // VERDICT ask #2): opt-in via SPARK_GRAFT_MIRRORS — the default
     // (driver) runs keep the DuckDB SQL oracles so the cross-engine
     // check stays primary at sf0.01; the sf1/sf10 gates flip the flag
     // where DuckDB cannot finish (q115 triangle census, q457 shingle×
     // membership census, q83's 78 GB OOM at sf10 — addendum 33).
-    val mirrorsOn = sys.env.get("SPARK_GRAFT_MIRRORS").contains("1")
+    // "1" enables every registered mirror; a CSV of query names enables
+    // only those (round 10 — keeps sf1 on the cross-engine oracle for
+    // the queries DuckDB CAN still finish there).
+    val mirrorSel: Option[Set[String]] = sys.env.get("SPARK_GRAFT_MIRRORS")
+      .filter(_.nonEmpty).map {
+        case "1" => Set.empty[String] // empty = all registered
+        case csv => csv.split(",").toSet
+      }
+    val mirrorsOn = mirrorSel.isDefined
+    def mirrorWanted(k: String): Boolean =
+      mirrorSel.exists(sel => sel.isEmpty || sel.contains(k))
     val dynamicOracle: Map[String, String] =
       (if (only.forall(_.contains("q339_gzip_quality")))
         q339MirrorSql().map("q339_gzip_quality" -> _).toMap
@@ -99,8 +109,20 @@ object Verify {
       (if (mirrorsOn)
         Seq("q115_dup_triangles" -> (() => MirrorOracles.q115Sql(spark, sfDir)),
             "q457_cluster_consensus" -> (() => MirrorOracles.q457Sql(spark, sfDir)),
-            "q83_kmeans_step" -> (() => MirrorOracles.q83Sql(spark, sfDir)))
-          .collect { case (k, mk) if only.forall(_.contains(k)) =>
+            "q83_kmeans_step" -> (() => MirrorOracles.q83Sql(spark, sfDir)),
+            // round-10 additions: the six sf1 DuckDB-capacity rows
+            // (q194 interrupt; q416-q418/q421/q428 oracle disk-full)
+            // plus q65/q26 for the sf10 gate
+            "q194_basket_triples" -> (() => MirrorOracles.q194Sql(spark, sfDir)),
+            "q416_lloyd3_convergence" -> (() => MirrorOracles.q416Sql(spark, sfDir)),
+            "q417_ivf_recall_lloyd3" -> (() => MirrorOracles.q417Sql(spark, sfDir)),
+            "q418_multiprobe_lloyd3" -> (() => MirrorOracles.q418Sql(spark, sfDir)),
+            "q421_personalized_pagerank" -> (() => MirrorOracles.q421Sql(spark, sfDir)),
+            "q428_seed_bfs" -> (() => MirrorOracles.q428Sql(spark, sfDir)),
+            "q65_dup_clusters" -> (() => MirrorOracles.q65Sql(spark, sfDir)),
+            "q325_span_overlap" -> (() => MirrorOracles.q325Sql(spark, sfDir)))
+          .collect { case (k, mk)
+              if only.forall(_.contains(k)) && mirrorWanted(k) =>
             mk().map(k -> _) }.flatten.toMap
       else Map.empty)
     val json = (SparkEntry.oracleSql ++ dynamicOracle)

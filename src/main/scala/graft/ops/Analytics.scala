@@ -1596,12 +1596,14 @@ object Analytics {
     // CONSERVES exactly — Δrev = vol + rate + cross as an algebraic
     // identity at the common denominator n₀·n₁, spec-asserted with NO
     // tolerance). Effects emitted as exact NUMERATORS at that
-    // denominator (signed, so no floor-DIV is taken anywhere) plus the
-    // mirrored IEEE per-effect dollars for the human read. Numerators
-    // are DECIMAL(38,0)/HUGEINT: r·n·n tops ~10²¹ at sf10 (the sf10
-    // gate caught the int64 cut overflowing — the q397 class), and 38
-    // digits hold to ~sf10⁴. Float legs are num/(n₀·n₁) in BOTH
-    // engines (one decimal→double conversion each, ≤2-ulp rule).
+    // denominator (signed, so no floor-DIV is taken anywhere).
+    // Numerators are DECIMAL(38,0)/HUGEINT: r·n·n tops ~10²¹ at sf10
+    // (the sf10 gate caught the int64 cut overflowing — the q397
+    // class), and 38 digits hold to ~sf10⁴. NO float legs: the round-9
+    // driver gate flagged the decimal→double convenience columns
+    // (environment-dependent at >2⁵³ magnitudes), and num/(n₀·n₁) is
+    // derivable from the exact sufficient statistics emitted here — the
+    // corpus-wide floor-ppm convention, restored.
     "q306_pvm_decomposition" -> { (s, d) =>
       val o = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1627,10 +1629,6 @@ object Analytics {
             " AS DECIMAL(38,0))").as("cross_num"),
           expr("CAST(CAST(r1 - r0 AS DECIMAL(38,0)) * n0 * n1" +
             " AS DECIMAL(38,0))").as("total_num"))
-        .withColumn("vol_d", expr("CAST(vol_num AS DOUBLE)" +
-          " / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))"))
-        .withColumn("rate_d", expr("CAST(rate_num AS DOUBLE)" +
-          " / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))"))
         .orderBy("c_mktsegment")
     },
 
@@ -2836,11 +2834,7 @@ object Analytics {
         |  CAST((n1 - n0) * r0 * n1 AS DECIMAL(38,0)) AS vol_num,
         |  CAST(n0 * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS rate_num,
         |  CAST((n1 - n0) * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS cross_num,
-        |  CAST((r1 - r0) * n0 * n1 AS DECIMAL(38,0)) AS total_num,
-        |  CAST(CAST((n1 - n0) * r0 * n1 AS DECIMAL(38,0)) AS DOUBLE)
-        |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS vol_d,
-        |  CAST(CAST(n0 * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS DOUBLE)
-        |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS rate_d
+        |  CAST((r1 - r0) * n0 * n1 AS DECIMAL(38,0)) AS total_num
         |FROM g ORDER BY c_mktsegment""".stripMargin,
 
     "q307_shapley_attribution" ->

@@ -23,6 +23,8 @@ import org.apache.spark.sql.Dataset
   */
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val pinnedTracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Persist `ds` (MEMORY_AND_DISK), eagerly fill the cache with one
     * count() so same-wave branches all hit it, and register it for
@@ -35,11 +37,55 @@ object Caches {
     cached
   }
 
+  /** Like [[shared]] but SUITE-RUN-scoped: survives per-query [[clear]]
+    * and is released only by [[clearPinned]] (or session end). For the
+    * small derived frames a FAMILY of queries provably re-derives
+    * identically (the twin-collapse chain's members/classes/verified
+    * pairs, the dup-cluster labels) — the round-9 bench showed the
+    * collapse constant paid 8× per suite run because clear() runs
+    * between queries. Pin ONLY frames that are linear in distinct
+    * content (never a shingle table): everything pinned stays resident
+    * for the rest of the run.
+    */
+  def pinned[T](ds: Dataset[T]): Dataset[T] = {
+    val cached = ds.persist()
+    cached.count()
+    pinnedTracked.add(cached)
+    cached
+  }
+
+  /** Memoize an expensive build under `key` for the suite run — the
+    * build typically returns [[pinned]] frames. Keys must include the
+    * session identity and the data dir so a test suite with its own
+    * session or SF never reads another's frames. NOT computeIfAbsent:
+    * the memoized builds NEST (labels → edges → collapse chain) and
+    * CHM's computeIfAbsent throws "Recursive update" on reentry;
+    * a reentrant monitor + get/put allows the nesting.
+    */
+  def memoPinned[K <: AnyRef](key: String)(build: => K): K = memo.synchronized {
+    memo.get(key) match {
+      case null =>
+        val v = build
+        memo.put(key, v.asInstanceOf[AnyRef])
+        v
+      case v => v.asInstanceOf[K]
+    }
+  }
+
   /** Unpersist every tracked frame (non-blocking). Safe to call once the
     * query result that consumed them has been materialized.
     */
   def clear(): Unit = {
     var d = tracked.poll()
     while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
+  }
+
+  /** Release the suite-run-scoped tier too (harness shutdown, or a test
+    * suite that changes the underlying data between runs).
+    */
+  def clearPinned(): Unit = {
+    memo.clear()
+    var d = pinnedTracked.poll()
+    while (d != null) { d.unpersist(blocking = false); d = pinnedTracked.poll() }
   }
 }

@@ -285,22 +285,34 @@ object Dedup {
     * Returns (members(doc_id, fp, n), classes(fp, rep, m, n),
     * verified(doc_a, doc_b, na, nb, common, jac) over rep ids). */
   private[graft] def collapsedVerifiedPairs(
-      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val sh = Caches.shared(docShingles(s, d, 1))
-    val (members, classesRaw) = shingleClasses(sh)
-    val classes = Caches.shared(classesRaw)
-    val repSh = sh.join(classes.select(col("rep").as("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val bands = minhashBands(repSh, numHashes = 16, bandSize = 4)
-    val cand = bands.as("x").hint("shuffle_hash")
-      .join(bands.as("y").hint("shuffle_hash"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    (members, classes, jaccardOfPairs(cand, repSh))
-  }
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    // MEMOIZED per (session, dir) and PINNED (round-10 amortization):
+    // ten suite queries (q115/q118-front/q504/q505 + the component
+    // consumers via dupEdgesSparse) re-derive this identical triple, and
+    // per-query Caches.clear() was making each rebuild it — the measured
+    // ~3 s collapse constant paid 8× per sf0.1 run. The three outputs
+    // are linear in distinct content (docs × 16-byte fp; classes;
+    // verified REP pairs), so pinning them for the run is cheap; the
+    // corpus-sized shingle table stays query-scoped [[Caches.shared]]
+    // and is released when the first consumer's query finishes.
+    Caches.memoPinned(
+        s"collapsedVerifiedPairs|${System.identityHashCode(s)}|$d") {
+      val sh = Caches.shared(docShingles(s, d, 1))
+      val (membersRaw, classesRaw) = shingleClasses(sh)
+      val members = Caches.pinned(membersRaw)
+      val classes = Caches.pinned(classesRaw)
+      val repSh = sh.join(classes.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val bands = minhashBands(repSh, numHashes = 16, bandSize = 4)
+      val cand = bands.as("x").hint("shuffle_hash")
+        .join(bands.as("y").hint("shuffle_hash"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      (members, classes, Caches.pinned(jaccardOfPairs(cand, repSh)))
+    }
 
   /** Connectivity-EQUIVALENT sparse form of [[dupEdges]] for component
     * consumers (q65/q76/q106/q136/q160/q445/q457/q491): per twin class a
@@ -313,14 +325,28 @@ object Dedup {
     * bit-identical while the edge list is linear in docs + distinct
     * content, never quadratic in copies. Canonical (doc_a < doc_b)
     * holds: rep = min member, and verified pairs are rep-ordered. */
-  def dupEdgesSparse(s: SparkSession, d: String): DataFrame = {
-    val (members, classes, verified) = collapsedVerifiedPairs(s, d)
-    val stars = members.join(classes.select(col("fp"), col("rep")), "fp")
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    verified.filter(col("jac") >= 0.3).select("doc_a", "doc_b")
-      .unionByName(stars)
-  }
+  def dupEdgesSparse(s: SparkSession, d: String): DataFrame =
+    Caches.memoPinned(s"dupEdgesSparse|${System.identityHashCode(s)}|$d") {
+      val (members, classes, verified) = collapsedVerifiedPairs(s, d)
+      val stars = members.join(classes.select(col("fp"), col("rep")), "fp")
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      Caches.pinned(verified.filter(col("jac") >= 0.3)
+        .select("doc_a", "doc_b")
+        .unionByName(stars))
+    }
+
+  /** The q65 component labels (node, label) shared by every CC consumer
+    * (q65/q76/q106/q136/q160/q457/q491) — memoized+pinned like the
+    * collapse chain above: the min-label/pointer-jump iteration is
+    * deterministic, so re-running it per consumer buys nothing but the
+    * round-9 2× family regression. q445 deliberately does NOT read
+    * this: its point is the alternating-star algorithm, so it pays its
+    * own rounds over the (memoized) sparse edges. */
+  private[graft] def dupClusterLabels(s: SparkSession, d: String): DataFrame =
+    Caches.memoPinned(s"dupClusterLabels|${System.identityHashCode(s)}|$d") {
+      Caches.pinned(connectedComponents(dupEdgesSparse(s, d)))
+    }
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE: sym is referenced by every round's
@@ -491,7 +517,7 @@ object Dedup {
         .withColumn("phash", md5(substring(col("text"), 1, 100).cast("binary")))
         .groupBy("phash")
         .agg(min(col("doc_id")).as("b_surv"), count(lit(1)).as("b_n"))
-      val labels = connectedComponents(dupEdgesSparse(s, d))
+      val labels = dupClusterLabels(s, d)
         .select(col("node").as("doc_id"), col("label"))
       val tagged = docs
         .withColumn("cmd5", md5(col("text")))
@@ -788,7 +814,9 @@ object Dedup {
     // map-combined aggregations; the fingerprint shuffles 16 bytes per
     // doc, never shingle text.
     "q504_twin_census" -> { (s, d) =>
-      val (members, _) = shingleClasses(docShingles(s, d, 1))
+      // reads the memoized collapse chain's members — ONE fingerprint
+      // pass per suite run shared with q26/q115/dupEdgesSparse
+      val (members, _, _) = collapsedVerifiedPairs(s, d)
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
       val cl = members.join(src, "doc_id")
         .groupBy("source", "fp").agg(count(lit(1)).as("m"))
@@ -835,7 +863,7 @@ object Dedup {
     // the same checkpointed CC output, the corpus side is one linear
     // scan + left join on doc_id.
     "q106_effective_tokens" -> { (s, d) =>
-      val labels = connectedComponents(dupEdgesSparse(s, d))
+      val labels = dupClusterLabels(s, d)
         .withColumnRenamed("node", "doc_id")
       Tables.documents(s, d)
         .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
@@ -908,9 +936,43 @@ object Dedup {
 
     // B11 scale path: MinHash+LSH candidates, exact-verified. The
     // engine-neutral hash family makes the whole pipeline oracle-checked.
+    //
+    // TWIN-COLLAPSE front (round 10, the q115/q118 theorem applied to
+    // the pair list itself — closes the ">70 GB shuffle at sf10" row):
+    // the band join and the verify fan-out run over one REPRESENTATIVE
+    // per identical-shingle-set class, and the ORIGINAL pair list is
+    // recovered exactly by expansion — (a) every intra-class pair is a
+    // candidate in all bands (identical signatures) with jac = 1 and
+    // common = na = nb = n; (b) a cross pair (a∈i, b∈j) is a candidate
+    // iff (rep_i, rep_j) is, with the rep pair's exact (common, na, nb,
+    // jac) — twins have the same set. The shuffles are linear in
+    // DISTINCT content; the expansion joins stream into the top-100
+    // TakeOrdered heap without a further shuffle (a 25k-copy template
+    // family contributes C(25k,2) STREAMED rows, zero shuffled bytes).
+    // Output equality with the uncollapsed chain is spec-asserted
+    // (DedupSpec) on the planted template block.
     "q26_minhash_lsh" -> { (s, d) =>
-      minhashVerifiedPairs(s, d)
-        .select("doc_a", "doc_b", "common", "na", "nb", "jac")
+      val (members, classes, verified) = collapsedVerifiedPairs(s, d)
+      val mem = members.select(col("doc_id"), col("fp"), col("n"))
+      val intra = mem.as("a").join(mem.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("common"), col("a.n").as("na"), col("b.n").as("nb"),
+          lit(1.0).as("jac"))
+      val cross = verified
+        .join(classes.select(col("rep").as("doc_a"), col("fp").as("fpa")),
+          "doc_a")
+        .join(classes.select(col("rep").as("doc_b"), col("fp").as("fpb")),
+          "doc_b")
+        .join(mem.select(col("doc_id").as("ma"), col("fp").as("fpa")), "fpa")
+        .join(mem.select(col("doc_id").as("mb"), col("fp").as("fpb")), "fpb")
+        .select(least(col("ma"), col("mb")).as("doc_a"),
+          greatest(col("ma"), col("mb")).as("doc_b"),
+          col("common"),
+          when(col("ma") < col("mb"), col("na")).otherwise(col("nb")).as("na"),
+          when(col("ma") < col("mb"), col("nb")).otherwise(col("na")).as("nb"),
+          col("jac"))
+      intra.unionByName(cross)
         .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
         .limit(100)
     },
@@ -960,7 +1022,7 @@ object Dedup {
     // deterministic-survivor rule as q14/q24). cluster_id = survivor by
     // construction of min-label propagation.
     "q65_dup_clusters" -> { (s, d) =>
-      connectedComponents(dupEdgesSparse(s, d))
+      dupClusterLabels(s, d)
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).cast("long").as("n_members"),
              max(col("node")).as("max_member"))
@@ -981,7 +1043,7 @@ object Dedup {
     // review asks for first. Cost: the q65 envelope (shared LSH +
     // CC) + one cluster-keyed max + one matrix agg.
     "q491_license_propagation" -> { (s, d) =>
-      val lab = connectedComponents(dupEdgesSparse(s, d))
+      val lab = dupClusterLabels(s, d)
       val docs = Tables.documents(s, d).select(col("doc_id"),
         expr("CAST(conv(substring(md5(source), 1, 2), 16, 10) AS BIGINT) % 3")
           .as("lic"))
@@ -1115,7 +1177,7 @@ object Dedup {
     // (bounded) labeled-node set; counts shuffle, never shingle text
     // beyond the first hash-partitioned agg.
     "q457_cluster_consensus" -> { (s, d) =>
-      val member = connectedComponents(dupEdgesSparse(s, d))
+      val member = dupClusterLabels(s, d)
         .select(col("node").as("doc_id"), col("label"))
       val sizes = member.groupBy("label").agg(count(lit(1)).as("n_members"))
       docShingles(s, d, 1).join(member, "doc_id")
@@ -1140,7 +1202,7 @@ object Dedup {
     // CLUSTER label instead of the doc id. Reuses the q65 component
     // labels; the audit itself is one aggregation over them.
     "q76_split_leakage" -> { (s, d) =>
-      connectedComponents(dupEdgesSparse(s, d))
+      dupClusterLabels(s, d)
         .withColumn("split", splitOf(col("node")))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).cast("long").as("n_members"),
@@ -1162,7 +1224,7 @@ object Dedup {
     // component machinery. Scale: the labels table is dup-cluster-
     // member-sized (≪ corpus); one left equi-join + a 3-row rollup.
     "q136_cluster_split" -> { (s, d) =>
-      val labels = connectedComponents(dupEdgesSparse(s, d))
+      val labels = dupClusterLabels(s, d)
         .select(col("node").as("doc_id"), col("label"))
       Tables.documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))

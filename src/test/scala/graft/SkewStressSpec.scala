@@ -163,4 +163,47 @@ class SkewStressSpec extends AnyFunSuite {
       yield (a.toLong, b.toLong)).toSet
     assert(got == tmpl, s"expected the 45 template pairs, got ${got.size}")
   }
+
+  test("q26 twin-collapse expansion equals the uncollapsed verified pair list") {
+    // same fixture family as the q115 census test: twin classes
+    // (multiplicities 9 and 5), two near-dup variants, unique fill —
+    // the collapsed front must reproduce the RAW chain's (doc_a, doc_b,
+    // common, na, nb, jac) rows exactly, intra AND cross, including the
+    // na/nb orientation after least/greatest canonicalization.
+    val base = (0 until 30).map(w => s"t$w").mkString(" ")
+    def variant(k: Int) =
+      ((0 until 27).map(w => s"t$w") ++ (0 until 3).map(j => s"v${k}_$j"))
+        .mkString(" ")
+    val famB = (0 until 24).map(w => s"b$w").mkString(" ")
+    val docs = ((0 until 9).map(i => (i.toLong, base)) ++
+      Seq((100L, variant(1)), (101L, variant(2))) ++
+      (0 until 5).map(i => (200L + i, famB)) ++
+      (0 until 20).map(i => (300L + i,
+        (0 until 20).map(j => s"u_${i}_$j").mkString(" ")))
+    ).map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q26collapse").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getAs[Long]("common"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        math.round(r.getAs[Double]("jac") * 1e12))
+    // the collapsed q26 WITHOUT the top-100 cut (the fixture emits
+    // fewer rows than the cap anyway, so the query output is the set)
+    val got = Dedup.queries("q26_minhash_lsh")(spark, dir)
+      .collect().map(key).toSet
+    graft.ops.Caches.clear()
+    val expected = Dedup.minhashVerifiedPairs(spark, dir)
+      .select("doc_a", "doc_b", "common", "na", "nb", "jac")
+      .collect().map(key).toSet
+    graft.ops.Caches.clear()
+    assert(expected.size < 100, "fixture must fit inside q26's top-100 cut")
+    assert(got == expected,
+      "collapsed-front q26 must equal the raw LSH chain row-for-row")
+    // the fixture genuinely exercises both expansion legs
+    assert(expected.count { case (_, _, _, _, _, j) => j == 1000000000000L }
+      >= 9 * 8 / 2 + 5 * 4 / 2, "intra-class (jac = 1) pairs present")
+    assert(expected.exists { case (_, _, _, _, _, j) => j < 1000000000000L },
+      "cross-class (jac < 1) pairs present")
+  }
 }

@@ -15,7 +15,7 @@ as an oracle-timeout FAIL; the run continues) — the per-query watchdog
 the sf10 gate needs where one DuckDB leg is resource-bound.
 --threads caps DuckDB's thread pool (co-scheduling with a Spark run).
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 import pyarrow.parquet as pq
 
@@ -42,17 +42,26 @@ def main(sf_dir, out_dir, json_out=None, timeout=None, threads=None):
     con = duckdb.connect()
     if threads:
         con.execute(f"SET threads={int(threads)}")
+    # env-sourced config goes through validation before touching SQL
+    # (round-9 ADVICE: a quote in a value would inject into the SET)
+    def env_checked(name, default, pattern):
+        v = os.environ.get(name, default)
+        if not re.fullmatch(pattern, v):
+            raise ValueError(f"{name}={v!r} fails shape check {pattern}")
+        return v
     # heavy oracles (the sf1 LSH/triangle CTEs) spill; keep the spill on
     # the big /tmp volume and under a cap instead of cwd/.tmp
-    con.execute(f"SET temp_directory='{os.environ.get('DUCK_TMP', '/tmp/duckcmp_tmp')}'")
+    con.execute("SET temp_directory='%s'" % env_checked(
+        "DUCK_TMP", "/tmp/duckcmp_tmp", r"[A-Za-z0-9_./-]+"))
     # override when co-scheduling with a Spark run (no swap on this box —
     # two 48GB pools + one JVM heap overcommit physical RAM and thrash)
-    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
+    con.execute("SET memory_limit='%s'" % env_checked(
+        "DUCK_MEM", "48GB", r"\d+(\.\d+)?\s*[KMGT]i?B"))
     # cap the spill so one runaway oracle leg fails ITS row instead of
     # filling the volume and IO-poisoning every later query (and any
     # concurrent Spark shuffle) — the round-9 q416 lesson
-    con.execute("SET max_temp_directory_size="
-                f"'{os.environ.get('DUCK_TMP_CAP', '50GB')}'")
+    con.execute("SET max_temp_directory_size='%s'" % env_checked(
+        "DUCK_TMP_CAP", "50GB", r"\d+(\.\d+)?\s*[KMGT]i?B"))
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # GenData SFs write directory-shaped tables
