@@ -89,6 +89,65 @@ object MirrorOracles {
     out.sortBy(_.rep)
   }
 
+  // Mirror-side memoization (round 10): Verify materializes EVERY
+  // registered mirror once at startup, and ten of them replay the same
+  // twin-class chain / Lloyd ladder — cache the expensive intermediates
+  // per sfDir (one entry; Verify runs one SF per invocation).
+  private var tcKey: String = null
+  private var tcVal: Array[TwinClass] = null
+  private def twinClassesCached(spark: SparkSession,
+                                sfDir: String): Array[TwinClass] =
+    synchronized {
+      if (tcKey != sfDir) { tcVal = twinClasses(spark, sfDir); tcKey = sfDir }
+      tcVal
+    }
+
+  /** Union-find components over the jac ≥ 0.3 class graph — the shared
+    * front of every CC-consumer mirror. Returns (classes, components as
+    * arrays of class indices, doc -> component-label map over in-graph
+    * docs). Cached per sfDir like [[twinClassesCached]]. */
+  private var ccKey: String = null
+  private var ccVal: (Array[TwinClass], Array[Array[Int]],
+    mutable.HashMap[Long, Long]) = null
+  private def componentsCached(spark: SparkSession, sfDir: String):
+      (Array[TwinClass], Array[Array[Int]], mutable.HashMap[Long, Long]) =
+    synchronized {
+      if (ccKey != sfDir) {
+        val cls = twinClassesCached(spark, sfDir)
+        val edges = candidatePairs(cls)
+          .filter { case (i, j) => jaccard(cls(i).set, cls(j).set)._2 >= 0.3 }
+        val parent = Array.tabulate(cls.length)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        edges.foreach { case (i, j) =>
+          val (ra, rb) = (find(i), find(j))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val inGraph = Array.fill(cls.length)(false)
+        cls.indices.foreach(i => if (cls(i).m >= 2) inGraph(i) = true)
+        edges.foreach { case (i, j) => inGraph(i) = true; inGraph(j) = true }
+        val byRoot = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
+        cls.indices.foreach { i =>
+          if (inGraph(i))
+            byRoot.getOrElseUpdate(find(i), mutable.ArrayBuffer.empty[Int]) += i
+        }
+        val comps = byRoot.values.map(_.toArray).toArray
+        val docLabel = mutable.HashMap.empty[Long, Long]
+        comps.foreach { idxs =>
+          val label = idxs.map(cls(_).rep).min
+          idxs.foreach(i => cls(i).members.foreach(docLabel.update(_, label)))
+        }
+        ccVal = (cls, comps, docLabel)
+        ccKey = sfDir
+      }
+      ccVal
+    }
+
   /** LSH candidate class pairs: 4 bands × 4 rows, bucket = base-31
     * polynomial over the band's minima — the engine's banding constants.
     * Returns index pairs (i < j). */
@@ -229,39 +288,243 @@ object MirrorOracles {
     * max_member = the component's largest doc id. */
   def q65Sql(spark: SparkSession, sfDir: String): Option[String] =
     scala.util.Try {
-      val cls = twinClasses(spark, sfDir)
-      val edges = candidatePairs(cls)
-        .filter { case (i, j) => jaccard(cls(i).set, cls(j).set)._2 >= 0.3 }
-      val parent = Array.tabulate(cls.length)(identity)
-      def find(x: Int): Int = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      edges.foreach { case (i, j) =>
-        val (ra, rb) = (find(i), find(j))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val inGraph = Array.fill(cls.length)(false)
-      cls.indices.foreach(i => if (cls(i).m >= 2) inGraph(i) = true)
-      edges.foreach { case (i, j) => inGraph(i) = true; inGraph(j) = true }
-      val comps = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
-      cls.indices.foreach { i =>
-        if (inGraph(i))
-          comps.getOrElseUpdate(find(i), mutable.ArrayBuffer.empty[Int]) += i
-      }
-      val rows = comps.values.map { idxs =>
+      val (cls, comps, _) = componentsCached(spark, sfDir)
+      val rows = comps.map { idxs =>
         (idxs.map(cls(_).rep).min, idxs.map(cls(_).m).sum,
           idxs.map(cls(_).members.last).max)
-      }.toArray.sortBy(_._1)
+      }.sortBy(_._1)
       require(rows.nonEmpty, "empty duplicate graph")
       val values = rows.map { case (label, m, mx) =>
         s"(CAST($label AS BIGINT), CAST($m AS BIGINT), CAST($mx AS BIGINT))"
       }.mkString(", ")
       s"SELECT * FROM (VALUES $values) AS t(cluster_id, n_members, " +
         "max_member) ORDER BY cluster_id"
+    }.toOption
+
+  /** q445 mirror: the alternating-star CC output is component-identical
+    * to q65's — the mirror checks the SIZE-HISTOGRAM view. */
+  def q445Sql(spark: SparkSession, sfDir: String): Option[String] =
+    scala.util.Try {
+      val (cls, comps, _) = componentsCached(spark, sfDir)
+      val rows = comps.map(_.map(cls(_).m).sum)
+        .groupBy(identity).toArray
+        .map { case (sz, xs) => (sz, xs.length.toLong, sz * xs.length) }
+        .sortBy(_._1)
+      require(rows.nonEmpty, "empty duplicate graph")
+      val values = rows.map { case (sz, nc, nd) =>
+        s"(CAST($sz AS BIGINT), CAST($nc AS BIGINT), CAST($nd AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $values) AS t(cluster_size, n_clusters, " +
+        "n_docs) ORDER BY cluster_size"
+    }.toOption
+
+  /** The ONE split rule (Dedup.splitOf): md5("split:"+id) bucket %10 →
+    * 8/1/1. */
+  private def splitOf(id: Long): String = {
+    val b = neutralHash32(s"split:$id") % 10
+    if (b <= 7) "train" else if (b == 8) "val" else "test"
+  }
+
+  /** q76 mirror: per-cluster split-leakage audit. */
+  def q76Sql(spark: SparkSession, sfDir: String): Option[String] =
+    scala.util.Try {
+      val (cls, comps, _) = componentsCached(spark, sfDir)
+      val rows = comps.map { idxs =>
+        val members = idxs.flatMap(cls(_).members)
+        val label = idxs.map(cls(_).rep).min
+        val splits = members.map(splitOf)
+        (label, members.length.toLong, splits.distinct.length.toLong,
+          splits.min, splitOf(label))
+      }.sortBy(_._1)
+      require(rows.nonEmpty, "empty duplicate graph")
+      val values = rows.map { case (label, n, ns, fs, cs) =>
+        s"(CAST($label AS BIGINT), CAST($n AS BIGINT), CAST($ns AS BIGINT), " +
+          s"'$fs', ${ns > 1}, '$cs')"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $values) AS t(cluster_id, n_members, " +
+        "n_splits, first_split, leaky, cluster_split) ORDER BY cluster_id"
+    }.toOption
+
+  /** Whitespace token count per the engine's tokens() = split(text, " ")
+    * (Spark split keeps trailing empty strings; size counts them). */
+  private def nTok(text: String): Long = text.split(" ", -1).length.toLong
+
+  /** q136 mirror: cluster-aware split assignment over the FULL corpus
+    * (singletons = own doc_id). */
+  def q136Sql(spark: SparkSession, sfDir: String): Option[String] =
+    scala.util.Try {
+      val (_, _, docLabel) = componentsCached(spark, sfDir)
+      val agg = mutable.HashMap.empty[String, (Long, mutable.HashSet[Long], Long)]
+      val it = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val id = r.getLong(0)
+        val cluster = docLabel.getOrElse(id, id)
+        val sp = splitOf(cluster)
+        val t = if (r.isNullAt(1)) 0L else nTok(r.getString(1))
+        val (n, cs, tk) = agg.getOrElse(sp, (0L, mutable.HashSet.empty[Long], 0L))
+        cs += cluster
+        agg.update(sp, (n + 1, cs, tk + t))
+      }
+      require(agg.nonEmpty, "empty corpus")
+      val values = agg.toArray.sortBy(_._1).map { case (sp, (n, cs, tk)) =>
+        s"('$sp', CAST($n AS BIGINT), CAST(${cs.size} AS BIGINT), " +
+          s"CAST($tk AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $values) AS t(split, n_docs, n_clusters, " +
+        "n_tokens) ORDER BY split"
+    }.toOption
+
+  /** q106 mirror: dedup-adjusted effective tokens per source. */
+  def q106Sql(spark: SparkSession, sfDir: String): Option[String] =
+    scala.util.Try {
+      val (_, _, docLabel) = componentsCached(spark, sfDir)
+      val agg = mutable.SortedMap.empty[String, (Long, Long, Long, Long)]
+      val it = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source", "text").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val id = r.getLong(0)
+        val src = r.getString(1)
+        val t = if (r.isNullAt(2)) 0L else nTok(r.getString(2))
+        val survivor = docLabel.get(id).forall(_ == id)
+        val (n, tk, nd, eff) = agg.getOrElse(src, (0L, 0L, 0L, 0L))
+        agg.update(src, (n + 1, tk + t, nd + (if (survivor) 0 else 1),
+          eff + (if (survivor) t else 0)))
+      }
+      require(agg.nonEmpty, "empty corpus")
+      val values = agg.toArray.map { case (src, (n, tk, nd, eff)) =>
+        s"('${src.replace("'", "''")}', CAST($n AS BIGINT), " +
+          s"CAST($tk AS BIGINT), CAST($nd AS BIGINT), CAST($eff AS BIGINT), " +
+          s"CAST(${eff * 1000000L / tk} AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $values) AS t(source, n_docs, n_tokens, " +
+        "n_dup_docs, eff_tokens, eff_ppm) ORDER BY source"
+    }.toOption
+
+  /** q160 mirror: drop-reason census (exact dup > near dup > boilerplate
+    * > kept precedence) with share over the corpus. */
+  def q160Sql(spark: SparkSession, sfDir: String): Option[String] =
+    scala.util.Try {
+      val (_, _, docLabel) = componentsCached(spark, sfDir)
+      case class Doc(id: Long, cmd5: String, phash: String, nt: Long)
+      val docs = mutable.ArrayBuffer.empty[Doc]
+      val it = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        docs += Doc(r.getLong(0), md5hex(text),
+          md5hex(text.substring(0, math.min(100, text.length))),
+          nTok(text))
+      }
+      val exact = mutable.HashMap.empty[String, (Long, Long)]
+      val boiler = mutable.HashMap.empty[String, (Long, Long)]
+      docs.foreach { d =>
+        val e = exact.getOrElse(d.cmd5, (Long.MaxValue, 0L))
+        exact.update(d.cmd5, (math.min(e._1, d.id), e._2 + 1))
+        val b = boiler.getOrElse(d.phash, (Long.MaxValue, 0L))
+        boiler.update(d.phash, (math.min(b._1, d.id), b._2 + 1))
+      }
+      val agg = mutable.SortedMap.empty[String, (Long, Long)]
+      docs.foreach { d =>
+        val (eSurv, eN) = exact(d.cmd5)
+        val (bSurv, bN) = boiler(d.phash)
+        val label = docLabel.get(d.id)
+        val reason =
+          if (eN > 1 && d.id != eSurv) "exact_dup"
+          else if (label.exists(_ != d.id)) "near_dup"
+          else if (bN > 1 && d.id != bSurv) "boilerplate"
+          else "kept"
+        val (n, tk) = agg.getOrElse(reason, (0L, 0L))
+        agg.update(reason, (n + 1, tk + d.nt))
+      }
+      val total = docs.length.toLong
+      val values = agg.toArray.map { case (reason, (n, tk)) =>
+        s"('$reason', CAST($n AS BIGINT), CAST($tk AS BIGINT), " +
+          s"CAST(${n * 1000000L / total} AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $values) AS t(reason, n_docs, n_tokens, " +
+        "share_ppm) ORDER BY reason"
+    }.toOption
+
+  /** q491 mirror: license escalation matrix through the dup clusters
+    * (lic = first md5 byte of source mod 3; effective = cluster max). */
+  def q491Sql(spark: SparkSession, sfDir: String): Option[String] =
+    scala.util.Try {
+      val (_, _, docLabel) = componentsCached(spark, sfDir)
+      val licOfSrc = mutable.HashMap.empty[String, Long]
+      def lic(src: String): Long = licOfSrc.getOrElseUpdate(src,
+        java.lang.Long.parseLong(md5hex(src).substring(0, 2), 16) % 3)
+      val docLic = mutable.HashMap.empty[Long, Long]
+      val docCl = mutable.HashMap.empty[Long, Long]
+      val it = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val id = r.getLong(0)
+        docLic.update(id, lic(r.getString(1)))
+        docCl.update(id, docLabel.getOrElse(id, id))
+      }
+      val effOf = mutable.HashMap.empty[Long, Long]
+      docLic.foreach { case (id, l) =>
+        val cl = docCl(id)
+        effOf.update(cl, math.max(effOf.getOrElse(cl, -1L), l))
+      }
+      val names = Array("a_permissive", "b_attribution", "c_restricted")
+      val cells = mutable.HashMap.empty[(Long, Long),
+        (Long, mutable.HashSet[Long])]
+      docLic.foreach { case (id, l) =>
+        val cl = docCl(id)
+        val key = (l, effOf(cl))
+        val (n, cs) = cells.getOrElse(key,
+          (0L, mutable.HashSet.empty[Long]))
+        cs += cl
+        cells.update(key, (n + 1, cs))
+      }
+      val values = cells.toArray.sortBy { case ((l, e), _) => (l, e) }
+        .map { case ((l, e), (n, cs)) =>
+          s"('${names(l.toInt)}', '${names(e.toInt)}', CAST($n AS BIGINT), " +
+            s"CAST(${cs.size} AS BIGINT))"
+        }.mkString(", ")
+      s"SELECT * FROM (VALUES $values) AS t(own_license, eff_license, " +
+        "n_docs, n_clusters) ORDER BY own_license, eff_license"
+    }.toOption
+
+  /** q504 mirror: per-source twin census over the shingle classes. */
+  def q504Sql(spark: SparkSession, sfDir: String): Option[String] =
+    scala.util.Try {
+      val cls = twinClassesCached(spark, sfDir)
+      val srcOf = mutable.HashMap.empty[Long, String]
+      val it = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        srcOf.update(r.getLong(0), r.getString(1))
+      }
+      // per (source, class): multiplicity — a class can span sources
+      val bySrcCls = mutable.HashMap.empty[(String, Int), Long]
+      cls.indices.foreach { ci =>
+        cls(ci).members.foreach { id =>
+          val key = (srcOf(id), ci)
+          bySrcCls.update(key, bySrcCls.getOrElse(key, 0L) + 1)
+        }
+      }
+      val agg = mutable.SortedMap.empty[String, (Long, Long, Long, Long)]
+      bySrcCls.foreach { case ((src, _), m) =>
+        val (nd, nc, mx, tw) = agg.getOrElse(src, (0L, 0L, 0L, 0L))
+        agg.update(src, (nd + m, nc + 1, math.max(mx, m),
+          tw + (if (m >= 2) m else 0)))
+      }
+      require(agg.nonEmpty, "empty corpus")
+      val values = agg.toArray.map { case (src, (nd, nc, mx, tw)) =>
+        s"('${src.replace("'", "''")}', CAST($nd AS BIGINT), " +
+          s"CAST($nc AS BIGINT), CAST($mx AS BIGINT), CAST($tw AS BIGINT), " +
+          s"CAST(${tw * 1000000L / nd} AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $values) AS t(source, n_docs, n_classes, " +
+        "max_multiplicity, twin_docs, twin_ppm) ORDER BY source"
     }.toOption
 
   /** q325 mirror: winnowing fingerprints (k=5, w=4 — the

@@ -120,7 +120,15 @@ object Verify {
             "q421_personalized_pagerank" -> (() => MirrorOracles.q421Sql(spark, sfDir)),
             "q428_seed_bfs" -> (() => MirrorOracles.q428Sql(spark, sfDir)),
             "q65_dup_clusters" -> (() => MirrorOracles.q65Sql(spark, sfDir)),
-            "q325_span_overlap" -> (() => MirrorOracles.q325Sql(spark, sfDir)))
+            "q325_span_overlap" -> (() => MirrorOracles.q325Sql(spark, sfDir)),
+            // the remaining CC-consumer family (sf10 gate, round 10)
+            "q445_star_components" -> (() => MirrorOracles.q445Sql(spark, sfDir)),
+            "q76_split_leakage" -> (() => MirrorOracles.q76Sql(spark, sfDir)),
+            "q136_cluster_split" -> (() => MirrorOracles.q136Sql(spark, sfDir)),
+            "q106_effective_tokens" -> (() => MirrorOracles.q106Sql(spark, sfDir)),
+            "q160_drop_reasons" -> (() => MirrorOracles.q160Sql(spark, sfDir)),
+            "q491_license_propagation" -> (() => MirrorOracles.q491Sql(spark, sfDir)),
+            "q504_twin_census" -> (() => MirrorOracles.q504Sql(spark, sfDir)))
           .collect { case (k, mk)
               if only.forall(_.contains(k)) && mirrorWanted(k) =>
             mk().map(k -> _) }.flatten.toMap
