@@ -318,6 +318,78 @@ object MirrorOracles {
         "n_docs) ORDER BY cluster_size"
     }.toOption
 
+  /** q26 mirror: the top-100 verified LSH pairs by (jac desc, doc_a,
+    * doc_b), computed collapsed — intra-class pairs are jac = 1 with
+    * common = na = nb = n, cross pairs expand verified rep pairs. The
+    * top-100-by-(a,b) prefix of a class's C(m,2) intra pairs lies
+    * within its first 101 members, so intra generation is bounded per
+    * class; cross rep pairs expand in jac-desc order (ties fully) only
+    * until the cut is covered. */
+  def q26Sql(spark: SparkSession, sfDir: String): Option[String] =
+    scala.util.Try {
+      val cls = twinClassesCached(spark, sfDir)
+      final case class P(a: Long, b: Long, common: Long, na: Long,
+                         nb: Long, jac: Double)
+      val ord = Ordering.by[P, (Double, Long, Long)](p => (-p.jac, p.a, p.b))
+      val intra = mutable.ArrayBuffer.empty[P]
+      var intraTotal = 0L
+      cls.foreach { c =>
+        val m = c.members.length
+        if (m >= 2) {
+          intraTotal += m.toLong * (m - 1) / 2
+          val n = c.set.size.toLong
+          val take = math.min(m, 101)
+          val local = mutable.ArrayBuffer.empty[P]
+          var i = 0
+          while (i < take - 1) {
+            var j = i + 1
+            while (j < take) {
+              local += P(c.members(i), c.members(j), n, n, n, 1.0)
+              j += 1
+            }
+            i += 1
+          }
+          intra ++= local.sorted(ord).take(100)
+        }
+      }
+      val top = mutable.ArrayBuffer.empty[P]
+      top ++= intra.sorted(ord).take(100)
+      if (intraTotal < 100) {
+        // need cross pairs: expand verified rep pairs jac-desc until the
+        // remainder is covered, keeping full tie groups
+        val need = 100 - intraTotal
+        val reps = candidatePairs(cls).map { case (i, j) =>
+          val (common, jac) = jaccard(cls(i).set, cls(j).set)
+          (i, j, common.toLong, jac)
+        }.sortBy { case (_, _, _, jac) => -jac }
+        val cross = mutable.ArrayBuffer.empty[P]
+        var k = 0
+        while (k < reps.length &&
+            (cross.length < need ||
+              reps(k)._4 == reps(k - 1)._4)) {
+          val (i, j, common, jac) = reps(k)
+          val (na, nb) = (cls(i).set.size.toLong, cls(j).set.size.toLong)
+          cls(i).members.foreach { ma =>
+            cls(j).members.foreach { mb =>
+              if (ma < mb) cross += P(ma, mb, common, na, nb, jac)
+              else cross += P(mb, ma, common, nb, na, jac)
+            }
+          }
+          k += 1
+        }
+        top ++= cross
+      }
+      val rows = top.sorted(ord).take(100)
+      require(rows.nonEmpty, "no verified pairs")
+      val values = rows.map { p =>
+        s"(CAST(${p.a} AS BIGINT), CAST(${p.b} AS BIGINT), " +
+          s"CAST(${p.common} AS BIGINT), CAST(${p.na} AS BIGINT), " +
+          s"CAST(${p.nb} AS BIGINT), CAST(${fmtD(p.jac)} AS DOUBLE))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $values) AS t(doc_a, doc_b, common, na, " +
+        "nb, jac)"
+    }.toOption
+
   /** The ONE split rule (Dedup.splitOf): md5("split:"+id) bucket %10 →
     * 8/1/1. */
   private def splitOf(id: Long): String = {

@@ -128,7 +128,8 @@ object Verify {
             "q106_effective_tokens" -> (() => MirrorOracles.q106Sql(spark, sfDir)),
             "q160_drop_reasons" -> (() => MirrorOracles.q160Sql(spark, sfDir)),
             "q491_license_propagation" -> (() => MirrorOracles.q491Sql(spark, sfDir)),
-            "q504_twin_census" -> (() => MirrorOracles.q504Sql(spark, sfDir)))
+            "q504_twin_census" -> (() => MirrorOracles.q504Sql(spark, sfDir)),
+            "q26_minhash_lsh" -> (() => MirrorOracles.q26Sql(spark, sfDir)))
           .collect { case (k, mk)
               if only.forall(_.contains(k)) && mirrorWanted(k) =>
             mk().map(k -> _) }.flatten.toMap

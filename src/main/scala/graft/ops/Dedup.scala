@@ -297,12 +297,33 @@ object Dedup {
     // and is released when the first consumer's query finishes.
     Caches.memoPinned(
         s"collapsedVerifiedPairs|${System.identityHashCode(s)}|$d") {
-      val sh = Caches.shared(docShingles(s, d, 1))
-      val (membersRaw, classesRaw) = shingleClasses(sh)
-      val members = Caches.pinned(membersRaw)
-      val classes = Caches.pinned(classesRaw)
-      val repSh = sh.join(classes.select(col("rep").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+      // ZERO-SHUFFLE members pass (round 10, second rework): the
+      // per-doc distinct shingle set is an IN-ROW array
+      // (array_sort(array_distinct(...))), so the fingerprint and set
+      // size need no corpus-wide distinct and no collect_list
+      // aggregation — the two 3M-row shuffles the round-9 build paid.
+      // fp = md5 over the \u0001-joined sorted set: the same VALUE
+      // [[shingleClasses]] computes aggregation-side (q504's oracle
+      // parity pins both recipes against the text-level DuckDB replay).
+      // Only the REP shingle rows ever explode (for the band agg and
+      // the verify leg) — a broadcast semi-join against the bounded
+      // class table, linear in distinct content.
+      val enriched = Caches.shared(Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          array_sort(array_distinct(shingleExpr("t", 3))).as("shs"))
+        .select(col("doc_id"), col("shs"),
+          md5(concat_ws("\u0001", col("shs"))).as("fp"),
+          size(col("shs")).cast("long").as("n")))
+      val members = Caches.pinned(enriched.select("doc_id", "fp", "n"))
+      val classes = Caches.pinned(members.groupBy("fp")
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).cast("long").as("m"),
+          max(col("n")).as("n")))
+      val repSh = enriched
+        .join(broadcast(classes.select(col("rep").as("doc_id"))),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
       val bands = minhashBands(repSh, numHashes = 16, bandSize = 4)
       val cand = bands.as("x").hint("shuffle_hash")
         .join(bands.as("y").hint("shuffle_hash"),
