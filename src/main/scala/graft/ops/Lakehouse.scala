@@ -539,8 +539,11 @@ object Lakehouse {
     // onto the finest (region, nation, segment) grid; every coarser
     // tier and every parent total is an aggregate OF that grid, so
     // the hierarchy costs nothing after the first shuffle. Revenue
-    // exact DECIMAL cents; floor-ppm shares; level key makes the
-    // union's grain explicit.
+    // exact DECIMAL cents; floor-ppm shares (DECIMAL(38,0) numerators
+    // — rev·10^6 tops ~10^20 at sf10, the q397 magnitude class, caught
+    // by the round-10 sf10 gate; DuckDB's SUM(BIGINT) is already
+    // HUGEINT so only the Spark side needed the widen); level key
+    // makes the union's grain explicit.
     "q256_share_of_parent" -> { (s, d) =>
       val base = Tables.orders(s, d)
         .select(col("o_custkey"),
@@ -562,17 +565,20 @@ object Lakehouse {
       val l1 = reg.crossJoin(broadcast(grand))
         .select(lit(1L).as("lvl"), col("r_name"), lit("").as("n_name"),
           lit("").as("segment"), col("rev").cast("long").as("rev_c"),
-          expr("CAST(rev * 1000000 DIV g AS BIGINT)").as("parent_share_ppm"))
+          expr("CAST(CAST(rev AS DECIMAL(38,0)) * 1000000 DIV g" +
+            " AS BIGINT)").as("parent_share_ppm"))
       val l2 = nat.join(broadcast(reg.select(col("r_name"), col("rev").as("pr"))),
           "r_name")
         .select(lit(2L).as("lvl"), col("r_name"), col("n_name"),
           lit("").as("segment"), col("rev").cast("long").as("rev_c"),
-          expr("CAST(rev * 1000000 DIV pr AS BIGINT)").as("parent_share_ppm"))
+          expr("CAST(CAST(rev AS DECIMAL(38,0)) * 1000000 DIV pr" +
+            " AS BIGINT)").as("parent_share_ppm"))
       val l3 = base.join(broadcast(nat.select(col("r_name"), col("n_name"),
           col("rev").as("pr"))), Seq("r_name", "n_name"))
         .select(lit(3L).as("lvl"), col("r_name"), col("n_name"),
           col("c_mktsegment").as("segment"), col("rev").cast("long").as("rev_c"),
-          expr("CAST(rev * 1000000 DIV pr AS BIGINT)").as("parent_share_ppm"))
+          expr("CAST(CAST(rev AS DECIMAL(38,0)) * 1000000 DIV pr" +
+            " AS BIGINT)").as("parent_share_ppm"))
       l1.unionByName(l2).unionByName(l3)
         .orderBy("lvl", "r_name", "n_name", "segment")
     },
