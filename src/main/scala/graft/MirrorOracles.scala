@@ -645,9 +645,17 @@ object MirrorOracles {
       while (it.hasNext) {
         val r = it.next()
         if (r.getLong(0) % 3 == 0 && !r.isNullAt(2)) {
-          val set = bySrc.getOrElseUpdate(r.getString(1),
-            mutable.HashSet.empty[Long])
-          winnow(r.getString(2)).foreach(set += _)
+          // only enter the pair grid with >= 1 fingerprint (round-10
+          // ADVICE): a zero-fp source (all sampled texts shorter than
+          // k) would divide by zero in min(na, nb) and the Try would
+          // silently drop the whole mirror — the engine's grid rule is
+          // ">= 1 fingerprint", so match it here
+          val fps = winnow(r.getString(2))
+          if (fps.nonEmpty) {
+            val set = bySrc.getOrElseUpdate(r.getString(1),
+              mutable.HashSet.empty[Long])
+            fps.foreach(set += _)
+          }
         }
       }
       val srcs = bySrc.keys.toArray.sorted

@@ -94,10 +94,13 @@ object Verify {
     // "1" enables every registered mirror; a CSV of query names enables
     // only those (round 10 — keeps sf1 on the cross-engine oracle for
     // the queries DuckDB CAN still finish there).
+    // values are TRIMMED (round-10 ADVICE): "a, b" with a space after the
+    // comma would otherwise silently disable the second mirror and fall
+    // back to a possibly capacity-dead DuckDB oracle with no error
     val mirrorSel: Option[Set[String]] = sys.env.get("SPARK_GRAFT_MIRRORS")
-      .filter(_.nonEmpty).map {
+      .map(_.trim).filter(_.nonEmpty).map {
         case "1" => Set.empty[String] // empty = all registered
-        case csv => csv.split(",").toSet
+        case csv => csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
       }
     val mirrorsOn = mirrorSel.isDefined
     def mirrorWanted(k: String): Boolean =

@@ -1619,16 +1619,24 @@ object Analytics {
       g.select(col("c_mktsegment"),
           col("n0").cast("long").as("n0"), col("r0").cast("long").as("rev0_d"),
           col("n1").cast("long").as("n1"), col("r1").cast("long").as("rev1_d"),
-          expr("CAST(CAST(n1 - n0 AS DECIMAL(38,0)) * r0 * n1" +
-            " AS DECIMAL(38,0))").as("vol_num"),
-          expr("CAST(CAST(n0 AS DECIMAL(38,0)) * (CAST(r1 AS DECIMAL(38,0))" +
-            " * n0 - CAST(r0 AS DECIMAL(38,0)) * n1) AS DECIMAL(38,0))")
+          // Numerators emitted as DIGIT STRINGS (round-10 VERDICT #1):
+          // q306 was the only query whose schema carried DECIMAL(38,0),
+          // and two rounds of driver hash-red localized to the harness's
+          // decimal128 canonicalization — value-level replays are exact
+          // at 4 SFs. The arithmetic below is UNCHANGED (still exact
+          // DECIMAL(38,0)); only the emitted representation moves to the
+          // canonicalization-free STRING, matching CAST(... AS VARCHAR)
+          // in the DuckDB oracle digit for digit.
+          expr("CAST(CAST(CAST(n1 - n0 AS DECIMAL(38,0)) * r0 * n1" +
+            " AS DECIMAL(38,0)) AS STRING)").as("vol_num"),
+          expr("CAST(CAST(CAST(n0 AS DECIMAL(38,0)) * (CAST(r1 AS DECIMAL(38,0))" +
+            " * n0 - CAST(r0 AS DECIMAL(38,0)) * n1) AS DECIMAL(38,0)) AS STRING)")
             .as("rate_num"),
-          expr("CAST(CAST(n1 - n0 AS DECIMAL(38,0)) * (CAST(r1 AS" +
+          expr("CAST(CAST(CAST(n1 - n0 AS DECIMAL(38,0)) * (CAST(r1 AS" +
             " DECIMAL(38,0)) * n0 - CAST(r0 AS DECIMAL(38,0)) * n1)" +
-            " AS DECIMAL(38,0))").as("cross_num"),
-          expr("CAST(CAST(r1 - r0 AS DECIMAL(38,0)) * n0 * n1" +
-            " AS DECIMAL(38,0))").as("total_num"))
+            " AS DECIMAL(38,0)) AS STRING)").as("cross_num"),
+          expr("CAST(CAST(CAST(r1 - r0 AS DECIMAL(38,0)) * n0 * n1" +
+            " AS DECIMAL(38,0)) AS STRING)").as("total_num"))
         .orderBy("c_mktsegment")
     },
 
@@ -2831,10 +2839,10 @@ object Analytics {
         |  FROM o GROUP BY 1)
         |SELECT c_mktsegment, CAST(n0 AS BIGINT) AS n0, CAST(r0 AS BIGINT) AS rev0_d,
         |  CAST(n1 AS BIGINT) AS n1, CAST(r1 AS BIGINT) AS rev1_d,
-        |  CAST((n1 - n0) * r0 * n1 AS DECIMAL(38,0)) AS vol_num,
-        |  CAST(n0 * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS rate_num,
-        |  CAST((n1 - n0) * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS cross_num,
-        |  CAST((r1 - r0) * n0 * n1 AS DECIMAL(38,0)) AS total_num
+        |  CAST(CAST((n1 - n0) * r0 * n1 AS DECIMAL(38,0)) AS VARCHAR) AS vol_num,
+        |  CAST(CAST(n0 * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS VARCHAR) AS rate_num,
+        |  CAST(CAST((n1 - n0) * (r1 * n0 - r0 * n1) AS DECIMAL(38,0)) AS VARCHAR) AS cross_num,
+        |  CAST(CAST((r1 - r0) * n0 * n1 AS DECIMAL(38,0)) AS VARCHAR) AS total_num
         |FROM g ORDER BY c_mktsegment""".stripMargin,
 
     "q307_shapley_attribution" ->

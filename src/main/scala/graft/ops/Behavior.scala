@@ -72,9 +72,15 @@ object Behavior {
     * slope), so the robust-vs-classical estimator pair can never drift
     * onto different series. Mirrored by [[DailyCountsSql]]. */
   private def dailyCounts(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .select(col("event_type"), dayIndex.as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    // MEMOIZED per (session, dir) and PINNED (round 11): nine series
+    // queries (q125/q134/q143/q146/q150/q161/q164 et al.) re-derive this
+    // identical (type × day) grid, each paying a full events scan + agg.
+    // The grid is value-bounded (#types × #days) — the pinnable shape.
+    Caches.memoPinned(s"dailyCounts|${Caches.sessionId(s)}|$d") {
+      Caches.pinned(Tables.events(s, d)
+        .select(col("event_type"), dayIndex.as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+    }
 
   /** SQL mirror of [[dailyCounts]], prefixed into both oracles. */
   private val DailyCountsSql =

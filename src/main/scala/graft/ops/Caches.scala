@@ -25,6 +25,25 @@ object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
   private val pinnedTracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val sessionIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]()
+
+  /** Unique id per LIVE session for [[memoPinned]] keys (round-10 ADVICE:
+    * System.identityHashCode can collide across two live sessions and
+    * silently share pinned frames bound to the wrong session). Weak keys:
+    * a stopped, collected session drops its entry; identity equality is
+    * what WeakHashMap uses here because SparkSession keeps reference
+    * semantics (no equals override).
+    */
+  def sessionId(s: org.apache.spark.sql.SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(s)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(s, id)
+      }
+      id
+    }
 
   /** Persist `ds` (MEMORY_AND_DISK), eagerly fill the cache with one
     * count() so same-wave branches all hit it, and register it for

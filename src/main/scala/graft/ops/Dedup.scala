@@ -296,7 +296,7 @@ object Dedup {
     // corpus-sized shingle table stays query-scoped [[Caches.shared]]
     // and is released when the first consumer's query finishes.
     Caches.memoPinned(
-        s"collapsedVerifiedPairs|${System.identityHashCode(s)}|$d") {
+        s"collapsedVerifiedPairs|${Caches.sessionId(s)}|$d") {
       // ZERO-SHUFFLE members pass (round 10, second rework): the
       // per-doc distinct shingle set is an IN-ROW array
       // (array_sort(array_distinct(...))), so the fingerprint and set
@@ -320,11 +320,28 @@ object Dedup {
       val classes = Caches.pinned(members.groupBy("fp")
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).cast("long").as("m"),
           max(col("n")).as("n")))
+      // No forced broadcast on the rep semi-join (round-10 ADVICE):
+      // classes has one row per DISTINCT shingle set — effectively
+      // linear in corpus docs, not bounded — so a forced broadcast
+      // risks the 8 GB relation cap / driver pressure at sf10+. AQE
+      // picks broadcast itself whenever the run-time size is small.
       val repSh = enriched
-        .join(broadcast(classes.select(col("rep").as("doc_id"))),
+        .join(classes.select(col("rep").as("doc_id")),
           Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(col("shs")).as("sh"))
-      val bands = minhashBands(repSh, numHashes = 16, bandSize = 4)
+      // Publish the REP wide MinHash signature (round 11): the banding
+      // below folds it into (band, bucket) anyway, so pinning the wide
+      // form first (one row per class × 17 columns — linear in distinct
+      // content, the pinnable shape) costs nothing extra here and lets
+      // q156's calibration and q424's band-plan sweep read the SAME
+      // signatures via [[repSignatureWide]] instead of re-deriving a
+      // full-corpus shingle + signature chain each.
+      val sigWide = Caches.memoPinned(
+          s"repSigWide|${Caches.sessionId(s)}|$d") {
+        Caches.pinned(minhashSignatureWide(repSh, numHashes = 16))
+      }
+      val bands = explodeBandBuckets(sigWide, Seq("doc_id"),
+        numHashes = 16, bandSize = 4)
       val cand = bands.as("x").hint("shuffle_hash")
         .join(bands.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") &&
@@ -334,6 +351,19 @@ object Dedup {
         .distinct()
       (members, classes, Caches.pinned(jaccardOfPairs(cand, repSh)))
     }
+
+  /** The pinned REP wide MinHash signature (doc_id = rep, h0..h15)
+    * published by [[collapsedVerifiedPairs]] — one row per twin class.
+    * Twins have IDENTICAL signatures, so any per-pair signature statistic
+    * (q156's slot matches, q424's band collisions) over the original
+    * corpus equals the rep pair's statistic expanded by class
+    * multiplicities. */
+  private[graft] def repSignatureWide(s: SparkSession, d: String): DataFrame = {
+    collapsedVerifiedPairs(s, d) // builds the chain, publishing the memo
+    Caches.memoPinned[DataFrame](s"repSigWide|${Caches.sessionId(s)}|$d") {
+      sys.error("repSigWide is published by collapsedVerifiedPairs")
+    }
+  }
 
   /** Connectivity-EQUIVALENT sparse form of [[dupEdges]] for component
     * consumers (q65/q76/q106/q136/q160/q445/q457/q491): per twin class a
@@ -347,7 +377,7 @@ object Dedup {
     * content, never quadratic in copies. Canonical (doc_a < doc_b)
     * holds: rep = min member, and verified pairs are rep-ordered. */
   def dupEdgesSparse(s: SparkSession, d: String): DataFrame =
-    Caches.memoPinned(s"dupEdgesSparse|${System.identityHashCode(s)}|$d") {
+    Caches.memoPinned(s"dupEdgesSparse|${Caches.sessionId(s)}|$d") {
       val (members, classes, verified) = collapsedVerifiedPairs(s, d)
       val stars = members.join(classes.select(col("fp"), col("rep")), "fp")
         .filter(col("doc_id") =!= col("rep"))
@@ -365,7 +395,7 @@ object Dedup {
     * this: its point is the alternating-star algorithm, so it pays its
     * own rounds over the (memoized) sparse edges. */
   private[graft] def dupClusterLabels(s: SparkSession, d: String): DataFrame =
-    Caches.memoPinned(s"dupClusterLabels|${System.identityHashCode(s)}|$d") {
+    Caches.memoPinned(s"dupClusterLabels|${Caches.sessionId(s)}|$d") {
       Caches.pinned(connectedComponents(dupEdgesSparse(s, d)))
     }
 
@@ -727,21 +757,28 @@ object Dedup {
       // and each recompute the subtree — measured ~2× on this query);
       // Caches.shared fills the cache with one count() before the main
       // plan runs and registers the frame for harness-side unpersist
-      val toks = Caches.shared(Tables.documents(s, d)
+      // Round 11: members/classes come from the PINNED collapse chain —
+      // the same (fp, rep, m, n) frames q26/q115/q504 share — instead of
+      // a per-query collect_list shingleClasses aggregation over a
+      // full-corpus shingle cache (the chain's in-row fingerprint pass
+      // is itself the zero-shuffle form, and it is paid once per suite
+      // session, not once per query). Only the REP shingle rows are
+      // exploded at all now; the PPJoin machinery below is unchanged.
+      val (members, classes, _) = collapsedVerifiedPairs(s, d)
+      // representative shingle table: the whole PPJoin machinery below
+      // (df table, prefix index, and both verify legs — four plan
+      // branches) runs over distinct CONTENT only; EAGER shared persist
+      // so the rep explode runs once, not per branch. The df order is
+      // class-frequency, not doc-frequency — completeness only needs ONE
+      // global token order shared by the prefix rule and the position
+      // filter, which this is.
+      val repToks = Caches.shared(Tables.documents(s, d)
+        .join(classes.select(col("rep").as("doc_id")), Seq("doc_id"),
+          "left_semi")
         .withColumn("t", tokens(col("text")))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
           explode(array_distinct(shingleExpr("t", 3))).as("tok")))
-      val (membersRaw, classesRaw) = shingleClasses(toks, item = "tok")
-      val members = Caches.shared(membersRaw) // (doc_id, fp, n)
-      val classes = Caches.shared(classesRaw) // (fp, rep, m, n)
-      // representative shingle table: the whole PPJoin machinery below
-      // (df order, prefix index, collision join, verify legs) runs over
-      // distinct CONTENT only. The df order is now class-frequency, not
-      // doc-frequency — completeness only needs ONE global token order
-      // shared by the prefix rule and the position filter, which this is.
-      val repToks = toks.join(classes.select(col("rep").as("doc_id")),
-        Seq("doc_id"), "left_semi")
       val dfTbl = repToks.groupBy("tok").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       val wn = Window.partitionBy("doc_id")
@@ -1009,30 +1046,46 @@ object Dedup {
     // signature the estimate reads, exact Jaccard verifies over the
     // same shingle frame — no branch re-derives either. Error sums are
     // exact floor-ppm integers; output is ≤11 rows at any corpus size.
+    // TWIN-COLLAPSE front (round 11, the q26 theorem applied here): the
+    // uncollapsed chain re-derived the full-corpus shingle table, the
+    // 16-hash signature agg, the band self-join AND the verify fan-out —
+    // all already pinned at rep level by [[collapsedVerifiedPairs]].
+    // Twins have identical signatures AND identical shingle sets, so for
+    // every original candidate pair (a∈i, b∈j) both est_ppm (slot
+    // matches) and exact_ppm equal the rep pair's values — the histogram
+    // is the rep histogram expanded by mᵢ·mⱼ (cross) and C(m,2) intra
+    // pairs at est = exact = 10⁶ (matches = 16, common = na = nb).
+    // Output equality with the uncollapsed chain is spec-asserted
+    // (DedupSpec) next to q26's.
     "q156_minhash_calibration" -> { (s, d) =>
-      val sh = Caches.shared(docShingles(s, d, 1))
-      val sig = Caches.shared(minhashSignatureWide(sh, 16))
-      val bands = explodeBandBuckets(sig, Seq("doc_id"), 16, 4)
-      val cand = bands.as("x").hint("shuffle_hash")
-        .join(bands.as("y").hint("shuffle_hash"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val ver = jaccardOfPairs(cand, sh)
+      val (_, classes, verified) = collapsedVerifiedPairs(s, d)
+      val sig = repSignatureWide(s, d)
       val sigArr = array((0 until 16).map(i => col(s"h$i")): _*)
       val sa = sig.select(col("doc_id").as("doc_a"), sigArr.as("va"))
       val sb = sig.select(col("doc_id").as("doc_b"), sigArr.as("vb"))
-      ver.join(sa, "doc_a").join(sb, "doc_b")
+      val cross = verified
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .join(classes.select(col("rep").as("doc_a"), col("m").as("wa")),
+          "doc_a")
+        .join(classes.select(col("rep").as("doc_b"), col("m").as("wb")),
+          "doc_b")
         .withColumn("matches", expr(
           "aggregate(zip_with(va, vb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, c) -> a + c)"))
         .withColumn("est_ppm", expr("matches * 1000000 DIV 16"))
         .withColumn("exact_ppm",
           expr("common * 1000000 DIV (na + nb - common)"))
-        .groupBy(expr("abs(est_ppm - exact_ppm) DIV 100000").as("err_decile"))
-        .agg(count(lit(1)).cast("long").as("n_pairs"),
-          sum(col("est_ppm")).cast("long").as("sum_est_ppm"),
-          sum(col("exact_ppm")).cast("long").as("sum_exact_ppm"))
+        .select(expr("abs(est_ppm - exact_ppm) DIV 100000").as("err_decile"),
+          (col("wa") * col("wb")).as("w"),
+          col("est_ppm"), col("exact_ppm"))
+      val intra = classes.filter(col("m") >= 2)
+        .select(lit(0L).as("err_decile"),
+          expr("m * (m - 1) DIV 2").as("w"),
+          lit(1000000L).as("est_ppm"), lit(1000000L).as("exact_ppm"))
+      cross.unionByName(intra)
+        .groupBy("err_decile")
+        .agg(sum(col("w")).cast("long").as("n_pairs"),
+          sum(col("w") * col("est_ppm")).cast("long").as("sum_est_ppm"),
+          sum(col("w") * col("exact_ppm")).cast("long").as("sum_exact_ppm"))
         .orderBy("err_decile")
     },
 
@@ -1201,7 +1254,23 @@ object Dedup {
       val member = dupClusterLabels(s, d)
         .select(col("node").as("doc_id"), col("label"))
       val sizes = member.groupBy("label").agg(count(lit(1)).as("n_members"))
-      docShingles(s, d, 1).join(member, "doc_id")
+      // Filter documents to CLUSTER MEMBERS before the shingle explode
+      // (round 11, guide §2.3 "project/filter before the exchange"): the
+      // label table is bounded by dup-cluster membership (≪ corpus), so
+      // joining it first means only member docs pay the explode and the
+      // (doc, sh) distinct — the old shape exploded and distinct-shuffled
+      // the WHOLE corpus and then discarded every non-member row in the
+      // join. Inner join on doc_id commutes with the per-doc explode +
+      // distinct (label is a function of doc_id), so (label, sh, dfin)
+      // is unchanged row for row.
+      val memberSh = Tables.documents(s, d)
+        .join(member, Seq("doc_id"))
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("label"), col("doc_id"),
+          explode(shingleExpr("t", 3)).as("sh"))
+        .distinct()
+      memberSh
         .groupBy("label", "sh").agg(count(lit(1)).as("dfin"))
         .join(sizes, "label")
         .groupBy(col("label").as("cluster_id"))
@@ -1312,20 +1381,49 @@ object Dedup {
         .select(col("doc_id"),
           (0 until 32).map(i =>
             when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _).as("simhash"))
-      val banded = fp.select(col("doc_id"), col("simhash"),
+      // TWIN-COLLAPSE front on identical FINGERPRINTS (round 11, the
+      // round-10 VERDICT's q27 item — the q26 theorem one level up):
+      // candidacy (sharing an 8-bit band byte) and hamming distance are
+      // functions of the simhash VALUE alone, so the band self-join runs
+      // over one row per DISTINCT fingerprint and the document pairs
+      // expand back afterwards — intra-class pairs at hamming 0, cross
+      // pairs carrying the fp pair's hamming. At sf1 the 256-value band
+      // buckets made the uncollapsed join quadratic in COPIES (q27 was
+      // the suite's slowest query, 54.7 s); collapsed, buckets hold
+      // distinct fingerprints only and the hamming ≤ 6 cut prunes BEFORE
+      // expansion, which then streams into the top-100 heap with zero
+      // shuffled bytes. Output equality is spec-asserted (SkewStressSpec)
+      // against a plain-Scala replay of the uncollapsed chain.
+      val members = Caches.shared(fp) // (doc_id, simhash), one agg pass
+      val classes = members.groupBy("simhash")
+        .agg(min(col("doc_id")).as("rep"))
+      val banded = classes.select(col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), expr(s"(simhash >> ${b * 8}) & 255").as("bits"))): _*)).as("bb"))
-        .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
+        .select(col("simhash"), col("bb.band"), col("bb.bits"))
       // shuffle-hash both sides → one shared exchange for the fingerprint
       // subtree (see q26) instead of computing it once per join side.
-      banded.as("x").hint("shuffle_hash")
+      val cand = banded.as("x").hint("shuffle_hash")
         .join(banded.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-                expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+          col("x.simhash") < col("y.simhash"))
+        .select(col("x.simhash").as("fa"), col("y.simhash").as("fb"))
         .distinct()
+        .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
         .filter(col("hamming") <= 6)
+      val cross = cand
+        .join(members.select(col("simhash").as("fa"), col("doc_id").as("da")),
+          "fa")
+        .join(members.select(col("simhash").as("fb"), col("doc_id").as("db")),
+          "fb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      val intra = members.as("a").join(members.as("b"),
+          col("a.simhash") === col("b.simhash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lit(0L).as("hamming"))
+      intra.unionByName(cross)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(100)
     },
@@ -1340,16 +1438,39 @@ object Dedup {
     // verdict at jac ≥ 0.3 — integer-exact throughout. Shard docs with
     // no match survive via the left join (is_dup = false).
     "q95_incremental_dedup" -> { (s, d) =>
-      val straddling = minhashVerifiedPairs(s, d)
-        .filter((col("doc_a") % 7 === 0) =!= (col("doc_b") % 7 === 0))
-        .select(
-          when(col("doc_a") % 7 === 0, col("doc_a")).otherwise(col("doc_b"))
-            .as("doc_id"),
-          when(col("doc_a") % 7 === 0, col("doc_b")).otherwise(col("doc_a"))
-            .as("ref_doc"),
-          expr("CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)")
-            .as("jac_ppm"))
+      // TWIN-COLLAPSE front (round 11, the q26 expansion applied to the
+      // straddling-pair filter): the uncollapsed chain re-derived the
+      // full LSH pipeline per query; the pinned chain's REP pairs carry
+      // the same (common, na, nb) for every expanded pair, intra-class
+      // pairs have jac = 10⁶ ≥ the 0.3 gate by construction, and the
+      // jac cut prunes rep pairs BEFORE expansion. Output equality is
+      // spec-asserted (SkewStressSpec).
+      val (members, classes, verified) = collapsedVerifiedPairs(s, d)
+      val mem = members.select(col("doc_id"), col("fp"))
+      val intraPairs = mem.as("a").join(mem.as("b"),
+          col("a.fp") === col("b.fp") &&
+            (col("a.doc_id") % 7 === 0) && (col("b.doc_id") % 7 =!= 0))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("ref_doc"),
+          lit(1000000L).as("jac_ppm"))
+      val repStats = verified
+        .withColumn("jac_ppm",
+          expr("CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)"))
         .filter(col("jac_ppm") >= 300000L)
+        .join(classes.select(col("rep").as("doc_a"), col("fp").as("fpa")),
+          "doc_a")
+        .join(classes.select(col("rep").as("doc_b"), col("fp").as("fpb")),
+          "doc_b")
+      val crossPairs = repStats
+        .join(mem.select(col("fp").as("fpa"), col("doc_id").as("da")), "fpa")
+        .join(mem.select(col("fp").as("fpb"), col("doc_id").as("db")), "fpb")
+        .filter((col("da") % 7 === 0) =!= (col("db") % 7 === 0))
+        .select(
+          when(col("da") % 7 === 0, col("da")).otherwise(col("db"))
+            .as("doc_id"),
+          when(col("da") % 7 === 0, col("db")).otherwise(col("da"))
+            .as("ref_doc"),
+          col("jac_ppm"))
+      val straddling = intraPairs.unionByName(crossPairs)
       val w = Window.partitionBy("doc_id")
         .orderBy(col("jac_ppm").desc, col("ref_doc"))
       val best = straddling.withColumn("rn", row_number().over(w))
@@ -1535,42 +1656,59 @@ object Dedup {
     // needs. Scale: slots = |candidates|×16 rows, ×4 plans before the
     // band reduction — linear in verified-candidate count; the grids
     // and the ladder are constant-width row expressions.
+    // TWIN-COLLAPSE front + wide-signature collision test (round 11):
+    // the old chain re-derived the full-corpus shingle/signature/band/
+    // verify pipeline, then paid a 16× posexplode slot join and a 64×
+    // crossJoin + two aggregations to decide, per pair and plan, whether
+    // ANY band of r consecutive slots fully matches. Both costs fold
+    // away: (a) candidates, exact Jaccard and signatures are the pinned
+    // REP frames of [[collapsedVerifiedPairs]] — twins have identical
+    // signatures and shingle sets, so each (b, r, decile) cell is the
+    // rep cell expanded by mᵢ·mⱼ (cross) / C(m,2) intra pairs (exact =
+    // 10⁶, collided = 1 in every plan); (b) per rep pair the collision
+    // flag is a pure row-level boolean over the two wide signatures
+    // (OR over bands of AND over the band's slots) — no explode, no
+    // aggregation, whole-stage codegen. Output equality with the
+    // uncollapsed chain is spec-asserted (DedupSpec).
     "q424_lsh_band_plan" -> { (s, d) =>
-      val sh = Caches.shared(docShingles(s, d, 1))
-      val sig = Caches.shared(minhashSignatureWide(sh, 16))
-      val bands = explodeBandBuckets(sig, Seq("doc_id"), 16, 4)
-      val cand = bands.as("x").hint("shuffle_hash")
-        .join(bands.as("y").hint("shuffle_hash"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val exact = jaccardOfPairs(cand, sh)
-        .select(col("doc_a"), col("doc_b"),
-          expr("common * 1000000 DIV (na + nb - common)").as("exact_ppm"))
-      val sigLong = sig.select(col("doc_id"),
-        posexplode(array((0 until 16).map(i => col(s"h$i")): _*))
-          .as(Seq("i", "mh")))
-      val plans = s.range(4).select(
-        expr("CAST(shiftright(16, CAST(id AS INT)) AS BIGINT)").as("b"),
-        expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").as("r"))
-      val sa = sigLong.select(col("doc_id").as("doc_a"), col("i"),
-        col("mh").as("ma"))
-      val sb = sigLong.select(col("doc_id").as("doc_b"), col("i"),
-        col("mh").as("mb"))
-      val slots = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "i"))
-        .withColumn("m", when(col("ma") === col("mb"), 1L).otherwise(0L))
-      val coll = slots.crossJoin(broadcast(plans))
-        .groupBy(col("doc_a"), col("doc_b"), col("b"), col("r"),
-          expr("i DIV r").as("band"))
-        .agg(sum(col("m")).as("nm"))
-        .withColumn("allm", when(col("nm") === col("r"), 1L).otherwise(0L))
-        .groupBy("doc_a", "doc_b", "b", "r")
-        .agg(max(col("allm")).as("collided"))
-      coll.join(exact, Seq("doc_a", "doc_b"))
+      val (_, classes, verified) = collapsedVerifiedPairs(s, d)
+      val sig = repSignatureWide(s, d)
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 16).map(i => col(s"h$i").as(s"ha$i")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 16).map(i => col(s"h$i").as(s"hb$i")): _*)
+      // collided(b = 16/r, r) ⟺ some band of r consecutive slots fully
+      // matches — the same predicate the old slot-join aggregation
+      // computed, now one boolean expression per plan
+      def collided(r: Int): Column =
+        (0 until 16 / r).map { bi =>
+          (0 until r).map(p => col(s"ha${bi * r + p}") === col(s"hb${bi * r + p}"))
+            .reduce(_ && _)
+        }.reduce(_ || _)
+      val planRows = Seq(1, 2, 4, 8)
+      val cross = verified
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .join(classes.select(col("rep").as("doc_a"), col("m").as("wa")),
+          "doc_a")
+        .join(classes.select(col("rep").as("doc_b"), col("m").as("wb")),
+          "doc_b")
+        .select((col("wa") * col("wb")).as("w"),
+          expr("common * 1000000 DIV (na + nb - common)").as("exact_ppm"),
+          explode(array(planRows.map(r => struct(
+            lit(16L / r).as("b"), lit(r.toLong).as("r"),
+            when(collided(r), 1L).otherwise(0L).as("collided"))): _*)).as("p"))
+      val intra = classes.filter(col("m") >= 2)
+        .select(expr("m * (m - 1) DIV 2").as("w"),
+          lit(1000000L).as("exact_ppm"),
+          explode(array(planRows.map(r => struct(
+            lit(16L / r).as("b"), lit(r.toLong).as("r"),
+            lit(1L).as("collided"))): _*)).as("p"))
+      cross.unionByName(intra)
+        .select(col("p.b").as("b"), col("p.r").as("r"), col("w"),
+          col("exact_ppm"), col("p.collided").as("collided"))
         .groupBy(col("b"), col("r"), expr("exact_ppm DIV 100000").as("decile"))
-        .agg(count(lit(1)).cast("long").as("n_pairs"),
-          sum(col("collided")).cast("long").as("n_collide"))
+        .agg(sum(col("w")).cast("long").as("n_pairs"),
+          sum(col("w") * col("collided")).cast("long").as("n_collide"))
         .withColumn("s_pm", expr("least(decile * 100 + 50, 1000)"))
         .withColumn("p2", expr("s_pm * s_pm DIV 1000"))
         .withColumn("p4", expr("p2 * p2 DIV 1000"))

@@ -39,7 +39,17 @@ object Evaluation {
     * docs score 0 via the left join), the profile is a 50-row broadcast,
     * and the score grid is 51-valued — integer-exact in both engines.
     * Returns (score, pos). */
-  private def detectorScores(s: SparkSession, d: String): DataFrame = {
+  private def detectorScores(s: SparkSession, d: String): DataFrame =
+    // MEMOIZED per (session, dir) and PINNED (round 11): three queries
+    // (q205 sweep, q206 calibration, q303 Brier) re-derive this identical
+    // per-doc frame, each paying the two full character-trigram explodes;
+    // the frame is two long columns per document — linear in docs, the
+    // pinnable shape — so the build runs once per suite session.
+    Caches.memoPinned(s"detectorScores|${Caches.sessionId(s)}|$d") {
+      Caches.pinned(detectorScoresUncached(s, d))
+    }
+
+  private def detectorScoresUncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tris = docs.select(col("doc_id"),
       explode(expr("transform(sequence(1, length(text) - 2)," +

@@ -45,7 +45,20 @@ object Graph {
     * groupBy) where the join form needed four. The pair SET is
     * identical — the oracle and the brute-force spec replays are
     * unchanged. */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    // MEMOIZED per (session, dir) and PINNED (round 11, the round-10
+    // collapse-chain amortization applied here): ~11 structure queries
+    // (q263/q286/q287/q288/q298/q299/q300/q335-family/q419/q421/q428)
+    // re-derive this identical support-pruned edge list, and per-query
+    // Caches.clear() made each rebuild it — one lineitem basket groupBy
+    // + C(32,2) in-row pair explode + pair groupBy paid ~11× per suite
+    // run. The edge list is support≥2-pruned and bounded (≤ C(32,2) per
+    // order), so pinning it for the run is cheap.
+    Caches.memoPinned(s"copurchaseEdges|${Caches.sessionId(s)}|$d") {
+      Caches.pinned(copurchaseEdgesUncached(s, d))
+    }
+
+  private def copurchaseEdgesUncached(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .groupBy("okey")

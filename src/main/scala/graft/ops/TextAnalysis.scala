@@ -123,7 +123,17 @@ object TextAnalysis {
     * prediction = largest distinct-trigram overlap over the doc_id % 23
     * eval sample (integer scoring, lang-name tiebreak). Returns
     * (doc_id, pred_lang, overlap). */
-  def langIdPredictions(s: SparkSession, d: String): DataFrame = {
+  def langIdPredictions(s: SparkSession, d: String): DataFrame =
+    // MEMOIZED per (session, dir) and PINNED (round 11): four queries
+    // (q37-family, q102 confusion, q207 kappa, q292 CV spread) re-derive
+    // this identical predictor frame, each paying the full trigram
+    // explode + per-lang profile windows. The output is one row per
+    // %23-sampled doc — linear in docs, pinnable.
+    Caches.memoPinned(s"langIdPredictions|${Caches.sessionId(s)}|$d") {
+      Caches.pinned(langIdPredictionsUncached(s, d))
+    }
+
+  private def langIdPredictionsUncached(s: SparkSession, d: String): DataFrame = {
     val tris = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
     val wp = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))

@@ -812,9 +812,11 @@ class AnalyticsSpec extends AnyFunSuite {
     val rows = Analytics.queries("q306_pvm_decomposition")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // numerators are DECIMAL(38,0) since the sf10 gate caught the
-      // int64 cut overflowing (r·n·n ~ 10²¹ at sf10)
-      def num(c: String) = BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger)
+      // numerators are exact DECIMAL(38,0) arithmetic emitted as digit
+      // STRINGS (the int64 cut overflowed at sf10: r·n·n ~ 10²¹; and the
+      // driver harness canonicalizes decimal128 lossily, so the wire
+      // representation is a string — round-10 VERDICT #1)
+      def num(c: String) = BigInt(r.getAs[String](c))
       val total = num("total_num")
       val parts = num("vol_num") + num("rate_num") + num("cross_num")
       assert(total == parts, "delta-revenue = volume + rate + cross, exactly")

@@ -206,4 +206,161 @@ class SkewStressSpec extends AnyFunSuite {
     assert(expected.exists { case (_, _, _, _, _, j) => j < 1000000000000L },
       "cross-class (jac < 1) pairs present")
   }
+
+  // Shared twin-class fixture + uncollapsed per-pair replay for the
+  // round-11 q156/q424 collapse fronts: signatures and verified pairs of
+  // the RAW (uncollapsed) LSH chain, folded in plain Scala.
+  private def collapseFixture(): (String,
+      Map[Long, Vector[Long]],
+      Seq[(Long, Long, Long, Long, Long)]) = {
+    val base = (0 until 30).map(w => s"t$w").mkString(" ")
+    def variant(k: Int) =
+      ((0 until 27).map(w => s"t$w") ++ (0 until 3).map(j => s"v${k}_$j"))
+        .mkString(" ")
+    val famB = (0 until 24).map(w => s"b$w").mkString(" ")
+    val docs = ((0 until 9).map(i => (i.toLong, base)) ++
+      Seq((100L, variant(1)), (101L, variant(2))) ++
+      (0 until 5).map(i => (200L + i, famB)) ++
+      (0 until 20).map(i => (300L + i,
+        (0 until 20).map(j => s"u_${i}_$j").mkString(" ")))
+    ).map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("collapse2").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingleExpr("t", 3))).as("sh"))
+    val sigMap = Dedup.minhashSignatureWide(toks, 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector).toMap
+    val pairs = Dedup.minhashVerifiedPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("common"), r.getAs[Long]("na"), r.getAs[Long]("nb")))
+      .toSeq
+    graft.ops.Caches.clear()
+    (dir, sigMap, pairs)
+  }
+
+  test("q156 collapse front equals the uncollapsed per-pair calibration") {
+    val (dir, sigMap, pairs) = collapseFixture()
+    val expected = pairs.groupBy { case (a, b, c, na, nb) =>
+      val m = sigMap(a).zip(sigMap(b)).count { case (x, y) => x == y }.toLong
+      math.abs(m * 1000000L / 16 - c * 1000000L / (na + nb - c)) / 100000L
+    }.map { case (dec, ps) =>
+      val sums = ps.map { case (a, b, c, na, nb) =>
+        val m = sigMap(a).zip(sigMap(b)).count { case (x, y) => x == y }.toLong
+        (m * 1000000L / 16, c * 1000000L / (na + nb - c))
+      }
+      (dec, ps.size.toLong, sums.map(_._1).sum, sums.map(_._2).sum)
+    }.toSet
+    val got = Dedup.queries("q156_minhash_calibration")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("err_decile"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("sum_est_ppm"),
+        r.getAs[Long]("sum_exact_ppm"))).toSet
+    graft.ops.Caches.clear()
+    assert(got == expected,
+      "collapsed-front q156 must equal the raw per-pair histogram")
+  }
+
+  test("q424 collapse front equals the uncollapsed per-pair band sweep") {
+    val (dir, sigMap, pairs) = collapseFixture()
+    def collided(va: Vector[Long], vb: Vector[Long], r: Int): Boolean =
+      (0 until 16 / r).exists(bi =>
+        (0 until r).forall(p => va(bi * r + p) == vb(bi * r + p)))
+    val cells = for {
+      r <- Seq(1, 2, 4, 8)
+      (a, b, c, na, nb) <- pairs
+    } yield {
+      val dec = c * 1000000L / (na + nb - c) / 100000L
+      ((16L / r, r.toLong, dec),
+        if (collided(sigMap(a), sigMap(b), r)) 1L else 0L)
+    }
+    val expected = cells.groupBy(_._1).map { case ((bb, rr, dec), cs) =>
+      val n = cs.size.toLong
+      val nc = cs.map(_._2).sum
+      // the q424 S-curve tail replayed in plain integers
+      val s = math.min(dec * 100 + 50, 1000L)
+      val p2 = s * s / 1000; val p4 = p2 * p2 / 1000; val p8 = p4 * p4 / 1000
+      val q1 = 1000L - (rr match {
+        case 1L => s; case 2L => p2; case 4L => p4; case _ => p8 })
+      val q2 = q1 * q1 / 1000; val q4 = q2 * q2 / 1000
+      val q8 = q4 * q4 / 1000; val q16 = q8 * q8 / 1000
+      val exp = (1000L - (bb match {
+        case 2L => q2; case 4L => q4; case 8L => q8; case _ => q16 })) * 1000L
+      (bb, rr, dec, n, nc, nc * 1000000L / n, exp)
+    }.toSet
+    val got = Dedup.queries("q424_lsh_band_plan")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("bands"),
+        r.getAs[Long]("rows_per_band"), r.getAs[Long]("decile"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_collide"),
+        r.getAs[Long]("measured_ppm"), r.getAs[Long]("expected_ppm"))).toSet
+    graft.ops.Caches.clear()
+    assert(got == expected,
+      "collapsed-front q424 must equal the raw per-pair plan sweep")
+  }
+
+  test("q27 fingerprint-collapse front equals a plain-Scala simhash replay") {
+    val (dir, _, _) = collapseFixture()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h32(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val fps = docs.map { case (id, text) =>
+      val votes = Array.fill(32)(0L)
+      text.split(" ", -1).foreach { t =>
+        val h = h32(t)
+        (0 until 32).foreach(i =>
+          votes(i) += (if (((h >> i) & 1L) == 1L) 1 else -1))
+      }
+      id -> (0 until 32).map(i => if (votes(i) > 0) 1L << i else 0L).sum
+    }.toMap
+    val expected = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq
+      if a < b
+      if (0 until 4).exists(bd =>
+        ((fa >> (bd * 8)) & 255L) == ((fb >> (bd * 8)) & 255L))
+      h = java.lang.Long.bitCount(fa ^ fb).toLong
+      if h <= 6
+    } yield (a, b, h)).toSet
+    assert(expected.size < 100, "fixture must fit inside q27's top-100 cut")
+    assert(expected.exists(_._3 == 0L) && expected.exists(_._3 > 0L),
+      "fixture exercises both the intra (hamming 0) and cross legs")
+    val got = Dedup.queries("q27_simhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))).toSet
+    graft.ops.Caches.clear()
+    assert(got == expected,
+      "collapsed-front q27 must equal the brute-force simhash chain")
+  }
+
+  test("q95 collapse front equals the uncollapsed incremental-dedup view") {
+    val (dir, _, pairs) = collapseFixture()
+    // reference: the raw straddling-pair view over the uncollapsed chain
+    val straddling = pairs
+      .map { case (a, b, c, na, nb) => (a, b, c * 1000000L / (na + nb - c)) }
+      .filter { case (a, b, j) => ((a % 7 == 0) != (b % 7 == 0)) && j >= 300000L }
+      .map { case (a, b, j) => if (a % 7 == 0) (a, b, j) else (b, a, j) }
+    val byDoc = straddling.groupBy(_._1)
+    val shardDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 7 == 0).sorted
+    val expected = shardDocs.map { id =>
+      byDoc.get(id) match {
+        case Some(ms) =>
+          val best = ms.minBy { case (_, ref, j) => (-j, ref) }
+          (id, ms.size.toLong, best._2, best._3, true)
+        case None => (id, 0L, -1L, 0L, false)
+      }
+    }.toSeq
+    val got = Dedup.queries("q95_incremental_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_matches"),
+        r.getAs[Long]("best_ref"), r.getAs[Long]("best_jac_ppm"),
+        r.getAs[Boolean]("is_dup"))).toSeq
+    graft.ops.Caches.clear()
+    assert(got == expected,
+      "collapsed-front q95 must equal the raw straddling-pair view")
+  }
 }
