@@ -363,4 +363,51 @@ class SkewStressSpec extends AnyFunSuite {
     assert(got == expected,
       "collapsed-front q95 must equal the raw straddling-pair view")
   }
+
+  test("q74 collapse front equals the raw df-capped containment join") {
+    // Fixture built to exercise the MULTIPLICITY-WEIGHTED df census:
+    // - 60 twins of X: every X shingle has df = 60 > 50 → fully capped,
+    //   so the 60-copy family must emit ZERO pairs (the nc ≥ 1 rule);
+    // - a 'hot1 hot2 hot3' trigram carried by 45 unique docs AND the
+    //   9-copy base family: weighted df = 54 > 50 (capped) while the
+    //   rep-level UNWEIGHTED count would be 46 ≤ 50 — an unweighted
+    //   census would keep it and diverge;
+    // - base twins + two near-variants: intra and cross pairs survive.
+    val famX = (0 until 28).map(w => s"x$w").mkString(" ")
+    val base = "hot1 hot2 hot3 " + (0 until 27).map(w => s"t$w").mkString(" ")
+    def variant(k: Int) =
+      ((0 until 24).map(w => s"t$w") ++ (0 until 3).map(j => s"v${k}_$j"))
+        .mkString(" ")
+    val docs = ((0 until 60).map(i => (i.toLong, famX)) ++
+      (0 until 9).map(i => (100L + i, base)) ++
+      Seq((200L, variant(1)), (201L, variant(2))) ++
+      (0 until 45).map(i => (300L + i,
+        s"hot1 hot2 hot3 " + (0 until 10).map(j => s"u_${i}_$j").mkString(" ")))
+    ).map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q74collapse").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("t", TextAnalysis.tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingleExpr("t", 3))).as("sh"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getAs[Long]("common"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    val expected = Dedup.jaccardPairs(Dedup.capDocFrequency(toks, 50L))
+      .filter(col("common") * 2 >= least(col("na"), col("nb")))
+      .select("doc_a", "doc_b", "common", "na", "nb")
+      .collect().map(key).toSet
+    graft.ops.Caches.clear()
+    val got = Dedup.queries("q74_containment")(spark, dir)
+      .select("doc_a", "doc_b", "common", "na", "nb")
+      .collect().map(key).toSet
+    graft.ops.Caches.clear()
+    assert(expected.nonEmpty, "fixture must produce surviving pairs")
+    assert(!expected.exists { case (a, b, _, _, _) => a < 60 && b < 60 },
+      "the fully-capped 60-copy family must emit nothing")
+    assert(got == expected,
+      "collapsed-front q74 must equal the raw df-capped join")
+  }
 }
