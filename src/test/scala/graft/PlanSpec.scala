@@ -198,16 +198,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("banded self-joins compute their fingerprint subtree once (exchange reuse)") {
-    // q27 self-joins a derived fingerprint relation; both sides carry
-    // identical shuffle exchanges precisely so (AQE) ReuseExchange
-    // evaluates the expensive subtree once. Executed, because reuse is
-    // finalized at runtime under AQE.
+    // q27 (round 11): the expensive 32-vote fingerprint aggregation is an
+    // eager shared cache consumed by the class agg, the intra self-join
+    // and both cross-expansion joins — the "compute once" rule now rides
+    // the InMemoryRelation instead of ReuseExchange (the band self-join
+    // itself runs over the distinct-fingerprint class table). Executed,
+    // because cache-vs-recompute is finalized at runtime under AQE.
     for (name <- Seq("q27_simhash")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange"),
-        s"$name recomputes its self-join subtree:\n${p.take(3000)}")
+      val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(cacheReads >= 3,
+        s"$name must consume the shared fingerprint cache on every leg " +
+          s"(found $cacheReads cache reads):\n${p.take(3000)}")
+      graft.ops.Caches.clear()
     }
     // q26 (round 10) runs the band self-join inside the memoized
     // twin-collapse build (where the same reuse rule applies to the rep
