@@ -983,63 +983,9 @@ object Dedup {
     // the verdict compares on integers (common·2 ≥ min(na,nb) ⇔
     // max-containment ≥ 0.5) and the reported ratios are floor-ppm
     // integers, so every column is engine-exact.
-    // TWIN-COLLAPSE front (round 11, the q118 theorem under a df cap):
-    // the global document-frequency cap counts COPIES, so at rep level
-    // df(sh) = Σ m over the classes carrying sh — identical shingle sets
-    // survive the cap identically, the capped self-join runs over one
-    // representative per class (fan-out still bounded by the cap), and
-    // the pair list expands back exactly: intra pairs carry (nc, nc, nc)
-    // where nc = the class's capped set size (emitted only when nc ≥ 1,
-    // matching the join's common ≥ 1 rule), cross pairs carry the rep
-    // pair's (common, na, nb) with na/nb following the doc order. The
-    // quadratic-in-copies term the sf10 gate flagged is gone; output
-    // equality is spec-asserted (SkewStressSpec) against the raw
-    // df-capped self-join.
     "q74_containment" -> { (s, d) =>
-      val (members, classes, _) = collapsedVerifiedPairs(s, d)
-      val mem = members.select(col("doc_id"), col("fp"))
-      val repSh = Caches.shared(Tables.documents(s, d)
-        .join(classes.select(col("rep").as("doc_id")), Seq("doc_id"),
-          "left_semi")
-        .withColumn("t", tokens(col("text")))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"),
-          explode(array_distinct(shingleExpr("t", 3))).as("sh")))
-      val dfW = repSh
-        .join(classes.select(col("rep").as("doc_id"), col("m")), "doc_id")
-        .groupBy("sh").agg(sum(col("m")).as("_df"))
-      val capped = Caches.shared(
-        repSh.join(dfW.filter(col("_df") <= 50L), "sh").drop("_df"))
-      val cnt = capped.groupBy("doc_id").agg(count(lit(1)).as("nc"))
-      val repPairs = capped.select(col("doc_id").as("ra"), col("sh"))
-        .join(capped.select(col("doc_id").as("rb"), col("sh")), Seq("sh"))
-        .filter(col("ra") < col("rb"))
-        .groupBy("ra", "rb").agg(count(lit(1)).as("common"))
-        .join(cnt.select(col("doc_id").as("ra"), col("nc").as("na")), "ra")
-        .join(cnt.select(col("doc_id").as("rb"), col("nc").as("nb")), "rb")
+      jaccardPairs(capDocFrequency(docShingles(s, d, 1), maxDf = 50L))
         .filter(col("common") * 2 >= least(col("na"), col("nb")))
-      val repFp = classes.select(col("rep"), col("fp"))
-      val cross = repPairs
-        .join(repFp.select(col("rep").as("ra"), col("fp").as("fpa")), "ra")
-        .join(repFp.select(col("rep").as("rb"), col("fp").as("fpb")), "rb")
-        .join(mem.select(col("fp").as("fpa"), col("doc_id").as("da")), "fpa")
-        .join(mem.select(col("fp").as("fpb"), col("doc_id").as("db")), "fpb")
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"),
-          col("common"),
-          when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("na"),
-          when(col("da") < col("db"), col("nb")).otherwise(col("na")).as("nb"))
-      val clsNc = classes
-        .join(cnt.select(col("doc_id").as("rep"), col("nc")), "rep")
-        .select(col("fp"), col("nc"))
-      val intra = mem.as("x").join(mem.as("y"),
-          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.fp").as("fp"))
-        .join(clsNc, "fp")
-        .select(col("doc_a"), col("doc_b"), col("nc").as("common"),
-          col("nc").as("na"), col("nc").as("nb"))
-      cross.unionByName(intra)
         .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
           expr("CAST(common * 1000000 DIV na AS BIGINT)").as("cont_a_ppm"),
           expr("CAST(common * 1000000 DIV nb AS BIGINT)").as("cont_b_ppm"))
@@ -1465,10 +1411,16 @@ object Dedup {
         .join(banded.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.simhash") < col("y.simhash"))
+        // hamming cut BEFORE the distinct (round 11): a pair colliding in
+        // k bands is emitted k times, so the dedup shuffle carried every
+        // duplicate of every far pair; hamming is computable on the
+        // emitted row, and filtering first leaves only near pairs (a few
+        // per fingerprint) for the distinct — the join fan-out itself
+        // stays map-side
         .select(col("x.simhash").as("fa"), col("y.simhash").as("fb"))
-        .distinct()
         .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
         .filter(col("hamming") <= 6)
+        .distinct()
       val cross = cand
         .join(members.select(col("simhash").as("fa"), col("doc_id").as("da")),
           "fa")

@@ -419,7 +419,11 @@ object Graph {
     // anti-join is on the same (a, b) key, and the top-20 is a
     // TakeOrdered, never a global sort.
     "q419_link_prediction" -> { (s, d) =>
-      val adj = Caches.shared(adjacency(s, d))
+      // adjacency is a narrow union VIEW over the pinned edge list (round
+      // 11) — a second eager shared persist here double-materialized
+      // the same rows (measured on q428 at sf1); per-use recompute is a
+      // cache scan + projection, cheaper than the extra persist pass
+      val adj = adjacency(s, d)
       val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
       val wedges = adj.as("l").join(adj.as("r"),
           col("l.v") === col("r.v") && col("l.n") < col("r.n"))
@@ -452,7 +456,11 @@ object Graph {
     // rank⋈edge join + map-combined agg on the destination (the Pregel
     // shape); teleport/seed-count are one-row broadcasts.
     "q421_personalized_pagerank" -> { (s, d) =>
-      val adj = Caches.shared(adjacency(s, d))
+      // adjacency is a narrow union VIEW over the pinned edge list (round
+      // 11) — a second eager shared persist here double-materialized
+      // the same rows (measured on q428 at sf1); per-use recompute is a
+      // cache scan + projection, cheaper than the extra persist pass
+      val adj = adjacency(s, d)
       val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
       val seeds = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
         .select(col("p_partkey").as("v"), lit(1L).as("is_seed"))
@@ -498,6 +506,11 @@ object Graph {
     // of graph nodes — monotone frontier laws spec-proven. Scale: 3
     // bounded supersteps; the label frame carries (node, hop) only.
     "q428_seed_bfs" -> { (s, d) =>
+      // unlike q419/q421 (which read the adjacency view 1–2 times and
+      // measured faster recomputing it from the pinned edge cache), the
+      // BFS reads adj in all three supersteps plus the degree pass —
+      // four consumers tip the balance back to one eager materialization
+      // (same-host A/B: ~12.9 s lean vs ~11.6 s shared at sf0.1)
       val adj = Caches.shared(adjacency(s, d))
       val nodes = Caches.shared(adj.groupBy("v")
         .agg(count(lit(1)).as("deg")))

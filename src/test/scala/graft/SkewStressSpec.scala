@@ -364,14 +364,15 @@ class SkewStressSpec extends AnyFunSuite {
       "collapsed-front q95 must equal the raw straddling-pair view")
   }
 
-  test("q74 collapse front equals the raw df-capped containment join") {
-    // Fixture built to exercise the MULTIPLICITY-WEIGHTED df census:
+  test("q74 equals an independently-derived df-capped containment join") {
+    // Harness for any future q74 rework (round 11 tried a twin-collapse
+    // front: exact, but ~2× slower at the gated sf0.1 — reverted; the
+    // fixture stays so a re-attempt has its equality proof ready):
     // - 60 twins of X: every X shingle has df = 60 > 50 → fully capped,
-    //   so the 60-copy family must emit ZERO pairs (the nc ≥ 1 rule);
+    //   so the 60-copy family must emit ZERO pairs;
     // - a 'hot1 hot2 hot3' trigram carried by 45 unique docs AND the
-    //   9-copy base family: weighted df = 54 > 50 (capped) while the
-    //   rep-level UNWEIGHTED count would be 46 ≤ 50 — an unweighted
-    //   census would keep it and diverge;
+    //   9-copy base family: a collapse front must weight its df census
+    //   by multiplicity (54 > 50 capped) or diverge here;
     // - base twins + two near-variants: intra and cross pairs survive.
     val famX = (0 until 28).map(w => s"x$w").mkString(" ")
     val base = "hot1 hot2 hot3 " + (0 until 27).map(w => s"t$w").mkString(" ")
@@ -408,6 +409,6 @@ class SkewStressSpec extends AnyFunSuite {
     assert(!expected.exists { case (a, b, _, _, _) => a < 60 && b < 60 },
       "the fully-capped 60-copy family must emit nothing")
     assert(got == expected,
-      "collapsed-front q74 must equal the raw df-capped join")
+      "q74 must equal the independently-derived df-capped join")
   }
 }
