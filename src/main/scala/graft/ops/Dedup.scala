@@ -1765,17 +1765,19 @@ object Dedup {
     "q426_cdc_chunks" -> { (s, d) =>
       // bnds materialized as a named column so the window-hash pass runs
       // ONCE per doc (as a shared subtree of three element_at calls it
-      // would lean on codegen CSE — the minhashSignatureWide rule)
+      // would lean on codegen CSE — the minhashSignatureWide rule).
+      // The boundary array is the CdcKernel one-pass expression — the
+      // declarative filter(sequence(...), md5-window-hash) form it
+      // replaces (and the oracle still replays verbatim) ran the cut
+      // predicate as an interpreted HOF lambda: per CHARACTER it paid a
+      // substring alloc + hex-MD5 + conv() reparse (~µs), serializing
+      // the whole corpus scan behind one lambda. Equality spec-pinned
+      // (OpsSpec "q426 boundary kernel").
       val chunks = Tables.documents(s, d)
         .filter(length(col("text")) >= 8)
         .select(col("source"), col("text"))
-        .withColumn("bnds", expr(
-          """concat(array(0),
-            |  filter(sequence(8, length(text)),
-            |    i -> i < length(text) AND
-            |      CAST(conv(substring(md5(substring(text, i - 7, 8)), 1, 8),
-            |           16, 10) AS BIGINT) % 64 = 0),
-            |  array(length(text)))""".stripMargin))
+        .withColumn("bnds",
+          graft.functions.CdcChunking.cdc_boundaries(col("text")))
         .select(col("source"), explode(expr(
           """transform(sequence(1, size(bnds) - 1),
             |  j -> substring(text, element_at(bnds, j) + 1,

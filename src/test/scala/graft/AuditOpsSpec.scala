@@ -754,6 +754,43 @@ class AuditOpsSpec extends AnyFunSuite {
       "repeated-block source must show the lowest unique-byte ratio")
   }
 
+  test("q426 boundary kernel equals the declarative md5-window filter") {
+    // The CdcBoundaries expression (round 11) must reproduce, bit for
+    // bit, the declarative form the oracle replays — including the
+    // non-ASCII path (8-CHAR windows over multi-byte UTF-8) and the
+    // degenerate lengths the sequence()/filter() corners produce.
+    import org.apache.spark.sql.functions._
+    val declarative =
+      """concat(array(0),
+        |  filter(sequence(8, length(text)),
+        |    i -> i < length(text) AND
+        |      CAST(conv(substring(md5(substring(text, i - 7, 8)), 1, 8),
+        |           16, 10) AS BIGINT) % 64 = 0),
+        |  array(length(text)))""".stripMargin
+    val corpus = graft.model.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val synth = Seq(
+      "12345678", "123456789", "ab",
+      "héllo wörld — çédille über ñandú, 測試文字列と仮名カナ交じり text",
+      "ασκήσεις ελληνικά κείμενο με αρκετό μήκος ώστε να κόβεται κάπου",
+      ("mixedascii åäö " * 40),
+      ("x" * 300))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((corpus ++ synth).zipWithIndex.map {
+        case (t, i) => Row(i.toLong, t) }, 4),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+      .filter(length(col("text")) >= 8)
+    val cmp = df.select(
+        expr(declarative).as("want"),
+        graft.functions.CdcChunking.cdc_boundaries(col("text")).as("got"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"boundary mismatch: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}")
+    }
+  }
+
   // ---- q427 association rules ----------------------------------------
 
   test("q427 rule algebra: paired directions, symmetric lift, conviction bounds") {
