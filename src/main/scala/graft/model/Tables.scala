@@ -11,40 +11,8 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * into the parquet scan — callers must NOT cache or collect here.
   */
 object Tables {
-
-  /** Cached (dir, table) → file length — one FS stat per table per JVM. */
-  private val fileLen = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
-  /** Scale-adaptive scan spread (optimization guide §2.5 "input skew: one
-    * huge unsplittable file"). The driver corpora ship as ONE parquet row
-    * group per table, so the scan — and everything that runs before the
-    * first exchange: explodes, partial aggregation, broadcast-join
-    * probes, vector kernels — executes as a SINGLE task regardless of
-    * core count. When the file fits in one scan split (natural scan
-    * parallelism provably 1) and the session has more than one core,
-    * spread the rows round-robin across `defaultParallelism` partitions:
-    * the shuffled volume is bounded by one split (≤ maxPartitionBytes)
-    * BY CONSTRUCTION, and at production scale (multi-split inputs) the
-    * guard self-disables, so no full-corpus exchange is ever introduced.
-    * `defaultParallelism` tracks the master's core count, so the
-    * driver's scaling runs (lower SPARK_GRAFT_CPUS) keep measuring real
-    * scaling. Results are partitioning-independent by the repo's parity
-    * contract (ParitySpec), so the spread is result-invisible; the
-    * oracle gate re-proves it per query.
-    */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val path = s"$sfDir/$name.parquet"
-    val df = spark.read.parquet(path)
-    val len = fileLen.computeIfAbsent(path, p => try {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sessionState.newHadoopConf())
-        .getContentSummary(hp).getLength
-    } catch { case _: Exception => Long.MaxValue })
-    val par = spark.sparkContext.defaultParallelism
-    if (len < spark.sessionState.conf.filesMaxPartitionBytes && par > 1)
-      df.repartition(par)
-    else df
-  }
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

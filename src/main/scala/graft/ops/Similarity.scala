@@ -66,19 +66,6 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", norm("v"))
 
-  /** Re-spread a LIMIT-bounded frame before a quadratic kernel (guide
-    * §2.5): GlobalLimit collapses its output to ONE partition, so the
-    * MaxSweep² pair sweeps downstream would run as a single task no
-    * matter the core count. Hash on vec_id with an EXPLICIT partition
-    * count (an unspecified count would let AQE coalesce the 2000-row
-    * exchange right back to one partition by size). defaultParallelism
-    * tracks the master's cores, so the driver's low-core scaling runs
-    * stay honest; the sweep bound (MaxSweep) keeps the spread input
-    * trivially small at every scale. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-      col("vec_id"))
-
   /** Nearest-centroid cell assignment shared by q42 (IVF probe), q83
     * (Lloyd update) and q117 (purity audit): deterministically sampled,
     * LIMIT-bounded centroid set (the only broadcast), every vector
@@ -86,26 +73,20 @@ object Similarity {
     * rides along (q42/q83 ignore it) so q117 needs no second embeddings
     * scan + vec_id join — and so the frame matches CellAssignSql's
     * `cells` CTE column-for-column. Returns (assignments, centroids). */
-  private def assignedCells(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    // MEMOIZED per (session, dir) and PINNED (round 11): seven queries
-    // (q42/q83/q117/q180/q279/q317-family) re-derive this identical
-    // |vecs|×|cents| assignment, and per-query Caches.clear() made each
-    // rebuild it. Both frames satisfy the pin rule: `assigned` is linear
-    // in vectors (vec_id, label, v, cell), `cents` is LIMIT-bounded.
-    Caches.memoPinned(s"assignedCells|${Caches.sessionId(s)}|$d") {
-      val e = vecs(s, d)
-      val cents = Caches.pinned(e.filter(col("vec_id") % 50 === 0)
-        .orderBy("vec_id").limit(MaxCentroids)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = Caches.pinned(e.crossJoin(broadcast(cents))
-        .withColumn("ccos", round(vec_cosine(col("v"), col("cv")), 6))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("v"), col("cent_id").as("cell")))
-      (assigned, cents)
-    }
+  private def assignedCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = vecs(s, d)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(MaxCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(vec_cosine(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("cent_id").as("cell"))
+    (assigned, cents)
+  }
 
   /** One max-cosine assignment pass of every vector in `e` to `cents`
     * ((cent_id, cv) frame, expected bounded/broadcastable) — the
@@ -160,20 +141,9 @@ object Similarity {
     *
     * Returns (cached vector frame, refined centroids as a (cent_id, cv)
     * LocalRelation, per-iteration convergence stats). */
-  private def lloyd3(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
-    // MEMOIZED per (session, dir) and PINNED (round 11): q416/q417/q418
-    // each re-ran the full 3-iteration ladder (three |vecs|×|cents|
-    // assignment passes + three (cell × dim) collects). The vector frame
-    // is linear in vectors, the centroids and stats are k·d-bounded
-    // literals — all within the pin rule. First consumer per session
-    // window pays the ladder; the other two read the memo.
-    Caches.memoPinned(s"lloyd3|${Caches.sessionId(s)}|$d") {
-      lloyd3Build(s, d)
-    }
-
-  private def lloyd3Build(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private def lloyd3(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val e = Caches.pinned(vecs(s, d))
+    val e = Caches.shared(vecs(s, d))
     var cent: Seq[(Long, Seq[Double])] =
       e.filter(col("vec_id") % 50 === 0)
         .orderBy("vec_id").limit(MaxCentroids)
@@ -361,7 +331,7 @@ object Similarity {
     // exact sweep is actually run — over a bounded audit sample — instead
     // of becoming an unbounded cartesian product.
     "q41_embedding_neardup" -> { (s, d) =>
-      val e = spread(vecs(s, d).orderBy("vec_id").limit(MaxSweep))
+      val e = vecs(s, d).orderBy("vec_id").limit(MaxSweep)
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
@@ -633,7 +603,7 @@ object Similarity {
     // is the finding). Bounded exact sweep (the q41 MaxSweep
     // convention); same (cos desc, id) kernel as q180.
     "q312_hubness" -> { (s, d) =>
-      val e = spread(vecs(s, d).orderBy("vec_id").limit(MaxSweep))
+      val e = vecs(s, d).orderBy("vec_id").limit(MaxSweep)
       val a = e.select(col("vec_id").as("qid"), col("v").as("qv"))
       val b = e.select(col("vec_id").as("cid"), col("v").as("cv3"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
@@ -665,7 +635,7 @@ object Similarity {
     // n_degenerate. Deciles by cross-multiplied predecessor counts on
     // the μ value grid (the q179 rule).
     "q313_twonn_ratios" -> { (s, d) =>
-      val e = spread(vecs(s, d).orderBy("vec_id").limit(MaxSweep))
+      val e = vecs(s, d).orderBy("vec_id").limit(MaxSweep)
       val a = e.select(col("vec_id").as("qid"), col("v").as("qv"))
       val b = e.select(col("vec_id").as("cid"), col("v").as("cv3"))
       // the two smallest come from two MAP-COMBINED min(struct) aggs over
