@@ -19,6 +19,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Pinned-tier lifecycle (round-11 VERDICT #5): Verify walks all 510
+    // queries in ONE session, so without a periodic release the
+    // suite-scoped pinned families (collapse chain, co-purchase edges,
+    // detector scores, lang-id, daily counts) accumulate block-manager
+    // residency for the whole run. Mirror Bench's 100-query session
+    // windows with a clearPinned() every `pinWindow` queries: peak pinned
+    // storage is bounded by one window's families, and the next window's
+    // first consumer rebuilds from parquet exactly as in Bench.
+    val pinWindow = 100
+    var done = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +39,8 @@ object Verify {
           .parquet(s"$outDir/$name")
       }.foreach(msg => System.err.println(s"[verify] $name failed: $msg"))
       graft.ops.Caches.clear() // release shared persisted subtrees
+      done += 1
+      if (done % pinWindow == 0) graft.ops.Caches.clearPinned()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -931,18 +931,25 @@ object Corpus {
         s"transform(${shingleSqlFor(n)}, x -> struct(CAST($n AS BIGINT) AS n," +
           s" CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) AS sh))")
         .mkString("concat(", ", ", ")")
+      // Round-12 shape (guide §2.4): the corpus-wide (doc_id, n, sh)
+      // DISTINCT — the query's biggest exchange — was pure overhead: the
+      // bench side only needs the (n, sh) key set (a LEFT SEMI join
+      // ignores bench duplicates), and train-side duplicate occurrences
+      // collapse at the (n, doc_id) distinct that already existed. The
+      // semi join shuffles both sides on (n, sh) once; the full-corpus
+      // doc-level dedup exchange is gone. Flagged-doc sets are
+      // identical row-for-row (oracle-checked; monotonicity spec holds).
       val sh = Tables.documents(s, d)
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), explode(expr(arrays)).as("p"))
         .select(col("doc_id"), col("p.n").as("n"), col("p.sh").as("sh"))
-        .distinct()
       val bench = sh.filter(col("doc_id") % 23 === 0)
-        .select("n", "sh").distinct()
+        .select("n", "sh")
       val train = Tables.documents(s, d).filter(col("doc_id") % 23 =!= 0)
         .agg(count(lit(1)).as("n_train"))
       val grid = sh.sparkSession.range(3, 7).select(col("id").as("n"))
       val flagged = sh.filter(col("doc_id") % 23 =!= 0)
-        .join(bench, Seq("n", "sh"))
+        .join(bench, Seq("n", "sh"), "left_semi")
         .select("n", "doc_id").distinct()
         .groupBy("n").agg(count(lit(1)).as("n_flagged"))
       grid.join(flagged, Seq("n"), "left")

@@ -51,9 +51,6 @@ object Evaluation {
 
   private def detectorScoresUncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tris = docs.select(col("doc_id"),
-      explode(expr("transform(sequence(1, length(text) - 2)," +
-        " i -> substring(text, i, 3))")).as("tri"))
     val profile = docs.filter(col("lang") === "en")
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text) - 2)," +
@@ -62,17 +59,21 @@ object Evaluation {
       .groupBy("tri").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tri")).limit(50)
       .select("tri")
-    // broadcast-join BEFORE the distinct: only profile-matched trigrams
-    // (≤50 distinct per doc) reach the shuffle, and countDistinct's
-    // map-side partial dedup bounds each partition's contribution —
-    // the full-corpus (doc, tri) distinct never materializes
-    val overlap = tris.join(broadcast(profile), "tri")
-      .groupBy("doc_id").agg(countDistinct(col("tri")).as("ov"))
-    docs.select(col("doc_id"),
+    // Round-12 overlap leg (guide §2.3/§2.4): the profile is a BOUNDED
+    // 50-trigram set, so "how many profile trigrams does this doc
+    // contain" is an IN-ROW membership count over the broadcast array —
+    // ov = size(filter(pa, p -> instr(text, p) > 0)). For 3-char
+    // patterns instr > 0 is exactly trigram-set membership (a length-3
+    // match can only start at positions 1..len-2), so this equals the
+    // old countDistinct over the full-corpus trigram explode — with the
+    // explode, the broadcast join, the (doc_id) exchange, and the
+    // left-join re-attach all gone: the build is ONE documents scan.
+    // EvaluationSpec pins equality against the exploded form.
+    val pa = profile.agg(sort_array(collect_list(col("tri"))).as("pa"))
+    docs.crossJoin(broadcast(pa))
+      .select(expr("CAST(size(filter(pa, p -> instr(text, p) > 0))" +
+          " * 1000000 DIV 50 AS BIGINT)").as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-      .join(overlap, Seq("doc_id"), "left")
-      .select(expr("CAST(coalesce(ov, 0) * 1000000 DIV 50 AS BIGINT)")
-        .as("score"), col("pos"))
   }
 
   /** DuckDB mirror of [[detectorScores]] — CTE prefix ending in
@@ -396,8 +397,39 @@ object Evaluation {
         .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
           expr("CAST(CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END + CASE WHEN a.h8 = b.h8 THEN 1 ELSE 0 END + CASE WHEN a.h9 = b.h9 THEN 1 ELSE 0 END + CASE WHEN a.h10 = b.h10 THEN 1 ELSE 0 END + CASE WHEN a.h11 = b.h11 THEN 1 ELSE 0 END + CASE WHEN a.h12 = b.h12 THEN 1 ELSE 0 END + CASE WHEN a.h13 = b.h13 THEN 1 ELSE 0 END + CASE WHEN a.h14 = b.h14 THEN 1 ELSE 0 END + CASE WHEN a.h15 = b.h15 THEN 1 ELSE 0 END AS BIGINT)").as("n_slots_eq"))
         .withColumn("est_ppm", (col("n_slots_eq") * lit(62500L)).cast("long"))
-      val exact = Dedup.jaccardPairs(st, key = "source",
-          outA = "src_a", outB = "src_b")
+      // Round-12 exact leg (guide §2.4): |A∩B| via a per-shingle
+      // SOURCE-BITMASK census instead of the shingle self-join — one
+      // groupBy(sh) over the cached distinct set folds each shingle's
+      // sources into a fixed-width bit_or mask (codegen HashAggregate,
+      // map-combined — an object-set aggregate here would trip the
+      // ObjectHashAggregate sort fallback on millions of near-singleton
+      // groups), masks collapse to a (mask, cnt) table that is tiny by
+      // construction, and pair commons are sums over that table against
+      // the broadcast source-rank grid. The corpus-wide shingle-text
+      // re-shuffle of both join sides is gone. Sources are a bounded
+      // enumeration; the ≤64-bit bound is asserted loudly. common/na/nb
+      // are the same distinct-shingle counts, pair ordering the same
+      // lexicographic src_a < src_b (rank order = name order).
+      val cnt = st.groupBy("source").agg(count(lit(1)).as("nsh"))
+      val srcs0 = st.select("source").distinct()
+      val srcIdx = srcs0
+        .join(srcs0.select(col("source").as("s0")),
+          col("s0") < col("source"), "left")
+        .groupBy("source").agg(count(col("s0")).cast("int").as("idx"))
+        .filter(expr("assert_true(idx < 64) IS NULL"))
+      val ai = srcIdx.select(col("source").as("src_a"), col("idx").as("ia"))
+      val bi = srcIdx.select(col("source").as("src_b"), col("idx").as("ib"))
+      val commonPairs = st.join(broadcast(srcIdx), "source")
+        .groupBy("sh")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(ai), expr("(mask & shiftleft(CAST(1 AS BIGINT), ia)) != 0"))
+        .join(broadcast(bi), expr("(mask & shiftleft(CAST(1 AS BIGINT), ib)) != 0" +
+          " AND ib > ia"))
+        .groupBy("src_a", "src_b").agg(sum(col("cnt")).cast("long").as("common"))
+      val exact = commonPairs
+        .join(cnt.select(col("source").as("src_a"), col("nsh").as("na")), "src_a")
+        .join(cnt.select(col("source").as("src_b"), col("nsh").as("nb")), "src_b")
         .withColumn("jac_ppm",
           expr("CAST(common * 1000000 DIV (na + nb - common) AS BIGINT)"))
         .select("src_a", "src_b", "jac_ppm")

@@ -1112,25 +1112,60 @@ object Quality {
     // greatest flagged rung. The shuffle carries 32-char hashes,
     // never text (the q182 rule).
     "q254_shared_ngram_ladder" -> { (s, d) =>
-      def rung(n: Int): DataFrame = {
-        val g = Tables.documents(s, d)
-          .select(col("source"), tokens(col("text")).as("t"))
-          .filter(size(col("t")) >= n)
-          .select(col("source"), explode(expr(
-            s"transform(sequence(1, size(t) - ${n - 1})," +
-              s" i -> array_join(slice(t, i, $n), ' '))")).as("ng"))
-          .select(col("source"), md5(col("ng")).as("h")).distinct()
-        g.join(g.select(col("source").as("s2"), col("h")), Seq("h"))
-          .filter(col("s2") > col("source"))
-          .select("source", "s2").distinct()
-          .withColumn(s"has$n", lit(1L))
-      }
+      // Round-12 shape (guide §2.3/§2.4): the three rungs used to run as
+      // three FULL pipelines — scan + explode + distinct(source, h) +
+      // hash self-join + pair distinct each. The explodes stay per-rung
+      // (plain string transforms with post-explode codegen md5 — an
+      // all-widths struct-array concat was measured slower), but they
+      // now UNION into one shared downstream: the rung membership
+      // question "which source pairs share an n-gram" is answered by a
+      // per-(n, h) SOURCE-BITMASK census, distinct masks expand to their
+      // ordered pairs against the broadcast source-rank grid (never a
+      // self-join), and the pair flags land with one map-combined max()
+      // per width. Same n-gram text (space-joined token windows), same
+      // md5 keys, same pair grid with explicit zeros — QualitySpec pins
+      // equality against a plain-Scala per-rung shared-set replay.
+      def rungRows(n: Int): DataFrame = Tables.documents(s, d)
+        .select(col("source"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("source"), explode(expr(
+          s"transform(sequence(1, size(t) - ${n - 1})," +
+            s" i -> array_join(slice(t, i, $n), ' '))")).as("ng"))
+        .select(lit(n.toLong).as("n"), md5(col("ng")).as("h"), col("source"))
+      // The census aggregate is a fixed-width BIT_OR bitmask, not
+      // collect_set: millions of near-singleton (n, h) groups push an
+      // object-buffer aggregate past ObjectHashAggregate's sort-based
+      // fallback (measured: the collect_set form gave the plan win back
+      // in agg time), while bit_or keeps the whole census in codegen
+      // HashAggregate with map-side combine — and absorbs duplicate
+      // occurrences, so no distinct pass exists anywhere. Source bits
+      // come from the deterministic rank of the source name; sources are
+      // a bounded enumeration (20 values at every SF) and the ≤64 bound
+      // is enforced loudly by assert_true, never silently wrapped.
+      val srcs0 = Tables.documents(s, d).select("source").distinct()
+      val srcIdx = srcs0
+        .join(srcs0.select(col("source").as("s0")),
+          col("s0") < col("source"), "left")
+        .groupBy("source").agg(count(col("s0")).cast("int").as("idx"))
+        .filter(expr("assert_true(idx < 64) IS NULL"))
+      val ai = srcIdx.select(col("source"), col("idx").as("ia"))
+      val bi = srcIdx.select(col("source").as("s2"), col("idx").as("ib"))
+      val flags = rungRows(2).unionByName(rungRows(4)).unionByName(rungRows(8))
+        .join(broadcast(srcIdx), "source")
+        .groupBy("n", "h")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
+        .select("n", "mask").distinct()
+        .join(broadcast(ai), expr("(mask & shiftleft(CAST(1 AS BIGINT), ia)) != 0"))
+        .join(broadcast(bi), expr("(mask & shiftleft(CAST(1 AS BIGINT), ib)) != 0" +
+          " AND ib > ia"))
+        .groupBy("source", "s2")
+        .agg(max(when(col("n") === 2, 1L).otherwise(0L)).as("has2"),
+          max(when(col("n") === 4, 1L).otherwise(0L)).as("has4"),
+          max(when(col("n") === 8, 1L).otherwise(0L)).as("has8"))
       val srcs = Tables.documents(s, d).select("source").distinct()
       val pairs = srcs.join(srcs.select(col("source").as("s2")),
           col("s2") > col("source"))
-      pairs.join(rung(2), Seq("source", "s2"), "left")
-        .join(rung(4), Seq("source", "s2"), "left")
-        .join(rung(8), Seq("source", "s2"), "left")
+      pairs.join(flags, Seq("source", "s2"), "left")
         .select(col("source"), col("s2"),
           coalesce(col("has2"), lit(0L)).as("has2"),
           coalesce(col("has4"), lit(0L)).as("has4"),

@@ -331,10 +331,17 @@ object Similarity {
     // exact sweep is actually run — over a bounded audit sample — instead
     // of becoming an unbounded cartesian product.
     "q41_embedding_neardup" -> { (s, d) =>
+      // Round-12 (guide §2.5): GlobalLimit collapses to ONE partition, so
+      // the MaxSweep² cosine sweep ran as a single task at any core
+      // count. Spread ONLY the streamed side by its join key with an
+      // explicit partition count (AQE would coalesce a 4096-row exchange
+      // back to one partition by size); the other side broadcasts, so
+      // the nested-loop sweep parallelizes across the session's cores.
       val e = vecs(s, d).orderBy("vec_id").limit(MaxSweep)
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("id_a"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
         .withColumn("cos", round(vec_cosine(col("va"), col("vb")), 6))
         .filter(col("cos") >= 0.35)
         .select("id_a", "id_b", "cos")
@@ -603,11 +610,17 @@ object Similarity {
     // is the finding). Bounded exact sweep (the q41 MaxSweep
     // convention); same (cos desc, id) kernel as q180.
     "q312_hubness" -> { (s, d) =>
+      // Round-12 (guide §2.5, round-11 VERDICT #4): spread the STREAMED
+      // side of the bounded sweep by qid — the nested-loop sweep
+      // parallelizes, AND the hash(qid) partitioning satisfies the
+      // top-3 window's required distribution, so the MaxSweep²-row
+      // window exchange disappears with it (§2.4 "keyed the same way").
       val e = vecs(s, d).orderBy("vec_id").limit(MaxSweep)
       val a = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("qid"))
       val b = e.select(col("vec_id").as("cid"), col("v").as("cv3"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-      val top3 = a.join(b, col("qid") =!= col("cid"))
+      val top3 = a.join(broadcast(b), col("qid") =!= col("cid"))
         .withColumn("cos", round(vec_cosine(col("qv"), col("cv3")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -635,24 +648,39 @@ object Similarity {
     // n_degenerate. Deciles by cross-multiplied predecessor counts on
     // the μ value grid (the q179 rule).
     "q313_twonn_ratios" -> { (s, d) =>
+      // Round-12 (guide §2.5, round-11 VERDICT #4): the streamed side is
+      // hash-spread on qid so the cached MaxSweep² sweep materializes in
+      // parallel instead of as one task, and the two min(struct) aggs
+      // below reuse the hash(qid) partitioning (no new exchange).
       val e = vecs(s, d).orderBy("vec_id").limit(MaxSweep)
       val a = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("qid"))
       val b = e.select(col("vec_id").as("cid"), col("v").as("cv3"))
-      // the two smallest come from two MAP-COMBINED min(struct) aggs over
-      // the CACHED pair sweep — a row_number window here sorted all
-      // MaxSweep² pairs per query and ran 3× slower; struct ordering
-      // (dist, cid) reproduces the window's row semantics exactly, so
-      // tied nearest neighbors still yield μ = 1 as before
-      val pairs = Caches.shared(a.join(b, col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          round(lit(1) - vec_cosine(col("qv"), col("cv3")), 6).as("dist")))
-      val m1 = pairs.groupBy("qid")
-        .agg(min(struct(col("dist"), col("cid"))).as("s1"))
+      // the two smallest come from two MAP-COMBINED min aggs over the
+      // CACHED pair sweep — a row_number window here sorted all
+      // MaxSweep² pairs per query and ran 3× slower. Round 12: the
+      // (dist, cid) struct is PACKED into one BIGINT — dist is already
+      // on the round-6 grid (dist6 = floor(dist·10⁶ + 0.5) ∈ [0, 2·10⁶]
+      // recovers the exact double via dist6/10⁶, both correctly-rounded
+      // nearest doubles), and the sweep's cids are the MaxSweep SMALLEST
+      // vec_ids (orderBy + limit), so cid < 2³² structurally at any
+      // corpus size. min(long) runs as codegen HashAggregate where
+      // min(struct) fell back to SortAggregate — two full sorts of the
+      // MaxSweep² frame gone — and lexicographic (dist, cid) order is
+      // bit-preserved, so tied nearest neighbors still yield μ = 1.
+      val pairs = Caches.shared(a.join(broadcast(b), col("qid") =!= col("cid"))
+        .select(col("qid"),
+          (floor(round(lit(1) - vec_cosine(col("qv"), col("cv3")), 6)
+              * lit(1000000) + lit(0.5)).cast("long")
+            * lit(4294967296L) + col("cid")).as("e")))
+      val m1 = pairs.groupBy("qid").agg(min(col("e")).as("e1"))
       val m2 = pairs.join(m1, "qid")
-        .filter(struct(col("dist"), col("cid")) > col("s1"))
-        .groupBy("qid").agg(min(struct(col("dist"), col("cid"))).as("s2"))
+        .filter(col("e") > col("e1"))
+        .groupBy("qid").agg(min(col("e")).as("e2"))
       val mu = m1.join(m2, "qid")
-        .select(col("qid"), col("s1.dist").as("r1"), col("s2.dist").as("r2"))
+        .select(col("qid"),
+          expr("CAST(shiftright(e1, 32) AS DOUBLE) / 1000000").as("r1"),
+          expr("CAST(shiftright(e2, 32) AS DOUBLE) / 1000000").as("r2"))
       val good = mu.filter(col("r1") > 0)
         .select(expr("CAST(FLOOR(r2 / r1 * 1000000000 + 0.5) AS BIGINT)").as("mu_ppb"))
       val ndeg = mu.filter(col("r1") <= 0).agg(count(lit(1)).as("n_degenerate"))

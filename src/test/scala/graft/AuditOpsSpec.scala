@@ -306,6 +306,31 @@ class AuditOpsSpec extends AnyFunSuite {
       s"an n-shingle hit implies an (n-1)-shingle hit: ${fl.toSeq}")
   }
 
+  test("q330 flagged counts equal a plain-Scala bench-overlap replay") {
+    // pins the round-12 semi-join shape (no corpus-wide doc-level
+    // distinct) against the definition: n_flagged(n) = #train docs
+    // sharing any n-shingle with the %23 benchmark sample
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(text: String, n: Int): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < n) Set.empty
+      else (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" ")).toSet
+    }
+    val rows = Corpus.queries("q330_contamination_ladder")(spark, sf)
+      .orderBy("n").collect()
+    (3 to 6).zip(rows).foreach { case (n, r) =>
+      val bench = texts.filter(_._1 % 23 == 0)
+        .map(t => grams(t._2, n)).foldLeft(Set.empty[String])(_ ++ _)
+      val flagged = texts.filter(_._1 % 23 != 0)
+        .count(t => (grams(t._2, n) & bench).nonEmpty)
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(r.getAs[Long]("n_flagged") == flagged.toLong, s"n=$n flagged")
+      assert(r.getAs[Long]("n_train") == texts.count(_._1 % 23 != 0).toLong)
+    }
+  }
+
   // ---- q331 repeat factors -------------------------------------------
 
   test("q331 targets sum to the 4x budget up to per-source floors") {

@@ -101,6 +101,39 @@ class EvaluationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("agree") <= r.getAs[Long]("n_total"))
   }
 
+  test("q206 bins equal a plain-Scala trigram-profile replay (pins the in-row overlap form)") {
+    // replays the ORIGINAL detector definition — per-doc DISTINCT-trigram
+    // overlap with the top-50 en-sample profile — so the round-12 in-row
+    // instr() membership form is pinned against the exploded semantics,
+    // not just against DuckDB agreeing.
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tris(t: String): Seq[String] =
+      if (t.length < 3) Seq.empty
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    val profCnt = texts.filter(t => t._2 == "en" && t._1 % 3 == 0)
+      .flatMap(t => tris(t._3))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val prof = profCnt.toSeq.sortBy { case (tri, c) => (-c, tri) }
+      .take(50).map(_._1).toSet
+    val scored = texts.map { t =>
+      val ov = (tris(t._3).toSet & prof).size.toLong
+      (ov * 1000000L / 50L, if (t._2 == "en") 1L else 0L)
+    }
+    val bins = scored.groupBy { case (s, _) => math.min(9L, s / 100000L) }
+    val rows = Evaluation.queries("q206_calibration_bins")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = bins(r.getAs[Long]("bin"))
+      val n = b.size.toLong
+      assert(r.getAs[Long]("n_docs") == n, s"bin ${r.getAs[Long]("bin")} n")
+      assert(r.getAs[Long]("mean_score_ppm") == b.map(_._1).sum / n)
+      assert(r.getAs[Long]("gold_ppm") == b.map(_._2).sum * 1000000L / n)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == texts.length.toLong)
+  }
+
   test("q208 error legs are nonnegative and pair counts stay below the day count") {
     Evaluation.queries("q208_seasonal_error")(spark, sf).collect().foreach { r =>
       assert(r.getAs[Long]("err7") >= 0L && r.getAs[Long]("err1") >= 0L)

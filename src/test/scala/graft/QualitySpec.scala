@@ -623,6 +623,37 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q254 census flags equal a plain-Scala per-rung shared-ngram replay") {
+    // pins the round-12 rewrite (one explode + per-(n, h) source-set
+    // census + in-row pair expansion) against the original definition:
+    // has_n(a, b) = 1 iff sources a and b share any n-gram
+    val texts = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def grams(text: String, n: Int): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < n) Set.empty
+      else (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" ")).toSet
+    }
+    def sharedPairs(n: Int): Set[(String, String)] = {
+      val bySrc = texts.groupBy(_._1).map { case (s0, xs) =>
+        s0 -> xs.map(t => grams(t._2, n)).reduce(_ ++ _) }
+      val srcs = bySrc.keys.toSeq.sorted
+      (for (a <- srcs; b <- srcs if a < b
+            if (bySrc(a) & bySrc(b)).nonEmpty) yield (a, b)).toSet
+    }
+    val (s2, s4, s8) = (sharedPairs(2), sharedPairs(4), sharedPairs(8))
+    val rows = Quality.queries("q254_shared_ngram_ladder")(spark, sf).collect()
+    rows.foreach { r =>
+      val p = (r.getAs[String]("source"), r.getAs[String]("s2"))
+      assert(r.getAs[Long]("has2") == (if (s2(p)) 1L else 0L), s"$p has2")
+      assert(r.getAs[Long]("has4") == (if (s4(p)) 1L else 0L), s"$p has4")
+      assert(r.getAs[Long]("has8") == (if (s8(p)) 1L else 0L), s"$p has8")
+    }
+    val srcs = texts.map(_._1).distinct
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2,
+      "the full pair grid with explicit zeros")
+  }
+
   test("q257 support is antisymmetric: a-before-b plus b-before-a covers every both-user") {
     val rows = Quality.queries("q257_seq2_support")(spark, sf).collect()
     val m = rows.map(r => ((r.getAs[String]("ta"), r.getAs[String]("tb")),
