@@ -312,24 +312,28 @@ object Pipeline {
     // (co-partitioned by the join key after the first exchange).
     "q194_basket_triples" -> { (s, d) =>
       val MaxBasket = 32
-      val items = Tables.lineitem(s, d)
+      // Round-12 shape (guide §2.4): the basket cap means every basket
+      // is a ≤32-item SET, so the canonical p_a < p_b < p_c triples are
+      // generated IN-ROW from the sorted per-order part set — collect_set
+      // absorbs duplicate (okey, part) lines, so the old distinct pass,
+      // the basket-size join, the eager 4-branch persist and the
+      // three-way self-join all collapse into ONE okey exchange followed
+      // by a bounded C(32,3) in-row expansion. Same canonical ordering,
+      // same per-basket once-counting; PipelineSpec replays the triple
+      // census from first principles.
+      val baskets = Caches.shared(Tables.lineitem(s, d)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-      // four plan branches (three join legs + the order count) read this
-      // frame — eager shared persist per the subtree-reuse rule, or each
-      // leg recomputes the distinct + size-filter pipeline
-      val bounded = Caches.shared(items.join(
-        items.groupBy("okey").agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= MaxBasket).select("okey"),
-        "okey"))
-      val nOrders = bounded.agg(countDistinct(col("okey")).as("n_orders"))
-      bounded.as("a")
-        .join(bounded.as("b"),
-          col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
-        .join(bounded.as("c"),
-          col("a.okey") === col("c.okey") && col("b.part") < col("c.part"))
-        .groupBy(col("a.part").as("p_a"), col("b.part").as("p_b"),
-          col("c.part").as("p_c"))
+        .groupBy("okey").agg(sort_array(collect_set(col("part"))).as("ps"))
+        .filter(size(col("ps")) <= MaxBasket))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      baskets
+        .select(explode(expr(
+          "flatten(flatten(transform(ps, (a, i) ->" +
+            " transform(slice(ps, i + 2, size(ps)), (b, j) ->" +
+            " transform(slice(ps, i + j + 3, size(ps)), c ->" +
+            " struct(a AS p_a, b AS p_b, c AS p_c))))))")).as("t"))
+        .groupBy(col("t.p_a").as("p_a"), col("t.p_b").as("p_b"),
+          col("t.p_c").as("p_c"))
         .agg(count(lit(1)).as("support"))
         .crossJoin(broadcast(nOrders))
         .orderBy(col("support").desc, col("p_a"), col("p_b"), col("p_c"))

@@ -141,12 +141,30 @@ object TextAnalysis {
       .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
       .select(col("lang").as("pred_lang"), col("tri"))
-    val docTris = tris.filter(col("doc_id") % 23 === 0)
-      .select("doc_id", "tri").distinct()
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("pred_lang"))
-    docTris.join(profile, "tri")
-      .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("overlap"))
-      .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+    // Round-12 prediction leg (guide §2.3/§2.4, the q205 detector
+    // pattern): the per-lang profiles are BOUNDED 50-trigram sets, so
+    // each eval doc's per-lang overlap is an IN-ROW membership count
+    // over the broadcast profile arrays — for 3-char patterns
+    // instr > 0 is exactly trigram-set membership — and the winner is
+    // an in-row array_min over struct(-overlap, lang), reproducing the
+    // old (overlap desc, lang) window tiebreak. Docs with zero overlap
+    // against EVERY profile had no row in the old join form and are
+    // filtered identically; the eval-sample trigram explode, its
+    // distinct, the profile join and the per-doc window are all gone.
+    val profs = profile.groupBy("pred_lang")
+      .agg(sort_array(collect_list(col("tri"))).as("pa"))
+      .agg(sort_array(collect_list(struct(col("pred_lang"), col("pa"))))
+        .as("profs"))
+    Tables.documents(s, d).filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id"), col("text"))
+      .crossJoin(broadcast(profs))
+      .select(col("doc_id"), expr(
+        "array_min(transform(profs, p -> struct(" +
+          "-size(filter(p.pa, t -> instr(text, t) > 0)) AS negov," +
+          " p.pred_lang AS lang)))").as("best"))
+      .filter(col("best.negov") < 0)
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        (-col("best.negov")).cast("long").as("overlap"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -47,6 +47,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 triple supports equal a plain-Scala basket replay") {
+    // pins the round-12 in-row C(32,3) expansion against the
+    // definition: support(a,b,c) = #baskets (distinct part sets, size
+    // <= 32) containing all three, triples canonical ascending
+    val items = graft.model.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = items.groupBy(_._1).map(_._2.map(_._2).toSet)
+      .filter(b => b.nonEmpty && b.size <= 32).toSeq
+    val support = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    baskets.foreach { b =>
+      val ps = b.toSeq.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length; k <- j + 1 until ps.length)
+        support((ps(i), ps(j), ps(k))) =
+          support.getOrElse((ps(i), ps(j), ps(k)), 0L) + 1L
+    }
+    val expTop = support.toSeq
+      .sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(20)
+    val rows = Pipeline.queries("q194_basket_triples")(spark, sf).collect()
+    assert(rows.length == math.min(20, support.size))
+    rows.zip(expTop).foreach { case (r, ((a, b, c), s)) =>
+      assert((r.getAs[Long]("p_a"), r.getAs[Long]("p_b"),
+        r.getAs[Long]("p_c")) == ((a, b, c)), "triple order")
+      assert(r.getAs[Long]("support") == s)
+      assert(r.getAs[Long]("supp_ppm") == s * 1000000L / baskets.length)
+    }
+  }
+
   test("q182 distinct counts are ordered: ndv_norm <= ndv_raw <= n_docs") {
     Pipeline.queries("q182_norm_dedup")(spark, sf).collect().foreach { r =>
       assert(r.getAs[Long]("ndv_norm") <= r.getAs[Long]("ndv_raw"))
