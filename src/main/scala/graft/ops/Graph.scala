@@ -514,19 +514,33 @@ object Graph {
       val adj = Caches.shared(adjacency(s, d))
       val nodes = Caches.shared(adj.groupBy("v")
         .agg(count(lit(1)).as("deg")))
-      val seeds = nodes.join(
+      // Round-12 frontier algebra (guide §2.4/§3.1): persist per-hop
+      // FRONTIERS instead of the cumulative union — the old expand
+      // re-persisted the whole labeled frame per hop and its
+      // filter(hop = h−1) + anti-join both re-shuffled node-sized
+      // frames. Frontiers are ≤ reachable-node-sized (the same bound
+      // the old labeled frame carried); the frontier probe and the
+      // seen-set anti-join sides broadcast, so each hop is ONE
+      // neighbor-distinct exchange over the cached adjacency. The
+      // labeled frame the census reads is a lazy union of the cached
+      // frontiers — row-identical to the old accumulation (frontier
+      // monotone laws spec-proven, GraphStructureSpec).
+      val f0 = Caches.shared(nodes.join(
         Tables.part(s, d).filter(col("p_brand") === "Brand#1")
           .select(col("p_partkey").as("v")), "v")
-        .select(col("v"), lit(0L).as("hop"))
-      def expand(labeled: DataFrame, hop: Int): DataFrame = {
-        val next = adj.join(labeled.filter(col("hop") === (hop - 1))
-            .select(col("v")), "v")
-          .select(col("n").as("v")).distinct()
-          .join(labeled.select("v"), Seq("v"), "left_anti")
-          .select(col("v"), lit(hop.toLong).as("hop"))
-        Caches.shared(labeled.unionByName(next))
+        .select(col("v"), lit(0L).as("hop")))
+      var frontiers = List(f0)
+      for (hop <- 1 to 3) {
+        val prev = frontiers.head
+        val seen = frontiers.map(_.select("v")).reduce(_ unionByName _)
+        val next = Caches.shared(
+          adj.join(broadcast(prev.select("v")), "v")
+            .select(col("n").as("v")).distinct()
+            .join(broadcast(seen), Seq("v"), "left_anti")
+            .select(col("v"), lit(hop.toLong).as("hop")))
+        frontiers = next :: frontiers
       }
-      val labeled = expand(expand(expand(Caches.shared(seeds), 1), 2), 3)
+      val labeled = frontiers.reverse.reduce(_ unionByName _)
       val full = nodes.join(labeled, Seq("v"), "left")
         .withColumn("hop", coalesce(col("hop"), lit(-1L)))
       val nAll = nodes.agg(count(lit(1)).as("n_nodes_total"))
